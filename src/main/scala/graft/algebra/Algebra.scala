@@ -1,0 +1,110 @@
+package graft.algebra
+
+/** SPARQL algebra ADT.
+  *
+  * Mirrors the reference's parsed `Query` structure
+  * (`/root/reference/ontario/sparql/parser/services.py:7-24` — Query(prefs,
+  * args, body, distinct, order_by, limit, offset, qtype) with body a nested
+  * UnionBlock/JoinBlock of Triple|Filter|Optional) re-expressed as an
+  * immutable Scala ADT. Extends the reference's grammar with SPARQL 1.1
+  * aggregates (GROUP BY / HAVING / aggregate projections), which the
+  * reference omits entirely (SURVEY.md §2.7).
+  */
+sealed trait Term
+final case class Var(name: String) extends Term
+final case class Iri(value: String) extends Term
+/** Literal with optional datatype IRI and language tag.
+  * Bare numerals are tagged xsd:integer / xsd:decimal / xsd:double by the
+  * parser, as in SPARQL 1.1 §4.1.2. */
+final case class Lit(lex: String, datatype: Option[String] = None,
+                     lang: Option[String] = None) extends Term
+
+object Terms {
+  val RdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+  val XsdInt = "http://www.w3.org/2001/XMLSchema#integer"
+  val XsdDecimal = "http://www.w3.org/2001/XMLSchema#decimal"
+  val XsdDouble = "http://www.w3.org/2001/XMLSchema#double"
+  val XsdBoolean = "http://www.w3.org/2001/XMLSchema#boolean"
+  val XsdDateTime = "http://www.w3.org/2001/XMLSchema#dateTime"
+  val XsdString = "http://www.w3.org/2001/XMLSchema#string"
+}
+
+final case class TriplePattern(s: Term, p: Term, o: Term) {
+  def vars: Set[String] = Set(s, p, o).collect { case Var(n) => n }
+}
+
+/** FILTER / expression tree. Builtin call names are lower-cased. */
+sealed trait Expr
+object Expr {
+  final case class TermRef(t: Term) extends Expr
+  final case class Cmp(op: String, l: Expr, r: Expr) extends Expr
+  final case class Arith(op: String, l: Expr, r: Expr) extends Expr
+  final case class And(l: Expr, r: Expr) extends Expr
+  final case class Or(l: Expr, r: Expr) extends Expr
+  final case class Not(e: Expr) extends Expr
+  final case class Call(name: String, args: List[Expr]) extends Expr
+
+  def vars(e: Expr): Set[String] = e match {
+    case TermRef(Var(n)) => Set(n)
+    case TermRef(_)      => Set.empty
+    case Cmp(_, l, r)    => vars(l) ++ vars(r)
+    case Arith(_, l, r)  => vars(l) ++ vars(r)
+    case And(l, r)       => vars(l) ++ vars(r)
+    case Or(l, r)        => vars(l) ++ vars(r)
+    case Not(x)          => vars(x)
+    case Call(_, args)   => args.flatMap(vars).toSet
+  }
+}
+
+/** Graph patterns — the reference nests UnionBlock[JoinBlock[...]]
+  * (`services.py`), here a plain binary algebra. */
+sealed trait Pattern {
+  def vars: Set[String] = this match {
+    case Pattern.Bgp(ts)            => ts.flatMap(_.vars).toSet
+    case Pattern.Join(l, r)         => l.vars ++ r.vars
+    case Pattern.Union(l, r)        => l.vars ++ r.vars
+    case Pattern.LeftJoin(l, r, _)  => l.vars ++ r.vars
+    case Pattern.Filter(_, p)       => p.vars
+  }
+}
+object Pattern {
+  final case class Bgp(triples: List[TriplePattern]) extends Pattern
+  final case class Join(l: Pattern, r: Pattern) extends Pattern
+  final case class Union(l: Pattern, r: Pattern) extends Pattern
+  final case class LeftJoin(l: Pattern, r: Pattern, cond: Option[Expr]) extends Pattern
+  final case class Filter(expr: Expr, p: Pattern) extends Pattern
+}
+
+sealed trait QueryForm
+case object SelectForm extends QueryForm
+case object AskForm extends QueryForm
+case object ConstructForm extends QueryForm
+
+/** SELECT-clause item: a bare var, or an (expression AS ?alias), where the
+  * expression may be an aggregate (SPARQL 1.1 extension over the reference). */
+sealed trait ProjItem { def alias: String }
+final case class ProjVar(v: Var) extends ProjItem { def alias: String = v.name }
+final case class ProjAgg(func: String, arg: Option[Expr], distinct: Boolean,
+                         as: Var, separator: String = " ") extends ProjItem {
+  def alias: String = as.name
+}
+final case class ProjExpr(expr: Expr, as: Var) extends ProjItem {
+  def alias: String = as.name
+}
+
+final case class OrderKey(expr: Expr, asc: Boolean)
+
+final case class Query(
+    form: QueryForm,
+    projection: List[ProjItem],       // empty ⇒ SELECT *
+    distinct: Boolean,
+    pattern: Pattern,
+    groupBy: List[Var] = Nil,
+    having: Option[Expr] = None,
+    template: List[TriplePattern] = Nil, // CONSTRUCT template
+    orderBy: List[OrderKey] = Nil,
+    limit: Option[Long] = None,
+    offset: Option[Long] = None) {
+  def hasAggregates: Boolean =
+    groupBy.nonEmpty || projection.exists(_.isInstanceOf[ProjAgg])
+}

@@ -1,0 +1,352 @@
+package graft.compiler
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.collection.mutable
+
+import graft.algebra._
+import graft.decomposer.{Decomposer, Star}
+import graft.functions.ExprCompiler
+import graft.mapping._
+
+/** Compiled pattern: the lazy DataFrame plus, per template-built variable,
+  * the template signature and the *hidden raw key columns* that generated
+  * the URI. Joins between two template variables with the same signature are
+  * executed on the raw (typically integer) key columns instead of the
+  * concatenated URI strings — same results, far cheaper shuffles/compares at
+  * 100 TB scale. Hidden columns are named `__k_<var>_<i>` identically on
+  * both sides so `join(usingColumns)` applies.
+  */
+final case class Compiled(df: DataFrame, sigs: Map[String, (String, List[String])]) {
+  def visibleVars: Seq[String] = df.columns.toSeq.filterNot(_.startsWith("__k_"))
+  def dropHidden: DataFrame = {
+    val hidden = df.columns.filter(_.startsWith("__k_"))
+    if (hidden.isEmpty) df else df.drop(hidden.toIndexedSeq: _*)
+  }
+}
+
+/** SPARQL algebra → DataFrame compiler.
+  *
+  * The Spark-native replacement for the reference's whole physical layer:
+  * planner (`/root/reference/ontario/mediator/Planner.py`), wrapper SQL
+  * generation (`ontario/wrappers/sparqltosql.py`) and the per-operator
+  * process pipeline (`ontario/mediator/PlanOperators.py`). Every operator
+  * (Xgjoin/Xgoptional/Xunion/Xdistinct/Xlimit/Xoffset/Xproject/Xfilter/
+  * Xask/Xconstruct) becomes a declarative DataFrame transformation; Catalyst
+  * + AQE own join strategy, pushdown, spill and adaptivity.
+  */
+final class Compiler(catalog: Catalog, load: String => DataFrame) {
+
+  def compile(q: Query)(implicit spark: SparkSession): DataFrame = q.form match {
+    case SelectForm    => compileSelect(q)
+    case AskForm       => compileAsk(q)
+    case ConstructForm => compileConstruct(q)
+  }
+
+  // ---- query forms --------------------------------------------------------
+
+  private def compileSelect(q: Query): DataFrame = {
+    val c = compilePattern(q.pattern)
+    var df =
+      if (q.hasAggregates) compileAggregate(q, c)
+      else project(q, c)
+    if (q.distinct) df = df.distinct()
+    if (q.orderBy.nonEmpty) {
+      val keys = q.orderBy.map { ok =>
+        val col = ExprCompiler.compile(ok.expr, df)
+        if (ok.asc) col.asc_nulls_first else col.desc_nulls_last
+      }
+      df = df.orderBy(keys: _*)
+    }
+    q.offset.foreach(n => df = df.offset(n.toInt))
+    q.limit.foreach(n => df = df.limit(n.toInt))
+    df
+  }
+
+  /** SELECT projection (Xproject, `Xproject.py:12-42`): missing vars become
+    * null columns (reference pads with '' — SURVEY.md §1.5 maps that to
+    * SQL null). */
+  private def project(q: Query, c: Compiled): DataFrame = {
+    if (q.projection.isEmpty) c.dropHidden // SELECT *
+    else {
+      val cols = q.projection.map {
+        case ProjVar(v) =>
+          if (c.df.columns.contains(v.name)) c.df.col(v.name) else lit(null).as(v.name)
+        case ProjExpr(e, as) => ExprCompiler.compile(e, c.df).as(as.name)
+        case pa: ProjAgg =>
+          throw new IllegalStateException(s"aggregate ${pa.func} without aggregation context")
+      }
+      c.df.select(cols: _*)
+    }
+  }
+
+  /** SPARQL 1.1 aggregates (extension — absent from the reference,
+    * SURVEY.md §2.7). Map-side partial aggregation comes free from
+    * `groupBy.agg`. */
+  private def compileAggregate(q: Query, c: Compiled): DataFrame = {
+    val df = c.dropHidden
+    val gcols = q.groupBy.map(v => df.col(v.name))
+    val aggCols = q.projection.collect {
+      case pa: ProjAgg => aggColumn(pa, df)
+      case ProjExpr(e, as) => first(ExprCompiler.compile(e, df)).as(as.name)
+    }
+    val grouped =
+      if (gcols.nonEmpty) df.groupBy(gcols: _*).agg(aggCols.head, aggCols.tail: _*)
+      else df.agg(aggCols.head, aggCols.tail: _*)
+    val projected = grouped.select(q.projection.map(p => grouped.col(p.alias)): _*)
+    q.having.fold(projected)(h => projected.filter(ExprCompiler.predicate(h, projected)))
+  }
+
+  private def aggColumn(pa: ProjAgg, df: DataFrame): Column = {
+    val arg = pa.arg.map(e => ExprCompiler.compile(e, df))
+    val c = pa.func match {
+      case "count" => arg match {
+        case Some(a) if pa.distinct => countDistinct(a)
+        case Some(a)                => count(a)
+        case None                   => count(lit(1))
+      }
+      case "sum"    => sum(if (pa.distinct) arg.get else arg.get) // distinct via sum_distinct
+      case "avg"    => avg(arg.get)
+      case "min"    => min(arg.get)
+      case "max"    => max(arg.get)
+      case "sample" => first(arg.get, ignoreNulls = true)
+      // deterministic GROUP_CONCAT: sorted collect_list, then join
+      case "group_concat" =>
+        array_join(sort_array(collect_list(arg.get.cast(StringType))), pa.separator)
+      case other => throw new UnsupportedOperationException(s"aggregate $other")
+    }
+    val c2 = if (pa.distinct && pa.func == "sum") sum_distinct(arg.get) else c
+    c2.as(pa.as.name)
+  }
+
+  /** ASK (Xask, `Xask.py:11-23`): first tuple ⇒ true. `isEmpty` only runs
+    * the plan until one row is produced (LocalLimit 1). */
+  private def compileAsk(q: Query)(implicit spark: SparkSession): DataFrame = {
+    val exists = !compilePattern(q.pattern).df.isEmpty
+    spark.range(1).select(lit(exists).as("ask"))
+  }
+
+  /** CONSTRUCT (Xconstruct, `Xconstruct.py:19-104`): instantiate the
+    * template per solution, emit N-Triples-style term strings as columns
+    * (s, p, o); set semantics via distinct. */
+  private def compileConstruct(q: Query): DataFrame = {
+    val c = compilePattern(q.pattern)
+    def fmt(t: Term, pos: String): Column = t match {
+      case Iri(u) => lit(s"<$u>")
+      case Lit(lex, _, _) => lit("\"" + lex + "\"")
+      case Var(n) =>
+        if (!c.df.columns.contains(n)) lit(null)
+        else if (c.sigs.contains(n) || pos != "o")
+          concat(lit("<"), c.df.col(n).cast(StringType), lit(">"))
+        else concat(lit("\""), c.df.col(n).cast(StringType), lit("\""))
+    }
+    val parts = q.template.map { tp =>
+      c.df.select(fmt(tp.s, "s").as("s"), fmt(tp.p, "p").as("p"), fmt(tp.o, "o").as("o"))
+    }
+    val out = parts.reduce(_.unionByName(_)).distinct()
+    q.limit.fold(out)(n => out.limit(n.toInt))
+  }
+
+  // ---- patterns -------------------------------------------------------------
+
+  def compilePattern(p: Pattern): Compiled = p match {
+    case Pattern.Bgp(ts)      => compileBgp(ts)
+    case Pattern.Join(l, r)   => join2(compilePattern(l), compilePattern(r), "inner")
+    case Pattern.LeftJoin(l, r, _) =>
+      join2(compilePattern(l), compilePattern(r), "left_outer")
+    case Pattern.Union(l, r)  => union2(compilePattern(l), compilePattern(r))
+    case Pattern.Filter(e, p0) =>
+      val c = compilePattern(p0)
+      c.copy(df = c.df.filter(ExprCompiler.predicate(e, c.df)))
+  }
+
+  /** BGP: decompose into stars, then join greedily on shared variables —
+    * the reference's bushy-tree construction (`Tree.py:466-501`) reduced to
+    * picking a cartesian-free linear order; Catalyst/AQE reorder further. */
+  private def compileBgp(ts: List[TriplePattern]): Compiled = {
+    require(ts.nonEmpty, "empty BGP")
+    val stars = Decomposer.decompose(ts, catalog)
+    val compiled = mutable.ListBuffer(stars.map(compileStar): _*)
+    var acc = compiled.remove(0)
+    var accVars = acc.visibleVars.toSet
+    while (compiled.nonEmpty) {
+      val i = compiled.indexWhere(c => c.visibleVars.exists(accVars.contains))
+      val next = compiled.remove(if (i >= 0) i else 0)
+      acc = join2(acc, next, "inner")
+      accVars ++= next.visibleVars
+    }
+    acc
+  }
+
+  /** One star over its candidate molecules; multiple sources union
+    * (the reference's per-source Service UnionBlock, `utility.py:76-98`). */
+  private def compileStar(star: Star): Compiled =
+    star.molecules.map(compileStarMolecule(star, _)).reduce(union2)
+
+  /** Star × molecule → single-table scan with template concat columns,
+    * constant inversions, and not-null guards — what the reference's
+    * star→SQL translator emits (`sparqltosql.py:96-154`), left to Catalyst
+    * for pushdown. */
+  private def compileStarMolecule(star: Star, m: Molecule): Compiled = {
+    val df = load(m.table)
+    val conds = mutable.ListBuffer[Column]()
+    val bindings = mutable.LinkedHashMap[String, Column]()
+    val hidden = mutable.LinkedHashMap[String, Column]()
+    var sigs = Map[String, (String, List[String])]()
+
+    def bindTemplate(v: String, t: Template): Unit =
+      bindings.get(v) match {
+        case Some(existing) => conds += existing === t.build(df.col)
+        case None =>
+          bindings(v) = t.build(df.col)
+          val hnames = t.columns.zipWithIndex.map { case (_, i) => s"__k_${v}_$i" }
+          hnames.lazyZip(t.columns).foreach((h, c) => hidden(h) = df.col(c))
+          sigs += v -> (t.signature, hnames)
+          t.columns.foreach(c => conds += df.col(c).isNotNull)
+      }
+
+    def invertConst(t: Template, value: String): Unit = t.invert(value) match {
+      case Some(kvs) =>
+        kvs.foreach { case (c, lex) => conds += df.col(c).cast(StringType) === lit(lex) }
+      case None => conds += lit(false)
+    }
+
+    star.subject match {
+      case Var(v)  => bindTemplate(v, m.subject)
+      case Iri(u)  => invertConst(m.subject, u)
+      case Lit(lex, _, _) => invertConst(m.subject, lex)
+    }
+
+    star.triples.foreach { tp =>
+      tp.p match {
+        case Iri(Terms.RdfType) => tp.o match {
+          case Iri(cls) => if (cls != m.rdfType) conds += lit(false)
+          case Var(v) =>
+            bindings.get(v) match {
+              case Some(existing) => conds += existing === lit(m.rdfType)
+              case None           => bindings(v) = lit(m.rdfType)
+            }
+          case _ => conds += lit(false)
+        }
+        case Iri(p) => m.predicates.get(p) match {
+          case None => conds += lit(false)
+          case Some(RefMap(c)) => tp.o match {
+            case Var(v) => bindings.get(v) match {
+              case Some(existing) => conds += existing === df.col(c)
+              case None =>
+                bindings(v) = df.col(c)
+                conds += df.col(c).isNotNull
+            }
+            case Lit(lex, dt, _) =>
+              conds += (df.col(c) === typedLit(lex, dt, df.schema(c).dataType))
+            case Iri(u) => conds += df.col(c).cast(StringType) === lit(u)
+          }
+          case Some(TemplateMap(t)) => tp.o match {
+            case Var(v)         => bindTemplate(v, t)
+            case Iri(u)         => invertConst(t, u)
+            case Lit(lex, _, _) => invertConst(t, lex)
+          }
+          case Some(ConstantMap(value)) => tp.o match {
+            case Var(v) => bindings.get(v) match {
+              case Some(existing) => conds += existing === lit(value)
+              case None           => bindings(v) = lit(value)
+            }
+            case Iri(u)         => if (u != value) conds += lit(false)
+            case Lit(lex, _, _) => if (lex != value) conds += lit(false)
+          }
+        }
+        case Var(_) =>
+          throw new UnsupportedOperationException(
+            "variable predicates are not supported yet")
+        case Lit(_, _, _) => conds += lit(false) // literal predicate: no match
+      }
+    }
+
+    val filtered = if (conds.isEmpty) df else df.filter(conds.reduce(_ && _))
+    val out = filtered.select(
+      (bindings.map { case (v, c) => c.as(v) } ++
+        hidden.map { case (h, c) => c.as(h) }).toSeq: _*)
+    Compiled(out, sigs)
+  }
+
+  /** Join on shared variables. Template-built vars with matching signatures
+    * join on hidden raw key columns (int keys, not URI strings); everything
+    * else joins on the visible column. No shared vars ⇒ cross join, as the
+    * reference defers unconnected subplans (`Tree.py:466-501` "others"). */
+  private def join2(l: Compiled, r: Compiled, how: String): Compiled = {
+    val shared = l.visibleVars.toSet intersect r.visibleVars.toSet
+    if (shared.isEmpty) {
+      val rClean = dropCollidingHidden(l, r)
+      val joined =
+        if (how == "inner") l.df.crossJoin(rClean)
+        else l.df.join(rClean, lit(true), "left_outer")
+      Compiled(joined, l.sigs ++ r.sigs)
+    } else {
+      val joinCols = mutable.ListBuffer[String]()
+      val dropRight = mutable.ListBuffer[String]()
+      var sigs = l.sigs
+      shared.toSeq.sorted.foreach { v =>
+        (l.sigs.get(v), r.sigs.get(v)) match {
+          case (Some((sl, hl)), Some((sr, _))) if sl == sr =>
+            joinCols ++= hl        // same hidden names on both sides
+            dropRight += v         // right URI string is redundant
+          case _ =>
+            joinCols += v
+            r.sigs.get(v).foreach { case (_, hr) => dropRight ++= hr }
+            l.sigs.get(v).foreach(_ => sigs -= v) // signature no longer reliable
+        }
+      }
+      // non-shared vars with colliding hidden names cannot exist (hidden
+      // names derive from var names); shared handled above
+      val rClean = r.df.drop(dropRight.toSeq: _*)
+      val joined = l.df.join(rClean, joinCols.toSeq.distinct, how)
+      val rSigs = (r.sigs -- shared).filter { case (_, (_, h)) =>
+        h.forall(joined.columns.contains)
+      }
+      Compiled(joined, sigs ++ rSigs)
+    }
+  }
+
+  private def dropCollidingHidden(l: Compiled, r: Compiled): DataFrame = {
+    val collide = l.df.columns.toSet intersect r.df.columns.filter(_.startsWith("__k_")).toSet
+    if (collide.isEmpty) r.df else r.df.drop(collide.toSeq: _*)
+  }
+
+  /** UNION (Xunion, `Xunion.py:34-131`): bag union with schema alignment;
+    * the reference pads missing vars with '', we use nulls via
+    * allowMissingColumns. Hidden key columns survive only when both branches
+    * agree on the signature. */
+  private def union2(l: Compiled, r: Compiled): Compiled = {
+    val dropL = mutable.ListBuffer[String]()
+    val dropR = mutable.ListBuffer[String]()
+    var sigs = Map[String, (String, List[String])]()
+    val allVars = l.visibleVars.toSet ++ r.visibleVars.toSet
+    allVars.foreach { v =>
+      (l.sigs.get(v), r.sigs.get(v)) match {
+        case (Some((sl, hl)), Some((sr, _))) =>
+          if (sl == sr) sigs += v -> (sl, hl)
+          else { dropL ++= hl; dropR ++= r.sigs(v)._2 }
+        case (Some((sl, hl)), None) =>
+          if (r.visibleVars.contains(v)) dropL ++= hl // right binds it un-keyed
+          else sigs += v -> (sl, hl)                  // right pads nulls
+        case (None, Some((sr, hr))) =>
+          if (l.visibleVars.contains(v)) dropR ++= hr
+          else sigs += v -> (sr, hr)
+        case _ => ()
+      }
+    }
+    val ldf = if (dropL.isEmpty) l.df else l.df.drop(dropL.toSeq: _*)
+    val rdf = if (dropR.isEmpty) r.df else r.df.drop(dropR.toSeq: _*)
+    Compiled(ldf.unionByName(rdf, allowMissingColumns = true), sigs)
+  }
+
+  private def typedLit(lex: String, dt: Option[String], target: DataType): Column =
+    target match {
+      case _: NumericType   => lit(lex.toDouble).cast(target)
+      case BooleanType      => lit(lex == "true")
+      case TimestampType    => to_timestamp(lit(lex.replace("T", " ")))
+      case DateType         => to_date(lit(lex))
+      case _                => lit(lex)
+    }
+}

@@ -1,0 +1,170 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.algebra._
+
+/** SPARQL FILTER/expression → Catalyst `Column`.
+  *
+  * Replaces the reference's tuple-at-a-time interpreter
+  * (`/root/reference/ontario/operators/nonblocking/Xfilter.py:64-243`) with
+  * codegen'd built-in column functions — no UDFs. SPARQL's error→false
+  * semantics in FILTER maps onto SQL three-valued logic: a type error or
+  * unbound variable becomes `null`, and `DataFrame.filter` drops nulls,
+  * matching `evaluateEBV` (Xfilter.py:203-243) for the supported surface.
+  */
+object ExprCompiler {
+
+  def compile(e: Expr, df: DataFrame): Column = e match {
+    case Expr.TermRef(t)      => term(t, df)
+    case Expr.Cmp(op, l, r)   => cmp(op, compile(l, df), compile(r, df))
+    case Expr.Arith(op, l, r) => arith(op, compile(l, df), compile(r, df))
+    case Expr.And(l, r)       => ebv(l, df) && ebv(r, df)
+    case Expr.Or(l, r)        => ebv(l, df) || ebv(r, df)
+    case Expr.Not(x)          => !ebv(x, df)
+    case Expr.Call(fn, args)  => call(fn, args, df)
+  }
+
+  /** Top-level FILTER: effective boolean value. */
+  def predicate(e: Expr, df: DataFrame): Column = ebv(e, df)
+
+  private def ebv(e: Expr, df: DataFrame): Column = e match {
+    case Expr.TermRef(Var(n)) =>
+      colType(df, n) match {
+        case Some(BooleanType)                  => df.col(n)
+        case Some(_: NumericType)               => df.col(n) =!= lit(0)
+        case Some(StringType)                   => length(df.col(n)) > 0
+        case Some(_)                            => df.col(n).isNotNull
+        case None                               => lit(null).cast(BooleanType)
+      }
+    case _ => compile(e, df).cast(BooleanType)
+  }
+
+  private def term(t: Term, df: DataFrame): Column = t match {
+    case Var(n) =>
+      if (df.columns.contains(n)) df.col(n)
+      else lit(null) // unbound var in FILTER ⇒ error ⇒ null ⇒ false
+    case Iri(u) => lit(u)
+    case Lit(lex, dt, _) => dt match {
+      case Some(Terms.XsdInt)      => lit(lex.toLong)
+      case Some(Terms.XsdDecimal)  => lit(lex.toDouble)
+      case Some(Terms.XsdDouble)   => lit(lex.toDouble)
+      case Some(Terms.XsdBoolean)  => lit(lex == "true")
+      case Some(Terms.XsdDateTime) => to_timestamp(lit(lex.replace("T", " ")))
+      case _                       => lit(lex)
+    }
+  }
+
+  private def cmp(op: String, l: Column, r: Column): Column = op match {
+    case "="  => l === r
+    case "!=" => l =!= r
+    case "<"  => l < r
+    case ">"  => l > r
+    case "<=" => l <= r
+    case ">=" => l >= r
+  }
+
+  private def arith(op: String, l: Column, r: Column): Column = op match {
+    case "+" => l + r
+    case "-" => l - r
+    case "*" => l * r
+    case "/" => l / r
+  }
+
+  /** IRI heuristic: scheme prefix (we control the mapped vocab — urn:/http). */
+  private val iriRegex = "^[A-Za-z][A-Za-z0-9+.-]*:.*"
+
+  private def call(fn: String, args: List[Expr], df: DataFrame): Column = {
+    def a(i: Int): Column = compile(args(i), df)
+    fn match {
+      case "bound"      => a(0).isNotNull
+      case "str"        => a(0).cast(StringType)
+      case "regex" =>
+        val pat = args(1) match {
+          case Expr.TermRef(Lit(p, _, _)) =>
+            val flags = args.lift(2).collect { case Expr.TermRef(Lit(f, _, _)) => f }
+            if (flags.exists(_.contains("i"))) s"(?i)$p" else p
+          case _ => throw new UnsupportedOperationException("dynamic regex pattern")
+        }
+        a(0).cast(StringType).rlike(pat)
+      case "contains"   => a(0).contains(a(1))
+      case "strstarts"  => a(0).startsWith(a(1))
+      case "strends"    => a(0).endsWith(a(1))
+      case "strlen"     => length(a(0).cast(StringType))
+      case "ucase"      => upper(a(0))
+      case "lcase"      => lower(a(0))
+      case "concat"     => concat(args.map(x => compile(x, df).cast(StringType)): _*)
+      case "substr" =>
+        if (args.size >= 3) a(0).substr(a(1), a(2))
+        else a(0).substr(a(1), lit(Int.MaxValue))
+      case "replace"    => regexp_replace(a(0), args(1) match {
+          case Expr.TermRef(Lit(p, _, _)) => p
+          case _ => throw new UnsupportedOperationException("dynamic replace pattern")
+        }, args(2) match {
+          case Expr.TermRef(Lit(rr, _, _)) => rr
+          case _ => throw new UnsupportedOperationException("dynamic replacement")
+        })
+      case "abs"        => abs(a(0))
+      case "round"      => round(a(0))
+      case "ceil"       => ceil(a(0))
+      case "floor"      => floor(a(0))
+      case "year"       => year(a(0))
+      case "month"      => month(a(0))
+      case "day"        => dayofmonth(a(0))
+      case "isiri" | "isuri" => a(0).cast(StringType).rlike(iriRegex)
+      case "isblank"    => a(0).cast(StringType).startsWith("_:")
+      case "isliteral"  => !a(0).cast(StringType).rlike(iriRegex)
+      case "isnumeric" =>
+        args.head match {
+          case Expr.TermRef(Var(n)) => colType(df, n) match {
+            case Some(_: NumericType) => lit(true)
+            case Some(StringType)     => a(0).cast(DoubleType).isNotNull
+            case _                    => lit(false)
+          }
+          case _ => a(0).cast(DoubleType).isNotNull
+        }
+      case "sameterm"   => a(0) === a(1)
+      // no lang metadata survives mapping tabular sources (reference keeps
+      // xml:lang only for SPARQL-endpoint wrappers)
+      case "lang"       => lit("")
+      case "langmatches" =>
+        args(1) match {
+          case Expr.TermRef(Lit("*", _, _)) => a(0) =!= lit("")
+          case _                            => lower(a(0)) === lower(a(1))
+        }
+      case "datatype" =>
+        args.head match {
+          case Expr.TermRef(Var(n)) =>
+            lit(colType(df, n).map(xsdOf).getOrElse(Terms.XsdString))
+          case Expr.TermRef(Lit(_, dt, _)) => lit(dt.getOrElse(Terms.XsdString))
+          case _ => lit(Terms.XsdString)
+        }
+      case "coalesce"   => coalesce(args.map(compile(_, df)): _*)
+      case "if"         => when(ebv(args(0), df), a(1)).otherwise(a(2))
+      // xsd:* constructor casts (ontario/sparql/__init__.py:8-60 binaryFunctor)
+      case c if c.startsWith("http://www.w3.org/2001/XMLSchema#") =>
+        c.stripPrefix("http://www.w3.org/2001/XMLSchema#") match {
+          case "integer" | "int" | "long" => a(0).cast(LongType)
+          case "decimal" | "double" | "float" => a(0).cast(DoubleType)
+          case "boolean"  => a(0).cast(BooleanType)
+          case "dateTime" => a(0).cast(TimestampType)
+          case "string"   => a(0).cast(StringType)
+          case other => throw new UnsupportedOperationException(s"xsd cast $other")
+        }
+      case other => throw new UnsupportedOperationException(s"builtin $other")
+    }
+  }
+
+  private def colType(df: DataFrame, name: String): Option[DataType] =
+    df.schema.fields.find(_.name == name).map(_.dataType)
+
+  private def xsdOf(dt: DataType): String = dt match {
+    case _: IntegerType | _: LongType | _: ShortType => Terms.XsdInt
+    case _: DoubleType | _: FloatType   => Terms.XsdDouble
+    case _: DecimalType                 => Terms.XsdDecimal
+    case _: BooleanType                 => Terms.XsdBoolean
+    case _: TimestampType | _: DateType => Terms.XsdDateTime
+    case _                              => Terms.XsdString
+  }
+}

@@ -1,0 +1,109 @@
+package graft.mapping
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** RML-equivalent mapping model (cf. `/root/reference/ontario/model/
+  * rml_model.py:8-134`): a molecule maps one backing table to one RDF class,
+  * with a subject URI template and per-predicate term maps. Instead of the
+  * reference's runtime string re-assembly (`sparql2spark.py:203-221`), term
+  * maps compile straight to Catalyst `Column` expressions.
+  */
+
+/** URI template `"urn:g:cust:{c_custkey}"` → alternating literal/column
+  * parts. Handles multi-column templates (`{a}_{b}`, cf. the reference's
+  * list-column case `sparqltosql.py:247-258`). */
+final case class Template(parts: List[Either[String, String]]) {
+  val columns: List[String] = parts.collect { case Right(c) => c }
+
+  /** Column expression building the URI string (codegen'd concat). */
+  def build(resolve: String => Column): Column = {
+    val cols = parts.map {
+      case Left(litPart) => lit(litPart)
+      case Right(c)      => resolve(c).cast("string")
+    }
+    if (cols.size == 1) cols.head else concat(cols: _*)
+  }
+
+  /** Invert a constant URI against this template → per-column lexical values
+    * (the reference's constant-subject rewrite, `sparqltosql.py:288-348`).
+    * Greedy left-to-right match on the literal separators; None if the
+    * constant does not fit the template. */
+  def invert(value: String): Option[List[(String, String)]] = {
+    def loop(rest: String, ps: List[Either[String, String]],
+             acc: List[(String, String)]): Option[List[(String, String)]] =
+      ps match {
+        case Nil => if (rest.isEmpty) Some(acc.reverse) else None
+        case Left(l) :: t =>
+          if (rest.startsWith(l)) loop(rest.substring(l.length), t, acc) else None
+        case Right(c) :: Left(sep) :: t =>
+          val i = rest.indexOf(sep)
+          if (i < 0) None
+          else loop(rest.substring(i + sep.length), t, (c, rest.substring(0, i)) :: acc)
+        case Right(c) :: Nil => Some(((c, rest) :: acc).reverse)
+        case Right(_) :: Right(_) :: _ =>
+          // ambiguous adjacent columns — unsupported (reference punts too)
+          None
+      }
+    loop(value, parts, Nil)
+  }
+
+  /** Canonical signature: two vars built from the same template shape can be
+    * joined on the underlying key columns instead of the concat string. */
+  def signature: String = parts.map {
+    case Left(l)  => s"L($l)"
+    case Right(_) => "C"
+  }.mkString("|")
+}
+
+object Template {
+  /** Parse `"urn:g:cust:{c_custkey}"`. */
+  def apply(tmpl: String): Template = {
+    val re = """\{([^}]+)\}""".r
+    val parts = scala.collection.mutable.ListBuffer[Either[String, String]]()
+    var last = 0
+    re.findAllMatchIn(tmpl).foreach { m =>
+      if (m.start > last) parts += Left(tmpl.substring(last, m.start))
+      parts += Right(m.group(1))
+      last = m.end
+    }
+    if (last < tmpl.length) parts += Left(tmpl.substring(last))
+    Template(parts.toList)
+  }
+}
+
+/** Predicate object term map (rml_model.py:66-71 TripleMapType). */
+sealed trait TermMap
+/** Raw column, keeps the native Spark type (rml:reference). */
+final case class RefMap(column: String) extends TermMap
+/** URI template over one or more columns (rr:template). */
+final case class TemplateMap(template: Template) extends TermMap
+/** Constant IRI (rr:constant). */
+final case class ConstantMap(value: String) extends TermMap
+
+/** One molecule = rdf:type class + backing table + subject template +
+  * predicate maps (the RDF-MT of `rdfmt_model.py:66-98` fused with its
+  * single triple map for the local-lake case). `source` simulates the
+  * federation membership used for source selection. */
+final case class Molecule(
+    rdfType: String,
+    table: String,
+    subject: Template,
+    predicates: Map[String, TermMap],
+    source: String = "default")
+
+/** RDF-MT catalog with the predicate inverted index of
+  * `/root/reference/ontario/config/__init__.py:63-114`. */
+final case class Catalog(molecules: List[Molecule]) {
+  val byType: Map[String, List[Molecule]] = molecules.groupBy(_.rdfType)
+
+  val predIndex: Map[String, List[Molecule]] =
+    molecules.flatMap(m => m.predicates.keys.map(_ -> m))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+
+  /** Molecules whose predicate set covers all given predicates
+    * (`find_rdfmt_by_preds` semantics — intersection of posting lists). */
+  def findByPreds(preds: Set[String]): List[Molecule] =
+    if (preds.isEmpty) molecules
+    else molecules.filter(m => preds.subsetOf(m.predicates.keySet))
+}

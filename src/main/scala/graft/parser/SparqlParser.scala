@@ -1,0 +1,250 @@
+package graft.parser
+
+import scala.util.parsing.combinator.RegexParsers
+import graft.algebra._
+
+/** Recursive-descent SPARQL parser (subset + SPARQL 1.1 aggregate extension).
+  *
+  * Covers the reference grammar's surface (PLY lex/yacc at
+  * `/root/reference/ontario/sparql/parser/queryParser.py:96-213`):
+  * SELECT/ASK/CONSTRUCT, DISTINCT, prefixed names, `a`, predicate-object
+  * lists (`;` / `,`), UNION, OPTIONAL, FILTER with the builtin set of
+  * `queryParser.py:10-43`, typed/lang literals, ORDER BY, LIMIT, OFFSET —
+  * plus GROUP BY / HAVING / aggregates, which the reference parses no
+  * grammar for (SURVEY.md §2.7).
+  *
+  * One instance per parse (the prefix map is populated while parsing the
+  * prologue).
+  */
+class SparqlParser extends RegexParsers {
+  override val whiteSpace = """(\s|#[^\n]*)+""".r
+
+  private var prefixes = Map[String, String](
+    "rdf" -> "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs" -> "http://www.w3.org/2000/01/rdf-schema#",
+    "xsd" -> "http://www.w3.org/2001/XMLSchema#")
+
+  private def kw(s: String): Parser[String] =
+    ("""(?i)""" + java.util.regex.Pattern.quote(s) + """\b""").r ^^ (_ => s.toUpperCase)
+
+  // ---- terms -------------------------------------------------------------
+  def iriRef: Parser[String] = "<" ~> """[^<>\s{}|^`\\]*""".r <~ ">"
+  def pnameNs: Parser[String] = """[A-Za-z][A-Za-z0-9_-]*""".r
+  def pname: Parser[String] =
+    """[A-Za-z][A-Za-z0-9_-]*:[A-Za-z0-9_.\-]*""".r ^? (Function.unlift { s =>
+      val i = s.indexOf(':')
+      prefixes.get(s.substring(0, i)).map(_ + s.substring(i + 1))
+    }, s => s"unknown prefix in '$s'")
+  def iri: Parser[Iri] = (iriRef | pname) ^^ Iri.apply
+
+  def variable: Parser[Var] = """[?$]([A-Za-z_][A-Za-z0-9_]*)""".r ^^ (s => Var(s.tail))
+
+  private def unescape(s: String): String =
+    s.replace("\\\\", "\u0000").replace("\\\"", "\"").replace("\\'", "'")
+      .replace("\\n", "\n").replace("\\t", "\t").replace("\\r", "\r")
+      .replace("\u0000", "\\")
+
+  def stringLit: Parser[String] =
+    ("\"" + """([^"\\]|\\.)*""" + "\"").r ^^ (s => unescape(s.substring(1, s.length - 1))) |
+    ("'" + """([^'\\]|\\.)*""" + "'").r ^^ (s => unescape(s.substring(1, s.length - 1)))
+
+  def rdfLiteral: Parser[Lit] =
+    stringLit ~ opt("^^" ~> iri | "@" ~> """[A-Za-z]+(-[A-Za-z0-9]+)*""".r) ^^ {
+      case s ~ Some(Iri(dt))    => Lit(s, datatype = Some(dt))
+      case s ~ Some(lang: String) => Lit(s, lang = Some(lang))
+      case s ~ _                => Lit(s)
+    }
+
+  def numericLit: Parser[Lit] =
+    """[+-]?(\d+\.\d*([eE][+-]?\d+)?|\.\d+([eE][+-]?\d+)?|\d+[eE][+-]?\d+)""".r ^^ (
+      s => Lit(s, Some(if (s.exists(c => c == 'e' || c == 'E')) Terms.XsdDouble
+                       else Terms.XsdDecimal))) |
+    """[+-]?\d+""".r ^^ (s => Lit(s, Some(Terms.XsdInt)))
+
+  def booleanLit: Parser[Lit] =
+    (kw("true") | kw("false")) ^^ (s => Lit(s.toLowerCase, Some(Terms.XsdBoolean)))
+
+  def literal: Parser[Lit] = numericLit | booleanLit | rdfLiteral
+
+  def graphTerm: Parser[Term] = variable | iri | literal
+
+  // ---- triples -----------------------------------------------------------
+  def verb: Parser[Term] = "a" ^^ (_ => Iri(Terms.RdfType)) | variable | iri
+
+  def triplesSameSubject: Parser[List[TriplePattern]] =
+    graphTerm ~ propertyList ^^ { case s ~ pos =>
+      pos.map { case (p, o) => TriplePattern(s, p, o) }
+    }
+
+  def propertyList: Parser[List[(Term, Term)]] =
+    rep1sep(verb ~ rep1sep(graphTerm, ","), ";") ^^ (
+      _.flatMap { case v ~ os => os.map(o => (v, o)) })
+
+  def triplesBlock: Parser[Pattern.Bgp] =
+    rep1sep(triplesSameSubject, ".") <~ opt(".") ^^ (ts => Pattern.Bgp(ts.flatten))
+
+  // ---- group graph pattern ------------------------------------------------
+  private sealed trait GgpItem
+  private case class TriplesItem(bgp: Pattern.Bgp) extends GgpItem
+  private case class OptionalItem(p: Pattern) extends GgpItem
+  private case class GroupItem(p: Pattern) extends GgpItem
+  private case class FilterItem(e: Expr) extends GgpItem
+
+  def groupGraphPattern: Parser[Pattern] = "{" ~> rep(ggpItem) <~ "}" ^^ combine
+
+  private def ggpItem: Parser[GgpItem] =
+    kw("OPTIONAL") ~> groupGraphPattern ^^ OptionalItem.apply |
+    kw("FILTER") ~> constraint ^^ FilterItem.apply |
+    unionGroup ^^ GroupItem.apply |
+    triplesBlock <~ opt(".") ^^ TriplesItem.apply
+
+  private def unionGroup: Parser[Pattern] =
+    rep1sep(groupGraphPattern, kw("UNION")) ^^ (_.reduceLeft(Pattern.Union.apply))
+
+  /** Sequential combination like the reference's JoinBlock: triples merge
+    * into one BGP, OPTIONAL left-joins onto what precedes it, FILTERs apply
+    * to the whole group (SPARQL semantics). */
+  private def combine(items: List[GgpItem]): Pattern = {
+    var acc: Option[Pattern] = None
+    var filters = List.empty[Expr]
+    items.foreach {
+      case TriplesItem(bgp) =>
+        acc = Some(acc match {
+          case Some(Pattern.Bgp(ts)) => Pattern.Bgp(ts ++ bgp.triples)
+          case Some(p)               => Pattern.Join(p, bgp)
+          case None                  => bgp
+        })
+      case GroupItem(p) =>
+        acc = Some(acc.fold(p)(l => Pattern.Join(l, p)))
+      case OptionalItem(p) =>
+        acc = Some(Pattern.LeftJoin(acc.getOrElse(Pattern.Bgp(Nil)), p, None))
+      case FilterItem(e) => filters ::= e
+    }
+    val base = acc.getOrElse(Pattern.Bgp(Nil))
+    filters.foldLeft(base)((p, f) => Pattern.Filter(f, p))
+  }
+
+  // ---- expressions ---------------------------------------------------------
+  def constraint: Parser[Expr] = "(" ~> expression <~ ")" | builtinCall
+
+  def expression: Parser[Expr] = orExpr
+
+  def orExpr: Parser[Expr] = rep1sep(andExpr, "||") ^^ (_.reduceLeft(Expr.Or.apply))
+  def andExpr: Parser[Expr] = rep1sep(notExpr, "&&") ^^ (_.reduceLeft(Expr.And.apply))
+  def notExpr: Parser[Expr] =
+    "!" ~> notExpr ^^ Expr.Not.apply | relExpr
+
+  def relExpr: Parser[Expr] =
+    addExpr ~ opt(("<=" | ">=" | "!=" | "=" | "<" | ">") ~ addExpr) ^^ {
+      case l ~ Some(op ~ r) => Expr.Cmp(op, l, r)
+      case l ~ None         => l
+    }
+
+  def addExpr: Parser[Expr] =
+    mulExpr ~ rep(("+" | "-") ~ mulExpr) ^^ { case h ~ t =>
+      t.foldLeft(h) { case (l, op ~ r) => Expr.Arith(op, l, r) }
+    }
+  def mulExpr: Parser[Expr] =
+    unaryExpr ~ rep(("*" | "/") ~ unaryExpr) ^^ { case h ~ t =>
+      t.foldLeft(h) { case (l, op ~ r) => Expr.Arith(op, l, r) }
+    }
+  def unaryExpr: Parser[Expr] =
+    "-" ~> primaryExpr ^^ (e => Expr.Arith("*", Expr.TermRef(Lit("-1", Some(Terms.XsdInt))), e)) |
+    "+" ~> primaryExpr | primaryExpr
+
+  private val builtinNames = List(
+    "BOUND", "REGEX", "ISIRI", "ISURI", "ISBLANK", "ISLITERAL", "ISNUMERIC",
+    "LANGMATCHES", "SAMETERM", "STRSTARTS", "STRENDS", "CONTAINS", "STRLEN",
+    "UCASE", "LCASE", "CONCAT", "SUBSTR", "REPLACE", "ABS", "ROUND", "CEIL",
+    "FLOOR", "YEAR", "MONTH", "DAY", "STR", "LANG", "DATATYPE", "COALESCE",
+    "IF")
+
+  def builtinCall: Parser[Expr] =
+    builtinNames.map(n => kw(n) ~ ("(" ~> repsep(expression, ",") <~ ")") ^^ {
+      case name ~ args => Expr.Call(name.toLowerCase, args): Expr
+    }).reduceLeft(_ | _) |
+    // xsd casts: xsd:integer(?x) etc.
+    (pname <~ "(") ~ repsep(expression, ",") <~ ")" ^^ {
+      case fn ~ args => Expr.Call(fn, args)
+    }
+
+  def primaryExpr: Parser[Expr] =
+    "(" ~> expression <~ ")" |
+    builtinCall |
+    (variable | literal) ^^ (t => Expr.TermRef(t): Expr) |
+    iri ^^ (t => Expr.TermRef(t): Expr)
+
+  // ---- query forms ---------------------------------------------------------
+  def prologue: Parser[Unit] =
+    rep(kw("PREFIX") ~> (pnameNs <~ ":") ~ iriRef ^^ { case ns ~ i =>
+      prefixes += ns -> i
+    }) ^^ (_ => ())
+
+  def aggFunc: Parser[String] =
+    (kw("COUNT") | kw("SUM") | kw("AVG") | kw("MIN") | kw("MAX") |
+      kw("SAMPLE") | kw("GROUP_CONCAT")) ^^ (_.toLowerCase)
+
+  def aggregate: Parser[Var => ProjAgg] =
+    aggFunc ~ ("(" ~> opt(kw("DISTINCT"))) ~ ("*" ^^ (_ => None) | expression ^^ (Some(_))) ~
+      (opt(";" ~> kw("SEPARATOR") ~> "=" ~> stringLit) <~ ")") ^^ {
+      case f ~ d ~ arg ~ sep =>
+        (v: Var) => ProjAgg(f, arg, d.isDefined, v, sep.getOrElse(" "))
+    }
+
+  def projItem: Parser[ProjItem] =
+    variable ^^ (ProjVar(_): ProjItem) |
+    "(" ~> aggregate ~ (kw("AS") ~> variable) <~ ")" ^^ { case mk ~ v => mk(v): ProjItem } |
+    "(" ~> expression ~ (kw("AS") ~> variable) <~ ")" ^^ { case e ~ v => ProjExpr(e, v): ProjItem }
+
+  def selectQuery: Parser[Query] =
+    kw("SELECT") ~> opt(kw("DISTINCT") | kw("REDUCED")) ~
+      ("*" ^^ (_ => Nil) | rep1(projItem)) ~
+      (opt(kw("WHERE")) ~> groupGraphPattern) ~
+      opt(kw("GROUP") ~> kw("BY") ~> rep1(variable)) ~
+      opt(kw("HAVING") ~> constraint) ~
+      opt(orderClause) ~ modifiers ^^ {
+      case d ~ proj ~ pat ~ gb ~ hav ~ ord ~ ((lim, off)) =>
+        Query(SelectForm, proj, d.contains("DISTINCT"), pat,
+          groupBy = gb.getOrElse(Nil), having = hav,
+          orderBy = ord.getOrElse(Nil), limit = lim, offset = off)
+    }
+
+  def askQuery: Parser[Query] =
+    kw("ASK") ~> groupGraphPattern ^^ (p => Query(AskForm, Nil, distinct = false, p))
+
+  def constructQuery: Parser[Query] =
+    kw("CONSTRUCT") ~> ("{" ~> rep1sep(triplesSameSubject, ".") <~ opt(".") <~ "}") ~
+      (kw("WHERE") ~> groupGraphPattern) ~ modifiers ^^ {
+      case tmpl ~ pat ~ ((lim, off)) =>
+        Query(ConstructForm, Nil, distinct = false, pat, template = tmpl.flatten,
+          limit = lim, offset = off)
+    }
+
+  def orderClause: Parser[List[OrderKey]] =
+    kw("ORDER") ~> kw("BY") ~> rep1(
+      kw("ASC") ~> "(" ~> expression <~ ")" ^^ (OrderKey(_, asc = true)) |
+      kw("DESC") ~> "(" ~> expression <~ ")" ^^ (OrderKey(_, asc = false)) |
+      variable ^^ (v => OrderKey(Expr.TermRef(v), asc = true)))
+
+  def modifiers: Parser[(Option[Long], Option[Long])] =
+    opt(kw("LIMIT") ~> """\d+""".r) ~ opt(kw("OFFSET") ~> """\d+""".r) ^^ {
+      case l ~ o => (l.map(_.toLong), o.map(_.toLong))
+    } // LIMIT-before-OFFSET order, as the reference grammar fixes it
+
+  def query: Parser[Query] =
+    prologue ~> (selectQuery | askQuery | constructQuery)
+}
+
+object SparqlParser {
+  def parse(text: String): Either[String, Query] = {
+    val p = new SparqlParser
+    p.parseAll(p.query, text) match {
+      case p.Success(q, _) => Right(q)
+      case f: p.NoSuccess  => Left(s"${f.msg} at ${f.next.pos}")
+    }
+  }
+
+  /** Parse or throw — for internal fixtures known to be valid. */
+  def parseUnsafe(text: String): Query =
+    parse(text).fold(e => throw new IllegalArgumentException(s"SPARQL parse error: $e"), identity)
+}
