@@ -1,13 +1,424 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.api.{Graft, TpchCatalog}
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 plus the LLM-data-pipeline extension surface; `oracleSql`
+  * carries the DuckDB-equivalent ANSI SQL for every SQL-expressible entry.
+  *
+  * Conventions keeping the hash compare deterministic across engines:
+  *  - every query ends in a total ORDER BY (unique key in the order);
+  *  - ASC keys with possible nulls: NULLS FIRST on both sides;
+  *  - money aggregates: exact DECIMAL(18,2) arithmetic, cast to DOUBLE at
+  *    the end (identical bits on both engines); double SUMs only over
+  *    integral-valued columns (l_quantity);
+  *  - aggregate/computed columns aliased to the same name on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
+    * default — read it as nano-precision long (legacy conf) and convert
+    * where needed. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+  }
+
+  private def graft(s: SparkSession, dir: String): Graft =
+    Graft.overParquetDir(TpchCatalog.catalog, dir)(s)
+
+  /** exact decimal money expr: extendedprice * (1 - discount). */
+  private def discPrice: Column =
+    col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+
+  /** Flagship query on sf=0.001 through the full SPARQL stack. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    graft(spark, "/root/testdata/sf0.001").sparql(SPARQL_JOIN_CHAIN)
+
+  // ---- SPARQL fixture texts (LSLOD query shapes, FIXTURES.md §3) ---------
+
+  private val SPARQL_SCAN_FILTER =
+    """PREFIX g: <urn:g:>
+      |SELECT ?c ?name ?bal WHERE {
+      |  ?c a g:Customer ; g:name ?name ; g:acctbal ?bal .
+      |  FILTER (?bal > 5000)
+      |} ORDER BY ?c""".stripMargin
+
+  private val SPARQL_STAR_CONST =
+    """PREFIX g: <urn:g:>
+      |SELECT ?c ?name ?bal WHERE {
+      |  ?c a g:Customer ; g:name ?name ; g:acctbal ?bal ; g:mktsegment "BUILDING" .
+      |} ORDER BY ?c""".stripMargin
+
+  private val SPARQL_UNION =
+    """PREFIX g: <urn:g:>
+      |SELECT ?ent ?n WHERE {
+      |  { ?ent a g:Customer ; g:name ?n } UNION { ?ent a g:Supplier ; g:name ?n }
+      |} ORDER BY ?ent""".stripMargin
+
+  private val SPARQL_JOIN_CHAIN =
+    """PREFIX g: <urn:g:>
+      |SELECT ?l ?cname ?qty WHERE {
+      |  ?c a g:Customer ; g:name ?cname ; g:mktsegment "BUILDING" .
+      |  ?o g:customer ?c .
+      |  ?l g:order ?o ; g:quantity ?qty .
+      |} ORDER BY ?l""".stripMargin
+
+  private val SPARQL_OPTIONAL =
+    """PREFIX g: <urn:g:>
+      |SELECT ?c ?o ?tp WHERE {
+      |  ?c a g:Customer ; g:mktsegment "MACHINERY" .
+      |  OPTIONAL { ?o g:customer ?c ; g:totalprice ?tp . FILTER (?tp > 200000) }
+      |} ORDER BY ?c ?o""".stripMargin
+
+  private val SPARQL_DISTINCT_MOD =
+    """PREFIX g: <urn:g:>
+      |SELECT DISTINCT ?seg WHERE { ?c g:mktsegment ?seg }
+      |ORDER BY ?seg LIMIT 3 OFFSET 1""".stripMargin
+
+  private val SPARQL_THETA_STR =
+    """PREFIX g: <urn:g:>
+      |SELECT ?c ?s WHERE {
+      |  ?c a g:Customer ; g:nation ?n1 .
+      |  ?s a g:Supplier ; g:nation ?n2 .
+      |  FILTER (STR(?n1) = STR(?n2))
+      |} ORDER BY ?c ?s""".stripMargin
+
+  private val SPARQL_ASK =
+    """PREFIX g: <urn:g:> ASK { ?c g:mktsegment "BUILDING" }"""
+
+  private val SPARQL_CONSTRUCT =
+    """PREFIX g: <urn:g:>
+      |CONSTRUCT { ?c g:label ?name } WHERE { ?c a g:Customer ; g:name ?name }""".stripMargin
+
+  private val SPARQL_TOPK =
+    """PREFIX g: <urn:g:>
+      |SELECT ?ent ?bal WHERE { ?ent g:acctbal ?bal ; g:name ?n }
+      |ORDER BY DESC(?bal) ?ent LIMIT 20""".stripMargin
+
+  private val SPARQL_AGG_GROUP =
+    """PREFIX g: <urn:g:>
+      |SELECT ?flag ?status (SUM(?qty) AS ?sum_qty) (COUNT(*) AS ?cnt) WHERE {
+      |  ?l a g:Lineitem ; g:returnflag ?flag ; g:linestatus ?status ; g:quantity ?qty .
+      |} GROUP BY ?flag ?status ORDER BY ?flag ?status""".stripMargin
+
+  private val SPARQL_BUILTINS =
+    """PREFIX g: <urn:g:>
+      |SELECT ?p ?pname WHERE {
+      |  ?p a g:Part ; g:name ?pname .
+      |  FILTER (CONTAINS(UCASE(?pname), "RED") && STRLEN(?pname) > 5)
+      |} ORDER BY ?p""".stripMargin
+
+  private val SPARQL_REGEX =
+    """PREFIX g: <urn:g:>
+      |SELECT ?p ?ptype WHERE {
+      |  ?p a g:Part ; g:type ?ptype . FILTER (REGEX(?ptype, "^eco", "i"))
+      |} ORDER BY ?p""".stripMargin
+
+  private val SPARQL_REGION_CHAIN =
+    """PREFIX g: <urn:g:>
+      |SELECT ?s ?sname ?nname WHERE {
+      |  ?s a g:Supplier ; g:name ?sname ; g:nation ?n .
+      |  ?n a g:Nation ; g:name ?nname ; g:region ?r .
+      |  ?r a g:Region ; g:name "ASIA" .
+      |} ORDER BY ?s""".stripMargin
+
+  // ---- query registry -----------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // reference-surface operators through the SPARQL engine
+    "sparql_scan_filter" -> ((s, d) => graft(s, d).sparql(SPARQL_SCAN_FILTER)),
+    "sparql_star_const" -> ((s, d) => graft(s, d).sparql(SPARQL_STAR_CONST)),
+    "sparql_union" -> ((s, d) => graft(s, d).sparql(SPARQL_UNION)),
+    "sparql_join_chain" -> ((s, d) => graft(s, d).sparql(SPARQL_JOIN_CHAIN)),
+    "sparql_optional" -> ((s, d) => graft(s, d).sparql(SPARQL_OPTIONAL)),
+    "sparql_distinct_mod" -> ((s, d) => graft(s, d).sparql(SPARQL_DISTINCT_MOD)),
+    "sparql_theta_str" -> ((s, d) => graft(s, d).sparql(SPARQL_THETA_STR)),
+    "sparql_ask" -> ((s, d) => graft(s, d).sparql(SPARQL_ASK)),
+    "sparql_construct" -> ((s, d) => graft(s, d).sparql(SPARQL_CONSTRUCT).orderBy("s")),
+    "sparql_topk" -> ((s, d) => graft(s, d).sparql(SPARQL_TOPK)),
+    "sparql_agg_group" -> ((s, d) => graft(s, d).sparql(SPARQL_AGG_GROUP)),
+    "sparql_builtins" -> ((s, d) => graft(s, d).sparql(SPARQL_BUILTINS)),
+    "sparql_regex" -> ((s, d) => graft(s, d).sparql(SPARQL_REGEX)),
+    "sparql_region_chain" -> ((s, d) => graft(s, d).sparql(SPARQL_REGION_CHAIN)),
+
+    // SPARQL 1.1 / analytic extension surface (direct DataFrame API)
+    "q1_agg" -> ((s, d) =>
+      T(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base"),
+          sum(discPrice).cast("double").as("sum_disc"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")),
+    "q3_topk" -> ((s, d) =>
+      T(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(T(s, d, "orders"), col("o_custkey") === col("c_custkey"))
+        .join(T(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(sum(discPrice).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc_nulls_last, col("o_orderkey"))
+        .limit(10)),
+    "q5_region_rev" -> ((s, d) =>
+      T(s, d, "lineitem")
+        .join(broadcast(T(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(T(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(T(s, d, "region")).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum(discPrice).cast("double").as("revenue"))
+        .orderBy("n_name")),
+    "q_window_rank" -> ((s, d) =>
+      T(s, d, "orders")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("o_custkey")
+            .orderBy(col("o_totalprice").desc, col("o_orderkey"))).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")),
+    "q_window_running" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      events(s, d)
+        .withColumn("seq", row_number().over(w).cast("long"))
+        .withColumn("cum_purchases",
+          count(when(col("event_type") === "purchase", 1)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("user_id", "event_id", "seq", "cum_purchases")
+        .orderBy("user_id", "event_id")
+    }),
+    "q_semi_exists" -> ((s, d) =>
+      T(s, d, "customer")
+        .join(T(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")),
+    "q_anti_not_exists" -> ((s, d) =>
+      T(s, d, "customer")
+        .join(T(s, d, "orders").filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")),
+    "q_intersect" -> ((s, d) =>
+      T(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersect(T(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")),
+    "q_except" -> ((s, d) =>
+      T(s, d, "customer").select(col("c_custkey").as("k"))
+        .except(T(s, d, "orders").filter(col("o_totalprice") > 400000)
+          .select(col("o_custkey").as("k")))
+        .orderBy("k")),
+    "q_rollup" -> ((s, d) =>
+      T(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+    "q_events_hourly" -> ((s, d) =>
+      events(s, d)
+        .groupBy(date_trunc("hour",
+          timestamp_micros(expr("ts div 1000"))).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), countDistinct(col("user_id")).as("users"))
+        .orderBy("hour", "event_type")),
+
+    // LLM-data-pipeline operators (dedup / similarity / text / multimodal)
+    "doc_dedup_exact" -> ((s, d) =>
+      Dedup.exactGroups(T(s, d, "documents")).orderBy("text_hash")),
+    "doc_near_dup_minhash" -> ((s, d) =>
+      Dedup.verifiedNearDups(T(s, d, "documents"), threshold = 0.7)
+        .select("a", "b").orderBy("a", "b")),
+    "doc_near_dup_simhash" -> ((s, d) =>
+      Dedup.simhashNearDups(T(s, d, "documents"), maxHamming = 3)
+        .orderBy("a", "b")),
+    "doc_tokens" -> ((s, d) =>
+      TextAnalysis.tokenStats(T(s, d, "documents")).orderBy("doc_id")),
+    "doc_quality" -> ((s, d) =>
+      TextAnalysis.qualityStats(T(s, d, "documents")).orderBy("doc_id")),
+    "doc_langid" -> ((s, d) =>
+      TextAnalysis.langId(T(s, d, "documents")).orderBy("doc_id")),
+    "doc_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprints(T(s, d, "documents")).orderBy("doc_id")),
+    "doc_media_features" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      Multimodal.extractFeatures(T(s, d, "documents")).toDF().orderBy("doc_id")
+    }),
+    "emb_knn_brute" -> ((s, d) =>
+      Similarity.bruteForceTopK(T(s, d, "embeddings"), k = 5, numQueries = 3)
+        .orderBy("q_id", "rank")),
+    "emb_knn_lsh" -> ((s, d) =>
+      Similarity.lshTopK(T(s, d, "embeddings"), k = 5, numQueries = 3, planes = 8)
+        .orderBy("q_id", "rank")),
+    "emb_top_pairs" -> ((s, d) =>
+      Similarity.topSimilarPairs(T(s, d, "embeddings"), n = 50).orderBy("a", "b"))
+  )
+
+  // ---- DuckDB oracles -------------------------------------------------------
+
+  private val DISC_SQL =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+
+  def oracleSql: Map[String, String] = Map(
+    "sparql_scan_filter" ->
+      """SELECT 'urn:g:cust:' || CAST(c_custkey AS VARCHAR) AS c, c_name AS name,
+        | c_acctbal AS bal FROM customer WHERE c_acctbal > 5000 ORDER BY c""".stripMargin,
+    "sparql_star_const" ->
+      """SELECT 'urn:g:cust:' || CAST(c_custkey AS VARCHAR) AS c, c_name AS name,
+        | c_acctbal AS bal FROM customer WHERE c_mktsegment = 'BUILDING' ORDER BY c""".stripMargin,
+    "sparql_union" ->
+      """SELECT * FROM (
+        | SELECT 'urn:g:cust:' || CAST(c_custkey AS VARCHAR) AS ent, c_name AS n FROM customer
+        | UNION ALL
+        | SELECT 'urn:g:supp:' || CAST(s_suppkey AS VARCHAR), s_name FROM supplier
+        |) ORDER BY ent""".stripMargin,
+    "sparql_join_chain" ->
+      """SELECT 'urn:g:line:' || CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) AS l,
+        | c_name AS cname, l_quantity AS qty
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING' ORDER BY l""".stripMargin,
+    "sparql_optional" ->
+      """SELECT 'urn:g:cust:' || CAST(c_custkey AS VARCHAR) AS c,
+        | CASE WHEN o_orderkey IS NULL THEN NULL
+        |      ELSE 'urn:g:order:' || CAST(o_orderkey AS VARCHAR) END AS o,
+        | o_totalprice AS tp
+        |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 200000) oo
+        | ON oo.o_custkey = c_custkey
+        |WHERE c_mktsegment = 'MACHINERY' ORDER BY c, o NULLS FIRST""".stripMargin,
+    "sparql_distinct_mod" ->
+      "SELECT DISTINCT c_mktsegment AS seg FROM customer ORDER BY seg LIMIT 3 OFFSET 1",
+    "sparql_theta_str" ->
+      """SELECT 'urn:g:cust:' || CAST(c_custkey AS VARCHAR) AS c,
+        | 'urn:g:supp:' || CAST(s_suppkey AS VARCHAR) AS s
+        |FROM customer, supplier WHERE c_nationkey = s_nationkey ORDER BY c, s""".stripMargin,
+    "sparql_ask" ->
+      "SELECT EXISTS(SELECT 1 FROM customer WHERE c_mktsegment = 'BUILDING') AS ask",
+    "sparql_construct" ->
+      """SELECT '<urn:g:cust:' || CAST(c_custkey AS VARCHAR) || '>' AS s,
+        | '<urn:g:label>' AS p, '"' || c_name || '"' AS o
+        |FROM customer ORDER BY s""".stripMargin,
+    "sparql_topk" ->
+      """SELECT * FROM (
+        | SELECT 'urn:g:cust:' || CAST(c_custkey AS VARCHAR) AS ent, c_acctbal AS bal FROM customer
+        | UNION ALL
+        | SELECT 'urn:g:supp:' || CAST(s_suppkey AS VARCHAR), s_acctbal FROM supplier
+        |) ORDER BY bal DESC NULLS LAST, ent LIMIT 20""".stripMargin,
+    "sparql_agg_group" ->
+      """SELECT l_returnflag AS flag, l_linestatus AS status,
+        | SUM(l_quantity) AS sum_qty, COUNT(*) AS cnt
+        |FROM lineitem GROUP BY 1, 2 ORDER BY flag, status""".stripMargin,
+    "sparql_builtins" ->
+      """SELECT 'urn:g:part:' || CAST(p_partkey AS VARCHAR) AS p, p_name AS pname
+        |FROM part WHERE strpos(upper(p_name), 'RED') > 0 AND length(p_name) > 5
+        |ORDER BY p""".stripMargin,
+    "sparql_regex" ->
+      """SELECT 'urn:g:part:' || CAST(p_partkey AS VARCHAR) AS p, p_type AS ptype
+        |FROM part WHERE regexp_matches(p_type, '(?i)^eco') ORDER BY p""".stripMargin,
+    "sparql_region_chain" ->
+      """SELECT 'urn:g:supp:' || CAST(s_suppkey AS VARCHAR) AS s, s_name AS sname,
+        | n_name AS nname
+        |FROM supplier JOIN nation ON n_nationkey = s_nationkey
+        | JOIN region ON r_regionkey = n_regionkey
+        |WHERE r_name = 'ASIA' ORDER BY s""".stripMargin,
+
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
+         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+         | CAST(SUM($DISC_SQL) AS DOUBLE) AS sum_disc, COUNT(*) AS cnt
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q3_topk" ->
+      s"""SELECT o_orderkey, CAST(SUM($DISC_SQL) AS DOUBLE) AS revenue
+         |FROM customer JOIN orders ON o_custkey = c_custkey
+         | JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |GROUP BY 1 ORDER BY revenue DESC NULLS LAST, o_orderkey LIMIT 10""".stripMargin,
+    "q5_region_rev" ->
+      s"""SELECT n_name, CAST(SUM($DISC_SQL) AS DOUBLE) AS revenue
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         | JOIN nation ON s_nationkey = n_nationkey
+         | JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA' GROUP BY 1 ORDER BY n_name""".stripMargin,
+    "q_window_rank" ->
+      """SELECT * FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_window_running" ->
+      """SELECT user_id, event_id,
+        | ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS seq,
+        | COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) OVER (
+        |   PARTITION BY user_id ORDER BY event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_purchases
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q_semi_exists" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS(SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_anti_not_exists" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS(SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+    "q_except" ->
+      """SELECT c_custkey AS k FROM customer
+        |EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+        |ORDER BY k""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        | COUNT(*) AS cnt, COUNT(DISTINCT user_id) AS users
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "doc_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, COUNT(*) AS n_dups
+        |FROM documents GROUP BY text ORDER BY text_hash""".stripMargin,
+    "doc_tokens" ->
+      """SELECT doc_id, length(regexp_extract_all(text, '\S+')) AS n_tokens,
+        | length(text) AS n_chars FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_quality" ->
+      """SELECT doc_id, length(text) AS n_chars,
+        | length(regexp_extract_all(text, '\S+')) AS n_tokens,
+        | length(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+        | length(regexp_extract_all(lower(text), '\b(the|a|an|of|to|in|and|is|it|for)\b')) AS n_stopwords,
+        | (length(regexp_extract_all(text, '\S+')) >= 10 AND length(text) >= 50
+        |  AND length(regexp_extract_all(text, '[.,!?;:]')) * 4
+        |      <= length(regexp_extract_all(text, '\S+'))) AS keep
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_langid" ->
+      """SELECT doc_id,
+        | CASE WHEN zh_n > 0 THEN 'zh'
+        |      WHEN en_n >= de_n AND en_n >= fr_n AND en_n >= es_n THEN 'en'
+        |      WHEN de_n >= fr_n AND de_n >= es_n THEN 'de'
+        |      WHEN fr_n >= es_n THEN 'fr' ELSE 'es' END AS lang_pred,
+        | en_n, de_n, fr_n, es_n, zh_n
+        |FROM (SELECT doc_id,
+        |  length(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS zh_n,
+        |  length(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|it|with)\b')) AS en_n,
+        |  length(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit|ein)\b')) AS de_n,
+        |  length(regexp_extract_all(lower(text), '\b(le|les|et|est|une|dans|que|pour)\b')) AS fr_n,
+        |  length(regexp_extract_all(lower(text), '\b(el|los|y|es|un|una|en|por)\b')) AS es_n
+        | FROM documents) ORDER BY doc_id""".stripMargin,
+    "doc_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_media_features" ->
+      """SELECT doc_id, strlen(text) AS byte_len, strlen(text) % 640 AS width,
+        | strlen(text) % 480 AS height, 'stub/raw' AS format
+        |FROM documents ORDER BY doc_id""".stripMargin
+    // doc_near_dup_minhash / doc_near_dup_simhash / emb_* are not
+    // SQL-expressible in DuckDB → rows-only checks
+  )
 }

