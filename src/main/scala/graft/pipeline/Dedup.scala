@@ -21,32 +21,43 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Word k-shingle set per document (distinct, lower-cased). */
+  /** Word k-shingle set per document (distinct, lower-cased), reduced to
+    * 64-bit shingle ids: each shingle string is hashed exactly once; all
+    * downstream minhash permutations mix the cheap long id, not the string.
+    * Repartitioned on doc_id so a single input file still fans out across
+    * the cluster for the hash-heavy map stages. */
   def withShingles(docs: DataFrame, k: Int = 3): DataFrame =
     docs
+      .repartition(col("doc_id"))
       .withColumn("__tokens", split(lower(col("text")), "\\s+"))
       .withColumn("shingles", expr(
         s"array_distinct(transform(sequence(1, greatest(size(__tokens)-${k - 1}, 1)), " +
-          s"i -> concat_ws(' ', slice(__tokens, i, $k))))"))
+          s"i -> xxhash64(concat_ws(' ', slice(__tokens, i, $k)))))"))
       .drop("__tokens")
 
   /** MinHash signature: numPerm permutations approximated by seeded
-    * xxhash64 (codegen'd, no UDF): sig[s] = min over shingles of
-    * xxhash64(shingle, s). */
+    * xxhash64 over the 64-bit shingle ids (codegen'd, no UDF):
+    * sig[s] = min over shingles of xxhash64(shingle_id, s). */
   def withMinhash(shingled: DataFrame, numPerm: Int = 32): DataFrame =
     shingled.withColumn("minhash", expr(
       s"transform(sequence(0, ${numPerm - 1}), s -> " +
         "array_min(transform(shingles, sh -> xxhash64(sh, s))))"))
 
-  /** LSH band buckets: split the signature into `bands` bands of
-    * numPerm/bands rows; bucket key = (band index, xxhash64 of the band
-    * slice). Candidate-pair recall threshold ≈ (1/bands)^(bands/numPerm). */
-  def lshBuckets(minhashed: DataFrame, numPerm: Int = 32, bands: Int = 8): DataFrame = {
+  /** LSH band buckets straight from the shingle-id sets: band j's bucket
+    * key hashes the minhash values of its own `numPerm/bands` permutations.
+    * Each permutation is used by exactly one band, so Catalyst's
+    * CollapseProject cannot duplicate the signature computation (slicing a
+    * separately-defined signature column gets inlined per band and costs
+    * `bands`× the hashing work). Candidate-pair recall threshold ≈
+    * (1/bands)^(bands/numPerm). */
+  def lshBuckets(shingled: DataFrame, numPerm: Int = 32, bands: Int = 8): DataFrame = {
     val r = numPerm / bands
-    minhashed
+    shingled
       .withColumn("__band", explode(expr(
         s"transform(sequence(0, ${bands - 1}), j -> " +
-          s"named_struct('band', j, 'bh', xxhash64(slice(minhash, j*$r + 1, $r))))")))
+          s"named_struct('band', j, 'bh', xxhash64(" +
+          s"transform(sequence(j*$r, j*$r + ${r - 1}), s -> " +
+          "array_min(transform(shingles, sh -> xxhash64(sh, s)))))))")))
       .select(col("doc_id"), col("__band.band").as("band"), col("__band.bh").as("bh"))
   }
 
@@ -73,7 +84,7 @@ object Dedup {
   def verifiedNearDups(docs: DataFrame, threshold: Double = 0.7,
                        k: Int = 3, numPerm: Int = 32, bands: Int = 8): DataFrame = {
     val shingled = withShingles(docs, k).select(col("doc_id"), col("shingles"))
-    val pairs = candidatePairs(lshBuckets(withMinhash(shingled, numPerm), numPerm, bands))
+    val pairs = candidatePairs(lshBuckets(shingled, numPerm, bands))
     pairs
       .join(shingled.select(col("doc_id").as("a"), col("shingles").as("sa")), "a")
       .join(shingled.select(col("doc_id").as("b"), col("shingles").as("sb")), "b")

@@ -1,30 +1,32 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
-import graft.api.{Graft, TpchCatalog}
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, Similarity}
 
-/** Scratch driver for manual end-to-end verification. */
 object Drive {
+  def time[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime(); val r = f
+    println(f"[time] $label: ${(System.nanoTime()-t0)/1e9}%.2f s"); r
+  }
   def main(args: Array[String]): Unit = {
-    implicit val spark: SparkSession = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4").config("spark.ui.enabled", "false")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32").config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val g = Graft.overParquetDir(TpchCatalog.catalog, "/root/testdata/sf0.001")
-    val df = g.sparql("""
-      PREFIX g: <urn:g:>
-      SELECT ?cname ?odate ?qty WHERE {
-        ?c a g:Customer ; g:name ?cname ; g:mktsegment "BUILDING" .
-        ?o g:customer ?c ; g:orderdate ?odate .
-        OPTIONAL { ?l g:order ?o ; g:quantity ?qty . FILTER(?qty > 45) }
-      } ORDER BY ?cname ?odate LIMIT 8""")
-    df.show(8, truncate = false)
-    df.explain("formatted")
-    try g.sparql("SELECT ?x WHERE { ?x oops")
-    catch { case e: Exception => println("PARSE-ERR: " + e.getMessage.take(120)) }
-    try g.sparql("PREFIX g: <urn:g:> SELECT ?x WHERE { ?x g:nonexistent ?y }").show()
-    catch { case e: Exception => println("DECOMP-ERR: " + e.getMessage.take(120)) }
-    println("unbound-filter rows = " +
-      g.sparql("PREFIX g: <urn:g:> SELECT ?n WHERE { ?c g:name ?n . FILTER(?zz > 5) }").count())
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    def noop(df: org.apache.spark.sql.DataFrame) = df.write.format("noop").mode("overwrite").save()
+    time("warmup")(noop(docs.select(md5(col("text")))))
+    val sh = Dedup.withShingles(docs).select(col("doc_id"), col("shingles"))
+    time("shingles")(noop(sh))
+    val mh = Dedup.withMinhash(sh)
+    time("minhash")(noop(mh))
+    val bk = Dedup.lshBuckets(mh)
+    time("buckets")(noop(bk))
+    val cp = Dedup.candidatePairs(bk)
+    println("pairs=" + time("candidatePairs")(cp.count()))
+    time("verified")(noop(Dedup.verifiedNearDups(docs)))
+    time("emb_top_pairs")(noop(Similarity.topSimilarPairs(emb)))
     spark.stop()
   }
 }
