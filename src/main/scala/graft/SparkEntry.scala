@@ -132,6 +132,17 @@ object SparkEntry {
       |  ?r a g:Region ; g:name "ASIA" .
       |} ORDER BY ?s""".stripMargin
 
+  /** Untyped chain — exercises join-link molecule pruning (the reference's
+    * RDF-MT range pruning): ?ent stays customer ∪ supplier, ?r prunes from
+    * "every molecule with g:name" down to Region. */
+  private val SPARQL_PRUNED_CHAIN =
+    """PREFIX g: <urn:g:>
+      |SELECT ?ent ?ename ?nname WHERE {
+      |  ?ent g:name ?ename ; g:nation ?n .
+      |  ?n g:name ?nname ; g:region ?r .
+      |  ?r g:name "ASIA" .
+      |} ORDER BY ?ent""".stripMargin
+
   // ---- query registry -----------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -150,6 +161,7 @@ object SparkEntry {
     "sparql_builtins" -> ((s, d) => graft(s, d).sparql(SPARQL_BUILTINS)),
     "sparql_regex" -> ((s, d) => graft(s, d).sparql(SPARQL_REGEX)),
     "sparql_region_chain" -> ((s, d) => graft(s, d).sparql(SPARQL_REGION_CHAIN)),
+    "sparql_pruned_chain" -> ((s, d) => graft(s, d).sparql(SPARQL_PRUNED_CHAIN)),
 
     // SPARQL 1.1 / analytic extension surface (direct DataFrame API)
     "q1_agg" -> ((s, d) =>
@@ -325,6 +337,18 @@ object SparkEntry {
         |FROM supplier JOIN nation ON n_nationkey = s_nationkey
         | JOIN region ON r_regionkey = n_regionkey
         |WHERE r_name = 'ASIA' ORDER BY s""".stripMargin,
+
+    "sparql_pruned_chain" ->
+      """SELECT * FROM (
+        | SELECT 'urn:g:cust:' || CAST(c_custkey AS VARCHAR) AS ent, c_name AS ename,
+        |        n_name AS nname
+        | FROM customer JOIN nation ON n_nationkey = c_nationkey
+        |  JOIN region ON r_regionkey = n_regionkey WHERE r_name = 'ASIA'
+        | UNION ALL
+        | SELECT 'urn:g:supp:' || CAST(s_suppkey AS VARCHAR), s_name, n_name
+        | FROM supplier JOIN nation ON n_nationkey = s_nationkey
+        |  JOIN region ON r_regionkey = n_regionkey WHERE r_name = 'ASIA'
+        |) ORDER BY ent""".stripMargin,
 
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,

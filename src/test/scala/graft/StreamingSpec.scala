@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+/** Structured Streaming semantics via MemoryStream micro-batches. */
+class StreamingSpec extends SparkTestBase {
+
+  private def ts(minute: Int) = new Timestamp(1704067200000L + minute * 60000L)
+
+  test("watermarked hourly window counts, late row within watermark updates") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.hourlyCounts(input.toDF(), watermark = "30 minutes")
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode(OutputMode.Update).start()
+    input.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 1.0),
+      Event(3, ts(70), 2, "view", 1.0))
+    q.processAllAvailable()
+    input.addData(Event(4, ts(15), 3, "click", 1.0)) // late but inside watermark
+    q.processAllAvailable()
+    val rows = spark.table("hourly").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2))).toSet
+    q.stop()
+    assert(rows.contains((ts(0).getTime, "click", 3L))) // updated to 3 by late row
+    assert(rows.contains((ts(60).getTime, "view", 1L)))
+  }
+
+  test("stream dedup by event_id") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.dedupedEvents(input.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append).start()
+    input.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(1), 1, "view", 1.0))
+    q.processAllAvailable()
+    val n = spark.table("dedup").count()
+    q.stop()
+    assert(n == 2)
+  }
+
+  test("gap sessionization assigns new session after gap") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    implicit val sp = s
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    input.addData(
+      Event(1, ts(0), 7, "click", 1.0),
+      Event(2, ts(10), 7, "click", 1.0),
+      Event(3, ts(100), 7, "click", 1.0)) // 90-minute gap ⇒ new session
+    q.processAllAvailable()
+    val rows = spark.table("sessions").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toMap // event_id -> session_id
+    q.stop()
+    assert(rows(1L) == rows(2L))
+    assert(rows(3L) != rows(1L))
+  }
+}
