@@ -143,6 +143,35 @@ object SparkEntry {
       |  ?r g:name "ASIA" .
       |} ORDER BY ?ent""".stripMargin
 
+  private val SPARQL_MINUS =
+    """PREFIX g: <urn:g:>
+      |SELECT ?c WHERE {
+      |  ?c a g:Customer .
+      |  MINUS { ?o g:customer ?c ; g:totalprice ?tp . FILTER (?tp > 400000) }
+      |} ORDER BY ?c""".stripMargin
+
+  private val SPARQL_EXISTS =
+    """PREFIX g: <urn:g:>
+      |SELECT ?c ?name WHERE {
+      |  ?c a g:Customer ; g:name ?name .
+      |  FILTER EXISTS { ?o g:customer ?c ; g:totalprice ?tp . FILTER (?tp > 400000) }
+      |} ORDER BY ?c""".stripMargin
+
+  private val SPARQL_VALUES =
+    """PREFIX g: <urn:g:>
+      |SELECT ?c ?seg WHERE {
+      |  ?c g:mktsegment ?seg .
+      |  VALUES ?seg { "BUILDING" "MACHINERY" }
+      |} ORDER BY ?c""".stripMargin
+
+  private val SPARQL_AGG_FULL =
+    """PREFIX g: <urn:g:>
+      |SELECT ?flag (AVG(?qty) AS ?avg_qty) (MIN(?qty) AS ?min_qty)
+      |       (MAX(?qty) AS ?max_qty) (COUNT(*) AS ?cnt)
+      |       (GROUP_CONCAT(?status ; SEPARATOR = "|") AS ?statuses) WHERE {
+      |  ?l a g:Lineitem ; g:returnflag ?flag ; g:linestatus ?status ; g:quantity ?qty .
+      |} GROUP BY ?flag ORDER BY ?flag""".stripMargin
+
   // ---- query registry -----------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -162,6 +191,10 @@ object SparkEntry {
     "sparql_regex" -> ((s, d) => graft(s, d).sparql(SPARQL_REGEX)),
     "sparql_region_chain" -> ((s, d) => graft(s, d).sparql(SPARQL_REGION_CHAIN)),
     "sparql_pruned_chain" -> ((s, d) => graft(s, d).sparql(SPARQL_PRUNED_CHAIN)),
+    "sparql_minus" -> ((s, d) => graft(s, d).sparql(SPARQL_MINUS)),
+    "sparql_exists" -> ((s, d) => graft(s, d).sparql(SPARQL_EXISTS)),
+    "sparql_values" -> ((s, d) => graft(s, d).sparql(SPARQL_VALUES)),
+    "sparql_agg_full" -> ((s, d) => graft(s, d).sparql(SPARQL_AGG_FULL)),
 
     // SPARQL 1.1 / analytic extension surface (direct DataFrame API)
     "q1_agg" -> ((s, d) =>
@@ -349,6 +382,27 @@ object SparkEntry {
         | FROM supplier JOIN nation ON n_nationkey = s_nationkey
         |  JOIN region ON r_regionkey = n_regionkey WHERE r_name = 'ASIA'
         |) ORDER BY ent""".stripMargin,
+
+    "sparql_minus" ->
+      """SELECT 'urn:g:cust:' || CAST(c_custkey AS VARCHAR) AS c FROM customer
+        |WHERE NOT EXISTS(SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c""".stripMargin,
+    "sparql_exists" ->
+      """SELECT 'urn:g:cust:' || CAST(c_custkey AS VARCHAR) AS c, c_name AS name
+        |FROM customer
+        |WHERE EXISTS(SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c""".stripMargin,
+    "sparql_values" ->
+      """SELECT 'urn:g:cust:' || CAST(c_custkey AS VARCHAR) AS c, c_mktsegment AS seg
+        |FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        |ORDER BY c""".stripMargin,
+    "sparql_agg_full" ->
+      """SELECT l_returnflag AS flag, AVG(l_quantity) AS avg_qty,
+        | MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty, COUNT(*) AS cnt,
+        | string_agg(l_linestatus, '|' ORDER BY l_linestatus) AS statuses
+        |FROM lineitem GROUP BY 1 ORDER BY flag""".stripMargin,
 
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,

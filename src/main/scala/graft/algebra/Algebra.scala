@@ -65,6 +65,9 @@ sealed trait Pattern {
     case Pattern.Union(l, r)        => l.vars ++ r.vars
     case Pattern.LeftJoin(l, r, _)  => l.vars ++ r.vars
     case Pattern.Filter(_, p)       => p.vars
+    case Pattern.Minus(l, _)        => l.vars
+    case Pattern.Exists(l, _, _)    => l.vars
+    case Pattern.Values(vs, _)      => vs.map(_.name).toSet
   }
 }
 object Pattern {
@@ -73,6 +76,13 @@ object Pattern {
   final case class Union(l: Pattern, r: Pattern) extends Pattern
   final case class LeftJoin(l: Pattern, r: Pattern, cond: Option[Expr]) extends Pattern
   final case class Filter(expr: Expr, p: Pattern) extends Pattern
+  /** SPARQL 1.1 MINUS (extension — the reference grammar has no MINUS
+    * token, SURVEY.md §2.5). */
+  final case class Minus(l: Pattern, r: Pattern) extends Pattern
+  /** FILTER EXISTS / FILTER NOT EXISTS (SPARQL 1.1 extension). */
+  final case class Exists(l: Pattern, r: Pattern, positive: Boolean) extends Pattern
+  /** VALUES inline data (SPARQL 1.1 extension); None = UNDEF. */
+  final case class Values(vs: List[Var], rows: List[List[Option[Term]]]) extends Pattern
 }
 
 sealed trait QueryForm

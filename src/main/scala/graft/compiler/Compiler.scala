@@ -36,9 +36,10 @@ final case class Compiled(df: DataFrame, sigs: Map[String, (String, List[String]
   * Xask/Xconstruct) becomes a declarative DataFrame transformation; Catalyst
   * + AQE own join strategy, pushdown, spill and adaptivity.
   */
-final class Compiler(catalog: Catalog, load: String => DataFrame) {
+final class Compiler(catalog: Catalog, load: String => DataFrame)
+                    (implicit spark: SparkSession) {
 
-  def compile(q: Query)(implicit spark: SparkSession): DataFrame = q.form match {
+  def compile(q: Query): DataFrame = q.form match {
     case SelectForm    => compileSelect(q)
     case AskForm       => compileAsk(q)
     case ConstructForm => compileConstruct(q)
@@ -122,7 +123,7 @@ final class Compiler(catalog: Catalog, load: String => DataFrame) {
 
   /** ASK (Xask, `Xask.py:11-23`): first tuple ⇒ true. `isEmpty` only runs
     * the plan until one row is produced (LocalLimit 1). */
-  private def compileAsk(q: Query)(implicit spark: SparkSession): DataFrame = {
+  private def compileAsk(q: Query): DataFrame = {
     val exists = !compilePattern(q.pattern).df.isEmpty
     spark.range(1).select(lit(exists).as("ask"))
   }
@@ -159,6 +160,55 @@ final class Compiler(catalog: Catalog, load: String => DataFrame) {
     case Pattern.Filter(e, p0) =>
       val c = compilePattern(p0)
       c.copy(df = c.df.filter(ExprCompiler.predicate(e, c.df)))
+    case Pattern.Minus(l, r)      => antiSemi(l, r, "left_anti")
+    case Pattern.Exists(l, r, pos) => antiSemi(l, r, if (pos) "left_semi" else "left_anti")
+    case Pattern.Values(vs, rows) => compileValues(vs, rows)
+  }
+
+  /** MINUS / FILTER [NOT] EXISTS → semi/anti join on the shared variables.
+    * (SPARQL's MINUS-with-no-shared-vars edge case — remove nothing — falls
+    * out naturally: no shared vars ⇒ keep left as-is.) */
+  private def antiSemi(l: Pattern, r: Pattern, how: String): Compiled = {
+    val cl = compilePattern(l)
+    val cr = compilePattern(r)
+    val shared = cl.visibleVars.toSet intersect cr.visibleVars.toSet
+    if (shared.isEmpty) {
+      if (how == "left_anti") cl // MINUS with disjoint domains removes nothing
+      else {
+        val nonEmpty = !cr.df.isEmpty
+        if (nonEmpty) cl else cl.copy(df = cl.df.limit(0))
+      }
+    } else {
+      // join on visible shared vars (semi/anti output keeps only left cols)
+      val rClean = cr.df.drop(cr.df.columns.filter(_.startsWith("__k_")).toIndexedSeq: _*)
+      // rename right's shared columns to avoid ambiguity
+      val renamed = shared.toSeq.sorted.foldLeft(rClean)((d, v) => d.withColumnRenamed(v, s"__r_$v"))
+      val c2 = shared.toSeq.sorted
+        .map(v => cl.df.col(v) === renamed.col(s"__r_$v")).reduce(_ && _)
+      Compiled(cl.df.join(renamed, c2, how), cl.sigs)
+    }
+  }
+
+  /** VALUES inline data → a tiny local DataFrame (broadcast-joined into the
+    * pattern by Catalyst). */
+  private def compileValues(vs: List[Var], rows: List[List[Option[Term]]]): Compiled = {
+    val rowDfs = rows.map { row =>
+      val cols = vs.lazyZip(row).map { (v, ot) =>
+        (ot match {
+          case None => lit(null)
+          case Some(Iri(u)) => lit(u)
+          case Some(Lit(lex, dt, _)) => dt match {
+            case Some(Terms.XsdInt)     => lit(lex.toLong)
+            case Some(Terms.XsdDecimal) | Some(Terms.XsdDouble) => lit(lex.toDouble)
+            case Some(Terms.XsdBoolean) => lit(lex == "true")
+            case _                      => lit(lex)
+          }
+          case Some(Var(_)) => lit(null)
+        }).as(v.name)
+      }
+      spark.range(1).select(cols.toSeq: _*)
+    }
+    Compiled(rowDfs.reduce(_.unionByName(_)), Map.empty)
   }
 
   /** BGP: decompose into stars, then join greedily on shared variables —

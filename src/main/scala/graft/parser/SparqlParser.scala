@@ -89,14 +89,34 @@ class SparqlParser extends RegexParsers {
   private case class OptionalItem(p: Pattern) extends GgpItem
   private case class GroupItem(p: Pattern) extends GgpItem
   private case class FilterItem(e: Expr) extends GgpItem
+  private case class MinusItem(p: Pattern) extends GgpItem
+  private case class ExistsItem(p: Pattern, positive: Boolean) extends GgpItem
+  private case class ValuesItem(p: Pattern.Values) extends GgpItem
 
   def groupGraphPattern: Parser[Pattern] = "{" ~> rep(ggpItem) <~ "}" ^^ combine
 
   private def ggpItem: Parser[GgpItem] =
     kw("OPTIONAL") ~> groupGraphPattern ^^ OptionalItem.apply |
+    kw("MINUS") ~> groupGraphPattern ^^ MinusItem.apply |
+    kw("FILTER") ~> kw("NOT") ~> kw("EXISTS") ~> groupGraphPattern ^^ (ExistsItem(_, positive = false)) |
+    kw("FILTER") ~> kw("EXISTS") ~> groupGraphPattern ^^ (ExistsItem(_, positive = true)) |
     kw("FILTER") ~> constraint ^^ FilterItem.apply |
+    valuesClause ^^ ValuesItem.apply |
     unionGroup ^^ GroupItem.apply |
     triplesBlock <~ opt(".") ^^ TriplesItem.apply
+
+  private def undefOr(p: Parser[Term]): Parser[Option[Term]] =
+    kw("UNDEF") ^^ (_ => None) | p ^^ (Some(_))
+
+  def valuesClause: Parser[Pattern.Values] =
+    kw("VALUES") ~> (
+      variable ~ ("{" ~> rep(undefOr(iri | literal)) <~ "}") ^^ {
+        case v ~ vals => Pattern.Values(List(v), vals.map(List(_)))
+      } |
+      ("(" ~> rep1(variable) <~ ")") ~
+        ("{" ~> rep("(" ~> rep1(undefOr(iri | literal)) <~ ")") <~ "}") ^^ {
+        case vs ~ rows => Pattern.Values(vs, rows)
+      })
 
   private def unionGroup: Parser[Pattern] =
     rep1sep(groupGraphPattern, kw("UNION")) ^^ (_.reduceLeft(Pattern.Union.apply))
@@ -116,8 +136,14 @@ class SparqlParser extends RegexParsers {
         })
       case GroupItem(p) =>
         acc = Some(acc.fold(p)(l => Pattern.Join(l, p)))
+      case ValuesItem(p) =>
+        acc = Some(acc.fold(p: Pattern)(l => Pattern.Join(l, p)))
       case OptionalItem(p) =>
         acc = Some(Pattern.LeftJoin(acc.getOrElse(Pattern.Bgp(Nil)), p, None))
+      case MinusItem(p) =>
+        acc = Some(Pattern.Minus(acc.getOrElse(Pattern.Bgp(Nil)), p))
+      case ExistsItem(p, pos) =>
+        acc = Some(Pattern.Exists(acc.getOrElse(Pattern.Bgp(Nil)), p, pos))
       case FilterItem(e) => filters ::= e
     }
     val base = acc.getOrElse(Pattern.Bgp(Nil))
