@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for pipeline hot paths.
+  *
+  * Spark's higher-order array functions (`transform`/`aggregate`/
+  * `array_min`) are CodegenFallback — every lambda application is an
+  * interpreted call with boxing. For MinHash (numPerm × |shingles| hash
+  * evaluations per row) that interpretive overhead dominates the whole
+  * dedup pipeline, so the signature→band computation is one native
+  * expression with a primitive long loop and real codegen: the loop below
+  * runs inside whole-stage codegen via a static method call, no boxing.
+  */
+object GraftFunctions {
+
+  /** splitmix64 finalizer — the permutation family for MinHash. */
+  @inline def mix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Band hashes for a shingle-id set: bands × (numPerm/bands) permutation
+    * minima folded FNV-style per band. Called from generated code. */
+  def minhashBands(ids: ArrayData, numPerm: Int, bands: Int): ArrayData = {
+    val n = ids.numElements()
+    val r = numPerm / bands
+    val out = new Array[Long](bands)
+    var j = 0
+    while (j < bands) {
+      var bandHash = 0xcbf29ce484222325L
+      var p = 0
+      while (p < r) {
+        val s = j * r + p
+        val seed = 0x9e3779b97f4a7c15L * (s + 1)
+        var minv = Long.MaxValue
+        var i = 0
+        while (i < n) {
+          val h = mix64(ids.getLong(i) ^ seed)
+          if (h < minv) minv = h
+          i += 1
+        }
+        bandHash = (bandHash ^ minv) * 0x100000001b3L
+        p += 1
+      }
+      out(j) = bandHash
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def minhash_bands(shingleIds: Column, numPerm: Int = 32, bands: Int = 8): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(
+      MinHashBands(GraftBridge.expression(shingleIds), numPerm, bands))
+  }
+}
+
+/** array<long> shingle ids → array<long> of LSH band bucket hashes. */
+final case class MinHashBands(child: Expression, numPerm: Int, bands: Int)
+    extends UnaryExpression {
+
+  require(numPerm % bands == 0, "numPerm must be divisible by bands")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+  : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_bands expects array<bigint>, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftFunctions.minhashBands(input.asInstanceOf[ArrayData], numPerm, bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftFunctions.minhashBands($c, $numPerm, $bands);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+    copy(child = newChild)
+}

@@ -51,14 +51,21 @@ object Dedup {
     * `bands`× the hashing work). Candidate-pair recall threshold ≈
     * (1/bands)^(bands/numPerm). */
   def lshBuckets(shingled: DataFrame, numPerm: Int = 32, bands: Int = 8): DataFrame = {
-    val r = numPerm / bands
+    val spark = shingled.sparkSession
+    import spark.implicits._
+    // typed flatMap instead of posexplode: InferFiltersFromGenerate would
+    // bolt a size(...)>0 filter onto a generate over the signature
+    // expression, which predicate pushdown then re-inlines *below* the
+    // repartition exchange — running the whole minhash computation twice,
+    // once single-threaded on the unpartitioned scan side
     shingled
-      .withColumn("__band", explode(expr(
-        s"transform(sequence(0, ${bands - 1}), j -> " +
-          s"named_struct('band', j, 'bh', xxhash64(" +
-          s"transform(sequence(j*$r, j*$r + ${r - 1}), s -> " +
-          "array_min(transform(shingles, sh -> xxhash64(sh, s)))))))")))
-      .select(col("doc_id"), col("__band.band").as("band"), col("__band.bh").as("bh"))
+      .withColumn("__bands",
+        graft.functions.GraftFunctions.minhash_bands(col("shingles"), numPerm, bands))
+      .select(col("doc_id"), col("__bands")).as[(Long, Array[Long])]
+      .flatMap { case (id, bs) =>
+        bs.iterator.zipWithIndex.map { case (bh, j) => (id, j, bh) }
+      }
+      .toDF("doc_id", "band", "bh")
   }
 
   /** Candidate pairs from LSH buckets. Pairs are generated inside each

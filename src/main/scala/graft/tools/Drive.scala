@@ -1,7 +1,7 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Dedup, Similarity}
+import graft.pipeline.Dedup
 
 object Drive {
   def time[A](label: String)(f: => A): A = {
@@ -11,22 +11,19 @@ object Drive {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32").config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC").getOrCreate()
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     def noop(df: org.apache.spark.sql.DataFrame) = df.write.format("noop").mode("overwrite").save()
-    time("warmup")(noop(docs.select(md5(col("text")))))
     val sh = Dedup.withShingles(docs).select(col("doc_id"), col("shingles"))
-    time("shingles")(noop(sh))
-    val mh = Dedup.withMinhash(sh)
-    time("minhash")(noop(mh))
-    val bk = Dedup.lshBuckets(mh)
-    time("buckets")(noop(bk))
-    val cp = Dedup.candidatePairs(bk)
-    println("pairs=" + time("candidatePairs")(cp.count()))
-    time("verified")(noop(Dedup.verifiedNearDups(docs)))
-    time("emb_top_pairs")(noop(Similarity.topSimilarPairs(emb)))
+    (1 to 3).foreach(i => time(s"sh$i")(noop(sh)))
+    val bandsOnly = sh.withColumn("__bands",
+      graft.functions.GraftFunctions.minhash_bands(col("shingles"), 32, 8))
+      .select(col("doc_id"), col("__bands"))
+    (1 to 3).foreach(i => time(s"bandsOnly$i")(noop(bandsOnly)))
+    val bk = Dedup.lshBuckets(sh)
+    (1 to 2).foreach(i => time(s"buckets$i")(noop(bk)))
+    bk.explain("formatted")
     spark.stop()
   }
 }
