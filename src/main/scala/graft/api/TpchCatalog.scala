@@ -71,10 +71,10 @@ object TpchCatalog {
       predicates = Map(
         s"${G}name"   -> RefMap("n_name"),
         s"${G}region" -> TemplateMap(Template(s"${G}region:{n_regionkey}"))),
-      source = "srcC"),
+      source = "srcC", broadcastHint = true),
     Molecule(
       rdfType = s"${G}Region", table = "region",
       subject = Template(s"${G}region:{r_regionkey}"),
       predicates = Map(s"${G}name" -> RefMap("r_name")),
-      source = "srcC")))
+      source = "srcC", broadcastHint = true)))
 }

@@ -49,17 +49,26 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
 
   private def compileSelect(q: Query): DataFrame = {
     val c = compilePattern(q.pattern)
-    var df =
-      if (q.hasAggregates) compileAggregate(q, c)
-      else project(q, c)
-    if (q.distinct) df = df.distinct()
-    if (q.orderBy.nonEmpty) {
-      val keys = q.orderBy.map { ok =>
-        val col = ExprCompiler.compile(ok.expr, df)
-        if (ok.asc) col.asc_nulls_first else col.desc_nulls_last
-      }
-      df = df.orderBy(keys: _*)
+    def sortKeys(df: DataFrame) = q.orderBy.map { ok =>
+      val col = ExprCompiler.compile(ok.expr, df)
+      if (ok.asc) col.asc_nulls_first else col.desc_nulls_last
     }
+    var df =
+      if (q.hasAggregates || q.distinct) {
+        // order keys must come from the projected/aggregated output
+        // (SPARQL requires this for DISTINCT/aggregate queries)
+        var d = if (q.hasAggregates) compileAggregate(q, c) else project(q, c)
+        if (q.distinct) d = d.distinct()
+        if (q.orderBy.nonEmpty) d = d.orderBy(sortKeys(d): _*)
+        d
+      } else {
+        // sort before projecting so ORDER BY may reference non-projected
+        // vars (projection preserves ordering; Catalyst still collapses
+        // sort+project+limit into TakeOrderedAndProject)
+        val sorted = if (q.orderBy.isEmpty) c.df
+                     else c.df.orderBy(sortKeys(c.df): _*)
+        project(q, c.copy(df = sorted))
+      }
     q.offset.foreach(n => df = df.offset(n.toInt))
     q.limit.foreach(n => df = df.limit(n.toInt))
     df
@@ -317,7 +326,7 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
     val out = filtered.select(
       (bindings.map { case (v, c) => c.as(v) } ++
         hidden.map { case (h, c) => c.as(h) }).toSeq: _*)
-    Compiled(out, sigs)
+    Compiled(if (m.broadcastHint) broadcast(out) else out, sigs)
   }
 
   /** Join on shared variables. Template-built vars with matching signatures

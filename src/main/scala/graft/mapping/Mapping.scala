@@ -90,7 +90,12 @@ final case class Molecule(
     table: String,
     subject: Template,
     predicates: Map[String, TermMap],
-    source: String = "default")
+    source: String = "default",
+    /** Catalog-level size knowledge: molecules known to stay broadcast-size
+      * at full scale (dimension tables) get an explicit broadcast hint so
+      * their joins never shuffle — the RDF-MT cardinality metadata of
+      * `rdfmt_model.py:66-98` applied the Spark way. */
+    broadcastHint: Boolean = false)
 
 /** RDF-MT catalog with the predicate inverted index of
   * `/root/reference/ontario/config/__init__.py:63-114`. */

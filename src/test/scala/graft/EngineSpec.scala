@@ -174,6 +174,35 @@ class EngineSpec extends SparkTestBase {
     assert(got.count() == want)
   }
 
+  test("order by non-projected variable sorts before projection") {
+    val got = g.sparql(
+      """PREFIX g: <urn:g:>
+        |SELECT ?name WHERE { ?c g:name ?name ; g:acctbal ?bal . ?c a g:Customer }
+        |ORDER BY DESC(?bal) LIMIT 3""".stripMargin)
+    val want = t("customer").orderBy(col("c_acctbal").desc).limit(3)
+      .select(col("c_name")).collect().map(_.getString(0))
+    assert(got.collect().map(_.getString(0)).toSeq == want.toSeq)
+  }
+
+  test("minus, exists, values operators") {
+    val minus = g.sparql(
+      """PREFIX g: <urn:g:>
+        |SELECT ?c WHERE { ?c a g:Customer .
+        |  MINUS { ?o g:customer ?c ; g:totalprice ?tp . FILTER (?tp > 200000) } }""".stripMargin)
+    val exists = g.sparql(
+      """PREFIX g: <urn:g:>
+        |SELECT ?c WHERE { ?c a g:Customer .
+        |  FILTER EXISTS { ?o g:customer ?c ; g:totalprice ?tp . FILTER (?tp > 200000) } }""".stripMargin)
+    val total = t("customer").count()
+    assert(minus.count() + exists.count() == total)
+    val values = g.sparql(
+      """PREFIX g: <urn:g:>
+        |SELECT ?c ?seg WHERE { ?c g:mktsegment ?seg .
+        |  VALUES ?seg { "BUILDING" "MACHINERY" } }""".stripMargin)
+    assert(values.count() ==
+      t("customer").filter(col("c_mktsegment").isin("BUILDING", "MACHINERY")).count())
+  }
+
   test("constant IRI subject inverts template to key equality") {
     val custkey = t("customer").select(min("c_custkey")).collect()(0).getLong(0)
     val got = g.sparql(

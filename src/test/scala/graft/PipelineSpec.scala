@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline._
+
+/** Data-pipeline operator semantics on sf0.001 documents/embeddings. */
+class PipelineSpec extends SparkTestBase {
+
+  lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("exact dedup groups sum to corpus size") {
+    val groups = Dedup.exactGroups(docs).collect()
+    assert(groups.map(_.getLong(2)).sum == docs.count())
+    assert(groups.forall(_.getLong(2) >= 1))
+  }
+
+  test("minhash near-dups are real near-dups (jaccard verified)") {
+    val pairs = Dedup.verifiedNearDups(docs, threshold = 0.7).collect()
+    assert(pairs.nonEmpty, "generator plants near-duplicates; none found")
+    assert(pairs.forall(r => r.getDouble(2) >= 0.7 && r.getLong(0) < r.getLong(1)))
+  }
+
+  test("minhash and simhash largely agree on planted near-dups") {
+    val mh = Dedup.verifiedNearDups(docs, threshold = 0.8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = Dedup.simhashNearDups(docs, maxHamming = 6)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.nonEmpty && sh.nonEmpty)
+    assert((mh intersect sh).size.toDouble / mh.size > 0.5,
+      s"simhash missed most minhash pairs: ${mh.size} vs ${sh.size}, overlap ${(mh intersect sh).size}")
+  }
+
+  test("brute-force knn: rank 1 is the true nearest neighbour") {
+    val got = Similarity.bruteForceTopK(emb, k = 3, numQueries = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.count(_._3 == 1) == 2) // one rank-1 per query
+    // cross-check query 0's nearest by local computation
+    val all = emb.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray))
+    val q = all.find(_._1 == 0L).get._2.map(_.toDouble)
+    def cos(v: Array[Float]) = {
+      val d = v.map(_.toDouble)
+      val dot = d.zip(q).map { case (a, b) => a * b }.sum
+      dot / (math.sqrt(d.map(x => x * x).sum) * math.sqrt(q.map(x => x * x).sum))
+    }
+    val expected = all.filter(_._1 != 0L).maxBy(t => cos(t._2))._1
+    assert(got.find(t => t._1 == 0L && t._3 == 1).get._2 == expected)
+  }
+
+  test("lsh knn returns a subset ranking consistent with cosine") {
+    val got = Similarity.lshTopK(emb, k = 5, numQueries = 3, planes = 4).collect()
+    assert(got.nonEmpty) // 4 planes ⇒ 16 buckets ⇒ collisions guaranteed at 500 vecs
+  }
+
+  test("media features equal deterministic stub formulas") {
+    val feats = Multimodal.extractFeatures(docs)(spark).collect()
+    val lens = docs.select(col("doc_id"), octet_length(col("text")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      assert(f.byte_len == lens(f.doc_id))
+      assert(f.width == f.byte_len % 640 && f.height == f.byte_len % 480)
+    }
+  }
+
+  test("langid marks CJK docs zh and is deterministic") {
+    val l = TextAnalysis.langId(docs).collect()
+    val zh = l.filter(_.getLong(6) > 0)
+    assert(zh.forall(_.getString(1) == "zh"))
+  }
+}
