@@ -172,6 +172,14 @@ object SparkEntry {
       |  ?l a g:Lineitem ; g:returnflag ?flag ; g:linestatus ?status ; g:quantity ?qty .
       |} GROUP BY ?flag ORDER BY ?flag""".stripMargin
 
+  /** Property-path sequence (SPARQL 1.1 extension): supplier → nation →
+    * region names in one path expression. */
+  private val SPARQL_PATH =
+    """PREFIX g: <urn:g:>
+      |SELECT ?s ?sname ?rname WHERE {
+      |  ?s a g:Supplier ; g:name ?sname ; g:nation/g:region/g:name ?rname .
+      |} ORDER BY ?s""".stripMargin
+
   // ---- query registry -----------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -195,6 +203,7 @@ object SparkEntry {
     "sparql_exists" -> ((s, d) => graft(s, d).sparql(SPARQL_EXISTS)),
     "sparql_values" -> ((s, d) => graft(s, d).sparql(SPARQL_VALUES)),
     "sparql_agg_full" -> ((s, d) => graft(s, d).sparql(SPARQL_AGG_FULL)),
+    "sparql_path" -> ((s, d) => graft(s, d).sparql(SPARQL_PATH)),
 
     // SPARQL 1.1 / analytic extension surface (direct DataFrame API)
     "q1_agg" -> ((s, d) =>
@@ -403,6 +412,12 @@ object SparkEntry {
         | MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty, COUNT(*) AS cnt,
         | string_agg(l_linestatus, '|' ORDER BY l_linestatus) AS statuses
         |FROM lineitem GROUP BY 1 ORDER BY flag""".stripMargin,
+
+    "sparql_path" ->
+      """SELECT 'urn:g:supp:' || CAST(s_suppkey AS VARCHAR) AS s, s_name AS sname,
+        | r_name AS rname
+        |FROM supplier JOIN nation ON n_nationkey = s_nationkey
+        | JOIN region ON r_regionkey = n_regionkey ORDER BY s""".stripMargin,
 
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,

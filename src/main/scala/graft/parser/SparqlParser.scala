@@ -71,13 +71,37 @@ class SparqlParser extends RegexParsers {
   // ---- triples -----------------------------------------------------------
   def verb: Parser[Term] = "a" ^^ (_ => Iri(Terms.RdfType)) | variable | iri
 
+  /** Property-path subset (SPARQL 1.1 extension over the reference):
+    * sequence `p1/p2` and inverse `^p`, desugared to fresh-variable joins. */
+  private sealed trait PathStep
+  private case class Fwd(p: Term) extends PathStep
+  private case class Inv(p: Term) extends PathStep
+
+  private var freshCounter = 0
+  private def fresh(): Var = { freshCounter += 1; Var(s"__path_$freshCounter") }
+
+  private def pathStep: Parser[PathStep] =
+    "^" ~> verb ^^ (Inv(_)) | verb ^^ (Fwd(_))
+
+  private def path: Parser[List[PathStep]] = rep1sep(pathStep, "/")
+
+  /** Expand `s (step1/step2/…) o` into chained triples over fresh vars. */
+  private def expandPath(s: Term, steps: List[PathStep], o: Term): List[TriplePattern] = {
+    val n = steps.size
+    val nodes: List[Term] = s :: List.tabulate(n - 1)(_ => fresh()) ::: List(o)
+    steps.lazyZip(nodes.init).lazyZip(nodes.tail).map {
+      case (Fwd(p), a, b) => TriplePattern(a, p, b)
+      case (Inv(p), a, b) => TriplePattern(b, p, a)
+    }
+  }
+
   def triplesSameSubject: Parser[List[TriplePattern]] =
     graphTerm ~ propertyList ^^ { case s ~ pos =>
-      pos.map { case (p, o) => TriplePattern(s, p, o) }
+      pos.flatMap { case (steps, o) => expandPath(s, steps, o) }
     }
 
-  def propertyList: Parser[List[(Term, Term)]] =
-    rep1sep(verb ~ rep1sep(graphTerm, ","), ";") ^^ (
+  private def propertyList: Parser[List[(List[PathStep], Term)]] =
+    rep1sep(path ~ rep1sep(graphTerm, ","), ";") ^^ (
       _.flatMap { case v ~ os => os.map(o => (v, o)) })
 
   def triplesBlock: Parser[Pattern.Bgp] =

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.BindJoin
+import graft.api.{Graft, TpchCatalog}
+
+class OperatorsSpec extends SparkTestBase {
+
+  def t(name: String) = spark.read.parquet(s"$sfDir/$name.parquet")
+  lazy val g: Graft = Graft.overParquetDir(TpchCatalog.catalog, sfDir)(spark)
+
+  test("bind join batches IN-lists and matches the plain join") {
+    val left = t("customer").filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey").as("k"), col("c_name"))
+    var batches = 0
+    val joined = BindJoin(left, Seq("k"), { keys =>
+      batches += 1
+      assert(keys.size <= 20)
+      // simulates a remote SQL source receiving the IN-list as constants
+      val in = keys.map(_.getLong(0))
+      t("orders").filter(col("o_custkey").isin(in: _*))
+        .select(col("o_custkey").as("k"), col("o_orderkey"))
+    }, windowSize = 20)
+    val expected = left.join(
+      t("orders").select(col("o_custkey").as("k"), col("o_orderkey")), Seq("k"))
+    assert(joined.count() == expected.count() && joined.count() > 0)
+    val distinctKeys = left.select("k").distinct().count()
+    assert(batches == math.ceil(distinctKeys / 20.0).toInt)
+  }
+
+  test("property path sequence + inverse desugar to joins") {
+    val seq = g.sparql(
+      """PREFIX g: <urn:g:>
+        |SELECT ?sname ?rname WHERE {
+        |  ?s a g:Supplier ; g:name ?sname ; g:nation/g:region/g:name ?rname .
+        |}""".stripMargin)
+    val want = t("supplier")
+      .join(t("nation"), col("s_nationkey") === col("n_nationkey"))
+      .join(t("region"), col("n_regionkey") === col("r_regionkey"))
+    assert(seq.count() == want.count() && seq.count() > 0)
+
+    val inv = g.sparql(
+      """PREFIX g: <urn:g:>
+        |SELECT ?cname WHERE {
+        |  ?o a g:Order ; g:totalprice ?tp . FILTER (?tp > 400000)
+        |  ?c ^g:customer ?o ; g:name ?cname .
+        |}""".stripMargin)
+    val wantInv = t("orders").filter(col("o_totalprice") > 400000)
+      .join(t("customer"), col("o_custkey") === col("c_custkey"))
+    assert(inv.count() == wantInv.count() && inv.count() > 0)
+  }
+}
