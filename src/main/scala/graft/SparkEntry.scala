@@ -180,6 +180,15 @@ object SparkEntry {
       |  ?s a g:Supplier ; g:name ?sname ; g:nation/g:region/g:name ?rname .
       |} ORDER BY ?s""".stripMargin
 
+  /** LANG()/LANGMATCHES over mapped lang-tag metadata (RefMap.langColumn —
+    * the reference's xml:lang handling for wrapper results). */
+  private val SPARQL_LANG =
+    """PREFIX g: <urn:g:>
+      |SELECT ?d ?txt WHERE {
+      |  ?d a g:Document ; g:text ?txt .
+      |  FILTER (LANGMATCHES(LANG(?txt), "en"))
+      |} ORDER BY ?d""".stripMargin
+
   // ---- query registry -----------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -204,6 +213,7 @@ object SparkEntry {
     "sparql_values" -> ((s, d) => graft(s, d).sparql(SPARQL_VALUES)),
     "sparql_agg_full" -> ((s, d) => graft(s, d).sparql(SPARQL_AGG_FULL)),
     "sparql_path" -> ((s, d) => graft(s, d).sparql(SPARQL_PATH)),
+    "sparql_lang" -> ((s, d) => graft(s, d).sparql(SPARQL_LANG)),
 
     // SPARQL 1.1 / analytic extension surface (direct DataFrame API)
     "q1_agg" -> ((s, d) =>
@@ -418,6 +428,10 @@ object SparkEntry {
         | r_name AS rname
         |FROM supplier JOIN nation ON n_nationkey = s_nationkey
         | JOIN region ON r_regionkey = n_regionkey ORDER BY s""".stripMargin,
+
+    "sparql_lang" ->
+      """SELECT 'urn:g:doc:' || CAST(doc_id AS VARCHAR) AS d, text AS txt
+        |FROM documents WHERE lower(lang) = 'en' ORDER BY d""".stripMargin,
 
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,

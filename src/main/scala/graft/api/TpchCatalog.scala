@@ -76,5 +76,15 @@ object TpchCatalog {
       rdfType = s"${G}Region", table = "region",
       subject = Template(s"${G}region:{r_regionkey}"),
       predicates = Map(s"${G}name" -> RefMap("r_name")),
-      source = "srcC", broadcastHint = true)))
+      source = "srcC", broadcastHint = true),
+    Molecule(
+      rdfType = s"${G}Document", table = "documents",
+      subject = Template(s"${G}doc:{doc_id}"),
+      predicates = Map(
+        // text carries a per-row language tag (xml:lang equivalent)
+        s"${G}text"   -> RefMap("text", langColumn = Some("lang")),
+        s"${G}lang"   -> RefMap("lang"),
+        s"${G}source" -> RefMap("source"),
+        s"${G}nchars" -> RefMap("n_chars")),
+      source = "srcD")))
 }

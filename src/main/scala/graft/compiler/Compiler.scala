@@ -19,11 +19,15 @@ import graft.mapping._
   * both sides so `join(usingColumns)` applies.
   */
 final case class Compiled(df: DataFrame, sigs: Map[String, (String, List[String])]) {
-  def visibleVars: Seq[String] = df.columns.toSeq.filterNot(_.startsWith("__k_"))
+  def visibleVars: Seq[String] = df.columns.toSeq.filterNot(Compiled.isHidden)
   def dropHidden: DataFrame = {
-    val hidden = df.columns.filter(_.startsWith("__k_"))
+    val hidden = df.columns.filter(Compiled.isHidden)
     if (hidden.isEmpty) df else df.drop(hidden.toIndexedSeq: _*)
   }
+}
+object Compiled {
+  /** `__k_<var>_<i>` raw template keys; `__lang_<var>` literal lang tags. */
+  def isHidden(c: String): Boolean = c.startsWith("__k_") || c.startsWith("__lang_")
 }
 
 /** SPARQL algebra → DataFrame compiler.
@@ -290,11 +294,12 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
         }
         case Iri(p) => m.predicates.get(p) match {
           case None => conds += lit(false)
-          case Some(RefMap(c)) => tp.o match {
+          case Some(RefMap(c, langCol)) => tp.o match {
             case Var(v) => bindings.get(v) match {
               case Some(existing) => conds += existing === df.col(c)
               case None =>
                 bindings(v) = df.col(c)
+                langCol.foreach(lc => hidden(s"__lang_$v") = df.col(lc))
                 conds += df.col(c).isNotNull
             }
             case Lit(lex, dt, _) =>
@@ -356,9 +361,11 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
             l.sigs.get(v).foreach(_ => sigs -= v) // signature no longer reliable
         }
       }
-      // non-shared vars with colliding hidden names cannot exist (hidden
-      // names derive from var names); shared handled above
-      val rClean = r.df.drop(dropRight.toSeq: _*)
+      // drop any remaining hidden columns that would collide by name
+      // (e.g. __lang_<v> bound on both sides — keep left's)
+      val stillColliding = r.df.columns.filter(c =>
+        Compiled.isHidden(c) && l.df.columns.contains(c) && !joinCols.contains(c))
+      val rClean = r.df.drop((dropRight ++ stillColliding).toSeq: _*)
       val joined = l.df.join(rClean, joinCols.toSeq.distinct, how)
       val rSigs = (r.sigs -- shared).filter { case (_, (_, h)) =>
         h.forall(joined.columns.contains)
@@ -368,7 +375,8 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
   }
 
   private def dropCollidingHidden(l: Compiled, r: Compiled): DataFrame = {
-    val collide = l.df.columns.toSet intersect r.df.columns.filter(_.startsWith("__k_")).toSet
+    val collide = l.df.columns.toSet intersect
+      r.df.columns.filter(Compiled.isHidden).toSet
     if (collide.isEmpty) r.df else r.df.drop(collide.toSeq: _*)
   }
 

@@ -125,9 +125,15 @@ object ExprCompiler {
           case _ => a(0).cast(DoubleType).isNotNull
         }
       case "sameterm"   => a(0) === a(1)
-      // no lang metadata survives mapping tabular sources (reference keeps
-      // xml:lang only for SPARQL-endpoint wrappers)
-      case "lang"       => lit("")
+      // lang tags surface via hidden __lang_<var> columns when the mapping
+      // declares a lang column (RefMap.langColumn); literals without tags
+      // and unmapped vars yield "" per SPARQL
+      case "lang" => args.head match {
+        case Expr.TermRef(Var(n)) if df.columns.contains(s"__lang_$n") =>
+          coalesce(df.col(s"__lang_$n"), lit(""))
+        case Expr.TermRef(Lit(_, _, lang)) => lit(lang.getOrElse(""))
+        case _ => lit("")
+      }
       case "langmatches" =>
         args(1) match {
           case Expr.TermRef(Lit("*", _, _)) => a(0) =!= lit("")

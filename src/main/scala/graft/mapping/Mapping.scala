@@ -74,8 +74,12 @@ object Template {
 
 /** Predicate object term map (rml_model.py:66-71 TripleMapType). */
 sealed trait TermMap
-/** Raw column, keeps the native Spark type (rml:reference). */
-final case class RefMap(column: String) extends TermMap
+/** Raw column, keeps the native Spark type (rml:reference).
+  * `langColumn` optionally names a sibling column carrying the literal's
+  * language tag — the tabular equivalent of the reference's per-binding
+  * `xml:lang` (`sparql2spark.py:203-221`); it surfaces to LANG()/
+  * LANGMATCHES via a hidden `__lang_<var>` column. */
+final case class RefMap(column: String, langColumn: Option[String] = None) extends TermMap
 /** URI template over one or more columns (rr:template). */
 final case class TemplateMap(template: Template) extends TermMap
 /** Constant IRI (rr:constant). */

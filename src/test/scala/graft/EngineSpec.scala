@@ -203,6 +203,37 @@ class EngineSpec extends SparkTestBase {
       t("customer").filter(col("c_mktsegment").isin("BUILDING", "MACHINERY")).count())
   }
 
+  test("lang metadata: LANG()/LANGMATCHES over mapped lang column") {
+    val got = g.sparql(
+      """PREFIX g: <urn:g:>
+        |SELECT ?d WHERE { ?d a g:Document ; g:text ?txt .
+        |  FILTER (LANGMATCHES(LANG(?txt), "en")) }""".stripMargin)
+    val want = t("documents").filter(lower(col("lang")) === "en")
+    assert(got.count() == want.count() && got.count() > 0)
+  }
+
+  test("multi-source star unions per-source molecules (federation)") {
+    import graft.mapping._
+    val G = "urn:g:"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fed").toString
+    val cust = t("customer")
+    cust.filter(col("c_custkey") % 2 === 0).write.mode("overwrite").parquet(s"$tmp/custA.parquet")
+    cust.filter(col("c_custkey") % 2 === 1).write.mode("overwrite").parquet(s"$tmp/custB.parquet")
+    def mol(tab: String, src: String) = Molecule(
+      rdfType = s"${G}Customer", table = tab,
+      subject = Template(s"${G}cust:{c_custkey}"),
+      predicates = Map(s"${G}name" -> RefMap("c_name"),
+        s"${G}mktsegment" -> RefMap("c_mktsegment")),
+      source = src)
+    val cat = Catalog(List(mol("custA", "srcA"), mol("custB", "srcB")))
+    val fed = new Graft(cat, tab => spark.read.parquet(s"$tmp/$tab.parquet"))(spark)
+    val got = fed.sparql(
+      """PREFIX g: <urn:g:>
+        |SELECT ?c ?n WHERE { ?c a g:Customer ; g:name ?n ; g:mktsegment "BUILDING" }""".stripMargin)
+    val want = cust.filter(col("c_mktsegment") === "BUILDING")
+    assert(got.count() == want.count() && got.count() > 0)
+  }
+
   test("constant IRI subject inverts template to key equality") {
     val custkey = t("customer").select(min("c_custkey")).collect()(0).getLong(0)
     val got = g.sparql(
