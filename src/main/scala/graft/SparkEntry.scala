@@ -189,6 +189,12 @@ object SparkEntry {
       |  FILTER (LANGMATCHES(LANG(?txt), "en"))
       |} ORDER BY ?d""".stripMargin
 
+  private val SPARQL_HAVING =
+    """PREFIX g: <urn:g:>
+      |SELECT ?cust (COUNT(*) AS ?n) WHERE {
+      |  ?o a g:Order ; g:customer ?cust .
+      |} GROUP BY ?cust HAVING (COUNT(*) > 12) ORDER BY ?cust""".stripMargin
+
   // ---- query registry -----------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -214,6 +220,7 @@ object SparkEntry {
     "sparql_agg_full" -> ((s, d) => graft(s, d).sparql(SPARQL_AGG_FULL)),
     "sparql_path" -> ((s, d) => graft(s, d).sparql(SPARQL_PATH)),
     "sparql_lang" -> ((s, d) => graft(s, d).sparql(SPARQL_LANG)),
+    "sparql_having" -> ((s, d) => graft(s, d).sparql(SPARQL_HAVING)),
 
     // SPARQL 1.1 / analytic extension surface (direct DataFrame API)
     "q1_agg" -> ((s, d) =>
@@ -432,6 +439,10 @@ object SparkEntry {
     "sparql_lang" ->
       """SELECT 'urn:g:doc:' || CAST(doc_id AS VARCHAR) AS d, text AS txt
         |FROM documents WHERE lower(lang) = 'en' ORDER BY d""".stripMargin,
+
+    "sparql_having" ->
+      """SELECT 'urn:g:cust:' || CAST(o_custkey AS VARCHAR) AS cust, COUNT(*) AS n
+        |FROM orders GROUP BY 1 HAVING COUNT(*) > 12 ORDER BY cust""".stripMargin,
 
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,

@@ -101,15 +101,35 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
   private def compileAggregate(q: Query, c: Compiled): DataFrame = {
     val df = c.dropHidden
     val gcols = q.groupBy.map(v => df.col(v.name))
+    // HAVING with inline aggregates (COUNT(*) > n): hoist each agg:* call
+    // into a hidden aggregate column and reference it in the filter
+    val hoisted = mutable.ListBuffer[Column]()
+    def hoist(e: Expr): Expr = e match {
+      case Expr.Call(name, args) if name.startsWith("agg:") =>
+        val fn = name.stripPrefix("agg:")
+        val alias = Var(s"__hav_${hoisted.size}")
+        hoisted += aggColumn(ProjAgg(fn, args.headOption, distinct = false, alias), df)
+        Expr.TermRef(alias)
+      case Expr.Cmp(op, l, r)   => Expr.Cmp(op, hoist(l), hoist(r))
+      case Expr.Arith(op, l, r) => Expr.Arith(op, hoist(l), hoist(r))
+      case Expr.And(l, r)       => Expr.And(hoist(l), hoist(r))
+      case Expr.Or(l, r)        => Expr.Or(hoist(l), hoist(r))
+      case Expr.Not(x)          => Expr.Not(hoist(x))
+      case Expr.Call(n, as)     => Expr.Call(n, as.map(hoist))
+      case other                => other
+    }
+    val having = q.having.map(hoist)
     val aggCols = q.projection.collect {
       case pa: ProjAgg => aggColumn(pa, df)
       case ProjExpr(e, as) => first(ExprCompiler.compile(e, df)).as(as.name)
-    }
+    } ++ hoisted
     val grouped =
       if (gcols.nonEmpty) df.groupBy(gcols: _*).agg(aggCols.head, aggCols.tail: _*)
       else df.agg(aggCols.head, aggCols.tail: _*)
-    val projected = grouped.select(q.projection.map(p => grouped.col(p.alias)): _*)
-    q.having.fold(projected)(h => projected.filter(ExprCompiler.predicate(h, projected)))
+    // filter on the grouped frame (aliases + hidden having-aggs visible),
+    // then project the declared aliases
+    val filtered = having.fold(grouped)(h => grouped.filter(ExprCompiler.predicate(h, grouped)))
+    filtered.select(q.projection.map(p => filtered.col(p.alias)): _*)
   }
 
   private def aggColumn(pa: ProjAgg, df: DataFrame): Column = {

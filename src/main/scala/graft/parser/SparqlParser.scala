@@ -218,8 +218,17 @@ class SparqlParser extends RegexParsers {
       case fn ~ args => Expr.Call(fn, args)
     }
 
+  /** Aggregate call inside an expression (HAVING position): encoded as
+    * Call("agg:<fn>", args) and rewritten to a hidden aggregate column by
+    * the compiler. */
+  def aggExpr: Parser[Expr] =
+    aggFunc ~ ("(" ~> ("*" ^^ (_ => Nil) | expression ^^ (List(_))) <~ ")") ^^ {
+      case fn ~ args => Expr.Call(s"agg:$fn", args)
+    }
+
   def primaryExpr: Parser[Expr] =
     "(" ~> expression <~ ")" |
+    aggExpr |
     builtinCall |
     (variable | literal) ^^ (t => Expr.TermRef(t): Expr) |
     iri ^^ (t => Expr.TermRef(t): Expr)
