@@ -56,6 +56,16 @@ object GraftFunctions {
     new GenericArrayData(out)
   }
 
+  /** Register SQL-callable functions on an existing session (cluster-wide
+    * registration goes through [[GraftExtensions]] via
+    * spark.sql.extensions). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_bands",
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinHashBands(children.head, 32, 8),
+      "scala_udf")
+
   def minhash_bands(shingleIds: Column, numPerm: Int = 32, bands: Int = 8): Column = {
     import org.apache.spark.sql.GraftBridge
     GraftBridge.column(

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.{Graft, TpchCatalog}
+import graft.operators.SkewJoin
+
+/** Physical-plan audits: the shapes that matter at 100 TB must actually be
+  * in the plan, not just intended. */
+class PlanAuditSpec extends SparkTestBase {
+
+  lazy val g: Graft = Graft.overParquetDir(TpchCatalog.catalog, sfDir)(spark)
+  def t(name: String) = spark.read.parquet(s"$sfDir/$name.parquet")
+
+  private def executed(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // force AQE final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("cross-star STR() equality becomes a real equi-join, not a cartesian") {
+    val plan = executed(g.sparql(
+      """PREFIX g: <urn:g:>
+        |SELECT ?c ?s WHERE {
+        |  ?c a g:Customer ; g:nation ?n1 .
+        |  ?s a g:Supplier ; g:nation ?n2 .
+        |  FILTER (STR(?n1) = STR(?n2))
+        |}""".stripMargin))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"theta filter did not become an equi-join:\n$plan")
+  }
+
+  test("dimension molecules join via broadcast (catalog hint)") {
+    val plan = executed(g.sparql(
+      """PREFIX g: <urn:g:>
+        |SELECT ?sname ?nname WHERE {
+        |  ?s a g:Supplier ; g:name ?sname ; g:nation ?n .
+        |  ?n a g:Nation ; g:name ?nname .
+        |}""".stripMargin))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("column pruning reaches the scan for star projections") {
+    val df = g.sparql(
+      """PREFIX g: <urn:g:>
+        |SELECT ?qty WHERE { ?l a g:Lineitem ; g:quantity ?qty }""".stripMargin)
+    val scan = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scan.contains("l_quantity") && !scan.contains("l_extendedprice"),
+      s"scan reads more than projected: $scan")
+  }
+
+  test("salted skew join equals plain join") {
+    val plain = t("lineitem").join(t("orders"), col("l_orderkey") === col("o_orderkey"))
+    val salted = SkewJoin.salted(
+      t("lineitem").withColumnRenamed("l_orderkey", "k"),
+      t("orders").withColumnRenamed("o_orderkey", "k"),
+      key = "k", leftUnique = "l_linenumber", salts = 4)
+    assert(salted.count() == plain.count())
+  }
+
+  test("minhash_bands is SQL-callable after registration") {
+    graft.functions.GraftFunctions.register(spark)
+    val n = spark.sql(
+      "SELECT minhash_bands(array(1L, 2L, 3L)) AS b").collect()(0)
+      .getSeq[Long](0)
+    assert(n.length == 8)
+  }
+}
