@@ -195,6 +195,13 @@ object SparkEntry {
       |  ?o a g:Order ; g:customer ?cust .
       |} GROUP BY ?cust HAVING (COUNT(*) > 12) ORDER BY ?cust""".stripMargin
 
+  /** CONSTRUCT with typed-literal N-Triples serialization (^^xsd:…). */
+  private val SPARQL_CONSTRUCT_TYPED =
+    """PREFIX g: <urn:g:>
+      |CONSTRUCT { ?l g:qty ?qty . ?l g:ship ?sd } WHERE {
+      |  ?l a g:Lineitem ; g:quantity ?qty ; g:shipdate ?sd .
+      |}""".stripMargin
+
   // ---- query registry -----------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -208,6 +215,8 @@ object SparkEntry {
     "sparql_theta_str" -> ((s, d) => graft(s, d).sparql(SPARQL_THETA_STR)),
     "sparql_ask" -> ((s, d) => graft(s, d).sparql(SPARQL_ASK)),
     "sparql_construct" -> ((s, d) => graft(s, d).sparql(SPARQL_CONSTRUCT).orderBy("s")),
+    "sparql_construct_typed" -> ((s, d) =>
+      graft(s, d).sparql(SPARQL_CONSTRUCT_TYPED).orderBy("s", "p")),
     "sparql_topk" -> ((s, d) => graft(s, d).sparql(SPARQL_TOPK)),
     "sparql_agg_group" -> ((s, d) => graft(s, d).sparql(SPARQL_AGG_GROUP)),
     "sparql_builtins" -> ((s, d) => graft(s, d).sparql(SPARQL_BUILTINS)),
@@ -443,6 +452,19 @@ object SparkEntry {
     "sparql_having" ->
       """SELECT 'urn:g:cust:' || CAST(o_custkey AS VARCHAR) AS cust, COUNT(*) AS n
         |FROM orders GROUP BY 1 HAVING COUNT(*) > 12 ORDER BY cust""".stripMargin,
+
+    "sparql_construct_typed" ->
+      """SELECT DISTINCT * FROM (
+        | SELECT '<urn:g:line:' || CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) || '>' AS s,
+        |        '<urn:g:qty>' AS p,
+        |        '"' || CAST(l_quantity AS VARCHAR) || '"^^<http://www.w3.org/2001/XMLSchema#double>' AS o
+        | FROM lineitem
+        | UNION ALL
+        | SELECT '<urn:g:line:' || CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) || '>',
+        |        '<urn:g:ship>',
+        |        '"' || CAST(l_shipdate AS VARCHAR) || '"^^<http://www.w3.org/2001/XMLSchema#dateTime>'
+        | FROM lineitem
+        |) ORDER BY s, p""".stripMargin,
 
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,

@@ -166,14 +166,36 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
     * (s, p, o); set semantics via distinct. */
   private def compileConstruct(q: Query): DataFrame = {
     val c = compilePattern(q.pattern)
+    /** N-Triples term formatting incl. `^^datatype` for typed and `@lang`
+      * for tagged literals (Xconstruct.py:46-104). */
     def fmt(t: Term, pos: String): Column = t match {
       case Iri(u) => lit(s"<$u>")
-      case Lit(lex, _, _) => lit("\"" + lex + "\"")
+      case Lit(lex, dt, lang) =>
+        val base = "\"" + lex + "\""
+        lit(dt.map(d => s"$base^^<$d>").orElse(lang.map(l => s"$base@$l")).getOrElse(base))
       case Var(n) =>
         if (!c.df.columns.contains(n)) lit(null)
         else if (c.sigs.contains(n) || pos != "o")
           concat(lit("<"), c.df.col(n).cast(StringType), lit(">"))
-        else concat(lit("\""), c.df.col(n).cast(StringType), lit("\""))
+        else {
+          val quoted = concat(lit("\""), c.df.col(n).cast(StringType), lit("\""))
+          val xsd = c.df.schema(n).dataType match {
+            case _: LongType | _: IntegerType | _: ShortType => Some(Terms.XsdInt)
+            case _: DoubleType | _: FloatType                => Some(Terms.XsdDouble)
+            case _: DecimalType                              => Some(Terms.XsdDecimal)
+            case _: BooleanType                              => Some(Terms.XsdBoolean)
+            case _: TimestampType | TimestampNTZType | _: DateType => Some(Terms.XsdDateTime)
+            case _                                           => None
+          }
+          xsd match {
+            case Some(d) => concat(quoted, lit(s"^^<$d>"))
+            case None if c.df.columns.contains(s"__lang_$n") =>
+              // lang-tagged string literal: "lex"@lang (tag may be null ⇒ plain)
+              when(col(s"__lang_$n").isNotNull,
+                concat(quoted, lit("@"), col(s"__lang_$n"))).otherwise(quoted)
+            case None => quoted
+          }
+        }
     }
     val parts = q.template.map { tp =>
       c.df.select(fmt(tp.s, "s").as("s"), fmt(tp.p, "p").as("p"), fmt(tp.o, "o").as("o"))
