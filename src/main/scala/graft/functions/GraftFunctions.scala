@@ -71,6 +71,36 @@ object GraftFunctions {
     GraftBridge.column(
       MinHashBands(GraftBridge.expression(shingleIds), numPerm, bands))
   }
+
+  /** 64-bit SimHash from token hashes: each bit position tallies ±1 votes
+    * across tokens (duplicates weight naturally); sign becomes the bit.
+    * Called from generated code. */
+  def simhash64(hashes: ArrayData): Long = {
+    val n = hashes.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = mix64(hashes.getLong(i))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) fp |= 1L << b
+      b += 1
+    }
+    fp
+  }
+
+  def simhash(tokenHashes: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(SimHash64(GraftBridge.expression(tokenHashes)))
+  }
 }
 
 /** array<long> shingle ids → array<long> of LSH band bucket hashes. */
@@ -98,5 +128,30 @@ final case class MinHashBands(child: Expression, numPerm: Int, bands: Int)
       s"${ev.value} = graft.functions.GraftFunctions.minhashBands($c, $numPerm, $bands);")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+    copy(child = newChild)
+}
+
+/** array<long> token hashes → 64-bit SimHash fingerprint. */
+final case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+  : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"simhash expects array<bigint>, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftFunctions.simhash64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftFunctions.simhash64($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }

@@ -102,21 +102,16 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash per document: per-token xxhash64, each bit position
-    * votes ±1, sign of the vote sum becomes the bit. One explode + one
-    * groupBy(doc) — the 64 bit-counters are map-side-combined columns, not
-    * 64 passes. */
-  def simhash(docs: DataFrame): DataFrame = {
-    val tok = docs
-      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
-    val agged = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 64).map(b =>
-      when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_.bitwiseOR(_))
-    agged.select(col("doc_id"), fp.as("simhash"))
-  }
+  /** 64-bit SimHash per document: per-token hash, each bit position votes
+    * ±1 (duplicate tokens weight naturally), sign of the vote sum becomes
+    * the bit. Map-only: the vote loop is the native [[graft.functions.
+    * SimHash64]] expression — no explode, no 64-counter shuffle. */
+  def simhash(docs: DataFrame): DataFrame =
+    docs
+      .repartition(col("doc_id"))
+      .withColumn("__th", expr("transform(split(lower(text), '\\\\s+'), t -> xxhash64(t))"))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.simhash(col("__th")).as("simhash"))
 
   /** SimHash near-dup pairs within `maxHamming`: 4×16-bit band index (a
     * pair within hamming ≤ 3 of 64 bits must agree exactly on ≥1 of the 4

@@ -73,7 +73,11 @@ object TextAnalysis {
     * rolling-hash/winnowing family; MinHash in [[Dedup]] covers the fuzzy
     * end). */
   def fingerprints(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      md5(regexp_replace(lower(col("text")), "[^a-z0-9]", "")).as("fingerprint"))
+    docs
+      // the normalization regex dominates; fan a single input file out
+      // across the cluster before it runs
+      .repartition(col("doc_id"))
+      .select(
+        col("doc_id"),
+        md5(regexp_replace(lower(col("text")), "[^a-z0-9]", "")).as("fingerprint"))
 }
