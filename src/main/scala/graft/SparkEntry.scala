@@ -334,6 +334,9 @@ object SparkEntry {
     "emb_knn_lsh" -> ((s, d) =>
       Similarity.lshTopK(T(s, d, "embeddings"), k = 5, numQueries = 3, planes = 8)
         .orderBy("q_id", "rank")),
+    "emb_knn_ivf" -> ((s, d) =>
+      Similarity.ivfTopK(T(s, d, "embeddings"), k = 5, numQueries = 3)
+        .orderBy("q_id", "rank")),
     "emb_top_pairs" -> ((s, d) =>
       Similarity.topSimilarPairs(T(s, d, "embeddings"), n = 50).orderBy("a", "b"))
   )

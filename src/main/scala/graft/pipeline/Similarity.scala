@@ -124,6 +124,52 @@ object Similarity {
       .select("q_id", "vec_id", "rank")
   }
 
+  /** IVF (inverted-file) ANN: k-means coarse quantizer over normalized
+    * vectors; each query scores only the `nProbe` nearest cells' members.
+    * The classic disk-friendly ANN layout at corpus scale — cells map to
+    * partitions/files, so a query touches `nProbe/k` of the data. Training
+    * samples the corpus; assignment is one map-only pass.
+    * Output: (q_id, vec_id, rank). */
+  def ivfTopK(emb: DataFrame, k: Int = 5, numQueries: Int = 3,
+              cells: Int = 16, nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.Vectors
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val ds = asRows(emb)
+    val vecs = ds.map(e => (e.vec_id, Vectors.dense(normalize(e.embedding))))
+      .toDF("vec_id", "features")
+    val model = new KMeans().setK(cells).setSeed(42L).setMaxIter(10).fit(vecs)
+    val centers = model.clusterCenters.map(_.toArray)
+    val assigned = model.transform(vecs)
+      .select(col("vec_id"), col("features"), col("prediction").as("cell"))
+    val queries = assigned.filter(col("vec_id") < numQueries)
+      .collect().map { r =>
+        val v = r.getAs[org.apache.spark.ml.linalg.Vector]("features").toArray
+        // nProbe nearest cells by centroid distance
+        val probes = centers.zipWithIndex
+          .sortBy { case (c, _) =>
+            -c.lazyZip(v).map(_ * _).sum
+          }.take(nProbe).map(_._2).toSet
+        (r.getLong(0), v, probes)
+      }
+    val bc = spark.sparkContext.broadcast(queries)
+    val scored = assigned.as[(Long, org.apache.spark.ml.linalg.Vector, Int)]
+      .mapPartitions { it =>
+        val qs = bc.value
+        it.flatMap { case (id, fv, cell) =>
+          val v = fv.toArray
+          qs.iterator.filter(q => q._3.contains(cell) && q._1 != id)
+            .map { case (qid, qv, _) => (qid, id, dot(v, qv)) }
+        }
+      }.toDF("q_id", "vec_id", "cosine")
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs: global top-`n` most similar
     * pairs (a < b). The corpus side streams partition-parallel against a
     * broadcast copy, each partition keeps only its local top-n heap, and

@@ -53,6 +53,16 @@ class PipelineSpec extends SparkTestBase {
     assert(got.nonEmpty) // 4 planes ⇒ 16 buckets ⇒ collisions guaranteed at 500 vecs
   }
 
+  test("ivf knn probes nearest cells and finds the brute-force nearest often") {
+    val ivf = Similarity.ivfTopK(emb, k = 5, numQueries = 3, cells = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(ivf.count(_._3 == 1) == 3) // each query has neighbours in its probes
+    val brute = Similarity.bruteForceTopK(emb, k = 1, numQueries = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val hits = ivf.filter(_._3 == 1).count { case (q, v, _) => brute(q) == v }
+    assert(hits >= 1, s"IVF rank-1 never matched brute force: $ivf vs $brute")
+  }
+
   test("media features equal deterministic stub formulas") {
     val feats = Multimodal.extractFeatures(docs)(spark).collect()
     val lens = docs.select(col("doc_id"), octet_length(col("text")).cast("long"))
