@@ -202,6 +202,12 @@ object SparkEntry {
       |  ?l a g:Lineitem ; g:quantity ?qty ; g:shipdate ?sd .
       |}""".stripMargin
 
+  /** Variable-predicate probe (property enumeration — the reference's
+    * wrappers expand ?p over their triple maps). */
+  private val SPARQL_VARPRED =
+    """PREFIX g: <urn:g:>
+      |SELECT ?p ?o WHERE { <urn:g:cust:1> ?p ?o } ORDER BY ?p ?o""".stripMargin
+
   // ---- query registry -----------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -230,6 +236,7 @@ object SparkEntry {
     "sparql_path" -> ((s, d) => graft(s, d).sparql(SPARQL_PATH)),
     "sparql_lang" -> ((s, d) => graft(s, d).sparql(SPARQL_LANG)),
     "sparql_having" -> ((s, d) => graft(s, d).sparql(SPARQL_HAVING)),
+    "sparql_varpred" -> ((s, d) => graft(s, d).sparql(SPARQL_VARPRED)),
 
     // SPARQL 1.1 / analytic extension surface (direct DataFrame API)
     "q1_agg" -> ((s, d) =>
@@ -468,6 +475,17 @@ object SparkEntry {
         |        '"' || CAST(l_shipdate AS VARCHAR) || '"^^<http://www.w3.org/2001/XMLSchema#dateTime>'
         | FROM lineitem
         |) ORDER BY s, p""".stripMargin,
+
+    "sparql_varpred" ->
+      """SELECT * FROM (
+        | SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p, 'urn:g:Customer' AS o
+        |  FROM customer WHERE c_custkey = 1
+        | UNION ALL SELECT 'urn:g:acctbal', CAST(c_acctbal AS VARCHAR) FROM customer WHERE c_custkey = 1
+        | UNION ALL SELECT 'urn:g:mktsegment', c_mktsegment FROM customer WHERE c_custkey = 1
+        | UNION ALL SELECT 'urn:g:name', c_name FROM customer WHERE c_custkey = 1
+        | UNION ALL SELECT 'urn:g:nation', 'urn:g:nation:' || CAST(c_nationkey AS VARCHAR)
+        |  FROM customer WHERE c_custkey = 1
+        |) ORDER BY p, o""".stripMargin,
 
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,

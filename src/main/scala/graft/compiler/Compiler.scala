@@ -286,8 +286,69 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
 
   /** One star over its candidate molecules; multiple sources union
     * (the reference's per-source Service UnionBlock, `utility.py:76-98`). */
-  private def compileStar(star: Star): Compiled =
-    star.molecules.map(compileStarMolecule(star, _)).reduce(union2)
+  private def compileStar(star: Star): Compiled = {
+    if (star.triples.exists(_.p.isInstanceOf[Var])) {
+      require(star.triples.size == 1,
+        "variable predicates are supported for single-triple stars (?s ?p ?o probes)")
+      star.molecules.map(compileVarPredStar(star, _)).reduce(union2)
+    } else star.molecules.map(compileStarMolecule(star, _)).reduce(union2)
+  }
+
+  /** `?s ?p ?o`-style probe: enumerate the molecule's predicates (plus
+    * rdf:type), one union branch each — how the reference's wrappers expand
+    * a variable predicate over their triple maps. Object values are cast to
+    * their lexical (string) form so branches union cleanly. */
+  private def compileVarPredStar(star: Star, m: Molecule): Compiled = {
+    val TriplePattern(s, Var(pv), o) = star.triples.head: @unchecked
+    val df = load(m.table)
+
+    def branch(predIri: String, value: Column, guards: Seq[Column]): Compiled = {
+      val conds = mutable.ListBuffer[Column](guards: _*)
+      val bindings = mutable.LinkedHashMap[String, Column]()
+      var sigs = Map[String, (String, List[String])]()
+      val hidden = mutable.LinkedHashMap[String, Column]()
+      s match {
+        case Var(sv) =>
+          bindings(sv) = m.subject.build(df.col)
+          val hnames = m.subject.columns.zipWithIndex.map { case (_, i) => s"__k_${sv}_$i" }
+          hnames.lazyZip(m.subject.columns).foreach((h, c) => hidden(h) = df.col(c))
+          sigs += sv -> (m.subject.signature, hnames)
+          m.subject.columns.foreach(c => conds += df.col(c).isNotNull)
+        case Iri(u) => m.subject.invert(u) match {
+          case Some(kvs) =>
+            kvs.foreach { case (c, lex) => conds += df.col(c).cast(StringType) === lit(lex) }
+          case None => conds += lit(false)
+        }
+        case _ => conds += lit(false)
+      }
+      bindings.get(pv) match {
+        case Some(existing) => conds += existing === lit(predIri)
+        case None           => bindings(pv) = lit(predIri)
+      }
+      o match {
+        case Var(ov) =>
+          bindings.get(ov) match {
+            case Some(existing) => conds += existing === value
+            case None           => bindings(ov) = value
+          }
+        case Iri(u)         => conds += value === lit(u)
+        case Lit(lex, _, _) => conds += value === lit(lex)
+      }
+      val filtered = if (conds.isEmpty) df else df.filter(conds.reduce(_ && _))
+      Compiled(filtered.select((bindings.map { case (v, c) => c.as(v) } ++
+        hidden.map { case (h, c) => c.as(h) }).toSeq: _*), sigs)
+    }
+
+    val predBranches = m.predicates.toList.sortBy(_._1).map {
+      case (p, RefMap(c, _)) =>
+        branch(p, df.col(c).cast(StringType), Seq(df.col(c).isNotNull))
+      case (p, TemplateMap(t)) =>
+        branch(p, t.build(df.col), t.columns.map(df.col(_).isNotNull))
+      case (p, ConstantMap(v)) => branch(p, lit(v), Nil)
+    }
+    val typeBranch = branch(Terms.RdfType, lit(m.rdfType), Nil)
+    (typeBranch :: predBranches).reduce(union2)
+  }
 
   /** Star × molecule → single-table scan with template concat columns,
     * constant inversions, and not-null guards — what the reference's

@@ -109,7 +109,7 @@ object Decomposer {
     val constPreds: Set[String] = ts.collect {
       case TriplePattern(_, Iri(p), _) if p != Terms.RdfType => p
     }.toSet
-    val candidates: List[Molecule] = typeConst match {
+    val base: List[Molecule] = typeConst match {
       case Some(cls) =>
         catalog.byType.getOrElse(cls, Nil)
           .filter(m => constPreds.subsetOf(m.predicates.keySet))
@@ -119,6 +119,11 @@ object Decomposer {
         val hasVarPred = ts.exists(t => t.p.isInstanceOf[Var])
         if (hasVarPred && constPreds.isEmpty) catalog.molecules
         else catalog.findByPreds(constPreds)
+    }
+    // constant subject: only molecules whose subject template can produce it
+    val candidates = subj match {
+      case Iri(u) => base.filter(m => m.subject.invert(u).isDefined)
+      case _      => base
     }
     if (candidates.isEmpty)
       throw new IllegalArgumentException(
