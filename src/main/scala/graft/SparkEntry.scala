@@ -208,6 +208,16 @@ object SparkEntry {
     """PREFIX g: <urn:g:>
       |SELECT ?p ?o WHERE { <urn:g:cust:1> ?p ?o } ORDER BY ?p ?o""".stripMargin
 
+  /** BIND computed column + IN-list filter (SPARQL 1.1 extensions). */
+  private val SPARQL_BIND_IN =
+    """PREFIX g: <urn:g:>
+      |SELECT ?l ?rev WHERE {
+      |  ?l a g:Lineitem ; g:extendedprice ?price ; g:discount ?disc ;
+      |     g:returnflag ?flag .
+      |  BIND (?price * (1 - ?disc) AS ?rev)
+      |  FILTER (?flag IN ("A", "R"))
+      |} ORDER BY ?l ?rev""".stripMargin
+
   // ---- query registry -----------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -237,6 +247,7 @@ object SparkEntry {
     "sparql_lang" -> ((s, d) => graft(s, d).sparql(SPARQL_LANG)),
     "sparql_having" -> ((s, d) => graft(s, d).sparql(SPARQL_HAVING)),
     "sparql_varpred" -> ((s, d) => graft(s, d).sparql(SPARQL_VARPRED)),
+    "sparql_bind_in" -> ((s, d) => graft(s, d).sparql(SPARQL_BIND_IN)),
 
     // SPARQL 1.1 / analytic extension surface (direct DataFrame API)
     "q1_agg" -> ((s, d) =>
@@ -486,6 +497,11 @@ object SparkEntry {
         | UNION ALL SELECT 'urn:g:nation', 'urn:g:nation:' || CAST(c_nationkey AS VARCHAR)
         |  FROM customer WHERE c_custkey = 1
         |) ORDER BY p, o""".stripMargin,
+
+    "sparql_bind_in" ->
+      """SELECT 'urn:g:line:' || CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) AS l,
+        | l_extendedprice * (1 - l_discount) AS rev
+        |FROM lineitem WHERE l_returnflag IN ('A', 'R') ORDER BY l, rev""".stripMargin,
 
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,

@@ -68,6 +68,7 @@ sealed trait Pattern {
     case Pattern.Minus(l, _)        => l.vars
     case Pattern.Exists(l, _, _)    => l.vars
     case Pattern.Values(vs, _)      => vs.map(_.name).toSet
+    case Pattern.Extend(p, v, _)    => p.vars + v.name
   }
 }
 object Pattern {
@@ -83,6 +84,10 @@ object Pattern {
   final case class Exists(l: Pattern, r: Pattern, positive: Boolean) extends Pattern
   /** VALUES inline data (SPARQL 1.1 extension); None = UNDEF. */
   final case class Values(vs: List[Var], rows: List[List[Option[Term]]]) extends Pattern
+  /** BIND(expr AS ?v) (SPARQL 1.1 extension). */
+  final case class Extend(p: Pattern, v: Var, expr: Expr) extends Pattern {
+    override def toString: String = s"Extend($p, $v)"
+  }
 }
 
 sealed trait QueryForm

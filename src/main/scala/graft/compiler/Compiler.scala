@@ -215,6 +215,9 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
     case Pattern.Filter(e, p0) =>
       val c = compilePattern(p0)
       c.copy(df = c.df.filter(ExprCompiler.predicate(e, c.df)))
+    case Pattern.Extend(p0, v, e) =>
+      val c = compilePattern(p0)
+      c.copy(df = c.df.withColumn(v.name, ExprCompiler.compile(e, c.df)))
     case Pattern.Minus(l, r)      => antiSemi(l, r, "left_anti")
     case Pattern.Exists(l, r, pos) => antiSemi(l, r, if (pos) "left_semi" else "left_anti")
     case Pattern.Values(vs, rows) => compileValues(vs, rows)

@@ -147,6 +147,10 @@ object ExprCompiler {
           case _ => lit(Terms.XsdString)
         }
       case "coalesce"   => coalesce(args.map(compile(_, df)): _*)
+      // FILTER (?x IN (…)) — OR-of-equals; Catalyst folds literal lists to In
+      case "in" =>
+        val target = a(0)
+        args.tail.map(x => target === compile(x, df)).reduce(_ || _)
       case "if"         => when(ebv(args(0), df), a(1)).otherwise(a(2))
       // xsd:* constructor casts (ontario/sparql/__init__.py:8-60 binaryFunctor)
       case c if c.startsWith("http://www.w3.org/2001/XMLSchema#") =>

@@ -116,6 +116,7 @@ class SparqlParser extends RegexParsers {
   private case class MinusItem(p: Pattern) extends GgpItem
   private case class ExistsItem(p: Pattern, positive: Boolean) extends GgpItem
   private case class ValuesItem(p: Pattern.Values) extends GgpItem
+  private case class BindItem(v: Var, e: Expr) extends GgpItem
 
   def groupGraphPattern: Parser[Pattern] = "{" ~> rep(ggpItem) <~ "}" ^^ combine
 
@@ -125,6 +126,9 @@ class SparqlParser extends RegexParsers {
     kw("FILTER") ~> kw("NOT") ~> kw("EXISTS") ~> groupGraphPattern ^^ (ExistsItem(_, positive = false)) |
     kw("FILTER") ~> kw("EXISTS") ~> groupGraphPattern ^^ (ExistsItem(_, positive = true)) |
     kw("FILTER") ~> constraint ^^ FilterItem.apply |
+    kw("BIND") ~> ("(" ~> expression ~ (kw("AS") ~> variable) <~ ")") ^^ {
+      case e ~ v => BindItem(v, e)
+    } |
     valuesClause ^^ ValuesItem.apply |
     unionGroup ^^ GroupItem.apply |
     triplesBlock <~ opt(".") ^^ TriplesItem.apply
@@ -168,6 +172,8 @@ class SparqlParser extends RegexParsers {
         acc = Some(Pattern.Minus(acc.getOrElse(Pattern.Bgp(Nil)), p))
       case ExistsItem(p, pos) =>
         acc = Some(Pattern.Exists(acc.getOrElse(Pattern.Bgp(Nil)), p, pos))
+      case BindItem(v, e) =>
+        acc = Some(Pattern.Extend(acc.getOrElse(Pattern.Bgp(Nil)), v, e))
       case FilterItem(e) => filters ::= e
     }
     val base = acc.getOrElse(Pattern.Bgp(Nil))
@@ -184,10 +190,25 @@ class SparqlParser extends RegexParsers {
   def notExpr: Parser[Expr] =
     "!" ~> notExpr ^^ Expr.Not.apply | relExpr
 
+  private sealed trait RelTail
+  private case class CmpTail(op: String, r: Expr) extends RelTail
+  private case class InTail(items: List[Expr], negated: Boolean) extends RelTail
+
   def relExpr: Parser[Expr] =
-    addExpr ~ opt(("<=" | ">=" | "!=" | "=" | "<" | ">") ~ addExpr) ^^ {
-      case l ~ Some(op ~ r) => Expr.Cmp(op, l, r)
-      case l ~ None         => l
+    addExpr ~ opt(
+      ("<=" | ">=" | "!=" | "=" | "<" | ">") ~ addExpr ^^ {
+        case op ~ r => CmpTail(op, r): RelTail
+      } |
+      kw("NOT") ~> kw("IN") ~> ("(" ~> repsep(expression, ",") <~ ")") ^^ (
+        InTail(_, negated = true): RelTail) |
+      kw("IN") ~> ("(" ~> repsep(expression, ",") <~ ")") ^^ (
+        InTail(_, negated = false): RelTail)
+    ) ^^ {
+      case l ~ Some(CmpTail(op, r))      => Expr.Cmp(op, l, r)
+      case l ~ Some(InTail(items, neg)) =>
+        val in = Expr.Call("in", l :: items)
+        if (neg) Expr.Not(in) else in
+      case l ~ None => l
     }
 
   def addExpr: Parser[Expr] =
