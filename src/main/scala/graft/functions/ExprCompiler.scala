@@ -18,7 +18,7 @@ object ExprCompiler {
 
   def compile(e: Expr, df: DataFrame): Column = e match {
     case Expr.TermRef(t)      => term(t, df)
-    case Expr.Cmp(op, l, r)   => cmp(op, compile(l, df), compile(r, df))
+    case Expr.Cmp(op, l, r)   => cmp(op, l, r, df)
     case Expr.Arith(op, l, r) => arith(op, compile(l, df), compile(r, df))
     case Expr.And(l, r)       => ebv(l, df) && ebv(r, df)
     case Expr.Or(l, r)        => ebv(l, df) || ebv(r, df)
@@ -56,7 +56,42 @@ object ExprCompiler {
     }
   }
 
-  private def cmp(op: String, l: Column, r: Column): Column = op match {
+  /** TRY-mode cast: malformed values become null (⇒ FILTER false), never a
+    * runtime error — SPARQL's error→false under Spark 4's default ANSI
+    * mode, which would otherwise throw on e.g. `"abc" > 5`. */
+  private def tryCast(c: Column, dt: DataType): Column = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode}
+    GraftBridge.column(Cast(GraftBridge.expression(c), dt, None, EvalMode.TRY))
+  }
+
+  private def staticType(e: Expr, df: DataFrame): Option[DataType] = e match {
+    case Expr.TermRef(Var(n))          => colType(df, n)
+    case Expr.TermRef(Iri(_))          => Some(StringType)
+    case Expr.TermRef(Lit(_, dt, _)) => Some(dt match {
+      case Some(Terms.XsdInt)      => LongType
+      case Some(Terms.XsdDecimal) | Some(Terms.XsdDouble) => DoubleType
+      case Some(Terms.XsdBoolean)  => BooleanType
+      case Some(Terms.XsdDateTime) => TimestampType
+      case _                       => StringType
+    })
+    case _ => None
+  }
+
+  private def cmp(op: String, le: Expr, re: Expr, df: DataFrame): Column = {
+    var l = compile(le, df)
+    var r = compile(re, df)
+    // SPARQL numeric promotion: a string operand against a numeric operand
+    // compares numerically; non-numeric lexical forms ⇒ null ⇒ false
+    (staticType(le, df), staticType(re, df)) match {
+      case (Some(StringType), Some(_: NumericType)) => l = tryCast(l, DoubleType)
+      case (Some(_: NumericType), Some(StringType)) => r = tryCast(r, DoubleType)
+      case _ => ()
+    }
+    cmpCols(op, l, r)
+  }
+
+  private def cmpCols(op: String, l: Column, r: Column): Column = op match {
     case "="  => l === r
     case "!=" => l =!= r
     case "<"  => l < r
@@ -119,10 +154,10 @@ object ExprCompiler {
         args.head match {
           case Expr.TermRef(Var(n)) => colType(df, n) match {
             case Some(_: NumericType) => lit(true)
-            case Some(StringType)     => a(0).cast(DoubleType).isNotNull
+            case Some(StringType)     => tryCast(a(0), DoubleType).isNotNull
             case _                    => lit(false)
           }
-          case _ => a(0).cast(DoubleType).isNotNull
+          case _ => tryCast(a(0), DoubleType).isNotNull
         }
       case "sameterm"   => a(0) === a(1)
       // lang tags surface via hidden __lang_<var> columns when the mapping
@@ -154,11 +189,12 @@ object ExprCompiler {
       case "if"         => when(ebv(args(0), df), a(1)).otherwise(a(2))
       // xsd:* constructor casts (ontario/sparql/__init__.py:8-60 binaryFunctor)
       case c if c.startsWith("http://www.w3.org/2001/XMLSchema#") =>
+        // TRY semantics: an invalid lexical form is a SPARQL error ⇒ null
         c.stripPrefix("http://www.w3.org/2001/XMLSchema#") match {
-          case "integer" | "int" | "long" => a(0).cast(LongType)
-          case "decimal" | "double" | "float" => a(0).cast(DoubleType)
-          case "boolean"  => a(0).cast(BooleanType)
-          case "dateTime" => a(0).cast(TimestampType)
+          case "integer" | "int" | "long" => tryCast(a(0), LongType)
+          case "decimal" | "double" | "float" => tryCast(a(0), DoubleType)
+          case "boolean"  => tryCast(a(0), BooleanType)
+          case "dateTime" => tryCast(a(0), TimestampType)
           case "string"   => a(0).cast(StringType)
           case other => throw new UnsupportedOperationException(s"xsd cast $other")
         }

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.{Graft, TpchCatalog}
+
+/** Cross-cutting SPARQL semantics invariants (the ScalaCheck-style laws of
+  * FIXTURES.md: join/union counts, OPTIONAL ⊇ inner, DISTINCT idempotence,
+  * EBV corner cases per Xfilter.py:203-243). */
+class SemanticsSpec extends SparkTestBase {
+
+  lazy val g: Graft = Graft.overParquetDir(TpchCatalog.catalog, sfDir)(spark)
+
+  private def n(q: String): Long = g.sparql(q).count()
+
+  test("OPTIONAL is a superset of the inner join, padded to left cardinality") {
+    val left = n("PREFIX g: <urn:g:> SELECT ?c WHERE { ?c a g:Customer }")
+    val inner = n(
+      """PREFIX g: <urn:g:> SELECT ?c ?o WHERE {
+        |  ?c a g:Customer . ?o g:customer ?c }""".stripMargin)
+    val opt = n(
+      """PREFIX g: <urn:g:> SELECT ?c ?o WHERE {
+        |  ?c a g:Customer . OPTIONAL { ?o g:customer ?c } }""".stripMargin)
+    assert(opt >= inner && opt >= left)
+    val unmatched = n(
+      """PREFIX g: <urn:g:> SELECT ?c WHERE {
+        |  ?c a g:Customer . OPTIONAL { ?o g:customer ?c } FILTER (!BOUND(?o)) }""".stripMargin)
+    assert(inner + unmatched == opt)
+  }
+
+  test("UNION count is the sum of branches (bag semantics)") {
+    val a = n("PREFIX g: <urn:g:> SELECT ?x WHERE { ?x a g:Customer }")
+    val b = n("PREFIX g: <urn:g:> SELECT ?x WHERE { ?x a g:Supplier }")
+    val u = n(
+      """PREFIX g: <urn:g:> SELECT ?x WHERE {
+        |  { ?x a g:Customer } UNION { ?x a g:Supplier } }""".stripMargin)
+    assert(u == a + b)
+  }
+
+  test("DISTINCT is idempotent and join order is irrelevant") {
+    val q1 = g.sparql(
+      """PREFIX g: <urn:g:> SELECT DISTINCT ?seg WHERE { ?c g:mktsegment ?seg }""")
+    assert(q1.count() == q1.distinct().count())
+    val ab = n(
+      """PREFIX g: <urn:g:> SELECT ?c ?o WHERE {
+        |  ?c a g:Customer . ?o g:customer ?c }""".stripMargin)
+    val ba = n(
+      """PREFIX g: <urn:g:> SELECT ?c ?o WHERE {
+        |  ?o g:customer ?c . ?c a g:Customer }""".stripMargin)
+    assert(ab == ba)
+  }
+
+  test("EBV: type-mismatch comparisons are errors ⇒ false, not crashes") {
+    // string column compared to a number: Spark casts, non-numeric ⇒ null ⇒ dropped
+    assert(n(
+      """PREFIX g: <urn:g:> SELECT ?n WHERE {
+        |  ?c a g:Customer ; g:name ?n . FILTER (?n > 5) }""".stripMargin) == 0)
+    // numeric-string promotion works ("100" compared against acctbal)
+    val cnt = n(
+      """PREFIX g: <urn:g:> SELECT ?b WHERE {
+        |  ?c a g:Customer ; g:acctbal ?b . FILTER (?b > "100") }""".stripMargin)
+    val want = spark.read.parquet(s"$sfDir/customer.parquet")
+      .filter(col("c_acctbal") > 100).count()
+    assert(cnt == want)
+  }
+
+  test("EBV: bare variable filter coerces by type") {
+    // numeric: non-zero ⇒ true
+    val nonZero = n(
+      """PREFIX g: <urn:g:> SELECT ?b WHERE {
+        |  ?c a g:Customer ; g:acctbal ?b . FILTER (?b) }""".stripMargin)
+    val want = spark.read.parquet(s"$sfDir/customer.parquet")
+      .filter(col("c_acctbal") =!= 0).count()
+    assert(nonZero == want)
+    // string: non-empty ⇒ true
+    val nonEmpty = n(
+      """PREFIX g: <urn:g:> SELECT ?s WHERE {
+        |  ?c a g:Customer ; g:mktsegment ?s . FILTER (?s) }""".stripMargin)
+    assert(nonEmpty == spark.read.parquet(s"$sfDir/customer.parquet").count())
+  }
+
+  test("arithmetic and boolean connectives in FILTER") {
+    val cnt = n(
+      """PREFIX g: <urn:g:> SELECT ?b WHERE {
+        |  ?c a g:Customer ; g:acctbal ?b .
+        |  FILTER (?b * 2 > 1000 && !(?b < 0) || ?b = 0) }""".stripMargin)
+    val df = spark.read.parquet(s"$sfDir/customer.parquet")
+    val want = df.filter((col("c_acctbal") * 2 > 1000 && !(col("c_acctbal") < 0)) ||
+      col("c_acctbal") === 0).count()
+    assert(cnt == want)
+  }
+}
