@@ -334,6 +334,12 @@ object SparkEntry {
     "doc_near_dup_simhash" -> ((s, d) =>
       Dedup.simhashNearDups(T(s, d, "documents"), maxHamming = 3)
         .orderBy("a", "b")),
+    "doc_dedup_clusters" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      Dedup.canonicalIds(docs, Dedup.verifiedNearDups(docs, threshold = 0.7))
+        .filter(col("canonical_id") =!= col("doc_id"))
+        .orderBy("doc_id")
+    }),
     "doc_tokens" -> ((s, d) =>
       TextAnalysis.tokenStats(T(s, d, "documents")).orderBy("doc_id")),
     "doc_quality" -> ((s, d) =>

@@ -287,15 +287,22 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
     acc
   }
 
-  /** One star over its candidate molecules; multiple sources union
-    * (the reference's per-source Service UnionBlock, `utility.py:76-98`). */
+  /** One star over its candidate sources; alternative sources union
+    * (the reference's per-source Service UnionBlock, `utility.py:76-98`).
+    * A source spanning several triple maps of one class self-joins its
+    * fragments on the shared subject — on the raw subject key columns via
+    * join2's hidden-column path (`sparqltosql.py:446-481` semantics). */
   private def compileStar(star: Star): Compiled = {
     if (star.triples.exists(_.p.isInstanceOf[Var])) {
       require(star.triples.size == 1,
         "variable predicates are supported for single-triple stars (?s ?p ?o probes)")
-      star.molecules.map(compileVarPredStar(star, _)).reduce(union2)
-    } else star.molecules.map(compileStarMolecule(star, _)).reduce(union2)
+      star.sources.map(s => compileVarPredStar(star, s.primary)).reduce(union2)
+    } else star.sources.map(compileSource(star.subject, _)).reduce(union2)
   }
+
+  private def compileSource(subject: Term, src: graft.decomposer.StarSource): Compiled =
+    src.fragments.map(f => compileFragment(subject, f.triples, f.molecule))
+      .reduce(join2(_, _, "inner"))
 
   /** `?s ?p ?o`-style probe: enumerate the molecule's predicates (plus
     * rdf:type), one union branch each — how the reference's wrappers expand
@@ -353,11 +360,12 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
     (typeBranch :: predBranches).reduce(union2)
   }
 
-  /** Star × molecule → single-table scan with template concat columns,
-    * constant inversions, and not-null guards — what the reference's
-    * star→SQL translator emits (`sparqltosql.py:96-154`), left to Catalyst
-    * for pushdown. */
-  private def compileStarMolecule(star: Star, m: Molecule): Compiled = {
+  /** Star fragment × molecule → single-table scan with template concat
+    * columns, constant inversions, and not-null guards — what the
+    * reference's star→SQL translator emits (`sparqltosql.py:96-154`), left
+    * to Catalyst for pushdown. */
+  private def compileFragment(subject: Term, triples: List[TriplePattern],
+                              m: Molecule): Compiled = {
     val df = load(m.table)
     val conds = mutable.ListBuffer[Column]()
     val bindings = mutable.LinkedHashMap[String, Column]()
@@ -381,13 +389,13 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
       case None => conds += lit(false)
     }
 
-    star.subject match {
+    subject match {
       case Var(v)  => bindTemplate(v, m.subject)
       case Iri(u)  => invertConst(m.subject, u)
       case Lit(lex, _, _) => invertConst(m.subject, lex)
     }
 
-    star.triples.foreach { tp =>
+    triples.foreach { tp =>
       tp.p match {
         case Iri(Terms.RdfType) => tp.o match {
           case Iri(cls) => if (cls != m.rdfType) conds += lit(false)

@@ -1,22 +1,36 @@
 package graft.decomposer
 
 import graft.algebra._
-import graft.mapping.{Catalog, Molecule}
+import graft.mapping.{Catalog, Molecule, TemplateMap}
 
 /** Star decomposition + source selection.
   *
   * Reimplements the reference's `MediatorCatalyst` decomposition
   * (`/root/reference/ontario/mediator/Decomposer.py:120-335`): group the
   * BGP's triples by subject term into star-shaped subqueries, then match
-  * each star to candidate molecules — by rdf:type constant when present
-  * (`checkRDFTypeStatemnt`, Decomposer.py:184-207), else by predicate-index
-  * intersection (`find_rdfmt_by_preds`, config/__init__.py:96-114).
-  * Pure Scala, no Spark dependency — unit-testable in isolation.
+  * each star to candidate sources. A source is a *class group* of triple
+  * maps: the reference maps one class across many per-predicate tables
+  * (demo/mappings/tsv/chebi — one TSV per predicate), so a star may need
+  * several fragments of the same class self-joined on the subject template
+  * (`sparqltosql.py:446-481` join_condition). Pure Scala, no Spark
+  * dependency.
   */
+
+/** One triple map's share of a star. */
+final case class Fragment(molecule: Molecule, triples: List[TriplePattern])
+
+/** One way to answer a star: fragments of a single class, joined on the
+  * shared subject. Alternative sources union. */
+final case class StarSource(fragments: List[Fragment]) {
+  def primary: Molecule = fragments.head.molecule
+  def providerOf(pred: String): Option[Molecule] =
+    fragments.map(_.molecule).find(_.predicates.contains(pred))
+}
+
 final case class Star(
     subject: Term,
     triples: List[TriplePattern],
-    molecules: List[Molecule]) {
+    sources: List[StarSource]) {
   def vars: Set[String] = triples.flatMap(_.vars).toSet
 }
 
@@ -33,19 +47,81 @@ object Decomposer {
     prune(order.map { case (subj, ts) => makeStar(subj, ts, catalog) }.toList)
   }
 
-  /** Link-consistency pruning (the reference's RDF-MT range pruning,
-    * `Decomposer.py:209-287` via `getMTsConnection` ranges): when a
-    * variable is produced as a template URI by one star's predicate and
-    * consumed as another star's subject (or produced by two stars), the
-    * template signatures must agree — candidates whose signatures cannot
-    * match any counterpart are dropped. Runs to fixpoint. A variable with
-    * any non-template (RefMap) usage is left unpruned. */
-  private def prune(stars: List[Star]): List[Star] = {
-    import graft.mapping.{TemplateMap, Molecule}
-    var current = stars.toArray
+  private def makeStar(subj: Term, ts: List[TriplePattern], catalog: Catalog): Star = {
+    val typeConst: Option[String] = ts.collectFirst {
+      case TriplePattern(_, Iri(Terms.RdfType), Iri(cls)) => cls
+    }
+    val constPreds: Set[String] = ts.collect {
+      case TriplePattern(_, Iri(p), _) if p != Terms.RdfType => p
+    }.toSet
+    val hasVarPred = ts.exists(_.p.isInstanceOf[Var])
 
-    // usages of each var: Left(starIdx) = subject of that star;
-    // Right((starIdx, pred)) = object of pred in that star
+    def subjectOk(m: Molecule): Boolean = subj match {
+      case Iri(u) => m.subject.invert(u).isDefined
+      case _      => true
+    }
+
+    if (hasVarPred && (constPreds.nonEmpty || typeConst.nonEmpty))
+      throw new UnsupportedOperationException(
+        "variable predicates are supported only in single-triple stars")
+
+    val sources: List[StarSource] =
+      if (hasVarPred && constPreds.isEmpty && typeConst.isEmpty) {
+        // ?s ?p ?o probe: every molecule separately (wrappers enumerate maps)
+        catalog.molecules.filter(subjectOk).map(m => StarSource(List(Fragment(m, ts))))
+      } else {
+        // union across data sources, self-join across triple maps *within*
+        // one source (the reference's Service-per-datasource grouping,
+        // utility.py:76-98, vs. intra-source table self-joins)
+        catalog.byType.toList.sortBy(_._1).flatMap { case (cls, all) =>
+          if (typeConst.exists(_ != cls)) Nil
+          else all.filter(subjectOk).groupBy(_.source).toList.sortBy(_._1)
+            .flatMap { case (_, members0) =>
+            val members = members0.sortBy(_.table)
+            // assign each constant-predicate triple to the first member
+            // providing it; class qualifies only if every triple lands
+            val assignment = scala.collection.mutable.LinkedHashMap[Molecule, List[TriplePattern]]()
+            var ok = members.nonEmpty
+            ts.foreach {
+              case t @ TriplePattern(_, Iri(p), _) if p != Terms.RdfType =>
+                members.find(_.predicates.contains(p)) match {
+                  case Some(m) => assignment(m) = assignment.getOrElse(m, Nil) :+ t
+                  case None    => ok = false
+                }
+              case _ => () // rdf:type triples attach to the first fragment below
+            }
+            if (!ok) None
+            else {
+              val typeTs = ts.filter(_.p == Iri(Terms.RdfType))
+              val frags =
+                if (assignment.isEmpty) List(Fragment(members.head, typeTs))
+                else {
+                  val fs = assignment.toList.map { case (m, mts) => Fragment(m, mts) }
+                  fs.headOption.map(h => h.copy(triples = typeTs ++ h.triples)).toList ++ fs.tail
+                }
+              Some(StarSource(frags))
+            }
+          }
+        }
+      }
+    // (end class × source grouping)
+    if (sources.isEmpty)
+      throw new IllegalArgumentException(
+        s"no source matches star on $subj with predicates $constPreds" +
+          typeConst.fold("")(c => s" (rdf:type <$c>)"))
+    Star(subj, ts, sources)
+  }
+
+  /** Link-consistency pruning (the reference's RDF-MT range pruning,
+    * `Decomposer.py:209-287`): when a variable is produced as a template
+    * URI by one star's predicate and consumed as another star's subject (or
+    * produced by two stars), the template signatures must agree — sources
+    * whose signatures cannot match any counterpart are dropped. Runs to
+    * fixpoint. A variable with any non-template (RefMap) usage is left
+    * unpruned. */
+  private def prune(stars: List[Star]): List[Star] = {
+    val current = stars.toArray
+
     val usages = scala.collection.mutable.Map[String, List[Either[Int, (Int, String)]]]()
     current.zipWithIndex.foreach { case (st, i) =>
       st.subject match {
@@ -59,10 +135,10 @@ object Decomposer {
       }
     }
 
-    def sigsOf(m: Molecule, usage: Either[Int, (Int, String)]): Option[String] =
+    def sigsOf(src: StarSource, usage: Either[Int, (Int, String)]): Option[String] =
       usage match {
-        case Left(_) => Some(m.subject.signature)
-        case Right((_, p)) => m.predicates.get(p) match {
+        case Left(_) => Some(src.primary.subject.signature)
+        case Right((_, p)) => src.providerOf(p).flatMap(_.predicates.get(p)) match {
           case Some(TemplateMap(t)) => Some(t.signature)
           case _                    => None // RefMap/constant: unconstrained
         }
@@ -75,23 +151,22 @@ object Decomposer {
       rounds += 1
       usages.foreach { case (_, us) =>
         if (us.size > 1) {
-          // per-usage signature sets; skip the var if any usage is unconstrained
           val perUsage = us.map { u =>
             val idx = u.fold(identity, _._1)
-            val sigs = current(idx).molecules.flatMap(m => sigsOf(m, u)).toSet
+            val sigs = current(idx).sources.flatMap(s => sigsOf(s, u)).toSet
             (u, idx, sigs,
-              current(idx).molecules.exists(m => sigsOf(m, u).isEmpty))
+              current(idx).sources.exists(s => sigsOf(s, u).isEmpty))
           }
           if (!perUsage.exists(_._4)) {
             val common = perUsage.map(_._3).reduce(_ intersect _)
             perUsage.foreach { case (u, idx, _, _) =>
-              val kept = current(idx).molecules.filter(m =>
-                sigsOf(m, u).forall(common.contains))
-              if (kept.size != current(idx).molecules.size) {
+              val kept = current(idx).sources.filter(s =>
+                sigsOf(s, u).forall(common.contains))
+              if (kept.size != current(idx).sources.size) {
                 if (kept.isEmpty)
                   throw new IllegalArgumentException(
-                    s"join-link pruning left no molecule for star on ${current(idx).subject}")
-                current(idx) = current(idx).copy(molecules = kept)
+                    s"join-link pruning left no source for star on ${current(idx).subject}")
+                current(idx) = current(idx).copy(sources = kept)
                 changed = true
               }
             }
@@ -102,38 +177,6 @@ object Decomposer {
     current.toList
   }
 
-  private def makeStar(subj: Term, ts: List[TriplePattern], catalog: Catalog): Star = {
-    val typeConst: Option[String] = ts.collectFirst {
-      case TriplePattern(_, Iri(Terms.RdfType), Iri(cls)) => cls
-    }
-    val constPreds: Set[String] = ts.collect {
-      case TriplePattern(_, Iri(p), _) if p != Terms.RdfType => p
-    }.toSet
-    val base: List[Molecule] = typeConst match {
-      case Some(cls) =>
-        catalog.byType.getOrElse(cls, Nil)
-          .filter(m => constPreds.subsetOf(m.predicates.keySet))
-      case None =>
-        // variable predicates in the star ⇒ every molecule stays a candidate
-        // (the reference's wrappers enumerate all triple maps then)
-        val hasVarPred = ts.exists(t => t.p.isInstanceOf[Var])
-        if (hasVarPred && constPreds.isEmpty) catalog.molecules
-        else catalog.findByPreds(constPreds)
-    }
-    // constant subject: only molecules whose subject template can produce it
-    val candidates = subj match {
-      case Iri(u) => base.filter(m => m.subject.invert(u).isDefined)
-      case _      => base
-    }
-    if (candidates.isEmpty)
-      throw new IllegalArgumentException(
-        s"no molecule matches star on $subj with predicates $constPreds" +
-          typeConst.fold("")(c => s" (rdf:type <$c>)"))
-    Star(subj, ts, candidates)
-  }
-
-  /** Star-to-star connection vars (getStarsConnections, Decomposer.py:138-170):
-    * shared variables between two stars, used to pick a join order that
-    * avoids cartesian products (Tree.py:322-323 shareAtLeastOneVar). */
+  /** Star-to-star connection vars (getStarsConnections, Decomposer.py:138-170). */
   def sharedVars(a: Star, b: Star): Set[String] = a.vars intersect b.vars
 }

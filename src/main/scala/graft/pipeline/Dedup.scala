@@ -102,6 +102,39 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Collapse near-dup pairs into clusters: iterative min-label propagation
+    * (distributed connected components — each round joins current labels
+    * across the pair edges and keeps the minimum; near-dup graphs are
+    * shallow, so few rounds converge). Returns (doc_id, canonical_id) for
+    * every document; canonical_id = min doc_id of its component — the
+    * "keep one, drop the rest" verdict of a dedup pipeline. */
+  def canonicalIds(docs: DataFrame, pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("canonical_id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // neighbour labels: for each edge (a,b), b's current label proposes for a
+      val proposals = edges
+        .join(labels.select(col("doc_id").as("b"), col("canonical_id").as("nl")), "b")
+        .groupBy(col("a").as("doc_id")).agg(min(col("nl")).as("nl"))
+      val next = labels.join(proposals, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          least(col("canonical_id"), coalesce(col("nl"), col("canonical_id")))
+            .as("canonical_id"))
+      next.persist()
+      val changed = next.join(labels.withColumnRenamed("canonical_id", "old"), "doc_id")
+        .filter(col("canonical_id") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
   /** 64-bit SimHash per document: per-token hash, each bit position votes
     * ±1 (duplicate tokens weight naturally), sign of the vote sum becomes
     * the bit. Map-only: the vote loop is the native [[graft.functions.

@@ -63,6 +63,16 @@ class PipelineSpec extends SparkTestBase {
     assert(hits >= 1, s"IVF rank-1 never matched brute force: $ivf vs $brute")
   }
 
+  test("canonical ids propagate transitively across pair chains") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(1L, 2L, 3L, 7L, 8L, 99L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a", "b")
+    val canon = Dedup.canonicalIds(d, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(canon == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L, 99L -> 99L))
+  }
+
   test("media features equal deterministic stub formulas") {
     val feats = Multimodal.extractFeatures(docs)(spark).collect()
     val lens = docs.select(col("doc_id"), octet_length(col("text")).cast("long"))
