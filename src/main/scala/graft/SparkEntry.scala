@@ -318,6 +318,32 @@ object SparkEntry {
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+    // gap-based sessionization, batch form (streaming twin lives in
+    // graft.streaming.EventStreams.sessionize)
+    "q_sessions" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, d)
+        .withColumn("new_session",
+          when(col("ts") - lag("ts", 1).over(w) > lit(1800000000000L), 1).otherwise(0))
+        .withColumn("session_id",
+          sum(col("new_session")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+        .select("user_id", "event_id", "session_id")
+        .orderBy("user_id", "event_id")
+    }),
+    // as-of join composed from window ops: attribute each purchase to the
+    // user's most recent prior click
+    "q_asof_attribution" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      events(s, d)
+        .withColumn("attributed_click",
+          last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true)
+            .over(w))
+        .filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "attributed_click")
+        .orderBy("user_id", "event_id")
+    }),
     "q_events_hourly" -> ((s, d) =>
       events(s, d)
         .groupBy(date_trunc("hour",
@@ -560,6 +586,24 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_sessions" ->
+      """SELECT user_id, event_id,
+        | CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |FROM (
+        | SELECT user_id, event_id, ts,
+        |  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |            > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+        | FROM events)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q_asof_attribution" ->
+      """SELECT user_id, event_id, attributed_click FROM (
+        | SELECT user_id, event_id, event_type,
+        |  last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attributed_click
+        | FROM events)
+        |WHERE event_type = 'purchase' ORDER BY user_id, event_id""".stripMargin,
     "q_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         | COUNT(*) AS cnt, COUNT(DISTINCT user_id) AS users

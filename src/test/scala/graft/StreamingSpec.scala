@@ -51,6 +51,25 @@ class StreamingSpec extends SparkTestBase {
     assert(n == 2)
   }
 
+  test("stream-static join enriches events with a dimension table") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[Event]
+    val q = input.toDF().join(dim, Seq("user_id"), "left_outer")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append).start()
+    input.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(1), 9, "click", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("enriched").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(r.fieldIndex("tier")))).toMap
+    q.stop()
+    assert(rows(1L).contains("gold") && rows(9L).isEmpty)
+  }
+
   test("gap sessionization assigns new session after gap") {
     val s = spark
     import s.implicits._
