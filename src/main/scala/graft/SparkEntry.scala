@@ -218,6 +218,22 @@ object SparkEntry {
       |  FILTER (?flag IN ("A", "R"))
       |} ORDER BY ?l ?rev""".stripMargin
 
+  /** Date extraction builtins in projection expressions. */
+  private val SPARQL_DATEFUNCS =
+    """PREFIX g: <urn:g:>
+      |SELECT ?l (YEAR(?sd) AS ?y) (MONTH(?sd) AS ?m) (DAY(?sd) AS ?dom) WHERE {
+      |  ?l a g:Lineitem ; g:shipdate ?sd .
+      |} ORDER BY ?l ?y ?m ?dom""".stripMargin
+
+  /** String builtins: SUBSTR/UCASE/REPLACE/CONCAT/STRLEN. */
+  private val SPARQL_STRFUNCS =
+    """PREFIX g: <urn:g:>
+      |SELECT ?c (UCASE(SUBSTR(?name, 1, 8)) AS ?prefix)
+      |       (REPLACE(?name, "Customer", "C") AS ?short)
+      |       (CONCAT(?seg, "-", ?name) AS ?tag) (STRLEN(?name) AS ?len) WHERE {
+      |  ?c a g:Customer ; g:name ?name ; g:mktsegment ?seg .
+      |} ORDER BY ?c""".stripMargin
+
   // ---- query registry -----------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -248,6 +264,8 @@ object SparkEntry {
     "sparql_having" -> ((s, d) => graft(s, d).sparql(SPARQL_HAVING)),
     "sparql_varpred" -> ((s, d) => graft(s, d).sparql(SPARQL_VARPRED)),
     "sparql_bind_in" -> ((s, d) => graft(s, d).sparql(SPARQL_BIND_IN)),
+    "sparql_datefuncs" -> ((s, d) => graft(s, d).sparql(SPARQL_DATEFUNCS)),
+    "sparql_strfuncs" -> ((s, d) => graft(s, d).sparql(SPARQL_STRFUNCS)),
 
     // SPARQL 1.1 / analytic extension surface (direct DataFrame API)
     "q1_agg" -> ((s, d) =>
@@ -534,6 +552,20 @@ object SparkEntry {
       """SELECT 'urn:g:line:' || CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) AS l,
         | l_extendedprice * (1 - l_discount) AS rev
         |FROM lineitem WHERE l_returnflag IN ('A', 'R') ORDER BY l, rev""".stripMargin,
+
+    "sparql_datefuncs" ->
+      """SELECT 'urn:g:line:' || CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) AS l,
+        | CAST(date_part('year', l_shipdate) AS INTEGER) AS y,
+        | CAST(date_part('month', l_shipdate) AS INTEGER) AS m,
+        | CAST(date_part('day', l_shipdate) AS INTEGER) AS dom
+        |FROM lineitem ORDER BY l, y, m, dom""".stripMargin,
+    "sparql_strfuncs" ->
+      """SELECT 'urn:g:cust:' || CAST(c_custkey AS VARCHAR) AS c,
+        | upper(substr(c_name, 1, 8)) AS prefix,
+        | regexp_replace(c_name, 'Customer', 'C', 'g') AS short,
+        | c_mktsegment || '-' || c_name AS tag,
+        | CAST(length(c_name) AS INTEGER) AS len
+        |FROM customer ORDER BY c""".stripMargin,
 
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,

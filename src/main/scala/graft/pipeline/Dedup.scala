@@ -102,16 +102,54 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
-  /** Collapse near-dup pairs into clusters: iterative min-label propagation
-    * (distributed connected components — each round joins current labels
-    * across the pair edges and keeps the minimum; near-dup graphs are
-    * shallow, so few rounds converge). Returns (doc_id, canonical_id) for
-    * every document; canonical_id = min doc_id of its component — the
-    * "keep one, drop the rest" verdict of a dedup pipeline. */
-  def canonicalIds(docs: DataFrame, pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+  /** Collapse near-dup pairs into clusters. Returns (doc_id, canonical_id)
+    * for every document; canonical_id = min doc_id of its component — the
+    * "keep one, drop the rest" verdict of a dedup pipeline.
+    *
+    * The verified pair list after LSH + Jaccard is orders of magnitude
+    * smaller than the corpus, so up to `maxDriverPairs` the components are
+    * solved with driver-side union–find and broadcast-joined back — one
+    * pass over the corpus, no iteration. Beyond the cap it falls back to
+    * distributed min-label propagation ([[canonicalIdsDistributed]]). */
+  def canonicalIds(docs: DataFrame, pairs: DataFrame,
+                   maxDriverPairs: Long = 5000000L): DataFrame = {
+    val edges = pairs.select(col("a"), col("b")).persist()
+    val result =
+      if (edges.count() <= maxDriverPairs) {
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        edges.collect().foreach { row =>
+          val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        val mapping = parent.keys.toList.map(x => (x, find(x))).filter(t => t._1 != t._2)
+        val spark = docs.sparkSession
+        import spark.implicits._
+        val mapDf = broadcast(mapping.toDF("doc_id", "__canon"))
+        docs.select(col("doc_id")).join(mapDf, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            coalesce(col("__canon"), col("doc_id")).as("canonical_id"))
+      } else canonicalIdsDistributed(docs, edges)
+    edges.unpersist()
+    result
+  }
+
+  /** Distributed connected components by iterative min-label propagation —
+    * the fallback when the pair graph itself is beyond driver memory. */
+  def canonicalIdsDistributed(docs: DataFrame, pairs: DataFrame,
+                              maxIters: Int = 10): DataFrame = {
+    // materialize the edge list once — its lineage (typically the whole
+    // MinHash pipeline) must not re-run every propagation round
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .distinct()
+      .persist()
     var labels = docs.select(col("doc_id"), col("doc_id").as("canonical_id"))
     var converged = false
     var i = 0
@@ -132,6 +170,7 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    edges.unpersist()
     labels
   }
 
