@@ -1,29 +1,32 @@
 package graft.tools
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
-import graft.pipeline.Dedup
 
+import org.apache.spark.sql.SparkSession
+import graft.api.{Graft, TpchCatalog}
+
+/** Manual end-to-end driver (see .claude/skills/verify): runs a SPARQL
+  * query through the public API and prints rows + the formatted plan.
+  *
+  *   sbt "runMain graft.tools.Drive [sfDir] [sparqlFile]"
+  */
 object Drive {
-  def time[A](label: String)(f: => A): A = {
-    val t0 = System.nanoTime(); val r = f
-    println(f"[time] $label: ${(System.nanoTime()-t0)/1e9}%.2f s"); r
-  }
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32").config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val query = args.lift(1)
+      .map(p => new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))))
+      .getOrElse(
+        """PREFIX g: <urn:g:>
+          |SELECT ?cname ?odate ?qty WHERE {
+          |  ?c a g:Customer ; g:name ?cname ; g:mktsegment "BUILDING" .
+          |  ?o g:customer ?c ; g:orderdate ?odate .
+          |  OPTIONAL { ?l g:order ?o ; g:quantity ?qty . FILTER (?qty > 45) }
+          |} ORDER BY ?cname ?odate LIMIT 8""".stripMargin)
+    implicit val spark: SparkSession = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8").config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    def noop(df: org.apache.spark.sql.DataFrame) = df.write.format("noop").mode("overwrite").save()
-    val sh = Dedup.withShingles(docs).select(col("doc_id"), col("shingles"))
-    (1 to 3).foreach(i => time(s"sh$i")(noop(sh)))
-    val bandsOnly = sh.withColumn("__bands",
-      graft.functions.GraftFunctions.minhash_bands(col("shingles"), 32, 8))
-      .select(col("doc_id"), col("__bands"))
-    (1 to 3).foreach(i => time(s"bandsOnly$i")(noop(bandsOnly)))
-    val bk = Dedup.lshBuckets(sh)
-    (1 to 2).foreach(i => time(s"buckets$i")(noop(bk)))
-    bk.explain("formatted")
+    val df = Graft.overParquetDir(TpchCatalog.catalog, sfDir).sparql(query)
+    df.show(20, truncate = false)
+    df.explain("formatted")
     spark.stop()
   }
 }
