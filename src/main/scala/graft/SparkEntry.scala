@@ -234,6 +234,16 @@ object SparkEntry {
       |  ?c a g:Customer ; g:name ?name ; g:mktsegment ?seg .
       |} ORDER BY ?c""".stripMargin
 
+  /** CQ1 shape (LSLOD): 3-source chain + multi-star OPTIONAL with filter. */
+  private val SPARQL_CQ1 =
+    """PREFIX g: <urn:g:>
+      |SELECT ?l ?cname ?qty ?rp WHERE {
+      |  ?c a g:Customer ; g:name ?cname ; g:mktsegment "BUILDING" .
+      |  ?o g:customer ?c .
+      |  ?l g:order ?o ; g:quantity ?qty .
+      |  OPTIONAL { ?l g:part ?p . ?p g:retailprice ?rp . FILTER (?rp > 1500) }
+      |} ORDER BY ?l ?qty ?rp""".stripMargin
+
   // ---- query registry -----------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -266,6 +276,7 @@ object SparkEntry {
     "sparql_bind_in" -> ((s, d) => graft(s, d).sparql(SPARQL_BIND_IN)),
     "sparql_datefuncs" -> ((s, d) => graft(s, d).sparql(SPARQL_DATEFUNCS)),
     "sparql_strfuncs" -> ((s, d) => graft(s, d).sparql(SPARQL_STRFUNCS)),
+    "sparql_cq1" -> ((s, d) => graft(s, d).sparql(SPARQL_CQ1)),
 
     // SPARQL 1.1 / analytic extension surface (direct DataFrame API)
     "q1_agg" -> ((s, d) =>
@@ -566,6 +577,17 @@ object SparkEntry {
         | c_mktsegment || '-' || c_name AS tag,
         | CAST(length(c_name) AS INTEGER) AS len
         |FROM customer ORDER BY c""".stripMargin,
+
+    "sparql_cq1" ->
+      """SELECT 'urn:g:line:' || CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) AS l,
+        | c_name AS cname, l_quantity AS qty, p_retailprice AS rp
+        |FROM customer
+        | JOIN orders ON o_custkey = c_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        | LEFT JOIN (SELECT * FROM part WHERE p_retailprice > 1500) pp
+        |   ON pp.p_partkey = l_partkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY l, qty, rp NULLS FIRST""".stripMargin,
 
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,

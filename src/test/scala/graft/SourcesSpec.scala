@@ -19,8 +19,11 @@ class SourcesSpec extends SparkTestBase {
     region.coalesce(1).write.mode("overwrite")
       .option("rowTag", "region").format("xml").save(s"$tmp/region_xml")
 
+    val supplier = spark.read.parquet(s"$sfDir/supplier.parquet")
+    supplier.coalesce(1).write.mode("overwrite").json(s"$tmp/supplier_json")
+
     val g = new Graft(TpchCatalog.catalog, Sources.registry(Map(
-      "supplier" -> ParquetSource(s"$sfDir/supplier.parquet"),
+      "supplier" -> JsonSource(s"$tmp/supplier_json"),
       "customer" -> ParquetSource(s"$sfDir/customer.parquet"),
       "nation" -> CsvSource(s"$tmp/nation_tsv", delimiter = "\t"),
       "region" -> XmlSource(s"$tmp/region_xml", rowTag = "region"))))
