@@ -200,6 +200,7 @@ object SparkEntry {
     """PREFIX g: <urn:g:>
       |CONSTRUCT { ?l g:qty ?qty . ?l g:ship ?sd } WHERE {
       |  ?l a g:Lineitem ; g:quantity ?qty ; g:shipdate ?sd .
+      |  FILTER (?qty > 45)
       |}""".stripMargin
 
   /** Variable-predicate probe (property enumeration — the reference's
@@ -222,7 +223,7 @@ object SparkEntry {
   private val SPARQL_DATEFUNCS =
     """PREFIX g: <urn:g:>
       |SELECT ?l (YEAR(?sd) AS ?y) (MONTH(?sd) AS ?m) (DAY(?sd) AS ?dom) WHERE {
-      |  ?l a g:Lineitem ; g:shipdate ?sd .
+      |  ?l a g:Lineitem ; g:shipdate ?sd . FILTER (MONTH(?sd) = 1)
       |} ORDER BY ?l ?y ?m ?dom""".stripMargin
 
   /** String builtins: SUBSTR/UCASE/REPLACE/CONCAT/STRLEN. */
@@ -540,12 +541,12 @@ object SparkEntry {
         | SELECT '<urn:g:line:' || CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) || '>' AS s,
         |        '<urn:g:qty>' AS p,
         |        '"' || CAST(l_quantity AS VARCHAR) || '"^^<http://www.w3.org/2001/XMLSchema#double>' AS o
-        | FROM lineitem
+        | FROM lineitem WHERE l_quantity > 45
         | UNION ALL
         | SELECT '<urn:g:line:' || CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) || '>',
         |        '<urn:g:ship>',
         |        '"' || CAST(l_shipdate AS VARCHAR) || '"^^<http://www.w3.org/2001/XMLSchema#dateTime>'
-        | FROM lineitem
+        | FROM lineitem WHERE l_quantity > 45
         |) ORDER BY s, p""".stripMargin,
 
     "sparql_varpred" ->
@@ -569,7 +570,8 @@ object SparkEntry {
         | CAST(date_part('year', l_shipdate) AS INTEGER) AS y,
         | CAST(date_part('month', l_shipdate) AS INTEGER) AS m,
         | CAST(date_part('day', l_shipdate) AS INTEGER) AS dom
-        |FROM lineitem ORDER BY l, y, m, dom""".stripMargin,
+        |FROM lineitem WHERE date_part('month', l_shipdate) = 1
+        |ORDER BY l, y, m, dom""".stripMargin,
     "sparql_strfuncs" ->
       """SELECT 'urn:g:cust:' || CAST(c_custkey AS VARCHAR) AS c,
         | upper(substr(c_name, 1, 8)) AS prefix,

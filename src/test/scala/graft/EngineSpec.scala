@@ -234,6 +234,16 @@ class EngineSpec extends SparkTestBase {
     assert(got.count() == want.count() && got.count() > 0)
   }
 
+  test("driver smoke gate: SparkEntry.entry returns rows on sf0.001") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a registered query") {
+    val qs = graft.SparkEntry.queries.keySet
+    val orphans = graft.SparkEntry.oracleSql.keySet -- qs
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
   test("constant IRI subject inverts template to key equality") {
     val custkey = t("customer").select(min("c_custkey")).collect()(0).getLong(0)
     val got = g.sparql(
