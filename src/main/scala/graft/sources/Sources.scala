@@ -47,6 +47,34 @@ final case class JdbcSource(url: String, table: String,
   }
 }
 
+/** Remote-endpoint-style paged source — the RDFStore SPARQL-endpoint
+  * wrapper's fetch protocol (`/root/reference/ontario/wrappers/triplestore/
+  * __init__.py:52-119` contactSourceAux): request pages of `pageSize` rows
+  * with LIMIT/OFFSET until a short page signals exhaustion, then hand the
+  * accumulated rows to Spark. `fetchPage(offset, limit)` abstracts the
+  * transport (HTTP + application/sparql-results+json in the reference;
+  * unavailable in this zero-egress environment, injected in tests). The
+  * client-side accumulation matches the reference exactly — a remote
+  * endpoint's result set is bounded by the endpoint, not by the lake. */
+final case class PagedEndpointSource(
+    schema: org.apache.spark.sql.types.StructType,
+    fetchPage: (Long, Int) => Seq[org.apache.spark.sql.Row],
+    pageSize: Int = 10000) extends SourceSpec {
+  def load(spark: SparkSession): DataFrame = {
+    val all = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    var offset = 0L
+    var last = pageSize
+    while (last == pageSize) {
+      val page = fetchPage(offset, pageSize)
+      all ++= page
+      last = page.size
+      offset += pageSize
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(all.toSeq, math.max(1, all.size / 5000)), schema)
+  }
+}
+
 object Sources {
   /** Table-loader function for [[graft.api.Graft]] over mixed formats. */
   def registry(specs: Map[String, SourceSpec])(implicit spark: SparkSession)

@@ -41,4 +41,23 @@ class SourcesSpec extends SparkTestBase {
         col("n_regionkey") === col("r_regionkey"))
     assert(got.count() == want.count() && got.count() > 0)
   }
+
+  test("paged endpoint source fetches LIMIT/OFFSET pages until a short page") {
+    implicit val s = spark
+    val backing = spark.read.parquet(s"$sfDir/customer.parquet").collect()
+    var pages = 0
+    val src = PagedEndpointSource(
+      schema = spark.read.parquet(s"$sfDir/customer.parquet").schema,
+      fetchPage = (off, lim) => {
+        pages += 1
+        backing.slice(off.toInt, off.toInt + lim).toSeq
+      },
+      pageSize = 100)
+    val g = new Graft(TpchCatalog.catalog, Sources.registry(Map("customer" -> src)))
+    val got = g.sparql(
+      """PREFIX g: <urn:g:>
+        |SELECT ?c ?n WHERE { ?c a g:Customer ; g:name ?n }""".stripMargin)
+    assert(got.count() == backing.length)
+    assert(pages == backing.length / 100 + 1) // exhaustion detected by short page
+  }
 }
