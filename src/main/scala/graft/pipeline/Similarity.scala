@@ -139,7 +139,9 @@ object Similarity {
     val ds = asRows(emb)
     val vecs = ds.map(e => (e.vec_id, Vectors.dense(normalize(e.embedding))))
       .toDF("vec_id", "features")
-    val model = new KMeans().setK(cells).setSeed(42L).setMaxIter(10).fit(vecs)
+    // a handful of Lloyd iterations is plenty for a coarse quantizer — the
+    // cells only gate which fraction of the corpus each query scores
+    val model = new KMeans().setK(cells).setSeed(42L).setMaxIter(5).fit(vecs)
     val centers = model.clusterCenters.map(_.toArray)
     val assigned = model.transform(vecs)
       .select(col("vec_id"), col("features"), col("prediction").as("cell"))
