@@ -235,6 +235,27 @@ object SparkEntry {
       |  ?c a g:Customer ; g:name ?name ; g:mktsegment ?seg .
       |} ORDER BY ?c""".stripMargin
 
+  /** Property-path closure (SPARQL 1.1 `+` over an alternation): the
+    * customer/supplier → nation → region hierarchy flattened transitively. */
+  private val SPARQL_PATH_CLOSURE =
+    """PREFIX g: <urn:g:>
+      |SELECT ?x ?y WHERE { ?x (g:nation|g:region)+ ?y } ORDER BY ?x ?y""".stripMargin
+
+  /** Variable-predicate probe joined with constant-predicate triples in one
+    * star (the reference enumerates ?p over the molecule's triple maps). */
+  private val SPARQL_VARPRED_STAR =
+    """PREFIX g: <urn:g:>
+      |SELECT ?c ?p ?o WHERE {
+      |  ?c a g:Customer ; g:mktsegment "AUTOMOBILE" ; ?p ?o .
+      |} ORDER BY ?c ?p ?o""".stripMargin
+
+  /** HAVING over a DISTINCT aggregate (hoisted hidden aggregate column). */
+  private val SPARQL_HAVING_DISTINCT =
+    """PREFIX g: <urn:g:>
+      |SELECT ?o (COUNT(DISTINCT ?p) AS ?nparts) WHERE {
+      |  ?l a g:Lineitem ; g:order ?o ; g:part ?p .
+      |} GROUP BY ?o HAVING (COUNT(DISTINCT ?p) > 5) ORDER BY ?o""".stripMargin
+
   /** CQ1 shape (LSLOD): 3-source chain + multi-star OPTIONAL with filter. */
   private val SPARQL_CQ1 =
     """PREFIX g: <urn:g:>
@@ -278,6 +299,9 @@ object SparkEntry {
     "sparql_datefuncs" -> ((s, d) => graft(s, d).sparql(SPARQL_DATEFUNCS)),
     "sparql_strfuncs" -> ((s, d) => graft(s, d).sparql(SPARQL_STRFUNCS)),
     "sparql_cq1" -> ((s, d) => graft(s, d).sparql(SPARQL_CQ1)),
+    "sparql_path_closure" -> ((s, d) => graft(s, d).sparql(SPARQL_PATH_CLOSURE)),
+    "sparql_varpred_star" -> ((s, d) => graft(s, d).sparql(SPARQL_VARPRED_STAR)),
+    "sparql_having_distinct" -> ((s, d) => graft(s, d).sparql(SPARQL_HAVING_DISTINCT)),
 
     // SPARQL 1.1 / analytic extension surface (direct DataFrame API)
     "q1_agg" -> ((s, d) =>
@@ -591,6 +615,40 @@ object SparkEntry {
         |WHERE c_mktsegment = 'BUILDING'
         |ORDER BY l, qty, rp NULLS FIRST""".stripMargin,
 
+    "sparql_path_closure" ->
+      """SELECT x, y FROM (
+        | SELECT 'urn:g:cust:' || CAST(c_custkey AS VARCHAR) AS x,
+        |        'urn:g:nation:' || CAST(c_nationkey AS VARCHAR) AS y FROM customer
+        | UNION SELECT 'urn:g:supp:' || CAST(s_suppkey AS VARCHAR),
+        |        'urn:g:nation:' || CAST(s_nationkey AS VARCHAR) FROM supplier
+        | UNION SELECT 'urn:g:nation:' || CAST(n_nationkey AS VARCHAR),
+        |        'urn:g:region:' || CAST(n_regionkey AS VARCHAR) FROM nation
+        | UNION SELECT 'urn:g:cust:' || CAST(c_custkey AS VARCHAR),
+        |        'urn:g:region:' || CAST(n_regionkey AS VARCHAR)
+        |  FROM customer JOIN nation ON n_nationkey = c_nationkey
+        | UNION SELECT 'urn:g:supp:' || CAST(s_suppkey AS VARCHAR),
+        |        'urn:g:region:' || CAST(n_regionkey AS VARCHAR)
+        |  FROM supplier JOIN nation ON n_nationkey = s_nationkey
+        |) ORDER BY x, y""".stripMargin,
+
+    "sparql_varpred_star" ->
+      """SELECT 'urn:g:cust:' || CAST(u.c_custkey AS VARCHAR) AS c, p, o FROM (
+        | SELECT c_custkey, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+        |        'urn:g:Customer' AS o FROM customer
+        | UNION ALL SELECT c_custkey, 'urn:g:acctbal', CAST(c_acctbal AS VARCHAR) FROM customer
+        | UNION ALL SELECT c_custkey, 'urn:g:mktsegment', c_mktsegment FROM customer
+        | UNION ALL SELECT c_custkey, 'urn:g:name', c_name FROM customer
+        | UNION ALL SELECT c_custkey, 'urn:g:nation',
+        |   'urn:g:nation:' || CAST(c_nationkey AS VARCHAR) FROM customer
+        |) u JOIN customer cc ON cc.c_custkey = u.c_custkey
+        |WHERE cc.c_mktsegment = 'AUTOMOBILE' ORDER BY c, p, o""".stripMargin,
+
+    "sparql_having_distinct" ->
+      """SELECT 'urn:g:order:' || CAST(l_orderkey AS VARCHAR) AS o,
+        | COUNT(DISTINCT l_partkey) AS nparts
+        |FROM lineitem GROUP BY 1 HAVING COUNT(DISTINCT l_partkey) > 5
+        |ORDER BY o""".stripMargin,
+
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
          | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
@@ -700,8 +758,63 @@ object SparkEntry {
     "doc_media_features" ->
       """SELECT doc_id, strlen(text) AS byte_len, strlen(text) % 640 AS width,
         | strlen(text) % 480 AS height, 'stub/raw' AS format
-        |FROM documents ORDER BY doc_id""".stripMargin
-    // doc_near_dup_minhash / doc_near_dup_simhash / emb_* are not
-    // SQL-expressible in DuckDB → rows-only checks
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // MinHash-LSH emits candidate pairs verified by exact Jaccard ≥ t, so
+    // its *output* is SQL-expressible: the exact word-3-gram Jaccard pair
+    // set (LSH recall is verified exhaustively by this oracle — any pair a
+    // band misses fails the gate). Shingle construction mirrors
+    // Dedup.withShingles: distinct 3-gram windows, short docs → one
+    // truncated shingle.
+    "doc_near_dup_minhash" -> (JACCARD_PAIRS_SQL + "\nSELECT a, b FROM pairs ORDER BY a, b"),
+
+    // dup clusters = connected components of the verified pair graph;
+    // min-label via recursive reachability closure (components are tiny —
+    // the closure is bounded by cluster size, not corpus size)
+    "doc_dedup_clusters" -> (JACCARD_PAIRS_SQL +
+      """,
+        |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach AS (SELECT a AS x, b AS y FROM edges
+        |  UNION SELECT r.x, e.b AS y FROM reach r JOIN edges e ON e.a = r.y)
+        |SELECT x AS doc_id, least(x, MIN(y)) AS canonical_id FROM reach GROUP BY x
+        |HAVING least(x, MIN(y)) <> x ORDER BY doc_id""".stripMargin),
+
+    // integer-only outputs (q_id, vec_id, rank): double-precision cosine
+    // ranks identically in DuckDB (verified bitwise at sf0.01 and sf0.1)
+    "emb_knn_brute" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id < 3)
+        |SELECT q_id, vec_id, rank FROM (
+        |  SELECT q_id, e.vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[])) DESC,
+        |               e.vec_id) AS rank
+        |  FROM q, embeddings e WHERE e.vec_id <> q_id)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "emb_top_pairs" ->
+      """SELECT a, b FROM (
+        |  SELECT e1.vec_id AS a, e2.vec_id AS b,
+        |    list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+        |                           CAST(e2.embedding AS DOUBLE[])) AS c
+        |  FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+        |) ORDER BY c DESC, a, b LIMIT 50""".stripMargin
+    // doc_near_dup_simhash / emb_knn_lsh / emb_knn_ivf hinge on xxhash64 /
+    // seeded k-means — not expressible in DuckDB → rows-only checks
   )
+
+  /** Exact word-3-gram Jaccard pairs (threshold 0.7) as a DuckDB CTE chain;
+    * shared by the near-dup and cluster oracles. */
+  private val JACCARD_PAIRS_SQL =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(
+      |    [array_to_string(w[i:i+2], ' ') FOR i IN range(1, greatest(len(w)-2, 1) + 1)]) AS s
+      |  FROM toks),
+      |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |common AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
+      |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+      |pairs AS (SELECT a, b
+      |  FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+      |  WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.7)""".stripMargin
 }

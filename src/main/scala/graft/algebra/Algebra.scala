@@ -56,6 +56,29 @@ object Expr {
   }
 }
 
+/** SPARQL 1.1 property-path expression tree. Pure sequences/inverses are
+  * desugared to fresh-variable triple chains at parse time; expressions
+  * containing alternation or closure survive as a [[Pattern.Path]] node for
+  * the compiler's iterative expansion. */
+sealed trait PathAst
+object PathAst {
+  final case class Link(p: Iri) extends PathAst
+  final case class Seq2(l: PathAst, r: PathAst) extends PathAst
+  final case class Alt(l: PathAst, r: PathAst) extends PathAst
+  final case class Inv(p: PathAst) extends PathAst
+  /** `+` (includeZero=false) / `*` (includeZero=true). */
+  final case class Closure(p: PathAst, includeZero: Boolean) extends PathAst
+
+  /** Flatten to directed (iri, inverted) steps when the path is a pure
+    * sequence/inverse tree — the desugar-to-triples fast path. */
+  def toSteps(ast: PathAst): Option[List[(Iri, Boolean)]] = ast match {
+    case Link(p)    => Some(List((p, false)))
+    case Inv(x)     => toSteps(x).map(_.reverse.map { case (p, inv) => (p, !inv) })
+    case Seq2(l, r) => for (a <- toSteps(l); b <- toSteps(r)) yield a ::: b
+    case _          => None
+  }
+}
+
 /** Graph patterns — the reference nests UnionBlock[JoinBlock[...]]
   * (`services.py`), here a plain binary algebra. */
 sealed trait Pattern {
@@ -69,6 +92,7 @@ sealed trait Pattern {
     case Pattern.Exists(l, _, _)    => l.vars
     case Pattern.Values(vs, _)      => vs.map(_.name).toSet
     case Pattern.Extend(p, v, _)    => p.vars + v.name
+    case Pattern.Path(s, _, o)      => Set(s, o).collect { case Var(n) => n }
   }
 }
 object Pattern {
@@ -88,6 +112,9 @@ object Pattern {
   final case class Extend(p: Pattern, v: Var, expr: Expr) extends Pattern {
     override def toString: String = s"Extend($p, $v)"
   }
+  /** Property path with alternation/closure (SPARQL 1.1 extension —
+    * sequences and inverses desugar to triples before reaching here). */
+  final case class Path(s: Term, path: PathAst, o: Term) extends Pattern
 }
 
 sealed trait QueryForm

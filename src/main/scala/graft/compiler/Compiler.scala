@@ -105,10 +105,11 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
     // into a hidden aggregate column and reference it in the filter
     val hoisted = mutable.ListBuffer[Column]()
     def hoist(e: Expr): Expr = e match {
-      case Expr.Call(name, args) if name.startsWith("agg:") =>
-        val fn = name.stripPrefix("agg:")
+      case Expr.Call(name, args) if name.startsWith("agg:") || name.startsWith("aggd:") =>
+        val fn = name.substring(name.indexOf(':') + 1)
         val alias = Var(s"__hav_${hoisted.size}")
-        hoisted += aggColumn(ProjAgg(fn, args.headOption, distinct = false, alias), df)
+        hoisted += aggColumn(
+          ProjAgg(fn, args.headOption, distinct = name.startsWith("aggd:"), alias), df)
         Expr.TermRef(alias)
       case Expr.Cmp(op, l, r)   => Expr.Cmp(op, hoist(l), hoist(r))
       case Expr.Arith(op, l, r) => Expr.Arith(op, hoist(l), hoist(r))
@@ -221,6 +222,79 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
     case Pattern.Minus(l, r)      => antiSemi(l, r, "left_anti")
     case Pattern.Exists(l, r, pos) => antiSemi(l, r, if (pos) "left_semi" else "left_anti")
     case Pattern.Values(vs, rows) => compileValues(vs, rows)
+    case Pattern.Path(s, ast, o)  => compilePath(s, ast, o)
+  }
+
+  // ---- property paths (alternation / closure) -------------------------------
+
+  private var edgeVarCounter = 0
+
+  /** The (x, y) node-pair DataFrame of a path expression. Nodes are the
+    * lexical (string) term forms — closure frontiers join on term identity
+    * across heterogeneous molecules, so raw-key joins don't apply here. */
+  private def pathEdges(ast: PathAst): DataFrame = ast match {
+    case PathAst.Link(Iri(p)) =>
+      edgeVarCounter += 1
+      val (xv, yv) = (s"__pe${edgeVarCounter}_x", s"__pe${edgeVarCounter}_y")
+      val c = compileBgp(List(TriplePattern(Var(xv), Iri(p), Var(yv))))
+      c.dropHidden.select(
+        col(xv).cast(StringType).as("x"), col(yv).cast(StringType).as("y"))
+    case PathAst.Seq2(l, r) =>
+      val el = pathEdges(l).select(col("x"), col("y").as("__mid"))
+      val er = pathEdges(r).select(col("x").as("__mid"), col("y"))
+      el.join(er, "__mid").select("x", "y")
+    case PathAst.Alt(l, r) => pathEdges(l).unionByName(pathEdges(r))
+    case PathAst.Inv(p)    => pathEdges(p).select(col("y").as("x"), col("x").as("y"))
+    case PathAst.Closure(p, includeZero) => closure(pathEdges(p), includeZero)
+  }
+
+  /** Transitive closure by semi-naive iteration: each round extends only the
+    * previous round's *new* pairs by one base-edge hop and stops when the
+    * frontier empties. The frontier shrinks toward the graph diameter — at
+    * cluster scale each round is one shuffle join over the (small) frontier
+    * against the persisted base edges, the standard distributed-Datalog
+    * shape. `*` adds zero-length pairs for every node of the edge graph (the
+    * engine's node universe — the W3C all-graph-terms universe has no finite
+    * enumeration over virtual mappings). */
+  private def closure(edges0: DataFrame, includeZero: Boolean,
+                      maxIters: Int = 20): DataFrame = {
+    val edges = edges0.distinct().persist()
+    var total = edges
+    var frontier = edges
+    var i = 0
+    while (i < maxIters && !frontier.isEmpty) {
+      val grown = frontier.select(col("x"), col("y").as("__mid"))
+        .join(edges.select(col("x").as("__mid"), col("y")), "__mid")
+        .select("x", "y")
+      frontier = grown.except(total).persist()
+      if (!frontier.isEmpty) total = total.union(frontier).persist()
+      i += 1
+    }
+    if (!includeZero) total
+    else {
+      val nodes = edges.select(col("x")).union(edges.select(col("y"))).distinct()
+      total.union(nodes.select(col("x"), col("x").as("y"))).distinct()
+    }
+  }
+
+  /** `s path o` where the path kept alternation/closure: compile the edge
+    * set, then bind/filter the endpoints. */
+  private def compilePath(s: Term, ast: PathAst, o: Term): Compiled = {
+    var df = pathEdges(ast)
+    def end(t: Term, c: String): Option[String] = t match {
+      case Var(n)         => Some(n)
+      case Iri(u)         => df = df.filter(col(c) === lit(u)); None
+      case Lit(lex, _, _) => df = df.filter(col(c) === lit(lex)); None
+    }
+    (end(s, "x"), end(o, "y")) match {
+      case (Some(sv), Some(ov)) if sv == ov =>
+        Compiled(df.filter(col("x") === col("y")).select(col("x").as(sv)), Map.empty)
+      case (Some(sv), Some(ov)) =>
+        Compiled(df.select(col("x").as(sv), col("y").as(ov)), Map.empty)
+      case (Some(sv), None) => Compiled(df.select(col("x").as(sv)), Map.empty)
+      case (None, Some(ov)) => Compiled(df.select(col("y").as(ov)), Map.empty)
+      case (None, None)     => Compiled(df.select(), Map.empty)
+    }
   }
 
   /** MINUS / FILTER [NOT] EXISTS → semi/anti join on the shared variables.
@@ -293,11 +367,22 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
     * fragments on the shared subject — on the raw subject key columns via
     * join2's hidden-column path (`sparqltosql.py:446-481` semantics). */
   private def compileStar(star: Star): Compiled = {
-    if (star.triples.exists(_.p.isInstanceOf[Var])) {
-      require(star.triples.size == 1,
-        "variable predicates are supported for single-triple stars (?s ?p ?o probes)")
-      star.sources.map(s => compileVarPredStar(star, s.primary)).reduce(union2)
-    } else star.sources.map(compileSource(star.subject, _)).reduce(union2)
+    val (varTs, constTs) = star.triples.partition(_.p.isInstanceOf[Var])
+    if (varTs.isEmpty)
+      star.sources.map(compileSource(star.subject, _)).reduce(union2)
+    else star.sources.map { src =>
+      // each ?p triple expands over the source's molecules (predicate
+      // enumeration); molecules of one source union, then join the probe
+      // onto the constant-predicate part of the star on the subject
+      // (raw-key join via the shared subject signature)
+      val mols = src.fragments.map(_.molecule).distinct
+      val probes = varTs.map(tp =>
+        mols.map(m => compileVarPredStar(star.subject, tp, m)).reduce(union2))
+      val parts =
+        if (constTs.isEmpty) probes
+        else compileSource(star.subject, src) :: probes
+      parts.reduce(join2(_, _, "inner"))
+    }.reduce(union2)
   }
 
   private def compileSource(subject: Term, src: graft.decomposer.StarSource): Compiled =
@@ -308,8 +393,10 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
     * rdf:type), one union branch each — how the reference's wrappers expand
     * a variable predicate over their triple maps. Object values are cast to
     * their lexical (string) form so branches union cleanly. */
-  private def compileVarPredStar(star: Star, m: Molecule): Compiled = {
-    val TriplePattern(s, Var(pv), o) = star.triples.head: @unchecked
+  private def compileVarPredStar(subject: Term, tp: TriplePattern,
+                                 m: Molecule): Compiled = {
+    val TriplePattern(_, Var(pv), o) = tp: @unchecked
+    val s = subject
     val df = load(m.table)
 
     def branch(predIri: String, value: Column, guards: Seq[Column]): Compiled = {

@@ -61,10 +61,6 @@ object Decomposer {
       case _      => true
     }
 
-    if (hasVarPred && (constPreds.nonEmpty || typeConst.nonEmpty))
-      throw new UnsupportedOperationException(
-        "variable predicates are supported only in single-triple stars")
-
     val sources: List[StarSource] =
       if (hasVarPred && constPreds.isEmpty && typeConst.isEmpty) {
         // ?s ?p ?o probe: every molecule separately (wrappers enumerate maps)

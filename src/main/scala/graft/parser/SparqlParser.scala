@@ -71,41 +71,83 @@ class SparqlParser extends RegexParsers {
   // ---- triples -----------------------------------------------------------
   def verb: Parser[Term] = "a" ^^ (_ => Iri(Terms.RdfType)) | variable | iri
 
-  /** Property-path subset (SPARQL 1.1 extension over the reference):
-    * sequence `p1/p2` and inverse `^p`, desugared to fresh-variable joins. */
-  private sealed trait PathStep
-  private case class Fwd(p: Term) extends PathStep
-  private case class Inv(p: Term) extends PathStep
-
+  /** Property paths (SPARQL 1.1 extension over the reference): sequence
+    * `p1/p2`, inverse `^p`, alternation `p1|p2`, closure `p+`/`p*`, grouped
+    * `(…)`. Pure sequence/inverse paths desugar to fresh-variable triple
+    * chains; alternation/closure survive as [[Pattern.Path]] nodes. */
   private var freshCounter = 0
   private def fresh(): Var = { freshCounter += 1; Var(s"__path_$freshCounter") }
 
-  private def pathStep: Parser[PathStep] =
-    "^" ~> verb ^^ (Inv(_)) | verb ^^ (Fwd(_))
+  private def pathPrimary: Parser[PathAst] =
+    "(" ~> pathAlt <~ ")" |
+    "^" ~> pathPrimary ^^ (PathAst.Inv(_)) |
+    ("a" ^^ (_ => Iri(Terms.RdfType)) | iri) ^^ (PathAst.Link(_))
 
-  private def path: Parser[List[PathStep]] = rep1sep(pathStep, "/")
+  private def pathPostfix: Parser[PathAst] =
+    pathPrimary ~ opt("+" | "*") ^^ {
+      case p ~ Some("+") => PathAst.Closure(p, includeZero = false)
+      case p ~ Some("*") => PathAst.Closure(p, includeZero = true)
+      case p ~ _         => p
+    }
+
+  private def pathSeq: Parser[PathAst] =
+    rep1sep(pathPostfix, "/") ^^ (_.reduceLeft(PathAst.Seq2.apply))
+
+  private def pathAlt: Parser[PathAst] =
+    rep1sep(pathSeq, "|") ^^ (_.reduceLeft(PathAst.Alt.apply))
+
+  /** Predicate position: a variable (varpred probe) or a path. */
+  private sealed trait Pred
+  private case class VarPred(v: Var) extends Pred
+  private case class PathPred(p: PathAst) extends Pred
+
+  private def pred: Parser[Pred] =
+    variable ^^ (VarPred(_)) | pathAlt ^^ (PathPred(_))
 
   /** Expand `s (step1/step2/…) o` into chained triples over fresh vars. */
-  private def expandPath(s: Term, steps: List[PathStep], o: Term): List[TriplePattern] = {
+  private def expandSteps(s: Term, steps: List[(Iri, Boolean)], o: Term): List[TriplePattern] = {
     val n = steps.size
     val nodes: List[Term] = s :: List.tabulate(n - 1)(_ => fresh()) ::: List(o)
     steps.lazyZip(nodes.init).lazyZip(nodes.tail).map {
-      case (Fwd(p), a, b) => TriplePattern(a, p, b)
-      case (Inv(p), a, b) => TriplePattern(b, p, a)
+      case ((p, false), a, b) => TriplePattern(a, p, b)
+      case ((p, true), a, b)  => TriplePattern(b, p, a)
     }
   }
 
-  def triplesSameSubject: Parser[List[TriplePattern]] =
+  def triplesSameSubject: Parser[(List[TriplePattern], List[Pattern.Path])] =
     graphTerm ~ propertyList ^^ { case s ~ pos =>
-      pos.flatMap { case (steps, o) => expandPath(s, steps, o) }
+      val (triples, paths) = pos.map {
+        case (VarPred(v), o)  => Left(List(TriplePattern(s, v, o)))
+        case (PathPred(p), o) => PathAst.toSteps(p) match {
+          case Some(steps) => Left(expandSteps(s, steps, o))
+          case None        => Right(Pattern.Path(s, p, o))
+        }
+      }.partitionMap(identity)
+      (triples.flatten, paths)
     }
 
-  private def propertyList: Parser[List[(List[PathStep], Term)]] =
-    rep1sep(path ~ rep1sep(graphTerm, ","), ";") ^^ (
+  private def propertyList: Parser[List[(Pred, Term)]] =
+    rep1sep(pred ~ rep1sep(graphTerm, ","), ";") ^^ (
       _.flatMap { case v ~ os => os.map(o => (v, o)) })
 
-  def triplesBlock: Parser[Pattern.Bgp] =
-    rep1sep(triplesSameSubject, ".") <~ opt(".") ^^ (ts => Pattern.Bgp(ts.flatten))
+  /** Triples with closure-free paths only (CONSTRUCT template position). */
+  def triplesTemplate: Parser[List[TriplePattern]] =
+    triplesSameSubject ^? (Function.unlift {
+      case (ts, Nil) => Some(ts)
+      case _         => None
+    }, _ => "alternation/closure paths are not allowed in a CONSTRUCT template")
+
+  def triplesBlock: Parser[Pattern] =
+    rep1sep(triplesSameSubject, ".") <~ opt(".") ^^ { parts =>
+      val bgp = Pattern.Bgp(parts.flatMap(_._1))
+      val paths = parts.flatMap(_._2)
+      // paths join onto the BGP (shared-var equi-join in the compiler)
+      paths.foldLeft(if (bgp.triples.isEmpty && paths.nonEmpty)
+          paths.head: Pattern else bgp: Pattern) {
+        case (acc, p) if acc eq p => acc
+        case (acc, p)             => Pattern.Join(acc, p)
+      }
+    }
 
   // ---- group graph pattern ------------------------------------------------
   private sealed trait GgpItem
@@ -131,7 +173,10 @@ class SparqlParser extends RegexParsers {
     } |
     valuesClause ^^ ValuesItem.apply |
     unionGroup ^^ GroupItem.apply |
-    triplesBlock <~ opt(".") ^^ TriplesItem.apply
+    triplesBlock <~ opt(".") ^^ {
+      case b: Pattern.Bgp => TriplesItem(b)
+      case p              => GroupItem(p) // block carrying closure paths
+    }
 
   private def undefOr(p: Parser[Term]): Parser[Option[Term]] =
     kw("UNDEF") ^^ (_ => None) | p ^^ (Some(_))
@@ -240,11 +285,13 @@ class SparqlParser extends RegexParsers {
     }
 
   /** Aggregate call inside an expression (HAVING position): encoded as
-    * Call("agg:<fn>", args) and rewritten to a hidden aggregate column by
-    * the compiler. */
+    * Call("agg:<fn>", args) — "aggd:<fn>" for DISTINCT aggregates — and
+    * rewritten to a hidden aggregate column by the compiler. */
   def aggExpr: Parser[Expr] =
-    aggFunc ~ ("(" ~> ("*" ^^ (_ => Nil) | expression ^^ (List(_))) <~ ")") ^^ {
-      case fn ~ args => Expr.Call(s"agg:$fn", args)
+    aggFunc ~ ("(" ~> opt(kw("DISTINCT"))) ~
+      (("*" ^^ (_ => Nil) | expression ^^ (List(_))) <~ ")") ^^ {
+      case fn ~ d ~ args =>
+        Expr.Call(s"${if (d.isDefined) "aggd" else "agg"}:$fn", args)
     }
 
   def primaryExpr: Parser[Expr] =
@@ -293,7 +340,7 @@ class SparqlParser extends RegexParsers {
     kw("ASK") ~> groupGraphPattern ^^ (p => Query(AskForm, Nil, distinct = false, p))
 
   def constructQuery: Parser[Query] =
-    kw("CONSTRUCT") ~> ("{" ~> rep1sep(triplesSameSubject, ".") <~ opt(".") <~ "}") ~
+    kw("CONSTRUCT") ~> ("{" ~> rep1sep(triplesTemplate, ".") <~ opt(".") <~ "}") ~
       (kw("WHERE") ~> groupGraphPattern) ~ modifiers ^^ {
       case tmpl ~ pat ~ ((lim, off)) =>
         Query(ConstructForm, Nil, distinct = false, pat, template = tmpl.flatten,

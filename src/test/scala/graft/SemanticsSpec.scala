@@ -88,4 +88,57 @@ class SemanticsSpec extends SparkTestBase {
       col("c_acctbal") === 0).count()
     assert(cnt == want)
   }
+  test("property path: alternation without closure unions the edge sets") {
+    val alt = n("""PREFIX g: <urn:g:>
+      SELECT ?x ?y WHERE { ?x (g:nation|g:region) ?y }""")
+    val nation = n("PREFIX g: <urn:g:> SELECT ?x ?y WHERE { ?x g:nation ?y }")
+    val region = n("PREFIX g: <urn:g:> SELECT ?x ?y WHERE { ?x g:region ?y }")
+    assert(alt == nation + region)
+  }
+
+  test("property path: + closure adds exactly the two-hop pairs here") {
+    val plus = n("""PREFIX g: <urn:g:>
+      SELECT ?x ?y WHERE { ?x (g:nation|g:region)+ ?y }""")
+    val oneHop = n("""PREFIX g: <urn:g:>
+      SELECT ?x ?y WHERE { ?x (g:nation|g:region) ?y }""")
+    val twoHop = n("""PREFIX g: <urn:g:>
+      SELECT ?x ?y WHERE { ?x g:nation/g:region ?y }""")
+    assert(plus == oneHop + twoHop) // chain depth 2: nothing deeper exists
+  }
+
+  test("property path: * adds zero-length pairs over the edge-graph nodes") {
+    val star = n("""PREFIX g: <urn:g:>
+      SELECT ?x ?y WHERE { ?x (g:region)* ?y }""")
+    val plus = n("""PREFIX g: <urn:g:>
+      SELECT ?x ?y WHERE { ?x (g:region)+ ?y }""")
+    // nodes = 25 nations + 5 regions; each contributes one (v,v) pair
+    assert(star == plus + 30)
+  }
+
+  test("property path: constant endpoint filters the closure") {
+    val df = g.sparql("""PREFIX g: <urn:g:>
+      SELECT ?x WHERE { ?x (g:nation|g:region)+ <urn:g:region:0> }""")
+    assert(df.columns.toSeq == Seq("x"))
+    val rows = df.collect().map(_.getString(0))
+    assert(rows.exists(_.startsWith("urn:g:nation:")))
+    assert(rows.exists(_.startsWith("urn:g:cust:")))
+  }
+
+  test("varpred probe joined with constant-predicate star triples") {
+    val df = g.sparql("""PREFIX g: <urn:g:>
+      SELECT ?c ?p ?o WHERE { ?c a g:Customer ; g:mktsegment "BUILDING" ; ?p ?o }""")
+    val perCust = df.groupBy("c").count().select("count").distinct().collect()
+    assert(perCust.map(_.getLong(0)).toSet == Set(5L)) // 4 predicates + rdf:type
+    val building = n("""PREFIX g: <urn:g:>
+      SELECT ?c WHERE { ?c a g:Customer ; g:mktsegment "BUILDING" }""")
+    assert(df.count() == building * 5)
+  }
+
+  test("HAVING accepts DISTINCT aggregates") {
+    val df = g.sparql("""PREFIX g: <urn:g:>
+      SELECT ?o (COUNT(DISTINCT ?p) AS ?np) WHERE {
+        ?l a g:Lineitem ; g:order ?o ; g:part ?p .
+      } GROUP BY ?o HAVING (COUNT(DISTINCT ?p) > 5)""")
+    assert(df.collect().forall(_.getLong(1) > 5))
+  }
 }
