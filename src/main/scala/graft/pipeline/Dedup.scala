@@ -112,10 +112,13 @@ object Dedup {
     * pass over the corpus, no iteration. Beyond the cap it falls back to
     * distributed min-label propagation ([[canonicalIdsDistributed]]). */
   def canonicalIds(docs: DataFrame, pairs: DataFrame,
-                   maxDriverPairs: Long = 5000000L): DataFrame = {
+                   maxDriverPairs: Int = 5000000): DataFrame = {
     val edges = pairs.select(col("a"), col("b")).persist()
+    // single action: fetch up to the cap + 1 — fits ⇒ solve on the driver,
+    // overflows ⇒ distributed propagation (vs. a separate count() job)
+    val fetched = edges.limit(maxDriverPairs + 1).collect()
     val result =
-      if (edges.count() <= maxDriverPairs) {
+      if (fetched.length <= maxDriverPairs) {
         val parent = scala.collection.mutable.Map[Long, Long]()
         def find(x: Long): Long = {
           var r = x
@@ -124,7 +127,7 @@ object Dedup {
           while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
           r
         }
-        edges.collect().foreach { row =>
+        fetched.foreach { row =>
           val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
           if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
         }

@@ -124,47 +124,82 @@ object Similarity {
       .select("q_id", "vec_id", "rank")
   }
 
+  /** Nearest centroid by dot product (vectors and centers are unit-norm, so
+    * max-dot ≡ min-euclidean). */
+  private def nearestCell(v: Array[Double], centers: Array[Array[Double]]): Int = {
+    var best = 0; var bestDot = Double.NegativeInfinity; var c = 0
+    while (c < centers.length) {
+      val d = dot(v, centers(c))
+      if (d > bestDot) { bestDot = d; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** IVF (inverted-file) ANN: k-means coarse quantizer over normalized
     * vectors; each query scores only the `nProbe` nearest cells' members.
     * The classic disk-friendly ANN layout at corpus scale — cells map to
-    * partitions/files, so a query touches `nProbe/k` of the data. Training
-    * samples the corpus; assignment is one map-only pass.
-    * Output: (q_id, vec_id, rank). */
+    * partitions/files, so a query touches `nProbe/cells` of the data.
+    *
+    * The quantizer trains driver-side on a bounded deterministic sample
+    * (faiss-style — a coarse quantizer never needs the full corpus), so
+    * training is a single Spark job for the sample fetch plus a local Lloyd
+    * loop; assignment + scoring is one map-only pass over the corpus with
+    * the centers broadcast. Output: (q_id, vec_id, rank). */
   def ivfTopK(emb: DataFrame, k: Int = 5, numQueries: Int = 3,
-              cells: Int = 16, nProbe: Int = 2): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.Vectors
+              cells: Int = 16, nProbe: Int = 2,
+              trainSample: Int = 16384, lloydIters: Int = 5): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val ds = asRows(emb)
-    val vecs = ds.map(e => (e.vec_id, Vectors.dense(normalize(e.embedding))))
-      .toDF("vec_id", "features")
-    // a handful of Lloyd iterations is plenty for a coarse quantizer — the
-    // cells only gate which fraction of the corpus each query scores
-    val model = new KMeans().setK(cells).setSeed(42L).setMaxIter(5).fit(vecs)
-    val centers = model.clusterCenters.map(_.toArray)
-    val assigned = model.transform(vecs)
-      .select(col("vec_id"), col("features"), col("prediction").as("cell"))
-    val queries = assigned.filter(col("vec_id") < numQueries)
-      .collect().map { r =>
-        val v = r.getAs[org.apache.spark.ml.linalg.Vector]("features").toArray
-        // nProbe nearest cells by centroid distance
-        val probes = centers.zipWithIndex
-          .sortBy { case (c, _) =>
-            -c.lazyZip(v).map(_ * _).sum
-          }.take(nProbe).map(_._2).toSet
-        (r.getLong(0), v, probes)
+    val sample = ds.orderBy("vec_id").limit(trainSample).collect()
+      .map(e => normalize(e.embedding))
+    // seeded kmeans++-lite init: spread starts deterministically over the
+    // sample, then a few Lloyd rounds — cells only gate the probe fraction
+    val centers = Array.tabulate(cells)(i => sample(i * sample.length / cells).clone())
+    var it = 0
+    while (it < lloydIters) {
+      val sums = Array.fill(cells)(new Array[Double](centers(0).length))
+      val counts = new Array[Int](cells)
+      sample.foreach { v =>
+        val c = nearestCell(v, centers)
+        counts(c) += 1
+        var d = 0
+        while (d < v.length) { sums(c)(d) += v(d); d += 1 }
       }
-    val bc = spark.sparkContext.broadcast(queries)
-    val scored = assigned.as[(Long, org.apache.spark.ml.linalg.Vector, Int)]
-      .mapPartitions { it =>
-        val qs = bc.value
-        it.flatMap { case (id, fv, cell) =>
-          val v = fv.toArray
-          qs.iterator.filter(q => q._3.contains(cell) && q._1 != id)
-            .map { case (qid, qv, _) => (qid, id, dot(v, qv)) }
+      var c = 0
+      while (c < cells) {
+        if (counts(c) > 0) {
+          var s = 0.0
+          var d = 0
+          while (d < sums(c).length) { s += sums(c)(d) * sums(c)(d); d += 1 }
+          val n = math.sqrt(s)
+          d = 0
+          while (d < sums(c).length) {
+            centers(c)(d) = if (n == 0) 0.0 else sums(c)(d) / n; d += 1
+          }
         }
-      }.toDF("q_id", "vec_id", "cosine")
+        c += 1
+      }
+      it += 1
+    }
+    val bcCenters = spark.sparkContext.broadcast(centers)
+    val queries = ds.filter(_.vec_id < numQueries).collect().map { e =>
+      val v = normalize(e.embedding)
+      val byDot = centers.zipWithIndex.sortBy { case (c, _) => -dot(c, v) }
+      (e.vec_id, v, byDot.take(nProbe).map(_._2).toSet)
+    }
+    val bc = spark.sparkContext.broadcast(queries)
+    val scored = ds.mapPartitions { it =>
+      val qs = bc.value
+      val cs = bcCenters.value
+      it.flatMap { e =>
+        val v = normalize(e.embedding)
+        val cell = nearestCell(v, cs)
+        qs.iterator.filter(q => q._3.contains(cell) && q._1 != e.vec_id)
+          .map { case (qid, qv, _) => (qid, e.vec_id, dot(v, qv)) }
+      }
+    }.toDF("q_id", "vec_id", "cosine")
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))

@@ -31,6 +31,29 @@ object EventStreams {
   def dedupedEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id")
 
+  /** Watermarked stream-stream interval join: attribute each purchase to a
+    * click by the same user within the preceding `windowMinutes`. Both sides
+    * carry watermarks and the join condition bounds event-time distance, so
+    * Spark can evict state for rows past the watermark — the unbounded twin
+    * of the reference's dependent-join batching (§2.3) and of the batch
+    * as-of query (`q_asof_attribution`). */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+                        windowMinutes: Int = 30,
+                        watermark: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        col("purchase_ts"), col("click_ts"))
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionState(sessionId: Long, lastTs: Long, count: Long)

@@ -90,4 +90,26 @@ class StreamingSpec extends SparkTestBase {
     assert(rows(1L) == rows(2L))
     assert(rows(3L) != rows(1L))
   }
+  test("watermarked stream-stream interval join attributes purchases to clicks") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = EventStreams.clickPurchaseJoin(clicks.toDF(), purchases.toDF(),
+        windowMinutes = 30)
+      .writeStream.format("memory").queryName("attributed")
+      .outputMode(OutputMode.Append).start()
+    clicks.addData(
+      Event(10, ts(0), 1, "click", 1.0),   // in window for purchase @5
+      Event(11, ts(50), 2, "click", 1.0))  // 50 > 20: out of window
+    purchases.addData(
+      Event(20, ts(5), 1, "purchase", 9.0),
+      Event(21, ts(20), 2, "purchase", 9.0))
+    q.processAllAvailable()
+    val rows = spark.table("attributed").collect()
+      .map(r => (r.getLong(r.fieldIndex("purchase_id")), r.getLong(r.fieldIndex("click_id"))))
+    q.stop()
+    assert(rows.toSet == Set((20L, 10L))) // purchase 21 has no in-window click
+  }
 }
