@@ -256,6 +256,24 @@ object SparkEntry {
       |  ?l a g:Lineitem ; g:order ?o ; g:part ?p .
       |} GROUP BY ?o HAVING (COUNT(DISTINCT ?p) > 5) ORDER BY ?o""".stripMargin
 
+  /** SPARQL 1.1 hash + STRBEFORE/STRAFTER builtins in projections. */
+  private val SPARQL_HASHFUNCS =
+    """PREFIX g: <urn:g:>
+      |SELECT ?d (MD5(?src) AS ?h) (SHA256(?lang) AS ?h2)
+      |       (STRAFTER(?src, "src") AS ?num) (STRBEFORE(?src, "rc") AS ?pre)
+      |WHERE { ?d a g:Document ; g:source ?src ; g:lang ?lang } ORDER BY ?d""".stripMargin
+
+  /** SPARQL 1.1 subquery: aggregate inside a nested SELECT joined back to
+    * an outer star on the projected variable. */
+  private val SPARQL_SUBQUERY =
+    """PREFIX g: <urn:g:>
+      |SELECT ?cust ?n ?name WHERE {
+      |  { SELECT ?cust (COUNT(*) AS ?n) WHERE {
+      |      ?o a g:Order ; g:customer ?cust .
+      |    } GROUP BY ?cust HAVING (COUNT(*) > 14) }
+      |  ?cust g:name ?name .
+      |} ORDER BY ?cust""".stripMargin
+
   /** CQ1 shape (LSLOD): 3-source chain + multi-star OPTIONAL with filter. */
   private val SPARQL_CQ1 =
     """PREFIX g: <urn:g:>
@@ -299,6 +317,8 @@ object SparkEntry {
     "sparql_datefuncs" -> ((s, d) => graft(s, d).sparql(SPARQL_DATEFUNCS)),
     "sparql_strfuncs" -> ((s, d) => graft(s, d).sparql(SPARQL_STRFUNCS)),
     "sparql_cq1" -> ((s, d) => graft(s, d).sparql(SPARQL_CQ1)),
+    "sparql_subquery" -> ((s, d) => graft(s, d).sparql(SPARQL_SUBQUERY)),
+    "sparql_hashfuncs" -> ((s, d) => graft(s, d).sparql(SPARQL_HASHFUNCS)),
     "sparql_path_closure" -> ((s, d) => graft(s, d).sparql(SPARQL_PATH_CLOSURE)),
     "sparql_varpred_star" -> ((s, d) => graft(s, d).sparql(SPARQL_VARPRED_STAR)),
     "sparql_having_distinct" -> ((s, d) => graft(s, d).sparql(SPARQL_HAVING_DISTINCT)),
@@ -428,9 +448,27 @@ object SparkEntry {
       TextAnalysis.langId(T(s, d, "documents")).orderBy("doc_id")),
     "doc_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprints(T(s, d, "documents")).orderBy("doc_id")),
+    "doc_pii_redact" -> ((s, d) =>
+      TextAnalysis.redactPii(T(s, d, "documents")).orderBy("doc_id")),
+    "doc_pack_bins" -> ((s, d) =>
+      TextAnalysis.packBins(T(s, d, "documents")).orderBy("doc_id")),
     "doc_media_features" -> ((s, d) => {
       implicit val sp: SparkSession = s
       Multimodal.extractFeatures(T(s, d, "documents")).toDF().orderBy("doc_id")
+    }),
+    "doc_media_resize" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      Multimodal.resize(T(s, d, "documents")).toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          length(col("payload")).cast("long").as("out_len"))
+        .orderBy("doc_id")
+    }),
+    "doc_media_frames" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      Multimodal.sampleFrames(T(s, d, "documents")).toDF()
+        .select(col("doc_id"), col("frame_no"), col("offset"),
+          length(col("payload")).cast("long").as("flen"))
+        .orderBy("doc_id", "frame_no")
     }),
     "emb_knn_brute" -> ((s, d) =>
       Similarity.bruteForceTopK(T(s, d, "embeddings"), k = 5, numQueries = 3)
@@ -615,6 +653,21 @@ object SparkEntry {
         |WHERE c_mktsegment = 'BUILDING'
         |ORDER BY l, qty, rp NULLS FIRST""".stripMargin,
 
+    "sparql_hashfuncs" ->
+      """SELECT 'urn:g:doc:' || CAST(doc_id AS VARCHAR) AS d, md5(source) AS h,
+        | sha256(lang) AS h2,
+        | CASE WHEN strpos(source, 'src') > 0
+        |      THEN substr(source, strpos(source, 'src') + 3) ELSE '' END AS num,
+        | CASE WHEN strpos(source, 'rc') > 0
+        |      THEN substr(source, 1, strpos(source, 'rc') - 1) ELSE '' END AS pre
+        |FROM documents ORDER BY d""".stripMargin,
+
+    "sparql_subquery" ->
+      """SELECT 'urn:g:cust:' || CAST(o_custkey AS VARCHAR) AS cust, n, c_name AS name
+        |FROM (SELECT o_custkey, COUNT(*) AS n FROM orders
+        |      GROUP BY 1 HAVING COUNT(*) > 14) agg
+        |JOIN customer ON c_custkey = o_custkey ORDER BY cust""".stripMargin,
+
     "sparql_path_closure" ->
       """SELECT x, y FROM (
         | SELECT 'urn:g:cust:' || CAST(c_custkey AS VARCHAR) AS x,
@@ -759,6 +812,43 @@ object SparkEntry {
       """SELECT doc_id, strlen(text) AS byte_len, strlen(text) % 640 AS width,
         | strlen(text) % 480 AS height, 'stub/raw' AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "doc_pii_redact" ->
+      """SELECT doc_id,
+        | md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |   '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'),
+        |   '\b[0-9]{7,}\b', '[NUM]', 'g')) AS redacted_hash,
+        | length(regexp_extract_all(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        | length(regexp_extract_all(text,
+        |   '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
+        | length(regexp_extract_all(text, '\b[0-9]{7,}\b')) AS n_digit_runs
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // doc_pack_bins: bin assignment depends on range-partition sampling →
+    // rows-only check; invariants (budget respected, every doc binned once)
+    // are asserted in PipelineSpec
+
+    // the resize / frame-sample transforms are deterministic stub formulas
+    // over byte lengths (decode itself is stubbed — no codecs in the
+    // container), so the full plumbing is oracle-checkable
+    "doc_media_resize" ->
+      """WITH b AS (SELECT doc_id, strlen(text) AS len,
+        |            strlen(text) % 640 AS w, strlen(text) % 480 AS h,
+        |            greatest(strlen(text) % 640, strlen(text) % 480) AS mx
+        |           FROM documents),
+        |s AS (SELECT doc_id, len, w, h,
+        |       CASE WHEN mx <= 256 OR mx = 0 THEN 1.0 ELSE 256.0 / mx END AS scale FROM b)
+        |SELECT doc_id, CAST(FLOOR(w * scale) AS BIGINT) AS width,
+        |  CAST(FLOOR(h * scale) AS BIGINT) AS height,
+        |  greatest(1, CAST(FLOOR(len * scale * scale) AS BIGINT)) AS out_len
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "doc_media_frames" ->
+      """WITH d AS (SELECT doc_id, strlen(text) AS len FROM documents)
+        |SELECT doc_id, i // 4 AS frame_no, i * 256 AS "offset",
+        |  least(len, i * 256 + 256) - i * 256 AS flen
+        |FROM d, UNNEST(range(0, greatest(1, len // 256), 4)) AS t(i)
+        |ORDER BY doc_id, frame_no""".stripMargin,
 
     // MinHash-LSH emits candidate pairs verified by exact Jaccard ≥ t, so
     // its *output* is SQL-expressible: the exact word-3-gram Jaccard pair

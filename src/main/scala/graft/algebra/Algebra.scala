@@ -93,6 +93,8 @@ sealed trait Pattern {
     case Pattern.Values(vs, _)      => vs.map(_.name).toSet
     case Pattern.Extend(p, v, _)    => p.vars + v.name
     case Pattern.Path(s, _, o)      => Set(s, o).collect { case Var(n) => n }
+    case Pattern.SubSelect(q)       =>
+      if (q.projection.isEmpty) q.pattern.vars else q.projection.map(_.alias).toSet
   }
 }
 object Pattern {
@@ -115,6 +117,9 @@ object Pattern {
   /** Property path with alternation/closure (SPARQL 1.1 extension —
     * sequences and inverses desugar to triples before reaching here). */
   final case class Path(s: Term, path: PathAst, o: Term) extends Pattern
+  /** `{ SELECT … }` subquery nested in a group pattern (SPARQL 1.1
+    * extension); joins with its siblings on the projected variables. */
+  final case class SubSelect(q: Query) extends Pattern
 }
 
 sealed trait QueryForm

@@ -223,6 +223,9 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
     case Pattern.Exists(l, r, pos) => antiSemi(l, r, if (pos) "left_semi" else "left_anti")
     case Pattern.Values(vs, rows) => compileValues(vs, rows)
     case Pattern.Path(s, ast, o)  => compilePath(s, ast, o)
+    // SPARQL 1.1 subquery: compiled like a root SELECT (aggregation,
+    // modifiers and all), then joined with siblings on projected vars
+    case Pattern.SubSelect(q)     => Compiled(compileSelect(q), Map.empty)
   }
 
   // ---- property paths (alternation / closure) -------------------------------
@@ -277,9 +280,54 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
     }
   }
 
+  /** Seeded reachability for a closure with a constant endpoint: BFS from
+    * the seed over the (possibly reversed) edge set instead of materializing
+    * the full transitive closure — at corpus scale the difference between
+    * touching one component and touching the whole graph. Returns the set of
+    * reached nodes as a one-column ("n") DataFrame. */
+  private def reachableFrom(inner: PathAst, seed: String, forward: Boolean,
+                            includeZero: Boolean, maxIters: Int = 20): DataFrame = {
+    val base0 = pathEdges(inner)
+    val base = (if (forward) base0
+                else base0.select(col("y").as("x"), col("x").as("y"))).distinct().persist()
+    var frontier = base.filter(col("x") === lit(seed))
+      .select(col("y").as("n")).distinct().persist()
+    var total = frontier
+    var i = 0
+    while (i < maxIters && !frontier.isEmpty) {
+      val next = frontier.join(base, col("n") === col("x"))
+        .select(col("y").as("n")).distinct().except(total).persist()
+      if (!next.isEmpty) total = total.union(next).persist()
+      frontier = next
+      i += 1
+    }
+    if (includeZero)
+      total.union(spark.range(1).select(lit(seed).as("n"))).distinct()
+    else total
+  }
+
   /** `s path o` where the path kept alternation/closure: compile the edge
-    * set, then bind/filter the endpoints. */
+    * set, then bind/filter the endpoints. A top-level closure with a
+    * constant endpoint runs as a seeded BFS instead. */
   private def compilePath(s: Term, ast: PathAst, o: Term): Compiled = {
+    def constOf(t: Term): Option[String] = t match {
+      case Iri(u)         => Some(u)
+      case Lit(lex, _, _) => Some(lex)
+      case Var(_)         => None
+    }
+    ast match {
+      case PathAst.Closure(inner, z) if constOf(s).isDefined || constOf(o).isDefined =>
+        val forward = constOf(s).isDefined
+        val seed = (if (forward) constOf(s) else constOf(o)).get
+        val reached = reachableFrom(inner, seed, forward, z)
+        return (if (forward) o else s) match {
+          case Var(v) => Compiled(reached.select(col("n").as(v)), Map.empty)
+          case other  => // both endpoints constant: membership test
+            val otherConst = constOf(other).get
+            Compiled(reached.filter(col("n") === lit(otherConst)).select(), Map.empty)
+        }
+      case _ => ()
+    }
     var df = pathEdges(ast)
     def end(t: Term, c: String): Option[String] = t match {
       case Var(n)         => Some(n)

@@ -140,6 +140,23 @@ object ExprCompiler {
           case Expr.TermRef(Lit(rr, _, _)) => rr
           case _ => throw new UnsupportedOperationException("dynamic replacement")
         })
+      case "strbefore" =>
+        val (s0, d0) = (a(0).cast(StringType), a(1).cast(StringType))
+        when(instr(s0, d0) > 0, substring(s0, lit(1), instr(s0, d0) - 1)).otherwise(lit(""))
+      case "strafter" =>
+        val (s0, d0) = (a(0).cast(StringType), a(1).cast(StringType))
+        when(instr(s0, d0) > 0,
+          s0.substr(instr(s0, d0) + length(d0), lit(Int.MaxValue))).otherwise(lit(""))
+      case "md5"    => md5(a(0).cast(StringType))
+      case "sha1"   => sha1(a(0).cast(StringType))
+      case "sha256" => sha2(a(0).cast(StringType), 256)
+      case "sha512" => sha2(a(0).cast(StringType), 512)
+      // SPARQL wants RFC 3986 percent-encoding; url_encode is form-style
+      case "encode_for_uri" =>
+        regexp_replace(url_encode(a(0).cast(StringType)), "\\+", "%20")
+      case "hours"   => hour(a(0))
+      case "minutes" => minute(a(0))
+      case "seconds" => second(a(0))
       case "abs"        => abs(a(0))
       case "round"      => round(a(0))
       case "ceil"       => ceil(a(0))

@@ -159,6 +159,7 @@ class SparqlParser extends RegexParsers {
   private case class ExistsItem(p: Pattern, positive: Boolean) extends GgpItem
   private case class ValuesItem(p: Pattern.Values) extends GgpItem
   private case class BindItem(v: Var, e: Expr) extends GgpItem
+  private case class SubqueryItem(q: Query) extends GgpItem
 
   def groupGraphPattern: Parser[Pattern] = "{" ~> rep(ggpItem) <~ "}" ^^ combine
 
@@ -172,6 +173,7 @@ class SparqlParser extends RegexParsers {
       case e ~ v => BindItem(v, e)
     } |
     valuesClause ^^ ValuesItem.apply |
+    "{" ~> selectQuery <~ "}" ^^ SubqueryItem.apply | // SPARQL 1.1 subquery
     unionGroup ^^ GroupItem.apply |
     triplesBlock <~ opt(".") ^^ {
       case b: Pattern.Bgp => TriplesItem(b)
@@ -219,6 +221,9 @@ class SparqlParser extends RegexParsers {
         acc = Some(Pattern.Exists(acc.getOrElse(Pattern.Bgp(Nil)), p, pos))
       case BindItem(v, e) =>
         acc = Some(Pattern.Extend(acc.getOrElse(Pattern.Bgp(Nil)), v, e))
+      case SubqueryItem(q) =>
+        val p = Pattern.SubSelect(q)
+        acc = Some(acc.fold(p: Pattern)(l => Pattern.Join(l, p)))
       case FilterItem(e) => filters ::= e
     }
     val base = acc.getOrElse(Pattern.Bgp(Nil))
@@ -270,10 +275,11 @@ class SparqlParser extends RegexParsers {
 
   private val builtinNames = List(
     "BOUND", "REGEX", "ISIRI", "ISURI", "ISBLANK", "ISLITERAL", "ISNUMERIC",
-    "LANGMATCHES", "SAMETERM", "STRSTARTS", "STRENDS", "CONTAINS", "STRLEN",
-    "UCASE", "LCASE", "CONCAT", "SUBSTR", "REPLACE", "ABS", "ROUND", "CEIL",
-    "FLOOR", "YEAR", "MONTH", "DAY", "STR", "LANG", "DATATYPE", "COALESCE",
-    "IF")
+    "LANGMATCHES", "SAMETERM", "STRSTARTS", "STRENDS", "STRBEFORE",
+    "STRAFTER", "CONTAINS", "STRLEN", "UCASE", "LCASE", "CONCAT", "SUBSTR",
+    "REPLACE", "ENCODE_FOR_URI", "MD5", "SHA1", "SHA256", "SHA512", "ABS",
+    "ROUND", "CEIL", "FLOOR", "YEAR", "MONTH", "DAY", "HOURS", "MINUTES",
+    "SECONDS", "STR", "LANG", "DATATYPE", "COALESCE", "IF")
 
   def builtinCall: Parser[Expr] =
     builtinNames.map(n => kw(n) ~ ("(" ~> repsep(expression, ",") <~ ")") ^^ {

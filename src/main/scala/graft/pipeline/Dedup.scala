@@ -90,7 +90,10 @@ object Dedup {
     * keeps pairs with similarity ≥ threshold. */
   def verifiedNearDups(docs: DataFrame, threshold: Double = 0.7,
                        k: Int = 3, numPerm: Int = 32, bands: Int = 8): DataFrame = {
-    val shingled = withShingles(docs, k).select(col("doc_id"), col("shingles"))
+    // persist the shingle-id sets: three consumers (bucket generation and
+    // both sides of the verification join) would otherwise each re-run the
+    // split+hash scan — the most expensive stage of the pipeline
+    val shingled = withShingles(docs, k).select(col("doc_id"), col("shingles")).persist()
     val pairs = candidatePairs(lshBuckets(shingled, numPerm, bands))
     pairs
       .join(shingled.select(col("doc_id").as("a"), col("shingles").as("sa")), "a")
@@ -192,7 +195,8 @@ object Dedup {
     * pair within hamming ≤ 3 of 64 bits must agree exactly on ≥1 of the 4
     * bands), verified with bit_count(xor). */
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sh = simhash(docs)
+    // both sides of the banded self-join read the signatures — hash once
+    val sh = simhash(docs).persist()
     val banded = sh.select(col("doc_id"), col("simhash"),
       explode(expr("transform(sequence(0, 3), j -> " +
         "named_struct('band', j, 'bh', (simhash >> (j*16)) & 65535))")).as("bb"))

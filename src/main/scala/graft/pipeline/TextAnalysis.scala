@@ -80,4 +80,56 @@ object TextAnalysis {
       .select(
         col("doc_id"),
         md5(regexp_replace(lower(col("text")), "[^a-z0-9]", "")).as("fingerprint"))
+  /** PII patterns shared with the DuckDB oracle — RE2-compatible, no
+    * lookarounds (emails, IPv4, long digit runs ≈ phone/account numbers). */
+  val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIpv4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PiiDigits = "\\b[0-9]{7,}\\b"
+
+  /** PII redaction — the scrubbing pass of a training-data pipeline:
+    * map-only regexp replacement (emails → [EMAIL], IPv4 → [IP], 7+-digit
+    * runs → [NUM]) plus per-document hit counts for audit. Order matters:
+    * IPs redact before bare digit runs so an IP never half-matches. */
+  def redactPii(docs: DataFrame): DataFrame = {
+    val step1 = regexp_replace(col("text"), PiiEmail, "[EMAIL]")
+    val step2 = regexp_replace(step1, PiiIpv4, "[IP]")
+    val step3 = regexp_replace(step2, PiiDigits, "[NUM]")
+    docs.select(
+      col("doc_id"),
+      md5(step3).as("redacted_hash"),
+      countMatches(col("text"), PiiEmail).cast("long").as("n_emails"),
+      countMatches(col("text"), PiiIpv4).cast("long").as("n_ips"),
+      countMatches(col("text"), PiiDigits).cast("long").as("n_digit_runs"))
+  }
+
+  /** Token-budget sequence packing — group documents into training bins of
+    * at most `budget` tokens (first-fit over a length-descending order).
+    * Distributed shape: range-partition by token count so each partition
+    * packs a contiguous length band independently; bin ids are globally
+    * unique via (partition « 32) | local. Oversized docs get a bin of their
+    * own (they would be chunked upstream). Deterministic for a fixed
+    * partition count. */
+  def packBins(docs: DataFrame, budget: Long = 1024, partitions: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sized = docs.select(
+      col("doc_id"),
+      countMatches(col("text"), "\\S+").cast("long").as("n_tokens"))
+    sized.as[(Long, Long)]
+      .repartitionByRange(partitions, col("n_tokens"), col("doc_id"))
+      .sortWithinPartitions(col("n_tokens").desc, col("doc_id"))
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+        // first-fit: bins keep remaining capacity; docs arrive size-desc
+        val remaining = scala.collection.mutable.ArrayBuffer[Long]()
+        it.map { case (id, n) =>
+          var b = remaining.indexWhere(_ >= n)
+          if (n >= budget) { remaining += 0L; b = remaining.size - 1 } // own bin
+          else if (b < 0) { remaining += (budget - n); b = remaining.size - 1 }
+          else remaining(b) -= n
+          (id, n, (pid << 32) | b.toLong)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "bin_id")
+  }
 }

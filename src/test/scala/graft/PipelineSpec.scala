@@ -89,4 +89,49 @@ class PipelineSpec extends SparkTestBase {
     val zh = l.filter(_.getLong(6) > 0)
     assert(zh.forall(_.getString(1) == "zh"))
   }
+  test("resize caps the longer stub dimension at maxDim, shrinks payload") {
+    implicit val s = spark
+    val docs = s.read.parquet(s"$sfDir/documents.parquet")
+    val out = graft.pipeline.Multimodal.resize(docs, maxDim = 256).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => math.max(r.width, r.height) <= 256))
+    val lens = docs.selectExpr("doc_id", "length(cast(text as binary)) as l")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.forall(r => r.payload.length <= math.max(1, lens(r.doc_id))))
+  }
+
+  test("frame sampling emits every stride-th fixed-size slice") {
+    implicit val s = spark
+    val docs = s.read.parquet(s"$sfDir/documents.parquet")
+    val frames = graft.pipeline.Multimodal.sampleFrames(docs, frameBytes = 100, stride = 2)
+      .collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(f => f.offset == f.frame_no * 2 * 100))
+    assert(frames.forall(f => f.payload.length <= 100))
+    // every document yields at least one frame
+    assert(frames.map(_.doc_id).distinct.length == docs.count())
+  }
+  test("pii redaction counts and hashes are stable and self-consistent") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = graft.pipeline.TextAnalysis.redactPii(docs)
+    assert(out.count() == docs.count())
+    // clean documents keep their original text hash
+    import org.apache.spark.sql.functions._
+    val joined = out.join(docs, "doc_id")
+      .withColumn("orig_hash", md5(col("text")))
+    val clean = joined.filter(col("n_emails") === 0 && col("n_ips") === 0 &&
+      col("n_digit_runs") === 0)
+    assert(clean.filter(col("redacted_hash") =!= col("orig_hash")).count() == 0)
+  }
+
+  test("sequence packing respects the token budget and bins every doc once") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bins = graft.pipeline.TextAnalysis.packBins(docs, budget = 512)
+    import org.apache.spark.sql.functions._
+    assert(bins.count() == docs.count()) // every doc exactly once
+    val over = bins.groupBy("bin_id")
+      .agg(sum("n_tokens").as("tok"), count(lit(1)).as("n"), max("n_tokens").as("mx"))
+      .filter(col("tok") > 512 && !(col("n") === 1 && col("mx") >= 512))
+    assert(over.count() == 0) // only oversized singletons may exceed budget
+  }
 }
