@@ -256,6 +256,10 @@ object SparkEntry {
       |  ?l a g:Lineitem ; g:order ?o ; g:part ?p .
       |} GROUP BY ?o HAVING (COUNT(DISTINCT ?p) > 5) ORDER BY ?o""".stripMargin
 
+  /** DESCRIBE a resource: all its triples, N-Triples-formatted (extension —
+    * the reference grammar has SELECT/ASK/CONSTRUCT only). */
+  private val SPARQL_DESCRIBE = "PREFIX g: <urn:g:> DESCRIBE <urn:g:cust:1>"
+
   /** SPARQL 1.1 hash + STRBEFORE/STRAFTER builtins in projections. */
   private val SPARQL_HASHFUNCS =
     """PREFIX g: <urn:g:>
@@ -319,6 +323,7 @@ object SparkEntry {
     "sparql_cq1" -> ((s, d) => graft(s, d).sparql(SPARQL_CQ1)),
     "sparql_subquery" -> ((s, d) => graft(s, d).sparql(SPARQL_SUBQUERY)),
     "sparql_hashfuncs" -> ((s, d) => graft(s, d).sparql(SPARQL_HASHFUNCS)),
+    "sparql_describe" -> ((s, d) => graft(s, d).sparql(SPARQL_DESCRIBE).orderBy("p", "o")),
     "sparql_path_closure" -> ((s, d) => graft(s, d).sparql(SPARQL_PATH_CLOSURE)),
     "sparql_varpred_star" -> ((s, d) => graft(s, d).sparql(SPARQL_VARPRED_STAR)),
     "sparql_having_distinct" -> ((s, d) => graft(s, d).sparql(SPARQL_HAVING_DISTINCT)),
@@ -652,6 +657,22 @@ object SparkEntry {
         |   ON pp.p_partkey = l_partkey
         |WHERE c_mktsegment = 'BUILDING'
         |ORDER BY l, qty, rp NULLS FIRST""".stripMargin,
+
+    "sparql_describe" ->
+      """SELECT * FROM (
+        | SELECT '<urn:g:cust:1>' AS s,
+        |        '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>' AS p,
+        |        '<urn:g:Customer>' AS o FROM customer WHERE c_custkey = 1
+        | UNION ALL SELECT '<urn:g:cust:1>', '<urn:g:acctbal>',
+        |   '"' || CAST(c_acctbal AS VARCHAR) || '"' FROM customer WHERE c_custkey = 1
+        | UNION ALL SELECT '<urn:g:cust:1>', '<urn:g:mktsegment>',
+        |   '"' || c_mktsegment || '"' FROM customer WHERE c_custkey = 1
+        | UNION ALL SELECT '<urn:g:cust:1>', '<urn:g:name>',
+        |   '"' || c_name || '"' FROM customer WHERE c_custkey = 1
+        | UNION ALL SELECT '<urn:g:cust:1>', '<urn:g:nation>',
+        |   '<urn:g:nation:' || CAST(c_nationkey AS VARCHAR) || '>'
+        |   FROM customer WHERE c_custkey = 1
+        |) ORDER BY p, o""".stripMargin,
 
     "sparql_hashfuncs" ->
       """SELECT 'urn:g:doc:' || CAST(doc_id AS VARCHAR) AS d, md5(source) AS h,

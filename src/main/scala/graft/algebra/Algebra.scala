@@ -126,6 +126,9 @@ sealed trait QueryForm
 case object SelectForm extends QueryForm
 case object AskForm extends QueryForm
 case object ConstructForm extends QueryForm
+/** DESCRIBE (SPARQL extension over the reference grammar): emit all triples
+  * about a resource / each binding of a variable, N-Triples-formatted. */
+case object DescribeForm extends QueryForm
 
 /** SELECT-clause item: a bare var, or an (expression AS ?alias), where the
   * expression may be an aggregate (SPARQL 1.1 extension over the reference). */

@@ -47,6 +47,29 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
     case SelectForm    => compileSelect(q)
     case AskForm       => compileAsk(q)
     case ConstructForm => compileConstruct(q)
+    case DescribeForm  => compileDescribe(q)
+  }
+
+  /** DESCRIBE: the parser planted a `?__dp ?__do` probe over the described
+    * term; format (s, p, o) as N-Triples — objects that look like IRIs
+    * (scheme prefix — we control the mapped vocabulary) angle-bracket,
+    * everything else quotes as a plain literal. */
+  private def compileDescribe(q: Query): DataFrame = {
+    val c = compilePattern(q.pattern)
+    val iriRegex = "^[A-Za-z][A-Za-z0-9+.-]*:.*"
+    val s = q.template.head.s match {
+      case Iri(u) => lit(s"<$u>")
+      case Var(n) => concat(lit("<"), c.df.col(n).cast(StringType), lit(">"))
+      case Lit(lex, _, _) => lit("\"" + lex + "\"")
+    }
+    val o = c.df.col("__do").cast(StringType)
+    val out = c.df.select(
+      s.as("s"),
+      concat(lit("<"), c.df.col("__dp"), lit(">")).as("p"),
+      when(o.rlike(iriRegex), concat(lit("<"), o, lit(">")))
+        .otherwise(concat(lit("\""), o, lit("\""))).as("o"))
+      .distinct()
+    q.limit.fold(out)(n => out.limit(n.toInt))
   }
 
   // ---- query forms --------------------------------------------------------
@@ -99,8 +122,19 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
     * SURVEY.md §2.7). Map-side partial aggregation comes free from
     * `groupBy.agg`. */
   private def compileAggregate(q: Query, c: Compiled): DataFrame = {
-    val df = c.dropHidden
-    val gcols = q.groupBy.map(v => df.col(v.name))
+    val df = c.df
+    // group template-keyed vars on their raw key columns — the shuffle
+    // moves 8-byte longs, not concatenated URI strings — and rebuild the
+    // (constant-within-group) URI with first()
+    val gcols = q.groupBy.flatMap { v =>
+      c.sigs.get(v.name) match {
+        case Some((_, hs)) if hs.forall(df.columns.contains) => hs.map(df.col)
+        case _                                               => List(df.col(v.name))
+      }
+    }
+    val rebuilt = q.groupBy.filter(v => c.sigs.get(v.name)
+        .exists(_._2.forall(df.columns.contains)))
+      .map(v => first(df.col(v.name)).as(v.name))
     // HAVING with inline aggregates (COUNT(*) > n): hoist each agg:* call
     // into a hidden aggregate column and reference it in the filter
     val hoisted = mutable.ListBuffer[Column]()
@@ -120,7 +154,7 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
       case other                => other
     }
     val having = q.having.map(hoist)
-    val aggCols = q.projection.collect {
+    val aggCols = rebuilt ++ q.projection.collect {
       case pa: ProjAgg => aggColumn(pa, df)
       case ProjExpr(e, as) => first(ExprCompiler.compile(e, df)).as(as.name)
     } ++ hoisted
@@ -146,9 +180,11 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
       case "min"    => min(arg.get)
       case "max"    => max(arg.get)
       case "sample" => first(arg.get, ignoreNulls = true)
-      // deterministic GROUP_CONCAT: sorted collect_list, then join
+      // deterministic GROUP_CONCAT: sorted collect_list/set, then join
       case "group_concat" =>
-        array_join(sort_array(collect_list(arg.get.cast(StringType))), pa.separator)
+        val items = if (pa.distinct) collect_set(arg.get.cast(StringType))
+                    else collect_list(arg.get.cast(StringType))
+        array_join(sort_array(items), pa.separator)
       case other => throw new UnsupportedOperationException(s"aggregate $other")
     }
     val c2 = if (pa.distinct && pa.func == "sum") sum_distinct(arg.get) else c

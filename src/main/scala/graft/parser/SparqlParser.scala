@@ -345,6 +345,20 @@ class SparqlParser extends RegexParsers {
   def askQuery: Parser[Query] =
     kw("ASK") ~> groupGraphPattern ^^ (p => Query(AskForm, Nil, distinct = false, p))
 
+  /** DESCRIBE <iri> | DESCRIBE ?v WHERE { … }: desugars to a variable-
+    * predicate probe (joined to the WHERE pattern for the variable form);
+    * the probe triple rides in `template` for the compiler's formatter. */
+  def describeQuery: Parser[Query] =
+    kw("DESCRIBE") ~> (iri | variable) ~ opt(opt(kw("WHERE")) ~> groupGraphPattern) ^^ {
+      case (subject: Term) ~ where =>
+        val probe = TriplePattern(subject, Var("__dp"), Var("__do"))
+        val pat = where match {
+          case Some(p) => Pattern.Join(p, Pattern.Bgp(List(probe)))
+          case None    => Pattern.Bgp(List(probe))
+        }
+        Query(DescribeForm, Nil, distinct = false, pat, template = List(probe))
+    }
+
   def constructQuery: Parser[Query] =
     kw("CONSTRUCT") ~> ("{" ~> rep1sep(triplesTemplate, ".") <~ opt(".") <~ "}") ~
       (kw("WHERE") ~> groupGraphPattern) ~ modifiers ^^ {
@@ -365,7 +379,7 @@ class SparqlParser extends RegexParsers {
     } // LIMIT-before-OFFSET order, as the reference grammar fixes it
 
   def query: Parser[Query] =
-    prologue ~> (selectQuery | askQuery | constructQuery)
+    prologue ~> (selectQuery | askQuery | constructQuery | describeQuery)
 }
 
 object SparqlParser {

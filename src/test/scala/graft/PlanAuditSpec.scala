@@ -64,4 +64,39 @@ class PlanAuditSpec extends SparkTestBase {
       .getSeq[Long](0)
     assert(n.length == 8)
   }
+  test("pii redaction is map-only: no shuffle exchange in the plan") {
+    val plan = executed(graft.pipeline.TextAnalysis.redactPii(t("documents")))
+    assert(!plan.contains("Exchange"), s"redaction should not shuffle:\n$plan")
+  }
+
+  test("subquery aggregation keeps map-side partial aggregation") {
+    val plan = executed(g.sparql(
+      """PREFIX g: <urn:g:>
+        |SELECT ?cust ?n WHERE {
+        |  { SELECT ?cust (COUNT(*) AS ?n) WHERE { ?o a g:Order ; g:customer ?cust }
+        |    GROUP BY ?cust }
+        |}""".stripMargin))
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"expected partial aggregation:\n$plan")
+  }
+
+  test("describe of a constant resource prunes to one molecule's scan") {
+    val df = g.sparql("PREFIX g: <urn:g:> DESCRIBE <urn:g:cust:1>")
+    val rows = df.collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getString(0) == "<urn:g:cust:1>"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("orders") && !plan.contains("lineitem"),
+      "constant-subject describe should only scan molecules whose template matches")
+  }
+
+  test("group_concat distinct deduplicates before joining") {
+    val df = g.sparql(
+      """PREFIX g: <urn:g:>
+        |SELECT (GROUP_CONCAT(DISTINCT ?seg ; SEPARATOR = ",") AS ?segs)
+        |WHERE { ?c g:mktsegment ?seg }""".stripMargin)
+    val segs = df.collect()(0).getString(0).split(",")
+    assert(segs.length == segs.distinct.length && segs.length == 5)
+    assert(segs.sorted.sameElements(segs)) // deterministic order
+  }
 }
