@@ -22,6 +22,10 @@ final class Graft(val catalog: Catalog, tableLoader: String => DataFrame)
   /** Execute a SPARQL query, returning the lazy result DataFrame. */
   def sparql(query: String): DataFrame =
     compiler.compile(SparqlParser.parseUnsafe(query))
+
+  /** Compile an already-parsed query (the [[Experiment]] metrics path
+    * times parse and compile separately). */
+  def compile(q: graft.algebra.Query): DataFrame = compiler.compile(q)
 }
 
 object Graft {

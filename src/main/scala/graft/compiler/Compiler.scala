@@ -143,7 +143,8 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
         val fn = name.substring(name.indexOf(':') + 1)
         val alias = Var(s"__hav_${hoisted.size}")
         hoisted += aggColumn(
-          ProjAgg(fn, args.headOption, distinct = name.startsWith("aggd:"), alias), df)
+          ProjAgg(fn, args.headOption, distinct = name.startsWith("aggd:"), alias),
+          df, c.sigs)
         Expr.TermRef(alias)
       case Expr.Cmp(op, l, r)   => Expr.Cmp(op, hoist(l), hoist(r))
       case Expr.Arith(op, l, r) => Expr.Arith(op, hoist(l), hoist(r))
@@ -155,7 +156,7 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
     }
     val having = q.having.map(hoist)
     val aggCols = rebuilt ++ q.projection.collect {
-      case pa: ProjAgg => aggColumn(pa, df)
+      case pa: ProjAgg => aggColumn(pa, df, c.sigs)
       case ProjExpr(e, as) => first(ExprCompiler.compile(e, df)).as(as.name)
     } ++ hoisted
     val grouped =
@@ -167,10 +168,19 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
     filtered.select(q.projection.map(p => filtered.col(p.alias)): _*)
   }
 
-  private def aggColumn(pa: ProjAgg, df: DataFrame): Column = {
+  private def aggColumn(pa: ProjAgg, df: DataFrame,
+                        sigs: Map[String, (String, List[String])]): Column = {
     val arg = pa.arg.map(e => ExprCompiler.compile(e, df))
+    // COUNT(DISTINCT ?v) over a template-built var: distinct on the raw key
+    // columns (injective template ⇒ same count, integer-width dedup state)
+    val rawKeys: Option[List[Column]] = pa.arg.collect {
+      case Expr.TermRef(Var(n)) => sigs.get(n).map(_._2)
+        .filter(_.forall(df.columns.contains)).map(_.map(df.col))
+    }.flatten
     val c = pa.func match {
       case "count" => arg match {
+        case Some(_) if pa.distinct && rawKeys.isDefined =>
+          countDistinct(rawKeys.get.head, rawKeys.get.tail: _*)
         case Some(a) if pa.distinct => countDistinct(a)
         case Some(a)                => count(a)
         case None                   => count(lit(1))
