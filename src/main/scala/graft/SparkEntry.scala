@@ -278,6 +278,16 @@ object SparkEntry {
       |  ?cust g:name ?name .
       |} ORDER BY ?cust""".stripMargin
 
+  /** CQ5 shape (LSLOD): OPTIONAL over a partial star of the *same* subject
+    * (cf. `queries/complexqueries/CQ5` — drug star with an all-or-nothing
+    * optional predicate block); joins back on the raw subject key. */
+  private val SPARQL_CQ5_OPTIONAL =
+    """PREFIX g: <urn:g:>
+      |SELECT ?o ?od ?tp ?st WHERE {
+      |  ?o a g:Order ; g:orderdate ?od .
+      |  OPTIONAL { ?o g:totalprice ?tp ; g:orderstatus ?st ; g:orderpriority "1-URGENT" . }
+      |} ORDER BY ?o""".stripMargin
+
   /** CQ1 shape (LSLOD): 3-source chain + multi-star OPTIONAL with filter. */
   private val SPARQL_CQ1 =
     """PREFIX g: <urn:g:>
@@ -321,6 +331,7 @@ object SparkEntry {
     "sparql_datefuncs" -> ((s, d) => graft(s, d).sparql(SPARQL_DATEFUNCS)),
     "sparql_strfuncs" -> ((s, d) => graft(s, d).sparql(SPARQL_STRFUNCS)),
     "sparql_cq1" -> ((s, d) => graft(s, d).sparql(SPARQL_CQ1)),
+    "sparql_cq5_optional" -> ((s, d) => graft(s, d).sparql(SPARQL_CQ5_OPTIONAL)),
     "sparql_subquery" -> ((s, d) => graft(s, d).sparql(SPARQL_SUBQUERY)),
     "sparql_hashfuncs" -> ((s, d) => graft(s, d).sparql(SPARQL_HASHFUNCS)),
     "sparql_describe" -> ((s, d) => graft(s, d).sparql(SPARQL_DESCRIBE).orderBy("p", "o")),
@@ -657,6 +668,14 @@ object SparkEntry {
         |   ON pp.p_partkey = l_partkey
         |WHERE c_mktsegment = 'BUILDING'
         |ORDER BY l, qty, rp NULLS FIRST""".stripMargin,
+
+    "sparql_cq5_optional" ->
+      """SELECT 'urn:g:order:' || CAST(a.o_orderkey AS VARCHAR) AS o,
+        | a.o_orderdate AS od, b.o_totalprice AS tp, b.o_orderstatus AS st
+        |FROM orders a LEFT JOIN
+        | (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') b
+        | ON b.o_orderkey = a.o_orderkey
+        |ORDER BY o""".stripMargin,
 
     "sparql_describe" ->
       """SELECT * FROM (

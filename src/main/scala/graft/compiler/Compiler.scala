@@ -307,7 +307,9 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
     * enumeration over virtual mappings). */
   private def closure(edges0: DataFrame, includeZero: Boolean,
                       maxIters: Int = 20): DataFrame = {
-    val edges = edges0.distinct().persist()
+    val cached = mutable.ListBuffer[DataFrame]()
+    def keep(df: DataFrame): DataFrame = { cached += df.persist(); df }
+    val edges = keep(edges0.distinct())
     var total = edges
     var frontier = edges
     var i = 0
@@ -315,15 +317,22 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
       val grown = frontier.select(col("x"), col("y").as("__mid"))
         .join(edges.select(col("x").as("__mid"), col("y")), "__mid")
         .select("x", "y")
-      frontier = grown.except(total).persist()
-      if (!frontier.isEmpty) total = total.union(frontier).persist()
+      frontier = keep(grown.except(total))
+      if (!frontier.isEmpty) total = keep(total.union(frontier))
       i += 1
     }
-    if (!includeZero) total
-    else {
-      val nodes = edges.select(col("x")).union(edges.select(col("y"))).distinct()
-      total.union(nodes.select(col("x"), col("x").as("y"))).distinct()
-    }
+    val result =
+      if (!includeZero) total
+      else {
+        val nodes = edges.select(col("x")).union(edges.select(col("y"))).distinct()
+        total.union(nodes.select(col("x"), col("x").as("y"))).distinct()
+      }
+    // materialize the fixpoint once, then free the per-round caches — the
+    // result DataFrame no longer needs their lineage to stay cheap
+    val out = result.persist()
+    out.count()
+    cached.foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** Seeded reachability for a closure with a constant endpoint: BFS from
@@ -333,23 +342,30 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
     * reached nodes as a one-column ("n") DataFrame. */
   private def reachableFrom(inner: PathAst, seed: String, forward: Boolean,
                             includeZero: Boolean, maxIters: Int = 20): DataFrame = {
+    val cached = mutable.ListBuffer[DataFrame]()
+    def keep(df: DataFrame): DataFrame = { cached += df.persist(); df }
     val base0 = pathEdges(inner)
-    val base = (if (forward) base0
-                else base0.select(col("y").as("x"), col("x").as("y"))).distinct().persist()
-    var frontier = base.filter(col("x") === lit(seed))
-      .select(col("y").as("n")).distinct().persist()
+    val base = keep(if (forward) base0.distinct()
+                    else base0.select(col("y").as("x"), col("x").as("y")).distinct())
+    var frontier = keep(base.filter(col("x") === lit(seed))
+      .select(col("y").as("n")).distinct())
     var total = frontier
     var i = 0
     while (i < maxIters && !frontier.isEmpty) {
-      val next = frontier.join(base, col("n") === col("x"))
-        .select(col("y").as("n")).distinct().except(total).persist()
-      if (!next.isEmpty) total = total.union(next).persist()
+      val next = keep(frontier.join(base, col("n") === col("x"))
+        .select(col("y").as("n")).distinct().except(total))
+      if (!next.isEmpty) total = keep(total.union(next))
       frontier = next
       i += 1
     }
-    if (includeZero)
-      total.union(spark.range(1).select(lit(seed).as("n"))).distinct()
-    else total
+    val result =
+      if (includeZero)
+        total.union(spark.range(1).select(lit(seed).as("n"))).distinct()
+      else total
+    val out = result.persist()
+    out.count()
+    cached.foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** `s path o` where the path kept alternation/closure: compile the edge

@@ -69,7 +69,7 @@ class SparqlParser extends RegexParsers {
   def graphTerm: Parser[Term] = variable | iri | literal
 
   // ---- triples -----------------------------------------------------------
-  def verb: Parser[Term] = "a" ^^ (_ => Iri(Terms.RdfType)) | variable | iri
+  def verb: Parser[Term] = """a\b""".r ^^ (_ => Iri(Terms.RdfType)) | variable | iri
 
   /** Property paths (SPARQL 1.1 extension over the reference): sequence
     * `p1/p2`, inverse `^p`, alternation `p1|p2`, closure `p+`/`p*`, grouped
@@ -81,7 +81,7 @@ class SparqlParser extends RegexParsers {
   private def pathPrimary: Parser[PathAst] =
     "(" ~> pathAlt <~ ")" |
     "^" ~> pathPrimary ^^ (PathAst.Inv(_)) |
-    ("a" ^^ (_ => Iri(Terms.RdfType)) | iri) ^^ (PathAst.Link(_))
+    ("""a\b""".r ^^ (_ => Iri(Terms.RdfType)) | iri) ^^ (PathAst.Link(_))
 
   private def pathPostfix: Parser[PathAst] =
     pathPrimary ~ opt("+" | "*") ^^ {
