@@ -101,6 +101,43 @@ object GraftFunctions {
     import org.apache.spark.sql.GraftBridge
     GraftBridge.column(SimHash64(GraftBridge.expression(tokenHashes)))
   }
+
+  private val WhitespaceRe =
+    org.apache.spark.unsafe.types.UTF8String.fromString("\\s+")
+  private val SpaceSep =
+    org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  /** Distinct word-k-gram shingle ids, bit-identical to the HOF chain
+    * `array_distinct(transform(sequence(1, greatest(n-k+1, 1)), i ->
+    * xxhash64(concat_ws(' ', slice(tokens, i, k)))))` over
+    * `split(lower(text), '\s+')` — but as one primitive loop per row
+    * instead of an interpreted lambda per shingle. Called from generated
+    * code. */
+  def shingleIds(text: org.apache.spark.unsafe.types.UTF8String, k: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    val tokens = text.toLowerCase.split(WhitespaceRe, -1)
+    val n = tokens.length
+    val windows = math.max(n - k + 1, 1)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i < windows) {
+      val end = math.min(i + k, n)
+      val gram = org.apache.spark.unsafe.types.UTF8String.concatWs(
+        SpaceSep, java.util.Arrays.copyOfRange(tokens, i, end): _*)
+      seen.add(XxHash64Function.hash(gram, StringType, 42L))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  def shingle_ids(text: Column, k: Int = 3): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(ShingleIds(GraftBridge.expression(text), k))
+  }
 }
 
 /** array<long> shingle ids → array<long> of LSH band bucket hashes. */
@@ -128,6 +165,33 @@ final case class MinHashBands(child: Expression, numPerm: Int, bands: Int)
       s"${ev.value} = graft.functions.GraftFunctions.minhashBands($c, $numPerm, $bands);")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+    copy(child = newChild)
+}
+
+/** string → array<long> distinct word-k-gram shingle ids (whole-stage
+  * codegen via a static helper — the dedup pipeline's hottest map). */
+final case class ShingleIds(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+  : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case StringType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"shingle_ids expects string, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftFunctions.shingleIds(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftFunctions.shingleIds($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleIds =
     copy(child = newChild)
 }
 

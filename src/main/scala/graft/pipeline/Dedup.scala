@@ -24,16 +24,15 @@ object Dedup {
   /** Word k-shingle set per document (distinct, lower-cased), reduced to
     * 64-bit shingle ids: each shingle string is hashed exactly once; all
     * downstream minhash permutations mix the cheap long id, not the string.
-    * Repartitioned on doc_id so a single input file still fans out across
-    * the cluster for the hash-heavy map stages. */
+    * One native codegen'd expression per row ([[graft.functions.ShingleIds]]
+    * — bit-identical to the interpreted HOF chain, equivalence pinned in
+    * `PipelineSpec`). Repartitioned on doc_id so a single input file still
+    * fans out across the cluster for the hash-heavy map stages. */
   def withShingles(docs: DataFrame, k: Int = 3): DataFrame =
     docs
       .repartition(col("doc_id"))
-      .withColumn("__tokens", split(lower(col("text")), "\\s+"))
-      .withColumn("shingles", expr(
-        s"array_distinct(transform(sequence(1, greatest(size(__tokens)-${k - 1}, 1)), " +
-          s"i -> xxhash64(concat_ws(' ', slice(__tokens, i, $k)))))"))
-      .drop("__tokens")
+      .withColumn("shingles",
+        graft.functions.GraftFunctions.shingle_ids(col("text"), k))
 
   /** MinHash signature: numPerm permutations approximated by seeded
     * xxhash64 over the 64-bit shingle ids (codegen'd, no UDF):

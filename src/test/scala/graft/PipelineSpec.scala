@@ -134,4 +134,19 @@ class PipelineSpec extends SparkTestBase {
       .filter(col("tok") > 512 && !(col("n") === 1 && col("mx") >= 512))
     assert(over.count() == 0) // only oversized singletons may exceed budget
   }
+  test("native shingle_ids is bit-identical to the HOF expression chain") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val hof = docs
+      .withColumn("__tokens", split(lower(col("text")), "\\s+"))
+      .withColumn("expected", expr(
+        "array_distinct(transform(sequence(1, greatest(size(__tokens)-2, 1)), " +
+          "i -> xxhash64(concat_ws(' ', slice(__tokens, i, 3)))))"))
+      .select(col("doc_id"), col("expected"))
+    val native = docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.shingle_ids(col("text"), 3).as("got"))
+    val joined = hof.join(native, "doc_id")
+      .filter(not(col("expected") === col("got")))
+    assert(joined.count() == 0)
+  }
 }
