@@ -29,5 +29,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         MinHashBands(children.head, intArg(1, 32), intArg(2, 8))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_ids"),
+      new ExpressionInfo(classOf[ShingleIds].getName, "shingle_ids"),
+      (children: Seq[Expression]) => {
+        val k = children.lift(1) match {
+          case Some(Literal(v: Int, _)) => v
+          case Some(other) => throw new IllegalArgumentException(
+            s"shingle_ids argument 2 must be an integer literal, got $other")
+          case None => 3
+        }
+        ShingleIds(children.head, k)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => SimHash64(children.head)))
   }
 }

