@@ -93,8 +93,7 @@ object Dedup {
     // both sides of the verification join) would otherwise each re-run the
     // split+hash scan — the most expensive stage of the pipeline
     val shingled = withShingles(docs, k).select(col("doc_id"), col("shingles")).persist()
-    val pairs = candidatePairs(lshBuckets(shingled, numPerm, bands))
-    pairs
+    val verified = candidatePairs(lshBuckets(shingled, numPerm, bands))
       .join(shingled.select(col("doc_id").as("a"), col("shingles").as("sa")), "a")
       .join(shingled.select(col("doc_id").as("b"), col("shingles").as("sb")), "b")
       .withColumn("jaccard",
@@ -102,6 +101,15 @@ object Dedup {
           size(array_union(col("sa"), col("sb"))))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
+    // the verified pair list is orders of magnitude smaller than the shingle
+    // cache: materialize it once while the cache is hot, then release the
+    // cache so long-lived sessions don't accumulate blocks. The returned
+    // frame stays cached (it is the result); callers that are done with it
+    // may unpersist()
+    val out = verified.persist()
+    out.count()
+    shingled.unpersist()
+    out
   }
 
   /** Collapse near-dup pairs into clusters. Returns (doc_id, canonical_id)
@@ -192,21 +200,32 @@ object Dedup {
 
   /** SimHash near-dup pairs within `maxHamming`: 4×16-bit band index (a
     * pair within hamming ≤ 3 of 64 bits must agree exactly on ≥1 of the 4
-    * bands), verified with bit_count(xor). */
-  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    // both sides of the banded self-join read the signatures — hash once
-    val sh = simhash(docs).persist()
-    val banded = sh.select(col("doc_id"), col("simhash"),
+    * bands), verified with bit_count(xor).
+    *
+    * Like [[candidatePairs]], pairs are generated *inside* each (band,
+    * bucket) group from the sorted member list, and `maxBucket` caps
+    * degenerate buckets — at web scale one 16-bit band value shared by
+    * millions of boilerplate/empty documents would otherwise go quadratic
+    * in a self-join. Capped buckets lose candidates knowingly (they are
+    * mutual near-dups of each other anyway and exact-dedup upstream is the
+    * right tool for identical text); the cap bounds worst-case work at
+    * `maxBucket²/2` per bucket. */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3,
+                      maxBucket: Int = 1000): DataFrame = {
+    val banded = simhash(docs).select(col("doc_id"), col("simhash"),
       explode(expr("transform(sequence(0, 3), j -> " +
         "named_struct('band', j, 'bh', (simhash >> (j*16)) & 65535))")).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val l = banded.select(col("band"), col("bh"), col("doc_id").as("a"), col("simhash").as("fa"))
-    val r = banded.select(col("band"), col("bh"), col("doc_id").as("b"), col("simhash").as("fb"))
-    l.join(r, Seq("band", "bh"))
-      .filter(col("a") < col("b"))
-      .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))))
-      .filter(col("hamming") <= maxHamming)
-      .select("a", "b", "hamming")
+    banded.groupBy("band", "bh")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ms"))
+      .filter(size(col("ms")).between(2, maxBucket))
+      .select(explode(expr(
+        "flatten(transform(ms, (x, i) -> " +
+          "transform(slice(ms, i + 2, size(ms)), y -> named_struct(" +
+          "'a', x.doc_id, 'b', y.doc_id, " +
+          "'hamming', bit_count(x.simhash ^ y.simhash)))))")).as("p"))
+      .filter(col("p.hamming") <= maxHamming)
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("p.hamming").as("hamming"))
       .distinct()
   }
 }

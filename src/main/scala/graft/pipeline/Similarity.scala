@@ -207,32 +207,82 @@ object Similarity {
       .select("q_id", "vec_id", "rank")
   }
 
-  /** Embedding-cosine near-duplicate pairs: global top-`n` most similar
-    * pairs (a < b). The corpus side streams partition-parallel against a
-    * broadcast copy, each partition keeps only its local top-n heap, and
-    * the global top-n merges ≤ n·partitions candidates — for corpora past
-    * broadcast size, swap the broadcast for the SRP buckets above (pairs
-    * only within buckets). */
-  def topSimilarPairs(emb: DataFrame, n: Int = 50): DataFrame = {
+  /** Embedding-cosine near-duplicate pairs: exact global top-`n` most
+    * similar pairs (a < b), as a distributed blocked cross-join — no driver
+    * collect, no corpus broadcast.
+    *
+    * Vectors are hashed into `B` blocks; every unordered block pair
+    * (bi ≤ bj) becomes one task, each row is shuffled to the tasks its
+    * block participates in, and each task holds at most two blocks
+    * (≤ 2·`targetBlockRows` vectors) in memory, keeps a local top-n heap,
+    * and emits only its heap. The global merge sorts ≤ n·tasks candidates.
+    *
+    * Scale math: per-task memory is bounded by `targetBlockRows` (≈32 MB at
+    * 64 dims × 64k rows); shuffle volume is N·B rows. Exact all-pairs is
+    * inherently O(N²) dot products — this distributes that compute evenly
+    * with bounded memory, which is the correct *exact* shape. (SRP-bucket
+    * blocking — [[lshTopK]]'s machinery — cannot serve here: the oracle is
+    * the exhaustive top-n and the corpus' top pair cosines sit near 0.4,
+    * where per-table SRP collision probability is ~2% — no feasible number
+    * of hash tables reaches exact recall. For an *approximate* pair sweep
+    * at corpus scale, bucket by [[srpBucket]] and cap, as in
+    * [[Dedup.candidatePairs]].)
+    *
+    * `B` also floors at the square-root of cluster parallelism so small
+    * corpora still fan out across all cores. */
+  def topSimilarPairs(emb: DataFrame, n: Int = 50,
+                      targetBlockRows: Int = 65536): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val ds = asRows(emb)
-    val all = ds.collect().map(e => (e.vec_id, normalize(e.embedding))).sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(all)
-    val localTop = ds.mapPartitions { it =>
-      val rows = bc.value
-      val ids = rows.map(_._1)
+    val total = emb.count()
+    val par = spark.sparkContext.defaultParallelism
+    val memFloor = math.ceil(total.toDouble / targetBlockRows).toInt
+    val parFloor = math.ceil((math.sqrt(8.0 * par + 1) - 1) / 2).toInt
+    val nBlocks = math.max(1, math.max(memFloor, parFloor))
+    val tasks: Array[(Int, Int)] =
+      (for { i <- 0 until nBlocks; j <- i until nBlocks } yield (i, j)).toArray
+    val tasksForBlock: Array[Array[Int]] = {
+      val m = Array.fill(nBlocks)(scala.collection.mutable.ArrayBuffer.empty[Int])
+      tasks.zipWithIndex.foreach { case ((i, j), t) => m(i) += t; if (j != i) m(j) += t }
+      m.map(_.toArray)
+    }
+    val ds = emb.select(col("vec_id"), col("embedding")).as[EmbRow]
+    val replicated = ds.flatMap { e =>
+      val blk = ((e.vec_id % nBlocks + nBlocks) % nBlocks).toInt
+      tasksForBlock(blk).iterator.map(t => (t, e.vec_id, e.embedding))
+    }
+    val localTop = replicated.groupByKey(_._1).flatMapGroups { (t, rows) =>
+      val (bi, bj) = tasks(t)
+      val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+      val right = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+      rows.foreach { case (_, id, v) =>
+        val nv = (id, normalize(v))
+        val blk = ((id % nBlocks + nBlocks) % nBlocks).toInt
+        if (blk == bi) left += nv else right += nv
+      }
       implicit val ord: Ordering[(Double, Long, Long)] = Ordering.by(t => -t._1)
       val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long, Long)]
-      it.foreach { e =>
-        val v = normalize(e.embedding)
-        val idx = java.util.Arrays.binarySearch(ids, e.vec_id)
-        var i = if (idx >= 0) idx + 1 else -idx - 1
-        while (i < rows.length) {
-          val (bid, bv) = rows(i)
-          val c = dot(v, bv)
-          if (heap.size < n) heap.enqueue((c, e.vec_id, bid))
-          else if (c > heap.head._1) { heap.dequeue(); heap.enqueue((c, e.vec_id, bid)) }
+      def offer(c: Double, x: Long, y: Long): Unit = {
+        val (a, b) = if (x < y) (x, y) else (y, x)
+        if (heap.size < n) heap.enqueue((c, a, b))
+        else if (c > heap.head._1) { heap.dequeue(); heap.enqueue((c, a, b)) }
+      }
+      if (bi == bj) {
+        var i = 0
+        while (i < left.length) {
+          var j = i + 1
+          while (j < left.length) {
+            offer(dot(left(i)._2, left(j)._2), left(i)._1, left(j)._1); j += 1
+          }
+          i += 1
+        }
+      } else {
+        var i = 0
+        while (i < left.length) {
+          var j = 0
+          while (j < right.length) {
+            offer(dot(left(i)._2, right(j)._2), left(i)._1, right(j)._1); j += 1
+          }
           i += 1
         }
       }

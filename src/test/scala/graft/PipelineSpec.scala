@@ -134,6 +134,49 @@ class PipelineSpec extends SparkTestBase {
       .filter(col("tok") > 512 && !(col("n") === 1 && col("mx") >= 512))
     assert(over.count() == 0) // only oversized singletons may exceed budget
   }
+  test("simhash bucket cap disarms a degenerate identical-doc bucket") {
+    val s = spark
+    import s.implicits._
+    // 1000 identical docs: every band bucket holds all 1000 ids — uncapped
+    // this is 4 × C(1000,2) ≈ 2M pair expansions; capped it yields nothing
+    // (exact dedup upstream owns identical text) and completes immediately
+    val clones = (1L to 1000L).map(i => (i, "the same boilerplate text repeated"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.simhashNearDups(clones, maxHamming = 3, maxBucket = 50)
+    assert(capped.count() == 0)
+    // distinct-but-close docs in small buckets are unaffected by the cap
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val mixed = Seq(
+      (1L, base + " ending_one"),
+      (2L, base + " ending_two"),
+      (3L, "completely different words entirely unrelated to the rest")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDups(mixed, maxHamming = 16, maxBucket = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("blocked topSimilarPairs is exact: matches local brute force") {
+    val expected = {
+      val all = emb.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+        .map { case (id, v) =>
+          val n = math.sqrt(v.map(x => x * x).sum)
+          (id, v.map(x => if (n == 0) 0.0 else x / n))
+        }.sortBy(_._1)
+      val pairs = for {
+        i <- all.indices; j <- (i + 1) until all.length
+      } yield (all(i)._1, all(j)._1,
+        all(i)._2.zip(all(j)._2).map { case (a, b) => a * b }.sum)
+      pairs.sortBy(t => (-t._3, t._1, t._2)).take(20).map(t => (t._1, t._2))
+    }
+    // targetBlockRows=64 forces ~8 blocks / 36 block-pair tasks at 500 rows
+    val got = Similarity.topSimilarPairs(emb, n = 20, targetBlockRows = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.sorted.toSeq == expected.sorted.toSeq,
+      s"blocked pair sweep diverged from brute force:\n$got\nvs\n$expected")
+  }
+
   test("native shingle_ids is bit-identical to the HOF expression chain") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
