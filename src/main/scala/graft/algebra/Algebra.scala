@@ -27,6 +27,11 @@ object Terms {
   val XsdBoolean = "http://www.w3.org/2001/XMLSchema#boolean"
   val XsdDateTime = "http://www.w3.org/2001/XMLSchema#dateTime"
   val XsdString = "http://www.w3.org/2001/XMLSchema#string"
+
+  /** N-Triples literal escaping for compile-time constant lexical forms. */
+  def escapeNt(lex: String): String =
+    lex.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
 }
 
 final case class TriplePattern(s: Term, p: Term, o: Term) {

@@ -18,7 +18,10 @@ import graft.mapping._
   * 100 TB scale. Hidden columns are named `__k_<var>_<i>` identically on
   * both sides so `join(usingColumns)` applies.
   */
-final case class Compiled(df: DataFrame, sigs: Map[String, (String, List[String])]) {
+final case class Compiled(df: DataFrame, sigs: Map[String, (String, List[String])],
+                          /** catalog says this subplan stays broadcast-size
+                            * (dimension molecule); applied at join time */
+                          bcast: Boolean = false) {
   def visibleVars: Seq[String] = df.columns.toSeq.filterNot(Compiled.isHidden)
   def dropHidden: DataFrame = {
     val hidden = df.columns.filter(Compiled.isHidden)
@@ -26,8 +29,10 @@ final case class Compiled(df: DataFrame, sigs: Map[String, (String, List[String]
   }
 }
 object Compiled {
-  /** `__k_<var>_<i>` raw template keys; `__lang_<var>` literal lang tags. */
-  def isHidden(c: String): Boolean = c.startsWith("__k_") || c.startsWith("__lang_")
+  /** `__k_<var>_<i>` raw template keys; `__lang_<var>` literal lang tags;
+    * `__iri_<var>` IRI-vs-literal term kind (from the molecule's term map). */
+  def isHidden(c: String): Boolean =
+    c.startsWith("__k_") || c.startsWith("__lang_") || c.startsWith("__iri_")
 }
 
 /** SPARQL algebra → DataFrame compiler.
@@ -51,26 +56,37 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
   }
 
   /** DESCRIBE: the parser planted a `?__dp ?__do` probe over the described
-    * term; format (s, p, o) as N-Triples — objects that look like IRIs
-    * (scheme prefix — we control the mapped vocabulary) angle-bracket,
-    * everything else quotes as a plain literal. */
+    * term; format (s, p, o) as N-Triples. IRI-vs-literal for the object
+    * comes from the molecule's term map (the hidden `__iri___do` marker
+    * bound by [[compileVarPredStar]] — TemplateMap/ConstantMap/rdf:type
+    * build IRIs, RefMap builds literals), exactly as the reference
+    * serializes from term-map type rather than a lexical heuristic. Literal
+    * lexical forms are escaped per the N-Triples grammar. */
   private def compileDescribe(q: Query): DataFrame = {
     val c = compilePattern(q.pattern)
-    val iriRegex = "^[A-Za-z][A-Za-z0-9+.-]*:.*"
     val s = q.template.head.s match {
       case Iri(u) => lit(s"<$u>")
       case Var(n) => concat(lit("<"), c.df.col(n).cast(StringType), lit(">"))
-      case Lit(lex, _, _) => lit("\"" + lex + "\"")
+      case Lit(lex, _, _) => lit("\"" + Terms.escapeNt(lex) + "\"")
     }
     val o = c.df.col("__do").cast(StringType)
+    val isIri =
+      if (c.df.columns.contains("__iri___do")) c.df.col("__iri___do")
+      else o.rlike("^[A-Za-z][A-Za-z0-9+.-]*:.*") // no term map in scope
     val out = c.df.select(
       s.as("s"),
       concat(lit("<"), c.df.col("__dp"), lit(">")).as("p"),
-      when(o.rlike(iriRegex), concat(lit("<"), o, lit(">")))
-        .otherwise(concat(lit("\""), o, lit("\""))).as("o"))
+      when(isIri, concat(lit("<"), o, lit(">")))
+        .otherwise(concat(lit("\""), escapeNt(o), lit("\""))).as("o"))
       .distinct()
     q.limit.fold(out)(n => out.limit(n.toInt))
   }
+
+  /** N-Triples literal escaping (`\` `"` LF CR TAB) as a column transform. */
+  private def escapeNt(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      c, "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\n", "\\\\n"), "\r", "\\\\r"),
+      "\t", "\\\\t")
 
   // ---- query forms --------------------------------------------------------
 
@@ -183,10 +199,24 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
           countDistinct(rawKeys.get.head, rawKeys.get.tail: _*)
         case Some(a) if pa.distinct => countDistinct(a)
         case Some(a)                => count(a)
+        case None if pa.distinct    =>
+          // COUNT(DISTINCT *) = distinct solutions. struct() so solutions
+          // with unbound (null) vars still count (bare multi-col DISTINCT
+          // would drop any row containing a null)
+          val cols = df.columns.toSeq.map(df.col)
+          if (cols.isEmpty) count(lit(1)) else countDistinct(struct(cols: _*))
         case None                   => count(lit(1))
       }
-      case "sum"    => sum(if (pa.distinct) arg.get else arg.get) // distinct via sum_distinct
+      case "sum" if pa.distinct => sum_distinct(arg.get)
+      case "sum"                => sum(arg.get)
+      case "avg" if pa.distinct =>
+        // avg over the distinct multiset; the guard keeps the all-null
+        // group at SQL null instead of an ANSI divide-by-zero
+        val a = arg.get
+        when(count_distinct(a) > 0, sum_distinct(a) / count_distinct(a))
       case "avg"    => avg(arg.get)
+      // DISTINCT is a semantic no-op for min/max (and SAMPLE may return
+      // any element of the multiset, distinct or not)
       case "min"    => min(arg.get)
       case "max"    => max(arg.get)
       case "sample" => first(arg.get, ignoreNulls = true)
@@ -197,16 +227,17 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
         array_join(sort_array(items), pa.separator)
       case other => throw new UnsupportedOperationException(s"aggregate $other")
     }
-    val c2 = if (pa.distinct && pa.func == "sum") sum_distinct(arg.get) else c
-    c2.as(pa.as.name)
+    c.as(pa.as.name)
   }
 
-  /** ASK (Xask, `Xask.py:11-23`): first tuple ⇒ true. `isEmpty` only runs
-    * the plan until one row is produced (LocalLimit 1). */
-  private def compileAsk(q: Query): DataFrame = {
-    val exists = !compilePattern(q.pattern).df.isEmpty
-    spark.range(1).select(lit(exists).as("ask"))
-  }
+  /** ASK (Xask, `Xask.py:11-23`): first tuple ⇒ true, compiled *lazily* —
+    * no job runs until the caller acts on the frame. `limit(1)` keeps the
+    * early-termination property (LocalLimit 1 stops the scan at the first
+    * produced row); the aggregate over it always yields exactly one row. */
+  private def compileAsk(q: Query): DataFrame =
+    compilePattern(q.pattern).df
+      .limit(1)
+      .agg((count(lit(1)) > 0).as("ask"))
 
   /** CONSTRUCT (Xconstruct, `Xconstruct.py:19-104`): instantiate the
     * template per solution, emit N-Triples-style term strings as columns
@@ -218,14 +249,15 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
     def fmt(t: Term, pos: String): Column = t match {
       case Iri(u) => lit(s"<$u>")
       case Lit(lex, dt, lang) =>
-        val base = "\"" + lex + "\""
+        val base = "\"" + Terms.escapeNt(lex) + "\""
         lit(dt.map(d => s"$base^^<$d>").orElse(lang.map(l => s"$base@$l")).getOrElse(base))
       case Var(n) =>
         if (!c.df.columns.contains(n)) lit(null)
         else if (c.sigs.contains(n) || pos != "o")
           concat(lit("<"), c.df.col(n).cast(StringType), lit(">"))
         else {
-          val quoted = concat(lit("\""), c.df.col(n).cast(StringType), lit("\""))
+          val quoted = concat(
+            lit("\""), escapeNt(c.df.col(n).cast(StringType)), lit("\""))
           val xsd = c.df.schema(n).dataType match {
             case _: LongType | _: IntegerType | _: ShortType => Some(Terms.XsdInt)
             case _: DoubleType | _: FloatType                => Some(Terms.XsdDouble)
@@ -276,6 +308,12 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
 
   // ---- property paths (alternation / closure) -------------------------------
 
+  /** Fixpoint round cap for `+`/`*` closures — a session-tunable safety
+    * bound, never a silent truncation (the iteration throws if the graph is
+    * deeper; semi-naive evaluation otherwise stops at the true diameter). */
+  private def pathMaxIters: Int =
+    spark.conf.get("graft.path.maxIters", "50").toInt
+
   private var edgeVarCounter = 0
 
   /** The (x, y) node-pair DataFrame of a path expression. Nodes are the
@@ -305,22 +343,35 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
     * shape. `*` adds zero-length pairs for every node of the edge graph (the
     * engine's node universe — the W3C all-graph-terms universe has no finite
     * enumeration over virtual mappings). */
-  private def closure(edges0: DataFrame, includeZero: Boolean,
-                      maxIters: Int = 20): DataFrame = {
+  private def closure(edges0: DataFrame, includeZero: Boolean): DataFrame = {
+    val maxIters = pathMaxIters
     val cached = mutable.ListBuffer[DataFrame]()
     def keep(df: DataFrame): DataFrame = { cached += df.persist(); df }
     val edges = keep(edges0.distinct())
     var total = edges
     var frontier = edges
+    var converged = false
     var i = 0
-    while (i < maxIters && !frontier.isEmpty) {
+    // each round: ONE materializing action (the eager localCheckpoint of the
+    // post-except frontier). Checkpointing also *truncates lineage* — the
+    // frontier becomes a leaf, so `total` stays a linear union of leaves;
+    // without it the except/union cross-references grow the logical plan
+    // exponentially with depth (plan stringification alone OOMs past ~25
+    // rounds). The follow-up isEmpty probe only touches the cached blocks.
+    while (!converged && i < maxIters) {
       val grown = frontier.select(col("x"), col("y").as("__mid"))
         .join(edges.select(col("x").as("__mid"), col("y")), "__mid")
         .select("x", "y")
-      frontier = keep(grown.except(total))
-      if (!frontier.isEmpty) total = keep(total.union(frontier))
+      frontier = grown.except(total).localCheckpoint()
+      if (frontier.isEmpty) converged = true
+      else total = total.union(frontier)
       i += 1
     }
+    // a silently truncated fixpoint is a wrong answer, not a result
+    if (!converged)
+      throw new IllegalStateException(
+        s"property-path closure did not converge within $maxIters iterations; " +
+          "the graph is deeper than the engine's bound — raise maxIters")
     val result =
       if (!includeZero) total
       else {
@@ -341,23 +392,33 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
     * touching one component and touching the whole graph. Returns the set of
     * reached nodes as a one-column ("n") DataFrame. */
   private def reachableFrom(inner: PathAst, seed: String, forward: Boolean,
-                            includeZero: Boolean, maxIters: Int = 20): DataFrame = {
+                            includeZero: Boolean): DataFrame = {
+    val maxIters = pathMaxIters
     val cached = mutable.ListBuffer[DataFrame]()
     def keep(df: DataFrame): DataFrame = { cached += df.persist(); df }
     val base0 = pathEdges(inner)
     val base = keep(if (forward) base0.distinct()
                     else base0.select(col("y").as("x"), col("x").as("y")).distinct())
-    var frontier = keep(base.filter(col("x") === lit(seed))
-      .select(col("y").as("n")).distinct())
+    var frontier = base.filter(col("x") === lit(seed))
+      .select(col("y").as("n")).distinct().localCheckpoint()
     var total = frontier
+    var converged = frontier.isEmpty
     var i = 0
-    while (i < maxIters && !frontier.isEmpty) {
-      val next = keep(frontier.join(base, col("n") === col("x"))
-        .select(col("y").as("n")).distinct().except(total))
-      if (!next.isEmpty) total = keep(total.union(next))
+    // eager localCheckpoint per round: one materializing action + lineage
+    // truncation (see closure() — the fixpoint plan otherwise grows
+    // exponentially with depth)
+    while (!converged && i < maxIters) {
+      val next = frontier.join(base, col("n") === col("x"))
+        .select(col("y").as("n")).distinct().except(total).localCheckpoint()
+      if (next.isEmpty) converged = true
+      else total = total.union(next)
       frontier = next
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"seeded path reachability did not converge within $maxIters iterations; " +
+          "the graph is deeper than the engine's bound — raise maxIters")
     val result =
       if (includeZero)
         total.union(spark.range(1).select(lit(seed).as("n"))).distinct()
@@ -427,7 +488,8 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
       val renamed = shared.toSeq.sorted.foldLeft(rClean)((d, v) => d.withColumnRenamed(v, s"__r_$v"))
       val c2 = shared.toSeq.sorted
         .map(v => cl.df.col(v) === renamed.col(s"__r_$v")).reduce(_ && _)
-      Compiled(cl.df.join(renamed, c2, how), cl.sigs)
+      val rHinted = if (cr.bcast) broadcast(renamed) else renamed
+      Compiled(cl.df.join(rHinted, c2, how), cl.sigs, cl.bcast)
     }
   }
 
@@ -509,7 +571,8 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
     val s = subject
     val df = load(m.table)
 
-    def branch(predIri: String, value: Column, guards: Seq[Column]): Compiled = {
+    def branch(predIri: String, value: Column, guards: Seq[Column],
+               objIsIri: Boolean): Compiled = {
       val conds = mutable.ListBuffer[Column](guards: _*)
       val bindings = mutable.LinkedHashMap[String, Column]()
       var sigs = Map[String, (String, List[String])]()
@@ -536,7 +599,11 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
         case Var(ov) =>
           bindings.get(ov) match {
             case Some(existing) => conds += existing === value
-            case None           => bindings(ov) = value
+            case None =>
+              bindings(ov) = value
+              // term kind from the term map (TemplateMap/ConstantMap/rdf:type
+              // build IRIs, RefMap literals) — consumed by DESCRIBE
+              hidden(s"__iri_$ov") = lit(objIsIri)
           }
         case Iri(u)         => conds += value === lit(u)
         case Lit(lex, _, _) => conds += value === lit(lex)
@@ -548,12 +615,14 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
 
     val predBranches = m.predicates.toList.sortBy(_._1).map {
       case (p, RefMap(c, _)) =>
-        branch(p, df.col(c).cast(StringType), Seq(df.col(c).isNotNull))
+        branch(p, df.col(c).cast(StringType), Seq(df.col(c).isNotNull),
+          objIsIri = false)
       case (p, TemplateMap(t)) =>
-        branch(p, t.build(df.col), t.columns.map(df.col(_).isNotNull))
-      case (p, ConstantMap(v)) => branch(p, lit(v), Nil)
+        branch(p, t.build(df.col), t.columns.map(df.col(_).isNotNull),
+          objIsIri = true)
+      case (p, ConstantMap(v)) => branch(p, lit(v), Nil, objIsIri = true)
     }
-    val typeBranch = branch(Terms.RdfType, lit(m.rdfType), Nil)
+    val typeBranch = branch(Terms.RdfType, lit(m.rdfType), Nil, objIsIri = true)
     (typeBranch :: predBranches).reduce(union2)
   }
 
@@ -642,7 +711,10 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
     val out = filtered.select(
       (bindings.map { case (v, c) => c.as(v) } ++
         hidden.map { case (h, c) => c.as(h) }).toSeq: _*)
-    Compiled(if (m.broadcastHint) broadcast(out) else out, sigs)
+    // the broadcast hint is *carried*, not applied: wrapping every fragment
+    // leaves dangling hints on fragments that end up union branches
+    // (HintErrorLogger noise); join2 attaches it at join construction
+    Compiled(out, sigs, bcast = m.broadcastHint)
   }
 
   /** Join on shared variables. Template-built vars with matching signatures
@@ -650,13 +722,19 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
     * else joins on the visible column. No shared vars ⇒ cross join, as the
     * reference defers unconnected subplans (`Tree.py:466-501` "others"). */
   private def join2(l: Compiled, r: Compiled, how: String): Compiled = {
+    // apply carried broadcast hints here, where a join relation actually
+    // exists (a dimension-molecule side never shuffles); the joined result
+    // stays broadcast-size only if both inputs were
+    val ldf = if (l.bcast) broadcast(l.df) else l.df
+    def hint(rdf: DataFrame) = if (r.bcast) broadcast(rdf) else rdf
+    val outBcast = l.bcast && r.bcast
     val shared = l.visibleVars.toSet intersect r.visibleVars.toSet
     if (shared.isEmpty) {
-      val rClean = dropCollidingHidden(l, r)
+      val rClean = hint(dropCollidingHidden(l, r))
       val joined =
-        if (how == "inner") l.df.crossJoin(rClean)
-        else l.df.join(rClean, lit(true), "left_outer")
-      Compiled(joined, l.sigs ++ r.sigs)
+        if (how == "inner") ldf.crossJoin(rClean)
+        else ldf.join(rClean, lit(true), "left_outer")
+      Compiled(joined, l.sigs ++ r.sigs, outBcast)
     } else {
       val joinCols = mutable.ListBuffer[String]()
       val dropRight = mutable.ListBuffer[String]()
@@ -676,12 +754,12 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
       // (e.g. __lang_<v> bound on both sides — keep left's)
       val stillColliding = r.df.columns.filter(c =>
         Compiled.isHidden(c) && l.df.columns.contains(c) && !joinCols.contains(c))
-      val rClean = r.df.drop((dropRight ++ stillColliding).toSeq: _*)
-      val joined = l.df.join(rClean, joinCols.toSeq.distinct, how)
+      val rClean = hint(r.df.drop((dropRight ++ stillColliding).toSeq: _*))
+      val joined = ldf.join(rClean, joinCols.toSeq.distinct, how)
       val rSigs = (r.sigs -- shared).filter { case (_, (_, h)) =>
         h.forall(joined.columns.contains)
       }
-      Compiled(joined, sigs ++ rSigs)
+      Compiled(joined, sigs ++ rSigs, outBcast)
     }
   }
 
@@ -716,7 +794,8 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
     }
     val ldf = if (dropL.isEmpty) l.df else l.df.drop(dropL.toSeq: _*)
     val rdf = if (dropR.isEmpty) r.df else r.df.drop(dropR.toSeq: _*)
-    Compiled(ldf.unionByName(rdf, allowMissingColumns = true), sigs)
+    Compiled(ldf.unionByName(rdf, allowMissingColumns = true), sigs,
+      l.bcast && r.bcast)
   }
 
   private def typedLit(lex: String, dt: Option[String], target: DataType): Column =

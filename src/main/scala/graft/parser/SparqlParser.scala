@@ -173,7 +173,9 @@ class SparqlParser extends RegexParsers {
       case e ~ v => BindItem(v, e)
     } |
     valuesClause ^^ ValuesItem.apply |
-    "{" ~> selectQuery <~ "}" ^^ SubqueryItem.apply | // SPARQL 1.1 subquery
+    // SPARQL 1.1 subquery — but not when it is the first branch of a UNION
+    // (the guard lets unionGroup see the whole `{ SELECT … } UNION { … }`)
+    ("{" ~> selectQuery <~ "}") <~ not(kw("UNION")) ^^ SubqueryItem.apply |
     unionGroup ^^ GroupItem.apply |
     triplesBlock <~ opt(".") ^^ {
       case b: Pattern.Bgp => TriplesItem(b)
@@ -193,8 +195,14 @@ class SparqlParser extends RegexParsers {
         case vs ~ rows => Pattern.Values(vs, rows)
       })
 
+  /** A UNION branch may itself be a subquery (SPARQL 1.1 allows
+    * `{ SELECT … } UNION { … }`). */
+  private def unionBranch: Parser[Pattern] =
+    "{" ~> selectQuery <~ "}" ^^ (q => Pattern.SubSelect(q): Pattern) |
+    groupGraphPattern
+
   private def unionGroup: Parser[Pattern] =
-    rep1sep(groupGraphPattern, kw("UNION")) ^^ (_.reduceLeft(Pattern.Union.apply))
+    rep1sep(unionBranch, kw("UNION")) ^^ (_.reduceLeft(Pattern.Union.apply))
 
   /** Sequential combination like the reference's JoinBlock: triples merge
     * into one BGP, OPTIONAL left-joins onto what precedes it, FILTERs apply
