@@ -35,6 +35,21 @@ object SparkEntry {
   private def graft(s: SparkSession, dir: String): Graft =
     Graft.overParquetDir(TpchCatalog.catalog, dir)(s)
 
+  /** Graft over a catalog *auto-generated* by probing the parquet tables
+    * ([[graft.mapping.CatalogGen]] — create_rdfmts.py parity). Vocabulary
+    * aliases are deployment config; keys, links, cardinalities and
+    * broadcast hints are discovered from the data. */
+  private def graftAuto(s: SparkSession, dir: String): Graft = {
+    val tables = List("customer", "orders", "lineitem", "part", "supplier",
+      "nation", "region", "documents")
+      .map(t => t -> s.read.parquet(s"$dir/$t.parquet")).toMap
+    val cat = _root_.graft.mapping.CatalogGen.fromTables(tables,
+      _root_.graft.mapping.CatalogGen.GenOptions(aliases = Map(
+        "customer" -> "cust", "supplier" -> "supp",
+        "lineitem" -> "line", "documents" -> "doc")))
+    new Graft(cat, tables)(s)
+  }
+
   /** exact decimal money expr: extendedprice * (1 - discount). */
   private def discPrice: Column =
     col("l_extendedprice").cast("decimal(18,2)") *
@@ -319,6 +334,10 @@ object SparkEntry {
     "sparql_regex" -> ((s, d) => graft(s, d).sparql(SPARQL_REGEX)),
     "sparql_region_chain" -> ((s, d) => graft(s, d).sparql(SPARQL_REGION_CHAIN)),
     "sparql_pruned_chain" -> ((s, d) => graft(s, d).sparql(SPARQL_PRUNED_CHAIN)),
+    // same workload over the PROBED catalog — catalog generation is gated
+    // on producing byte-identical answers to the hand-written mapping
+    "autogen_join_chain" -> ((s, d) => graftAuto(s, d).sparql(SPARQL_JOIN_CHAIN)),
+    "autogen_pruned_chain" -> ((s, d) => graftAuto(s, d).sparql(SPARQL_PRUNED_CHAIN)),
     "sparql_minus" -> ((s, d) => graft(s, d).sparql(SPARQL_MINUS)),
     "sparql_exists" -> ((s, d) => graft(s, d).sparql(SPARQL_EXISTS)),
     "sparql_values" -> ((s, d) => graft(s, d).sparql(SPARQL_VALUES)),
@@ -568,6 +587,24 @@ object SparkEntry {
         |WHERE r_name = 'ASIA' ORDER BY s""".stripMargin,
 
     "sparql_pruned_chain" ->
+      """SELECT * FROM (
+        | SELECT 'urn:g:cust:' || CAST(c_custkey AS VARCHAR) AS ent, c_name AS ename,
+        |        n_name AS nname
+        | FROM customer JOIN nation ON n_nationkey = c_nationkey
+        |  JOIN region ON r_regionkey = n_regionkey WHERE r_name = 'ASIA'
+        | UNION ALL
+        | SELECT 'urn:g:supp:' || CAST(s_suppkey AS VARCHAR), s_name, n_name
+        | FROM supplier JOIN nation ON n_nationkey = s_nationkey
+        |  JOIN region ON r_regionkey = n_regionkey WHERE r_name = 'ASIA'
+        |) ORDER BY ent""".stripMargin,
+
+    "autogen_join_chain" ->
+      """SELECT 'urn:g:line:' || CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) AS l,
+        | c_name AS cname, l_quantity AS qty
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING' ORDER BY l""".stripMargin,
+    "autogen_pruned_chain" ->
       """SELECT * FROM (
         | SELECT 'urn:g:cust:' || CAST(c_custkey AS VARCHAR) AS ent, c_name AS ename,
         |        n_name AS nname

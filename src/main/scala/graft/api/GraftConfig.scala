@@ -1,0 +1,116 @@
+package graft.api
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
+
+import graft.mapping._
+import graft.sources._
+
+/** JSON configuration surface — the Spark-native `OntarioConfiguration`
+  * (`/root/reference/ontario/config/__init__.py:12-83`): one file lists the
+  * datasources (format + path + params, optional RML mapping files) and the
+  * molecule templates, and loading it yields the catalog + source registry
+  * ready to query. Molecules can come from three places, mirroring the
+  * reference's config/mappings split:
+  *
+  *  - inline `"molecules"` (the reference's `"templates"` blocks),
+  *  - per-datasource `"mappings"` RML Turtle files ([[RmlLoader]]),
+  *  - an `"autogen"` block that probes the registered tables
+  *    ([[CatalogGen]] — `create_rdfmts.py` as a config option).
+  *
+  * {{{
+  * { "datasources": [
+  *     {"table": "nation", "type": "tsv", "url": "/data/nation",
+  *      "source": "srcC", "mappings": ["/maps/nation.ttl"]},
+  *     {"table": "region", "type": "xml", "url": "/data/region",
+  *      "params": {"rowTag": "region"}} ],
+  *   "molecules": [
+  *     {"type": "urn:g:Region", "table": "region",
+  *      "subject": "urn:g:region:{r_regionkey}", "broadcast": true,
+  *      "predicates": [
+  *        {"predicate": "urn:g:name", "column": "r_name"},
+  *        {"predicate": "urn:g:nation", "template": "urn:g:nation:{x}"} ]} ],
+  *   "autogen": {"prefix": "urn:g:", "aliases": {"customer": "cust"},
+  *               "tables": ["customer", "orders"]} }
+  * }}}
+  */
+object GraftConfig {
+
+  final case class Loaded(catalog: Catalog, sources: Map[String, SourceSpec]) {
+    def graft(implicit spark: SparkSession): Graft =
+      new Graft(catalog, Sources.registry(sources))
+  }
+
+  def load(path: String)(implicit spark: SparkSession): Loaded =
+    parse(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8"))
+
+  def parse(json: String)(implicit spark: SparkSession): Loaded = {
+    val root = new ObjectMapper().readTree(json)
+
+    val sources: Map[String, SourceSpec] =
+      root.path("datasources").elements().asScala.map { d =>
+        val table = d.path("table").asText()
+        val url = d.path("url").asText()
+        def param(k: String, dflt: String) =
+          if (d.path("params").has(k)) d.path("params").path(k).asText() else dflt
+        val spec: SourceSpec = d.path("type").asText() match {
+          case "parquet" => ParquetSource(url)
+          case "csv"     => CsvSource(url, param("delimiter", ","))
+          case "tsv"     => CsvSource(url, "\t")
+          case "json"    => JsonSource(url)
+          case "xml"     => XmlSource(url, param("rowTag", "row"))
+          case "jdbc" =>
+            val props = d.path("params").properties().asScala
+              .map(e => e.getKey -> e.getValue.asText()).toMap
+            JdbcSource(url, param("dbtable", table), props - "dbtable")
+          case other =>
+            throw new IllegalArgumentException(s"unknown datasource type '$other'")
+        }
+        table -> spec
+      }.toMap
+
+    val inline = root.path("molecules").elements().asScala.map(molecule).toList
+
+    val fromRml = root.path("datasources").elements().asScala.flatMap { d =>
+      val src = if (d.has("source")) d.path("source").asText() else "default"
+      d.path("mappings").elements().asScala.flatMap { m =>
+        val ttl = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(m.asText())), "UTF-8")
+        RmlLoader.loadCatalog(ttl, src).molecules
+      }
+    }.toList
+
+    val auto = if (!root.has("autogen")) Nil else {
+      val a = root.path("autogen")
+      val names =
+        if (a.has("tables")) a.path("tables").elements().asScala.map(_.asText()).toList
+        else sources.keys.toList.sorted
+      val tables = names.map(t => t -> sources(t).load(spark)).toMap
+      val aliases = a.path("aliases").properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap
+      CatalogGen.fromTables(tables, CatalogGen.GenOptions(
+        prefix = if (a.has("prefix")) a.path("prefix").asText() else "urn:g:",
+        aliases = aliases)).molecules
+    }
+
+    Loaded(Catalog(inline ++ fromRml ++ auto), sources)
+  }
+
+  private def molecule(m: JsonNode): Molecule = Molecule(
+    rdfType = m.path("type").asText(),
+    table = m.path("table").asText(),
+    subject = Template(m.path("subject").asText()),
+    predicates = m.path("predicates").elements().asScala.map { p =>
+      val tm: TermMap =
+        if (p.has("template")) TemplateMap(Template(p.path("template").asText()))
+        else if (p.has("constant")) ConstantMap(p.path("constant").asText())
+        else RefMap(p.path("column").asText(),
+          if (p.has("lang")) Some(p.path("lang").asText()) else None)
+      p.path("predicate").asText() -> tm
+    }.toMap,
+    source = if (m.has("source")) m.path("source").asText() else "default",
+    broadcastHint = m.path("broadcast").asBoolean(false),
+    cardinality = if (m.has("cardinality")) m.path("cardinality").asLong() else -1L)
+}

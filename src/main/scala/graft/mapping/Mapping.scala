@@ -99,7 +99,9 @@ final case class Molecule(
       * at full scale (dimension tables) get an explicit broadcast hint so
       * their joins never shuffle — the RDF-MT cardinality metadata of
       * `rdfmt_model.py:66-98` applied the Spark way. */
-    broadcastHint: Boolean = false)
+    broadcastHint: Boolean = false,
+    /** Probed instance count (RDF-MT `get_cardinality` stat); -1 unknown. */
+    cardinality: Long = -1L)
 
 /** RDF-MT catalog with the predicate inverted index of
   * `/root/reference/ontario/config/__init__.py:63-114`. */

@@ -1,0 +1,94 @@
+package graft
+
+import graft.api.{Graft, TpchCatalog}
+import graft.mapping._
+
+/** RDF-MT catalog auto-generation (create_rdfmts.py parity): probe the
+  * fixture parquet, reconstruct the molecule list, and answer the reference
+  * workload queries identically to the hand-written catalog. */
+class CatalogGenSpec extends SparkTestBase {
+
+  private val tableNames = List("customer", "orders", "lineitem", "part",
+    "supplier", "nation", "region", "documents")
+
+  private lazy val tables = tableNames
+    .map(t => t -> spark.read.parquet(s"$sfDir/$t.parquet")).toMap
+
+  // vocabulary config (the reference reads these from config.json templates);
+  // everything structural — keys, links, cardinalities, hints — is probed
+  private val opts = CatalogGen.GenOptions(
+    prefix = "urn:g:",
+    aliases = Map("customer" -> "cust", "supplier" -> "supp",
+      "lineitem" -> "line", "documents" -> "doc"))
+
+  private lazy val generated: Catalog = CatalogGen.fromTables(tables, opts)
+
+  private def mol(c: Catalog, t: String): Molecule =
+    c.molecules.find(_.table == t).get
+
+  test("probed molecules match the hand-written catalog structurally") {
+    assert(generated.molecules.map(_.table).toSet == tableNames.toSet)
+    TpchCatalog.catalog.molecules.foreach { exp =>
+      val got = mol(generated, exp.table)
+      assert(got.rdfType == exp.rdfType, s"${exp.table}: class")
+      assert(got.subject == exp.subject, s"${exp.table}: subject template")
+      // langColumn sidecars are mapping knowledge probing cannot recover;
+      // compare predicate → term map modulo that annotation
+      def strip(p: Map[String, TermMap]) = p.view.mapValues {
+        case RefMap(c, _) => RefMap(c)
+        case other        => other
+      }.toMap
+      assert(strip(got.predicates) == strip(exp.predicates),
+        s"${exp.table}: predicates\n${got.predicates}\nvs\n${exp.predicates}")
+    }
+  }
+
+  test("cardinalities are probed and dimensions get broadcast hints") {
+    assert(mol(generated, "nation").cardinality == 25)
+    assert(mol(generated, "region").cardinality == 5)
+    assert(mol(generated, "nation").broadcastHint)
+    assert(mol(generated, "region").broadcastHint)
+    assert(!mol(generated, "lineitem").broadcastHint)
+    assert(mol(generated, "lineitem").cardinality ==
+      tables("lineitem").count())
+  }
+
+  test("foreign keys are discovered by containment, not name accident") {
+    // customer.c_nationkey → nation, not region (suffix mismatch) and not
+    // supplier (containment holds only for the true parent domain + suffix)
+    val cust = mol(generated, "customer")
+    assert(cust.predicates("urn:g:nation") ==
+      TemplateMap(Template("urn:g:nation:{c_nationkey}")))
+    val line = mol(generated, "lineitem")
+    assert(line.predicates("urn:g:order") ==
+      TemplateMap(Template("urn:g:order:{l_orderkey}")))
+    assert(line.predicates("urn:g:part") ==
+      TemplateMap(Template("urn:g:part:{l_partkey}")))
+    assert(line.predicates("urn:g:supplier") ==
+      TemplateMap(Template("urn:g:supp:{l_suppkey}")))
+  }
+
+  test("the generated catalog answers the workload like the hand-written one") {
+    val gGen = new Graft(generated, t => tables(t))(spark)
+    val gRef = new Graft(TpchCatalog.catalog, t => tables(t))(spark)
+    val joinChain =
+      """PREFIX g: <urn:g:>
+        |SELECT ?l ?cname ?qty WHERE {
+        |  ?c a g:Customer ; g:name ?cname ; g:mktsegment "BUILDING" .
+        |  ?o g:customer ?c .
+        |  ?l g:order ?o ; g:quantity ?qty .
+        |} ORDER BY ?l""".stripMargin
+    val prunedChain =
+      """PREFIX g: <urn:g:>
+        |SELECT ?ent ?ename ?nname WHERE {
+        |  ?ent g:name ?ename ; g:nation ?n .
+        |  ?n g:name ?nname ; g:region ?r .
+        |  ?r g:name "ASIA" .
+        |} ORDER BY ?ent""".stripMargin
+    for (q <- List(joinChain, prunedChain)) {
+      val got = gGen.sparql(q).collect().map(_.toSeq).toSeq
+      val exp = gRef.sparql(q).collect().map(_.toSeq).toSeq
+      assert(got.nonEmpty && got == exp)
+    }
+  }
+}

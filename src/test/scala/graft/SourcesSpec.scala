@@ -42,6 +42,86 @@ class SourcesSpec extends SparkTestBase {
     assert(got.count() == want.count() && got.count() > 0)
   }
 
+  test("federation driven entirely from a JSON config file") {
+    implicit val s = spark
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cfg").toString
+    spark.read.parquet(s"$sfDir/nation.parquet").coalesce(1)
+      .write.mode("overwrite")
+      .option("header", "true").option("delimiter", "\t").csv(s"$tmp/nation_tsv")
+    spark.read.parquet(s"$sfDir/region.parquet").coalesce(1)
+      .write.mode("overwrite")
+      .option("rowTag", "region").format("xml").save(s"$tmp/region_xml")
+    val config =
+      s"""{
+         |  "datasources": [
+         |    {"table": "supplier", "type": "parquet", "url": "$sfDir/supplier.parquet"},
+         |    {"table": "nation", "type": "tsv", "url": "$tmp/nation_tsv"},
+         |    {"table": "region", "type": "xml", "url": "$tmp/region_xml",
+         |     "params": {"rowTag": "region"}}
+         |  ],
+         |  "molecules": [
+         |    {"type": "urn:g:Supplier", "table": "supplier",
+         |     "subject": "urn:g:supp:{s_suppkey}", "source": "srcB",
+         |     "predicates": [
+         |       {"predicate": "urn:g:name", "column": "s_name"},
+         |       {"predicate": "urn:g:nation", "template": "urn:g:nation:{s_nationkey}"}]},
+         |    {"type": "urn:g:Nation", "table": "nation",
+         |     "subject": "urn:g:nation:{n_nationkey}", "broadcast": true,
+         |     "predicates": [
+         |       {"predicate": "urn:g:name", "column": "n_name"},
+         |       {"predicate": "urn:g:region", "template": "urn:g:region:{n_regionkey}"}]},
+         |    {"type": "urn:g:Region", "table": "region",
+         |     "subject": "urn:g:region:{r_regionkey}", "broadcast": true,
+         |     "predicates": [{"predicate": "urn:g:name", "column": "r_name"}]}
+         |  ]
+         |}""".stripMargin
+    val cfgPath = s"$tmp/config.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(cfgPath),
+      config.getBytes("UTF-8"))
+
+    val loaded = graft.api.GraftConfig.load(cfgPath)
+    assert(loaded.catalog.molecules.size == 3)
+    assert(loaded.catalog.molecules.find(_.table == "nation").get.broadcastHint)
+    val got = loaded.graft.sparql(
+      """PREFIX g: <urn:g:>
+        |SELECT ?sname ?nname WHERE {
+        |  ?s a g:Supplier ; g:name ?sname ; g:nation ?n .
+        |  ?n a g:Nation ; g:name ?nname ; g:region ?r .
+        |  ?r a g:Region ; g:name "ASIA" .
+        |}""".stripMargin)
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    val want = spark.read.parquet(s"$sfDir/supplier.parquet")
+      .join(nation, col("s_nationkey") === col("n_nationkey"))
+      .join(region.filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+    assert(got.count() == want.count() && got.count() > 0)
+  }
+
+  test("config autogen block probes registered tables into a catalog") {
+    implicit val s = spark
+    val config =
+      s"""{
+         |  "datasources": [
+         |    {"table": "customer", "type": "parquet", "url": "$sfDir/customer.parquet"},
+         |    {"table": "nation", "type": "parquet", "url": "$sfDir/nation.parquet"},
+         |    {"table": "region", "type": "parquet", "url": "$sfDir/region.parquet"}
+         |  ],
+         |  "autogen": {"prefix": "urn:g:", "aliases": {"customer": "cust"}}
+         |}""".stripMargin
+    val loaded = graft.api.GraftConfig.parse(config)
+    assert(loaded.catalog.molecules.map(_.table).toSet ==
+      Set("customer", "nation", "region"))
+    val got = loaded.graft.sparql(
+      """PREFIX g: <urn:g:>
+        |SELECT ?c ?nname WHERE {
+        |  ?c a g:Customer ; g:nation ?n .
+        |  ?n g:name ?nname ; g:region ?r .
+        |  ?r g:name "ASIA" .
+        |}""".stripMargin)
+    assert(got.count() > 0)
+  }
+
   test("paged endpoint source fetches LIMIT/OFFSET pages until a short page") {
     implicit val s = spark
     val backing = spark.read.parquet(s"$sfDir/customer.parquet").collect()
