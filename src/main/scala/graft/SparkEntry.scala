@@ -902,9 +902,14 @@ object SparkEntry {
         |   '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
         | length(regexp_extract_all(text, '\b[0-9]{7,}\b')) AS n_digit_runs
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // doc_pack_bins: bin assignment depends on range-partition sampling →
-    // rows-only check; invariants (budget respected, every doc binned once)
-    // are asserted in PipelineSpec
+    "doc_pack_bins" ->
+      """SELECT doc_id, n_tokens,
+        | (n_tokens << 32) | ((row_number() OVER (PARTITION BY n_tokens ORDER BY doc_id) - 1)
+        |   // greatest(1, 1024 // greatest(n_tokens, 1))) AS bin_id
+        |FROM (SELECT doc_id,
+        |        CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     // the resize / frame-sample transforms are deterministic stub formulas
     // over byte lengths (decode itself is stubbed — no codecs in the

@@ -103,33 +103,22 @@ object TextAnalysis {
   }
 
   /** Token-budget sequence packing — group documents into training bins of
-    * at most `budget` tokens (first-fit over a length-descending order).
-    * Distributed shape: range-partition by token count so each partition
-    * packs a contiguous length band independently; bin ids are globally
-    * unique via (partition « 32) | local. Oversized docs get a bin of their
-    * own (they would be chunked upstream). Deterministic for a fixed
-    * partition count. */
-  def packBins(docs: DataFrame, budget: Long = 1024, partitions: Int = 8): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val sized = docs.select(
+    * at most `budget` tokens, by *length-bucketed fixed-capacity packing*:
+    * all documents of one token count pack `budget div len` to a bin (the
+    * per-length optimum), bins never mix lengths. Compared to first-fit this
+    * trades a little cross-length bin merging for properties that matter in
+    * a pipeline: the assignment is a pure window expression — deterministic
+    * (no range-sampling), embarrassingly parallel (shuffle on token count,
+    * `row_number` within each length group), reproducible across runs and
+    * engines, and bounded-padding (every bin's docs share one length).
+    * Oversized docs get singleton bins (they would be chunked upstream).
+    * Bin ids are globally unique via (token count « 32) | per-length index. */
+  def packBins(docs: DataFrame, budget: Long = 1024): DataFrame =
+    docs.select(
       col("doc_id"),
       countMatches(col("text"), "\\S+").cast("long").as("n_tokens"))
-    sized.as[(Long, Long)]
-      .repartitionByRange(partitions, col("n_tokens"), col("doc_id"))
-      .sortWithinPartitions(col("n_tokens").desc, col("doc_id"))
-      .mapPartitions { it =>
-        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
-        // first-fit: bins keep remaining capacity; docs arrive size-desc
-        val remaining = scala.collection.mutable.ArrayBuffer[Long]()
-        it.map { case (id, n) =>
-          var b = remaining.indexWhere(_ >= n)
-          if (n >= budget) { remaining += 0L; b = remaining.size - 1 } // own bin
-          else if (b < 0) { remaining += (budget - n); b = remaining.size - 1 }
-          else remaining(b) -= n
-          (id, n, (pid << 32) | b.toLong)
-        }
-      }
-      .toDF("doc_id", "n_tokens", "bin_id")
-  }
+      .selectExpr("doc_id", "n_tokens",
+        "shiftleft(n_tokens, 32) | " +
+          "((row_number() OVER (PARTITION BY n_tokens ORDER BY doc_id) - 1) " +
+          s"div greatest(1L, $budget div greatest(n_tokens, 1L))) AS bin_id")
 }
