@@ -638,6 +638,41 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
     val hidden = mutable.LinkedHashMap[String, Column]()
     var sigs = Map[String, (String, List[String])]()
 
+    // nested-XML support: a RefMap may point through struct fields into
+    // *repeated* elements (`synonyms.synonym` where `synonym` is an array —
+    // the rowTag-relative RML iterator paths of the reference's
+    // `ontario/wrappers/spark/utils.py:460-560`, explode at `:514`). Walking
+    // the path explodes at every array hop, so each repeat yields its own
+    // solution, exactly the LATERAL VIEW semantics the reference emits.
+    var base = df
+    var explodeId = 0
+    def resolve(path: String): (Column, DataType) = {
+      val parts = path.split("\\.")
+      if (!df.columns.contains(parts(0)))
+        return (df.col(path), StringType) // flat dotted name; let Spark resolve
+      var c: Column = df.col(parts(0))
+      var t: DataType = df.schema(parts(0)).dataType
+      def maybeExplode(): Unit = t match {
+        case a: ArrayType =>
+          explodeId += 1
+          val alias = s"__x_$explodeId"
+          base = base.withColumn(alias, explode(c))
+          c = col(alias); t = a.elementType
+          maybeExplode() // arrays of arrays
+        case _ => ()
+      }
+      maybeExplode()
+      parts.drop(1).foreach { seg =>
+        c = c.getField(seg)
+        t = t match {
+          case s: StructType => s.find(_.name == seg).map(_.dataType).getOrElse(StringType)
+          case _             => StringType
+        }
+        maybeExplode()
+      }
+      (c, t)
+    }
+
     def bindTemplate(v: String, t: Template): Unit =
       bindings.get(v) match {
         case Some(existing) => conds += existing === t.build(df.col)
@@ -676,15 +711,17 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
           case None => conds += lit(false)
           case Some(RefMap(c, langCol)) => tp.o match {
             case Var(v) => bindings.get(v) match {
-              case Some(existing) => conds += existing === df.col(c)
+              case Some(existing) => conds += existing === resolve(c)._1
               case None =>
-                bindings(v) = df.col(c)
+                val (rc, _) = resolve(c)
+                bindings(v) = rc
                 langCol.foreach(lc => hidden(s"__lang_$v") = df.col(lc))
-                conds += df.col(c).isNotNull
+                conds += rc.isNotNull
             }
             case Lit(lex, dt, _) =>
-              conds += (df.col(c) === typedLit(lex, dt, df.schema(c).dataType))
-            case Iri(u) => conds += df.col(c).cast(StringType) === lit(u)
+              val (rc, rt) = resolve(c)
+              conds += (rc === typedLit(lex, dt, rt))
+            case Iri(u) => conds += resolve(c)._1.cast(StringType) === lit(u)
           }
           case Some(TemplateMap(t)) => tp.o match {
             case Var(v)         => bindTemplate(v, t)
@@ -707,7 +744,7 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
       }
     }
 
-    val filtered = if (conds.isEmpty) df else df.filter(conds.reduce(_ && _))
+    val filtered = if (conds.isEmpty) base else base.filter(conds.reduce(_ && _))
     val out = filtered.select(
       (bindings.map { case (v, c) => c.as(v) } ++
         hidden.map { case (h, c) => c.as(h) }).toSeq: _*)

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.api.{Graft, TpchCatalog}
+import graft.mapping._
 import graft.sources._
 
 /** One SPARQL query federating three physical formats: supplier from
@@ -120,6 +121,54 @@ class SourcesSpec extends SparkTestBase {
         |  ?r g:name "ASIA" .
         |}""".stripMargin)
     assert(got.count() > 0)
+  }
+
+  test("nested-XML repeats explode: one solution per repeated element") {
+    implicit val s = spark
+    val tmp = java.nio.file.Files.createTempDirectory("graft-xml").toString
+    val xml =
+      """<compounds>
+        |  <compound><cid>1</cid><label>aspirin</label>
+        |    <synonyms><synonym>ASA</synonym><synonym>acetylsalicylic acid</synonym></synonyms>
+        |  </compound>
+        |  <compound><cid>2</cid><label>caffeine</label>
+        |    <synonyms><synonym>theine</synonym></synonyms>
+        |  </compound>
+        |  <compound><cid>3</cid><label>water</label></compound>
+        |</compounds>""".stripMargin
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$tmp/compounds.xml"), xml.getBytes("UTF-8"))
+    val cat = Catalog(List(Molecule(
+      rdfType = "urn:x:Compound",
+      table = "compound",
+      subject = Template("urn:x:comp:{cid}"),
+      predicates = Map(
+        "urn:x:label"   -> RefMap("label"),
+        // rowTag-relative path through a struct into the repeated element
+        "urn:x:synonym" -> RefMap("synonyms.synonym")))))
+    val g = new Graft(cat, Sources.registry(Map(
+      "compound" -> XmlSource(s"$tmp/compounds.xml", rowTag = "compound"))))
+    val rows = g.sparql(
+      """SELECT ?c ?syn WHERE { ?c <urn:x:synonym> ?syn }""")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set(
+      ("urn:x:comp:1", "ASA"),
+      ("urn:x:comp:1", "acetylsalicylic acid"),
+      ("urn:x:comp:2", "theine")))
+    // star with a flat predicate alongside the repeated one
+    val star = g.sparql(
+      """SELECT ?l ?syn WHERE {
+        |  ?c <urn:x:label> ?l ; <urn:x:synonym> ?syn }""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(star == Set(
+      ("aspirin", "ASA"),
+      ("aspirin", "acetylsalicylic acid"),
+      ("caffeine", "theine")))
+    // constant-object match against the exploded value
+    val eq = g.sparql(
+      """SELECT ?c WHERE { ?c <urn:x:synonym> "theine" }""")
+      .collect().map(_.getString(0)).toSeq
+    assert(eq == Seq("urn:x:comp:2"))
   }
 
   test("paged endpoint source fetches LIMIT/OFFSET pages until a short page") {
