@@ -1,0 +1,79 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.api.{Graft, GraftServer, TpchCatalog}
+
+import java.net.{HttpURLConnection, URI, URLEncoder}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** `/sparql` + `/nextresult` service-layer contract (app/query.py parity):
+  * blocking answers, incremental consumption to EOF, drained-session
+  * signalling. */
+class ServerSpec extends SparkTestBase {
+
+  private lazy val g = Graft.overParquetDir(TpchCatalog.catalog, sfDir)(spark)
+  private val mapper = new ObjectMapper()
+
+  private def get(url: String): com.fasterxml.jackson.databind.JsonNode = {
+    val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("GET")
+    val body = new String(conn.getInputStream.readAllBytes(), UTF_8)
+    mapper.readTree(body)
+  }
+
+  private def enc(s: String) = URLEncoder.encode(s, UTF_8)
+
+  test("blocking /sparql returns all rows with vars and timings") {
+    val server = new GraftServer(g)
+    val port = server.start()
+    try {
+      val q = """PREFIX g: <urn:g:> SELECT ?n WHERE {
+                |  ?r a g:Region ; g:name ?n } ORDER BY ?n""".stripMargin
+      val res = get(s"http://127.0.0.1:$port/sparql?query=${enc(q)}")
+      assert(res.path("vars").get(0).asText() == "n")
+      assert(res.path("totalRows").asInt() == 5)
+      val names = (0 until 5).map(i => res.path("result").get(i).path("n").asText())
+      assert(names == Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"))
+      assert(res.path("execTime").asDouble() > 0)
+    } finally server.stop()
+  }
+
+  test("non-blocking /sparql + /nextresult streams rows then EOF") {
+    val server = new GraftServer(g)
+    val port = server.start()
+    try {
+      val q = "PREFIX g: <urn:g:> SELECT ?n WHERE { ?x a g:Nation ; g:name ?n }"
+      val opened = get(s"http://127.0.0.1:$port/sparql?query=${enc(q)}&blocking=0")
+      val id = opened.path("hashquery").asText()
+      assert(id.nonEmpty && opened.path("totalRows").asInt() == -1)
+      var rows = 0
+      var eof = false
+      while (!eof) {
+        val r = get(s"http://127.0.0.1:$port/nextresult?id=$id")
+        if (r.path("result").isTextual && r.path("result").asText() == "EOF") {
+          eof = true
+          assert(r.path("totalRows").asLong() == 25)
+          assert(r.path("firstResult").asDouble() > 0)
+        } else {
+          rows += 1
+          assert(r.path("result").path("n").asText().nonEmpty)
+        }
+      }
+      assert(rows == 25)
+      // drained session: the reference answers "Already finished"
+      val done = get(s"http://127.0.0.1:$port/nextresult?id=$id")
+      assert(done.path("error").asText() == "Already finished")
+    } finally server.stop()
+  }
+
+  test("empty and malformed queries answer with an error payload") {
+    val server = new GraftServer(g)
+    val port = server.start()
+    try {
+      val none = get(s"http://127.0.0.1:$port/sparql")
+      assert(none.path("error").asText() == "cannot read query")
+      val bad = get(s"http://127.0.0.1:$port/sparql?query=${enc("SELECT nonsense (")}")
+      assert(bad.has("error"))
+    } finally server.stop()
+  }
+}
