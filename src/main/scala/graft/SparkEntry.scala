@@ -38,15 +38,20 @@ object SparkEntry {
   /** Graft over a catalog *auto-generated* by probing the parquet tables
     * ([[graft.mapping.CatalogGen]] — create_rdfmts.py parity). Vocabulary
     * aliases are deployment config; keys, links, cardinalities and
-    * broadcast hints are discovered from the data. */
+    * broadcast hints are discovered from the data. Probing is a deploy-time
+    * operation (the reference's create_rdfmts.py persists its catalog), so
+    * the generated catalog is cached per directory. */
+  private val autoCatalogs =
+    scala.collection.concurrent.TrieMap[String, _root_.graft.mapping.Catalog]()
   private def graftAuto(s: SparkSession, dir: String): Graft = {
     val tables = List("customer", "orders", "lineitem", "part", "supplier",
       "nation", "region", "documents")
       .map(t => t -> s.read.parquet(s"$dir/$t.parquet")).toMap
-    val cat = _root_.graft.mapping.CatalogGen.fromTables(tables,
-      _root_.graft.mapping.CatalogGen.GenOptions(aliases = Map(
-        "customer" -> "cust", "supplier" -> "supp",
-        "lineitem" -> "line", "documents" -> "doc")))
+    val cat = autoCatalogs.getOrElseUpdate(dir,
+      _root_.graft.mapping.CatalogGen.fromTables(tables,
+        _root_.graft.mapping.CatalogGen.GenOptions(aliases = Map(
+          "customer" -> "cust", "supplier" -> "supp",
+          "lineitem" -> "line", "documents" -> "doc"))))
     new Graft(cat, tables)(s)
   }
 

@@ -171,6 +171,47 @@ class SourcesSpec extends SparkTestBase {
     assert(eq == Seq("urn:x:comp:2"))
   }
 
+  test("JDBC wrapper round-trips through an embedded Derby database") {
+    implicit val s = spark
+    val tmp = java.nio.file.Files.createTempDirectory("graft-derby").toString
+    System.setProperty("derby.system.home", tmp) // keep derby.log out of the repo
+    val url = s"jdbc:derby:$tmp/db;create=true"
+    // seed Derby over plain JDBC (quoted identifiers preserve lowercase)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.createStatement().execute(
+        """CREATE TABLE "nation" ("n_nationkey" BIGINT, "n_name" VARCHAR(64),
+          | "n_regionkey" BIGINT)""".stripMargin)
+      val ps = conn.prepareStatement("""INSERT INTO "nation" VALUES (?, ?, ?)""")
+      spark.read.parquet(s"$sfDir/nation.parquet").collect().foreach { r =>
+        ps.setLong(1, r.getAs[Number]("n_nationkey").longValue())
+        ps.setString(2, r.getAs[String]("n_name"))
+        ps.setLong(3, r.getAs[Number]("n_regionkey").longValue())
+        ps.executeUpdate()
+      }
+    } finally conn.close()
+
+    // nation now lives in a real RDBMS; region/supplier stay parquet
+    val g = new Graft(TpchCatalog.catalog, Sources.registry(Map(
+      "supplier" -> ParquetSource(s"$sfDir/supplier.parquet"),
+      "nation" -> JdbcSource(url, "\"nation\""),
+      "region" -> ParquetSource(s"$sfDir/region.parquet"))))
+    val got = g.sparql(
+      """PREFIX g: <urn:g:>
+        |SELECT ?sname ?nname WHERE {
+        |  ?s a g:Supplier ; g:name ?sname ; g:nation ?n .
+        |  ?n a g:Nation ; g:name ?nname ; g:region ?r .
+        |  ?r a g:Region ; g:name "ASIA" .
+        |}""".stripMargin)
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    val want = spark.read.parquet(s"$sfDir/supplier.parquet")
+      .join(nation, col("s_nationkey") === col("n_nationkey"))
+      .join(region.filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+    assert(got.count() == want.count() && got.count() > 0)
+  }
+
   test("paged endpoint source fetches LIMIT/OFFSET pages until a short page") {
     implicit val s = spark
     val backing = spark.read.parquet(s"$sfDir/customer.parquet").collect()
