@@ -378,10 +378,10 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
         val nodes = edges.select(col("x")).union(edges.select(col("y"))).distinct()
         total.union(nodes.select(col("x"), col("x").as("y"))).distinct()
       }
-    // materialize the fixpoint once, then free the per-round caches — the
-    // result DataFrame no longer needs their lineage to stay cheap
-    val out = result.persist()
-    out.count()
+    // materialize the fixpoint once (eager checkpoint — its blocks are
+    // reclaimed when the frame is no longer referenced, unlike a session
+    // cache entry), then free the per-round caches
+    val out = result.localCheckpoint()
     cached.foreach(_.unpersist(blocking = false))
     out
   }
@@ -423,8 +423,7 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
       if (includeZero)
         total.union(spark.range(1).select(lit(seed).as("n"))).distinct()
       else total
-    val out = result.persist()
-    out.count()
+    val out = result.localCheckpoint() // blocks GC-reclaimed with the frame
     cached.foreach(_.unpersist(blocking = false))
     out
   }

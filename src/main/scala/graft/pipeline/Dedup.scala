@@ -102,12 +102,10 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
     // the verified pair list is orders of magnitude smaller than the shingle
-    // cache: materialize it once while the cache is hot, then release the
-    // cache so long-lived sessions don't accumulate blocks. The returned
-    // frame stays cached (it is the result); callers that are done with it
-    // may unpersist()
-    val out = verified.persist()
-    out.count()
+    // cache: materialize it once while the cache is hot (eager checkpoint —
+    // blocks are GC-reclaimed with the frame, not parked in the session
+    // cache), then release the shingle cache
+    val out = verified.localCheckpoint()
     shingled.unpersist()
     out
   }

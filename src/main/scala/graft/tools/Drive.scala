@@ -15,18 +15,31 @@ object Drive {
       .map(p => new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))))
       .getOrElse(
         """PREFIX g: <urn:g:>
-          |SELECT ?cname ?odate ?qty WHERE {
-          |  ?c a g:Customer ; g:name ?cname ; g:mktsegment "BUILDING" .
-          |  ?o g:customer ?c ; g:orderdate ?odate .
-          |  OPTIONAL { ?l g:order ?o ; g:quantity ?qty . FILTER (?qty > 45) }
-          |} ORDER BY ?cname ?odate LIMIT 8""".stripMargin)
+          |SELECT ?ent ?ename ?nname WHERE {
+          |  ?ent g:name ?ename ; g:nation ?n .
+          |  ?n g:name ?nname ; g:region ?r .
+          |  ?r g:name "ASIA" .
+          |} ORDER BY ?ent""".stripMargin)
     implicit val spark: SparkSession = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8").config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = Graft.overParquetDir(TpchCatalog.catalog, sfDir).sparql(query)
-    df.show(20, truncate = false)
-    df.explain("formatted")
+    // audit both catalogs: hand-written and probed
+    val tables = List("customer", "orders", "lineitem", "part", "supplier",
+      "nation", "region", "documents")
+      .map(t => t -> spark.read.parquet(s"$sfDir/$t.parquet")).toMap
+    val auto = graft.mapping.CatalogGen.fromTables(tables,
+      graft.mapping.CatalogGen.GenOptions(aliases = Map(
+        "customer" -> "cust", "supplier" -> "supp",
+        "lineitem" -> "line", "documents" -> "doc")))
+    for ((label, g) <- List(
+        "hand-written" -> Graft.overParquetDir(TpchCatalog.catalog, sfDir),
+        "probed" -> new Graft(auto, tables))) {
+      println(s"==== $label catalog ====")
+      val df = g.sparql(query)
+      df.show(5, truncate = false)
+      df.explain("formatted")
+    }
     spark.stop()
   }
 }
