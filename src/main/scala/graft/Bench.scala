@@ -60,7 +60,14 @@ object Bench {
       "\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$nRuns,"queries":$qs,"raw":$raw,"sf":"$sfDir"}""")
+    // raw per-run forensics go to a file — inlining them made the summary
+    // line so long the driver's tail window clipped it (round-3 BENCH JSON
+    // arrived unparseable); the compact summary prints LAST and ALONE
+    val rawPath = java.nio.file.Paths.get("target", "bench_raw_runs.json")
+    java.nio.file.Files.createDirectories(rawPath.getParent)
+    java.nio.file.Files.write(rawPath,
+      s"""{"runs":$nRuns,"sf":"$sfDir","raw":$raw}""".getBytes("UTF-8"))
     spark.stop()
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$nRuns,"queries":$qs,"sf":"$sfDir"}""")
   }
 }

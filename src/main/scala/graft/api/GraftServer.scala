@@ -24,15 +24,36 @@ import scala.jdk.CollectionConverters._
   * result. The server binds loopback (a serving tier would front this with
   * a real gateway; the query engine itself is the point here).
   */
-final class GraftServer(g: Graft, port: Int = 0) {
+final class GraftServer(g: Graft, port: Int = 0,
+                        /** idle sessions are reaped after this long — an
+                          * abandoned `blocking=0` client must not pin its
+                          * partially-consumed iterator forever */
+                        sessionTtlMillis: Long = 600000L) {
 
   private final class Session(val vars: Seq[String], val it: Iterator[Row],
                               val start: Long) {
     @volatile var first: Double = -1.0
     @volatile var served: Long = 0L
+    @volatile var lastAccess: Long = System.currentTimeMillis()
   }
 
   private val sessions = new ConcurrentHashMap[String, Session]()
+
+  /** Drop sessions idle past the TTL; returns how many were reaped.
+    * Exposed for tests; also runs on a daemon timer. */
+  def sweepIdleSessions(now: Long = System.currentTimeMillis()): Int = {
+    var reaped = 0
+    sessions.forEach { (k, s) =>
+      if (now - s.lastAccess > sessionTtlMillis && sessions.remove(k, s)) reaped += 1
+    }
+    reaped
+  }
+
+  private val sweeper = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+    (r: Runnable) => { val t = new Thread(r, "graft-session-sweeper"); t.setDaemon(true); t })
+  sweeper.scheduleWithFixedDelay(() => sweepIdleSessions(),
+    sessionTtlMillis, math.max(sessionTtlMillis / 4, 1000L),
+    java.util.concurrent.TimeUnit.MILLISECONDS)
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
@@ -52,9 +73,15 @@ final class GraftServer(g: Graft, port: Int = 0) {
           "totalRows" -> rows.length)
       } else {
         val id = md5(query)
-        sessions.put(id, new Session(vars, df.toLocalIterator().asScala, start))
+        // duplicate hashquery (same query text re-registered): the reference
+        // silently overwrote and leaked the first client's session
+        // (`query.py:100`) — we replace explicitly so the old iterator is
+        // released for GC rather than pinned in the map
+        val prev = sessions.put(id, new Session(vars, df.toLocalIterator().asScala, start))
+        val replaced = prev != null
         Map("vars" -> vars, "hashquery" -> id, "result" -> Seq.empty,
-          "execTime" -> secondsSince(start), "totalRows" -> -1)
+          "execTime" -> secondsSince(start), "totalRows" -> -1,
+          "replacedSession" -> replaced)
       }
     }
   })
@@ -65,6 +92,7 @@ final class GraftServer(g: Graft, port: Int = 0) {
       case None =>
         Map("result" -> "EOF", "totalRows" -> 1, "error" -> "Already finished")
       case Some(s) =>
+        s.lastAccess = System.currentTimeMillis()
         if (s.it.hasNext) {
           val row = rowMap(s.vars, s.it.next())
           if (s.first < 0) s.first = secondsSince(s.start)
@@ -84,7 +112,7 @@ final class GraftServer(g: Graft, port: Int = 0) {
   /** Start serving; returns the bound port (ephemeral when constructed
     * with port 0). */
   def start(): Int = { server.start(); server.getAddress.getPort }
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { sweeper.shutdownNow(); server.stop(0) }
 
   // ---- plumbing -------------------------------------------------------------
 

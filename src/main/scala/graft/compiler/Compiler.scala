@@ -297,8 +297,9 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
     case Pattern.Extend(p0, v, e) =>
       val c = compilePattern(p0)
       c.copy(df = c.df.withColumn(v.name, ExprCompiler.compile(e, c.df)))
-    case Pattern.Minus(l, r)      => antiSemi(l, r, "left_anti")
-    case Pattern.Exists(l, r, pos) => antiSemi(l, r, if (pos) "left_semi" else "left_anti")
+    case Pattern.Minus(l, r)      => antiSemi(l, r, "left_anti", minus = true)
+    case Pattern.Exists(l, r, pos) =>
+      antiSemi(l, r, if (pos) "left_semi" else "left_anti", minus = false)
     case Pattern.Values(vs, rows) => compileValues(vs, rows)
     case Pattern.Path(s, ast, o)  => compilePath(s, ast, o)
     // SPARQL 1.1 subquery: compiled like a root SELECT (aggregation,
@@ -468,17 +469,21 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
   }
 
   /** MINUS / FILTER [NOT] EXISTS → semi/anti join on the shared variables.
-    * (SPARQL's MINUS-with-no-shared-vars edge case — remove nothing — falls
-    * out naturally: no shared vars ⇒ keep left as-is.) */
-  private def antiSemi(l: Pattern, r: Pattern, how: String): Compiled = {
+    * The no-shared-vars edge differs by operator: MINUS removes nothing
+    * (per SPARQL's dom-disjointness rule), while [NOT] EXISTS evaluates the
+    * probe pattern independently — any solution ⇒ EXISTS keeps all / NOT
+    * EXISTS drops all. The probe stays lazy: a broadcast `limit(1)` side
+    * semi/anti-joined on a constant-true condition, so `Graft.sparql()`
+    * never runs a job before the caller acts. */
+  private def antiSemi(l: Pattern, r: Pattern, how: String, minus: Boolean): Compiled = {
     val cl = compilePattern(l)
     val cr = compilePattern(r)
     val shared = cl.visibleVars.toSet intersect cr.visibleVars.toSet
     if (shared.isEmpty) {
-      if (how == "left_anti") cl // MINUS with disjoint domains removes nothing
+      if (minus) cl // MINUS with disjoint domains removes nothing
       else {
-        val nonEmpty = !cr.df.isEmpty
-        if (nonEmpty) cl else cl.copy(df = cl.df.limit(0))
+        val probe = broadcast(cr.df.limit(1).select(lit(1).as("__probe")))
+        Compiled(cl.df.join(probe, lit(true), how), cl.sigs, cl.bcast)
       }
     } else {
       // join on visible shared vars (semi/anti output keeps only left cols)
@@ -770,7 +775,10 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
       val joined =
         if (how == "inner") ldf.crossJoin(rClean)
         else ldf.join(rClean, lit(true), "left_outer")
-      Compiled(joined, l.sigs ++ r.sigs, outBcast)
+      // a cross join of two broadcast-size sides is |l|·|r| rows — never
+      // propagate the broadcast hint through it (a later join would inhale
+      // an oversized broadcast)
+      Compiled(joined, l.sigs ++ r.sigs, bcast = false)
     } else {
       val joinCols = mutable.ListBuffer[String]()
       val dropRight = mutable.ListBuffer[String]()

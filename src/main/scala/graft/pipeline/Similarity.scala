@@ -230,6 +230,18 @@ object Similarity {
     *
     * `B` also floors at the square-root of cluster parallelism so small
     * corpora still fan out across all cores. */
+  /** Block id from an avalanche mix of the vec_id: plain `id % nBlocks`
+    * only bounds block sizes for dense uniform ids — strided/snowflake-style
+    * ids sharing a factor with nBlocks would collapse the corpus into a few
+    * blocks and break the per-task memory bound. */
+  private def mixBlock(id: Long, nBlocks: Int): Int = {
+    var z = id + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    (((z % nBlocks) + nBlocks) % nBlocks).toInt
+  }
+
   def topSimilarPairs(emb: DataFrame, n: Int = 50,
                       targetBlockRows: Int = 65536): DataFrame = {
     val spark = emb.sparkSession
@@ -248,7 +260,7 @@ object Similarity {
     }
     val ds = emb.select(col("vec_id"), col("embedding")).as[EmbRow]
     val replicated = ds.flatMap { e =>
-      val blk = ((e.vec_id % nBlocks + nBlocks) % nBlocks).toInt
+      val blk = mixBlock(e.vec_id, nBlocks)
       tasksForBlock(blk).iterator.map(t => (t, e.vec_id, e.embedding))
     }
     val localTop = replicated.groupByKey(_._1).flatMapGroups { (t, rows) =>
@@ -257,8 +269,7 @@ object Similarity {
       val right = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
       rows.foreach { case (_, id, v) =>
         val nv = (id, normalize(v))
-        val blk = ((id % nBlocks + nBlocks) % nBlocks).toInt
-        if (blk == bi) left += nv else right += nv
+        if (mixBlock(id, nBlocks) == bi) left += nv else right += nv
       }
       implicit val ord: Ordering[(Double, Long, Long)] = Ordering.by(t => -t._1)
       val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long, Long)]

@@ -49,29 +49,43 @@ final case class JdbcSource(url: String, table: String,
 
 /** Remote-endpoint-style paged source — the RDFStore SPARQL-endpoint
   * wrapper's fetch protocol (`/root/reference/ontario/wrappers/triplestore/
-  * __init__.py:52-119` contactSourceAux): request pages of `pageSize` rows
-  * with LIMIT/OFFSET until a short page signals exhaustion, then hand the
-  * accumulated rows to Spark. `fetchPage(offset, limit)` abstracts the
+  * __init__.py:52-119` contactSourceAux: LIMIT/OFFSET pages until a short
+  * page signals exhaustion). `fetchPage(offset, limit)` abstracts the
   * transport (HTTP + application/sparql-results+json in the reference;
-  * unavailable in this zero-egress environment, injected in tests). The
-  * client-side accumulation matches the reference exactly — a remote
-  * endpoint's result set is bounded by the endpoint, not by the lake. */
+  * unavailable in this zero-egress environment, injected in tests).
+  *
+  * Unlike the reference — which accumulates every page in client memory
+  * before processing — the fetch is distributed: the driver sizes the
+  * result with O(log N) single-row probes (`LIMIT 1 OFFSET k`, galloping +
+  * binary search — protocol-legal against any LIMIT/OFFSET endpoint), then
+  * each partition pulls exactly one page at compute time, executor-side.
+  * Driver memory is bounded by one probe row; a large endpoint result never
+  * transits the driver at all. `fetchPage` must therefore be serializable
+  * (a transport handle should be constructed inside the closure, not
+  * captured). Pages are assumed stable across the probe/fetch window — the
+  * same snapshot assumption the reference's sequential paging makes. */
 final case class PagedEndpointSource(
     schema: org.apache.spark.sql.types.StructType,
     fetchPage: (Long, Int) => Seq[org.apache.spark.sql.Row],
     pageSize: Int = 10000) extends SourceSpec {
   def load(spark: SparkSession): DataFrame = {
-    val all = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
-    var offset = 0L
-    var last = pageSize
-    while (last == pageSize) {
-      val page = fetchPage(offset, pageSize)
-      all ++= page
-      last = page.size
-      offset += pageSize
+    def exists(off: Long): Boolean = fetchPage(off, 1).nonEmpty
+    if (!exists(0L))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    var hi = 1L
+    while (exists(hi)) hi *= 2 // gallop: first absent offset is in (hi/2, hi]
+    var lo = hi / 2            // exists(lo) holds
+    while (lo + 1 < hi) {
+      val mid = lo + (hi - lo) / 2
+      if (exists(mid)) lo = mid else hi = mid
     }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(all.toSeq, math.max(1, all.size / 5000)), schema)
+    val totalRows = hi // offsets 0..hi-1 exist
+    val nPages = ((totalRows + pageSize - 1) / pageSize).toInt
+    val (fp, ps) = (fetchPage, pageSize)
+    val rdd = spark.sparkContext.parallelize(0 until nPages, nPages)
+      .flatMap(p => fp(p.toLong * ps, ps))
+    spark.createDataFrame(rdd, schema)
   }
 }
 
