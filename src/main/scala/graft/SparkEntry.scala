@@ -513,12 +513,24 @@ object SparkEntry {
     "emb_knn_brute" -> ((s, d) =>
       Similarity.bruteForceTopK(T(s, d, "embeddings"), k = 5, numQueries = 3)
         .orderBy("q_id", "rank")),
-    "emb_knn_lsh" -> ((s, d) =>
-      Similarity.lshTopK(T(s, d, "embeddings"), k = 5, numQueries = 3, planes = 8)
-        .orderBy("q_id", "rank")),
-    "emb_knn_ivf" -> ((s, d) =>
-      Similarity.ivfTopK(T(s, d, "embeddings"), k = 5, numQueries = 3)
-        .orderBy("q_id", "rank")),
+    // the approximate kNN paths emit their approximation contract: each ANN
+    // hit joined against the exact kNN (exact_rank, per-query overlap and
+    // recall) — deterministic under the fixed seeds, so the oracle pins the
+    // achieved recall and gate-checks bucketing/quantizer/scoring
+    "emb_knn_lsh" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      Similarity.annContract(
+        Similarity.lshTopK(emb, k = 5, numQueries = 3, planes = 8),
+        Similarity.bruteForceTopK(emb, k = 5, numQueries = 3), k = 5)
+        .orderBy("q_id", "vec_id")
+    }),
+    "emb_knn_ivf" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      Similarity.annContract(
+        Similarity.ivfTopK(emb, k = 5, numQueries = 3),
+        Similarity.bruteForceTopK(emb, k = 5, numQueries = 3), k = 5)
+        .orderBy("q_id", "vec_id")
+    }),
     "emb_top_pairs" -> ((s, d) =>
       Similarity.topSimilarPairs(T(s, d, "embeddings"), n = 50).orderBy("a", "b"))
   )
@@ -959,25 +971,94 @@ object SparkEntry {
     // integer-only outputs (q_id, vec_id, rank): double-precision cosine
     // ranks identically in DuckDB (verified bitwise at sf0.01 and sf0.1)
     "emb_knn_brute" ->
-      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
-        |  FROM embeddings WHERE vec_id < 3)
-        |SELECT q_id, vec_id, rank FROM (
-        |  SELECT q_id, e.vec_id,
-        |    ROW_NUMBER() OVER (PARTITION BY q_id
-        |      ORDER BY list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[])) DESC,
-        |               e.vec_id) AS rank
-        |  FROM q, embeddings e WHERE e.vec_id <> q_id)
-        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+      (EXACT_KNN_CTE + "\nSELECT q_id, vec_id, rank FROM exact ORDER BY q_id, rank"),
+
+    // approximate-kNN recall gates: the ANN hit set is pinned (it is fully
+    // deterministic — fixed SRP planes / seeded k-means over deterministic
+    // data), but exact_rank / overlap / recall are DERIVED in DuckDB by
+    // joining the pinned hits against the exact kNN computed from the data,
+    // so the fixture asserts the approximation contract end-to-end
+    "emb_knn_lsh" -> annContractOracle("(1,105),(1,472),(1,497)"),
+    "emb_knn_ivf" -> annContractOracle(
+      "(0,73),(0,334),(0,365),(0,387),(0,423)," +
+        "(1,64),(1,80),(1,195),(1,386),(1,407)," +
+        "(2,112),(2,145),(2,418),(2,450),(2,471)"),
     "emb_top_pairs" ->
       """SELECT a, b FROM (
         |  SELECT e1.vec_id AS a, e2.vec_id AS b,
         |    list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
         |                           CAST(e2.embedding AS DOUBLE[])) AS c
         |  FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
-        |) ORDER BY c DESC, a, b LIMIT 50""".stripMargin
-    // doc_near_dup_simhash / emb_knn_lsh / emb_knn_ivf hinge on xxhash64 /
-    // seeded k-means — not expressible in DuckDB → rows-only checks
+        |) ORDER BY c DESC, a, b LIMIT 50""".stripMargin,
+
+    // SimHash with the md5-derived portable token hash: DuckDB rebuilds
+    // every 64-bit fingerprint bit-identically (hi/lo hex arithmetic keeps
+    // everything in signed BIGINT range; bit 63 is applied as the signed
+    // minimum), then the oracle is the EXHAUSTIVE hamming<=3 pair set — a
+    // banding miss or cap misfire fails the gate, exactly how the minhash
+    // oracle gate-checks LSH recall. Banding is provably lossless here:
+    // hamming<=3 over 4 disjoint 16-bit bands leaves >=1 band identical.
+    "doc_near_dup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS t
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id,
+        |    (('0x' || substr(md5(t),1,8))::BIGINT
+        |      - CASE WHEN ('0x' || substr(md5(t),1,8))::BIGINT >= 2147483648
+        |             THEN 4294967296 ELSE 0 END) * 4294967296
+        |    + ('0x' || substr(md5(t),9,8))::BIGINT AS h
+        |  FROM toks),
+        |votes AS (
+        |  SELECT doc_id, j,
+        |    CASE WHEN SUM(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) > 0
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS j) bits
+        |  GROUP BY doc_id, j),
+        |sim AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN j = 63 THEN bit * (-9223372036854775808)
+        |                  ELSE bit * (1::BIGINT << j) END) AS BIGINT) AS simhash
+        |  FROM votes GROUP BY doc_id)
+        |SELECT x.doc_id AS a, y.doc_id AS b,
+        |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+        |FROM sim x JOIN sim y ON x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+        |ORDER BY a, b""".stripMargin
+    // emb_knn_lsh / emb_knn_ivf emit their approximation contract (overlap
+    // vs the exact kNN) — see their entries above
   )
+
+  /** Exact top-5 cosine kNN for the three probe queries as a DuckDB CTE;
+    * shared by the brute oracle and both ANN recall gates. */
+  private val EXACT_KNN_CTE =
+    """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+      |  FROM embeddings WHERE vec_id < 3),
+      |exact AS (SELECT q_id, vec_id, rank FROM (
+      |  SELECT q_id, e.vec_id,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id
+      |      ORDER BY list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[])) DESC,
+      |               e.vec_id) AS rank
+      |  FROM q, embeddings e WHERE e.vec_id <> q_id)
+      |WHERE rank <= 5)""".stripMargin
+
+  /** Recall-gate oracle for an ANN method: pinned deterministic hit list,
+    * contract columns derived from the data via the exact kNN. */
+  private def annContractOracle(hits: String): String =
+    EXACT_KNN_CTE +
+      s""",
+         |hits(q_id, vec_id) AS (VALUES $hits),
+         |j AS (SELECT h.q_id, h.vec_id, COALESCE(e.rank, -1) AS exact_rank
+         |      FROM hits h LEFT JOIN exact e
+         |        ON e.q_id = h.q_id AND e.vec_id = h.vec_id),
+         |o AS (SELECT q_id, SUM(CASE WHEN exact_rank > 0 THEN 1 ELSE 0 END) AS overlap
+         |      FROM j GROUP BY q_id)
+         |SELECT CAST(j.q_id AS BIGINT) AS q_id, CAST(j.vec_id AS BIGINT) AS vec_id,
+         |  CAST(j.exact_rank AS INTEGER) AS exact_rank,
+         |  CAST(o.overlap AS BIGINT) AS overlap,
+         |  CAST(o.overlap AS DOUBLE) / 5 AS recall
+         |FROM j JOIN o ON o.q_id = j.q_id
+         |ORDER BY q_id, vec_id""".stripMargin
 
   /** Exact word-3-gram Jaccard pairs (threshold 0.7) as a DuckDB CTE chain;
     * shared by the near-dup and cluster oracles. */

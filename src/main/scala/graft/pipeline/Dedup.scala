@@ -67,22 +67,38 @@ object Dedup {
       .toDF("doc_id", "band", "bh")
   }
 
-  /** Candidate pairs from LSH buckets. Pairs are generated inside each
-    * bucket from the sorted doc-id list (a < b), so the only shuffle is the
-    * bucket groupBy; `maxBucket` caps degenerate buckets (at web scale a
-    * bucket of boilerplate can hold millions of docs — capping bounds the
-    * quadratic pair blow-up; capped buckets are counted, not silently
-    * dropped, via the returned `capped` column filter). */
-  def candidatePairs(buckets: DataFrame, maxBucket: Int = 1000): DataFrame =
-    buckets.groupBy("band", "bh")
+  /** A pair-generation result plus its skew observability side output:
+    * `cappedBuckets` is one row per bucket that exceeded `maxBucket`
+    * (`band`, `bh`, `bucket_size`) — a pipeline operator that knowingly
+    * drops candidates must surface how much it dropped. */
+  final case class PairsWithStats(pairs: DataFrame, cappedBuckets: DataFrame)
+
+  /** Candidate pairs from LSH buckets. Bucket sizes are pre-counted and
+    * oversized buckets are semi-joined away BEFORE the `collect_list`
+    * aggregation — capping after collection would still materialize a
+    * degenerate multi-million-member bucket in one aggregation buffer, the
+    * exact skew case the cap exists to disarm. Pairs are then generated
+    * inside each surviving bucket from the sorted doc-id list (a < b), so
+    * worst-case per-bucket work is `maxBucket²/2`. The count shuffle and
+    * the semi-join/groupBy share the (band, bh) partitioning. */
+  def candidatePairsWithStats(buckets: DataFrame, maxBucket: Int = 1000): PairsWithStats = {
+    val sizes = buckets.groupBy("band", "bh").agg(count(lit(1)).as("bucket_size"))
+    val capped = sizes.filter(col("bucket_size") > maxBucket)
+    val ok = sizes.filter(col("bucket_size").between(2, maxBucket)).select("band", "bh")
+    val pairs = buckets.join(ok, Seq("band", "bh"), "left_semi")
+      .groupBy("band", "bh")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
       .select(explode(expr(
         "flatten(transform(ids, (x, i) -> " +
           "transform(slice(ids, i + 2, size(ids)), y -> named_struct('a', x, 'b', y))))"))
         .as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
+    PairsWithStats(pairs, capped)
+  }
+
+  def candidatePairs(buckets: DataFrame, maxBucket: Int = 1000): DataFrame =
+    candidatePairsWithStats(buckets, maxBucket).pairs
 
   /** Exact Jaccard verification of candidate pairs (n-gram Jaccard dedup):
     * joins the shingle sets back (broadcast-friendly candidate side) and
@@ -187,36 +203,43 @@ object Dedup {
 
   /** 64-bit SimHash per document: per-token hash, each bit position votes
     * ±1 (duplicate tokens weight naturally), sign of the vote sum becomes
-    * the bit. Map-only: the vote loop is the native [[graft.functions.
-    * SimHash64]] expression — no explode, no 64-counter shuffle. */
+    * the bit. Map-only, one native codegen'd expression per row
+    * ([[graft.functions.SimHashMd5]]) — no explode, no 64-counter shuffle,
+    * no interpreted HOF. The token hash is md5-derived and therefore
+    * engine-portable: the exhaustive DuckDB hamming-pair oracle reproduces
+    * the fingerprints bit-identically and gate-checks the whole near-dup
+    * path (LSH banding included). */
   def simhash(docs: DataFrame): DataFrame =
     docs
       .repartition(col("doc_id"))
-      .withColumn("__th", expr("transform(split(lower(text), '\\\\s+'), t -> xxhash64(t))"))
       .select(col("doc_id"),
-        graft.functions.GraftFunctions.simhash(col("__th")).as("simhash"))
+        graft.functions.GraftFunctions.simhash_md5(col("text")).as("simhash"))
 
   /** SimHash near-dup pairs within `maxHamming`: 4×16-bit band index (a
     * pair within hamming ≤ 3 of 64 bits must agree exactly on ≥1 of the 4
-    * bands), verified with bit_count(xor).
+    * bands — pigeonhole, so banding loses nothing), verified with
+    * bit_count(xor).
     *
-    * Like [[candidatePairs]], pairs are generated *inside* each (band,
-    * bucket) group from the sorted member list, and `maxBucket` caps
-    * degenerate buckets — at web scale one 16-bit band value shared by
-    * millions of boilerplate/empty documents would otherwise go quadratic
-    * in a self-join. Capped buckets lose candidates knowingly (they are
-    * mutual near-dups of each other anyway and exact-dedup upstream is the
-    * right tool for identical text); the cap bounds worst-case work at
-    * `maxBucket²/2` per bucket. */
-  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3,
-                      maxBucket: Int = 1000): DataFrame = {
+    * Like [[candidatePairsWithStats]], bucket sizes are pre-counted and
+    * degenerate buckets (millions of boilerplate documents sharing one
+    * 16-bit band value) are semi-joined away BEFORE the `collect_list`
+    * aggregation, bounding both pair-expansion compute and aggregation
+    * memory at `maxBucket`. Capped buckets are surfaced in
+    * `cappedBuckets`, not silently dropped — their members are mutual
+    * near-dups of each other anyway and exact-dedup upstream is the right
+    * tool for identical text. */
+  def simhashNearDupsWithStats(docs: DataFrame, maxHamming: Int = 3,
+                               maxBucket: Int = 1000): PairsWithStats = {
     val banded = simhash(docs).select(col("doc_id"), col("simhash"),
       explode(expr("transform(sequence(0, 3), j -> " +
         "named_struct('band', j, 'bh', (simhash >> (j*16)) & 65535))")).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    banded.groupBy("band", "bh")
+    val sizes = banded.groupBy("band", "bh").agg(count(lit(1)).as("bucket_size"))
+    val capped = sizes.filter(col("bucket_size") > maxBucket)
+    val ok = sizes.filter(col("bucket_size").between(2, maxBucket)).select("band", "bh")
+    val pairs = banded.join(ok, Seq("band", "bh"), "left_semi")
+      .groupBy("band", "bh")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ms"))
-      .filter(size(col("ms")).between(2, maxBucket))
       .select(explode(expr(
         "flatten(transform(ms, (x, i) -> " +
           "transform(slice(ms, i + 2, size(ms)), y -> named_struct(" +
@@ -225,5 +248,10 @@ object Dedup {
       .filter(col("p.hamming") <= maxHamming)
       .select(col("p.a").as("a"), col("p.b").as("b"), col("p.hamming").as("hamming"))
       .distinct()
+    PairsWithStats(pairs, capped)
   }
+
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3,
+                      maxBucket: Int = 1000): DataFrame =
+    simhashNearDupsWithStats(docs, maxHamming, maxBucket).pairs
 }

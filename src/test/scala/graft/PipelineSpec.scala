@@ -142,8 +142,12 @@ class PipelineSpec extends SparkTestBase {
     // (exact dedup upstream owns identical text) and completes immediately
     val clones = (1L to 1000L).map(i => (i, "the same boilerplate text repeated"))
       .toDF("doc_id", "text")
-    val capped = Dedup.simhashNearDups(clones, maxHamming = 3, maxBucket = 50)
-    assert(capped.count() == 0)
+    val cappedRes = Dedup.simhashNearDupsWithStats(clones, maxHamming = 3, maxBucket = 50)
+    assert(cappedRes.pairs.count() == 0)
+    // observability: the dropped buckets are surfaced, not silent — all 4
+    // band buckets held the full clone set
+    val cb = cappedRes.cappedBuckets.collect()
+    assert(cb.length == 4 && cb.forall(_.getAs[Long]("bucket_size") == 1000L))
     // distinct-but-close docs in small buckets are unaffected by the cap
     val base = (1 to 40).map(i => s"word$i").mkString(" ")
     val mixed = Seq(
