@@ -21,7 +21,14 @@ import graft.mapping._
 final case class Compiled(df: DataFrame, sigs: Map[String, (String, List[String])],
                           /** catalog says this subplan stays broadcast-size
                             * (dimension molecule); applied at join time */
-                          bcast: Boolean = false) {
+                          bcast: Boolean = false,
+                          /** estimated output rows from probed molecule
+                            * cardinalities (RDF-MT stats), scaled down by
+                            * constant filters; -1 = unknown. Drives the
+                            * small-side-first BGP join order, as the
+                            * reference orders its bushy tree by selectivity
+                            * (`Tree.py:343-420`). */
+                          card: Long = -1L) {
   def visibleVars: Seq[String] = df.columns.toSeq.filterNot(Compiled.isHidden)
   def dropHidden: DataFrame = {
     val hidden = df.columns.filter(Compiled.isHidden)
@@ -519,18 +526,28 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
     Compiled(rowDfs.reduce(_.unionByName(_)), Map.empty)
   }
 
-  /** BGP: decompose into stars, then join greedily on shared variables —
-    * the reference's bushy-tree construction (`Tree.py:466-501`) reduced to
-    * picking a cartesian-free linear order; Catalyst/AQE reorder further. */
+  /** BGP: decompose into stars, then join greedily on shared variables in
+    * estimated-cardinality order — the reference's selectivity-ordered
+    * bushy-tree construction (`Tree.py:343-420, 466-501`) reduced to a
+    * cartesian-free linear order that starts from the smallest star and
+    * always joins the smallest var-sharing candidate next (constant-
+    * filtered stars estimate below their molecule size, so "constants <
+    * smallest molecule < …" falls out). With no probed cardinalities
+    * (est = unknown for every star) the order degrades to the original
+    * first-shared-var order. Catalyst/AQE still reorder further at
+    * runtime. */
   private def compileBgp(ts: List[TriplePattern]): Compiled = {
     require(ts.nonEmpty, "empty BGP")
     val stars = Decomposer.decompose(ts, catalog)
     val compiled = mutable.ListBuffer(stars.map(compileStar): _*)
-    var acc = compiled.remove(0)
+    def est(c: Compiled): Long = if (c.card < 0) Long.MaxValue else c.card
+    val first = compiled.minBy(est)
+    var acc = compiled.remove(compiled.indexWhere(_ eq first))
     var accVars = acc.visibleVars.toSet
     while (compiled.nonEmpty) {
-      val i = compiled.indexWhere(c => c.visibleVars.exists(accVars.contains))
-      val next = compiled.remove(if (i >= 0) i else 0)
+      val sharing = compiled.filter(c => c.visibleVars.exists(accVars.contains))
+      val next = if (sharing.nonEmpty) sharing.minBy(est) else compiled.head
+      compiled.remove(compiled.indexWhere(_ eq next))
       acc = join2(acc, next, "inner")
       accVars ++= next.visibleVars
     }
@@ -638,6 +655,7 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
                               m: Molecule): Compiled = {
     val df = load(m.table)
     val conds = mutable.ListBuffer[Column]()
+    var nSelective = 0 // constant equality filters only — not null guards
     val bindings = mutable.LinkedHashMap[String, Column]()
     val hidden = mutable.LinkedHashMap[String, Column]()
     var sigs = Map[String, (String, List[String])]()
@@ -688,10 +706,13 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
           t.columns.foreach(c => conds += df.col(c).isNotNull)
       }
 
-    def invertConst(t: Template, value: String): Unit = t.invert(value) match {
-      case Some(kvs) =>
-        kvs.foreach { case (c, lex) => conds += df.col(c).cast(StringType) === lit(lex) }
-      case None => conds += lit(false)
+    def invertConst(t: Template, value: String): Unit = {
+      nSelective += 1
+      t.invert(value) match {
+        case Some(kvs) =>
+          kvs.foreach { case (c, lex) => conds += df.col(c).cast(StringType) === lit(lex) }
+        case None => conds += lit(false)
+      }
     }
 
     subject match {
@@ -724,8 +745,11 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
             }
             case Lit(lex, dt, _) =>
               val (rc, rt) = resolve(c)
+              nSelective += 1
               conds += (rc === typedLit(lex, dt, rt))
-            case Iri(u) => conds += resolve(c)._1.cast(StringType) === lit(u)
+            case Iri(u) =>
+              nSelective += 1
+              conds += resolve(c)._1.cast(StringType) === lit(u)
           }
           case Some(TemplateMap(t)) => tp.o match {
             case Var(v)         => bindTemplate(v, t)
@@ -752,10 +776,17 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
     val out = filtered.select(
       (bindings.map { case (v, c) => c.as(v) } ++
         hidden.map { case (h, c) => c.as(h) }).toSeq: _*)
+    // selectivity estimate for join ordering: start from the probed
+    // molecule cardinality and discount 10× per constant filter — crude,
+    // but it only has to rank stars, and constants < unfiltered molecule
+    // always holds under it
+    val estCard =
+      if (m.cardinality < 0) -1L
+      else (0 until nSelective).foldLeft(m.cardinality)((c, _) => math.max(1L, c / 10))
     // the broadcast hint is *carried*, not applied: wrapping every fragment
     // leaves dangling hints on fragments that end up union branches
     // (HintErrorLogger noise); join2 attaches it at join construction
-    Compiled(out, sigs, bcast = m.broadcastHint)
+    Compiled(out, sigs, bcast = m.broadcastHint, card = estCard)
   }
 
   /** Join on shared variables. Template-built vars with matching signatures
@@ -769,6 +800,13 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
     val ldf = if (l.bcast) broadcast(l.df) else l.df
     def hint(rdf: DataFrame) = if (r.bcast) broadcast(rdf) else rdf
     val outBcast = l.bcast && r.bcast
+    // crude output estimate: FK-style star joins stay near the larger side;
+    // cross joins multiply (saturating); unknown taints
+    def joinCard(cross: Boolean): Long =
+      if (l.card < 0 || r.card < 0) -1L
+      else if (!cross) math.max(l.card, r.card)
+      else if (l.card > 0 && r.card > Long.MaxValue / math.max(l.card, 1L)) Long.MaxValue
+      else l.card * r.card
     val shared = l.visibleVars.toSet intersect r.visibleVars.toSet
     if (shared.isEmpty) {
       val rClean = hint(dropCollidingHidden(l, r))
@@ -778,7 +816,7 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
       // a cross join of two broadcast-size sides is |l|·|r| rows — never
       // propagate the broadcast hint through it (a later join would inhale
       // an oversized broadcast)
-      Compiled(joined, l.sigs ++ r.sigs, bcast = false)
+      Compiled(joined, l.sigs ++ r.sigs, bcast = false, card = joinCard(cross = true))
     } else {
       val joinCols = mutable.ListBuffer[String]()
       val dropRight = mutable.ListBuffer[String]()
@@ -803,7 +841,7 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
       val rSigs = (r.sigs -- shared).filter { case (_, (_, h)) =>
         h.forall(joined.columns.contains)
       }
-      Compiled(joined, sigs ++ rSigs, outBcast)
+      Compiled(joined, sigs ++ rSigs, outBcast, card = joinCard(cross = false))
     }
   }
 
@@ -839,7 +877,8 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
     val ldf = if (dropL.isEmpty) l.df else l.df.drop(dropL.toSeq: _*)
     val rdf = if (dropR.isEmpty) r.df else r.df.drop(dropR.toSeq: _*)
     Compiled(ldf.unionByName(rdf, allowMissingColumns = true), sigs,
-      l.bcast && r.bcast)
+      l.bcast && r.bcast,
+      card = if (l.card < 0 || r.card < 0) -1L else l.card + r.card)
   }
 
   private def typedLit(lex: String, dt: Option[String], target: DataType): Column =

@@ -6,12 +6,21 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
   * metadata extracted executor-side.
   *
-  * The decode step is a clearly-marked STUB (no image/audio codecs in this
-  * container): [[decodeStub]] derives deterministic fake dimensions from the
-  * payload bytes. Everything around it is the real 100 TB-shape pipeline:
-  * a typed `Dataset[MediaRow]`, `mapPartitions` so a real decoder could
-  * amortize per-partition init (model load, codec context) exactly like a
-  * Pandas-UDF batch, and a narrow map-only plan with no shuffle.
+  * Two decode paths share the same 100 TB-shape pipeline (typed
+  * `Dataset[MediaRow]`, `mapPartitions` so the decoder amortizes
+  * per-partition init exactly like a Pandas-UDF batch, narrow map-only
+  * plan, no shuffle):
+  *
+  *   - [[decodeImage]] / [[extractImageFeatures]] / [[resizeImages]] — REAL
+  *     image decode and aspect-preserving resample via the JDK's
+  *     `javax.imageio` + `Graphics2D` (PNG/JPEG/GIF/BMP, zero external
+  *     dependencies). Dimension probing reads only the header, not the
+  *     raster.
+  *   - [[decodeStub]] — a clearly-marked deterministic stand-in used by the
+  *     oracle-checked `doc_media_*` queries, because the synthetic test
+  *     corpus carries no real media bytes (and audio/video codecs don't
+  *     ship with the JDK). The stub keeps the driver's DuckDB gate
+  *     meaningful on text-derived payloads.
   */
 object Multimodal {
 
@@ -25,8 +34,76 @@ object Multimodal {
   def withPayload(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
 
-  /** STUB decoder — replace with a real codec (JPEG header parse, ffprobe,
-    * …) in a container that has one. Deterministic on payload bytes. */
+  /** Real image decode: header-only dimension + format probe via the JDK's
+    * ImageIO reader registry. Returns None for payloads no installed reader
+    * recognizes (corrupt bytes, non-image media) — a production pipeline
+    * routes those to a quarantine sink rather than failing the stage. */
+  def decodeImage(m: MediaRow): Option[MediaFeatures] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(m.payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          Some(MediaFeatures(m.doc_id, m.payload.length.toLong,
+            r.getWidth(0).toLong, r.getHeight(0).toLong,
+            "image/" + r.getFormatName.toLowerCase))
+        } finally r.dispose()
+      }
+    } finally if (iis != null) iis.close()
+  }
+
+  /** Executor-side feature extraction with the real decoder; undecodable
+    * payloads are dropped (flatMap), not errors. */
+  def extractImageFeatures(media: DataFrame)(implicit spark: SparkSession)
+  : Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRow].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // per-partition init: no temp-file cache
+      it.flatMap(decodeImage)
+    }
+  }
+
+  /** Real aspect-preserving resize: decode → bilinear `Graphics2D` resample
+    * to fit `maxDim` → PNG re-encode. Map-only; images already within
+    * bounds are re-encoded but not resampled (scale 1.0 short-circuit). */
+  def resizeImages(media: DataFrame, maxDim: Int = 256)
+                  (implicit spark: SparkSession): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRow].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { m =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+        if (img == null) None
+        else {
+          val (w0, h0) = (img.getWidth, img.getHeight)
+          val scale =
+            if (math.max(w0, h0) <= maxDim) 1.0 else maxDim.toDouble / math.max(w0, h0)
+          val (w, h) = (math.max(1, (w0 * scale).toInt), math.max(1, (h0 * scale).toInt))
+          val out = if (scale == 1.0) img else {
+            val o = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = o.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+            g.dispose()
+            o
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          Some(ResizedMedia(m.doc_id, w.toLong, h.toLong, bos.toByteArray))
+        }
+      }
+    }
+  }
+
+  /** STUB decoder — stands in for codecs the JDK lacks (audio/video) and
+    * feeds the oracle-checked queries over the text-derived test payloads.
+    * Deterministic on payload bytes. */
   def decodeStub(m: MediaRow): MediaFeatures =
     MediaFeatures(
       doc_id = m.doc_id,

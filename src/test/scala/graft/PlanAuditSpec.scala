@@ -99,6 +99,36 @@ class PlanAuditSpec extends SparkTestBase {
     assert(segs.length == segs.distinct.length && segs.length == 5)
     assert(segs.sorted.sameElements(segs)) // deterministic order
   }
+  test("probed cardinalities order BGP joins small-side-first") {
+    implicit val s = spark
+    val tables = List("customer", "orders", "lineitem")
+      .map(t => t -> spark.read.parquet(s"$sfDir/$t.parquet")).toMap
+    val cat = graft.mapping.CatalogGen.fromTables(tables,
+      graft.mapping.CatalogGen.GenOptions(aliases = Map(
+        "customer" -> "cust", "lineitem" -> "line")))
+    // the query lists the LARGEST star first; the probed cardinalities
+    // (customer 1500 / 10 for the constant filter < orders 15000 <
+    // lineitem 60000) must override the syntactic order
+    val df = g2(cat, tables).sparql(
+      """PREFIX g: <urn:g:>
+        |SELECT ?l ?cname ?qty WHERE {
+        |  ?l g:order ?o ; g:quantity ?qty .
+        |  ?o g:customer ?c .
+        |  ?c a g:Customer ; g:name ?cname ; g:mktsegment "BUILDING" .
+        |}""".stripMargin)
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves().map(_.toString)
+    assert(leaves.nonEmpty && leaves.head.contains("c_custkey"),
+      s"expected the filtered customer star to lead the join chain:\n${leaves.mkString("\n")}")
+    assert(leaves.last.contains("l_orderkey"),
+      s"expected the lineitem star to join last:\n${leaves.mkString("\n")}")
+  }
+
+  private def g2(cat: graft.mapping.Catalog,
+                 tables: Map[String, org.apache.spark.sql.DataFrame]): Graft = {
+    implicit val s = spark
+    new Graft(cat, tables)
+  }
+
   test("extension-injected SQL functions: shingle_ids / simhash64 / minhash_bands") {
     val ext = new graft.functions.GraftExtensions
     // session already exists; register via the same builders the extension uses
