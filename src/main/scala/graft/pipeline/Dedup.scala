@@ -73,19 +73,31 @@ object Dedup {
     * drops candidates must surface how much it dropped. */
   final case class PairsWithStats(pairs: DataFrame, cappedBuckets: DataFrame)
 
-  /** Candidate pairs from LSH buckets. Bucket sizes are pre-counted and
-    * oversized buckets are semi-joined away BEFORE the `collect_list`
-    * aggregation — capping after collection would still materialize a
-    * degenerate multi-million-member bucket in one aggregation buffer, the
-    * exact skew case the cap exists to disarm. Pairs are then generated
-    * inside each surviving bucket from the sorted doc-id list (a < b), so
-    * worst-case per-bucket work is `maxBucket²/2`. The count shuffle and
-    * the semi-join/groupBy share the (band, bh) partitioning. */
+  /** Per-bucket size via a window count on the bucket key: one shuffle,
+    * one consumption of the (expensive) upstream map stage, and — unlike a
+    * `collect_list`-then-filter — the window's per-group buffering spills,
+    * so a degenerate multi-million-member bucket never materializes as one
+    * aggregation-buffer array. Rows of oversized buckets are filtered out
+    * BEFORE any collection. */
+  private def withBucketSize(buckets: DataFrame): DataFrame =
+    buckets.withColumn("bucket_size",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("band", "bh")))
+
+  /** Candidate pairs from LSH buckets. Bucket sizes come from a single-pass
+    * window count and oversized buckets are dropped BEFORE the
+    * `collect_list` aggregation — capping after collection would still
+    * materialize the degenerate bucket the cap exists to disarm. Pairs are
+    * then generated inside each surviving bucket from the sorted doc-id
+    * list (a < b), so worst-case per-bucket work is `maxBucket²/2`; the
+    * window and the groupBy share the (band, bh) partitioning, so the cap
+    * adds no extra shuffle. `cappedBuckets` recomputes its (cheap, counts-
+    * only) lineage when consumed — observability is on demand. */
   def candidatePairsWithStats(buckets: DataFrame, maxBucket: Int = 1000): PairsWithStats = {
-    val sizes = buckets.groupBy("band", "bh").agg(count(lit(1)).as("bucket_size"))
-    val capped = sizes.filter(col("bucket_size") > maxBucket)
-    val ok = sizes.filter(col("bucket_size").between(2, maxBucket)).select("band", "bh")
-    val pairs = buckets.join(ok, Seq("band", "bh"), "left_semi")
+    val sized = withBucketSize(buckets)
+    val capped = sized.filter(col("bucket_size") > maxBucket)
+      .select("band", "bh", "bucket_size").distinct()
+    val pairs = sized.filter(col("bucket_size").between(2, maxBucket))
       .groupBy("band", "bh")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .select(explode(expr(
@@ -220,11 +232,12 @@ object Dedup {
     * bands — pigeonhole, so banding loses nothing), verified with
     * bit_count(xor).
     *
-    * Like [[candidatePairsWithStats]], bucket sizes are pre-counted and
-    * degenerate buckets (millions of boilerplate documents sharing one
-    * 16-bit band value) are semi-joined away BEFORE the `collect_list`
-    * aggregation, bounding both pair-expansion compute and aggregation
-    * memory at `maxBucket`. Capped buckets are surfaced in
+    * Like [[candidatePairsWithStats]], bucket sizes come from a single-pass
+    * window count and degenerate buckets (millions of boilerplate documents
+    * sharing one 16-bit band value) are filtered out BEFORE the
+    * `collect_list` aggregation, bounding both pair-expansion compute and
+    * aggregation memory at `maxBucket` — and the simhash map stage runs
+    * once, not once per cap pass. Capped buckets are surfaced in
     * `cappedBuckets`, not silently dropped — their members are mutual
     * near-dups of each other anyway and exact-dedup upstream is the right
     * tool for identical text. */
@@ -234,10 +247,10 @@ object Dedup {
       explode(expr("transform(sequence(0, 3), j -> " +
         "named_struct('band', j, 'bh', (simhash >> (j*16)) & 65535))")).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val sizes = banded.groupBy("band", "bh").agg(count(lit(1)).as("bucket_size"))
-    val capped = sizes.filter(col("bucket_size") > maxBucket)
-    val ok = sizes.filter(col("bucket_size").between(2, maxBucket)).select("band", "bh")
-    val pairs = banded.join(ok, Seq("band", "bh"), "left_semi")
+    val sized = withBucketSize(banded)
+    val capped = sized.filter(col("bucket_size") > maxBucket)
+      .select("band", "bh", "bucket_size").distinct()
+    val pairs = sized.filter(col("bucket_size").between(2, maxBucket))
       .groupBy("band", "bh")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ms"))
       .select(explode(expr(
