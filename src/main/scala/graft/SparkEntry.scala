@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.api.{Graft, TpchCatalog}
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Decontaminate, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 plus the LLM-data-pipeline extension surface; `oracleSql`
@@ -492,6 +492,16 @@ object SparkEntry {
       TextAnalysis.redactPii(T(s, d, "documents")).orderBy("doc_id")),
     "doc_pack_bins" -> ((s, d) =>
       TextAnalysis.packBins(T(s, d, "documents")).orderBy("doc_id")),
+    "doc_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionStats(T(s, d, "documents")).orderBy("doc_id")),
+    // decontamination fixture: the first 25 documents stand in for the
+    // benchmark suite, the rest are the corpus
+    "doc_decontaminate" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      Decontaminate.flagged(
+        docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25), k = 5)
+        .orderBy("doc_id")
+    }),
     "doc_media_features" -> ((s, d) => {
       implicit val sp: SparkSession = s
       Multimodal.extractFeatures(T(s, d, "documents")).toDF().orderBy("doc_id")
@@ -990,6 +1000,43 @@ object SparkEntry {
         |                           CAST(e2.embedding AS DOUBLE[])) AS c
         |  FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
         |) ORDER BY c DESC, a, b LIMIT 50""".stripMargin,
+
+    // Gopher-style repetition signals: gram counting mirrors the Spark
+    // explode exactly (1-based list indexing + NULL-skipping concat_ws
+    // reproduces the try_element_at bigram windows, incl. the 1-token edge)
+    "doc_repetition" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |u AS (SELECT doc_id, unnest(w) AS tok FROM t),
+        |uc AS (SELECT doc_id, tok, COUNT(*) AS c FROM u GROUP BY 1, 2),
+        |ua AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |         CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+        |         CAST(MAX(c) AS BIGINT) AS top_unigram_n
+        |       FROM uc GROUP BY 1),
+        |b AS (SELECT doc_id, unnest([concat_ws(' ', w[i], w[i+1])
+        |         FOR i IN range(1, greatest(len(w) - 1, 1) + 1)]) AS g FROM t),
+        |bc AS (SELECT doc_id, g, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        |ba AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+        |         CAST(MAX(c) AS BIGINT) AS top_bigram_n
+        |       FROM bc GROUP BY 1)
+        |SELECT ua.doc_id, n_tokens, n_distinct_tokens, top_unigram_n,
+        |  n_bigrams, top_bigram_n,
+        |  (top_unigram_n * 5 <= n_tokens AND top_bigram_n * 5 <= n_bigrams) AS keep
+        |FROM ua JOIN ba ON ba.doc_id = ua.doc_id ORDER BY ua.doc_id""".stripMargin,
+
+    // decontamination: exhaustive distinct-5-gram overlap between corpus
+    // (doc_id >= 25) and benchmark (doc_id < 25) — gram construction
+    // mirrors Dedup.withShingles (distinct windows, short docs truncate)
+    "doc_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(w[i:i+4], ' ') FOR i IN range(1, greatest(len(w)-4, 1) + 1)])) AS g
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id < 25)
+        |SELECT s.doc_id, CAST(COUNT(DISTINCT s.g) AS BIGINT) AS n_matched_grams
+        |FROM sh s JOIN bench b ON s.g = b.g
+        |WHERE s.doc_id >= 25 GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     // SimHash with the md5-derived portable token hash: DuckDB rebuilds
     // every 64-bit fingerprint bit-identically (hi/lo hex arithmetic keeps

@@ -102,6 +102,36 @@ object TextAnalysis {
       countMatches(col("text"), PiiDigits).cast("long").as("n_digit_runs"))
   }
 
+  /** Gopher-style repetition quality signals: per-document unigram and
+    * bigram frequency concentration (`top_*_n` = occurrences of the most
+    * frequent gram) plus vocabulary diversity. Raw integer counts keep the
+    * result deterministic across engines; the `keep` flag applies fixed
+    * ≤20 % repetition thresholds in pure integer arithmetic. Two
+    * explode→count aggregations shuffled on (doc_id, gram) — partial
+    * aggregation absorbs the heavy duplication map-side, so the shuffle
+    * carries one row per distinct gram, not per token. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val base = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("w"))
+    val u = base.select(col("doc_id"), explode(col("w")).as("tok"))
+      .groupBy("doc_id", "tok").count()
+      .groupBy("doc_id").agg(
+        sum("count").cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_distinct_tokens"),
+        max("count").cast("long").as("top_unigram_n"))
+    val bg = base.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, greatest(size(w) - 1, 1)), i -> " +
+          "concat_ws(' ', try_element_at(w, i), try_element_at(w, i + 1)))")).as("g"))
+      .groupBy("doc_id", "g").count()
+      .groupBy("doc_id").agg(
+        sum("count").cast("long").as("n_bigrams"),
+        max("count").cast("long").as("top_bigram_n"))
+    u.join(bg, "doc_id")
+      .withColumn("keep",
+        col("top_unigram_n") * 5 <= col("n_tokens") &&
+          col("top_bigram_n") * 5 <= col("n_bigrams"))
+  }
+
   /** Token-budget sequence packing — group documents into training bins of
     * at most `budget` tokens, by *length-bucketed fixed-capacity packing*:
     * all documents of one token count pack `budget div len` to a bin (the

@@ -31,6 +31,40 @@ class PipelineSpec extends SparkTestBase {
       s"simhash missed most minhash pairs: ${mh.size} vs ${sh.size}, overlap ${(mh intersect sh).size}")
   }
 
+  test("decontamination flags planted verbatim overlap, benchmark side broadcasts") {
+    val s = spark
+    import s.implicits._
+    val bench = Seq((900L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words then the quick brown fox jumps over the lazy dog tonight suffix"),
+      (2L, "entirely different content with no shared sequences at all here"),
+      (3L, "quick brown fox jumps over the lazy dog tonight")
+    ).toDF("doc_id", "text")
+    val got = Decontaminate.flagged(corpus, bench, k = 5)
+    val byId = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId.contains(1L) && byId.contains(3L) && !byId.contains(2L))
+    assert(byId(1L) >= 5) // long verbatim run => many matched 5-grams
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark gram set should broadcast:\n$plan")
+  }
+
+  test("repetition stats: repeated phrase collapses keep flag") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Seq.fill(20)("spam spam").mkString(" ")), // one bigram dominates
+      (2L, (1 to 40).map(i => s"tok$i").mkString(" ")) // fully diverse
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!got(1L).getAs[Boolean]("keep"))
+    assert(got(2L).getAs[Boolean]("keep"))
+    assert(got(2L).getAs[Long]("n_distinct_tokens") == 40L)
+    assert(got(1L).getAs[Long]("top_unigram_n") == 40L) // 'spam' 40 times
+  }
+
   test("brute-force knn: rank 1 is the true nearest neighbour") {
     val got = Similarity.bruteForceTopK(emb, k = 3, numQueries = 2).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
