@@ -261,6 +261,19 @@ object SparkEntry {
     """PREFIX g: <urn:g:>
       |SELECT ?x ?y WHERE { ?x (g:nation|g:region)+ ?y } ORDER BY ?x ?y""".stripMargin
 
+  /** Zero-or-one path step (SPARQL 1.1 `?`): nation→region edges plus
+    * zero-length pairs over the edge graph's node universe. */
+  private val SPARQL_PATH_ZEROORONE =
+    """PREFIX g: <urn:g:>
+      |SELECT ?a ?b WHERE { ?a (g:region)? ?b } ORDER BY ?a ?b""".stripMargin
+
+  /** Negated property set (SPARQL 1.1 `!(…)`): every edge whose predicate
+    * is NOT g:name — over a nation/region-scoped graph that leaves the
+    * region links and rdf:type edges. */
+  private val SPARQL_PATH_NPS =
+    """PREFIX g: <urn:g:>
+      |SELECT ?a ?b WHERE { ?a !(g:name) ?b } ORDER BY ?a ?b""".stripMargin
+
   /** Variable-predicate probe joined with constant-predicate triples in one
     * star (the reference enumerates ?p over the molecule's triple maps). */
   private val SPARQL_VARPRED_STAR =
@@ -360,6 +373,14 @@ object SparkEntry {
     "sparql_hashfuncs" -> ((s, d) => graft(s, d).sparql(SPARQL_HASHFUNCS)),
     "sparql_describe" -> ((s, d) => graft(s, d).sparql(SPARQL_DESCRIBE).orderBy("p", "o")),
     "sparql_path_closure" -> ((s, d) => graft(s, d).sparql(SPARQL_PATH_CLOSURE)),
+    "sparql_path_zeroorone" -> ((s, d) => graft(s, d).sparql(SPARQL_PATH_ZEROORONE)),
+    // NPS enumerates the catalog's predicate universe; scope the graph to
+    // the nation/region molecules so the fixture stays focused (choosing
+    // the graph is the user's call, not a capability limit)
+    "sparql_path_nps" -> ((s, d) => Graft.overParquetDir(
+      _root_.graft.mapping.Catalog(TpchCatalog.catalog.molecules.filter(m =>
+        m.rdfType == "urn:g:Nation" || m.rdfType == "urn:g:Region")), d)(s)
+      .sparql(SPARQL_PATH_NPS)),
     "sparql_varpred_star" -> ((s, d) => graft(s, d).sparql(SPARQL_VARPRED_STAR)),
     "sparql_having_distinct" -> ((s, d) => graft(s, d).sparql(SPARQL_HAVING_DISTINCT)),
 
@@ -1000,6 +1021,27 @@ object SparkEntry {
         |                           CAST(e2.embedding AS DOUBLE[])) AS c
         |  FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
         |) ORDER BY c DESC, a, b LIMIT 50""".stripMargin,
+
+    // zero-or-one path: one g:region step plus zero-length pairs over the
+    // edge graph's node universe (nations ∪ regions)
+    "sparql_path_zeroorone" ->
+      """WITH e AS (SELECT 'urn:g:nation:' || CAST(n_nationkey AS VARCHAR) AS a,
+        |                  'urn:g:region:' || CAST(n_regionkey AS VARCHAR) AS b FROM nation),
+        |n AS (SELECT a AS x FROM e UNION SELECT b FROM e)
+        |SELECT a, b FROM (SELECT a, b FROM e UNION SELECT x, x FROM n)
+        |ORDER BY a, b""".stripMargin,
+
+    // negated property set over the nation/region graph: everything except
+    // g:name = the region links plus the rdf:type edges
+    "sparql_path_nps" ->
+      """SELECT a, b FROM (
+        |  SELECT 'urn:g:nation:' || CAST(n_nationkey AS VARCHAR) AS a,
+        |         'urn:g:region:' || CAST(n_regionkey AS VARCHAR) AS b FROM nation
+        |  UNION
+        |  SELECT 'urn:g:nation:' || CAST(n_nationkey AS VARCHAR), 'urn:g:Nation' FROM nation
+        |  UNION
+        |  SELECT 'urn:g:region:' || CAST(r_regionkey AS VARCHAR), 'urn:g:Region' FROM region
+        |) ORDER BY a, b""".stripMargin,
 
     // Gopher-style repetition signals: gram counting mirrors the Spark
     // explode exactly (1-based list indexing + NULL-skipping concat_ws

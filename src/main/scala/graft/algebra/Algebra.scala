@@ -73,6 +73,13 @@ object PathAst {
   final case class Inv(p: PathAst) extends PathAst
   /** `+` (includeZero=false) / `*` (includeZero=true). */
   final case class Closure(p: PathAst, includeZero: Boolean) extends PathAst
+  /** `?` — zero-or-one step. */
+  final case class ZeroOrOne(p: PathAst) extends PathAst
+  /** Negated property set `!(p1|^p2|…)`: any forward edge whose predicate
+    * is not in `fwd`, plus any inverted edge whose predicate is not in
+    * `inv`; either side participates only when the query listed members of
+    * that direction (W3C §9.1 NPS semantics). */
+  final case class Nps(fwd: List[String], inv: List[String]) extends PathAst
 
   /** Flatten to directed (iri, inverted) steps when the path is a pure
     * sequence/inverse tree — the desugar-to-triples fast path. */

@@ -341,6 +341,33 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
     case PathAst.Alt(l, r) => pathEdges(l).unionByName(pathEdges(r))
     case PathAst.Inv(p)    => pathEdges(p).select(col("y").as("x"), col("x").as("y"))
     case PathAst.Closure(p, includeZero) => closure(pathEdges(p), includeZero)
+    case PathAst.ZeroOrOne(p) =>
+      // one step plus zero-length pairs over the edge graph's node universe
+      // (same universe rule as `*` — see closure())
+      val e = pathEdges(p).distinct()
+      val nodes = e.select(col("x")).union(e.select(col("y").as("x"))).distinct()
+      e.unionByName(nodes.select(col("x"), col("x").as("y"))).distinct()
+    case PathAst.Nps(fwd, inv) =>
+      // negated property set: enumerate the catalog's predicate universe
+      // (incl. rdf:type) minus the negated members — the molecule-driven
+      // twin of the reference's wrapper predicate enumeration; a direction
+      // participates only when the query listed members for it (W3C §9.1)
+      val universe = catalog.molecules
+        .flatMap(m => m.predicates.keys.toList :+ Terms.RdfType).distinct
+      def union(dfs: List[DataFrame]): DataFrame = dfs match {
+        case Nil => spark.range(0).select(
+          lit("").cast(StringType).as("x"), lit("").cast(StringType).as("y"))
+        case es => es.reduce(_.unionByName(_))
+      }
+      def edgesExcept(excl: List[String]): DataFrame =
+        union(universe.filterNot(excl.contains)
+          .map(p => pathEdges(PathAst.Link(Iri(p)))))
+      val parts =
+        (if (fwd.nonEmpty) List(edgesExcept(fwd)) else Nil) ++
+          (if (inv.nonEmpty)
+            List(edgesExcept(inv).select(col("y").as("x"), col("x").as("y")))
+          else Nil)
+      union(parts).distinct()
   }
 
   /** Transitive closure by semi-naive iteration: each round extends only the

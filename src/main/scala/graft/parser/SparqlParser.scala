@@ -72,21 +72,38 @@ class SparqlParser extends RegexParsers {
   def verb: Parser[Term] = """a\b""".r ^^ (_ => Iri(Terms.RdfType)) | variable | iri
 
   /** Property paths (SPARQL 1.1 extension over the reference): sequence
-    * `p1/p2`, inverse `^p`, alternation `p1|p2`, closure `p+`/`p*`, grouped
-    * `(…)`. Pure sequence/inverse paths desugar to fresh-variable triple
-    * chains; alternation/closure survive as [[Pattern.Path]] nodes. */
+    * `p1/p2`, inverse `^p`, alternation `p1|p2`, closure `p+`/`p*`,
+    * zero-or-one `p?`, negated property sets `!(p1|^p2|…)`, grouped `(…)`.
+    * Pure sequence/inverse paths desugar to fresh-variable triple chains;
+    * the rest survive as [[Pattern.Path]] nodes. */
   private var freshCounter = 0
   private def fresh(): Var = { freshCounter += 1; Var(s"__path_$freshCounter") }
+
+  private def pathIri: Parser[Iri] =
+    """a\b""".r ^^ (_ => Iri(Terms.RdfType)) | iri
+
+  /** One member of a negated property set: `iri` or `^iri`. */
+  private def npsMember: Parser[(Iri, Boolean)] =
+    opt("^") ~ pathIri ^^ { case inv ~ i => (i, inv.isDefined) }
 
   private def pathPrimary: Parser[PathAst] =
     "(" ~> pathAlt <~ ")" |
     "^" ~> pathPrimary ^^ (PathAst.Inv(_)) |
-    ("""a\b""".r ^^ (_ => Iri(Terms.RdfType)) | iri) ^^ (PathAst.Link(_))
+    "!" ~> ("(" ~> rep1sep(npsMember, "|") <~ ")" | npsMember ^^ (List(_))) ^^ { ms =>
+      PathAst.Nps(
+        ms.collect { case (Iri(u), false) => u },
+        ms.collect { case (Iri(u), true) => u })
+    } |
+    pathIri ^^ (PathAst.Link(_))
+
+  /** `?` must not swallow the sigil of a following variable (`?s :p ?o`). */
+  private val zeroOrOneTok = """\?(?![A-Za-z0-9_])""".r
 
   private def pathPostfix: Parser[PathAst] =
-    pathPrimary ~ opt("+" | "*") ^^ {
+    pathPrimary ~ opt("+" | "*" | zeroOrOneTok) ^^ {
       case p ~ Some("+") => PathAst.Closure(p, includeZero = false)
       case p ~ Some("*") => PathAst.Closure(p, includeZero = true)
+      case p ~ Some("?") => PathAst.ZeroOrOne(p)
       case p ~ _         => p
     }
 

@@ -11,15 +11,16 @@ object Drive {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
-    val pairs = graft.pipeline.Dedup.simhashNearDups(docs)
-    pairs.collect()
-    val plan = pairs.queryExecution.executedPlan.toString
-    println("REUSED_EXCHANGES " + (plan.split("ReusedExchange").length - 1))
-    println("EXCHANGES " + (plan.split("Exchange").length - 1))
-    println("SIMHASH_EXPRS " + (plan.split("simhashmd5|SimHashMd5").length - 1))
-    println(plan.linesIterator.filter(l =>
-      l.contains("Exchange") || l.contains("SimHashMd5") || l.contains("simhash"))
-      .mkString("\n"))
+    val d = "/root/testdata/sf0.01"
+    for (q <- Seq("sparql_path_zeroorone", "sparql_path_nps")) {
+      try {
+        val rows = graft.SparkEntry.queries(q)(spark, d).collect()
+        println(s"QUERY $q ${rows.length} rows")
+        rows.take(6).foreach(r => println(s"ROW $q " + r.toSeq.mkString(" | ")))
+      } catch { case e: Throwable =>
+        println(s"FAIL $q ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    }
+    spark.stop()
   }
 }
