@@ -274,6 +274,16 @@ object SparkEntry {
     """PREFIX g: <urn:g:>
       |SELECT ?a ?b WHERE { ?a !(g:name) ?b } ORDER BY ?a ?b""".stripMargin
 
+  /** SPARQL 1.1 SERVICE: explicit per-source scoping (srcB = supplier
+    * tables, srcC = the nation/region dimension federation member), joined
+    * on the shared template variable across services. */
+  private val SPARQL_SERVICE =
+    """PREFIX g: <urn:g:>
+      |SELECT ?sname ?nname WHERE {
+      |  SERVICE <urn:g:src:srcB> { ?s a g:Supplier ; g:name ?sname ; g:nation ?n }
+      |  SERVICE SILENT <urn:g:src:srcC> { ?n a g:Nation ; g:name ?nname }
+      |} ORDER BY ?sname ?nname""".stripMargin
+
   /** Variable-predicate probe joined with constant-predicate triples in one
     * star (the reference enumerates ?p over the molecule's triple maps). */
   private val SPARQL_VARPRED_STAR =
@@ -374,6 +384,7 @@ object SparkEntry {
     "sparql_describe" -> ((s, d) => graft(s, d).sparql(SPARQL_DESCRIBE).orderBy("p", "o")),
     "sparql_path_closure" -> ((s, d) => graft(s, d).sparql(SPARQL_PATH_CLOSURE)),
     "sparql_path_zeroorone" -> ((s, d) => graft(s, d).sparql(SPARQL_PATH_ZEROORONE)),
+    "sparql_service" -> ((s, d) => graft(s, d).sparql(SPARQL_SERVICE)),
     // NPS enumerates the catalog's predicate universe; scope the graph to
     // the nation/region molecules so the fixture stays focused (choosing
     // the graph is the user's call, not a capability limit)
@@ -1021,6 +1032,11 @@ object SparkEntry {
         |                           CAST(e2.embedding AS DOUBLE[])) AS c
         |  FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
         |) ORDER BY c DESC, a, b LIMIT 50""".stripMargin,
+
+    "sparql_service" ->
+      """SELECT s_name AS sname, n_name AS nname
+        |FROM supplier JOIN nation ON n_nationkey = s_nationkey
+        |ORDER BY sname, nname""".stripMargin,
 
     // zero-or-one path: one g:region step plus zero-length pairs over the
     // edge graph's node universe (nations ∪ regions)

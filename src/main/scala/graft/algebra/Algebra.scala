@@ -132,6 +132,11 @@ object Pattern {
   /** `{ SELECT … }` subquery nested in a group pattern (SPARQL 1.1
     * extension); joins with its siblings on the projected variables. */
   final case class SubSelect(q: Query) extends Pattern
+  /** SPARQL 1.1 `SERVICE [SILENT] <iri> { … }` — the inner pattern is
+    * evaluated against only the molecules of the named source (the explicit
+    * form of the source selection the reference performs transparently).
+    * SILENT turns any failure into the unit solution. */
+  final case class Service(iri: String, p: Pattern, silent: Boolean) extends Pattern
 }
 
 sealed trait QueryForm

@@ -304,6 +304,7 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
     case Pattern.Extend(p0, v, e) =>
       val c = compilePattern(p0)
       c.copy(df = c.df.withColumn(v.name, ExprCompiler.compile(e, c.df)))
+    case Pattern.Service(src, p0, silent) => compileService(src, p0, silent)
     case Pattern.Minus(l, r)      => antiSemi(l, r, "left_anti", minus = true)
     case Pattern.Exists(l, r, pos) =>
       antiSemi(l, r, if (pos) "left_semi" else "left_anti", minus = false)
@@ -499,6 +500,32 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
       case (Some(sv), None) => Compiled(df.select(col("x").as(sv)), Map.empty)
       case (None, Some(ov)) => Compiled(df.select(col("y").as(ov)), Map.empty)
       case (None, None)     => Compiled(df.select(), Map.empty)
+    }
+  }
+
+  /** SERVICE: compile the inner pattern against only the named source's
+    * molecules — the explicit SPARQL 1.1 federation form of the source
+    * selection the reference performs transparently via RDF-MTs (its
+    * per-source Service UnionBlocks, `utility.py:76-98`). The service IRI
+    * matches a molecule source either verbatim or by local name
+    * (`<urn:g:src:srcB>` → "srcB"). SILENT converts any failure — unknown
+    * source or an inner pattern the scoped catalog cannot answer — into
+    * the unit solution, per W3C SPARQL 1.1 Federated Query §4. */
+  private def compileService(src: String, p: Pattern, silent: Boolean): Compiled = {
+    val i = math.max(src.lastIndexOf('/'), math.max(src.lastIndexOf('#'), src.lastIndexOf(':')))
+    val name = src.substring(i + 1)
+    val scoped = catalog.molecules.filter(m => m.source == src || m.source == name)
+    def unit = Compiled(spark.range(1).select(), Map.empty)
+    if (scoped.isEmpty) {
+      if (silent) unit
+      else throw new IllegalArgumentException(
+        s"SERVICE: no molecules registered for source <$src>")
+    } else {
+      val sub = new Compiler(Catalog(scoped), load)
+      if (silent)
+        try sub.compilePattern(p)
+        catch { case scala.util.control.NonFatal(_) => unit }
+      else sub.compilePattern(p)
     }
   }
 

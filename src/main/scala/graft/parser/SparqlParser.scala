@@ -183,6 +183,9 @@ class SparqlParser extends RegexParsers {
   private def ggpItem: Parser[GgpItem] =
     kw("OPTIONAL") ~> groupGraphPattern ^^ OptionalItem.apply |
     kw("MINUS") ~> groupGraphPattern ^^ MinusItem.apply |
+    kw("SERVICE") ~> opt(kw("SILENT")) ~ iri ~ groupGraphPattern ^^ {
+      case s ~ Iri(u) ~ p => GroupItem(Pattern.Service(u, p, s.isDefined))
+    } |
     kw("FILTER") ~> kw("NOT") ~> kw("EXISTS") ~> groupGraphPattern ^^ (ExistsItem(_, positive = false)) |
     kw("FILTER") ~> kw("EXISTS") ~> groupGraphPattern ^^ (ExistsItem(_, positive = true)) |
     kw("FILTER") ~> constraint ^^ FilterItem.apply |

@@ -46,6 +46,34 @@ class Round4Spec extends SparkTestBase {
     assert(emptyProbe.count() == 5) // empty probe => keep everything
   }
 
+  test("SERVICE scopes to the named source; SILENT failures yield the unit solution") {
+    // supplier lives in srcB: asking srcC for it non-silently is an error
+    val ex = intercept[Exception] {
+      g.sparql(
+        """PREFIX g: <urn:g:>
+          |SELECT ?s WHERE { SERVICE <urn:g:src:nosuch> { ?s a g:Supplier } }""".stripMargin)
+    }
+    assert(ex.getMessage.contains("no molecules registered"))
+    // SILENT on an unknown source = unit solution: outer rows unaffected
+    val silent = g.sparql(
+      """PREFIX g: <urn:g:>
+        |SELECT ?rn WHERE { ?r a g:Region ; g:name ?rn
+        |  SERVICE SILENT <urn:g:src:nosuch> { ?x a g:Supplier } }""".stripMargin)
+    assert(silent.count() == 5)
+    // scoped join across two services on a shared template variable
+    val got = g.sparql(
+      """PREFIX g: <urn:g:>
+        |SELECT ?sname ?nname WHERE {
+        |  SERVICE <urn:g:src:srcB> { ?s a g:Supplier ; g:name ?sname ; g:nation ?n }
+        |  SERVICE <urn:g:src:srcC> { ?n a g:Nation ; g:name ?nname }
+        |}""".stripMargin)
+    val want = spark.read.parquet(s"$sfDir/supplier.parquet")
+      .join(spark.read.parquet(s"$sfDir/nation.parquet"),
+        org.apache.spark.sql.functions.col("s_nationkey") ===
+          org.apache.spark.sql.functions.col("n_nationkey"))
+    assert(got.count() == want.count() && got.count() > 0)
+  }
+
   test("disjoint-domain MINUS removes nothing (SPARQL dom-disjointness rule)") {
     val got = g.sparql(
       """PREFIX g: <urn:g:>
