@@ -43,14 +43,29 @@ object Bench {
     // the median of three passes is robust to one loaded run. Raw per-run
     // numbers are emitted alongside for forensics.
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated subset for targeted regression hunts
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val results = selected.map { case (name, fn) =>
       val times = (1 to nRuns).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        // outside the timer: drop blocks the finished run left behind
+        // (result-lifecycle localCheckpoints are freed only by GC-driven
+        // ContextCleaner otherwise, and its periodic GC is 30 min — longer
+        // than the whole bench; round 4's path_closure 4.4× regression was
+        // ~150 prior runs' leaked blocks evicting the live frontier). The
+        // engine keeps no intentional cross-query persisted RDDs: catalogs
+        // memoize driver-side objects, table reads are lazy.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        t
       }
       (name, times.sorted.apply(nRuns / 2), times)
     }

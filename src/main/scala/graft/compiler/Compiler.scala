@@ -349,20 +349,39 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
       val nodes = e.select(col("x")).union(e.select(col("y").as("x"))).distinct()
       e.unionByName(nodes.select(col("x"), col("x").as("y"))).distinct()
     case PathAst.Nps(fwd, inv) =>
-      // negated property set: enumerate the catalog's predicate universe
+      // negated property set: every predicate edge of the catalog universe
       // (incl. rdf:type) minus the negated members — the molecule-driven
       // twin of the reference's wrapper predicate enumeration; a direction
-      // participates only when the query listed members for it (W3C §9.1)
-      val universe = catalog.molecules
-        .flatMap(m => m.predicates.keys.toList :+ Terms.RdfType).distinct
+      // participates only when the query listed members for it (W3C §9.1).
+      // ONE scan per molecule: the backing table is read once and explodes
+      // into its non-excluded (subject, object) edges — not one compiled
+      // BGP per (molecule, predicate), which on a wide catalog multiplies
+      // scan branches by the predicate count for no information gain.
       def union(dfs: List[DataFrame]): DataFrame = dfs match {
         case Nil => spark.range(0).select(
           lit("").cast(StringType).as("x"), lit("").cast(StringType).as("y"))
         case es => es.reduce(_.unionByName(_))
       }
       def edgesExcept(excl: List[String]): DataFrame =
-        union(universe.filterNot(excl.contains)
-          .map(p => pathEdges(PathAst.Link(Iri(p)))))
+        union(catalog.molecules.flatMap { m =>
+          val t = load(m.table)
+          val objs: List[Column] =
+            m.predicates.toList.collect {
+              case (p, tm) if !excl.contains(p) => tm match {
+                case RefMap(c, _)    => t(c).cast(StringType)
+                case TemplateMap(tp) => tp.build(t(_)).cast(StringType)
+                case ConstantMap(v)  => lit(v).cast(StringType)
+              }
+            } ++
+              (if (excl.contains(Terms.RdfType)) Nil
+               else List(lit(m.rdfType).cast(StringType)))
+          if (objs.isEmpty) Nil
+          else List(
+            t.select(
+              m.subject.build(t(_)).cast(StringType).as("x"),
+              explode(array(objs: _*)).as("y"))
+             .where(col("x").isNotNull && col("y").isNotNull))
+        })
       val parts =
         (if (fwd.nonEmpty) List(edgesExcept(fwd)) else Nil) ++
           (if (inv.nonEmpty)
@@ -382,6 +401,7 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
   private def closure(edges0: DataFrame, includeZero: Boolean): DataFrame = {
     val maxIters = pathMaxIters
     val cached = mutable.ListBuffer[DataFrame]()
+    val checkpoints = mutable.ListBuffer[DataFrame]()
     def keep(df: DataFrame): DataFrame = { cached += df.persist(); df }
     val edges = keep(edges0.distinct())
     var total = edges
@@ -399,6 +419,7 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
         .join(edges.select(col("x").as("__mid"), col("y")), "__mid")
         .select("x", "y")
       frontier = grown.except(total).localCheckpoint()
+      checkpoints += frontier
       if (frontier.isEmpty) converged = true
       else total = total.union(frontier)
       i += 1
@@ -414,11 +435,15 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
         val nodes = edges.select(col("x")).union(edges.select(col("y"))).distinct()
         total.union(nodes.select(col("x"), col("x").as("y"))).distinct()
       }
-    // materialize the fixpoint once (eager checkpoint — its blocks are
-    // reclaimed when the frame is no longer referenced, unlike a session
-    // cache entry), then free the per-round caches
+    // materialize the fixpoint once (eager checkpoint), then free BOTH the
+    // per-round caches and the per-round checkpoint blocks. The latter are
+    // otherwise reclaimed only by the GC-driven ContextCleaner — in a
+    // long-lived session the leaked frontiers from repeated path queries
+    // fill the storage pool and evict live blocks (round-4 bench regressed
+    // this query 4.4× exactly that way).
     val out = result.localCheckpoint()
     cached.foreach(_.unpersist(blocking = false))
+    checkpoints.foreach(org.apache.spark.sql.GraftBridge.freeCheckpoint)
     out
   }
 
@@ -431,12 +456,14 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
                             includeZero: Boolean): DataFrame = {
     val maxIters = pathMaxIters
     val cached = mutable.ListBuffer[DataFrame]()
+    val checkpoints = mutable.ListBuffer[DataFrame]()
     def keep(df: DataFrame): DataFrame = { cached += df.persist(); df }
     val base0 = pathEdges(inner)
     val base = keep(if (forward) base0.distinct()
                     else base0.select(col("y").as("x"), col("x").as("y")).distinct())
     var frontier = base.filter(col("x") === lit(seed))
       .select(col("y").as("n")).distinct().localCheckpoint()
+    checkpoints += frontier
     var total = frontier
     var converged = frontier.isEmpty
     var i = 0
@@ -446,6 +473,7 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
     while (!converged && i < maxIters) {
       val next = frontier.join(base, col("n") === col("x"))
         .select(col("y").as("n")).distinct().except(total).localCheckpoint()
+      checkpoints += next
       if (next.isEmpty) converged = true
       else total = total.union(next)
       frontier = next
@@ -459,8 +487,10 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
       if (includeZero)
         total.union(spark.range(1).select(lit(seed).as("n"))).distinct()
       else total
-    val out = result.localCheckpoint() // blocks GC-reclaimed with the frame
+    val out = result.localCheckpoint()
     cached.foreach(_.unpersist(blocking = false))
+    // free the per-round frontier blocks deterministically (see closure())
+    checkpoints.foreach(org.apache.spark.sql.GraftBridge.freeCheckpoint)
     out
   }
 

@@ -48,6 +48,22 @@ class PlanAuditSpec extends SparkTestBase {
       s"scan reads more than projected: $scan")
   }
 
+  test("negated property set scans once per molecule, not per predicate") {
+    // 2 molecules in scope (Nation, Region) with 3+2 predicates + rdf:type
+    // edges: a per-(molecule, predicate) compilation would plant ~6 scan
+    // branches; the exploded per-molecule form needs exactly one per table.
+    val scoped = Graft.overParquetDir(
+      graft.mapping.Catalog(TpchCatalog.catalog.molecules.filter(m =>
+        m.rdfType == "urn:g:Nation" || m.rdfType == "urn:g:Region")), sfDir)(spark)
+    val df = scoped.sparql(
+      """PREFIX g: <urn:g:>
+        |SELECT ?a ?b WHERE { ?a !(g:name) ?b } ORDER BY ?a ?b""".stripMargin)
+    val plan = df.queryExecution.optimizedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("Relation"))
+    assert(scans <= 2, s"NPS fanned out to $scans scans for 2 molecules:\n$plan")
+    assert(df.count() == 55) // oracle row count pinned by sparql_path_nps
+  }
+
   test("salted skew join equals plain join") {
     val plain = t("lineitem").join(t("orders"), col("l_orderkey") === col("o_orderkey"))
     val salted = SkewJoin.salted(
