@@ -56,21 +56,32 @@ final class GraftServer(g: Graft, port: Int = 0,
     java.util.concurrent.TimeUnit.MILLISECONDS)
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  // without an executor, com.sun HttpServer runs every handler on the single
+  // dispatch thread — one slow query would serialize all clients (and a
+  // same-JVM federation test deadlocks outright)
+  server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(
+    (r: Runnable) => { val t = new Thread(r, "graft-http"); t.setDaemon(true); t }))
 
   server.createContext("/sparql", (ex: HttpExchange) => safely(ex) { params =>
     val query = params.getOrElse("query", "")
     if (query.isEmpty) Map("result" -> Seq.empty, "error" -> "cannot read query")
     else {
       val blocking = params.getOrElse("blocking", "1") == "1"
+      // W3C sparql-results+json on request — what a generic SPARQL client
+      // (incl. our own [[graft.sources.SparqlHttp]] transport and the
+      // reference's triple-store wrapper) consumes
+      val srj = params.get("format").contains("srj") ||
+        Option(ex.getRequestHeaders.getFirst("Accept"))
+          .exists(_.contains("application/sparql-results+json"))
       val start = System.nanoTime()
       val df = g.sparql(query)
       val vars = df.columns.toSeq
       if (blocking) {
-        val rows = df.collect()
-        val total = secondsSince(start)
-        Map("vars" -> vars, "result" -> rows.toSeq.map(rowMap(vars, _)),
-          "execTime" -> total, "firstResult" -> total,
-          "totalRows" -> rows.length)
+        // rows stream straight from toLocalIterator into the chunked
+        // response — one partition of driver memory, never a full collect
+        // (a large SELECT must not OOM the serving driver)
+        streamBlocking(ex, vars, df.toLocalIterator().asScala, start, srj)
+        null // response already written
       } else {
         val id = md5(query)
         // duplicate hashquery (same query text re-registered): the reference
@@ -132,7 +143,102 @@ final class GraftServer(g: Graft, port: Int = 0,
       })
     }.toMap
 
-  /** GET query string and/or form-encoded POST body → params; answer JSON. */
+  /** Stream a blocking result: rows are written to the chunked response as
+    * the iterator yields them. Summary fields (execTime/firstResult/
+    * totalRows) follow the row array — countable only after the last row,
+    * and JSON object field order is meaningless to a conforming client.
+    * A mid-stream executor failure surfaces as a truncated (unparseable)
+    * body; the status line is already on the wire by then — the price of
+    * not materializing. */
+  private def streamBlocking(ex: HttpExchange, vars: Seq[String],
+                             it: Iterator[Row], startNanos: Long,
+                             srj: Boolean): Unit = {
+    ex.getResponseHeaders.set("Content-Type",
+      if (srj) "application/sparql-results+json" else "application/json")
+    ex.sendResponseHeaders(200, 0L) // length 0 = chunked transfer
+    val gen = mapper.getFactory.createGenerator(ex.getResponseBody)
+    try {
+      var first = -1.0
+      var served = 0L
+      gen.writeStartObject()
+      if (srj) {
+        gen.writeObjectFieldStart("head")
+        gen.writeArrayFieldStart("vars")
+        vars.foreach(gen.writeString)
+        gen.writeEndArray(); gen.writeEndObject()
+        gen.writeObjectFieldStart("results")
+        gen.writeArrayFieldStart("bindings")
+        it.foreach { r =>
+          if (first < 0) first = secondsSince(startNanos)
+          served += 1
+          gen.writeStartObject()
+          vars.zipWithIndex.foreach { case (v, i) =>
+            if (!r.isNullAt(i)) { // OPTIONAL miss: binding absent, per spec
+              gen.writeObjectFieldStart(v)
+              val (kind, dt, lex) = srjTerm(r.get(i))
+              gen.writeStringField("type", kind)
+              dt.foreach(gen.writeStringField("datatype", _))
+              gen.writeStringField("value", lex)
+              gen.writeEndObject()
+            }
+          }
+          gen.writeEndObject()
+        }
+        gen.writeEndArray(); gen.writeEndObject()
+      } else {
+        gen.writeArrayFieldStart("vars")
+        vars.foreach(gen.writeString)
+        gen.writeEndArray()
+        gen.writeArrayFieldStart("result")
+        it.foreach { r =>
+          if (first < 0) first = secondsSince(startNanos)
+          served += 1
+          gen.writeStartObject()
+          vars.zipWithIndex.foreach { case (v, i) =>
+            r.get(i) match {
+              case null                  => gen.writeNullField(v)
+              case s: String             => gen.writeStringField(v, s)
+              case b: java.lang.Boolean  => gen.writeBooleanField(v, b)
+              case n: java.lang.Number   => gen.writeFieldName(v); gen.writeNumber(n.toString)
+              case other                 => gen.writeStringField(v, other.toString)
+            }
+          }
+          gen.writeEndObject()
+        }
+        gen.writeEndArray()
+        val total = secondsSince(startNanos)
+        gen.writeNumberField("execTime", total)
+        gen.writeNumberField("firstResult", if (first < 0) total else first)
+        gen.writeNumberField("totalRows", served)
+      }
+      gen.writeEndObject()
+    } finally {
+      try gen.close() finally ex.close()
+    }
+  }
+
+  /** SRJ term typing: IRIs by scheme shape (the no-term-map heuristic of
+    * DESCRIBE), typed literals from the JVM type. */
+  private def srjTerm(v: Any): (String, Option[String], String) = {
+    val Xsd = "http://www.w3.org/2001/XMLSchema#"
+    v match {
+      case s: String if s.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*") => ("uri", None, s)
+      case s: String                => ("literal", None, s)
+      case _: java.lang.Integer | _: java.lang.Long | _: java.lang.Short |
+           _: java.lang.Byte        => ("literal", Some(Xsd + "integer"), v.toString)
+      case _: java.lang.Double | _: java.lang.Float
+                                    => ("literal", Some(Xsd + "double"), v.toString)
+      case _: java.lang.Boolean     => ("literal", Some(Xsd + "boolean"), v.toString)
+      case _: java.math.BigDecimal  => ("literal", Some(Xsd + "decimal"), v.toString)
+      case _: java.sql.Date         => ("literal", Some(Xsd + "date"), v.toString)
+      case t: java.sql.Timestamp    =>
+        ("literal", Some(Xsd + "dateTime"), t.toString.replace(" ", "T"))
+      case other                    => ("literal", None, other.toString)
+    }
+  }
+
+  /** GET query string and/or form-encoded POST body → params; answer JSON.
+    * A `null` from the handler means it already streamed the response. */
   private def safely(ex: HttpExchange)(f: Map[String, String] => Map[String, Any]): Unit = {
     val out =
       try {
@@ -145,6 +251,7 @@ final class GraftServer(g: Graft, port: Int = 0,
       } catch {
         case e: Throwable => Map("result" -> Seq.empty, "error" -> e.getMessage)
       }
+    if (out == null) return // handler streamed its own response
     val bytes = mapper.writeValueAsBytes(toJava(out))
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(200, bytes.length.toLong)

@@ -1,0 +1,88 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import java.net.{URI, URLEncoder}
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** HTTP transport for SPARQL endpoints — the wire protocol of the
+  * reference's triple-store wrapper (`/root/reference/ontario/wrappers/
+  * triplestore/__init__.py:31-119` `contactSource`/`contactSourceAux`):
+  * form-encoded POST of the query, `Accept: application/sparql-results+json`,
+  * and LIMIT/OFFSET appended per page until a short page signals exhaustion.
+  *
+  * Used as the fetch function of [[PagedEndpointSource]]: the returned
+  * closures capture only strings + the schema, and construct the
+  * `java.net.http.HttpClient` per call — so they ship to executors and each
+  * partition pulls its own page directly from the endpoint, nothing transits
+  * the driver. Values come back as lexical forms and are cast to the
+  * declared schema column types (the reference instead carries every value
+  * as a string and re-parses downstream).
+  *
+  * Paging is only deterministic when the query carries a total ORDER BY —
+  * the same endpoint-snapshot assumption the reference's sequential paging
+  * makes, but stated: each page is an independent query execution.
+  */
+object SparqlHttp {
+
+  /** Run one SELECT against the endpoint, casting bindings to `schema`
+    * (field names = SPARQL variable names, without `?`). Missing bindings
+    * (OPTIONAL misses) surface as nulls. */
+  def select(endpoint: String, query: String, schema: StructType): Seq[Row] = {
+    val client = HttpClient.newHttpClient()
+    val form = "query=" + URLEncoder.encode(query, UTF_8)
+    val req = HttpRequest.newBuilder(URI.create(endpoint))
+      .header("Content-Type", "application/x-www-form-urlencoded")
+      .header("Accept", "application/sparql-results+json")
+      .POST(HttpRequest.BodyPublishers.ofString(form))
+      .build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() == 200,
+      s"endpoint $endpoint answered HTTP ${resp.statusCode()}")
+    parseResults(resp.body(), schema)
+  }
+
+  /** Parse a W3C `application/sparql-results+json` document into Rows. */
+  def parseResults(json: String, schema: StructType): Seq[Row] = {
+    val root = new ObjectMapper().readTree(json)
+    val err = root.path("error")
+    require(err.isMissingNode || err.isNull, s"endpoint error: ${err.asText()}")
+    val bindings = root.path("results").path("bindings")
+    require(!bindings.isMissingNode,
+      s"not a sparql-results+json document: ${json.take(200)}")
+    (0 until bindings.size()).map { i =>
+      val b = bindings.get(i)
+      Row.fromSeq(schema.fields.toSeq.map { f =>
+        val node = b.path(f.name)
+        if (node.isMissingNode) null else cast(node.path("value").asText(), f.dataType)
+      })
+    }
+  }
+
+  /** A [[PagedEndpointSource]] over this transport: LIMIT/OFFSET pages of
+    * `query` (which should end in a total ORDER BY for stable pagination). */
+  def pagedSource(endpoint: String, query: String, schema: StructType,
+                  pageSize: Int = 10000): PagedEndpointSource =
+    PagedEndpointSource(
+      schema,
+      (offset, limit) => select(endpoint, s"$query LIMIT $limit OFFSET $offset", schema),
+      pageSize)
+
+  private def cast(lex: String, dt: DataType): Any = dt match {
+    case StringType    => lex
+    case IntegerType   => lex.toInt
+    case LongType      => lex.toLong
+    case DoubleType    => lex.toDouble
+    case FloatType     => lex.toFloat
+    case BooleanType   => lex.toBoolean
+    case DateType      => java.sql.Date.valueOf(lex)
+    case TimestampType =>
+      java.sql.Timestamp.valueOf(lex.replace("T", " ").stripSuffix("Z"))
+    case _: DecimalType => new java.math.BigDecimal(lex)
+    case other => throw new IllegalArgumentException(
+      s"no lexical cast to $other for SPARQL result bindings")
+  }
+}

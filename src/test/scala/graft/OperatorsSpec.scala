@@ -28,6 +28,49 @@ class OperatorsSpec extends SparkTestBase {
     assert(batches == math.ceil(distinctKeys / 20.0).toInt)
   }
 
+  test("bind join drives IN-list batches through a live HTTP endpoint") {
+    // the reference's flagship composition: NestedHashJoinFilter over a
+    // SPARQL endpoint (NestedHashJoinFilter.py:166-234) — selective left
+    // bindings travel to the remote side as FILTER IN constants, one
+    // endpoint query per windowSize-batch of distinct keys
+    val server = new graft.api.GraftServer(g)
+    val port = server.start()
+    try {
+      val endpoint = s"http://127.0.0.1:$port/sparql"
+      val left = t("customer").filter(col("c_acctbal") > 7500)
+        .select(concat(lit("urn:g:nation:"), col("c_nationkey")).as("n"),
+          col("c_name"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("sname",
+          org.apache.spark.sql.types.StringType)))
+      val requests = new java.util.concurrent.atomic.AtomicInteger(0)
+      val joined = BindJoin(left, Seq("n"), { keys =>
+        requests.incrementAndGet()
+        assert(keys.size <= 10)
+        val inList = keys.map(r => "\"" + r.getString(0) + "\"").mkString(", ")
+        val rows = graft.sources.SparqlHttp.select(endpoint,
+          s"""PREFIX g: <urn:g:>
+             |SELECT ?n ?sname WHERE {
+             |  ?s a g:Supplier ; g:name ?sname ; g:nation ?nn .
+             |  BIND (STR(?nn) AS ?n)
+             |  FILTER (?n IN ($inList))
+             |} ORDER BY ?n ?sname""".stripMargin, schema)
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+      }, windowSize = 10)
+      val want = left.join(
+        t("supplier").select(
+          concat(lit("urn:g:nation:"), col("s_nationkey")).as("n"),
+          col("s_name").as("sname")), Seq("n"))
+      assert(joined.count() == want.count() && joined.count() > 0)
+      val distinctKeys = left.select("n").distinct().count()
+      assert(requests.get() == math.ceil(distinctKeys / 10.0).toInt,
+        s"expected ceil($distinctKeys/10) endpoint batches, got ${requests.get()}")
+    } finally server.stop()
+  }
+
   test("property path sequence + inverse desugar to joins") {
     val seq = g.sparql(
       """PREFIX g: <urn:g:>

@@ -66,6 +66,40 @@ class ServerSpec extends SparkTestBase {
     } finally server.stop()
   }
 
+  test("format=srj answers W3C sparql-results+json with typed terms") {
+    val server = new GraftServer(g)
+    val port = server.start()
+    try {
+      val q = """PREFIX g: <urn:g:> SELECT ?r ?n WHERE {
+                |  ?r a g:Region ; g:name ?n } ORDER BY ?n""".stripMargin
+      val res = get(s"http://127.0.0.1:$port/sparql?query=${enc(q)}&format=srj")
+      assert(res.path("head").path("vars").get(0).asText() == "r")
+      val bindings = res.path("results").path("bindings")
+      assert(bindings.size() == 5)
+      assert(bindings.get(0).path("r").path("type").asText() == "uri")
+      assert(bindings.get(0).path("n").path("type").asText() == "literal")
+      assert(bindings.get(0).path("n").path("value").asText() == "AFRICA")
+    } finally server.stop()
+  }
+
+  test("blocking mode streams chunked — a large SELECT never collects") {
+    val server = new GraftServer(g)
+    val port = server.start()
+    try {
+      val q = "PREFIX g: <urn:g:> SELECT ?l ?qty WHERE { ?l a g:Lineitem ; g:quantity ?qty }"
+      val conn = URI.create(s"http://127.0.0.1:$port/sparql?query=${enc(q)}")
+        .toURL.openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("GET")
+      // chunked transfer = rows left the driver incrementally, not as one
+      // collected buffer (the response was produced from toLocalIterator)
+      assert(conn.getHeaderField("Transfer-encoding") == "chunked")
+      val res = mapper.readTree(conn.getInputStream)
+      val expected = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+      assert(res.path("totalRows").asLong() == expected)
+      assert(res.path("result").size().toLong == expected)
+    } finally server.stop()
+  }
+
   test("empty and malformed queries answer with an error payload") {
     val server = new GraftServer(g)
     val port = server.start()

@@ -43,6 +43,57 @@ class SourcesSpec extends SparkTestBase {
     assert(got.count() == want.count() && got.count() > 0)
   }
 
+  test("a star resolves over real loopback HTTP, identical to the local plan") {
+    implicit val s = spark
+    // the engine is its own endpoint: GraftServer serves the catalog over
+    // HTTP, and a second engine instance federates its Nation star through
+    // SparqlHttp + PagedEndpointSource against it — the reference's
+    // triple-store wrapper protocol (LIMIT/OFFSET pages of
+    // sparql-results+json) with zero egress
+    val server = new graft.api.GraftServer(
+      Graft.overParquetDir(TpchCatalog.catalog, sfDir)(spark))
+    val port = server.start()
+    try {
+      val endpoint = s"http://127.0.0.1:$port/sparql"
+      // the remote side reconstructs the nation table's raw columns by
+      // template inversion (STRAFTER on the subject/region URIs); the total
+      // ORDER BY makes LIMIT/OFFSET paging deterministic
+      val remote =
+        """PREFIX g: <urn:g:> PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+          |SELECT ?n_nationkey ?n_name ?n_regionkey WHERE {
+          |  ?n a g:Nation ; g:name ?n_name ; g:region ?r .
+          |  BIND (xsd:integer(STRAFTER(STR(?n), "urn:g:nation:")) AS ?n_nationkey)
+          |  BIND (xsd:integer(STRAFTER(STR(?r), "urn:g:region:")) AS ?n_regionkey)
+          |} ORDER BY ?n_nationkey""".stripMargin
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_nationkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_regionkey",
+          org.apache.spark.sql.types.LongType)))
+      // pageSize 13 < 25 nations forces real multi-page fetching, while
+      // keeping concurrent fetch tasks (2) below the local[4] slot count:
+      // the serving engine shares this JVM's scheduler, so the fetchers
+      // must not starve the very jobs that answer them
+      val fed = new Graft(TpchCatalog.catalog, Sources.registry(Map(
+        "supplier" -> ParquetSource(s"$sfDir/supplier.parquet"),
+        "nation" -> SparqlHttp.pagedSource(endpoint, remote, schema, pageSize = 13),
+        "region" -> ParquetSource(s"$sfDir/region.parquet"))))
+      val q =
+        """PREFIX g: <urn:g:>
+          |SELECT ?sname ?nname WHERE {
+          |  ?s a g:Supplier ; g:name ?sname ; g:nation ?n .
+          |  ?n a g:Nation ; g:name ?nname ; g:region ?r .
+          |  ?r a g:Region ; g:name "ASIA" .
+          |} ORDER BY ?sname ?nname""".stripMargin
+      val got = fed.sparql(q).collect().toSeq
+      val want = Graft.overParquetDir(TpchCatalog.catalog, sfDir)(spark)
+        .sparql(q).collect().toSeq
+      assert(got.nonEmpty && got == want)
+    } finally server.stop()
+  }
+
   test("federation driven entirely from a JSON config file") {
     implicit val s = spark
     val tmp = java.nio.file.Files.createTempDirectory("graft-cfg").toString
