@@ -44,14 +44,25 @@ object SparkEntry {
   private val autoCatalogs =
     scala.collection.concurrent.TrieMap[String, _root_.graft.mapping.Catalog]()
   private def graftAuto(s: SparkSession, dir: String): Graft = {
-    val tables = List("customer", "orders", "lineitem", "part", "supplier",
+    val names = List("customer", "orders", "lineitem", "part", "supplier",
       "nation", "region", "documents")
-      .map(t => t -> s.read.parquet(s"$dir/$t.parquet")).toMap
-    val cat = autoCatalogs.getOrElseUpdate(dir,
-      _root_.graft.mapping.CatalogGen.fromTables(tables,
-        _root_.graft.mapping.CatalogGen.GenOptions(aliases = Map(
-          "customer" -> "cust", "supplier" -> "supp",
-          "lineitem" -> "line", "documents" -> "doc"))))
+    val tables = names.map(t => t -> s.read.parquet(s"$dir/$t.parquet")).toMap
+    // in-JVM memo first; across JVMs the probed catalog persists to a
+    // fingerprint-keyed sidecar (create_rdfmts.py writes its catalog file
+    // once at deploy time — a fresh session loads, it never re-probes)
+    val cat = autoCatalogs.getOrElseUpdate(dir, {
+      val fp = _root_.graft.mapping.CatalogCache.fingerprint(
+        names.map(t => s"$dir/$t.parquet"))
+      val sidecar = java.nio.file.Paths.get(
+        sys.env.getOrElse("GRAFT_CATALOG_CACHE", "target/catalog-cache"),
+        "autogen-" + java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString + ".json")
+      _root_.graft.mapping.CatalogCache.cached(sidecar, fp)(
+        _root_.graft.mapping.CatalogGen.fromTables(tables,
+          _root_.graft.mapping.CatalogGen.GenOptions(aliases = Map(
+            "customer" -> "cust", "supplier" -> "supp",
+            "lineitem" -> "line", "documents" -> "doc"))))
+    })
     new Graft(cat, tables)(s)
   }
 

@@ -26,6 +26,30 @@ class CatalogGenSpec extends SparkTestBase {
   private def mol(c: Catalog, t: String): Molecule =
     c.molecules.find(_.table == t).get
 
+  test("sidecar cache round-trips the probed catalog exactly") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cat").resolve("cat.json")
+    val fp = CatalogCache.fingerprint(tableNames.map(t => s"$sfDir/$t.parquet"))
+    CatalogCache.save(tmp, fp, generated)
+    val loaded = CatalogCache.load(tmp, fp)
+    assert(loaded.contains(generated)) // case-class equality: every field
+  }
+
+  test("stale or corrupt sidecars re-probe instead of serving old state") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cat").resolve("cat.json")
+    val fp = CatalogCache.fingerprint(tableNames.map(t => s"$sfDir/$t.parquet"))
+    CatalogCache.save(tmp, fp, generated)
+    // a rewritten lake changes the fingerprint ⇒ cache miss
+    assert(CatalogCache.load(tmp, fp + "x").isEmpty)
+    var probes = 0
+    val fresh = CatalogCache.cached(tmp, fp + "x") { probes += 1; generated }
+    assert(probes == 1 && fresh == generated)
+    // ...and the re-probe refreshed the sidecar under the new fingerprint
+    assert(CatalogCache.load(tmp, fp + "x").contains(generated))
+    // corrupt JSON ⇒ silent miss, not a crash
+    java.nio.file.Files.write(tmp, "not json".getBytes)
+    assert(CatalogCache.load(tmp, fp).isEmpty)
+  }
+
   test("probed molecules match the hand-written catalog structurally") {
     assert(generated.molecules.map(_.table).toSet == tableNames.toSet)
     TpchCatalog.catalog.molecules.foreach { exp =>
