@@ -73,3 +73,80 @@ class TranslatorsSpec extends AnyFunSuite {
     assert(cy.endsWith("SKIP 1 LIMIT 3"))
   }
 }
+
+/** The generated Mongo pipelines must *compute*, not just stringify:
+  * [[graft.sources.MongoPipeline]] executes them against a JSON-derived
+  * DataFrame (a document collection as far as the stage semantics go) and
+  * the rows must match the equivalent direct Spark plan — the executing
+  * half of the reference's `mongodb/__init__.py:44-79` wrapper. */
+class MongoPipelineExecSpec extends SparkTestBase {
+  import org.apache.spark.sql.functions._
+  import graft.sources.MongoPipeline
+
+  private val G = "urn:g:"
+  private val customer = graft.api.TpchCatalog.catalog.byType(s"${G}Customer").head
+  private def t(s: Term, p: String, o: Term) =
+    TriplePattern(s, Iri(G + p), o)
+
+  private lazy val collection = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mongo").toString
+    spark.read.parquet(s"$sfDir/customer.parquet")
+      .coalesce(1).write.mode("overwrite").json(tmp)
+    spark.read.json(tmp)
+  }
+
+  test("constant-object star executes to the direct plan's rows") {
+    val star = List(
+      TriplePattern(Var("c"), Iri(Terms.RdfType), Iri(s"${G}Customer")),
+      t(Var("c"), "mktsegment", Lit("BUILDING")),
+      t(Var("c"), "name", Var("n")))
+    val got = MongoPipeline.execute(collection,
+      toMongoPipeline(Var("c"), star, customer))
+    val want = collection
+      .filter(col("c_custkey").isNotNull && col("c_name").isNotNull &&
+        col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").cast("string").as("__k_c_0"),
+        col("c_name").as("n"))
+    assert(got.columns.toSeq == Seq("__k_c_0", "n"))
+    assert(got.select(col("__k_c_0").cast("string"), col("n"))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq ==
+      want.collect().map(_.toSeq).sortBy(_.toString).toSeq)
+    assert(got.count() > 0)
+  }
+
+  test("template-valued constant executes as an inverted key match") {
+    val got = MongoPipeline.execute(collection,
+      toMongoPipeline(Var("c"), List(t(Var("c"), "nation", Iri(s"${G}nation:7"))),
+        customer))
+    assert(got.count() ==
+      collection.filter(col("c_nationkey") === 7).count() && got.count() > 0)
+  }
+
+  test("$skip/$limit stages page the collection") {
+    // one matching document, skipped past ⇒ empty
+    val skipped = MongoPipeline.execute(collection,
+      toMongoPipeline(Iri(s"${G}cust:42"),
+        List(t(Iri(s"${G}cust:42"), "acctbal", Var("b"))), customer,
+        limit = Some(10), offset = Some(5)))
+    assert(skipped.count() == 0)
+    // many matching documents, limited to 3
+    val limited = MongoPipeline.execute(collection,
+      toMongoPipeline(Var("c"),
+        List(t(Var("c"), "mktsegment", Lit("BUILDING")),
+          t(Var("c"), "name", Var("n"))), customer, limit = Some(3)))
+    assert(limited.count() == 3)
+  }
+
+  test("$unwind and $in operator stages execute") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", Seq(1, 2, 3)), ("b", Seq(4)), ("c", Seq.empty[Int])
+    ).toDF("doc_id", "xs")
+    val out = MongoPipeline.execute(docs,
+      """[{"$unwind": "$xs"},
+        | {"$match": {"xs": {"$in": [2, 3, 4]}}},
+        | {"$project": {"id": "$doc_id", "x": "$xs"}}]""".stripMargin)
+    assert(out.collect().map(r => (r.getString(0), r.getInt(1))).sorted.toSeq ==
+      Seq(("a", 2), ("a", 3), ("b", 4)))
+  }
+}
