@@ -99,9 +99,25 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
 
   private def compileSelect(q: Query): DataFrame = {
     val c = compilePattern(q.pattern)
-    def sortKeys(df: DataFrame) = q.orderBy.map { ok =>
-      val col = ExprCompiler.compile(ok.expr, df)
-      if (ok.asc) col.asc_nulls_first else col.desc_nulls_last
+    def sortKeys(df: DataFrame) = q.orderBy.flatMap { ok =>
+      val key = ExprCompiler.compile(ok.expr, df)
+      // W3C §15.1 term ordering: unbound < blank < IRI < literal. Typed
+      // (numeric/temporal/boolean) columns order by value already; only a
+      // string column can mix term kinds (a UNION of IRI- and literal-
+      // valued branches), so bare string-typed vars get a kind rank ahead
+      // of the value key. Homogeneous columns rank constant — their order
+      // is unchanged and the rank collapses to a cheap prefix.
+      val kindRank = ok.expr match {
+        case Expr.TermRef(Var(n)) if df.schema.fields.exists(fd =>
+            fd.name == n && fd.dataType == StringType) =>
+          Some(when(df.col(n).isNull, 0)
+            .when(df.col(n).startsWith("_:"), 1)
+            .when(df.col(n).rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), 2)
+            .otherwise(3))
+        case _ => None
+      }
+      val main = if (ok.asc) key.asc_nulls_first else key.desc_nulls_last
+      kindRank.map(r => if (ok.asc) r.asc else r.desc).toList :+ main
     }
     var df =
       if (q.hasAggregates || q.distinct) {
@@ -295,8 +311,15 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
   def compilePattern(p: Pattern): Compiled = p match {
     case Pattern.Bgp(ts)      => compileBgp(ts)
     case Pattern.Join(l, r)   => join2(compilePattern(l), compilePattern(r), "inner")
-    case Pattern.LeftJoin(l, r, _) =>
+    case Pattern.LeftJoin(l, r, None) =>
       join2(compilePattern(l), compilePattern(r), "left_outer")
+    case Pattern.LeftJoin(l, r, Some(f)) =>
+      // fast path: a condition over inner vars only is pointwise equivalent
+      // to filtering the right side before the left-outer join (a left row
+      // is unmatched iff no right row both joins and passes F)
+      if (Expr.vars(f).subsetOf(r.vars))
+        join2(compilePattern(l), compilePattern(Pattern.Filter(f, r)), "left_outer")
+      else leftJoinCond(l, r, f)
     case Pattern.Union(l, r)  => union2(compilePattern(l), compilePattern(r))
     case Pattern.Filter(e, p0) =>
       val c = compilePattern(p0)
@@ -927,6 +950,30 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
       }
       Compiled(joined, sigs ++ rSigs, outBcast, card = joinCard(cross = false))
     }
+  }
+
+  /** LeftJoin(Ω1, Ω2, F) where F ranges over the *merged* bindings (W3C
+    * §18.5): F is part of the join, not a post-filter — a left row whose
+    * every compatible right row fails F still appears, null-padded. Spark
+    * has no "left outer join with residual condition over a using-join",
+    * so it's composed: inner ⋈ filtered by F, plus an anti-join recovering
+    * the left rows with zero surviving matches. The anti-join compares
+    * null-safely (`<=>`): a left row carrying an OPTIONAL-null column must
+    * still match its own copy inside the surviving set. */
+  private def leftJoinCond(l: Pattern, r: Pattern, f: Expr): Compiled = {
+    val lc = compilePattern(l)
+    val inner = join2(lc, compilePattern(r), "inner")
+    val matched = inner.df.filter(ExprCompiler.predicate(f, inner.df))
+    val lcols = lc.df.columns.toSeq
+    val survivors = matched.select(lcols.map(c => col(c).as(s"__lj_$c")): _*)
+    val unmatched = lc.df.join(survivors,
+      lcols.map(c => lc.df(c) <=> survivors(s"__lj_$c")).reduce(_ && _),
+      "left_anti")
+    val padded = unmatched.select(inner.df.schema.fields.toSeq.map { fd =>
+      if (lcols.contains(fd.name)) col(fd.name)
+      else lit(null).cast(fd.dataType).as(fd.name)
+    }: _*)
+    inner.copy(df = matched.unionByName(padded))
   }
 
   private def dropCollidingHidden(l: Compiled, r: Compiled): DataFrame = {

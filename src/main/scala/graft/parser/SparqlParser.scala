@@ -169,7 +169,7 @@ class SparqlParser extends RegexParsers {
   // ---- group graph pattern ------------------------------------------------
   private sealed trait GgpItem
   private case class TriplesItem(bgp: Pattern.Bgp) extends GgpItem
-  private case class OptionalItem(p: Pattern) extends GgpItem
+  private case class OptionalItem(p: Pattern, cond: Option[Expr]) extends GgpItem
   private case class GroupItem(p: Pattern) extends GgpItem
   private case class FilterItem(e: Expr) extends GgpItem
   private case class MinusItem(p: Pattern) extends GgpItem
@@ -178,10 +178,22 @@ class SparqlParser extends RegexParsers {
   private case class BindItem(v: Var, e: Expr) extends GgpItem
   private case class SubqueryItem(q: Query) extends GgpItem
 
-  def groupGraphPattern: Parser[Pattern] = "{" ~> rep(ggpItem) <~ "}" ^^ combine
+  private def groupItems: Parser[List[GgpItem]] = "{" ~> rep(ggpItem) <~ "}"
+
+  def groupGraphPattern: Parser[Pattern] = groupItems ^^ combine
 
   private def ggpItem: Parser[GgpItem] =
-    kw("OPTIONAL") ~> groupGraphPattern ^^ OptionalItem.apply |
+    // W3C §18.2.2.6: FILTERs at the OPTIONAL group's own level become the
+    // LeftJoin *condition* (they may reference outer vars; a failing
+    // condition keeps the left row null-padded instead of dropping it).
+    // Filters inside nested `{ }` groups scope to their group and stay put
+    // — which is why the split happens here, on this level's items, not by
+    // unwrapping the combined pattern (indistinguishable after combine).
+    kw("OPTIONAL") ~> groupItems ^^ { items =>
+      val fs = items.collect { case FilterItem(e) => e }
+      OptionalItem(combine(items.filterNot(_.isInstanceOf[FilterItem])),
+        fs.reduceOption(Expr.And.apply))
+    } |
     kw("MINUS") ~> groupGraphPattern ^^ MinusItem.apply |
     kw("SERVICE") ~> opt(kw("SILENT")) ~ iri ~ groupGraphPattern ^^ {
       case s ~ Iri(u) ~ p => GroupItem(Pattern.Service(u, p, s.isDefined))
@@ -241,8 +253,8 @@ class SparqlParser extends RegexParsers {
         acc = Some(acc.fold(p)(l => Pattern.Join(l, p)))
       case ValuesItem(p) =>
         acc = Some(acc.fold(p: Pattern)(l => Pattern.Join(l, p)))
-      case OptionalItem(p) =>
-        acc = Some(Pattern.LeftJoin(acc.getOrElse(Pattern.Bgp(Nil)), p, None))
+      case OptionalItem(p, cond) =>
+        acc = Some(Pattern.LeftJoin(acc.getOrElse(Pattern.Bgp(Nil)), p, cond))
       case MinusItem(p) =>
         acc = Some(Pattern.Minus(acc.getOrElse(Pattern.Bgp(Nil)), p))
       case ExistsItem(p, pos) =>

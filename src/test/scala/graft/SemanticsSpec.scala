@@ -134,6 +134,118 @@ class SemanticsSpec extends SparkTestBase {
     assert(df.count() == building * 5)
   }
 
+  // ---- W3C conformance edges (round 5): the reference never executes
+  // these (no sort operator, filter scope handled per-wrapper), so the
+  // engine owns the spec semantics outright.
+
+  test("OPTIONAL filter referencing an outer var keeps rejected rows unmatched") {
+    // W3C §18.2.2.6 / §18.5 LeftJoin(Ω1, Ω2, F): F joins the merged
+    // bindings; a customer whose every order fails F must still appear,
+    // null-padded — a post-join filter would drop it instead.
+    val df = g.sparql(
+      """PREFIX g: <urn:g:> SELECT ?c ?o WHERE {
+        |  ?c a g:Customer ; g:acctbal ?b .
+        |  OPTIONAL { ?o g:customer ?c ; g:totalprice ?tp . FILTER (?tp > ?b * 40) }
+        |}""".stripMargin)
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+    val pairs = cust.join(ord, col("c_custkey") === col("o_custkey"))
+      .filter(col("o_totalprice") > col("c_acctbal") * 40)
+    val matchedCust = pairs.select("c_custkey").distinct().count()
+    val nCust = cust.count()
+    // every customer appears; matched ones once per surviving order,
+    // filter-rejected and orderless ones exactly once with null ?o
+    assert(df.select("c").distinct().count() == nCust)
+    assert(df.filter(col("o").isNull).count() == nCust - matchedCust)
+    assert(df.count() == pairs.count() + (nCust - matchedCust))
+    // the condition really bites: some customer has orders but none passing
+    val withOrders = ord.select(col("o_custkey")).distinct().count()
+    assert(matchedCust < withOrders)
+  }
+
+  test("OPTIONAL filter over inner vars only pads failures (fast path)") {
+    val df = g.sparql(
+      """PREFIX g: <urn:g:> SELECT ?c ?o WHERE {
+        |  ?c a g:Customer .
+        |  OPTIONAL { ?o g:customer ?c ; g:totalprice ?tp . FILTER (?tp > 150000) }
+        |}""".stripMargin)
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(col("o_totalprice") > 150000)
+    val matchedCust = ord.select("o_custkey").distinct()
+      .join(cust, col("o_custkey") === col("c_custkey")).count()
+    assert(df.select("c").distinct().count() == cust.count())
+    assert(df.filter(col("o").isNull).count() == cust.count() - matchedCust)
+  }
+
+  test("FILTER in a nested group inside OPTIONAL scopes to that group") {
+    // bottom-up semantics: inside `{ ?o g:customer ?c . FILTER(?b > 0) }`
+    // the var ?b is unbound ⇒ type error ⇒ false ⇒ the nested group is
+    // empty ⇒ every customer surfaces unmatched. Hoisting the filter to
+    // the LeftJoin condition (the top-level treatment) would instead let
+    // positive-balance customers match — the two placements must differ.
+    val nested = g.sparql(
+      """PREFIX g: <urn:g:> SELECT ?c ?o WHERE {
+        |  ?c a g:Customer ; g:acctbal ?b .
+        |  OPTIONAL { { ?o g:customer ?c . FILTER (?b > 0) } }
+        |}""".stripMargin)
+    val nCust = spark.read.parquet(s"$sfDir/customer.parquet").count()
+    assert(nested.count() == nCust)
+    assert(nested.filter(col("o").isNotNull).count() == 0)
+    val hoisted = g.sparql(
+      """PREFIX g: <urn:g:> SELECT ?c ?o WHERE {
+        |  ?c a g:Customer ; g:acctbal ?b .
+        |  OPTIONAL { ?o g:customer ?c . FILTER (?b > 0) }
+        |}""".stripMargin)
+    assert(hoisted.filter(col("o").isNotNull).count() > 0)
+  }
+
+  test("UNION preserves duplicate solutions across identical branches") {
+    val once = n("PREFIX g: <urn:g:> SELECT ?x WHERE { ?x a g:Region }")
+    val twice = n(
+      """PREFIX g: <urn:g:> SELECT ?x WHERE {
+        |  { ?x a g:Region } UNION { ?x a g:Region } }""".stripMargin)
+    assert(twice == 2 * once && once > 0)
+  }
+
+  test("ORDER BY ranks term kinds: IRIs before literals, unbound first") {
+    // a var bound to IRIs in one UNION branch and plain literals in the
+    // other: §15.1 orders IRI < literal regardless of codepoints
+    val df = g.sparql(
+      """PREFIX g: <urn:g:> SELECT ?k WHERE {
+        |  { ?r a g:Region . BIND (STR(?r) AS ?k) }
+        |  UNION { ?r a g:Region ; g:name ?n . BIND (STR(?n) AS ?k) }
+        |} ORDER BY ?k""".stripMargin)
+    val ks = df.collect().map(_.getString(0)).toSeq
+    val (iris, lits) = ks.partition(_.startsWith("urn:"))
+    assert(iris.nonEmpty && lits.nonEmpty)
+    assert(ks == iris ++ lits, s"IRIs must sort before literals: $ks")
+    // unbound (OPTIONAL miss) sorts first ASC, last DESC
+    val asc = g.sparql(
+      """PREFIX g: <urn:g:> SELECT ?nm WHERE {
+        |  ?n a g:Nation . OPTIONAL { ?c g:nation ?n ; g:name ?nm .
+        |    FILTER (CONTAINS(?nm, "0000001")) }
+        |} ORDER BY ?nm""".stripMargin).collect().map(_.getString(0))
+    assert(asc.takeWhile(_ == null).nonEmpty && asc.dropWhile(_ == null).forall(_ != null))
+    val desc = g.sparql(
+      """PREFIX g: <urn:g:> SELECT ?nm WHERE {
+        |  ?n a g:Nation . OPTIONAL { ?c g:nation ?n ; g:name ?nm .
+        |    FILTER (CONTAINS(?nm, "0000001")) }
+        |} ORDER BY DESC(?nm)""".stripMargin).collect().map(_.getString(0))
+    assert(desc.reverse.takeWhile(_ == null).nonEmpty &&
+      desc.reverse.dropWhile(_ == null).forall(_ != null))
+  }
+
+  test("ORDER BY on a numeric var sorts numerically, not lexically") {
+    val keys = g.sparql(
+      """PREFIX g: <urn:g:> SELECT ?b WHERE { ?c a g:Customer ; g:acctbal ?b }
+        |ORDER BY ?b""".stripMargin)
+      .collect().map(_.getDouble(0)).toSeq
+    assert(keys == keys.sorted)
+    // negatives exist, so a lexical sort ("-1…" < "-9…") would misorder
+    assert(keys.head < 0 && keys.last > 0)
+  }
+
   test("HAVING accepts DISTINCT aggregates") {
     val df = g.sparql("""PREFIX g: <urn:g:>
       SELECT ?o (COUNT(DISTINCT ?p) AS ?np) WHERE {
