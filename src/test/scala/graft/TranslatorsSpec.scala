@@ -150,3 +150,79 @@ class MongoPipelineExecSpec extends SparkTestBase {
       Seq(("a", 2), ("a", 3), ("b", 4)))
   }
 }
+
+/** The generated Cypher must also *compute*: [[graft.sources.CypherGraph]]
+  * executes it against a property graph modeled as per-label node frames +
+  * a typed edge frame (relationship hops join through stored edges, the
+  * traversal a graph store performs natively) — the executing half of the
+  * reference's `neo4j/__init__.py:165-242` wrapper. */
+class CypherGraphExecSpec extends SparkTestBase {
+  import org.apache.spark.sql.functions._
+  import graft.sources.{CypherGraph, DocStoreTranslators}
+  import CypherGraph.Graph
+
+  private val G = "urn:g:"
+  private val cat = graft.api.TpchCatalog.catalog
+  private val customer = cat.byType(s"${G}Customer").head
+  private def t(s: Term, p: String, o: Term) =
+    TriplePattern(s, Iri(G + p), o)
+
+  private lazy val graph: Graph = {
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+    val nat = spark.read.parquet(s"$sfDir/nation.parquet")
+    Graph(
+      nodes = Map(
+        "Customer" -> cust.withColumn("_id", concat(lit("cust:"), col("c_custkey"))),
+        "Nation"   -> nat.withColumn("_id", concat(lit("nation:"), col("n_nationkey")))),
+      edges = cust.select(lit("nation").as("rel"),
+        concat(lit("cust:"), col("c_custkey")).as("src"),
+        concat(lit("nation:"), col("c_nationkey")).as("dst")))
+  }
+
+  test("relationship-hop star executes to the direct join's rows") {
+    val star = List(
+      TriplePattern(Var("c"), Iri(Terms.RdfType), Iri(s"${G}Customer")),
+      t(Var("c"), "mktsegment", Lit("BUILDING")),
+      t(Var("c"), "name", Var("n")),
+      t(Var("c"), "nation", Var("nat")))
+    val cy = DocStoreTranslators.toCypher(Var("c"), star, customer, cat)
+    assert(cy.contains("-[:nation]->"))
+    val got = CypherGraph.execute(graph, cy)
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val nat = spark.read.parquet(s"$sfDir/nation.parquet")
+    val want = cust.join(nat, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").cast("string"), col("c_name"),
+        col("n_nationkey").cast("string"))
+    assert(got.columns.toSeq.sorted == Seq("__k_c_0", "__k_nat_0", "n"))
+    assert(got.select(col("__k_c_0").cast("string"), col("n"),
+        col("__k_nat_0").cast("string"))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq ==
+      want.collect().map(_.toSeq).sortBy(_.toString).toSeq)
+    assert(got.count() > 0)
+  }
+
+  test("constant subject inverts to a key equality") {
+    val cy = DocStoreTranslators.toCypher(Iri(s"${G}cust:42"),
+      List(t(Iri(s"${G}cust:42"), "acctbal", Var("b"))), customer, cat)
+    val got = CypherGraph.execute(graph, cy)
+    val want = spark.read.parquet(s"$sfDir/customer.parquet")
+      .filter(col("c_custkey") === 42).select("c_acctbal")
+      .collect().map(_.get(0)).toSeq
+    assert(got.collect().map(_.get(0)).toSeq == want && want.size == 1)
+  }
+
+  test("SKIP/LIMIT page the match") {
+    val star = List(t(Var("c"), "name", Var("n")))
+    val limited = CypherGraph.execute(graph,
+      DocStoreTranslators.toCypher(Var("c"), star, customer, cat,
+        limit = Some(3)))
+    assert(limited.count() == 3)
+    val total = CypherGraph.execute(graph,
+      DocStoreTranslators.toCypher(Var("c"), star, customer, cat)).count()
+    val skipped = CypherGraph.execute(graph,
+      DocStoreTranslators.toCypher(Var("c"), star, customer, cat,
+        offset = Some(5))).count()
+    assert(skipped == total - 5)
+  }
+}
