@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.api.{Graft, TpchCatalog}
-import graft.pipeline.{Decontaminate, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Decontaminate, Dedup, Mixture, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 plus the LLM-data-pipeline extension surface; `oracleSql`
@@ -539,6 +539,13 @@ object SparkEntry {
       TextAnalysis.repetitionStats(T(s, d, "documents")).orderBy("doc_id")),
     // decontamination fixture: the first 25 documents stand in for the
     // benchmark suite, the rest are the corpus
+    "doc_mixture_sample" -> ((s, d) =>
+      Mixture.mixtureSample(T(s, d, "documents"),
+        Seq("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25),
+        defaultRate = 0.1, salt = "mix1").orderBy("doc_id")),
+    "doc_rarity" -> ((s, d) =>
+      Mixture.rarityProfile(T(s, d, "documents"), rareMax = 100)
+        .orderBy("doc_id")),
     "doc_decontaminate" -> ((s, d) => {
       val docs = T(s, d, "documents")
       Decontaminate.flagged(
@@ -1092,6 +1099,33 @@ object SparkEntry {
         |  n_bigrams, top_bigram_n,
         |  (top_unigram_n * 5 <= n_tokens AND top_bigram_n * 5 <= n_bigrams) AS keep
         |FROM ua JOIN ba ON ba.doc_id = ua.doc_id ORDER BY ua.doc_id""".stripMargin,
+
+    // deterministic mixture sampling: keep iff the low-32-bit md5 bucket of
+    // (salt ++ doc_id) falls under rate(source)·2^32 — the portable-hash
+    // convention of the simhash oracle; floor() on both sides (DuckDB CAST
+    // rounds doubles, Spark truncates)
+    "doc_mixture_sample" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS b,
+        |    CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.75
+        |                WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.25
+        |                ELSE 0.1 END AS r
+        |  FROM documents)
+        |WHERE b < CAST(floor(r * 4294967296.0) AS BIGINT) ORDER BY doc_id""".stripMargin,
+
+    // corpus-frequency rarity profile — integer-exact (no float means)
+    "doc_rarity" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |  FROM documents),
+        |dt AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+        |f AS (SELECT tok, SUM(c) AS tf FROM dt GROUP BY 1)
+        |SELECT dt.doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(c * tf) AS BIGINT) AS sum_tok_freq,
+        |  CAST(SUM(CASE WHEN tf <= 100 THEN c ELSE 0 END) AS BIGINT) AS n_rare,
+        |  SUM(CASE WHEN tf <= 100 THEN c ELSE 0 END) > 0 AS has_rare
+        |FROM dt JOIN f USING (tok) GROUP BY dt.doc_id ORDER BY dt.doc_id""".stripMargin,
 
     // decontamination: exhaustive distinct-5-gram overlap between corpus
     // (doc_id >= 25) and benchmark (doc_id < 25) — gram construction

@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-mixing and frequency-based scoring for training-data pipelines.
+  *
+  * Both operators are engine-portable and deterministic by construction —
+  * the properties that matter when a 100 TB mixing decision must be
+  * reproducible across reruns, engines, and partition layouts. Neither
+  * uses `rand()`/`sample()` (partition-order dependent) nor any driver
+  * collection.
+  */
+object Mixture {
+
+  /** Deterministic per-source downsampling — the "mixture weights" step
+    * that turns N crawled sources into a training corpus with chosen
+    * proportions. A document is kept iff the low 32 bits of
+    * `md5(salt ++ doc_id)` fall under `rate(source) · 2³²`: a keyed coin
+    * flip that is stable across runs/engines (same salt ⇒ same corpus,
+    * new salt ⇒ fresh draw), map-only (no shuffle, no state), and
+    * monotone in the rate (raising a source's rate strictly grows its
+    * kept set — reproducible corpus scaling).
+    *
+    * `rates` maps source → keep fraction in [0,1]; sources absent from
+    * the map fall back to `defaultRate`. Rates are deployment config, so
+    * they compile to a literal CASE chain — no join, nothing broadcast.
+    */
+  def mixtureSample(docs: DataFrame, rates: Seq[(String, Double)],
+                    defaultRate: Double, salt: String): DataFrame = {
+    val bucket = conv(substring(
+      md5(concat(lit(salt), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long") // uniform in [0, 2^32)
+    val rate = rates.foldLeft(lit(defaultRate): Column) {
+      case (acc, (src, r)) => when(col("source") === src, lit(r)).otherwise(acc)
+    }
+    docs.filter(bucket < floor(rate * lit(4294967296.0)).cast("long"))
+      .select(col("doc_id"), col("source"))
+  }
+
+  /** Corpus-frequency rarity profile — the integer-exact core of
+    * frequency-based quality filtering (the in-engine analog of CCNet's
+    * LM-perplexity gate: documents dominated by tokens the corpus has
+    * rarely seen are OCR noise, encoding damage, or boilerplate IDs).
+    * Emits per document the token count, the summed corpus frequency of
+    * its tokens, and how many of its tokens are globally rare
+    * (frequency ≤ `rareMax`) — all integers, so results are exact and
+    * order-independent (a float mean of logs would not hash-match across
+    * engines).
+    *
+    * Shape at scale: tokens pre-aggregate per (doc, token) before joining
+    * the corpus-frequency table — the join input carries one row per
+    * distinct token per doc, not one per occurrence, and the frequency
+    * table shuffles on token (skew on stop-words is absorbed by the
+    * pre-aggregation's map-side combine).
+    */
+  def rarityProfile(docs: DataFrame, rareMax: Long): DataFrame = {
+    val perDocTok = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val freq = perDocTok.groupBy("tok").agg(sum("c").as("tf"))
+    perDocTok.join(freq, "tok")
+      .groupBy("doc_id").agg(
+        sum("c").cast("long").as("n_tokens"),
+        sum(col("c") * col("tf")).cast("long").as("sum_tok_freq"),
+        sum(when(col("tf") <= rareMax, col("c")).otherwise(lit(0)))
+          .cast("long").as("n_rare"))
+      .withColumn("has_rare", col("n_rare") > 0)
+  }
+}

@@ -230,4 +230,33 @@ class PipelineSpec extends SparkTestBase {
       .filter(not(col("expected") === col("got")))
     assert(joined.count() == 0)
   }
+
+  test("mixture sampling is deterministic, monotone in rate, and keyed by salt") {
+    import graft.pipeline.Mixture
+    def ids(rate: Double, salt: String = "s1") =
+      Mixture.mixtureSample(docs, Seq("src0" -> rate), defaultRate = 0.0, salt)
+        .collect().map(_.getLong(0)).toSet
+    assert(ids(1.0).size == docs.filter(col("source") === "src0").count())
+    assert(ids(0.0).isEmpty)
+    // same salt+rate ⇒ identical corpus; monotone: kept(0.3) ⊆ kept(0.7)
+    assert(ids(0.5) == ids(0.5))
+    assert(ids(0.3).subsetOf(ids(0.7)))
+    // a different salt draws a genuinely different subsample
+    assert(ids(0.5) != ids(0.5, salt = "s2"))
+  }
+
+  test("rarity profile sums are exact and has_rare matches n_rare") {
+    import graft.pipeline.Mixture
+    val prof = Mixture.rarityProfile(docs, rareMax = 100)
+    // token totals must agree with a direct count
+    val direct = docs.select(col("doc_id"),
+      size(split(lower(col("text")), "\\s+")).cast("long").as("n"))
+    assert(prof.join(direct, "doc_id")
+      .filter(col("n_tokens") =!= col("n")).count() == 0)
+    val rows = prof.collect()
+    assert(rows.forall(r => r.getBoolean(4) == (r.getLong(3) > 0)))
+    assert(rows.forall(r => r.getLong(2) >= r.getLong(1))) // every tf >= 1
+    // the corpus has a genuinely rare token: both flag values occur
+    assert(rows.exists(_.getBoolean(4)) && rows.exists(!_.getBoolean(4)))
+  }
 }
