@@ -569,6 +569,25 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
     val name = src.substring(i + 1)
     val scoped = catalog.molecules.filter(m => m.source == src || m.source == name)
     def unit = Compiled(spark.range(1).select(), Map.empty)
+    // an http(s) IRI not registered as a local source is a real remote
+    // endpoint: serialize the inner pattern back to SPARQL text and page it
+    // over the wire (W3C Federated Query §2 dispatch; rows come back as
+    // lexical forms, joining siblings on term identity like path results)
+    if (scoped.isEmpty &&
+        (src.startsWith("http://") || src.startsWith("https://"))) {
+      def remote: Compiled = {
+        val vars = p.vars.toList.sorted
+        require(vars.nonEmpty, s"SERVICE <$src>: pattern binds no variables")
+        val query = SparqlText.selectQuery(vars, p)
+        val schema = StructType(vars.map(StructField(_, StringType, nullable = true)))
+        val pageSize = spark.conf.get("graft.service.pageSize", "10000").toInt
+        Compiled(graft.sources.SparqlHttp.pagedSource(src, query, schema, pageSize)
+          .load(spark), Map.empty)
+      }
+      return if (silent)
+        try remote catch { case scala.util.control.NonFatal(_) => unit }
+      else remote
+    }
     if (scoped.isEmpty) {
       if (silent) unit
       else throw new IllegalArgumentException(

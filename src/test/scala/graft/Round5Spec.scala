@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.{Graft, GraftServer, TpchCatalog}
+
+/** Round-5 federation: SERVICE over a real remote endpoint. The inner
+  * pattern is serialized back to SPARQL text ([[graft.compiler.SparqlText]])
+  * and paged over HTTP against our own server on loopback — the full W3C
+  * Federated Query dispatch loop with zero egress. */
+class Round5Spec extends SparkTestBase {
+
+  private lazy val g = Graft.overParquetDir(TpchCatalog.catalog, sfDir)(spark)
+
+  private def withServer[A](f: Int => A): A = {
+    val server = new GraftServer(g)
+    val port = server.start()
+    try f(port) finally server.stop()
+  }
+
+  test("SERVICE with an http IRI dispatches the pattern to the endpoint") {
+    withServer { port =>
+      // small endpoint answer (25 nations) so executor page-fetch slots
+      // and the serving session's own tasks never deadlock on local[n]
+      val df = g.sparql(
+        s"""PREFIX g: <urn:g:>
+           |SELECT ?n ?nm WHERE {
+           |  SERVICE <http://127.0.0.1:$port/sparql> {
+           |    ?n a g:Nation ; g:name ?nm }
+           |} ORDER BY ?n""".stripMargin)
+      val local = g.sparql(
+        """PREFIX g: <urn:g:>
+          |SELECT ?n ?nm WHERE { ?n a g:Nation ; g:name ?nm } ORDER BY ?n""".stripMargin)
+      assert(df.collect().map(_.toSeq).toSeq == local.collect().map(_.toSeq).toSeq)
+    }
+  }
+
+  test("remote SERVICE joins with local patterns on term identity") {
+    withServer { port =>
+      val fed = g.sparql(
+        s"""PREFIX g: <urn:g:>
+           |SELECT ?r ?rn WHERE {
+           |  ?n g:region ?r .
+           |  SERVICE <http://127.0.0.1:$port/sparql> { ?r g:name ?rn }
+           |} ORDER BY ?r ?rn""".stripMargin)
+      val local = g.sparql(
+        """PREFIX g: <urn:g:>
+          |SELECT ?r ?rn WHERE { ?n g:region ?r . ?r g:name ?rn }
+          |ORDER BY ?r ?rn""".stripMargin)
+      assert(fed.collect().map(_.toSeq).toSeq == local.collect().map(_.toSeq).toSeq)
+      assert(fed.count() == 25) // one row per nation
+    }
+  }
+
+  test("remote SERVICE carries FILTER and OPTIONAL through serialization") {
+    withServer { port =>
+      val fed = g.sparql(
+        s"""PREFIX g: <urn:g:>
+           |SELECT ?n ?nm WHERE {
+           |  SERVICE <http://127.0.0.1:$port/sparql> {
+           |    ?n a g:Nation ; g:name ?nm . FILTER (CONTAINS(?nm, "1")) }
+           |} ORDER BY ?n""".stripMargin)
+      val local = g.sparql(
+        """PREFIX g: <urn:g:>
+          |SELECT ?n ?nm WHERE { ?n a g:Nation ; g:name ?nm .
+          |  FILTER (CONTAINS(?nm, "1")) } ORDER BY ?n""".stripMargin)
+      assert(fed.collect().map(_.toSeq).toSeq == local.collect().map(_.toSeq).toSeq)
+      assert(fed.count() > 0 && fed.count() < 25)
+    }
+  }
+
+  test("SERVICE SILENT over an unreachable endpoint degrades to unit") {
+    // port 1 refuses connections; non-SILENT must fail, SILENT must not
+    intercept[Exception] {
+      g.sparql(
+        """PREFIX g: <urn:g:> SELECT ?x WHERE {
+          |  SERVICE <http://127.0.0.1:1/sparql> { ?x a g:Nation } }""".stripMargin)
+    }
+    val silent = g.sparql(
+      """PREFIX g: <urn:g:> SELECT ?r WHERE {
+        |  ?r a g:Region .
+        |  SERVICE SILENT <http://127.0.0.1:1/sparql> { ?x a g:Nation } }""".stripMargin)
+    assert(silent.count() == 5) // unit solution joins as identity
+  }
+}
