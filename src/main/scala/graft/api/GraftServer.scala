@@ -39,6 +39,11 @@ final class GraftServer(g: Graft, port: Int = 0,
 
   private val sessions = new ConcurrentHashMap[String, Session]()
 
+  /** Queries answered on `/sparql` since start — lets federation tests
+    * assert the dispatch strategy (a bind join sends one request per key
+    * window; a full paged fetch sends gallop probes plus one per page). */
+  val queriesServed = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Drop sessions idle past the TTL; returns how many were reaped.
     * Exposed for tests; also runs on a daemon timer. */
   def sweepIdleSessions(now: Long = System.currentTimeMillis()): Int = {
@@ -66,6 +71,7 @@ final class GraftServer(g: Graft, port: Int = 0,
     val query = params.getOrElse("query", "")
     if (query.isEmpty) Map("result" -> Seq.empty, "error" -> "cannot read query")
     else {
+      queriesServed.incrementAndGet()
       val blocking = params.getOrElse("blocking", "1") == "1"
       // W3C sparql-results+json on request — what a generic SPARQL client
       // (incl. our own [[graft.sources.SparqlHttp]] transport and the

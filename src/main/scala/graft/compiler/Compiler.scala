@@ -310,7 +310,7 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
 
   def compilePattern(p: Pattern): Compiled = p match {
     case Pattern.Bgp(ts)      => compileBgp(ts)
-    case Pattern.Join(l, r)   => join2(compilePattern(l), compilePattern(r), "inner")
+    case Pattern.Join(l, r)   => compileJoin(l, r)
     case Pattern.LeftJoin(l, r, None) =>
       join2(compilePattern(l), compilePattern(r), "left_outer")
     case Pattern.LeftJoin(l, r, Some(f)) =>
@@ -564,26 +564,100 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
     * (`<urn:g:src:srcB>` → "srcB"). SILENT converts any failure — unknown
     * source or an inner pattern the scoped catalog cannot answer — into
     * the unit solution, per W3C SPARQL 1.1 Federated Query §4. */
+  /** True when the service IRI names a live remote endpoint rather than a
+    * registered local source (local registration wins — loopback tests
+    * register molecules under http sources too). */
+  private def isRemoteService(src: String): Boolean = {
+    val i = math.max(src.lastIndexOf('/'), math.max(src.lastIndexOf('#'), src.lastIndexOf(':')))
+    val name = src.substring(i + 1)
+    (src.startsWith("http://") || src.startsWith("https://")) &&
+      !catalog.molecules.exists(m => m.source == src || m.source == name)
+  }
+
+  /** Full remote fetch: serialize the pattern to SPARQL text and page it
+    * over HTTP (W3C Federated Query §2 dispatch; rows come back as lexical
+    * forms, joining siblings on term identity like path results). */
+  private def remoteServiceFetch(src: String, p: Pattern): Compiled = {
+    val vars = p.vars.toList.sorted
+    require(vars.nonEmpty, s"SERVICE <$src>: pattern binds no variables")
+    val query = SparqlText.selectQuery(vars, p)
+    val schema = StructType(vars.map(StructField(_, StringType, nullable = true)))
+    val pageSize = spark.conf.get("graft.service.pageSize", "10000").toInt
+    Compiled(graft.sources.SparqlHttp.pagedSource(src, query, schema, pageSize)
+      .load(spark), Map.empty)
+  }
+
+  /** Join, with the reference's flagship federation optimization: a remote
+    * SERVICE branch that shares variables with its sibling compiles to a
+    * dependent (bind) join — the local side's distinct keys travel to the
+    * endpoint as VALUES windows (`NestedHashJoinFilter.py:166-234`'s
+    * filter instantiation) instead of paging the whole remote result.
+    * Intrinsically eager: the window batching collects the local keys at
+    * compile time, exactly as the reference buffers its `filter_bag`.
+    * Non-selective local sides (over `graft.service.bindJoin.maxKeys`)
+    * fall back to the full paged fetch, where a shuffled join is the
+    * right plan anyway. */
+  private def compileJoin(l: Pattern, r: Pattern): Compiled = {
+    def bindable(p: Pattern, other: Pattern) = p match {
+      case Pattern.Service(src, inner, silent)
+        if isRemoteService(src) && other.vars.intersect(inner.vars).nonEmpty &&
+          spark.conf.get("graft.service.bindJoin", "true").toBoolean =>
+        Some((src, inner, silent))
+      case _ => None
+    }
+    bindable(r, l).map { case (src, inner, silent) =>
+      serviceBindJoin(compilePattern(l), src, inner, silent) }
+      .orElse(bindable(l, r).map { case (src, inner, silent) =>
+        serviceBindJoin(compilePattern(r), src, inner, silent) })
+      .getOrElse(join2(compilePattern(l), compilePattern(r), "inner"))
+  }
+
+  private def serviceBindJoin(lc: Compiled, src: String, inner: Pattern,
+                              silent: Boolean): Compiled = {
+    val vars = inner.vars.toList.sorted
+    val shared = lc.visibleVars.toSet.intersect(inner.vars).toList.sorted
+    val schema = StructType(vars.map(StructField(_, StringType, nullable = true)))
+    val window = spark.conf.get("graft.service.bindJoin.window", "20").toInt
+    val maxKeys = spark.conf.get("graft.service.bindJoin.maxKeys", "10000").toInt
+    def fetchBatch(batch: Seq[org.apache.spark.sql.Row]): DataFrame = {
+      // null keys cannot join — drop them from the window
+      val rows = batch.map(b => shared.indices.map(i => Option(b.get(i))))
+        .collect { case r if r.forall(_.isDefined) => r.map(_.get.toString) }
+      if (rows.isEmpty)
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      else {
+        val q = s"SELECT ${vars.map("?" + _).mkString(" ")} WHERE { " +
+          s"${SparqlText.pattern(inner)} ${SparqlText.valuesBlock(shared, rows)} }"
+        val fetched = graft.sources.SparqlHttp.select(src, q, schema)
+        spark.createDataFrame(
+          java.util.Arrays.asList(fetched: _*), schema)
+      }
+    }
+    def run: Compiled = {
+      // the remote side casts every binding to its lexical string form;
+      // the local keys must compare the same way
+      val left = shared.foldLeft(lc.df)((d, v) => d.withColumn(v, col(v).cast(StringType)))
+      Compiled(graft.operators.BindJoin(left, shared, fetchBatch,
+        windowSize = window, maxKeys = maxKeys), lc.sigs -- shared)
+    }
+    try run catch {
+      // over the key cap (or SILENT failure): full fetch + ordinary join
+      case _: IllegalArgumentException if !silent =>
+        join2(lc, remoteServiceFetch(src, inner), "inner")
+      case scala.util.control.NonFatal(_) if silent =>
+        try join2(lc, remoteServiceFetch(src, inner), "inner")
+        catch { case scala.util.control.NonFatal(_) => lc }
+    }
+  }
+
   private def compileService(src: String, p: Pattern, silent: Boolean): Compiled = {
     val i = math.max(src.lastIndexOf('/'), math.max(src.lastIndexOf('#'), src.lastIndexOf(':')))
     val name = src.substring(i + 1)
     val scoped = catalog.molecules.filter(m => m.source == src || m.source == name)
     def unit = Compiled(spark.range(1).select(), Map.empty)
-    // an http(s) IRI not registered as a local source is a real remote
-    // endpoint: serialize the inner pattern back to SPARQL text and page it
-    // over the wire (W3C Federated Query §2 dispatch; rows come back as
-    // lexical forms, joining siblings on term identity like path results)
-    if (scoped.isEmpty &&
-        (src.startsWith("http://") || src.startsWith("https://"))) {
-      def remote: Compiled = {
-        val vars = p.vars.toList.sorted
-        require(vars.nonEmpty, s"SERVICE <$src>: pattern binds no variables")
-        val query = SparqlText.selectQuery(vars, p)
-        val schema = StructType(vars.map(StructField(_, StringType, nullable = true)))
-        val pageSize = spark.conf.get("graft.service.pageSize", "10000").toInt
-        Compiled(graft.sources.SparqlHttp.pagedSource(src, query, schema, pageSize)
-          .load(spark), Map.empty)
-      }
+    if (scoped.isEmpty && isRemoteService(src)) {
+      def remote: Compiled = remoteServiceFetch(src, p)
       return if (silent)
         try remote catch { case scala.util.control.NonFatal(_) => unit }
       else remote

@@ -74,6 +74,21 @@ object SparqlText {
       s"!(${members.mkString("|")})"
   }
 
+  /** VALUES block for dependent-join dispatch: lexical key values from the
+    * local side become remote terms by shape — IRI scheme ⇒ `<…>`, numeral
+    * ⇒ bare (typed comparison at the endpoint), else quoted literal. Null
+    * keys are dropped by the caller (they cannot join). */
+  def valuesBlock(vars: Seq[String], rows: Seq[Seq[String]]): String = {
+    def termOf(lex: String): String =
+      if (lex.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*")) s"<$lex>"
+      else if (lex.matches("[+-]?\\d+") ||
+               lex.matches("[+-]?\\d*\\.\\d+([eE][+-]?\\d+)?")) lex
+      else "\"" + Terms.escapeNt(lex) + "\""
+    val hdr = vars.map("?" + _).mkString("(", " ", ")")
+    val body = rows.map(_.map(termOf).mkString("(", " ", ")")).mkString(" ")
+    s"VALUES $hdr { $body }"
+  }
+
   def expr(e: Expr): String = e match {
     case Expr.TermRef(t)       => term(t)
     case Expr.Cmp(op, l, r)    => s"(${expr(l)} $op ${expr(r)})"

@@ -68,6 +68,53 @@ class Round5Spec extends SparkTestBase {
     }
   }
 
+  test("SERVICE sharing vars with a sibling compiles to a bind join") {
+    // 5 distinct ?r keys, window 20 ⇒ exactly ONE remote request carrying
+    // a VALUES block — not a gallop row-count probe plus paged fetch
+    val server = new GraftServer(g)
+    val port = server.start()
+    try {
+      val fed = g.sparql(
+        s"""PREFIX g: <urn:g:>
+           |SELECT ?r ?rn WHERE {
+           |  ?n g:region ?r .
+           |  SERVICE <http://127.0.0.1:$port/sparql> { ?r g:name ?rn }
+           |} ORDER BY ?r ?rn""".stripMargin)
+      val requests = server.queriesServed.get()
+      assert(requests == 1, s"bind join should send 1 windowed request, sent $requests")
+      val local = g.sparql(
+        """PREFIX g: <urn:g:>
+          |SELECT ?r ?rn WHERE { ?n g:region ?r . ?r g:name ?rn }
+          |ORDER BY ?r ?rn""".stripMargin)
+      assert(fed.collect().map(_.toSeq).toSeq == local.collect().map(_.toSeq).toSeq)
+    } finally server.stop()
+  }
+
+  test("bind join over the key cap falls back to the full paged fetch") {
+    val server = new GraftServer(g)
+    val port = server.start()
+    try {
+      spark.conf.set("graft.service.bindJoin.maxKeys", "2")
+      val fed = g.sparql(
+        s"""PREFIX g: <urn:g:>
+           |SELECT ?r ?rn WHERE {
+           |  ?n g:region ?r .
+           |  SERVICE <http://127.0.0.1:$port/sparql> { ?r g:name ?rn }
+           |} ORDER BY ?r ?rn""".stripMargin)
+      val rows = fed.collect().map(_.toSeq).toSeq
+      // full fetch gallops the remote row count, then pages — several requests
+      assert(server.queriesServed.get() > 1)
+      val local = g.sparql(
+        """PREFIX g: <urn:g:>
+          |SELECT ?r ?rn WHERE { ?n g:region ?r . ?r g:name ?rn }
+          |ORDER BY ?r ?rn""".stripMargin)
+      assert(rows == local.collect().map(_.toSeq).toSeq)
+    } finally {
+      spark.conf.unset("graft.service.bindJoin.maxKeys")
+      server.stop()
+    }
+  }
+
   test("SERVICE SILENT over an unreachable endpoint degrades to unit") {
     // port 1 refuses connections; non-SILENT must fail, SILENT must not
     intercept[Exception] {
