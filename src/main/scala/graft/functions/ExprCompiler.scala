@@ -204,6 +204,15 @@ object ExprCompiler {
         val target = a(0)
         args.tail.map(x => target === compile(x, df)).reduce(_ || _)
       case "if"         => when(ebv(args(0), df), a(1)).otherwise(a(2))
+      // term constructors: terms are lexical strings in this engine, so
+      // IRI/STRDT/STRLANG carry the lexical form (datatype/lang tags live
+      // in the mapping, not the value — SURVEY.md §1.5)
+      case "iri" | "uri" => a(0).cast(StringType)
+      case "strdt"       => a(0).cast(StringType)
+      case "strlang"     => a(0).cast(StringType)
+      // NOW(): one timestamp for the whole query per §17.4.5.1 —
+      // current_timestamp() is query-constant in Spark by the same rule
+      case "now"         => current_timestamp()
       // xsd:* constructor casts (ontario/sparql/__init__.py:8-60 binaryFunctor)
       case c if c.startsWith("http://www.w3.org/2001/XMLSchema#") =>
         // TRY semantics: an invalid lexical form is a SPARQL error ⇒ null

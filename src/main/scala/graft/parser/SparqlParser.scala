@@ -316,10 +316,12 @@ class SparqlParser extends RegexParsers {
   private val builtinNames = List(
     "BOUND", "REGEX", "ISIRI", "ISURI", "ISBLANK", "ISLITERAL", "ISNUMERIC",
     "LANGMATCHES", "SAMETERM", "STRSTARTS", "STRENDS", "STRBEFORE",
-    "STRAFTER", "CONTAINS", "STRLEN", "UCASE", "LCASE", "CONCAT", "SUBSTR",
+    "STRAFTER", "STRDT", "STRLANG", "CONTAINS", "STRLEN", "UCASE", "LCASE",
+    "CONCAT", "SUBSTR",
     "REPLACE", "ENCODE_FOR_URI", "MD5", "SHA1", "SHA256", "SHA512", "ABS",
     "ROUND", "CEIL", "FLOOR", "YEAR", "MONTH", "DAY", "HOURS", "MINUTES",
-    "SECONDS", "STR", "LANG", "DATATYPE", "COALESCE", "IF")
+    "SECONDS", "STR", "LANG", "DATATYPE", "COALESCE", "IF",
+    "IRI", "URI", "NOW")
 
   def builtinCall: Parser[Expr] =
     builtinNames.map(n => kw(n) ~ ("(" ~> repsep(expression, ",") <~ ")") ^^ {

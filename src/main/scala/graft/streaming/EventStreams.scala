@@ -31,6 +31,23 @@ object EventStreams {
   def dedupedEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id")
 
+  /** Streaming near-duplicate filter — the in-flight face of
+    * [[graft.pipeline.Dedup.simhashNearDups]] for arriving crawl shards:
+    * each document's 64-bit SimHash fingerprint (the codegen'd
+    * engine-portable [[graft.functions.GraftFunctions.simhash_md5]])
+    * deduplicates within the watermark, so boilerplate re-posts and
+    * mirror copies are dropped before they reach storage. Fingerprint
+    * state older than the watermark is evicted — bounded state, unbounded
+    * stream. Exact-fingerprint matching catches the hamming-0 core of the
+    * batch operator's band search; the full banded candidate join stays a
+    * batch concern (it needs corpus-wide buckets, not per-key state). */
+  def nearDupFiltered(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("simhash",
+        graft.functions.GraftFunctions.simhash_md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicates("simhash")
+
   /** Watermarked stream-stream interval join: attribute each purchase to a
     * click by the same user within the preceding `windowMinutes`. Both sides
     * carry watermarks and the join condition bounds event-time distance, so

@@ -11,16 +11,17 @@ object Drive {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val d = "/root/testdata/sf0.01"
-    for (q <- Seq("sparql_path_zeroorone", "sparql_path_nps")) {
-      try {
-        val rows = graft.SparkEntry.queries(q)(spark, d).collect()
-        println(s"QUERY $q ${rows.length} rows")
-        rows.take(6).foreach(r => println(s"ROW $q " + r.toSeq.mkString(" | ")))
-      } catch { case e: Throwable =>
-        println(s"FAIL $q ${e.getClass.getSimpleName}: ${e.getMessage}")
-      }
-    }
+    val g = graft.api.Graft.overParquetDir(
+      graft.api.TpchCatalog.catalog, "/root/testdata/sf0.01")(spark)
+    val df = g.sparql(
+      """PREFIX g: <urn:g:> PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        |SELECT ?u ?d ?l ?now WHERE {
+        |  ?r a g:Region ; g:name ?n .
+        |  BIND (IRI(CONCAT("urn:g:x:", ?n)) AS ?u)
+        |  BIND (STRDT("5", xsd:string) AS ?d)
+        |  BIND (STRLANG("chat", "fr") AS ?l)
+        |  BIND (NOW() AS ?now) }""".stripMargin)
+    df.collect().foreach(r => println("ROW " + r.toSeq.mkString(" | ")))
     spark.stop()
   }
 }

@@ -246,6 +246,24 @@ class SemanticsSpec extends SparkTestBase {
     assert(keys.head < 0 && keys.last > 0)
   }
 
+  test("term constructors IRI/STRDT/STRLANG and query-constant NOW()") {
+    val df = g.sparql(
+      """PREFIX g: <urn:g:> PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        |SELECT ?u ?d ?l ?now WHERE {
+        |  ?r a g:Region ; g:name ?n .
+        |  BIND (IRI(CONCAT("urn:g:x:", ?n)) AS ?u)
+        |  BIND (STRDT("5", xsd:string) AS ?d)
+        |  BIND (STRLANG("chat", "fr") AS ?l)
+        |  BIND (NOW() AS ?now) }""".stripMargin)
+    val rows = df.collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getString(0).startsWith("urn:g:x:")))
+    assert(rows.map(_.getString(0)).distinct.length == 5)
+    assert(rows.forall(r => r.getString(1) == "5" && r.getString(2) == "chat"))
+    // §17.4.5.1: one NOW() value for the whole query
+    assert(rows.map(_.getTimestamp(3)).distinct.length == 1)
+  }
+
   test("HAVING accepts DISTINCT aggregates") {
     val df = g.sparql("""PREFIX g: <urn:g:>
       SELECT ?o (COUNT(DISTINCT ?p) AS ?np) WHERE {

@@ -51,6 +51,29 @@ class StreamingSpec extends SparkTestBase {
     assert(n == 2)
   }
 
+  test("stream near-dup filter drops identical-fingerprint re-posts") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = EventStreams.nearDupFiltered(
+        input.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode(OutputMode.Append).start()
+    input.addData(
+      (1L, "spark shuffles keyed rows across the cluster", ts(0)),
+      (2L, "spark shuffles keyed rows across the cluster", ts(1)), // mirror copy
+      (3L, "an entirely different document body", ts(2)))
+    q.processAllAvailable()
+    input.addData( // same boilerplate again, still inside the watermark
+      (4L, "spark shuffles keyed rows across the cluster", ts(3)))
+    q.processAllAvailable()
+    val kept = spark.table("neardup").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    q.stop()
+    assert(kept == Set(1L, 3L)) // one survivor per fingerprint
+  }
+
   test("stream-static join enriches events with a dimension table") {
     val s = spark
     import s.implicits._
