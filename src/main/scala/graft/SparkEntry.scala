@@ -591,6 +591,13 @@ object SparkEntry {
         Similarity.bruteForceTopK(emb, k = 5, numQueries = 3), k = 5)
         .orderBy("q_id", "vec_id")
     }),
+    "emb_knn_ivfpq" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      Similarity.annContract(
+        Similarity.ivfpqTopK(emb, k = 5, numQueries = 3, nProbe = 4, m = 16, ksub = 32),
+        Similarity.bruteForceTopK(emb, k = 5, numQueries = 3), k = 5)
+        .orderBy("q_id", "vec_id")
+    }),
     "emb_top_pairs" -> ((s, d) =>
       Similarity.topSimilarPairs(T(s, d, "embeddings"), n = 50).orderBy("a", "b"))
   )
@@ -1043,6 +1050,14 @@ object SparkEntry {
       "(0,73),(0,334),(0,365),(0,387),(0,423)," +
         "(1,64),(1,80),(1,195),(1,386),(1,407)," +
         "(2,112),(2,145),(2,418),(2,450),(2,471)"),
+    // IVF-PQ: same pinned-hit convention; ADC quantization on the
+    // near-uniform synthetic embeddings costs recall vs plain IVF — the
+    // contract records the achieved overlap honestly (cf. the LSH row,
+    // where two queries have zero in-bucket candidates)
+    "emb_knn_ivfpq" -> annContractOracle(
+      "(0,190),(0,257),(0,364),(0,388),(0,423)," +
+        "(1,64),(1,124),(1,195),(1,213),(1,386)," +
+        "(2,145),(2,188),(2,198),(2,418),(2,450)"),
     "emb_top_pairs" ->
       """SELECT a, b FROM (
         |  SELECT e1.vec_id AS a, e2.vec_id AS b,

@@ -156,33 +156,7 @@ object Similarity {
       .map(e => normalize(e.embedding))
     // seeded kmeans++-lite init: spread starts deterministically over the
     // sample, then a few Lloyd rounds — cells only gate the probe fraction
-    val centers = Array.tabulate(cells)(i => sample(i * sample.length / cells).clone())
-    var it = 0
-    while (it < lloydIters) {
-      val sums = Array.fill(cells)(new Array[Double](centers(0).length))
-      val counts = new Array[Int](cells)
-      sample.foreach { v =>
-        val c = nearestCell(v, centers)
-        counts(c) += 1
-        var d = 0
-        while (d < v.length) { sums(c)(d) += v(d); d += 1 }
-      }
-      var c = 0
-      while (c < cells) {
-        if (counts(c) > 0) {
-          var s = 0.0
-          var d = 0
-          while (d < sums(c).length) { s += sums(c)(d) * sums(c)(d); d += 1 }
-          val n = math.sqrt(s)
-          d = 0
-          while (d < sums(c).length) {
-            centers(c)(d) = if (n == 0) 0.0 else sums(c)(d) / n; d += 1
-          }
-        }
-        c += 1
-      }
-      it += 1
-    }
+    val centers = seededKMeans(sample, cells, lloydIters, unitNorm = true)
     val bcCenters = spark.sparkContext.broadcast(centers)
     val queries = ds.filter(_.vec_id < numQueries).collect().map { e =>
       val v = normalize(e.embedding)
@@ -203,6 +177,117 @@ object Similarity {
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "rank")
+  }
+
+  /** Deterministic sample-stride-seeded Lloyd k-means (kmeans++-lite): the
+    * shared trainer of the IVF coarse quantizer and the PQ sub-quantizers.
+    * `unitNorm` renormalizes centers each round (right for a unit-norm
+    * corpus quantized by max-dot); sub-quantizers use plain means. */
+  private def seededKMeans(sample: Array[Array[Double]], k: Int, iters: Int,
+                           unitNorm: Boolean): Array[Array[Double]] = {
+    val kk = math.min(k, sample.length)
+    val centers = Array.tabulate(kk)(i => sample(i * sample.length / kk).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kk)(new Array[Double](centers(0).length))
+      val counts = new Array[Int](kk)
+      sample.foreach { v =>
+        val c = nearestCell(v, centers)
+        counts(c) += 1
+        var d = 0
+        while (d < v.length) { sums(c)(d) += v(d); d += 1 }
+      }
+      var c = 0
+      while (c < kk) {
+        if (counts(c) > 0) {
+          val div =
+            if (unitNorm) {
+              var s = 0.0; var d = 0
+              while (d < sums(c).length) { s += sums(c)(d) * sums(c)(d); d += 1 }
+              math.sqrt(s)
+            } else counts(c).toDouble
+          var d = 0
+          while (d < sums(c).length) {
+            centers(c)(d) = if (div == 0) 0.0 else sums(c)(d) / div; d += 1
+          }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    centers
+  }
+
+  private def subvec(v: Array[Double], j: Int, dsub: Int): Array[Double] =
+    java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub)
+
+  /** IVF-PQ ANN — the coarse inverted file of [[ivfTopK]] plus product
+    * quantization (the faiss `IVFPQ` layout): each vector is stored as `m`
+    * sub-quantizer codes (one byte-sized codebook index per `d/m`-dim
+    * slice), and queries score candidates by asymmetric distance (ADC) —
+    * per-subspace dot-product tables against the query, summed by code
+    * lookup, never touching the original floats.
+    *
+    * This is the shape that survives 100 TB of embeddings: after the
+    * map-only encode pass the scan state per vector is `m` bytes instead
+    * of `4d` (32× here), so a cell scan is table lookups over compressed
+    * codes; training (coarse + sub codebooks) happens driver-side on the
+    * same bounded deterministic sample as IVF, broadcast once.
+    * Output: (q_id, vec_id, rank) over ADC scores. */
+  def ivfpqTopK(emb: DataFrame, k: Int = 5, numQueries: Int = 3,
+                cells: Int = 16, nProbe: Int = 2,
+                m: Int = 8, ksub: Int = 16,
+                trainSample: Int = 16384, lloydIters: Int = 5): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val ds = asRows(emb)
+    val sample = ds.orderBy("vec_id").limit(trainSample).collect()
+      .map(e => normalize(e.embedding))
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim must divide into $m subvectors")
+    val dsub = dim / m
+    val coarse = seededKMeans(sample, cells, lloydIters, unitNorm = true)
+    val books = Array.tabulate(m)(j =>
+      seededKMeans(sample.map(subvec(_, j, dsub)), ksub, lloydIters,
+        unitNorm = false))
+    val bcCoarse = spark.sparkContext.broadcast(coarse)
+    val bcBooks = spark.sparkContext.broadcast(books)
+    val queries = ds.filter(_.vec_id < numQueries).collect().map { e =>
+      val v = normalize(e.embedding)
+      val probed = coarse.zipWithIndex.sortBy { case (c, _) => -dot(c, v) }
+        .take(nProbe).map(_._2).toSet
+      // ADC table: tab(j)(c) = <query_j, codebook_j[c]> — scoring a code
+      // word is m lookups + adds, independent of dim
+      val tab = Array.tabulate(m)(j =>
+        books(j).map(cb => dot(subvec(v, j, dsub), cb)))
+      (e.vec_id, probed, tab)
+    }
+    val bcQ = spark.sparkContext.broadcast(queries)
+    val scored = ds.mapPartitions { it =>
+      val cs = bcCoarse.value
+      val bks = bcBooks.value
+      val qs = bcQ.value
+      it.flatMap { e =>
+        val v = normalize(e.embedding)
+        val cell = nearestCell(v, cs)
+        // encode: per-subspace nearest codebook entry (this is the stored
+        // representation; floats beyond this line exist only query-side)
+        val codes = Array.tabulate(bks.length)(j =>
+          nearestCell(subvec(v, j, v.length / bks.length), bks(j)))
+        qs.iterator.filter(q => q._2.contains(cell) && q._1 != e.vec_id)
+          .map { case (qid, _, tab) =>
+            var s = 0.0
+            var j = 0
+            while (j < codes.length) { s += tab(j)(codes(j)); j += 1 }
+            (qid, e.vec_id, s)
+          }
+      }
+    }.toDF("q_id", "vec_id", "adc")
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("adc").desc, col("vec_id"))))
       .filter(col("rank") <= k)
       .select("q_id", "vec_id", "rank")
   }

@@ -11,17 +11,10 @@ object Drive {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val g = graft.api.Graft.overParquetDir(
-      graft.api.TpchCatalog.catalog, "/root/testdata/sf0.01")(spark)
-    val df = g.sparql(
-      """PREFIX g: <urn:g:> PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
-        |SELECT ?u ?d ?l ?now WHERE {
-        |  ?r a g:Region ; g:name ?n .
-        |  BIND (IRI(CONCAT("urn:g:x:", ?n)) AS ?u)
-        |  BIND (STRDT("5", xsd:string) AS ?d)
-        |  BIND (STRLANG("chat", "fr") AS ?l)
-        |  BIND (NOW() AS ?now) }""".stripMargin)
-    df.collect().foreach(r => println("ROW " + r.toSeq.mkString(" | ")))
+    val rows = graft.SparkEntry.queries("emb_knn_ivfpq")(spark, "/root/testdata/sf0.01")
+      .collect()
+    println("HITS " + rows.map(r => s"(${r.getLong(0)},${r.getLong(1)})").mkString(","))
+    rows.foreach(r => println("ROW " + r.toSeq.mkString(" | ")))
     spark.stop()
   }
 }

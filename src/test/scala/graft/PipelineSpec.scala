@@ -231,6 +231,27 @@ class PipelineSpec extends SparkTestBase {
     assert(joined.count() == 0)
   }
 
+  test("ivfpq ADC ranks a planted near-duplicate first") {
+    import graft.pipeline.Similarity
+    val s = spark
+    import s.implicits._
+    // 64-dim: query 0 and vector 40 are near-identical (planted twin);
+    // the rest are orthogonal-ish basis bumps — PQ codes must still put
+    // the twin on top when every cell is probed (isolates ADC from IVF)
+    val base = Array.tabulate(64)(i => math.sin(i * 0.7).toFloat)
+    val rows = (0L until 60L).map { id =>
+      val v =
+        if (id == 40L) base.zipWithIndex.map { case (x, i) => x + (if (i == 0) 0.01f else 0f) }
+        else if (id == 0L) base
+        else Array.tabulate(64)(i => if (i == (id % 64).toInt) 1f else 0.001f * i)
+      (id, v)
+    }.toDF("vec_id", "embedding")
+    val top = Similarity.ivfpqTopK(rows, k = 3, numQueries = 1,
+        cells = 4, nProbe = 4, m = 16, ksub = 16)
+      .filter(col("q_id") === 0 && col("rank") === 1).collect()
+    assert(top.length == 1 && top(0).getLong(1) == 40L)
+  }
+
   test("mixture sampling is deterministic, monotone in rate, and keyed by salt") {
     import graft.pipeline.Mixture
     def ids(rate: Double, salt: String = "s1") =
