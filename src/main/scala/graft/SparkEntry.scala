@@ -539,6 +539,8 @@ object SparkEntry {
       TextAnalysis.repetitionStats(T(s, d, "documents")).orderBy("doc_id")),
     // decontamination fixture: the first 25 documents stand in for the
     // benchmark suite, the rest are the corpus
+    "doc_filter_funnel" -> ((s, d) =>
+      TextAnalysis.filterFunnel(T(s, d, "documents")).orderBy("doc_id")),
     "doc_mixture_sample" -> ((s, d) =>
       Mixture.mixtureSample(T(s, d, "documents"),
         Seq("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25),
@@ -1114,6 +1116,25 @@ object SparkEntry {
         |  n_bigrams, top_bigram_n,
         |  (top_unigram_n * 5 <= n_tokens AND top_bigram_n * 5 <= n_bigrams) AS keep
         |FROM ua JOIN ba ON ba.doc_id = ua.doc_id ORDER BY ua.doc_id""".stripMargin,
+
+    // filter funnel: first-failing-rule attribution, fixed rule order
+    "doc_filter_funnel" ->
+      """WITH t AS (SELECT doc_id, lang, length(text) AS nc,
+        |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT) AS nt,
+        |    len(list_distinct(regexp_split_to_array(lower(text), '\s+'))) AS nd
+        |  FROM documents)
+        |SELECT doc_id, nt AS n_tokens,
+        |  CASE WHEN nt < 20 THEN 'too_short'
+        |       WHEN nc > 500 THEN 'too_long'
+        |       WHEN nd * 3 < nt THEN 'low_diversity'
+        |       WHEN lang != 'en' THEN 'non_english'
+        |       ELSE NULL END AS first_fail,
+        |  (CASE WHEN nt < 20 THEN 'too_short'
+        |       WHEN nc > 500 THEN 'too_long'
+        |       WHEN nd * 3 < nt THEN 'low_diversity'
+        |       WHEN lang != 'en' THEN 'non_english'
+        |       ELSE NULL END) IS NULL AS keep
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     // deterministic mixture sampling: keep iff the low-32-bit md5 bucket of
     // (salt ++ doc_id) falls under rate(source)·2^32 — the portable-hash

@@ -26,6 +26,28 @@ object TextAnalysis {
 
   val StopwordsEn = List("the", "a", "an", "of", "to", "in", "and", "is", "it", "for")
 
+  /** Quality-filter funnel: ordered named rules, each document attributed
+    * to the FIRST rule that rejects it (or kept). The attribution is what
+    * a production pipeline needs beyond a bare keep flag — a
+    * `groupBy(first_fail)` of this output IS the funnel report that says
+    * where the corpus is being lost, and rule order is explicit so the
+    * numbers are stable when rules are added. Pure column expressions,
+    * map-only; rule predicates are integer/string comparisons, so the
+    * attribution is exact across engines. */
+  def filterFunnel(docs: DataFrame): DataFrame = {
+    val w = split(lower(col("text")), "\\s+")
+    val nTok = size(w).cast("long")
+    val nChars = length(col("text")).cast("long")
+    val nDistinct = size(array_distinct(w)).cast("long")
+    docs.select(col("doc_id"), nTok.as("n_tokens"),
+        when(nTok < 20, "too_short")
+          .when(nChars > 500, "too_long")
+          .when(nDistinct * 3 < nTok, "low_diversity")
+          .when(col("lang") =!= "en", "non_english")
+          .as("first_fail"))
+      .withColumn("keep", col("first_fail").isNull)
+  }
+
   /** Quality scoring: raw integer counts (deterministic across engines) +
     * a boolean keep/drop flag from fixed thresholds — the C4-style
     * length/punctuation/stopword heuristic family. */
