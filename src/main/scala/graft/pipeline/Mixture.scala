@@ -58,8 +58,12 @@ object Mixture {
     val perDocTok = docs
       .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-    val freq = perDocTok.groupBy("tok").agg(sum("c").as("tf"))
-    perDocTok.join(freq, "tok")
+    // corpus frequency as a window over the same aggregate — one corpus
+    // scan total (a groupBy+self-join would recompute the explode subtree
+    // for the frequency branch: two scans of the corpus at 100 TB)
+    perDocTok
+      .withColumn("tf", sum("c").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("tok")))
       .groupBy("doc_id").agg(
         sum("c").cast("long").as("n_tokens"),
         sum(col("c") * col("tf")).cast("long").as("sum_tok_freq"),

@@ -11,10 +11,14 @@ object Drive {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val rows = graft.SparkEntry.queries("emb_knn_ivfpq")(spark, "/root/testdata/sf0.01")
-      .collect()
-    println("HITS " + rows.map(r => s"(${r.getLong(0)},${r.getLong(1)})").mkString(","))
-    rows.foreach(r => println("ROW " + r.toSeq.mkString(" | ")))
+    val d = "/root/testdata/sf0.01"
+    for (q <- Seq("doc_mixture_sample", "doc_filter_funnel", "doc_rarity")) {
+      println(s"===== $q")
+      println(graft.SparkEntry.queries(q)(spark, d).queryExecution.executedPlan
+        .toString.linesIterator.filter(s =>
+          s.contains("ReadSchema") || s.contains("PushedFilters") ||
+            s.contains("Exchange") || s.contains("Scan")).mkString("\n"))
+    }
     spark.stop()
   }
 }

@@ -64,6 +64,23 @@ class PlanAuditSpec extends SparkTestBase {
     assert(df.count() == 55) // oracle row count pinned by sparql_path_nps
   }
 
+  test("mixture sample prunes the scan to (doc_id, source)") {
+    val plan = graft.pipeline.Mixture.mixtureSample(
+        spark.read.parquet(s"$sfDir/documents.parquet"),
+        Seq("src0" -> 0.5), defaultRate = 0.1, salt = "s")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
+      s"text column must not be read:\n$plan")
+  }
+
+  test("rarity profile scans the corpus exactly once") {
+    val plan = graft.pipeline.Mixture.rarityProfile(
+        spark.read.parquet(s"$sfDir/documents.parquet"), rareMax = 100)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("FileScan"))
+    assert(scans == 1, s"corpus-frequency branch re-scanned the corpus:\n$plan")
+  }
+
   test("salted skew join equals plain join") {
     val plain = t("lineitem").join(t("orders"), col("l_orderkey") === col("o_orderkey"))
     val salted = SkewJoin.salted(
