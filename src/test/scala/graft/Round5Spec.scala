@@ -115,6 +115,33 @@ class Round5Spec extends SparkTestBase {
     }
   }
 
+  test("config-declared endpoint datasource federates like any table") {
+    // the reference's SPARQL_Endpoint datasource type: a config entry turns
+    // a remote endpoint into a queryable table + molecule, here loopback
+    withServer { port =>
+      val loaded = graft.api.GraftConfig.parse(
+        s"""{ "datasources": [
+           |    {"table": "remote_nation", "type": "endpoint",
+           |     "url": "http://127.0.0.1:$port/sparql",
+           |     "params": {
+           |       "query": "PREFIX g: <urn:g:> SELECT ?k ?nm WHERE { ?n a g:Nation ; g:name ?nm . BIND (STRAFTER(STR(?n), \\"nation:\\") AS ?k) } ORDER BY ?k",
+           |       "schema": "k STRING, nm STRING", "pageSize": "10"}} ],
+           |  "molecules": [
+           |    {"type": "urn:g:RemoteNation", "table": "remote_nation",
+           |     "subject": "urn:g:rnation:{k}",
+           |     "predicates": [{"predicate": "urn:g:name", "column": "nm"}]} ]
+           |}""".stripMargin)(spark)
+      val rows = loaded.graft(spark).sparql(
+        """PREFIX g: <urn:g:>
+          |SELECT ?x ?nm WHERE { ?x a g:RemoteNation ; g:name ?nm }
+          |ORDER BY ?x""".stripMargin).collect()
+      assert(rows.length == 25)
+      assert(rows.forall(_.getString(0).startsWith("urn:g:rnation:")))
+      assert(rows.map(_.getString(1)).toSet ==
+        (0 until 25).map(i => s"NATION_$i").toSet)
+    }
+  }
+
   test("SERVICE SILENT over an unreachable endpoint degrades to unit") {
     // port 1 refuses connections; non-SILENT must fail, SILENT must not
     intercept[Exception] {
