@@ -593,6 +593,9 @@ object SparkEntry {
         Similarity.bruteForceTopK(emb, k = 5, numQueries = 3), k = 5)
         .orderBy("q_id", "vec_id")
     }),
+    "emb_knn_filtered" -> ((s, d) =>
+      Similarity.filteredTopK(T(s, d, "embeddings"), col("label") === 1,
+        k = 5, numQueries = 3).orderBy("q_id", "rank")),
     "emb_knn_ivfpq" -> ((s, d) => {
       val emb = T(s, d, "embeddings")
       Similarity.annContract(
@@ -1052,6 +1055,20 @@ object SparkEntry {
       "(0,73),(0,334),(0,365),(0,387),(0,423)," +
         "(1,64),(1,80),(1,195),(1,386),(1,407)," +
         "(2,112),(2,145),(2,418),(2,450),(2,471)"),
+    // filtered kNN: exact, pre-filter semantics (restrict THEN rank) —
+    // fully recomputable in DuckDB, no pinned hits needed
+    "emb_knn_filtered" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id < 3),
+        |exact AS (SELECT q_id, vec_id, rank FROM (
+        |  SELECT q_id, e.vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[])) DESC,
+        |               e.vec_id) AS rank
+        |  FROM q, embeddings e WHERE e.vec_id <> q_id AND e.label = 1)
+        |WHERE rank <= 5)
+        |SELECT q_id, vec_id, rank FROM exact ORDER BY q_id, rank""".stripMargin,
+
     // IVF-PQ: same pinned-hit convention; ADC quantization on the
     // near-uniform synthetic embeddings costs recall vs plain IVF — the
     // contract records the achieved overlap honestly (cf. the LSH row,

@@ -69,6 +69,36 @@ object Similarity {
       .select("q_id", "vec_id", "rank")
   }
 
+  /** Filtered (metadata-restricted) kNN — the "filtered vector search"
+    * composition: the corpus predicate applies BEFORE the search
+    * (pre-filter semantics — post-filtering a top-k can return fewer than
+    * k survivors, the classic filtered-ANN bug). The predicate rides the
+    * DataFrame scan, so partition pruning and parquet pushdown cut the
+    * corpus before any distance math; queries come from the unfiltered
+    * corpus (a query need not satisfy the filter it searches under).
+    * Output: (q_id, vec_id, rank). */
+  def filteredTopK(emb: DataFrame, predicate: org.apache.spark.sql.Column,
+                   k: Int = 5, numQueries: Int = 3): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val queries = asRows(emb).filter(_.vec_id < numQueries).collect()
+      .map(q => (q.vec_id, normalize(q.embedding)))
+    val bc = spark.sparkContext.broadcast(queries)
+    val scored = asRows(emb.filter(predicate)).mapPartitions { it =>
+      val qs = bc.value
+      it.flatMap { e =>
+        val v = normalize(e.embedding)
+        qs.iterator.filter(_._1 != e.vec_id)
+          .map { case (qid, q) => (qid, e.vec_id, dot(v, q)) }
+      }
+    }.toDF("q_id", "vec_id", "cosine")
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "rank")
+  }
+
   /** 16-bit signed-random-projection bucket signature. The "random"
     * hyperplane component for (plane i, dim d) is a deterministic
     * xxhash64-derived value — fully reproducible, no weight matrix to ship. */
