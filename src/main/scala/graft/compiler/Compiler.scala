@@ -99,16 +99,21 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
 
   private def compileSelect(q: Query): DataFrame = {
     val c = compilePattern(q.pattern)
+    // template-signature vars are molecule-built IRIs — their term kind is
+    // constant, so the §15.1 kind rank below would be a per-row no-op; skip
+    // it for them (ORDER BY over URI keys is the common hot case)
+    val iriVars = c.sigs.keySet
     def sortKeys(df: DataFrame) = q.orderBy.flatMap { ok =>
       val key = ExprCompiler.compile(ok.expr, df)
       // W3C §15.1 term ordering: unbound < blank < IRI < literal. Typed
       // (numeric/temporal/boolean) columns order by value already; only a
       // string column can mix term kinds (a UNION of IRI- and literal-
-      // valued branches), so bare string-typed vars get a kind rank ahead
-      // of the value key. Homogeneous columns rank constant — their order
-      // is unchanged and the rank collapses to a cheap prefix.
+      // valued branches), so bare string-typed vars of unknown provenance
+      // get a kind rank ahead of the value key. Homogeneous columns rank
+      // constant — their order is unchanged.
       val kindRank = ok.expr match {
-        case Expr.TermRef(Var(n)) if df.schema.fields.exists(fd =>
+        case Expr.TermRef(Var(n))
+          if !iriVars.contains(n) && df.schema.fields.exists(fd =>
             fd.name == n && fd.dataType == StringType) =>
           Some(when(df.col(n).isNull, 0)
             .when(df.col(n).startsWith("_:"), 1)
