@@ -142,6 +142,32 @@ class Round5Spec extends SparkTestBase {
     }
   }
 
+  test("SparqlText round-trips through the parser") {
+    // serialize(parse(q)) must parse back to the SAME algebra — the
+    // property that makes SERVICE dispatch trustworthy against any
+    // endpoint running this engine
+    import graft.parser.SparqlParser
+    import graft.compiler.SparqlText
+    val queries = Seq(
+      "PREFIX g: <urn:g:> SELECT ?c ?n WHERE { ?c a g:Customer ; g:name ?n }",
+      """PREFIX g: <urn:g:> SELECT ?c WHERE {
+        |  ?c a g:Customer ; g:acctbal ?b . FILTER (?b > 100 && !(?b > 5000)) }""".stripMargin,
+      """PREFIX g: <urn:g:> SELECT ?x WHERE {
+        |  { ?x a g:Customer } UNION { ?x a g:Supplier } }""".stripMargin,
+      """PREFIX g: <urn:g:> SELECT ?c ?o WHERE {
+        |  ?c a g:Customer . OPTIONAL { ?o g:customer ?c } }""".stripMargin,
+      """PREFIX g: <urn:g:> SELECT ?c ?nm WHERE {
+        |  ?c g:nation ?n . BIND (STR(?n) AS ?nm)
+        |  VALUES ?c { <urn:g:cust:1> <urn:g:cust:2> } }""".stripMargin,
+      "PREFIX g: <urn:g:> SELECT ?x ?y WHERE { ?x (g:nation|g:region)+ ?y }")
+    queries.foreach { q =>
+      val p1 = SparqlParser.parseUnsafe(q).pattern
+      val text = s"SELECT * WHERE { ${SparqlText.pattern(p1)} }"
+      val p2 = SparqlParser.parseUnsafe(text).pattern
+      assert(p2 == p1, s"round-trip drifted for:\n$q\nvia\n$text")
+    }
+  }
+
   test("SERVICE SILENT over an unreachable endpoint degrades to unit") {
     // port 1 refuses connections; non-SILENT must fail, SILENT must not
     intercept[Exception] {
