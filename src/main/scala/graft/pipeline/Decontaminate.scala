@@ -29,4 +29,22 @@ object Decontaminate {
       .groupBy("doc_id")
       .agg(count_distinct(col("g")).as("n_matched_grams"))
   }
+
+  /** The benchmark's distinct k-gram ids as a driver-side array — bounded
+    * by construction (eval suites are small), for shipping into the
+    * streaming filter as a literal. */
+  def benchmarkGramIds(benchmark: DataFrame, k: Int = 5): Array[Long] =
+    Dedup.withShingles(benchmark, k)
+      .select(explode(col("shingles")).as("g")).distinct()
+      .collect().map(_.getLong(0)).sorted
+
+  /** Streaming face of [[flagged]]: drop documents sharing any verbatim
+    * k-gram with the benchmark as they arrive. The gram-id set rides the
+    * plan as a literal array, so the filter is STATELESS — works on
+    * unbounded streams with zero state store, no watermark needed. */
+  def decontaminatedStream(docs: DataFrame, benchGramIds: Array[Long],
+                           k: Int = 5): DataFrame =
+    docs.filter(size(array_intersect(
+      graft.functions.GraftFunctions.shingle_ids(col("text"), k),
+      typedLit(benchGramIds.toSeq))) === 0)
 }

@@ -50,4 +50,42 @@ class PropertySpec extends AnyFunSuite {
       assert(tp.o == Lit(n.toString, Some(Terms.XsdInt)))
     }
   }
+
+  test("SparqlText: serialize∘parse is identity on generated patterns") {
+    import graft.algebra._
+    import graft.compiler.SparqlText
+    import graft.parser.SparqlParser
+    // generator avoids shapes the grammar legitimately normalizes
+    // (adjacent BGPs merge into one; stacked FILTERs reorder) — those are
+    // semantic no-ops, not serializer bugs
+    val genVar: Gen[Term] = Gen.oneOf("a", "b", "c", "d").map(Var(_))
+    val genIri: Gen[Term] =
+      Gen.oneOf("urn:g:p1", "urn:g:p2", "urn:g:name").map(Iri(_))
+    val genLit: Gen[Term] = Gen.oneOf(
+      Lit("plain value"), Lit("42", Some(Terms.XsdInt)),
+      Lit("bonjour", None, Some("fr")))
+    val genTriple = for {
+      s <- Gen.oneOf(genVar, genIri)
+      p <- genIri
+      o <- Gen.oneOf(genVar, genIri, genLit)
+    } yield TriplePattern(s, p, o)
+    val genBgp: Gen[Pattern] =
+      Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, genTriple).map(Pattern.Bgp(_)))
+    val genFilter: Gen[Pattern] = genBgp.map(b => Pattern.Filter(
+      Expr.Cmp(">", Expr.TermRef(Var("a")),
+        Expr.TermRef(Lit("5", Some(Terms.XsdInt)))), b))
+    def genPattern(depth: Int): Gen[Pattern] =
+      if (depth == 0) genBgp
+      else Gen.oneOf(
+        genBgp, genFilter,
+        Gen.zip(genPattern(depth - 1), genPattern(depth - 1))
+          .map { case (l, r) => Pattern.Union(l, r) },
+        Gen.zip(genBgp, genBgp)
+          .map { case (l, r) => Pattern.LeftJoin(l, r, None) })
+    samples(genPattern(2), 150).foreach { p =>
+      val text = s"SELECT * WHERE { ${SparqlText.pattern(p)} }"
+      val parsed = SparqlParser.parseUnsafe(text).pattern
+      assert(parsed == p, s"round-trip drifted for:\n$p\nvia\n$text")
+    }
+  }
 }

@@ -74,6 +74,30 @@ class StreamingSpec extends SparkTestBase {
     assert(kept == Set(1L, 3L)) // one survivor per fingerprint
   }
 
+  test("stream decontamination drops docs overlapping the benchmark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val grams = graft.pipeline.Decontaminate.benchmarkGramIds(bench, k = 5)
+    assert(grams.nonEmpty)
+    val input = MemoryStream[(Long, String)]
+    val q = graft.pipeline.Decontaminate.decontaminatedStream(
+        input.toDF().toDF("doc_id", "text"), grams, k = 5)
+      .writeStream.format("memory").queryName("decontam")
+      .outputMode(OutputMode.Append).start()
+    input.addData(
+      (1L, "totally clean document with its own words entirely"),
+      (2L, "quote: the quick brown fox jumps over the lazy dog end"), // leaked
+      (3L, "short and clean"))
+    q.processAllAvailable()
+    val kept = spark.table("decontam").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    q.stop()
+    assert(kept == Set(1L, 3L))
+  }
+
   test("stream-static join enriches events with a dimension table") {
     val s = spark
     import s.implicits._
