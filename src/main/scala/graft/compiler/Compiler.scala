@@ -335,7 +335,22 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
     case Pattern.Service(src, p0, silent) => compileService(src, p0, silent)
     case Pattern.Minus(l, r)      => antiSemi(l, r, "left_anti", minus = true)
     case Pattern.Exists(l, r, pos) =>
-      antiSemi(l, r, if (pos) "left_semi" else "left_anti", minus = false)
+      // correlated EXISTS: a FILTER in the probe referencing outer vars
+      // participates in the semi/anti join (W3C §18.6 substitution
+      // semantics — outer bindings substitute into the probe, nested
+      // groups included, so unwrapping the filter chain is exact here,
+      // unlike OPTIONAL's group-scoped conditions)
+      def unwrapF(q: Pattern, fs: List[Expr]): (Pattern, List[Expr]) = q match {
+        case Pattern.Filter(f, inner) => unwrapF(inner, f :: fs)
+        case other                    => (other, fs)
+      }
+      val (probe, fs) = unwrapF(r, Nil)
+      fs.reduceOption(Expr.And.apply) match {
+        case Some(f) if !Expr.vars(f).subsetOf(probe.vars) =>
+          correlatedExists(l, probe, f, pos)
+        case _ =>
+          antiSemi(l, r, if (pos) "left_semi" else "left_anti", minus = false)
+      }
     case Pattern.Values(vs, rows) => compileValues(vs, rows)
     case Pattern.Path(s, ast, o)  => compilePath(s, ast, o)
     // SPARQL 1.1 subquery: compiled like a root SELECT (aggregation,
@@ -1072,6 +1087,23 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
       else lit(null).cast(fd.dataType).as(fd.name)
     }: _*)
     inner.copy(df = matched.unionByName(padded))
+  }
+
+  /** EXISTS/NOT EXISTS with a condition over the merged bindings: the
+    * probe joins the outer solution (inner join + filter), and the outer
+    * rows with ≥1 / 0 survivors pass — a null-safe semi/anti join against
+    * the surviving left projections, the same composition as
+    * [[leftJoinCond]]. */
+  private def correlatedExists(l: Pattern, probe: Pattern, f: Expr,
+                               positive: Boolean): Compiled = {
+    val lc = compilePattern(l)
+    val inner = join2(lc, compilePattern(probe), "inner")
+    val matched = inner.df.filter(ExprCompiler.predicate(f, inner.df))
+    val lcols = lc.df.columns.toSeq
+    val survivors = matched.select(lcols.map(c => col(c).as(s"__ex_$c")): _*)
+    val cond = lcols.map(c => lc.df(c) <=> survivors(s"__ex_$c")).reduce(_ && _)
+    Compiled(lc.df.join(survivors, cond,
+      if (positive) "left_semi" else "left_anti"), lc.sigs, lc.bcast)
   }
 
   private def dropCollidingHidden(l: Compiled, r: Compiled): DataFrame = {

@@ -246,6 +246,31 @@ class SemanticsSpec extends SparkTestBase {
     assert(keys.head < 0 && keys.last > 0)
   }
 
+  test("correlated FILTER EXISTS joins the probe on the outer bindings") {
+    // §18.6 substitution: the probe's filter sees the outer solution —
+    // customers with at least one order priced above 40× their balance
+    val semi = g.sparql(
+      """PREFIX g: <urn:g:> SELECT ?c WHERE {
+        |  ?c a g:Customer ; g:acctbal ?b .
+        |  FILTER EXISTS { ?o g:customer ?c ; g:totalprice ?tp .
+        |                  FILTER (?tp > ?b * 40) } }""".stripMargin)
+    val anti = g.sparql(
+      """PREFIX g: <urn:g:> SELECT ?c WHERE {
+        |  ?c a g:Customer ; g:acctbal ?b .
+        |  FILTER NOT EXISTS { ?o g:customer ?c ; g:totalprice ?tp .
+        |                      FILTER (?tp > ?b * 40) } }""".stripMargin)
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+    val want = cust.join(ord, col("c_custkey") === col("o_custkey"))
+      .filter(col("o_totalprice") > col("c_acctbal") * 40)
+      .select("c_custkey").distinct().count()
+    assert(semi.count() == want && want > 0)
+    assert(anti.count() == cust.count() - want)
+    // without correlation the same filter would be an unbound-var error
+    // (false for every probe row) ⇒ EXISTS would keep nobody
+    assert(semi.count() < cust.count())
+  }
+
   test("term constructors IRI/STRDT/STRLANG and query-constant NOW()") {
     val df = g.sparql(
       """PREFIX g: <urn:g:> PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
