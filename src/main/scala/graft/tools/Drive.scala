@@ -11,13 +11,23 @@ object Drive {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val d = "/root/testdata/sf0.01"
-    for (q <- Seq("doc_mixture_sample", "doc_filter_funnel", "doc_rarity")) {
-      println(s"===== $q")
-      println(graft.SparkEntry.queries(q)(spark, d).queryExecution.executedPlan
-        .toString.linesIterator.filter(s =>
-          s.contains("ReadSchema") || s.contains("PushedFilters") ||
-            s.contains("Exchange") || s.contains("Scan")).mkString("\n"))
+    val g = graft.api.Graft.overParquetDir(
+      graft.api.TpchCatalog.catalog, "/root/testdata/sf0.01")(spark)
+    val correlated = g.sparql(
+      """PREFIX g: <urn:g:> SELECT ?c WHERE {
+        |  ?c a g:Customer ; g:acctbal ?b .
+        |  FILTER EXISTS { ?o g:customer ?c ; g:totalprice ?tp .
+        |                  FILTER (?tp > ?b * 40) } }""".stripMargin)
+    val optCond = g.sparql(
+      """PREFIX g: <urn:g:> SELECT ?c ?o WHERE {
+        |  ?c a g:Customer ; g:acctbal ?b .
+        |  OPTIONAL { ?o g:customer ?c ; g:totalprice ?tp .
+        |             FILTER (?tp > ?b * 40) } }""".stripMargin)
+    for ((n, df) <- Seq("correlated-exists" -> correlated, "optional-cond" -> optCond)) {
+      val joins = df.queryExecution.executedPlan.toString.linesIterator
+        .filter(s => s.contains("Join") || s.contains("CartesianProduct"))
+        .map(_.trim.take(110)).mkString("\n")
+      println(s"===== $n\n$joins")
     }
     spark.stop()
   }
