@@ -271,6 +271,25 @@ class SemanticsSpec extends SparkTestBase {
     assert(semi.count() < cust.count())
   }
 
+  test("MINUS does NOT substitute outer bindings (EXISTS/MINUS asymmetry)") {
+    // §8.3.3: unlike EXISTS, MINUS evaluates its pattern without the outer
+    // solution — a filter referencing an outer var is an unbound-var error
+    // (false), the MINUS side is empty, and nothing is removed
+    val minus = n(
+      """PREFIX g: <urn:g:> SELECT ?c WHERE {
+        |  ?c a g:Customer ; g:acctbal ?b .
+        |  MINUS { ?o g:customer ?c . FILTER (?b > -999999) } }""".stripMargin)
+    val all = n("PREFIX g: <urn:g:> SELECT ?c WHERE { ?c a g:Customer }")
+    assert(minus == all)
+    // the same shape under NOT EXISTS is correlated: the filter is
+    // always true there, so customers WITH orders are removed
+    val notEx = n(
+      """PREFIX g: <urn:g:> SELECT ?c WHERE {
+        |  ?c a g:Customer ; g:acctbal ?b .
+        |  FILTER NOT EXISTS { ?o g:customer ?c . FILTER (?b > -999999) } }""".stripMargin)
+    assert(notEx < all)
+  }
+
   test("term constructors IRI/STRDT/STRLANG and query-constant NOW()") {
     val df = g.sparql(
       """PREFIX g: <urn:g:> PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
