@@ -639,27 +639,43 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
     val schema = StructType(vars.map(StructField(_, StringType, nullable = true)))
     val window = spark.conf.get("graft.service.bindJoin.window", "20").toInt
     val maxKeys = spark.conf.get("graft.service.bindJoin.maxKeys", "10000").toInt
-    def fetchBatch(batch: Seq[org.apache.spark.sql.Row]): DataFrame = {
-      // null keys cannot join — drop them from the window
-      val rows = batch.map(b => shared.indices.map(i => Option(b.get(i))))
-        .collect { case r if r.forall(_.isDefined) => r.map(_.get.toString) }
-      if (rows.isEmpty)
-        spark.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-      else {
-        val q = s"SELECT ${vars.map("?" + _).mkString(" ")} WHERE { " +
-          s"${SparqlText.pattern(inner)} ${SparqlText.valuesBlock(shared, rows)} }"
-        val fetched = graft.sources.SparqlHttp.select(src, q, schema)
-        spark.createDataFrame(
-          java.util.Arrays.asList(fetched: _*), schema)
-      }
-    }
     def run: Compiled = {
       // the remote side casts every binding to its lexical string form;
       // the local keys must compare the same way
       val left = shared.foldLeft(lc.df)((d, v) => d.withColumn(v, col(v).cast(StringType)))
-      Compiled(graft.operators.BindJoin(left, shared, fetchBatch,
-        windowSize = window, maxKeys = maxKeys), lc.sigs -- shared)
+      // buffering the distinct keys is intrinsic to a bind join (the
+      // reference's filter_bag); the cap bounds it, and past the cap a
+      // shuffled join over the full fetch is the right plan anyway
+      val keys = left.select(shared.map(col): _*).distinct()
+        .limit(maxKeys + 1).collect()
+        .map(b => shared.indices.map(i => Option(b.get(i))))
+        .collect { case r if r.forall(_.isDefined) => r.map(_.get.toString) }
+      require(keys.length <= maxKeys,
+        s"bind join is the wrong plan for >$maxKeys distinct keys")
+      val right =
+        if (keys.isEmpty)
+          spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        else {
+          // one VALUES-window query per batch, fetched ON THE EXECUTORS —
+          // window requests run in parallel across the cluster, exactly
+          // like the paged source's per-partition page pulls; the driver
+          // only builds the query strings
+          val batchQueries = keys.grouped(window).map { rows =>
+            s"SELECT ${vars.map("?" + _).mkString(" ")} WHERE { " +
+              s"${SparqlText.pattern(inner)} ${SparqlText.valuesBlock(shared, rows.toSeq)} }"
+          }.toSeq
+          val rdd = spark.sparkContext
+            .parallelize(batchQueries, batchQueries.size)
+            .flatMap(q => graft.sources.SparqlHttp.select(src, q, schema))
+          // persist: downstream sorts/AQE recompute inputs (range-boundary
+          // sampling runs the RDD once before the real pass) — a remote
+          // fetch must hit the endpoint once per window, both for cost and
+          // because each request is an independent snapshot
+          spark.createDataFrame(rdd, schema)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        }
+      Compiled(left.join(right, shared, "inner"), lc.sigs -- shared)
     }
     try run catch {
       // over the key cap (or SILENT failure): full fetch + ordinary join

@@ -80,13 +80,14 @@ class Round5Spec extends SparkTestBase {
            |  ?n g:region ?r .
            |  SERVICE <http://127.0.0.1:$port/sparql> { ?r g:name ?rn }
            |} ORDER BY ?r ?rn""".stripMargin)
+      val rows = fed.collect() // window fetches run executor-side, lazily
       val requests = server.queriesServed.get()
       assert(requests == 1, s"bind join should send 1 windowed request, sent $requests")
       val local = g.sparql(
         """PREFIX g: <urn:g:>
           |SELECT ?r ?rn WHERE { ?n g:region ?r . ?r g:name ?rn }
           |ORDER BY ?r ?rn""".stripMargin)
-      assert(fed.collect().map(_.toSeq).toSeq == local.collect().map(_.toSeq).toSeq)
+      assert(rows.map(_.toSeq).toSeq == local.collect().map(_.toSeq).toSeq)
     } finally server.stop()
   }
 
