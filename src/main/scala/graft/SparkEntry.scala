@@ -548,6 +548,8 @@ object SparkEntry {
     "doc_rarity" -> ((s, d) =>
       Mixture.rarityProfile(T(s, d, "documents"), rareMax = 100)
         .orderBy("doc_id")),
+    "doc_vocab" -> ((s, d) =>
+      Mixture.vocabStats(T(s, d, "documents")).orderBy("tok")),
     "doc_decontaminate" -> ((s, d) => {
       val docs = T(s, d, "documents")
       Decontaminate.flagged(
@@ -1133,6 +1135,16 @@ object SparkEntry {
         |  n_bigrams, top_bigram_n,
         |  (top_unigram_n * 5 <= n_tokens AND top_bigram_n * 5 <= n_bigrams) AS keep
         |FROM ua JOIN ba ON ba.doc_id = ua.doc_id ORDER BY ua.doc_id""".stripMargin,
+
+    // corpus vocabulary: (token, tf, df), integer-exact
+    "doc_vocab" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |  FROM documents),
+        |dt AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2)
+        |SELECT tok, CAST(SUM(c) AS BIGINT) AS tf,
+        |  CAST(COUNT(*) AS BIGINT) AS df
+        |FROM dt GROUP BY tok ORDER BY tok""".stripMargin,
 
     // filter funnel: first-failing-rule attribution, fixed rule order
     "doc_filter_funnel" ->

@@ -38,6 +38,22 @@ object Mixture {
       .select(col("doc_id"), col("source"))
   }
 
+  /** Corpus vocabulary table — (token, term frequency, document
+    * frequency), the substrate of tokenizer training and idf weighting.
+    * One explode + one aggregation keyed on token: tf sums the
+    * per-(doc, token) counts (map-side combine absorbs in-document
+    * repetition), df counts the docs. Both integers — exact across
+    * engines. At whole-corpus scale the exact distinct-doc count per
+    * token is the expensive part; `approx_count_distinct` is the drop-in
+    * when ±2% df tolerance is acceptable. */
+  def vocabStats(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("tok").agg(
+        sum("c").cast("long").as("tf"),
+        count(lit(1)).cast("long").as("df"))
+
   /** Corpus-frequency rarity profile — the integer-exact core of
     * frequency-based quality filtering (the in-engine analog of CCNet's
     * LM-perplexity gate: documents dominated by tokens the corpus has
