@@ -95,4 +95,58 @@ class StressSpec extends SparkTestBase {
         col("c_nationkey") === col("s_nationkey")).count()
     assert(n == math.min(full, 100L))
   }
+
+  test("server survives concurrent blocking and incremental clients") {
+    import java.net.{HttpURLConnection, URI, URLEncoder}
+    import java.nio.charset.StandardCharsets.UTF_8
+    val server = new graft.api.GraftServer(g)
+    val port = server.start()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def get(url: String) = {
+      val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("GET")
+      val body = new String(conn.getInputStream.readAllBytes(), UTF_8)
+      mapper.readTree(body)
+    }
+    try {
+      val qs = Seq(
+        "PREFIX g: <urn:g:> SELECT ?n WHERE { ?r a g:Region ; g:name ?n }",
+        "PREFIX g: <urn:g:> SELECT ?n WHERE { ?x a g:Nation ; g:name ?n }",
+        "PREFIX g: <urn:g:> SELECT (COUNT(?c) AS ?n) WHERE { ?c a g:Customer }")
+      val expected = Seq(5, 25, 1)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val runs = Future.sequence((0 until 12).map { i =>
+        Future {
+          // whitespace-distinct query text per client: distinct md5 session
+          // keys (same-query clients intentionally replace each other —
+          // the reference's contract — which is not what's under test here)
+          val text = qs(i % 3) + (" " * (i + 1))
+          val q = URLEncoder.encode(text, UTF_8)
+          if (i % 2 == 0) { // blocking client: count streamed rows
+            get(s"http://127.0.0.1:$port/sparql?query=$q")
+              .path("totalRows").asInt()
+          } else { // incremental client: drain /nextresult to EOF
+            val id = get(s"http://127.0.0.1:$port/sparql?query=$q&blocking=0")
+              .path("hashquery").asText()
+            var n = 0
+            var eof = false
+            while (!eof) {
+              val r = get(s"http://127.0.0.1:$port/nextresult?id=$id")
+              if (r.path("result").isTextual &&
+                  r.path("result").asText() == "EOF") eof = true
+              else n += 1
+            }
+            n
+          }
+        }
+      })
+      val counts = Await.result(runs, 120.seconds)
+      counts.zipWithIndex.foreach { case (n, i) =>
+        assert(n == expected(i % 3), s"client $i got $n rows")
+      }
+      assert(server.sweepIdleSessions(System.currentTimeMillis() + 700000L) == 0)
+    } finally server.stop()
+  }
 }
