@@ -228,7 +228,7 @@ final class GraftServer(g: Graft, port: Int = 0,
   private def srjTerm(v: Any): (String, Option[String], String) = {
     val Xsd = "http://www.w3.org/2001/XMLSchema#"
     v match {
-      case s: String if s.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*") => ("uri", None, s)
+      case s: String if s.matches(graft.compiler.Compiled.IriShape) => ("uri", None, s)
       case s: String                => ("literal", None, s)
       case _: java.lang.Integer | _: java.lang.Long | _: java.lang.Short |
            _: java.lang.Byte        => ("literal", Some(Xsd + "integer"), v.toString)

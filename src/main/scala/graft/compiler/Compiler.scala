@@ -40,6 +40,14 @@ object Compiled {
     * `__iri_<var>` IRI-vs-literal term kind (from the molecule's term map). */
   def isHidden(c: String): Boolean =
     c.startsWith("__k_") || c.startsWith("__lang_") || c.startsWith("__iri_")
+
+  /** Lexical IRI shape for a string of unknown provenance: scheme, colon,
+    * and no whitespace anywhere (anchored to the whole string). Whitespace
+    * is never legal in an IRI, so a plain literal like "note: see below"
+    * ranks as a literal; a whitespace-free scheme-shaped value ("mailto:x")
+    * still ranks as an IRI — the residual ambiguity of a lexical-string
+    * engine, shared with [[graft.api.GraftServer]]'s SRJ term typing. */
+  val IriShape: String = "^[A-Za-z][A-Za-z0-9+.-]*:\\S*$"
 }
 
 /** SPARQL algebra → DataFrame compiler.
@@ -55,12 +63,36 @@ object Compiled {
 final class Compiler(catalog: Catalog, load: String => DataFrame)
                     (implicit spark: SparkSession) {
 
-  def compile(q: Query): DataFrame = q.form match {
-    case SelectForm    => compileSelect(q)
-    case AskForm       => compileAsk(q)
-    case ConstructForm => compileConstruct(q)
-    case DescribeForm  => compileDescribe(q)
+  def compile(q: Query): DataFrame = {
+    // free the remote-fetch caches pinned by earlier queries: they are
+    // persisted (not checkpointed), so a frame already handed out stays
+    // correct after the unpersist — re-running it just re-fetches. This
+    // bounds the storage-pool footprint instead of leaking one cached RDD
+    // per SILENT remote fetch for the session.
+    // Only sweep when no sibling compile is in flight — GraftServer
+    // compiles concurrently, and a same-JVM loopback federation compiles
+    // the SERVICE body on this very engine mid-query.
+    if (activeCompiles.get() == 0) sweepRemoteFetchCaches()
+    activeCompiles.incrementAndGet()
+    try q.form match {
+      case SelectForm    => compileSelect(q)
+      case AskForm       => compileAsk(q)
+      case ConstructForm => compileConstruct(q)
+      case DescribeForm  => compileDescribe(q)
+    } finally activeCompiles.decrementAndGet()
   }
+
+  private val activeCompiles = new java.util.concurrent.atomic.AtomicInteger(0)
+  // Remote-fetch result frames pinned by in-flight queries (SILENT full
+  // fetches — bind-join windows collect to a LocalRelation and pin nothing)
+  private val remoteFetchCaches = mutable.ListBuffer[DataFrame]()
+  private def pinRemoteFetch(df: DataFrame): DataFrame =
+    remoteFetchCaches.synchronized { remoteFetchCaches += df; df }
+  private def sweepRemoteFetchCaches(): Unit =
+    remoteFetchCaches.synchronized {
+      remoteFetchCaches.foreach(_.unpersist(blocking = false))
+      remoteFetchCaches.clear()
+    }
 
   /** DESCRIBE: the parser planted a `?__dp ?__do` probe over the described
     * term; format (s, p, o) as N-Triples. IRI-vs-literal for the object
@@ -79,7 +111,7 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
     val o = c.df.col("__do").cast(StringType)
     val isIri =
       if (c.df.columns.contains("__iri___do")) c.df.col("__iri___do")
-      else o.rlike("^[A-Za-z][A-Za-z0-9+.-]*:.*") // no term map in scope
+      else o.rlike(Compiled.IriShape) // no term map in scope
     val out = c.df.select(
       s.as("s"),
       concat(lit("<"), c.df.col("__dp"), lit(">")).as("p"),
@@ -117,7 +149,7 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
             fd.name == n && fd.dataType == StringType) =>
           Some(when(df.col(n).isNull, 0)
             .when(df.col(n).startsWith("_:"), 1)
-            .when(df.col(n).rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), 2)
+            .when(df.col(n).rlike(Compiled.IriShape), 2)
             .otherwise(3))
         case _ => None
       }
@@ -597,14 +629,31 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
   /** Full remote fetch: serialize the pattern to SPARQL text and page it
     * over HTTP (W3C Federated Query §2 dispatch; rows come back as lexical
     * forms, joining siblings on term identity like path results). */
-  private def remoteServiceFetch(src: String, p: Pattern): Compiled = {
+  private def remoteServiceFetch(src: String, p: Pattern,
+                                 silent: Boolean): Compiled = {
     val vars = p.vars.toList.sorted
     require(vars.nonEmpty, s"SERVICE <$src>: pattern binds no variables")
     val query = SparqlText.selectQuery(vars, p)
     val schema = StructType(vars.map(StructField(_, StringType, nullable = true)))
     val pageSize = spark.conf.get("graft.service.pageSize", "10000").toInt
-    Compiled(graft.sources.SparqlHttp.pagedSource(src, query, schema, pageSize)
-      .load(spark), Map.empty)
+    val df = graft.sources.SparqlHttp.pagedSource(src, query, schema, pageSize)
+      .load(spark)
+    // Under SILENT the fetch materializes HERE, driver-side: page pulls
+    // otherwise run lazily on executors at action time, outside the
+    // caller's try, so a remote failure mid-query would fail the whole
+    // query instead of degrading to the unit solution per W3C Federated
+    // Query §4. The persisted result is pinned and swept at a later idle
+    // compile. (Residual edge: a frame re-run after its sweep re-fetches,
+    // and if the endpoint has died SINCE the successful silent fetch that
+    // late re-fetch fails loudly — acceptable; SILENT guarded the query
+    // that carried the clause.) Non-silent services stay fully lazy —
+    // their failures SHOULD fail the query.
+    if (silent) {
+      val mat = pinRemoteFetch(
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      mat.count()
+      Compiled(mat, Map.empty)
+    } else Compiled(df, Map.empty)
   }
 
   /** Join, with the reference's flagship federation optimization: a remote
@@ -639,52 +688,65 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
     val schema = StructType(vars.map(StructField(_, StringType, nullable = true)))
     val window = spark.conf.get("graft.service.bindJoin.window", "20").toInt
     val maxKeys = spark.conf.get("graft.service.bindJoin.maxKeys", "10000").toInt
+    val maxFetchRows =
+      spark.conf.get("graft.service.bindJoin.maxFetchRows", "1000000").toInt
+    // over the key cap a shuffled join over the full paged fetch is the
+    // right plan anyway — an explicit branch, not exception control flow:
+    // the old catch of IllegalArgumentException also swallowed
+    // NumberFormatException (it extends IAE) from a malformed window/
+    // maxKeys config, silently degrading to a full fetch
+    def fullFetch: Compiled =
+      join2(lc, remoteServiceFetch(src, inner, silent), "inner")
     def run: Compiled = {
       // the remote side casts every binding to its lexical string form;
       // the local keys must compare the same way
       val left = shared.foldLeft(lc.df)((d, v) => d.withColumn(v, col(v).cast(StringType)))
       // buffering the distinct keys is intrinsic to a bind join (the
-      // reference's filter_bag); the cap bounds it, and past the cap a
-      // shuffled join over the full fetch is the right plan anyway
+      // reference's filter_bag); the cap bounds it
       val keys = left.select(shared.map(col): _*).distinct()
         .limit(maxKeys + 1).collect()
         .map(b => shared.indices.map(i => Option(b.get(i))))
         .collect { case r if r.forall(_.isDefined) => r.map(_.get.toString) }
-      require(keys.length <= maxKeys,
-        s"bind join is the wrong plan for >$maxKeys distinct keys")
-      val right =
-        if (keys.isEmpty)
+      if (keys.length > maxKeys) return fullFetch
+      if (keys.isEmpty)
+        return Compiled(left.join(
           spark.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-        else {
-          // one VALUES-window query per batch, fetched ON THE EXECUTORS —
-          // window requests run in parallel across the cluster, exactly
-          // like the paged source's per-partition page pulls; the driver
-          // only builds the query strings
-          val batchQueries = keys.grouped(window).map { rows =>
-            s"SELECT ${vars.map("?" + _).mkString(" ")} WHERE { " +
-              s"${SparqlText.pattern(inner)} ${SparqlText.valuesBlock(shared, rows.toSeq)} }"
-          }.toSeq
-          val rdd = spark.sparkContext
-            .parallelize(batchQueries, batchQueries.size)
-            .flatMap(q => graft.sources.SparqlHttp.select(src, q, schema))
-          // persist: downstream sorts/AQE recompute inputs (range-boundary
-          // sampling runs the RDD once before the real pass) — a remote
-          // fetch must hit the endpoint once per window, both for cost and
-          // because each request is an independent snapshot
-          spark.createDataFrame(rdd, schema)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        }
+            new java.util.ArrayList[org.apache.spark.sql.Row](), schema),
+          shared, "inner"), lc.sigs -- shared)
+      // one VALUES-window query per batch, fetched ON THE EXECUTORS —
+      // window requests run in parallel across the cluster; the driver
+      // only builds the query strings and receives the matched rows
+      val batchQueries = keys.grouped(window).map { rows =>
+        s"SELECT ${vars.map("?" + _).mkString(" ")} WHERE { " +
+          s"${SparqlText.pattern(inner)} ${SparqlText.valuesBlock(shared, rows.toSeq)} }"
+      }.toSeq
+      val fetched = spark.sparkContext
+        .parallelize(batchQueries, batchQueries.size)
+        .flatMap(q => graft.sources.SparqlHttp.select(src, q, schema))
+        .collect()
+      // the matched rows land in a LocalRelation, not a persisted RDD:
+      // (a) each VALUES window hits the endpoint exactly once even though
+      // downstream sorts/AQE recompute inputs (each request would be an
+      // independent snapshot); (b) executor-side transport failures
+      // surface here, inside the SILENT try below, not at action time;
+      // (c) nothing is cached, so nothing can leak or be swept mid-query;
+      // (d) Catalyst sees a known-small local side and BROADCASTS it —
+      // the big local pattern never shuffles for this join. Bounded by
+      // construction (selective keys are why a bind join was chosen) and
+      // by the explicit row cap, past which the distributed full paged
+      // fetch is the right plan anyway.
+      if (fetched.length > maxFetchRows) return fullFetch
+      val right = spark.createDataFrame(
+        java.util.Arrays.asList(fetched: _*), schema)
       Compiled(left.join(right, shared, "inner"), lc.sigs -- shared)
     }
-    try run catch {
-      // over the key cap (or SILENT failure): full fetch + ordinary join
-      case _: IllegalArgumentException if !silent =>
-        join2(lc, remoteServiceFetch(src, inner), "inner")
-      case scala.util.control.NonFatal(_) if silent =>
-        try join2(lc, remoteServiceFetch(src, inner), "inner")
-        catch { case scala.util.control.NonFatal(_) => lc }
-    }
+    if (silent)
+      try run catch {
+        case scala.util.control.NonFatal(_) =>
+          try fullFetch
+          catch { case scala.util.control.NonFatal(_) => lc }
+      }
+    else run
   }
 
   private def compileService(src: String, p: Pattern, silent: Boolean): Compiled = {
@@ -693,7 +755,7 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
     val scoped = catalog.molecules.filter(m => m.source == src || m.source == name)
     def unit = Compiled(spark.range(1).select(), Map.empty)
     if (scoped.isEmpty && isRemoteService(src)) {
-      def remote: Compiled = remoteServiceFetch(src, p)
+      def remote: Compiled = remoteServiceFetch(src, p, silent)
       return if (silent)
         try remote catch { case scala.util.control.NonFatal(_) => unit }
       else remote

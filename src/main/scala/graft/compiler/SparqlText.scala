@@ -99,6 +99,9 @@ object SparqlText {
     case Expr.Call("in", subj :: items) =>
       s"(${expr(subj)} IN (${items.map(expr).mkString(", ")}))"
     case Expr.Call(name, args) =>
-      s"${name.toUpperCase}(${args.map(expr).mkString(", ")})"
+      // IRI-named calls (ExprCompiler's xsd cast names are full IRIs) must
+      // serialize as <iri>(args) — uppercasing a bare IRI is invalid SPARQL
+      val fn = if (name.contains(":")) s"<$name>" else name.toUpperCase
+      s"$fn(${args.map(expr).mkString(", ")})"
   }
 }

@@ -327,8 +327,10 @@ class SparqlParser extends RegexParsers {
     builtinNames.map(n => kw(n) ~ ("(" ~> repsep(expression, ",") <~ ")") ^^ {
       case name ~ args => Expr.Call(name.toLowerCase, args): Expr
     }).reduceLeft(_ | _) |
-    // xsd casts: xsd:integer(?x) etc.
-    (pname <~ "(") ~ repsep(expression, ",") <~ ")" ^^ {
+    // xsd casts: xsd:integer(?x) etc., prefixed or as a full IRI call
+    // (W3C `iriOrFunction` — the form SparqlText serializes, so a SERVICE
+    // body with casts round-trips through any endpoint running this engine)
+    ((pname | iriRef) <~ "(") ~ repsep(expression, ",") <~ ")" ^^ {
       case fn ~ args => Expr.Call(fn, args)
     }
 

@@ -11,24 +11,35 @@ object Drive {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    implicit val s: SparkSession = spark
     val g = graft.api.Graft.overParquetDir(
-      graft.api.TpchCatalog.catalog, "/root/testdata/sf0.01")(spark)
-    val correlated = g.sparql(
-      """PREFIX g: <urn:g:> SELECT ?c WHERE {
-        |  ?c a g:Customer ; g:acctbal ?b .
-        |  FILTER EXISTS { ?o g:customer ?c ; g:totalprice ?tp .
-        |                  FILTER (?tp > ?b * 40) } }""".stripMargin)
-    val optCond = g.sparql(
-      """PREFIX g: <urn:g:> SELECT ?c ?o WHERE {
-        |  ?c a g:Customer ; g:acctbal ?b .
-        |  OPTIONAL { ?o g:customer ?c ; g:totalprice ?tp .
-        |             FILTER (?tp > ?b * 40) } }""".stripMargin)
-    for ((n, df) <- Seq("correlated-exists" -> correlated, "optional-cond" -> optCond)) {
-      val joins = df.queryExecution.executedPlan.toString.linesIterator
-        .filter(s => s.contains("Join") || s.contains("CartesianProduct"))
-        .map(_.trim.take(110)).mkString("\n")
-      println(s"===== $n\n$joins")
-    }
+      graft.api.TpchCatalog.catalog, "/root/testdata/sf0.01")
+    val server = new graft.api.GraftServer(g)
+    val port = server.start()
+
+    // bind join over real loopback HTTP: remote side should land in a
+    // LocalRelation and broadcast; local side unshuffled for this join
+    val fed = g.sparql(
+      s"""PREFIX g: <urn:g:>
+         |SELECT ?r ?rn WHERE {
+         |  ?n g:region ?r .
+         |  SERVICE <http://127.0.0.1:$port/sparql> { ?r g:name ?rn }
+         |} ORDER BY ?r ?rn""".stripMargin)
+    println(s"rows=${fed.count()} requests=${server.queriesServed.get()}")
+    fed.explain("formatted")
+
+    // SILENT full fetch: pinned at compile, swept at next idle compile
+    val silent = g.sparql(
+      s"""PREFIX g: <urn:g:> SELECT ?n WHERE {
+         |  SERVICE SILENT <http://127.0.0.1:$port/sparql> { ?n a g:Nation } }""".stripMargin)
+    println(s"silent rows=${silent.count()} cached=" +
+      spark.sparkContext.getRDDStorageInfo.count(_.isCached))
+    g.sparql("PREFIX g: <urn:g:> ASK { ?r a g:Region }")
+    Thread.sleep(1000)
+    println("after idle compile cached=" +
+      spark.sparkContext.getRDDStorageInfo.count(_.isCached))
+
+    server.stop()
     spark.stop()
   }
 }

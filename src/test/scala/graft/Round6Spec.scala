@@ -1,0 +1,217 @@
+package graft
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import java.net.InetSocketAddress
+import java.net.URLDecoder
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.api.{Graft, GraftServer, TpchCatalog}
+
+/** Round-6 hardening: W3C Federated Query §4 SILENT semantics for failures
+  * that used to surface executor-side (outside the driver's try), the
+  * remote-fetch cache sweep, IRI-named function serialization, and the
+  * tightened lexical IRI shape for §15.1 term ranking. */
+class Round6Spec extends SparkTestBase {
+
+  private lazy val g = Graft.overParquetDir(TpchCatalog.catalog, sfDir)(spark)
+
+  /** A hostile SPARQL endpoint: `decide` inspects each query's text and
+    * either answers with a canned sparql-results+json body or 500s. */
+  private def withFlakyEndpoint[A](decide: String => Option[String])(f: Int => A): A = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/sparql", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      val query = body.split("&").collectFirst {
+        case kv if kv.startsWith("query=") =>
+          URLDecoder.decode(kv.stripPrefix("query="), UTF_8)
+      }.getOrElse("")
+      decide(query) match {
+        case Some(json) =>
+          val bytes = json.getBytes(UTF_8)
+          ex.getResponseHeaders.set("Content-Type", "application/sparql-results+json")
+          ex.sendResponseHeaders(200, bytes.length)
+          ex.getResponseBody.write(bytes)
+        case None => ex.sendResponseHeaders(500, -1)
+      }
+      ex.close()
+    })
+    server.start()
+    try f(server.getAddress.getPort) finally server.stop(0)
+  }
+
+  private def srj(vars: Seq[String], rows: Seq[Seq[String]]): String = {
+    val head = vars.map(v => "\"" + v + "\"").mkString("[", ",", "]")
+    val bindings = rows.map { r =>
+      vars.zip(r).map { case (v, x) =>
+        s""""$v": {"type": "literal", "value": "$x"}"""
+      }.mkString("{", ",", "}")
+    }.mkString("[", ",", "]")
+    s"""{"head": {"vars": $head}, "results": {"bindings": $bindings}}"""
+  }
+
+  private val limitOffset = """(?s).*LIMIT (\d+) OFFSET (\d+).*""".r
+
+  test("SILENT survives a page-fetch failure after a successful probe") {
+    // probes (LIMIT 1) answer, real pages 500 — before round 6 the page
+    // pull failed executor-side at action time, outside the SILENT try,
+    // and killed the whole query; §4 says degrade to the unit solution
+    withFlakyEndpoint {
+      case limitOffset("1", off) =>
+        Some(srj(Seq("x"), if (off.toLong < 3) Seq(Seq(s"v$off")) else Nil))
+      case _ => None
+    } { port =>
+      intercept[Exception] {
+        g.sparql(
+          s"""PREFIX g: <urn:g:> SELECT ?x WHERE {
+             |  SERVICE <http://127.0.0.1:$port/sparql> { ?x a g:Nation } }""".stripMargin)
+          .collect()
+      }
+      val silent = g.sparql(
+        s"""PREFIX g: <urn:g:> SELECT ?r WHERE {
+           |  ?r a g:Region .
+           |  SERVICE SILENT <http://127.0.0.1:$port/sparql> { ?x a g:Nation } }""".stripMargin)
+      assert(silent.count() == 5) // unit solution joins as identity
+    }
+  }
+
+  test("SILENT bind join degrades when the VALUES windows fail remotely") {
+    // the endpoint rejects exactly the bind-join window requests; SILENT
+    // must degrade to the unit solution (keep the local side), not fail
+    // at action time when the window flatMap runs on an executor
+    withFlakyEndpoint { q =>
+      if (q.contains("VALUES")) None
+      else q match {
+        case limitOffset(lim, off) => // probe AND page requests both answer
+          Some(srj(Seq("r", "rn"),
+            Seq(Seq("u", "n")).slice(off.toInt, off.toInt + lim.toInt)))
+        case _ => None
+      }
+    } { port =>
+      val silent = g.sparql(
+        s"""PREFIX g: <urn:g:>
+           |SELECT ?n ?r WHERE {
+           |  ?n g:region ?r .
+           |  SERVICE SILENT <http://127.0.0.1:$port/sparql> { ?r g:name ?rn }
+           |}""".stripMargin)
+      // windows fail -> full-fetch fallback succeeds (its pages carry no
+      // VALUES) and serves one bogus row whose ?r ("u") matches nothing:
+      // the joined result is empty, and nothing failed at action time
+      assert(silent.count() == 0)
+    }
+  }
+
+  test("SILENT bind join degrades to unit when every remote form fails") {
+    withFlakyEndpoint(_ => None) { port =>
+      val silent = g.sparql(
+        s"""PREFIX g: <urn:g:>
+           |SELECT ?n ?r WHERE {
+           |  ?n g:region ?r .
+           |  SERVICE SILENT <http://127.0.0.1:$port/sparql> { ?r g:name ?rn }
+           |}""".stripMargin)
+      assert(silent.count() == 25) // local side survives untouched
+    }
+  }
+
+  // DataFrame persists go through the CacheManager, so they surface as
+  // cached blocks in the storage info (not in getPersistentRDDs)
+  private def cachedBlocks = spark.sparkContext.getRDDStorageInfo.count(_.isCached)
+  private def eventually(cond: => Boolean): Boolean =
+    (0 until 50).exists { _ => if (cond) true else { Thread.sleep(100); false } }
+
+  test("bind-join windows land in an uncached, broadcastable local relation") {
+    val server = new GraftServer(g)
+    val port = server.start()
+    try {
+      // a compile sweeps pins left behind by earlier tests' queries, so
+      // the baseline below counts only long-lived caches
+      g.sparql("PREFIX g: <urn:g:> ASK { ?r a g:Region }")
+      assert(eventually(cachedBlocks == 0))
+      val fed = g.sparql(
+        s"""PREFIX g: <urn:g:>
+           |SELECT ?r ?rn WHERE {
+           |  ?n g:region ?r .
+           |  SERVICE <http://127.0.0.1:$port/sparql> { ?r g:name ?rn }
+           |} ORDER BY ?r ?rn""".stripMargin)
+      assert(fed.count() == 25)
+      // the fetched rows are a LocalRelation: nothing persisted (nothing
+      // can leak or be swept mid-query), and Catalyst broadcasts the
+      // known-small remote side — the big local pattern never shuffles
+      assert(cachedBlocks == 0, "bind-join fetch must not pin any cache")
+      assert(fed.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "collected windows should broadcast-join against the local side")
+      // the compile-time fetch is reused across actions: still 1 request
+      assert(server.queriesServed.get() == 1)
+      assert(fed.count() == 25)
+      assert(server.queriesServed.get() == 1)
+    } finally server.stop()
+  }
+
+  test("SILENT remote fetch caches are swept at the next idle compile") {
+    val server = new GraftServer(g)
+    val port = server.start()
+    try {
+      g.sparql("PREFIX g: <urn:g:> ASK { ?r a g:Region }")
+      assert(eventually(cachedBlocks == 0))
+      val silent = g.sparql(
+        s"""PREFIX g: <urn:g:> SELECT ?n WHERE {
+           |  SERVICE SILENT <http://127.0.0.1:$port/sparql> { ?n a g:Nation }
+           |}""".stripMargin)
+      // the SILENT fetch materialized at compile time, driver-side, and is
+      // pinned so downstream sorts/AQE reread blocks, not the endpoint
+      assert(cachedBlocks > 0, "SILENT fetch should be pinned after compile")
+      assert(silent.count() == 25)
+      // ANY next idle compile through the same engine frees previous pins
+      g.sparql("PREFIX g: <urn:g:> ASK { ?r a g:Region }")
+      assert(eventually(cachedBlocks == 0),
+        "previous query's SILENT fetch cache must be unpersisted")
+      // the swept frame is persist-only: re-running re-fetches, correctly
+      assert(silent.count() == 25)
+    } finally server.stop()
+  }
+
+  test("malformed bind-join config surfaces instead of silently degrading") {
+    // NumberFormatException extends IllegalArgumentException; the old
+    // over-cap catch swallowed it and fell back to a full paged fetch
+    val server = new GraftServer(g)
+    val port = server.start()
+    try {
+      spark.conf.set("graft.service.bindJoin.maxKeys", "lots")
+      intercept[NumberFormatException] {
+        g.sparql(
+          s"""PREFIX g: <urn:g:>
+             |SELECT ?r ?rn WHERE {
+             |  ?n g:region ?r .
+             |  SERVICE <http://127.0.0.1:$port/sparql> { ?r g:name ?rn } }""".stripMargin)
+      }
+    } finally {
+      spark.conf.unset("graft.service.bindJoin.maxKeys")
+      server.stop()
+    }
+  }
+
+  test("xsd casts serialize as IRI calls and round-trip through the parser") {
+    import graft.compiler.SparqlText
+    import graft.parser.SparqlParser
+    val q =
+      """PREFIX g: <urn:g:> PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        |SELECT ?n WHERE { ?n a g:Nation ; g:key ?k .
+        |  FILTER (xsd:integer(?k) > 5) }""".stripMargin
+    val p1 = SparqlParser.parseUnsafe(q).pattern
+    val text = s"SELECT * WHERE { ${SparqlText.pattern(p1)} }"
+    assert(text.contains("<http://www.w3.org/2001/XMLSchema#integer>("),
+      s"xsd cast must serialize as an IRI call, got: $text")
+    assert(SparqlParser.parseUnsafe(text).pattern == p1)
+  }
+
+  test("scheme-shaped literals with whitespace rank as literals in ORDER BY") {
+    // §15.1: IRIs sort before literals. "note: see below" is scheme-shaped
+    // but contains whitespace, which no IRI can — it must rank literal (3),
+    // not IRI (2); the round-5 heuristic misfiled it
+    val rows = g.sparql(
+      """PREFIX g: <urn:g:>
+        |SELECT ?v WHERE {
+        |  VALUES ?v { "note: see below" <urn:g:thing> "apple" } }
+        |ORDER BY ?v""".stripMargin).collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("urn:g:thing", "apple", "note: see below"))
+  }
+}
