@@ -537,6 +537,8 @@ object SparkEntry {
       TextAnalysis.packBins(T(s, d, "documents")).orderBy("doc_id")),
     "doc_repetition" -> ((s, d) =>
       TextAnalysis.repetitionStats(T(s, d, "documents")).orderBy("doc_id")),
+    "doc_sketch_stats" -> ((s, d) =>
+      TextAnalysis.sketchStats(T(s, d, "documents")).orderBy("source")),
     // decontamination fixture: the first 25 documents stand in for the
     // benchmark suite, the rest are the corpus
     "doc_filter_funnel" -> ((s, d) =>
@@ -606,7 +608,11 @@ object SparkEntry {
         .orderBy("q_id", "vec_id")
     }),
     "emb_top_pairs" -> ((s, d) =>
-      Similarity.topSimilarPairs(T(s, d, "embeddings"), n = 50).orderBy("a", "b"))
+      Similarity.topSimilarPairs(T(s, d, "embeddings"), n = 50).orderBy("a", "b")),
+    // embedding-cosine near-dup: the exact pair set above the threshold
+    // (the fifth dedup mode beside exact/MinHash/SimHash/n-gram Jaccard)
+    "emb_near_dup" -> ((s, d) =>
+      Similarity.thresholdPairs(T(s, d, "embeddings"), tau = 0.44))
   )
 
   // ---- DuckDB oracles -------------------------------------------------------
@@ -1086,6 +1092,17 @@ object SparkEntry {
         |                           CAST(e2.embedding AS DOUBLE[])) AS c
         |  FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
         |) ORDER BY c DESC, a, b LIMIT 50""".stripMargin,
+    // exhaustive threshold oracle: the Spark side must find EVERY pair at
+    // cosine >= tau (near-dup removal has no recall budget); 0.44 sits in
+    // a wide gap of the sf0.01 cosine distribution, so double-rounding
+    // differences between engines cannot flip a boundary pair
+    "emb_near_dup" ->
+      """SELECT a, b FROM (
+        |  SELECT e1.vec_id AS a, e2.vec_id AS b,
+        |    list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+        |                           CAST(e2.embedding AS DOUBLE[])) AS c
+        |  FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+        |) WHERE c >= 0.44 ORDER BY a, b""".stripMargin,
 
     "sparql_service" ->
       """SELECT s_name AS sname, n_name AS nname
@@ -1116,6 +1133,20 @@ object SparkEntry {
     // Gopher-style repetition signals: gram counting mirrors the Spark
     // explode exactly (1-based list indexing + NULL-skipping concat_ws
     // reproduces the try_element_at bigram windows, incl. the 1-token edge)
+    // sketch contracts: the oracle pins the EXACT per-source values (doc
+    // count, distinct tokens) plus the sketch-accuracy flags, which must
+    // come back true — HLL within its error budget, approx-median within
+    // rank tolerance (the same honest-contract shape as the ANN rows)
+    "doc_sketch_stats" ->
+      """WITH tok AS (SELECT source,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |  FROM documents)
+        |SELECT d.source, d.n_docs, t.exact_distinct,
+        |       true AS hll_ok, true AS p50_rank_ok
+        |FROM (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1) d
+        |JOIN (SELECT source, count(DISTINCT tok) AS exact_distinct
+        |      FROM tok GROUP BY 1) t USING (source)
+        |ORDER BY d.source""".stripMargin,
     "doc_repetition" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
         |  FROM documents),

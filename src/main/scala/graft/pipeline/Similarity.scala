@@ -376,8 +376,17 @@ object Similarity {
     (((z % nBlocks) + nBlocks) % nBlocks).toInt
   }
 
-  def topSimilarPairs(emb: DataFrame, n: Int = 50,
-                      targetBlockRows: Int = 65536): DataFrame = {
+  /** Blocked all-pairs scan: the corpus splits into `nBlocks` id-mixed
+    * blocks; each (i, j) block pair is one task holding two bounded row
+    * sets, and `emit` decides which pairs a task keeps (a top-n heap, a
+    * threshold filter, …). Replication factor is nBlocks+1 per row — the
+    * standard distributed all-pairs layout: per-task memory is bounded by
+    * `targetBlockRows`, no driver collection, no global shuffle beyond the
+    * task grouping. */
+  private def blockedPairScan(emb: DataFrame, targetBlockRows: Int)(
+      emit: (scala.collection.mutable.IndexedSeq[(Long, Array[Double])],
+             scala.collection.mutable.IndexedSeq[(Long, Array[Double])],
+             Boolean) => Iterator[(Long, Long, Double)]): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val total = emb.count()
@@ -397,7 +406,7 @@ object Similarity {
       val blk = mixBlock(e.vec_id, nBlocks)
       tasksForBlock(blk).iterator.map(t => (t, e.vec_id, e.embedding))
     }
-    val localTop = replicated.groupByKey(_._1).flatMapGroups { (t, rows) =>
+    replicated.groupByKey(_._1).flatMapGroups { (t, rows) =>
       val (bi, bj) = tasks(t)
       val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
       val right = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
@@ -405,6 +414,13 @@ object Similarity {
         val nv = (id, normalize(v))
         if (mixBlock(id, nBlocks) == bi) left += nv else right += nv
       }
+      emit(left, right, bi == bj)
+    }.toDF("a", "b", "cosine")
+  }
+
+  def topSimilarPairs(emb: DataFrame, n: Int = 50,
+                      targetBlockRows: Int = 65536): DataFrame = {
+    val localTop = blockedPairScan(emb, targetBlockRows) { (left, right, same) =>
       implicit val ord: Ordering[(Double, Long, Long)] = Ordering.by(t => -t._1)
       val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long, Long)]
       def offer(c: Double, x: Long, y: Long): Unit = {
@@ -412,7 +428,7 @@ object Similarity {
         if (heap.size < n) heap.enqueue((c, a, b))
         else if (c > heap.head._1) { heap.dequeue(); heap.enqueue((c, a, b)) }
       }
-      if (bi == bj) {
+      if (same) {
         var i = 0
         while (i < left.length) {
           var j = i + 1
@@ -432,7 +448,47 @@ object Similarity {
         }
       }
       heap.iterator.map { case (c, a, b) => (a, b, c) }
-    }.toDF("a", "b", "cosine")
+    }
     localTop.orderBy(col("cosine").desc, col("a"), col("b")).limit(n).select("a", "b")
+  }
+
+  /** Embedding-cosine near-duplicate pairs: every (a, b) with
+    * cosine ≥ `tau`, exactly — the embedding member of the dedup family
+    * (exact hash / MinHash / SimHash / n-gram Jaccard / embedding cosine).
+    * Exhaustive by design: near-dup REMOVAL must not miss pairs, so this
+    * runs the blocked exact scan (quadratic in blocks but each task
+    * memory-bounded); recall-tolerant workloads at larger scale should
+    * bucket with SRP-LSH first (see [[lshTopK]]) and verify candidates
+    * with the same threshold. Per-task output is bounded by the threshold
+    * semantics — near-dup pairs are sparse by definition at a sane `tau`;
+    * a `tau` low enough to match everything is a cross join, not dedup. */
+  def thresholdPairs(emb: DataFrame, tau: Double,
+                     targetBlockRows: Int = 65536): DataFrame = {
+    val pairs = blockedPairScan(emb, targetBlockRows) { (left, right, same) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      def offer(c: Double, x: Long, y: Long): Unit =
+        if (c >= tau) out += (if (x < y) (x, y, c) else (y, x, c))
+      if (same) {
+        var i = 0
+        while (i < left.length) {
+          var j = i + 1
+          while (j < left.length) {
+            offer(dot(left(i)._2, left(j)._2), left(i)._1, left(j)._1); j += 1
+          }
+          i += 1
+        }
+      } else {
+        var i = 0
+        while (i < left.length) {
+          var j = 0
+          while (j < right.length) {
+            offer(dot(left(i)._2, right(j)._2), left(i)._1, right(j)._1); j += 1
+          }
+          i += 1
+        }
+      }
+      out.iterator
+    }
+    pairs.select("a", "b").orderBy("a", "b")
   }
 }

@@ -173,4 +173,39 @@ object TextAnalysis {
         "shiftleft(n_tokens, 32) | " +
           "((row_number() OVER (PARTITION BY n_tokens ORDER BY doc_id) - 1) " +
           s"div greatest(1L, $budget div greatest(n_tokens, 1L))) AS bin_id")
+
+  /** Sketch-based corpus statistics — the 100 TB cardinality tools. Per
+    * source: a HyperLogLog distinct-token estimate and an approximate
+    * median of per-document token counts, each paired with a contract
+    * flag computed against the exact value in the same job. At corpus
+    * scale only the sketches are affordable (one pass, bounded state, no
+    * exact distinct shuffle); the exact twins exist to GATE the sketches
+    * at test scale, and the flags — HLL within its 2 % standard-error
+    * budget (×2.5), the approx median within ±10 % rank error — are what
+    * the oracle pins, the same honest-contract shape as the ANN rows. */
+  def sketchStats(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("source"),
+      explode(split(lower(col("text")), "\\s+")).as("tok"))
+    val distincts = toks.groupBy("source").agg(
+      countDistinct(col("tok")).as("exact_distinct"),
+      approx_count_distinct(col("tok"), rsd = 0.02).as("hll_distinct"))
+    val perDoc = docs.select(col("source"),
+      countMatches(col("text"), "\\S+").cast("long").as("n_tokens"))
+    val approxMedian = perDoc.groupBy("source").agg(
+      percentile_approx(col("n_tokens"), lit(0.5), lit(100)).as("p50_approx"),
+      count(lit(1)).as("n_docs"))
+    // the KLL-style guarantee is on RANK, not value: the number of docs at
+    // or below the sketched median must sit within n/2 ± epsilon*n
+    val rankCheck = perDoc.join(approxMedian, "source")
+      .groupBy("source").agg(
+        first(col("n_docs")).as("n_docs"),
+        sum(when(col("n_tokens") <= col("p50_approx"), 1L).otherwise(0L))
+          .as("rank_at_p50"))
+    distincts.join(rankCheck, "source").select(
+      col("source"), col("n_docs"), col("exact_distinct"),
+      (abs(col("hll_distinct") - col("exact_distinct")) <=
+        greatest(col("exact_distinct") * 0.05, lit(1.0))).as("hll_ok"),
+      (col("rank_at_p50") >= col("n_docs") * 0.4 &&
+        col("rank_at_p50") <= col("n_docs") * 0.6 + 1).as("p50_rank_ok"))
+  }
 }

@@ -215,6 +215,39 @@ class PipelineSpec extends SparkTestBase {
       s"blocked pair sweep diverged from brute force:\n$got\nvs\n$expected")
   }
 
+  test("thresholdPairs is exhaustive: every pair at or above tau, none below") {
+    val expected = {
+      val all = emb.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+        .map { case (id, v) =>
+          val n = math.sqrt(v.map(x => x * x).sum)
+          (id, v.map(x => if (n == 0) 0.0 else x / n))
+        }.sortBy(_._1)
+      for {
+        i <- all.indices; j <- (i + 1) until all.length
+        c = all(i)._2.zip(all(j)._2).map { case (a, b) => a * b }.sum
+        if c >= 0.40
+      } yield (all(i)._1, all(j)._1)
+    }
+    assert(expected.nonEmpty, "fixture must have pairs above the threshold")
+    // small blocks force the pair scan across many block-pair tasks
+    val got = Similarity.thresholdPairs(emb, tau = 0.40, targetBlockRows = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.sorted.toSeq == expected.sorted.toSeq)
+  }
+
+  test("sketch stats: contract flags hold and exact counts are exact") {
+    val rows = graft.pipeline.TextAnalysis.sketchStats(docs).collect()
+    assert(rows.nonEmpty)
+    val bySource = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) == bySource(r.getString(0)), "n_docs must be exact")
+      assert(r.getBoolean(3), s"HLL out of tolerance for ${r.getString(0)}")
+      assert(r.getBoolean(4), s"approx median rank drift for ${r.getString(0)}")
+    }
+  }
+
   test("native shingle_ids is bit-identical to the HOF expression chain") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
