@@ -550,6 +550,12 @@ object SparkEntry {
     "doc_rarity" -> ((s, d) =>
       Mixture.rarityProfile(T(s, d, "documents"), rareMax = 100)
         .orderBy("doc_id")),
+    "doc_split_assign" -> ((s, d) =>
+      Mixture.splitAssign(T(s, d, "documents"),
+        valFrac = 0.1, testFrac = 0.1, salt = "split1").orderBy("doc_id")),
+    "doc_boilerplate" -> ((s, d) =>
+      Dedup.boilerplateClean(T(s, d, "documents"), window = 4, minDf = 5)
+        .orderBy("doc_id")),
     "doc_vocab" -> ((s, d) =>
       Mixture.vocabStats(T(s, d, "documents")).orderBy("tok")),
     "doc_decontaminate" -> ((s, d) => {
@@ -1209,6 +1215,36 @@ object SparkEntry {
         |                ELSE 0.1 END AS r
         |  FROM documents)
         |WHERE b < CAST(floor(r * 4294967296.0) AS BIGINT) ORDER BY doc_id""".stripMargin,
+
+    // deterministic split: integer bucket thresholds (floor(0.8·2³²),
+    // floor(0.9·2³²)) hardcoded identically on both sides so no float
+    // boundary can disagree between engines
+    "doc_split_assign" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN b < 3435973836 THEN 'train'
+        |       WHEN b < 3865470566 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id, source,
+        |  ('0x' || substr(md5('split1' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS b
+        |  FROM documents) ORDER BY doc_id""".stripMargin,
+
+    // cross-corpus boilerplate removal: exhaustive segment doc-frequency
+    // oracle — 4-token windows, segments verbatim-shared by >= 5 docs cut
+    // everywhere, text rebuilt in order (string-exact, integer counts)
+    "doc_boilerplate" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |seg AS (SELECT doc_id, k AS seg_idx,
+        |    array_to_string(w[k*4+1 : k*4+4], ' ') AS seg
+        |  FROM t, unnest(generate_series(0, CAST(ceil(len(w)/4.0) AS INT)-1)) AS g(k)),
+        |df AS (SELECT seg FROM seg GROUP BY 1 HAVING count(DISTINCT doc_id) >= 5),
+        |j AS (SELECT s.doc_id, s.seg_idx, s.seg, d.seg IS NOT NULL AS rm
+        |  FROM seg s LEFT JOIN df d ON s.seg = d.seg)
+        |SELECT doc_id,
+        |  coalesce(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE NOT rm), '')
+        |    AS clean_text,
+        |  CAST(count(*) FILTER (WHERE rm) AS BIGINT) AS n_removed
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // corpus-frequency rarity profile — integer-exact (no float means)
     "doc_rarity" ->

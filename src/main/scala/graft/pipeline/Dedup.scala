@@ -267,4 +267,49 @@ object Dedup {
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 3,
                       maxBucket: Int = 1000): DataFrame =
     simhashNearDupsWithStats(docs, maxHamming, maxBucket).pairs
+
+  /** Cross-corpus boilerplate removal — the segment-level member of the
+    * dedup family (RefinedWeb/CCNet-style "line dedup", generalized to
+    * fixed `window`-token segments since the corpus may carry no line
+    * structure). A span repeated verbatim across ≥ `minDf` DISTINCT
+    * documents is boilerplate (headers, navigation, license banners), not
+    * content: it is cut from every document and the survivors are
+    * re-joined in order. Emits (doc_id, clean_text, n_removed).
+    *
+    * Unlike document-level dedup (which keeps one copy), boilerplate
+    * removal keeps zero copies — the repeated span is noise everywhere.
+    *
+    * Shape at 100 TB: segmentation is one map pass (the token array is
+    * sliced in place — no per-token explode; the segment stream is
+    * corpus_tokens / window rows). The doc-frequency aggregation
+    * shuffles segments once, keyed on the segment text whose hash
+    * distributes uniformly; `approx_count_distinct` is the drop-in when
+    * exact df is not worth the per-key doc-id dedup state. The flagged
+    * set joins back by segment text — by construction it is the high-df
+    * tail, orders of magnitude smaller than the corpus, so AQE broadcasts
+    * it; reconstruction groups segments per document (bounded by document
+    * size). No driver collection anywhere.
+    */
+  def boilerplateClean(docs: DataFrame, window: Int = 4,
+                       minDf: Long = 5): DataFrame = {
+    require(window > 0 && minDf >= 2, s"bad window=$window / minDf=$minDf")
+    // non-overlapping window-token segments, in document order; size ≥ 1
+    // always (split of "" yields [""]), so the sequence bound is safe
+    val segs = docs.select(col("doc_id"),
+      posexplode(expr(
+        s"""transform(sequence(0, cast(ceil(size(split(lower(text), '\\\\s+')) / ${window}.0) as int) - 1),
+           |  k -> concat_ws(' ', slice(split(lower(text), '\\\\s+'), k * $window + 1, $window)))"""
+          .stripMargin)).as(Seq("seg_idx", "seg")))
+    val flagged = segs.groupBy("seg")
+      .agg(countDistinct(col("doc_id")).as("seg_df"))
+      .filter(col("seg_df") >= minDf)
+    segs.join(flagged, Seq("seg"), "left_outer")
+      .groupBy("doc_id").agg(
+        concat_ws(" ", expr(
+          "transform(filter(array_sort(collect_list(named_struct(" +
+            "'seg_idx', seg_idx, 'seg', seg, 'keep', seg_df is null))), " +
+            "s -> s.keep), s -> s.seg)")).as("clean_text"),
+        sum(when(col("seg_df").isNotNull, 1L).otherwise(0L))
+          .cast("long").as("n_removed"))
+  }
 }

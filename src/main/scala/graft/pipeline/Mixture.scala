@@ -38,6 +38,38 @@ object Mixture {
       .select(col("doc_id"), col("source"))
   }
 
+  /** Deterministic train/validation/test assignment — the split step
+    * every training pipeline runs before anything touches the data. The
+    * same keyed coin as [[mixtureSample]] (low 32 bits of
+    * `md5(salt ++ doc_id)`) lands each document in one of three integer
+    * bucket ranges, so the split is stable across runs, engines, and
+    * partition layouts, map-only, and NESTED: shrinking `valFrac` or
+    * `testFrac` moves documents only into `train`, never between `val`
+    * and `test` (the ranges are suffixes of [0, 2³²)), which is what
+    * keeps eval sets stable as split fractions are tuned. The coin keys
+    * on the document id, not the row, so exact duplicate ROWS of one
+    * doc_id land in the same split; near-duplicate leakage across splits
+    * is the dedup family's job upstream ([[Dedup]]), as in any real
+    * pipeline. Fractions are compile-time thresholds — no join, no
+    * shuffle, no state.
+    */
+  def splitAssign(docs: DataFrame, valFrac: Double, testFrac: Double,
+                  salt: String): DataFrame = {
+    require(valFrac >= 0 && testFrac >= 0 && valFrac + testFrac < 1,
+      s"val/test fractions must be non-negative and sum below 1, " +
+        s"got $valFrac/$testFrac")
+    val bucket = conv(substring(
+      md5(concat(lit(salt), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long") // uniform in [0, 2^32)
+    val twoTo32 = 4294967296.0
+    val trainMax = math.floor((1.0 - valFrac - testFrac) * twoTo32).toLong
+    val valMax = math.floor((1.0 - testFrac) * twoTo32).toLong
+    docs.select(col("doc_id"), col("source"),
+      when(bucket < trainMax, "train")
+        .when(bucket < valMax, "val")
+        .otherwise("test").as("split"))
+  }
+
   /** Corpus vocabulary table — (token, term frequency, document
     * frequency), the substrate of tokenizer training and idf weighting.
     * One explode + one aggregation keyed on token: tf sums the

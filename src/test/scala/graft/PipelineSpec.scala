@@ -313,4 +313,58 @@ class PipelineSpec extends SparkTestBase {
     // the corpus has a genuinely rare token: both flag values occur
     assert(rows.exists(_.getBoolean(4)) && rows.exists(!_.getBoolean(4)))
   }
+
+  test("split assignment is total, deterministic, and nested under fraction changes") {
+    val a = Mixture.splitAssign(docs, valFrac = 0.1, testFrac = 0.1, salt = "s1")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a.size == docs.count())
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+    // deterministic: a second run is identical
+    val b = Mixture.splitAssign(docs, valFrac = 0.1, testFrac = 0.1, salt = "s1")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a == b)
+    // nested: shrinking val moves docs only val->train; test is untouched
+    val c = Mixture.splitAssign(docs, valFrac = 0.05, testFrac = 0.1, salt = "s1")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a.keySet == c.keySet)
+    a.foreach { case (id, s) =>
+      if (s == "test") assert(c(id) == "test", s"doc $id left test on val shrink")
+      if (s == "train") assert(c(id) == "train", s"doc $id left train on val shrink")
+    }
+    // a different salt is a genuinely fresh draw
+    val d = Mixture.splitAssign(docs, valFrac = 0.1, testFrac = 0.1, salt = "s2")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(d != a)
+  }
+
+  test("boilerplate removal cuts planted repeated segments, leaves content") {
+    val s = spark
+    import s.implicits._
+    val banner = "copyright acme corp reserved" // one exact 4-token window
+    val df = ((1L to 6L).map(i =>
+      (i, s"$banner unique$i words body content here for doc$i")) :+
+      (7L, "entirely clean document with no banner at all present")).toDF("doc_id", "text")
+    val got = Dedup.boilerplateClean(df, window = 4, minDf = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    // the banner segment occurs in 6 >= 5 docs: removed from every one
+    got.filter(_._1 <= 6).foreach { case (id, text, n) =>
+      assert(!text.contains("copyright"), s"doc $id kept the banner: $text")
+      assert(n == 1L, s"doc $id removed $n segments")
+      assert(text.contains(s"unique$id"), s"doc $id lost content: $text")
+    }
+    val (_, clean7, n7) = got.find(_._1 == 7L).get
+    assert(n7 == 0L && clean7 == "entirely clean document with no banner at all present")
+  }
+
+  test("boilerplate removal on the corpus: totals reconcile") {
+    val got = Dedup.boilerplateClean(docs, window = 4, minDf = 5)
+    assert(got.count() == docs.count()) // every doc survives as a row
+    val removed = got.agg(sum("n_removed")).collect()(0).getLong(0)
+    assert(removed >= 0)
+    // untouched docs reconstruct to their normalized text exactly
+    val joined = got.join(docs, "doc_id")
+      .filter(col("n_removed") === 0)
+      .withColumn("norm", concat_ws(" ", split(lower(col("text")), "\\s+")))
+    assert(joined.filter(col("clean_text") =!= col("norm")).count() == 0)
+  }
 }
