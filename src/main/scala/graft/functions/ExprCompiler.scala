@@ -150,6 +150,7 @@ object ExprCompiler {
       case "md5"    => md5(a(0).cast(StringType))
       case "sha1"   => sha1(a(0).cast(StringType))
       case "sha256" => sha2(a(0).cast(StringType), 256)
+      case "sha384" => sha2(a(0).cast(StringType), 384)
       case "sha512" => sha2(a(0).cast(StringType), 512)
       // SPARQL wants RFC 3986 percent-encoding; url_encode is form-style
       case "encode_for_uri" =>
@@ -157,6 +158,12 @@ object ExprCompiler {
       case "hours"   => hour(a(0))
       case "minutes" => minute(a(0))
       case "seconds" => second(a(0))
+      // timestamps live in the engine's fixed UTC session zone (SURVEY §1.5),
+      // so every dateTime carries the Z offset: TZ is its lexical form,
+      // TIMEZONE the equivalent xsd:dayTimeDuration (§17.4.5.7-8); both are
+      // errors (⇒ null) on non-timestamp input
+      case "tz"       => when(tryCast(a(0), TimestampType).isNotNull, lit("Z"))
+      case "timezone" => when(tryCast(a(0), TimestampType).isNotNull, lit("PT0S"))
       case "abs"        => abs(a(0))
       case "round"      => round(a(0))
       case "ceil"       => ceil(a(0))
@@ -213,6 +220,16 @@ object ExprCompiler {
       // NOW(): one timestamp for the whole query per §17.4.5.1 —
       // current_timestamp() is query-constant in Spark by the same rule
       case "now"         => current_timestamp()
+      // fresh-per-solution terms (§17.4.2.2, §17.4.4.5-6): Spark's uuid()
+      // draws per row; BNODE(str) is instead STABLE within the solution —
+      // same label for the same literal, never colliding with parsed `_:`
+      // labels (hex digest)
+      case "uuid"        => concat(lit("urn:uuid:"), expr("uuid()"))
+      case "struuid"     => expr("uuid()")
+      case "rand"        => rand()
+      case "bnode" =>
+        if (args.isEmpty) concat(lit("_:u"), regexp_replace(expr("uuid()"), "-", ""))
+        else concat(lit("_:h"), md5(a(0).cast(StringType)))
       // xsd:* constructor casts (ontario/sparql/__init__.py:8-60 binaryFunctor)
       case c if c.startsWith("http://www.w3.org/2001/XMLSchema#") =>
         // TRY semantics: an invalid lexical form is a SPARQL error ⇒ null

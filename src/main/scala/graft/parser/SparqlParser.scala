@@ -318,10 +318,11 @@ class SparqlParser extends RegexParsers {
     "LANGMATCHES", "SAMETERM", "STRSTARTS", "STRENDS", "STRBEFORE",
     "STRAFTER", "STRDT", "STRLANG", "CONTAINS", "STRLEN", "UCASE", "LCASE",
     "CONCAT", "SUBSTR",
-    "REPLACE", "ENCODE_FOR_URI", "MD5", "SHA1", "SHA256", "SHA512", "ABS",
-    "ROUND", "CEIL", "FLOOR", "YEAR", "MONTH", "DAY", "HOURS", "MINUTES",
-    "SECONDS", "STR", "LANG", "DATATYPE", "COALESCE", "IF",
-    "IRI", "URI", "NOW")
+    "REPLACE", "ENCODE_FOR_URI", "MD5", "SHA1", "SHA256", "SHA384", "SHA512",
+    "ABS", "ROUND", "CEIL", "FLOOR", "YEAR", "MONTH", "DAY", "HOURS",
+    "MINUTES", "SECONDS", "TIMEZONE", "TZ", "STRUUID", "STR", "LANG",
+    "DATATYPE", "COALESCE", "IF", "IRI", "URI", "NOW", "UUID", "BNODE",
+    "RAND")
 
   def builtinCall: Parser[Expr] =
     builtinNames.map(n => kw(n) ~ ("(" ~> repsep(expression, ",") <~ ")") ^^ {

@@ -214,4 +214,46 @@ class Round6Spec extends SparkTestBase {
         |ORDER BY ?v""".stripMargin).collect().map(_.getString(0)).toSeq
     assert(rows == Seq("urn:g:thing", "apple", "note: see below"))
   }
+
+  test("UUID/STRUUID/BNODE/RAND: fresh per solution, BNODE(str) stable") {
+    val rows = g.sparql(
+      """PREFIX g: <urn:g:>
+        |SELECT ?r ?u (UUID() AS ?iri) (STRUUID() AS ?s) (RAND() AS ?coin)
+        |       (BNODE() AS ?b) (BNODE(?r) AS ?bk) WHERE {
+        |  VALUES (?r ?u) { ("x" 1) ("x" 2) ("y" 3) } }""".stripMargin).collect()
+    assert(rows.length == 3)
+    val uuids = rows.map(_.getAs[String]("iri"))
+    assert(uuids.forall(_.matches("urn:uuid:[0-9a-f-]{36}")))
+    assert(uuids.distinct.length == 3, "UUID must draw per solution")
+    assert(rows.map(_.getAs[String]("s")).distinct.length == 3)
+    assert(rows.map(_.getAs[String]("b")).distinct.length == 3)
+    assert(rows.map(_.getAs[Double]("coin")).forall(c => c >= 0 && c < 1))
+    // BNODE(?r): same label for the same argument, distinct across args,
+    // and never colliding with a parsed `_:` label shape
+    val byArg = rows.groupBy(_.getAs[String]("r"))
+      .map { case (k, rs) => k -> rs.map(_.getAs[String]("bk")).distinct }
+    assert(byArg("x").length == 1 && byArg("y").length == 1)
+    assert(byArg("x") != byArg("y"))
+    assert(rows.forall(_.getAs[String]("bk").startsWith("_:h")))
+  }
+
+  test("TZ/TIMEZONE: UTC engine timestamps carry Z / PT0S, errors are null") {
+    val rows = g.sparql(
+      """SELECT (TZ(?t) AS ?tz) (TIMEZONE(?t) AS ?d)
+        |       (TZ(?bad) AS ?tzbad) WHERE {
+        |  VALUES (?t ?bad) { ("2024-03-01T10:00:00" "not a date") } }""".stripMargin)
+      .collect()(0)
+    assert(rows.getAs[String]("tz") == "Z")
+    assert(rows.getAs[String]("d") == "PT0S")
+    assert(rows.isNullAt(rows.fieldIndex("tzbad")))
+  }
+
+  test("SHA384 hashes like the JDK") {
+    val want = java.security.MessageDigest.getInstance("SHA-384")
+      .digest("abc".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = g.sparql(
+      """SELECT (SHA384(?x) AS ?h) WHERE { VALUES ?x { "abc" } }""")
+      .collect()(0).getString(0)
+    assert(got == want)
+  }
 }
