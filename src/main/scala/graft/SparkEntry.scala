@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.api.{Graft, TpchCatalog}
-import graft.pipeline.{Decontaminate, Dedup, Mixture, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Bpe, Decontaminate, Dedup, Mixture, Multimodal, Similarity, TextAnalysis}
 import graft.sources.Bucketing
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -565,6 +565,22 @@ object SparkEntry {
     "doc_rarity" -> ((s, d) =>
       Mixture.rarityProfile(T(s, d, "documents"), rareMax = 100)
         .orderBy("doc_id")),
+    // BPE tokenizer: distributed word-count training + map-only apply.
+    // The oracle pins what DuckDB CAN compute (whitespace counts) plus the
+    // contract flags that must come back true: decode∘encode identity per
+    // word, and the token count inside its provable [n_words,
+    // n_words + n_chars] envelope (every word is 1..len(word)+1 tokens) —
+    // the honest-contract shape of the ANN/sketch rows
+    "doc_bpe" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val merges = Bpe.train(docs, nMerges = 200)
+      Bpe.tokenize(docs, merges).select(
+        col("doc_id"), col("n_ws_tokens"), col("round_trip_ok"),
+        (col("n_bpe_tokens") >= col("n_ws_tokens") &&
+          col("n_bpe_tokens") <= col("n_ws_tokens") + col("n_word_chars"))
+          .as("bounds_ok"))
+        .orderBy("doc_id")
+    }),
     "doc_split_assign" -> ((s, d) =>
       Mixture.splitAssign(T(s, d, "documents"),
         valFrac = 0.1, testFrac = 0.1, salt = "split1").orderBy("doc_id")),
@@ -1236,6 +1252,13 @@ object SparkEntry {
         |                ELSE 0.1 END AS r
         |  FROM documents)
         |WHERE b < CAST(floor(r * 4294967296.0) AS BIGINT) ORDER BY doc_id""".stripMargin,
+
+    "doc_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |       x -> len(x) > 0)) AS BIGINT) AS n_ws_tokens,
+        |  true AS round_trip_ok, true AS bounds_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // deterministic split: integer bucket thresholds (floor(0.8·2³²),
     // floor(0.9·2³²)) hardcoded identically on both sides so no float

@@ -1,0 +1,162 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer: corpus-statistics training and map-only
+  * application — the token-counting substrate of a training-data pipeline
+  * when "tokens" must mean *model* tokens, not whitespace runs.
+  *
+  * The split of work follows how real tokenizer trainers scale: merge
+  * selection needs only the WORD-FREQUENCY table, never the raw text, so
+  * the distributed part is exactly the corpus-wide word count (one
+  * explode + one aggregation — [[Mixture.vocabStats]] shape) capped to
+  * the `maxVocab` most frequent words, and the iterative merge loop runs
+  * on the driver over that bounded table (the classic in-memory
+  * algorithm; its input is KBs once capped, independent of corpus size).
+  * Applying the tokenizer is the reverse: the learned merge ranks are a
+  * small broadcast value and tokenization is a pure per-row map over the
+  * corpus — no shuffle, no state, linear in text length.
+  *
+  * Determinism: ties in pair frequency break lexicographically, word
+  * counts are integers, and the training sample is the exact top-K by
+  * (count, word) — same corpus ⇒ same merges, on any cluster layout.
+  */
+object Bpe {
+
+  /** End-of-word sentinel: distinguishes "est</w>" (suffix) from "est"
+    * (interior), exactly as in the original BPE formulation. Kept out of
+    * the visible character alphabet by construction (tokens are
+    * lower-cased \S+ runs, which cannot contain '␃'). */
+  val Eow = "␃"
+
+  final case class Merge(left: String, right: String, rank: Int)
+
+  /** Train `nMerges` BPE merges from the corpus word-frequency table.
+    *
+    * Distributed part: word counts (integer-exact, shuffle on token);
+    * driver part: the standard greedy pair-merge loop over the top
+    * `maxVocab` (count, word) entries — bounded memory by construction.
+    * Returns merges in rank order.
+    */
+  def train(docs: DataFrame, nMerges: Int, maxVocab: Int = 65536): Seq[Merge] = {
+    val counts: Array[(String, Long)] = docs
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+    // word → symbol sequence, starting from characters + end-of-word mark
+    var words: Array[(Array[String], Long)] = counts.map { case (w, c) =>
+      ((w.map(_.toString) :+ Eow).toArray, c)
+    }
+    val merges = Vector.newBuilder[Merge]
+    var rank = 0
+    while (rank < nMerges) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          pairCounts.update(k, pairCounts.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) rank = nMerges
+      else {
+        // max count; ties break on the lexicographically smallest pair
+        val maxC = pairCounts.values.max
+        val (bl, br) = pairCounts.collect { case (k, c) if c == maxC => k }
+          .minBy(identity)
+        merges += Merge(bl, br, rank)
+        val joined = bl + br
+        words = words.map { case (syms, c) =>
+          if (syms.length < 2) (syms, c)
+          else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == bl && syms(i + 1) == br) {
+                out += joined; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.toArray, c)
+          }
+        }
+        rank += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Tokenize one word with the learned merges (lowest-rank merge first —
+    * the standard application order, NOT greedy-longest). */
+  private def encodeWord(word: String, ranks: Map[(String, String), Int]): Array[String] = {
+    var syms = (word.map(_.toString) :+ Eow).toArray
+    var done = false
+    while (!done && syms.length > 1) {
+      var best = Int.MaxValue
+      var at = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < best) { best = r; at = i }
+        i += 1
+      }
+      if (at < 0) done = true
+      else {
+        val out = new Array[String](syms.length - 1)
+        var j = 0
+        var k = 0
+        while (j < syms.length) {
+          if (j == at) { out(k) = syms(j) + syms(j + 1); j += 2 }
+          else { out(k) = syms(j); j += 1 }
+          k += 1
+        }
+        syms = out
+      }
+    }
+    syms
+  }
+
+  /** Map-only corpus tokenization: merge ranks broadcast, one pass over
+    * the text, no shuffle. Emits (doc_id, n_bpe_tokens, n_ws_tokens,
+    * round_trip_ok): the token ids themselves are `explode`-able from the
+    * same encoder when a downstream stage wants them; the counts + the
+    * decode-identity flag are the gate-checkable surface.
+    *
+    * `mapPartitions` is the honest vehicle here: BPE application is an
+    * inherently iterative per-word object algorithm (rank-priority merge
+    * scan), not expressible in Catalyst expressions without a UDF — and a
+    * typed mapPartitions with one broadcast read per partition beats a
+    * per-row UDF closure lookup.
+    */
+  def tokenize(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(
+      merges.map(m => (m.left, m.right) -> m.rank).toMap)
+    docs.select(col("doc_id"), lower(col("text")).as("t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ranks = bc.value
+        it.map { case (id, t) =>
+          val ws = t.split("\\s+").filter(_.nonEmpty)
+          var n = 0L
+          var chars = 0L
+          var ok = true
+          ws.foreach { w =>
+            val toks = encodeWord(w, ranks)
+            n += toks.length
+            chars += w.length
+            ok &&= toks.mkString("") == w + Eow
+          }
+          (id, n, ws.length.toLong, chars, ok)
+        }
+      }
+      .toDF("doc_id", "n_bpe_tokens", "n_ws_tokens", "n_word_chars",
+        "round_trip_ok")
+  }
+}

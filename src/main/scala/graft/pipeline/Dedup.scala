@@ -293,13 +293,17 @@ object Dedup {
   def boilerplateClean(docs: DataFrame, window: Int = 4,
                        minDf: Long = 5): DataFrame = {
     require(window > 0 && minDf >= 2, s"bad window=$window / minDf=$minDf")
-    // non-overlapping window-token segments, in document order; size ≥ 1
+    // tokenize ONCE into a projected column — referencing the split inside
+    // the transform lambda instead would re-run the regex per segment
+    // index (no CSE across a lambda body: ~segments-per-doc× the cost).
+    // Non-overlapping window-token segments in document order; size ≥ 1
     // always (split of "" yields [""]), so the sequence bound is safe
-    val segs = docs.select(col("doc_id"),
-      posexplode(expr(
-        s"""transform(sequence(0, cast(ceil(size(split(lower(text), '\\\\s+')) / ${window}.0) as int) - 1),
-           |  k -> concat_ws(' ', slice(split(lower(text), '\\\\s+'), k * $window + 1, $window)))"""
-          .stripMargin)).as(Seq("seg_idx", "seg")))
+    val segsArr = transform(
+      sequence(lit(0), ceil(size(col("toks")) / lit(window.toDouble)).cast("int") - 1),
+      k => concat_ws(" ", slice(col("toks"), k * lit(window) + 1, lit(window))))
+    val segs = docs
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"), posexplode(segsArr).as(Seq("seg_idx", "seg")))
     val flagged = segs.groupBy("seg")
       .agg(countDistinct(col("doc_id")).as("seg_df"))
       .filter(col("seg_df") >= minDf)

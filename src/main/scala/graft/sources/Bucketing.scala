@@ -54,6 +54,26 @@ object Bucketing {
         .saveAsTable(table)
     })
 
+  /** Write `df` hive-partitioned on `partCols` (one directory per value
+    * combination). The complement of [[materialize]]: bucketing pre-pays
+    * the JOIN shuffle, partitioning makes selective FILTERS skip whole
+    * directories at planning time — a `WHERE day = X` over a
+    * date-partitioned 100 TB table reads 1/365th of it, visible as
+    * `PartitionFilters` in the scan (pinned by `BucketingSpec`). Choose
+    * partition columns with bounded cardinality (date, source, lang —
+    * never a key): each value is a directory, and millions of tiny
+    * directories are their own scale pathology. */
+  def materializePartitioned(spark: SparkSession, table: String, df: DataFrame,
+                             partCols: Seq[String], path: String): Unit =
+    done.getOrElseUpdate(System.identityHashCode(spark) + ":" + table, {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      df.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .partitionBy(partCols: _*)
+        .saveAsTable(table)
+    })
+
   /** Materialize `base` from `dir` as a bucketed table and return it.
     * The table lands under java.io.tmpdir keyed by the source dir, so
     * every caller against the same data shares one layout. */

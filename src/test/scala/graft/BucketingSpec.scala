@@ -53,6 +53,32 @@ class BucketingSpec extends SparkTestBase {
     }
   }
 
+  test("partitioned table: selective filter prunes directories at plan time") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("event_date", to_date(timestamp_micros((col("ts") / 1000L).cast("long"))))
+    val table = Bucketing.tableName(sfDir, "events_bydate")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_buckets/" +
+      s"${Bucketing.tableName(sfDir, "")}/events_bydate"
+    Bucketing.materializePartitioned(spark, table, events, Seq("event_date"), path)
+
+    val day = spark.table(table).select(max("event_date")).collect()(0).getDate(0)
+    val q = spark.table(table).filter(col("event_date") === lit(day))
+      .select("event_id", "user_id")
+    val got = q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_date"),
+      s"date filter should prune partitions:\n$plan")
+    // the filter must NOT appear as a post-scan Filter — pruning is
+    // directory-level, before any file is opened
+    assert(!plan.linesIterator.exists(_.matches(".*[+*:]- Filter .*event_date.*")),
+      s"partition filter leaked into a row-level Filter:\n$plan")
+    val want = events.filter(col("event_date") === lit(day))
+      .select("event_id", "user_id").collect()
+    assert(got.map(_.toString).sorted.toSeq == want.map(_.toString).sorted.toSeq)
+    assert(got.nonEmpty)
+  }
+
   test("re-materialization in the same session is free (idempotence guard)") {
     val t0 = System.nanoTime()
     Bucketing.bucketedTable(spark, sfDir, "orders", Seq("o_orderkey"), 8)

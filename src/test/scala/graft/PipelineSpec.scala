@@ -356,6 +356,40 @@ class PipelineSpec extends SparkTestBase {
     assert(n7 == 0L && clean7 == "entirely clean document with no banner at all present")
   }
 
+  test("bpe training learns the planted merge order and application matches") {
+    val s = spark
+    import s.implicits._
+    // "aaab" x3 + "ab" x2: pair (a,a) count 6 beats (a,b) count 5, so the
+    // first merge must be (a,a) -> "aa"; then aa+a (count 3) vs a+b (5):
+    // (a,b) wins rank 1
+    val df = Seq((1L, "aaab aaab aaab ab ab")).toDF("doc_id", "text")
+    val merges = Bpe.train(df, nMerges = 2)
+    assert(merges.map(m => (m.left, m.right)) == Seq(("a", "a"), ("a", "b")))
+    // deterministic: retrain is identical
+    assert(Bpe.train(df, nMerges = 2) == merges)
+    val out = Bpe.tokenize(df, merges).collect()(0)
+    // aaab -> [aa, ab, EOW] = 3 tokens; ab -> [ab, EOW] = 2: 3*3 + 2*2
+    assert(out.getAs[Long]("n_bpe_tokens") == 13L)
+    assert(out.getAs[Long]("n_ws_tokens") == 5L)
+    assert(out.getAs[Boolean]("round_trip_ok"))
+  }
+
+  test("bpe on the corpus: round-trip holds and counts shrink with merges") {
+    val merges = Bpe.train(docs, nMerges = 100)
+    assert(merges.length == 100)
+    assert(merges.map(_.rank) == (0 until 100))
+    val t = Bpe.tokenize(docs, merges)
+    assert(t.filter(!col("round_trip_ok")).count() == 0)
+    val merged = t.agg(sum("n_bpe_tokens")).collect()(0).getLong(0)
+    val unmerged = Bpe.tokenize(docs, Nil).agg(sum("n_bpe_tokens"))
+      .collect()(0).getLong(0)
+    assert(merged < unmerged, s"100 merges should compress: $merged vs $unmerged")
+    // envelope: every word is between 1 and len+1 tokens
+    assert(t.filter(col("n_bpe_tokens") > col("n_ws_tokens") + col("n_word_chars"))
+      .count() == 0)
+    assert(t.filter(col("n_bpe_tokens") < col("n_ws_tokens")).count() == 0)
+  }
+
   test("boilerplate removal on the corpus: totals reconcile") {
     val got = Dedup.boilerplateClean(docs, window = 4, minDf = 5)
     assert(got.count() == docs.count()) // every doc survives as a row
