@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.api.{Graft, TpchCatalog}
-import graft.pipeline.{Bpe, Decontaminate, Dedup, Mixture, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Bpe, Decontaminate, Dedup, Mixture, Multimodal, Similarity, Sketches, TextAnalysis}
 import graft.sources.Bucketing
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -584,6 +584,11 @@ object SparkEntry {
     "doc_split_assign" -> ((s, d) =>
       Mixture.splitAssign(T(s, d, "documents"),
         valFrac = 0.1, testFrac = 0.1, salt = "split1").orderBy("doc_id")),
+    // exact heavy hitters through a Misra-Gries candidate sketch: the
+    // sketch (bounded state) decides WHAT to count, the counts are exact —
+    // so the full-group-by DuckDB oracle must match token-for-token
+    "doc_heavy_hitters" -> ((s, d) =>
+      Sketches.heavyHitters(T(s, d, "documents"), k = 50)),
     "doc_boilerplate" -> ((s, d) =>
       Dedup.boilerplateClean(T(s, d, "documents"), window = 4, minDf = 5)
         .orderBy("doc_id")),
@@ -1271,6 +1276,16 @@ object SparkEntry {
         |FROM (SELECT doc_id, source,
         |  ('0x' || substr(md5('split1' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS b
         |  FROM documents) ORDER BY doc_id""".stripMargin,
+
+    "doc_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |  FROM documents),
+        |tt AS (SELECT tok FROM t WHERE len(tok) > 0),
+        |n AS (SELECT count(*) AS n FROM tt)
+        |SELECT tok, CAST(count(*) AS BIGINT) AS freq
+        |FROM tt GROUP BY tok
+        |HAVING count(*) > (SELECT n FROM n) / 50
+        |ORDER BY freq DESC, tok""".stripMargin,
 
     // cross-corpus boilerplate removal: exhaustive segment doc-frequency
     // oracle — 4-token windows, segments verbatim-shared by >= 5 docs cut

@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Mergeable sketch aggregations — the bounded-state summaries that stand
+  * in for full group-bys at corpus scale.
+  *
+  * [[MisraGries]] is a typed Catalyst `Aggregator` (the §2.12 extension
+  * surface for whole-aggregation semantics, as the codegen'd native
+  * expressions are for scalars): per-partition summaries of at most k-1
+  * counters, merged pairwise with the standard offset-decrement, giving
+  * the classic guarantee that any token with true frequency > N/k is
+  * PRESENT in the final summary (estimates undercount by at most N/k,
+  * never overcount). That superset guarantee is what makes the two-pass
+  * exact heavy-hitters design in [[Sketches.heavyHitters]] correct.
+  */
+object Sketches {
+
+  /** Misra-Gries summary with at most `k - 1` counters. Both `reduce` and
+    * `merge` maintain the invariant est(t) ≤ true(t) ≤ est(t) + N/k, so
+    * the summary keys are a superset of every token with true freq > N/k. */
+  final class MisraGries(k: Int)
+      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    require(k >= 2, s"k must be >= 2, got $k")
+
+    def zero: Map[String, Long] = Map.empty
+
+    def reduce(b: Map[String, Long], tok: String): Map[String, Long] =
+      b.get(tok) match {
+        case Some(c) => b.updated(tok, c + 1)
+        case None if b.size < k - 1 => b.updated(tok, 1L)
+        case None => // decrement all, drop zeros — the MG eviction step
+          b.view.mapValues(_ - 1).filter(_._2 > 0).toMap
+      }
+
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val sum = b.foldLeft(a) { case (m, (t, c)) =>
+        m.updated(t, m.getOrElse(t, 0L) + c)
+      }
+      if (sum.size <= k - 1) sum
+      else {
+        // subtract the k-th largest count from everything: at most k-1
+        // survive, and every entry lost at most what a sequence of MG
+        // eviction steps would have cost it (Agarwal et al.'s mergeable
+        // summaries construction)
+        val d = sum.values.toSeq.sorted(Ordering[Long].reverse)(k - 1)
+        sum.view.mapValues(_ - d).filter(_._2 > 0).toMap
+      }
+    }
+
+    def finish(r: Map[String, Long]): Map[String, Long] = r
+    def bufferEncoder: Encoder[Map[String, Long]] =
+      Encoders.kryo[Map[String, Long]]
+    def outputEncoder: Encoder[Map[String, Long]] =
+      Encoders.kryo[Map[String, Long]]
+  }
+
+  /** Exact corpus heavy hitters — every token with frequency > N/k, with
+    * its exact count — WITHOUT a full-vocabulary group-by.
+    *
+    * Pass 1 folds the corpus into one bounded Misra-Gries summary
+    * (≤ k-1 counters per partition, merged on the driver side of the
+    * aggregation — KBs of state however large the corpus); its keys are
+    * provably a superset of the true heavy hitters. Pass 2 counts ONLY
+    * those ≤ k-1 candidate tokens exactly (broadcast-filtered scan, the
+    * aggregation state is the candidate set, not the vocabulary) and
+    * keeps the ones above the threshold. Output is integer-exact — the
+    * sketch decides what to count, never what the counts are — which is
+    * what makes a DuckDB full-group-by oracle possible on a sketch op.
+    */
+  def heavyHitters(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs
+      .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val summary = toks.as[String].select(new MisraGries(k).toColumn).head()
+    val candidates = summary.keys.toSeq
+    val n = toks.count()
+    toks.filter(col("tok").isin(candidates: _*))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") > lit(n) / lit(k.toLong))
+      .orderBy(col("freq").desc, col("tok"))
+  }
+}

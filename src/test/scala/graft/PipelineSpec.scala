@@ -390,6 +390,48 @@ class PipelineSpec extends SparkTestBase {
     assert(t.filter(col("n_bpe_tokens") < col("n_ws_tokens")).count() == 0)
   }
 
+  test("misra-gries guarantee: heavy hitters survive eviction under high vocab") {
+    val s = spark
+    import s.implicits._
+    // 400 distinct singleton tokens force constant MG eviction at k=10;
+    // the two planted heavy tokens (freq 120/80 of N=600) must survive
+    val rare = (1 to 400).map(i => s"rare$i")
+    val toks = new scala.util.Random(7).shuffle(
+      Seq.fill(120)("heavy") ++ Seq.fill(80)("warm") ++ rare)
+    // 20 documents across 8 partitions: per-partition summaries evict
+    // under the rare flood, then merge — the mergeability is the test
+    val df = toks.grouped(30).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+      .repartition(8)
+    val got = Sketches.heavyHitters(df, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // threshold N/k = 60: exactly the two planted tokens, exact counts
+    assert(got.toSeq == Seq(("heavy", 120L), ("warm", 80L)), got.mkString(", "))
+  }
+
+  test("misra-gries summary undercounts by at most N/k") {
+    val s = spark
+    import s.implicits._
+    val toks = docs
+      .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val n = toks.count()
+    val k = 8
+    val summary = toks.as[String].select(new Sketches.MisraGries(k).toColumn).head()
+    assert(summary.size <= k - 1)
+    val exact = toks.groupBy("tok").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    summary.foreach { case (t, est) =>
+      val truth = exact(t)
+      assert(est <= truth, s"$t overcounted: $est > $truth")
+      assert(truth - est <= n / k, s"$t undercounted past N/k: $est vs $truth")
+    }
+    // the superset guarantee: every true heavy hitter is a summary key
+    exact.filter(_._2 > n / k).keys.foreach(t =>
+      assert(summary.contains(t), s"heavy hitter $t evicted"))
+  }
+
   test("boilerplate removal on the corpus: totals reconcile") {
     val got = Dedup.boilerplateClean(docs, window = 4, minDf = 5)
     assert(got.count() == docs.count()) // every doc survives as a row

@@ -159,4 +159,42 @@ class StreamingSpec extends SparkTestBase {
     q.stop()
     assert(rows.toSet == Set((20L, 10L))) // purchase 21 has no in-window click
   }
+
+  test("stateless pipeline ops run unmodified on unbounded streams") {
+    // splitAssign / mixtureSample / filterFunnel / redactPii are pure
+    // column expressions, so the SAME function compiles over a streaming
+    // source with zero state store and no watermark — the design property
+    // that makes the batch pipeline a streaming ingest pipeline for free
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val docs = input.toDF().toDF("doc_id", "text", "source")
+    assert(docs.isStreaming)
+    val q = graft.pipeline.Mixture.splitAssign(
+        docs, valFrac = 0.1, testFrac = 0.1, salt = "s1")
+      .writeStream.format("memory").queryName("stream_split")
+      .outputMode(OutputMode.Append).start()
+    val q2 = graft.pipeline.Mixture.mixtureSample(
+        docs, Seq("a" -> 1.0), defaultRate = 0.0, salt = "m1")
+      .writeStream.format("memory").queryName("stream_mix")
+      .outputMode(OutputMode.Append).start()
+    input.addData((1L, "some text here", "a"), (2L, "other text", "b"),
+      (3L, "third doc", "a"))
+    q.processAllAvailable(); q2.processAllAvailable()
+    q.stop(); q2.stop()
+    val split = spark.table("stream_split").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(split.keySet == Set(1L, 2L, 3L))
+    // identical assignments to the batch run — determinism across modes
+    val batch = graft.pipeline.Mixture.splitAssign(
+        Seq((1L, "some text here", "a"), (2L, "other text", "b"),
+          (3L, "third doc", "a")).toDF("doc_id", "text", "source"),
+        valFrac = 0.1, testFrac = 0.1, salt = "s1")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(split == batch)
+    // rate 1.0 keeps every "a" doc, default 0.0 drops the rest
+    val mixed = spark.table("stream_mix").collect().map(_.getLong(0)).toSet
+    assert(mixed == Set(1L, 3L))
+  }
 }
