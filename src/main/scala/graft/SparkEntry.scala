@@ -143,6 +143,14 @@ object SparkEntry {
       |  ?l a g:Lineitem ; g:returnflag ?flag ; g:linestatus ?status ; g:quantity ?qty .
       |} GROUP BY ?flag ?status ORDER BY ?flag ?status""".stripMargin
 
+  /** GROUP BY expression condition (§18.2.4.1): `(MONTH(?sd) AS ?m)`
+    * desugars to BIND + group-on-var at parse time. */
+  private val SPARQL_GROUP_EXPR =
+    """PREFIX g: <urn:g:>
+      |SELECT ?m (COUNT(*) AS ?n) WHERE {
+      |  ?l a g:Lineitem ; g:shipdate ?sd .
+      |} GROUP BY (MONTH(?sd) AS ?m) ORDER BY ?m""".stripMargin
+
   private val SPARQL_BUILTINS =
     """PREFIX g: <urn:g:>
       |SELECT ?p ?pname WHERE {
@@ -371,6 +379,7 @@ object SparkEntry {
       graft(s, d).sparql(SPARQL_CONSTRUCT_TYPED).orderBy("s", "p")),
     "sparql_topk" -> ((s, d) => graft(s, d).sparql(SPARQL_TOPK)),
     "sparql_agg_group" -> ((s, d) => graft(s, d).sparql(SPARQL_AGG_GROUP)),
+    "sparql_group_expr" -> ((s, d) => graft(s, d).sparql(SPARQL_GROUP_EXPR)),
     "sparql_builtins" -> ((s, d) => graft(s, d).sparql(SPARQL_BUILTINS)),
     "sparql_regex" -> ((s, d) => graft(s, d).sparql(SPARQL_REGEX)),
     "sparql_region_chain" -> ((s, d) => graft(s, d).sparql(SPARQL_REGION_CHAIN)),
@@ -589,6 +598,9 @@ object SparkEntry {
     // so the full-group-by DuckDB oracle must match token-for-token
     "doc_heavy_hitters" -> ((s, d) =>
       Sketches.heavyHitters(T(s, d, "documents"), k = 50)),
+    "doc_chunks" -> ((s, d) =>
+      TextAnalysis.chunk(T(s, d, "documents"), size = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_idx")),
     "doc_boilerplate" -> ((s, d) =>
       Dedup.boilerplateClean(T(s, d, "documents"), window = 4, minDf = 5)
         .orderBy("doc_id")),
@@ -819,6 +831,10 @@ object SparkEntry {
         | l_extendedprice * (1 - l_discount) AS rev
         |FROM lineitem WHERE l_returnflag IN ('A', 'R') ORDER BY l, rev""".stripMargin,
 
+    "sparql_group_expr" ->
+      """SELECT CAST(date_part('month', l_shipdate) AS INTEGER) AS m,
+        | CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY m""".stripMargin,
     "sparql_datefuncs" ->
       """SELECT 'urn:g:line:' || CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) AS l,
         | CAST(date_part('year', l_shipdate) AS INTEGER) AS y,
@@ -1286,6 +1302,18 @@ object SparkEntry {
         |FROM tt GROUP BY tok
         |HAVING count(*) > (SELECT n FROM n) / 50
         |ORDER BY freq DESC, tok""".stripMargin,
+
+    // sliding-window chunking: size 32, overlap 8, stride 24 — exact
+    // string/integer oracle, short docs yield exactly one chunk
+    "doc_chunks" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents)
+        |SELECT doc_id, k AS chunk_idx,
+        |  array_to_string(w[k*24+1 : k*24+32], ' ') AS chunk,
+        |  CAST(least(32, len(w) - k*24) AS BIGINT) AS n_tokens
+        |FROM t, unnest(generate_series(0,
+        |  greatest(CAST(ceil((len(w)-8)/24.0) AS INT)-1, 0))) AS g(k)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // cross-corpus boilerplate removal: exhaustive segment doc-frequency
     // oracle — 4-token windows, segments verbatim-shared by >= 5 docs cut

@@ -374,16 +374,31 @@ class SparqlParser extends RegexParsers {
     "(" ~> aggregate ~ (kw("AS") ~> variable) <~ ")" ^^ { case mk ~ v => mk(v): ProjItem } |
     "(" ~> expression ~ (kw("AS") ~> variable) <~ ")" ^^ { case e ~ v => ProjExpr(e, v): ProjItem }
 
+  /** W3C GroupCondition: a bare variable, or `(expr AS ?v)` which
+    * desugars to Extend(pattern, ?v, expr) + grouping on ?v — the same
+    * equivalence the spec's §18.2.4.1 translation uses. */
+  private def groupCondition: Parser[Either[Var, (Expr, Var)]] =
+    variable ^^ (Left(_): Either[Var, (Expr, Var)]) |
+    "(" ~> expression ~ (kw("AS") ~> variable) <~ ")" ^^ {
+      case e ~ v => Right((e, v)): Either[Var, (Expr, Var)]
+    }
+
   def selectQuery: Parser[Query] =
     kw("SELECT") ~> opt(kw("DISTINCT") | kw("REDUCED")) ~
       ("*" ^^ (_ => Nil) | rep1(projItem)) ~
       (opt(kw("WHERE")) ~> groupGraphPattern) ~
-      opt(kw("GROUP") ~> kw("BY") ~> rep1(variable)) ~
+      opt(kw("GROUP") ~> kw("BY") ~> rep1(groupCondition)) ~
       opt(kw("HAVING") ~> constraint) ~
       opt(orderClause) ~ modifiers ^^ {
       case d ~ proj ~ pat ~ gb ~ hav ~ ord ~ ((lim, off)) =>
-        Query(SelectForm, proj, d.contains("DISTINCT"), pat,
-          groupBy = gb.getOrElse(Nil), having = hav,
+        val conds = gb.getOrElse(Nil)
+        val pat2 = conds.foldLeft(pat) {
+          case (p, Right((e, v))) => Pattern.Extend(p, v, e)
+          case (p, Left(_))       => p
+        }
+        Query(SelectForm, proj, d.contains("DISTINCT"), pat2,
+          groupBy = conds.map { case Left(v) => v; case Right((_, v)) => v },
+          having = hav,
           orderBy = ord.getOrElse(Nil), limit = lim, offset = off)
     }
 

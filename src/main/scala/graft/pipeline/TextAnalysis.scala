@@ -174,6 +174,34 @@ object TextAnalysis {
           "((row_number() OVER (PARTITION BY n_tokens ORDER BY doc_id) - 1) " +
           s"div greatest(1L, $budget div greatest(n_tokens, 1L))) AS bin_id")
 
+  /** Sliding-window chunking — the context-window preparation step (RAG
+    * indexing, long-document training): each document yields overlapping
+    * `size`-token chunks every `size - overlap` tokens, so no token span
+    * longer than `overlap` straddles a boundary unseen. Map-only: the
+    * token array is sliced in place per document (the same
+    * projected-column discipline as boilerplateClean — no per-token
+    * explode, no shuffle), chunk indices are deterministic, and short
+    * documents yield exactly one chunk. Emits
+    * (doc_id, chunk_idx, chunk, n_tokens). */
+  def chunk(docs: DataFrame, size: Int = 32, overlap: Int = 8): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val stride = size - overlap
+    val nChunks = greatest(
+      ceil((org.apache.spark.sql.functions.size(col("toks")) - lit(overlap)) /
+        lit(stride.toDouble)).cast("int"), lit(1))
+    docs
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(col("toks")).as("n_toks"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          k => concat_ws(" ", slice(col("toks"), k * lit(stride) + 1, lit(size)))))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk"),
+        least(lit(size), col("n_toks") - col("chunk_idx") * lit(stride))
+          .cast("long").as("n_tokens"))
+  }
+
   /** Sketch-based corpus statistics — the 100 TB cardinality tools. Per
     * source: a HyperLogLog distinct-token estimate and an approximate
     * median of per-document token counts, each paired with a contract

@@ -432,6 +432,29 @@ class PipelineSpec extends SparkTestBase {
       assert(summary.contains(t), s"heavy hitter $t evicted"))
   }
 
+  test("chunking: coverage, overlap, and short-doc edge") {
+    val s = spark
+    import s.implicits._
+    val words = (1 to 50).map(i => s"w$i")
+    val df = Seq((1L, words.mkString(" ")), (2L, "tiny doc")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunk(df, size = 20, overlap = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    val doc1 = got.filter(_._1 == 1L).sortBy(_._2)
+    // stride 15 over 50 tokens: chunks at 0,15,30 — ceil((50-5)/15)=3
+    assert(doc1.length == 3)
+    assert(doc1(0)._3.startsWith("w1 ") && doc1(0)._4 == 20L)
+    assert(doc1(1)._3.startsWith("w16 ") && doc1(1)._4 == 20L)
+    assert(doc1(2)._3.startsWith("w31 ") && doc1(2)._4 == 20L)
+    // consecutive chunks share exactly `overlap` tokens
+    val c0 = doc1(0)._3.split(" "); val c1 = doc1(1)._3.split(" ")
+    assert(c0.takeRight(5).toSeq == c1.take(5).toSeq)
+    // every token appears in some chunk
+    assert(doc1.flatMap(_._3.split(" ")).toSet == words.toSet)
+    // short doc: one chunk, whole text
+    val doc2 = got.filter(_._1 == 2L)
+    assert(doc2.length == 1 && doc2(0)._3 == "tiny doc" && doc2(0)._4 == 2L)
+  }
+
   test("boilerplate removal on the corpus: totals reconcile") {
     val got = Dedup.boilerplateClean(docs, window = 4, minDf = 5)
     assert(got.count() == docs.count()) // every doc survives as a row
