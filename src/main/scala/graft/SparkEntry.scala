@@ -151,6 +151,14 @@ object SparkEntry {
       |  ?l a g:Lineitem ; g:shipdate ?sd .
       |} GROUP BY (MONTH(?sd) AS ?m) ORDER BY ?m""".stripMargin
 
+  /** SELECT expression over aggregates (§18.2.4.4): arithmetic computed
+    * post-grouping from hoisted hidden aggregate columns. */
+  private val SPARQL_AGG_EXPR =
+    """PREFIX g: <urn:g:>
+      |SELECT ?flag (SUM(?qty) / COUNT(*) AS ?avg_qty) (SUM(?qty) + 1 AS ?plus)
+      |WHERE { ?l a g:Lineitem ; g:returnflag ?flag ; g:quantity ?qty .
+      |} GROUP BY ?flag ORDER BY ?flag""".stripMargin
+
   private val SPARQL_BUILTINS =
     """PREFIX g: <urn:g:>
       |SELECT ?p ?pname WHERE {
@@ -380,6 +388,7 @@ object SparkEntry {
     "sparql_topk" -> ((s, d) => graft(s, d).sparql(SPARQL_TOPK)),
     "sparql_agg_group" -> ((s, d) => graft(s, d).sparql(SPARQL_AGG_GROUP)),
     "sparql_group_expr" -> ((s, d) => graft(s, d).sparql(SPARQL_GROUP_EXPR)),
+    "sparql_agg_expr" -> ((s, d) => graft(s, d).sparql(SPARQL_AGG_EXPR)),
     "sparql_builtins" -> ((s, d) => graft(s, d).sparql(SPARQL_BUILTINS)),
     "sparql_regex" -> ((s, d) => graft(s, d).sparql(SPARQL_REGEX)),
     "sparql_region_chain" -> ((s, d) => graft(s, d).sparql(SPARQL_REGION_CHAIN)),
@@ -835,6 +844,11 @@ object SparkEntry {
       """SELECT CAST(date_part('month', l_shipdate) AS INTEGER) AS m,
         | CAST(COUNT(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY 1 ORDER BY m""".stripMargin,
+    "sparql_agg_expr" ->
+      """SELECT l_returnflag AS flag,
+        | SUM(l_quantity) / COUNT(*) AS avg_qty,
+        | SUM(l_quantity) + 1 AS plus
+        |FROM lineitem GROUP BY 1 ORDER BY flag""".stripMargin,
     "sparql_datefuncs" ->
       """SELECT 'urn:g:line:' || CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) AS l,
         | CAST(date_part('year', l_shipdate) AS INTEGER) AS y,

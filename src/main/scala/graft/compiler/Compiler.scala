@@ -231,9 +231,18 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
       case other                => other
     }
     val having = q.having.map(hoist)
-    val aggCols = rebuilt ++ q.projection.collect {
-      case pa: ProjAgg => aggColumn(pa, df, c.sigs)
-      case ProjExpr(e, as) => first(ExprCompiler.compile(e, df)).as(as.name)
+    // SELECT expressions over aggregates (§18.2.4.4): `(SUM(?x)+1 AS ?y)`
+    // hoists its agg calls like HAVING does, and the surrounding
+    // arithmetic evaluates POST-grouping over the hidden columns
+    val postExprs = mutable.Map[String, Expr]()
+    val aggCols = rebuilt ++ q.projection.flatMap {
+      case pa: ProjAgg => Some(aggColumn(pa, df, c.sigs))
+      case ProjExpr(e, as) =>
+        val before = hoisted.size
+        val e2 = hoist(e)
+        if (hoisted.size > before) { postExprs(as.name) = e2; None }
+        else Some(first(ExprCompiler.compile(e, df)).as(as.name))
+      case _ => None
     } ++ hoisted
     val grouped =
       if (gcols.nonEmpty) df.groupBy(gcols: _*).agg(aggCols.head, aggCols.tail: _*)
@@ -241,7 +250,9 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
     // filter on the grouped frame (aliases + hidden having-aggs visible),
     // then project the declared aliases
     val filtered = having.fold(grouped)(h => grouped.filter(ExprCompiler.predicate(h, grouped)))
-    filtered.select(q.projection.map(p => filtered.col(p.alias)): _*)
+    filtered.select(q.projection.map(p => postExprs.get(p.alias)
+      .map(e => ExprCompiler.compile(e, filtered).as(p.alias))
+      .getOrElse(filtered.col(p.alias))): _*)
   }
 
   private def aggColumn(pa: ProjAgg, df: DataFrame,
