@@ -26,6 +26,55 @@ final class Graft(val catalog: Catalog, tableLoader: String => DataFrame)
   /** Compile an already-parsed query (the [[Experiment]] metrics path
     * times parse and compile separately). */
   def compile(q: graft.algebra.Query): DataFrame = compiler.compile(q)
+
+  /** Decomposition + plan report — the reference CLI's primary output
+    * (`run_query.py:22-44` prints the star decomposition, then the
+    * operator plan, then timings). Here the decomposition lists each
+    * star's candidate source fragments from RDF-MT source selection, and
+    * the plan is Catalyst's formatted physical plan — the thing to read
+    * for PushedFilters / join strategy / Exchange placement. */
+  def explain(query: String): String = {
+    import graft.algebra._
+    val t0 = System.nanoTime()
+    val q = SparqlParser.parseUnsafe(query)
+    def bgps(p: Pattern): List[List[TriplePattern]] = p match {
+      case Pattern.Bgp(ts) if ts.nonEmpty => List(ts)
+      case Pattern.Bgp(_)             => Nil
+      case Pattern.Join(l, r)         => bgps(l) ++ bgps(r)
+      case Pattern.Union(l, r)        => bgps(l) ++ bgps(r)
+      case Pattern.LeftJoin(l, r, _)  => bgps(l) ++ bgps(r)
+      case Pattern.Filter(_, p2)      => bgps(p2)
+      case Pattern.Minus(l, r)        => bgps(l) ++ bgps(r)
+      case Pattern.Exists(l, r, _)    => bgps(l) ++ bgps(r)
+      case Pattern.Extend(p2, _, _)   => bgps(p2)
+      case Pattern.Service(_, p2, _)  => bgps(p2)
+      case Pattern.SubSelect(sq)      => bgps(sq.pattern)
+      case _: Pattern.Values          => Nil
+      case _: Pattern.Path            => Nil
+    }
+    val stars = bgps(q.pattern)
+      .flatMap(ts => graft.decomposer.Decomposer.decompose(ts, catalog))
+    val decTime = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val df = compiler.compile(q)
+    val planTime = (System.nanoTime() - t1) / 1e9
+    val dec = stars.zipWithIndex.map { case (s, i) =>
+      val subj = s.subject match {
+        case Var(n) => s"?$n"
+        case Iri(v) => s"<$v>"
+        case other  => other.toString
+      }
+      val srcs = s.sources.map(_.fragments
+        .map(f => s"${f.molecule.table}@${f.molecule.source}")
+        .mkString("[", " ⋈ ", "]")).mkString(", ")
+      s"  star $i: $subj {${s.triples.length} triples} -> $srcs"
+    }.mkString("\n")
+    s"""Decomposition (${stars.length} stars, ${f"$decTime%.3f"}s):
+       |$dec
+       |Plan (compile ${f"$planTime%.3f"}s):
+       |${df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)}""".stripMargin
+  }
 }
 
 object Graft {

@@ -255,4 +255,20 @@ class EngineSpec extends SparkTestBase {
     val pushed = got.queryExecution.executedPlan.toString
     assert(pushed.contains("PushedFilters") && got.count() == 1)
   }
+
+  test("explain reports the decomposition and the formatted physical plan") {
+    // the reference CLI's primary output (run_query.py): decomposition
+    // with selected sources, then the operator plan, then timings
+    val report = g.explain(
+      """PREFIX g: <urn:g:>
+        |SELECT ?cname ?total WHERE {
+        |  ?c a g:Customer ; g:name ?cname .
+        |  ?o g:customer ?c ; g:totalprice ?total .
+        |}""".stripMargin)
+    assert(report.contains("Decomposition (2 stars"), report.take(300))
+    assert(report.contains("star 0: ?c") && report.contains("star 1: ?o"))
+    assert(report.contains("customer@") && report.contains("orders@"))
+    assert(report.contains("== Physical Plan =="))
+    assert(report.contains("PushedFilters"), "formatted plan should show scans")
+  }
 }
