@@ -162,6 +162,39 @@ class PlanAuditSpec extends SparkTestBase {
     new Graft(cat, tables)
   }
 
+  test("boilerplate join-back broadcasts the flagged tail, never the corpus") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.pipeline.Dedup.boilerplateClean(docs, window = 4, minDf = 2)
+    df.collect() // drive AQE to the final plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"flagged high-df tail should broadcast under AQE:\n$plan")
+  }
+
+  test("heavy-hitters second pass pushes the candidate filter into the scan") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.pipeline.Sketches.heavyHitters(docs, k = 10)
+    val lines = df.queryExecution.executedPlan.toString.linesIterator.toVector
+    // the candidate `IN` filter must sit between the explode and the
+    // partial aggregation: the second pass aggregates only the <= k-1
+    // candidate tokens, never the full vocabulary (tok is born at the
+    // Generate, so the parquet scan itself is the earliest it can land)
+    val gen = lines.indexWhere(_.contains("Generate explode"))
+    val in = lines.indexWhere(_.matches(".*Filter .* IN \\(.*"))
+    val partial = lines.indexWhere(_.contains("partial_count"))
+    assert(gen >= 0 && in >= 0 && partial >= 0,
+      s"missing plan nodes:\n${lines.mkString("\n")}")
+    assert(partial < in && in < gen, // plans print top-down
+      s"candidate filter should land below the partial agg, above the explode:\n${lines.mkString("\n")}")
+  }
+
+  test("chunking is map-only: no exchange") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.pipeline.TextAnalysis.chunk(docs, size = 16, overlap = 4)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking should not shuffle:\n$plan")
+  }
+
   test("extension-injected SQL functions: shingle_ids / simhash64 / minhash_bands") {
     val ext = new graft.functions.GraftExtensions
     // session already exists; register via the same builders the extension uses
