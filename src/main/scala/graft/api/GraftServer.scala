@@ -103,6 +103,15 @@ final class GraftServer(g: Graft, port: Int = 0,
     }
   })
 
+  // decomposition + formatted physical plan without executing — the HTTP
+  // face of [[Graft.explain]] (the reference prints the same report from
+  // its CLI, run_query.py:22-44)
+  server.createContext("/explain", (ex: HttpExchange) => safely(ex) { params =>
+    val query = params.getOrElse("query", "")
+    if (query.isEmpty) Map("error" -> "cannot read query")
+    else Map("report" -> g.explain(query))
+  })
+
   server.createContext("/nextresult", (ex: HttpExchange) => safely(ex) { params =>
     val id = params.getOrElse("id", "")
     Option(sessions.get(id)) match {

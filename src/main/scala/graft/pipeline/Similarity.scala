@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -204,6 +204,71 @@ object Similarity {
           .map { case (qid, qv, _) => (qid, e.vec_id, dot(v, qv)) }
       }
     }.toDF("q_id", "vec_id", "cosine")
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "rank")
+  }
+
+  /** Build and persist the IVF layout: the trained coarse quantizer (a
+    * tiny centers file) plus the corpus re-written PARTITIONED BY cell —
+    * the index-build-once/query-many form of [[ivfTopK]]. Each cell is a
+    * directory, so probing becomes storage-level partition pruning: a
+    * query READS `nProbe/cells` of the corpus, it doesn't scan-and-skip
+    * it. This is the durable 100 TB ANN layout (the in-job variant
+    * re-trains and re-assigns per session; here both are paid at ingest,
+    * like [[graft.sources.Bucketing]] pays the join shuffle at ingest). */
+  def buildIvfIndex(emb: DataFrame, path: String, cells: Int = 16,
+                    trainSample: Int = 16384, lloydIters: Int = 5): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val ds = asRows(emb)
+    val sample = ds.orderBy("vec_id").limit(trainSample).collect()
+      .map(e => normalize(e.embedding))
+    val centers = seededKMeans(sample, cells, lloydIters, unitNorm = true)
+    val bc = spark.sparkContext.broadcast(centers)
+    centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "center").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centers")
+    ds.map(e => (e.vec_id, e.embedding,
+        nearestCell(normalize(e.embedding), bc.value)))
+      .toDF("vec_id", "embedding", "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+  }
+
+  /** Top-k against a persisted [[buildIvfIndex]] layout. The probed cells
+    * land as a partition filter on the vectors read — only those
+    * directories are opened (plan-pinned in `PipelineSpec`). Results are
+    * identical to [[ivfTopK]] with the same parameters: the trainer is
+    * deterministic, so the quantizer — and therefore every assignment and
+    * score — is the same. */
+  def ivfIndexTopK(spark: SparkSession, path: String, k: Int = 5,
+                   numQueries: Int = 3, nProbe: Int = 2): DataFrame = {
+    import spark.implicits._
+    val centers = spark.read.parquet(s"$path/centers")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val vecs = spark.read.parquet(s"$path/vectors")
+    val queries = vecs.filter(col("vec_id") < numQueries)
+      .select("vec_id", "embedding").as[EmbRow].collect().map { e =>
+        val v = normalize(e.embedding)
+        val byDot = centers.zipWithIndex.sortBy { case (c, _) => -dot(c, v) }
+        (e.vec_id, v, byDot.take(nProbe).map(_._2).toSet)
+      }
+    val probed = queries.flatMap(_._3).distinct.toSeq
+    val bc = spark.sparkContext.broadcast(queries)
+    val scored = vecs.filter(col("cell").isin(probed: _*))
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .as[(Long, Array[Float], Int)]
+      .mapPartitions { it =>
+        val qs = bc.value
+        it.flatMap { case (id, embedding, cell) =>
+          val v = normalize(embedding)
+          qs.iterator.filter(q => q._3.contains(cell) && q._1 != id)
+            .map { case (qid, qv, _) => (qid, id, dot(v, qv)) }
+        }
+      }.toDF("q_id", "vec_id", "cosine")
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))

@@ -455,6 +455,27 @@ class PipelineSpec extends SparkTestBase {
     assert(doc2.length == 1 && doc2(0)._3 == "tiny doc" && doc2(0)._4 == 2L)
   }
 
+  test("persisted IVF index: directory pruning, results identical to in-job IVF") {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_test"
+    Similarity.buildIvfIndex(emb, path, cells = 8, lloydIters = 3)
+    // centers file is tiny; vectors are partitioned one directory per cell
+    val dirs = new java.io.File(s"$path/vectors").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).sorted
+    assert(dirs.nonEmpty && dirs.length <= 8, dirs.mkString(", "))
+    val fromIndex = Similarity.ivfIndexTopK(spark, path, k = 5,
+      numQueries = 3, nProbe = 2)
+    // probed cells must land as a partition filter — ANN as directory
+    // pruning, the corpus outside the probe set is never read
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"probe set should prune cell directories:\n$plan")
+    val inJob = Similarity.ivfTopK(emb, k = 5, numQueries = 3,
+      cells = 8, nProbe = 2, lloydIters = 3)
+    assert(fromIndex.collect().map(_.toString).sorted.toSeq ==
+      inJob.collect().map(_.toString).sorted.toSeq,
+      "persisted index must reproduce the in-job IVF results exactly")
+  }
+
   test("boilerplate removal on the corpus: totals reconcile") {
     val got = Dedup.boilerplateClean(docs, window = 4, minDf = 5)
     assert(got.count() == docs.count()) // every doc survives as a row

@@ -110,4 +110,21 @@ class ServerSpec extends SparkTestBase {
       assert(bad.has("error"))
     } finally server.stop()
   }
+
+  test("/explain reports decomposition and plan without executing") {
+    val server = new GraftServer(g)
+    val port = server.start()
+    try {
+      val q = """PREFIX g: <urn:g:>
+                |SELECT ?name WHERE { ?c a g:Customer ; g:name ?name }""".stripMargin
+      val res = get(s"http://127.0.0.1:$port/explain?query=${enc(q)}")
+      val report = res.path("report").asText()
+      assert(report.contains("Decomposition (1 stars"))
+      assert(report.contains("customer@"))
+      assert(report.contains("== Physical Plan =="))
+      // explain must not count as a served query (federation tests rely
+      // on queriesServed to pin dispatch strategies)
+      assert(server.queriesServed.get() == 0)
+    } finally server.stop()
+  }
 }
