@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.api.{Graft, TpchCatalog}
-import graft.pipeline.{Bpe, Decontaminate, Dedup, Mixture, Multimodal, Similarity, Sketches, TextAnalysis}
+import graft.pipeline.{Bpe, Decontaminate, Dedup, Funnels, Mixture, Multimodal, Similarity, Sketches, TextAnalysis}
 import graft.sources.Bucketing
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -508,6 +508,11 @@ object SparkEntry {
           sum(discPrice).cast("double").as("revenue"))
         .orderBy("o_orderpriority")
     }),
+    // ordered funnel: how far each user got through view → click →
+    // purchase with strictly increasing event time
+    "q_event_funnel" -> ((s, d) =>
+      Funnels.funnelDepth(events(s, d),
+        Seq("view", "click", "purchase")).orderBy("user_id")),
     // gap-based sessionization, batch form (streaming twin lives in
     // graft.streaming.EventStreams.sessionize)
     "q_sessions" -> ((s, d) => {
@@ -1005,6 +1010,25 @@ object SparkEntry {
          | CAST(SUM($DISC_SQL) AS DOUBLE) AS revenue
          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // earliest-completion ordered funnel; survivor sets nest, so summing
+    // the non-null flags is the ordered depth (strict > on event time
+    // matches the Spark side's nanosecond comparison)
+    "q_event_funnel" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+        |SELECT u.user_id,
+        |  CAST((s1.user_id IS NOT NULL)::INT + (s2.user_id IS NOT NULL)::INT
+        |     + (s3.user_id IS NOT NULL)::INT AS INTEGER) AS depth
+        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |       LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     "q_sessions" ->
       """SELECT user_id, event_id,
         | CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id

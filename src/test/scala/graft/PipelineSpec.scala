@@ -476,6 +476,21 @@ class PipelineSpec extends SparkTestBase {
       "persisted index must reproduce the in-job IVF results exactly")
   }
 
+  test("funnel depth: ordered steps, strict time, nested survivors") {
+    val s = spark
+    import s.implicits._
+    val e = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L), // full
+      (2L, "purchase", 10L), (2L, "view", 20L), (2L, "click", 30L), // 2: no purchase after click
+      (3L, "click", 10L),                                           // 0: never viewed
+      (4L, "click", 10L), (4L, "view", 20L),                        // 1: click precedes view
+      (5L, "view", 10L), (5L, "click", 10L)                         // 1: strict >, same ts
+    ).toDF("user_id", "event_type", "ts")
+    val got = Funnels.funnelDepth(e, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 3, 2L -> 2, 3L -> 0, 4L -> 1, 5L -> 1), got.toString)
+  }
+
   test("boilerplate removal on the corpus: totals reconcile") {
     val got = Dedup.boilerplateClean(docs, window = 4, minDf = 5)
     assert(got.count() == docs.count()) // every doc survives as a row
