@@ -513,6 +513,8 @@ object SparkEntry {
     "q_event_funnel" -> ((s, d) =>
       Funnels.funnelDepth(events(s, d),
         Seq("view", "click", "purchase")).orderBy("user_id")),
+    "q_retention" -> ((s, d) =>
+      Funnels.retention(events(s, d)).orderBy("cohort", "offset_weeks")),
     // gap-based sessionization, batch form (streaming twin lives in
     // graft.streaming.EventStreams.sessionize)
     "q_sessions" -> ((s, d) => {
@@ -1029,6 +1031,17 @@ object SparkEntry {
         |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
         |       LEFT JOIN s3 USING (user_id)
         |ORDER BY user_id""".stripMargin,
+    // retention triangle over the deduplicated (user, week) grid; weeks
+    // are raw integer division of nanosecond time — identical arithmetic
+    // on both engines, no calendar functions to disagree
+    "q_retention" ->
+      """WITH w AS (SELECT DISTINCT user_id,
+        |    epoch_ns(ts) // 604800000000000 AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort FROM w GROUP BY 1)
+        |SELECT c.cohort, w.wk - c.cohort AS offset_weeks,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM w JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_sessions" ->
       """SELECT user_id, event_id,
         | CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id

@@ -47,4 +47,28 @@ object Funnels {
     }
     acc.select(u, depth.cast("int").as("depth"))
   }
+
+  /** Cohort retention: users bucketed by first-activity week, counted in
+    * every later week they return. Output (cohort, offset_weeks,
+    * n_users) — the classic retention triangle.
+    *
+    * Weeks are integer division of the raw event time by `bucketNanos`
+    * (engine-portable: the oracle does the identical integer arithmetic,
+    * no calendar/timezone functions to disagree on). Scale shape: the
+    * (user, week) activity grid is deduplicated FIRST — one row per user
+    * per active week, orders of magnitude smaller than the event stream —
+    * and everything downstream (cohort min, self-join, count) runs on the
+    * grid, keyed on user_id throughout. */
+  def retention(events: DataFrame, userCol: String = "user_id",
+                tsCol: String = "ts",
+                bucketNanos: Long = 7L * 86400L * 1000000000L): DataFrame = {
+    val grid = events
+      .select(col(userCol), expr(s"$tsCol div ${bucketNanos}L").as("wk"))
+      .distinct()
+    val cohorts = grid.groupBy(userCol).agg(min("wk").as("cohort"))
+    grid.join(cohorts, userCol)
+      .withColumn("offset_weeks", col("wk") - col("cohort"))
+      .groupBy("cohort", "offset_weeks")
+      .agg(count(lit(1)).cast("long").as("n_users"))
+  }
 }

@@ -491,6 +491,25 @@ class PipelineSpec extends SparkTestBase {
     assert(got == Map(1L -> 3, 2L -> 2, 3L -> 0, 4L -> 1, 5L -> 1), got.toString)
   }
 
+  test("retention triangle: cohorts, offsets, and dedup within a week") {
+    val s = spark
+    import s.implicits._
+    val wk = 7L * 86400L * 1000000000L
+    val e = Seq(
+      (1L, wk * 10 + 5), (1L, wk * 10 + 9), (1L, wk * 11),   // cohort 10, back wk 11
+      (2L, wk * 10),     (2L, wk * 12 + 3),                  // cohort 10, back wk 12
+      (3L, wk * 11 + 1)                                      // cohort 11 only
+    ).toDF("user_id", "ts")
+    val got = Funnels.retention(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (10L, 0L, 2L), // users 1,2 in their first week (dup events collapse)
+      (10L, 1L, 1L), // user 1 returns week 11
+      (10L, 2L, 1L), // user 2 returns week 12
+      (11L, 0L, 1L)  // user 3's cohort
+    ), got.toString)
+  }
+
   test("boilerplate removal on the corpus: totals reconcile") {
     val got = Dedup.boilerplateClean(docs, window = 4, minDf = 5)
     assert(got.count() == docs.count()) // every doc survives as a row
