@@ -77,6 +77,41 @@ object EventStreams {
   final case class SessionAssignment(user_id: Long, event_id: Long,
                                      session_id: Long, events_in_session: Long)
 
+  final case class FunnelState(depth: Int, lastTs: Long)
+  final case class FunnelProgress(user_id: Long, depth: Int)
+
+  /** Streaming face of [[graft.pipeline.Funnels.funnelDepth]]: per-user
+    * keyed state is (depth, timestamp of the last matched step) — two
+    * fields per active user, however long the stream runs. Each batch's
+    * events process in event-time order; an event advances the funnel iff
+    * it is the next required step strictly after the last match
+    * (earliest-completion, like the batch op). Emits a row whenever a
+    * user's depth grows. In-order delivery reproduces the batch depths
+    * exactly (spec-pinned); an event arriving after a later-step match
+    * has already consumed its slot cannot retro-match — the usual
+    * streaming-funnel caveat, the batch op is the reconciliation. */
+  def funnelProgress(events: Dataset[Event], steps: Seq[String])
+                    (implicit spark: SparkSession): Dataset[FunnelProgress] = {
+    import spark.implicits._
+    require(steps.nonEmpty, "funnel needs at least one step")
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, it: Iterator[Event], state: GroupState[FunnelState]) => {
+          var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelProgress]
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            if (st.depth < steps.length &&
+                e.event_type == steps(st.depth) && e.ts.getTime > st.lastTs) {
+              st = FunnelState(st.depth + 1, e.ts.getTime)
+              out += FunnelProgress(user, st.depth)
+            }
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+
   /** Gap-based sessionization with explicit keyed state
     * (`flatMapGroupsWithState`): a new session starts when the gap to the
     * previous event exceeds `gapMinutes`. Per-user state is one small

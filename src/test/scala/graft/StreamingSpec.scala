@@ -160,6 +160,42 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.toSet == Set((20L, 10L))) // purchase 21 has no in-window click
   }
 
+  test("streaming funnel matches the batch depths across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[Event]
+    val q = graft.streaming.EventStreams.funnelProgress(
+        input.toDS(), Seq("view", "click", "purchase"))(s)
+      .writeStream.format("memory").queryName("funnel_progress")
+      .outputMode(OutputMode.Append).start()
+    // batch 1: user 1 views+clicks; user 2 clicks only (no view yet)
+    input.addData(
+      Event(1, ts(0), 1, "view", 0), Event(2, ts(1), 1, "click", 0),
+      Event(3, ts(0), 2, "click", 0))
+    q.processAllAvailable()
+    // batch 2: user 1 purchases (completes); user 2 views then clicks
+    input.addData(
+      Event(4, ts(2), 1, "purchase", 9), Event(5, ts(3), 2, "view", 0),
+      Event(6, ts(4), 2, "click", 0))
+    q.processAllAvailable()
+    q.stop()
+    val depths = spark.table("funnel_progress")
+      .groupBy("user_id").agg(org.apache.spark.sql.functions.max("depth").as("depth"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // the batch op over the full event set must agree
+    val allEvents = Seq(
+      (1L, "view", 0L), (1L, "click", 1L), (1L, "purchase", 2L),
+      (2L, "click", 0L), (2L, "view", 3L), (2L, "click", 4L)
+    ).map { case (u, t, m) => (u, t, ts(m.toInt)) }
+      .toDF("user_id", "event_type", "ts")
+    val batch = graft.pipeline.Funnels.funnelDepth(
+        allEvents, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(depths == batch, s"stream $depths vs batch $batch")
+    assert(depths == Map(1L -> 3, 2L -> 2))
+  }
+
   test("stateless pipeline ops run unmodified on unbounded streams") {
     // splitAssign / mixtureSample / filterFunnel / redactPii are pure
     // column expressions, so the SAME function compiles over a streaming
