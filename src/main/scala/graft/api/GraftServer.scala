@@ -76,9 +76,18 @@ final class GraftServer(g: Graft, port: Int = 0,
       // W3C sparql-results+json on request — what a generic SPARQL client
       // (incl. our own [[graft.sources.SparqlHttp]] transport and the
       // reference's triple-store wrapper) consumes
+      val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
       val srj = params.get("format").contains("srj") ||
-        Option(ex.getRequestHeaders.getFirst("Accept"))
-          .exists(_.contains("application/sparql-results+json"))
+        accept.contains("application/sparql-results+json")
+      // W3C SPARQL 1.1 Query Results CSV/TSV formats (blocking only)
+      val tabular = params.get("format").collect {
+        case "csv" => false
+        case "tsv" => true
+      }.orElse {
+        if (accept.contains("text/tab-separated-values")) Some(true)
+        else if (accept.contains("text/csv")) Some(false)
+        else None
+      }
       val start = System.nanoTime()
       val df = g.sparql(query)
       val vars = df.columns.toSeq
@@ -86,7 +95,12 @@ final class GraftServer(g: Graft, port: Int = 0,
         // rows stream straight from toLocalIterator into the chunked
         // response — one partition of driver memory, never a full collect
         // (a large SELECT must not OOM the serving driver)
-        streamBlocking(ex, vars, df.toLocalIterator().asScala, start, srj)
+        tabular match {
+          case Some(tsv) =>
+            streamTabular(ex, vars, df.toLocalIterator().asScala, tsv)
+          case None =>
+            streamBlocking(ex, vars, df.toLocalIterator().asScala, start, srj)
+        }
         null // response already written
       } else {
         val id = md5(query)
@@ -234,6 +248,46 @@ final class GraftServer(g: Graft, port: Int = 0,
 
   /** SRJ term typing: IRIs by scheme shape (the no-term-map heuristic of
     * DESCRIBE), typed literals from the JVM type. */
+  /** W3C SPARQL 1.1 Query Results CSV (plain lexical forms, RFC 4180
+    * quoting) and TSV (terms in SPARQL surface syntax: IRIs bracketed,
+    * strings quoted+escaped, numerics/booleans bare) — both streamed row
+    * by row like the JSON forms. */
+  private def streamTabular(ex: HttpExchange, vars: Seq[String],
+                            it: Iterator[Row], tsv: Boolean): Unit = {
+    ex.getResponseHeaders.set("Content-Type",
+      (if (tsv) "text/tab-separated-values" else "text/csv") + "; charset=utf-8")
+    ex.sendResponseHeaders(200, 0L)
+    val w = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(ex.getResponseBody, UTF_8))
+    try {
+      val sep = if (tsv) "\t" else ","
+      w.write(vars.map(v => if (tsv) "?" + v else v).mkString(sep)); w.write("\r\n")
+      it.foreach { r =>
+        w.write(vars.indices.map { i =>
+          if (r.isNullAt(i)) "" // unbound: empty field in both formats
+          else if (tsv) tsvTerm(r.get(i))
+          else csvField(srjTerm(r.get(i))._3)
+        }.mkString(sep))
+        w.write("\r\n")
+      }
+    } finally { w.flush(); w.close(); ex.close() }
+  }
+
+  private def csvField(s: String): String =
+    if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+      "\"" + s.replace("\"", "\"\"") + "\""
+    else s
+
+  private def tsvTerm(v: Any): String = {
+    val (kind, dt, lex) = srjTerm(v)
+    val bare = dt.exists(d => d.endsWith("#integer") || d.endsWith("#double") ||
+      d.endsWith("#decimal") || d.endsWith("#boolean"))
+    if (kind == "uri") s"<$lex>"
+    else if (bare) lex
+    else "\"" + lex.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
+  }
+
   private def srjTerm(v: Any): (String, Option[String], String) = {
     val Xsd = "http://www.w3.org/2001/XMLSchema#"
     v match {

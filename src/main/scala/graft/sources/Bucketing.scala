@@ -32,9 +32,12 @@ object Bucketing {
 
   private val done = scala.collection.concurrent.TrieMap.empty[String, Unit]
 
-  /** Sanitized, collision-safe table name for a (data dir, base table). */
-  def tableName(dir: String, base: String): String = {
-    val tag = Integer.toHexString(dir.hashCode).replace('-', 'm')
+  /** Sanitized, collision-safe table name for a (data dir, base table,
+    * layout). The layout is part of the identity: the same base table
+    * bucketed on different keys (orders by orderkey for lineitem joins,
+    * by custkey for customer joins) is two distinct physical tables. */
+  def tableName(dir: String, base: String, layout: String = ""): String = {
+    val tag = Integer.toHexString((dir + "|" + layout).hashCode).replace('-', 'm')
     s"graft_bkt_${tag}_$base"
   }
 
@@ -79,9 +82,10 @@ object Bucketing {
     * every caller against the same data shares one layout. */
   def bucketedTable(spark: SparkSession, dir: String, base: String,
                     keys: Seq[String], buckets: Int): DataFrame = {
-    val table = tableName(dir, base)
+    val layout = s"${keys.mkString("+")}@$buckets"
+    val table = tableName(dir, base, layout)
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_buckets/" +
-      s"${tableName(dir, "")}/$base"
+      s"${tableName(dir, "", layout)}/$base"
     val df = spark.read.parquet(s"$dir/$base.parquet")
     materialize(spark, table, df, keys, buckets, path)
     spark.table(table)

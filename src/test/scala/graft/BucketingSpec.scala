@@ -13,7 +13,7 @@ class BucketingSpec extends SparkTestBase {
     val n = 8
     Bucketing.bucketedTable(spark, sfDir, "orders", Seq("o_orderkey"), n)
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_buckets/" +
-      s"${Bucketing.tableName(sfDir, "")}/orders"
+      s"${Bucketing.tableName(sfDir, "", s"o_orderkey@$n")}/orders"
     val files = new java.io.File(path).listFiles()
       .filter(f => f.getName.startsWith("part-"))
     assert(files.length == n,
@@ -77,6 +77,46 @@ class BucketingSpec extends SparkTestBase {
       .select("event_id", "user_id").collect()
     assert(got.map(_.toString).sorted.toSeq == want.map(_.toString).sorted.toSeq)
     assert(got.nonEmpty)
+  }
+
+  test("SPARQL star joins over a bucketed lake plan Exchange-free") {
+    // the federated engine composes with the layout: a catalog whose
+    // loader serves bucketed tables gets co-located star-to-star joins —
+    // template-built join vars carry raw key columns (__k_*), which are
+    // projections of the bucketed columns, so the scan's HashPartitioning
+    // survives into the join
+    import graft.api.{Graft, TpchCatalog}
+    val n = 8
+    val cust = Bucketing.bucketedTable(spark, sfDir, "customer", Seq("c_custkey"), n)
+    val ords = Bucketing.bucketedTable(spark, sfDir, "orders", Seq("o_custkey"), n)
+    val g = new Graft(TpchCatalog.catalog, {
+      case "customer" => cust
+      case "orders"   => ords
+      case t          => spark.read.parquet(s"$sfDir/$t.parquet")
+    })(spark)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = g.sparql(
+        """PREFIX g: <urn:g:>
+          |SELECT ?name ?tp WHERE {
+          |  ?c a g:Customer ; g:name ?name .
+          |  ?o g:customer ?c ; g:totalprice ?tp .
+          |}""".stripMargin)
+      val got = q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected merge join:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed star join should not shuffle:\n$plan")
+      // parity against the plain-parquet engine
+      val plain = graft.api.Graft.overParquetDir(TpchCatalog.catalog, sfDir)(spark)
+        .sparql("""PREFIX g: <urn:g:>
+          |SELECT ?name ?tp WHERE {
+          |  ?c a g:Customer ; g:name ?name .
+          |  ?o g:customer ?c ; g:totalprice ?tp .
+          |}""".stripMargin).collect()
+      assert(got.map(_.toString).sorted.toSeq == plain.map(_.toString).sorted.toSeq)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("re-materialization in the same session is free (idempotence guard)") {

@@ -111,6 +111,30 @@ class ServerSpec extends SparkTestBase {
     } finally server.stop()
   }
 
+  test("format=csv and tsv stream W3C tabular results") {
+    val server = new GraftServer(g)
+    val port = server.start()
+    try {
+      val q = """PREFIX g: <urn:g:>
+                |SELECT ?r ?rname WHERE { ?r a g:Region ; g:name ?rname }
+                |ORDER BY ?r""".stripMargin
+      val csv = new String(URI.create(
+        s"http://127.0.0.1:$port/sparql?query=${enc(q)}&format=csv")
+        .toURL.openStream().readAllBytes(), "UTF-8")
+      val csvLines = csv.split("\r\n").toSeq
+      assert(csvLines.head == "r,rname")
+      assert(csvLines.length == 6) // header + 5 regions
+      assert(csvLines(1).startsWith("urn:g:region:")) // CSV: plain lexical form
+      val tsvBody = new String(URI.create(
+        s"http://127.0.0.1:$port/sparql?query=${enc(q)}&format=tsv")
+        .toURL.openStream().readAllBytes(), "UTF-8")
+      val tsvLines = tsvBody.split("\r\n").toSeq
+      assert(tsvLines.head == "?r\t?rname")
+      // TSV: SPARQL surface syntax — IRIs bracketed, strings quoted
+      assert(tsvLines(1).matches("<urn:g:region:\\d+>\t\".*\""), tsvLines(1))
+    } finally server.stop()
+  }
+
   test("/explain reports decomposition and plan without executing") {
     val server = new GraftServer(g)
     val port = server.start()
