@@ -89,13 +89,34 @@ final class GraftServer(g: Graft, port: Int = 0,
         else None
       }
       val start = System.nanoTime()
+      val form = graft.parser.SparqlParser.parse(query).toOption.map(_.form)
       val df = g.sparql(query)
       val vars = df.columns.toSeq
       if (blocking) {
-        // rows stream straight from toLocalIterator into the chunked
-        // response — one partition of driver memory, never a full collect
-        // (a large SELECT must not OOM the serving driver)
-        tabular match {
+        // W3C form-specific serializations: ASK answers a boolean
+        // document under SRJ; CONSTRUCT/DESCRIBE answer N-Triples when
+        // asked (the triple columns are already N-Triples terms)
+        val wantNt = params.get("format").contains("nt") ||
+          accept.contains("application/n-triples")
+        if (srj && form.contains(graft.algebra.AskForm)) {
+          val v = df.collect()(0).getBoolean(0) // ASK plans LocalLimit(1)
+          ex.getResponseHeaders.set("Content-Type", "application/sparql-results+json")
+          val body = s"""{"head":{},"boolean":$v}""".getBytes(UTF_8)
+          ex.sendResponseHeaders(200, body.length)
+          ex.getResponseBody.write(body); ex.close()
+        } else if (wantNt && (form.contains(graft.algebra.ConstructForm) ||
+            form.contains(graft.algebra.DescribeForm))) {
+          ex.getResponseHeaders.set("Content-Type", "application/n-triples")
+          ex.sendResponseHeaders(200, 0L)
+          val w = new java.io.BufferedWriter(
+            new java.io.OutputStreamWriter(ex.getResponseBody, UTF_8))
+          try df.toLocalIterator().asScala.foreach { r =>
+            w.write(s"${r.getString(0)} ${r.getString(1)} ${r.getString(2)} .\n")
+          } finally { w.flush(); w.close(); ex.close() }
+        } else tabular match {
+          // rows stream straight from toLocalIterator into the chunked
+          // response — one partition of driver memory, never a full
+          // collect (a large SELECT must not OOM the serving driver)
           case Some(tsv) =>
             streamTabular(ex, vars, df.toLocalIterator().asScala, tsv)
           case None =>

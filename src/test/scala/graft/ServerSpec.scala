@@ -135,6 +135,26 @@ class ServerSpec extends SparkTestBase {
     } finally server.stop()
   }
 
+  test("ASK answers the W3C boolean document; CONSTRUCT streams N-Triples") {
+    val server = new GraftServer(g)
+    val port = server.start()
+    try {
+      val ask = get(s"http://127.0.0.1:$port/sparql?query=${
+        enc("PREFIX g: <urn:g:> ASK { ?r a g:Region }")}&format=srj")
+      assert(ask.path("boolean").asBoolean() && ask.has("head"))
+      val askNo = get(s"http://127.0.0.1:$port/sparql?query=${
+        enc("""PREFIX g: <urn:g:> ASK { ?r g:name "no such name" }""")}&format=srj")
+      assert(!askNo.path("boolean").asBoolean())
+      val nt = new String(URI.create(s"http://127.0.0.1:$port/sparql?query=${
+        enc("""PREFIX g: <urn:g:>
+              |CONSTRUCT { ?r g:label ?n } WHERE { ?r a g:Region ; g:name ?n }"""
+          .stripMargin)}&format=nt").toURL.openStream().readAllBytes(), "UTF-8")
+      val lines = nt.split("\n").toSeq
+      assert(lines.length == 5)
+      assert(lines.forall(_.matches("<urn:g:region:\\d+> <urn:g:label> \".*\" \\.")), lines.head)
+    } finally server.stop()
+  }
+
   test("/explain reports decomposition and plan without executing") {
     val server = new GraftServer(g)
     val port = server.start()
