@@ -113,6 +113,9 @@ final class GraftServer(g: Graft, port: Int = 0,
           try df.toLocalIterator().asScala.foreach { r =>
             w.write(s"${r.getString(0)} ${r.getString(1)} ${r.getString(2)} .\n")
           } finally { w.flush(); w.close(); ex.close() }
+        } else if (params.get("format").contains("xml") ||
+            accept.contains("application/sparql-results+xml")) {
+          streamXml(ex, vars, df.toLocalIterator().asScala)
         } else tabular match {
           // rows stream straight from toLocalIterator into the chunked
           // response — one partition of driver memory, never a full
@@ -291,6 +294,41 @@ final class GraftServer(g: Graft, port: Int = 0,
         }.mkString(sep))
         w.write("\r\n")
       }
+    } finally { w.flush(); w.close(); ex.close() }
+  }
+
+  /** W3C SPARQL Query Results XML: the remaining standard serialization
+    * (SRJ/CSV/TSV/N-Triples cover the rest). Streamed like the others. */
+  private def streamXml(ex: HttpExchange, vars: Seq[String],
+                        it: Iterator[Row]): Unit = {
+    ex.getResponseHeaders.set("Content-Type",
+      "application/sparql-results+xml; charset=utf-8")
+    ex.sendResponseHeaders(200, 0L)
+    val w = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(ex.getResponseBody, UTF_8))
+    def esc(s: String): String = s.replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;").replace("\"", "&quot;")
+    try {
+      w.write("""<?xml version="1.0"?><sparql xmlns="http://www.w3.org/2005/sparql-results#"><head>""")
+      vars.foreach(v => w.write(s"""<variable name="${esc(v)}"/>"""))
+      w.write("</head><results>")
+      it.foreach { r =>
+        w.write("<result>")
+        vars.zipWithIndex.foreach { case (v, i) =>
+          if (!r.isNullAt(i)) {
+            val (kind, dt, lex) = srjTerm(r.get(i))
+            w.write(s"""<binding name="${esc(v)}">""")
+            if (kind == "uri") w.write(s"<uri>${esc(lex)}</uri>")
+            else dt match {
+              case Some(d) => w.write(s"""<literal datatype="${esc(d)}">${esc(lex)}</literal>""")
+              case None    => w.write(s"<literal>${esc(lex)}</literal>")
+            }
+            w.write("</binding>")
+          }
+        }
+        w.write("</result>")
+      }
+      w.write("</results></sparql>")
     } finally { w.flush(); w.close(); ex.close() }
   }
 

@@ -135,6 +135,28 @@ class ServerSpec extends SparkTestBase {
     } finally server.stop()
   }
 
+  test("format=xml streams W3C sparql-results+xml") {
+    val server = new GraftServer(g)
+    val port = server.start()
+    try {
+      val q = """PREFIX g: <urn:g:>
+                |SELECT ?r ?rname WHERE { ?r a g:Region ; g:name ?rname }
+                |ORDER BY ?r""".stripMargin
+      val xml = new String(URI.create(
+        s"http://127.0.0.1:$port/sparql?query=${enc(q)}&format=xml")
+        .toURL.openStream().readAllBytes(), "UTF-8")
+      assert(xml.startsWith("""<?xml version="1.0"?><sparql xmlns="http://www.w3.org/2005/sparql-results#">"""))
+      assert(xml.contains("""<variable name="r"/><variable name="rname"/>"""))
+      assert(xml.split("<result>").length == 6) // 5 regions
+      assert(xml.contains("<uri>urn:g:region:"))
+      assert(xml.contains("<literal>"))
+      // well-formed enough for a real XML parser
+      javax.xml.parsers.DocumentBuilderFactory.newInstance()
+        .newDocumentBuilder()
+        .parse(new java.io.ByteArrayInputStream(xml.getBytes("UTF-8")))
+    } finally server.stop()
+  }
+
   test("ASK answers the W3C boolean document; CONSTRUCT streams N-Triples") {
     val server = new GraftServer(g)
     val port = server.start()
