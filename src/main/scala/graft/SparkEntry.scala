@@ -313,6 +313,14 @@ object SparkEntry {
       |  SERVICE SILENT <urn:g:src:srcC> { ?n a g:Nation ; g:name ?nname }
       |} ORDER BY ?sname ?nname""".stripMargin
 
+  /** Blank-node property list: `[ g:name "GERMANY" ]` desugars to a hidden
+    * non-selectable variable joined across the supplier→nation link. */
+  private val SPARQL_BNODE =
+    """PREFIX g: <urn:g:>
+      |SELECT ?sname WHERE {
+      |  ?s a g:Supplier ; g:name ?sname ; g:nation [ g:name "NATION_3" ] .
+      |} ORDER BY ?sname""".stripMargin
+
   /** Variable-predicate probe joined with constant-predicate triples in one
     * star (the reference enumerates ?p over the molecule's triple maps). */
   private val SPARQL_VARPRED_STAR =
@@ -388,6 +396,7 @@ object SparkEntry {
     "sparql_topk" -> ((s, d) => graft(s, d).sparql(SPARQL_TOPK)),
     "sparql_agg_group" -> ((s, d) => graft(s, d).sparql(SPARQL_AGG_GROUP)),
     "sparql_group_expr" -> ((s, d) => graft(s, d).sparql(SPARQL_GROUP_EXPR)),
+    "sparql_bnode" -> ((s, d) => graft(s, d).sparql(SPARQL_BNODE)),
     "sparql_agg_expr" -> ((s, d) => graft(s, d).sparql(SPARQL_AGG_EXPR)),
     "sparql_builtins" -> ((s, d) => graft(s, d).sparql(SPARQL_BUILTINS)),
     "sparql_regex" -> ((s, d) => graft(s, d).sparql(SPARQL_REGEX)),
@@ -851,6 +860,10 @@ object SparkEntry {
       """SELECT CAST(date_part('month', l_shipdate) AS INTEGER) AS m,
         | CAST(COUNT(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY 1 ORDER BY m""".stripMargin,
+    "sparql_bnode" ->
+      """SELECT s_name AS sname
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_3' ORDER BY sname""".stripMargin,
     "sparql_agg_expr" ->
       """SELECT l_returnflag AS flag,
         | SUM(l_quantity) / COUNT(*) AS avg_qty,

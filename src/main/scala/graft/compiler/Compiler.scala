@@ -41,6 +41,14 @@ object Compiled {
   def isHidden(c: String): Boolean =
     c.startsWith("__k_") || c.startsWith("__lang_") || c.startsWith("__iri_")
 
+  /** Desugaring artifacts that behave as ordinary variables inside the
+    * plan (they JOIN like any var — hiding them from `visibleVars` would
+    * sever star-to-star links) but are not user-selectable: parser blank
+    * nodes (`__bn_*`, W3C §4.1.4) and path-expansion fresh vars
+    * (`__path_*`). Dropped only at SELECT * projection. */
+  def isNonProjectable(c: String): Boolean =
+    isHidden(c) || c.startsWith("__bn_") || c.startsWith("__path_")
+
   /** Lexical IRI shape for a string of unknown provenance: scheme, colon,
     * and no whitespace anywhere (anchored to the whole string). Whitespace
     * is never legal in an IRI, so a plain literal like "note: see below"
@@ -181,7 +189,10 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
     * null columns (reference pads with '' — SURVEY.md §1.5 maps that to
     * SQL null). */
   private def project(q: Query, c: Compiled): DataFrame = {
-    if (q.projection.isEmpty) c.dropHidden // SELECT *
+    if (q.projection.isEmpty) { // SELECT *: hidden + desugaring artifacts out
+      val drop = c.df.columns.filter(Compiled.isNonProjectable)
+      if (drop.isEmpty) c.df else c.df.drop(drop.toIndexedSeq: _*)
+    }
     else {
       val cols = q.projection.map {
         case ProjVar(v) =>

@@ -131,21 +131,54 @@ class SparqlParser extends RegexParsers {
     }
   }
 
-  def triplesSameSubject: Parser[(List[TriplePattern], List[Pattern.Path])] =
-    graphTerm ~ propertyList ^^ { case s ~ pos =>
-      val (triples, paths) = pos.map {
-        case (VarPred(v), o)  => Left(List(TriplePattern(s, v, o)))
-        case (PathPred(p), o) => PathAst.toSteps(p) match {
-          case Some(steps) => Left(expandSteps(s, steps, o))
-          case None        => Right(Pattern.Path(s, p, o))
-        }
-      }.partitionMap(identity)
-      (triples.flatten, paths)
-    }
+  // ---- blank nodes (W3C: non-selectable variables scoped to the query) ---
+  private var bnodeCounter = 0
+  private def freshBnode(): Var = { bnodeCounter += 1; Var(s"__bn_a$bnodeCounter") }
+  private def bnodeLabel: Parser[Var] =
+    """_:[A-Za-z][A-Za-z0-9_]*""".r ^^ (s => Var("__bn_" + s.drop(2)))
 
-  private def propertyList: Parser[List[(Pred, Term)]] =
-    rep1sep(pred ~ rep1sep(graphTerm, ","), ";") ^^ (
-      _.flatMap { case v ~ os => os.map(o => (v, o)) })
+  /** A subject/object node: a plain term, a labelled/anonymous blank node
+    * (desugared to a hidden `__bn_*` variable), or a blank-node property
+    * list `[ p o ; … ]` which stands for a fresh node and carries its
+    * rooted auxiliary triples (returned functionally — no parser state to
+    * go stale under backtracking; nests per the grammar). */
+  private def node: Parser[(Term, List[(Term, Pred, Term)])] =
+    "[" ~> "]" ^^ (_ => (freshBnode(): Term, Nil)) |
+    "[" ~> propertyList <~ "]" ^^ { case (pairs, aux) =>
+      val b = freshBnode()
+      (b: Term, pairs.map { case (p, o) => (b: Term, p, o) } ++ aux)
+    } |
+    bnodeLabel ^^ (v => (v: Term, Nil)) |
+    graphTerm ^^ ((_, Nil))
+
+  private def expandRooted(rooted: List[(Term, Pred, Term)])
+      : (List[TriplePattern], List[Pattern.Path]) = {
+    val (triples, paths) = rooted.map {
+      case (s, VarPred(v), o)  => Left(List(TriplePattern(s, v, o)))
+      case (s, PathPred(p), o) => PathAst.toSteps(p) match {
+        case Some(steps) => Left(expandSteps(s, steps, o))
+        case None        => Right(Pattern.Path(s, p, o))
+      }
+    }.partitionMap(identity)
+    (triples.flatten, paths)
+  }
+
+  def triplesSameSubject: Parser[(List[TriplePattern], List[Pattern.Path])] =
+    node ~ opt(propertyList) ^? (Function.unlift {
+      case (s, aux) ~ Some((pairs, aux2)) =>
+        Some(expandRooted(pairs.map { case (p, o) => (s, p, o) } ++ aux ++ aux2))
+      case (_, aux) ~ None if aux.nonEmpty =>
+        Some(expandRooted(aux)) // bare `[ p o ]` triple
+      case _ => None
+    }, _ => "a bare term is not a triple")
+
+  /** Predicate-object pairs plus the auxiliary triples their blank-node
+    * property-list objects expand into. */
+  private def propertyList: Parser[(List[(Pred, Term)], List[(Term, Pred, Term)])] =
+    rep1sep(pred ~ rep1sep(node, ","), ";") ^^ { items =>
+      (items.flatMap { case v ~ os => os.map(o => (v, o._1)) },
+        items.flatMap { case _ ~ os => os.flatMap(_._2) })
+    }
 
   /** Triples with closure-free paths only (CONSTRUCT template position). */
   def triplesTemplate: Parser[List[TriplePattern]] =
@@ -424,6 +457,14 @@ class SparqlParser extends RegexParsers {
       (kw("WHERE") ~> groupGraphPattern) ~ modifiers ^^ {
       case tmpl ~ pat ~ ((lim, off)) =>
         Query(ConstructForm, Nil, distinct = false, pat, template = tmpl.flatten,
+          limit = lim, offset = off)
+    } |
+    // W3C shorthand: CONSTRUCT WHERE { tpl } — the pattern IS the template
+    kw("CONSTRUCT") ~> kw("WHERE") ~>
+      ("{" ~> rep1sep(triplesTemplate, ".") <~ opt(".") <~ "}") ~ modifiers ^^ {
+      case tmpl ~ ((lim, off)) =>
+        val ts = tmpl.flatten
+        Query(ConstructForm, Nil, distinct = false, Pattern.Bgp(ts), template = ts,
           limit = lim, offset = off)
     }
 

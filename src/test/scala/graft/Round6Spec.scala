@@ -248,6 +248,42 @@ class Round6Spec extends SparkTestBase {
     assert(rows.isNullAt(rows.fieldIndex("tzbad")))
   }
 
+  test("blank nodes: labels join, [] is fresh, property lists expand, SELECT * hides them") {
+    import graft.parser.SparqlParser
+    // _:b is one node: both triples share the desugared variable
+    val q1 = SparqlParser.parseUnsafe(
+      "PREFIX g: <urn:g:> SELECT ?n WHERE { _:b a g:Nation ; g:name ?n }")
+    val bgp1 = q1.pattern.asInstanceOf[graft.algebra.Pattern.Bgp]
+    assert(bgp1.triples.map(_.s).distinct == List(graft.algebra.Var("__bn_b")))
+    // [] twice = two distinct fresh nodes
+    val q2 = SparqlParser.parseUnsafe(
+      "PREFIX g: <urn:g:> SELECT ?a ?b WHERE { [] g:name ?a . [] g:name ?b }")
+    val subjects = q2.pattern.asInstanceOf[graft.algebra.Pattern.Bgp].triples.map(_.s)
+    assert(subjects.distinct.size == 2)
+    // nested property list rooted at an anonymous node
+    val rows = g.sparql(
+      """PREFIX g: <urn:g:>
+        |SELECT ?sname WHERE {
+        |  ?s a g:Supplier ; g:name ?sname ; g:nation [ g:name "NATION_3" ] }
+        |ORDER BY ?sname""".stripMargin).collect()
+    assert(rows.nonEmpty)
+    // SELECT * must not leak the hidden blank-node columns
+    val star = g.sparql(
+      """PREFIX g: <urn:g:>
+        |SELECT * WHERE { ?s a g:Supplier ; g:nation [ g:name "NATION_3" ] }""".stripMargin)
+    assert(!star.columns.exists(_.startsWith("__bn_")), star.columns.mkString(","))
+    assert(star.columns.contains("s"))
+  }
+
+  test("CONSTRUCT WHERE shorthand uses the template as the pattern") {
+    val nt = g.sparql(
+      """PREFIX g: <urn:g:>
+        |CONSTRUCT WHERE { ?r a g:Region . ?r g:name ?n }""".stripMargin).collect()
+    // 5 regions × 2 template triples
+    assert(nt.length == 10)
+    assert(nt.forall(r => r.getString(0).startsWith("<urn:g:region:")))
+  }
+
   test("SHA384 hashes like the JDK") {
     val want = java.security.MessageDigest.getInstance("SHA-384")
       .digest("abc".getBytes("UTF-8")).map("%02x".format(_)).mkString
