@@ -173,5 +173,24 @@ final case class Query(
     limit: Option[Long] = None,
     offset: Option[Long] = None) {
   def hasAggregates: Boolean =
-    groupBy.nonEmpty || projection.exists(_.isInstanceOf[ProjAgg])
+    groupBy.nonEmpty || projection.exists {
+      case _: ProjAgg      => true
+      // SELECT (SUM(?x)+1 AS ?y) with no GROUP BY: §18.2.4.3 implicit
+      // grouping — an agg call nested in a projection expression
+      case ProjExpr(e, _)  => Query.containsAgg(e)
+      case _               => false
+    }
+}
+
+object Query {
+  def containsAgg(e: Expr): Boolean = e match {
+    case Expr.Call(n, args) =>
+      n.startsWith("agg:") || n.startsWith("aggd:") || args.exists(containsAgg)
+    case Expr.Cmp(_, l, r)   => containsAgg(l) || containsAgg(r)
+    case Expr.Arith(_, l, r) => containsAgg(l) || containsAgg(r)
+    case Expr.And(l, r)      => containsAgg(l) || containsAgg(r)
+    case Expr.Or(l, r)       => containsAgg(l) || containsAgg(r)
+    case Expr.Not(x)         => containsAgg(x)
+    case _                   => false
+  }
 }

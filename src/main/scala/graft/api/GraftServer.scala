@@ -77,53 +77,64 @@ final class GraftServer(g: Graft, port: Int = 0,
       // (incl. our own [[graft.sources.SparqlHttp]] transport and the
       // reference's triple-store wrapper) consumes
       val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
-      val srj = params.get("format").contains("srj") ||
-        accept.contains("application/sparql-results+json")
-      // W3C SPARQL 1.1 Query Results CSV/TSV formats (blocking only)
-      val tabular = params.get("format").collect {
-        case "csv" => false
-        case "tsv" => true
-      }.orElse {
-        if (accept.contains("text/tab-separated-values")) Some(true)
-        else if (accept.contains("text/csv")) Some(false)
+      // an explicit format= parameter beats Accept-header negotiation
+      val fmt: Option[String] = params.get("format").orElse {
+        if (accept.contains("application/sparql-results+json")) Some("srj")
+        else if (accept.contains("application/sparql-results+xml")) Some("xml")
+        else if (accept.contains("text/tab-separated-values")) Some("tsv")
+        else if (accept.contains("text/csv")) Some("csv")
+        else if (accept.contains("application/n-triples")) Some("nt")
         else None
       }
       val start = System.nanoTime()
-      val form = graft.parser.SparqlParser.parse(query).toOption.map(_.form)
       val df = g.sparql(query)
       val vars = df.columns.toSeq
       if (blocking) {
-        // W3C form-specific serializations: ASK answers a boolean
-        // document under SRJ; CONSTRUCT/DESCRIBE answer N-Triples when
-        // asked (the triple columns are already N-Triples terms)
-        val wantNt = params.get("format").contains("nt") ||
-          accept.contains("application/n-triples")
-        if (srj && form.contains(graft.algebra.AskForm)) {
-          val v = df.collect()(0).getBoolean(0) // ASK plans LocalLimit(1)
-          ex.getResponseHeaders.set("Content-Type", "application/sparql-results+json")
-          val body = s"""{"head":{},"boolean":$v}""".getBytes(UTF_8)
-          ex.sendResponseHeaders(200, body.length)
-          ex.getResponseBody.write(body); ex.close()
-        } else if (wantNt && (form.contains(graft.algebra.ConstructForm) ||
-            form.contains(graft.algebra.DescribeForm))) {
-          ex.getResponseHeaders.set("Content-Type", "application/n-triples")
-          ex.sendResponseHeaders(200, 0L)
-          val w = new java.io.BufferedWriter(
-            new java.io.OutputStreamWriter(ex.getResponseBody, UTF_8))
-          try df.toLocalIterator().asScala.foreach { r =>
-            w.write(s"${r.getString(0)} ${r.getString(1)} ${r.getString(2)} .\n")
-          } finally { w.flush(); w.close(); ex.close() }
-        } else if (params.get("format").contains("xml") ||
-            accept.contains("application/sparql-results+xml")) {
-          streamXml(ex, vars, df.toLocalIterator().asScala)
-        } else tabular match {
-          // rows stream straight from toLocalIterator into the chunked
-          // response — one partition of driver memory, never a full
-          // collect (a large SELECT must not OOM the serving driver)
-          case Some(tsv) =>
-            streamTabular(ex, vars, df.toLocalIterator().asScala, tsv)
-          case None =>
-            streamBlocking(ex, vars, df.toLocalIterator().asScala, start, srj)
+        // the query form gates the W3C form-specific serializations
+        // (ASK boolean documents, CONSTRUCT/DESCRIBE N-Triples); parsed
+        // only when a standard format was asked for
+        lazy val form = graft.parser.SparqlParser.parse(query).toOption.map(_.form)
+        def isAsk = form.contains(graft.algebra.AskForm)
+        def isGraph = form.contains(graft.algebra.ConstructForm) ||
+          form.contains(graft.algebra.DescribeForm)
+        fmt match {
+          case Some("srj") if isAsk =>
+            val v = df.collect()(0).getBoolean(0) // ASK plans LocalLimit(1)
+            ex.getResponseHeaders.set("Content-Type", "application/sparql-results+json")
+            val body = s"""{"head":{},"boolean":$v}""".getBytes(UTF_8)
+            ex.sendResponseHeaders(200, body.length)
+            ex.getResponseBody.write(body); ex.close()
+          case Some("xml") if isAsk =>
+            val v = df.collect()(0).getBoolean(0)
+            ex.getResponseHeaders.set("Content-Type", "application/sparql-results+xml")
+            val body = ("""<?xml version="1.0"?><sparql xmlns="http://www.w3.org/2005/sparql-results#">""" +
+              s"<head/><boolean>$v</boolean></sparql>").getBytes(UTF_8)
+            ex.sendResponseHeaders(200, body.length)
+            ex.getResponseBody.write(body); ex.close()
+          case Some("nt") if isGraph =>
+            // unbound template terms (OPTIONAL misses) omit the triple,
+            // per CONSTRUCT semantics — never emit a literal "null"
+            ex.getResponseHeaders.set("Content-Type", "application/n-triples")
+            ex.sendResponseHeaders(200, 0L)
+            val w = new java.io.BufferedWriter(
+              new java.io.OutputStreamWriter(ex.getResponseBody, UTF_8))
+            try df.toLocalIterator().asScala
+              .filterNot(r => r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2))
+              .foreach { r =>
+                w.write(s"${r.getString(0)} ${r.getString(1)} ${r.getString(2)} .\n")
+              }
+            finally { w.flush(); w.close(); ex.close() }
+          case Some("xml") => streamXml(ex, vars, df.toLocalIterator().asScala)
+          case Some("tsv") =>
+            streamTabular(ex, vars, df.toLocalIterator().asScala, tsv = true)
+          case Some("csv") =>
+            streamTabular(ex, vars, df.toLocalIterator().asScala, tsv = false)
+          case _ =>
+            // rows stream straight from toLocalIterator into the chunked
+            // response — one partition of driver memory, never a full
+            // collect (a large SELECT must not OOM the serving driver)
+            streamBlocking(ex, vars, df.toLocalIterator().asScala, start,
+              srj = fmt.contains("srj"))
         }
         null // response already written
       } else {

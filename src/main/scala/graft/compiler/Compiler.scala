@@ -47,7 +47,8 @@ object Compiled {
     * nodes (`__bn_*`, W3C §4.1.4) and path-expansion fresh vars
     * (`__path_*`). Dropped only at SELECT * projection. */
   def isNonProjectable(c: String): Boolean =
-    isHidden(c) || c.startsWith("__bn_") || c.startsWith("__path_")
+    isHidden(c) || c.startsWith("__bn_") || c.startsWith("__path_") ||
+      c.startsWith("__grp_")
 
   /** Lexical IRI shape for a string of unknown provenance: scheme, colon,
     * and no whitespace anywhere (anchored to the whole string). Whitespace

@@ -221,15 +221,19 @@ object ExprCompiler {
       // current_timestamp() is query-constant in Spark by the same rule
       case "now"         => current_timestamp()
       // fresh-per-solution terms (§17.4.2.2, §17.4.4.5-6): Spark's uuid()
-      // draws per row; BNODE(str) is instead STABLE within the solution —
-      // same label for the same literal, never colliding with parsed `_:`
-      // labels (hex digest)
+      // draws per row; BNODE(str) is stable for the same argument WITHIN a
+      // solution but distinct ACROSS solutions (§17.4.2.2) — the label
+      // mixes the argument digest with a per-row id (all instances of
+      // monotonically_increasing_id see the same row position, so two
+      // BNODE(?x) calls in one solution agree); never collides with
+      // parsed `_:` labels
       case "uuid"        => concat(lit("urn:uuid:"), expr("uuid()"))
       case "struuid"     => expr("uuid()")
       case "rand"        => rand()
       case "bnode" =>
         if (args.isEmpty) concat(lit("_:u"), regexp_replace(expr("uuid()"), "-", ""))
-        else concat(lit("_:h"), md5(a(0).cast(StringType)))
+        else concat(lit("_:h"), md5(a(0).cast(StringType)), lit("r"),
+          monotonically_increasing_id())
       // xsd:* constructor casts (ontario/sparql/__init__.py:8-60 binaryFunctor)
       case c if c.startsWith("http://www.w3.org/2001/XMLSchema#") =>
         // TRY semantics: an invalid lexical form is a SPARQL error ⇒ null

@@ -407,13 +407,23 @@ class SparqlParser extends RegexParsers {
     "(" ~> aggregate ~ (kw("AS") ~> variable) <~ ")" ^^ { case mk ~ v => mk(v): ProjItem } |
     "(" ~> expression ~ (kw("AS") ~> variable) <~ ")" ^^ { case e ~ v => ProjExpr(e, v): ProjItem }
 
-  /** W3C GroupCondition: a bare variable, or `(expr AS ?v)` which
-    * desugars to Extend(pattern, ?v, expr) + grouping on ?v — the same
-    * equivalence the spec's §18.2.4.1 translation uses. */
+  /** W3C GroupCondition (§18.2.4.1): a bare variable, `(expr AS ?v)`,
+    * a bare parenthesized `(expr)`, or a builtin/function call — the
+    * expression forms desugar to Extend(pattern, v, expr) + grouping on
+    * v, with a hidden `__grp_*` variable generated when no alias was
+    * given (the spec's translation does the same with a fresh var). */
+  private var grpCounter = 0
   private def groupCondition: Parser[Either[Var, (Expr, Var)]] =
     variable ^^ (Left(_): Either[Var, (Expr, Var)]) |
-    "(" ~> expression ~ (kw("AS") ~> variable) <~ ")" ^^ {
-      case e ~ v => Right((e, v)): Either[Var, (Expr, Var)]
+    "(" ~> expression ~ opt(kw("AS") ~> variable) <~ ")" ^^ {
+      case e ~ Some(v) => Right((e, v)): Either[Var, (Expr, Var)]
+      case e ~ None =>
+        grpCounter += 1
+        Right((e, Var(s"__grp_$grpCounter"))): Either[Var, (Expr, Var)]
+    } |
+    builtinCall ^^ { e =>
+      grpCounter += 1
+      Right((e, Var(s"__grp_$grpCounter"))): Either[Var, (Expr, Var)]
     }
 
   def selectQuery: Parser[Query] =

@@ -26,11 +26,18 @@ object Mixture {
     * the map fall back to `defaultRate`. Rates are deployment config, so
     * they compile to a literal CASE chain — no join, nothing broadcast.
     */
+  /** The keyed coin both samplers share: low 32 bits of
+    * `md5(salt ++ doc_id)` — uniform in [0, 2³²), engine-portable (the
+    * DuckDB oracles compute the identical expression). Any change here
+    * must land in lockstep with the oracle SQL twins. */
+  private def keyedBucket(salt: String): Column =
+    conv(substring(
+      md5(concat(lit(salt), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+
   def mixtureSample(docs: DataFrame, rates: Seq[(String, Double)],
                     defaultRate: Double, salt: String): DataFrame = {
-    val bucket = conv(substring(
-      md5(concat(lit(salt), col("doc_id").cast("string"))), 1, 8), 16, 10)
-      .cast("long") // uniform in [0, 2^32)
+    val bucket = keyedBucket(salt)
     val rate = rates.foldLeft(lit(defaultRate): Column) {
       case (acc, (src, r)) => when(col("source") === src, lit(r)).otherwise(acc)
     }
@@ -58,9 +65,7 @@ object Mixture {
     require(valFrac >= 0 && testFrac >= 0 && valFrac + testFrac < 1,
       s"val/test fractions must be non-negative and sum below 1, " +
         s"got $valFrac/$testFrac")
-    val bucket = conv(substring(
-      md5(concat(lit(salt), col("doc_id").cast("string"))), 1, 8), 16, 10)
-      .cast("long") // uniform in [0, 2^32)
+    val bucket = keyedBucket(salt)
     val twoTo32 = 4294967296.0
     val trainMax = math.floor((1.0 - valFrac - testFrac) * twoTo32).toLong
     val valMax = math.floor((1.0 - testFrac) * twoTo32).toLong

@@ -57,6 +57,24 @@ object Sketches {
       Encoders.kryo[Map[String, Long]]
   }
 
+  /** [[MisraGries]] plus the exact element count N in the same buffer —
+    * one pass yields both the candidate set and the N/k threshold, instead
+    * of a separate full count() scan. */
+  private final class MisraGriesWithN(k: Int)
+      extends Aggregator[String, (Map[String, Long], Long), (Map[String, Long], Long)] {
+    private val mg = new MisraGries(k)
+    def zero: (Map[String, Long], Long) = (Map.empty, 0L)
+    def reduce(b: (Map[String, Long], Long), t: String): (Map[String, Long], Long) =
+      (mg.reduce(b._1, t), b._2 + 1)
+    def merge(a: (Map[String, Long], Long), b: (Map[String, Long], Long)): (Map[String, Long], Long) =
+      (mg.merge(a._1, b._1), a._2 + b._2)
+    def finish(r: (Map[String, Long], Long)): (Map[String, Long], Long) = r
+    def bufferEncoder: Encoder[(Map[String, Long], Long)] =
+      Encoders.kryo[(Map[String, Long], Long)]
+    def outputEncoder: Encoder[(Map[String, Long], Long)] =
+      Encoders.kryo[(Map[String, Long], Long)]
+  }
+
   /** Exact corpus heavy hitters — every token with frequency > N/k, with
     * its exact count — WITHOUT a full-vocabulary group-by.
     *
@@ -76,9 +94,10 @@ object Sketches {
     val toks = docs
       .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
       .filter(length(col("tok")) > 0)
-    val summary = toks.as[String].select(new MisraGries(k).toColumn).head()
+    // one pass: candidate summary AND the exact N ride the same buffer
+    val (summary, n) = toks.as[String]
+      .select(new MisraGriesWithN(k).toColumn).head()
     val candidates = summary.keys.toSeq
-    val n = toks.count()
     toks.filter(col("tok").isin(candidates: _*))
       .groupBy("tok").agg(count(lit(1)).as("freq"))
       .filter(col("freq") > lit(n) / lit(k.toLong))

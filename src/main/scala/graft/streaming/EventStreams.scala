@@ -94,16 +94,22 @@ object EventStreams {
                     (implicit spark: SparkSession): Dataset[FunnelProgress] = {
     import spark.implicits._
     require(steps.nonEmpty, "funnel needs at least one step")
+    // full microsecond precision (Spark's timestamp resolution) —
+    // Timestamp.getTime truncates to millis, which would let two
+    // sub-millisecond-apart steps violate the strict > the batch op and
+    // oracle apply
+    def micros(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (user: Long, it: Iterator[Event], state: GroupState[FunnelState]) => {
           var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
           val out = scala.collection.mutable.ArrayBuffer.empty[FunnelProgress]
-          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          it.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
             if (st.depth < steps.length &&
-                e.event_type == steps(st.depth) && e.ts.getTime > st.lastTs) {
-              st = FunnelState(st.depth + 1, e.ts.getTime)
+                e.event_type == steps(st.depth) && micros(e.ts) > st.lastTs) {
+              st = FunnelState(st.depth + 1, micros(e.ts))
               out += FunnelProgress(user, st.depth)
             }
           }

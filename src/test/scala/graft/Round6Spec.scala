@@ -219,7 +219,7 @@ class Round6Spec extends SparkTestBase {
     val rows = g.sparql(
       """PREFIX g: <urn:g:>
         |SELECT ?r ?u (UUID() AS ?iri) (STRUUID() AS ?s) (RAND() AS ?coin)
-        |       (BNODE() AS ?b) (BNODE(?r) AS ?bk) WHERE {
+        |       (BNODE() AS ?b) (BNODE(?r) AS ?bk) (BNODE(?r) AS ?bk2) WHERE {
         |  VALUES (?r ?u) { ("x" 1) ("x" 2) ("y" 3) } }""".stripMargin).collect()
     assert(rows.length == 3)
     val uuids = rows.map(_.getAs[String]("iri"))
@@ -228,12 +228,12 @@ class Round6Spec extends SparkTestBase {
     assert(rows.map(_.getAs[String]("s")).distinct.length == 3)
     assert(rows.map(_.getAs[String]("b")).distinct.length == 3)
     assert(rows.map(_.getAs[Double]("coin")).forall(c => c >= 0 && c < 1))
-    // BNODE(?r): same label for the same argument, distinct across args,
-    // and never colliding with a parsed `_:` label shape
-    val byArg = rows.groupBy(_.getAs[String]("r"))
-      .map { case (k, rs) => k -> rs.map(_.getAs[String]("bk")).distinct }
-    assert(byArg("x").length == 1 && byArg("y").length == 1)
-    assert(byArg("x") != byArg("y"))
+    // BNODE(?r) per §17.4.2.2: same label for the same argument WITHIN a
+    // solution (two calls agree), distinct across solutions even when the
+    // argument repeats, never colliding with a parsed `_:` label shape
+    assert(rows.forall(r => r.getAs[String]("bk") == r.getAs[String]("bk2")))
+    assert(rows.map(_.getAs[String]("bk")).distinct.length == 3,
+      "same-argument solutions must still get distinct blank nodes")
     assert(rows.forall(_.getAs[String]("bk").startsWith("_:h")))
   }
 
@@ -273,6 +273,29 @@ class Round6Spec extends SparkTestBase {
         |SELECT * WHERE { ?s a g:Supplier ; g:nation [ g:name "NATION_3" ] }""".stripMargin)
     assert(!star.columns.exists(_.startsWith("__bn_")), star.columns.mkString(","))
     assert(star.columns.contains("s"))
+  }
+
+  test("implicit grouping: aggregate expression with no GROUP BY (§18.2.4.3)") {
+    val row = g.sparql(
+      """PREFIX g: <urn:g:>
+        |SELECT (COUNT(*) + 1 AS ?n1) WHERE { ?r a g:Region }""".stripMargin)
+      .collect()(0)
+    assert(row.getLong(0) == 6L) // 5 regions + 1, one implicit group
+  }
+
+  test("GROUP BY builtin call and bare (expr) without AS (§18.2.4.1)") {
+    val byCall = g.sparql(
+      """PREFIX g: <urn:g:>
+        |SELECT (COUNT(*) AS ?n) WHERE {
+        |  ?l a g:Lineitem ; g:shipdate ?sd .
+        |} GROUP BY MONTH(?sd) ORDER BY ?n""".stripMargin).collect()
+    assert(byCall.length == 12)
+    val byParen = g.sparql(
+      """PREFIX g: <urn:g:>
+        |SELECT (COUNT(*) AS ?n) WHERE {
+        |  ?l a g:Lineitem ; g:shipdate ?sd .
+        |} GROUP BY (MONTH(?sd)) ORDER BY ?n""".stripMargin).collect()
+    assert(byParen.map(_.getLong(0)).toSeq == byCall.map(_.getLong(0)).toSeq)
   }
 
   test("CONSTRUCT WHERE shorthand uses the template as the pattern") {

@@ -177,6 +177,25 @@ class ServerSpec extends SparkTestBase {
     } finally server.stop()
   }
 
+  test("ASK under XML is the boolean document; explicit format beats Accept") {
+    val server = new GraftServer(g)
+    val port = server.start()
+    try {
+      val xml = new String(URI.create(s"http://127.0.0.1:$port/sparql?query=${
+        enc("PREFIX g: <urn:g:> ASK { ?r a g:Region }")}&format=xml")
+        .toURL.openStream().readAllBytes(), "UTF-8")
+      assert(xml.contains("<boolean>true</boolean>") && !xml.contains("<results>"))
+      // explicit format=srj wins over an XML Accept header
+      val conn = URI.create(s"http://127.0.0.1:$port/sparql?query=${
+        enc("PREFIX g: <urn:g:> SELECT ?n WHERE { ?n a g:Nation } LIMIT 1")}&format=srj")
+        .toURL.openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestProperty("Accept", "application/sparql-results+xml")
+      val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+      assert(conn.getHeaderField("Content-Type").contains("sparql-results+json"), body.take(80))
+      assert(body.contains("\"bindings\""))
+    } finally server.stop()
+  }
+
   test("/explain reports decomposition and plan without executing") {
     val server = new GraftServer(g)
     val port = server.start()
