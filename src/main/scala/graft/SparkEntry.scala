@@ -599,6 +599,8 @@ object SparkEntry {
     "doc_rarity" -> ((s, d) =>
       Mixture.rarityProfile(T(s, d, "documents"), rareMax = 100)
         .orderBy("doc_id")),
+    "doc_bigram_novelty" -> ((s, d) =>
+      Mixture.bigramNovelty(T(s, d, "documents")).orderBy("doc_id")),
     // BPE tokenizer: distributed word-count training + map-only apply.
     // The oracle pins what DuckDB CAN compute (whitespace counts) plus the
     // contract flags that must come back true: decode∘encode identity per
@@ -1396,6 +1398,21 @@ object SparkEntry {
         |    AS clean_text,
         |  CAST(count(*) FILTER (WHERE rm) AS BIGINT) AS n_removed
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // bigram novelty: integer-exact cross-document phrasing uniqueness
+    // (sub-two-token docs drop out identically on both sides)
+    "doc_bigram_novelty" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |bg AS (SELECT doc_id, w[k] || ' ' || w[k+1] AS bg
+        |  FROM t, unnest(generate_series(1, len(w)-1)) AS g(k)),
+        |db AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+        |f AS (SELECT bg, count(*) AS df FROM db GROUP BY 1)
+        |SELECT db.doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams,
+        |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unique_bigrams
+        |FROM db JOIN f USING (bg) GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     // corpus-frequency rarity profile — integer-exact (no float means)
     "doc_rarity" ->

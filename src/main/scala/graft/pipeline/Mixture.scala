@@ -91,6 +91,34 @@ object Mixture {
         sum("c").cast("long").as("tf"),
         count(lit(1)).cast("long").as("df"))
 
+  /** Bigram novelty profile — the cross-document counterpart of
+    * [[rarityProfile]] one n-gram order up: per document, how much of its
+    * phrasing exists nowhere else in the corpus. Boilerplate and
+    * template-generated text share bigrams corpus-wide (low novelty);
+    * genuinely authored text is dominated by document-unique bigrams.
+    * Integer-exact (counts, not float ratios), same scale shape as
+    * rarityProfile: per-(doc, bigram) pre-aggregation first, corpus
+    * document-frequency as a window over that aggregate — one corpus
+    * scan, one shuffle on the bigram key. Documents under two tokens
+    * have no bigrams and drop out (identically on the oracle side). */
+  def bigramNovelty(docs: DataFrame): DataFrame = {
+    val perDocBg = docs
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .filter(org.apache.spark.sql.functions.size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "k -> concat_ws(' ', slice(toks, k, 2)))")).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+    perDocBg
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("bg")))
+      .groupBy("doc_id").agg(
+        sum("c").cast("long").as("n_bigrams"),
+        count(lit(1)).cast("long").as("n_distinct_bigrams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L))
+          .cast("long").as("n_unique_bigrams"))
+  }
+
   /** Corpus-frequency rarity profile — the integer-exact core of
     * frequency-based quality filtering (the in-engine analog of CCNet's
     * LM-perplexity gate: documents dominated by tokens the corpus has

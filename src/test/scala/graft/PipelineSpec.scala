@@ -510,6 +510,23 @@ class PipelineSpec extends SparkTestBase {
     ), got.toString)
   }
 
+  test("bigram novelty: shared phrasing scores low, unique phrasing high") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps"),   // fully unique phrasing
+      (2L, "alpha beta gamma delta"),      // shared with doc 3 verbatim
+      (3L, "alpha beta gamma delta"),
+      (4L, "solo")                         // <2 tokens: no bigrams, drops out
+    ).toDF("doc_id", "text")
+    val got = Mixture.bigramNovelty(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(!got.contains(4L))
+    assert(got(1L) == ((4L, 4L, 4L))) // 4 bigrams, all corpus-unique
+    assert(got(2L) == ((3L, 3L, 0L))) // every bigram shared with doc 3
+    assert(got(3L) == ((3L, 3L, 0L)))
+  }
+
   test("boilerplate removal on the corpus: totals reconcile") {
     val got = Dedup.boilerplateClean(docs, window = 4, minDf = 5)
     assert(got.count() == docs.count()) // every doc survives as a row
