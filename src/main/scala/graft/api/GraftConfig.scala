@@ -5,6 +5,7 @@ import org.apache.spark.sql.SparkSession
 import scala.jdk.CollectionConverters._
 
 import graft.mapping._
+import graft.sources.Bucketing
 import graft.sources._
 
 /** JSON configuration surface — the Spark-native `OntarioConfiguration`
@@ -37,9 +38,29 @@ import graft.sources._
   */
 object GraftConfig {
 
-  final case class Loaded(catalog: Catalog, sources: Map[String, SourceSpec]) {
-    def graft(implicit spark: SparkSession): Graft =
-      new Graft(catalog, Sources.registry(sources))
+  final case class Loaded(catalog: Catalog, sources: Map[String, SourceSpec],
+                          /** table → (bucket keys, bucket count) for
+                            * datasources declaring a `bucketBy` layout */
+                          bucketed: Map[String, (Seq[String], Int)] = Map.empty) {
+    def graft(implicit spark: SparkSession): Graft = {
+      val base = Sources.registry(sources)
+      val loader: String => org.apache.spark.sql.DataFrame = name =>
+        bucketed.get(name) match {
+          case None => base(name)
+          case Some((keys, n)) =>
+            // declared layout: materialize once per (table, layout) and
+            // serve the bucketed table — joins on the declared keys plan
+            // Exchange-free across every query on this engine
+            val layout = s"${keys.mkString("+")}@$n"
+            val table = Bucketing.tableName(s"cfg:$name", name, layout)
+            val path = s"${System.getProperty("java.io.tmpdir")}/graft_buckets/" +
+              s"${Bucketing.tableName(s"cfg:$name", "", layout)}/$name"
+            Bucketing.materialize(
+              spark, table, base(name), keys, n, path)
+            spark.table(table)
+        }
+      new Graft(catalog, loader)
+    }
   }
 
   def load(path: String)(implicit spark: SparkSession): Loaded =
@@ -108,7 +129,19 @@ object GraftConfig {
         aliases = aliases)).molecules
     }
 
-    Loaded(Catalog(inline ++ fromRml ++ auto), sources)
+    val bucketed: Map[String, (Seq[String], Int)] =
+      root.path("datasources").elements().asScala.flatMap { d =>
+        if (!d.has("bucketBy")) None
+        else {
+          val b = d.path("bucketBy")
+          val keys = b.path("keys").elements().asScala.map(_.asText()).toSeq
+          require(keys.nonEmpty, "bucketBy needs a non-empty keys array")
+          Some(d.path("table").asText() ->
+            (keys, if (b.has("buckets")) b.path("buckets").asInt() else 16))
+        }
+      }.toMap
+
+    Loaded(Catalog(inline ++ fromRml ++ auto), sources, bucketed)
   }
 
   private def molecule(m: JsonNode): Molecule = Molecule(

@@ -118,6 +118,42 @@ object EventStreams {
         })
   }
 
+  final case class RetentionState(cohort: Long, seen: Set[Long])
+  final case class RetentionHit(user_id: Long, cohort: Long, offset_weeks: Long)
+
+  /** Streaming face of [[graft.pipeline.Funnels.retention]]: per-user
+    * state is (cohort week, set of weeks already reported) — bounded by
+    * the user's active weeks, not their event count. Emits one row the
+    * first time a user is seen in a week; a downstream streaming
+    * `groupBy(cohort, offset_weeks).count` is the live retention
+    * triangle. Caveat shared with any incremental cohort system: events
+    * arriving BEFORE the user's current cohort week re-anchor the cohort
+    * in batch but cannot retroactively do so in-stream; in-order arrival
+    * reproduces the batch triangle exactly (spec-pinned). */
+  def retentionHits(events: Dataset[Event],
+                    bucketMillis: Long = 7L * 86400L * 1000L)
+                   (implicit spark: SparkSession): Dataset[RetentionHit] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, it: Iterator[Event], state: GroupState[RetentionState]) => {
+          val weeks = it.map(e => Math.floorDiv(e.ts.getTime, bucketMillis))
+            .toSeq.sorted
+          var st = state.getOption.getOrElse(
+            RetentionState(weeks.headOption.getOrElse(0L), Set.empty))
+          val out = scala.collection.mutable.ArrayBuffer.empty[RetentionHit]
+          weeks.foreach { wk =>
+            if (!st.seen.contains(wk)) {
+              st = st.copy(seen = st.seen + wk)
+              out += RetentionHit(user, st.cohort, wk - st.cohort)
+            }
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+
   /** Gap-based sessionization with explicit keyed state
     * (`flatMapGroupsWithState`): a new session starts when the gap to the
     * previous event exceeds `gapMinutes`. Per-user state is one small

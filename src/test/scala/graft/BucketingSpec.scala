@@ -119,6 +119,49 @@ class BucketingSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("config-declared bucketBy layout: whole engine joins Exchange-free") {
+    implicit val s = spark
+    val config =
+      s"""{
+         |  "datasources": [
+         |    {"table": "customer", "type": "parquet",
+         |     "url": "$sfDir/customer.parquet",
+         |     "bucketBy": {"keys": ["c_custkey"], "buckets": 8}},
+         |    {"table": "orders", "type": "parquet",
+         |     "url": "$sfDir/orders.parquet",
+         |     "bucketBy": {"keys": ["o_custkey"], "buckets": 8}}
+         |  ],
+         |  "molecules": [
+         |    {"type": "urn:g:Customer", "table": "customer",
+         |     "subject": "urn:g:cust:{c_custkey}",
+         |     "predicates": [{"predicate": "urn:g:name", "column": "c_name"}]},
+         |    {"type": "urn:g:Order", "table": "orders",
+         |     "subject": "urn:g:order:{o_orderkey}",
+         |     "predicates": [
+         |       {"predicate": "urn:g:customer", "template": "urn:g:cust:{o_custkey}"},
+         |       {"predicate": "urn:g:totalprice", "column": "o_totalprice"}]}
+         |  ]
+         |}""".stripMargin
+    val loaded = graft.api.GraftConfig.parse(config)
+    assert(loaded.bucketed == Map(
+      "customer" -> (Seq("c_custkey"), 8), "orders" -> (Seq("o_custkey"), 8)))
+    val g = loaded.graft
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = g.sparql(
+        """PREFIX g: <urn:g:>
+          |SELECT ?name ?tp WHERE {
+          |  ?c a g:Customer ; g:name ?name .
+          |  ?o g:customer ?c ; g:totalprice ?tp . }""".stripMargin)
+      val n = q.count()
+      assert(n > 0)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"config-declared co-location should kill the join shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("re-materialization in the same session is free (idempotence guard)") {
     val t0 = System.nanoTime()
     Bucketing.bucketedTable(spark, sfDir, "orders", Seq("o_orderkey"), 8)

@@ -196,6 +196,36 @@ class StreamingSpec extends SparkTestBase {
     assert(depths == Map(1L -> 3, 2L -> 2))
   }
 
+  test("streaming retention hits build the batch triangle across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val wkMs = 7L * 86400L * 1000L
+    def at(week: Long, id: Long, user: Long) =
+      Event(id, new Timestamp(week * wkMs + id), user, "view", 0)
+    val input = MemoryStream[Event]
+    val q = graft.streaming.EventStreams.retentionHits(input.toDS())(s)
+      .writeStream.format("memory").queryName("retention_hits")
+      .outputMode(OutputMode.Append).start()
+    input.addData(at(10, 1, 1), at(10, 2, 1), at(10, 3, 2)) // cohort wk 10
+    q.processAllAvailable()
+    input.addData(at(11, 4, 1), at(12, 5, 2), at(11, 6, 3)) // returns + new user
+    q.processAllAvailable()
+    q.stop()
+    val triangle = spark.table("retention_hits")
+      .groupBy("cohort", "offset_weeks")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_users"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // batch twin over the same events (ms timestamps, ms bucket)
+    val batchEvents = Seq((1L, 10L * wkMs + 1), (1L, 10L * wkMs + 2), (2L, 10L * wkMs + 3),
+      (1L, 11L * wkMs + 4), (2L, 12L * wkMs + 5), (3L, 11L * wkMs + 6))
+      .toDF("user_id", "ts")
+    val batch = graft.pipeline.Funnels.retention(batchEvents, bucketNanos = wkMs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(triangle == batch, s"stream $triangle vs batch $batch")
+    assert(triangle == Set((10L, 0L, 2L), (10L, 1L, 1L), (10L, 2L, 1L), (11L, 0L, 1L)))
+  }
+
   test("stateless pipeline ops run unmodified on unbounded streams") {
     // splitAssign / mixtureSample / filterFunnel / redactPii are pure
     // column expressions, so the SAME function compiles over a streaming
