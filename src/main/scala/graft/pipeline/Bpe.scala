@@ -121,6 +121,46 @@ object Bpe {
     syms
   }
 
+  /** Persist learned merges as a sorted text file (one `left right` pair
+    * per line, rank = line number — the interchange format BPE tooling
+    * has used since the original implementation). Train once at corpus
+    * scale, load everywhere. */
+  def saveMerges(merges: Seq[Merge], path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(p,
+      merges.sortBy(_.rank).map(m => s"${m.left} ${m.right}").mkString("\n"))
+  }
+
+  def loadMerges(path: String): Seq[Merge] = {
+    val lines = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+      .split("\n").toSeq.filter(_.nonEmpty)
+    lines.zipWithIndex.map { case (l, i) =>
+      val sp = l.lastIndexOf(' ')
+      Merge(l.substring(0, sp), l.substring(sp + 1), i)
+    }
+  }
+
+  /** Token stream: one row per (doc, position, token) — the substrate of
+    * sequence packing and id-mapping downstream. Same broadcast-ranks
+    * map-only shape as [[tokenize]]; the corpus never shuffles. */
+  def encode(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(
+      merges.map(m => (m.left, m.right) -> m.rank).toMap)
+    docs.select(col("doc_id"), lower(col("text")).as("t"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val ranks = bc.value
+        var pos = -1
+        t.split("\\s+").iterator.filter(_.nonEmpty).flatMap { w =>
+          encodeWord(w, ranks).iterator.map { tok => pos += 1; (id, pos, tok) }
+        }
+      }
+      .toDF("doc_id", "pos", "token")
+  }
+
   /** Map-only corpus tokenization: merge ranks broadcast, one pass over
     * the text, no shuffle. Emits (doc_id, n_bpe_tokens, n_ws_tokens,
     * round_trip_ok): the token ids themselves are `explode`-able from the

@@ -374,6 +374,26 @@ class PipelineSpec extends SparkTestBase {
     assert(out.getAs[Boolean]("round_trip_ok"))
   }
 
+  test("bpe merges round-trip through the text file; encode matches tokenize") {
+    val merges = Bpe.train(docs, nMerges = 50)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_bpe_test/merges.txt"
+    Bpe.saveMerges(merges, path)
+    assert(Bpe.loadMerges(path) == merges)
+    // the token stream agrees with the counting pass, doc by doc
+    val streamCounts = Bpe.encode(docs, merges)
+      .groupBy("doc_id").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val counted = Bpe.tokenize(docs, merges)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_bpe_tokens")).toMap
+    assert(streamCounts == counted)
+    // positions are dense 0..n-1 per doc
+    val firstDoc = Bpe.encode(docs, merges)
+      .filter(col("doc_id") === streamCounts.keys.min)
+      .orderBy("pos").collect().map(_.getInt(1))
+    assert(firstDoc.toSeq == (0 until firstDoc.length))
+  }
+
   test("bpe on the corpus: round-trip holds and counts shrink with merges") {
     val merges = Bpe.train(docs, nMerges = 100)
     assert(merges.length == 100)
