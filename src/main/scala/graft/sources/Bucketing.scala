@@ -31,6 +31,11 @@ import org.apache.spark.sql.functions.col
 object Bucketing {
 
   private val done = scala.collection.concurrent.TrieMap.empty[String, Unit]
+  // one lock object per table: TrieMap.getOrElseUpdate may evaluate the
+  // update op in two racing threads (one result discarded) — harmless for
+  // a pure value, not for DROP TABLE + saveAsTable. Concurrent queries on
+  // a config-declared layout (server threads) must serialize the write.
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Sanitized, collision-safe table name for a (data dir, base table,
     * layout). The layout is part of the identity: the same base table
@@ -46,7 +51,7 @@ object Bucketing {
     * Idempotent per (session, table): the shuffle is paid once. */
   def materialize(spark: SparkSession, table: String, df: DataFrame,
                   keys: Seq[String], buckets: Int, path: String): Unit =
-    done.getOrElseUpdate(System.identityHashCode(spark) + ":" + table, {
+    once(spark, table) {
       spark.sql(s"DROP TABLE IF EXISTS $table")
       df.repartition(buckets, keys.map(col): _*)
         .write.mode("overwrite")
@@ -55,7 +60,18 @@ object Bucketing {
         .bucketBy(buckets, keys.head, keys.tail: _*)
         .sortBy(keys.head, keys.tail: _*)
         .saveAsTable(table)
-    })
+    }
+
+  /** Run `write` exactly once per (session, table), serializing racing
+    * callers on a per-table lock. */
+  private def once(spark: SparkSession, table: String)(write: => Unit): Unit = {
+    val key = System.identityHashCode(spark) + ":" + table
+    if (!done.contains(key)) {
+      locks.computeIfAbsent(key, _ => new Object).synchronized {
+        if (!done.contains(key)) { write; done.put(key, ()) }
+      }
+    }
+  }
 
   /** Write `df` hive-partitioned on `partCols` (one directory per value
     * combination). The complement of [[materialize]]: bucketing pre-pays
@@ -68,14 +84,14 @@ object Bucketing {
     * directories are their own scale pathology. */
   def materializePartitioned(spark: SparkSession, table: String, df: DataFrame,
                              partCols: Seq[String], path: String): Unit =
-    done.getOrElseUpdate(System.identityHashCode(spark) + ":" + table, {
+    once(spark, table) {
       spark.sql(s"DROP TABLE IF EXISTS $table")
       df.write.mode("overwrite")
         .format("parquet")
         .option("path", path)
         .partitionBy(partCols: _*)
         .saveAsTable(table)
-    })
+    }
 
   /** Materialize `base` from `dir` as a bucketed table and return it.
     * The table lands under java.io.tmpdir keyed by the source dir, so
