@@ -107,6 +107,7 @@ sealed trait Pattern {
     case Pattern.Path(s, _, o)      => Set(s, o).collect { case Var(n) => n }
     case Pattern.SubSelect(q)       =>
       if (q.projection.isEmpty) q.pattern.vars else q.projection.map(_.alias).toSet
+    case Pattern.Service(_, p, _)   => p.vars
   }
 }
 object Pattern {
