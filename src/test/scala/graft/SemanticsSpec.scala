@@ -315,4 +315,40 @@ class SemanticsSpec extends SparkTestBase {
       } GROUP BY ?o HAVING (COUNT(DISTINCT ?p) > 5)""")
     assert(df.collect().forall(_.getLong(1) > 5))
   }
+
+  test("COALESCE falls through an OPTIONAL-unbound var (§17.4.1.5)") {
+    // customers without a matching order: ?tp is unbound, COALESCE must
+    // yield the fallback instead of erroring or binding null
+    val rows = g.sparql("""PREFIX g: <urn:g:>
+      SELECT ?c (COALESCE(?tp, -1) AS ?price) WHERE {
+        ?c a g:Customer .
+        OPTIONAL { ?o g:customer ?c ; g:totalprice ?tp . FILTER (?tp > 1e18) }
+      }""").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(!_.isNullAt(1)))
+    assert(rows.forall(_.getAs[Any]("price").toString.toDouble == -1.0))
+  }
+
+  test("GROUP_CONCAT default separator is a single space (§18.5.1.7)") {
+    val got = g.sparql("""PREFIX g: <urn:g:>
+      SELECT (GROUP_CONCAT(?n) AS ?all) WHERE { ?r a g:Region ; g:name ?n }""")
+      .collect()(0).getString(0)
+    val custom = g.sparql("""PREFIX g: <urn:g:>
+      SELECT (GROUP_CONCAT(?n; SEPARATOR="|") AS ?all) WHERE {
+        ?r a g:Region ; g:name ?n }""").collect()(0).getString(0)
+    assert(custom.split("\\|").length == 5, custom)
+    // identical contents, the default separator being the single space
+    // (region names may themselves contain spaces, so compare via the
+    // unambiguous custom-separator form)
+    assert(got == custom.replace("|", " "), s"$got vs $custom")
+  }
+
+  test("BOUND distinguishes OPTIONAL hits from misses (§17.4.1.1)") {
+    val rows = g.sparql("""PREFIX g: <urn:g:>
+      SELECT ?c (IF(BOUND(?tp), 1, 0) AS ?hit) WHERE {
+        ?c a g:Customer ; g:mktsegment "BUILDING" .
+        OPTIONAL { ?o g:customer ?c ; g:totalprice ?tp . FILTER (?tp > 400000) }
+      }""").collect().map(_.getAs[Number](1).intValue())
+    assert(rows.toSet == Set(0, 1), "fixture has both matched and unmatched customers")
+  }
 }
