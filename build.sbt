@@ -31,3 +31,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// surface deprecations at compile time (keep the build warning-clean)
+ThisBuild / scalacOptions += "-deprecation"

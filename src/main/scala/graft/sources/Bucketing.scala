@@ -65,7 +65,7 @@ object Bucketing {
   /** Run `write` exactly once per (session, table), serializing racing
     * callers on a per-table lock. */
   private def once(spark: SparkSession, table: String)(write: => Unit): Unit = {
-    val key = System.identityHashCode(spark) + ":" + table
+    val key = s"${System.identityHashCode(spark)}:$table"
     if (!done.contains(key)) {
       locks.computeIfAbsent(key, _ => new Object).synchronized {
         if (!done.contains(key)) { write; done.put(key, ()) }
