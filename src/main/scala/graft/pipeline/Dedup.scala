@@ -268,6 +268,41 @@ object Dedup {
                       maxBucket: Int = 1000): DataFrame =
     simhashNearDupsWithStats(docs, maxHamming, maxBucket).pairs
 
+  /** Incremental exact dedup against a persistent fingerprint store — the
+    * daily-ingest shape: each arriving batch is checked against every
+    * digest ever admitted, not just its own batch. The store holds ONLY
+    * md5 digests (16 bytes/doc at any corpus size — the text never lands
+    * in it), new-batch digests dedup in-batch first (min doc_id wins,
+    * as [[exactGroups]]), then anti-join the store; `admit` appends the
+    * survivors' digests. Both sides of the anti-join are digest columns,
+    * so the shuffle is fixed-width however large the corpus, and the
+    * store partitions like any parquet table.
+    *
+    * The streaming twin for intra-stream dedup is
+    * [[graft.streaming.EventStreams.nearDupFiltered]]; this is the
+    * cross-RUN memory a watermark cannot provide. */
+  def freshAgainstStore(docs: DataFrame, storePath: String): DataFrame = {
+    val spark = docs.sparkSession
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("text_hash").orderBy("doc_id")
+    val inBatch = docs
+      .withColumn("text_hash", md5(col("text")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val store =
+      if (new java.io.File(storePath).exists())
+        spark.read.parquet(storePath).select("text_hash")
+      else spark.emptyDataFrame.select(lit("").as("text_hash")).limit(0)
+    inBatch.join(store, Seq("text_hash"), "left_anti")
+  }
+
+  /** Append the admitted documents' digests to the store (idempotent per
+    * digest only if callers admit each batch once — the store is a log,
+    * not a set; readers always semi-join, so duplicate digests cost
+    * space, never correctness). */
+  def admit(fresh: DataFrame, storePath: String): Unit =
+    fresh.select(col("text_hash")).write.mode("append").parquet(storePath)
+
   /** Cross-corpus boilerplate removal — the segment-level member of the
     * dedup family (RefinedWeb/CCNet-style "line dedup", generalized to
     * fixed `window`-token segments since the corpus may carry no line

@@ -547,6 +547,30 @@ class PipelineSpec extends SparkTestBase {
     assert(got(3L) == ((3L, 3L, 0L)))
   }
 
+  test("incremental dedup: the store remembers across batches") {
+    val s = spark
+    import s.implicits._
+    val store = s"${System.getProperty("java.io.tmpdir")}/graft_dedup_store_" +
+      System.nanoTime()
+    val batch1 = Seq((1L, "first document"), (2L, "second document"),
+      (3L, "first document")).toDF("doc_id", "text")
+    val fresh1 = Dedup.freshAgainstStore(batch1, store)
+    // in-batch dedup: min doc_id wins
+    assert(fresh1.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L))
+    Dedup.admit(fresh1, store)
+    // batch 2: one replay of batch 1, one brand-new doc
+    val batch2 = Seq((10L, "second document"), (11L, "a new third document"))
+      .toDF("doc_id", "text")
+    val fresh2 = Dedup.freshAgainstStore(batch2, store)
+    assert(fresh2.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(11L))
+    Dedup.admit(fresh2, store)
+    // batch 3: everything seen before -> nothing fresh
+    val batch3 = Seq((20L, "first document"), (21L, "a new third document"))
+      .toDF("doc_id", "text")
+    assert(Dedup.freshAgainstStore(batch3, store).count() == 0)
+  }
+
   test("boilerplate removal on the corpus: totals reconcile") {
     val got = Dedup.boilerplateClean(docs, window = 4, minDf = 5)
     assert(got.count() == docs.count()) // every doc survives as a row
