@@ -303,6 +303,55 @@ object Dedup {
   def admit(fresh: DataFrame, storePath: String): Unit =
     fresh.select(col("text_hash")).write.mode("append").parquet(storePath)
 
+  /** Incremental NEAR-dup against a persistent signature store — the
+    * MinHash companion of [[freshAgainstStore]] for the same daily-ingest
+    * shape: a new batch is rejected not just for byte-identical replays
+    * but for near-duplicates of ANYTHING ever admitted. The store keeps
+    * per admitted doc its LSH band rows (band, bh — the candidate index)
+    * and its shingle-id set (the exact-Jaccard verifier, ~8 bytes per
+    * distinct shingle: 1-2% of corpus bytes), so both sides of the check
+    * stay fixed-width columns. New docs band-join the store for
+    * candidates (never all-pairs), verify by exact Jaccard against the
+    * stored sets, and survivors keep their `shingles` column so
+    * [[admitNearDup]] can extend the store without recomputing.
+    * In-batch near-dups among the survivors are [[verifiedNearDups]]'s
+    * job, exactly as in-batch exact dups are handled before the digest
+    * store check. */
+  def nearDupFreshAgainstStore(docs: DataFrame, storePath: String,
+                               threshold: Double = 0.7, k: Int = 3,
+                               numPerm: Int = 32, bands: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    val shingled = withShingles(docs, k)
+    if (!new java.io.File(s"$storePath/bands").exists()) return shingled
+    val storeBands = spark.read.parquet(s"$storePath/bands")
+      .withColumnRenamed("doc_id", "old_id")
+    val storeShingles = spark.read.parquet(s"$storePath/shingles")
+      .select(col("doc_id").as("old_id"), col("shingles").as("old_shingles"))
+    val suspects = lshBuckets(shingled, numPerm, bands)
+      .join(storeBands, Seq("band", "bh"))
+      .select("doc_id", "old_id").distinct()
+    val dupIds = suspects
+      .join(shingled.select(col("doc_id"), col("shingles")), "doc_id")
+      .join(storeShingles, "old_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("shingles"), col("old_shingles"))).cast("double") /
+          size(array_union(col("shingles"), col("old_shingles"))))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_id").distinct()
+    shingled.join(dupIds, Seq("doc_id"), "left_anti")
+  }
+
+  /** Append the admitted docs' band rows and shingle sets to the store;
+    * `fresh` must be [[nearDupFreshAgainstStore]]'s output (it carries
+    * the `shingles` column, so nothing is recomputed). */
+  def admitNearDup(fresh: DataFrame, storePath: String,
+                   numPerm: Int = 32, bands: Int = 8): Unit = {
+    lshBuckets(fresh, numPerm, bands)
+      .write.mode("append").parquet(s"$storePath/bands")
+    fresh.select(col("doc_id"), col("shingles"))
+      .write.mode("append").parquet(s"$storePath/shingles")
+  }
+
   /** Cross-corpus boilerplate removal — the segment-level member of the
     * dedup family (RefinedWeb/CCNet-style "line dedup", generalized to
     * fixed `window`-token segments since the corpus may carry no line

@@ -571,6 +571,32 @@ class PipelineSpec extends SparkTestBase {
     assert(Dedup.freshAgainstStore(batch3, store).count() == 0)
   }
 
+  test("incremental near-dup: the signature store rejects edits of admitted docs") {
+    val s = spark
+    import s.implicits._
+    val store = s"${System.getProperty("java.io.tmpdir")}/graft_neardup_store_" +
+      System.nanoTime()
+    val base = "the quick brown fox jumps over the lazy dog while rain falls " +
+      "on the quiet grey town and nobody watches the empty street tonight"
+    val batch1 = Seq((1L, base)).toDF("doc_id", "text")
+    val fresh1 = Dedup.nearDupFreshAgainstStore(batch1, store)
+    assert(fresh1.count() == 1) // empty store: everything is fresh
+    Dedup.admitNearDup(fresh1, store)
+    // batch 2: a light edit of the admitted doc + one unrelated doc
+    val edited = base.replace("lazy dog", "sleepy dog")
+    val unrelated = "completely different content about distributed query " +
+      "engines and their shuffle behaviour at large scale in production"
+    val batch2 = Seq((10L, edited), (11L, unrelated)).toDF("doc_id", "text")
+    val fresh2 = Dedup.nearDupFreshAgainstStore(batch2, store)
+    assert(fresh2.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(11L),
+      "the near-identical edit must be rejected, the unrelated doc admitted")
+    Dedup.admitNearDup(fresh2, store)
+    // batch 3: an edit of BATCH 2's admitted doc is now rejected too
+    val batch3 = Seq((20L, unrelated.replace("production", "practice")))
+      .toDF("doc_id", "text")
+    assert(Dedup.nearDupFreshAgainstStore(batch3, store).count() == 0)
+  }
+
   test("boilerplate removal on the corpus: totals reconcile") {
     val got = Dedup.boilerplateClean(docs, window = 4, minDf = 5)
     assert(got.count() == docs.count()) // every doc survives as a row
