@@ -39,22 +39,26 @@ import graft.sources._
 object GraftConfig {
 
   final case class Loaded(catalog: Catalog, sources: Map[String, SourceSpec],
-                          /** table → (bucket keys, bucket count) for
-                            * datasources declaring a `bucketBy` layout */
-                          bucketed: Map[String, (Seq[String], Int)] = Map.empty) {
+                          /** table → (bucket keys, bucket count, source
+                            * url) for datasources declaring a `bucketBy`
+                            * layout — the url is part of the physical
+                            * identity, so two configs sharing a table
+                            * name over different data never serve each
+                            * other's materialization */
+                          bucketed: Map[String, (Seq[String], Int, String)] = Map.empty) {
     def graft(implicit spark: SparkSession): Graft = {
       val base = Sources.registry(sources)
       val loader: String => org.apache.spark.sql.DataFrame = name =>
         bucketed.get(name) match {
           case None => base(name)
-          case Some((keys, n)) =>
-            // declared layout: materialize once per (table, layout) and
-            // serve the bucketed table — joins on the declared keys plan
-            // Exchange-free across every query on this engine
+          case Some((keys, n, url)) =>
+            // declared layout: materialize once per (url, table, layout)
+            // and serve the bucketed table — joins on the declared keys
+            // plan Exchange-free across every query on this engine
             val layout = s"${keys.mkString("+")}@$n"
-            val table = Bucketing.tableName(s"cfg:$name", name, layout)
+            val table = Bucketing.tableName(s"cfg:$url", name, layout)
             val path = s"${System.getProperty("java.io.tmpdir")}/graft_buckets/" +
-              s"${Bucketing.tableName(s"cfg:$name", "", layout)}/$name"
+              s"${Bucketing.tableName(s"cfg:$url", "", layout)}/$name"
             Bucketing.materialize(
               spark, table, base(name), keys, n, path)
             spark.table(table)
@@ -129,7 +133,7 @@ object GraftConfig {
         aliases = aliases)).molecules
     }
 
-    val bucketed: Map[String, (Seq[String], Int)] =
+    val bucketed: Map[String, (Seq[String], Int, String)] =
       root.path("datasources").elements().asScala.flatMap { d =>
         if (!d.has("bucketBy")) None
         else {
@@ -137,7 +141,8 @@ object GraftConfig {
           val keys = b.path("keys").elements().asScala.map(_.asText()).toSeq
           require(keys.nonEmpty, "bucketBy needs a non-empty keys array")
           Some(d.path("table").asText() ->
-            (keys, if (b.has("buckets")) b.path("buckets").asInt() else 16))
+            (keys, if (b.has("buckets")) b.path("buckets").asInt() else 16,
+              d.path("url").asText()))
         }
       }.toMap
 

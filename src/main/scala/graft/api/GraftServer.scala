@@ -350,12 +350,19 @@ final class GraftServer(g: Graft, port: Int = 0,
 
   private def tsvTerm(v: Any): String = {
     val (kind, dt, lex) = srjTerm(v)
+    // numeric/boolean literals may appear bare per the TSV grammar; any
+    // other datatype (dateTime, date, …) must keep its ^^<dt> so a
+    // conforming client round-trips the typed term, not a plain string
     val bare = dt.exists(d => d.endsWith("#integer") || d.endsWith("#double") ||
       d.endsWith("#decimal") || d.endsWith("#boolean"))
+    def quoted = "\"" + lex.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
     if (kind == "uri") s"<$lex>"
     else if (bare) lex
-    else "\"" + lex.replace("\\", "\\\\").replace("\"", "\\\"")
-      .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
+    else dt match {
+      case Some(d) => s"$quoted^^<$d>"
+      case None    => quoted
+    }
   }
 
   private def srjTerm(v: Any): (String, Option[String], String) = {

@@ -226,7 +226,11 @@ object ExprCompiler {
       // mixes the argument digest with a per-row id (all instances of
       // monotonically_increasing_id see the same row position, so two
       // BNODE(?x) calls in one solution agree); never collides with
-      // parsed `_:` labels
+      // parsed `_:` labels. Known limit: the within-solution agreement
+      // holds for instances evaluated in the same plan operator over the
+      // same row stream (the normal projection case); instances split
+      // across operators with different row sets (one inside a FILTER,
+      // one in SELECT) may disagree, as in any per-row-counter engine
       case "uuid"        => concat(lit("urn:uuid:"), expr("uuid()"))
       case "struuid"     => expr("uuid()")
       case "rand"        => rand()

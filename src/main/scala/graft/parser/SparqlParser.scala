@@ -133,7 +133,10 @@ class SparqlParser extends RegexParsers {
 
   // ---- blank nodes (W3C: non-selectable variables scoped to the query) ---
   private var bnodeCounter = 0
-  private def freshBnode(): Var = { bnodeCounter += 1; Var(s"__bn_a$bnodeCounter") }
+  // the generated suffix starts with a digit, which no parsed label can
+  // (labels are [A-Za-z][A-Za-z0-9_]*) — so `[]` nodes can never collide
+  // with a `_:aN`-style label's desugared variable
+  private def freshBnode(): Var = { bnodeCounter += 1; Var(s"__bn_0$bnodeCounter") }
   private def bnodeLabel: Parser[Var] =
     """_:[A-Za-z][A-Za-z0-9_]*""".r ^^ (s => Var("__bn_" + s.drop(2)))
 

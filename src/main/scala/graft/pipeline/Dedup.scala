@@ -281,6 +281,15 @@ object Dedup {
     * The streaming twin for intra-stream dedup is
     * [[graft.streaming.EventStreams.nearDupFiltered]]; this is the
     * cross-RUN memory a watermark cannot provide. */
+  /** Store-existence through the Hadoop filesystem of the path's scheme —
+    * a bare java.io.File check is always false for hdfs://, s3a://, or
+    * file:// URI paths, which would silently disable cross-run dedup. */
+  private def storeExists(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   def freshAgainstStore(docs: DataFrame, storePath: String): DataFrame = {
     val spark = docs.sparkSession
     val w = org.apache.spark.sql.expressions.Window
@@ -290,7 +299,7 @@ object Dedup {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
     val store =
-      if (new java.io.File(storePath).exists())
+      if (storeExists(spark, storePath))
         spark.read.parquet(storePath).select("text_hash")
       else spark.emptyDataFrame.select(lit("").as("text_hash")).limit(0)
     inBatch.join(store, Seq("text_hash"), "left_anti")
@@ -321,8 +330,13 @@ object Dedup {
                                threshold: Double = 0.7, k: Int = 3,
                                numPerm: Int = 32, bands: Int = 8): DataFrame = {
     val spark = docs.sparkSession
+    // persisted: the shingle frame feeds candidate generation, Jaccard
+    // verification, AND the final anti-join — without the persist the
+    // split+hash scan (the dominant map cost) runs three times, the
+    // hazard [[verifiedNearDups]] documents for the in-batch path
     val shingled = withShingles(docs, k)
-    if (!new java.io.File(s"$storePath/bands").exists()) return shingled
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (!storeExists(spark, s"$storePath/bands")) return shingled
     val storeBands = spark.read.parquet(s"$storePath/bands")
       .withColumnRenamed("doc_id", "old_id")
     val storeShingles = spark.read.parquet(s"$storePath/shingles")

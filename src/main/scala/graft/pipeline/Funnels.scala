@@ -62,8 +62,13 @@ object Funnels {
   def retention(events: DataFrame, userCol: String = "user_id",
                 tsCol: String = "ts",
                 bucketNanos: Long = 7L * 86400L * 1000000000L): DataFrame = {
+    // FLOOR division (not Spark's truncate-toward-zero `div`): pre-epoch
+    // timestamps must bucket identically to the oracle's `//` and the
+    // streaming twin's Math.floorDiv; pmod is non-negative, so
+    // (x - pmod(x, b)) is an exact multiple of b at any sign
     val grid = events
-      .select(col(userCol), expr(s"$tsCol div ${bucketNanos}L").as("wk"))
+      .select(col(userCol), expr(
+        s"(($tsCol - pmod($tsCol, ${bucketNanos}L)) div ${bucketNanos}L)").as("wk"))
       .distinct()
     val cohorts = grid.groupBy(userCol).agg(min("wk").as("cohort"))
     grid.join(cohorts, userCol)

@@ -144,7 +144,8 @@ class BucketingSpec extends SparkTestBase {
          |}""".stripMargin
     val loaded = graft.api.GraftConfig.parse(config)
     assert(loaded.bucketed == Map(
-      "customer" -> (Seq("c_custkey"), 8), "orders" -> (Seq("o_custkey"), 8)))
+      "customer" -> (Seq("c_custkey"), 8, s"$sfDir/customer.parquet"),
+      "orders" -> (Seq("o_custkey"), 8, s"$sfDir/orders.parquet")))
     val g = loaded.graft
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
