@@ -550,7 +550,9 @@ class PipelineSpec extends SparkTestBase {
   test("incremental dedup: the store remembers across batches") {
     val s = spark
     import s.implicits._
-    val store = s"${System.getProperty("java.io.tmpdir")}/graft_dedup_store_" +
+    // URI-form path: the store check must go through the Hadoop FS of the
+    // path's scheme (a java.io.File test is permanently false for these)
+    val store = s"file://${System.getProperty("java.io.tmpdir")}/graft_dedup_store_" +
       System.nanoTime()
     val batch1 = Seq((1L, "first document"), (2L, "second document"),
       (3L, "first document")).toDF("doc_id", "text")
