@@ -77,12 +77,24 @@ object Bench {
     val total = results.map(_._2).sum
     // raw per-run forensics go to a file — inlining them made the summary
     // line so long the driver's tail window clipped it (round-3 BENCH JSON
-    // arrived unparseable); the compact summary prints LAST and ALONE
+    // arrived unparseable)
     val rawPath = java.nio.file.Paths.get("target", "bench_raw_runs.json")
     java.nio.file.Files.createDirectories(rawPath.getParent)
     java.nio.file.Files.write(rawPath,
       s"""{"runs":$nRuns,"sf":"$sfDir","raw":$raw}""".getBytes("UTF-8"))
+    // the full per-query median map ALSO outgrew the tail window at 92
+    // queries (round-6 BENCH lost "total" + 11 medians off the line's
+    // head — the window keeps the END of output, clipping the FRONT of
+    // one long line), so the complete summary lands in its own small
+    // file and the line that prints LAST carries only the scalars plus a
+    // pointer: it parses at any suite size
+    val fullSummary =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$nRuns,"n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    val summaryPath = java.nio.file.Paths.get("target", "bench_summary.json")
+    java.nio.file.Files.write(summaryPath, fullSummary.getBytes("UTF-8"))
     spark.stop()
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$nRuns,"queries":$qs,"sf":"$sfDir"}""")
+    // full line first (human-readable / greppable), compact line last
+    println(fullSummary)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$nRuns,"n_queries":${results.size},"sf":"$sfDir","queries_file":"target/bench_summary.json"}""")
   }
 }

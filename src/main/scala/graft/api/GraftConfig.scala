@@ -38,27 +38,40 @@ import graft.sources._
   */
 object GraftConfig {
 
+  /** A datasource's declared bucket layout: keys + bucket count + the
+    * source url (part of the physical identity, so two configs sharing a
+    * table name over different data never serve each other's
+    * materialization) + optional explicit materialization path. */
+  final case class BucketLayout(keys: Seq[String], buckets: Int, url: String,
+                                path: Option[String] = None)
+
   final case class Loaded(catalog: Catalog, sources: Map[String, SourceSpec],
-                          /** table → (bucket keys, bucket count, source
-                            * url) for datasources declaring a `bucketBy`
-                            * layout — the url is part of the physical
-                            * identity, so two configs sharing a table
-                            * name over different data never serve each
-                            * other's materialization */
-                          bucketed: Map[String, (Seq[String], Int, String)] = Map.empty) {
+                          bucketed: Map[String, BucketLayout] = Map.empty,
+                          /** Durable base dir for materialized layouts
+                            * (`"warehouse"` in config.json). On a real
+                            * cluster this MUST point at shared storage:
+                            * the java.io.tmpdir fallback is node-local
+                            * and may be cleaned, silently discarding the
+                            * ingest-time shuffle investment — it exists
+                            * for tests and single-node use only. */
+                          warehouse: Option[String] = None) {
     def graft(implicit spark: SparkSession): Graft = {
       val base = Sources.registry(sources)
+      val baseDir = warehouse.getOrElse(
+        s"${System.getProperty("java.io.tmpdir")}/graft_buckets")
       val loader: String => org.apache.spark.sql.DataFrame = name =>
         bucketed.get(name) match {
           case None => base(name)
-          case Some((keys, n, url)) =>
+          case Some(BucketLayout(keys, n, url, pathOpt)) =>
             // declared layout: materialize once per (url, table, layout)
             // and serve the bucketed table — joins on the declared keys
-            // plan Exchange-free across every query on this engine
+            // plan Exchange-free across every query on this engine.
+            // Across sessions the marker fast path re-registers the
+            // existing files instead of rewriting ([[Bucketing]]).
             val layout = s"${keys.mkString("+")}@$n"
             val table = Bucketing.tableName(s"cfg:$url", name, layout)
-            val path = s"${System.getProperty("java.io.tmpdir")}/graft_buckets/" +
-              s"${Bucketing.tableName(s"cfg:$url", "", layout)}/$name"
+            val path = pathOpt.getOrElse(
+              s"$baseDir/${Bucketing.tableName(s"cfg:$url", "", layout)}/$name")
             Bucketing.materialize(
               spark, table, base(name), keys, n, path)
             spark.table(table)
@@ -133,20 +146,22 @@ object GraftConfig {
         aliases = aliases)).molecules
     }
 
-    val bucketed: Map[String, (Seq[String], Int, String)] =
+    val bucketed: Map[String, BucketLayout] =
       root.path("datasources").elements().asScala.flatMap { d =>
         if (!d.has("bucketBy")) None
         else {
           val b = d.path("bucketBy")
           val keys = b.path("keys").elements().asScala.map(_.asText()).toSeq
           require(keys.nonEmpty, "bucketBy needs a non-empty keys array")
-          Some(d.path("table").asText() ->
-            (keys, if (b.has("buckets")) b.path("buckets").asInt() else 16,
-              d.path("url").asText()))
+          Some(d.path("table").asText() -> BucketLayout(
+            keys, if (b.has("buckets")) b.path("buckets").asInt() else 16,
+            d.path("url").asText(),
+            if (b.has("path")) Some(b.path("path").asText()) else None))
         }
       }.toMap
 
-    Loaded(Catalog(inline ++ fromRml ++ auto), sources, bucketed)
+    Loaded(Catalog(inline ++ fromRml ++ auto), sources, bucketed,
+      if (root.has("warehouse")) Some(root.path("warehouse").asText()) else None)
   }
 
   private def molecule(m: JsonNode): Molecule = Molecule(

@@ -73,26 +73,34 @@ object Dedup {
     * drops candidates must surface how much it dropped. */
   final case class PairsWithStats(pairs: DataFrame, cappedBuckets: DataFrame)
 
-  /** Per-bucket size via a window count on the bucket key: one shuffle,
-    * one consumption of the (expensive) upstream map stage, and — unlike a
-    * `collect_list`-then-filter — the window's per-group buffering spills,
-    * so a degenerate multi-million-member bucket never materializes as one
-    * aggregation-buffer array. Rows of oversized buckets are filtered out
-    * BEFORE any collection. */
-  private def withBucketSize(buckets: DataFrame): DataFrame =
-    buckets.withColumn("bucket_size",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy("band", "bh")))
+  /** Per-bucket size via groupBy-count joined back on the bucket key —
+    * NOT a window on (band, bh): a window partition is one task and AQE
+    * cannot split it, so a degenerate multi-million-member bucket
+    * (boilerplate documents sharing one band value) would be counted by
+    * a single spilling straggler. The groupBy counts in parallel
+    * (map-side partial aggregation absorbs the skew before the shuffle;
+    * the size table is one fixed-width row per distinct bucket), and the
+    * join back IS AQE-skew-splittable. The join output stays partitioned
+    * on (band, bh), so the downstream pair-expansion groupBy adds no
+    * extra shuffle; rows of oversized buckets are still filtered out
+    * BEFORE any collection. The second consumption of `buckets` is a
+    * map-only recompute above a reusable exchange (both callers place a
+    * doc_id repartition below the hash exprs). */
+  private def withBucketSize(buckets: DataFrame): DataFrame = {
+    val sizes = buckets.groupBy("band", "bh").agg(count(lit(1)).as("bucket_size"))
+    buckets.join(sizes, Seq("band", "bh"))
+  }
 
-  /** Candidate pairs from LSH buckets. Bucket sizes come from a single-pass
-    * window count and oversized buckets are dropped BEFORE the
-    * `collect_list` aggregation — capping after collection would still
-    * materialize the degenerate bucket the cap exists to disarm. Pairs are
-    * then generated inside each surviving bucket from the sorted doc-id
-    * list (a < b), so worst-case per-bucket work is `maxBucket²/2`; the
-    * window and the groupBy share the (band, bh) partitioning, so the cap
-    * adds no extra shuffle. `cappedBuckets` recomputes its (cheap, counts-
-    * only) lineage when consumed — observability is on demand. */
+  /** Candidate pairs from LSH buckets. Bucket sizes come from a parallel
+    * groupBy-count ([[withBucketSize]]) and oversized buckets are dropped
+    * BEFORE the `collect_list` aggregation — capping after collection
+    * would still materialize the degenerate bucket the cap exists to
+    * disarm. Pairs are then generated inside each surviving bucket from
+    * the sorted doc-id list (a < b), so worst-case per-bucket work is
+    * `maxBucket²/2`; the size join and the groupBy share the (band, bh)
+    * partitioning, so the cap adds no extra shuffle. `cappedBuckets`
+    * recomputes its (cheap, counts-only) lineage when consumed —
+    * observability is on demand. */
   def candidatePairsWithStats(buckets: DataFrame, maxBucket: Int = 1000): PairsWithStats = {
     val sized = withBucketSize(buckets)
     val capped = sized.filter(col("bucket_size") > maxBucket)
@@ -232,12 +240,11 @@ object Dedup {
     * bands — pigeonhole, so banding loses nothing), verified with
     * bit_count(xor).
     *
-    * Like [[candidatePairsWithStats]], bucket sizes come from a single-pass
-    * window count and degenerate buckets (millions of boilerplate documents
+    * Like [[candidatePairsWithStats]], bucket sizes come from a parallel
+    * groupBy-count and degenerate buckets (millions of boilerplate documents
     * sharing one 16-bit band value) are filtered out BEFORE the
     * `collect_list` aggregation, bounding both pair-expansion compute and
-    * aggregation memory at `maxBucket` — and the simhash map stage runs
-    * once, not once per cap pass. Capped buckets are surfaced in
+    * aggregation memory at `maxBucket`. Capped buckets are surfaced in
     * `cappedBuckets`, not silently dropped — their members are mutual
     * near-dups of each other anyway and exact-dedup upstream is the right
     * tool for identical text. */

@@ -98,9 +98,15 @@ object Mixture {
     * genuinely authored text is dominated by document-unique bigrams.
     * Integer-exact (counts, not float ratios), same scale shape as
     * rarityProfile: per-(doc, bigram) pre-aggregation first, corpus
-    * document-frequency as a window over that aggregate — one corpus
-    * scan, one shuffle on the bigram key. Documents under two tokens
-    * have no bigrams and drop out (identically on the oracle side). */
+    * document-frequency as a groupBy over that aggregate joined back on
+    * the bigram key. NOT a window on `bg`: a window partition is one
+    * task and AQE cannot split it, so a stop-bigram ("of the") present
+    * in every document would serialize the whole corpus through one
+    * straggler at scale. The groupBy's map-side combine absorbs the
+    * skew, Catalyst's ReuseExchange shares perDocBg's (doc, bg) shuffle
+    * between the two consumers (the corpus still scans once), and the
+    * join IS AQE-skew-splittable. Documents under two tokens have no
+    * bigrams and drop out (identically on the oracle side). */
   def bigramNovelty(docs: DataFrame): DataFrame = {
     val perDocBg = docs
       .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
@@ -109,9 +115,17 @@ object Mixture {
         "transform(sequence(1, size(toks) - 1), " +
           "k -> concat_ws(' ', slice(toks, k, 2)))")).as("bg"))
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-    perDocBg
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("bg")))
+    // sum(least(c, 1)), not count(1): identical value (one row per
+    // (doc, bg) and c >= 1 always), but a plain count lets
+    // RemoveRedundantAggregates strip the inner aggregate's count column
+    // from this branch — the two consumers' partial-agg schemas then
+    // diverge and exchange reuse is defeated (the corpus would scan
+    // twice). least(c, 1) keeps a genuine dependency on c the optimizer
+    // cannot fold away, so both branches share one shuffle stage
+    // (pinned in PlanAuditSpec).
+    val dfByBg = perDocBg.groupBy("bg")
+      .agg(sum(least(col("c"), lit(1L))).as("df"))
+    perDocBg.join(dfByBg, Seq("bg"))
       .groupBy("doc_id").agg(
         sum("c").cast("long").as("n_bigrams"),
         count(lit(1)).cast("long").as("n_distinct_bigrams"),
@@ -139,12 +153,17 @@ object Mixture {
     val perDocTok = docs
       .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-    // corpus frequency as a window over the same aggregate — one corpus
-    // scan total (a groupBy+self-join would recompute the explode subtree
-    // for the frequency branch: two scans of the corpus at 100 TB)
-    perDocTok
-      .withColumn("tf", sum("c").over(
-        org.apache.spark.sql.expressions.Window.partitionBy("tok")))
+    // corpus frequency as a groupBy over the same aggregate, joined back
+    // on `tok` — NOT a window on `tok`: a window partition is processed
+    // by a single task and AQE cannot split it, so the stop-word
+    // partition ("the": present in ~every doc) would become one
+    // billions-of-rows straggler at 100×. The groupBy partially
+    // aggregates map-side (skew absorbed before the shuffle), Catalyst's
+    // ReuseExchange shares perDocTok's (doc, tok) exchange between the
+    // two consumers — the explode subtree and corpus scan still run
+    // once — and the tok-keyed join is AQE-skew-splittable.
+    val tfByTok = perDocTok.groupBy("tok").agg(sum("c").as("tf"))
+    perDocTok.join(tfByTok, Seq("tok"))
       .groupBy("doc_id").agg(
         sum("c").cast("long").as("n_tokens"),
         sum(col("c") * col("tf")).cast("long").as("sum_tok_freq"),

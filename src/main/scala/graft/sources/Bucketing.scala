@@ -37,35 +37,99 @@ object Bucketing {
   // a config-declared layout (server threads) must serialize the write.
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  // Stable per-session identity for the done/locks keys. NOT
+  // System.identityHashCode(spark): an identity hash can be REUSED after
+  // the session is GC'd, and a fresh session inheriting a dead session's
+  // key would skip materialization while its own (session-scoped) catalog
+  // lacks the table. A weak identity map hands each live session one
+  // random UUID and forgets it with the session.
+  private val sessionIds =
+    new java.util.WeakHashMap[SparkSession, String]()
+  private def sessionId(spark: SparkSession): String =
+    sessionIds.synchronized {
+      var id = sessionIds.get(spark)
+      if (id == null) { id = java.util.UUID.randomUUID().toString; sessionIds.put(spark, id) }
+      id
+    }
+
   /** Sanitized, collision-safe table name for a (data dir, base table,
     * layout). The layout is part of the identity: the same base table
     * bucketed on different keys (orders by orderkey for lineitem joins,
-    * by custkey for customer joins) is two distinct physical tables. */
+    * by custkey for customer joins) is two distinct physical tables.
+    * The tag is the md5 prefix of `dir|layout` — 64 bits, not the 32-bit
+    * `String.hashCode`, whose birthday bound makes two distinct
+    * (dir, layout) pairs silently share one table + path (wrong data). */
   def tableName(dir: String, base: String, layout: String = ""): String = {
-    val tag = Integer.toHexString((dir + "|" + layout).hashCode).replace('-', 'm')
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest((dir + "|" + layout).getBytes("UTF-8"))
+    val tag = md.take(8).map(b => f"$b%02x").mkString
     s"graft_bkt_${tag}_$base"
+  }
+
+  /** Layout marker written AFTER a successful bucketed write: its presence
+    * means the path holds a complete layout (a crash mid-write leaves no
+    * marker → next session rewrites), its content pins WHICH layout so a
+    * marker can never vouch for different keys/bucket-count. */
+  private def markerPath(path: String) = new org.apache.hadoop.fs.Path(path, "_GRAFT_LAYOUT")
+
+  private def layoutMarker(keys: Seq[String], buckets: Int): String =
+    s"""{"keys":${keys.mkString("[\"", "\",\"", "\"]")},"buckets":$buckets}"""
+
+  private def readMarker(spark: SparkSession, path: String): Option[String] = {
+    val p = markerPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+    }
+  }
+
+  private def writeMarker(spark: SparkSession, path: String,
+                          content: String): Unit = {
+    val p = markerPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
   /** Write `df` bucketed+sorted on `keys` into `buckets` buckets (one
     * file per bucket) at `path`, registered as external table `table`.
-    * Idempotent per (session, table): the shuffle is paid once. */
+    * Idempotent per (session, table), and across sessions/JVMs: if the
+    * path already holds this exact layout (marker check), the existing
+    * files are re-registered as an external bucketed table instead of
+    * re-paying the ingest shuffle — the amortization a production
+    * deployment relies on when the layout lives on shared storage. */
   def materialize(spark: SparkSession, table: String, df: DataFrame,
                   keys: Seq[String], buckets: Int, path: String): Unit =
     once(spark, table) {
       spark.sql(s"DROP TABLE IF EXISTS $table")
-      df.repartition(buckets, keys.map(col): _*)
-        .write.mode("overwrite")
-        .format("parquet")
-        .option("path", path)
-        .bucketBy(buckets, keys.head, keys.tail: _*)
-        .sortBy(keys.head, keys.tail: _*)
-        .saveAsTable(table)
+      val marker = layoutMarker(keys, buckets)
+      if (readMarker(spark, path).contains(marker)) {
+        // existing layout: register only (metastore entry is per-session;
+        // the files and their bucket spec are already on disk)
+        val cols = df.schema.toDDL
+        val ks = keys.map(k => s"`$k`").mkString(", ")
+        spark.sql(
+          s"""CREATE TABLE $table ($cols) USING parquet
+             |CLUSTERED BY ($ks) SORTED BY ($ks) INTO $buckets BUCKETS
+             |LOCATION '$path'""".stripMargin)
+      } else {
+        df.repartition(buckets, keys.map(col): _*)
+          .write.mode("overwrite")
+          .format("parquet")
+          .option("path", path)
+          .bucketBy(buckets, keys.head, keys.tail: _*)
+          .sortBy(keys.head, keys.tail: _*)
+          .saveAsTable(table)
+        writeMarker(spark, path, marker)
+      }
     }
 
   /** Run `write` exactly once per (session, table), serializing racing
     * callers on a per-table lock. */
   private def once(spark: SparkSession, table: String)(write: => Unit): Unit = {
-    val key = s"${System.identityHashCode(spark)}:$table"
+    val key = s"${sessionId(spark)}:$table"
     if (!done.contains(key)) {
       locks.computeIfAbsent(key, _ => new Object).synchronized {
         if (!done.contains(key)) { write; done.put(key, ()) }

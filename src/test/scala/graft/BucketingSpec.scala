@@ -144,8 +144,10 @@ class BucketingSpec extends SparkTestBase {
          |}""".stripMargin
     val loaded = graft.api.GraftConfig.parse(config)
     assert(loaded.bucketed == Map(
-      "customer" -> (Seq("c_custkey"), 8, s"$sfDir/customer.parquet"),
-      "orders" -> (Seq("o_custkey"), 8, s"$sfDir/orders.parquet")))
+      "customer" -> graft.api.GraftConfig.BucketLayout(
+        Seq("c_custkey"), 8, s"$sfDir/customer.parquet"),
+      "orders" -> graft.api.GraftConfig.BucketLayout(
+        Seq("o_custkey"), 8, s"$sfDir/orders.parquet")))
     val g = loaded.graft
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -168,5 +170,36 @@ class BucketingSpec extends SparkTestBase {
     Bucketing.bucketedTable(spark, sfDir, "orders", Seq("o_orderkey"), 8)
     val ms = (System.nanoTime() - t0) / 1e6
     assert(ms < 500, s"cached materialization took ${ms}ms")
+  }
+
+  test("distinct (dir, layout) pairs cannot alias to one table") {
+    // "Aa" and "BB" collide under 32-bit String.hashCode — the md5 tag
+    // must keep them apart (a collision here silently serves one
+    // dataset's buckets for the other's query)
+    assert("Aa".hashCode == "BB".hashCode)
+    assert(Bucketing.tableName("Aa", "t") != Bucketing.tableName("BB", "t"))
+    assert(Bucketing.tableName("d", "t", "k@8") != Bucketing.tableName("d", "t", "k@16"))
+  }
+
+  test("cross-session reuse: a second session re-registers, never rewrites") {
+    val n = 8
+    Bucketing.bucketedTable(spark, sfDir, "nation", Seq("n_nationkey"), n)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_buckets/" +
+      s"${Bucketing.tableName(sfDir, "", s"n_nationkey@$n")}/nation"
+    val before = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("part-"))
+      .map(f => f.getName -> f.lastModified).toMap
+    assert(before.nonEmpty)
+    // a new session has its own done-guard entry, so materialize runs
+    // again — the layout marker must route it to re-registration of the
+    // existing files, not a second ingest shuffle
+    val s2 = spark.newSession()
+    val df2 = Bucketing.bucketedTable(s2, sfDir, "nation", Seq("n_nationkey"), n)
+    assert(df2.count() ==
+      spark.read.parquet(s"$sfDir/nation.parquet").count())
+    val after = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("part-"))
+      .map(f => f.getName -> f.lastModified).toMap
+    assert(after == before, "second session rewrote the layout")
   }
 }

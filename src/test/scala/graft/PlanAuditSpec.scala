@@ -73,12 +73,50 @@ class PlanAuditSpec extends SparkTestBase {
       s"text column must not be read:\n$plan")
   }
 
-  test("rarity profile scans the corpus exactly once") {
-    val plan = graft.pipeline.Mixture.rarityProfile(
-        spark.read.parquet(s"$sfDir/documents.parquet"), rareMax = 100)
-      .queryExecution.executedPlan.toString
-    val scans = plan.linesIterator.count(_.contains("FileScan"))
-    assert(scans == 1, s"corpus-frequency branch re-scanned the corpus:\n$plan")
+  test("rarity profile shares the (doc, tok) shuffle across both consumers") {
+    // the initial AQE plan prints both branches; after execution the
+    // corpus-frequency branch must read the REUSED shuffle stage, not
+    // re-run the explode subtree (ReuseExchange / AQE stage reuse)
+    val plan = executed(graft.pipeline.Mixture.rarityProfile(
+        spark.read.parquet(s"$sfDir/documents.parquet"), rareMax = 100))
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"corpus-frequency branch re-ran the corpus scan:\n$plan")
+  }
+
+  test("bigram novelty shares the (doc, bg) shuffle across both consumers") {
+    val plan = executed(graft.pipeline.Mixture.bigramNovelty(
+        spark.read.parquet(s"$sfDir/documents.parquet")))
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"corpus-frequency branch re-ran the corpus scan:\n$plan")
+  }
+
+  test("corpus-frequency ops have no window on a corpus key (skew)") {
+    // a window partition is one task and AQE cannot split it — a
+    // stop-word/stop-bigram partition would straggle at scale, so the
+    // corpus-frequency side must be a parallel groupBy joined back
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    for ((name, df) <- Seq(
+        "rarityProfile" -> graft.pipeline.Mixture.rarityProfile(docs, rareMax = 100),
+        "bigramNovelty" -> graft.pipeline.Mixture.bigramNovelty(docs))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"$name still computes corpus frequency via a window:\n$plan")
+    }
+  }
+
+  test("LSH/SimHash bucket sizing has no window over (band, bh)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
+    for ((name, df) <- Seq(
+        // verifiedNearDups checkpoints eagerly, so audit the lazy
+        // candidate-pair pipeline it is built from
+        "minhash" -> graft.pipeline.Dedup.candidatePairs(
+          graft.pipeline.Dedup.lshBuckets(graft.pipeline.Dedup.withShingles(docs))),
+        "simhash" -> graft.pipeline.Dedup.simhashNearDups(docs))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"$name still sizes buckets via a window (single-task straggler on " +
+          s"degenerate buckets):\n$plan")
+    }
   }
 
   test("salted skew join equals plain join") {
