@@ -617,6 +617,58 @@ object SparkEntry {
           .as("bounds_ok"))
         .orderBy("doc_id")
     }),
+    // BPE id stream: contract row — DuckDB cannot run BPE, so the oracle
+    // pins the DuckDB-computable whitespace count while the Spark side
+    // proves its own contracts as booleans that must all come back true:
+    // the id stream has exactly n_bpe_tokens rows per doc (count parity
+    // with tokenize), every id is in [1, |vocab|] (no UNK on the corpus
+    // the vocab was trained on), and the per-doc id-stream digest is
+    // identical across two independent encode runs (determinism)
+    "doc_bpe_ids" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val merges = Bpe.train(docs, nMerges = 200)
+      val v = Bpe.vocab(docs, merges)
+      val vocabSize = v.size
+      def digests(run: DataFrame) = run.groupBy("doc_id").agg(
+        count(lit(1)).as("n_ids"),
+        min("token_id").as("min_id"),
+        max("token_id").as("max_id"),
+        md5(concat_ws(",", expr(
+          "transform(array_sort(collect_list(named_struct(" +
+            "'pos', pos, 'id', token_id))), s -> cast(s.id AS string))"))).as("dig"))
+      val a = digests(Bpe.encodeIds(docs, merges, v))
+      val b = digests(Bpe.encodeIds(docs, merges, v))
+        .select(col("doc_id"), col("dig").as("dig2"))
+      val counts = Bpe.tokenize(docs, merges).select("doc_id", "n_ws_tokens", "n_bpe_tokens")
+      a.join(b, "doc_id").join(counts, "doc_id").select(
+        col("doc_id"), col("n_ws_tokens"),
+        (col("n_ids") === col("n_bpe_tokens")).as("count_ok"),
+        (col("min_id") >= 1 && col("max_id") <= vocabSize).as("ids_in_range"),
+        (col("dig") === col("dig2")).as("det_ok"))
+        .orderBy("doc_id")
+    }),
+    // sequence packing over MODEL-token counts (the packBins twin that a
+    // training run actually uses): bins must never mix token lengths and
+    // must respect the budget unless the doc alone exceeds it
+    "doc_bpe_pack" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val merges = Bpe.train(docs, nMerges = 200)
+      val counts = Bpe.tokenize(docs, merges)
+        .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens"),
+          col("n_ws_tokens"))
+      val packed = TextAnalysis.packBinsByCount(
+        counts.select("doc_id", "n_tokens"), budget = 256)
+      val binStats = packed.groupBy("bin_id").agg(
+        countDistinct("n_tokens").as("n_lengths"),
+        sum("n_tokens").as("bin_tokens"),
+        count(lit(1)).as("bin_docs"))
+      packed.join(binStats, "bin_id")
+        .join(counts.select("doc_id", "n_ws_tokens"), "doc_id")
+        .select(col("doc_id"), col("n_ws_tokens"),
+          (col("n_lengths") === 1).as("uniform_bin"),
+          (col("bin_tokens") <= 256 || col("bin_docs") === 1).as("budget_ok"))
+        .orderBy("doc_id")
+    }),
     "doc_split_assign" -> ((s, d) =>
       Mixture.splitAssign(T(s, d, "documents"),
         valFrac = 0.1, testFrac = 0.1, salt = "split1").orderBy("doc_id")),
@@ -1345,6 +1397,18 @@ object SparkEntry {
         |  CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
         |       x -> len(x) > 0)) AS BIGINT) AS n_ws_tokens,
         |  true AS round_trip_ok, true AS bounds_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_bpe_ids" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |       x -> len(x) > 0)) AS BIGINT) AS n_ws_tokens,
+        |  true AS count_ok, true AS ids_in_range, true AS det_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_bpe_pack" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |       x -> len(x) > 0)) AS BIGINT) AS n_ws_tokens,
+        |  true AS uniform_bin, true AS budget_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // deterministic split: integer bucket thresholds (floor(0.8·2³²),

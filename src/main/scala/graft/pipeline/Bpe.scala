@@ -141,6 +141,81 @@ object Bpe {
     }
   }
 
+  /** Reserved id for symbols outside the vocabulary (characters unseen
+    * at training time). Real vocab ids start at 1. */
+  val UnkId = 0
+
+  /** Stable token→id vocabulary from the merge table + the corpus
+    * alphabet. Every symbol [[encodeWord]] can emit is either a single
+    * character, a character with the end-of-word mark, the mark itself,
+    * or a merge output — so the id space is: 0 reserved for unknown,
+    * base symbols (alphabet ∪ alphabet+␃ ∪ {␃}, lexicographic) from 1,
+    * then one id per merge in RANK order. Merge-token ids are therefore
+    * stable under retraining with more merges (a longer merge list only
+    * appends), which is what lets checkpointed id streams survive
+    * tokenizer evolution. The alphabet probe is one tiny distinct over
+    * exploded characters (bounded by the alphabet, not the corpus);
+    * train once, persist with [[saveVocab]], load everywhere. */
+  def vocab(docs: DataFrame, merges: Seq[Merge]): Seq[(String, Int)] = {
+    val chars = docs
+      .select(explode(split(regexp_replace(lower(col("text")), "\\s+", ""), "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+      .distinct().collect().map(_.getString(0))
+    val base = (chars.flatMap(c => Seq(c, c + Eow)) :+ Eow).distinct.sorted
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    var next = 1
+    base.foreach { t => out += (t -> next); next += 1 }
+    merges.sortBy(_.rank).foreach { m =>
+      val t = m.left + m.right
+      if (!out.contains(t)) { out += (t -> next); next += 1 }
+    }
+    out.toSeq
+  }
+
+  /** Persist the vocabulary as `token\tid` lines (tokens are \S+ runs
+    * plus the ␃ mark — never contain a tab). */
+  def saveVocab(vocab: Seq[(String, Int)], path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(p,
+      vocab.map { case (t, i) => s"$t\t$i" }.mkString("\n"))
+  }
+
+  def loadVocab(path: String): Seq[(String, Int)] =
+    java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+      .split("\n").toSeq.filter(_.nonEmpty).map { l =>
+        val sp = l.lastIndexOf('\t')
+        (l.substring(0, sp), l.substring(sp + 1).toInt)
+      }
+
+  /** Integer token-id stream: one row per (doc, position, token_id) —
+    * what [[encode]] is for humans, this is for training pipelines: a
+    * 100 TB token stream of int ids shuffles ~10× fewer bytes than the
+    * string stream, and downstream packing/batching keys on fixed-width
+    * columns. Same broadcast map-only shape (merge ranks + vocab map are
+    * KBs); symbols outside the vocab map to [[UnkId]]. */
+  def encodeIds(docs: DataFrame, merges: Seq[Merge],
+                vocab: Seq[(String, Int)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bcR = spark.sparkContext.broadcast(
+      merges.map(m => (m.left, m.right) -> m.rank).toMap)
+    val bcV = spark.sparkContext.broadcast(vocab.toMap)
+    docs.select(col("doc_id"), lower(col("text")).as("t"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val ranks = bcR.value
+        val v = bcV.value
+        var pos = -1
+        t.split("\\s+").iterator.filter(_.nonEmpty).flatMap { w =>
+          encodeWord(w, ranks).iterator.map { tok =>
+            pos += 1; (id, pos, v.getOrElse(tok, UnkId))
+          }
+        }
+      }
+      .toDF("doc_id", "pos", "token_id")
+  }
+
   /** Token stream: one row per (doc, position, token) — the substrate of
     * sequence packing and id-mapping downstream. Same broadcast-ranks
     * map-only shape as [[tokenize]]; the corpus never shuffles. */

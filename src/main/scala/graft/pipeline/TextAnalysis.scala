@@ -166,13 +166,24 @@ object TextAnalysis {
     * Oversized docs get singleton bins (they would be chunked upstream).
     * Bin ids are globally unique via (token count « 32) | per-length index. */
   def packBins(docs: DataFrame, budget: Long = 1024): DataFrame =
-    docs.select(
-      col("doc_id"),
-      countMatches(col("text"), "\\S+").cast("long").as("n_tokens"))
-      .selectExpr("doc_id", "n_tokens",
-        "shiftleft(n_tokens, 32) | " +
-          "((row_number() OVER (PARTITION BY n_tokens ORDER BY doc_id) - 1) " +
-          s"div greatest(1L, $budget div greatest(n_tokens, 1L))) AS bin_id")
+    packBinsByCount(
+      docs.select(
+        col("doc_id"),
+        countMatches(col("text"), "\\S+").cast("long").as("n_tokens")),
+      budget)
+
+  /** Packing over a precomputed (doc_id, n_tokens) table — the
+    * composition point for MODEL-token budgets: feed it
+    * [[Bpe.tokenize]]'s `n_bpe_tokens` and bins respect what the
+    * training run actually consumes, not whitespace runs. Same pure
+    * window expression; the window key `n_tokens` has bounded
+    * cardinality (token counts, not documents), so partitions stay
+    * balanced at corpus scale. */
+  def packBinsByCount(counts: DataFrame, budget: Long = 1024): DataFrame =
+    counts.selectExpr("doc_id", "n_tokens",
+      "shiftleft(n_tokens, 32) | " +
+        "((row_number() OVER (PARTITION BY n_tokens ORDER BY doc_id) - 1) " +
+        s"div greatest(1L, $budget div greatest(n_tokens, 1L))) AS bin_id")
 
   /** Sliding-window chunking — the context-window preparation step (RAG
     * indexing, long-document training): each document yields overlapping

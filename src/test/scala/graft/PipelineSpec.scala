@@ -410,6 +410,49 @@ class PipelineSpec extends SparkTestBase {
     assert(t.filter(col("n_bpe_tokens") < col("n_ws_tokens")).count() == 0)
   }
 
+  test("bpe token ids: stable vocab, 1:1 with the string stream, unk = 0") {
+    val s = spark
+    import s.implicits._
+    val merges = Bpe.train(docs, nMerges = 50)
+    val v = Bpe.vocab(docs, merges)
+    // dense unique ids from 1 (0 is the reserved unknown)
+    assert(v.map(_._2) == (1 to v.size))
+    assert(v.map(_._1).distinct.size == v.size)
+    // retraining with MORE merges only appends — id streams survive
+    // tokenizer evolution (the stability claim in the scaladoc)
+    val v20 = Bpe.vocab(docs, merges.take(20))
+    assert(v.take(v20.size) == v20)
+    // tsv round-trip
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_bpe_test/vocab.tsv"
+    Bpe.saveVocab(v, path)
+    assert(Bpe.loadVocab(path) == v)
+    // the id stream is exactly the string stream mapped through the vocab
+    val vm = v.toMap
+    val strs = Bpe.encode(docs, merges).orderBy("doc_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), vm(r.getString(2))))
+    val ids = Bpe.encodeIds(docs, merges, v).orderBy("doc_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(ids.toSeq == strs.toSeq)
+    // trained-on corpus has no unknowns; an alien character maps to UnkId
+    assert(ids.forall(_._3 >= 1))
+    val alien = Seq((999L, "abc §")).toDF("doc_id", "text")
+    val alienIds = Bpe.encodeIds(alien, merges, v).collect().map(_.getInt(2))
+    assert(alienIds.contains(Bpe.UnkId))
+  }
+
+  test("packing over precomputed counts: uniform bins within budget") {
+    val s = spark
+    import s.implicits._
+    val counts = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 30L), (5L, 7L))
+      .toDF("doc_id", "n_tokens")
+    val packed = TextAnalysis.packBinsByCount(counts, budget = 25)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // len-10 docs pack 2 per bin (25 div 10): docs 1,2 share, 3 spills
+    assert(packed(1L) == packed(2L) && packed(1L) != packed(3L))
+    // an over-budget doc gets a singleton bin; different lengths never mix
+    assert(Seq(packed(4L), packed(5L), packed(1L), packed(3L)).distinct.size == 4)
+  }
+
   test("misra-gries guarantee: heavy hitters survive eviction under high vocab") {
     val s = spark
     import s.implicits._
