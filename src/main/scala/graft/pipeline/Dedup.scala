@@ -312,12 +312,64 @@ object Dedup {
     inBatch.join(store, Seq("text_hash"), "left_anti")
   }
 
-  /** Append the admitted documents' digests to the store (idempotent per
-    * digest only if callers admit each batch once — the store is a log,
-    * not a set; readers always semi-join, so duplicate digests cost
-    * space, never correctness). */
-  def admit(fresh: DataFrame, storePath: String): Unit =
-    fresh.select(col("text_hash")).write.mode("append").parquet(storePath)
+  /** Append the admitted documents' digests to the store. Idempotent:
+    * digests already present are anti-joined away against a FRESH read
+    * of the store (not `fresh`'s lineage, whose cached file listing
+    * predates any earlier admit of the same batch), so a retried or
+    * double-driven admit leaves the store byte-identical. The anti-join
+    * is digest-vs-digest — fixed-width at any corpus size, the same
+    * cost class as the read-side check. Concurrent admits of
+    * overlapping batches can still race duplicates in (readers
+    * semi-join, so duplicates cost space, never correctness);
+    * [[compactStore]] reclaims the space. */
+  def admit(fresh: DataFrame, storePath: String): Unit = {
+    val spark = fresh.sparkSession
+    val digests = fresh.select(col("text_hash"))
+    val toWrite =
+      if (storeExists(spark, storePath))
+        digests.join(spark.read.parquet(storePath).select("text_hash"),
+          Seq("text_hash"), "left_anti")
+      else digests
+    toWrite.write.mode("append").parquet(storePath)
+  }
+
+  /** Rewrite the digest store with duplicate digests removed — the
+    * maintenance twin of [[admit]] for a daily-ingest deployment where
+    * racing admits (the one path that can still append duplicates) have
+    * grown the log. OFFLINE operation: run with no concurrent
+    * readers/writers; the swap (write tmp → move current aside → move
+    * tmp in) is not atomic, and a crash mid-swap leaves the previous
+    * store at `<path>.graft_compact_bak` for manual recovery. */
+  def compactStore(spark: org.apache.spark.sql.SparkSession,
+                   storePath: String): Unit = {
+    if (!storeExists(spark, storePath)) return
+    swapInPlace(spark, storePath) { tmp =>
+      spark.read.parquet(storePath).select("text_hash").distinct()
+        .write.parquet(tmp)
+    }
+  }
+
+  /** Write a replacement dataset via `writeTo(tmpPath)`, then swap it in
+    * for `path` (previous data parked at `<path>.graft_compact_bak`
+    * until the swap completes). */
+  private def swapInPlace(spark: org.apache.spark.sql.SparkSession,
+                          path: String)(writeTo: String => Unit): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cur = new org.apache.hadoop.fs.Path(path)
+    val fs = cur.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".graft_compact_tmp")
+    val bak = new org.apache.hadoop.fs.Path(path + ".graft_compact_bak")
+    fs.delete(tmp, true)
+    writeTo(tmp.toString)
+    fs.delete(bak, true)
+    if (!fs.rename(cur, bak))
+      throw new java.io.IOException(s"compact: could not move $cur aside")
+    if (!fs.rename(tmp, cur)) {
+      fs.rename(bak, cur) // restore; tmp left for inspection
+      throw new java.io.IOException(s"compact: could not install $tmp")
+    }
+    fs.delete(bak, true)
+  }
 
   /** Incremental NEAR-dup against a persistent signature store — the
     * MinHash companion of [[freshAgainstStore]] for the same daily-ingest
@@ -340,37 +392,84 @@ object Dedup {
     // persisted: the shingle frame feeds candidate generation, Jaccard
     // verification, AND the final anti-join — without the persist the
     // split+hash scan (the dominant map cost) runs three times, the
-    // hazard [[verifiedNearDups]] documents for the in-batch path
+    // hazard [[verifiedNearDups]] documents for the in-batch path.
+    // The cache is RELEASED before returning: the survivors (orders of
+    // magnitude smaller than a near-dup-heavy batch) are checkpointed
+    // eagerly while the cache is hot, so a long-lived daily-ingest
+    // session does not accumulate one pinned batch per call — the same
+    // storage-lifecycle discipline as [[verifiedNearDups]].
     val shingled = withShingles(docs, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    if (!storeExists(spark, s"$storePath/bands")) return shingled
-    val storeBands = spark.read.parquet(s"$storePath/bands")
-      .withColumnRenamed("doc_id", "old_id")
-    val storeShingles = spark.read.parquet(s"$storePath/shingles")
-      .select(col("doc_id").as("old_id"), col("shingles").as("old_shingles"))
-    val suspects = lshBuckets(shingled, numPerm, bands)
-      .join(storeBands, Seq("band", "bh"))
-      .select("doc_id", "old_id").distinct()
-    val dupIds = suspects
-      .join(shingled.select(col("doc_id"), col("shingles")), "doc_id")
-      .join(storeShingles, "old_id")
-      .withColumn("jaccard",
-        size(array_intersect(col("shingles"), col("old_shingles"))).cast("double") /
-          size(array_union(col("shingles"), col("old_shingles"))))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_id").distinct()
-    shingled.join(dupIds, Seq("doc_id"), "left_anti")
+    val fresh =
+      if (!storeExists(spark, s"$storePath/bands")) shingled
+      else {
+        val storeBands = spark.read.parquet(s"$storePath/bands")
+          .withColumnRenamed("doc_id", "old_id")
+        val storeShingles = spark.read.parquet(s"$storePath/shingles")
+          .select(col("doc_id").as("old_id"), col("shingles").as("old_shingles"))
+        val suspects = lshBuckets(shingled, numPerm, bands)
+          .join(storeBands, Seq("band", "bh"))
+          .select("doc_id", "old_id").distinct()
+        val dupIds = suspects
+          .join(shingled.select(col("doc_id"), col("shingles")), "doc_id")
+          .join(storeShingles, "old_id")
+          .withColumn("jaccard",
+            size(array_intersect(col("shingles"), col("old_shingles"))).cast("double") /
+              size(array_union(col("shingles"), col("old_shingles"))))
+          .filter(col("jaccard") >= threshold)
+          .select("doc_id").distinct()
+        shingled.join(dupIds, Seq("doc_id"), "left_anti")
+      }
+    val out = fresh.localCheckpoint()
+    shingled.unpersist()
+    out
   }
 
   /** Append the admitted docs' band rows and shingle sets to the store;
     * `fresh` must be [[nearDupFreshAgainstStore]]'s output (it carries
-    * the `shingles` column, so nothing is recomputed). */
+    * the `shingles` column, so nothing is recomputed — and it is
+    * checkpointed, so the two consumptions here are cheap re-reads).
+    *
+    * Idempotent and crash-safe, keyed on the BANDS side: docs already
+    * in `bands` are anti-joined away (a retried or double-driven admit
+    * changes nothing), shingles write BEFORE bands so the read-side
+    * `bands` probe implies the shingle sets it verifies against are
+    * present. A crash between the two writes leaves shingles without
+    * bands: invisible to candidate generation (bands drive it) and
+    * healed by the retry, which re-appends those docs' shingles
+    * (duplicate rows — space, never correctness; readers that join
+    * shingles go through `distinct`) and then their bands.
+    * [[compactNearDupStore]] reclaims the space. */
   def admitNearDup(fresh: DataFrame, storePath: String,
                    numPerm: Int = 32, bands: Int = 8): Unit = {
-    lshBuckets(fresh, numPerm, bands)
-      .write.mode("append").parquet(s"$storePath/bands")
-    fresh.select(col("doc_id"), col("shingles"))
+    val spark = fresh.sparkSession
+    val newDocs =
+      if (storeExists(spark, s"$storePath/bands"))
+        fresh.join(spark.read.parquet(s"$storePath/bands").select("doc_id"),
+          Seq("doc_id"), "left_anti")
+      else fresh
+    newDocs.select(col("doc_id"), col("shingles"))
       .write.mode("append").parquet(s"$storePath/shingles")
+    lshBuckets(newDocs, numPerm, bands)
+      .write.mode("append").parquet(s"$storePath/bands")
+  }
+
+  /** Compact the near-dup signature store: drop duplicate band rows and
+    * duplicate per-doc shingle sets (the residue of crash-healed or
+    * racing admits). Same OFFLINE swap discipline as [[compactStore]];
+    * shingles compact first so the bands-implies-shingles invariant
+    * holds at every point. */
+  def compactNearDupStore(spark: org.apache.spark.sql.SparkSession,
+                          storePath: String): Unit = {
+    if (!storeExists(spark, s"$storePath/bands")) return
+    swapInPlace(spark, s"$storePath/shingles") { tmp =>
+      // duplicate shingle rows are exact copies per doc_id
+      spark.read.parquet(s"$storePath/shingles").dropDuplicates("doc_id")
+        .write.parquet(tmp)
+    }
+    swapInPlace(spark, s"$storePath/bands") { tmp =>
+      spark.read.parquet(s"$storePath/bands").distinct().write.parquet(tmp)
+    }
   }
 
   /** Cross-corpus boilerplate removal — the segment-level member of the

@@ -642,6 +642,63 @@ class PipelineSpec extends SparkTestBase {
     assert(Dedup.nearDupFreshAgainstStore(batch3, store).count() == 0)
   }
 
+  test("store admits are idempotent; compaction preserves verdicts") {
+    val s = spark
+    import s.implicits._
+    val tmp = System.getProperty("java.io.tmpdir")
+    def storeRows(p: String) = spark.read.parquet(p).count()
+
+    // exact store: double-admit leaves size AND verdicts unchanged
+    val dstore = s"$tmp/graft_dedup_idem_${System.nanoTime()}"
+    val b1 = Seq((1L, "alpha doc"), (2L, "beta doc")).toDF("doc_id", "text")
+    val f1 = Dedup.freshAgainstStore(b1, dstore)
+    Dedup.admit(f1, dstore)
+    val sizeOnce = storeRows(dstore)
+    Dedup.admit(f1, dstore) // retry / double-drive
+    assert(storeRows(dstore) == sizeOnce, "double admit grew the digest store")
+    val b2 = Seq((10L, "alpha doc"), (11L, "gamma doc")).toDF("doc_id", "text")
+    assert(Dedup.freshAgainstStore(b2, dstore)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(11L))
+    Dedup.compactStore(spark, dstore)
+    assert(storeRows(dstore) == sizeOnce)
+    assert(Dedup.freshAgainstStore(b2, dstore)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(11L),
+      "compaction changed verdicts")
+
+    // near-dup store: same replay discipline, keyed on the bands side
+    val nstore = s"$tmp/graft_neardup_idem_${System.nanoTime()}"
+    val base = "the quick brown fox jumps over the lazy dog while rain falls " +
+      "on the quiet grey town and nobody watches the empty street tonight"
+    val nb1 = Seq((1L, base)).toDF("doc_id", "text")
+    val nf1 = Dedup.nearDupFreshAgainstStore(nb1, nstore)
+    Dedup.admitNearDup(nf1, nstore)
+    val bandsOnce = storeRows(s"$nstore/bands")
+    val shinglesOnce = storeRows(s"$nstore/shingles")
+    Dedup.admitNearDup(nf1, nstore) // retry
+    assert(storeRows(s"$nstore/bands") == bandsOnce &&
+      storeRows(s"$nstore/shingles") == shinglesOnce,
+      "double admitNearDup grew the signature store")
+    // crash healing: shingles were written but bands were not — the
+    // retry must re-admit the doc (bands absent), duplicating only
+    // shingle rows, and compaction reclaims those
+    val crashed = Seq((30L, "completely different content about engines and " +
+      "shuffles at very large scale in production clusters everywhere"))
+      .toDF("doc_id", "text")
+    val cf = Dedup.nearDupFreshAgainstStore(crashed, nstore)
+    cf.select(col("doc_id"), col("shingles"))
+      .write.mode("append").parquet(s"$nstore/shingles") // simulated partial admit
+    Dedup.admitNearDup(cf, nstore) // heal
+    val edited = Seq((40L, base.replace("lazy dog", "sleepy dog"))).toDF("doc_id", "text")
+    assert(Dedup.nearDupFreshAgainstStore(edited, nstore).count() == 0,
+      "store verdicts broken after crash healing")
+    assert(storeRows(s"$nstore/shingles") == shinglesOnce + 2) // healed dup rows
+    Dedup.compactNearDupStore(spark, nstore)
+    assert(storeRows(s"$nstore/shingles") == shinglesOnce + 1,
+      "compaction should keep one shingle row per doc")
+    assert(Dedup.nearDupFreshAgainstStore(edited, nstore).count() == 0,
+      "compaction changed near-dup verdicts")
+  }
+
   test("boilerplate removal on the corpus: totals reconcile") {
     val got = Dedup.boilerplateClean(docs, window = 4, minDf = 5)
     assert(got.count() == docs.count()) // every doc survives as a row
