@@ -133,12 +133,14 @@ class SparqlParser extends RegexParsers {
 
   // ---- blank nodes (W3C: non-selectable variables scoped to the query) ---
   private var bnodeCounter = 0
-  // the generated suffix starts with a digit, which no parsed label can
-  // (labels are [A-Za-z][A-Za-z0-9_]*) — so `[]` nodes can never collide
-  // with a `_:aN`-style label's desugared variable
+  // labels desugar under an 'l' marker, anonymous `[]` nodes under '0':
+  // the two image sets are disjoint whatever the label, so W3C's full
+  // BLANK_NODE_LABEL first-char set (PN_CHARS_U | digit — `_:0a`, `_:_x`)
+  // parses without a fresh-node collision, and the label→variable map
+  // stays injective (a bare prefix adds nothing a label could forge)
   private def freshBnode(): Var = { bnodeCounter += 1; Var(s"__bn_0$bnodeCounter") }
   private def bnodeLabel: Parser[Var] =
-    """_:[A-Za-z][A-Za-z0-9_]*""".r ^^ (s => Var("__bn_" + s.drop(2)))
+    """_:[A-Za-z0-9_][A-Za-z0-9_]*""".r ^^ (s => Var("__bn_l" + s.drop(2)))
 
   /** A subject/object node: a plain term, a labelled/anonymous blank node
     * (desugared to a hidden `__bn_*` variable), or a blank-node property

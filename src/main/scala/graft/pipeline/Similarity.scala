@@ -237,6 +237,34 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
   }
 
+  /** Append a batch of vectors into a persisted [[buildIvfIndex]] layout —
+    * the ANN twin of the incremental dedup stores: daily embeddings land
+    * in the existing cell directories without touching what's already
+    * there. Assignment uses the STORED quantizer (one tiny centers read,
+    * broadcast, map-only pass + partitioned append), so existing cells,
+    * assignments, and query results over old vectors are bit-stable.
+    *
+    * Re-train trigger: the stored quantizer ages as the embedding
+    * distribution drifts — cells imbalance and probe recall sags. Rebuild
+    * ([[buildIvfIndex]], which overwrites) when appended volume since the
+    * last build is a large fraction of the index (rule of thumb ≳30%) or
+    * when a recall probe against [[bruteForceTopK]] on a sample drops
+    * below the deployment's floor; until then appends are cheap and the
+    * layout stays query-identical to a fresh build under the same
+    * quantizer (spec-pinned). */
+  def addToIvfIndex(emb: DataFrame, path: String): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centers = spark.read.parquet(s"$path/centers")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val bc = spark.sparkContext.broadcast(centers)
+    asRows(emb).map(e => (e.vec_id, e.embedding,
+        nearestCell(normalize(e.embedding), bc.value)))
+      .toDF("vec_id", "embedding", "cell")
+      .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
+  }
+
   /** Top-k against a persisted [[buildIvfIndex]] layout. The probed cells
     * land as a partition filter on the vectors read — only those
     * directories are opened (plan-pinned in `PipelineSpec`). Results are

@@ -539,6 +539,37 @@ class PipelineSpec extends SparkTestBase {
       "persisted index must reproduce the in-job IVF results exactly")
   }
 
+  test("persisted IVF incremental add: parity with a rebuild, old cells untouched") {
+    // trainSample=64 and part1 holding the first 300 vec_ids make the
+    // part1-built quantizer IDENTICAL to a full-corpus build's (both
+    // train on the first 64 vectors), so append-vs-rebuild parity is
+    // exact — the spec contract for the stored-quantizer assignment path
+    val tmp = System.getProperty("java.io.tmpdir")
+    val p1 = emb.filter(col("vec_id") < 300)
+    val p2 = emb.filter(col("vec_id") >= 300)
+    val incPath = s"$tmp/graft_ivf_inc_${System.nanoTime()}"
+    val fullPath = s"$tmp/graft_ivf_full_${System.nanoTime()}"
+    Similarity.buildIvfIndex(p1, incPath, cells = 8, trainSample = 64, lloydIters = 3)
+    val before = new java.io.File(s"$incPath/vectors").listFiles()
+      .filter(_.getName.startsWith("cell=")).flatMap(_.listFiles())
+      .filter(_.getName.startsWith("part-"))
+      .map(f => f.getPath -> f.lastModified).toMap
+    Similarity.addToIvfIndex(p2, incPath)
+    // append must not rewrite the existing cell files
+    val after = new java.io.File(s"$incPath/vectors").listFiles()
+      .filter(_.getName.startsWith("cell=")).flatMap(_.listFiles())
+      .filter(_.getName.startsWith("part-"))
+      .map(f => f.getPath -> f.lastModified).toMap
+    assert(before.forall { case (p, m) => after.get(p).contains(m) },
+      "incremental add rewrote pre-existing cell files")
+    Similarity.buildIvfIndex(emb, fullPath, cells = 8, trainSample = 64, lloydIters = 3)
+    val inc = Similarity.ivfIndexTopK(spark, incPath, k = 5, numQueries = 3, nProbe = 2)
+      .collect().map(_.toString).sorted.toSeq
+    val full = Similarity.ivfIndexTopK(spark, fullPath, k = 5, numQueries = 3, nProbe = 2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(inc == full, "append diverged from a same-quantizer rebuild")
+  }
+
   test("funnel depth: ordered steps, strict time, nested survivors") {
     val s = spark
     import s.implicits._

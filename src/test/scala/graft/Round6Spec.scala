@@ -254,7 +254,7 @@ class Round6Spec extends SparkTestBase {
     val q1 = SparqlParser.parseUnsafe(
       "PREFIX g: <urn:g:> SELECT ?n WHERE { _:b a g:Nation ; g:name ?n }")
     val bgp1 = q1.pattern.asInstanceOf[graft.algebra.Pattern.Bgp]
-    assert(bgp1.triples.map(_.s).distinct == List(graft.algebra.Var("__bn_b")))
+    assert(bgp1.triples.map(_.s).distinct == List(graft.algebra.Var("__bn_lb")))
     // [] twice = two distinct fresh nodes
     val q2 = SparqlParser.parseUnsafe(
       "PREFIX g: <urn:g:> SELECT ?a ?b WHERE { [] g:name ?a . [] g:name ?b }")
@@ -273,6 +273,17 @@ class Round6Spec extends SparkTestBase {
         |SELECT * WHERE { ?s a g:Supplier ; g:nation [ g:name "NATION_3" ] }""".stripMargin)
     assert(!star.columns.exists(_.startsWith("__bn_")), star.columns.mkString(","))
     assert(star.columns.contains("s"))
+    // W3C BLANK_NODE_LABEL allows digit/underscore first chars (_:0a,
+    // _:_x) — each label is one node, and none can collide with a fresh
+    // `[]` node (label images carry an 'l' marker, fresh nodes '0')
+    val q3 = SparqlParser.parseUnsafe(
+      "PREFIX g: <urn:g:> SELECT ?n ?m WHERE { _:0a a g:Nation ; g:name ?n . " +
+        "_:_x g:name ?m . [] g:name ?m }")
+    val bgp3 = q3.pattern.asInstanceOf[graft.algebra.Pattern.Bgp]
+    val subs3 = bgp3.triples.map(_.s).distinct
+    assert(subs3.contains(graft.algebra.Var("__bn_l0a")))
+    assert(subs3.contains(graft.algebra.Var("__bn_l_x")))
+    assert(subs3.size == 3) // the [] node is distinct from both labels
   }
 
   test("implicit grouping: aggregate expression with no GROUP BY (§18.2.4.3)") {
