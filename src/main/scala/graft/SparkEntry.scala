@@ -522,6 +522,18 @@ object SparkEntry {
     "q_event_funnel" -> ((s, d) =>
       Funnels.funnelDepth(events(s, d),
         Seq("view", "click", "purchase")).orderBy("user_id")),
+    // the groupBy(depth) conversion report over the same funnel — the
+    // at-a-glance observability row (n_reached = classic funnel bars)
+    "q_funnel_report" -> ((s, d) =>
+      Funnels.funnelReport(events(s, d), Seq("view", "click", "purchase"))),
+    // streaming twin replayed over the WHOLE events table through real
+    // micro-batches — the oracle checks flatMapGroupsWithState funnel
+    // state against the batch SQL at table scale, not toy fixtures
+    "q_stream_funnel" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      _root_.graft.streaming.EventStreams.funnelDepthsReplayed(
+        events(s, d), Seq("view", "click", "purchase")).orderBy("user_id")
+    }),
     "q_retention" -> ((s, d) =>
       Funnels.retention(events(s, d)).orderBy("cohort", "offset_weeks")),
     // gap-based sessionization, batch form (streaming twin lives in
@@ -1097,6 +1109,41 @@ object SparkEntry {
         |     + (s3.user_id IS NOT NULL)::INT AS INTEGER) AS depth
         |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
         |       LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+    "q_funnel_report" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+        |d AS (SELECT u.user_id,
+        |  CAST((s1.user_id IS NOT NULL)::INT + (s2.user_id IS NOT NULL)::INT
+        |     + (s3.user_id IS NOT NULL)::INT AS INTEGER) AS depth
+        |  FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |         LEFT JOIN s3 USING (user_id))
+        |SELECT depth, CAST(count(*) AS BIGINT) AS n_at_depth,
+        |  CAST(SUM(count(*)) OVER (ORDER BY depth DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_reached
+        |FROM d GROUP BY depth ORDER BY depth""".stripMargin,
+    // the streaming replay emits one row per user that progressed, with
+    // their final depth — the batch funnel restricted to depth > 0
+    "q_stream_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+        |SELECT s1.user_id,
+        |  CAST(1 + (s2.user_id IS NOT NULL)::INT
+        |         + (s3.user_id IS NOT NULL)::INT AS INTEGER) AS depth
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         |ORDER BY user_id""".stripMargin,
     // retention triangle over the deduplicated (user, week) grid; weeks
     // are raw integer division of nanosecond time — identical arithmetic

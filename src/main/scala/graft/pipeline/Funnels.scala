@@ -48,6 +48,28 @@ object Funnels {
     acc.select(u, depth.cast("int").as("depth"))
   }
 
+  /** Step-conversion report — the observability twin of [[funnelDepth]]:
+    * one row per observed depth with how many users stopped exactly
+    * there (`n_at_depth`) and how many reached AT LEAST that far
+    * (`n_reached`, the classic funnel-bar number; conversion between
+    * consecutive steps is `n_reached(k+1) / n_reached(k)`). The
+    * cumulative window runs over the aggregated report — at most
+    * `steps.length + 1` rows, so the unpartitioned window is a handful
+    * of rows on one task, never the corpus. */
+  def funnelReport(events: DataFrame, steps: Seq[String],
+                   userCol: String = "user_id", typeCol: String = "event_type",
+                   tsCol: String = "ts"): DataFrame = {
+    val byDepth = funnelDepth(events, steps, userCol, typeCol, tsCol)
+      .groupBy("depth").agg(count(lit(1)).cast("long").as("n_at_depth"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("depth").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    byDepth
+      .withColumn("n_reached", sum("n_at_depth").over(w).cast("long"))
+      .orderBy("depth")
+  }
+
   /** Cohort retention: users bucketed by first-activity week, counted in
     * every later week they return. Output (cohort, offset_weeks,
     * n_users) — the classic retention triangle.

@@ -118,6 +118,52 @@ object EventStreams {
         })
   }
 
+  /** Replay a BOUNDED event table through [[funnelProgress]] as real
+    * micro-batches (MemoryStream, `chunks` in-order slices) and return
+    * each user's final depth — the batch-parity verification harness at
+    * table scale, driven by the oracle gate (`q_stream_funnel`): batch
+    * [[graft.pipeline.Funnels.funnelDepth]] restricted to progressing
+    * users must match row-for-row. Collects the events to the driver to
+    * feed the stream (MemoryStream is a driver-side source), so this is
+    * a VERIFICATION tool, not a production op — production streams read
+    * `readStream` sources and never materialize history. `tsCol` is
+    * nanosecond epoch longs (the events table's layout); feeding
+    * truncates to Spark's microsecond timestamp resolution, which is
+    * exact parity territory whenever distinct event times differ by
+    * ≥ 1 µs (the synthetic tables' minimum gap is ~59 ms). */
+  def funnelDepthsReplayed(events: DataFrame, steps: Seq[String],
+                           chunks: Int = 4)
+                          (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def tsOf(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    val evs = events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(1) / 1000L, r.getLong(0), r.getLong(2), r.getString(3)))
+      .sortBy(e => (e._1, e._2))
+      .map { case (us, id, user, tpe) => Event(id, tsOf(us), user, tpe, 0.0) }
+    val name = "graft_funnel_replay_" +
+      java.util.UUID.randomUUID().toString.filter(_ != '-')
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val q = funnelProgress(input.toDS(), steps)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      val per = math.max(1, (evs.length + chunks - 1) / chunks)
+      evs.grouped(per).foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val out = spark.table(name).groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max("depth").as("depth"))
+      .collect().map(r => FunnelProgress(r.getLong(0), r.getInt(1)))
+    spark.catalog.dropTempView(name)
+    spark.createDataset(out.toSeq).toDF("user_id", "depth")
+  }
+
   final case class RetentionState(cohort: Long, seen: Set[Long])
   final case class RetentionHit(user_id: Long, cohort: Long, offset_weeks: Long)
 

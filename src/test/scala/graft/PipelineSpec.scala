@@ -583,6 +583,15 @@ class PipelineSpec extends SparkTestBase {
     val got = Funnels.funnelDepth(e, Seq("view", "click", "purchase"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(got == Map(1L -> 3, 2L -> 2, 3L -> 0, 4L -> 1, 5L -> 1), got.toString)
+    // conversion report over the same fixture: exact-depth counts plus
+    // the cumulative reached-at-least bars
+    val report = Funnels.funnelReport(e, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(report == Map(
+      0 -> ((1L, 5L)), // everyone reaches depth >= 0
+      1 -> ((2L, 4L)),
+      2 -> ((1L, 2L)),
+      3 -> ((1L, 1L))), report.toString)
   }
 
   test("retention triangle: cohorts, offsets, and dedup within a week") {

@@ -196,6 +196,21 @@ class StreamingSpec extends SparkTestBase {
     assert(depths == Map(1L -> 3, 2L -> 2))
   }
 
+  test("streaming funnel replay over the events table matches batch depths") {
+    implicit val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val stream = EventStreams.funnelDepthsReplayed(
+        ev, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val batch = graft.pipeline.Funnels.funnelDepth(
+        ev, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(stream.nonEmpty)
+    assert(batch.filter(_._2 > 0) == stream,
+      "replayed stream depths diverge from the batch funnel on the corpus")
+  }
+
   test("streaming retention hits build the batch triangle across batches") {
     val s = spark
     import s.implicits._
