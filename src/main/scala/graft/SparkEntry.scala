@@ -601,6 +601,12 @@ object SparkEntry {
         .filter(col("canonical_id") =!= col("doc_id"))
         .orderBy("doc_id")
     }),
+    // the whole dedup pipeline in one call: exact → near-dup over exact
+    // survivors → components → canonical survivors; the oracle recomputes
+    // every stage in SQL (md5 grouping, exact 3-gram Jaccard, recursive
+    // reachability) so the composition is gate-checked end-to-end
+    "doc_corpus_dedup" -> ((s, d) =>
+      Dedup.dedupCorpus(T(s, d, "documents")).select("doc_id").orderBy("doc_id")),
     "doc_tokens" -> ((s, d) =>
       TextAnalysis.tokenStats(T(s, d, "documents")).orderBy("doc_id")),
     "doc_quality" -> ((s, d) =>
@@ -1293,6 +1299,30 @@ object SparkEntry {
         |  UNION SELECT r.x, e.b AS y FROM reach r JOIN edges e ON e.a = r.y)
         |SELECT x AS doc_id, least(x, MIN(y)) AS canonical_id FROM reach GROUP BY x
         |HAVING least(x, MIN(y)) <> x ORDER BY doc_id""".stripMargin),
+    "doc_corpus_dedup" ->
+      """WITH RECURSIVE exact_keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |toks AS (
+        |  SELECT d.doc_id, regexp_split_to_array(lower(d.text), '\s+') AS w
+        |  FROM documents d JOIN exact_keep USING (doc_id)),
+        |sh AS (SELECT doc_id, list_distinct(
+        |    [array_to_string(w[i:i+2], ' ') FOR i IN range(1, greatest(len(w)-2, 1) + 1)]) AS s
+        |  FROM toks),
+        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |common AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |pairs AS (SELECT a, b
+        |  FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+        |  WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.7),
+        |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach AS (SELECT a AS x, b AS y FROM edges
+        |  UNION SELECT r.x, e.b AS y FROM reach r JOIN edges e ON e.a = r.y),
+        |canon AS (SELECT x AS doc_id, least(x, MIN(y)) AS canonical_id
+        |  FROM reach GROUP BY x)
+        |SELECT k.doc_id FROM exact_keep k LEFT JOIN canon c USING (doc_id)
+        |WHERE c.canonical_id IS NULL OR c.canonical_id = k.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // integer-only outputs (q_id, vec_id, rank): double-precision cosine
     // ranks identically in DuckDB (verified bitwise at sf0.01 and sf0.1)

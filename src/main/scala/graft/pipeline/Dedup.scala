@@ -472,6 +472,33 @@ object Dedup {
     }
   }
 
+  /** End-to-end corpus deduplication — the one-call composition a
+    * training-data pipeline actually runs: exact dedup first (cheap,
+    * md5-keyed, min doc_id survives), MinHash+LSH near-dup over the
+    * exact survivors, connected components, keep each cluster's
+    * canonical (min-id) representative. Returns the surviving documents
+    * with all their columns.
+    *
+    * Stage order matters at scale: byte-identical replays (the bulk of
+    * crawl duplication) die on the fixed-width digest groupBy BEFORE
+    * anything pays shingle hashing, and the near-dup stage — whose
+    * candidate generation is the expensive part — sees each distinct
+    * text once. The shingle scan inside [[verifiedNearDups]] is cached
+    * and checkpointed there; the exact-survivor frame's own lineage
+    * (scan + hash aggregate + join) is left lazy — Catalyst reuses its
+    * exchange where plans align, and callers looping over the result
+    * should persist it themselves. */
+  def dedupCorpus(docs: DataFrame, threshold: Double = 0.7, k: Int = 3,
+                  numPerm: Int = 32, bands: Int = 8): DataFrame = {
+    val exactKeep = docs.join(
+      exactGroups(docs).select(col("keep_id").as("doc_id")), Seq("doc_id"))
+    val pairs = verifiedNearDups(exactKeep, threshold, k, numPerm, bands)
+    val canon = canonicalIds(exactKeep, pairs)
+    exactKeep.join(
+      canon.filter(col("canonical_id") === col("doc_id")).select("doc_id"),
+      Seq("doc_id"))
+  }
+
   /** Cross-corpus boilerplate removal — the segment-level member of the
     * dedup family (RefinedWeb/CCNet-style "line dedup", generalized to
     * fixed `window`-token segments since the corpus may carry no line

@@ -682,6 +682,27 @@ class PipelineSpec extends SparkTestBase {
     assert(Dedup.nearDupFreshAgainstStore(batch3, store).count() == 0)
   }
 
+  test("dedupCorpus: exact replays die first, near-dup clusters keep min id") {
+    val s = spark
+    import s.implicits._
+    val long1 = "the quick brown fox jumps over the lazy dog while rain " +
+      "falls on the quiet grey town and nobody watches the empty street"
+    val df = Seq(
+      (1L, long1),                                  // canonical of cluster {1,4,5}
+      (2L, "totally unrelated content about query engines and shuffles " +
+        "in large distributed production clusters running every night"),
+      (3L, long1.replace("lazy dog", "sleepy dog")), // near-dup of 1
+      (4L, long1),                                   // exact replay of 1
+      (5L, "short unique note")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupCorpus(df)
+    // survivors: 1 (canonical), 2, 5; 4 dies in the exact stage, 3 in
+    // the near-dup stage; all original columns survive
+    assert(got.columns.toSeq == Seq("doc_id", "text"))
+    assert(got.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 5L))
+  }
+
   test("store admits are idempotent; compaction preserves verdicts") {
     val s = spark
     import s.implicits._
