@@ -46,8 +46,11 @@ object Bench {
     // optional comma-separated subset for targeted regression hunts
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // an explicit SPARK_GRAFT_BENCH_ONLY naming an excluded query wins —
+    // the exclusion protects the default suite totals, not targeted hunts
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => !SparkEntry.benchExcluded.contains(name) }
+      .filter { case (name, _) =>
+        only.exists(_.contains(name)) || !SparkEntry.benchExcluded.contains(name) }
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val results = selected.map { case (name, fn) =>
       val times = (1 to nRuns).map { _ =>

@@ -675,11 +675,16 @@ object SparkEntry {
       val b = digests(Bpe.encodeIds(docs, merges, v))
         .select(col("doc_id"), col("dig").as("dig2"))
       val counts = Bpe.tokenize(docs, merges).select("doc_id", "n_ws_tokens", "n_bpe_tokens")
-      a.join(b, "doc_id").join(counts, "doc_id").select(
-        col("doc_id"), col("n_ws_tokens"),
-        (col("n_ids") === col("n_bpe_tokens")).as("count_ok"),
-        (col("min_id") >= 1 && col("max_id") <= vocabSize).as("ids_in_range"),
-        (col("dig") === col("dig2")).as("det_ok"))
+      // counts is the base (one row per DOCUMENT, like the oracle) with
+      // the digest runs LEFT-joined: a zero-token doc emits no id rows,
+      // and an inner join would drop it while the oracle keeps it
+      counts.join(a, Seq("doc_id"), "left_outer")
+        .join(b, Seq("doc_id"), "left_outer").select(
+          col("doc_id"), col("n_ws_tokens"),
+          (coalesce(col("n_ids"), lit(0L)) === col("n_bpe_tokens")).as("count_ok"),
+          coalesce(col("min_id") >= 1 && col("max_id") <= vocabSize, lit(true))
+            .as("ids_in_range"),
+          coalesce(col("dig") === col("dig2"), lit(true)).as("det_ok"))
         .orderBy("doc_id")
     }),
     // sequence packing over MODEL-token counts (the packBins twin that a
@@ -1299,22 +1304,13 @@ object SparkEntry {
         |  UNION SELECT r.x, e.b AS y FROM reach r JOIN edges e ON e.a = r.y)
         |SELECT x AS doc_id, least(x, MIN(y)) AS canonical_id FROM reach GROUP BY x
         |HAVING least(x, MIN(y)) <> x ORDER BY doc_id""".stripMargin),
-    "doc_corpus_dedup" ->
-      """WITH RECURSIVE exact_keep AS (
-        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-        |toks AS (
-        |  SELECT d.doc_id, regexp_split_to_array(lower(d.text), '\s+') AS w
-        |  FROM documents d JOIN exact_keep USING (doc_id)),
-        |sh AS (SELECT doc_id, list_distinct(
-        |    [array_to_string(w[i:i+2], ' ') FOR i IN range(1, greatest(len(w)-2, 1) + 1)]) AS s
-        |  FROM toks),
-        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-        |common AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
-        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
-        |pairs AS (SELECT a, b
-        |  FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
-        |  WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.7),
+    "doc_corpus_dedup" -> (jaccardPairsSql(
+      from = "documents JOIN exact_keep USING (doc_id)",
+      prefixCtes =
+        """exact_keep AS (
+          |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+          |""".stripMargin) +
+      """,
         |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
         |reach AS (SELECT a AS x, b AS y FROM edges
         |  UNION SELECT r.x, e.b AS y FROM reach r JOIN edges e ON e.a = r.y),
@@ -1322,7 +1318,7 @@ object SparkEntry {
         |  FROM reach GROUP BY x)
         |SELECT k.doc_id FROM exact_keep k LEFT JOIN canon c USING (doc_id)
         |WHERE c.canonical_id IS NULL OR c.canonical_id = k.doc_id
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY doc_id""".stripMargin),
 
     // integer-only outputs (q_id, vec_id, rank): double-precision cosine
     // ranks identically in DuckDB (verified bitwise at sf0.01 and sf0.1)
@@ -1668,11 +1664,16 @@ object SparkEntry {
          |FROM j JOIN o ON o.q_id = j.q_id
          |ORDER BY q_id, vec_id""".stripMargin
 
-  /** Exact word-3-gram Jaccard pairs (threshold 0.7) as a DuckDB CTE chain;
-    * shared by the near-dup and cluster oracles. */
-  private val JACCARD_PAIRS_SQL =
-    """WITH RECURSIVE toks AS (
-      |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w FROM documents),
+  /** Exact word-3-gram Jaccard pairs (threshold 0.7) as a DuckDB CTE
+    * chain; shared by the near-dup, cluster, and end-to-end dedup
+    * oracles — ONE definition of the shingle semantics (slice bounds,
+    * short-doc rule, threshold), so the gates can never drift apart.
+    * `prefixCtes` lets a caller plant CTEs ahead of `toks` (e.g. an
+    * exact-survivor filter), `from` is the relation `toks` reads. */
+  private def jaccardPairsSql(from: String = "documents",
+                              prefixCtes: String = ""): String =
+    s"""WITH RECURSIVE ${prefixCtes}toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM $from),
       |sh AS (SELECT doc_id, list_distinct(
       |    [array_to_string(w[i:i+2], ' ') FOR i IN range(1, greatest(len(w)-2, 1) + 1)]) AS s
       |  FROM toks),
@@ -1683,4 +1684,6 @@ object SparkEntry {
       |pairs AS (SELECT a, b
       |  FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
       |  WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.7)""".stripMargin
+
+  private val JACCARD_PAIRS_SQL = jaccardPairsSql()
 }

@@ -134,10 +134,12 @@ class SparqlParser extends RegexParsers {
   // ---- blank nodes (W3C: non-selectable variables scoped to the query) ---
   private var bnodeCounter = 0
   // labels desugar under an 'l' marker, anonymous `[]` nodes under '0':
-  // the two image sets are disjoint whatever the label, so W3C's full
-  // BLANK_NODE_LABEL first-char set (PN_CHARS_U | digit — `_:0a`, `_:_x`)
-  // parses without a fresh-node collision, and the label→variable map
-  // stays injective (a bare prefix adds nothing a label could forge)
+  // the two image sets are disjoint whatever the label, so the ASCII
+  // portion of W3C's BLANK_NODE_LABEL first-char set (PN_CHARS_U |
+  // digit — `_:0a`, `_:_x`; non-ASCII PN_CHARS letters stay out of
+  // scope with the rest of the parser's ASCII name grammar) parses
+  // without a fresh-node collision, and the label→variable map stays
+  // injective (a bare prefix adds nothing a label could forge)
   private def freshBnode(): Var = { bnodeCounter += 1; Var(s"__bn_0$bnodeCounter") }
   private def bnodeLabel: Parser[Var] =
     """_:[A-Za-z0-9_][A-Za-z0-9_]*""".r ^^ (s => Var("__bn_l" + s.drop(2)))

@@ -157,10 +157,21 @@ object Bpe {
     * exploded characters (bounded by the alphabet, not the corpus);
     * train once, persist with [[saveVocab]], load everywhere. */
   def vocab(docs: DataFrame, merges: Seq[Merge]): Seq[(String, Int)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // Alphabet = distinct UTF-16 CODE UNITS, exactly the decomposition
+    // encodeWord applies (w.map(_.toString)) — a code-POINT probe
+    // (e.g. Spark's split(text, "")) would keep surrogate pairs whole
+    // and every non-BMP character would then encode to UnkId despite
+    // being seen at training. Word separators are regex \s (the ASCII
+    // set tokenization splits on — Unicode isWhitespace is wider and
+    // would wrongly drop in-word chars like NBSP from the alphabet).
+    val wordChar = (c: Char) =>
+      c != ' ' && c != '\t' && c != '\n' && c != '\u000B' && c != '\f' && c != '\r'
     val chars = docs
-      .select(explode(split(regexp_replace(lower(col("text")), "\\s+", ""), "")).as("ch"))
-      .filter(length(col("ch")) > 0)
-      .distinct().collect().map(_.getString(0))
+      .select(lower(col("text")).as("t")).as[String]
+      .flatMap(t => t.iterator.filter(wordChar).map(_.toString))
+      .distinct().collect()
     val base = (chars.flatMap(c => Seq(c, c + Eow)) :+ Eow).distinct.sorted
     val out = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     var next = 1

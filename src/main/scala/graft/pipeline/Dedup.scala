@@ -483,20 +483,29 @@ object Dedup {
     * crawl duplication) die on the fixed-width digest groupBy BEFORE
     * anything pays shingle hashing, and the near-dup stage — whose
     * candidate generation is the expensive part — sees each distinct
-    * text once. The shingle scan inside [[verifiedNearDups]] is cached
-    * and checkpointed there; the exact-survivor frame's own lineage
-    * (scan + hash aggregate + join) is left lazy — Catalyst reuses its
-    * exchange where plans align, and callers looping over the result
-    * should persist it themselves. */
+    * text once. Consumption discipline: the exact-survivor frame is
+    * persisted for the pipeline's internal consumers (shingle cache
+    * fill, canonical-id assignment, survivor-id materialization — three
+    * different projections Catalyst cannot merge into one exchange),
+    * the tiny survivor-id list is checkpointed eagerly while that cache
+    * is hot, and the cache is released before returning — the final
+    * corpus-sized result re-derives exactKeep's lineage exactly once at
+    * the caller's action, so one `dedupCorpus` call costs two corpus
+    * scans total and pins nothing in executor storage afterwards. */
   def dedupCorpus(docs: DataFrame, threshold: Double = 0.7, k: Int = 3,
                   numPerm: Int = 32, bands: Int = 8): DataFrame = {
     val exactKeep = docs.join(
       exactGroups(docs).select(col("keep_id").as("doc_id")), Seq("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = verifiedNearDups(exactKeep, threshold, k, numPerm, bands)
     val canon = canonicalIds(exactKeep, pairs)
-    exactKeep.join(
-      canon.filter(col("canonical_id") === col("doc_id")).select("doc_id"),
-      Seq("doc_id"))
+    val keepIds = canon
+      .filter(col("canonical_id") === col("doc_id")).select("doc_id")
+      .localCheckpoint()
+    exactKeep.unpersist()
+    // post-unpersist, this re-derives the exact-survivor lineage once at
+    // the caller's action (no pinned blocks survive the call)
+    exactKeep.join(keepIds, Seq("doc_id"))
   }
 
   /** Cross-corpus boilerplate removal — the segment-level member of the

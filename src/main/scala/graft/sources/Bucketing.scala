@@ -68,12 +68,16 @@ object Bucketing {
 
   /** Layout marker written AFTER a successful bucketed write: its presence
     * means the path holds a complete layout (a crash mid-write leaves no
-    * marker → next session rewrites), its content pins WHICH layout so a
-    * marker can never vouch for different keys/bucket-count. */
+    * marker → next session rewrites), its content pins WHICH layout AND
+    * whose — the table name folds in the source identity (dir/url +
+    * layout digest), so a path pinned by config (`bucketBy.path`) can
+    * never serve one source's files for another source's table: a url
+    * change produces a different table name, the marker mismatches, and
+    * the layout rewrites. */
   private def markerPath(path: String) = new org.apache.hadoop.fs.Path(path, "_GRAFT_LAYOUT")
 
-  private def layoutMarker(keys: Seq[String], buckets: Int): String =
-    s"""{"keys":${keys.mkString("[\"", "\",\"", "\"]")},"buckets":$buckets}"""
+  private def layoutMarker(table: String, keys: Seq[String], buckets: Int): String =
+    s"""{"table":"$table","keys":${keys.mkString("[\"", "\",\"", "\"]")},"buckets":$buckets}"""
 
   private def readMarker(spark: SparkSession, path: String): Option[String] = {
     val p = markerPath(path)
@@ -99,30 +103,64 @@ object Bucketing {
     * path already holds this exact layout (marker check), the existing
     * files are re-registered as an external bucketed table instead of
     * re-paying the ingest shuffle — the amortization a production
-    * deployment relies on when the layout lives on shared storage. */
+    * deployment relies on when the layout lives on shared storage.
+    * Concurrent WRITERS from different JVMs (two drivers deploying
+    * against one warehouse) serialize on an atomically-created sibling
+    * lock file: the loser waits for the winner's marker and takes the
+    * register fast path — without this, interleaved overwrite writes
+    * could mix two jobs' files in one directory and the marker would
+    * then vouch for the corrupt result forever. A crashed writer leaves
+    * a stale lock; waiters time out with an explicit error naming it
+    * rather than guessing. */
   def materialize(spark: SparkSession, table: String, df: DataFrame,
                   keys: Seq[String], buckets: Int, path: String): Unit =
     once(spark, table) {
       spark.sql(s"DROP TABLE IF EXISTS $table")
-      val marker = layoutMarker(keys, buckets)
-      if (readMarker(spark, path).contains(marker)) {
-        // existing layout: register only (metastore entry is per-session;
-        // the files and their bucket spec are already on disk)
+      val marker = layoutMarker(table, keys, buckets)
+      def register(): Unit = {
+        // metastore entry is per-session; files + bucket spec are on disk
         val cols = df.schema.toDDL
         val ks = keys.map(k => s"`$k`").mkString(", ")
         spark.sql(
           s"""CREATE TABLE $table ($cols) USING parquet
              |CLUSTERED BY ($ks) SORTED BY ($ks) INTO $buckets BUCKETS
              |LOCATION '$path'""".stripMargin)
-      } else {
-        df.repartition(buckets, keys.map(col): _*)
-          .write.mode("overwrite")
-          .format("parquet")
-          .option("path", path)
-          .bucketBy(buckets, keys.head, keys.tail: _*)
-          .sortBy(keys.head, keys.tail: _*)
-          .saveAsTable(table)
-        writeMarker(spark, path, marker)
+      }
+      if (readMarker(spark, path).contains(marker)) register()
+      else {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val lock = new org.apache.hadoop.fs.Path(path + ".graft_write_lock")
+        val fs = lock.getFileSystem(conf)
+        Option(lock.getParent).foreach(fs.mkdirs(_))
+        val acquired =
+          try { fs.create(lock, false).close(); true }
+          catch { case _: java.io.IOException => false }
+        if (acquired) {
+          try {
+            // a concurrent writer may have finished between our marker
+            // probe and the lock grab — re-check before rewriting
+            if (readMarker(spark, path).contains(marker)) register()
+            else {
+              df.repartition(buckets, keys.map(col): _*)
+                .write.mode("overwrite")
+                .format("parquet")
+                .option("path", path)
+                .bucketBy(buckets, keys.head, keys.tail: _*)
+                .sortBy(keys.head, keys.tail: _*)
+                .saveAsTable(table)
+              writeMarker(spark, path, marker)
+            }
+          } finally fs.delete(lock, false)
+        } else {
+          val deadline = System.currentTimeMillis() + 120000L
+          while (!readMarker(spark, path).contains(marker) &&
+                 System.currentTimeMillis() < deadline)
+            Thread.sleep(500)
+          if (readMarker(spark, path).contains(marker)) register()
+          else throw new java.io.IOException(
+            s"timed out waiting for a concurrent bucketed write of $path " +
+              s"(stale lock? $lock)")
+        }
       }
     }
 

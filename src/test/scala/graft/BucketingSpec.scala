@@ -181,6 +181,23 @@ class BucketingSpec extends SparkTestBase {
     assert(Bucketing.tableName("d", "t", "k@8") != Bucketing.tableName("d", "t", "k@16"))
   }
 
+  test("marker pins the source identity: a different table at the same path rewrites") {
+    val s = spark
+    import s.implicits._
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_marker_identity_" +
+      System.nanoTime()
+    val dfA = Seq((1L, "a")).toDF("k", "v")
+    val dfB = Seq((2L, "b"), (3L, "c")).toDF("k", "v")
+    Bucketing.materialize(spark, Bucketing.tableName("dirA", "t", "k@2"),
+      dfA, Seq("k"), 2, path)
+    // same pinned path, DIFFERENT source identity (table name differs):
+    // the marker must NOT vouch for dirA's files — dirB rewrites
+    val s2 = spark.newSession()
+    val tableB = Bucketing.tableName("dirB", "t", "k@2")
+    Bucketing.materialize(s2, tableB, dfB, Seq("k"), 2, path)
+    assert(s2.table(tableB).count() == 2, "stale layout served for a different source")
+  }
+
   test("cross-session reuse: a second session re-registers, never rewrites") {
     val n = 8
     Bucketing.bucketedTable(spark, sfDir, "nation", Seq("n_nationkey"), n)

@@ -438,6 +438,14 @@ class PipelineSpec extends SparkTestBase {
     val alien = Seq((999L, "abc §")).toDF("doc_id", "text")
     val alienIds = Bpe.encodeIds(alien, merges, v).collect().map(_.getInt(2))
     assert(alienIds.contains(Bpe.UnkId))
+    // non-BMP text: the vocab's alphabet decomposes by UTF-16 code unit
+    // exactly like encodeWord, so a trained-on emoji never maps to UnkId
+    val emoji = Seq((1L, "ab 😀cd 😀")).toDF("doc_id", "text")
+    val em = Bpe.train(emoji, nMerges = 4)
+    val ev = Bpe.vocab(emoji, em)
+    val emIds = Bpe.encodeIds(emoji, em, ev).collect().map(_.getInt(2))
+    assert(emIds.nonEmpty && emIds.forall(_ >= 1),
+      s"non-BMP symbol fell out of the vocab: ${emIds.mkString(",")}")
   }
 
   test("packing over precomputed counts: uniform bins within budget") {
