@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.api.{Graft, TpchCatalog}
-import graft.pipeline.{Bpe, Decontaminate, Dedup, Funnels, Mixture, Multimodal, Similarity, Sketches, TextAnalysis}
+import graft.pipeline.{Bpe, Decontaminate, Dedup, Funnels, Mixture, Multimodal, Search, Similarity, Sketches, TextAnalysis}
 import graft.sources.Bucketing
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -725,6 +725,22 @@ object SparkEntry {
         .orderBy("doc_id")),
     "doc_vocab" -> ((s, d) =>
       Mixture.vocabStats(T(s, d, "documents")).orderBy("tok")),
+    // per-source cap via the bounded typed Aggregator — the oracle
+    // recomputes it as the row_number window DuckDB can afford at sf scale
+    "doc_source_cap" -> ((s, d) =>
+      Mixture.capPerSource(T(s, d, "documents"), n = 10)
+        .orderBy("source", "doc_id")),
+    // duplicated positional 8-gram spans, exhaustive digest-level oracle
+    "doc_dup_spans" -> ((s, d) =>
+      Dedup.dupSpans(T(s, d, "documents"), k = 8, minDf = 2)
+        .orderBy("doc_id")),
+    // BM25 retrieval skeleton: integer-exact (tf, df, dl) per (doc, term)
+    // — the float BM25 combination is a pure map over these plus two
+    // corpus scalars, spec-checked in SearchSpec against hand-computed
+    // values (float sums would not hash-match across engines)
+    "doc_bm25" -> ((s, d) =>
+      Search.keywordStats(T(s, d, "documents"), Seq("join", "stream", "dup"))
+        .orderBy("doc_id", "term")),
     "doc_decontaminate" -> ((s, d) => {
       val docs = T(s, d, "documents")
       Decontaminate.flagged(
@@ -785,7 +801,14 @@ object SparkEntry {
     // embedding-cosine near-dup: the exact pair set above the threshold
     // (the fifth dedup mode beside exact/MinHash/SimHash/n-gram Jaccard)
     "emb_near_dup" -> ((s, d) =>
-      Similarity.thresholdPairs(T(s, d, "embeddings"), tau = 0.44))
+      Similarity.thresholdPairs(T(s, d, "embeddings"), tau = 0.44)),
+    // SemDeDup: deterministic under the seeded quantizer, so the removal
+    // set is pinned (the ANN convention) while sim_ok is DERIVED in DuckDB
+    // from the data — a removal without a genuine >= tau justifier fails
+    // the gate even if the pinned ids matched
+    "emb_semdedup" -> ((s, d) =>
+      Similarity.semDedup(T(s, d, "embeddings"), tau = 0.44, cells = 8)
+        .orderBy("vec_id"))
   )
 
   // ---- DuckDB oracles -------------------------------------------------------
@@ -1376,6 +1399,25 @@ object SparkEntry {
         |  FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
         |) WHERE c >= 0.44 ORDER BY a, b""".stripMargin,
 
+    // SemDeDup: the removal set is pinned (deterministic seeded quantizer,
+    // the ANN pinned-hit convention) and sim_ok is DERIVED from the data —
+    // every pinned removal must have exact cosine >= 0.44 to its justifier,
+    // so a pin that drifted from a genuine near-dup pair fails the gate.
+    // Removals are a subset of the exhaustive emb_near_dup pair set by
+    // construction (within-cell only — the documented SemDeDup trade).
+    "emb_semdedup" ->
+      """WITH rm(vec_id, kept_id) AS (VALUES
+        |  (287, 238), (298, 45), (301, 44), (317, 195), (324, 166),
+        |  (325, 290), (388, 387), (406, 338), (431, 191), (438, 156),
+        |  (466, 169))
+        |SELECT CAST(r.vec_id AS BIGINT) AS vec_id,
+        |  CAST(r.kept_id AS BIGINT) AS kept_id,
+        |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                         CAST(b.embedding AS DOUBLE[])) >= 0.44 AS sim_ok
+        |FROM rm r JOIN embeddings a ON a.vec_id = r.vec_id
+        |          JOIN embeddings b ON b.vec_id = r.kept_id
+        |ORDER BY vec_id""".stripMargin,
+
     "sparql_service" ->
       """SELECT s_name AS sname, n_name AS nname
         |FROM supplier JOIN nation ON n_nationkey = s_nationkey
@@ -1448,6 +1490,47 @@ object SparkEntry {
         |SELECT tok, CAST(SUM(c) AS BIGINT) AS tf,
         |  CAST(COUNT(*) AS BIGINT) AS df
         |FROM dt GROUP BY tok ORDER BY tok""".stripMargin,
+
+    // per-source cap: the oracle affords the window form at sf scale; the
+    // engine side must produce the identical n-lowest-ids-per-source set
+    // through the bounded aggregator
+    "doc_source_cap" ->
+      """SELECT source, doc_id, rk FROM (
+        |  SELECT source, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+        |      AS BIGINT) AS rk
+        |  FROM documents)
+        |WHERE rk <= 10 ORDER BY source, doc_id""".stripMargin,
+
+    // duplicated positional 8-gram spans: stride-1 windows, short docs
+    // contribute one truncated window (withShingles convention); windows
+    // compare as 64-bit md5-prefix digests on both engines
+    "doc_dup_spans" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id, substr(md5(array_to_string(w[i:i+7], ' ')), 1, 16) AS g
+        |  FROM t, unnest(generate_series(1, greatest(len(w)-7, 1))) AS s(i)),
+        |dg AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+        |f AS (SELECT g, count(*) AS df FROM dg GROUP BY 1)
+        |SELECT dg.doc_id, CAST(SUM(c) AS BIGINT) AS n_windows,
+        |  CAST(SUM(CASE WHEN df >= 2 THEN c ELSE 0 END) AS BIGINT)
+        |    AS n_dup_windows,
+        |  SUM(CASE WHEN df >= 2 THEN c ELSE 0 END) * 5 >= SUM(c) AS flagged
+        |FROM dg JOIN f USING (g) GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // BM25 integer skeleton for query terms (join, stream, dup): exact
+    // (tf, df, dl) per matching (doc, term) — dl is the whitespace-split
+    // length (filter-funnel convention), df counts matching DOCS
+    "doc_bm25" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS term, len(w) AS dl FROM t),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+        |    CAST(min(dl) AS BIGINT) AS dl
+        |  FROM tok WHERE term IN ('join', 'stream', 'dup') GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+        |SELECT doc_id, term, tf, df, dl FROM tf JOIN df USING (term)
+        |ORDER BY doc_id, term""".stripMargin,
 
     // filter funnel: first-failing-rule attribution, fixed rule order
     "doc_filter_funnel" ->

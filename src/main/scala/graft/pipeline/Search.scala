@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Keyword retrieval over the document corpus — the BM25 scoring family
+  * that backs corpus exploration, eval-set mining, and targeted
+  * subcorpus extraction in a training-data pipeline ("give me the top-k
+  * documents about X").
+  *
+  * Scale shape: the query term set is user input — a handful of strings —
+  * so everything per-term is driver-bounded by construction. The corpus
+  * streams ONCE, map-only, through tokenize + term filter (the `isin`
+  * filter compiles into the scan, so non-matching tokens never reach the
+  * aggregation); per-(doc, term) term frequencies shuffle with map-side
+  * partial aggregation (one row per distinct (doc, term), never per
+  * occurrence), and document frequency is an aggregate over THAT frame —
+  * ≤ |terms| rows, broadcast back. No inverted index is materialized:
+  * at 100 TB an index pays off only for repeated interactive queries,
+  * and building one is exactly [[graft.sources.Bucketing]]'s ingest-time
+  * trade — compose the two when needed.
+  *
+  * The integer substrate (tf, df, dl) is exact and engine-portable (the
+  * DuckDB oracle pins it); the float BM25 combination on top is a pure
+  * per-row map over those integers plus two corpus scalars.
+  */
+object Search {
+
+  /** Exact per-(document, term) retrieval statistics for a bounded query
+    * term set: term frequency `tf`, term document frequency `df`, and
+    * document length `dl` (whitespace tokens). Only documents containing
+    * a query term appear. All integers — the oracle-checkable skeleton
+    * every scoring function (BM25, TF-IDF, QL) is a map over. */
+  def keywordStats(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "query term set must be non-empty")
+    val tf = docs
+      .select(col("doc_id"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("dl"),
+        explode(split(lower(col("text")), "\\s+")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), min("dl").as("dl"))
+    val dfByTerm = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfByTerm), Seq("term"))
+      .select(col("doc_id"), col("term"), col("tf").cast("long").as("tf"),
+        col("df").cast("long").as("df"), col("dl"))
+  }
+
+  /** Okapi BM25 per-(document, term) scores over [[keywordStats]]:
+    * `idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` with
+    * `idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)` (the Lucene-style
+    * always-positive idf). The two corpus scalars (N, avgdl) and the
+    * ≤ |terms| document frequencies are the only driver fetches — both
+    * bounded by construction. Emits the integer skeleton plus `score`. */
+  def bm25(docs: DataFrame, terms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val stats = keywordStats(docs, terms)
+    val corpus = docs.select(
+      count(lit(1)).cast("double"),
+      sum(size(split(lower(col("text")), "\\s+"))).cast("double")).head()
+    val n = corpus.getDouble(0)
+    val avgdl = if (n == 0) 1.0 else corpus.getDouble(1) / n
+    val dfMap = stats.select("term", "df").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def idf(t: String): Double = {
+      val d = dfMap.getOrElse(t, 0L).toDouble
+      math.log((n - d + 0.5) / (d + 0.5) + 1.0)
+    }
+    val idfCol: Column = terms.tail.foldLeft(
+      when(col("term") === terms.head, lit(idf(terms.head)))) {
+      case (acc, t) => acc.when(col("term") === t, lit(idf(t)))
+    }
+    stats.withColumn("score",
+      idfCol * (col("tf") * lit(k1 + 1.0) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))))
+  }
+
+  /** Top-k retrieval: per-document BM25 totals, ranked. Ties break on
+    * doc_id so the result is deterministic. */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25(docs, terms, k1, b)
+      .groupBy("doc_id")
+      .agg(sum("score").as("score"), count(lit(1)).as("n_matched_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+}

@@ -584,4 +584,97 @@ object Similarity {
     }
     pairs.select("a", "b").orderBy("a", "b")
   }
+
+  /** SemDeDup-style semantic deduplication: cluster with the IVF coarse
+    * quantizer, then find near-duplicate pairs ONLY within each cluster —
+    * the pruning that makes embedding dedup affordable when the corpus is
+    * too large for even the blocked exact scan ([[thresholdPairs]]'s
+    * nBlocks² tasks). A vector is removed iff some LOWER-id vector in its
+    * cell has cosine ≥ `tau` (keep-lowest — deterministic, no tie logic);
+    * `kept_id` is the justifying neighbour with the highest cosine (tie →
+    * lowest id). It is a removal justification, not a canonical mapping —
+    * connected-component canonicalization is [[Dedup.canonicalIds]]'s job.
+    * Cross-cell duplicate pairs are unseen by construction; that recall
+    * loss is the documented SemDeDup trade (raise `cells` resolution or
+    * fall back to [[thresholdPairs]] when removal must be exhaustive).
+    *
+    * Scale shape: the quantizer trains driver-side on a bounded sample
+    * (as [[ivfTopK]]); assignment is one broadcast map pass. Within a
+    * cell the pair scan is BLOCKED exactly like [[blockedPairScan]] —
+    * task key (cell, block-pair), per-task memory bounded by
+    * `targetBlockRows` — so a degenerate mega-cell (the clustered-corpus
+    * analog of a skewed LSH bucket) splits across nBlocks² bounded tasks
+    * instead of one straggler. Emitted pairs are threshold-sparse;
+    * the removal aggregation keys on vec_id (uniform). */
+  def semDedup(emb: DataFrame, tau: Double, cells: Int = 8,
+               trainSample: Int = 16384, lloydIters: Int = 5,
+               targetBlockRows: Int = 65536): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val ds = asRows(emb)
+    val sample = ds.orderBy("vec_id").limit(trainSample).collect()
+      .map(e => normalize(e.embedding))
+    val centers = seededKMeans(sample, cells, lloydIters, unitNorm = true)
+    val bcCenters = spark.sparkContext.broadcast(centers)
+    val total = emb.count()
+    val par = spark.sparkContext.defaultParallelism
+    // block count sized for the WORST cell (assume it could hold most of
+    // the corpus — skew is exactly the case blocking must survive)
+    val memFloor = math.ceil(total.toDouble / targetBlockRows).toInt
+    val parFloor = math.ceil((math.sqrt(8.0 * par + 1) - 1) / 2).toInt
+    val nBlocks = math.max(1, math.max(memFloor, parFloor))
+    val tasks: Array[(Int, Int)] =
+      (for { i <- 0 until nBlocks; j <- i until nBlocks } yield (i, j)).toArray
+    val tasksForBlock: Array[Array[Int]] = {
+      val m = Array.fill(nBlocks)(scala.collection.mutable.ArrayBuffer.empty[Int])
+      tasks.zipWithIndex.foreach { case ((i, j), t) => m(i) += t; if (j != i) m(j) += t }
+      m.map(_.toArray)
+    }
+    val nTasks = tasks.length
+    val replicated = ds.flatMap { e =>
+      val cell = nearestCell(normalize(e.embedding), bcCenters.value)
+      val blk = mixBlock(e.vec_id, nBlocks)
+      tasksForBlock(blk).iterator.map(t =>
+        (cell.toLong * nTasks + t, e.vec_id, e.embedding))
+    }
+    val pairs = replicated.groupByKey(_._1).flatMapGroups { (key, rows) =>
+      val (bi, bj) = tasks((key % nTasks).toInt)
+      val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+      val right = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+      rows.foreach { case (_, id, v) =>
+        val nv = (id, normalize(v))
+        if (mixBlock(id, nBlocks) == bi) left += nv else right += nv
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      def offer(c: Double, x: Long, y: Long): Unit =
+        if (c >= tau) out += (if (x < y) (x, y, c) else (y, x, c))
+      if (bi == bj) {
+        var i = 0
+        while (i < left.length) {
+          var j = i + 1
+          while (j < left.length) {
+            offer(dot(left(i)._2, left(j)._2), left(i)._1, left(j)._1); j += 1
+          }
+          i += 1
+        }
+      } else {
+        var i = 0
+        while (i < left.length) {
+          var j = 0
+          while (j < right.length) {
+            offer(dot(left(i)._2, right(j)._2), left(i)._1, right(j)._1); j += 1
+          }
+          i += 1
+        }
+      }
+      out.iterator
+    }.toDF("kept_cand", "vec_id", "cosine")
+    // removal: highest-cosine lower-id justifier; struct max is (cosine,
+    // -kept_cand) so ties resolve to the LOWEST candidate id
+    pairs.groupBy("vec_id").agg(
+        max(struct(col("cosine"), (-col("kept_cand")).as("neg_id"))).as("m"))
+      .select(col("vec_id"),
+        (-col("m.neg_id")).cast("long").as("kept_id"),
+        (col("m.cosine") >= tau).as("sim_ok"))
+  }
 }

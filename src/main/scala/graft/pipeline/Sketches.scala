@@ -75,6 +75,35 @@ object Sketches {
       Encoders.kryo[(Map[String, Long], Long)]
   }
 
+  /** Bounded "n smallest ids" summary — the typed-Aggregator backbone of
+    * [[Mixture.capPerSource]]. The buffer holds at most 2n unsorted ids
+    * and compacts (sort, keep the n smallest) whenever it overflows, so
+    * per-row cost is O(1) amortized and per-buffer state is O(n)
+    * regardless of group size. Compaction only ever discards ids provably
+    * outside the group's n smallest, so every buffer is always a superset
+    * of its stream's true answer — `merge` is just concat + compact
+    * (order-insensitive, associative on the retained sets). */
+  final class BoundedMinIds(n: Int)
+      extends Aggregator[(String, Long), Vector[Long], Seq[Long]] {
+    require(n >= 1, s"cap must be >= 1, got $n")
+
+    def zero: Vector[Long] = Vector.empty
+
+    private def compact(v: Vector[Long]): Vector[Long] =
+      if (v.length <= 2 * n) v else v.sorted.take(n)
+
+    def reduce(b: Vector[Long], row: (String, Long)): Vector[Long] =
+      compact(b :+ row._2)
+
+    def merge(a: Vector[Long], b: Vector[Long]): Vector[Long] =
+      compact(a ++ b)
+
+    def finish(r: Vector[Long]): Seq[Long] = r.sorted.take(n)
+
+    def bufferEncoder: Encoder[Vector[Long]] = Encoders.kryo[Vector[Long]]
+    def outputEncoder: Encoder[Seq[Long]] = Encoders.kryo[Seq[Long]]
+  }
+
   /** Exact corpus heavy hitters — every token with frequency > N/k, with
     * its exact count — WITHOUT a full-vocabulary group-by.
     *

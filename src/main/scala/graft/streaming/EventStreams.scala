@@ -48,6 +48,38 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicates("simhash")
 
+  final case class SourceDoc(doc_id: Long, source: String)
+  final case class DocAdmit(doc_id: Long, source: String, rk: Long)
+
+  /** Streaming face of [[graft.pipeline.Mixture.capPerSource]]: admit at
+    * most `n` documents per source over the life of the stream. Keyed
+    * state is ONE counter per source — bounded however long the stream
+    * runs and however hot a head domain gets (the same no-skewed-window
+    * contract as the batch op, met here by keyed state instead of a
+    * bounded aggregator). Admission is first-n in stream order (each
+    * micro-batch processes in doc_id order, so an id-ordered replay
+    * reproduces the batch op's lowest-n exactly — spec-pinned); the
+    * batch op is the reconciliation pass when arrival order must not
+    * decide, the usual streaming-cap caveat. */
+  def cappedPerSource(docs: Dataset[SourceDoc], n: Int)
+                     (implicit spark: SparkSession): Dataset[DocAdmit] = {
+    import spark.implicits._
+    require(n >= 1, s"cap must be >= 1, got $n")
+    docs.groupByKey(_.source).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (src: String, rows: Iterator[SourceDoc], state: GroupState[Long]) =>
+        var admitted = state.getOption.getOrElse(0L)
+        val out = scala.collection.mutable.ArrayBuffer.empty[DocAdmit]
+        // sort WITHIN the micro-batch (bounded) so replay determinism does
+        // not depend on shuffle order inside a batch
+        rows.toSeq.sortBy(_.doc_id).foreach { d =>
+          if (admitted < n) { admitted += 1; out += DocAdmit(d.doc_id, src, admitted) }
+        }
+        state.update(admitted)
+        out.iterator
+    }
+  }
+
   /** Watermarked stream-stream interval join: attribute each purchase to a
     * click by the same user within the preceding `windowMinutes`. Both sides
     * carry watermarks and the join condition bounds event-time distance, so

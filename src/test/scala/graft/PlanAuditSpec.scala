@@ -90,6 +90,13 @@ class PlanAuditSpec extends SparkTestBase {
       s"corpus-frequency branch re-ran the corpus scan:\n$plan")
   }
 
+  test("dup spans share the (doc, gram) shuffle across both consumers") {
+    val plan = executed(graft.pipeline.Dedup.dupSpans(
+        spark.read.parquet(s"$sfDir/documents.parquet")))
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"gram-frequency branch re-ran the corpus scan:\n$plan")
+  }
+
   test("corpus-frequency ops have no window on a corpus key (skew)") {
     // a window partition is one task and AQE cannot split it — a
     // stop-word/stop-bigram partition would straggle at scale, so the
@@ -97,7 +104,8 @@ class PlanAuditSpec extends SparkTestBase {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     for ((name, df) <- Seq(
         "rarityProfile" -> graft.pipeline.Mixture.rarityProfile(docs, rareMax = 100),
-        "bigramNovelty" -> graft.pipeline.Mixture.bigramNovelty(docs))) {
+        "bigramNovelty" -> graft.pipeline.Mixture.bigramNovelty(docs),
+        "dupSpans" -> graft.pipeline.Dedup.dupSpans(docs))) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Window"),
         s"$name still computes corpus frequency via a window:\n$plan")

@@ -278,4 +278,28 @@ class StreamingSpec extends SparkTestBase {
     val mixed = spark.table("stream_mix").collect().map(_.getLong(0)).toSet
     assert(mixed == Set(1L, 3L))
   }
+
+  test("streaming per-source cap: id-ordered replay reproduces the batch cap") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    implicit val sp: org.apache.spark.sql.SparkSession = s
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source")
+    val rows = docs.as[EventStreams.SourceDoc].collect().sortBy(_.doc_id)
+    val input = MemoryStream[EventStreams.SourceDoc]
+    val q = EventStreams.cappedPerSource(input.toDS(), n = 5)
+      .writeStream.format("memory").queryName("stream_cap")
+      .outputMode(OutputMode.Append).start()
+    // replay as three in-order micro-batches (cross-batch state carries)
+    rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("stream_cap").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = graft.pipeline.Mixture.capPerSource(docs, n = 5).collect()
+      .map(r => (r.getLong(1), r.getString(0), r.getLong(2))).toSet
+    assert(got == batch, s"stream/batch cap divergence: ${got.size} vs ${batch.size}")
+  }
 }
