@@ -734,6 +734,10 @@ object SparkEntry {
     "doc_dup_spans" -> ((s, d) =>
       Dedup.dupSpans(T(s, d, "documents"), k = 8, minDf = 2)
         .orderBy("doc_id")),
+    // asymmetric containment dedup, exhaustive digest-level oracle (the
+    // maxDf index cap is part of the contract and mirrored in SQL)
+    "doc_containment" -> ((s, d) =>
+      Dedup.containmentPairs(T(s, d, "documents")).orderBy("a", "b")),
     // BM25 retrieval skeleton: integer-exact (tf, df, dl) per (doc, term)
     // — the float BM25 combination is a pure map over these plus two
     // corpus scalars, spec-checked in SearchSpec against hand-computed
@@ -1517,6 +1521,25 @@ object SparkEntry {
         |    AS n_dup_windows,
         |  SUM(CASE WHEN df >= 2 THEN c ELSE 0 END) * 5 >= SUM(c) AS flagged
         |FROM dg JOIN f USING (g) GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // asymmetric containment |A∩B|/|B| >= 0.9 over distinct-8-gram digest
+    // sets: the index drops grams with df > 256 (contractual, mirrored),
+    // b_size stays uncapped, threshold via ceil on the identical double
+    // product — integer-exact end to end
+    "doc_containment" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |g0 AS (SELECT doc_id, unnest(list_distinct(
+        |    [substr(md5(array_to_string(w[i:i+7], ' ')), 1, 16)
+        |     FOR i IN range(1, greatest(len(w)-7, 1) + 1)])) AS g FROM t),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS b_size FROM g0 GROUP BY 1),
+        |el AS (SELECT g0.* FROM g0
+        |  JOIN (SELECT g FROM g0 GROUP BY g HAVING count(*) <= 256) e USING (g)),
+        |sh AS (SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
+        |  FROM el a JOIN el b USING (g) WHERE a.doc_id <> b.doc_id GROUP BY 1, 2)
+        |SELECT a, b, shared, b_size FROM sh JOIN sz ON sz.doc_id = sh.b
+        |WHERE b_size >= 3 AND shared >= ceil(0.9 * b_size)
+        |ORDER BY a, b""".stripMargin,
 
     // BM25 integer skeleton for query terms (join, stream, dup): exact
     // (tf, df, dl) per matching (doc, term) — dl is the whitespace-split

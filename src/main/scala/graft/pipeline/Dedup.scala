@@ -597,4 +597,52 @@ object Dedup {
           .cast("long").as("n_dup_windows"))
       .withColumn("flagged", col("n_dup_windows") * 5 >= col("n_windows"))
   }
+
+  /** Containment pairs — the ASYMMETRIC member of the dedup family:
+    * `|A ∩ B| / |B| ≥ tau` over distinct k-gram sets finds B quoted or
+    * embedded inside a larger A (mirror-with-banner, quote-heavy posts,
+    * aggregator pages), which symmetric Jaccard misses by construction
+    * (a small B inside a big A has low Jaccard however verbatim the
+    * copy). Emits (a, b, shared, b_size) for every ORDERED pair with
+    * containment of b's grams in a — both directions reported when both
+    * clear tau; integer counts only.
+    *
+    * Candidate generation is an inverted-index self-join on gram
+    * digests, EXACT up to the `maxDf` semantics: grams present in more
+    * than `maxDf` documents are excluded from the index (stop-phrase
+    * grams pair everything with everything — quadratic in df — while
+    * contributing one shared-gram count; at k=8 a real quotation carries
+    * many rare grams, so the tau test survives without them). The cap is
+    * part of the operator's CONTRACT, mirrored exactly by the oracle,
+    * not a lossy implementation detail: `shared` counts only
+    * index-eligible grams, and `b_size` counts b's distinct grams
+    * (uncapped), so containment is conservative — a pair can only LOSE
+    * shared grams by the cap, never gain. Everything shuffles as 64-bit
+    * digests; the pair aggregation keys on (a, b) — sparse by the tau
+    * threshold; per-gram fan-out is bounded by maxDf². */
+  def containmentPairs(docs: DataFrame, tau: Double = 0.9, k: Int = 8,
+                       maxDf: Long = 256, minGrams: Long = 3): DataFrame = {
+    require(tau > 0 && tau <= 1 && k >= 2 && maxDf >= 2 && minGrams >= 1,
+      s"bad tau=$tau / k=$k / maxDf=$maxDf / minGrams=$minGrams")
+    val grams = docs
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(1, greatest(size(w) - ${k - 1}, 1)), " +
+          s"i -> substring(md5(concat_ws(' ', slice(w, i, $k))), 1, 16))"))).as("g"))
+    val sizes = grams.groupBy("doc_id")
+      .agg(count(lit(1)).as("b_size"))
+    val eligible = grams.join(
+      grams.groupBy("g").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select("g"),
+      Seq("g"))
+    val shared = eligible.select(col("g"), col("doc_id").as("a"))
+      .join(eligible.select(col("g"), col("doc_id").as("b")), Seq("g"))
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+    shared.join(sizes.withColumnRenamed("doc_id", "b"), Seq("b"))
+      .filter(col("b_size") >= minGrams &&
+        col("shared") >= ceil(lit(tau) * col("b_size")))
+      .select(col("a"), col("b"), col("shared").cast("long").as("shared"),
+        col("b_size").cast("long").as("b_size"))
+  }
 }

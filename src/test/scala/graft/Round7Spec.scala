@@ -68,6 +68,30 @@ class Round7Spec extends SparkTestBase {
     assert(got(3L) == ((1L, 0L)))
   }
 
+  test("containmentPairs: planted quotation found in both directions " +
+    "where it clears tau, missed by symmetric Jaccard") {
+    val s = spark
+    import s.implicits._
+    val quoted = (1 to 12).map(i => s"q$i").mkString(" ") // 12 tokens
+    val host = s"${(1 to 30).map(i => s"h$i").mkString(" ")} $quoted"
+    val df = Seq(
+      (1L, host),              // 42 tokens, contains doc 2 verbatim
+      (2L, quoted),            // fully contained in doc 1
+      (3L, (1 to 20).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, tau = 0.9, k = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // doc 2 has 5 distinct 8-grams, all shared with doc 1 => (1, 2) qualifies
+    assert(got.contains((1L, 2L)), s"containment (1,2) missing: $got")
+    assert(got((1L, 2L)) == ((5L, 5L)))
+    // the reverse direction fails tau: 5 shared of doc 1's 35 grams
+    assert(!got.contains((2L, 1L)))
+    assert(!got.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    // symmetric 8-gram Jaccard would score 5/35 — the asymmetric op is
+    // the only dedup mode that can catch this pair
+    assert(5.0 / 35.0 < 0.5)
+  }
+
   // ---- BM25 -----------------------------------------------------------------
 
   test("keywordStats: exact tf/df/dl on a hand fixture") {
