@@ -75,33 +75,39 @@ object Sketches {
       Encoders.kryo[(Map[String, Long], Long)]
   }
 
-  /** Bounded "n smallest ids" summary — the typed-Aggregator backbone of
-    * [[Mixture.capPerSource]]. The buffer holds at most 2n unsorted ids
-    * and compacts (sort, keep the n smallest) whenever it overflows, so
-    * per-row cost is O(1) amortized and per-buffer state is O(n)
-    * regardless of group size. Compaction only ever discards ids provably
-    * outside the group's n smallest, so every buffer is always a superset
-    * of its stream's true answer — `merge` is just concat + compact
-    * (order-insensitive, associative on the retained sets). */
-  final class BoundedMinIds(n: Int)
-      extends Aggregator[(String, Long), Vector[Long], Seq[Long]] {
+  /** Bounded "n smallest (sortKey, payload) pairs" summary — the
+    * typed-Aggregator backbone of [[Mixture.capPerSource]] (sortKey =
+    * doc_id) and [[Mixture.stratifiedSampleExact]] (sortKey = keyed
+    * coin). The buffer holds at most 2n unsorted pairs and compacts
+    * (sort, keep the n smallest) whenever it overflows, so per-row cost
+    * is O(1) amortized and per-buffer state is O(n) regardless of group
+    * size. Compaction only ever discards pairs provably outside the
+    * group's n smallest, so every buffer is always a superset of its
+    * stream's true answer — `merge` is just concat + compact
+    * (order-insensitive, associative on the retained sets). Ordering is
+    * on the full (sortKey, payload) tuple, so sortKey ties resolve
+    * deterministically by payload. */
+  final class BoundedMinPairs(n: Int)
+      extends Aggregator[(String, Long, Long), Vector[(Long, Long)], Seq[(Long, Long)]] {
     require(n >= 1, s"cap must be >= 1, got $n")
 
-    def zero: Vector[Long] = Vector.empty
+    def zero: Vector[(Long, Long)] = Vector.empty
 
-    private def compact(v: Vector[Long]): Vector[Long] =
+    private def compact(v: Vector[(Long, Long)]): Vector[(Long, Long)] =
       if (v.length <= 2 * n) v else v.sorted.take(n)
 
-    def reduce(b: Vector[Long], row: (String, Long)): Vector[Long] =
-      compact(b :+ row._2)
+    def reduce(b: Vector[(Long, Long)], row: (String, Long, Long)): Vector[(Long, Long)] =
+      compact(b :+ ((row._2, row._3)))
 
-    def merge(a: Vector[Long], b: Vector[Long]): Vector[Long] =
+    def merge(a: Vector[(Long, Long)], b: Vector[(Long, Long)]): Vector[(Long, Long)] =
       compact(a ++ b)
 
-    def finish(r: Vector[Long]): Seq[Long] = r.sorted.take(n)
+    def finish(r: Vector[(Long, Long)]): Seq[(Long, Long)] = r.sorted.take(n)
 
-    def bufferEncoder: Encoder[Vector[Long]] = Encoders.kryo[Vector[Long]]
-    def outputEncoder: Encoder[Seq[Long]] = Encoders.kryo[Seq[Long]]
+    def bufferEncoder: Encoder[Vector[(Long, Long)]] =
+      Encoders.kryo[Vector[(Long, Long)]]
+    def outputEncoder: Encoder[Seq[(Long, Long)]] =
+      Encoders.kryo[Seq[(Long, Long)]]
   }
 
   /** Exact corpus heavy hitters — every token with frequency > N/k, with
