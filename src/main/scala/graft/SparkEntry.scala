@@ -607,6 +607,11 @@ object SparkEntry {
     // reachability) so the composition is gate-checked end-to-end
     "doc_corpus_dedup" -> ((s, d) =>
       Dedup.dedupCorpus(T(s, d, "documents")).select("doc_id").orderBy("doc_id")),
+    // same composition with the asymmetric containment edges unioned in:
+    // the oracle recomputes the closure over the union of both edge sets
+    "doc_corpus_dedup_cont" -> ((s, d) =>
+      Dedup.dedupCorpusWithContainment(T(s, d, "documents"))
+        .select("doc_id").orderBy("doc_id")),
     "doc_tokens" -> ((s, d) =>
       TextAnalysis.tokenStats(T(s, d, "documents")).orderBy("doc_id")),
     "doc_quality" -> ((s, d) =>
@@ -729,6 +734,11 @@ object SparkEntry {
     // recomputes it as the row_number window DuckDB can afford at sf scale
     "doc_source_cap" -> ((s, d) =>
       Mixture.capPerSource(T(s, d, "documents"), n = 10)
+        .orderBy("source", "doc_id")),
+    // exact n-per-stratum sample: keyed-coin order through the bounded
+    // aggregator; the oracle affords the window form at sf scale
+    "doc_stratified_sample" -> ((s, d) =>
+      Mixture.stratifiedSampleExact(T(s, d, "documents"), n = 7, salt = "strat1")
         .orderBy("source", "doc_id")),
     // duplicated positional 8-gram spans, exhaustive digest-level oracle
     "doc_dup_spans" -> ((s, d) =>
@@ -1346,6 +1356,35 @@ object SparkEntry {
         |SELECT k.doc_id FROM exact_keep k LEFT JOIN canon c USING (doc_id)
         |WHERE c.canonical_id IS NULL OR c.canonical_id = k.doc_id
         |ORDER BY doc_id""".stripMargin),
+    // union of the Jaccard pair set and the asymmetric containment pair
+    // set (both over exact survivors — `toks` is already that relation),
+    // one reachability closure over the merged edges
+    "doc_corpus_dedup_cont" -> (jaccardPairsSql(
+      from = "documents JOIN exact_keep USING (doc_id)",
+      prefixCtes =
+        """exact_keep AS (
+          |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+          |""".stripMargin) +
+      """,
+        |g0 AS (SELECT doc_id, unnest(list_distinct(
+        |    [substr(md5(array_to_string(w[i:i+7], ' ')), 1, 16)
+        |     FOR i IN range(1, greatest(len(w)-7, 1) + 1)])) AS g FROM toks),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS b_size FROM g0 GROUP BY 1),
+        |el AS (SELECT g0.* FROM g0
+        |  JOIN (SELECT g FROM g0 GROUP BY g HAVING count(*) <= 256) e USING (g)),
+        |cs AS (SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
+        |  FROM el a JOIN el b USING (g) WHERE a.doc_id <> b.doc_id GROUP BY 1, 2),
+        |cpairs AS (SELECT a, b FROM cs JOIN sz ON sz.doc_id = cs.b
+        |  WHERE b_size >= 3 AND shared >= ceil(0.9 * b_size)),
+        |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+        |  UNION SELECT a, b FROM cpairs UNION SELECT b, a FROM cpairs),
+        |reach AS (SELECT a AS x, b AS y FROM edges
+        |  UNION SELECT r.x, e.b AS y FROM reach r JOIN edges e ON e.a = r.y),
+        |canon AS (SELECT x AS doc_id, least(x, MIN(y)) AS canonical_id
+        |  FROM reach GROUP BY x)
+        |SELECT k.doc_id FROM exact_keep k LEFT JOIN canon c USING (doc_id)
+        |WHERE c.canonical_id IS NULL OR c.canonical_id = k.doc_id
+        |ORDER BY doc_id""".stripMargin),
 
     // integer-only outputs (q_id, vec_id, rank): double-precision cosine
     // ranks identically in DuckDB (verified bitwise at sf0.01 and sf0.1)
@@ -1505,6 +1544,18 @@ object SparkEntry {
         |      AS BIGINT) AS rk
         |  FROM documents)
         |WHERE rk <= 10 ORDER BY source, doc_id""".stripMargin,
+
+    // stratified exact sample: same keyed md5 coin as doc_mixture_sample,
+    // n smallest coins per source win; coin ties break on doc_id exactly
+    // as BoundedMinPairs orders the (sortKey, payload) tuple
+    "doc_stratified_sample" ->
+      """SELECT source, doc_id, rk FROM (
+        |  SELECT source, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY
+        |      ('0x' || substr(md5('strat1' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+        |      doc_id) AS BIGINT) AS rk
+        |  FROM documents)
+        |WHERE rk <= 7 ORDER BY source, doc_id""".stripMargin,
 
     // duplicated positional 8-gram spans: stride-1 windows, short docs
     // contribute one truncated window (withShingles convention); windows

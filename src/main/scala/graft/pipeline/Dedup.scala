@@ -493,11 +493,42 @@ object Dedup {
     * the caller's action, so one `dedupCorpus` call costs two corpus
     * scans total and pins nothing in executor storage afterwards. */
   def dedupCorpus(docs: DataFrame, threshold: Double = 0.7, k: Int = 3,
-                  numPerm: Int = 32, bands: Int = 8): DataFrame = {
+                  numPerm: Int = 32, bands: Int = 8): DataFrame =
+    dedupStaged(docs, ek => verifiedNearDups(ek, threshold, k, numPerm, bands))
+
+  /** [[dedupCorpus]] with the asymmetric edge set folded in: near-dup
+    * pairs UNION [[containmentPairs]] (quoted-subset documents — the
+    * mirror-with-banner / aggregator-page duplicates symmetric Jaccard
+    * misses by construction) feed ONE components/canonical stage, so a
+    * real crawl removes both duplicate classes in the same pass instead
+    * of re-paying the exact-survivor scan and the union–find. Containment
+    * runs over the exact survivors like the near-dup stage (byte replays
+    * died on the digest groupBy before anything paid k-gram hashing);
+    * edges are undirected for clustering — a contained doc joins its
+    * container's component and the min-id canonical rule decides the
+    * keeper, deterministically. Both edge generators stay individually
+    * bounded (banded buckets / df≤maxDf inverted index), and the union
+    * is edge-list-sized — nothing new shuffles at corpus volume. */
+  def dedupCorpusWithContainment(docs: DataFrame, threshold: Double = 0.7,
+                                 k: Int = 3, numPerm: Int = 32, bands: Int = 8,
+                                 tau: Double = 0.9, containK: Int = 8,
+                                 maxDf: Long = 256, minGrams: Long = 3): DataFrame =
+    dedupStaged(docs, ek =>
+      verifiedNearDups(ek, threshold, k, numPerm, bands).select(col("a"), col("b"))
+        .unionByName(
+          containmentPairs(ek, tau, containK, maxDf, minGrams)
+            .select(col("a"), col("b"))))
+
+  /** Shared staging of the end-to-end dedup compositions: exact → edge
+    * generation over exact survivors → components → canonical filter.
+    * `edgesOf` receives the PERSISTED exact-survivor frame and returns
+    * the duplicate-pair edge list (columns `a`, `b`). */
+  private def dedupStaged(docs: DataFrame,
+                          edgesOf: DataFrame => DataFrame): DataFrame = {
     val exactKeep = docs.join(
       exactGroups(docs).select(col("keep_id").as("doc_id")), Seq("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = verifiedNearDups(exactKeep, threshold, k, numPerm, bands)
+    val pairs = edgesOf(exactKeep)
     val canon = canonicalIds(exactKeep, pairs)
     val keepIds = canon
       .filter(col("canonical_id") === col("doc_id")).select("doc_id")

@@ -87,19 +87,49 @@ object Mixture {
     * holding 10% of a 100 TB crawl would serialize through one straggler
     * (the same defect class the round-6 verdict flagged in
     * rarityProfile). Instead a bounded typed Aggregator
-    * ([[Sketches.BoundedMinIds]]): every map task keeps at most 2n ids
-    * per source it sees (partial aggregation absorbs the skew map-side),
-    * and the shuffle carries O(n · #sources) ids total — independent of
-    * corpus size. The cap `n` is deployment config (10²–10⁵), so O(n)
-    * buffer state is bounded by construction. */
+    * ([[Sketches.BoundedMinPairs]] with sortKey = payload = doc_id):
+    * every map task keeps at most 2n pairs per source it sees (partial
+    * aggregation absorbs the skew map-side), and the shuffle carries
+    * O(n · #sources) pairs total — independent of corpus size. The cap
+    * `n` is deployment config (10²–10⁵), so O(n) buffer state is bounded
+    * by construction. */
   def capPerSource(docs: DataFrame, n: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("source"), col("doc_id")).as[(String, Long)]
+    docs.select(col("source"), col("doc_id"), col("doc_id")).as[(String, Long, Long)]
       .groupByKey(_._1)
-      .agg(new Sketches.BoundedMinIds(n).toColumn)
-      .flatMap { case (src, ids) =>
-        ids.iterator.zipWithIndex.map { case (id, i) => (src, id, (i + 1).toLong) }
+      .agg(new Sketches.BoundedMinPairs(n).toColumn)
+      .flatMap { case (src, pairs) =>
+        pairs.iterator.zipWithIndex.map { case ((_, id), i) => (src, id, (i + 1).toLong) }
+      }
+      .toDF("source", "doc_id", "rk")
+  }
+
+  /** Exact n-per-stratum sample — the deterministic counterpart of
+    * [[mixtureSample]] when the spec is a COUNT per source rather than a
+    * rate ("exactly 10k docs from each domain for the eval set").
+    * Each document draws the same keyed md5 coin as [[mixtureSample]]
+    * (seed-stable, engine-portable, partition-order independent) and the
+    * n smallest coins per stratum win — a uniform exact sample, because
+    * the coin is uniform and independent of the data. Ties on the 32-bit
+    * coin resolve by doc_id ([[Sketches.BoundedMinPairs]] orders the full
+    * (sortKey, payload) tuple), so reruns and engines agree bit-for-bit.
+    *
+    * Scale shape is [[capPerSource]]'s: a bounded typed Aggregator, not a
+    * `row_number` window — map-side partial aggregation keeps ≤2n pairs
+    * per stratum per task, the shuffle carries O(n · #strata) pairs, and
+    * a head domain with 10% of the corpus costs no more than a tail one.
+    * Emits each winner with its 1-based coin-order rank (rk ≤ k gives a
+    * nested k-subsample for free, same salt). */
+  def stratifiedSampleExact(docs: DataFrame, n: Int, salt: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("source"), keyedBucket(salt), col("doc_id"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .agg(new Sketches.BoundedMinPairs(n).toColumn)
+      .flatMap { case (src, pairs) =>
+        pairs.iterator.zipWithIndex.map { case ((_, id), i) => (src, id, (i + 1).toLong) }
       }
       .toDF("source", "doc_id", "rk")
   }

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline._
+
+/** Round-8 operators: exact stratified sampling, dedup/search
+  * compositions. */
+class Round8Spec extends SparkTestBase {
+
+  lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  // ---- stratifiedSampleExact ------------------------------------------------
+
+  test("stratifiedSampleExact equals the window-form reference, no Window node") {
+    val n = 5
+    val got = Mixture.stratifiedSampleExact(docs, n, salt = "s8")
+    val coin = conv(substring(
+      md5(concat(lit("s8"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+    val want = docs
+      .withColumn("b", coin)
+      .withColumn("rk", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy("source").orderBy("b", "doc_id")).cast("long"))
+      .filter(col("rk") <= n)
+      .select("source", "doc_id", "rk")
+    assert(got.collect().map(_.toSeq).toSet == want.collect().map(_.toSeq).toSet)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"stratifiedSampleExact must not window:\n$plan")
+  }
+
+  test("stratifiedSampleExact is seed-stable and nested in n") {
+    val a = Mixture.stratifiedSampleExact(docs, 6, "seedA").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val a2 = Mixture.stratifiedSampleExact(docs, 6, "seedA").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == a2, "same salt must reproduce the same sample")
+    // nesting: the n=3 sample is exactly the rk<=3 prefix of the n=6 one
+    val small = Mixture.stratifiedSampleExact(docs, 3, "seedA").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(small == a.filter(_._3 <= 3), "smaller n must be a prefix sample")
+    // a different salt draws a genuinely different sample
+    val b = Mixture.stratifiedSampleExact(docs, 6, "seedB").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a != b, "different salts should draw different samples")
+  }
+
+  // ---- dedupCorpusWithContainment -------------------------------------------
+
+  test("dedupCorpusWithContainment removes quoted-subset docs plain dedupCorpus keeps") {
+    val s = spark
+    import s.implicits._
+    val quote = (1 to 12).map(i => s"q$i").mkString(" ") // 12 tokens, 5 8-grams
+    val bigA = s"intro text here $quote and a very long unrelated tail " +
+      (1 to 60).map(i => s"t$i").mkString(" ")
+    val df = Seq(
+      (1L, bigA, "src0"),            // container: keeps (min id of component)
+      (2L, quote, "src0"),           // contained verbatim — low Jaccard vs A
+      (3L, "completely different text about nothing shared", "src1"),
+      (4L, "completely different text about nothing shared", "src1") // exact dup of 3
+    ).toDF("doc_id", "text", "source")
+    val plain = Dedup.dedupCorpus(df).select("doc_id").collect().map(_.getLong(0)).toSet
+    val full = Dedup.dedupCorpusWithContainment(df)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(plain == Set(1L, 2L, 3L), s"plain dedup should keep the quote doc: $plain")
+    assert(full == Set(1L, 3L), s"containment edge must fold doc 2 into doc 1: $full")
+  }
+
+  test("stratifiedSampleExact caps every stratum at n with dense ranks") {
+    val got = Mixture.stratifiedSampleExact(docs, 4, "s8c").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bySrc = got.groupBy(_._1)
+    assert(bySrc.values.forall(_.length <= 4))
+    bySrc.foreach { case (src, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"ranks not dense for $src")
+    }
+  }
+}
