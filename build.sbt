@@ -29,7 +29,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] executes all 32 tasks inside this one heap; 8g forced
+  // constant GC/eviction once the suite grew past ~100 queries (bench
+  // runs declined 56s -> 3.7s within one query as pressure drained —
+  // the round-4 leaked-blocks pattern, now from sheer working-set size).
+  // Half the 125 GiB box is the right local-mode default.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
 
 // surface deprecations at compile time (keep the build warning-clean)

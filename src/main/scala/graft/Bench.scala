@@ -43,6 +43,19 @@ object Bench {
     // the median of three passes is robust to one loaded run. Raw per-run
     // numbers are emitted alongside for forensics.
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // fixed machine-calibration workload, measured like a query (median of
+    // nRuns): a deterministic CPU-bound aggregation whose cost depends on
+    // the BOX, not the engine or the data. Cross-round totals divide by
+    // this to separate engine regressions from host drift — round 8 found
+    // the same commit measuring 2× slower than round 6 on every query
+    // after a VM reboot (isolated q1_agg 1.0 s vs 0.49 s, uniformly),
+    // which only a same-run calibration constant can prove.
+    val calib = (1 to nRuns).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0, 2000000000L, 1, numPartitions = cpus.toInt)
+        .selectExpr("sum(id * 3 + (id & 7))").head()
+      (System.nanoTime() - t0) / 1e9
+    }.sorted.apply(nRuns / 2)
     // optional comma-separated subset for targeted regression hunts
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -71,6 +84,13 @@ object Bench {
           .foreach(_.unpersist(blocking = false))
         t
       }
+      // also outside the timer: give ContextCleaner its GC trigger. Shuffle
+      // files and broadcast state are reclaimed only when their driver-side
+      // objects are collected; the cleaner's own periodic GC is 30 min —
+      // longer than the bench — so without this, 100+ queries × 3 runs of
+      // shuffle state pile onto disk and heap and later queries pay rising
+      // GC/eviction tax (run times DECLINING within a query is the tell).
+      System.gc()
       (name, times.sorted.apply(nRuns / 2), times)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
@@ -93,12 +113,12 @@ object Bench {
     // file and the line that prints LAST carries only the scalars plus a
     // pointer: it parses at any suite size
     val fullSummary =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$nRuns,"n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$nRuns,"n_queries":${results.size},"calib_sec":$calib%.3f,"queries":$qs,"sf":"$sfDir"}"""
     val summaryPath = java.nio.file.Paths.get("target", "bench_summary.json")
     java.nio.file.Files.write(summaryPath, fullSummary.getBytes("UTF-8"))
     spark.stop()
     // full line first (human-readable / greppable), compact line last
     println(fullSummary)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$nRuns,"n_queries":${results.size},"sf":"$sfDir","queries_file":"target/bench_summary.json"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$nRuns,"n_queries":${results.size},"calib_sec":$calib%.3f,"sf":"$sfDir","queries_file":"target/bench_summary.json"}""")
   }
 }

@@ -82,7 +82,7 @@ object SparkEntry {
     * runtime measures driver-side test machinery (MemoryStream feeding,
     * per-batch state commits), not engine throughput. The Verify
     * correctness gate still runs them. */
-  val benchExcluded: Set[String] = Set("q_stream_funnel")
+  val benchExcluded: Set[String] = Set("q_stream_funnel", "q_stream_source_cap")
 
   /** exact decimal money expr: extendedprice * (1 - discount). */
   private def discPrice: Column =
@@ -551,6 +551,14 @@ object SparkEntry {
       _root_.graft.streaming.EventStreams.funnelDepthsReplayed(
         events(s, d), Seq("view", "click", "purchase")).orderBy("user_id")
     }),
+    // streaming per-source cap replayed over the WHOLE documents table in
+    // id-ordered micro-batches: keyed-counter state must reproduce the
+    // batch bounded-aggregator cap row-for-row (same oracle SQL shape)
+    "q_stream_source_cap" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      _root_.graft.streaming.EventStreams.sourceCapReplayed(
+        T(s, d, "documents"), n = 10).orderBy("source", "doc_id")
+    }),
     "q_retention" -> ((s, d) =>
       Funnels.retention(events(s, d)).orderBy("cohort", "offset_weeks")),
     // gap-based sessionization, batch form (streaming twin lives in
@@ -755,6 +763,14 @@ object SparkEntry {
     "doc_bm25" -> ((s, d) =>
       Search.keywordStats(T(s, d, "documents"), Seq("join", "stream", "dup"))
         .orderBy("doc_id", "term")),
+    // the same stats served from the persisted term-bucketed inverted
+    // index: ingest shuffle paid once, the probe is a bucket-pruned scan
+    // (plan shape pinned in Round8Spec; this row gates result parity)
+    "doc_bm25_indexed" -> ((s, d) => {
+      val idx = Search.buildTermIndex(s, T(s, d, "documents"), d)
+      Search.indexedKeywordStats(idx, Seq("join", "stream", "dup"))
+        .orderBy("doc_id", "term")
+    }),
     "doc_decontaminate" -> ((s, d) => {
       val docs = T(s, d, "documents")
       Decontaminate.flagged(
@@ -1210,6 +1226,17 @@ object SparkEntry {
         |         + (s3.user_id IS NOT NULL)::INT AS INTEGER) AS depth
         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         |ORDER BY user_id""".stripMargin,
+    // streaming cap replay: id-ordered micro-batches make first-n admits
+    // equal the batch lowest-n-per-source, so the oracle is the same
+    // window form as doc_source_cap
+    "q_stream_source_cap" ->
+      """SELECT source, doc_id, rk FROM (
+        |  SELECT source, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+        |      AS BIGINT) AS rk
+        |  FROM documents)
+        |WHERE rk <= 10 ORDER BY source, doc_id""".stripMargin,
+
     // retention triangle over the deduplicated (user, week) grid; weeks
     // are raw integer division of nanosecond time — identical arithmetic
     // on both engines, no calendar functions to disagree
@@ -1448,6 +1475,11 @@ object SparkEntry {
     // so a pin that drifted from a genuine near-dup pair fails the gate.
     // Removals are a subset of the exhaustive emb_near_dup pair set by
     // construction (within-cell only — the documented SemDeDup trade).
+    // PIN PROVENANCE: these 11 rows are valid ONLY for the generating
+    // configuration semDedup(tau=0.44, cells=8) with Similarity's default
+    // trainSample/lloydIters/seed over /root/testdata/sf0.01 — any
+    // parameter change invalidates them (re-derive, and re-anchor against
+    // Round7Spec's one-cell-equals-exhaustive semantic test).
     "emb_semdedup" ->
       """WITH rm(vec_id, kept_id) AS (VALUES
         |  (287, 238), (298, 45), (301, 44), (317, 195), (324, 166),
@@ -1596,6 +1628,18 @@ object SparkEntry {
     // (tf, df, dl) per matching (doc, term) — dl is the whitespace-split
     // length (filter-funnel convention), df counts matching DOCS
     "doc_bm25" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS term, len(w) AS dl FROM t),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+        |    CAST(min(dl) AS BIGINT) AS dl
+        |  FROM tok WHERE term IN ('join', 'stream', 'dup') GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+        |SELECT doc_id, term, tf, df, dl FROM tf JOIN df USING (term)
+        |ORDER BY doc_id, term""".stripMargin,
+
+    // index-served stats must be byte-identical to the scan-served row
+    "doc_bm25_indexed" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
         |  FROM documents),
         |tok AS (SELECT doc_id, unnest(w) AS term, len(w) AS dl FROM t),

@@ -1,7 +1,9 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.sources.Bucketing
 
 /** Keyword retrieval over the document corpus — the BM25 scoring family
   * that backs corpus exploration, eval-set mining, and targeted
@@ -54,7 +56,12 @@ object Search {
     * bounded by construction. Emits the integer skeleton plus `score`. */
   def bm25(docs: DataFrame, terms: Seq[String],
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val stats = keywordStats(docs, terms)
+    // materialize the (small: matching docs × |terms| rows) stats frame
+    // once — the df collect and the returned frame would otherwise each
+    // re-run the corpus tokenize scan, and the caller's action a third
+    // time; with the checkpoint the corpus pays one stats pass plus the
+    // two-column scalar scan below
+    val stats = keywordStats(docs, terms).localCheckpoint()
     val corpus = docs.select(
       count(lit(1)).cast("double"),
       sum(size(split(lower(col("text")), "\\s+"))).cast("double")).head()
@@ -73,6 +80,51 @@ object Search {
     stats.withColumn("score",
       idfCol * (col("tf") * lit(k1 + 1.0) /
         (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))))
+  }
+
+  /** Ingest-time inverted index — the [[graft.sources.Bucketing]]
+    * composition the header promises: the FULL per-(doc, term) (tf, dl)
+    * table (no term filter — this serves EVERY future query), written
+    * bucketed+sorted on `term`. The corpus tokenize + aggregation
+    * shuffle is paid ONCE here; afterwards a keyword query is a
+    * bucket-pruned scan of the index (the `isin` filter selects the
+    * terms' buckets — `SelectedBucketsCount` in the plan, the other
+    * buckets are never read) and the df aggregation inherits the
+    * scan's `HashPartitioning(term)` so it plans Exchange-free
+    * ([[graft.Round8Spec]] pins both). This is the classic
+    * index-vs-scan trade at 100 TB: the index is corpus-token-distinct
+    * sized, so it pays off exactly when queries repeat against the same
+    * corpus — interactive exploration, eval-set mining. Returns the
+    * registered index table; idempotent per (session, dir) and across
+    * JVMs via the layout marker. */
+  def buildTermIndex(spark: SparkSession, docs: DataFrame, dir: String,
+                     buckets: Int = 16): DataFrame = {
+    val layout = s"term@$buckets"
+    val table = Bucketing.tableName(dir, "term_index", layout)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_buckets/" +
+      s"${Bucketing.tableName(dir, "", layout)}/term_index"
+    val tfAll = docs
+      .select(col("doc_id"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("dl"),
+        explode(split(lower(col("text")), "\\s+")).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).cast("long").as("tf"), min("dl").as("dl"))
+    Bucketing.materialize(spark, table, tfAll, Seq("term"), buckets, path)
+    spark.table(table)
+  }
+
+  /** [[keywordStats]] served from a [[buildTermIndex]] table instead of
+    * the corpus: identical output contract (the oracle row pins parity
+    * with the scan path), but the only I/O is the query terms' buckets.
+    * df recomputes per query over the pruned scan — ≤ index-rows-per-term
+    * and Exchange-free under the bucketed layout. */
+  def indexedKeywordStats(index: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "query term set must be non-empty")
+    val tf = index.filter(col("term").isin(terms: _*))
+    val dfByTerm = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfByTerm), Seq("term"))
+      .select(col("doc_id"), col("term"), col("tf").cast("long").as("tf"),
+        col("df").cast("long").as("df"), col("dl"))
   }
 
   /** Top-k retrieval: per-document BM25 totals, ranked. Ties break on

@@ -80,6 +80,39 @@ object EventStreams {
     }
   }
 
+  /** Replay a BOUNDED documents table through [[cappedPerSource]] as real
+    * micro-batches (MemoryStream, id-ordered slices) and return the final
+    * admitted set — the batch-parity verification harness at table scale,
+    * driven by the oracle gate (`q_stream_source_cap`): because the
+    * slices replay in ascending doc_id order, the streaming first-n
+    * admits must equal batch [[graft.pipeline.Mixture.capPerSource]]'s
+    * lowest-n-ids row-for-row. Same caveat as [[funnelDepthsReplayed]]:
+    * MemoryStream is a driver-side source, so this is a VERIFICATION
+    * tool, not a production op. */
+  def sourceCapReplayed(docs: DataFrame, n: Int, chunks: Int = 4)
+                       (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = docs.select(col("doc_id"), col("source")).collect()
+      .map(r => SourceDoc(r.getLong(0), r.getString(1)))
+      .sortBy(_.doc_id)
+    val name = "graft_source_cap_replay_" +
+      java.util.UUID.randomUUID().toString.filter(_ != '-')
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SourceDoc]
+    val q = cappedPerSource(input.toDS(), n)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      val per = math.max(1, (rows.length + chunks - 1) / chunks)
+      rows.grouped(per).foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val out = spark.table(name)
+      .collect().map(r => DocAdmit(r.getLong(0), r.getString(1), r.getLong(2)))
+    spark.catalog.dropTempView(name)
+    spark.createDataset(out.toSeq).select(
+      col("source"), col("doc_id"), col("rk"))
+  }
+
   /** Watermarked stream-stream interval join: attribute each purchase to a
     * click by the same user within the preceding `windowMinutes`. Both sides
     * carry watermarks and the join condition bounds event-time distance, so

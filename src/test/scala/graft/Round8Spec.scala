@@ -65,6 +65,25 @@ class Round8Spec extends SparkTestBase {
     assert(full == Set(1L, 3L), s"containment edge must fold doc 2 into doc 1: $full")
   }
 
+  // ---- term index × bucketing -----------------------------------------------
+
+  test("term index probe: bucket-pruned scan, Exchange-free df aggregation, scan parity") {
+    val idx = Search.buildTermIndex(spark, docs, sfDir, buckets = 8)
+    val probe = Search.indexedKeywordStats(idx, Seq("join", "stream", "dup"))
+    val plan = probe.queryExecution.executedPlan.toString
+    // bucket pruning: only the query terms' buckets are read
+    assert(plan.contains("SelectedBucketsCount"),
+      s"index probe must prune buckets:\n$plan")
+    // the df groupBy(term) inherits the scan's HashPartitioning(term):
+    // no shuffle anywhere in the probe (the df join side is broadcast)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"index probe must not re-shuffle:\n$plan")
+    val viaIndex = probe.collect().map(_.toSeq).toSet
+    val viaScan = Search.keywordStats(docs, Seq("join", "stream", "dup"))
+      .collect().map(_.toSeq).toSet
+    assert(viaIndex == viaScan, "index-served stats must equal scan-served stats")
+  }
+
   test("stratifiedSampleExact caps every stratum at n with dense ranks") {
     val got = Mixture.stratifiedSampleExact(docs, 4, "s8c").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
