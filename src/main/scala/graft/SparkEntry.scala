@@ -644,6 +644,12 @@ object SparkEntry {
       Mixture.mixtureSample(T(s, d, "documents"),
         Seq("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25),
         defaultRate = 0.1, salt = "mix1").orderBy("doc_id")),
+    // cross-split near-dup leakage: wide val/test fractions so the sf0.01
+    // near-dup pair set actually straddles boundaries; the oracle rebuilds
+    // the verified Jaccard pairs AND the split coin in SQL
+    "doc_split_leakage" -> ((s, d) =>
+      Mixture.splitLeakage(T(s, d, "documents"),
+        valFrac = 0.3, testFrac = 0.3, salt = "leak1").orderBy("a", "b")),
     "doc_rarity" -> ((s, d) =>
       Mixture.rarityProfile(T(s, d, "documents"), rareMax = 100)
         .orderBy("doc_id")),
@@ -1701,6 +1707,22 @@ object SparkEntry {
         |       x -> len(x) > 0)) AS BIGINT) AS n_ws_tokens,
         |  true AS uniform_bin, true AS budget_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // cross-split leakage: the exact Jaccard pair set joined against the
+    // md5-coin split (thresholds floor(0.4·2³²)=1717986918,
+    // floor(0.7·2³²)=3006477107 — integer, engine-identical)
+    "doc_split_leakage" -> (JACCARD_PAIRS_SQL +
+      """,
+        |sp AS (SELECT doc_id,
+        |  CASE WHEN bk < 1717986918 THEN 'train'
+        |       WHEN bk < 3006477107 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  ('0x' || substr(md5('leak1' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS bk
+        |  FROM documents))
+        |SELECT a, b, sa.split AS split_a, sb.split AS split_b
+        |FROM pairs JOIN sp sa ON sa.doc_id = a JOIN sp sb ON sb.doc_id = b
+        |WHERE sa.split <> sb.split ORDER BY a, b""".stripMargin),
 
     // deterministic split: integer bucket thresholds (floor(0.8·2³²),
     // floor(0.9·2³²)) hardcoded identically on both sides so no float

@@ -655,11 +655,18 @@ object Dedup {
                        maxDf: Long = 256, minGrams: Long = 3): DataFrame = {
     require(tau > 0 && tau <= 1 && k >= 2 && maxDf >= 2 && minGrams >= 1,
       s"bad tau=$tau / k=$k / maxDf=$maxDf / minGrams=$minGrams")
+    // the gram stream feeds FOUR consumers (sizes, the df filter, both
+    // self-join sides); unpersisted, each branch re-runs the tokenize +
+    // md5 explode over the corpus. Persist it (fixed-width rows, spills
+    // clean), collapse the result while the cache is hot — the verified
+    // pair list is orders of magnitude smaller than the gram stream, the
+    // same lifecycle discipline as [[verifiedNearDups]] — and release.
     val grams = docs
       .select(col("doc_id"), split(lower(col("text")), "\\s+").as("w"))
       .select(col("doc_id"), explode(array_distinct(expr(
         s"transform(sequence(1, greatest(size(w) - ${k - 1}, 1)), " +
           s"i -> substring(md5(concat_ws(' ', slice(w, i, $k))), 1, 16))"))).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = grams.groupBy("doc_id")
       .agg(count(lit(1)).as("b_size"))
     val eligible = grams.join(
@@ -670,10 +677,13 @@ object Dedup {
       .join(eligible.select(col("g"), col("doc_id").as("b")), Seq("g"))
       .filter(col("a") =!= col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("shared"))
-    shared.join(sizes.withColumnRenamed("doc_id", "b"), Seq("b"))
+    val out = shared.join(sizes.withColumnRenamed("doc_id", "b"), Seq("b"))
       .filter(col("b_size") >= minGrams &&
         col("shared") >= ceil(lit(tau) * col("b_size")))
       .select(col("a"), col("b"), col("shared").cast("long").as("shared"),
         col("b_size").cast("long").as("b_size"))
+      .localCheckpoint()
+    grams.unpersist()
+    out
   }
 }

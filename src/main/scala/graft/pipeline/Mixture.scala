@@ -134,6 +134,33 @@ object Mixture {
       .toDF("source", "doc_id", "rk")
   }
 
+  /** Cross-split contamination report — the check every training
+    * pipeline owes its eval sets: near-duplicate pairs that straddle a
+    * split boundary ([[splitAssign]]'s keyed coin keys on doc_id, so
+    * VERBATIM duplicates of one doc_id land together, but near-dups
+    * with different ids land independently — a val/test doc whose
+    * near-twin sits in train inflates eval scores exactly like
+    * benchmark contamination). Emits one row per leaking ORDERED-by-id
+    * pair with both sides' splits; empty result = clean splits. Run it
+    * AFTER dedup to certify, or before to quantify what dedup must
+    * remove.
+    *
+    * Scale shape: the pair list comes from the banded/verified near-dup
+    * path ([[Dedup.verifiedNearDups]] — never all-pairs), and the split
+    * labels are the map-only coin, so the only added work is two joins
+    * of the (tiny) pair list against the (doc_id, split) projection —
+    * both broadcast-sized relative to the corpus. */
+  def splitLeakage(docs: DataFrame, valFrac: Double, testFrac: Double,
+                   salt: String, threshold: Double = 0.7): DataFrame = {
+    val splits = splitAssign(docs, valFrac, testFrac, salt)
+      .select(col("doc_id"), col("split"))
+    Dedup.verifiedNearDups(docs, threshold)
+      .join(splits.select(col("doc_id").as("a"), col("split").as("split_a")), "a")
+      .join(splits.select(col("doc_id").as("b"), col("split").as("split_b")), "b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("a"), col("b"), col("split_a"), col("split_b"))
+  }
+
   /** Corpus vocabulary table — (token, term frequency, document
     * frequency), the substrate of tokenizer training and idf weighting.
     * One explode + one aggregation keyed on token: tf sums the

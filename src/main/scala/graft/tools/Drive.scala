@@ -13,20 +13,26 @@ object Drive {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     implicit val s: SparkSession = spark
-    val g = graft.api.Graft.overParquetDir(
-      graft.api.TpchCatalog.catalog, "/root/testdata/sf0.01")
+    val dir = "/root/testdata/sf0.01"
+    val names = List("customer", "orders", "lineitem", "part", "supplier",
+      "nation", "region", "documents")
+    val tables = names.map(t => t -> spark.read.parquet(s"$dir/$t.parquet")).toMap
+    val cat = graft.mapping.CatalogGen.fromTables(tables,
+      graft.mapping.CatalogGen.GenOptions(aliases = Map(
+        "customer" -> "cust", "supplier" -> "supp",
+        "lineitem" -> "line", "documents" -> "doc")))
+    val g = new graft.api.Graft(cat, tables)(spark)
     val q = """PREFIX g: <urn:g:>
-      |SELECT ?sname WHERE {
-      |  ?s a g:Supplier ; g:name ?sname ; g:nation [ g:name "NATION_3" ] .
-      |} ORDER BY ?sname""".stripMargin
-    println(graft.parser.SparqlParser.parseUnsafe(q).pattern)
+      |SELECT ?l ?cname ?qty WHERE {
+      |  ?c a g:Customer ; g:name ?cname ; g:mktsegment "BUILDING" .
+      |  ?o g:customer ?c .
+      |  ?l g:order ?o ; g:quantity ?qty .
+      |} ORDER BY ?l""".stripMargin
     val df = g.sparql(q)
+    df.explain("formatted")
+    val t0 = System.nanoTime()
     println("rows=" + df.count())
-    val q2 = """PREFIX g: <urn:g:>
-      |SELECT ?sname WHERE {
-      |  ?s a g:Supplier ; g:name ?sname ; g:nation ?b . ?b g:name "NATION_3" .
-      |} ORDER BY ?sname""".stripMargin
-    println("explicit-var rows=" + g.sparql(q2).count())
+    println(f"exec ${(System.nanoTime() - t0) / 1e9}%.2f s")
     spark.stop()
   }
 }

@@ -65,6 +65,25 @@ class Round8Spec extends SparkTestBase {
     assert(full == Set(1L, 3L), s"containment edge must fold doc 2 into doc 1: $full")
   }
 
+  // ---- splitLeakage ---------------------------------------------------------
+
+  test("splitLeakage reports exactly the near-dup pairs that straddle splits") {
+    val got = Mixture.splitLeakage(docs, valFrac = 0.3, testFrac = 0.3,
+      salt = "leak1").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    // reference: all verified pairs × independent split assignment
+    val splits = Mixture.splitAssign(docs, 0.3, 0.3, "leak1").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val pairs = Dedup.verifiedNearDups(docs, 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = pairs.map { case (a, b) => (a, b, splits(a), splits(b)) }
+      .filter(t => t._3 != t._4).toSet
+    assert(got.toSet == want)
+    assert(got.forall(t => t._3 != t._4))
+    // the fixture must actually exercise the check at this sf
+    assert(got.nonEmpty, "expected at least one straddling near-dup pair")
+  }
+
   // ---- term index × bucketing -----------------------------------------------
 
   test("term index probe: bucket-pruned scan, Exchange-free df aggregation, scan parity") {
