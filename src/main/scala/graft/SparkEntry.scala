@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.api.{Graft, TpchCatalog}
-import graft.pipeline.{Bpe, Decontaminate, Dedup, Funnels, Mixture, Multimodal, Search, Similarity, Sketches, TextAnalysis}
+import graft.pipeline.{Bpe, Decontaminate, Dedup, Funnels, Mixture, Multimodal, Prepare, Search, Similarity, Sketches, TextAnalysis}
 import graft.sources.Bucketing
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -650,6 +650,11 @@ object SparkEntry {
     "doc_split_leakage" -> ((s, d) =>
       Mixture.splitLeakage(T(s, d, "documents"),
         valFrac = 0.3, testFrac = 0.3, salt = "leak1").orderBy("a", "b")),
+    // the deployable composition: funnel -> full dedup -> split in one
+    // call; the oracle chains all three stages' SQL end-to-end
+    "doc_prepare_corpus" -> ((s, d) =>
+      Prepare.prepareCorpus(T(s, d, "documents"),
+        valFrac = 0.1, testFrac = 0.1, salt = "prep1").orderBy("doc_id")),
     "doc_rarity" -> ((s, d) =>
       Mixture.rarityProfile(T(s, d, "documents"), rareMax = 100)
         .orderBy("doc_id")),
@@ -1723,6 +1728,40 @@ object SparkEntry {
         |SELECT a, b, sa.split AS split_a, sb.split AS split_b
         |FROM pairs JOIN sp sa ON sa.doc_id = a JOIN sp sb ON sb.doc_id = b
         |WHERE sa.split <> sb.split ORDER BY a, b""".stripMargin),
+
+    // end-to-end preparation: funnel keep-rules, exact + near-dup closure
+    // over the survivors, split coin — the three stages' oracle SQL
+    // chained (keep rules mirror doc_filter_funnel; closure mirrors
+    // doc_corpus_dedup; thresholds mirror doc_split_assign)
+    "doc_prepare_corpus" -> (jaccardPairsSql(
+      from = "documents JOIN keep0 USING (doc_id) JOIN exact_keep USING (doc_id)",
+      prefixCtes =
+        """keep0 AS (SELECT doc_id FROM (
+          |  SELECT doc_id, lang, length(text) AS nc,
+          |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT) AS nt,
+          |    len(list_distinct(regexp_split_to_array(lower(text), '\s+'))) AS nd
+          |  FROM documents)
+          |  WHERE nt >= 20 AND nc <= 500 AND nd * 3 >= nt AND lang = 'en'),
+          |exact_keep AS (
+          |  SELECT min(doc_id) AS doc_id FROM documents JOIN keep0 USING (doc_id)
+          |  GROUP BY md5(text)),
+          |""".stripMargin) +
+      """,
+        |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach AS (SELECT a AS x, b AS y FROM edges
+        |  UNION SELECT r.x, e.b AS y FROM reach r JOIN edges e ON e.a = r.y),
+        |canon AS (SELECT x AS doc_id, least(x, MIN(y)) AS canonical_id
+        |  FROM reach GROUP BY x)
+        |SELECT k.doc_id AS doc_id, d.source,
+        |  CASE WHEN d.bk < 3435973836 THEN 'train'
+        |       WHEN d.bk < 3865470566 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM exact_keep k LEFT JOIN canon c ON c.doc_id = k.doc_id
+        |JOIN (SELECT doc_id, source,
+        |  ('0x' || substr(md5('prep1' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS bk
+        |  FROM documents) d ON d.doc_id = k.doc_id
+        |WHERE c.canonical_id IS NULL OR c.canonical_id = k.doc_id
+        |ORDER BY k.doc_id""".stripMargin),
 
     // deterministic split: integer bucket thresholds (floor(0.8·2³²),
     // floor(0.9·2³²)) hardcoded identically on both sides so no float

@@ -65,6 +65,36 @@ class Round8Spec extends SparkTestBase {
     assert(full == Set(1L, 3L), s"containment edge must fold doc 2 into doc 1: $full")
   }
 
+  // ---- prepareCorpus --------------------------------------------------------
+
+  test("prepareCorpus: funnel rejects and dup components are gone, splits match") {
+    val out = Prepare.prepareCorpus(docs, valFrac = 0.2, testFrac = 0.2,
+      salt = "p8").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val ids = out.map(_._1).toSet
+    // stage parity: funnel-keep set
+    val keep = TextAnalysis.filterFunnel(docs).filter(col("keep"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(keep), "prepared corpus must pass the funnel")
+    // dedup parity over the funnel survivors
+    val kept = docs.join(
+      TextAnalysis.filterFunnel(docs).filter(col("keep")).select("doc_id"),
+      Seq("doc_id"))
+    val dedupIds = Dedup.dedupCorpus(kept).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(ids == dedupIds, "prepared ids must be the dedup survivors")
+    // split parity with the standalone op
+    val splits = Mixture.splitAssign(kept, 0.2, 0.2, "p8").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out.forall { case (id, _, sp) => splits(id) == sp })
+    // and the certification loop closes: no cross-split near-dups remain
+    val leak = Mixture.splitLeakage(
+      docs.join(spark.createDataset(ids.toSeq)(org.apache.spark.sql.Encoders.scalaLong)
+        .toDF("doc_id"), Seq("doc_id")),
+      0.2, 0.2, "p8")
+    assert(leak.isEmpty, "prepared corpus must have no cross-split near-dups")
+  }
+
   // ---- splitLeakage ---------------------------------------------------------
 
   test("splitLeakage reports exactly the near-dup pairs that straddle splits") {
