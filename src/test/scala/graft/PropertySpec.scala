@@ -88,4 +88,27 @@ class PropertySpec extends AnyFunSuite {
       assert(parsed == p, s"round-trip drifted for:\n$p\nvia\n$text")
     }
   }
+
+  test("BoundedMinPairs: any partition/merge tree equals sorted.take(n)") {
+    import graft.pipeline.Sketches
+    val genRow: Gen[(String, Long, Long)] =
+      Gen.zip(Gen.const("g"), Gen.chooseNum(0L, 50L), Gen.chooseNum(0L, 1000L))
+        .map { case (g, k, p) => (g, k, p) }
+    val genStream = Gen.zip(
+      Gen.chooseNum(1, 8),                       // cap n
+      Gen.listOfN(120, genRow),                  // the group's rows
+      Gen.chooseNum(1, 6))                       // number of partitions
+    samples(genStream, 120).foreach { case (n, rows, parts) =>
+      val agg = new Sketches.BoundedMinPairs(n)
+      // fold each partition independently, then merge in pair order — an
+      // arbitrary partitioning of an arbitrary stream
+      val buffers = rows.grouped(math.max(1, rows.length / parts))
+        .map(_.foldLeft(agg.zero)(agg.reduce)).toList
+      val merged = buffers.foldLeft(agg.zero)(agg.merge)
+      val got = agg.finish(merged)
+      val want = rows.map(r => (r._2, r._3)).sorted.take(n)
+      assert(got == want,
+        s"n=$n parts=$parts: $got != $want")
+    }
+  }
 }
