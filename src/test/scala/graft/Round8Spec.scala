@@ -65,6 +65,20 @@ class Round8Spec extends SparkTestBase {
     assert(full == Set(1L, 3L), s"containment edge must fold doc 2 into doc 1: $full")
   }
 
+  test("bounded-aggregator ops plan a partial aggregate below the shuffle") {
+    // the skew-immunity contract: map tasks fold rows into <=2n-pair
+    // buffers per stratum BEFORE the exchange, so the shuffle carries
+    // merged buffers, never the corpus (plan order in toString is final
+    // agg, Exchange, partial agg)
+    for (df <- Seq(Mixture.capPerSource(docs, 5),
+                   Mixture.stratifiedSampleExact(docs, 5, "pp"))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert("(?s)ObjectHashAggregate.*Exchange.*ObjectHashAggregate".r
+        .findFirstIn(plan).isDefined,
+        s"expected a partial ObjectHashAggregate below the exchange:\n$plan")
+    }
+  }
+
   // ---- prepareCorpus --------------------------------------------------------
 
   test("prepareCorpus: funnel rejects and dup components are gone, splits match") {
