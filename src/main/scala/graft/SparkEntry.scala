@@ -759,6 +759,15 @@ object SparkEntry {
     "doc_stratified_sample" -> ((s, d) =>
       Mixture.stratifiedSampleExact(T(s, d, "documents"), n = 7, salt = "strat1")
         .orderBy("source", "doc_id")),
+    // global exact n-sample: one stratum, corpus-wide n smallest coins
+    "doc_sample_exact" -> ((s, d) =>
+      Mixture.sampleExact(T(s, d, "documents"), n = 25, salt = "g1")
+        .orderBy("doc_id")),
+    // salient terms: integer-only (tf desc, df asc, term) ranking, per-doc
+    // window (bounded partitions — not the corpus-key window pathology)
+    "doc_top_terms" -> ((s, d) =>
+      TextAnalysis.topTerms(T(s, d, "documents"), k = 3, maxDf = 390)
+        .orderBy("doc_id", "rk")),
     // duplicated positional 8-gram spans, exhaustive digest-level oracle
     "doc_dup_spans" -> ((s, d) =>
       Dedup.dupSpans(T(s, d, "documents"), k = 8, minDf = 2)
@@ -1599,6 +1608,29 @@ object SparkEntry {
         |      doc_id) AS BIGINT) AS rk
         |  FROM documents)
         |WHERE rk <= 7 ORDER BY source, doc_id""".stripMargin,
+
+    // global exact sample: corpus-wide coin order, doc_id tie-break
+    "doc_sample_exact" ->
+      """SELECT doc_id, rk FROM (
+        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY
+        |    ('0x' || substr(md5('g1' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+        |    doc_id) AS BIGINT) AS rk
+        |  FROM documents)
+        |WHERE rk <= 25 ORDER BY doc_id""".stripMargin,
+
+    // salient terms: integer ordering exactly as the engine computes it
+    "doc_top_terms" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tok WHERE len(term) > 0 GROUP BY 1, 2),
+        |d2 AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM t2 GROUP BY 1)
+        |SELECT doc_id, term, tf, df, rk FROM (
+        |  SELECT doc_id, term, tf, df,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tf DESC, df ASC, term) AS BIGINT) AS rk
+        |  FROM t2 JOIN d2 USING (term) WHERE df <= 390)
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
 
     // duplicated positional 8-gram spans: stride-1 windows, short docs
     // contribute one truncated window (withShingles convention); windows

@@ -134,6 +134,28 @@ object Mixture {
       .toDF("source", "doc_id", "rk")
   }
 
+  /** Global exact n-sample — [[stratifiedSampleExact]] with one stratum:
+    * the n smallest keyed coins corpus-wide win. Deterministic,
+    * seed-stable, nested in n, and distribution-exact (the coin is
+    * uniform and data-independent). The single final merge holds O(n)
+    * state on one task — bounded by the cap, not the corpus; partial
+    * aggregation still runs in every map task, so the shuffle carries
+    * O(n · #tasks) pairs. The distributed answer to "give me exactly
+    * 100k random docs, reproducibly" that `sample(fraction)` (row-count
+    * jitter, partition-order dependence) cannot give. */
+  def sampleExact(docs: DataFrame, n: Int, salt: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(lit("_"), keyedBucket(salt), col("doc_id"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .agg(new Sketches.BoundedMinPairs(n).toColumn)
+      .flatMap { case (_, pairs) =>
+        pairs.iterator.zipWithIndex.map { case ((_, id), i) => (id, (i + 1).toLong) }
+      }
+      .toDF("doc_id", "rk")
+  }
+
   /** Cross-split contamination report — the check every training
     * pipeline owes its eval sets: near-duplicate pairs that straddle a
     * split boundary ([[splitAssign]]'s keyed coin keys on doc_id, so

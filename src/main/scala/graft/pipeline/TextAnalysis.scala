@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines. Everything is
@@ -46,6 +47,36 @@ object TextAnalysis {
           .when(col("lang") =!= "en", "non_english")
           .as("first_fail"))
       .withColumn("keep", col("first_fail").isNull)
+  }
+
+  /** Salient terms per document — keyword extraction with an INTEGER-only
+    * ordering (tf desc, then df asc, then term), so the ranking is exact
+    * and engine-portable where a float tf·idf rank could flip on a last-ulp
+    * log difference. `maxDf` drops corpus-wide stopwords from contention
+    * (saliency needs rarity; the cap also bounds the df join's output).
+    * Emits (doc_id, term, tf, df, rk ≤ k).
+    *
+    * The `row_number` window here partitions by doc_id — each partition is
+    * one document's distinct terms, bounded by document length, so the
+    * skewed-window pathology ([[graft.pipeline.Mixture.rarityProfile]]'s
+    * round-6 defect: windows over CORPUS keys, where one partition can be
+    * 10 % of the data) cannot occur: per-key state is document-sized at
+    * any corpus scale. Document frequency aggregates over the (doc, term)
+    * pre-aggregate, never the raw token stream. */
+  def topTerms(docs: DataFrame, k: Int = 3, maxDf: Long = 50): DataFrame = {
+    require(k >= 1 && maxDf >= 1, s"bad k=$k / maxDf=$maxDf")
+    val tf = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfByTerm = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(dfByTerm, Seq("term"))
+      .filter(col("df") <= maxDf)
+      .withColumn("rk", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("tf").desc, col("df").asc, col("term"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("term"), col("tf").cast("long").as("tf"),
+        col("df").cast("long").as("df"), col("rk"))
   }
 
   /** Quality scoring: raw integer counts (deterministic across engines) +

@@ -65,6 +65,36 @@ class Round8Spec extends SparkTestBase {
     assert(full == Set(1L, 3L), s"containment edge must fold doc 2 into doc 1: $full")
   }
 
+  test("sampleExact: global n-sample is seed-stable, nested, and coin-ordered") {
+    val a = Mixture.sampleExact(docs, 10, "gs").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a.size == 10 && a.map(_._2) == (1L to 10L).toSet)
+    val a2 = Mixture.sampleExact(docs, 10, "gs").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == a2)
+    val small = Mixture.sampleExact(docs, 4, "gs").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(small == a.filter(_._2 <= 4))
+  }
+
+  test("topTerms: per-doc ranking matches a brute-force recomputation") {
+    val got = TextAnalysis.topTerms(docs, k = 2, maxDf = 20).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // brute force on the driver
+    val toks = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty))
+    val tf = toks.flatMap { case (id, ws) => ws.map(w => (id, w)) }
+      .groupBy(identity).map { case ((id, w), xs) => (id, w, xs.length.toLong) }.toSeq
+    val dfm = tf.groupBy(_._2).map { case (w, xs) => w -> xs.length.toLong }
+    val want = tf.map { case (id, w, n) => (id, w, n, dfm(w)) }
+      .filter(_._4 <= 20)
+      .groupBy(_._1).flatMap { case (_, rows) =>
+        rows.sortBy(t => (-t._3, t._4, t._2)).take(2).zipWithIndex
+          .map { case ((id, w, n, d), i) => (id, w, n, d, (i + 1).toLong) }
+      }.toSet
+    assert(got.toSet == want)
+  }
+
   test("bounded-aggregator ops plan a partial aggregate below the shuffle") {
     // the skew-immunity contract: map tasks fold rows into <=2n-pair
     // buffers per stratum BEFORE the exchange, so the shuffle carries
