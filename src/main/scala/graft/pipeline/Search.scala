@@ -103,13 +103,46 @@ object Search {
     val table = Bucketing.tableName(dir, "term_index", layout)
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_buckets/" +
       s"${Bucketing.tableName(dir, "", layout)}/term_index"
-    val tfAll = docs
+    Bucketing.materialize(spark, table, termStats(docs), Seq("term"), buckets, path)
+    spark.table(table)
+  }
+
+  /** The index row shape shared by build and append: exact per-(term,
+    * doc) tf plus the document length. */
+  private def termStats(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         size(split(lower(col("text")), "\\s+")).cast("long").as("dl"),
         explode(split(lower(col("text")), "\\s+")).as("term"))
       .groupBy("term", "doc_id")
       .agg(count(lit(1)).cast("long").as("tf"), min("dl").as("dl"))
-    Bucketing.materialize(spark, table, tfAll, Seq("term"), buckets, path)
+
+  /** Append newly-crawled documents into an existing [[buildTermIndex]]
+    * layout — the growing-crawl twin of
+    * [[graft.pipeline.Similarity.addToIvfIndex]]. The new docs' stats
+    * write with the SAME bucket spec (term buckets), so pruning and the
+    * Exchange-free probe partitioning survive appends — those live in
+    * the table's bucket metadata, not the file count. What appends give
+    * up is the one-file-per-bucket sort elision (each append adds one
+    * file per touched bucket); re-run [[buildTermIndex]] offline when
+    * file counts warrant compaction, the same re-train trigger
+    * discipline as the IVF index. Document frequency is derived at
+    * query time from index contents, so appended docs are visible to
+    * the next probe with corpus-consistent df. CONTRACT: appended
+    * doc_ids are NEW (a re-crawled id would double-count its tf rows —
+    * exact dedup upstream owns identity). The index table must already
+    * be registered in this session ([[buildTermIndex]] re-registers
+    * existing layouts from their marker). */
+  def addToTermIndex(spark: SparkSession, newDocs: DataFrame, dir: String,
+                     buckets: Int = 16): DataFrame = {
+    val table = Bucketing.tableName(dir, "term_index", s"term@$buckets")
+    require(spark.catalog.tableExists(table),
+      s"term index $table not registered — call buildTermIndex first")
+    termStats(newDocs)
+      .repartition(buckets, col("term"))
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "term").sortBy("term")
+      .saveAsTable(table)
     spark.table(table)
   }
 

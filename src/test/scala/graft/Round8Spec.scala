@@ -65,6 +65,28 @@ class Round8Spec extends SparkTestBase {
     assert(full == Set(1L, 3L), s"containment edge must fold doc 2 into doc 1: $full")
   }
 
+  test("addToTermIndex: append-then-probe equals the full-corpus index") {
+    val first = docs.filter(col("doc_id") < 300)
+    val rest = docs.filter(col("doc_id") >= 300)
+    // distinct identity string -> distinct table + path; same data dir
+    val idx = Search.buildTermIndex(spark, first, sfDir + "#inc", buckets = 4)
+    val before = Search.indexedKeywordStats(idx, Seq("join", "stream"))
+      .collect().map(_.toSeq).toSet
+    val idx2 = Search.addToTermIndex(spark, rest, sfDir + "#inc", buckets = 4)
+    val after = Search.indexedKeywordStats(idx2, Seq("join", "stream"))
+      .collect().map(_.toSeq).toSet
+    val full = Search.keywordStats(docs, Seq("join", "stream"))
+      .collect().map(_.toSeq).toSet
+    assert(after == full, "appended index must serve corpus-consistent stats")
+    assert(before != after, "the append must actually change the index")
+    // probe over the appended layout still prunes buckets and stays
+    // Exchange-free — the spec lives in table metadata, not file counts
+    val plan = Search.indexedKeywordStats(idx2, Seq("join", "stream"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount") &&
+      !plan.contains("Exchange hashpartitioning"), plan)
+  }
+
   test("sampleExact: global n-sample is seed-stable, nested, and coin-ordered") {
     val a = Mixture.sampleExact(docs, 10, "gs").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
