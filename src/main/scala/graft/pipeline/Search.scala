@@ -128,17 +128,21 @@ object Search {
     * file counts warrant compaction, the same re-train trigger
     * discipline as the IVF index. Document frequency is derived at
     * query time from index contents, so appended docs are visible to
-    * the next probe with corpus-consistent df. CONTRACT: appended
-    * doc_ids are NEW (a re-crawled id would double-count its tf rows —
-    * exact dedup upstream owns identity). The index table must already
-    * be registered in this session ([[buildTermIndex]] re-registers
-    * existing layouts from their marker). */
+    * the next probe with corpus-consistent df. Appends are IDEMPOTENT
+    * per doc_id: the batch anti-joins against the ids already indexed
+    * (fresh read, the dedup-store admit discipline — a retried or
+    * replayed batch leaves the index byte-identical instead of
+    * double-counting tf rows; near-dup identity still belongs to exact
+    * dedup upstream). The index table must already be registered in
+    * this session ([[buildTermIndex]] re-registers existing layouts
+    * from their marker). */
   def addToTermIndex(spark: SparkSession, newDocs: DataFrame, dir: String,
                      buckets: Int = 16): DataFrame = {
     val table = Bucketing.tableName(dir, "term_index", s"term@$buckets")
     require(spark.catalog.tableExists(table),
       s"term index $table not registered — call buildTermIndex first")
-    termStats(newDocs)
+    val indexed = spark.table(table).select("doc_id").distinct()
+    termStats(newDocs.join(indexed, Seq("doc_id"), "left_anti"))
       .repartition(buckets, col("term"))
       .write.mode("append").format("parquet")
       .bucketBy(buckets, "term").sortBy("term")

@@ -68,17 +68,27 @@ class Round8Spec extends SparkTestBase {
   test("addToTermIndex: append-then-probe equals the full-corpus index") {
     val first = docs.filter(col("doc_id") < 300)
     val rest = docs.filter(col("doc_id") >= 300)
-    // distinct identity string -> distinct table + path; same data dir
-    val idx = Search.buildTermIndex(spark, first, sfDir + "#inc", buckets = 4)
+    // per-RUN unique identity string -> fresh table + path every run (a
+    // fixed identity would re-register the PREVIOUS run's already-appended
+    // layout from its marker — exactly the cross-JVM reuse materialize
+    // provides — and 'before' would start at the full corpus)
+    val ident = sfDir + "#inc-" + java.util.UUID.randomUUID().toString.take(8)
+    val idx = Search.buildTermIndex(spark, first, ident, buckets = 4)
     val before = Search.indexedKeywordStats(idx, Seq("join", "stream"))
       .collect().map(_.toSeq).toSet
-    val idx2 = Search.addToTermIndex(spark, rest, sfDir + "#inc", buckets = 4)
+    val idx2 = Search.addToTermIndex(spark, rest, ident, buckets = 4)
     val after = Search.indexedKeywordStats(idx2, Seq("join", "stream"))
       .collect().map(_.toSeq).toSet
     val full = Search.keywordStats(docs, Seq("join", "stream"))
       .collect().map(_.toSeq).toSet
     assert(after == full, "appended index must serve corpus-consistent stats")
     assert(before != after, "the append must actually change the index")
+    // idempotence: replaying the same batch must change nothing (the
+    // anti-join admit discipline — a retry cannot double-count tf rows)
+    val again = Search.addToTermIndex(spark, rest, ident, buckets = 4)
+    val replayed = Search.indexedKeywordStats(again, Seq("join", "stream"))
+      .collect().map(_.toSeq).toSet
+    assert(replayed == full, "a replayed append must be a no-op")
     // probe over the appended layout still prunes buckets and stays
     // Exchange-free — the spec lives in table metadata, not file counts
     val plan = Search.indexedKeywordStats(idx2, Seq("join", "stream"))
