@@ -763,6 +763,12 @@ object SparkEntry {
     "doc_sample_exact" -> ((s, d) =>
       Mixture.sampleExact(T(s, d, "documents"), n = 25, salt = "g1")
         .orderBy("doc_id")),
+    // token-budget mixture: histogram -> threshold -> map filter; budgets
+    // hit interior, boundary (= total), and exceeds-total thresholds
+    "doc_token_budget" -> ((s, d) =>
+      Mixture.mixtureByTokenBudget(T(s, d, "documents"),
+        Seq("src0" -> 700L, "src1" -> 1540L, "src2" -> 10000L, "src3" -> 400L),
+        salt = "tb1").orderBy("doc_id")),
     // salient terms: integer-only (tf desc, df asc, term) ranking, per-doc
     // window (bounded partitions — not the corpus-key window pathology)
     "doc_top_terms" -> ((s, d) =>
@@ -1617,6 +1623,27 @@ object SparkEntry {
         |    doc_id) AS BIGINT) AS rk
         |  FROM documents)
         |WHERE rk <= 25 ORDER BY doc_id""".stripMargin,
+
+    // token-budget mixture: identical integer pipeline — coin >> 22 into
+    // 1024 buckets, per-source cumulative token sums, smallest threshold
+    // bucket with cum >= budget (fallback 1023 keeps short sources whole)
+    "doc_token_budget" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    (('0x' || substr(md5('tb1' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT >> 22) AS cb
+        |  FROM documents),
+        |b(source, budget) AS (VALUES
+        |  ('src0', 700), ('src1', 1540), ('src2', 10000), ('src3', 400)),
+        |h AS (SELECT source, cb, SUM(n_tokens) AS tk FROM t JOIN b USING (source)
+        |  GROUP BY 1, 2),
+        |c AS (SELECT source, cb,
+        |    SUM(tk) OVER (PARTITION BY source ORDER BY cb) AS cum FROM h),
+        |th AS (SELECT b.source, coalesce(
+        |    (SELECT min(cb) FROM c WHERE c.source = b.source AND c.cum >= b.budget),
+        |    1023) AS t FROM b)
+        |SELECT t.doc_id, t.source, t.n_tokens
+        |FROM t JOIN th ON t.source = th.source AND t.cb <= th.t
+        |ORDER BY doc_id""".stripMargin,
 
     // salient terms: integer ordering exactly as the engine computes it
     "doc_top_terms" ->

@@ -134,6 +134,58 @@ object Mixture {
       .toDF("source", "doc_id", "rk")
   }
 
+  /** Token-budget mixture — the modern pretraining mix: "this many
+    * TOKENS from each source", not a document rate ([[mixtureSample]])
+    * or count ([[stratifiedSampleExact]]). Documents are ordered by the
+    * same keyed md5 coin (uniform, data-independent ⇒ the selection is a
+    * uniform random subset) and each source keeps its coin-order prefix
+    * whose token sum first reaches the budget.
+    *
+    * Scale shape — NOT a per-source running-sum window (a corpus-key
+    * window is one unsplittable task per source, the round-6 defect
+    * class). Instead: (1) one aggregation of token counts into 1024
+    * coin-prefix buckets per source (`#sources × 1024` rows — driver
+    * fetch bounded by construction); (2) the driver walks each source's
+    * buckets in coin order and picks the smallest bucket threshold T
+    * with cumulative tokens ≥ budget (sources whose total falls short
+    * keep everything); (3) a map-only filter `coin_bucket ≤ T(source)`
+    * over the corpus. Granularity is the bucket (~1/1024 of a source's
+    * coin range): the kept set OVERSHOOTS the budget by at most one
+    * bucket's tokens — deterministic, integer-exact on both engines,
+    * and refinable by raising `buckets`, the honest trade for never
+    * shuffling the corpus. Emits (doc_id, source, n_tokens). */
+  def mixtureByTokenBudget(docs: DataFrame, budgets: Seq[(String, Long)],
+                           salt: String, buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2 && Integer.bitCount(buckets) == 1 && buckets <= (1 << 20),
+      s"buckets must be a power of two in [2, 2^20], got $buckets")
+    require(budgets.nonEmpty && budgets.forall(_._2 >= 0), s"bad budgets $budgets")
+    val shift = 32 - Integer.numberOfTrailingZeros(buckets)
+    val bucketCol = shiftRight(keyedBucket(salt), shift).cast("int")
+    val toks = docs.select(col("doc_id"), col("source"),
+      size(split(lower(col("text")), "\\s+")).cast("long").as("n_tokens"),
+      bucketCol.as("cb"))
+    val budgetMap = budgets.toMap
+    val hist = toks.filter(col("source").isin(budgetMap.keys.toSeq: _*))
+      .groupBy("source", "cb").agg(sum("n_tokens").as("t"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    // per source: smallest threshold bucket with cumulative tokens >= budget
+    val thresholds = hist.groupBy(_._1).map { case (src, rows) =>
+      val byBucket = rows.sortBy(_._2)
+      var cum = 0L
+      var t = buckets - 1
+      var found = false
+      byBucket.foreach { case (_, cb, n) =>
+        if (!found) { cum += n; if (cum >= budgetMap(src)) { t = cb; found = true } }
+      }
+      src -> t
+    }
+    val thCol = thresholds.foldLeft(lit(-1): Column) {
+      case (acc, (src, t)) => when(col("source") === src, lit(t)).otherwise(acc)
+    }
+    toks.filter(col("cb") <= thCol)
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+  }
+
   /** Global exact n-sample — [[stratifiedSampleExact]] with one stratum:
     * the n smallest keyed coins corpus-wide win. Deterministic,
     * seed-stable, nested in n, and distribution-exact (the coin is

@@ -109,6 +109,33 @@ class Round8Spec extends SparkTestBase {
     assert(small == a.filter(_._2 <= 4))
   }
 
+  test("mixtureByTokenBudget: prefix semantics, budget reach, short-source keep-all") {
+    val budgets = Seq("src0" -> 700L, "src1" -> 100000L)
+    val got = Mixture.mixtureByTokenBudget(docs, budgets, "tbs").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySrc = got.groupBy(_._2)
+    // only budgeted sources appear
+    assert(bySrc.keySet == Set("src0", "src1"))
+    // a budget beyond the source total keeps the whole source
+    val allSrc1 = docs.filter(col("source") === "src1").count()
+    assert(bySrc("src1").length == allSrc1)
+    // the kept set reaches the budget (or is the whole source), and is a
+    // COIN-ORDER PREFIX: every kept doc's coin bucket <= every dropped one's
+    val keptTokens = bySrc("src0").map(_._3).sum
+    assert(keptTokens >= 700L, s"budget not reached: $keptTokens")
+    val coin = conv(substring(
+      md5(concat(lit("tbs"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+    val src0 = docs.filter(col("source") === "src0")
+      .select(col("doc_id"), (coin / lit(1L << 22)).cast("int").as("cb"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val keptIds = bySrc("src0").map(_._1).toSet
+    val maxKept = keptIds.map(src0).max
+    val droppedBuckets = src0.filterNot { case (id, _) => keptIds(id) }.values
+    assert(droppedBuckets.forall(_ > maxKept),
+      "kept set must be a coin-bucket prefix")
+  }
+
   test("topTerms: per-doc ranking matches a brute-force recomputation") {
     val got = TextAnalysis.topTerms(docs, k = 2, maxDf = 20).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
