@@ -160,7 +160,7 @@ object Mixture {
       s"buckets must be a power of two in [2, 2^20], got $buckets")
     require(budgets.nonEmpty && budgets.forall(_._2 >= 0), s"bad budgets $budgets")
     val shift = 32 - Integer.numberOfTrailingZeros(buckets)
-    val bucketCol = shiftRight(keyedBucket(salt), shift).cast("int")
+    val bucketCol = shiftright(keyedBucket(salt), shift).cast("int")
     val toks = docs.select(col("doc_id"), col("source"),
       size(split(lower(col("text")), "\\s+")).cast("long").as("n_tokens"),
       bucketCol.as("cb"))
