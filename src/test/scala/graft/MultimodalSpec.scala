@@ -74,4 +74,48 @@ class MultimodalSpec extends SparkTestBase {
     // the input repartition is the only exchange; the resize itself adds none
     assert(plan.split("Exchange").length - 1 <= 1)
   }
+
+  /** Deterministic 16-bit mono WAV: a full-scale square wave (RMS = full
+    * scale exactly, so the ‰ loudness is 1000 with no float ambiguity). */
+  private def wav(seed: Int, sampleRate: Float, nFrames: Int,
+                  amplitude: Short): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+    val pcm = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val s: Short = if (((i / 8) + seed) % 2 == 0) amplitude
+                     else (-amplitude).toShort
+      pcm(i * 2) = (s & 0xff).toByte
+      pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("extractAudioFeatures decodes real WAV: rate, frames, duration, exact RMS") {
+    implicit val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, wav(0, 16000f, 16000, 16384)),   // 1 s @ 16 kHz, half scale
+      (2L, wav(1, 8000f, 2000, 32767)),     // 250 ms @ 8 kHz, full scale
+      (3L, "definitely not audio".getBytes("UTF-8"))) // undecodable
+      .toDF("doc_id", "payload")
+    val got = Multimodal.extractAudioFeatures(rows).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(got.keySet == Set(1L, 2L)) // doc 3 dropped, not an error
+    assert(got(1L).sample_rate == 16000L && got(1L).channels == 1L &&
+      got(1L).bits == 16L && got(1L).n_frames == 16000L &&
+      got(1L).duration_ms == 1000L)
+    assert(got(2L).sample_rate == 8000L && got(2L).n_frames == 2000L &&
+      got(2L).duration_ms == 250L)
+    // square wave RMS = amplitude: half scale -> 500 per mille (16384/32768
+    // exactly); full scale -> round(32767/32768*1000) = 1000
+    assert(got(1L).rms_x1000 == 500L, s"got ${got(1L).rms_x1000}")
+    assert(got(2L).rms_x1000 == 1000L, s"got ${got(2L).rms_x1000}")
+  }
 }
