@@ -166,10 +166,19 @@ class BucketingSpec extends SparkTestBase {
   }
 
   test("re-materialization in the same session is free (idempotence guard)") {
-    val t0 = System.nanoTime()
+    // assert the BEHAVIOR (no rewrite: file mtimes untouched, no new
+    // files), not a wall-clock bound — a latency assertion flaked at
+    // 1644 ms on a noisy host whose calib drifted 2x (round-8 forensics)
     Bucketing.bucketedTable(spark, sfDir, "orders", Seq("o_orderkey"), 8)
-    val ms = (System.nanoTime() - t0) / 1e6
-    assert(ms < 500, s"cached materialization took ${ms}ms")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_buckets/" +
+      s"${Bucketing.tableName(sfDir, "", "o_orderkey@8")}/orders"
+    def snapshot() = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("part-"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    val before = snapshot()
+    Bucketing.bucketedTable(spark, sfDir, "orders", Seq("o_orderkey"), 8)
+    assert(snapshot() == before,
+      "cached re-materialization must not touch the layout files")
   }
 
   test("distinct (dir, layout) pairs cannot alias to one table") {

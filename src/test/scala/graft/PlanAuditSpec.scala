@@ -241,6 +241,29 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), s"chunking should not shuffle:\n$plan")
   }
 
+  test("splitLeakage joins ride the tiny pair list: split side broadcasts, no Window") {
+    val docs = t("documents")
+    val df = graft.pipeline.Mixture.splitLeakage(docs, 0.3, 0.3, "pa")
+    val plan = executed(df)
+    // the (doc_id, split) projections are corpus-scans but the join keys
+    // come from the checkpointed pair list — AQE must broadcast one side
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the pair-list joins to broadcast:\n$plan")
+    assert(!plan.contains("Window"), s"no window belongs in leakage:\n$plan")
+  }
+
+  test("token-budget mixture output is a map-only filter over one scan") {
+    val docs = t("documents")
+    val df = graft.pipeline.Mixture.mixtureByTokenBudget(
+      docs, Seq("src0" -> 500L, "src1" -> 500L), "pa2")
+    val plan = executed(df)
+    // thresholds were resolved driver-side; the returned frame must be
+    // scan -> project/filter with no exchange, no join, no window
+    assert(!plan.contains("Exchange") && !plan.contains("Join") &&
+      !plan.contains("Window"),
+      s"token-budget selection must stay map-only:\n$plan")
+  }
+
   test("extension-injected SQL functions: shingle_ids / simhash64 / minhash_bands") {
     val ext = new graft.functions.GraftExtensions
     // session already exists; register via the same builders the extension uses
