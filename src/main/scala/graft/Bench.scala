@@ -28,7 +28,11 @@ object Bench {
     // warmup — the measured queries still scan the full tables cold
     try {
       val docSample = spark.read.parquet(s"$sfDir/documents.parquet").limit(64)
-      graft.pipeline.Dedup.verifiedNearDups(docSample)
+      // the full dedup composition (exact groupBy + LSH + containment
+      // index + components + union-find) — its first cold run otherwise
+      // pays ~10 s of JIT/codegen that lands in whichever measured query
+      // hits the path first
+      graft.pipeline.Dedup.dedupCorpusWithContainment(docSample)
         .write.format("noop").mode("overwrite").save()
       graft.pipeline.Dedup.simhashNearDups(docSample)
         .write.format("noop").mode("overwrite").save()
@@ -82,6 +86,15 @@ object Bench {
         // memoize driver-side objects, table reads are lazy.
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
+        // heavy runs also get the cleaner's GC trigger BETWEEN runs (still
+        // outside the timer): a multi-stage composition leaves dozens of
+        // shuffles + broadcasts whose cleanup is reference-triggered, and
+        // with gc only per query GROUP, run 2 and 3 of the same heavy
+        // query pay rising eviction/GC tax — round-8's driver bench
+        // measured doc_prepare_corpus growing monotonically [2.9 → 6.7 →
+        // 13.5 s] across its three runs. Sub-second queries skip it (a
+        // full GC costs more than they do).
+        if (t > 2.0) System.gc()
         t
       }
       // also outside the timer: give ContextCleaner its GC trigger. Shuffle

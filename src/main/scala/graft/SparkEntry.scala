@@ -1775,8 +1775,21 @@ object SparkEntry {
     // cross-split leakage: the exact Jaccard pair set joined against the
     // md5-coin split (thresholds floor(0.4·2³²)=1717986918,
     // floor(0.7·2³²)=3006477107 — integer, engine-identical)
-    "doc_split_leakage" -> (JACCARD_PAIRS_SQL +
+    // edge staging mirrors the Spark side exactly: exact groups collapse
+    // first (star edges keep_id<->member), near-dup Jaccard runs over one
+    // representative per exact group
+    "doc_split_leakage" -> (jaccardPairsSql(
+      from = "documents JOIN exact_keep USING (doc_id)",
+      prefixCtes =
+        """eg AS (SELECT md5(text) AS h, min(doc_id) AS keep_id
+          |  FROM documents GROUP BY 1),
+          |exact_keep AS (SELECT keep_id AS doc_id FROM eg),
+          |exact_edges AS (SELECT g.keep_id AS a, d.doc_id AS b
+          |  FROM documents d JOIN eg g ON md5(d.text) = g.h
+          |  WHERE d.doc_id <> g.keep_id),
+          |""".stripMargin) +
       """,
+        |all_edges AS (SELECT a, b FROM pairs UNION SELECT a, b FROM exact_edges),
         |sp AS (SELECT doc_id,
         |  CASE WHEN bk < 1717986918 THEN 'train'
         |       WHEN bk < 3006477107 THEN 'val'
@@ -1785,7 +1798,7 @@ object SparkEntry {
         |  ('0x' || substr(md5('leak1' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS bk
         |  FROM documents))
         |SELECT a, b, sa.split AS split_a, sb.split AS split_b
-        |FROM pairs JOIN sp sa ON sa.doc_id = a JOIN sp sb ON sb.doc_id = b
+        |FROM all_edges JOIN sp sa ON sa.doc_id = a JOIN sp sb ON sb.doc_id = b
         |WHERE sa.split <> sb.split ORDER BY a, b""".stripMargin),
 
     // end-to-end preparation: funnel keep-rules, exact + near-dup closure

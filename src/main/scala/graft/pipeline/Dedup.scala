@@ -533,6 +533,17 @@ object Dedup {
     val keepIds = canon
       .filter(col("canonical_id") === col("doc_id")).select("doc_id")
       .localCheckpoint()
+    // keepIds (survivor ids only — the one block the result still needs)
+    // is materialized above, so the edge list's checkpoint blocks
+    // ([[verifiedNearDups]] / [[containmentPairs]] output) and the
+    // distributed-components label cache are dead weight from here:
+    // release them NOW rather than waiting for the GC-driven
+    // ContextCleaner (periodic GC is 30 min — repeated compositions in
+    // one session otherwise stack dead checkpoint blocks that evict the
+    // next call's live persists; round-8 bench measured exactly that as
+    // run-over-run growth on this family).
+    org.apache.spark.sql.GraftBridge.freeCheckpoint(pairs)
+    canon.unpersist()
     exactKeep.unpersist()
     // post-unpersist, this re-derives the exact-survivor lineage once at
     // the caller's action (no pinned blocks survive the call)

@@ -209,30 +209,57 @@ object Mixture {
   }
 
   /** Cross-split contamination report — the check every training
-    * pipeline owes its eval sets: near-duplicate pairs that straddle a
-    * split boundary ([[splitAssign]]'s keyed coin keys on doc_id, so
-    * VERBATIM duplicates of one doc_id land together, but near-dups
-    * with different ids land independently — a val/test doc whose
-    * near-twin sits in train inflates eval scores exactly like
-    * benchmark contamination). Emits one row per leaking ORDERED-by-id
-    * pair with both sides' splits; empty result = clean splits. Run it
-    * AFTER dedup to certify, or before to quantify what dedup must
-    * remove.
+    * pipeline owes its eval sets: duplicate pairs (verbatim OR near)
+    * that straddle a split boundary ([[splitAssign]]'s keyed coin keys
+    * on doc_id, so near/exact twins with different ids land
+    * independently — a val/test doc whose twin sits in train inflates
+    * eval scores exactly like benchmark contamination). Emits one row
+    * per leaking ORDERED-by-id pair with both sides' splits; empty
+    * result = clean splits. Run it AFTER dedup to certify, or before to
+    * quantify what dedup must remove.
     *
-    * Scale shape: the pair list comes from the banded/verified near-dup
-    * path ([[Dedup.verifiedNearDups]] — never all-pairs), and the split
+    * The edge set is staged exactly like [[Dedup.dedupCorpus]]: exact
+    * groups collapse FIRST (md5 groupBy — the star edges keep_id↔member
+    * report verbatim-dup leaks directly), and the LSH/Jaccard pass runs
+    * over one representative per exact group. Staging is what makes the
+    * "empty = clean" claim hold: a 10k-copy verbatim family would
+    * overflow the banded candidate generator's per-bucket cap if fed
+    * raw (its cross-split leaks silently dropped — the one failure mode
+    * a certificate cannot have), but collapsed it contributes one rep,
+    * and since exact dups share text verbatim, near-dup relations
+    * factor through the reps: any cross-split twin pair implies either
+    * a straddling star edge or a straddling rep pair.
+    *
+    * Scale shape: the exact stage is a fixed-width digest groupBy, the
+    * pair list comes from the banded/verified near-dup path
+    * ([[Dedup.verifiedNearDups]] — never all-pairs), and the split
     * labels are the map-only coin, so the only added work is two joins
-    * of the (tiny) pair list against the (doc_id, split) projection —
-    * both broadcast-sized relative to the corpus. */
+    * of the (tiny) edge list against the (doc_id, split) projection —
+    * both broadcast-sized relative to the corpus. The report is
+    * materialized eagerly (it is leak-sized) and the near-dup stage's
+    * checkpoint blocks are released before returning — the
+    * [[Dedup.dedupCorpus]] storage-lifecycle discipline. */
   def splitLeakage(docs: DataFrame, valFrac: Double, testFrac: Double,
                    salt: String, threshold: Double = 0.7): DataFrame = {
     val splits = splitAssign(docs, valFrac, testFrac, salt)
       .select(col("doc_id"), col("split"))
-    Dedup.verifiedNearDups(docs, threshold)
+    val groups = Dedup.exactGroups(docs).select("text_hash", "keep_id")
+    val exactEdges = docs
+      .select(md5(col("text")).as("text_hash"), col("doc_id"))
+      .join(groups, Seq("text_hash"))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("keep_id").as("a"), col("doc_id").as("b"))
+    val reps = docs.join(
+      groups.select(col("keep_id").as("doc_id")), Seq("doc_id"))
+    val nearPairs = Dedup.verifiedNearDups(reps, threshold).select("a", "b")
+    val report = nearPairs.unionByName(exactEdges).distinct()
       .join(splits.select(col("doc_id").as("a"), col("split").as("split_a")), "a")
       .join(splits.select(col("doc_id").as("b"), col("split").as("split_b")), "b")
       .filter(col("split_a") =!= col("split_b"))
       .select(col("a"), col("b"), col("split_a"), col("split_b"))
+      .localCheckpoint()
+    org.apache.spark.sql.GraftBridge.freeCheckpoint(nearPairs)
+    report
   }
 
   /** Corpus vocabulary table — (token, term frequency, document
