@@ -101,10 +101,39 @@ object Search {
                      buckets: Int = 16): DataFrame = {
     val layout = s"term@$buckets"
     val table = Bucketing.tableName(dir, "term_index", layout)
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_buckets/" +
-      s"${Bucketing.tableName(dir, "", layout)}/term_index"
-    Bucketing.materialize(spark, table, termStats(docs), Seq("term"), buckets, path)
+    val path = termIndexPath(dir, layout)
+    // the corpus fingerprint rides in the layout marker: the cross-JVM
+    // register fast path must vouch for the DATA, not just the (dir,
+    // layout) strings — a regenerated corpus passed with the same dir
+    // would otherwise silently serve the stale index
+    Bucketing.materialize(spark, table, termStats(docs), Seq("term"), buckets,
+      path, extraIdentity = corpusFingerprint(docs))
     spark.table(table)
+  }
+
+  private def termIndexPath(dir: String, layout: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_buckets/" +
+      s"${Bucketing.tableName(dir, "", layout)}/term_index"
+
+  /** Data identity of a corpus frame, for the layout marker: file-backed
+    * frames digest their input files' (path, length, mtime) — metadata
+    * RPCs only, already paid by the scan's own listing; in-memory frames
+    * (tests, notebook literals) fall back to the analyzed plan's semantic
+    * hash. Either way, a changed corpus produces a different identity and
+    * invalidates the cached layout. */
+  private def corpusFingerprint(docs: DataFrame): String = {
+    val files = docs.inputFiles
+    val md = java.security.MessageDigest.getInstance("MD5")
+    if (files.nonEmpty) {
+      val conf = docs.sparkSession.sparkContext.hadoopConfiguration
+      files.sorted.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val st = p.getFileSystem(conf).getFileStatus(p)
+        md.update(s"$f|${st.getLen}|${st.getModificationTime}\n".getBytes("UTF-8"))
+      }
+    } else md.update(
+      ("plan:" + docs.queryExecution.analyzed.semanticHash()).getBytes("UTF-8"))
+    md.digest().take(8).map(b => f"$b%02x").mkString
   }
 
   /** The index row shape shared by build and append: exact per-(term,
@@ -133,21 +162,47 @@ object Search {
     * (fresh read, the dedup-store admit discipline — a retried or
     * replayed batch leaves the index byte-identical instead of
     * double-counting tf rows; near-dup identity still belongs to exact
-    * dedup upstream). The index table must already be registered in
+    * dedup upstream). Concurrent appenders serialize on the layout's
+    * sibling write lock ([[graft.sources.Bucketing.withWriteLock]]) —
+    * the idempotence anti-join snapshots the already-indexed ids BEFORE
+    * writing, so two unserialized appenders of overlapping batches
+    * would both see the pre-append snapshot and double-count the
+    * overlap's tf rows. The index table must already be registered in
     * this session ([[buildTermIndex]] re-registers existing layouts
     * from their marker). */
   def addToTermIndex(spark: SparkSession, newDocs: DataFrame, dir: String,
                      buckets: Int = 16): DataFrame = {
-    val table = Bucketing.tableName(dir, "term_index", s"term@$buckets")
+    val layout = s"term@$buckets"
+    val table = Bucketing.tableName(dir, "term_index", layout)
     require(spark.catalog.tableExists(table),
       s"term index $table not registered — call buildTermIndex first")
-    val indexed = spark.table(table).select("doc_id").distinct()
-    termStats(newDocs.join(indexed, Seq("doc_id"), "left_anti"))
-      .repartition(buckets, col("term"))
-      .write.mode("append").format("parquet")
-      .bucketBy(buckets, "term").sortBy("term")
-      .saveAsTable(table)
+    Bucketing.withWriteLock(spark, termIndexPath(dir, layout)) {
+      val indexed = spark.table(table).select("doc_id").distinct()
+      termStats(newDocs.join(indexed, Seq("doc_id"), "left_anti"))
+        .repartition(buckets, col("term"))
+        .write.mode("append").format("parquet")
+        .bucketBy(buckets, "term").sortBy("term")
+        .saveAsTable(table)
+    }
     spark.table(table)
+  }
+
+  /** Restore the one-file-per-bucket layout after append growth — the
+    * [[graft.pipeline.Dedup.compactStore]] analogue for the term index
+    * (each [[addToTermIndex]] adds one file per touched bucket; a crawl
+    * appending daily degrades probe scans within weeks). Offline rewrite
+    * under the tmp/bak swap via [[graft.sources.Bucketing
+    * .compactInPlace]]: bucket pruning and the Exchange-free df
+    * aggregation live in the bucket spec, which the swap preserves —
+    * only the file count changes. */
+  def compactTermIndex(spark: SparkSession, dir: String,
+                       buckets: Int = 16): Unit = {
+    val layout = s"term@$buckets"
+    val table = Bucketing.tableName(dir, "term_index", layout)
+    require(spark.catalog.tableExists(table),
+      s"term index $table not registered — call buildTermIndex first")
+    Bucketing.compactInPlace(spark, table, Seq("term"), buckets,
+      termIndexPath(dir, layout))
   }
 
   /** [[keywordStats]] served from a [[buildTermIndex]] table instead of

@@ -76,8 +76,10 @@ object Bucketing {
     * the layout rewrites. */
   private def markerPath(path: String) = new org.apache.hadoop.fs.Path(path, "_GRAFT_LAYOUT")
 
-  private def layoutMarker(table: String, keys: Seq[String], buckets: Int): String =
-    s"""{"table":"$table","keys":${keys.mkString("[\"", "\",\"", "\"]")},"buckets":$buckets}"""
+  private def layoutMarker(table: String, keys: Seq[String], buckets: Int,
+                           extraIdentity: String = ""): String =
+    s"""{"table":"$table","keys":${keys.mkString("[\"", "\",\"", "\"]")},"buckets":$buckets""" +
+      (if (extraIdentity.isEmpty) "}" else s""","identity":"$extraIdentity"}""")
 
   private def readMarker(spark: SparkSession, path: String): Option[String] = {
     val p = markerPath(path)
@@ -113,10 +115,16 @@ object Bucketing {
     * a stale lock; waiters time out with an explicit error naming it
     * rather than guessing. */
   def materialize(spark: SparkSession, table: String, df: DataFrame,
-                  keys: Seq[String], buckets: Int, path: String): Unit =
-    once(spark, table) {
+                  keys: Seq[String], buckets: Int, path: String,
+                  extraIdentity: String = ""): Unit = {
+    val marker = layoutMarker(table, keys, buckets, extraIdentity)
+    // the once-key folds the full marker in: a caller that passes a DATA
+    // identity (e.g. the term index's corpus fingerprint) must not be
+    // fast-pathed by an earlier same-session materialization of the same
+    // table over different data — the marker mismatch below is what
+    // triggers the rewrite
+    once(spark, s"$table|$marker") {
       spark.sql(s"DROP TABLE IF EXISTS $table")
-      val marker = layoutMarker(table, keys, buckets)
       def register(): Unit = {
         // metastore entry is per-session; files + bucket spec are on disk
         val cols = df.schema.toDDL
@@ -163,6 +171,90 @@ object Bucketing {
         }
       }
     }
+  }
+
+  /** Run `body` holding the layout's sibling write lock — the appender's
+    * counterpart of [[materialize]]'s writer serialization. An append's
+    * idempotence anti-join snapshots the already-present keys BEFORE
+    * writing; two unserialized appenders of overlapping batches both see
+    * the pre-append snapshot and double-write the overlap. Unlike
+    * materialize's loser (who can fast-path on the winner's marker), a
+    * losing appender must simply WAIT and then run its own append — the
+    * snapshot it takes after acquiring sees the winner's rows. A crashed
+    * holder leaves a stale lock; waiters time out naming it. */
+  def withWriteLock[T](spark: SparkSession, path: String)(body: => T): T = {
+    val lock = new org.apache.hadoop.fs.Path(path + ".graft_write_lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Option(lock.getParent).foreach(fs.mkdirs(_))
+    val deadline = System.currentTimeMillis() + 120000L
+    var acquired = false
+    while (!acquired && System.currentTimeMillis() < deadline) {
+      try { fs.create(lock, false).close(); acquired = true }
+      catch { case _: java.io.IOException => Thread.sleep(500) }
+    }
+    if (!acquired) throw new java.io.IOException(
+      s"timed out waiting for the write lock on $path (stale lock? $lock)")
+    try body finally fs.delete(lock, false)
+  }
+
+  /** Rewrite a bucketed layout in place to one file per bucket — the
+    * maintenance operation for append-grown layouts ([[materialize]]
+    * guarantees one file per bucket only at build; each append adds one
+    * file per touched bucket, and a long-lived crawl degrades probe scans
+    * to hundreds of files per bucket). Reads the CURRENT table contents
+    * (base + appends), rewrites them bucketed+sorted through the same
+    * `repartition(buckets, keys)` pre-shuffle the build uses, and swaps
+    * the new files in under the [[graft.pipeline.Dedup.compactStore]]
+    * tmp/bak discipline. The layout marker's CONTENT is preserved across
+    * the swap — compaction changes the file layout, never the layout
+    * identity, so a subsequent build call against the same source still
+    * takes the register fast path with appends intact. OFFLINE operation
+    * (holds the write lock, so racing appends serialize behind it, but
+    * concurrent READERS of the registered table would see the directory
+    * mid-swap): run it from the maintenance window that owns the layout.
+    * A crash mid-swap leaves the previous files at
+    * `<path>.graft_compact_bak` for manual recovery. */
+  def compactInPlace(spark: SparkSession, table: String, keys: Seq[String],
+                     buckets: Int, path: String): Unit = withWriteLock(spark, path) {
+    val marker = readMarker(spark, path).getOrElse(throw new java.io.IOException(
+      s"no layout marker at $path — nothing to compact (build first)"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cur = new org.apache.hadoop.fs.Path(path)
+    val fs = cur.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".graft_compact_tmp")
+    val bak = new org.apache.hadoop.fs.Path(path + ".graft_compact_bak")
+    val tmpTable = table + "_compact_tmp"
+    val cols = spark.table(table).schema.toDDL
+    fs.delete(tmp, true)
+    spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
+    // the tmp write goes through saveAsTable because the bucket spec
+    // lives in table metadata + bucket-suffixed file names — a plain
+    // parquet write would lose the layout the swap is meant to restore
+    spark.table(table).repartition(buckets, keys.map(col): _*)
+      .write.mode("overwrite").format("parquet")
+      .option("path", tmp.toString)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(tmpTable)
+    spark.sql(s"DROP TABLE IF EXISTS $tmpTable") // metastore entry only; files stay
+    fs.delete(bak, true)
+    if (!fs.rename(cur, bak))
+      throw new java.io.IOException(s"compact: could not move $cur aside")
+    if (!fs.rename(tmp, cur)) {
+      fs.rename(bak, cur) // restore; tmp left for inspection
+      throw new java.io.IOException(s"compact: could not install $tmp")
+    }
+    writeMarker(spark, path, marker)
+    fs.delete(bak, true)
+    // re-register so the session drops its cached file listing of the
+    // pre-compaction files
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val ks = keys.map(k => s"`$k`").mkString(", ")
+    spark.sql(
+      s"""CREATE TABLE $table ($cols) USING parquet
+         |CLUSTERED BY ($ks) SORTED BY ($ks) INTO $buckets BUCKETS
+         |LOCATION '$path'""".stripMargin)
+  }
 
   /** Run `write` exactly once per (session, table), serializing racing
     * callers on a per-table lock. */
