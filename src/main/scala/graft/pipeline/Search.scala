@@ -115,24 +115,34 @@ object Search {
     s"${System.getProperty("java.io.tmpdir")}/graft_buckets/" +
       s"${Bucketing.tableName(dir, "", layout)}/term_index"
 
-  /** Data identity of a corpus frame, for the layout marker: file-backed
-    * frames digest their input files' (path, length, mtime) — metadata
-    * RPCs only, already paid by the scan's own listing; in-memory frames
-    * (tests, notebook literals) fall back to the analyzed plan's semantic
-    * hash. Either way, a changed corpus produces a different identity and
-    * invalidates the cached layout. */
+  /** Data identity of a corpus frame, for the layout marker: the
+    * canonicalized plan digest ALWAYS rides in, and file-backed frames
+    * additionally digest their input files' (path, length, mtime) —
+    * metadata RPCs only, already paid by the scan's own listing. The plan
+    * digest is what distinguishes a filtered/projected corpus from the
+    * raw files it reads: with file metadata alone, `docs` and
+    * `docs.filter(...)` over the same parquet share one identity and the
+    * register fast path silently serves whichever index was built first —
+    * the exact stale-data failure the identity exists to close. The plan
+    * side uses the canonicalized plan's treeString, NOT `semanticHash()`:
+    * for file relations the semantic hash folds in the FileIndex's
+    * identity hashCode, which differs across JVMs and even across two
+    * reads of the same path in one session — every build would miss the
+    * cross-JVM fast path and re-pay the ingest shuffle. The treeString
+    * prints normalized expression ids and the format name, so the same
+    * logical corpus digests identically everywhere; data changes are the
+    * file metadata's job. */
   private def corpusFingerprint(docs: DataFrame): String = {
-    val files = docs.inputFiles
     val md = java.security.MessageDigest.getInstance("MD5")
-    if (files.nonEmpty) {
-      val conf = docs.sparkSession.sparkContext.hadoopConfiguration
-      files.sorted.foreach { f =>
-        val p = new org.apache.hadoop.fs.Path(f)
-        val st = p.getFileSystem(conf).getFileStatus(p)
-        md.update(s"$f|${st.getLen}|${st.getModificationTime}\n".getBytes("UTF-8"))
-      }
-    } else md.update(
-      ("plan:" + docs.queryExecution.analyzed.semanticHash()).getBytes("UTF-8"))
+    md.update(("plan:" + docs.queryExecution.analyzed.canonicalized.treeString)
+      .getBytes("UTF-8"))
+    val files = docs.inputFiles
+    val conf = docs.sparkSession.sparkContext.hadoopConfiguration
+    files.sorted.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      md.update(s"$f|${st.getLen}|${st.getModificationTime}\n".getBytes("UTF-8"))
+    }
     md.digest().take(8).map(b => f"$b%02x").mkString
   }
 
@@ -177,6 +187,12 @@ object Search {
     require(spark.catalog.tableExists(table),
       s"term index $table not registered — call buildTermIndex first")
     Bucketing.withWriteLock(spark, termIndexPath(dir, layout)) {
+      // the post-acquire snapshot must see a concurrent (cross-JVM)
+      // winner's rows: this session may hold a cached InMemoryFileIndex
+      // listing taken before that append committed, and an anti-join over
+      // the stale listing would re-admit the overlap's tf rows despite
+      // the lock. Refresh drops the cached listing before the snapshot.
+      spark.catalog.refreshTable(table)
       val indexed = spark.table(table).select("doc_id").distinct()
       termStats(newDocs.join(indexed, Seq("doc_id"), "left_anti"))
         .repartition(buckets, col("term"))
