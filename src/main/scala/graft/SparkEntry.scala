@@ -25,12 +25,16 @@ object SparkEntry {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default — read it as nano-precision long (legacy conf) and convert
-    * where needed. */
+  /** The lake has served events.ts as parquet TIMESTAMP(NANOS) (read as
+    * nano-epoch long under the legacy conf) and, post-regeneration, as
+    * timestamp[us]. Canonicalize to epoch-nanos long ONCE here
+    * ([[graft.sources.EventTime]]) — every downstream consumer (Funnels,
+    * EventStreams, the inline window/rollup queries) sees one
+    * representation regardless of the lake's layout. */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
+    _root_.graft.sources.EventTime.toEpochNanos(
+      s.read.parquet(s"$dir/events.parquet"), "ts")
   }
 
   private def graft(s: SparkSession, dir: String): Graft =
@@ -82,7 +86,8 @@ object SparkEntry {
     * runtime measures driver-side test machinery (MemoryStream feeding,
     * per-batch state commits), not engine throughput. The Verify
     * correctness gate still runs them. */
-  val benchExcluded: Set[String] = Set("q_stream_funnel", "q_stream_source_cap")
+  val benchExcluded: Set[String] =
+    Set("q_stream_funnel", "q_stream_source_cap", "q_stream_token_budget")
 
   /** exact decimal money expr: extendedprice * (1 - discount). */
   private def discPrice: Column =
@@ -558,6 +563,16 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       _root_.graft.streaming.EventStreams.sourceCapReplayed(
         T(s, d, "documents"), n = 10).orderBy("source", "doc_id")
+    }),
+    // streaming per-source token budget replayed in id-ordered
+    // micro-batches: keyed running-sum state admits the id-ordered prefix
+    // (crossing doc included), which the oracle expresses as one window
+    "q_stream_token_budget" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      _root_.graft.streaming.EventStreams.tokenBudgetReplayed(
+        T(s, d, "documents"),
+        Seq("src0" -> 700L, "src1" -> 1540L, "src2" -> 10000L, "src3" -> 400L))
+        .orderBy("source", "doc_id")
     }),
     "q_retention" -> ((s, d) =>
       Funnels.retention(events(s, d)).orderBy("cohort", "offset_weeks")),
@@ -1262,6 +1277,20 @@ object SparkEntry {
         |      AS BIGINT) AS rk
         |  FROM documents)
         |WHERE rk <= 10 ORDER BY source, doc_id""".stripMargin,
+    // id-ordered replay admits the prefix whose PRE-doc running token sum
+    // is below the source's budget (crossing doc admitted)
+    "q_stream_token_budget" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |b(source, budget) AS (VALUES
+        |  ('src0', 700), ('src1', 1540), ('src2', 10000), ('src3', 400)),
+        |c AS (SELECT t.doc_id, t.source, t.n_tokens, b.budget,
+        |    SUM(t.n_tokens) OVER (PARTITION BY t.source ORDER BY t.doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t JOIN b USING (source))
+        |SELECT source, doc_id, n_tokens FROM c
+        |WHERE cum - n_tokens < budget ORDER BY source, doc_id""".stripMargin,
 
     // retention triangle over the deduplicated (user, week) grid; weeks
     // are raw integer division of nanosecond time — identical arithmetic

@@ -20,15 +20,34 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var nFailed = 0
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // A failed query must surface as a RED row, never an absent one:
+        // write an explicit failure marker where the result parquet would
+        // be, so the driver's compare reports `err` instead of silently
+        // dropping the row from the gate (the r10 111→107 regression).
+        nFailed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val d = Paths.get(s"$outDir/$name")
+        try {
+          if (Files.exists(d))
+            Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => Files.deleteIfExists(p))
+          Files.createDirectories(d)
+          Files.writeString(d.resolve("_FAILED"),
+            s"${e.getClass.getName}: ${e.getMessage}\n")
+        } catch { case m: Throwable =>
+          System.err.println(s"[verify] $name marker write failed: $m")
+        }
       }
     }
+    if (nFailed > 0)
+      System.err.println(s"[verify] $nFailed quer${if (nFailed == 1) "y" else "ies"} FAILED (see _FAILED markers)")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -488,14 +488,20 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
       union(parts).distinct()
   }
 
-  /** Transitive closure by semi-naive iteration: each round extends only the
-    * previous round's *new* pairs by one base-edge hop and stops when the
-    * frontier empties. The frontier shrinks toward the graph diameter — at
-    * cluster scale each round is one shuffle join over the (small) frontier
-    * against the persisted base edges, the standard distributed-Datalog
-    * shape. `*` adds zero-length pairs for every node of the edge graph (the
-    * engine's node universe — the W3C all-graph-terms universe has no finite
-    * enumeration over virtual mappings). */
+  /** Transitive closure by PATH DOUBLING (recursive doubling): each round
+    * joins the previous round's *new* pairs against the closure-so-far —
+    * not the base edges — so the covered distance doubles per round and the
+    * fixpoint lands in ⌈log₂ diameter⌉ rounds instead of diameter-many.
+    * (Correctness: a pair at shortest distance ℓ with D < ℓ ≤ 2D splits at
+    * position D into a prefix of distance exactly D — new this round, so in
+    * the frontier — and a suffix of distance ≤ D already in the closure.)
+    * Each round is still one shuffle join + one global `except` + one
+    * eager checkpoint barrier; collapsing 30 such barriers to 5 is what
+    * makes deep paths survive at cluster scale, where every barrier pays
+    * scheduling + block-manager latency on top of the shuffle. `*` adds
+    * zero-length pairs for every node of the edge graph (the engine's node
+    * universe — the W3C all-graph-terms universe has no finite enumeration
+    * over virtual mappings). */
   private def closure(edges0: DataFrame, includeZero: Boolean): DataFrame = {
     val maxIters = pathMaxIters
     val cached = mutable.ListBuffer[DataFrame]()
@@ -513,8 +519,9 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
     // exponentially with depth (plan stringification alone OOMs past ~25
     // rounds). The follow-up isEmpty probe only touches the cached blocks.
     while (!converged && i < maxIters) {
+      // frontier ⋈ closure-so-far: covered distance doubles per round
       val grown = frontier.select(col("x"), col("y").as("__mid"))
-        .join(edges.select(col("x").as("__mid"), col("y")), "__mid")
+        .join(total.select(col("x").as("__mid"), col("y")), "__mid")
         .select("x", "y")
       frontier = grown.except(total).localCheckpoint()
       checkpoints += frontier
@@ -523,6 +530,7 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
       i += 1
     }
     // a silently truncated fixpoint is a wrong answer, not a result
+    // (with doubling, maxIters bounds diameter ≤ 2^maxIters)
     if (!converged)
       throw new IllegalStateException(
         s"property-path closure did not converge within $maxIters iterations; " +

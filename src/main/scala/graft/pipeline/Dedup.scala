@@ -472,6 +472,100 @@ object Dedup {
     }
   }
 
+  /** Per-doc distinct k-gram digest ARRAY — the same 16-hex-char gram
+    * digests [[containmentPairs]] explodes, kept as a column so the
+    * incremental-store path can admit without recomputing (the
+    * `shingles`-column discipline of [[nearDupFreshAgainstStore]]). */
+  private def withCGrams(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .withColumn("__w", split(lower(col("text")), "\\s+"))
+      .withColumn("cgrams", array_distinct(expr(
+        s"transform(sequence(1, greatest(size(__w) - ${k - 1}, 1)), " +
+          s"i -> substring(md5(concat_ws(' ', slice(__w, i, $k))), 1, 16))")))
+      .drop("__w")
+
+  /** Incremental CONTAINMENT against a persistent gram store — closes the
+    * asymmetric gap [[nearDupFreshAgainstStore]] leaves open: a document
+    * that QUOTES (is a tau-subset of) something admitted in an earlier
+    * batch shares few MinHash bands with it (Jaccard is symmetric, and a
+    * short quote of a long doc has low Jaccard) yet is exactly the
+    * near-copy a training corpus must reject. The store keeps per
+    * admitted doc its distinct k-gram digests (`cgrams` rows — same
+    * fixed-width 16-char digests as [[containmentPairs]]); a new batch
+    * joins its grams against the store's df-capped gram index (df over
+    * DISTINCT stored docs, so crash-healed duplicate rows never inflate
+    * it; the cap bounds per-gram fan-out exactly as in the batch op and
+    * is conservative the same way — capping can only LOSE shared grams,
+    * never manufacture a rejection) and rejects any doc whose stored
+    * shared-gram count reaches `ceil(tau * b_size)`. In-batch
+    * containment among the survivors stays [[containmentPairs]]'s job,
+    * as in-batch near-dups stay [[verifiedNearDups]]'s. Survivors carry
+    * their `cgrams` column so [[admitContainment]] appends without
+    * recomputing. */
+  def containmentFreshAgainstStore(docs: DataFrame, storePath: String,
+                                   tau: Double = 0.9, k: Int = 8,
+                                   maxDf: Long = 256, minGrams: Long = 3): DataFrame = {
+    require(tau > 0 && tau <= 1 && k >= 2 && maxDf >= 2 && minGrams >= 1,
+      s"bad tau=$tau / k=$k / maxDf=$maxDf / minGrams=$minGrams")
+    val spark = docs.sparkSession
+    val grammed = withCGrams(docs, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fresh =
+      if (!storeExists(spark, s"$storePath/cgrams")) grammed
+      else {
+        val store = spark.read.parquet(s"$storePath/cgrams")
+        val eligible = store.join(
+          store.groupBy("g").agg(countDistinct("doc_id").as("df"))
+            .filter(col("df") <= maxDf).select("g"),
+          Seq("g"))
+          .select(col("g"), col("doc_id").as("old_id")).distinct()
+        val batchGrams = grammed.select(col("doc_id"), explode(col("cgrams")).as("g"))
+        val dupIds = batchGrams.join(eligible, Seq("g"))
+          .groupBy("doc_id", "old_id").agg(count(lit(1)).as("shared"))
+          .join(grammed.select(col("doc_id"), size(col("cgrams")).as("b_size")),
+            "doc_id")
+          .filter(col("b_size") >= minGrams &&
+            col("shared") >= ceil(lit(tau) * col("b_size")))
+          .select("doc_id").distinct()
+        grammed.join(dupIds, Seq("doc_id"), "left_anti")
+      }
+    // survivors checkpoint while the gram cache is hot; release before
+    // returning — the daily-ingest storage-lifecycle discipline
+    val out = fresh.localCheckpoint()
+    grammed.unpersist()
+    out
+  }
+
+  /** Append the admitted docs' gram rows to the containment store;
+    * `fresh` must be [[containmentFreshAgainstStore]]'s output (carries
+    * `cgrams`, checkpointed). Idempotent keyed on doc_id: a retried or
+    * double-driven admit anti-joins to nothing and leaves the store
+    * byte-identical. Racing admits of overlapping batches can still
+    * append duplicate rows (space, never correctness — the read side
+    * distincts and counts distinct docs); [[compactContainmentStore]]
+    * reclaims. */
+  def admitContainment(fresh: DataFrame, storePath: String): Unit = {
+    val spark = fresh.sparkSession
+    val newDocs =
+      if (storeExists(spark, s"$storePath/cgrams"))
+        fresh.join(
+          spark.read.parquet(s"$storePath/cgrams").select("doc_id").distinct(),
+          Seq("doc_id"), "left_anti")
+      else fresh
+    newDocs.select(col("doc_id"), explode(col("cgrams")).as("g"))
+      .write.mode("append").parquet(s"$storePath/cgrams")
+  }
+
+  /** Drop duplicate (doc_id, g) rows — the residue of racing admits.
+    * Same OFFLINE swap discipline as [[compactStore]]. */
+  def compactContainmentStore(spark: org.apache.spark.sql.SparkSession,
+                              storePath: String): Unit = {
+    if (!storeExists(spark, s"$storePath/cgrams")) return
+    swapInPlace(spark, s"$storePath/cgrams") { tmp =>
+      spark.read.parquet(s"$storePath/cgrams").distinct().write.parquet(tmp)
+    }
+  }
+
   /** End-to-end corpus deduplication — the one-call composition a
     * training-data pipeline actually runs: exact dedup first (cheap,
     * md5-keyed, min doc_id survives), MinHash+LSH near-dup over the

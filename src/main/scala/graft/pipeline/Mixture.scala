@@ -241,6 +241,27 @@ object Mixture {
     * [[Dedup.dedupCorpus]] storage-lifecycle discipline. */
   def splitLeakage(docs: DataFrame, valFrac: Double, testFrac: Double,
                    salt: String, threshold: Double = 0.7): DataFrame = {
+    val (report, nearPairs) =
+      leakageFrames(docs, valFrac, testFrac, salt, threshold)
+    val out = report.localCheckpoint()
+    org.apache.spark.sql.GraftBridge.freeCheckpoint(nearPairs)
+    out
+  }
+
+  /** Test seam: the leakage report's REAL plan — the one
+    * [[splitLeakage]] executes when it materializes the checkpoint.
+    * The public method returns a checkpointed frame (a bare
+    * `Scan ExistingRDD`), which would make any plan audit vacuous;
+    * auditing this seam pins the broadcast-join / no-Window shape of
+    * the computation itself. */
+  private[graft] def splitLeakagePlan(docs: DataFrame, valFrac: Double,
+                                      testFrac: Double, salt: String,
+                                      threshold: Double = 0.7): DataFrame =
+    leakageFrames(docs, valFrac, testFrac, salt, threshold)._1
+
+  private def leakageFrames(docs: DataFrame, valFrac: Double,
+                            testFrac: Double, salt: String,
+                            threshold: Double): (DataFrame, DataFrame) = {
     val splits = splitAssign(docs, valFrac, testFrac, salt)
       .select(col("doc_id"), col("split"))
     val groups = Dedup.exactGroups(docs).select("text_hash", "keep_id")
@@ -257,9 +278,7 @@ object Mixture {
       .join(splits.select(col("doc_id").as("b"), col("split").as("split_b")), "b")
       .filter(col("split_a") =!= col("split_b"))
       .select(col("a"), col("b"), col("split_a"), col("split_b"))
-      .localCheckpoint()
-    org.apache.spark.sql.GraftBridge.freeCheckpoint(nearPairs)
-    report
+    (report, nearPairs)
   }
 
   /** Corpus vocabulary table — (token, term frequency, document

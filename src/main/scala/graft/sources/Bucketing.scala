@@ -214,6 +214,13 @@ object Bucketing {
     * mid-swap): run it from the maintenance window that owns the layout.
     * A crash mid-swap leaves the previous files at
     * `<path>.graft_compact_bak` for manual recovery. */
+  /** Test seam for [[compactInPlace]] crash-safety: when set, the compact
+    * throws after moving the current layout aside — the moment a real
+    * crash would be most damaging. The invariant under test: `tmp` already
+    * carries the layout marker, so recovery (installing `tmp`) yields a
+    * MARKED layout that re-registers instead of silently rebuilding. */
+  private[graft] var crashBetweenRenames: Boolean = false
+
   def compactInPlace(spark: SparkSession, table: String, keys: Seq[String],
                      buckets: Int, path: String): Unit = withWriteLock(spark, path) {
     val marker = readMarker(spark, path).getOrElse(throw new java.io.IOException(
@@ -237,14 +244,20 @@ object Bucketing {
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(tmpTable)
     spark.sql(s"DROP TABLE IF EXISTS $tmpTable") // metastore entry only; files stay
+    // the preserved marker goes into tmp BEFORE the swap: the installed
+    // directory is born marked, so a crash between the two renames can
+    // never leave a complete-but-unmarked layout that the next build
+    // silently rebuilds from source (dropping every appended row)
+    writeMarker(spark, tmp.toString, marker)
     fs.delete(bak, true)
     if (!fs.rename(cur, bak))
       throw new java.io.IOException(s"compact: could not move $cur aside")
+    if (crashBetweenRenames) // test seam: simulate dying between the renames
+      throw new java.io.IOException("injected crash between compact renames")
     if (!fs.rename(tmp, cur)) {
       fs.rename(bak, cur) // restore; tmp left for inspection
       throw new java.io.IOException(s"compact: could not install $tmp")
     }
-    writeMarker(spark, path, marker)
     fs.delete(bak, true)
     // re-register so the session drops its cached file listing of the
     // pre-compaction files

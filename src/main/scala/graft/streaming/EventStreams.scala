@@ -80,6 +80,75 @@ object EventStreams {
     }
   }
 
+  final case class TokenDoc(doc_id: Long, source: String, n_tokens: Long)
+
+  /** Streaming face of [[graft.pipeline.Mixture.mixtureByTokenBudget]]:
+    * admit documents per source while the source's admitted-token sum is
+    * still below its budget — the arrival-order prefix. The doc that
+    * crosses the budget is admitted (overshoot ≤ one document's tokens,
+    * the streaming analogue of the batch op's ≤ one coin-bucket
+    * overshoot), then the source closes for the life of the stream.
+    * Keyed state is ONE running sum per budgeted source — bounded
+    * however long the stream runs. Documents from unbudgeted sources
+    * are dropped, as in the batch op. Arrival order decides membership
+    * here where the batch op's keyed coin does — the batch op is the
+    * order-free reconciliation pass, the [[cappedPerSource]] caveat. */
+  def tokenBudgetAdmit(docs: Dataset[TokenDoc], budgets: Map[String, Long])
+                      (implicit spark: SparkSession): Dataset[TokenDoc] = {
+    import spark.implicits._
+    require(budgets.nonEmpty && budgets.forall(_._2 >= 0), s"bad budgets $budgets")
+    docs.filter(d => budgets.contains(d.source))
+      .groupByKey(_.source).flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[TokenDoc], state: GroupState[Long]) =>
+          val budget = budgets(src)
+          var cum = state.getOption.getOrElse(0L)
+          val out = scala.collection.mutable.ArrayBuffer.empty[TokenDoc]
+          // sort WITHIN the micro-batch (bounded) so replay determinism
+          // does not depend on shuffle order inside a batch
+          rows.toSeq.sortBy(_.doc_id).foreach { d =>
+            if (cum < budget) { cum += d.n_tokens; out += d }
+          }
+          state.update(cum)
+          out.iterator
+      }
+  }
+
+  /** Replay a BOUNDED documents table through [[tokenBudgetAdmit]] as real
+    * micro-batches (MemoryStream, id-ordered slices) — the batch-parity
+    * verification harness, driven by the oracle gate
+    * (`q_stream_token_budget`): an id-ordered replay's admitted set is
+    * exactly the id-ordered prefix whose pre-doc running token sum is
+    * below budget, which the oracle expresses as one SQL window. Same
+    * caveat as [[funnelDepthsReplayed]]: MemoryStream is a driver-side
+    * source, so this is a VERIFICATION tool, not a production op. */
+  def tokenBudgetReplayed(docs: DataFrame, budgets: Seq[(String, Long)],
+                          chunks: Int = 4)
+                         (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = docs.select(col("doc_id"), col("source"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .collect()
+      .map(r => TokenDoc(r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_.doc_id)
+    val name = "graft_token_budget_replay_" +
+      java.util.UUID.randomUUID().toString.filter(_ != '-')
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[TokenDoc]
+    val q = tokenBudgetAdmit(input.toDS(), budgets.toMap)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      val per = math.max(1, (rows.length + chunks - 1) / chunks)
+      rows.grouped(per).foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val out = spark.table(name)
+      .collect().map(r => TokenDoc(r.getLong(0), r.getString(1), r.getLong(2)))
+    spark.catalog.dropTempView(name)
+    spark.createDataset(out.toSeq).select(
+      col("source"), col("doc_id"), col("n_tokens"))
+  }
+
   /** Replay a BOUNDED documents table through [[cappedPerSource]] as real
     * micro-batches (MemoryStream, id-ordered slices) and return the final
     * admitted set — the batch-parity verification harness at table scale,

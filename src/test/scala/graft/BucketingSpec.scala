@@ -55,7 +55,8 @@ class BucketingSpec extends SparkTestBase {
 
   test("partitioned table: selective filter prunes directories at plan time") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val events = graft.sources.EventTime.toEpochNanos(
+        spark.read.parquet(s"$sfDir/events.parquet"), "ts")
       .withColumn("event_date", to_date(timestamp_micros((col("ts") / 1000L).cast("long"))))
     val table = Bucketing.tableName(sfDir, "events_bydate")
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_buckets/" +
@@ -227,5 +228,52 @@ class BucketingSpec extends SparkTestBase {
       .filter(_.getName.startsWith("part-"))
       .map(f => f.getName -> f.lastModified).toMap
     assert(after == before, "second session rewrote the layout")
+  }
+
+  test("compact crash between renames leaves a MARKED tmp: recovery re-registers") {
+    val s = spark
+    import s.implicits._
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_compact_crash_" +
+      System.nanoTime()
+    val table = Bucketing.tableName("crashdir", "t", "k@2")
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    Bucketing.materialize(spark, table, df, Seq("k"), 2, path)
+    val markerFile = new java.io.File(path, "_GRAFT_LAYOUT")
+    val markerContent = java.nio.file.Files.readString(markerFile.toPath)
+
+    Bucketing.crashBetweenRenames = true
+    try {
+      val ex = intercept[java.io.IOException] {
+        Bucketing.compactInPlace(spark, table, Seq("k"), 2, path)
+      }
+      assert(ex.getMessage.contains("injected crash"))
+    } finally Bucketing.crashBetweenRenames = false
+
+    // the crash state: current moved aside to .bak, tmp complete — and tmp
+    // must ALREADY carry the layout marker (the fix under test); an
+    // unmarked-but-complete layout would be silently rebuilt from source
+    // on the next materialize, dropping appends
+    val tmp = new java.io.File(path + ".graft_compact_tmp")
+    val bak = new java.io.File(path + ".graft_compact_bak")
+    assert(!new java.io.File(path).exists() && tmp.exists() && bak.exists())
+    val tmpMarker = new java.io.File(tmp, "_GRAFT_LAYOUT")
+    assert(tmpMarker.exists(), "tmp layout installed without its marker")
+    assert(java.nio.file.Files.readString(tmpMarker.toPath) == markerContent,
+      "compaction must preserve the layout identity")
+
+    // recovery = completing the interrupted swap: install tmp as current
+    assert(tmp.renameTo(new java.io.File(path)))
+    val recovered = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("part-"))
+      .map(f => f.getName -> f.lastModified).toMap
+    // a fresh session's materialize must take the register fast path over
+    // the recovered directory (marker match), never a rebuild
+    val s2 = spark.newSession()
+    Bucketing.materialize(s2, table, df, Seq("k"), 2, path)
+    assert(s2.table(table).count() == 3)
+    val post = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("part-"))
+      .map(f => f.getName -> f.lastModified).toMap
+    assert(post == recovered, "recovered marked layout was rebuilt, not re-registered")
   }
 }

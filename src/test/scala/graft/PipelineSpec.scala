@@ -768,6 +768,49 @@ class PipelineSpec extends SparkTestBase {
       "compaction changed near-dup verdicts")
   }
 
+  test("containment store: a quoted-subset doc in a later batch is rejected") {
+    val s = spark
+    import s.implicits._
+    val cstore = s"${System.getProperty("java.io.tmpdir")}/graft_cont_idem_${System.nanoTime()}"
+    def storeRows() = spark.read.parquet(s"$cstore/cgrams").count()
+    // batch 1: a long document, admitted
+    val long1 = (1 to 40).map(i => s"sentence$i word$i token$i").mkString(" ")
+    val b1 = Seq((1L, long1),
+      (2L, "wholly unrelated prose about distributed shuffles and encoders " +
+        "spilling cleanly under memory pressure in long nightly batch jobs"))
+      .toDF("doc_id", "text")
+    val f1 = Dedup.containmentFreshAgainstStore(b1, cstore)
+    assert(f1.count() == 2, "empty store must admit everything")
+    Dedup.admitContainment(f1, cstore)
+    val sizeOnce = storeRows()
+    Dedup.admitContainment(f1, cstore) // replay / double-drive
+    assert(storeRows() == sizeOnce, "double admit grew the containment store")
+
+    // batch 2: doc 10 quotes a contiguous half of doc 1 (tau-contained —
+    // the asymmetric case MinHash bands miss), doc 11 is novel
+    val quote = long1.split(" ").slice(0, 60).mkString(" ")
+    val b2 = Seq((10L, quote),
+      (11L, "fresh unseen material mentioning watermark semantics and state " +
+        "stores compacting quietly between micro batch executions tonight"))
+      .toDF("doc_id", "text")
+    val f2 = Dedup.containmentFreshAgainstStore(b2, cstore)
+    assert(f2.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(11L),
+      "quoted-subset doc admitted in a later batch must be rejected")
+    Dedup.admitContainment(f2, cstore)
+    val sizeTwice = storeRows()
+    Dedup.admitContainment(f2, cstore) // replay again
+    assert(storeRows() == sizeTwice)
+
+    // racing-admit residue compacts away without changing verdicts
+    f2.select(col("doc_id"), explode(col("cgrams")).as("g"))
+      .write.mode("append").parquet(s"$cstore/cgrams") // simulated race dup
+    Dedup.compactContainmentStore(spark, cstore)
+    assert(storeRows() == sizeTwice, "compaction did not reclaim race residue")
+    assert(Dedup.containmentFreshAgainstStore(
+        Seq((20L, quote)).toDF("doc_id", "text"), cstore).count() == 0,
+      "compaction changed containment verdicts")
+  }
+
   test("boilerplate removal on the corpus: totals reconcile") {
     val got = Dedup.boilerplateClean(docs, window = 4, minDf = 5)
     assert(got.count() == docs.count()) // every doc survives as a row

@@ -243,7 +243,10 @@ class PlanAuditSpec extends SparkTestBase {
 
   test("splitLeakage joins ride the tiny pair list: split side broadcasts, no Window") {
     val docs = t("documents")
-    val df = graft.pipeline.Mixture.splitLeakage(docs, 0.3, 0.3, "pa")
+    // the public splitLeakage returns a checkpointed frame (bare
+    // ExistingRDD scan) — audit the pre-checkpoint seam, the plan it
+    // actually executes when materializing
+    val df = graft.pipeline.Mixture.splitLeakagePlan(docs, 0.3, 0.3, "pa")
     val plan = executed(df)
     // the (doc_id, split) projections are corpus-scans but the join keys
     // come from the checkpointed pair list — AQE must broadcast one side

@@ -199,7 +199,8 @@ class StreamingSpec extends SparkTestBase {
   test("streaming funnel replay over the events table matches batch depths") {
     implicit val s = spark
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = graft.sources.EventTime.toEpochNanos(
+      spark.read.parquet(s"$sfDir/events.parquet"), "ts")
     val stream = EventStreams.funnelDepthsReplayed(
         ev, Seq("view", "click", "purchase"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
@@ -301,5 +302,63 @@ class StreamingSpec extends SparkTestBase {
     val batch = graft.pipeline.Mixture.capPerSource(docs, n = 5).collect()
       .map(r => (r.getLong(1), r.getString(0), r.getLong(2))).toSet
     assert(got == batch, s"stream/batch cap divergence: ${got.size} vs ${batch.size}")
+  }
+
+  test("streaming token budget: state crosses micro-batches, crossing doc admits") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    implicit val sp: org.apache.spark.sql.SparkSession = s
+    import EventStreams.TokenDoc
+    // srcA budget 10: docs of 4+4 tokens arrive in batch 1 (cum 8 < 10),
+    // doc 3 (5 tokens) arrives in batch 2 — pre-doc sum 8 < 10, so it is
+    // ADMITTED (crossing doc), then doc 4 must be rejected (13 >= 10).
+    // srcB has no budget: dropped entirely. srcC budget 0: nothing admits.
+    val b1 = Seq(TokenDoc(1, "srcA", 4), TokenDoc(2, "srcA", 4),
+      TokenDoc(50, "srcB", 2), TokenDoc(60, "srcC", 1))
+    val b2 = Seq(TokenDoc(3, "srcA", 5), TokenDoc(4, "srcA", 1),
+      TokenDoc(61, "srcC", 1))
+    val input = MemoryStream[TokenDoc]
+    val q = EventStreams.tokenBudgetAdmit(
+        input.toDS(), Map("srcA" -> 10L, "srcC" -> 0L))
+      .writeStream.format("memory").queryName("stream_tb")
+      .outputMode(OutputMode.Append).start()
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("stream_tb").collect()
+      .map(r => r.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L),
+      s"expected the crossing doc admitted and the rest closed, got $got")
+  }
+
+  test("streaming token budget replay matches the id-ordered-prefix window form") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sp: org.apache.spark.sql.SparkSession = s
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val budgets = Seq("src0" -> 300L, "src1" -> 800L, "src2" -> 50L, "src3" -> 0L)
+    val got = EventStreams.tokenBudgetReplayed(docs, budgets)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // the batch expression of the same semantics: one window over doc_id
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val bmap = budgets.toMap
+    val bCol = bmap.foldLeft(org.apache.spark.sql.functions.lit(-1L)) {
+      case (acc, (src, b)) => when(col("source") === src, lit(b)).otherwise(acc)
+    }
+    val want = docs
+      .select(col("doc_id"), col("source"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .filter(col("source").isin(bmap.keys.toSeq: _*))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .filter(col("cum") - col("n_tokens") < bCol)
+      .select("source", "doc_id", "n_tokens")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"replay ${got.size} rows vs window form ${want.size}")
+    assert(got.nonEmpty && got.size < docs.count(),
+      "budget should bite: some docs admitted, some rejected")
   }
 }
