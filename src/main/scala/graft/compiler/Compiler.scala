@@ -488,20 +488,28 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
       union(parts).distinct()
   }
 
-  /** Transitive closure by PATH DOUBLING (recursive doubling): each round
-    * joins the previous round's *new* pairs against the closure-so-far —
-    * not the base edges — so the covered distance doubles per round and the
-    * fixpoint lands in ⌈log₂ diameter⌉ rounds instead of diameter-many.
-    * (Correctness: a pair at shortest distance ℓ with D < ℓ ≤ 2D splits at
-    * position D into a prefix of distance exactly D — new this round, so in
-    * the frontier — and a suffix of distance ≤ D already in the closure.)
-    * Each round is still one shuffle join + one global `except` + one
-    * eager checkpoint barrier; collapsing 30 such barriers to 5 is what
-    * makes deep paths survive at cluster scale, where every barrier pays
-    * scheduling + block-manager latency on top of the shuffle. `*` adds
-    * zero-length pairs for every node of the edge graph (the engine's node
-    * universe — the W3C all-graph-terms universe has no finite enumeration
-    * over virtual mappings). */
+  /** Transitive closure, HYBRID semi-naive → path doubling. The first
+    * `graft.path.doublingAfter` rounds are classic semi-naive (frontier ⋈
+    * base edges): on the shallow graphs real catalogs produce (diameter
+    * 2-5), every round's right side is the small fixed edge set and the
+    * fixpoint lands before the switch — measured A/B at sf0.1, pure
+    * doubling is ~1.6× SLOWER here because it joins the growing closure
+    * for no round savings. If the graph is deeper, later rounds switch to
+    * path doubling (frontier ⋈ closure-so-far): covered distance doubles
+    * per round, so a diameter-1000 chain finishes in `switchAfter +
+    * log₂(diameter)` rounds instead of diameter-many — each round is one
+    * shuffle join + global `except` + eager checkpoint barrier, and at
+    * cluster scale the barrier count is what kills deep paths.
+    * Correctness of mixing: the loop invariant is `total` = all pairs at
+    * distance ≤ D, `frontier` = every pair first discovered last round
+    * (distance in (D_prev, D]). A semi-naive step extends to ≤ D+1; a
+    * doubling step covers any ℓ ∈ (D, 2D] by splitting its shortest path
+    * at position D — the prefix has distance exactly D (in the frontier),
+    * the suffix ≤ D (in the closure). Both steps re-establish the
+    * invariant, so the schedule is free. `*` adds zero-length pairs for
+    * every node of the edge graph (the engine's node universe — the W3C
+    * all-graph-terms universe has no finite enumeration over virtual
+    * mappings). */
   private def closure(edges0: DataFrame, includeZero: Boolean): DataFrame = {
     val maxIters = pathMaxIters
     val cached = mutable.ListBuffer[DataFrame]()
@@ -518,10 +526,13 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
     // without it the except/union cross-references grow the logical plan
     // exponentially with depth (plan stringification alone OOMs past ~25
     // rounds). The follow-up isEmpty probe only touches the cached blocks.
+    val switchAfter = spark.conf.get("graft.path.doublingAfter", "4").toInt
     while (!converged && i < maxIters) {
-      // frontier ⋈ closure-so-far: covered distance doubles per round
+      // semi-naive right side (fixed edge set) until switchAfter rounds,
+      // then the closure-so-far: covered distance doubles per round
+      val right = if (i < switchAfter) edges else total
       val grown = frontier.select(col("x"), col("y").as("__mid"))
-        .join(total.select(col("x").as("__mid"), col("y")), "__mid")
+        .join(right.select(col("x").as("__mid"), col("y")), "__mid")
         .select("x", "y")
       frontier = grown.except(total).localCheckpoint()
       checkpoints += frontier
@@ -530,7 +541,7 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
       i += 1
     }
     // a silently truncated fixpoint is a wrong answer, not a result
-    // (with doubling, maxIters bounds diameter ≤ 2^maxIters)
+    // (post-switch doubling bounds reachable depth at switchAfter·2^k)
     if (!converged)
       throw new IllegalStateException(
         s"property-path closure did not converge within $maxIters iterations; " +
