@@ -602,6 +602,17 @@ object SparkEntry {
         .select("user_id", "event_id", "attributed_click")
         .orderBy("user_id", "event_id")
     }),
+    // semi-structured path extraction over the events.props JSON column
+    // (get_json_object — native codegen'd expression, no UDF): parse once,
+    // bucket, integer-exact aggregates (sums of doubles would not
+    // hash-match across engines)
+    "q_events_json" -> ((s, d) =>
+      events(s, d)
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+          col("event_type"))
+        .groupBy(pmod(col("k"), lit(10L)).as("k_bucket"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum("k").as("sum_k"), max("k").as("max_k"))
+        .orderBy("k_bucket", "event_type")),
     "q_events_hourly" -> ((s, d) =>
       events(s, d)
         .groupBy(date_trunc("hour",
@@ -784,6 +795,12 @@ object SparkEntry {
       Mixture.mixtureByTokenBudget(T(s, d, "documents"),
         Seq("src0" -> 700L, "src1" -> 1540L, "src2" -> 10000L, "src3" -> 400L),
         salt = "tb1").orderBy("doc_id")),
+    // the same op keyed on the lang column: language-balanced mixture
+    "doc_lang_budget" -> ((s, d) =>
+      Mixture.mixtureByTokenBudget(T(s, d, "documents"),
+        Seq("en" -> 8000L, "fr" -> 3000L, "es" -> 100000L, "de" -> 2000L,
+          "zh" -> 1500L),
+        salt = "lb1", keyCol = "lang").orderBy("doc_id")),
     // salient terms: integer-only (tf desc, df asc, term) ranking, per-doc
     // window (bounded partitions — not the corpus-key window pathology)
     "doc_top_terms" -> ((s, d) =>
@@ -1325,6 +1342,12 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         | COUNT(*) AS cnt, COUNT(DISTINCT user_id) AS users
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q_events_json" ->
+      """SELECT k % 10 AS k_bucket, event_type, COUNT(*) AS cnt,
+        | SUM(k) AS sum_k, MAX(k) AS max_k
+        |FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |        event_type FROM events)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "doc_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, COUNT(*) AS n_dups
@@ -1672,6 +1695,25 @@ object SparkEntry {
         |    1023) AS t FROM b)
         |SELECT t.doc_id, t.source, t.n_tokens
         |FROM t JOIN th ON t.source = th.source AND t.cb <= th.t
+        |ORDER BY doc_id""".stripMargin,
+    // the same bucket-threshold machinery keyed on LANGUAGE — the
+    // language-balanced pretraining mix
+    "doc_lang_budget" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    (('0x' || substr(md5('lb1' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT >> 22) AS cb
+        |  FROM documents),
+        |b(lang, budget) AS (VALUES
+        |  ('en', 8000), ('fr', 3000), ('es', 100000), ('de', 2000), ('zh', 1500)),
+        |h AS (SELECT lang, cb, SUM(n_tokens) AS tk FROM t JOIN b USING (lang)
+        |  GROUP BY 1, 2),
+        |c AS (SELECT lang, cb,
+        |    SUM(tk) OVER (PARTITION BY lang ORDER BY cb) AS cum FROM h),
+        |th AS (SELECT b.lang, coalesce(
+        |    (SELECT min(cb) FROM c WHERE c.lang = b.lang AND c.cum >= b.budget),
+        |    1023) AS t FROM b)
+        |SELECT t.doc_id, t.lang, t.n_tokens
+        |FROM t JOIN th ON t.lang = th.lang AND t.cb <= th.t
         |ORDER BY doc_id""".stripMargin,
 
     // salient terms: integer ordering exactly as the engine computes it

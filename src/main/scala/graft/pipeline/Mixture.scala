@@ -153,22 +153,28 @@ object Mixture {
     * coin range): the kept set OVERSHOOTS the budget by at most one
     * bucket's tokens — deterministic, integer-exact on both engines,
     * and refinable by raising `buckets`, the honest trade for never
-    * shuffling the corpus. Emits (doc_id, source, n_tokens). */
+    * shuffling the corpus. Emits (doc_id, <keyCol>, n_tokens).
+    *
+    * `keyCol` is the budget dimension — `source` for the classic
+    * per-source mix, `lang` for a language-balanced corpus, any
+    * low-cardinality string column in general (the per-key bucket
+    * histogram is a `#keys × buckets` driver fetch). */
   def mixtureByTokenBudget(docs: DataFrame, budgets: Seq[(String, Long)],
-                           salt: String, buckets: Int = 1024): DataFrame = {
+                           salt: String, buckets: Int = 1024,
+                           keyCol: String = "source"): DataFrame = {
     require(buckets >= 2 && Integer.bitCount(buckets) == 1 && buckets <= (1 << 20),
       s"buckets must be a power of two in [2, 2^20], got $buckets")
     require(budgets.nonEmpty && budgets.forall(_._2 >= 0), s"bad budgets $budgets")
     val shift = 32 - Integer.numberOfTrailingZeros(buckets)
     val bucketCol = shiftright(keyedBucket(salt), shift).cast("int")
-    val toks = docs.select(col("doc_id"), col("source"),
+    val toks = docs.select(col("doc_id"), col(keyCol),
       size(split(lower(col("text")), "\\s+")).cast("long").as("n_tokens"),
       bucketCol.as("cb"))
     val budgetMap = budgets.toMap
-    val hist = toks.filter(col("source").isin(budgetMap.keys.toSeq: _*))
-      .groupBy("source", "cb").agg(sum("n_tokens").as("t"))
+    val hist = toks.filter(col(keyCol).isin(budgetMap.keys.toSeq: _*))
+      .groupBy(keyCol, "cb").agg(sum("n_tokens").as("t"))
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
-    // per source: smallest threshold bucket with cumulative tokens >= budget
+    // per key: smallest threshold bucket with cumulative tokens >= budget
     val thresholds = hist.groupBy(_._1).map { case (src, rows) =>
       val byBucket = rows.sortBy(_._2)
       var cum = 0L
@@ -180,10 +186,10 @@ object Mixture {
       src -> t
     }
     val thCol = thresholds.foldLeft(lit(-1): Column) {
-      case (acc, (src, t)) => when(col("source") === src, lit(t)).otherwise(acc)
+      case (acc, (src, t)) => when(col(keyCol) === src, lit(t)).otherwise(acc)
     }
     toks.filter(col("cb") <= thCol)
-      .select(col("doc_id"), col("source"), col("n_tokens"))
+      .select(col("doc_id"), col(keyCol), col("n_tokens"))
   }
 
   /** Global exact n-sample — [[stratifiedSampleExact]] with one stratum:
