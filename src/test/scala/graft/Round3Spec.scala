@@ -32,6 +32,25 @@ class Round3Spec extends SparkTestBase {
     assert(rows == 31L * 30 / 2)
   }
 
+  test("doubling reaches depths far beyond the iteration cap: 200-deep chain") {
+    // pure semi-naive could NEVER finish this under the default 50-round
+    // cap (diameter 200); the hybrid's doubling phase covers it in
+    // ~4 + log2(200/5) ≈ 10 rounds. 201 nodes in a line → every ordered
+    // ancestor/descendant pair.
+    val s = spark
+    import s.implicits._
+    val chain = (0 until 200).map(i => (i.toLong, i + 1L)).toDF("id", "next")
+    val cat = Catalog(List(Molecule(
+      rdfType = "urn:t:Node",
+      table = "chain",
+      subject = Template("urn:t:n:{id}"),
+      predicates = Map("urn:t:next" -> TemplateMap(Template("urn:t:n:{next}"))))))
+    val gc = new Graft(cat, _ => chain)(spark)
+    val rows = gc.sparql(
+      "SELECT ?x ?y WHERE { ?x <urn:t:next>+ ?y }").count()
+    assert(rows == 201L * 200 / 2)
+  }
+
   test("seeded BFS converges past 20 hops and a too-low cap throws loudly") {
     val gc = chainGraft
     assert(gc.sparql(

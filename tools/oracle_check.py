@@ -37,7 +37,12 @@ def main(sf_dir: str, out_dir: str) -> int:
     for name in names:
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
-            print(f"FAIL  {name}: no parquet output")
+            marker = os.path.join(out_dir, name, "_FAILED")
+            if os.path.exists(marker):
+                msg = open(marker).read().strip().splitlines()[0]
+                print(f"FAIL  {name}: query FAILED: {msg[:160]}")
+            else:
+                print(f"FAIL  {name}: no parquet output")
             n_fail += 1
             continue
         got = pd.read_parquet(files[0])
