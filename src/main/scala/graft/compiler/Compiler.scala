@@ -515,7 +515,33 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
     val cached = mutable.ListBuffer[DataFrame]()
     val checkpoints = mutable.ListBuffer[DataFrame]()
     def keep(df: DataFrame): DataFrame = { cached += df.persist(); df }
-    val edges = keep(edges0.distinct())
+    // Dictionary-encode the iteration (production RDF-store practice):
+    // node terms map to dense longs once, every round's join/except then
+    // shuffles fixed-width pairs instead of URI strings — 3-5× fewer
+    // shuffle bytes per round, multiplied by the round count. The dict is
+    // frozen by an eager checkpoint (monotonically_increasing_id is only
+    // stable once materialized); encode is two string joins paid once,
+    // decode two long joins on the result. `graft.path.dictEncode=false`
+    // restores the direct string iteration for A/B.
+    val dictEncode = spark.conf.get("graft.path.dictEncode", "true").toBoolean
+    val edgesStr = keep(edges0.distinct())
+    val dict: Option[DataFrame] =
+      if (!dictEncode) None
+      else {
+        val d = edgesStr.select(col("x").as("t"))
+          .union(edgesStr.select(col("y").as("t"))).distinct()
+          .withColumn("nid", monotonically_increasing_id())
+          .localCheckpoint()
+        checkpoints += d
+        Some(d)
+      }
+    val edges = dict match {
+      case Some(d) => keep(edgesStr
+        .join(d.select(col("t").as("x"), col("nid").as("__xid")), "x")
+        .join(d.select(col("t").as("y"), col("nid").as("__yid")), "y")
+        .select(col("__xid").as("x"), col("__yid").as("y")))
+      case None => edgesStr
+    }
     var total = edges
     var frontier = edges
     var converged = false
@@ -549,16 +575,29 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
     val result =
       if (!includeZero) total
       else {
-        val nodes = edges.select(col("x")).union(edges.select(col("y"))).distinct()
+        // zero-length pairs: with a dict the node universe is its key set
+        val nodes = dict match {
+          case Some(d) => d.select(col("nid").as("x"))
+          case None =>
+            edges.select(col("x")).union(edges.select(col("y"))).distinct()
+        }
         total.union(nodes.select(col("x"), col("x").as("y"))).distinct()
       }
+    // decode ids back to term strings (result-sized, two long-key joins)
+    val decoded = dict match {
+      case Some(d) => result
+        .join(d.select(col("nid").as("x"), col("t").as("__xs")), "x")
+        .join(d.select(col("nid").as("y"), col("t").as("__ys")), "y")
+        .select(col("__xs").as("x"), col("__ys").as("y"))
+      case None => result
+    }
     // materialize the fixpoint once (eager checkpoint), then free BOTH the
     // per-round caches and the per-round checkpoint blocks. The latter are
     // otherwise reclaimed only by the GC-driven ContextCleaner — in a
     // long-lived session the leaked frontiers from repeated path queries
     // fill the storage pool and evict live blocks (round-4 bench regressed
     // this query 4.4× exactly that way).
-    val out = result.localCheckpoint()
+    val out = decoded.localCheckpoint()
     cached.foreach(_.unpersist(blocking = false))
     checkpoints.foreach(org.apache.spark.sql.GraftBridge.freeCheckpoint)
     out
