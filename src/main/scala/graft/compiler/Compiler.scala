@@ -635,10 +635,30 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
       frontier = next
       i += 1
     }
-    if (!converged)
-      throw new IllegalStateException(
-        s"seeded path reachability did not converge within $maxIters iterations; " +
-          "the graph is deeper than the engine's bound — raise maxIters")
+    if (!converged) {
+      // Deeper than the per-round cap. A reached-SET frontier cannot path-
+      // double (doubling composes pairs), so instead of failing like the
+      // pre-doubling engine did, fall back to the doubling closure — its
+      // log-round convergence reaches any depth — and select the seed's
+      // row. This trades the BFS's one-component locality for guaranteed
+      // convergence; the cap is the user's knob for where that trade
+      // happens (a too-low cap in a shallow graph still surfaces as the
+      // closure's own convergence error).
+      cached.foreach(_.unpersist(blocking = false))
+      checkpoints.foreach(org.apache.spark.sql.GraftBridge.freeCheckpoint)
+      val all = closure(if (forward) base0
+                        else base0.select(col("y").as("x"), col("x").as("y")),
+                        includeZero = false)
+      val reached = all.filter(col("x") === lit(seed))
+        .select(col("y").as("n")).distinct()
+      val zeroed =
+        if (includeZero)
+          reached.union(spark.range(1).select(lit(seed).as("n"))).distinct()
+        else reached
+      val outFb = zeroed.localCheckpoint()
+      org.apache.spark.sql.GraftBridge.freeCheckpoint(all)
+      return outFb
+    }
     val result =
       if (includeZero)
         total.union(spark.range(1).select(lit(seed).as("n"))).distinct()

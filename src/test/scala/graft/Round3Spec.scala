@@ -49,6 +49,10 @@ class Round3Spec extends SparkTestBase {
     val rows = gc.sparql(
       "SELECT ?x ?y WHERE { ?x <urn:t:next>+ ?y }").count()
     assert(rows == 201L * 200 / 2)
+    // seeded reach deeper than the BFS round cap (50): falls back to the
+    // doubling closure instead of failing — previously impossible
+    assert(gc.sparql(
+      "SELECT ?y WHERE { <urn:t:n:0> <urn:t:next>+ ?y }").count() == 200)
   }
 
   test("seeded BFS converges past 20 hops and a too-low cap throws loudly") {
