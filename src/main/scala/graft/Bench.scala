@@ -36,6 +36,10 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       graft.pipeline.Dedup.simhashNearDups(docSample)
         .write.format("noop").mode("overwrite").save()
+      // the funnel→dedup→split composition adds its own code paths
+      // (filter funnel, split assign) on top of the dedup family
+      graft.pipeline.Prepare.prepareCorpus(docSample)
+        .write.format("noop").mode("overwrite").save()
       val embSample = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(64)
       graft.pipeline.Similarity.bruteForceTopK(embSample, k = 2, numQueries = 1)
         .write.format("noop").mode("overwrite").save()

@@ -87,7 +87,8 @@ object SparkEntry {
     * per-batch state commits), not engine throughput. The Verify
     * correctness gate still runs them. */
   val benchExcluded: Set[String] =
-    Set("q_stream_funnel", "q_stream_source_cap", "q_stream_token_budget")
+    Set("q_stream_funnel", "q_stream_source_cap", "q_stream_token_budget",
+      "q_stream_sessions")
 
   /** exact decimal money expr: extendedprice * (1 - discount). */
   private def discPrice: Column =
@@ -576,6 +577,14 @@ object SparkEntry {
     }),
     "q_retention" -> ((s, d) =>
       Funnels.retention(events(s, d)).orderBy("cohort", "offset_weeks")),
+    // stateful streaming sessionization replayed in event-time order:
+    // keyed (session_id, last_ts, count) state must reproduce the batch
+    // window form row-for-row, sessions spanning micro-batches included
+    "q_stream_sessions" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      _root_.graft.streaming.EventStreams.sessionsReplayed(events(s, d))
+        .orderBy("user_id", "event_id")
+    }),
     // gap-based sessionization, batch form (streaming twin lives in
     // graft.streaming.EventStreams.sessionize)
     "q_sessions" -> ((s, d) => {
@@ -1321,6 +1330,17 @@ object SparkEntry {
         |FROM w JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_sessions" ->
+      """SELECT user_id, event_id,
+        | CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |FROM (
+        | SELECT user_id, event_id, ts,
+        |  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |            > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+        | FROM events)
+        |ORDER BY user_id, event_id""".stripMargin,
+    // the streaming replay must reproduce the batch window form exactly
+    "q_stream_sessions" ->
       """SELECT user_id, event_id,
         | CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id

@@ -337,20 +337,25 @@ object EventStreams {
   /** Gap-based sessionization with explicit keyed state
     * (`flatMapGroupsWithState`): a new session starts when the gap to the
     * previous event exceeds `gapMinutes`. Per-user state is one small
-    * record; timeout evicts idle users. */
+    * record; timeout evicts idle users. Full microsecond precision
+    * (Spark's timestamp resolution) so an in-order replay agrees with the
+    * batch window form at every boundary — the strictly-greater-than-gap
+    * rule is the same on both sides. */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30)
                 (implicit spark: SparkSession): Dataset[SessionAssignment] = {
     import spark.implicits._
-    val gapMs = gapMinutes * 60000L
+    val gapUs = gapMinutes * 60000000L
+    def micros(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (user: Long, it: Iterator[Event], state: GroupState[SessionState]) => {
           var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
-          val out = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
-            val t = e.ts.getTime
+          val out = it.toSeq.sortBy(e => (micros(e.ts), e.event_id)).map { e =>
+            val t = micros(e.ts)
             st =
-              if (st.lastTs == Long.MinValue || t - st.lastTs <= gapMs)
+              if (st.lastTs == Long.MinValue || t - st.lastTs <= gapUs)
                 st.copy(lastTs = t, count = st.count + 1)
               else SessionState(st.sessionId + 1, t, 1L)
             SessionAssignment(user, e.event_id, st.sessionId, st.count)
@@ -358,5 +363,46 @@ object EventStreams {
           state.update(st)
           out.iterator
         })
+  }
+
+  /** Replay a BOUNDED event table through [[sessionize]] as real
+    * micro-batches in event-time order — the batch-parity verification
+    * harness for stateful sessionization, driven by the oracle gate
+    * (`q_stream_sessions`): an in-order replay's assignments must equal
+    * the batch window form (`q_sessions`) row-for-row, sessions spanning
+    * micro-batch boundaries included. Same caveat as
+    * [[funnelDepthsReplayed]]: MemoryStream is a driver-side source —
+    * a VERIFICATION tool, not a production op. */
+  def sessionsReplayed(events: DataFrame, gapMinutes: Int = 30,
+                       chunks: Int = 4)
+                      (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def tsOf(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    val evs = events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(1) / 1000L, r.getLong(0), r.getLong(2), r.getString(3)))
+      .sortBy(e => (e._1, e._2))
+      .map { case (us, id, user, tpe) => Event(id, tsOf(us), user, tpe, 0.0) }
+    val name = "graft_sessions_replay_" +
+      java.util.UUID.randomUUID().toString.filter(_ != '-')
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val q = sessionize(input.toDS(), gapMinutes)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      val per = math.max(1, (evs.length + chunks - 1) / chunks)
+      evs.grouped(per).foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val out = spark.table(name)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    spark.catalog.dropTempView(name)
+    spark.createDataset(out.toSeq.sortBy(t => (t._1, t._2)))
+      .toDF("user_id", "event_id", "session_id")
   }
 }
