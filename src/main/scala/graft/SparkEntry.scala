@@ -88,7 +88,7 @@ object SparkEntry {
     * correctness gate still runs them. */
   val benchExcluded: Set[String] =
     Set("q_stream_funnel", "q_stream_source_cap", "q_stream_token_budget",
-      "q_stream_sessions")
+      "q_stream_sessions", "q_stream_retention")
 
   /** exact decimal money expr: extendedprice * (1 - discount). */
   private def discPrice: Column =
@@ -577,6 +577,13 @@ object SparkEntry {
     }),
     "q_retention" -> ((s, d) =>
       Funnels.retention(events(s, d)).orderBy("cohort", "offset_weeks")),
+    // keyed cohort state replayed in event-time order: the streamed
+    // first-seen-week hits aggregate to the batch retention triangle
+    "q_stream_retention" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      _root_.graft.streaming.EventStreams.retentionReplayed(events(s, d))
+        .orderBy("cohort", "offset_weeks")
+    }),
     // stateful streaming sessionization replayed in event-time order:
     // keyed (session_id, last_ts, count) state must reproduce the batch
     // window form row-for-row, sessions spanning micro-batches included
@@ -1322,6 +1329,15 @@ object SparkEntry {
     // are raw integer division of nanosecond time — identical arithmetic
     // on both engines, no calendar functions to disagree
     "q_retention" ->
+      """WITH w AS (SELECT DISTINCT user_id,
+        |    epoch_ns(ts) // 604800000000000 AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort FROM w GROUP BY 1)
+        |SELECT c.cohort, w.wk - c.cohort AS offset_weeks,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM w JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the in-order streamed triangle must equal the batch form exactly
+    "q_stream_retention" ->
       """WITH w AS (SELECT DISTINCT user_id,
         |    epoch_ns(ts) // 604800000000000 AS wk FROM events),
         |c AS (SELECT user_id, min(wk) AS cohort FROM w GROUP BY 1)

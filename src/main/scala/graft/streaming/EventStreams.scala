@@ -334,6 +334,50 @@ object EventStreams {
         })
   }
 
+  /** Replay a BOUNDED event table through [[retentionHits]] in event-time
+    * order and aggregate the hits into the retention triangle — the
+    * batch-parity harness for keyed cohort state, driven by the oracle
+    * gate (`q_stream_retention`): in-order arrival anchors each user's
+    * cohort at their true first week, so the streamed triangle equals the
+    * batch [[graft.pipeline.Funnels.retention]] exactly (ms-truncated
+    * bucketing is exact: floor(floor(ns/10⁶)/wkMs) = floor(ns/wkNs)).
+    * Same caveat as [[funnelDepthsReplayed]]: MemoryStream is driver-side
+    * — a VERIFICATION tool, not a production op. */
+  def retentionReplayed(events: DataFrame, chunks: Int = 4)
+                       (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def tsOf(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    val evs = events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(1) / 1000L, r.getLong(0), r.getLong(2), r.getString(3)))
+      .sortBy(e => (e._1, e._2))
+      .map { case (us, id, user, tpe) => Event(id, tsOf(us), user, tpe, 0.0) }
+    val name = "graft_retention_replay_" +
+      java.util.UUID.randomUUID().toString.filter(_ != '-')
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val q = retentionHits(input.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      val per = math.max(1, (evs.length + chunks - 1) / chunks)
+      evs.grouped(per).foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val out = spark.table(name)
+      .groupBy("cohort", "offset_weeks")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).cast("long").as("n_users"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    spark.catalog.dropTempView(name)
+    spark.createDataset(out.toSeq)
+      .toDF("cohort", "offset_weeks", "n_users")
+  }
+
   /** Gap-based sessionization with explicit keyed state
     * (`flatMapGroupsWithState`): a new session starts when the gap to the
     * previous event exceeds `gapMinutes`. Per-user state is one small
