@@ -566,6 +566,47 @@ object Dedup {
     }
   }
 
+  /** The daily-ingest gate, one call: a new batch survives only if it is
+    * (1) not a byte-identical replay of anything ever admitted
+    * ([[freshAgainstStore]] — cheapest check first, fixed-width digests),
+    * (2) not a near-duplicate of anything admitted
+    * ([[nearDupFreshAgainstStore]] — banded LSH + exact-Jaccard verify),
+    * and (3) not a quoted subset of anything admitted
+    * ([[containmentFreshAgainstStore]] — the asymmetric case bands miss).
+    * Stage order mirrors [[dedupCorpus]]: each stage sees only the
+    * previous stage's survivors, so the expensive checks run on the
+    * smallest possible frame. Survivors carry `text_hash`, `shingles`,
+    * and `cgrams`, exactly what [[admitAll]] appends without recompute.
+    * In-batch duplication among survivors stays the batch ops' job.
+    * Sub-stores live under one root: `$root/digests`, `$root/neardup`,
+    * `$root/containment`. */
+  def freshAgainstAllStores(docs: DataFrame, root: String,
+                            threshold: Double = 0.7, k: Int = 3,
+                            numPerm: Int = 32, bands: Int = 8,
+                            tau: Double = 0.9, containK: Int = 8,
+                            maxDf: Long = 256, minGrams: Long = 3): DataFrame = {
+    val afterExact = freshAgainstStore(docs, s"$root/digests")
+    val afterNear = nearDupFreshAgainstStore(
+      afterExact, s"$root/neardup", threshold, k, numPerm, bands)
+    containmentFreshAgainstStore(
+      afterNear, s"$root/containment", tau, containK, maxDf, minGrams)
+  }
+
+  /** Append [[freshAgainstAllStores]] survivors to all three sub-stores.
+    * Each admit is individually idempotent, so a retried call (crash
+    * between stores included) converges: digests key on `text_hash`,
+    * bands on `doc_id`, grams on `doc_id`. Digests write FIRST — the
+    * cheapest store is the one whose absence re-admits a replay, and a
+    * doc present in `digests` but not yet in the signature stores is
+    * healed by the retry exactly as [[admitNearDup]]'s crash note
+    * describes. */
+  def admitAll(fresh: DataFrame, root: String,
+               numPerm: Int = 32, bands: Int = 8): Unit = {
+    admit(fresh, s"$root/digests")
+    admitNearDup(fresh, s"$root/neardup", numPerm, bands)
+    admitContainment(fresh, s"$root/containment")
+  }
+
   /** End-to-end corpus deduplication — the one-call composition a
     * training-data pipeline actually runs: exact dedup first (cheap,
     * md5-keyed, min doc_id survives), MinHash+LSH near-dup over the

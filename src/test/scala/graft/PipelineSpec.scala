@@ -811,6 +811,42 @@ class PipelineSpec extends SparkTestBase {
       "compaction changed containment verdicts")
   }
 
+  test("ingest gate: exact replay, near-dup, and quoted subset all die across batches") {
+    val s = spark
+    import s.implicits._
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_gate_${System.nanoTime()}"
+    def sizes() = (
+      spark.read.parquet(s"$root/digests").count(),
+      spark.read.parquet(s"$root/neardup/bands").count(),
+      spark.read.parquet(s"$root/containment/cgrams").count())
+    val long1 = (1 to 40).map(i => s"sentence$i word$i token$i").mkString(" ")
+    val b1 = Seq((1L, long1),
+      (2L, "wholly unrelated prose about distributed shuffles and encoders " +
+        "spilling cleanly under memory pressure in long nightly batch jobs"))
+      .toDF("doc_id", "text")
+    val f1 = Dedup.freshAgainstAllStores(b1, root)
+    assert(f1.count() == 2)
+    Dedup.admitAll(f1, root)
+    val once = sizes()
+    Dedup.admitAll(f1, root) // full replay: every store byte-stable
+    assert(sizes() == once, "replayed admitAll grew a store")
+
+    // batch 2: one of each rejection class + one novel doc
+    val b2 = Seq(
+      (20L, long1),                                           // exact replay
+      (21L, long1.replace("token7", "token7x")),              // near-dup
+      (22L, long1.split(" ").slice(0, 60).mkString(" ")),     // quoted subset
+      (23L, "genuinely new material on watermark state stores compacting " +
+        "between micro batch executions while the cluster sleeps tonight"))
+      .toDF("doc_id", "text")
+    val f2 = Dedup.freshAgainstAllStores(b2, root)
+    assert(f2.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(23L),
+      "each rejection class must die at its stage; only the novel doc survives")
+    Dedup.admitAll(f2, root)
+    // the admitted novel doc is itself a replay now: nothing fresh remains
+    assert(Dedup.freshAgainstAllStores(b2, root).count() == 0)
+  }
+
   test("boilerplate removal on the corpus: totals reconcile") {
     val got = Dedup.boilerplateClean(docs, window = 4, minDf = 5)
     assert(got.count() == docs.count()) // every doc survives as a row
