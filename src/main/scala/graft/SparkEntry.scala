@@ -527,6 +527,25 @@ object SparkEntry {
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+    // argmax WITHOUT a window: latest order per customer as one
+    // aggregation of max(struct(date, key)). Struct max is not
+    // hash-aggregable (Spark plans SortAggregate), but the property that
+    // matters at scale survives: map-side partial_max runs before the
+    // exchange, so the shuffle carries ONE struct per key — where a
+    // row_number window ships every row and sorts whole partitions
+    "q_latest_order" -> ((s, d) =>
+      T(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("m"))
+        .select(col("o_custkey"), col("m.o_orderdate").as("o_orderdate"),
+          col("m.o_orderkey").as("o_orderkey"))
+        .orderBy("o_custkey")),
+    // full grouping-set lattice (cube): all four (flag, status) slices
+    "q_cube" -> ((s, d) =>
+      T(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).cast("double").as("qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
     // big⋈big over pre-bucketed tables: the shuffle is paid once at
     // materialize (ingest), the join itself plans Exchange-free — the
     // co-located layout for queries repeated against the same fact tables
@@ -618,6 +637,21 @@ object SparkEntry {
         .select("user_id", "event_id", "attributed_click")
         .orderBy("user_id", "event_id")
     }),
+    // pivoted per-user event-type counts (groupBy().pivot() — explicit
+    // value list keeps the schema static; one shuffle, map-side partial
+    // aggregation per (user, type) before the pivot columns form)
+    "q_events_pivot" -> ((s, d) =>
+      events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("user_id"), col("view").cast("long").as("view"),
+          col("click").cast("long").as("click"),
+          col("purchase").cast("long").as("purchase"),
+          col("signup").cast("long").as("signup"),
+          col("error").cast("long").as("error"))
+        .orderBy("user_id")),
     // semi-structured path extraction over the events.props JSON column
     // (get_json_object — native codegen'd expression, no UDF): parse once,
     // bucket, integer-exact aggregates (sums of doubles would not
@@ -1241,6 +1275,19 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    // the window form is the oracle's job; orderkey uniqueness makes the
+    // (date desc, key desc) first row identical to max(struct(date, key))
+    "q_latest_order" ->
+      """SELECT o_custkey, o_orderdate, o_orderkey FROM (
+        |  SELECT o_custkey, o_orderdate, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+        | CAST(SUM(l_quantity) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q_bucketed_join" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n_items,
          | CAST(SUM($DISC_SQL) AS DOUBLE) AS revenue
@@ -1384,6 +1431,14 @@ object SparkEntry {
         |FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |        event_type FROM events)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_events_pivot" ->
+      """SELECT user_id,
+        | CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+        | CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        | CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+        | CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        | CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "doc_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, COUNT(*) AS n_dups

@@ -255,6 +255,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.contains("Window"), s"no window belongs in leakage:\n$plan")
   }
 
+  test("argmax-per-key aggregates with map-side partials, never a window") {
+    val df = graft.SparkEntry.queries("q_latest_order")(spark, sfDir)
+    val plan = executed(df)
+    assert(!plan.contains("Window"),
+      s"latest-per-key must be struct-max aggregation, not a window:\n$plan")
+    // struct max is not hash-aggregable (SortAggregate), but the shuffle
+    // must still carry one pre-aggregated struct per key: partial_max
+    // runs BEFORE the exchange
+    assert(plan.contains("partial_max"),
+      s"expected map-side partial aggregation before the shuffle:\n$plan")
+  }
+
   test("token-budget mixture output is a map-only filter over one scan") {
     val docs = t("documents")
     val df = graft.pipeline.Mixture.mixtureByTokenBudget(
