@@ -33,10 +33,11 @@ object EventTime {
 
   /** Epoch-nanos expression for a column of the given type. Longs pass
     * through untouched (assumed already nano-epoch — the legacy
-    * TIMESTAMP(NANOS) read path). */
+    * TIMESTAMP(NANOS) read path); 32-bit ints can only hold an epoch in
+    * SECONDS (any finer unit overflows int range), so they scale by 1e9. */
   def epochNanos(c: Column, dt: DataType): Column = dt match {
     case LongType    => c
-    case IntegerType => c.cast(LongType)
+    case IntegerType => c.cast(LongType) * lit(1000000000L)
     case TimestampType =>
       unix_micros(c) * lit(1000L)
     case _: TimestampNTZType =>

@@ -72,6 +72,12 @@ class EventTimeSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("int columns are epoch SECONDS (the only unit 32 bits can hold)") {
+    val df = Seq(0, 1, 1700000000).toDF("ts")
+    val got = EventTime.toEpochNanos(df, "ts").as[Long].collect().toSeq.sorted
+    assert(got == Seq(0L, 1000000000L, 1700000000000000000L))
+  }
+
   test("unsupported types fail loudly, not with silent wrong arithmetic") {
     val df = Seq("not-a-time").toDF("ts")
     intercept[IllegalArgumentException] {
