@@ -97,7 +97,9 @@ object EventStreams {
                       (implicit spark: SparkSession): Dataset[TokenDoc] = {
     import spark.implicits._
     require(budgets.nonEmpty && budgets.forall(_._2 >= 0), s"bad budgets $budgets")
-    docs.filter(d => budgets.contains(d.source))
+    // Column filter, not a typed lambda: stays inside codegen and can
+    // push into the stream's scan
+    docs.filter(col("source").isin(budgets.keys.toSeq: _*))
       .groupByKey(_.source).flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (src: String, rows: Iterator[TokenDoc], state: GroupState[Long]) =>
