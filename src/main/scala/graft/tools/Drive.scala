@@ -12,10 +12,10 @@ object Drive {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
-    val capped = graft.pipeline.Mixture.capPerSource(docs, 10)
-    capped.explain("formatted")
-    println("rows=" + capped.count())
+    // the driver's smoke contract: entry() on sf0.001 must return rows
+    val e = graft.SparkEntry.entry(spark)
+    e.explain("formatted")
+    println("entry rows=" + e.count())
     spark.stop()
   }
 }
