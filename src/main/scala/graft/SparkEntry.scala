@@ -660,7 +660,7 @@ object SparkEntry {
       events(s, d)
         .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
           col("event_type"))
-        .groupBy(pmod(col("k"), lit(10L)).as("k_bucket"), col("event_type"))
+        .groupBy((col("k") % 10L).as("k_bucket"), col("event_type"))
         .agg(count(lit(1)).as("cnt"), sum("k").as("sum_k"), max("k").as("max_k"))
         .orderBy("k_bucket", "event_type")),
     "q_events_hourly" -> ((s, d) =>
@@ -1427,7 +1427,7 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "q_events_json" ->
       """SELECT k % 10 AS k_bucket, event_type, COUNT(*) AS cnt,
-        | SUM(k) AS sum_k, MAX(k) AS max_k
+        | CAST(SUM(k) AS BIGINT) AS sum_k, MAX(k) AS max_k
         |FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |        event_type FROM events)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

@@ -12,14 +12,37 @@ import json
 import sys
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def _cell(v) -> str:
+    """Canonical string for one value, dtype-faithful like the driver's hash.
+
+    An int64 8761 renders '8761'; a float64 8761.0 renders '8761.0' — so
+    DuckDB HUGEINT→float widening FAILS here exactly as it does at the
+    driver (r11's q_events_json blindspot: check_dtype=False hid it).
+    """
+    if isinstance(v, (list, np.ndarray)):
+        return "[" + ",".join(_cell(x) for x in v) + "]"
+    try:
+        if pd.isna(v):
+            return "∅"
+    except (TypeError, ValueError):
+        pass
+    if isinstance(v, (np.floating, float)):
+        return repr(float(v))
+    if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    df = pd.DataFrame({c: [_cell(v) for v in df[c]] for c in df.columns})
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
@@ -60,13 +83,17 @@ def main(sf_dir: str, out_dir: str) -> int:
             n_fail += 1
             continue
         g, w = canon(got), canon(want)
-        try:
-            pd.testing.assert_frame_equal(g, w, check_dtype=False,
-                                          check_exact=True)
+        if g.equals(w):
             print(f"PASS  {name}: {len(got)} rows")
             n_pass += 1
-        except AssertionError as e:
-            print(f"FAIL  {name}: value mismatch\n{str(e)[:500]}")
+        else:
+            neq = (g != w).any(axis=1)
+            i = int(neq.idxmax())
+            diff_cols = [c for c in g.columns if g.at[i, c] != w.at[i, c]]
+            print(f"FAIL  {name}: value mismatch at sorted row {i}, "
+                  f"cols {diff_cols}: "
+                  f"spark={[g.at[i, c] for c in diff_cols]} "
+                  f"oracle={[w.at[i, c] for c in diff_cols]}")
             n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
     return 1 if n_fail else 0
