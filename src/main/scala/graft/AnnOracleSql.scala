@@ -1,0 +1,237 @@
+package graft
+
+import graft.pipeline.Similarity
+
+/** Content-independent DuckDB oracle SQL for the approximate-ANN rows.
+  *
+  * Through round 11 these four oracles pinned expected-ID lists derived from
+  * the sf0.01 embeddings, so a testdata regeneration would redden the rows
+  * with zero engine change (r11 verdict, "What's missing" #2). Every trainer
+  * in [[graft.pipeline.Similarity]] is deterministic — splitmix64-derived SRP
+  * planes, stride-seeded Lloyd k-means over a bounded `ORDER BY vec_id`
+  * sample — so instead of pinning results, this generator unrolls the SAME
+  * computation into DuckDB SQL and derives the expected hit sets from
+  * whatever data the gate runs on.
+  *
+  * The derivation is bit-exact, not approximate: DuckDB's `list_sum` /
+  * `list_inner_product` accumulate sequentially left-to-right (verified:
+  * `list_sum([1.0, 1e16, -1e16]) = 0.0`), so
+  * `list_sum(list(x ORDER BY vec_id))` reproduces Scala's fold order and
+  * every dot product, centroid component, and renormalization rounds
+  * identically in both engines. Validated bitwise against the Spark outputs
+  * at sf0.01 AND sf0.001 for all four rows (the r11 pinned lists are the
+  * sf0.01 special case of this derivation).
+  *
+  * The only data-shape assumptions are the embeddings table's column names
+  * and dim ≤ [[MaxDim]] (plane literals are emitted that wide and sliced to
+  * the actual `len(v)`; a larger regeneration fails loudly on the slice
+  * length mismatch, matching the loud-failure convention of
+  * `sources/EventTime`). Everything else — corpus size, vector values,
+  * number of rows — is read from the data like every other oracle.
+  *
+  * CTEs that are referenced more than once are `MATERIALIZED`: DuckDB
+  * inlines CTEs by default, which makes an unrolled 5-iteration Lloyd chain
+  * exponentially re-evaluate its predecessors.
+  */
+private[graft] object AnnOracleSql {
+
+  /** Widest embedding dim the LSH plane literals cover. */
+  private val MaxDim = 128
+
+  /** Normalized corpus + probe queries + dynamic dim — the shared preamble.
+    * Mirrors `Similarity.normalize` (float→double per element, zero vector
+    * when the norm is zero). */
+  private val Preamble =
+    """nv AS MATERIALIZED (
+      |  SELECT vec_id, CASE WHEN nrm = 0 THEN list_transform(e, x -> 0.0)
+      |         ELSE list_transform(e, x -> x / nrm) END AS v
+      |  FROM (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+      |        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings))),
+      |dims AS (SELECT len(v) AS dim FROM nv LIMIT 1),
+      |qn AS (SELECT vec_id AS q_id, v AS qv FROM nv WHERE vec_id < 3)""".stripMargin
+
+  /** Exact top-5 + per-hit contract columns over a `hits(q_id, vec_id)` CTE
+    * — the derived replacement for the former pinned `annContractOracle`. */
+  private val Contract =
+    """exact AS (SELECT q_id, vec_id, rank FROM (
+      |  SELECT qn.q_id, e.vec_id,
+      |    ROW_NUMBER() OVER (PARTITION BY qn.q_id
+      |      ORDER BY list_inner_product(e.v, qn.qv) DESC, e.vec_id) AS rank
+      |  FROM qn JOIN nv e ON e.vec_id <> qn.q_id) WHERE rank <= 5),
+      |j AS (SELECT h.q_id, h.vec_id, COALESCE(e.rank, -1) AS exact_rank
+      |      FROM hits h LEFT JOIN exact e ON e.q_id = h.q_id AND e.vec_id = h.vec_id),
+      |o AS (SELECT q_id, SUM(CASE WHEN exact_rank > 0 THEN 1 ELSE 0 END) AS overlap
+      |      FROM j GROUP BY q_id)
+      |SELECT CAST(j.q_id AS BIGINT) AS q_id, CAST(j.vec_id AS BIGINT) AS vec_id,
+      |  CAST(j.exact_rank AS INTEGER) AS exact_rank,
+      |  CAST(o.overlap AS BIGINT) AS overlap,
+      |  CAST(o.overlap AS DOUBLE) / 5 AS recall
+      |FROM j JOIN o ON o.q_id = j.q_id
+      |ORDER BY q_id, vec_id""".stripMargin
+
+  /** Unrolled `Similarity.seededKMeans(unitNorm = true)`: training reads the
+    * first `trainSample` vectors by vec_id (the exact Spark-side sample),
+    * final corpus assignment `kaf(vec_id, v, cell)` covers everything.
+    * Returns (cteSql, finalCentersCte). */
+  private def kmeansCtes(cells: Int, iters: Int, trainSample: Int): (String, String) = {
+    val parts = Seq.newBuilder[String]
+    parts += s"""ksmp AS MATERIALIZED (SELECT vec_id, v FROM nv ORDER BY vec_id LIMIT $trainSample),
+      |kidx AS MATERIALIZED (SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS i FROM ksmp),
+      |kn AS MATERIALIZED (SELECT COUNT(*) AS n FROM ksmp),
+      |kc0 AS MATERIALIZED (SELECT r.cell, i.v AS cv
+      |  FROM (SELECT UNNEST(range($cells)) AS cell) r, kn
+      |  JOIN kidx i ON i.i = (r.cell * kn.n) // $cells)""".stripMargin
+    var prev = "kc0"
+    for (t <- 1 to iters) {
+      parts += s"""ka$t AS MATERIALIZED (SELECT vec_id, v, cell FROM (
+        |    SELECT s.vec_id, s.v, c.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY s.vec_id
+        |        ORDER BY list_inner_product(s.v, c.cv) DESC, c.cell) AS rn
+        |    FROM ksmp s CROSS JOIN $prev c) WHERE rn = 1),
+        |ks$t AS MATERIALIZED (SELECT cell, d, list_sum(list(v[d + 1] ORDER BY vec_id)) AS sd
+        |  FROM ka$t, (SELECT UNNEST(range(dim)) AS d FROM dims) GROUP BY cell, d),
+        |kdv$t AS MATERIALIZED (SELECT cell, sqrt(list_sum(list(sd * sd ORDER BY d))) AS dv
+        |  FROM ks$t GROUP BY cell),
+        |kc$t AS MATERIALIZED (
+        |  SELECT s.cell, list(CASE WHEN n.dv = 0 THEN 0.0 ELSE s.sd / n.dv END ORDER BY s.d) AS cv
+        |  FROM ks$t s JOIN kdv$t n USING (cell) GROUP BY s.cell
+        |  UNION ALL
+        |  SELECT p.cell, p.cv FROM $prev p
+        |  WHERE p.cell NOT IN (SELECT cell FROM ka$t GROUP BY cell))""".stripMargin
+      prev = s"kc$t"
+    }
+    parts += s"""kaf AS MATERIALIZED (SELECT vec_id, v, cell FROM (
+      |    SELECT nv.vec_id, nv.v, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY nv.vec_id
+      |        ORDER BY list_inner_product(nv.v, c.cv) DESC, c.cell) AS rn
+      |    FROM nv CROSS JOIN $prev c) WHERE rn = 1)""".stripMargin
+    (parts.result().mkString(",\n"), prev)
+  }
+
+  /** IVF recall-contract oracle: derived quantizer, probes, hits. Parameters
+    * must match the registered `Similarity.ivfTopK` call. */
+  def ivf(cells: Int = 16, nProbe: Int = 2, iters: Int = 5,
+          trainSample: Int = 16384): String = {
+    val (km, last) = kmeansCtes(cells, iters, trainSample)
+    s"""WITH $Preamble,
+       |$km,
+       |pr AS (SELECT q_id, cell FROM (
+       |   SELECT qn.q_id, c.cell, ROW_NUMBER() OVER (PARTITION BY qn.q_id
+       |     ORDER BY list_inner_product(c.cv, qn.qv) DESC, c.cell) AS rn
+       |   FROM qn CROSS JOIN $last c) WHERE rn <= $nProbe),
+       |hits AS (SELECT q_id, vec_id FROM (
+       |   SELECT qn.q_id, af.vec_id,
+       |     ROW_NUMBER() OVER (PARTITION BY qn.q_id
+       |       ORDER BY list_inner_product(af.v, qn.qv) DESC, af.vec_id) AS rank
+       |   FROM qn JOIN pr ON pr.q_id = qn.q_id JOIN kaf af ON af.cell = pr.cell
+       |   WHERE af.vec_id <> qn.q_id) WHERE rank <= 5),
+       |$Contract""".stripMargin
+  }
+
+  /** SRP-LSH recall-contract oracle. The hyperplane components are the
+    * data-independent splitmix64 constants of `Similarity.planeComponent`,
+    * emitted [[MaxDim]] wide and sliced to the corpus dim — exactly the
+    * `d < v.length` loop bound on the Spark side. */
+  def lsh(planes: Int = 8, k: Int = 5): String = {
+    val rows = (0 until planes).map { p =>
+      val ws = (0 until MaxDim).map(d => Similarity.planeComponent(p, d))
+      s"($p, [${ws.mkString(", ")}])"
+    }.mkString(",\n  ")
+    s"""WITH $Preamble,
+       |pl(p, wv) AS (VALUES
+       |  $rows),
+       |sig AS MATERIALIZED (SELECT nv.vec_id,
+       |    SUM(CASE WHEN list_inner_product(nv.v, pl.wv[1 : dim]) > 0
+       |        THEN CAST(1 << pl.p AS BIGINT) ELSE 0 END) AS b
+       |  FROM nv CROSS JOIN pl, dims GROUP BY nv.vec_id),
+       |hits AS (SELECT q_id, vec_id FROM (
+       |   SELECT qn.q_id, e.vec_id,
+       |     ROW_NUMBER() OVER (PARTITION BY qn.q_id
+       |       ORDER BY list_inner_product(e.v, qn.qv) DESC, e.vec_id) AS rank
+       |   FROM qn JOIN sig qs ON qs.vec_id = qn.q_id
+       |   JOIN sig es ON es.b = qs.b AND es.vec_id <> qn.q_id
+       |   JOIN nv e ON e.vec_id = es.vec_id) WHERE rank <= $k),
+       |$Contract""".stripMargin
+  }
+
+  /** IVF-PQ recall-contract oracle: the shared coarse quantizer plus `m`
+    * unrolled sub-quantizer trainings (plain means), codes, and the ADC
+    * table — `list_sum(list(ip ORDER BY j))` keeps the per-subspace
+    * accumulation in Scala's j-order. */
+  def ivfpq(cells: Int = 16, nProbe: Int = 4, m: Int = 16, ksub: Int = 32,
+            iters: Int = 5, trainSample: Int = 16384): String = {
+    val (km, last) = kmeansCtes(cells, iters, trainSample)
+    val parts = Seq.newBuilder[String]
+    parts += s"""dsub AS (SELECT dim // $m AS w FROM dims),
+      |sub AS MATERIALIZED (SELECT vec_id, j, v[w * j + 1 : w * (j + 1)] AS sv
+      |  FROM nv, (SELECT UNNEST(range($m)) AS j), dsub),
+      |bsmp AS MATERIALIZED (SELECT s.vec_id, s.j, s.sv, i.i
+      |  FROM sub s JOIN kidx i USING (vec_id)),
+      |b0 AS MATERIALIZED (SELECT r.c, s.j, s.sv AS cv
+      |  FROM (SELECT UNNEST(range($ksub)) AS c) r, kn
+      |  JOIN bsmp s ON s.i = (r.c * kn.n) // $ksub)""".stripMargin
+    var prev = "b0"
+    for (t <- 1 to iters) {
+      parts += s"""ba$t AS MATERIALIZED (SELECT vec_id, j, sv, c FROM (
+        |    SELECT s.vec_id, s.j, s.sv, b.c,
+        |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+        |        ORDER BY list_inner_product(s.sv, b.cv) DESC, b.c) AS rn
+        |    FROM bsmp s JOIN $prev b ON b.j = s.j) WHERE rn = 1),
+        |bs$t AS MATERIALIZED (SELECT j, c, d,
+        |    list_sum(list(sv[d + 1] ORDER BY vec_id)) AS sd, COUNT(*) AS cnt
+        |  FROM ba$t, (SELECT UNNEST(range(w)) AS d FROM dsub) GROUP BY j, c, d),
+        |b$t AS MATERIALIZED (
+        |  SELECT j, c, list(sd / cnt ORDER BY d) AS cv FROM bs$t GROUP BY j, c
+        |  UNION ALL
+        |  SELECT p.j, p.c, p.cv FROM $prev p
+        |  WHERE NOT EXISTS (SELECT 1 FROM ba$t a WHERE a.j = p.j AND a.c = p.c))""".stripMargin
+      prev = s"b$t"
+    }
+    val books = prev
+    val bookCtes = parts.result().mkString(",\n")
+    s"""WITH $Preamble,
+       |$km,
+       |$bookCtes,
+       |codes AS MATERIALIZED (SELECT vec_id, j, c FROM (
+       |    SELECT s.vec_id, s.j, b.c,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+       |        ORDER BY list_inner_product(s.sv, b.cv) DESC, b.c) AS rn
+       |    FROM sub s JOIN $books b ON b.j = s.j) WHERE rn = 1),
+       |tab AS (SELECT q.q_id, s.j, b.c, list_inner_product(s.sv, b.cv) AS ip
+       |  FROM qn q JOIN sub s ON s.vec_id = q.q_id JOIN $books b ON b.j = s.j),
+       |pr AS (SELECT q_id, cell FROM (
+       |   SELECT qn.q_id, c.cell, ROW_NUMBER() OVER (PARTITION BY qn.q_id
+       |     ORDER BY list_inner_product(c.cv, qn.qv) DESC, c.cell) AS rn
+       |   FROM qn CROSS JOIN $last c) WHERE rn <= $nProbe),
+       |adc AS (SELECT t.q_id, cd.vec_id, list_sum(list(t.ip ORDER BY t.j)) AS s
+       |  FROM codes cd JOIN tab t ON t.j = cd.j AND t.c = cd.c
+       |  GROUP BY t.q_id, cd.vec_id),
+       |hits AS (SELECT q_id, vec_id FROM (
+       |   SELECT a.q_id, a.vec_id,
+       |     ROW_NUMBER() OVER (PARTITION BY a.q_id ORDER BY a.s DESC, a.vec_id) AS rank
+       |   FROM adc a JOIN kaf af ON af.vec_id = a.vec_id
+       |   JOIN pr ON pr.q_id = a.q_id AND pr.cell = af.cell
+       |   WHERE a.vec_id <> a.q_id) WHERE rank <= 5),
+       |$Contract""".stripMargin
+  }
+
+  /** SemDeDup oracle: derived cell assignment, then the removal rule
+    * verbatim — a vector is removed iff ANY lower-id same-cell vector has
+    * cosine ≥ tau; kept_id is the highest-cosine justifier, ties to the
+    * lowest id. `sim_ok` is true by construction of the pair filter, which
+    * is exactly the Spark-side invariant. */
+  def semDedup(tau: Double = 0.44, cells: Int = 8, iters: Int = 5,
+               trainSample: Int = 16384): String = {
+    val (km, _) = kmeansCtes(cells, iters, trainSample)
+    s"""WITH $Preamble,
+       |$km,
+       |p2 AS (SELECT a.vec_id AS ka, b.vec_id AS vb, list_inner_product(a.v, b.v) AS c
+       |  FROM kaf a JOIN kaf b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE list_inner_product(a.v, b.v) >= $tau)
+       |SELECT vec_id, kept_id, sim_ok FROM (
+       |  SELECT CAST(vb AS BIGINT) AS vec_id, CAST(ka AS BIGINT) AS kept_id,
+       |    c >= $tau AS sim_ok,
+       |    ROW_NUMBER() OVER (PARTITION BY vb ORDER BY c DESC, ka) AS rn
+       |  FROM p2) WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  }
+}

@@ -102,7 +102,7 @@ object Similarity {
   /** 16-bit signed-random-projection bucket signature. The "random"
     * hyperplane component for (plane i, dim d) is a deterministic
     * xxhash64-derived value — fully reproducible, no weight matrix to ship. */
-  private def planeComponent(i: Int, d: Int): Double = {
+  private[graft] def planeComponent(i: Int, d: Int): Double = {
     // splitmix64-style scramble of (i, d) → [-0.5, 0.5)
     var z = i.toLong * 1024L + d + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L

@@ -35,6 +35,39 @@ object EventTime {
     * through untouched (assumed already nano-epoch — the legacy
     * TIMESTAMP(NANOS) read path); 32-bit ints can only hold an epoch in
     * SECONDS (any finer unit overflows int range), so they scale by 1e9. */
+  /** Sampled magnitude guard for lake readers whose long columns are
+    * ASSUMED nano-epoch: a regeneration serving epoch seconds, millis, or
+    * micros as long would otherwise be silently misread by 10⁹/10⁶/10³ —
+    * the same silent-unit-drift class as the r10 timestamp regression, but
+    * undetectable by the type dispatch above. A nonzero sampled value below
+    * ~1.2e16 (|ns| of ~136 days around the epoch; modern seconds ≈ 1.7e9,
+    * millis ≈ 1.7e12, micros ≈ 1.7e15 all sit far below it, genuine modern
+    * nanos ≈ 1.7e18 far above) fails loudly like the unsupported-type
+    * branch. Costs one `limit(sample)` scan, so it belongs at the lake
+    * entry point, not inside the per-query no-op [[toEpochNanos]] path
+    * (whose unit fixtures legitimately use small epochs). */
+  def assertPlausibleNanos(df: DataFrame, colName: String = "ts",
+                           sample: Int = 256): DataFrame = {
+    if (df.schema(colName).dataType == LongType) {
+      val floor = 12_000_000_000_000_000L
+      val bad = df.select(col(colName)).filter(col(colName) =!= 0L)
+        .limit(sample).collect().map(_.getLong(0)).find(v => math.abs(v) < floor)
+      bad.foreach { v =>
+        val unit = math.abs(v) match {
+          case a if a < 1e11 => "SECONDS"
+          case a if a < 1e14 => "MILLIS"
+          case _             => "MICROS"
+        }
+        throw new IllegalStateException(
+          s"event-time long column '$colName' sampled value $v is far below " +
+            s"nano-epoch magnitude — the lake is likely serving epoch $unit " +
+            "as long; wire the correct unit instead of trusting the " +
+            "nanos-long assumption")
+      }
+    }
+    df
+  }
+
   def epochNanos(c: Column, dt: DataType): Column = dt match {
     case LongType    => c
     case IntegerType => c.cast(LongType) * lit(1000000000L)

@@ -280,7 +280,7 @@ object EventStreams {
     val evs = events
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
       .collect()
-      .map(r => (r.getLong(1) / 1000L, r.getLong(0), r.getLong(2), r.getString(3)))
+      .map(r => (Math.floorDiv(r.getLong(1), 1000L), r.getLong(0), r.getLong(2), r.getString(3)))
       .sortBy(e => (e._1, e._2))
       .map { case (us, id, user, tpe) => Event(id, tsOf(us), user, tpe, 0.0) }
     val name = "graft_funnel_replay_" +
@@ -357,7 +357,7 @@ object EventStreams {
     val evs = events
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
       .collect()
-      .map(r => (r.getLong(1) / 1000L, r.getLong(0), r.getLong(2), r.getString(3)))
+      .map(r => (Math.floorDiv(r.getLong(1), 1000L), r.getLong(0), r.getLong(2), r.getString(3)))
       .sortBy(e => (e._1, e._2))
       .map { case (us, id, user, tpe) => Event(id, tsOf(us), user, tpe, 0.0) }
     val name = "graft_retention_replay_" +
@@ -432,7 +432,7 @@ object EventStreams {
     val evs = events
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
       .collect()
-      .map(r => (r.getLong(1) / 1000L, r.getLong(0), r.getLong(2), r.getString(3)))
+      .map(r => (Math.floorDiv(r.getLong(1), 1000L), r.getLong(0), r.getLong(2), r.getString(3)))
       .sortBy(e => (e._1, e._2))
       .map { case (us, id, user, tpe) => Event(id, tsOf(us), user, tpe, 0.0) }
     val name = "graft_sessions_replay_" +

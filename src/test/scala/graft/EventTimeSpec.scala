@@ -78,6 +78,23 @@ class EventTimeSpec extends SparkTestBase {
     assert(got == Seq(0L, 1000000000L, 1700000000000000000L))
   }
 
+  test("lake-entry magnitude guard flags micros/millis/seconds served as long") {
+    for ((v, unit) <- Seq(1700000000L -> "SECONDS", 1700000000000L -> "MILLIS",
+                          1700000000000000L -> "MICROS")) {
+      val e = intercept[IllegalStateException] {
+        EventTime.assertPlausibleNanos(Seq(0L, v).toDF("ts"), "ts")
+      }
+      assert(e.getMessage.contains(unit), s"v=$v")
+    }
+    // genuine modern nanos (and the zero sentinel) pass untouched
+    val ok = Seq(0L, 1700000000000000000L).toDF("ts")
+    assert(EventTime.assertPlausibleNanos(ok, "ts") eq ok)
+    // non-long layouts are the type dispatch's job, not the guard's
+    val ntz = Seq(1L).toDF("us")
+      .withColumn("ts", timestamp_micros(col("us")).cast(TimestampNTZType))
+    assert(EventTime.assertPlausibleNanos(ntz, "ts") eq ntz)
+  }
+
   test("unsupported types fail loudly, not with silent wrong arithmetic") {
     val df = Seq("not-a-time").toDF("ts")
     intercept[IllegalArgumentException] {
