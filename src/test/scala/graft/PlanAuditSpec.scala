@@ -38,6 +38,20 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
 
+  test("autogen catalog: probed cardinality hints surface as broadcast joins") {
+    // the probed catalog discovers nation/region row counts under the
+    // broadcast threshold — the hint must reach the physical plan exactly
+    // as the declared catalog's does, and link discovery must never leave
+    // a cartesian behind
+    val df = SparkEntry.queries("autogen_pruned_chain")(spark, sfDir)
+    val plan = executed(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probed broadcast hints missing from the plan:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"autogen link discovery produced a cartesian:\n$plan")
+  }
+
   test("column pruning reaches the scan for star projections") {
     val df = g.sparql(
       """PREFIX g: <urn:g:>
