@@ -769,6 +769,10 @@ object SparkEntry {
     "doc_rarity" -> ((s, d) =>
       Mixture.rarityProfile(T(s, d, "documents"), rareMax = 100)
         .orderBy("doc_id")),
+    // n-gram LM perplexity filter (CCNet/Gopher-style quality signal):
+    // self-trained bigram model, integer milli-nat scores
+    "doc_perplexity" -> ((s, d) =>
+      TextAnalysis.perplexity(T(s, d, "documents")).orderBy("doc_id")),
     "doc_bigram_novelty" -> ((s, d) =>
       Mixture.bigramNovelty(T(s, d, "documents")).orderBy("doc_id")),
     // BPE tokenizer: distributed word-count training + map-only apply.
@@ -2086,6 +2090,25 @@ object SparkEntry {
 
     // bigram novelty: integer-exact cross-document phrasing uniqueness
     // (sub-two-token docs drop out identically on both sides)
+    // bigram-LM perplexity: same smoothing formula both engines; ln (DuckDB
+    // log is base-10); milli-nat rounding absorbs per-term log ulp skew
+    "doc_perplexity" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |bg AS (SELECT doc_id, w[k] AS w1, w[k+1] AS w2
+        |  FROM t, unnest(generate_series(1, len(w)-1)) AS g(k)),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS v FROM
+        |  (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |   FROM documents)),
+        |sc AS (SELECT bg.doc_id,
+        |    ln((COALESCE(c2.c2, 0) + 0.5) / (COALESCE(c1.c1, 0) + 0.5 * v.v)) AS lp
+        |  FROM bg LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1), v)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(ROUND(-1000.0 * SUM(lp) / COUNT(*), 0) AS BIGINT) AS nll_milli
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "doc_bigram_novelty" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
         |  FROM documents),

@@ -244,6 +244,58 @@ object TextAnalysis {
           .cast("long").as("n_tokens"))
   }
 
+  /** N-gram LM perplexity scoring — the CCNet/Gopher-style quality signal:
+    * train add-k-smoothed bigram counts on a reference corpus (default:
+    * the corpus itself) and score each document by its mean negative
+    * log-likelihood in milli-nats per bigram. High scores flag
+    * out-of-distribution text (boilerplate, gibberish, wrong register) —
+    * the standard LM-filter stage of a training-data pipeline.
+    *
+    * Scale shape: token/bigram explode → ONE bigram-count shuffle (map-side
+    * combines); context counts derive from the bigram table (no second
+    * corpus pass); scoring LEFT-joins doc bigrams against the count tables
+    * on gram keys — shuffle joins, no broadcast assumption, because a
+    * corpus-scale LM table is itself huge. Unseen grams (cross-corpus
+    * scoring) fall back to the smoothing floor k/(k·V). Per-doc state is
+    * one sum — no windows over the corpus.
+    *
+    * Output determinism: the score is emitted as integer milli-nats
+    * (ROUND(-1000·Σlog/N)); per-term log ulp differences across engines
+    * (~1e-15) sit ten orders below the rounding granularity, so the
+    * DuckDB oracle hashes identically — the same integer-exact convention
+    * as the rest of the text family. Docs with no bigram (< 2 tokens) are
+    * excluded by construction, like [[topTerms]]' df floor.
+    * Output: (doc_id, n_bigrams, nll_milli). */
+  def perplexity(docs: DataFrame, lmCorpus: DataFrame = null,
+                 k: Double = 0.5): DataFrame = {
+    val lm = Option(lmCorpus).getOrElse(docs)
+    def bigrams(d: DataFrame): DataFrame = {
+      val toks = d.select(col("doc_id"),
+        posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "w1")))
+      toks.withColumn("w2",
+          lead(col("w1"), 1).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("doc_id").orderBy("pos")))
+        .filter(col("w2").isNotNull)
+        .select("doc_id", "w1", "w2")
+    }
+    val c2 = bigrams(lm).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+    // vocabulary size: one-row aggregate to the driver (bounded scalar),
+    // the smoothing denominator constant
+    val v = lm.select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .agg(countDistinct(col("w"))).head().getLong(0)
+    bigrams(docs)
+      .join(c2, Seq("w1", "w2"), "left_outer")
+      .join(c1, Seq("w1"), "left_outer")
+      .select(col("doc_id"),
+        log((coalesce(col("c2"), lit(0L)) + lit(k)) /
+            (coalesce(col("c1"), lit(0L)) + lit(k * v))).as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(lit(-1000.0) * sum(col("lp")) / count(lit(1)), 0)
+          .cast("long").as("nll_milli"))
+  }
+
   /** Sketch-based corpus statistics — the 100 TB cardinality tools. Per
     * source: a HyperLogLog distinct-token estimate and an approximate
     * median of per-document token counts, each paired with a contract

@@ -65,6 +65,26 @@ class PipelineSpec extends SparkTestBase {
     assert(got(1L).getAs[Long]("top_unigram_n") == 40L) // 'spam' 40 times
   }
 
+  test("bigram-LM perplexity: hand-computed milli-nats, cross-corpus floor") {
+    val s = spark
+    import s.implicits._
+    val lm = Seq((0L, "a a b"), (1L, "a b")).toDF("doc_id", "text")
+    // c2: (a,a)=1, (a,b)=2; c1(a)=3; V=2; k=0.5
+    // doc0: -(ln .375 + ln .625)/2 = 0.72542 -> 725; doc1: -ln .625 -> 470
+    val self = TextAnalysis.perplexity(lm).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(self(0L) == ((2L, 725L)), s"doc0: ${self(0L)}")
+    assert(self(1L) == ((1L, 470L)), s"doc1: ${self(1L)}")
+    // unseen bigram against a reference LM: smoothing floor k/(k*V)=0.5
+    val probe = Seq((9L, "c c")).toDF("doc_id", "text")
+    val cross = TextAnalysis.perplexity(probe, lmCorpus = lm).collect()
+    assert(cross.length == 1 && cross(0).getLong(2) == 693L, // ln 2
+      s"cross: ${cross.toSeq}")
+    // short docs (< 2 tokens) have no bigram and are excluded
+    assert(TextAnalysis.perplexity(Seq((5L, "solo")).toDF("doc_id", "text"))
+      .count() == 0L)
+  }
+
   test("brute-force knn: rank 1 is the true nearest neighbour") {
     val got = Similarity.bruteForceTopK(emb, k = 3, numQueries = 2).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
