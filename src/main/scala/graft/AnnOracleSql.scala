@@ -234,4 +234,31 @@ private[graft] object AnnOracleSql {
        |    ROW_NUMBER() OVER (PARTITION BY vb ORDER BY c DESC, ka) AS rn
        |  FROM p2) WHERE rn = 1 ORDER BY vec_id""".stripMargin
   }
+
+  /** First-class clustering oracle (`Similarity.kmeansClusters`): derived
+    * quantizer, full-corpus assignment, k-row census joined back. */
+  def kmeansClusters(cells: Int = 16, iters: Int = 5,
+                     trainSample: Int = 16384): String = {
+    val (km, _) = kmeansCtes(cells, iters, trainSample)
+    s"""WITH $Preamble,
+       |$km,
+       |cn AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       |  FROM kaf GROUP BY cell)
+       |SELECT CAST(kaf.vec_id AS BIGINT) AS vec_id,
+       |  CAST(kaf.cell AS INTEGER) AS cluster, cn.cluster_size
+       |FROM kaf JOIN cn USING (cell) ORDER BY vec_id""".stripMargin
+  }
+
+  /** Cluster-balanced sample oracle (`Similarity.clusterBalancedSample`):
+    * the `perCluster` lowest vec_ids of every derived cell. */
+  def clusterBalancedSample(perCluster: Int = 8, cells: Int = 16,
+                            iters: Int = 5, trainSample: Int = 16384): String = {
+    val (km, _) = kmeansCtes(cells, iters, trainSample)
+    s"""WITH $Preamble,
+       |$km
+       |SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cell AS INTEGER) AS cluster
+       |FROM (SELECT vec_id, cell,
+       |        ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+       |      FROM kaf) WHERE rn <= $perCluster ORDER BY vec_id""".stripMargin
+  }
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.api.{Graft, TpchCatalog}
+import graft.operators.BandJoin
 import graft.pipeline.{Bpe, Decontaminate, Dedup, Funnels, Mixture, Multimodal, Prepare, Search, Similarity, Sketches, TextAnalysis}
 import graft.sources.Bucketing
 
@@ -672,6 +673,25 @@ object SparkEntry {
         .select("user_id", "event_id", "attributed_click")
         .orderBy("user_id", "event_id")
     }),
+    // batch interval (band) join: per purchase, same-user clicks in the
+    // trailing 30 minutes. BandJoin turns the non-equi time window into a
+    // (user, time-band)-bucketed equi-join — bounded per-key fan-out at
+    // scale instead of a per-user cross product behind a filter
+    "q_interval_join" -> ((s, d) => {
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"))
+      val matched = BandJoin.trailing(purchases, clicks, Seq("user_id"),
+        "p_ts", "c_ts", window = 30L * 60L * 1000000000L)
+      purchases.join(
+          matched.groupBy("event_id").agg(count(lit(1)).as("clicks_30m")),
+          Seq("event_id"), "left")
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("clicks_30m"), lit(0L)).as("clicks_30m"))
+        .orderBy("event_id")
+    }),
     // pivoted per-user event-type counts (groupBy().pivot() — explicit
     // value list keeps the schema static; one shuffle, map-side partial
     // aggregation per (user, type) before the pivot columns form)
@@ -985,7 +1005,24 @@ object SparkEntry {
     // the gate even if the pinned ids matched
     "emb_semdedup" -> ((s, d) =>
       Similarity.semDedup(T(s, d, "embeddings"), tau = 0.44, cells = 8)
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+    // first-class corpus clustering: the IVF quantizer's assignment as the
+    // product (cluster-aware mixing / quota sampling start here); oracle
+    // derives the same quantizer + census in SQL
+    "emb_kmeans" -> ((s, d) =>
+      Similarity.kmeansClusters(T(s, d, "embeddings"), cells = 16)
+        .orderBy("vec_id")),
+    // cluster-balanced subsample: lowest perCluster vec_ids of every cell
+    // via bounded per-partition heaps (no corpus-wide window on a k-value
+    // key) — the diversity quota of a curated subset
+    "emb_cluster_sample" -> ((s, d) =>
+      Similarity.clusterBalancedSample(T(s, d, "embeddings"),
+        perCluster = 8, cells = 16).orderBy("vec_id")),
+    // exact symmetric n-gram Jaccard pairs: recall-1.0 inverted-index
+    // complement of the LSH row (df cap is the oracle-mirrored contract)
+    "doc_near_dup_jaccard" -> ((s, d) =>
+      Dedup.exactJaccardPairs(T(s, d, "documents"), threshold = 0.5, k = 4)
+        .orderBy("a", "b"))
   )
 
   // ---- DuckDB oracles -------------------------------------------------------
@@ -1479,6 +1516,19 @@ object SparkEntry {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attributed_click
         | FROM events)
         |WHERE event_type = 'purchase' ORDER BY user_id, event_id""".stripMargin,
+
+    // trailing-window interval join: DuckDB states the non-equi predicate
+    // directly; the engine's band-bucketed equi-join must reproduce it
+    // exactly (engine timestamps are epoch nanos = micros * 1000, so the
+    // 30-minute boundary is the same integer instant on both sides)
+    "q_interval_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, CAST(COUNT(c.ts) AS BIGINT) AS clicks_30m
+        |FROM p LEFT JOIN c ON c.user_id = p.user_id
+        |  AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "q_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         | COUNT(*) AS cnt, COUNT(DISTINCT user_id) AS users
@@ -1700,6 +1750,32 @@ object SparkEntry {
     // (within-cell only — the documented SemDeDup trade), and Round7Spec
     // anchors one-cell-equals-exhaustive semantics.
     "emb_semdedup" -> AnnOracleSql.semDedup(tau = 0.44, cells = 8),
+
+    // first-class clustering + cluster-balanced quota sample: assignment,
+    // census, and quota all derived from the data by the same unrolled
+    // Lloyd chain the IVF rows validated bit-exact
+    "emb_kmeans" -> AnnOracleSql.kmeansClusters(cells = 16),
+    "emb_cluster_sample" ->
+      AnnOracleSql.clusterBalancedSample(perCluster = 8, cells = 16),
+
+    // exact n-gram Jaccard (k=4, tau=0.5): same tokenize/digest/df-cap
+    // contract as doc_containment, symmetric intersection over uncapped
+    // union sizes — conservative by construction
+    "doc_near_dup_jaccard" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |g0 AS (SELECT doc_id, unnest(list_distinct(
+        |    [substr(md5(array_to_string(w[i:i+3], ' ')), 1, 16)
+        |     FOR i IN range(1, greatest(len(w)-3, 1) + 1)])) AS g FROM t),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM g0 GROUP BY 1),
+        |el AS (SELECT g0.* FROM g0
+        |  JOIN (SELECT g FROM g0 GROUP BY g HAVING count(*) <= 256) e USING (g)),
+        |sh AS (SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
+        |  FROM el a JOIN el b USING (g) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT a, b, CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) AS jaccard
+        |FROM sh JOIN sz sa ON sa.doc_id = sh.a JOIN sz sb ON sb.doc_id = sh.b
+        |WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.5
+        |ORDER BY a, b""".stripMargin,
 
     "sparql_service" ->
       """SELECT s_name AS sname, n_name AS nname

@@ -832,4 +832,59 @@ object Dedup {
     grams.unpersist()
     out
   }
+
+  /** Exact symmetric n-gram Jaccard near-dup pairs — the deterministic
+    * complement of [[verifiedNearDups]]: no LSH candidate generation, so
+    * recall is 1.0 BY CONSTRUCTION (up to the `maxDf` contract below)
+    * rather than probabilistic in the band count. Use it when the corpus
+    * tolerates an inverted-index self-join (always, with the df cap) and
+    * the dedup policy must be auditable — "every pair above tau, provably".
+    *
+    * Candidate generation is the same df-capped inverted-index self-join
+    * as [[containmentPairs]]: grams in more than `maxDf` documents are
+    * excluded from the index (stop-phrase grams pair everything with
+    * everything — quadratic in df — while contributing one shared-gram
+    * count each). The cap is part of the operator's CONTRACT, mirrored
+    * exactly by the oracle: `shared` counts only index-eligible grams
+    * while the union in the denominator uses UNCAPPED set sizes, so the
+    * reported Jaccard is a conservative lower bound — the cap can only
+    * LOSE a pair, never fabricate one. Everything shuffles as 64-bit
+    * digest prefixes; per-gram fan-out is bounded by maxDf²; the (a, b)
+    * aggregation is sparse by the tau threshold.
+    *
+    * Emits (a, b, jaccard) for every unordered pair (a < b) with
+    * capped-intersection Jaccard ≥ `threshold`. */
+  def exactJaccardPairs(docs: DataFrame, threshold: Double = 0.5, k: Int = 4,
+                        maxDf: Long = 256): DataFrame = {
+    require(threshold > 0 && threshold <= 1 && k >= 2 && maxDf >= 2,
+      s"bad threshold=$threshold / k=$k / maxDf=$maxDf")
+    // the gram stream feeds four consumers (sizes, the df filter, both
+    // self-join sides) — persist fixed-width digest rows, collapse the
+    // (tiny) verified pair list while the cache is hot, release
+    val grams = docs
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(1, greatest(size(w) - ${k - 1}, 1)), " +
+          s"i -> substring(md5(concat_ws(' ', slice(w, i, $k))), 1, 16))"))).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val eligible = grams.join(
+      grams.groupBy("g").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select("g"),
+      Seq("g"))
+    val shared = eligible.select(col("g"), col("doc_id").as("a"))
+      .join(eligible.select(col("g"), col("doc_id").as("b")), Seq("g"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+    val out = shared
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sa")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("sb")), Seq("b"))
+      .withColumn("jaccard", col("shared").cast("double") /
+        (col("sa") + col("sb") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+      .localCheckpoint()
+    grams.unpersist()
+    out
+  }
 }

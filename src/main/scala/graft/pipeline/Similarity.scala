@@ -304,6 +304,80 @@ object Similarity {
       .select("q_id", "vec_id", "rank")
   }
 
+  /** First-class corpus clustering — the curation-facing form of the IVF
+    * coarse quantizer (cluster-aware mixing, per-cluster quota sampling,
+    * SemDeDup-style pruning all start from exactly this assignment). Trains
+    * the deterministic seeded quantizer of [[ivfTopK]] driver-side on a
+    * bounded `ORDER BY vec_id` sample, broadcasts the k×d center matrix,
+    * and assigns the FULL corpus in one map-only pass — no shuffle touches
+    * the vectors; the only exchange is the k-row cluster census, which is
+    * broadcast back onto the assignment. The assignment is eagerly
+    * checkpointed so census + join-back don't re-run the scoring pass.
+    * Output: (vec_id, cluster, cluster_size). */
+  def kmeansClusters(emb: DataFrame, cells: Int = 16, trainSample: Int = 16384,
+                     lloydIters: Int = 5): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val ds = asRows(emb)
+    val sample = ds.orderBy("vec_id").limit(trainSample).collect()
+      .map(e => normalize(e.embedding))
+    val centers = seededKMeans(sample, cells, lloydIters, unitNorm = true)
+    val bc = spark.sparkContext.broadcast(centers)
+    val assigned = ds.mapPartitions { it =>
+      val cs = bc.value
+      it.map(e => (e.vec_id, nearestCell(normalize(e.embedding), cs)))
+    }.toDF("vec_id", "cluster").localCheckpoint()
+    val census = assigned.groupBy("cluster")
+      .agg(count(lit(1)).as("cluster_size"))
+    assigned.join(broadcast(census), Seq("cluster"))
+      .select(col("vec_id"), col("cluster"), col("cluster_size"))
+  }
+
+  /** Cluster-balanced subsample: at most `perCluster` vectors from every
+    * k-means cell (deterministically the lowest vec_ids) — the diversity
+    * quota that keeps a dominant mode from monopolizing a curated subset.
+    *
+    * Per-key top-N is done in two bounded phases (the shape
+    * `TakeOrderedAndProject` has per-query): each partition keeps at most
+    * `perCluster` ids per cluster in a primitive bounded buffer, then one
+    * narrow shuffle of ≤ partitions·cells·perCluster rows merges the
+    * locals. A `row_number` window over `cluster` would instead sort whole
+    * corpus-scale partitions on a k-value key — the classic skew trap this
+    * operator exists to avoid. Output: (vec_id, cluster). */
+  def clusterBalancedSample(emb: DataFrame, perCluster: Int = 8,
+                            cells: Int = 16, trainSample: Int = 16384,
+                            lloydIters: Int = 5): DataFrame = {
+    require(perCluster >= 1, s"bad perCluster=$perCluster")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val ds = asRows(emb)
+    val sample = ds.orderBy("vec_id").limit(trainSample).collect()
+      .map(e => normalize(e.embedding))
+    val centers = seededKMeans(sample, cells, lloydIters, unitNorm = true)
+    val bc = spark.sparkContext.broadcast(centers)
+    ds.mapPartitions { it =>
+      import scala.jdk.CollectionConverters._
+      val cs = bc.value
+      // per-cluster bounded max-heaps of the perCluster smallest vec_ids
+      val heaps = new scala.collection.mutable.HashMap[Int, java.util.PriorityQueue[java.lang.Long]]
+      it.foreach { e =>
+        val c = nearestCell(normalize(e.embedding), cs)
+        val h = heaps.getOrElseUpdate(c,
+          new java.util.PriorityQueue[java.lang.Long](
+            perCluster + 1, java.util.Collections.reverseOrder[java.lang.Long]()))
+        h.add(e.vec_id)
+        if (h.size > perCluster) h.poll()
+      }
+      heaps.iterator.flatMap { case (c, h) =>
+        h.asScala.map(v => (c, v.longValue))
+      }
+    }.toDF("cluster", "vec_id")
+      .groupBy("cluster")
+      .agg(slice(sort_array(collect_list(col("vec_id"))), 1, perCluster).as("ids"))
+      .select(col("cluster"), explode(col("ids")).as("vec_id"))
+      .select(col("vec_id"), col("cluster"))
+  }
+
   /** Deterministic sample-stride-seeded Lloyd k-means (kmeans++-lite): the
     * shared trainer of the IVF coarse quantizer and the PQ sub-quantizers.
     * `unitNorm` renormalizes centers each round (right for a unit-norm
