@@ -90,7 +90,7 @@ object SparkEntry {
     * correctness gate still runs them. */
   val benchExcluded: Set[String] =
     Set("q_stream_funnel", "q_stream_source_cap", "q_stream_token_budget",
-      "q_stream_sessions", "q_stream_retention")
+      "q_stream_sessions", "q_stream_retention", "q_stream_interval")
 
   /** exact decimal money expr: extendedprice * (1 - discount). */
   private def discPrice: Column =
@@ -642,6 +642,14 @@ object SparkEntry {
     // stateful streaming sessionization replayed in event-time order:
     // keyed (session_id, last_ts, count) state must reproduce the batch
     // window form row-for-row, sessions spanning micro-batches included
+    // watermarked stream-stream interval join replayed in event-time
+    // order: the emitted pair set must equal the batch inequality join
+    // (the streaming twin of the new batch band join q_interval_join)
+    "q_stream_interval" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      _root_.graft.streaming.EventStreams.intervalJoinReplayed(events(s, d))
+        .orderBy("user_id", "purchase_id", "click_id")
+    }),
     "q_stream_sessions" -> ((s, d) => {
       implicit val sp: SparkSession = s
       _root_.graft.streaming.EventStreams.sessionsReplayed(events(s, d))
@@ -1498,6 +1506,15 @@ object SparkEntry {
         | FROM events)
         |ORDER BY user_id, event_id""".stripMargin,
     // the streaming replay must reproduce the batch window form exactly
+    // stream-stream interval join vs the batch inequality join: inclusive
+    // upper bound (click_ts <= purchase_ts) per the streaming operator's
+    // contract — note the batch band-join row is strictly-before
+    "q_stream_interval" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+        |FROM events p JOIN events c ON c.user_id = p.user_id
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+        |ORDER BY 1, 2, 3""".stripMargin,
     "q_stream_sessions" ->
       """SELECT user_id, event_id,
         | CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id

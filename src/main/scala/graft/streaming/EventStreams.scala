@@ -207,6 +207,54 @@ object EventStreams {
         col("purchase_ts"), col("click_ts"))
   }
 
+  /** Event-time replay gate for [[clickPurchaseJoin]] (`q_stream_interval`):
+    * both sides fed as MemoryStreams in global event-time order, so every
+    * click a purchase needs is still in join state when the purchase
+    * arrives (the watermark trails by an hour — more than the 30-minute
+    * match window) and the inner interval join emits the complete pair
+    * set; the oracle states the same predicate as one SQL inequality
+    * join over the batch table. MemoryStream is driver-side —
+    * VERIFICATION machinery (bench-excluded), not a production op. */
+  def intervalJoinReplayed(events: DataFrame, windowMinutes: Int = 30,
+                           chunks: Int = 4)
+                          (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def tsOf(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    val evs = events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .collect()
+      .map(r => (Math.floorDiv(r.getLong(1), 1000L), r.getLong(0), r.getLong(2), r.getString(3)))
+      .sortBy(e => (e._1, e._2))
+      .map { case (us, id, user, tpe) => Event(id, tsOf(us), user, tpe, 0.0) }
+    val clicks = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val purchases = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val name = "graft_interval_replay_" +
+      java.util.UUID.randomUUID().toString.filter(_ != '-')
+    val q = clickPurchaseJoin(clicks.toDS().toDF(), purchases.toDS().toDF(),
+        windowMinutes)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      val per = math.max(1, (evs.length + chunks - 1) / chunks)
+      evs.grouped(per).foreach { c =>
+        clicks.addData(c.filter(_.event_type == "click").toSeq)
+        purchases.addData(c.filter(_.event_type == "purchase").toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val out = spark.table(name)
+      .select(col("user_id"), col("purchase_id"), col("click_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    spark.catalog.dropTempView(name)
+    spark.createDataset(out.toSeq).toDF("user_id", "purchase_id", "click_id")
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionState(sessionId: Long, lastTs: Long, count: Long)
