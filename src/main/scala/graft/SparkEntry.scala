@@ -1030,7 +1030,16 @@ object SparkEntry {
     // complement of the LSH row (df cap is the oracle-mirrored contract)
     "doc_near_dup_jaccard" -> ((s, d) =>
       Dedup.exactJaccardPairs(T(s, d, "documents"), threshold = 0.5, k = 4)
-        .orderBy("a", "b"))
+        .orderBy("a", "b")),
+    // cross-source duplication matrix over the exact pair list: which
+    // sources mirror each other / double-count in a mixture
+    "doc_source_overlap" -> ((s, d) =>
+      Dedup.sourceOverlapMatrix(T(s, d, "documents"), threshold = 0.5, k = 4)
+        .orderBy("src_a", "src_b")),
+    // model-based quality filter: hashing-trick linear scorer (integer
+    // weights — exact cross-engine sums), deterministic weight stub
+    "doc_quality_model" -> ((s, d) =>
+      TextAnalysis.modelQuality(T(s, d, "documents")).orderBy("doc_id"))
   )
 
   // ---- DuckDB oracles -------------------------------------------------------
@@ -1793,6 +1802,48 @@ object SparkEntry {
         |FROM sh JOIN sz sa ON sa.doc_id = sh.a JOIN sz sb ON sb.doc_id = sh.b
         |WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.5
         |ORDER BY a, b""".stripMargin,
+
+    // source-pair overlap matrix over the same exact-Jaccard pair list
+    "doc_source_overlap" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |g0 AS (SELECT doc_id, unnest(list_distinct(
+        |    [substr(md5(array_to_string(w[i:i+3], ' ')), 1, 16)
+        |     FOR i IN range(1, greatest(len(w)-3, 1) + 1)])) AS g FROM t),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM g0 GROUP BY 1),
+        |el AS (SELECT g0.* FROM g0
+        |  JOIN (SELECT g FROM g0 GROUP BY g HAVING count(*) <= 256) e USING (g)),
+        |sh AS (SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
+        |  FROM el a JOIN el b USING (g) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pr AS (SELECT a, b FROM sh
+        |  JOIN sz sa ON sa.doc_id = sh.a JOIN sz sb ON sb.doc_id = sh.b
+        |  WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.5)
+        |SELECT least(da.source, db.source) AS src_a,
+        |  greatest(da.source, db.source) AS src_b,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM pr JOIN documents da ON da.doc_id = pr.a
+        |  JOIN documents db ON db.doc_id = pr.b
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // hashing-trick linear quality scorer: md5 low-32 slot hash (mixture
+    // convention), slot-id-derived integer weights, exact integer sums
+    "doc_quality_model" ->
+      """WITH t AS (SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS tok FROM t),
+        |n AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM t),
+        |ws AS (SELECT doc_id, CAST(SUM(
+        |    (('0x' || substr(md5('qw' || CAST(
+        |        ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024 AS VARCHAR)),
+        |      1, 4))::BIGINT % 17) - 8) AS BIGINT) AS w_sum
+        |  FROM tok GROUP BY 1)
+        |SELECT n.doc_id, n.n_tokens, COALESCE(ws.w_sum, 0) AS w_sum,
+        |  CASE WHEN n.n_tokens > 0
+        |       THEN CAST(COALESCE(ws.w_sum, 0) AS DOUBLE) / n.n_tokens
+        |       ELSE 0.0 END AS score,
+        |  COALESCE(ws.w_sum, 0) * 2 >= n.n_tokens AS keep
+        |FROM n LEFT JOIN ws USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "sparql_service" ->
       """SELECT s_name AS sname, n_name AS nname

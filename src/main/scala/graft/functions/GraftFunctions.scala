@@ -182,6 +182,58 @@ object GraftFunctions {
     import org.apache.spark.sql.GraftBridge
     GraftBridge.column(ShingleIds(GraftBridge.expression(text), k))
   }
+
+  /** Slot-weight tables for the hashing-trick quality scorer, keyed by
+    * bucket count: weight(b) = first-2-md5-bytes("qw"+b) % 17 - 8 — the
+    * `('0x' || substr(md5('qw' || b), 1, 4))::BIGINT % 17 - 8` arithmetic
+    * of the SQL oracle, precomputed once per bucket count. */
+  private val WeightCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Int]]()
+
+  private def weightsFor(buckets: Int): Array[Int] =
+    WeightCache.computeIfAbsent(buckets, b => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(b) { i =>
+        val d = md.digest(("qw" + i).getBytes("UTF-8"))
+        ((((d(0) & 0xff) << 8) | (d(1) & 0xff)) % 17) - 8
+      }
+    })
+
+  /** (non-empty token count, hashed-slot weight sum) for the model-based
+    * quality scorer: each non-empty token of `split(lower(text), '\s+')`
+    * hashes to slot `first-4-md5-bytes % buckets` (the engine-portable
+    * `('0x' || substr(md5(t), 1, 8))::BIGINT % buckets` low-32 arithmetic
+    * of the mixture-sampling convention) and contributes that slot's
+    * integer weight. One md5 per token in a primitive loop — the HOF form
+    * (`aggregate(transform(...))`) evaluates an interpreted lambda with
+    * TWO md5-hex round-trips per token and measured ~11× slower at sf1g.
+    * Called from generated code. */
+  def hashedQuality(text: org.apache.spark.unsafe.types.UTF8String,
+                    buckets: Int): ArrayData = {
+    val tokens = text.toLowerCase.split(WhitespaceRe, -1)
+    val w = weightsFor(buckets)
+    val md = Md5Local.get()
+    var n = 0L
+    var sum = 0L
+    var i = 0
+    while (i < tokens.length) {
+      val t = tokens(i)
+      if (t.numBytes() > 0) {
+        n += 1
+        val digest = md.digest(t.getBytes) // digest() also resets
+        val b = ((((digest(0) & 0xffL) << 24) | ((digest(1) & 0xffL) << 16) |
+          ((digest(2) & 0xffL) << 8) | (digest(3) & 0xffL)) % buckets).toInt
+        sum += w(b)
+      }
+      i += 1
+    }
+    new GenericArrayData(Array(n, sum))
+  }
+
+  def hashed_quality(text: Column, buckets: Int = 1024): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(HashedQuality(GraftBridge.expression(text), buckets))
+  }
 }
 
 /** array<long> shingle ids → array<long> of LSH band bucket hashes. */
@@ -288,5 +340,33 @@ final case class SimHashMd5(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.functions.GraftFunctions.simhashMd5($c);")
 
   override protected def withNewChildInternal(newChild: Expression): SimHashMd5 =
+    copy(child = newChild)
+}
+
+/** string → array<long> [n_tokens, w_sum] for the hashing-trick quality
+  * scorer (see [[GraftFunctions.hashedQuality]]). */
+final case class HashedQuality(child: Expression, buckets: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+  : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case StringType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hashed_quality expects string, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftFunctions.hashedQuality(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftFunctions.hashedQuality($c, $buckets);")
+
+  override protected def withNewChildInternal(newChild: Expression): HashedQuality =
     copy(child = newChild)
 }

@@ -887,4 +887,24 @@ object Dedup {
     grams.unpersist()
     out
   }
+
+  /** Cross-source duplication matrix: for every unordered source pair,
+    * how many exact-Jaccard near-dup pairs span them (diagonal = within-
+    * source duplication). The curation question this answers — which
+    * crawls/feeds mirror each other, where a mixture double-counts — is
+    * asked over the PAIR LIST, which is orders of magnitude smaller than
+    * the corpus: the matrix costs two broadcast-sized joins and a
+    * ≤|sources|² aggregation on top of [[exactJaccardPairs]].
+    * Output: (src_a, src_b, n_pairs) with src_a ≤ src_b. */
+  def sourceOverlapMatrix(docs: DataFrame, threshold: Double = 0.5,
+                          k: Int = 4, maxDf: Long = 256): DataFrame = {
+    val pairs = exactJaccardPairs(docs, threshold, k, maxDf)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("a"), col("source").as("sa")), Seq("a"))
+      .join(src.select(col("doc_id").as("b"), col("source").as("sb")), Seq("b"))
+      .groupBy(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
 }

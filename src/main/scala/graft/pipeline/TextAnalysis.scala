@@ -95,6 +95,36 @@ object TextAnalysis {
         col("n_punct") * 4 <= col("n_tokens"))
   }
 
+  /** Model-based quality scoring with the hashing trick — the
+    * fastText-style linear-classifier filter stage of a production data
+    * pipeline, with the Spark plumbing real and the MODEL stubbed
+    * deterministically (the multimodal convention: no trained weights ship
+    * in this container, so the weight table is a pure function of the slot
+    * id; a real model would broadcast its weight array through exactly this
+    * shape). Every lower-cased whitespace token hashes into one of
+    * `buckets` feature slots (engine-portable md5 low-32 hash — the
+    * mixture-sampling convention) and each slot carries an integer weight
+    * in [-8, 8]. The doc score is the mean slot weight; keep tests
+    * score ≥ 0.5 as `2·Σw ≥ n` in EXACT integer arithmetic — integer sums
+    * are associative, so the score is bit-identical across engines and
+    * partitionings where a float feature sum would drift. One map-only
+    * pass, codegen arithmetic, no shuffle.
+    * Output: (doc_id, n_tokens, w_sum, score, keep). */
+  def modelQuality(docs: DataFrame, buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2, s"bad buckets=$buckets")
+    docs
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.hashed_quality(col("text"), buckets)
+          .as("hq"))
+      .select(col("doc_id"),
+        col("hq").getItem(0).as("n_tokens"),
+        col("hq").getItem(1).as("w_sum"))
+      .withColumn("score",
+        when(col("n_tokens") > 0,
+          col("w_sum").cast("double") / col("n_tokens")).otherwise(lit(0.0)))
+      .withColumn("keep", col("w_sum") * 2 >= col("n_tokens"))
+  }
+
   /** Language-ID by stopword/script n-gram counts: CJK codepoints ⇒ zh,
     * else the language with the highest stopword hit count (ties resolve
     * in fixed order en > de > fr > es, matching the SQL mirror). */

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.operators.BandJoin
-import graft.pipeline.{Dedup, Similarity}
+import graft.pipeline.{Dedup, Similarity, TextAnalysis}
 
 /** Round-12 session-2 operators: exact n-gram Jaccard pairs, first-class
   * k-means clustering + cluster-balanced sampling, batch band join. */
@@ -55,6 +55,47 @@ class Round9Spec extends SparkTestBase {
     val full = Dedup.exactJaccardPairs(d, threshold = 0.3, k = 3, maxDf = 1000)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(capped.subsetOf(full), s"capped $capped must be ⊆ uncapped $full")
+  }
+
+  // ---- sourceOverlapMatrix / modelQuality -----------------------------------
+
+  test("sourceOverlapMatrix totals the pair list and canonicalizes pair order") {
+    val pairs = Dedup.exactJaccardPairs(docs, threshold = 0.5, k = 4)
+    val m = Dedup.sourceOverlapMatrix(docs, threshold = 0.5, k = 4).collect()
+    assert(m.map(_.getLong(2)).sum == pairs.count(),
+      "matrix cells must partition the pair list")
+    assert(m.forall(r => r.getString(0) <= r.getString(1)),
+      "src_a <= src_b canonical order")
+  }
+
+  test("native hashed_quality is bit-identical to the interpreted HOF chain") {
+    val buckets = 1024
+    val weightOf = // the SQL-oracle arithmetic, evaluated interpreted
+      s"(CAST(conv(substring(md5(concat('qw', CAST(" +
+        s"CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % $buckets" +
+        s" AS STRING))), 1, 4), 16, 10) AS BIGINT) % 17) - 8"
+    val hof = docs
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), '\\\\s+'), x -> length(x) > 0)").as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+        expr(s"aggregate(transform(w, t -> $weightOf), 0L, (acc, x) -> acc + x)")
+          .as("w_sum"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val native = TextAnalysis.modelQuality(docs, buckets)
+      .select("doc_id", "n_tokens", "w_sum")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(native.toSeq == hof.toSeq,
+      "primitive-loop scorer must reproduce the HOF/oracle arithmetic exactly")
+  }
+
+  test("modelQuality is partition-invariant (integer feature sums) and keep-consistent") {
+    val a = TextAnalysis.modelQuality(docs).orderBy("doc_id").collect()
+    val b = TextAnalysis.modelQuality(docs.repartition(13)).orderBy("doc_id").collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq,
+      "hashed integer sums must not depend on partitioning")
+    assert(a.forall(r => r.getBoolean(4) == (2 * r.getLong(2) >= r.getLong(1))),
+      "keep must be the exact integer form of score >= 0.5")
+    assert(a.map(_.getLong(2)).distinct.length > 1, "weights must discriminate")
   }
 
   // ---- kmeansClusters / clusterBalancedSample -------------------------------
