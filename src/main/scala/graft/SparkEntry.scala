@@ -1039,7 +1039,11 @@ object SparkEntry {
     // model-based quality filter: hashing-trick linear scorer (integer
     // weights — exact cross-engine sums), deterministic weight stub
     "doc_quality_model" -> ((s, d) =>
-      TextAnalysis.modelQuality(T(s, d, "documents")).orderBy("doc_id"))
+      TextAnalysis.modelQuality(T(s, d, "documents")).orderBy("doc_id")),
+    // one-call corpus health report: tall (metric, value), exact integer
+    // ratios only — the curator's first look at an unfamiliar lake
+    "doc_corpus_report" -> ((s, d) =>
+      TextAnalysis.corpusReport(T(s, d, "documents")).orderBy("metric"))
   )
 
   // ---- DuckDB oracles -------------------------------------------------------
@@ -1844,6 +1848,40 @@ object SparkEntry {
         |       ELSE 0.0 END AS score,
         |  COALESCE(ws.w_sum, 0) * 2 >= n.n_tokens AS keep
         |FROM n LEFT JOIN ws USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // corpus health report: same quality rule as doc_quality_model, all
+    // values exact integer ratios
+    "doc_corpus_report" ->
+      """WITH t AS (SELECT doc_id, lang, source, md5(text) AS h,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS w
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS tok FROM t),
+        |ws AS (SELECT doc_id, CAST(SUM(
+        |    (('0x' || substr(md5('qw' || CAST(
+        |        ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024 AS VARCHAR)),
+        |      1, 4))::BIGINT % 17) - 8) AS BIGINT) AS w_sum
+        |  FROM tok GROUP BY 1),
+        |q AS (SELECT t.doc_id, CAST(len(w) AS BIGINT) AS nt,
+        |    CASE WHEN COALESCE(ws.w_sum, 0) * 2 >= len(w) THEN 1 ELSE 0 END AS keep
+        |  FROM t LEFT JOIN ws USING (doc_id)),
+        |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(COUNT(DISTINCT h) AS BIGINT) AS nd,
+        |    CAST(COUNT(DISTINCT source) AS BIGINT) AS ns FROM t),
+        |s AS (SELECT CAST(SUM(nt) AS BIGINT) AS tt,
+        |    CAST(SUM(keep) AS BIGINT) AS nk FROM q)
+        |SELECT metric, value FROM (
+        |  SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM g
+        |  UNION ALL SELECT 'n_distinct_texts', CAST(nd AS DOUBLE) FROM g
+        |  UNION ALL SELECT 'n_sources', CAST(ns AS DOUBLE) FROM g
+        |  UNION ALL SELECT 'total_tokens', CAST(tt AS DOUBLE) FROM s
+        |  UNION ALL SELECT 'mean_doc_tokens',
+        |    CAST(tt AS DOUBLE) / (SELECT n_docs FROM g) FROM s
+        |  UNION ALL SELECT 'quality_keep_rate',
+        |    CAST(nk AS DOUBLE) / (SELECT n_docs FROM g) FROM s
+        |  UNION ALL SELECT 'docs_lang_' || lang, CAST(COUNT(*) AS DOUBLE)
+        |    FROM t GROUP BY lang)
+        |ORDER BY metric""".stripMargin,
 
     "sparql_service" ->
       """SELECT s_name AS sname, n_name AS nname

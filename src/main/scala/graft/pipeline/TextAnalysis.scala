@@ -125,6 +125,45 @@ object TextAnalysis {
       .withColumn("keep", col("w_sum") * 2 >= col("n_tokens"))
   }
 
+  /** One-call corpus health report — the first thing a curator asks of an
+    * unfamiliar 100-TB lake, as one tall (metric, value) frame: corpus
+    * size, exact-duplicate mass (distinct md5 digests), source fan-out,
+    * token volume, hashing-trick quality keep rate ([[modelQuality]]'s
+    * integer rule), and per-language doc counts. Two aggregation passes
+    * over one shared scan (a global multi-aggregate — the two DISTINCTs
+    * ride one expand — plus a per-lang count); every value derives from
+    * integer counts, so doubles are exact ratios and the report is
+    * bit-stable across engines and partitionings. */
+  def corpusReport(docs: DataFrame, buckets: Int = 1024): DataFrame = {
+    val withq = docs.select(col("lang"), col("source"),
+        md5(col("text")).as("h"),
+        graft.functions.GraftFunctions.hashed_quality(col("text"), buckets)
+          .as("hq"))
+      .select(col("lang"), col("source"), col("h"),
+        col("hq").getItem(0).as("nt"),
+        (col("hq").getItem(1) * 2 >= col("hq").getItem(0))
+          .cast("long").as("keep"))
+    val base = withq
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("n_distinct_texts"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("nt")).as("total_tokens"),
+        sum(col("keep")).as("n_keep"))
+      .select(expr(
+        """stack(6,
+          |  'n_docs', CAST(n_docs AS DOUBLE),
+          |  'n_distinct_texts', CAST(n_distinct_texts AS DOUBLE),
+          |  'n_sources', CAST(n_sources AS DOUBLE),
+          |  'total_tokens', CAST(total_tokens AS DOUBLE),
+          |  'mean_doc_tokens', CAST(total_tokens AS DOUBLE) / n_docs,
+          |  'quality_keep_rate', CAST(n_keep AS DOUBLE) / n_docs
+          |) AS (metric, value)""".stripMargin))
+    val langs = withq.groupBy("lang").agg(count(lit(1)).as("c"))
+      .select(concat(lit("docs_lang_"), col("lang")).as("metric"),
+        col("c").cast("double").as("value"))
+    base.unionByName(langs)
+  }
+
   /** Language-ID by stopword/script n-gram counts: CJK codepoints ⇒ zh,
     * else the language with the highest stopword hit count (ties resolve
     * in fixed order en > de > fr > es, matching the SQL mirror). */

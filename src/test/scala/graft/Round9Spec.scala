@@ -158,6 +158,38 @@ class Round9Spec extends SparkTestBase {
       !want.contains((1L, 13L)) && want.contains((4L, 15L)) && !want.contains((4L, 16L)))
   }
 
+  test("BandJoin.trailing equals the theta join on randomized data and windows") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (window <- Seq(7L, 100L, 3600L)) {
+      // timestamps clustered near band multiples so boundary cases occur,
+      // keys from a small set so matches are dense, negatives included
+      def ts() = (rnd.nextInt(40) - 10) * window / 4 + rnd.nextInt(9) - 4
+      val left = Seq.tabulate(60)(i => (i.toLong, rnd.nextInt(4).toLong, ts()))
+        .toDF("l_id", "k", "lts")
+      val right = Seq.tabulate(60)(i => (i.toLong, rnd.nextInt(4).toLong, ts()))
+        .toDF("r_id", "k", "rts")
+      val got = BandJoin.trailing(left, right, Seq("k"), "lts", "rts", window)
+        .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = left.crossJoin(right.withColumnRenamed("k", "k2"))
+        .filter(col("k") === col("k2") &&
+          col("rts") < col("lts") && col("rts") >= col("lts") - window)
+        .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"window=$window: got ${got.size} want ${want.size} pairs")
+      assert(want.nonEmpty, s"window=$window: degenerate draw, no matches to check")
+    }
+  }
+
+  test("corpusReport is exact-integer consistent with its inputs") {
+    val rep = TextAnalysis.corpusReport(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rep("n_docs") == docs.count().toDouble)
+    assert(rep("mean_doc_tokens") == rep("total_tokens") / rep("n_docs"))
+    val langTotal = rep.collect { case (m, v) if m.startsWith("docs_lang_") => v }.sum
+    assert(langTotal == rep("n_docs"), "per-lang counts must partition the corpus")
+    assert(rep("quality_keep_rate") >= 0.0 && rep("quality_keep_rate") <= 1.0)
+  }
+
   test("q_interval_join plans as an equi-join — no nested-loop or cartesian node") {
     val df = SparkEntry.queries("q_interval_join")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
