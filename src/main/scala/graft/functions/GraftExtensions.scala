@@ -49,5 +49,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash_md5"),
       new ExpressionInfo(classOf[SimHashMd5].getName, "simhash_md5"),
       (children: Seq[Expression]) => SimHashMd5(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("hashed_quality"),
+      new ExpressionInfo(classOf[HashedQuality].getName, "hashed_quality"),
+      (children: Seq[Expression]) => {
+        val buckets = children.lift(1) match {
+          case Some(Literal(v: Int, _)) => v
+          case Some(other) => throw new IllegalArgumentException(
+            s"hashed_quality argument 2 must be an integer literal, got $other")
+          case None => 1024
+        }
+        HashedQuality(children.head, buckets)
+      }))
   }
 }

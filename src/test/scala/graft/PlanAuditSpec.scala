@@ -305,10 +305,16 @@ class PlanAuditSpec extends SparkTestBase {
       "simhash64",
       (cs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.SimHash64(cs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hashed_quality",
+      (cs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.HashedQuality(cs.head, 1024), "scala_udf")
     val r = spark.sql(
-      "SELECT size(shingle_ids('a b c d')) AS ns, simhash64(array(1L, 2L)) AS sh")
+      "SELECT size(shingle_ids('a b c d')) AS ns, simhash64(array(1L, 2L)) AS sh, " +
+        "hashed_quality('a b c d') AS hq")
       .collect()(0)
     assert(r.getInt(0) == 2) // 'a b c' and 'b c d'
+    assert(r.getSeq[Long](2).head == 4L) // 4 non-empty tokens
     assert(ext != null)
   }
 }
