@@ -154,6 +154,39 @@ private[graft] object AnnOracleSql {
        |$Contract""".stripMargin
   }
 
+  /** SQ8 recall-contract oracle, mirroring `Similarity.sq8TopK` step for
+    * step: per-vector scale `max|v_i|/127`, codes `floor(v_i/scale)`
+    * clamped to ±127 (floor, not round — identical across engines),
+    * candidates ranked by `(qscale·escale)·Σ q_i·e_i` (the integer dot is
+    * exact in double: ≤ 127²·dim ≪ 2^53, so accumulation order cannot
+    * matter), exact re-rank of the top `rerank·k`. */
+  def sq8(k: Int = 5, rerank: Int = 4): String = {
+    s"""WITH $Preamble,
+       |sq AS MATERIALIZED (SELECT vec_id, v,
+       |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM nv),
+       |qz AS MATERIALIZED (SELECT vec_id, v, scale,
+       |    CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+       |         ELSE list_transform(v, x -> CAST(GREATEST(-127, LEAST(127,
+       |                CAST(floor(x / scale) AS INTEGER))) AS DOUBLE)) END AS q
+       |  FROM sq),
+       |qcodes AS (SELECT vec_id AS q_id, scale AS qs, q AS qc
+       |           FROM qz WHERE vec_id < 3),
+       |cand AS (SELECT q_id, vec_id FROM (
+       |   SELECT qcodes.q_id, e.vec_id,
+       |     ROW_NUMBER() OVER (PARTITION BY qcodes.q_id
+       |       ORDER BY (qcodes.qs * e.scale) * list_inner_product(e.q, qcodes.qc)
+       |                DESC, e.vec_id) AS arank
+       |   FROM qcodes JOIN qz e ON e.vec_id <> qcodes.q_id)
+       |   WHERE arank <= ${k * rerank}),
+       |hits AS (SELECT q_id, vec_id FROM (
+       |   SELECT c.q_id, c.vec_id,
+       |     ROW_NUMBER() OVER (PARTITION BY c.q_id
+       |       ORDER BY list_inner_product(e.v, qn.qv) DESC, c.vec_id) AS rank
+       |   FROM cand c JOIN nv e ON e.vec_id = c.vec_id
+       |   JOIN qn ON qn.q_id = c.q_id) WHERE rank <= $k),
+       |$Contract""".stripMargin
+  }
+
   /** IVF-PQ recall-contract oracle: the shared coarse quantizer plus `m`
     * unrolled sub-quantizer trainings (plain means), codes, and the ADC
     * table — `list_sum(list(ip ORDER BY j))` keeps the per-subspace

@@ -783,6 +783,12 @@ object SparkEntry {
       Mixture.mixtureSample(T(s, d, "documents"),
         Seq("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25),
         defaultRate = 0.1, salt = "mix1").orderBy("doc_id")),
+    // temperature (α=1/2) source reweighting: integer-sqrt weights, exact
+    // integer quota/threshold arithmetic, keyed-coin keep — emits the
+    // per-source mixing ledger
+    "doc_temperature_mix" -> ((s, d) =>
+      Mixture.temperatureMixture(T(s, d, "documents"), totalBudget = 300L,
+        salt = "tmix").orderBy("source")),
     // cross-split near-dup leakage: wide val/test fractions so the sf0.01
     // near-dup pair set actually straddles boundaries; the oracle rebuilds
     // the verified Jaccard pairs AND the split coin in SQL
@@ -998,6 +1004,16 @@ object SparkEntry {
       val emb = T(s, d, "embeddings")
       Similarity.annContract(
         Similarity.ivfpqTopK(emb, k = 5, numQueries = 3, nProbe = 4, m = 16, ksub = 32),
+        Similarity.bruteForceTopK(emb, k = 5, numQueries = 3), k = 5)
+        .orderBy("q_id", "vec_id")
+    }),
+    // SQ8 scalar-quantized kNN: int8 codes + per-vector scale (4× smaller
+    // than float32 at rest), integer-dot candidate generation, exact
+    // re-rank of the top rerank·k — contract-gated like the other ANN rows
+    "emb_knn_sq8" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      Similarity.annContract(
+        Similarity.sq8TopK(emb, k = 5, numQueries = 3, rerank = 4),
         Similarity.bruteForceTopK(emb, k = 5, numQueries = 3), k = 5)
         .orderBy("q_id", "vec_id")
     }),
@@ -1753,6 +1769,7 @@ object SparkEntry {
     // contract records the achieved overlap honestly (cf. the LSH row,
     // where in-bucket candidates can be scarce)
     "emb_knn_ivfpq" -> AnnOracleSql.ivfpq(nProbe = 4, m = 16, ksub = 32),
+    "emb_knn_sq8" -> AnnOracleSql.sq8(k = 5, rerank = 4),
     "emb_top_pairs" ->
       """SELECT a, b FROM (
         |  SELECT e1.vec_id AS a, e2.vec_id AS b,
@@ -2135,6 +2152,26 @@ object SparkEntry {
         |                ELSE 0.1 END AS r
         |  FROM documents)
         |WHERE b < CAST(floor(r * 4294967296.0) AS BIGINT) ORDER BY doc_id""".stripMargin,
+
+    // mirrors Mixture.temperatureMixture's integer arithmetic exactly:
+    // isqrt weights, HUGEINT quota/threshold floor division, md5 coin
+    "doc_temperature_mix" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+        |w AS (SELECT source, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM c),
+        |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS sumw FROM w),
+        |t AS (SELECT source, n, w, quota,
+        |        CAST(CAST(quota AS HUGEINT) * 4294967296 // n AS BIGINT) AS thr
+        |      FROM (SELECT source, n, w,
+        |              LEAST(n, CAST(CAST(300 AS HUGEINT) * w // sumw AS BIGINT)) AS quota
+        |            FROM w, tot)),
+        |k AS (SELECT d.source, COUNT(*) AS kept FROM documents d
+        |      JOIN t ON t.source = d.source
+        |      WHERE ('0x' || substr(md5('tmix' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT < t.thr
+        |      GROUP BY d.source)
+        |SELECT t.source, CAST(t.n AS BIGINT) AS n_docs, t.w AS weight,
+        |       CAST(t.quota AS BIGINT) AS quota,
+        |       CAST(COALESCE(k.kept, 0) AS BIGINT) AS kept
+        |FROM t LEFT JOIN k ON k.source = t.source ORDER BY t.source""".stripMargin,
 
     "doc_bpe" ->
       """SELECT doc_id,

@@ -105,6 +105,56 @@ object Mixture {
       .toDF("source", "doc_id", "rk")
   }
 
+  /** Temperature-reweighted source mixture — the `n_s^α` reweighting step
+    * of multi-source corpus assembly (rare sources get proportionally MORE
+    * than their raw share, head sources get capped), at the fixed α = 1/2
+    * where the weight is an *integer* square root and the whole quota
+    * computation stays in exact integer arithmetic: `pow(x, α)` is not
+    * correctly rounded and differs across engines/libms, `isqrt` is the
+    * temperature point that reproduces bit-for-bit everywhere.
+    *
+    * Per source: weight `w_s = ⌊√n_s⌋`, quota
+    * `q_s = min(n_s, ⌊budget·w_s / Σw⌋)` (BigInt product — no overflow at
+    * any corpus size), keep threshold `⌊q_s·2³² / n_s⌋` applied to the
+    * shared keyed md5 coin of [[mixtureSample]]. The kept set is therefore
+    * map-only after one tiny per-source count — no shuffle of the corpus,
+    * no per-source window — and `kept ≈ q_s` (binomial, exact only in
+    * expectation; the deterministic-exact counterpart is
+    * [[stratifiedSampleExact]] with per-source n).
+    *
+    * Emits the per-source mixing ledger (n_docs, weight, quota, kept) —
+    * the artifact a curation run records; the kept rows themselves are the
+    * same `filter` with the ledger's threshold. #sources is a feed list
+    * (deployment config), so the count collect is bounded. */
+  def temperatureMixture(docs: DataFrame, totalBudget: Long,
+                         salt: String = "tmix"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val weighted = counts.map { case (src, n) =>
+      (src, n, math.floor(math.sqrt(n.toDouble)).toLong)
+    }
+    val sumW = weighted.map(_._3).sum
+    val ledger = weighted.map { case (src, n, w) =>
+      val quota =
+        if (sumW == 0L) 0L
+        else math.min(n, (BigInt(totalBudget) * w / sumW).toLong)
+      val thr = if (n == 0L) 0L else ((BigInt(quota) << 32) / n).toLong
+      (src, n, w, quota, thr)
+    }
+    val thrCol = ledger.foldLeft(lit(0L): Column) {
+      case (acc, (src, _, _, _, thr)) =>
+        when(col("source") === src, lit(thr)).otherwise(acc)
+    }
+    val kept = docs.filter(keyedBucket(salt) < thrCol)
+      .groupBy("source").agg(count(lit(1)).as("kept"))
+    ledger.toSeq.toDF("source", "n_docs", "weight", "quota", "thr")
+      .join(kept, Seq("source"), "left_outer")
+      .select(col("source"), col("n_docs"), col("weight"), col("quota"),
+        coalesce(col("kept"), lit(0L)).as("kept"))
+  }
+
   /** Exact n-per-stratum sample — the deterministic counterpart of
     * [[mixtureSample]] when the spec is a COUNT per source rather than a
     * rate ("exactly 10k docs from each domain for the eval set").

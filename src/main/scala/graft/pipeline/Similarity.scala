@@ -154,6 +154,106 @@ object Similarity {
       .select("q_id", "vec_id", "rank")
   }
 
+  /** Int8 scalar quantization of a normalized vector: one code per
+    * dimension plus a per-vector scale (`max|v_i| / 127`). Codes are
+    * `floor(v_i / scale)` clamped to [-127, 127] — floor (not round) so the
+    * DuckDB oracle reproduces the arithmetic exactly (`round` half-away vs
+    * half-even varies by engine; `floor` doesn't). Zero vectors quantize to
+    * all-zero codes with scale 0. */
+  private[graft] def quantizeSq8(v: Array[Double]): (Array[Int], Double) = {
+    var m = 0.0
+    var i = 0
+    while (i < v.length) { val a = math.abs(v(i)); if (a > m) m = a; i += 1 }
+    val scale = m / 127.0
+    val q = new Array[Int](v.length)
+    if (scale != 0.0) {
+      i = 0
+      while (i < v.length) {
+        q(i) = math.max(-127, math.min(127, math.floor(v(i) / scale).toInt))
+        i += 1
+      }
+    }
+    (q, scale)
+  }
+
+  /** Integer dot product of two code vectors — exact in Long (|q| ≤ 127 so
+    * dim ≤ 2^38 before overflow), and exact when widened to Double
+    * (≤ 127²·dim ≪ 2^53), so the candidate ranking is bit-identical no
+    * matter which engine or accumulation order computes it. */
+  private def idot(a: Array[Int], b: Array[Int]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < a.length) { s += a(i).toLong * b(i); i += 1 }
+    s
+  }
+
+  /** SQ8 scalar-quantized kNN: the corpus is scanned as int8 codes + one
+    * double scale per vector (4× smaller than float32, 8× smaller than the
+    * double working form — at 100 TB of embeddings this is the difference
+    * between codes fitting on NVMe cache tiers or not), candidates are
+    * ranked by the *integer* dot product rescaled by the two vector scales,
+    * and only the top `rerank·k` candidates per query are re-scored with
+    * the exact double dot product. Two map-only passes over the corpus, a
+    * broadcast query/candidate set each — no shuffle beyond the final
+    * ≤ `numQueries·rerank·k`-row window.
+    *
+    * Both stages are deterministic integer/IEEE arithmetic, so the DuckDB
+    * oracle ([[graft.AnnOracleSql.sq8]]) derives the same candidate and hit
+    * sets from the data — no pinned results. Output: (q_id, vec_id, rank).
+    */
+  def sq8TopK(emb: DataFrame, k: Int = 5, numQueries: Int = 3,
+              rerank: Int = 4): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val ds = asRows(emb)
+    val queries = ds.filter(_.vec_id < numQueries).collect().map { e =>
+      val v = normalize(e.embedding)
+      val (q, s) = quantizeSq8(v)
+      (e.vec_id, v, q, s)
+    }
+    val bcQ = spark.sparkContext.broadcast(queries)
+    // pass 1: integer-dot candidate scores against every query
+    val approx = ds.mapPartitions { it =>
+      val qs = bcQ.value
+      it.flatMap { e =>
+        val v = normalize(e.embedding)
+        val (code, es) = quantizeSq8(v)
+        qs.iterator.filter(_._1 != e.vec_id).map { case (qid, _, qc, qsc) =>
+          (qid, e.vec_id, (qsc * es) * idot(qc, code).toDouble)
+        }
+      }
+    }.toDF("q_id", "vec_id", "approx")
+    val cand = approx
+      .withColumn("arank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("approx").desc, col("vec_id"))))
+      .filter(col("arank") <= k * rerank)
+      .select("q_id", "vec_id")
+      // bounded by construction: ≤ numQueries·rerank·k rows (the ANN probe
+      // result set) — same bounded-collect class as the query set itself
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val candByVec: Map[Long, Array[Long]] =
+      cand.groupBy(_._2).map { case (v, qs) => v -> qs.map(_._1) }
+    val bcCand = spark.sparkContext.broadcast(candByVec)
+    // pass 2: exact re-rank of the candidates only
+    val exactScored = ds.mapPartitions { it =>
+      val qv = bcQ.value.map(q => q._1 -> q._2).toMap
+      val cb = bcCand.value
+      it.flatMap { e =>
+        cb.get(e.vec_id) match {
+          case Some(qids) =>
+            val v = normalize(e.embedding)
+            qids.iterator.map(qid => (qid, e.vec_id, dot(v, qv(qid))))
+          case None => Iterator.empty
+        }
+      }
+    }.toDF("q_id", "vec_id", "cosine")
+    exactScored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "rank")
+  }
+
   /** Nearest centroid by dot product (vectors and centers are unit-norm, so
     * max-dot ≡ min-euclidean). */
   private def nearestCell(v: Array[Double], centers: Array[Array[Double]]): Int = {
