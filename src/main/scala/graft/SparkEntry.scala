@@ -90,7 +90,8 @@ object SparkEntry {
     * correctness gate still runs them. */
   val benchExcluded: Set[String] =
     Set("q_stream_funnel", "q_stream_source_cap", "q_stream_token_budget",
-      "q_stream_sessions", "q_stream_retention", "q_stream_interval")
+      "q_stream_sessions", "q_stream_retention", "q_stream_interval",
+      "q_stream_dedup")
 
   /** exact decimal money expr: extendedprice * (1 - discount). */
   private def discPrice: Column =
@@ -654,6 +655,13 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       _root_.graft.streaming.EventStreams.sessionsReplayed(events(s, d))
         .orderBy("user_id", "event_id")
+    }),
+    // streaming ingest dedup (first-digest-occurrence admission) replayed
+    // id-ordered: must equal the batch min-id-per-md5 keeper set
+    "q_stream_dedup" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      _root_.graft.streaming.EventStreams.dedupReplayed(T(s, d, "documents"))
+        .orderBy("doc_id")
     }),
     // gap-based sessionization, batch form (streaming twin lives in
     // graft.streaming.EventStreams.sessionize)
@@ -1482,6 +1490,11 @@ object SparkEntry {
     // streaming cap replay: id-ordered micro-batches make first-n admits
     // equal the batch lowest-n-per-source, so the oracle is the same
     // window form as doc_source_cap
+    // id-ordered replay of first-digest-occurrence admission equals the
+    // batch min-doc_id-per-md5 keeper set
+    "q_stream_dedup" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, md5(text) AS digest
+        |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
     "q_stream_source_cap" ->
       """SELECT source, doc_id, rk FROM (
         |  SELECT source, doc_id,

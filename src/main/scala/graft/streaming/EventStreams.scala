@@ -184,6 +184,65 @@ object EventStreams {
       col("source"), col("doc_id"), col("rk"))
   }
 
+  final case class DigestDoc(doc_id: Long, digest: String)
+
+  /** Streaming ingest dedup: admit a document iff its content digest has
+    * not been seen earlier in the stream — first occurrence wins, exactly
+    * the admission rule of the batch digest store
+    * ([[graft.pipeline.Dedup]]'s incremental ingest gate), expressed as
+    * keyed state so a continuously crawled corpus can dedup AT ingest
+    * instead of in a nightly reconciliation pass. State is one entry per
+    * DISTINCT digest — the irreducible memory of exact streaming dedup
+    * (identical to `dropDuplicates` state); an unbounded deployment pairs
+    * this with the persisted digest store for the long tail and keeps only
+    * the hot window in stream state. Within a micro-batch the smallest
+    * doc_id of a digest wins, so an id-ordered replay reproduces the batch
+    * min-id-per-digest rule bit-for-bit. */
+  def dedupAdmit(docs: Dataset[DigestDoc])
+                (implicit spark: SparkSession): Dataset[DigestDoc] = {
+    import spark.implicits._
+    docs.groupByKey(_.digest).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (dig: String, rows: Iterator[DigestDoc], state: GroupState[Boolean]) =>
+        if (state.exists) Iterator.empty
+        else {
+          state.update(true)
+          Iterator.single(rows.minBy(_.doc_id))
+        }
+    }
+  }
+
+  /** Replay a BOUNDED documents table through [[dedupAdmit]] as real
+    * micro-batches (MemoryStream, id-ordered slices) — the batch-parity
+    * verification harness driven by the oracle gate (`q_stream_dedup`):
+    * an id-ordered replay's admitted set must equal the batch
+    * min-doc_id-per-md5 keepers row-for-row. Same caveat as
+    * [[funnelDepthsReplayed]]: MemoryStream is a driver-side source, so
+    * this is a VERIFICATION tool, not a production op. */
+  def dedupReplayed(docs: DataFrame, chunks: Int = 4)
+                   (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = docs.select(col("doc_id"),
+        org.apache.spark.sql.functions.md5(col("text")).as("digest"))
+      .collect().map(r => DigestDoc(r.getLong(0), r.getString(1)))
+      .sortBy(_.doc_id)
+    val name = "graft_dedup_replay_" +
+      java.util.UUID.randomUUID().toString.filter(_ != '-')
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DigestDoc]
+    val q = dedupAdmit(input.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      val per = math.max(1, (rows.length + chunks - 1) / chunks)
+      rows.grouped(per).foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val out = spark.table(name)
+      .collect().map(r => DigestDoc(r.getLong(0), r.getString(1)))
+    spark.catalog.dropTempView(name)
+    spark.createDataset(out.toSeq).select(col("doc_id"), col("digest"))
+  }
+
   /** Watermarked stream-stream interval join: attribute each purchase to a
     * click by the same user within the preceding `windowMinutes`. Both sides
     * carry watermarks and the join condition bounds event-time distance, so

@@ -84,6 +84,24 @@ class Round10Spec extends SparkTestBase {
     assert(c != aKept)
   }
 
+  // ---- streaming ingest dedup ---------------------------------------------
+
+  test("dedupAdmit: in-batch min-id wins, cross-batch duplicates rejected") {
+    implicit val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "alpha"), (2L, "beta"), (3L, "alpha"), // 3 duplicates 1 in-batch
+      (10L, "gamma"), (11L, "beta")               // 11 duplicates 2 across batches
+    ).toDF("doc_id", "text")
+    val got = graft.streaming.EventStreams.dedupReplayed(docs, chunks = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val want = docs.groupBy(org.apache.spark.sql.functions.md5($"text").as("d"))
+      .agg(org.apache.spark.sql.functions.min($"doc_id").as("id"))
+      .collect().map(r => (r.getLong(1), r.getString(0))).toMap
+    assert(got == want)
+    assert(got.keySet == Set(1L, 2L, 10L))
+  }
+
   test("sq8TopK at default rerank keeps every per-query result set at k") {
     val rows = Similarity.sq8TopK(emb, k = 5, numQueries = 3, rerank = 4).collect()
     assert(rows.length == 15)
