@@ -966,6 +966,20 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25), k = 5)
         .orderBy("doc_id")
     }),
+    // Bloom-filter decontamination: no-false-negative contract per corpus
+    // doc; the exact contaminated flag is recomputed by the oracle
+    "doc_decontaminate_bloom" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      Decontaminate.bloomContract(
+        docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25),
+        k = 5, gramFpp = 1e-4)
+        .orderBy("doc_id")
+    }),
+    // Count-Min-Sketch frequency contract over the exact top-20 tokens:
+    // never undercounts, overcounts by at most eps*N
+    "doc_cms_heavy_hitters" -> ((s, d) =>
+      Sketches.cmsHeavyHitters(T(s, d, "documents"), topN = 20)
+        .orderBy("tok")),
     "doc_media_features" -> ((s, d) => {
       implicit val sp: SparkSession = s
       Multimodal.extractFeatures(T(s, d, "documents")).toDF().orderBy("doc_id")
@@ -2380,6 +2394,32 @@ object SparkEntry {
         |SELECT s.doc_id, CAST(COUNT(DISTINCT s.g) AS BIGINT) AS n_matched_grams
         |FROM sh s JOIN bench b ON s.g = b.g
         |WHERE s.doc_id >= 25 GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // exact contamination recomputed in SQL; bloom_ok pins the sketch's
+    // no-false-negative invariant (overblocking is spec-pinned instead —
+    // no SQL engine reproduces the filter's bit layout)
+    "doc_decontaminate_bloom" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(w[i:i+4], ' ') FOR i IN range(1, greatest(len(w)-4, 1) + 1)])) AS g
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id < 25),
+        |m AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bench b ON s.g = b.g
+        |      WHERE s.doc_id >= 25)
+        |SELECT d.doc_id, (m.doc_id IS NOT NULL) AS contaminated,
+        |       true AS bloom_ok
+        |FROM (SELECT doc_id FROM documents WHERE doc_id >= 25) d
+        |LEFT JOIN m ON m.doc_id = d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    // exact top-20 token counts; both one-sided CMS error flags pinned
+    "doc_cms_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)) AS tok
+        |  FROM documents)
+        |SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf,
+        |       true AS cms_ge_ok, true AS cms_bound_ok
+        |FROM t GROUP BY tok ORDER BY tf DESC, tok LIMIT 20""".stripMargin,
 
     // SimHash with the md5-derived portable token hash: DuckDB rebuilds
     // every 64-bit fingerprint bit-identically (hi/lo hex arithmetic keeps

@@ -38,6 +38,49 @@ object Decontaminate {
       .select(explode(col("shingles")).as("g")).distinct()
       .collect().map(_.getLong(0)).sorted
 
+  /** Bloom-filter face of [[flagged]] — the decontamination shape when even
+    * the benchmark's distinct gram-id set is too big to broadcast exactly
+    * (a 10k-task cluster × a multi-GB gram set): a Bloom filter over the
+    * benchmark grams is `-n·ln(fpp)/ln²2` BITS (~1.2 MB per million grams
+    * at 1%), built distributed (bitwise-OR merge — partition-order
+    * independent, so the filter is deterministic given the data) and
+    * broadcast once; the corpus streams map-only through it.
+    *
+    * The price is one-sided: a Bloom filter has NO false negatives, so
+    * every truly contaminated document is still flagged — the safety
+    * property decontamination actually needs — while clean documents are
+    * overblocked at a rate that COMPOUNDS per gram: `gramFpp` is the
+    * per-membership-query rate, and a g-gram document is falsely flagged
+    * with probability `1-(1-gramFpp)^g ≈ g·gramFpp`. Sizing against the
+    * per-doc budget is the operator's job, not the caller's intuition —
+    * the default 1e-4 holds per-doc overblocking near 0.5% at ~50 grams
+    * per document (the naive 1% "sounds safe" setting overblocks a THIRD
+    * of a 50-gram corpus; the spec pins this). Emits the per-document
+    * contract the oracle gates: `contaminated` (exact, recomputed in SQL)
+    * and `bloom_ok` = contaminated ⇒ flagged (the no-false-negative
+    * invariant; the overblocked count is spec-pinned, not oracle-gated,
+    * because no SQL engine reproduces the filter's bit layout). */
+  def bloomContract(corpus: DataFrame, benchmark: DataFrame, k: Int = 5,
+                    gramFpp: Double = 1e-4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val benchGrams = Dedup.withShingles(benchmark, k)
+      .select(explode(col("shingles")).as("g")).distinct()
+    val nBench = math.max(benchGrams.count(), 1L)
+    val bloom = benchGrams.stat.bloomFilter("g", nBench, gramFpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val flaggedBloom = Dedup.withShingles(corpus, k)
+      .select(col("doc_id"), col("shingles")).as[(Long, Seq[Long])]
+      .map { case (id, gs) => (id, gs.exists(bc.value.mightContainLong)) }
+      .toDF("doc_id", "bloom_flagged")
+    val exact = flagged(corpus, benchmark, k)
+      .select(col("doc_id"), lit(true).as("c"))
+    flaggedBloom.join(exact, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("c"), lit(false)).as("contaminated"),
+        (col("bloom_flagged") || !coalesce(col("c"), lit(false))).as("bloom_ok"))
+  }
+
   /** Streaming face of [[flagged]]: drop documents sharing any verbatim
     * k-gram with the benchmark as they arrive. The gram-id set rides the
     * plan as a literal array, so the filter is STATELESS — works on

@@ -138,4 +138,40 @@ object Sketches {
       .filter(col("freq") > lit(n) / lit(k.toLong))
       .orderBy(col("freq").desc, col("tok"))
   }
+
+  /** Count-Min-Sketch frequency contract — the third sketch of the 100 TB
+    * cardinality kit beside HLL ([[TextAnalysis.sketchStats]]) and
+    * Misra-Gries ([[heavyHitters]]): one pass builds Spark's native
+    * `count_min_sketch` aggregate (seeded — deterministic, and the merge
+    * is cellwise addition so the sketch is partition-order independent),
+    * then the exact top-n tokens are each queried against it driver-side
+    * (the sketch is `d·⌈2/ε⌉` counters — KBs — so point queries are free).
+    *
+    * CMS error is one-sided: estimates NEVER undercount, and overcount by
+    * at most ε·N with probability ≥ confidence. Both sides of that
+    * contract are emitted per token (`cms_ge_ok`, `cms_bound_ok`) next to
+    * the exact count — the oracle recomputes the exact counts and pins
+    * both flags true, the same honest-contract shape as the ANN and HLL
+    * rows. */
+  def cmsHeavyHitters(docs: DataFrame, topN: Int = 20, eps: Double = 0.001,
+                      confidence: Double = 0.99, seed: Int = 1): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs
+      .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val bytes = toks
+      .select(count_min_sketch(col("tok"), lit(eps), lit(confidence), lit(seed)))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    val bound = math.ceil(eps * cms.totalCount()).toLong
+    val top = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("tok")).limit(topN)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    top.toSeq.map { case (t, tf) =>
+      val est = cms.estimateCount(t)
+      (t, tf, est >= tf, est <= tf + bound)
+    }.toDF("tok", "tf", "cms_ge_ok", "cms_bound_ok")
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{Mixture, Similarity}
+import graft.pipeline.{Decontaminate, Mixture, Similarity, Sketches}
 
 /** Round-12 session-3 operators: SQ8 scalar-quantized kNN, temperature
   * source mixture. */
@@ -82,6 +82,76 @@ class Round10Spec extends SparkTestBase {
     val aKept = a.map(r => r.getString(0) -> r.getLong(4)).toMap
     // same quotas, different coin draw: at least one source's kept differs
     assert(c != aKept)
+  }
+
+  // ---- bloom decontamination ----------------------------------------------
+
+  test("bloomContract: contaminated docs always flagged, output deterministic") {
+    import spark.implicits._
+    val bench = Seq((0L, "secret eval question alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "clean text with nothing shared here at all today"),
+      (11L, "prefix words then secret eval question alpha beta more"), // 5-gram hit
+      (12L, "another totally clean document with its own words"),
+      (13L, "short doc")
+    ).toDF("doc_id", "text")
+    val got = Decontaminate.bloomContract(corpus, bench, k = 5)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2))).toMap
+    assert(got.keySet == Set(10L, 11L, 12L, 13L))
+    assert(got(11L)._1, "planted 5-gram overlap must be contaminated")
+    assert(!got(10L)._1 && !got(12L)._1 && !got(13L)._1)
+    // the no-false-negative invariant holds for every row
+    assert(got.values.forall(_._2))
+    val again = Decontaminate.bloomContract(corpus, bench, k = 5)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2))).toMap
+    assert(again == got)
+  }
+
+  test("bloomContract: realized overblocking bounded on the sf0.001 corpus") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val corpus = docs.filter("doc_id >= 25")
+    val bench = docs.filter("doc_id < 25")
+    assert(Decontaminate.bloomContract(corpus, bench, k = 5)
+      .collect().forall(_.getBoolean(2)))
+    // the FP rate is invisible in the gated output by design (a false
+    // positive still satisfies the contract); pin the realized count here
+    // by rebuilding the same filter and flags directly. At gramFpp=1e-4
+    // and ~50 grams/doc the per-doc FP rate is ~0.5% — the naive 1%
+    // setting overblocked 171 of these 475 docs (36%), which is what
+    // drove the per-gram-budget default
+    val benchGrams = graft.pipeline.Dedup.withShingles(bench, 5)
+      .select(org.apache.spark.sql.functions.explode($"shingles").as("g")).distinct()
+    val bloom = benchGrams.stat.bloomFilter("g", math.max(benchGrams.count(), 1L), 1e-4)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val flagged = graft.pipeline.Dedup.withShingles(corpus, 5)
+      .select($"doc_id", $"shingles").as[(Long, Seq[Long])]
+      .map { case (id, gs) => (id, gs.exists(bc.value.mightContainLong)) }
+      .filter(_._2).map(_._1).collect().toSet
+    val contaminated = Decontaminate.flagged(corpus, bench, 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(contaminated.subsetOf(flagged), "no false negatives, ever")
+    val fp = (flagged -- contaminated).size
+    // fpp=0.01 over ~hundreds of clean docs: allow slack but catch a
+    // hashing regression that flags a meaningful corpus fraction
+    assert(fp <= 10, s"realized FP count $fp exceeds sanity budget")
+  }
+
+  // ---- CMS heavy hitters ---------------------------------------------------
+
+  test("cmsHeavyHitters: exact counts, one-sided error flags, top-set parity") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple apple banana banana cherry"),
+      (2L, "apple banana date date date date"),
+      (3L, "cherry cherry elderberry")
+    ).toDF("doc_id", "text")
+    val got = Sketches.cmsHeavyHitters(docs, topN = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
+    assert(got.map(x => (x._1, x._2)).toSet == Set(("apple", 4L), ("date", 4L), ("banana", 3L)))
+    assert(got.forall(_._3), "CMS must never undercount")
+    assert(got.forall(_._4), "CMS overcount must stay within eps*N")
   }
 
   // ---- streaming ingest dedup ---------------------------------------------
