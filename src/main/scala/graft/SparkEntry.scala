@@ -811,6 +811,21 @@ object SparkEntry {
     "doc_rarity" -> ((s, d) =>
       Mixture.rarityProfile(T(s, d, "documents"), rareMax = 100)
         .orderBy("doc_id")),
+    // canonical text normalization: NFC (native expression) + control
+    // chars to spaces + space-run collapse + trim
+    "doc_normalize" -> ((s, d) =>
+      TextAnalysis.normalizeText(T(s, d, "documents")).orderBy("doc_id")),
+    // snapshot diff: prev = ids [0,400), next = ids [100,500) with a
+    // deterministic content edit on [200,250) — added/removed/changed
+    "doc_corpus_diff" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val prev = docs.filter(col("doc_id") < 400).select("doc_id", "text")
+      val next = docs.filter(col("doc_id") >= 100)
+        .select(col("doc_id"),
+          when(col("doc_id").between(200, 249), concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      Prepare.corpusDiff(prev, next).orderBy("doc_id")
+    }),
     // n-gram LM perplexity filter (CCNet/Gopher-style quality signal):
     // self-trained bigram model, integer milli-nat scores
     "doc_perplexity" -> ((s, d) =>
@@ -2179,6 +2194,27 @@ object SparkEntry {
         |                ELSE 0.1 END AS r
         |  FROM documents)
         |WHERE b < CAST(floor(r * 4294967296.0) AS BIGINT) ORDER BY doc_id""".stripMargin,
+
+    "doc_normalize" ->
+      """SELECT doc_id, n AS text_norm, (n <> text) AS changed FROM (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |      '[\x00-\x1f\x7f]', ' ', 'g'), '  +', ' ', 'g')) AS n
+        |  FROM documents) ORDER BY doc_id""".stripMargin,
+
+    "doc_corpus_diff" ->
+      """WITH prev AS (SELECT doc_id, md5(text) AS da FROM documents
+        |              WHERE doc_id < 400),
+        |nxt AS (SELECT doc_id, md5(CASE WHEN doc_id BETWEEN 200 AND 249
+        |              THEN text || ' v2' ELSE text END) AS db
+        |        FROM documents WHERE doc_id >= 100)
+        |SELECT doc_id, status FROM (
+        |  SELECT COALESCE(prev.doc_id, nxt.doc_id) AS doc_id,
+        |    CASE WHEN prev.doc_id IS NULL THEN 'added'
+        |         WHEN nxt.doc_id IS NULL THEN 'removed'
+        |         WHEN da <> db THEN 'changed' END AS status
+        |  FROM prev FULL OUTER JOIN nxt ON prev.doc_id = nxt.doc_id)
+        |WHERE status IS NOT NULL ORDER BY doc_id""".stripMargin,
 
     // mirrors Mixture.temperatureMixture's integer arithmetic exactly:
     // isqrt weights, HUGEINT quota/threshold floor division, md5 coin

@@ -146,6 +146,25 @@ object GraftFunctions {
     GraftBridge.column(SimHashMd5(GraftBridge.expression(text)))
   }
 
+  /** Unicode NFC normalization (canonical composition) — called from
+    * generated code. Already-normalized strings (the overwhelming
+    * majority of a web corpus by row — all ASCII is NFC) return the
+    * input UTF8String untouched: `Normalizer.isNormalized` is a cheap
+    * scan, and skipping it avoids the normalize + re-encode allocation
+    * on the hot path. */
+  def nfcNormalize(text: org.apache.spark.unsafe.types.UTF8String)
+  : org.apache.spark.unsafe.types.UTF8String = {
+    val s = text.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  def nfc_normalize(text: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(NfcNormalize(GraftBridge.expression(text)))
+  }
+
   private val WhitespaceRe =
     org.apache.spark.unsafe.types.UTF8String.fromString("\\s+")
   private val SpaceSep =
@@ -340,6 +359,32 @@ final case class SimHashMd5(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.functions.GraftFunctions.simhashMd5($c);")
 
   override protected def withNewChildInternal(newChild: Expression): SimHashMd5 =
+    copy(child = newChild)
+}
+
+/** string → NFC-normalized string (see [[GraftFunctions.nfcNormalize]]). */
+final case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes()
+  : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case StringType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"nfc_normalize expects string, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftFunctions.nfcNormalize(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftFunctions.nfcNormalize($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
     copy(child = newChild)
 }
 

@@ -37,4 +37,27 @@ object Prepare {
     val deduped = Dedup.dedupCorpus(kept, threshold)
     Mixture.splitAssign(deduped, valFrac, testFrac, salt)
   }
+
+  /** Snapshot diff between two corpus versions — the incremental-curation
+    * primitive: a recrawl is not a fresh corpus, it is yesterday's corpus
+    * plus `added`, minus `removed`, with `changed` content at surviving
+    * ids. One full-outer join on doc_id comparing content digests (md5
+    * computed BEFORE the join so text never shuffles — the exact-dedup
+    * discipline), emitting only the delta rows; `unchanged` mass stays
+    * out of the output, which is what makes the diff affordable when the
+    * overlap is 99% of 100 TB. Downstream, `added ∪ changed` is exactly
+    * the set the incremental dedup stores ([[Dedup]]'s ingest gate) and
+    * the derived-index appends ([[Search.appendToIndex]]) need to see.
+    * Output: (doc_id, status ∈ {added, removed, changed}). */
+  def corpusDiff(prev: DataFrame, next: DataFrame): DataFrame = {
+    val a = prev.select(col("doc_id"), md5(col("text")).as("da"))
+    val b = next.select(col("doc_id"), md5(col("text")).as("db"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("da").isNull, "added")
+          .when(col("db").isNull, "removed")
+          .when(col("da") =!= col("db"), "changed")
+          .as("status"))
+      .filter(col("status").isNotNull)
+  }
 }

@@ -25,6 +25,24 @@ object TextAnalysis {
       countMatches(col("text"), "\\S+").cast("long").as("n_tokens"),
       length(col("text")).cast("long").as("n_chars"))
 
+  /** Canonical text normalization — the first map of every ingest: Unicode
+    * NFC composition (native codegen'd expression,
+    * [[graft.functions.NfcNormalize]] — é as e+◌́ and é as one codepoint
+    * must dedup/shingle identically), control characters to spaces, space
+    * runs collapsed, ends trimmed. Map-only and engine-portable: the
+    * DuckDB oracle is `nfc_normalize` + the same two regexes (explicit
+    * `[\x00-\x1f\x7f]` class — RE2 and Java agree on it, unlike the
+    * engine-varying `\s`/`\p{Cntrl}` shorthands). Emits (doc_id,
+    * text_norm, changed) so downstream stages can skip rewriting
+    * untouched mass. */
+  def normalizeText(docs: DataFrame): DataFrame = {
+    val nfc = graft.functions.GraftFunctions.nfc_normalize(col("text"))
+    val noCtl = regexp_replace(nfc, "[\\x00-\\x1f\\x7f]", " ")
+    val norm = trim(regexp_replace(noCtl, "  +", " "))
+    docs.select(col("doc_id"), norm.as("text_norm"),
+      (norm =!= col("text")).as("changed"))
+  }
+
   val StopwordsEn = List("the", "a", "an", "of", "to", "in", "and", "is", "it", "for")
 
   /** Quality-filter funnel: ordered named rules, each document attributed
