@@ -61,5 +61,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         HashedQuality(children.head, buckets)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => NfcNormalize(children.head)))
   }
 }

@@ -309,12 +309,17 @@ class PlanAuditSpec extends SparkTestBase {
       "hashed_quality",
       (cs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.HashedQuality(cs.head, 1024), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize",
+      (cs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.NfcNormalize(cs.head), "scala_udf")
     val r = spark.sql(
       "SELECT size(shingle_ids('a b c d')) AS ns, simhash64(array(1L, 2L)) AS sh, " +
-        "hashed_quality('a b c d') AS hq")
+        "hashed_quality('a b c d') AS hq, nfc_normalize('café') AS nn")
       .collect()(0)
     assert(r.getInt(0) == 2) // 'a b c' and 'b c d'
     assert(r.getSeq[Long](2).head == 4L) // 4 non-empty tokens
+    assert(r.getString(3) == "café") // composed to NFC
     assert(ext != null)
   }
 }
