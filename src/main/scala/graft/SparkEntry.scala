@@ -439,6 +439,10 @@ object SparkEntry {
     "autogen_optional" -> ((s, d) => graftAuto(s, d).sparql(SPARQL_OPTIONAL)),
     "autogen_union" -> ((s, d) => graftAuto(s, d).sparql(SPARQL_UNION)),
     "autogen_agg_group" -> ((s, d) => graftAuto(s, d).sparql(SPARQL_AGG_GROUP)),
+    // property-path desugaring (sequence + inverse joins) over the PROBED
+    // catalog: link discovery must reconstruct the same join keys the
+    // manual catalog declares
+    "autogen_path" -> ((s, d) => graftAuto(s, d).sparql(SPARQL_PATH)),
     "sparql_minus" -> ((s, d) => graft(s, d).sparql(SPARQL_MINUS)),
     "sparql_exists" -> ((s, d) => graft(s, d).sparql(SPARQL_EXISTS)),
     "sparql_values" -> ((s, d) => graft(s, d).sparql(SPARQL_VALUES)),
@@ -2503,7 +2507,8 @@ object SparkEntry {
     Map(
       "autogen_optional" -> "sparql_optional",
       "autogen_union" -> "sparql_union",
-      "autogen_agg_group" -> "sparql_agg_group")
+      "autogen_agg_group" -> "sparql_agg_group",
+      "autogen_path" -> "sparql_path")
       .map { case (auto, manual) => auto -> baseOracles(manual) }
 
   /** Exact top-5 cosine kNN for the three probe queries as a DuckDB CTE;

@@ -293,6 +293,42 @@ class PlanAuditSpec extends SparkTestBase {
       s"token-budget selection must stay map-only:\n$plan")
   }
 
+  test("normalizeText is one map-only scan: no exchange, no join, no window") {
+    val plan = executed(graft.pipeline.TextAnalysis.normalizeText(t("documents")))
+    assert(!plan.contains("Exchange") && !plan.contains("Join") &&
+      !plan.contains("Window"),
+      s"normalization must stay map-only:\n$plan")
+    // `*(1)` is the whole-stage-codegen stage marker in simpleString plans
+    assert(plan.contains("*(1)"),
+      s"native NfcNormalize must stay inside codegen:\n$plan")
+  }
+
+  test("corpusDiff is a single digest join: no window, no cartesian") {
+    val docs = t("documents")
+    val plan = executed(graft.pipeline.Prepare.corpusDiff(
+      docs.filter("doc_id < 400"), docs.filter("doc_id >= 100")))
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), s"expected one equi-join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Window"),
+      s"diff must not widen beyond the join:\n$plan")
+    // md5 is computed below the join: the join's input projections carry
+    // digests, not text — text must not appear as a join-side attribute
+    assert(plan.contains("md5"), s"digest must be computed pre-join:\n$plan")
+  }
+
+  test("temperatureMixture keep-filter is map-only after the ledger count") {
+    val ledger = graft.pipeline.Mixture.temperatureMixture(t("documents"), 300L, "pa3")
+    // the ledger frame itself is tiny (per-source); audit the KEPT-ROWS
+    // path a deployment uses: same coin filter, literal thresholds
+    val plan = executed(
+      graft.pipeline.Mixture.mixtureSample(
+        t("documents"), Seq("src0" -> 0.5), defaultRate = 0.1, salt = "pa3"))
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"keyed-coin selection must stay map-only:\n$plan")
+    assert(ledger.columns.toSeq ==
+      Seq("source", "n_docs", "weight", "quota", "kept"))
+  }
+
   test("extension-injected SQL functions: shingle_ids / simhash64 / minhash_bands") {
     val ext = new graft.functions.GraftExtensions
     // session already exists; register via the same builders the extension uses
