@@ -1083,6 +1083,17 @@ object SparkEntry {
     "emb_cluster_sample" -> ((s, d) =>
       Similarity.clusterBalancedSample(T(s, d, "embeddings"),
         perCluster = 8, cells = 16).orderBy("vec_id")),
+    // semantic decontamination: corpus vectors within cosine 0.45 of any
+    // benchmark vector (benchmark = the vec_id % 11 == 0 held-out split;
+    // tau sits >= 3.8e-4 from every pairwise cosine at all three scales,
+    // so cross-engine double rounding cannot flip a boundary row)
+    "emb_decontaminate" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      Similarity.semanticDecontaminate(
+        emb.filter(col("vec_id") % 11 =!= 0),
+        emb.filter(col("vec_id") % 11 === 0), tau = 0.45)
+        .orderBy("vec_id")
+    }),
     // exact symmetric n-gram Jaccard pairs: recall-1.0 inverted-index
     // complement of the LSH row (df cap is the oracle-mirrored contract)
     "doc_near_dup_jaccard" -> ((s, d) =>
@@ -1850,6 +1861,23 @@ object SparkEntry {
     "emb_kmeans" -> AnnOracleSql.kmeansClusters(cells = 16),
     "emb_cluster_sample" ->
       AnnOracleSql.clusterBalancedSample(perCluster = 8, cells = 16),
+
+    // semantic decontamination: every (corpus, benchmark) cosine >= tau,
+    // counted per corpus vector; best justifier = argmax cosine, ties to
+    // the lowest benchmark id (mirrors the strict-> ascending-id scan)
+    "emb_decontaminate" ->
+      """WITH b AS (SELECT vec_id AS bench_id, CAST(embedding AS DOUBLE[]) AS be
+        |  FROM embeddings WHERE vec_id % 11 = 0),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
+        |  FROM embeddings WHERE vec_id % 11 <> 0),
+        |s AS (SELECT c.vec_id, b.bench_id,
+        |  list_cosine_similarity(ce, be) AS cos FROM c, b),
+        |h AS (SELECT vec_id, bench_id, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY cos DESC, bench_id) AS rn
+        |  FROM s WHERE cos >= 0.45)
+        |SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+        |  MIN(CASE WHEN rn = 1 THEN bench_id END) AS best_bench_id
+        |FROM h GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     // exact n-gram Jaccard (k=4, tau=0.5): same tokenize/digest/df-cap
     // contract as doc_containment, symmetric intersection over uncapped

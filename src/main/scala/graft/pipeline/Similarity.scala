@@ -631,6 +631,51 @@ object Similarity {
       .withColumn("recall", col("overlap").cast("double") / k)
   }
 
+  /** Semantic (embedding-space) decontamination: flag corpus vectors whose
+    * cosine to ANY benchmark vector reaches `tau` — the vector-level
+    * complement of [[Decontaminate]]'s n-gram overlap gate, catching eval
+    * contamination that survives paraphrase (where token grams diverge but
+    * embeddings stay close).
+    *
+    * The benchmark side is a held-out eval set — small by definition — so
+    * it is collected (bounded by `maxBenchmark`, loud failure beyond) and
+    * broadcast; the corpus streams ONCE, map-only: the plan a 100 TB corpus
+    * needs (no shuffle, no join, linear in corpus size, constant in
+    * benchmark size per row). Output, flagged rows only:
+    * (vec_id, n_hits, best_bench_id) where best is the argmax-cosine
+    * benchmark vector, ties to the lowest id (strict `>` over an
+    * id-ascending broadcast array). */
+  def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+                            tau: Double, maxBenchmark: Int = 1 << 20): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bench = asRows(benchmark).collect()
+    require(bench.length <= maxBenchmark,
+      s"benchmark side has ${bench.length} vectors (> $maxBenchmark): " +
+        "not a broadcastable eval set — bucket it or raise maxBenchmark")
+    val b = bench.map(q => (q.vec_id, normalize(q.embedding))).sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(b)
+    asRows(corpus).mapPartitions { it =>
+      val bs = bc.value
+      it.flatMap { e =>
+        val v = normalize(e.embedding)
+        var hits = 0L
+        var bestId = -1L
+        var best = -2.0
+        var i = 0
+        while (i < bs.length) {
+          val c = dot(v, bs(i)._2)
+          if (c >= tau) {
+            hits += 1
+            if (c > best) { best = c; bestId = bs(i)._1 }
+          }
+          i += 1
+        }
+        if (hits > 0) Iterator((e.vec_id, hits, bestId)) else Iterator.empty
+      }
+    }.toDF("vec_id", "n_hits", "best_bench_id")
+  }
+
   /** Block id from an avalanche mix of the vec_id: plain `id % nBlocks`
     * only bounds block sizes for dense uniform ids — strided/snowflake-style
     * ids sharing a factor with nBlocks would collapse the corpus into a few

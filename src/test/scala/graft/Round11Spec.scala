@@ -1,0 +1,51 @@
+package graft
+
+import graft.pipeline.Similarity
+
+/** Round-12 session-4 operators: semantic decontamination (embedding-space
+  * benchmark overlap), RANGE-frame rolling aggregation, exact histogram
+  * quantiles, salted-join parity. */
+class Round11Spec extends SparkTestBase {
+
+  // ---- semanticDecontaminate ----------------------------------------------
+
+  private def embDf(rows: (Long, Array[Float])*) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("semanticDecontaminate flags hits, counts them, picks argmax justifier") {
+    // bench 10 = x-axis, bench 20 = y-axis
+    val bench = embDf(
+      10L -> Array(1f, 0f, 0f),
+      20L -> Array(0f, 1f, 0f))
+    val corpus = embDf(
+      1L -> Array(2f, 0f, 0f),       // cosine 1.0 with bench 10 only
+      2L -> Array(0f, 0f, 3f),       // orthogonal to both — clean
+      3L -> Array(1f, 0.8f, 0f),     // hits both; x-axis closer → best 10
+      4L -> Array(0.1f, 0.1f, 5f))   // cosine ~0.02 each — below tau
+    val got = Similarity.semanticDecontaminate(corpus, bench, tau = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 1L, 10L), (3L, 2L, 10L)))
+  }
+
+  test("semanticDecontaminate breaks exact cosine ties to the lowest bench id") {
+    val bench = embDf(
+      30L -> Array(1f, 0f),
+      20L -> Array(0f, 1f))
+    // the diagonal is bit-for-bit equidistant from both axes
+    val corpus = embDf(5L -> Array(1f, 1f))
+    val got = Similarity.semanticDecontaminate(corpus, bench, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((5L, 2L, 20L)))
+  }
+
+  test("semanticDecontaminate refuses an unbroadcastable benchmark side") {
+    val bench = embDf((1L to 5L).map(i => i -> Array(1f, 0f)): _*)
+    val corpus = embDf(100L -> Array(1f, 0f))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semanticDecontaminate(corpus, bench, tau = 0.5, maxBenchmark = 4)
+    }
+    assert(e.getMessage.contains("maxBenchmark"))
+  }
+}
