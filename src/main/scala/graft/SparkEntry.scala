@@ -545,6 +545,21 @@ object SparkEntry {
         .select("user_id", "event_id", "seq", "cum_purchases")
         .orderBy("user_id", "event_id")
     }),
+    // event-time RANGE-frame rolling aggregation: per user, count and
+    // floor-sum of value over the trailing 24 h INCLUSIVE of the frame
+    // edge — a true range frame (peer rows with equal timestamps all
+    // join the frame in both engines), keyed by nanos so sub-second
+    // precision cannot drift between engines; floor(value) keeps the
+    // windowed sum exact-integer (double sums are order-dependent)
+    "q_rolling_24h" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"))
+        .rangeBetween(-86400L * 1000000000L, 0L)
+      events(s, d)
+        .withColumn("n_24h", count(lit(1)).over(w))
+        .withColumn("vfloor_24h", sum(floor(col("value")).cast("long")).over(w))
+        .select("event_id", "user_id", "n_24h", "vfloor_24h")
+        .orderBy("event_id")
+    }),
     "q_semi_exists" -> ((s, d) =>
       T(s, d, "customer")
         .join(T(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
@@ -1439,6 +1454,14 @@ object SparkEntry {
         |   PARTITION BY user_id ORDER BY event_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_purchases
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q_rolling_24h" ->
+      """SELECT event_id, user_id,
+        |  COUNT(*) OVER w AS n_24h,
+        |  CAST(SUM(CAST(FLOOR(value) AS BIGINT)) OVER w AS BIGINT) AS vfloor_24h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+        |  RANGE BETWEEN 86400000000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q_semi_exists" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS(SELECT 1 FROM orders WHERE o_custkey = c_custkey)

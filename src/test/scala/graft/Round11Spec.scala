@@ -40,6 +40,26 @@ class Round11Spec extends SparkTestBase {
     assert(got == Set((5L, 2L, 20L)))
   }
 
+  // ---- q_rolling_24h frame edge -------------------------------------------
+
+  test("rolling 24h range frame includes the exact edge, excludes edge+1us") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_roll").toString
+    val t0 = java.time.Instant.parse("2024-03-01T00:00:00Z")
+    def ts(plusUs: Long) = java.sql.Timestamp.from(t0.plusNanos(plusUs * 1000L))
+    Seq(
+      (0L, ts(0L), 7L, "view", 10.5, "{}"),
+      (1L, ts(86400L * 1000000L), 7L, "view", 1.2, "{}"),
+      (2L, ts(86400L * 1000000L + 1L), 7L, "view", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q_rolling_24h")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // e1's frame [t1-24h, t1] still holds e0 (inclusive edge); e2's frame
+    // [t0+1us, t2] has dropped it
+    assert(got.toSeq == Seq((0L, 1L, 10L), (1L, 2L, 11L), (2L, 2L, 3L)))
+  }
+
   test("semanticDecontaminate refuses an unbroadcastable benchmark side") {
     val bench = embDf((1L to 5L).map(i => i -> Array(1f, 0f)): _*)
     val corpus = embDf(100L -> Array(1f, 0f))
