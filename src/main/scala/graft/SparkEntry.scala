@@ -802,6 +802,11 @@ object SparkEntry {
       TextAnalysis.repetitionStats(T(s, d, "documents")).orderBy("doc_id")),
     "doc_sketch_stats" -> ((s, d) =>
       TextAnalysis.sketchStats(T(s, d, "documents")).orderBy("source")),
+    // exact per-source length quantiles from the value histogram (type-1
+    // inverse CDF, all-integer threshold test — see lengthQuantiles doc)
+    "doc_length_quantiles" -> ((s, d) =>
+      TextAnalysis.lengthQuantiles(T(s, d, "documents"))
+        .orderBy("source", "pm")),
     // decontamination fixture: the first 25 documents stand in for the
     // benchmark suite, the rest are the corpus
     "doc_filter_funnel" -> ((s, d) =>
@@ -2027,6 +2032,18 @@ object SparkEntry {
     // explode exactly (1-based list indexing + NULL-skipping concat_ws
     // reproduces the try_element_at bigram windows, incl. the 1-token edge)
     // sketch contracts: the oracle pins the EXACT per-source values (doc
+    // exact type-1 quantiles over the per-source n_chars histogram:
+    // q_pm = min{v : cum·1000 ≥ pm·n} — integer arithmetic end-to-end
+    "doc_length_quantiles" ->
+      """WITH h AS (SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |c AS (SELECT source, v,
+        |  SUM(cnt) OVER (PARTITION BY source ORDER BY v) AS cum,
+        |  SUM(cnt) OVER (PARTITION BY source) AS n FROM h),
+        |p AS (SELECT unnest([250, 500, 750, 900, 990]) AS pm)
+        |SELECT source, CAST(pm AS BIGINT) AS pm, MIN(v) AS q
+        |FROM c, p WHERE cum * 1000 >= pm * n
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // count, distinct tokens) plus the sketch-accuracy flags, which must
     // come back true — HLL within its error budget, approx-median within
     // rank tolerance (the same honest-contract shape as the ANN rows)

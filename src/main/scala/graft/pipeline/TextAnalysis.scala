@@ -392,6 +392,33 @@ object TextAnalysis {
     * at test scale, and the flags — HLL within its 2 % standard-error
     * budget (×2.5), the approx median within ±10 % rank error — are what
     * the oracle pins, the same honest-contract shape as the ANN rows. */
+  /** Exact per-source quantiles of a bounded-domain integer column,
+    * computed from the value HISTOGRAM rather than a per-row sort:
+    * `groupBy(source, value)` collapses the corpus to |sources|×|distinct
+    * values| cells before any window runs, so the window partition carries
+    * the distinct-value count, never the row count — the exact plan that
+    * survives 100 TB (the approximate path is `percentile_approx`, already
+    * rank-contract-gated in [[sketchStats]]).
+    *
+    * Quantile definition is the inverse CDF (type-1): q_p = min{v :
+    * rank(v) ≥ ⌈p·n⌉}, with p in per-mille so the threshold test is the
+    * all-integer `cum·1000 ≥ pm·n` — bit-reproducible on any engine,
+    * unlike interpolated definitions whose `a+(b-a)·f` float term is
+    * association-sensitive. Output: (source, pm, q). */
+  def lengthQuantiles(docs: DataFrame, valueCol: String = "n_chars",
+                      permille: Seq[Int] = Seq(250, 500, 750, 900, 990)): DataFrame = {
+    val hist = docs.groupBy(col("source"), col(valueCol).as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(
+        Window.partitionBy("source").orderBy("v")))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("source")))
+    cum.withColumn("pm", explode(array(permille.map(p => lit(p.toLong)): _*)))
+      .filter(col("cum") * lit(1000L) >= col("pm") * col("n"))
+      .groupBy(col("source"), col("pm"))
+      .agg(min("v").as("q"))
+  }
+
   def sketchStats(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("source"),
       explode(split(lower(col("text")), "\\s+")).as("tok"))

@@ -40,6 +40,24 @@ class Round11Spec extends SparkTestBase {
     assert(got == Set((5L, 2L, 20L)))
   }
 
+  // ---- lengthQuantiles ----------------------------------------------------
+
+  test("lengthQuantiles: type-1 inverse CDF on hand-computable histograms") {
+    import spark.implicits._
+    val docs = (Seq(1L, 2L, 3L, 4L).map(v => ("a", v)) ++
+      Seq(5L, 5L, 5L, 9L).map(v => ("b", v)))
+      .zipWithIndex.map { case ((s, v), i) => (i.toLong, s, v) }
+      .toDF("doc_id", "source", "n_chars")
+    val got = graft.pipeline.TextAnalysis.lengthQuantiles(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // a: n=4 → targets ceil(p*4/1000) = 1,2,3,4,4 ; b: cum(5)=3, cum(9)=4
+    assert(got == Set(
+      ("a", 250L, 1L), ("a", 500L, 2L), ("a", 750L, 3L),
+      ("a", 900L, 4L), ("a", 990L, 4L),
+      ("b", 250L, 5L), ("b", 500L, 5L), ("b", 750L, 5L),
+      ("b", 900L, 9L), ("b", 990L, 9L)))
+  }
+
   // ---- q_rolling_24h frame edge -------------------------------------------
 
   test("rolling 24h range frame includes the exact edge, excludes edge+1us") {
