@@ -545,6 +545,20 @@ object SparkEntry {
         .select("user_id", "event_id", "seq", "cum_purchases")
         .orderBy("user_id", "event_id")
     }),
+    // salted-join parity gate: the skew tool must return exactly the plain
+    // equi-join's answer (salting redistributes hot keys, never rows) —
+    // events fact side salted on its unique event_id, customer dim
+    // replicated salts ways, aggregated to an exact-integer segment rollup
+    "q_skew_join" -> ((s, d) => {
+      val ev = events(s, d).withColumnRenamed("user_id", "c_custkey")
+      val cust = T(s, d, "customer").select("c_custkey", "c_mktsegment")
+      _root_.graft.operators.SkewJoin.salted(ev, cust, key = "c_custkey",
+        leftUnique = "event_id", salts = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value")).cast("long")).as("vfloor"))
+        .orderBy("c_mktsegment")
+    }),
     // event-time RANGE-frame rolling aggregation: per user, count and
     // floor-sum of value over the trailing 24 h INCLUSIVE of the frame
     // edge — a true range frame (peer rows with equal timestamps all
@@ -1459,6 +1473,12 @@ object SparkEntry {
         |   PARTITION BY user_id ORDER BY event_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_purchases
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+    // the salted join must be invisible in the answer: plain-join oracle
+    "q_skew_join" ->
+      """SELECT c.c_mktsegment, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(FLOOR(e.value) AS BIGINT)) AS BIGINT) AS vfloor
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_rolling_24h" ->
       """SELECT event_id, user_id,
         |  COUNT(*) OVER w AS n_24h,
