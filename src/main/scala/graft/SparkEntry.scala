@@ -864,6 +864,25 @@ object SparkEntry {
             .otherwise(col("text")).as("text"))
       Prepare.corpusDiff(prev, next).orderBy("doc_id")
     }),
+    // MERGE round trip: the same prev/next construction as doc_corpus_diff,
+    // merged via applyDiff(prev, adds ∪ changes, removals). The oracle is
+    // `next` itself — the engine must reproduce it exactly THROUGH the
+    // merge path (deletes staged first, upserts replace-or-insert)
+    "doc_apply_diff" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val prev = docs.filter(col("doc_id") < 400).select("doc_id", "text")
+      val next = docs.filter(col("doc_id") >= 100)
+        .select(col("doc_id"),
+          when(col("doc_id").between(200, 249), concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      val upserts = next.filter(col("doc_id") >= 400 ||
+        col("doc_id").between(200, 249))
+      val deletes = prev.select("doc_id").filter(col("doc_id") < 100)
+      Prepare.applyDiff(prev, upserts, deletes)
+        .select(col("doc_id"), md5(col("text")).as("digest"),
+          octet_length(col("text")).cast("long").as("len"))
+        .orderBy("doc_id")
+    }),
     // n-gram LM perplexity filter (CCNet/Gopher-style quality signal):
     // self-trained bigram model, integer milli-nat scores
     "doc_perplexity" -> ((s, d) =>
@@ -2307,6 +2326,16 @@ object SparkEntry {
         |         WHEN da <> db THEN 'changed' END AS status
         |  FROM prev FULL OUTER JOIN nxt ON prev.doc_id = nxt.doc_id)
         |WHERE status IS NOT NULL ORDER BY doc_id""".stripMargin,
+
+    // the merged snapshot must BE `next`: the oracle states the target
+    // corpus directly, independent of any merge machinery — if deletes,
+    // replacement, or insertion misfire, the digests diverge
+    "doc_apply_diff" ->
+      """SELECT doc_id, md5(t) AS digest, CAST(strlen(t) AS BIGINT) AS len
+        |FROM (SELECT doc_id, CASE WHEN doc_id BETWEEN 200 AND 249
+        |        THEN text || ' v2' ELSE text END AS t
+        |      FROM documents WHERE doc_id >= 100)
+        |ORDER BY doc_id""".stripMargin,
 
     // mirrors Mixture.temperatureMixture's integer arithmetic exactly:
     // isqrt weights, HUGEINT quota/threshold floor division, md5 coin

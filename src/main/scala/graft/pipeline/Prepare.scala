@@ -60,4 +60,34 @@ object Prepare {
           .as("status"))
       .filter(col("status").isNotNull)
   }
+
+  /** MERGE/upsert — the write side of [[corpusDiff]]: apply a change batch
+    * to a snapshot so that `applyDiff(prev, upserts, deleteIds)` with the
+    * batch derived from a diff reproduces `next` exactly (the round-trip
+    * law `Round11Spec` pins). Semantics are staged like SQL MERGE: deletes
+    * first, then upserts replace surviving same-id rows or insert new ids
+    * — an id in both is therefore an insert, not a conflict.
+    *
+    * Two id-equi-joins, nothing else: an anti join for the deletes and a
+    * full-outer for the upserts (both broadcastable when the batch is
+    * small — the common incremental case, where the 99%-unchanged
+    * snapshot mass streams through untouched). Row provenance is decided
+    * by a presence flag, not per-column `coalesce`, so an upsert that
+    * legitimately writes NULL into a column still wins. */
+  def applyDiff(snapshot: DataFrame, upserts: DataFrame,
+                deleteIds: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    require(upserts.columns.sorted.sameElements(snapshot.columns.sorted),
+      s"upsert batch schema ${upserts.columns.mkString(",")} must match " +
+        s"snapshot schema ${snapshot.columns.mkString(",")}")
+    val cols = snapshot.columns.filter(_ != idCol).toSeq
+    val survivors = snapshot
+      .join(deleteIds.select(col(idCol)), Seq(idCol), "left_anti")
+      .select(col(idCol) +: cols.map(c => col(c).as(s"__s_$c")): _*)
+    val batch = upserts
+      .select(col(idCol) +: cols.map(c => col(c).as(s"__u_$c")): _*)
+      .withColumn("__up", lit(true))
+    survivors.join(batch, Seq(idCol), "full_outer")
+      .select(col(idCol) +: cols.map(c =>
+        when(col("__up"), col(s"__u_$c")).otherwise(col(s"__s_$c")).as(c)): _*)
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.pipeline.Similarity
+import org.apache.spark.sql.functions._
 
 /** Round-12 session-4 operators: semantic decontamination (embedding-space
   * benchmark overlap), RANGE-frame rolling aggregation, exact histogram
@@ -38,6 +39,44 @@ class Round11Spec extends SparkTestBase {
     val got = Similarity.semanticDecontaminate(corpus, bench, tau = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == Set((5L, 2L, 20L)))
+  }
+
+  // ---- applyDiff ----------------------------------------------------------
+
+  test("applyDiff round-trips a corpusDiff: merge(prev, batch) == next") {
+    import spark.implicits._
+    val prev = Seq((1L, "a", "s0"), (2L, "b", "s0"), (3L, "c", "s1"))
+      .toDF("doc_id", "text", "source")
+    val next = Seq((2L, "b", "s0"), (3L, "c2", "s1"), (4L, "d", "s2"))
+      .toDF("doc_id", "text", "source")
+    val diff = graft.pipeline.Prepare.corpusDiff(prev, next)
+    val upserts = next.join(
+      diff.filter(col("status").isin("added", "changed")).select("doc_id"),
+      Seq("doc_id"))
+    val deletes = diff.filter(col("status") === "removed").select("doc_id")
+    val merged = graft.pipeline.Prepare.applyDiff(prev, upserts, deletes)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(merged == Set((2L, "b", "s0"), (3L, "c2", "s1"), (4L, "d", "s2")))
+  }
+
+  test("applyDiff: deletes stage first, so delete+upsert of one id inserts") {
+    import spark.implicits._
+    val prev = Seq((1L, "old")).toDF("doc_id", "text")
+    val up = Seq((1L, "new")).toDF("doc_id", "text")
+    val del = Seq(Tuple1(1L)).toDF("doc_id")
+    val got = graft.pipeline.Prepare.applyDiff(prev, up, del)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "new")))
+  }
+
+  test("applyDiff: an upsert writing NULL wins over the snapshot value") {
+    import spark.implicits._
+    val prev = Seq((1L, Some("old"))).toDF("doc_id", "text")
+    val up = Seq((1L, None: Option[String])).toDF("doc_id", "text")
+    val got = graft.pipeline.Prepare.applyDiff(prev, up,
+      Seq.empty[Tuple1[Long]].toDF("doc_id"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(got == Set((1L, None)))
   }
 
   // ---- lengthQuantiles ----------------------------------------------------
