@@ -545,6 +545,28 @@ object SparkEntry {
         .select("user_id", "event_id", "seq", "cum_purchases")
         .orderBy("user_id", "event_id")
     }),
+    // robust volume-anomaly flags over hourly event counts: an hour spikes
+    // when its count reaches 2× the event type's MEDIAN hourly count —
+    // median (not mean) so the detector is robust to the spikes it hunts,
+    // derived from the per-type count histogram with the same all-integer
+    // type-1 rule as doc_length_quantiles (cum·2 ≥ n ⇔ pm=500); the flag
+    // test `cnt ≥ 2·med` is integer too, so no float crosses an engine
+    "q_events_anomaly" -> ((s, d) => {
+      val hourly = events(s, d)
+        .withColumn("h", expr("ts div 3600000000000"))
+        .groupBy("event_type", "h").agg(count(lit(1)).as("cnt"))
+      val med = hourly.groupBy(col("event_type"), col("cnt").as("v"))
+        .agg(count(lit(1)).as("k"))
+        .withColumn("cum", sum("k").over(
+          Window.partitionBy("event_type").orderBy("v")))
+        .withColumn("n", sum("k").over(Window.partitionBy("event_type")))
+        .filter(col("cum") * 2 >= col("n"))
+        .groupBy("event_type").agg(min("v").as("med"))
+      hourly.join(med, "event_type")
+        .select(col("event_type"), col("h"), col("cnt"),
+          (col("cnt") >= col("med") * 2).as("is_spike"))
+        .orderBy("event_type", "h")
+    }),
     // salted-join parity gate: the skew tool must return exactly the plain
     // equi-join's answer (salting redistributes hot keys, never rows) —
     // events fact side salted on its unique event_id, customer dim
@@ -1492,6 +1514,21 @@ object SparkEntry {
         |   PARTITION BY user_id ORDER BY event_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_purchases
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+    // same hourly histogram → integer median → 2× flag, in SQL
+    "q_events_anomaly" ->
+      """WITH hourly AS (SELECT event_type, epoch_ns(ts) // 3600000000000 AS h,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |hist AS (SELECT event_type, cnt AS v, CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM hourly GROUP BY 1, 2),
+        |c AS (SELECT event_type, v,
+        |  SUM(k) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+        |  SUM(k) OVER (PARTITION BY event_type) AS n FROM hist),
+        |med AS (SELECT event_type, MIN(v) AS med FROM c
+        |  WHERE cum * 2 >= n GROUP BY 1)
+        |SELECT hourly.event_type, h, cnt, (cnt >= med * 2) AS is_spike
+        |FROM hourly JOIN med USING (event_type)
+        |ORDER BY event_type, h""".stripMargin,
     // the salted join must be invisible in the answer: plain-join oracle
     "q_skew_join" ->
       """SELECT c.c_mktsegment, COUNT(*) AS n_events,
