@@ -293,6 +293,40 @@ class PlanAuditSpec extends SparkTestBase {
       s"token-budget selection must stay map-only:\n$plan")
   }
 
+  test("semanticDecontaminate is a map-only corpus scan over a broadcast") {
+    val emb = t("embeddings")
+    val plan = executed(graft.pipeline.Similarity.semanticDecontaminate(
+      emb.filter(col("vec_id") % 11 =!= 0),
+      emb.filter(col("vec_id") % 11 === 0), tau = 0.45))
+    // the corpus side must not shuffle beyond its fan-out repartition and
+    // must never join: the benchmark rides a broadcast variable
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"decontamination must stay scan+broadcast:\n$plan")
+  }
+
+  test("lengthQuantiles windows the HISTOGRAM, not the corpus rows") {
+    val plan = executed(
+      graft.pipeline.TextAnalysis.lengthQuantiles(t("documents")))
+    // the aggregate (histogram) must sit BELOW the window: in the printed
+    // tree (top-down), the last HashAggregate before the scan is the
+    // histogram; a Window directly over the scan would run per-row
+    val winIdx = plan.indexOf("Window")
+    val aggBelow = plan.indexOf("HashAggregate", winIdx)
+    assert(winIdx >= 0 && aggBelow > winIdx,
+      s"window must consume the pre-aggregated histogram:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"per-mille explode must be a Generate, not a join:\n$plan")
+  }
+
+  test("events anomaly flags join the tiny per-type medians by broadcast") {
+    val plan = executed(SparkEntry.queries("q_events_anomaly")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"median side must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("SortMergeJoin"),
+      s"hourly counts must never co-shuffle with medians:\n$plan")
+  }
+
   test("normalizeText is one map-only scan: no exchange, no join, no window") {
     val plan = executed(graft.pipeline.TextAnalysis.normalizeText(t("documents")))
     assert(!plan.contains("Exchange") && !plan.contains("Join") &&
