@@ -545,6 +545,14 @@ object SparkEntry {
         .select("user_id", "event_id", "seq", "cum_purchases")
         .orderBy("user_id", "event_id")
     }),
+    // Morton z-value parity: the interleaved-bit layout key behind
+    // Zorder.writeZordered (locality itself is gated in Round11Spec; this
+    // row pins the bit-shuffle expression against an unrolled SQL twin)
+    "q_zorder" -> ((s, d) =>
+      events(s, d).select(col("event_id"),
+        _root_.graft.sources.Zorder.zValue(
+          col("user_id"), expr("ts div 3600000000000")).as("z"))
+        .orderBy("event_id")),
     // robust volume-anomaly flags over hourly event counts: an hour spikes
     // when its count reaches 2× the event type's MEDIAN hourly count —
     // median (not mean) so the detector is robust to the spikes it hunts,
@@ -1514,6 +1522,15 @@ object SparkEntry {
         |   PARTITION BY user_id ORDER BY event_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_purchases
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+    // 16 disjoint-bit Morton terms OR'd via SUM over a lateral range
+    "q_zorder" ->
+      """WITH e AS (SELECT event_id, user_id & 65535 AS a,
+        |    (epoch_ns(ts) // 3600000000000) & 65535 AS b FROM events)
+        |SELECT event_id, CAST(SUM(
+        |    (((a >> i) & 1) << (2*i+1)) | (((b >> i) & 1) << (2*i))
+        |  ) AS BIGINT) AS z
+        |FROM e, range(16) t(i)
+        |GROUP BY event_id ORDER BY event_id""".stripMargin,
     // same hourly histogram → integer median → 2× flag, in SQL
     "q_events_anomaly" ->
       """WITH hourly AS (SELECT event_type, epoch_ns(ts) // 3600000000000 AS h,

@@ -41,6 +41,48 @@ class Round11Spec extends SparkTestBase {
     assert(got == Set((5L, 2L, 20L)))
   }
 
+  // ---- Zorder -------------------------------------------------------------
+
+  test("zValue interleaves bits: unit cases and monotone locality") {
+    import spark.implicits._
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 3L), (65535L, 65535L))
+      .toDF("a", "b")
+      .select(graft.sources.Zorder.zValue(col("a"), col("b")).as("z"))
+    val got = df.as[Long].collect().toSeq
+    // a-bit i → position 2i+1, b-bit i → 2i
+    assert(got == Seq(0L, 2L, 1L, 15L, (1L << 32) - 1))
+  }
+
+  test("one z-ordered layout bounds slab scans on BOTH dimensions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    // 64×64 grid, one row per cell; 16 files → 256 cells each
+    val grid = (0 until 64).flatMap(x => (0 until 64).map(y =>
+      (x.toLong * 64 + y, x.toLong, y.toLong)))
+      .toDF("id", "x", "y")
+    graft.sources.Zorder.writeZordered(grid, "x", "y", s"$dir/z",
+      nFiles = 16, bits = 6)
+    // 1-d baseline: range-partitioned + sorted by x only
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(s"$dir/xsorted")
+    def filesTouched(path: String, pred: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(path).filter(pred)
+        .select(input_file_name()).distinct().count()
+    val slabX = col("x").between(8, 15)  // 1/8 of rows, all y
+    val slabY = col("y").between(8, 15)  // 1/8 of rows, all x
+    // x-sorted layout: perfect on its key, useless on the other — every
+    // x-stripe file holds all y values
+    assert(filesTouched(s"$dir/xsorted", slabX) <= 3)
+    assert(filesTouched(s"$dir/xsorted", slabY) >= 15,
+      "x-sorted layout should scatter a y slab over every file")
+    // z-order: either slab is 8 aligned Morton quads — bounded on BOTH
+    // dims with one layout (≤ half the files, never all of them)
+    assert(filesTouched(s"$dir/z", slabX) <= 8,
+      "z layout must bound an x slab")
+    assert(filesTouched(s"$dir/z", slabY) <= 8,
+      "z layout must bound a y slab")
+  }
+
   // ---- applyDiff ----------------------------------------------------------
 
   test("applyDiff round-trips a corpusDiff: merge(prev, batch) == next") {
