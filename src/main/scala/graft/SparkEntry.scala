@@ -91,7 +91,21 @@ object SparkEntry {
   val benchExcluded: Set[String] =
     Set("q_stream_funnel", "q_stream_source_cap", "q_stream_token_budget",
       "q_stream_sessions", "q_stream_retention", "q_stream_interval",
-      "q_stream_dedup")
+      "q_stream_dedup", "q_stream_anomaly")
+
+  /** Per-type MEDIAN hourly event count — the reference table both anomaly
+    * rows share: type-1 inverse CDF over the per-type count histogram
+    * (cum·2 ≥ n), all-integer like doc_length_quantiles. */
+  private def hourlyTypeMedians(ev: DataFrame): DataFrame =
+    ev.withColumn("h", expr("ts div 3600000000000"))
+      .groupBy("event_type", "h").agg(count(lit(1)).as("cnt"))
+      .groupBy(col("event_type"), col("cnt").as("v"))
+      .agg(count(lit(1)).as("k"))
+      .withColumn("cum", sum("k").over(
+        Window.partitionBy("event_type").orderBy("v")))
+      .withColumn("n", sum("k").over(Window.partitionBy("event_type")))
+      .filter(col("cum") * 2 >= col("n"))
+      .groupBy("event_type").agg(min("v").as("med"))
 
   /** exact decimal money expr: extendedprice * (1 - discount). */
   private def discPrice: Column =
@@ -563,17 +577,20 @@ object SparkEntry {
       val hourly = events(s, d)
         .withColumn("h", expr("ts div 3600000000000"))
         .groupBy("event_type", "h").agg(count(lit(1)).as("cnt"))
-      val med = hourly.groupBy(col("event_type"), col("cnt").as("v"))
-        .agg(count(lit(1)).as("k"))
-        .withColumn("cum", sum("k").over(
-          Window.partitionBy("event_type").orderBy("v")))
-        .withColumn("n", sum("k").over(Window.partitionBy("event_type")))
-        .filter(col("cum") * 2 >= col("n"))
-        .groupBy("event_type").agg(min("v").as("med"))
-      hourly.join(med, "event_type")
+      hourly.join(hourlyTypeMedians(events(s, d)), "event_type")
         .select(col("event_type"), col("h"), col("cnt"),
           (col("cnt") >= col("med") * 2).as("is_spike"))
         .orderBy("event_type", "h")
+    }),
+    // the same flags produced STREAMING: watermarked hourly windows
+    // stream-static-joined to the batch medians, replayed as real
+    // micro-batches — eighth replay gate
+    "q_stream_anomaly" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      val ev = events(s, d)
+      _root_.graft.streaming.EventStreams
+        .spikeFlagsReplayed(ev, hourlyTypeMedians(ev))
+        .orderBy("event_type", "hour")
     }),
     // salted-join parity gate: the skew tool must return exactly the plain
     // equi-join's answer (salting redistributes hot keys, never rows) —
@@ -1546,6 +1563,21 @@ object SparkEntry {
         |SELECT hourly.event_type, h, cnt, (cnt >= med * 2) AS is_spike
         |FROM hourly JOIN med USING (event_type)
         |ORDER BY event_type, h""".stripMargin,
+    // streaming twin: identical flags, hour as the window-start timestamp
+    "q_stream_anomaly" ->
+      """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |hist AS (SELECT event_type, cnt AS v, CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM hourly GROUP BY 1, 2),
+        |c AS (SELECT event_type, v,
+        |  SUM(k) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+        |  SUM(k) OVER (PARTITION BY event_type) AS n FROM hist),
+        |med AS (SELECT event_type, MIN(v) AS med FROM c
+        |  WHERE cum * 2 >= n GROUP BY 1)
+        |SELECT hourly.event_type, hour, cnt, (cnt >= med * 2) AS is_spike
+        |FROM hourly JOIN med USING (event_type)
+        |ORDER BY event_type, hour""".stripMargin,
     // the salted join must be invisible in the answer: plain-join oracle
     "q_skew_join" ->
       """SELECT c.c_mktsegment, COUNT(*) AS n_events,

@@ -243,6 +243,66 @@ object EventStreams {
     spark.createDataset(out.toSeq).select(col("doc_id"), col("digest"))
   }
 
+  /** Streaming face of the batch anomaly gate (`q_events_anomaly`): the
+    * watermarked hourly-count stream joins a PRECOMPUTED per-type median
+    * table (stream-static and broadcast — medians come from the batch
+    * histogram op and refresh out-of-band, the standard reference-data
+    * pattern) and every closed window emits its spike flag. State is the
+    * windowed aggregation's, bounded by the watermark; the join adds
+    * none. */
+  def spikeFlags(events: DataFrame, medians: DataFrame,
+                 watermark: String = "2 hours"): DataFrame =
+    hourlyCounts(events, watermark)
+      .join(broadcast(medians), Seq("event_type"))
+      .select(col("event_type"), col("hour"), col("cnt"),
+        (col("cnt") >= col("med") * lit(2L)).as("is_spike"))
+
+  /** Event-time replay gate for [[spikeFlags]] (`q_stream_anomaly`): the
+    * bounded table streams through real micro-batches in event-time order
+    * with a flush sentinel 4 h past the last event, so the 2 h watermark
+    * closes every real window and append mode emits each flag exactly
+    * once; the oracle recomputes flags batch-side. MemoryStream is a
+    * driver-side source — VERIFICATION machinery (bench-excluded), not a
+    * production op. */
+  def spikeFlagsReplayed(events: DataFrame, medians: DataFrame,
+                         chunks: Int = 4)
+                        (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def tsOf(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    val real = events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .collect()
+      .map(r => (Math.floorDiv(r.getLong(1), 1000L), r.getLong(0), r.getLong(2), r.getString(3)))
+      .sortBy(e => (e._1, e._2))
+      .map { case (us, id, user, tpe) => Event(id, tsOf(us), user, tpe, 0.0) }
+    val flushUs = Math.floorDiv(events.agg(max(col("ts"))).head().getLong(0),
+      1000L) + 4L * 3600000000L
+    val evs = real :+ Event(-1L, tsOf(flushUs), -1L, "__flush", 0.0)
+    val name = "graft_anomaly_replay_" +
+      java.util.UUID.randomUUID().toString.filter(_ != '-')
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val q = spikeFlags(input.toDS().toDF(), medians)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      val per = math.max(1, (evs.length + chunks - 1) / chunks)
+      evs.grouped(per).foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    // the sentinel's own window never emits: it is younger than the final
+    // watermark, and an inner join to the medians would drop it anyway
+    val out = spark.table(name)
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getBoolean(3)))
+    spark.catalog.dropTempView(name)
+    spark.createDataset(out.toSeq)
+      .toDF("event_type", "hour", "cnt", "is_spike")
+  }
+
   /** Watermarked stream-stream interval join: attribute each purchase to a
     * click by the same user within the preceding `windowMinutes`. Both sides
     * carry watermarks and the join condition bounds event-time distance, so
