@@ -559,6 +559,21 @@ object SparkEntry {
         .select("user_id", "event_id", "seq", "cum_purchases")
         .orderBy("user_id", "event_id")
     }),
+    // hive-partitioned round trip: documents written partitionBy(lang) and
+    // read back must aggregate identically to the source table — gates
+    // partition-column extraction/restoration (value↔directory encoding);
+    // the pruning behavior itself is plan-audited in Round11Spec
+    "doc_partitioned_roundtrip" -> ((s, d) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_part").toString + "/docs"
+      _root_.graft.sources.Partitioned.writePartitioned(
+        T(s, d, "documents"), "lang", path)
+      s.read.parquet(path)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"),
+          sum("n_chars").as("sum_chars"))
+        .orderBy("lang")
+    }),
     // Morton z-value parity: the interleaved-bit layout key behind
     // Zorder.writeZordered (locality itself is gated in Round11Spec; this
     // row pins the bit-shuffle expression against an unrolled SQL twin)
@@ -1539,6 +1554,12 @@ object SparkEntry {
         |   PARTITION BY user_id ORDER BY event_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_purchases
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+    // the partitioned lake must be indistinguishable from the table
+    "doc_partitioned_roundtrip" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // 16 disjoint-bit Morton terms OR'd via SUM over a lateral range
     "q_zorder" ->
       """WITH e AS (SELECT event_id, user_id & 65535 AS a,

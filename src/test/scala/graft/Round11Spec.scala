@@ -83,6 +83,27 @@ class Round11Spec extends SparkTestBase {
       "z layout must bound a y slab")
   }
 
+  // ---- Partitioned --------------------------------------------------------
+
+  test("partitionBy(lang) layout prunes non-matching partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    graft.sources.Partitioned.writePartitioned(docs, "lang", s"$dir/docs")
+    val back = spark.read.parquet(s"$dir/docs")
+    val filtered = back.filter(col("lang") === "en")
+    filtered.collect()
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"lang filter must prune partitions, not scan rows:\n$plan")
+    // pruning is real: the filtered scan touches only the en directory
+    val touched = filtered.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(touched.nonEmpty && touched.forall(_.contains("lang=en")),
+      s"scan escaped the en partition: ${touched.mkString(",")}")
+    // and the round trip preserves cardinality
+    assert(back.count() == docs.count())
+  }
+
   // ---- applyDiff ----------------------------------------------------------
 
   test("applyDiff round-trips a corpusDiff: merge(prev, batch) == next") {
