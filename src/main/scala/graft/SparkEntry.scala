@@ -878,6 +878,10 @@ object SparkEntry {
       TextAnalysis.repetitionStats(T(s, d, "documents")).orderBy("doc_id")),
     "doc_sketch_stats" -> ((s, d) =>
       TextAnalysis.sketchStats(T(s, d, "documents")).orderBy("source")),
+    // sentence spans with byte offsets (". "-portable splitter)
+    "doc_sentences" -> ((s, d) =>
+      TextAnalysis.sentences(T(s, d, "documents"))
+        .orderBy("doc_id", "pos")),
     // exact per-source length quantiles from the value histogram (type-1
     // inverse CDF, all-integer threshold test — see lengthQuantiles doc)
     "doc_length_quantiles" -> ((s, d) =>
@@ -2178,6 +2182,22 @@ object SparkEntry {
     // explode exactly (1-based list indexing + NULL-skipping concat_ws
     // reproduces the try_element_at bigram windows, incl. the 1-token edge)
     // sketch contracts: the oracle pins the EXACT per-source values (doc
+    // ordinals assigned BEFORE the empty filter; byte offsets via the
+    // same preceding-lengths running sum
+    "doc_sentences" ->
+      """WITH t AS (SELECT doc_id, string_split(text, '. ') AS parts
+        |  FROM documents),
+        |s AS (SELECT doc_id, unnest(
+        |    [{'pos': i - 1, 'sent': parts[i]}
+        |     FOR i IN range(1, len(parts) + 1)], recursive := true)
+        |  FROM t)
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos, sent,
+        |  CAST(COALESCE(SUM(strlen(sent) + 2) OVER (
+        |    PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS start
+        |FROM s QUALIFY strlen(sent) > 0
+        |ORDER BY doc_id, pos""".stripMargin,
     // exact type-1 quantiles over the per-source n_chars histogram:
     // q_pm = min{v : cum·1000 ≥ pm·n} — integer arithmetic end-to-end
     "doc_length_quantiles" ->

@@ -392,6 +392,27 @@ object TextAnalysis {
     * at test scale, and the flags — HLL within its 2 % standard-error
     * budget (×2.5), the approx median within ±10 % rank error — are what
     * the oracle pins, the same honest-contract shape as the ANN rows. */
+  /** Sentence segmentation with byte offsets — the span primitive under
+    * citation alignment, span-level PII, and sentence-window chunking.
+    * The splitter is the deliberately portable `". "` delimiter (an
+    * abbreviation-aware segmenter is locale data, not engine work);
+    * offsets are BYTE positions (octet_length — code-point vs grapheme
+    * counting differs across engines, bytes never do), reconstructed as
+    * the running sum of preceding fragment lengths + delimiter width over
+    * a per-document window whose partition is one document's sentences —
+    * bounded, never corpus-keyed. Empty fragments keep their ordinal (so
+    * `pos` is stable under engine empty-trailing conventions) but are not
+    * emitted. Output: (doc_id, pos, sent, start). */
+  def sentences(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(split(col("text"), "\\. ")).as(Seq("pos", "sent")))
+      .withColumn("start",
+        coalesce(sum(octet_length(col("sent")) + lit(2)).over(
+          Window.partitionBy("doc_id").orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0)).cast("long"))
+      .withColumn("pos", col("pos").cast("long"))
+      .filter(octet_length(col("sent")) > 0)
+
   /** Exact per-source quantiles of a bounded-domain integer column,
     * computed from the value HISTOGRAM rather than a per-row sort:
     * `groupBy(source, value)` collapses the corpus to |sources|×|distinct

@@ -142,6 +142,24 @@ class Round11Spec extends SparkTestBase {
     assert(got == Set((1L, None)))
   }
 
+  // ---- sentences ----------------------------------------------------------
+
+  test("sentences: byte offsets reconstruct positions, empties keep ordinals") {
+    import spark.implicits._
+    //           0123456789ab
+    val docs = Seq((1L, "ab. . cd. ef")).toDF("doc_id", "text")
+    val got = graft.pipeline.TextAnalysis.sentences(docs)
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    // parts: ["ab", "", "cd", "ef"] — the empty fragment holds ordinal 1
+    // and contributes 2 delimiter bytes to later offsets but is not emitted
+    assert(got == Set((0L, "ab", 0L), (2L, "cd", 6L), (3L, "ef", 10L)))
+    // offsets index the original bytes
+    val text = "ab. . cd. ef"
+    got.foreach { case (_, s, off) =>
+      assert(text.substring(off.toInt, off.toInt + s.length) == s)
+    }
+  }
+
   // ---- lengthQuantiles ----------------------------------------------------
 
   test("lengthQuantiles: type-1 inverse CDF on hand-computable histograms") {
