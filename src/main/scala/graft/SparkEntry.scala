@@ -878,6 +878,10 @@ object SparkEntry {
       TextAnalysis.repetitionStats(T(s, d, "documents")).orderBy("doc_id")),
     "doc_sketch_stats" -> ((s, d) =>
       TextAnalysis.sketchStats(T(s, d, "documents")).orderBy("source")),
+    // deflate-ratio quality signal: no oracle (a codec is not SQL) →
+    // rows-only driver check; semantics spec-gated on known plaintexts
+    "doc_compress_ratio" -> ((s, d) =>
+      TextAnalysis.compressionRatio(T(s, d, "documents")).orderBy("doc_id")),
     // sentence spans with byte offsets (". "-portable splitter)
     "doc_sentences" -> ((s, d) =>
       TextAnalysis.sentences(T(s, d, "documents"))

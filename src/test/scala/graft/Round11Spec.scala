@@ -160,6 +160,28 @@ class Round11Spec extends SparkTestBase {
     }
   }
 
+  // ---- compressionRatio ---------------------------------------------------
+
+  test("compressionRatio separates boilerplate from high-entropy junk") {
+    import spark.implicits._
+    val template = "click here to subscribe now " * 200         // ~5.6 kB
+    val junk = (0 until 200).map(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"j$i".getBytes).map("%02x".format(_)).mkString).mkString(" ")
+    val prose = "The quick brown fox jumps over the lazy dog. " +
+      "A different sentence follows with new words each time. " * 40
+    val got = graft.pipeline.TextAnalysis.compressionRatio(
+      Seq((1L, template), (2L, junk), (3L, prose)).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // raw_bytes is the UTF-8 length; deflate output is non-empty
+    assert(got(1)._1 == template.length && got.values.forall(_._2 > 0))
+    // template compresses >10×; hex junk <3×; both separate from prose
+    assert(got(1)._3 > 10000, s"template ratio ${got(1)._3}")
+    assert(got(2)._3 < 3000, s"junk ratio ${got(2)._3}")
+    assert(got(2)._3 < got(3)._3 && got(3)._3 < got(1)._3,
+      s"ordering junk < prose < template violated: $got")
+  }
+
   // ---- lengthQuantiles ----------------------------------------------------
 
   test("lengthQuantiles: type-1 inverse CDF on hand-computable histograms") {
