@@ -293,6 +293,32 @@ class PlanAuditSpec extends SparkTestBase {
       s"token-budget selection must stay map-only:\n$plan")
   }
 
+  test("a selective dim filter injects a runtime bloom filter into the fact scan") {
+    // Catalyst's InjectRuntimeFilter: when a join's build side carries a
+    // selective filter, the probe side's SCAN gets a bloom `might_contain`
+    // pre-filter — rows of the 100 TB fact table that cannot join die at
+    // the scan, before the shuffle. Size thresholds are lowered here only
+    // because the test lake is tiny; at production scale the defaults
+    // (10 MB creation side) trigger on their own.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = t("lineitem")
+      val ord = t("orders").filter(col("o_orderpriority") === "1-URGENT")
+      val plan = executed(
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority").count())
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        s"expected a runtime bloom filter on the fact side:\n$plan")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("semanticDecontaminate is a map-only corpus scan over a broadcast") {
     val emb = t("embeddings")
     val plan = executed(graft.pipeline.Similarity.semanticDecontaminate(
