@@ -559,6 +559,27 @@ object SparkEntry {
         .select("user_id", "event_id", "seq", "cum_purchases")
         .orderBy("user_id", "event_id")
     }),
+    // one-pass column profile of the orders table (governance surface):
+    // typed min/max BEFORE the string render, one scan for all columns
+    "lake_profile" -> ((s, d) =>
+      _root_.graft.pipeline.DataQuality.profile(T(s, d, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy("col_name")),
+    // declared PK/FK contract checks: uniqueness + two referential edges
+    "lake_integrity" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      val dq = _root_.graft.pipeline.DataQuality
+      dq.integrityReport(Seq(
+        "pk_orders_orderkey" -> (() =>
+          dq.pkViolations(T(s, d, "orders"), "o_orderkey")),
+        "fk_lineitem_orders" -> (() =>
+          dq.fkOrphans(T(s, d, "lineitem"), "l_orderkey",
+            T(s, d, "orders"), "o_orderkey")),
+        "fk_orders_customer" -> (() =>
+          dq.fkOrphans(T(s, d, "orders"), "o_custkey",
+            T(s, d, "customer"), "c_custkey"))))
+        .orderBy("check_name")
+    }),
     // hive-partitioned round trip: documents written partitionBy(lang) and
     // read back must aggregate identically to the source table — gates
     // partition-column extraction/restoration (value↔directory encoding);
@@ -1562,6 +1583,48 @@ object SparkEntry {
         |   PARTITION BY user_id ORDER BY event_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_purchases
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "lake_profile" ->
+      """SELECT col_name, n, n_null, n_distinct, min_s, max_s FROM (
+        |  SELECT 'o_orderkey' AS col_name,
+        |    CAST(COUNT(o_orderkey) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |    CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+        |    CAST(MIN(o_orderkey) AS VARCHAR) AS min_s,
+        |    CAST(MAX(o_orderkey) AS VARCHAR) AS max_s FROM orders
+        |  UNION ALL SELECT 'o_custkey',
+        |    CAST(COUNT(o_custkey) AS BIGINT),
+        |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+        |    CAST(MIN(o_custkey) AS VARCHAR),
+        |    CAST(MAX(o_custkey) AS VARCHAR) FROM orders
+        |  UNION ALL SELECT 'o_orderstatus',
+        |    CAST(COUNT(o_orderstatus) AS BIGINT),
+        |    CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+        |    MIN(o_orderstatus), MAX(o_orderstatus) FROM orders
+        |  UNION ALL SELECT 'o_orderpriority',
+        |    CAST(COUNT(o_orderpriority) AS BIGINT),
+        |    CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+        |    MIN(o_orderpriority), MAX(o_orderpriority) FROM orders)
+        |ORDER BY col_name""".stripMargin,
+    "lake_integrity" ->
+      """SELECT check_name, n_checked, n_violations FROM (
+        |  SELECT 'pk_orders_orderkey' AS check_name,
+        |    CAST(SUM(c) AS BIGINT) AS n_checked,
+        |    CAST(COALESCE(SUM(c) FILTER (c > 1), 0) AS BIGINT) AS n_violations
+        |  FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+        |  UNION ALL SELECT 'fk_lineitem_orders',
+        |    CAST(COUNT(*) AS BIGINT),
+        |    CAST(COUNT(*) FILTER (NOT EXISTS (SELECT 1 FROM orders o
+        |      WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+        |  FROM lineitem l
+        |  UNION ALL SELECT 'fk_orders_customer',
+        |    CAST(COUNT(*) AS BIGINT),
+        |    CAST(COUNT(*) FILTER (NOT EXISTS (SELECT 1 FROM customer c
+        |      WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+        |  FROM orders o)
+        |ORDER BY check_name""".stripMargin,
     // the partitioned lake must be indistinguishable from the table
     "doc_partitioned_roundtrip" ->
       """SELECT lang, COUNT(*) AS n_docs,

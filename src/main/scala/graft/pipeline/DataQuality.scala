@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Data-quality / governance primitives — the checks a lake runs before a
+  * corpus is allowed into a training mix: column profiles, key
+  * uniqueness, referential integrity. Each is a single distributed
+  * aggregation; only the one-row summary ever reaches the driver.
+  */
+object DataQuality {
+
+  /** Per-column profile: non-null count, null count, distinct count, and
+    * min/max rendered as strings AFTER the typed aggregation (min THEN
+    * cast — casting first would compare "10" < "9" lexicographically).
+    * One pass over the table computes every column's metrics in a single
+    * aggregate row (multiple DISTINCTs expand to one shuffle each, still
+    * one scan); the driver only reshapes that one row to tall form.
+    * Output: (col_name, n, n_null, n_distinct, min_s, max_s). */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"${c}__n"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+      countDistinct(col(c)).as(s"${c}__nd"),
+      min(col(c)).cast("string").as(s"${c}__min"),
+      max(col(c)).cast("string").as(s"${c}__max")))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val rows = cols.zipWithIndex.map { case (c, i) =>
+      Row(c, r.getLong(5 * i), r.getLong(5 * i + 1), r.getLong(5 * i + 2),
+        r.getString(5 * i + 3), r.getString(5 * i + 4))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("col_name", StringType, nullable = false),
+        StructField("n", LongType, nullable = false),
+        StructField("n_null", LongType, nullable = false),
+        StructField("n_distinct", LongType, nullable = false),
+        StructField("min_s", StringType, nullable = true),
+        StructField("max_s", StringType, nullable = true))))
+  }
+
+  /** Primary-key uniqueness: (rows checked, rows carrying a duplicated
+    * key). groupBy + one filter-aggregate — never a window. */
+  def pkViolations(df: DataFrame, key: String): (Long, Long) = {
+    val agg = df.groupBy(col(key)).agg(count(lit(1)).as("c"))
+      .agg(sum("c").cast("long").as("n"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).cast("long").as("bad"))
+      .head()
+    (agg.getLong(0), agg.getLong(1))
+  }
+
+  /** Referential integrity: child rows whose foreign key has no parent.
+    * Left-anti join ships only the key columns of the parent side. */
+  def fkOrphans(child: DataFrame, fk: String,
+                parent: DataFrame, pk: String): (Long, Long) = {
+    val orphans = child.select(col(fk))
+      .join(parent.select(col(pk).as(fk)), Seq(fk), "left_anti")
+      .count()
+    (child.count(), orphans)
+  }
+
+  /** One-call integrity report over a set of declared checks.
+    * Output: (check_name, n_checked, n_violations). */
+  def integrityReport(checks: Seq[(String, () => (Long, Long))])
+                     (implicit spark: SparkSession): DataFrame = {
+    val rows = checks.map { case (name, f) =>
+      val (n, bad) = f(); Row(name, n, bad)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("check_name", StringType, nullable = false),
+        StructField("n_checked", LongType, nullable = false),
+        StructField("n_violations", LongType, nullable = false))))
+  }
+}

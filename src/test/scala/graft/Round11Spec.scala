@@ -160,6 +160,32 @@ class Round11Spec extends SparkTestBase {
     }
   }
 
+  // ---- DataQuality --------------------------------------------------------
+
+  test("profile: typed min/max, nulls and distincts on a known fixture") {
+    import spark.implicits._
+    val df = Seq((Some(9L), "b"), (Some(10L), "a"), (None, "a"))
+      .toDF("k", "s")
+    val got = graft.pipeline.DataQuality.profile(df, Seq("k", "s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5))).toSet
+    // min is typed BEFORE the render: 9 < 10, not "10" < "9"
+    assert(got == Set(
+      ("k", 2L, 1L, 2L, "9", "10"),
+      ("s", 3L, 0L, 2L, "a", "b")))
+  }
+
+  test("integrity checks count dup-key rows and FK orphans") {
+    import spark.implicits._
+    val parent = Seq(1L, 2L, 2L).toDF("id")       // key 2 duplicated
+    val child = Seq(1L, 1L, 3L).toDF("pid")       // 3 is an orphan
+    val (n, dup) = graft.pipeline.DataQuality.pkViolations(parent, "id")
+    assert((n, dup) == (3L, 2L))
+    val (cn, orph) = graft.pipeline.DataQuality.fkOrphans(
+      child, "pid", parent, "id")
+    assert((cn, orph) == (3L, 1L))
+  }
+
   // ---- compressionRatio ---------------------------------------------------
 
   test("compressionRatio separates boilerplate from high-entropy junk") {
