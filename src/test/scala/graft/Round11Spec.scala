@@ -160,6 +160,71 @@ class Round11Spec extends SparkTestBase {
     }
   }
 
+  // ---- randomized laws ----------------------------------------------------
+
+  test("zValue is a bijection on 16-bit pairs (randomized)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41) // fixed seed
+    val pairs = Seq.fill(500)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"),
+        graft.sources.Zorder.zValue(col("a"), col("b")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (a, b, z) =>
+      // independent inverse: gather odd bits → a, even bits → b
+      var (ra, rb) = (0L, 0L)
+      (0 until 16).foreach { i =>
+        ra |= ((z >> (2 * i + 1)) & 1L) << i
+        rb |= ((z >> (2 * i)) & 1L) << i
+      }
+      assert((ra, rb) == (a, b), s"z=$z decoded to ($ra,$rb), not ($a,$b)")
+    }
+  }
+
+  test("applyDiff round-trip law holds on randomized snapshots") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { _ =>
+      val ids = (0L until 60L)
+      val prevRows = ids.filter(_ => rnd.nextDouble() < 0.8)
+        .map(i => (i, s"t$i"))
+      val nextRows = ids.filter(_ => rnd.nextDouble() < 0.8)
+        .map(i => (i, if (rnd.nextDouble() < 0.3) s"t$i'" else s"t$i"))
+      val prev = prevRows.toDF("doc_id", "text")
+      val next = nextRows.toDF("doc_id", "text")
+      val diff = graft.pipeline.Prepare.corpusDiff(prev, next)
+      val upserts = next.join(
+        diff.filter(col("status").isin("added", "changed")).select("doc_id"),
+        Seq("doc_id"))
+      val deletes = diff.filter(col("status") === "removed").select("doc_id")
+      val merged = graft.pipeline.Prepare.applyDiff(prev, upserts, deletes)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(merged == nextRows.toSet)
+    }
+  }
+
+  test("lengthQuantiles agrees with a driver-side type-1 reference (randomized)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.fill(400)(
+      (s"s${rnd.nextInt(3)}", (rnd.nextInt(50) + 1).toLong))
+      .zipWithIndex.map { case ((s, v), i) => (i.toLong, s, v) }
+    val got = graft.pipeline.TextAnalysis.lengthQuantiles(
+      rows.toDF("doc_id", "source", "n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for {
+      (src, group) <- rows.groupBy(_._2)
+      pm <- Seq(250, 500, 750, 900, 990)
+    } {
+      val sorted = group.map(_._3).sorted
+      // type-1: smallest v with rank >= ceil(pm*n/1000)
+      val target = (pm.toLong * sorted.length + 999) / 1000
+      val want = sorted((target - 1).toInt)
+      assert(got((src, pm.toLong)) == want,
+        s"$src pm=$pm: got ${got((src, pm.toLong))}, want $want")
+    }
+  }
+
   // ---- DataQuality --------------------------------------------------------
 
   test("profile: typed min/max, nulls and distincts on a known fixture") {
