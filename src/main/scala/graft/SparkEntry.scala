@@ -559,6 +559,22 @@ object SparkEntry {
         .select("user_id", "event_id", "seq", "cum_purchases")
         .orderBy("user_id", "event_id")
     }),
+    // reproducibility manifest: row counts + order-independent 60-bit XOR
+    // content digests — two lakes agree iff their contents do
+    "lake_manifest" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      _root_.graft.pipeline.DataQuality.manifest(Seq(
+        ("documents", T(s, d, "documents"), col("text")),
+        ("events", T(s, d, "events"), col("props")),
+        ("orders", T(s, d, "orders"),
+          concat(col("o_orderkey").cast("string"), col("o_orderstatus")))))
+        .orderBy("table_name")
+    }),
+    // join-key skew report: the measurement behind the salted-join call
+    "lake_skew_report" -> ((s, d) =>
+      _root_.graft.pipeline.DataQuality.skewReport(
+        T(s, d, "events"), "user_id", k = 5)
+        .orderBy(col("cnt").desc, col("key"))),
     // one-pass column profile of the orders table (governance surface):
     // typed min/max BEFORE the string render, one scan for all columns
     "lake_profile" -> ((s, d) =>
@@ -1583,6 +1599,26 @@ object SparkEntry {
         |   PARTITION BY user_id ORDER BY event_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_purchases
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "lake_manifest" ->
+      """SELECT table_name, n_rows, xor_digest FROM (
+        |  SELECT 'documents' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(COALESCE(bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT), 0)
+        |      AS BIGINT) AS xor_digest FROM documents
+        |  UNION ALL SELECT 'events', CAST(COUNT(*) AS BIGINT),
+        |    CAST(COALESCE(bit_xor(('0x' || substr(md5(props), 1, 15))::BIGINT), 0)
+        |      AS BIGINT) FROM events
+        |  UNION ALL SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+        |    CAST(COALESCE(bit_xor(('0x' || substr(md5(
+        |        CAST(o_orderkey AS VARCHAR) || o_orderstatus), 1, 15))::BIGINT), 0)
+        |      AS BIGINT) FROM orders)
+        |ORDER BY table_name""".stripMargin,
+    "lake_skew_report" ->
+      """SELECT key, cnt, cnt * 1000 // total AS share_milli FROM (
+        |  SELECT CAST(user_id AS VARCHAR) AS key,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt,
+        |    CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total
+        |  FROM events GROUP BY 1)
+        |ORDER BY cnt DESC, key LIMIT 5""".stripMargin,
     "lake_profile" ->
       """SELECT col_name, n, n_null, n_distinct, min_s, max_s FROM (
         |  SELECT 'o_orderkey' AS col_name,

@@ -62,6 +62,42 @@ object DataQuality {
     (child.count(), orphans)
   }
 
+  /** Content manifest for reproducibility pinning: per table, the row
+    * count and an order-independent 60-bit XOR of per-row content
+    * digests. XOR (not SUM) because it cannot overflow and needs no
+    * modular arithmetic that engines wrap differently — the digest is
+    * identical however the rows are partitioned, so two lakes agree iff
+    * their contents do. `keyExpr` is the canonical per-row string (e.g.
+    * `md5(text)`'s input) — keep it to columns with engine-stable string
+    * renderings (strings, integers). Output: (table_name, n_rows,
+    * xor_digest). */
+  def manifest(tables: Seq[(String, DataFrame, org.apache.spark.sql.Column)])
+              (implicit spark: SparkSession): DataFrame = {
+    val frames = tables.map { case (name, df, keyExpr) =>
+      df.agg(count(lit(1)).as("n_rows"),
+          coalesce(bit_xor(
+            conv(substring(md5(keyExpr), 1, 15), 16, 10).cast("long")),
+            lit(0L)).as("xor_digest"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("xor_digest"))
+    }
+    frames.reduce(_.unionByName(_))
+  }
+
+  /** Join-key skew report — the measurement behind the
+    * [[graft.operators.SkewJoin]] decision: the k heaviest keys of a
+    * column with their per-mille share of the table. A groupBy plus a
+    * driver-side top-k of the (small) per-key count table; the text/rows
+    * never move. Output: (key, cnt, share_milli). */
+  def skewReport(df: DataFrame, key: String, k: Int = 5): DataFrame = {
+    val total = df.count()
+    df.groupBy(col(key).cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("share_milli", expr(s"cnt * 1000L div ${total}L"))
+      .orderBy(col("cnt").desc, col("key"))
+      .limit(k)
+      .select("key", "cnt", "share_milli")
+  }
+
   /** One-call integrity report over a set of declared checks.
     * Output: (check_name, n_checked, n_violations). */
   def integrityReport(checks: Seq[(String, () => (Long, Long))])

@@ -160,6 +160,34 @@ class Round11Spec extends SparkTestBase {
     }
   }
 
+  // ---- manifest / skew report ---------------------------------------------
+
+  test("manifest digest is partition-invariant and content-sensitive") {
+    import spark.implicits._
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val a = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "t")
+    def digestOf(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = graft.pipeline.DataQuality.manifest(Seq(("t", df, col("t")))).head()
+      (r.getLong(1), r.getLong(2))
+    }
+    // same content, different physical layout → identical digest
+    assert(digestOf(a) == digestOf(a.repartition(7)))
+    // one changed row → different digest, same count
+    val b = Seq((1L, "x"), (2L, "y"), (3L, "Z")).toDF("id", "t")
+    assert(digestOf(a)._1 == digestOf(b)._1 && digestOf(a)._2 != digestOf(b)._2)
+    // empty table digests to the defined zero
+    assert(digestOf(a.filter(lit(false))) == (0L, 0L))
+  }
+
+  test("skewReport surfaces the hot key with its per-mille share") {
+    import spark.implicits._
+    val df = (Seq.fill(900)(7L) ++ (101L to 200L)).toDF("k")
+    val top = graft.pipeline.DataQuality.skewReport(df, "k", k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(top.head == ("7", 900L, 900L))
+    assert(top(1)._2 == 1L && top(1)._3 == 1L)
+  }
+
   // ---- randomized laws ----------------------------------------------------
 
   test("zValue is a bijection on 16-bit pairs (randomized)") {
