@@ -570,6 +570,22 @@ object SparkEntry {
           concat(col("o_orderkey").cast("string"), col("o_orderstatus")))))
         .orderBy("table_name")
     }),
+    // partition-granular manifest: which lang partitions changed between
+    // snapshots → recompute exactly those (incremental-compute planning)
+    "lake_partition_manifest" -> ((s, d) =>
+      _root_.graft.pipeline.DataQuality.partitionManifest(
+        T(s, d, "documents"), "lang", col("text"))
+        .orderBy("part")),
+    // semi-structured key census: which JSON keys exist in props, at what
+    // frequency — the schema-discovery step before typed promotion
+    "q_json_keys" -> ((s, d) =>
+      events(s, d)
+        .select(explode(map_keys(from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType)))).as("key"))
+        .groupBy("key").agg(count(lit(1)).as("cnt"))
+        .orderBy("key")),
     // join-key skew report: the measurement behind the salted-join call
     "lake_skew_report" -> ((s, d) =>
       _root_.graft.pipeline.DataQuality.skewReport(
@@ -1612,6 +1628,15 @@ object SparkEntry {
         |        CAST(o_orderkey AS VARCHAR) || o_orderstatus), 1, 15))::BIGINT), 0)
         |      AS BIGINT) FROM orders)
         |ORDER BY table_name""".stripMargin,
+    "lake_partition_manifest" ->
+      """SELECT lang AS part, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COALESCE(bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT), 0)
+        |    AS BIGINT) AS xor_digest
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_json_keys" ->
+      """SELECT k AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM events, unnest(json_keys(props)) AS t(k)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "lake_skew_report" ->
       """SELECT key, cnt, cnt * 1000 // total AS share_milli FROM (
         |  SELECT CAST(user_id AS VARCHAR) AS key,

@@ -83,6 +83,20 @@ object DataQuality {
     frames.reduce(_.unionByName(_))
   }
 
+  /** [[manifest]] at partition granularity — the incremental-compute
+    * planner's input: comparing two snapshots' partition manifests names
+    * exactly the partitions whose content moved, so a recompute touches
+    * those and nothing else (the partition-pruned twin of
+    * [[Prepare.corpusDiff]]'s row-level delta).
+    * Output: (part, n_rows, xor_digest). */
+  def partitionManifest(df: DataFrame, partCol: String,
+                        keyExpr: org.apache.spark.sql.Column): DataFrame =
+    df.groupBy(col(partCol).as("part"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(bit_xor(
+          conv(substring(md5(keyExpr), 1, 15), 16, 10).cast("long")),
+          lit(0L)).as("xor_digest"))
+
   /** Join-key skew report — the measurement behind the
     * [[graft.operators.SkewJoin]] decision: the k heaviest keys of a
     * column with their per-mille share of the table. A groupBy plus a
