@@ -48,30 +48,17 @@ object SparkEntry {
     * broadcast hints are discovered from the data. Probing is a deploy-time
     * operation (the reference's create_rdfmts.py persists its catalog), so
     * the generated catalog is cached per directory. */
-  private val autoCatalogs =
-    scala.collection.concurrent.TrieMap[String, _root_.graft.mapping.Catalog]()
-  private def graftAuto(s: SparkSession, dir: String): Graft = {
-    val names = List("customer", "orders", "lineitem", "part", "supplier",
-      "nation", "region", "documents")
-    val tables = names.map(t => t -> s.read.parquet(s"$dir/$t.parquet")).toMap
-    // in-JVM memo first; across JVMs the probed catalog persists to a
-    // fingerprint-keyed sidecar (create_rdfmts.py writes its catalog file
-    // once at deploy time — a fresh session loads, it never re-probes)
-    val cat = autoCatalogs.getOrElseUpdate(dir, {
-      val fp = _root_.graft.mapping.CatalogCache.fingerprint(
-        names.map(t => s"$dir/$t.parquet"))
-      val sidecar = java.nio.file.Paths.get(
-        sys.env.getOrElse("GRAFT_CATALOG_CACHE", "target/catalog-cache"),
-        "autogen-" + java.security.MessageDigest.getInstance("MD5")
-          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString + ".json")
-      _root_.graft.mapping.CatalogCache.cached(sidecar, fp)(
-        _root_.graft.mapping.CatalogGen.fromTables(tables,
-          _root_.graft.mapping.CatalogGen.GenOptions(aliases = Map(
-            "customer" -> "cust", "supplier" -> "supp",
-            "lineitem" -> "line", "documents" -> "doc"))))
-    })
-    new Graft(cat, tables)(s)
-  }
+  /** Tables + vocabulary aliases the probed-catalog rows use — aliases are
+    * the only deployment config the autogen path takes (create_rdfmts.py
+    * parity; everything else is discovered from the lake). */
+  val autogenTables: List[String] = List("customer", "orders", "lineitem",
+    "part", "supplier", "nation", "region", "documents")
+  val autogenAliases: Map[String, String] = Map(
+    "customer" -> "cust", "supplier" -> "supp",
+    "lineitem" -> "line", "documents" -> "doc")
+
+  private def graftAuto(s: SparkSession, dir: String): Graft =
+    Graft.overProbedParquetDir(dir, autogenTables, autogenAliases)(s)
 
   /** BPE merge tables are train-once/apply-many artifacts (the trainer is
     * deterministic, [[graft.pipeline.Bpe.train]]), so the three doc_bpe*

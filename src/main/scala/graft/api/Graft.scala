@@ -81,4 +81,33 @@ object Graft {
   /** All molecule tables backed by `<dir>/<table>.parquet`. */
   def overParquetDir(catalog: Catalog, dir: String)(implicit spark: SparkSession): Graft =
     new Graft(catalog, t => spark.read.parquet(s"$dir/$t.parquet"))
+
+  private val probedCatalogs = TrieMap[String, Catalog]()
+
+  /** Catalog PROBED from the lake itself (`create_rdfmts.py` parity via
+    * [[graft.mapping.CatalogGen]]): keys, links, and cardinalities are
+    * discovered, not declared; only vocabulary aliases are deployment
+    * config. The probe result persists to a fingerprint-keyed sidecar
+    * ([[graft.mapping.CatalogCache]]) — a fresh session loads it, it
+    * never re-probes an unchanged lake. */
+  def overProbedParquetDir(dir: String, tableNames: Seq[String],
+                           aliases: Map[String, String] = Map.empty,
+                           cacheDir: String =
+                             sys.env.getOrElse("GRAFT_CATALOG_CACHE",
+                               "target/catalog-cache"))
+                          (implicit spark: SparkSession): Graft = {
+    val tables = tableNames.map(t =>
+      t -> spark.read.parquet(s"$dir/$t.parquet")).toMap
+    val cat = probedCatalogs.getOrElseUpdate(dir, {
+      val fp = graft.mapping.CatalogCache.fingerprint(
+        tableNames.map(t => s"$dir/$t.parquet"))
+      val sidecar = java.nio.file.Paths.get(cacheDir,
+        "autogen-" + java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString + ".json")
+      graft.mapping.CatalogCache.cached(sidecar, fp)(
+        graft.mapping.CatalogGen.fromTables(tables,
+          graft.mapping.CatalogGen.GenOptions(aliases = aliases)))
+    })
+    new Graft(cat, tables)
+  }
 }
