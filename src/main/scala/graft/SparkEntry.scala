@@ -80,12 +80,20 @@ object SparkEntry {
       "q_stream_sessions", "q_stream_retention", "q_stream_interval",
       "q_stream_dedup", "q_stream_anomaly")
 
-  /** Per-type MEDIAN hourly event count — the reference table both anomaly
-    * rows share: type-1 inverse CDF over the per-type count histogram
-    * (cum·2 ≥ n), all-integer like doc_length_quantiles. */
-  private def hourlyTypeMedians(ev: DataFrame): DataFrame =
+  /** Hourly event counts per type — the shared input of both anomaly
+    * rows (one definition ⇒ Catalyst's ReusedExchange can share the
+    * aggregation when a plan consumes it twice). */
+  private def hourlyCountsOf(ev: DataFrame): DataFrame =
     ev.withColumn("h", expr("ts div 3600000000000"))
       .groupBy("event_type", "h").agg(count(lit(1)).as("cnt"))
+
+  /** Per-type MEDIAN hourly event count — the reference table both anomaly
+    * rows share: type-1 inverse CDF over the per-type count histogram
+    * (cum·2 ≥ n), all-integer like doc_length_quantiles. Takes the
+    * ALREADY-AGGREGATED hourly counts so callers never scan events
+    * twice. */
+  private def hourlyTypeMedians(hourly: DataFrame): DataFrame =
+    hourly
       .groupBy(col("event_type"), col("cnt").as("v"))
       .agg(count(lit(1)).as("k"))
       .withColumn("cum", sum("k").over(
@@ -604,8 +612,11 @@ object SparkEntry {
     // partition-column extraction/restoration (value↔directory encoding);
     // the pruning behavior itself is plan-audited in Round11Spec
     "doc_partitioned_roundtrip" -> ((s, d) => {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_part").toString + "/docs"
+      // fixed per-lake path, overwrite mode: repeated invocations (bench
+      // iterations) rewrite ONE copy instead of accumulating temp dirs
+      val path = "target/part_roundtrip/" +
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
       _root_.graft.sources.Partitioned.writePartitioned(
         T(s, d, "documents"), "lang", path)
       s.read.parquet(path)
@@ -629,10 +640,8 @@ object SparkEntry {
     // type-1 rule as doc_length_quantiles (cum·2 ≥ n ⇔ pm=500); the flag
     // test `cnt ≥ 2·med` is integer too, so no float crosses an engine
     "q_events_anomaly" -> ((s, d) => {
-      val hourly = events(s, d)
-        .withColumn("h", expr("ts div 3600000000000"))
-        .groupBy("event_type", "h").agg(count(lit(1)).as("cnt"))
-      hourly.join(hourlyTypeMedians(events(s, d)), "event_type")
+      val hourly = hourlyCountsOf(events(s, d))
+      hourly.join(hourlyTypeMedians(hourly), "event_type")
         .select(col("event_type"), col("h"), col("cnt"),
           (col("cnt") >= col("med") * 2).as("is_spike"))
         .orderBy("event_type", "h")
@@ -644,7 +653,7 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       val ev = events(s, d)
       _root_.graft.streaming.EventStreams
-        .spikeFlagsReplayed(ev, hourlyTypeMedians(ev))
+        .spikeFlagsReplayed(ev, hourlyTypeMedians(hourlyCountsOf(ev)))
         .orderBy("event_type", "hour")
     }),
     // salted-join parity gate: the skew tool must return exactly the plain

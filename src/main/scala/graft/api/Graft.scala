@@ -82,7 +82,9 @@ object Graft {
   def overParquetDir(catalog: Catalog, dir: String)(implicit spark: SparkSession): Graft =
     new Graft(catalog, t => spark.read.parquet(s"$dir/$t.parquet"))
 
-  private val probedCatalogs = TrieMap[String, Catalog]()
+  // keyed by EVERY parameter that shapes the probe, not just dir — two
+  // calls differing in tables/aliases must not share a catalog
+  private val probedCatalogs = TrieMap[(String, Seq[String], Map[String, String]), Catalog]()
 
   /** Catalog PROBED from the lake itself (`create_rdfmts.py` parity via
     * [[graft.mapping.CatalogGen]]): keys, links, and cardinalities are
@@ -98,12 +100,16 @@ object Graft {
                           (implicit spark: SparkSession): Graft = {
     val tables = tableNames.map(t =>
       t -> spark.read.parquet(s"$dir/$t.parquet")).toMap
-    val cat = probedCatalogs.getOrElseUpdate(dir, {
+    val cat = probedCatalogs.getOrElseUpdate((dir, tableNames, aliases), {
       val fp = graft.mapping.CatalogCache.fingerprint(
         tableNames.map(t => s"$dir/$t.parquet"))
+      // the sidecar name also carries the probe configuration: a sidecar
+      // probed under different tables/aliases must never validate
+      val cfg = dir + "|" + tableNames.mkString(",") + "|" +
+        aliases.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")
       val sidecar = java.nio.file.Paths.get(cacheDir,
         "autogen-" + java.security.MessageDigest.getInstance("MD5")
-          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString + ".json")
+          .digest(cfg.getBytes("UTF-8")).map("%02x".format(_)).mkString + ".json")
       graft.mapping.CatalogCache.cached(sidecar, fp)(
         graft.mapping.CatalogGen.fromTables(tables,
           graft.mapping.CatalogGen.GenOptions(aliases = aliases)))

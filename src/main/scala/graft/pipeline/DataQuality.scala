@@ -22,7 +22,10 @@ object DataQuality {
     val spark = df.sparkSession
     val aggs = cols.flatMap(c => Seq(
       count(col(c)).as(s"${c}__n"),
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+      // coalesce: SUM over zero rows is NULL — an empty table must
+      // profile as zeros, not NPE
+      coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+        .as(s"${c}__nulls"),
       countDistinct(col(c)).as(s"${c}__nd"),
       min(col(c)).cast("string").as(s"${c}__min"),
       max(col(c)).cast("string").as(s"${c}__max")))
@@ -71,13 +74,18 @@ object DataQuality {
     * `md5(text)`'s input) — keep it to columns with engine-stable string
     * renderings (strings, integers). Output: (table_name, n_rows,
     * xor_digest). */
+  /** The shared digest aggregate of [[manifest]]/[[partitionManifest]]:
+    * order-independent XOR of 60-bit md5 prefixes — ONE definition so the
+    * two manifests can never silently diverge. */
+  private def xorDigestAgg(keyExpr: org.apache.spark.sql.Column) =
+    coalesce(bit_xor(
+      conv(substring(md5(keyExpr), 1, 15), 16, 10).cast("long")),
+      lit(0L)).as("xor_digest")
+
   def manifest(tables: Seq[(String, DataFrame, org.apache.spark.sql.Column)])
               (implicit spark: SparkSession): DataFrame = {
     val frames = tables.map { case (name, df, keyExpr) =>
-      df.agg(count(lit(1)).as("n_rows"),
-          coalesce(bit_xor(
-            conv(substring(md5(keyExpr), 1, 15), 16, 10).cast("long")),
-            lit(0L)).as("xor_digest"))
+      df.agg(count(lit(1)).as("n_rows"), xorDigestAgg(keyExpr))
         .select(lit(name).as("table_name"), col("n_rows"), col("xor_digest"))
     }
     frames.reduce(_.unionByName(_))
@@ -92,10 +100,7 @@ object DataQuality {
   def partitionManifest(df: DataFrame, partCol: String,
                         keyExpr: org.apache.spark.sql.Column): DataFrame =
     df.groupBy(col(partCol).as("part"))
-      .agg(count(lit(1)).as("n_rows"),
-        coalesce(bit_xor(
-          conv(substring(md5(keyExpr), 1, 15), 16, 10).cast("long")),
-          lit(0L)).as("xor_digest"))
+      .agg(count(lit(1)).as("n_rows"), xorDigestAgg(keyExpr))
 
   /** Join-key skew report — the measurement behind the
     * [[graft.operators.SkewJoin]] decision: the k heaviest keys of a
@@ -103,13 +108,20 @@ object DataQuality {
     * driver-side top-k of the (small) per-key count table; the text/rows
     * never move. Output: (key, cnt, share_milli). */
   def skewReport(df: DataFrame, key: String, k: Int = 5): DataFrame = {
-    val total = df.count()
-    df.groupBy(col(key).cast("string").as("key"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("share_milli", expr(s"cnt * 1000L div ${total}L"))
-      .orderBy(col("cnt").desc, col("key"))
-      .limit(k)
-      .select("key", "cnt", "share_milli")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // ONE scan of the table: total and top-k both read the (persisted)
+    // per-key count table, never the rows again
+    val counts = df.groupBy(col(key).cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt")).persist()
+    try {
+      val total = Option(counts.agg(sum("cnt")).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      val top = counts.orderBy(col("cnt").desc, col("key")).limit(k)
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          if (total == 0) 0L else r.getLong(1) * 1000L / total))
+      top.toSeq.toDF("key", "cnt", "share_milli")
+    } finally counts.unpersist()
   }
 
   /** One-call integrity report over a set of declared checks.

@@ -79,6 +79,14 @@ object Prepare {
     require(upserts.columns.sorted.sameElements(snapshot.columns.sorted),
       s"upsert batch schema ${upserts.columns.mkString(",")} must match " +
         s"snapshot schema ${snapshot.columns.mkString(",")}")
+    // SQL MERGE raises on multiple source rows per target key; a silent
+    // full-outer fan-out would corrupt the snapshot instead. One cheap
+    // aggregation over the (small) batch — never over the snapshot.
+    val dup = upserts.groupBy(col(idCol)).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"upsert batch carries duplicate $idCol=${dup.headOption.map(_.get(0)).orNull} " +
+        "— MERGE requires one source row per key (dedup the batch first)")
     val cols = snapshot.columns.filter(_ != idCol).toSeq
     val survivors = snapshot
       .join(deleteIds.select(col(idCol)), Seq(idCol), "left_anti")

@@ -410,6 +410,11 @@ object TextAnalysis {
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         val d = new java.util.zip.Deflater(6)
+        // release the native zlib buffer when the TASK ends, drained or
+        // not — a downstream limit/take or task failure must not strand
+        // it until GC finalization
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => d.end()))
         it.map { case (id, text) =>
           val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           d.reset(); d.setInput(raw); d.finish()
@@ -422,7 +427,7 @@ object TextAnalysis {
           }
           (id, raw.length.toLong, n.toLong,
             if (n == 0) 0L else raw.length * 1000L / n)
-        } ++ { d.end(); Iterator.empty }
+        }
       }
       .toDF("doc_id", "raw_bytes", "deflate_bytes", "ratio_milli")
   }

@@ -132,6 +132,26 @@ class Round11Spec extends SparkTestBase {
     assert(got == Set((1L, "new")))
   }
 
+  test("applyDiff rejects a batch with duplicate keys like SQL MERGE") {
+    import spark.implicits._
+    val prev = Seq((1L, "a")).toDF("doc_id", "text")
+    val dupBatch = Seq((2L, "x"), (2L, "y")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.Prepare.applyDiff(prev, dupBatch,
+        Seq.empty[Tuple1[Long]].toDF("doc_id"))
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
+  test("profile of an empty table reports zeros, not an NPE") {
+    import spark.implicits._
+    val empty = Seq((1L, "x")).toDF("k", "s").filter(lit(false))
+    val got = graft.pipeline.DataQuality.profile(empty, Seq("k", "s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == Set(("k", 0L, 0L, 0L), ("s", 0L, 0L, 0L)))
+  }
+
   test("applyDiff: an upsert writing NULL wins over the snapshot value") {
     import spark.implicits._
     val prev = Seq((1L, Some("old"))).toDF("doc_id", "text")
