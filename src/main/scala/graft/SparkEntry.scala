@@ -1143,6 +1143,16 @@ object SparkEntry {
     "doc_bm25" -> ((s, d) =>
       Search.keywordStats(T(s, d, "documents"), Seq("join", "stream", "dup"))
         .orderBy("doc_id", "term")),
+    // hybrid retrieval: integer-exact lexical arm (Σtf/dl/doc_id keys) ⊕
+    // exact cosine arm (doc_id ≡ vec_id), fused by integer-milli RRF
+    "doc_hybrid_search" -> ((s, d) => {
+      val lex = Search.lexicalTopK(
+        T(s, d, "documents"), Seq("join", "stream", "dup"), k = 20)
+      val sem = Similarity.bruteForceTopK(
+        T(s, d, "embeddings"), k = 20, numQueries = 1)
+        .select(col("vec_id").as("doc_id"), col("rank"))
+      Search.rrfFuse(lex, sem, k = 10)
+    }),
     // the same stats served from the persisted term-bucketed inverted
     // index: ingest shuffle paid once, the probe is a bucket-pruned scan
     // (plan shape pinned in Round8Spec; this row gates result parity)
@@ -2511,6 +2521,35 @@ object SparkEntry {
         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)
         |SELECT doc_id, term, tf, df, dl FROM tf JOIN df USING (term)
         |ORDER BY doc_id, term""".stripMargin,
+
+    // both arms integer/cosine-exact, fusion all-integer: lexical ranks
+    // from the gated keywordStats computation, semantic ranks the
+    // emb_knn_brute convention, RRF in milli-units via floor division
+    "doc_hybrid_search" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS term, len(w) AS dl FROM t),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+        |    CAST(min(dl) AS BIGINT) AS dl
+        |  FROM tok WHERE term IN ('join', 'stream', 'dup') GROUP BY 1, 2),
+        |lexagg AS (SELECT doc_id, SUM(tf) AS tf_sum, MIN(dl) AS dl
+        |  FROM tf GROUP BY 1),
+        |lex AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+        |    ORDER BY tf_sum DESC, dl ASC, doc_id) AS BIGINT) AS lex_rank
+        |  FROM lexagg QUALIFY lex_rank <= 20),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+        |  WHERE vec_id = 0),
+        |sem AS (SELECT vec_id AS doc_id, CAST(rnk AS BIGINT) AS sem_rank FROM (
+        |  SELECT e.vec_id, ROW_NUMBER() OVER (
+        |      ORDER BY list_cosine_similarity(qe,
+        |        CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id) AS rnk
+        |  FROM q, embeddings e WHERE e.vec_id <> 0)
+        |  WHERE rnk <= 20)
+        |SELECT doc_id, lex_rank, sem_rank,
+        |  COALESCE(1000000 // (60 + lex_rank), 0)
+        |    + COALESCE(1000000 // (60 + sem_rank), 0) AS rrf_milli
+        |FROM lex FULL OUTER JOIN sem USING (doc_id)
+        |ORDER BY rrf_milli DESC, doc_id LIMIT 10""".stripMargin,
 
     // index-served stats must be byte-identical to the scan-served row
     "doc_bm25_indexed" ->

@@ -244,4 +244,44 @@ object Search {
       .agg(sum("score").as("score"), count(lit(1)).as("n_matched_terms"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+
+  /** Deterministic integer lexical ranking for fusion: documents matching
+    * any query term, ranked by (Σtf over the query terms desc, dl asc,
+    * doc_id) — all-integer keys, so the ranking is reproducible on any
+    * engine (the float-scored [[bm25TopK]] stays the human-facing
+    * ranking; fusion wants a cross-engine-exact arm).
+    * Output: (doc_id, rank), rank 1-based, at most k rows. */
+  def lexicalTopK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame =
+    keywordStats(docs, terms)
+      .groupBy("doc_id")
+      .agg(sum("tf").as("tf_sum"), min("dl").as("dl"))
+      // distributed top-k first (TakeOrderedAndProject — per-partition
+      // heaps, no global sort); the rank window then runs over ≤ k rows,
+      // so its single partition is k rows, never the matching-doc set
+      .orderBy(col("tf_sum").desc, col("dl").asc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(
+          col("tf_sum").desc, col("dl").asc, col("doc_id"))))
+      .select("doc_id", "rank")
+
+  /** Reciprocal-rank fusion — the standard hybrid-retrieval merge of a
+    * lexical and a semantic arm: rrf(d) = Σ_arms 1/(c + rank_arm(d)),
+    * here in exact integer milli-units (`1000000 div (c+rank)`) so the
+    * fused ordering cannot drift between engines. Arms are (doc_id, rank)
+    * frames of ≤ armK rows each — tiny, so the full-outer join and the
+    * global top-k sort cost nothing at any corpus scale (the corpus work
+    * happened inside the arms). A document missing from one arm
+    * contributes 0 from it (the RRF convention).
+    * Output: (doc_id, lex_rank, sem_rank, rrf_milli) — top k by fused
+    * score, ties to the lower doc_id. */
+  def rrfFuse(lex: DataFrame, sem: DataFrame, k: Int, c: Int = 60): DataFrame =
+    lex.select(col("doc_id"), col("rank").as("lex_rank"))
+      .join(sem.select(col("doc_id"), col("rank").as("sem_rank")),
+        Seq("doc_id"), "full_outer")
+      .withColumn("rrf_milli",
+        coalesce(expr(s"1000000L div ($c + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000L div ($c + sem_rank)"), lit(0L)))
+      .orderBy(col("rrf_milli").desc, col("doc_id"))
+      .limit(k)
 }

@@ -180,6 +180,19 @@ class Round11Spec extends SparkTestBase {
     }
   }
 
+  // ---- rrfFuse ------------------------------------------------------------
+
+  test("rrfFuse: both-arm docs outrank single-arm, missing arm adds zero") {
+    import spark.implicits._
+    val lex = Seq((10L, 1), (20L, 2)).toDF("doc_id", "rank")
+    val sem = Seq((20L, 1), (30L, 2)).toDF("doc_id", "rank")
+    val got = graft.pipeline.Search.rrfFuse(lex, sem, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    // 20: 1000000/62 + 1000000/61 = 16129+16393 = 32522
+    // 10: 1000000/61 = 16393 ; 30: 1000000/62 = 16129
+    assert(got.toSeq == Seq((20L, 32522L), (10L, 16393L), (30L, 16129L)))
+  }
+
   // ---- manifest / skew report ---------------------------------------------
 
   test("manifest digest is partition-invariant and content-sensitive") {
