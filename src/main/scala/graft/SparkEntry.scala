@@ -1265,6 +1265,11 @@ object SparkEntry {
     "emb_cluster_sample" -> ((s, d) =>
       Similarity.clusterBalancedSample(T(s, d, "embeddings"),
         perCluster = 8, cells = 16).orderBy("vec_id")),
+    // contrastive negatives: coin-ordered non-neighbors per query (a
+    // "random" negative inside the true top-20 would poison the loss)
+    "emb_negatives" -> ((s, d) =>
+      Similarity.negativeSamples(T(s, d, "embeddings"))
+        .orderBy("q_id", "rank")),
     // semantic decontamination: corpus vectors within cosine 0.45 of any
     // benchmark vector (benchmark = the vec_id % 11 == 0 held-out split;
     // tau sits >= 3.8e-4 from every pairwise cosine at all three scales,
@@ -2174,6 +2179,27 @@ object SparkEntry {
     "emb_cluster_sample" ->
       AnnOracleSql.clusterBalancedSample(perCluster = 8, cells = 16),
 
+    // exclusion list = the exact top-20 (emb_knn_brute convention); coin
+    // and ordering mirrored exactly
+    "emb_negatives" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id < 3),
+        |exact AS (SELECT q_id, vec_id FROM (
+        |  SELECT q_id, e.vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY list_cosine_similarity(qe,
+        |        CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id) AS rnk
+        |  FROM q, embeddings e WHERE e.vec_id <> q_id) WHERE rnk <= 20),
+        |cand AS (SELECT q.q_id, e.vec_id,
+        |    ('0x' || substr(md5('neg1' || CAST(q.q_id AS VARCHAR) || ':' ||
+        |      CAST(e.vec_id AS VARCHAR)), 1, 8))::BIGINT AS coin
+        |  FROM q, embeddings e
+        |  WHERE e.vec_id <> q.q_id
+        |    AND NOT EXISTS (SELECT 1 FROM exact x
+        |      WHERE x.q_id = q.q_id AND x.vec_id = e.vec_id))
+        |SELECT q_id, vec_id, rank FROM (
+        |  SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+        |    ORDER BY coin, vec_id) AS rank FROM cand)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     // semantic decontamination: every (corpus, benchmark) cosine >= tau,
     // counted per corpus vector; best justifier = argmax cosine, ties to
     // the lowest benchmark id (mirrors the strict-> ascending-id scan)

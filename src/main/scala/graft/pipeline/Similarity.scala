@@ -631,6 +631,32 @@ object Similarity {
       .withColumn("recall", col("overlap").cast("double") / k)
   }
 
+  /** Deterministic negative sampling for contrastive training: for each
+    * of the first `numQueries` vectors, `k` uniform non-neighbors —
+    * candidates OUTSIDE the query's exact top-`excludeK` (a random
+    * "negative" that is secretly a near-neighbor poisons the loss), drawn
+    * by a salted md5 coin so the sample is reproducible on any engine and
+    * any partitioning (the keyed-coin discipline of [[Mixture]]). The
+    * per-query candidate set rides one anti join against the exact
+    * neighbor list; ranking is a coin-ordered window per query — bounded
+    * by `numQueries`, the [[bruteForceTopK]] shape.
+    * Output: (q_id, vec_id, rank). */
+  def negativeSamples(emb: DataFrame, k: Int = 5, excludeK: Int = 20,
+                      numQueries: Int = 3, salt: String = "neg1"): DataFrame = {
+    val exact = bruteForceTopK(emb, excludeK, numQueries)
+    val qs = emb.select(col("vec_id").as("q_id")).filter(col("q_id") < numQueries)
+    qs.crossJoin(emb.select("vec_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(exact.select("q_id", "vec_id"), Seq("q_id", "vec_id"), "left_anti")
+      .withColumn("coin", conv(substring(md5(concat(
+        lit(salt), col("q_id").cast("string"), lit(":"),
+        col("vec_id").cast("string"))), 1, 8), 16, 10).cast("long"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy("coin", "vec_id")))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "rank")
+  }
+
   /** Semantic (embedding-space) decontamination: flag corpus vectors whose
     * cosine to ANY benchmark vector reaches `tau` — the vector-level
     * complement of [[Decontaminate]]'s n-gram overlap gate, catching eval
