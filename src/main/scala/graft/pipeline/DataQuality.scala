@@ -1,8 +1,7 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Data-quality / governance primitives — the checks a lake runs before a
   * corpus is allowed into a training mix: column profiles, key
@@ -29,20 +28,12 @@ object DataQuality {
       countDistinct(col(c)).as(s"${c}__nd"),
       min(col(c)).cast("string").as(s"${c}__min"),
       max(col(c)).cast("string").as(s"${c}__max")))
+    import spark.implicits._
     val r = df.agg(aggs.head, aggs.tail: _*).head()
-    val rows = cols.zipWithIndex.map { case (c, i) =>
-      Row(c, r.getLong(5 * i), r.getLong(5 * i + 1), r.getLong(5 * i + 2),
+    cols.zipWithIndex.map { case (c, i) =>
+      (c, r.getLong(5 * i), r.getLong(5 * i + 1), r.getLong(5 * i + 2),
         r.getString(5 * i + 3), r.getString(5 * i + 4))
-    }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1),
-      StructType(Seq(
-        StructField("col_name", StringType, nullable = false),
-        StructField("n", LongType, nullable = false),
-        StructField("n_null", LongType, nullable = false),
-        StructField("n_distinct", LongType, nullable = false),
-        StructField("min_s", StringType, nullable = true),
-        StructField("max_s", StringType, nullable = true))))
+    }.toDF("col_name", "n", "n_null", "n_distinct", "min_s", "max_s")
   }
 
   /** Primary-key uniqueness: (rows checked, rows carrying a duplicated
@@ -65,6 +56,14 @@ object DataQuality {
     (child.count(), orphans)
   }
 
+  /** The shared digest aggregate of [[manifest]]/[[partitionManifest]]:
+    * order-independent XOR of 60-bit md5 prefixes — ONE definition so the
+    * two manifests can never silently diverge. */
+  private def xorDigestAgg(keyExpr: org.apache.spark.sql.Column) =
+    coalesce(bit_xor(
+      conv(substring(md5(keyExpr), 1, 15), 16, 10).cast("long")),
+      lit(0L)).as("xor_digest")
+
   /** Content manifest for reproducibility pinning: per table, the row
     * count and an order-independent 60-bit XOR of per-row content
     * digests. XOR (not SUM) because it cannot overflow and needs no
@@ -74,14 +73,6 @@ object DataQuality {
     * `md5(text)`'s input) — keep it to columns with engine-stable string
     * renderings (strings, integers). Output: (table_name, n_rows,
     * xor_digest). */
-  /** The shared digest aggregate of [[manifest]]/[[partitionManifest]]:
-    * order-independent XOR of 60-bit md5 prefixes — ONE definition so the
-    * two manifests can never silently diverge. */
-  private def xorDigestAgg(keyExpr: org.apache.spark.sql.Column) =
-    coalesce(bit_xor(
-      conv(substring(md5(keyExpr), 1, 15), 16, 10).cast("long")),
-      lit(0L)).as("xor_digest")
-
   def manifest(tables: Seq[(String, DataFrame, org.apache.spark.sql.Column)])
               (implicit spark: SparkSession): DataFrame = {
     val frames = tables.map { case (name, df, keyExpr) =>
@@ -115,8 +106,7 @@ object DataQuality {
     val counts = df.groupBy(col(key).cast("string").as("key"))
       .agg(count(lit(1)).as("cnt")).persist()
     try {
-      val total = Option(counts.agg(sum("cnt")).head().get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      val total = counts.agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
       val top = counts.orderBy(col("cnt").desc, col("key")).limit(k)
         .collect().map(r => (r.getString(0), r.getLong(1),
           if (total == 0) 0L else r.getLong(1) * 1000L / total))
@@ -128,14 +118,9 @@ object DataQuality {
     * Output: (check_name, n_checked, n_violations). */
   def integrityReport(checks: Seq[(String, () => (Long, Long))])
                      (implicit spark: SparkSession): DataFrame = {
-    val rows = checks.map { case (name, f) =>
-      val (n, bad) = f(); Row(name, n, bad)
-    }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1),
-      StructType(Seq(
-        StructField("check_name", StringType, nullable = false),
-        StructField("n_checked", LongType, nullable = false),
-        StructField("n_violations", LongType, nullable = false))))
+    import spark.implicits._
+    checks.map { case (name, f) =>
+      val (n, bad) = f(); (name, n, bad)
+    }.toDF("check_name", "n_checked", "n_violations")
   }
 }

@@ -16,6 +16,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
+  /** Epoch-micros → Timestamp with sub-second precision (floor semantics
+    * for pre-1970 instants) — shared by every replay harness. */
+  private def tsOf(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** Tumbling-window event counts with a watermark: late events beyond
     * `watermark` are dropped, on-time late events update their window. */
   def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
@@ -269,11 +277,6 @@ object EventStreams {
                         (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
-    def tsOf(us: Long): java.sql.Timestamp = {
-      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
-      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
-      t
-    }
     val real = events
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
       .collect()
@@ -339,11 +342,6 @@ object EventStreams {
                           (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
-    def tsOf(us: Long): java.sql.Timestamp = {
-      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
-      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
-      t
-    }
     val evs = events
       .filter(col("event_type").isin("click", "purchase"))
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
@@ -439,11 +437,6 @@ object EventStreams {
                           (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
-    def tsOf(us: Long): java.sql.Timestamp = {
-      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
-      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
-      t
-    }
     val evs = events
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
       .collect()
@@ -516,11 +509,6 @@ object EventStreams {
                        (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
-    def tsOf(us: Long): java.sql.Timestamp = {
-      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
-      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
-      t
-    }
     val evs = events
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
       .collect()
@@ -591,11 +579,6 @@ object EventStreams {
                       (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
-    def tsOf(us: Long): java.sql.Timestamp = {
-      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
-      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
-      t
-    }
     val evs = events
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
       .collect()
