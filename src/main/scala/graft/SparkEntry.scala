@@ -78,7 +78,7 @@ object SparkEntry {
   val benchExcluded: Set[String] =
     Set("q_stream_funnel", "q_stream_source_cap", "q_stream_token_budget",
       "q_stream_sessions", "q_stream_retention", "q_stream_interval",
-      "q_stream_dedup", "q_stream_anomaly")
+      "q_stream_dedup", "q_stream_anomaly", "q_stream_manifest")
 
   /** Hourly event counts per type — the shared input of both anomaly
     * rows (one definition ⇒ Catalyst's ReusedExchange can share the
@@ -553,6 +553,13 @@ object SparkEntry {
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .select("user_id", "event_id", "seq", "cum_purchases")
         .orderBy("user_id", "event_id")
+    }),
+    // continuous fingerprinting: the incremental streamed digest must
+    // equal the batch manifest byte-for-byte — ninth replay gate
+    "q_stream_manifest" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      _root_.graft.streaming.EventStreams
+        .manifestReplayed(T(s, d, "documents"))
     }),
     // reproducibility manifest: row counts + order-independent 60-bit XOR
     // content digests — two lakes agree iff their contents do
@@ -1626,6 +1633,10 @@ object SparkEntry {
         |   PARTITION BY user_id ORDER BY event_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_purchases
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q_stream_manifest" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COALESCE(bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT), 0)
+        |    AS BIGINT) AS xor_digest FROM documents""".stripMargin,
     "lake_manifest" ->
       """SELECT table_name, n_rows, xor_digest FROM (
         |  SELECT 'documents' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -251,6 +251,47 @@ object EventStreams {
     spark.createDataset(out.toSeq).select(col("doc_id"), col("digest"))
   }
 
+  /** Streaming face of [[graft.pipeline.DataQuality.manifest]]:
+    * continuous lake fingerprinting. XOR is commutative, associative, and
+    * self-inverse, so the content digest is a PERFECT streaming aggregate
+    * — constant state (one long + one count), no watermark needed, and
+    * the running value after any prefix equals the batch manifest of that
+    * prefix. An ingest pipeline keeps this query running and gets a
+    * content-addressable snapshot identity for free. */
+  def manifestStream(docs: DataFrame): DataFrame =
+    docs
+      .select(conv(substring(md5(col("text")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(bit_xor(col("h")), lit(0L)).as("xor_digest"))
+
+  /** Replay gate for [[manifestStream]] (`q_stream_manifest`): the table
+    * streams through in id-ordered micro-batches under Complete output
+    * mode; the final row must equal the batch manifest — byte identity of
+    * incremental and recomputed fingerprints. MemoryStream — verification
+    * machinery (bench-excluded), not a production op. */
+  def manifestReplayed(docs: DataFrame, chunks: Int = 4)
+                      (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = docs.select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val name = "graft_manifest_replay_" +
+      java.util.UUID.randomUUID().toString.filter(_ != '-')
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = manifestStream(input.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete).start()
+    try {
+      val per = math.max(1, (rows.length + chunks - 1) / chunks)
+      rows.grouped(per).foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val out = spark.table(name)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    spark.catalog.dropTempView(name)
+    spark.createDataset(out.toSeq).toDF("n_rows", "xor_digest")
+  }
+
   /** Streaming face of the batch anomaly gate (`q_events_anomaly`): the
     * watermarked hourly-count stream joins a PRECOMPUTED per-type median
     * table (stream-static and broadcast — medians come from the batch
