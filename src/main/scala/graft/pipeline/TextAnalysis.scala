@@ -383,6 +383,36 @@ object TextAnalysis {
           .cast("long").as("nll_milli"))
   }
 
+  /** CCNet-style perplexity bucketing: per language, documents split into
+    * head / middle / tail THIRDS by LM perplexity — the standard
+    * quality-stratification step before mixture weighting (train mostly
+    * on the head, keep a controlled slice of the tail). Thresholds are
+    * type-1 tertiles over the per-lang `nll_milli` histogram (the
+    * [[lengthQuantiles]] arithmetic — integer end-to-end on top of the
+    * already-gated milli-nat scores), broadcast back as a tiny per-lang
+    * table. Output: (doc_id, lang, nll_milli, bucket). */
+  def perplexityBuckets(docs: DataFrame): DataFrame = {
+    val pp = perplexity(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    val cum = pp.groupBy(col("lang"), col("nll_milli").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(
+        Window.partitionBy("lang").orderBy("v")))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("lang")))
+    val th = cum
+      .withColumn("pm", explode(array(lit(333L), lit(667L))))
+      .filter(col("cum") * lit(1000L) >= col("pm") * col("n"))
+      .groupBy("lang", "pm").agg(min("v").as("q"))
+      .groupBy("lang").agg(
+        min(when(col("pm") === 333L, col("q"))).as("t1"),
+        min(when(col("pm") === 667L, col("q"))).as("t2"))
+    pp.join(broadcast(th), "lang")
+      .select(col("doc_id"), col("lang"), col("nll_milli"),
+        when(col("nll_milli") <= col("t1"), "head")
+          .when(col("nll_milli") <= col("t2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** Sketch-based corpus statistics — the 100 TB cardinality tools. Per
     * source: a HyperLogLog distinct-token estimate and an approximate
     * median of per-document token counts, each paired with a contract
