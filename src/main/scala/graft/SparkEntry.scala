@@ -452,6 +452,12 @@ object SparkEntry {
     // catalog: link discovery must reconstruct the same join keys the
     // manual catalog declares
     "autogen_path" -> ((s, d) => graftAuto(s, d).sparql(SPARQL_PATH)),
+    // negation (anti join) and semi join through the probed catalog: the
+    // discovered links must support NOT-patterns, not just joins
+    "autogen_minus" -> ((s, d) => graftAuto(s, d).sparql(SPARQL_MINUS)),
+    "autogen_exists" -> ((s, d) => graftAuto(s, d).sparql(SPARQL_EXISTS)),
+    // ORDER+LIMIT through the probed catalog (TakeOrderedAndProject)
+    "autogen_topk" -> ((s, d) => graftAuto(s, d).sparql(SPARQL_TOPK)),
     "sparql_minus" -> ((s, d) => graft(s, d).sparql(SPARQL_MINUS)),
     "sparql_exists" -> ((s, d) => graft(s, d).sparql(SPARQL_EXISTS)),
     "sparql_values" -> ((s, d) => graft(s, d).sparql(SPARQL_VALUES)),
@@ -2994,7 +3000,10 @@ object SparkEntry {
       "autogen_optional" -> "sparql_optional",
       "autogen_union" -> "sparql_union",
       "autogen_agg_group" -> "sparql_agg_group",
-      "autogen_path" -> "sparql_path")
+      "autogen_path" -> "sparql_path",
+      "autogen_minus" -> "sparql_minus",
+      "autogen_exists" -> "sparql_exists",
+      "autogen_topk" -> "sparql_topk")
       .map { case (auto, manual) => auto -> baseOracles(manual) }
 
   /** Exact top-5 cosine kNN for the three probe queries as a DuckDB CTE;
