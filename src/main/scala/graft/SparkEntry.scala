@@ -1024,6 +1024,16 @@ object SparkEntry {
     "doc_perplexity_buckets" -> ((s, d) =>
       TextAnalysis.perplexityBuckets(T(s, d, "documents"))
         .orderBy("doc_id")),
+    // the stratification APPLIED: per-stratum keep rates via the keyed
+    // coin — head kept whole, middle halved, tail decimated
+    "doc_quality_mix" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      Mixture.qualityMixtureSample(docs,
+        TextAnalysis.perplexityBuckets(docs),
+        Seq("head" -> 1.0, "middle" -> 0.5, "tail" -> 0.1),
+        defaultRate = 0.0, salt = "qmix1")
+        .orderBy("doc_id")
+    }),
     "doc_bigram_novelty" -> ((s, d) =>
       Mixture.bigramNovelty(T(s, d, "documents")).orderBy("doc_id")),
     // BPE tokenizer: distributed word-count training + map-only apply.
@@ -2886,6 +2896,50 @@ object SparkEntry {
         |       WHEN nll_milli <= t2 THEN 'middle'
         |       ELSE 'tail' END AS bucket
         |FROM pp JOIN th USING (lang) ORDER BY doc_id""".stripMargin,
+
+    // buckets CTE (as above) → per-stratum rate → the mixture coin
+    "doc_quality_mix" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |bg AS (SELECT doc_id, w[k] AS w1, w[k+1] AS w2
+        |  FROM t, unnest(generate_series(1, len(w)-1)) AS g(k)),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS v FROM
+        |  (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |   FROM documents)),
+        |sc AS (SELECT bg.doc_id,
+        |    ln((COALESCE(c2.c2, 0) + 0.5) / (COALESCE(c1.c1, 0) + 0.5 * v.v)) AS lp
+        |  FROM bg LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1), v),
+        |pp AS (SELECT sc.doc_id, d.lang,
+        |    CAST(ROUND(-1000.0 * SUM(lp) / COUNT(*), 0) AS BIGINT) AS nll_milli
+        |  FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+        |  GROUP BY sc.doc_id, d.lang),
+        |h AS (SELECT lang, nll_milli AS val, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM pp GROUP BY 1, 2),
+        |c AS (SELECT lang, val,
+        |  SUM(cnt) OVER (PARTITION BY lang ORDER BY val) AS cum,
+        |  SUM(cnt) OVER (PARTITION BY lang) AS n FROM h),
+        |p AS (SELECT unnest([333, 667]) AS pm),
+        |qv AS (SELECT lang, pm, MIN(val) AS q FROM c, p
+        |  WHERE cum * 1000 >= pm * n GROUP BY 1, 2),
+        |th AS (SELECT lang,
+        |    MIN(CASE WHEN pm = 333 THEN q END) AS t1,
+        |    MIN(CASE WHEN pm = 667 THEN q END) AS t2
+        |  FROM qv GROUP BY 1),
+        |bk AS (SELECT doc_id,
+        |    CASE WHEN nll_milli <= t1 THEN 'head'
+        |         WHEN nll_milli <= t2 THEN 'middle'
+        |         ELSE 'tail' END AS bucket
+        |  FROM pp JOIN th USING (lang)),
+        |sel AS (SELECT d.doc_id, d.source, bk.bucket,
+        |    ('0x' || substr(md5('qmix1' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT AS coin,
+        |    CASE bk.bucket WHEN 'head' THEN 1.0 WHEN 'middle' THEN 0.5
+        |         WHEN 'tail' THEN 0.1 ELSE 0.0 END AS r
+        |  FROM documents d JOIN bk USING (doc_id))
+        |SELECT doc_id, source, bucket FROM sel
+        |WHERE coin < CAST(floor(r * 4294967296.0) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
 
     "doc_bigram_novelty" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w

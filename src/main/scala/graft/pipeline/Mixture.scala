@@ -45,6 +45,27 @@ object Mixture {
       .select(col("doc_id"), col("source"))
   }
 
+  /** Quality-stratified sampling — the CCNet endgame composed from two
+    * gated pieces: a per-document quality stratum (e.g.
+    * [[TextAnalysis.perplexityBuckets]]' head/middle/tail) and the
+    * [[mixtureSample]] keyed coin, with a keep RATE PER STRATUM (head 1.0
+    * / middle 0.5 / tail 0.1 is the classic shape — train mostly on
+    * fluent text, keep a controlled slice of the tail for robustness).
+    * One broadcastable join to the strata frame, then the same map-only
+    * coin filter; membership is reproducible across runs, engines, and
+    * partitionings. Output: (doc_id, source, bucket). */
+  def qualityMixtureSample(docs: DataFrame, strata: DataFrame,
+                           rates: Seq[(String, Double)], defaultRate: Double,
+                           salt: String): DataFrame = {
+    val bucket = keyedBucket(salt)
+    val rate = rates.foldLeft(lit(defaultRate): Column) {
+      case (acc, (b, r)) => when(col("bucket") === b, lit(r)).otherwise(acc)
+    }
+    docs.join(strata.select("doc_id", "bucket"), "doc_id")
+      .filter(bucket < floor(rate * lit(4294967296.0)).cast("long"))
+      .select(col("doc_id"), col("source"), col("bucket"))
+  }
+
   /** Deterministic train/validation/test assignment — the split step
     * every training pipeline runs before anything touches the data. The
     * same keyed coin as [[mixtureSample]] (low 32 bits of
