@@ -87,20 +87,21 @@ object SparkEntry {
     ev.withColumn("h", expr("ts div 3600000000000"))
       .groupBy("event_type", "h").agg(count(lit(1)).as("cnt"))
 
-  /** Per-type MEDIAN hourly event count — the reference table both anomaly
-    * rows share: type-1 inverse CDF over the per-type count histogram
-    * (cum·2 ≥ n), all-integer like doc_length_quantiles. Takes the
-    * ALREADY-AGGREGATED hourly counts so callers never scan events
-    * twice. */
-  private def hourlyTypeMedians(hourly: DataFrame): DataFrame =
-    hourly
-      .groupBy(col("event_type"), col("cnt").as("v"))
+  /** Per-type type-1 MEDIAN of an integer column via its histogram
+    * (cum·2 ≥ n — the doc_length_quantiles arithmetic): the robust-stat
+    * primitive the anomaly rows share. Takes ALREADY-AGGREGATED frames so
+    * callers never rescan events. */
+  private def typeMedian(df: DataFrame, valCol: String, outCol: String): DataFrame =
+    df.groupBy(col("event_type"), col(valCol).as("v"))
       .agg(count(lit(1)).as("k"))
       .withColumn("cum", sum("k").over(
         Window.partitionBy("event_type").orderBy("v")))
       .withColumn("n", sum("k").over(Window.partitionBy("event_type")))
       .filter(col("cum") * 2 >= col("n"))
-      .groupBy("event_type").agg(min("v").as("med"))
+      .groupBy("event_type").agg(min("v").as(outCol))
+
+  private def hourlyTypeMedians(hourly: DataFrame): DataFrame =
+    typeMedian(hourly, "cnt", "med")
 
   /** exact decimal money expr: extendedprice * (1 - discount). */
   private def discPrice: Column =
@@ -657,6 +658,19 @@ object SparkEntry {
       hourly.join(hourlyTypeMedians(hourly), "event_type")
         .select(col("event_type"), col("h"), col("cnt"),
           (col("cnt") >= col("med") * 2).as("is_spike"))
+        .orderBy("event_type", "h")
+    }),
+    // MAD-thresholded variant: median absolute deviation is the robust
+    // dispersion the 2×median rule lacks — an hour is anomalous past
+    // med + 3·MAD; both statistics from integer histogram medians, so
+    // the full robust z-score pipeline stays engine-exact
+    "q_events_mad" -> ((s, d) => {
+      val hourly = hourlyCountsOf(events(s, d))
+      val dev = hourly.join(hourlyTypeMedians(hourly), "event_type")
+        .withColumn("absdev", abs(col("cnt") - col("med")))
+      dev.join(typeMedian(dev, "absdev", "mad"), "event_type")
+        .select(col("event_type"), col("h"), col("cnt"), col("med"),
+          col("mad"), (col("cnt") > col("med") + col("mad") * 3).as("is_anomaly"))
         .orderBy("event_type", "h")
     }),
     // the same flags produced STREAMING: watermarked hourly windows
@@ -1758,6 +1772,31 @@ object SparkEntry {
         |  WHERE cum * 2 >= n GROUP BY 1)
         |SELECT hourly.event_type, h, cnt, (cnt >= med * 2) AS is_spike
         |FROM hourly JOIN med USING (event_type)
+        |ORDER BY event_type, h""".stripMargin,
+    // med and MAD both as integer histogram medians, flag past med+3·MAD
+    "q_events_mad" ->
+      """WITH hourly AS (SELECT event_type, epoch_ns(ts) // 3600000000000 AS h,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |h1 AS (SELECT event_type, cnt AS v, CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM hourly GROUP BY 1, 2),
+        |c1 AS (SELECT event_type, v,
+        |  SUM(k) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+        |  SUM(k) OVER (PARTITION BY event_type) AS n FROM h1),
+        |med AS (SELECT event_type, MIN(v) AS med FROM c1
+        |  WHERE cum * 2 >= n GROUP BY 1),
+        |dev AS (SELECT hourly.*, med, abs(cnt - med) AS absdev
+        |  FROM hourly JOIN med USING (event_type)),
+        |h2 AS (SELECT event_type, absdev AS v, CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM dev GROUP BY 1, 2),
+        |c2 AS (SELECT event_type, v,
+        |  SUM(k) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+        |  SUM(k) OVER (PARTITION BY event_type) AS n FROM h2),
+        |mad AS (SELECT event_type, MIN(v) AS mad FROM c2
+        |  WHERE cum * 2 >= n GROUP BY 1)
+        |SELECT dev.event_type, h, cnt, med, mad,
+        |  (cnt > med + mad * 3) AS is_anomaly
+        |FROM dev JOIN mad USING (event_type)
         |ORDER BY event_type, h""".stripMargin,
     // streaming twin: identical flags, hour as the window-start timestamp
     "q_stream_anomaly" ->
