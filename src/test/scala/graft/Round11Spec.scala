@@ -180,6 +180,51 @@ class Round11Spec extends SparkTestBase {
     }
   }
 
+  // ---- qualityMixtureSample -----------------------------------------------
+
+  test("qualityMixtureSample: rate-1 stratum kept whole, rate-0 dropped") {
+    import spark.implicits._
+    val docs = (0L until 100L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "source")
+    val strata = (0L until 100L)
+      .map(i => (i, if (i < 40) "head" else if (i < 80) "middle" else "tail"))
+      .toDF("doc_id", "bucket")
+    val kept = graft.pipeline.Mixture.qualityMixtureSample(
+      docs, strata, Seq("head" -> 1.0, "middle" -> 0.5, "tail" -> 0.0),
+      defaultRate = 0.0, salt = "qspec")
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    val byBucket = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byBucket.getOrElse("head", 0) == 40, s"head must survive whole: $byBucket")
+    assert(!byBucket.contains("tail"), s"rate-0 tail must vanish: $byBucket")
+    val mid = byBucket.getOrElse("middle", 0)
+    assert(mid > 5 && mid < 35, s"middle ~half expected, got $mid/40")
+    // determinism: a second evaluation returns the identical membership
+    val again = graft.pipeline.Mixture.qualityMixtureSample(
+      docs, strata, Seq("head" -> 1.0, "middle" -> 0.5, "tail" -> 0.0),
+      defaultRate = 0.0, salt = "qspec")
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(kept.toSet == again.toSet)
+  }
+
+  test("MAD anomaly: a constant series flags only genuine outliers") {
+    import spark.implicits._
+    // 48 flat hours at 10 events + one 50-event spike: med=10, MAD=0 →
+    // threshold 10, only the spike trips
+    val t0 = java.time.Instant.parse("2024-03-01T00:00:00Z")
+    val rows = (0 until 48).flatMap { h =>
+      val n = if (h == 7) 50 else 10
+      (0 until n).map(i => (h.toLong * 100 + i,
+        java.sql.Timestamp.from(t0.plusSeconds(h * 3600L + i)), 1L, "view",
+        1.0, "{}"))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_mad").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q_events_mad")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getBoolean(5)))
+    assert(got.count(_._3) == 1 && got.find(_._3).get._2 == 50L,
+      s"exactly the spike hour must flag: ${got.filter(_._3).toSeq}")
+  }
+
   // ---- rrfFuse ------------------------------------------------------------
 
   test("rrfFuse: both-arm docs outrank single-arm, missing arm adds zero") {
