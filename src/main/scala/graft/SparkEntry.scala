@@ -860,6 +860,20 @@ object SparkEntry {
         .select("user_id", "event_id", "attributed_click")
         .orderBy("user_id", "event_id")
     }),
+    // first-touch complement of the as-of row: each purchase attributes
+    // to the user's EARLIEST preceding click — the two ends of the
+    // marketing-attribution spectrum share one window shape
+    "q_first_touch" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      events(s, d)
+        .withColumn("first_click",
+          first(when(col("event_type") === "click", col("event_id")), ignoreNulls = true)
+            .over(w))
+        .filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "first_click")
+        .orderBy("user_id", "event_id")
+    }),
     // batch interval (band) join: per purchase, same-user clicks in the
     // trailing 30 minutes. BandJoin turns the non-equi time window into a
     // (user, time-band)-bucketed equi-join — bounded per-key fan-out at
@@ -2005,6 +2019,15 @@ object SparkEntry {
         |  last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attributed_click
+        | FROM events)
+        |WHERE event_type = 'purchase' ORDER BY user_id, event_id""".stripMargin,
+
+    "q_first_touch" ->
+      """SELECT user_id, event_id, first_click FROM (
+        | SELECT user_id, event_id, event_type,
+        |  first_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_click
         | FROM events)
         |WHERE event_type = 'purchase' ORDER BY user_id, event_id""".stripMargin,
 
