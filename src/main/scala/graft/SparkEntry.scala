@@ -459,6 +459,10 @@ object SparkEntry {
     "autogen_exists" -> ((s, d) => graftAuto(s, d).sparql(SPARQL_EXISTS)),
     // ORDER+LIMIT through the probed catalog (TakeOrderedAndProject)
     "autogen_topk" -> ((s, d) => graftAuto(s, d).sparql(SPARQL_TOPK)),
+    // CONSTRUCT (N-Triples projection) through the probed catalog: the
+    // discovered URI templates must serialize identically to declared ones
+    "autogen_construct" -> ((s, d) =>
+      graftAuto(s, d).sparql(SPARQL_CONSTRUCT).orderBy("s")),
     "sparql_minus" -> ((s, d) => graft(s, d).sparql(SPARQL_MINUS)),
     "sparql_exists" -> ((s, d) => graft(s, d).sparql(SPARQL_EXISTS)),
     "sparql_values" -> ((s, d) => graft(s, d).sparql(SPARQL_VALUES)),
@@ -3119,7 +3123,8 @@ object SparkEntry {
       "autogen_path" -> "sparql_path",
       "autogen_minus" -> "sparql_minus",
       "autogen_exists" -> "sparql_exists",
-      "autogen_topk" -> "sparql_topk")
+      "autogen_topk" -> "sparql_topk",
+      "autogen_construct" -> "sparql_construct")
       .map { case (auto, manual) => auto -> baseOracles(manual) }
 
   /** Exact top-5 cosine kNN for the three probe queries as a DuckDB CTE;

@@ -225,6 +225,28 @@ class Round11Spec extends SparkTestBase {
       s"exactly the spike hour must flag: ${got.filter(_._3).toSeq}")
   }
 
+  // ---- first vs last touch ------------------------------------------------
+
+  test("first-touch and as-of attribution bracket a click sequence") {
+    import spark.implicits._
+    val t0 = java.time.Instant.parse("2024-03-01T00:00:00Z")
+    def ts(m: Long) = java.sql.Timestamp.from(t0.plusSeconds(m * 60))
+    val dir = java.nio.file.Files.createTempDirectory("graft_touch").toString
+    Seq(
+      (1L, ts(0), 5L, "click", 0.0, "{}"),
+      (2L, ts(10), 5L, "click", 0.0, "{}"),
+      (3L, ts(20), 5L, "purchase", 9.0, "{}"),
+      (4L, ts(30), 5L, "click", 0.0, "{}"),
+      (5L, ts(40), 5L, "purchase", 9.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    def run(q: String) = SparkEntry.queries(q)(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    // first purchase: first=1, last=2; second purchase: first=1, last=4
+    assert(run("q_first_touch") == Map(3L -> 1L, 5L -> 1L))
+    assert(run("q_asof_attribution") == Map(3L -> 2L, 5L -> 4L))
+  }
+
   // ---- rrfFuse ------------------------------------------------------------
 
   test("rrfFuse: both-arm docs outrank single-arm, missing arm adds zero") {
