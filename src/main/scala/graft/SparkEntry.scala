@@ -610,6 +610,14 @@ object SparkEntry {
       _root_.graft.pipeline.DataQuality.profile(T(s, d, "orders"),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
         .orderBy("col_name")),
+    // the FULL-LAKE profile shape: HLL++ distinct counts (no
+    // multi-DISTINCT Expand — one scan stays one scan at 100 TB), gated
+    // under the sketchStats error contract (nd_ok must come back true;
+    // exact metrics checked exactly)
+    "lake_profile_approx" -> ((s, d) =>
+      _root_.graft.pipeline.DataQuality.profileApproxContract(T(s, d, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy("col_name")),
     // declared PK/FK contract checks: uniqueness + two referential edges
     "lake_integrity" -> ((s, d) => {
       implicit val sp: SparkSession = s
@@ -1742,6 +1750,30 @@ object SparkEntry {
         |    CAST(COUNT(o_orderpriority) AS BIGINT),
         |    CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |    CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+        |    MIN(o_orderpriority), MAX(o_orderpriority) FROM orders)
+        |ORDER BY col_name""".stripMargin,
+    // approx profile contract: exact metrics recomputed; nd_ok TRUE means
+    // the HLL++ sketch landed within max(5% of exact, 8) — DuckDB asserts
+    // the claim shape (the sketch value itself is engine-specific)
+    "lake_profile_approx" ->
+      """SELECT col_name, n, n_null, true AS nd_ok, min_s, max_s FROM (
+        |  SELECT 'o_orderkey' AS col_name,
+        |    CAST(COUNT(o_orderkey) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |    CAST(MIN(o_orderkey) AS VARCHAR) AS min_s,
+        |    CAST(MAX(o_orderkey) AS VARCHAR) AS max_s FROM orders
+        |  UNION ALL SELECT 'o_custkey',
+        |    CAST(COUNT(o_custkey) AS BIGINT),
+        |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(MIN(o_custkey) AS VARCHAR),
+        |    CAST(MAX(o_custkey) AS VARCHAR) FROM orders
+        |  UNION ALL SELECT 'o_orderstatus',
+        |    CAST(COUNT(o_orderstatus) AS BIGINT),
+        |    CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    MIN(o_orderstatus), MAX(o_orderstatus) FROM orders
+        |  UNION ALL SELECT 'o_orderpriority',
+        |    CAST(COUNT(o_orderpriority) AS BIGINT),
+        |    CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |    MIN(o_orderpriority), MAX(o_orderpriority) FROM orders)
         |ORDER BY col_name""".stripMargin,
     "lake_integrity" ->

@@ -36,6 +36,65 @@ object DataQuality {
     }.toDF("col_name", "n", "n_null", "n_distinct", "min_s", "max_s")
   }
 
+  /** One-pass approximate profile — the shape a FULL-LAKE governance scan
+    * needs: same tall output as [[profile]], but `n_distinct` comes from
+    * `approx_count_distinct` (HyperLogLog++, relative sd `rsd`). The exact
+    * form's N `countDistinct`s plan as an Expand that replicates every
+    * input row (cols+1)× before the shuffle — at 100 TB that turns one
+    * governance pass into five. Here every metric is a plain streaming
+    * aggregate with a map-side partial: ONE scan, ONE one-row aggregate,
+    * zero Expand (plan-audited). Error contract: `n_distinct` within
+    * ~`rsd` relative standard error of the exact count (HLL++'s bound,
+    * gate-checked by [[profileApproxContract]] the `sketchStats` way);
+    * keep [[profile]] for small dimensions that need exactness.
+    * Output: (col_name, n, n_null, n_distinct, min_s, max_s). */
+  def profileApprox(df: DataFrame, cols: Seq[String],
+                    rsd: Double = 0.02): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val r = profileApproxAgg(df, cols, rsd).head()
+    cols.zipWithIndex.map { case (c, i) =>
+      (c, r.getLong(5 * i), r.getLong(5 * i + 1), r.getLong(5 * i + 2),
+        r.getString(5 * i + 3), r.getString(5 * i + 4))
+    }.toDF("col_name", "n", "n_null", "n_distinct", "min_s", "max_s")
+  }
+
+  /** The one-row wide aggregate behind [[profileApprox]] — exposed so the
+    * plan audit can pin it Expand-free (the reshaping `.head()` above
+    * hides the scan plan from the returned tall frame). */
+  private[graft] def profileApproxAgg(df: DataFrame, cols: Seq[String],
+                                      rsd: Double = 0.02): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"${c}__n"),
+      coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+        .as(s"${c}__nulls"),
+      approx_count_distinct(col(c), rsd).as(s"${c}__nd"),
+      min(col(c)).cast("string").as(s"${c}__min"),
+      max(col(c)).cast("string").as(s"${c}__max")))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** [[profileApprox]] under its error contract — the gate form (the
+    * `sketchStats` pattern): exact counts/nulls/min/max stay in the
+    * output; the sketched distinct count is replaced by `nd_ok`, true iff
+    * it sits within max(5%·exact, 8) of the exact count. The exact pass
+    * exists only to VERIFY the sketch in tests — production profiling
+    * runs [[profileApprox]] alone, Expand-free.
+    * Output: (col_name, n, n_null, nd_ok, min_s, max_s). */
+  def profileApproxContract(df: DataFrame, cols: Seq[String],
+                            rsd: Double = 0.02): DataFrame = {
+    val approx = profileApprox(df, cols, rsd)
+      .select(col("col_name"), col("n"), col("n_null"),
+        col("n_distinct").as("nd_approx"), col("min_s"), col("max_s"))
+    val exact = profile(df, cols)
+      .select(col("col_name"), col("n_distinct").as("nd_exact"))
+    approx.join(broadcast(exact), Seq("col_name"))
+      .select(col("col_name"), col("n"), col("n_null"),
+        (abs(col("nd_approx") - col("nd_exact")) <=
+          greatest(col("nd_exact").cast("double") * 0.05, lit(8.0))).as("nd_ok"),
+        col("min_s"), col("max_s"))
+  }
+
   /** Primary-key uniqueness: (rows checked, rows carrying a duplicated
     * key). groupBy + one filter-aggregate — never a window. */
   def pkViolations(df: DataFrame, key: String): (Long, Long) = {

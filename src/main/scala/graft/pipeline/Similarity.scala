@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
@@ -36,6 +35,56 @@ object Similarity {
     s
   }
 
+  /** Per-query top-`k` of a (q_id, vec_id, score) frame WITHOUT a window
+    * on `q_id`: a window partition is one task, and `q_id` has only
+    * `numQueries` distinct values — partitioning a corpus-sized scored set
+    * by it would sort ~N rows in each of a handful of tasks, the classic
+    * single-task straggler/OOM at 100 TB. Instead every input partition
+    * keeps one bounded heap per query (≤ queries·k entries live at once)
+    * and emits only its heaps, so the only shuffle is the narrow merge of
+    * ≤ partitions·queries·k candidate rows — the `TakeOrderedAndProject`
+    * shape applied per query (the same bounded-heap discipline as
+    * [[clusterBalancedSample]] and [[topSimilarPairs]]). The merge orders
+    * by struct(-score, vec_id) ascending ≡ (score DESC, vec_id ASC), the
+    * row_number convention of every kNN row; heap ≡ window parity is
+    * spec-pinned (Round13Spec). Output: (q_id, vec_id, rank). */
+  private[graft] def topKPerQuery(scored: DataFrame, scoreCol: String,
+                                  k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    // heap head = the entry to evict first: LOWEST score, then HIGHEST
+    // vec_id (the keep-preference is score DESC, vec_id ASC)
+    val worstFirst: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+      def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    }
+    val reduced = scored.select(col("q_id"), col("vec_id"), col(scoreCol))
+      .as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        val heaps = scala.collection.mutable.HashMap
+          .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
+        it.foreach { case (q, v, s) =>
+          val h = heaps.getOrElseUpdate(q,
+            scala.collection.mutable.PriorityQueue.empty(worstFirst))
+          if (h.size < k) h.enqueue((s, v))
+          else if (worstFirst.compare((s, v), h.head) < 0) {
+            h.dequeue(); h.enqueue((s, v))
+          }
+        }
+        heaps.iterator.flatMap { case (q, h) =>
+          h.iterator.map { case (s, v) => (q, v, s) }
+        }
+      }.toDF("q_id", "vec_id", "score")
+    reduced.groupBy("q_id")
+      .agg(slice(sort_array(collect_list(struct(
+        (-col("score")).as("ns"), col("vec_id")))), 1, k).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.vec_id").as("vec_id"),
+        (col("pos") + 1).as("rank"))
+  }
+
   private def asRows(emb: DataFrame): Dataset[EmbRow] = {
     val spark = emb.sparkSession
     import spark.implicits._
@@ -62,11 +111,7 @@ object Similarity {
           .map { case (qid, q) => (qid, e.vec_id, dot(v, q)) }
       }
     }.toDF("q_id", "vec_id", "cosine")
-    scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))
-      .filter(col("rank") <= k)
-      .select("q_id", "vec_id", "rank")
+    topKPerQuery(scored, "cosine", k)
   }
 
   /** Filtered (metadata-restricted) kNN — the "filtered vector search"
@@ -92,11 +137,7 @@ object Similarity {
           .map { case (qid, q) => (qid, e.vec_id, dot(v, q)) }
       }
     }.toDF("q_id", "vec_id", "cosine")
-    scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))
-      .filter(col("rank") <= k)
-      .select("q_id", "vec_id", "rank")
+    topKPerQuery(scored, "cosine", k)
   }
 
   /** 16-bit signed-random-projection bucket signature. The "random"
@@ -147,11 +188,7 @@ object Similarity {
           .map { case (qid, q, _) => (qid, e.vec_id, dot(v, q)) }
       }
     }.toDF("q_id", "vec_id", "cosine")
-    scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))
-      .filter(col("rank") <= k)
-      .select("q_id", "vec_id", "rank")
+    topKPerQuery(scored, "cosine", k)
   }
 
   /** Int8 scalar quantization of a normalized vector: one code per
@@ -195,7 +232,7 @@ object Similarity {
     * and only the top `rerank·k` candidates per query are re-scored with
     * the exact double dot product. Two map-only passes over the corpus, a
     * broadcast query/candidate set each — no shuffle beyond the final
-    * ≤ `numQueries·rerank·k`-row window.
+    * narrow per-query top-k merge ([[topKPerQuery]]).
     *
     * Both stages are deterministic integer/IEEE arithmetic, so the DuckDB
     * oracle ([[graft.AnnOracleSql.sq8]]) derives the same candidate and hit
@@ -223,10 +260,7 @@ object Similarity {
         }
       }
     }.toDF("q_id", "vec_id", "approx")
-    val cand = approx
-      .withColumn("arank", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("approx").desc, col("vec_id"))))
-      .filter(col("arank") <= k * rerank)
+    val cand = topKPerQuery(approx, "approx", k * rerank)
       .select("q_id", "vec_id")
       // bounded by construction: ≤ numQueries·rerank·k rows (the ANN probe
       // result set) — same bounded-collect class as the query set itself
@@ -247,11 +281,7 @@ object Similarity {
         }
       }
     }.toDF("q_id", "vec_id", "cosine")
-    exactScored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))
-      .filter(col("rank") <= k)
-      .select("q_id", "vec_id", "rank")
+    topKPerQuery(exactScored, "cosine", k)
   }
 
   /** Nearest centroid by dot product (vectors and centers are unit-norm, so
@@ -304,11 +334,7 @@ object Similarity {
           .map { case (qid, qv, _) => (qid, e.vec_id, dot(v, qv)) }
       }
     }.toDF("q_id", "vec_id", "cosine")
-    scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))
-      .filter(col("rank") <= k)
-      .select("q_id", "vec_id", "rank")
+    topKPerQuery(scored, "cosine", k)
   }
 
   /** Build and persist the IVF layout: the trained coarse quantizer (a
@@ -397,11 +423,7 @@ object Similarity {
             .map { case (qid, qv, _) => (qid, id, dot(v, qv)) }
         }
       }.toDF("q_id", "vec_id", "cosine")
-    scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))
-      .filter(col("rank") <= k)
-      .select("q_id", "vec_id", "rank")
+    topKPerQuery(scored, "cosine", k)
   }
 
   /** First-class corpus clustering — the curation-facing form of the IVF
@@ -582,11 +604,7 @@ object Similarity {
           }
       }
     }.toDF("q_id", "vec_id", "adc")
-    scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("adc").desc, col("vec_id"))))
-      .filter(col("rank") <= k)
-      .select("q_id", "vec_id", "rank")
+    topKPerQuery(scored, "adc", k)
   }
 
   /** Embedding-cosine near-duplicate pairs: exact global top-`n` most
@@ -622,12 +640,15 @@ object Similarity {
     * for on the two approximate kNN paths. */
   def annContract(ann: DataFrame, exact: DataFrame, k: Int): DataFrame = {
     val e = exact.select(col("q_id"), col("vec_id"), col("rank").as("exact_rank"))
-    val w = Window.partitionBy("q_id")
-    ann.select("q_id", "vec_id")
+    val hits = ann.select("q_id", "vec_id")
       .join(e, Seq("q_id", "vec_id"), "left_outer")
       .withColumn("exact_rank", coalesce(col("exact_rank"), lit(-1)))
-      .withColumn("overlap",
-        sum(when(col("exact_rank") > 0, 1L).otherwise(0L)).over(w))
+    // per-query overlap as a groupBy broadcast back onto the hits — the
+    // hit set is ≤ queries·k rows, but the no-q_id-window discipline is
+    // uniform (plan-audited) so no future caller inherits the funnel shape
+    val overlap = hits.groupBy("q_id")
+      .agg(sum(when(col("exact_rank") > 0, 1L).otherwise(0L)).as("overlap"))
+    hits.join(broadcast(overlap), Seq("q_id"))
       .withColumn("recall", col("overlap").cast("double") / k)
   }
 
@@ -638,23 +659,22 @@ object Similarity {
     * by a salted md5 coin so the sample is reproducible on any engine and
     * any partitioning (the keyed-coin discipline of [[Mixture]]). The
     * per-query candidate set rides one anti join against the exact
-    * neighbor list; ranking is a coin-ordered window per query — bounded
-    * by `numQueries`, the [[bruteForceTopK]] shape.
+    * neighbor list; the k lowest coins per query come from the bounded
+    * per-partition heaps of [[topKPerQuery]] (coin ASC ≡ negated-coin
+    * DESC; a 32-bit coin is exact in double), never a `q_id` window over
+    * the corpus-sized candidate set.
     * Output: (q_id, vec_id, rank). */
   def negativeSamples(emb: DataFrame, k: Int = 5, excludeK: Int = 20,
                       numQueries: Int = 3, salt: String = "neg1"): DataFrame = {
     val exact = bruteForceTopK(emb, excludeK, numQueries)
     val qs = emb.select(col("vec_id").as("q_id")).filter(col("q_id") < numQueries)
-    qs.crossJoin(emb.select("vec_id"))
+    val cand = qs.crossJoin(emb.select("vec_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .join(exact.select("q_id", "vec_id"), Seq("q_id", "vec_id"), "left_anti")
-      .withColumn("coin", conv(substring(md5(concat(
+      .withColumn("ncoin", -conv(substring(md5(concat(
         lit(salt), col("q_id").cast("string"), lit(":"),
-        col("vec_id").cast("string"))), 1, 8), 16, 10).cast("long"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy("coin", "vec_id")))
-      .filter(col("rank") <= k)
-      .select("q_id", "vec_id", "rank")
+        col("vec_id").cast("string"))), 1, 8), 16, 10).cast("double"))
+    topKPerQuery(cand, "ncoin", k)
   }
 
   /** Semantic (embedding-space) decontamination: flag corpus vectors whose

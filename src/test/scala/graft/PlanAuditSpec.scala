@@ -319,6 +319,43 @@ class PlanAuditSpec extends SparkTestBase {
     } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
 
+  test("kNN family ranks with bounded heaps: zero Window nodes on q_id") {
+    // q_id has only numQueries distinct values — a window partitioned by it
+    // funnels the corpus-sized scored set into a handful of single-task
+    // sorts, the exact straggler/OOM shape at 100 TB. Every ranking (final
+    // top-k, SQ8 candidate cut, negative sampling, the recall contract)
+    // must plan heap + narrow merge instead (r12 verdict ask #1).
+    val S = graft.pipeline.Similarity
+    val emb = t("embeddings")
+    for ((name, df) <- Seq(
+        "bruteForceTopK" -> S.bruteForceTopK(emb, k = 5, numQueries = 3),
+        "filteredTopK" -> S.filteredTopK(emb, col("label") === 1, k = 5),
+        "lshTopK" -> S.lshTopK(emb, k = 5),
+        "ivfTopK" -> S.ivfTopK(emb, k = 5),
+        "ivfpqTopK" -> S.ivfpqTopK(emb, k = 5, nProbe = 4, m = 16, ksub = 32),
+        "sq8TopK" -> S.sq8TopK(emb, k = 5),
+        "negativeSamples" -> S.negativeSamples(emb),
+        "annContract" -> S.annContract(
+          S.lshTopK(emb, k = 5), S.bruteForceTopK(emb, k = 5), k = 5))) {
+      val plan = executed(df)
+      assert(!plan.contains("Window"),
+        s"$name still ranks via a q_id window (single-task corpus sort):\n$plan")
+    }
+  }
+
+  test("profileApprox plans without the multi-DISTINCT Expand") {
+    // profile()'s N countDistincts expand every input row (cols+1)× before
+    // the shuffle; the approx (HLL++) form must stay a single plain
+    // aggregate — one scan, one one-row agg, zero Expand (r12 verdict #2)
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    val approxPlan = executed(
+      graft.pipeline.DataQuality.profileApproxAgg(t("orders"), cols))
+    assert(!approxPlan.contains("Expand"),
+      s"approx profile still expands per distinct column:\n$approxPlan")
+    assert(approxPlan.contains("HashAggregate") ||
+      approxPlan.contains("SortAggregate"), s"expected one aggregate:\n$approxPlan")
+  }
+
   test("semanticDecontaminate is a map-only corpus scan over a broadcast") {
     val emb = t("embeddings")
     val plan = executed(graft.pipeline.Similarity.semanticDecontaminate(
