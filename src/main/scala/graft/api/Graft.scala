@@ -116,4 +116,18 @@ object Graft {
     })
     new Graft(cat, tables)
   }
+
+  /** Graft over a LIVE SPARQL endpoint: the catalog is wire-probed with
+    * the reference's discovery protocol
+    * ([[graft.mapping.EndpointCatalogGen]] — `create_rdfmts.py` against a
+    * triple store), and every concept table is a distributed paged SPARQL
+    * fetch whose page plan comes from the probed cardinalities. Probing is
+    * deploy-time work; reuse the returned Graft across queries. */
+  def overSparqlEndpoint(endpoint: String,
+                         opts: graft.mapping.EndpointCatalogGen.EndpointOptions =
+                           graft.mapping.EndpointCatalogGen.EndpointOptions())
+                        (implicit spark: SparkSession): Graft = {
+    val probed = graft.mapping.EndpointCatalogGen.probe(endpoint, opts)
+    new Graft(probed.catalog, probed.loader)
+  }
 }

@@ -372,15 +372,36 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
     case Pattern.Bgp(ts)      => compileBgp(ts)
     case Pattern.Join(l, r)   => compileJoin(l, r)
     case Pattern.LeftJoin(l, r, None) =>
-      join2(compilePattern(l), compilePattern(r), "left_outer")
+      val lc = compilePattern(l)
+      compileGroupScoped(r) match {
+        case Some(rc) => join2(lc, rc, "left_outer")
+        case None     => padUnbound(lc, r.vars) // empty OPTIONAL: unbound
+      }
     case Pattern.LeftJoin(l, r, Some(f)) =>
-      // fast path: a condition over inner vars only is pointwise equivalent
-      // to filtering the right side before the left-outer join (a left row
-      // is unmatched iff no right row both joins and passes F)
-      if (Expr.vars(f).subsetOf(r.vars))
-        join2(compilePattern(l), compilePattern(Pattern.Filter(f, r)), "left_outer")
-      else leftJoinCond(l, r, f)
-    case Pattern.Union(l, r)  => union2(compilePattern(l), compilePattern(r))
+      val lc = compilePattern(l)
+      compileGroupScoped(r) match {
+        case None => padUnbound(lc, r.vars) // F never sees a match
+        case Some(rc) =>
+          // fast path: a condition over inner vars only is pointwise
+          // equivalent to filtering the right side before the left-outer
+          // join (a left row is unmatched iff no right row both joins and
+          // passes F)
+          if (Expr.vars(f).subsetOf(r.vars))
+            join2(lc, rc.copy(df =
+              rc.df.filter(ExprCompiler.predicate(f, rc.df))), "left_outer")
+          else leftJoinCond(lc, rc, f)
+      }
+    case Pattern.Union(l, r)  =>
+      // a branch no molecule can answer contributes the empty bag, per
+      // SPARQL semantics; both branches dead propagates (outer scopes may
+      // still absorb it — e.g. an OPTIONAL around this union)
+      (compileGroupScoped(l), compileGroupScoped(r)) match {
+        case (Some(a), Some(b)) => union2(a, b)
+        case (Some(a), None)    => a
+        case (None, Some(b))    => b
+        case (None, None) => throw new graft.decomposer.NoSourceException(
+          "no source matches either UNION branch")
+      }
     case Pattern.Filter(e, p0) =>
       val c = compilePattern(p0)
       c.copy(df = c.df.filter(ExprCompiler.predicate(e, c.df)))
@@ -388,7 +409,12 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
       val c = compilePattern(p0)
       c.copy(df = c.df.withColumn(v.name, ExprCompiler.compile(e, c.df)))
     case Pattern.Service(src, p0, silent) => compileService(src, p0, silent)
-    case Pattern.Minus(l, r)      => antiSemi(l, r, "left_anti", minus = true)
+    case Pattern.Minus(l, r) =>
+      val lc = compilePattern(l)
+      compileGroupScoped(r) match {
+        case Some(rc) => antiSemi(lc, rc, "left_anti", minus = true)
+        case None     => lc // MINUS over the empty bag removes nothing
+      }
     case Pattern.Exists(l, r, pos) =>
       // correlated EXISTS: a FILTER in the probe referencing outer vars
       // participates in the semi/anti join (W3C §18.6 substitution
@@ -400,11 +426,24 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
         case other                    => (other, fs)
       }
       val (probe, fs) = unwrapF(r, Nil)
-      fs.reduceOption(Expr.And.apply) match {
-        case Some(f) if !Expr.vars(f).subsetOf(probe.vars) =>
-          correlatedExists(l, probe, f, pos)
-        case _ =>
-          antiSemi(l, r, if (pos) "left_semi" else "left_anti", minus = false)
+      val lc = compilePattern(l)
+      compileGroupScoped(probe) match {
+        case None =>
+          // unanswerable probe = zero matches: EXISTS keeps nothing,
+          // NOT EXISTS keeps every left row
+          if (pos) lc.copy(df = lc.df.filter(lit(false))) else lc
+        case Some(pc) =>
+          fs.reduceOption(Expr.And.apply) match {
+            case Some(f) if !Expr.vars(f).subsetOf(probe.vars) =>
+              correlatedExists(lc, pc, f, pos)
+            case Some(f) =>
+              antiSemi(lc, pc.copy(df =
+                pc.df.filter(ExprCompiler.predicate(f, pc.df))),
+                if (pos) "left_semi" else "left_anti", minus = false)
+            case None =>
+              antiSemi(lc, pc,
+                if (pos) "left_semi" else "left_anti", minus = false)
+          }
       }
     case Pattern.Values(vs, rows) => compileValues(vs, rows)
     case Pattern.Path(s, ast, o)  => compilePath(s, ast, o)
@@ -881,9 +920,26 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
     * EXISTS drops all. The probe stays lazy: a broadcast `limit(1)` side
     * semi/anti-joined on a constant-true condition, so `Graft.sparql()`
     * never runs a job before the caller acts. */
-  private def antiSemi(l: Pattern, r: Pattern, how: String, minus: Boolean): Compiled = {
-    val cl = compilePattern(l)
-    val cr = compilePattern(r)
+  /** Compile a GROUP-SCOPED sub-pattern (OPTIONAL body, UNION branch,
+    * MINUS/EXISTS probe), where an unanswerable star means the EMPTY
+    * solution bag per SPARQL semantics, not a failed query. None = no
+    * molecule can answer it; the caller applies the empty-bag algebra.
+    * Required patterns never come through here — their
+    * [[graft.decomposer.NoSourceException]] stays loud. */
+  private def compileGroupScoped(p: Pattern): Option[Compiled] =
+    try Some(compilePattern(p))
+    catch { case _: graft.decomposer.NoSourceException => None }
+
+  /** OPTIONAL whose body is unanswerable: every left row survives with the
+    * body-only vars unbound (typed as the null string — the lexical type
+    * of a variable no molecule ever types). */
+  private def padUnbound(lc: Compiled, rightVars: Set[String]): Compiled = {
+    val add = rightVars.toSeq.sorted.filterNot(lc.df.columns.contains)
+    lc.copy(df = add.foldLeft(lc.df)((d, v) =>
+      d.withColumn(v, lit(null).cast(StringType))))
+  }
+
+  private def antiSemi(cl: Compiled, cr: Compiled, how: String, minus: Boolean): Compiled = {
     val shared = cl.visibleVars.toSet intersect cr.visibleVars.toSet
     if (shared.isEmpty) {
       if (minus) cl // MINUS with disjoint domains removes nothing
@@ -1252,9 +1308,8 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
     * the left rows with zero surviving matches. The anti-join compares
     * null-safely (`<=>`): a left row carrying an OPTIONAL-null column must
     * still match its own copy inside the surviving set. */
-  private def leftJoinCond(l: Pattern, r: Pattern, f: Expr): Compiled = {
-    val lc = compilePattern(l)
-    val inner = join2(lc, compilePattern(r), "inner")
+  private def leftJoinCond(lc: Compiled, rc: Compiled, f: Expr): Compiled = {
+    val inner = join2(lc, rc, "inner")
     val matched = inner.df.filter(ExprCompiler.predicate(f, inner.df))
     val lcols = lc.df.columns.toSeq
     val survivors = matched.select(lcols.map(c => col(c).as(s"__lj_$c")): _*)
@@ -1273,10 +1328,9 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
     * rows with ≥1 / 0 survivors pass — a null-safe semi/anti join against
     * the surviving left projections, the same composition as
     * [[leftJoinCond]]. */
-  private def correlatedExists(l: Pattern, probe: Pattern, f: Expr,
+  private def correlatedExists(lc: Compiled, pc: Compiled, f: Expr,
                                positive: Boolean): Compiled = {
-    val lc = compilePattern(l)
-    val inner = join2(lc, compilePattern(probe), "inner")
+    val inner = join2(lc, pc, "inner")
     val matched = inner.df.filter(ExprCompiler.predicate(f, inner.df))
     val lcols = lc.df.columns.toSeq
     val survivors = matched.select(lcols.map(c => col(c).as(s"__ex_$c")): _*)

@@ -34,6 +34,16 @@ final case class Star(
   def vars: Set[String] = triples.flatMap(_.vars).toSet
 }
 
+/** Thrown when no molecule in the catalog can answer a star (or when
+  * join-link pruning eliminates every candidate). Group-scoped patterns
+  * (OPTIONAL / UNION branch / MINUS / EXISTS) catch this in the compiler
+  * and apply SPARQL's empty-pattern semantics — the reference instead
+  * aborts the whole query on ANY unmatched star (`Decomposer.py`), which
+  * breaks legitimate queries like the discovery protocol's
+  * `OPTIONAL { ?t rdfs:label ?label }` against a label-less catalog. A
+  * required (top-level) pattern still propagates it to the user. */
+final class NoSourceException(msg: String) extends IllegalArgumentException(msg)
+
 object Decomposer {
 
   /** Group BGP triples into stars by subject (bgp_stars,
@@ -102,7 +112,7 @@ object Decomposer {
       }
     // (end class × source grouping)
     if (sources.isEmpty)
-      throw new IllegalArgumentException(
+      throw new NoSourceException(
         s"no source matches star on $subj with predicates $constPreds" +
           typeConst.fold("")(c => s" (rdf:type <$c>)"))
     Star(subj, ts, sources)
@@ -160,7 +170,7 @@ object Decomposer {
                 sigsOf(s, u).forall(common.contains))
               if (kept.size != current(idx).sources.size) {
                 if (kept.isEmpty)
-                  throw new IllegalArgumentException(
+                  throw new NoSourceException(
                     s"join-link pruning left no source for star on ${current(idx).subject}")
                 current(idx) = current(idx).copy(sources = kept)
                 changed = true

@@ -67,20 +67,30 @@ final case class JdbcSource(url: String, table: String,
 final case class PagedEndpointSource(
     schema: org.apache.spark.sql.types.StructType,
     fetchPage: (Long, Int) => Seq[org.apache.spark.sql.Row],
-    pageSize: Int = 10000) extends SourceSpec {
+    pageSize: Int = 10000,
+    /** Result size already known to the caller — an RDF-MT cardinality
+      * probed at catalog time ([[graft.mapping.EndpointCatalogGen]]) —
+      * skips the sizing probes: the page plan comes straight from the
+      * catalog stats, the same snapshot assumption either way. */
+    knownTotal: Option[Long] = None) extends SourceSpec {
   def load(spark: SparkSession): DataFrame = {
     def exists(off: Long): Boolean = fetchPage(off, 1).nonEmpty
-    if (!exists(0L))
+    val totalRows = knownTotal.getOrElse {
+      if (!exists(0L)) 0L
+      else {
+        var hi = 1L
+        while (exists(hi)) hi *= 2 // gallop: first absent offset is in (hi/2, hi]
+        var lo = hi / 2            // exists(lo) holds
+        while (lo + 1 < hi) {
+          val mid = lo + (hi - lo) / 2
+          if (exists(mid)) lo = mid else hi = mid
+        }
+        hi // offsets 0..hi-1 exist
+      }
+    }
+    if (totalRows == 0L)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    var hi = 1L
-    while (exists(hi)) hi *= 2 // gallop: first absent offset is in (hi/2, hi]
-    var lo = hi / 2            // exists(lo) holds
-    while (lo + 1 < hi) {
-      val mid = lo + (hi - lo) / 2
-      if (exists(mid)) lo = mid else hi = mid
-    }
-    val totalRows = hi // offsets 0..hi-1 exist
     val nPages = ((totalRows + pageSize - 1) / pageSize).toInt
     val (fp, ps) = (fetchPage, pageSize)
     val rdd = spark.sparkContext.parallelize(0 until nPages, nPages)

@@ -63,13 +63,47 @@ object SparqlHttp {
   }
 
   /** A [[PagedEndpointSource]] over this transport: LIMIT/OFFSET pages of
-    * `query` (which should end in a total ORDER BY for stable pagination). */
+    * `query` (which should end in a total ORDER BY for stable pagination).
+    * `knownTotal` (e.g. a probed RDF-MT cardinality) skips the gallop
+    * sizing probes entirely. */
   def pagedSource(endpoint: String, query: String, schema: StructType,
-                  pageSize: Int = 10000): PagedEndpointSource =
+                  pageSize: Int = 10000,
+                  knownTotal: Option[Long] = None): PagedEndpointSource =
     PagedEndpointSource(
       schema,
       (offset, limit) => select(endpoint, s"$query LIMIT $limit OFFSET $offset", schema),
-      pageSize)
+      pageSize, knownTotal)
+
+  /** One-binding term sniff: POST the query and return the FIRST binding of
+    * `varName` as (term kind, datatype IRI) straight from the SRJ document
+    * — the schema-free read [[select]] cannot do (it casts by a declared
+    * schema and drops the term metadata). None when the query has no
+    * solutions or the variable is unbound in the first one. Used by
+    * datatype discovery ([[graft.mapping.EndpointCatalogGen]]) as the
+    * instance-range probe. */
+  def sniffTerm(endpoint: String, query: String,
+                varName: String): Option[(String, Option[String])] = {
+    val client = HttpClient.newHttpClient()
+    val form = "query=" + URLEncoder.encode(query, UTF_8)
+    val req = HttpRequest.newBuilder(URI.create(endpoint))
+      .header("Content-Type", "application/x-www-form-urlencoded")
+      .header("Accept", "application/sparql-results+json")
+      .POST(HttpRequest.BodyPublishers.ofString(form))
+      .build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() == 200,
+      s"endpoint $endpoint answered HTTP ${resp.statusCode()}")
+    val root = new ObjectMapper().readTree(resp.body())
+    val bindings = root.path("results").path("bindings")
+    if (bindings.size() == 0) None
+    else {
+      val b = bindings.get(0).path(varName)
+      if (b.isMissingNode) None
+      else Some((b.path("type").asText(),
+        Option(b.path("datatype")).filterNot(_.isMissingNode)
+          .map(_.asText()).filter(_.nonEmpty)))
+    }
+  }
 
   private def cast(lex: String, dt: DataType): Any = dt match {
     case StringType    => lex

@@ -115,4 +115,101 @@ class CatalogGenSpec extends SparkTestBase {
       assert(got.nonEmpty && got == exp)
     }
   }
+
+  test("endpoint discovery probes a live server into a working catalog") {
+    // the create_rdfmts.py triple-store path end-to-end: GraftServer serves
+    // a scoped catalog; EndpointCatalogGen discovers concepts, predicates,
+    // cardinalities and datatypes over the WIRE (DiscoveryTranslators text
+    // through SparqlHttp); the probed catalog then answers a federated
+    // 3-star join through paged HTTP fetches
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val inner = Graft.overParquetDir(Catalog(
+      TpchCatalog.catalog.molecules.filter(m =>
+        Set("urn:g:Customer", "urn:g:Nation", "urn:g:Region")
+          .contains(m.rdfType))), sfDir)
+    val server = new graft.api.GraftServer(inner)
+    val port = server.start()
+    try {
+      val probed = EndpointCatalogGen.probe(s"http://127.0.0.1:$port/sparql")
+      // structure: all three concepts discovered, with exact cardinalities
+      // and dimension-size broadcast hints (sf0.001: 150/25/5 rows)
+      val byType = probed.catalog.molecules.map(m => m.rdfType -> m).toMap
+      assert(byType.keySet ==
+        Set("urn:g:Customer", "urn:g:Nation", "urn:g:Region"))
+      assert(byType("urn:g:Nation").cardinality == 25L)
+      assert(byType("urn:g:Region").cardinality == 5L)
+      assert(byType("urn:g:Customer").cardinality ==
+        spark.read.parquet(s"$sfDir/customer.parquet").count())
+      assert(probed.catalog.molecules.forall(_.broadcastHint))
+      // predicate discovery matches the served molecules (minus rdf:type)
+      assert(byType("urn:g:Customer").predicates.keySet ==
+        TpchCatalog.catalog.molecules.find(_.rdfType == "urn:g:Customer")
+          .get.predicates.keySet)
+      // datatype sniffing: acctbal is numeric, name is string
+      val cust = probed.loaders(byType("urn:g:Customer").table)()
+      assert(cust.schema("acctbal").dataType ==
+        org.apache.spark.sql.types.DoubleType)
+      assert(cust.schema("name").dataType ==
+        org.apache.spark.sql.types.StringType)
+      // the probed catalog answers a federated join identically to the
+      // relational truth
+      val g = new Graft(probed.catalog, probed.loader)
+      val got = g.sparql(
+        """PREFIX g: <urn:g:>
+          |SELECT ?rname (COUNT(?c) AS ?ncust) WHERE {
+          |  ?c a g:Customer ; g:nation ?n .
+          |  ?n a g:Nation ; g:region ?r .
+          |  ?r a g:Region ; g:name ?rname .
+          |} GROUP BY ?rname ORDER BY ?rname""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val want = spark.read.parquet(s"$sfDir/customer.parquet")
+        .join(spark.read.parquet(s"$sfDir/nation.parquet"),
+          org.apache.spark.sql.functions.col("c_nationkey") ===
+            org.apache.spark.sql.functions.col("n_nationkey"))
+        .join(spark.read.parquet(s"$sfDir/region.parquet"),
+          org.apache.spark.sql.functions.col("n_regionkey") ===
+            org.apache.spark.sql.functions.col("r_regionkey"))
+        .groupBy("r_name").count()
+        .orderBy("r_name")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == want && got.nonEmpty)
+    } finally server.stop()
+  }
+
+  test("unanswerable group-scoped patterns follow empty-bag semantics") {
+    // the engine change that unblocks the discovery protocol: OPTIONAL over
+    // a predicate no molecule serves pads unbound (W3C semantics) instead
+    // of failing the query; UNION drops the dead branch; NOT EXISTS keeps
+    // all rows; EXISTS keeps none; a REQUIRED unmatched star stays loud
+    val g = Graft.overParquetDir(TpchCatalog.catalog, sfDir)(spark)
+    val opt = g.sparql(
+      """PREFIX g: <urn:g:>
+        |SELECT ?r ?x WHERE { ?r a g:Region .
+        |  OPTIONAL { ?r g:nosuchpred ?x } } ORDER BY ?r""".stripMargin).collect()
+    assert(opt.length == 5 && opt.forall(_.isNullAt(1)))
+    val uni = g.sparql(
+      """PREFIX g: <urn:g:>
+        |SELECT ?n WHERE {
+        |  { ?r a g:Region ; g:name ?n } UNION { ?r g:ghost ?n }
+        |} ORDER BY ?n""".stripMargin).collect()
+    assert(uni.length == 5)
+    val notEx = g.sparql(
+      """PREFIX g: <urn:g:>
+        |SELECT ?r WHERE { ?r a g:Region .
+        |  FILTER NOT EXISTS { ?r g:ghost ?x } } ORDER BY ?r""".stripMargin).collect()
+    assert(notEx.length == 5)
+    val ex = g.sparql(
+      """PREFIX g: <urn:g:>
+        |SELECT ?r WHERE { ?r a g:Region .
+        |  FILTER EXISTS { ?r g:ghost ?x } }""".stripMargin).collect()
+    assert(ex.isEmpty)
+    val minus = g.sparql(
+      """PREFIX g: <urn:g:>
+        |SELECT ?r WHERE { ?r a g:Region .
+        |  MINUS { ?r g:ghost ?x } } ORDER BY ?r""".stripMargin).collect()
+    assert(minus.length == 5)
+    intercept[graft.decomposer.NoSourceException] {
+      g.sparql("PREFIX g: <urn:g:> SELECT ?x WHERE { ?x g:nosuchpred ?y }")
+    }
+  }
 }
