@@ -78,7 +78,8 @@ object SparkEntry {
   val benchExcluded: Set[String] =
     Set("q_stream_funnel", "q_stream_source_cap", "q_stream_token_budget",
       "q_stream_sessions", "q_stream_retention", "q_stream_interval",
-      "q_stream_dedup", "q_stream_anomaly", "q_stream_manifest")
+      "q_stream_dedup", "q_stream_file_dedup", "q_stream_anomaly",
+      "q_stream_manifest")
 
   /** Hourly event counts per type — the shared input of both anomaly
     * rows (one definition ⇒ Catalyst's ReusedExchange can share the
@@ -872,6 +873,14 @@ object SparkEntry {
     "q_stream_dedup" -> ((s, d) => {
       implicit val sp: SparkSession = s
       _root_.graft.streaming.EventStreams.dedupReplayed(T(s, d, "documents"))
+        .orderBy("doc_id")
+    }),
+    // the SAME ingest-dedup gate over a real file source: parquet drop
+    // files replayed via readStream + maxFilesPerTrigger=1 — proves the
+    // operator on the production source class, not just MemoryStream
+    "q_stream_file_dedup" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      _root_.graft.streaming.EventStreams.dedupFileReplayed(T(s, d, "documents"))
         .orderBy("doc_id")
     }),
     // gap-based sessionization, batch form (streaming twin lives in
@@ -2011,6 +2020,11 @@ object SparkEntry {
     // id-ordered replay of first-digest-occurrence admission equals the
     // batch min-doc_id-per-md5 keeper set
     "q_stream_dedup" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, md5(text) AS digest
+        |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+    // file-source replay shares the batch keeper-set oracle: the transport
+    // (drop files vs MemoryStream) must not change a single admission
+    "q_stream_file_dedup" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, md5(text) AS digest
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
     "q_stream_source_cap" ->

@@ -251,6 +251,61 @@ object EventStreams {
     spark.createDataset(out.toSeq).select(col("doc_id"), col("digest"))
   }
 
+  /** [[dedupReplayed]] over a REAL FILE SOURCE: the table is staged into
+    * `chunks` id-ordered parquet drop files (strictly increasing
+    * modification times, lexicographic names), then replayed with
+    * `spark.readStream.parquet` + `maxFilesPerTrigger=1` — one genuine
+    * file-discovery micro-batch per drop file — through the same
+    * [[dedupAdmit]] operator. This is the production source class (a crawl
+    * directory that accretes files), so the gate proves the operator runs
+    * beyond the MemoryStream test harness; the admitted set must still
+    * equal the batch min-doc_id-per-digest keepers byte-for-byte.
+    * Verification machinery (bench-excluded), like its MemoryStream twin. */
+  def dedupFileReplayed(docs: DataFrame, chunks: Int = 4)
+                       (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val rows = docs.select(col("doc_id"),
+        org.apache.spark.sql.functions.md5(col("text")).as("digest"))
+      .collect().map(r => DigestDoc(r.getLong(0), r.getString(1)))
+      .sortBy(_.doc_id)
+    val drop = java.nio.file.Files.createTempDirectory("graft-drop")
+    val per = math.max(1, (rows.length + chunks - 1) / chunks)
+    rows.grouped(per).zipWithIndex.foreach { case (c, i) =>
+      val stage = java.nio.file.Files.createTempDirectory("graft-stage")
+      spark.createDataset(c.toSeq).coalesce(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).iterator().asScala
+        .find(_.toString.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part written under $stage"))
+      val target = drop.resolve(f"chunk-$i%05d.parquet")
+      java.nio.file.Files.move(part, target)
+      // the file source orders new files by modification time: pin a
+      // strictly increasing clock so replay order IS doc_id order (the
+      // admission rule is order-sensitive by design)
+      target.toFile.setLastModified(1600000000000L + i * 60000L)
+    }
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("digest",
+          org.apache.spark.sql.types.StringType, nullable = true))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(drop.toString)
+      .as[DigestDoc]
+    val name = "graft_dedup_file_replay_" +
+      java.util.UUID.randomUUID().toString.filter(_ != '-')
+    val q = dedupAdmit(stream)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table(name)
+      .collect().map(r => DigestDoc(r.getLong(0), r.getString(1)))
+    spark.catalog.dropTempView(name)
+    spark.createDataset(out.toSeq).select(col("doc_id"), col("digest"))
+  }
+
   /** Streaming face of [[graft.pipeline.DataQuality.manifest]]:
     * continuous lake fingerprinting. XOR is commutative, associative, and
     * self-inverse, so the content digest is a PERFECT streaming aggregate
