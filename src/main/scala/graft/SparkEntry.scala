@@ -79,7 +79,13 @@ object SparkEntry {
     Set("q_stream_funnel", "q_stream_source_cap", "q_stream_token_budget",
       "q_stream_sessions", "q_stream_retention", "q_stream_interval",
       "q_stream_dedup", "q_stream_file_dedup", "q_stream_anomaly",
-      "q_stream_manifest")
+      "q_stream_manifest",
+      // loopback-federation verification harnesses: each boots GraftServer
+      // instances and pays the deploy-time wire probe (create_rdfmts
+      // parity) inside the row — they verify the endpoint catalog path,
+      // they don't measure engine throughput (the reference's
+      // create_rdfmts runs for minutes as an offline job)
+      "autogen_endpoint_join", "autogen_endpoint_federation")
 
   /** Hourly event counts per type — the shared input of both anomaly
     * rows (one definition ⇒ Catalyst's ReusedExchange can share the
@@ -491,6 +497,35 @@ object SparkEntry {
         val rows = df.collect()
         s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), df.schema)
       } finally server.stop()
+    }),
+    // TWO-endpoint federation — the reference's actual deployment shape
+    // (one mediator, N endpoints): customer lives on endpoint A,
+    // nation/region on endpoint B; both are wire-probed independently and
+    // the same 3-star rollup joins ACROSS endpoints on subject-URI
+    // identity, matching the single-lake relational oracle
+    "autogen_endpoint_federation" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      def scoped(types: Set[String]) = Graft.overParquetDir(
+        _root_.graft.mapping.Catalog(TpchCatalog.catalog.molecules.filter(m =>
+          types.contains(m.rdfType))), d)
+      val srvA = new _root_.graft.api.GraftServer(scoped(Set("urn:g:Customer")))
+      val srvB = new _root_.graft.api.GraftServer(
+        scoped(Set("urn:g:Nation", "urn:g:Region")))
+      val pa = srvA.start()
+      val pb = srvB.start()
+      try {
+        val g = Graft.overSparqlEndpoints(Seq(
+          s"http://127.0.0.1:$pa/sparql", s"http://127.0.0.1:$pb/sparql"))
+        val df = g.sparql(
+          """PREFIX g: <urn:g:>
+            |SELECT ?rname (COUNT(?c) AS ?ncust) WHERE {
+            |  ?c a g:Customer ; g:nation ?n .
+            |  ?n a g:Nation ; g:region ?r .
+            |  ?r a g:Region ; g:name ?rname .
+            |} GROUP BY ?rname ORDER BY ?rname""".stripMargin)
+        val rows = df.collect()
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), df.schema)
+      } finally { srvA.stop(); srvB.stop() }
     }),
     "sparql_minus" -> ((s, d) => graft(s, d).sparql(SPARQL_MINUS)),
     "sparql_exists" -> ((s, d) => graft(s, d).sparql(SPARQL_EXISTS)),
@@ -1038,6 +1073,15 @@ object SparkEntry {
       Mixture.mixtureSample(T(s, d, "documents"),
         Seq("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25),
         defaultRate = 0.1, salt = "mix1").orderBy("doc_id")),
+    // DSIR importance resampling: hashed-unigram (1024-bucket) importance
+    // log-weights of every raw doc against the in-corpus English target,
+    // Gumbel-top-k selection keyed by the md5 coin — weights and keys as
+    // milli-nat integers so the oracle derives identical values
+    "doc_dsir_sample" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      Mixture.importanceResample(docs, docs.filter(col("lang") === "en"),
+        n = 200).orderBy(col("key_milli").desc, col("doc_id"))
+    }),
     // temperature (α=1/2) source reweighting: integer-sqrt weights, exact
     // integer quota/threshold arithmetic, keyed-coin keep — emits the
     // per-source mixing ledger
@@ -2802,6 +2846,40 @@ object SparkEntry {
         |  FROM documents)
         |WHERE b < CAST(floor(r * 4294967296.0) AS BIGINT) ORDER BY doc_id""".stripMargin,
 
+    // DSIR: identical hashing-trick features (md5-bucketed unigrams),
+    // add-1 smoothed log-ratios, Gumbel keys from the same md5 coin;
+    // milli-nat rounding absorbs cross-engine ln ulp skew (the
+    // perplexity-row convention)
+    "doc_dsir_sample" ->
+      """WITH tok_r AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |  FROM documents),
+        |tb_r AS (SELECT doc_id,
+        |    ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024 AS b
+        |  FROM tok_r WHERE tok <> ''),
+        |tok_t AS (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |  FROM documents WHERE lang = 'en'),
+        |tb_t AS (SELECT ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024 AS b
+        |  FROM tok_t WHERE tok <> ''),
+        |tgt AS (SELECT b, COUNT(*) AS ct FROM tb_t GROUP BY 1),
+        |nt AS (SELECT COALESCE(SUM(ct), 0) AS nt FROM tgt),
+        |rd AS (SELECT doc_id, b, COUNT(*) AS k FROM tb_r GROUP BY 1, 2),
+        |rh AS (SELECT b, SUM(k) AS cr FROM rd GROUP BY 1),
+        |nr AS (SELECT COALESCE(SUM(cr), 0) AS nr FROM rh),
+        |lr AS (SELECT rh.b,
+        |    ln((COALESCE(tgt.ct, 0) + 1)::DOUBLE / (nt.nt + 1024)) -
+        |    ln((rh.cr + 1)::DOUBLE / (nr.nr + 1024)) AS lr
+        |  FROM rh LEFT JOIN tgt USING (b), nt, nr),
+        |lw AS (SELECT rd.doc_id, SUM(rd.k * lr.lr) AS lw
+        |  FROM rd JOIN lr USING (b) GROUP BY 1),
+        |g AS (SELECT doc_id, lw,
+        |    -ln(-ln((('0x' || substr(md5('dsir1' || CAST(doc_id AS VARCHAR)),
+        |      1, 8))::BIGINT + 0.5) / 4294967296.0)) AS g
+        |  FROM lw)
+        |SELECT doc_id, CAST(round(lw * 1000) AS BIGINT) AS lw_milli,
+        |  CAST(round((lw + g) * 1000) AS BIGINT) AS key_milli
+        |FROM g ORDER BY key_milli DESC, doc_id LIMIT 200""".stripMargin,
+
     "doc_normalize" ->
       """SELECT doc_id, n AS text_norm, (n <> text) AS changed FROM (
         |  SELECT doc_id, text,
@@ -3206,7 +3284,10 @@ object SparkEntry {
       "autogen_minus" -> "sparql_minus",
       "autogen_exists" -> "sparql_exists",
       "autogen_topk" -> "sparql_topk",
-      "autogen_construct" -> "sparql_construct")
+      "autogen_construct" -> "sparql_construct",
+      // the two-endpoint federation answers the same rollup as the
+      // single-endpoint row — one relational truth for both
+      "autogen_endpoint_federation" -> "autogen_endpoint_join")
       .map { case (auto, manual) => auto -> baseOracles(manual) }
 
   /** Exact top-5 cosine kNN for the three probe queries as a DuckDB CTE;

@@ -130,4 +130,28 @@ object Graft {
     val probed = graft.mapping.EndpointCatalogGen.probe(endpoint, opts)
     new Graft(probed.catalog, probed.loader)
   }
+
+  /** Graft over a FEDERATION of SPARQL endpoints — the reference's actual
+    * deployment shape (one mediator, N endpoints, `create_rdfmts.py` run
+    * against each): every endpoint is wire-probed independently, the
+    * catalogs merge with per-endpoint `source` membership, and source
+    * selection / star pruning work across them exactly as over the
+    * declared multi-source catalogs (a concept served by several
+    * endpoints unions; cross-endpoint joins ride subject-URI identity).
+    * Table names are namespaced per endpoint so same-named concepts on
+    * different endpoints keep distinct paged fetches. */
+  def overSparqlEndpoints(endpoints: Seq[String],
+                          opts: graft.mapping.EndpointCatalogGen.EndpointOptions =
+                            graft.mapping.EndpointCatalogGen.EndpointOptions())
+                         (implicit spark: SparkSession): Graft = {
+    require(endpoints.nonEmpty, "no endpoints given")
+    val probes = endpoints.map(e => graft.mapping.EndpointCatalogGen.probe(e, opts))
+    val molecules = probes.zipWithIndex.flatMap { case (p, i) =>
+      p.catalog.molecules.map(m => m.copy(table = s"e${i}_${m.table}"))
+    }
+    val loaders = probes.zipWithIndex.flatMap { case (p, i) =>
+      p.loaders.map { case (t, l) => s"e${i}_$t" -> l }
+    }.toMap
+    new Graft(graft.mapping.Catalog(molecules.toList), t => loaders(t)())
+  }
 }

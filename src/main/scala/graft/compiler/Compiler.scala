@@ -993,7 +993,21 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
     * runtime. */
   private def compileBgp(ts: List[TriplePattern]): Compiled = {
     require(ts.nonEmpty, "empty BGP")
-    val stars = Decomposer.decompose(ts, catalog)
+    val stars =
+      try Decomposer.decompose(ts, catalog)
+      catch {
+        case e: graft.decomposer.ProvablyEmptyException =>
+          // pruning PROVED the join empty (no source pair has compatible
+          // URI templates): the correct answer is the empty bag over the
+          // pattern's variables — zero rows, not a failed query (a
+          // discovery probe counting a non-linked (A, p, B) needs 0)
+          val vars = ts.flatMap(_.vars).distinct.sorted
+          return Compiled(
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              StructType(vars.map(v => StructField(v, StringType, nullable = true)))),
+            Map.empty, bcast = false, card = 0L)
+      }
     val compiled = mutable.ListBuffer(stars.map(compileStar): _*)
     def est(c: Compiled): Long = if (c.card < 0) Long.MaxValue else c.card
     val first = compiled.minBy(est)

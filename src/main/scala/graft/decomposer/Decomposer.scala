@@ -44,6 +44,15 @@ final case class Star(
   * required (top-level) pattern still propagates it to the user. */
 final class NoSourceException(msg: String) extends IllegalArgumentException(msg)
 
+/** Thrown when join-link pruning PROVES a BGP empty: every candidate
+  * source pair has incompatible subject/object URI templates, so no row
+  * can ever join. Unlike [[NoSourceException]] ("the federation cannot
+  * answer this"), this is "the answer is the empty bag" — the compiler
+  * materializes zero rows over the pattern's variables, which is what a
+  * discovery probe counting `?s a <A> . ?s <p> ?o . ?o a <B>` for a
+  * non-linked (A, p, B) needs: count 0, not an error. */
+final class ProvablyEmptyException(msg: String) extends IllegalArgumentException(msg)
+
 object Decomposer {
 
   /** Group BGP triples into stars by subject (bgp_stars,
@@ -170,7 +179,7 @@ object Decomposer {
                 sigsOf(s, u).forall(common.contains))
               if (kept.size != current(idx).sources.size) {
                 if (kept.isEmpty)
-                  throw new NoSourceException(
+                  throw new ProvablyEmptyException(
                     s"join-link pruning left no source for star on ${current(idx).subject}")
                 current(idx) = current(idx).copy(sources = kept)
                 changed = true

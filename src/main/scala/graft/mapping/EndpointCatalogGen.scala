@@ -34,9 +34,17 @@ object EndpointCatalogGen {
       broadcastRowThreshold: Long = 1000L)
 
   /** A probed endpoint: the catalog plus one lazy loader per concept table
-    * (each a distributed paged fetch — pages pull executor-side). */
+    * (each a distributed paged fetch — pages pull executor-side), plus the
+    * discovered inter-concept links — (concept, predicate) → the concepts
+    * its IRI objects are instances of (`create_inter_ds_links` parity,
+    * `rdfmt/__init__.py:791`: a link exists when the instance count of
+    * `?s a <A> . ?s <p> ?o . ?o a <B>` is positive). Links are RDF-MT
+    * metadata: the molecules keep their columns either way (subject URIs
+    * join by string identity), but the link map is what a federated
+    * source-selection layer prunes with. */
   final case class Probed(catalog: Catalog,
-                          loaders: Map[String, () => DataFrame]) {
+                          loaders: Map[String, () => DataFrame],
+                          links: Map[(String, String), List[String]]) {
     def loader: String => DataFrame = t => loaders(t)()
   }
 
@@ -65,24 +73,29 @@ object EndpointCatalogGen {
     }
   }
 
-  /** Instance-observed Spark type of (concept, predicate): sniff the SRJ
-    * datatype of one binding — the tabular engine's stand-in for
-    * `get_rdfs_ranges` + `find_instance_range` (a literal's xsd datatype
-    * IS its range; an IRI object types as the lexical string it joins
-    * by). */
-  private def sniffType(endpoint: String, t: String, p: String): DataType =
+  /** Instance-observed Spark type + IRI-ness of (concept, predicate):
+    * sniff the SRJ term of one binding — the tabular engine's stand-in
+    * for `get_rdfs_ranges` + `find_instance_range` (a literal's xsd
+    * datatype IS its range; an IRI object types as the lexical string it
+    * joins by, and flags the predicate as a link CANDIDATE for the
+    * cross-concept containment probes). */
+  private def sniffTypeKind(endpoint: String, t: String,
+                            p: String): (DataType, Boolean) =
     SparqlHttp.sniffTerm(endpoint,
       s"SELECT ?v WHERE { ?s a <$t> . ?s <$p> ?v } LIMIT 1", "v") match {
+      case Some(("uri", _)) => (StringType, true)
       case Some(("literal", Some(dt))) =>
-        if (dt.endsWith("#integer") || dt.endsWith("#int") ||
-          dt.endsWith("#long") || dt.endsWith("#short")) LongType
-        else if (dt.endsWith("#double") || dt.endsWith("#decimal") ||
-          dt.endsWith("#float")) DoubleType
-        else if (dt.endsWith("#boolean")) BooleanType
-        else if (dt.endsWith("#date")) DateType
-        else if (dt.endsWith("#dateTime")) TimestampType
-        else StringType
-      case _ => StringType // IRI link, plain literal, or empty concept
+        val m =
+          if (dt.endsWith("#integer") || dt.endsWith("#int") ||
+            dt.endsWith("#long") || dt.endsWith("#short")) LongType
+          else if (dt.endsWith("#double") || dt.endsWith("#decimal") ||
+            dt.endsWith("#float")) DoubleType
+          else if (dt.endsWith("#boolean")) BooleanType
+          else if (dt.endsWith("#date")) DateType
+          else if (dt.endsWith("#dateTime")) TimestampType
+          else StringType
+        (m, false)
+      case _ => (StringType, false) // plain literal or empty concept
     }
 
   /** The per-concept fetch: subject + one OPTIONAL per predicate, totally
@@ -122,10 +135,11 @@ object EndpointCatalogGen {
       var i = 1
       while (usedTables.contains(table)) { table = s"$base$i"; i += 1 }
       usedTables += table
+      val kinds = cols.map { case (p, c) =>
+        (p, c, sniffTypeKind(endpoint, t, p))
+      }
       val schema = StructType(StructField("s", StringType) +:
-        cols.map { case (p, c) =>
-          StructField(c, sniffType(endpoint, t, p), nullable = true)
-        })
+        kinds.map { case (_, c, (dt, _)) => StructField(c, dt, nullable = true) })
       val q = fetchQuery(t, cols)
       val ps = opts.pageSize
       val loader = () => SparqlHttp.pagedSource(endpoint, q, schema, ps,
@@ -137,8 +151,22 @@ object EndpointCatalogGen {
         source = endpoint,
         broadcastHint = card <= opts.broadcastRowThreshold,
         cardinality = card)
-      (m, table -> loader)
+      (m, table -> loader, kinds.collect { case (p, _, (_, true)) => p })
     }
-    Probed(Catalog(probed.map(_._1).toList), probed.map(_._2).toMap)
+    // inter-concept link discovery (`create_inter_ds_links`): for every
+    // IRI-valued predicate, count instances whose object is typed as each
+    // candidate concept (self-links included — a successor edge is real);
+    // positive count = link. Probe cost: |uri-preds| × |concepts| counts.
+    val links: Map[(String, String), List[String]] = (for {
+      (m, _, uriPreds) <- probed
+      p <- uriPreds
+      u <- concepts
+      cnt = SparqlHttp.select(endpoint,
+          D.sparqlCardinality(Some(m.rdfType), Some(p), Some(u)), cSchema)
+        .headOption.map(_.getLong(0)).getOrElse(0L)
+      if cnt > 0
+    } yield ((m.rdfType, p), u))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toList).toMap
+    Probed(Catalog(probed.map(_._1).toList), probed.map(t => t._2).toMap, links)
   }
 }

@@ -454,4 +454,71 @@ object Mixture {
           .cast("long").as("n_rare"))
       .withColumn("has_rare", col("n_rare") > 0)
   }
+
+  /** DSIR-style importance resampling (hashed n-gram importance sampling,
+    * the data-selection method of "Data Selection for Language Models via
+    * Importance Resampling"): pick the `n` raw-corpus documents whose
+    * hashed-unigram distribution most resembles a small TARGET corpus,
+    * via Gumbel-top-k over per-document importance log-weights.
+    *
+    *  - Features are the hashing trick: token → md5-derived bucket in
+    *    [0, `buckets`) — the SAME engine-portable digest as the keyed
+    *    coins, so the feature space is fixed (1024 cells by default) no
+    *    matter how large either corpus grows. Both bag-of-bucket models
+    *    are add-1 smoothed; a document's log-weight is
+    *    Σ_tok ln(p_target(b)/p_raw(b)).
+    *  - Selection is Gumbel-top-k: key = lw + g where
+    *    g = −ln(−ln(u)) and u comes from the md5 keyed coin — a
+    *    reproducible sample ∝ exp(lw) rather than a brittle argmax.
+    *    Log-weights and keys are emitted as integer MILLI-nats (the
+    *    [[TextAnalysis.perplexity]] convention: rounding absorbs
+    *    cross-engine ln ulp skew, so the DuckDB oracle derives identical
+    *    integers).
+    *
+    * Shape at scale: the bucket tables are ≤ `buckets` rows (broadcast);
+    * the raw corpus contributes one shuffle keyed by (doc, bucket) with
+    * map-side combine; the final top-n is ORDER BY + LIMIT —
+    * `TakeOrderedAndProject`, bounded like every top-k here. The target
+    * corpus is a held-out quality set — small by definition — but only
+    * its ≤`buckets`-row histogram is ever collected, so even a large
+    * target streams. Output: (doc_id, lw_milli, key_milli), the selected
+    * sample. */
+  def importanceResample(raw: DataFrame, target: DataFrame, n: Int,
+                         buckets: Int = 1024,
+                         salt: String = "dsir1"): DataFrame = {
+    require(n >= 1 && buckets >= 2, s"bad n=$n buckets=$buckets")
+    def tokBuckets(df: DataFrame): DataFrame = df
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("doc_id"),
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+          % buckets).as("b"))
+    val tgtHist = tokBuckets(target).groupBy("b").agg(count(lit(1)).as("ct"))
+    // scalar totals: single-row aggregates, the only driver materialization
+    val nT = tgtHist.agg(coalesce(sum("ct"), lit(0L))).head().getLong(0)
+    val rawDoc = tokBuckets(raw).groupBy("doc_id", "b")
+      .agg(count(lit(1)).as("k"))
+    val rawHist = rawDoc.groupBy("b").agg(sum("k").as("cr"))
+    val nR = rawHist.agg(coalesce(sum("cr"), lit(0L))).head().getLong(0)
+    // per-bucket log-ratio over the buckets the RAW corpus uses (a bucket
+    // absent from raw contributes to no document); ≤ `buckets` rows
+    val lr = rawHist.join(tgtHist, Seq("b"), "left_outer")
+      .select(col("b"),
+        (log((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double") /
+          lit((nT + buckets).toDouble)) -
+          log((col("cr") + lit(1L)).cast("double") /
+            lit((nR + buckets).toDouble))).as("lr"))
+    val coin = keyedBucket(salt)
+    // u in (0,1): (coin + 0.5) / 2^32 — exact double arithmetic
+    val gumbel = -log(-log((coin.cast("double") + lit(0.5)) /
+      lit(4294967296.0)))
+    rawDoc.join(broadcast(lr), Seq("b"))
+      .groupBy("doc_id").agg(sum(col("k") * col("lr")).as("lw"))
+      .select(col("doc_id"),
+        round(col("lw") * 1000).cast("long").as("lw_milli"),
+        round((col("lw") + gumbel) * 1000).cast("long").as("key_milli"))
+      .orderBy(col("key_milli").desc, col("doc_id"))
+      .limit(n)
+  }
 }

@@ -145,6 +145,12 @@ class CatalogGenSpec extends SparkTestBase {
       assert(byType("urn:g:Customer").predicates.keySet ==
         TpchCatalog.catalog.molecules.find(_.rdfType == "urn:g:Customer")
           .get.predicates.keySet)
+      // inter-concept link discovery over the wire (create_inter_ds_links
+      // parity): exactly the two real links, no false positives from
+      // literal-valued predicates
+      assert(probed.links == Map(
+        ("urn:g:Customer", "urn:g:nation") -> List("urn:g:Nation"),
+        ("urn:g:Nation", "urn:g:region") -> List("urn:g:Region")))
       // datatype sniffing: acctbal is numeric, name is string
       val cust = probed.loaders(byType("urn:g:Customer").table)()
       assert(cust.schema("acctbal").dataType ==
@@ -211,5 +217,15 @@ class CatalogGenSpec extends SparkTestBase {
     intercept[graft.decomposer.NoSourceException] {
       g.sparql("PREFIX g: <urn:g:> SELECT ?x WHERE { ?x g:nosuchpred ?y }")
     }
+    // join-link pruning to zero is PROVABLY EMPTY, not unanswerable:
+    // customer.nation builds urn:g:nation:{...} URIs, Region subjects are
+    // urn:g:region:{...} — no row can join, so the count is 0, not an
+    // error (the wire link-discovery probes depend on this)
+    val provablyEmpty = g.sparql(
+      """PREFIX g: <urn:g:>
+        |SELECT (COUNT(?s) AS ?count) WHERE {
+        |  ?s a g:Customer . ?s g:nation ?o . ?o a g:Region }""".stripMargin)
+      .collect()
+    assert(provablyEmpty.length == 1 && provablyEmpty(0).getLong(0) == 0L)
   }
 }

@@ -91,6 +91,35 @@ class Round13Spec extends SparkTestBase {
       "nd_ok must hold on every profiled column")
   }
 
+  test("importanceResample prefers target-distribution docs, deterministically") {
+    import spark.implicits._
+    // two disjoint-vocabulary cohorts; the target speaks cohort A's
+    // language — DSIR weights must put every selected doc in cohort A
+    // (log-weight gap ~14 nats dwarfs the Gumbel noise on these coins)
+    val target = (0 until 20)
+      .map(i => (1000L + i, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val raw = ((0 until 30).map(i =>
+      (i.toLong, "alpha beta gamma delta alpha beta")) ++
+      (30 until 60).map(i =>
+        (i.toLong, "zulu yankee xray whisky victor uniform")))
+      .toDF("doc_id", "text")
+    val sel = graft.pipeline.Mixture.importanceResample(raw, target, n = 20)
+      .collect()
+    assert(sel.length == 20)
+    assert(sel.forall(_.getLong(0) < 30),
+      s"selected a non-target-like doc: ${sel.map(_.getLong(0)).mkString(",")}")
+    // cohort A log-weights strictly dominate cohort B's
+    val all = graft.pipeline.Mixture.importanceResample(raw, target, n = 60)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val minA = (0 until 30).map(i => all(i.toLong)).min
+    val maxB = (30 until 60).map(i => all(i.toLong)).max
+    assert(minA > maxB, s"cohort separation violated: minA=$minA maxB=$maxB")
+    // keyed coins: bit-identical reruns
+    val again = graft.pipeline.Mixture.importanceResample(raw, target, n = 20)
+      .collect()
+    assert(sel.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("topKPerQuery emits nothing for absent queries, all rows for sub-k ones") {
     import spark.implicits._
     val scored = Seq((1L, 10L, 0.9), (1L, 11L, 0.8)).toDF("q_id", "vec_id", "s")
