@@ -79,7 +79,7 @@ object SparkEntry {
     Set("q_stream_funnel", "q_stream_source_cap", "q_stream_token_budget",
       "q_stream_sessions", "q_stream_retention", "q_stream_interval",
       "q_stream_dedup", "q_stream_file_dedup", "q_stream_anomaly",
-      "q_stream_manifest",
+      "q_stream_manifest", "q_stream_file_manifest",
       // loopback-federation verification harnesses: each boots GraftServer
       // instances and pays the deploy-time wire probe (create_rdfmts
       // parity) inside the row — they verify the endpoint catalog path,
@@ -635,6 +635,14 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       _root_.graft.streaming.EventStreams
         .manifestReplayed(T(s, d, "documents"))
+    }),
+    // the same continuous fingerprint over a real parquet drop directory
+    // (readStream + maxFilesPerTrigger=1): Complete-mode aggregate on the
+    // production source class, byte-identical to the batch manifest
+    "q_stream_file_manifest" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      _root_.graft.streaming.EventStreams
+        .manifestFileReplayed(T(s, d, "documents"))
     }),
     // reproducibility manifest: row counts + order-independent 60-bit XOR
     // content digests — two lakes agree iff their contents do
@@ -1776,6 +1784,12 @@ object SparkEntry {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_purchases
         |FROM events ORDER BY user_id, event_id""".stripMargin,
     "q_stream_manifest" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COALESCE(bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT), 0)
+        |    AS BIGINT) AS xor_digest FROM documents""".stripMargin,
+    // file-source replay of the continuous fingerprint shares the batch
+    // manifest oracle — byte identity across source classes
+    "q_stream_file_manifest" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
         |  CAST(COALESCE(bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT), 0)
         |    AS BIGINT) AS xor_digest FROM documents""".stripMargin,

@@ -306,6 +306,52 @@ object EventStreams {
     spark.createDataset(out.toSeq).select(col("doc_id"), col("digest"))
   }
 
+  /** [[manifestReplayed]] over the same real-file-source staging as
+    * [[dedupFileReplayed]]: drop files replayed through `readStream` into
+    * the continuous XOR fingerprint under Complete output mode. The final
+    * row must equal the batch manifest byte-for-byte — the second gate
+    * proving a streaming operator on the production source class (this
+    * one exercises the Complete-mode aggregate path where the dedup gate
+    * exercises Append-mode keyed state). */
+  def manifestFileReplayed(docs: DataFrame, chunks: Int = 4)
+                          (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val rows = docs.select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val drop = java.nio.file.Files.createTempDirectory("graft-drop-mf")
+    val per = math.max(1, (rows.length + chunks - 1) / chunks)
+    rows.grouped(per).zipWithIndex.foreach { case (c, i) =>
+      val stage = java.nio.file.Files.createTempDirectory("graft-stage-mf")
+      spark.createDataset(c.toSeq).toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).iterator().asScala
+        .find(_.toString.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part written under $stage"))
+      val target = drop.resolve(f"chunk-$i%05d.parquet")
+      java.nio.file.Files.move(part, target)
+      target.toFile.setLastModified(1600000000000L + i * 60000L)
+    }
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType, nullable = true))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(drop.toString)
+    val name = "graft_manifest_file_replay_" +
+      java.util.UUID.randomUUID().toString.filter(_ != '-')
+    val q = manifestStream(stream)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete).start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table(name)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    spark.catalog.dropTempView(name)
+    spark.createDataset(out.toSeq).toDF("n_rows", "xor_digest")
+  }
+
   /** Streaming face of [[graft.pipeline.DataQuality.manifest]]:
     * continuous lake fingerprinting. XOR is commutative, associative, and
     * self-inverse, so the content digest is a PERFECT streaming aggregate

@@ -356,6 +356,22 @@ class PlanAuditSpec extends SparkTestBase {
       approxPlan.contains("SortAggregate"), s"expected one aggregate:\n$approxPlan")
   }
 
+  test("importanceResample broadcasts the bucket table; top-n is a bounded sort") {
+    val docs = t("documents")
+    val plan = executed(graft.pipeline.Mixture.importanceResample(
+      docs, docs.filter(col("lang") === "en"), n = 50))
+    // the ≤buckets-row log-ratio table must ride a broadcast join onto the
+    // (doc, bucket) counts — a shuffled join would co-shuffle the corpus
+    // against a 1024-row table
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket log-ratios must broadcast:\n$plan")
+    // final selection is ORDER BY + LIMIT = TakeOrderedAndProject, and no
+    // corpus-key window anywhere
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-n must be a bounded heap sort:\n$plan")
+    assert(!plan.contains("Window"), s"no window belongs in DSIR:\n$plan")
+  }
+
   test("semanticDecontaminate is a map-only corpus scan over a broadcast") {
     val emb = t("embeddings")
     val plan = executed(graft.pipeline.Similarity.semanticDecontaminate(
