@@ -1081,6 +1081,17 @@ object SparkEntry {
       Mixture.mixtureSample(T(s, d, "documents"),
         Seq("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25),
         defaultRate = 0.1, salt = "mix1").orderBy("doc_id")),
+    // blocklist screening via the native Aho–Corasick expression: one
+    // codegen'd pass over the text regardless of blocklist size (the
+    // OR-chain rescans per term); distinct-term count + flag per doc
+    "doc_blocklist" -> ((s, d) =>
+      T(s, d, "documents")
+        .select(col("doc_id"),
+          _root_.graft.functions.GraftFunctions.blocklist_terms(
+            lower(col("text")),
+            Seq("slow", "merge", "fingerprint")).as("n_terms"))
+        .withColumn("flagged", col("n_terms") > 0)
+        .orderBy("doc_id")),
     // DSIR importance resampling: hashed-unigram (1024-bucket) importance
     // log-weights of every raw doc against the in-corpus English target,
     // Gumbel-top-k selection keyed by the md5 coin — weights and keys as
@@ -2860,6 +2871,16 @@ object SparkEntry {
         |  FROM documents)
         |WHERE b < CAST(floor(r * 4294967296.0) AS BIGINT) ORDER BY doc_id""".stripMargin,
 
+    // blocklist oracle: distinct-term presence as a contains() sum — the
+    // OR-chain semantics the one-pass automaton must reproduce exactly
+    "doc_blocklist" ->
+      """SELECT doc_id,
+        |  CAST(contains(lower(text), 'slow')::INT
+        |     + contains(lower(text), 'merge')::INT
+        |     + contains(lower(text), 'fingerprint')::INT AS BIGINT) AS n_terms,
+        |  (contains(lower(text), 'slow') OR contains(lower(text), 'merge')
+        |   OR contains(lower(text), 'fingerprint')) AS flagged
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // DSIR: identical hashing-trick features (md5-bucketed unigrams),
     // add-1 smoothed log-ratios, Gumbel keys from the same md5 coin;
     // milli-nat rounding absorbs cross-engine ln ulp skew (the

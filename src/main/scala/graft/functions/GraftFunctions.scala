@@ -253,6 +253,89 @@ object GraftFunctions {
     import org.apache.spark.sql.GraftBridge
     GraftBridge.column(HashedQuality(GraftBridge.expression(text), buckets))
   }
+
+  /** Compiled Aho–Corasick automaton over a fixed term list — the
+    * classic multi-pattern matcher: one pass over the text finds every
+    * term occurrence no matter how many terms the list holds. Built once
+    * per executor per distinct blocklist ([[blocklistTerms]]' cache). */
+  final class AcAutomaton(terms: Array[String]) {
+    private val children =
+      scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.Map.empty[Char, Int])
+    private val out =
+      scala.collection.mutable.ArrayBuffer(List.empty[Int])
+    private val fail = scala.collection.mutable.ArrayBuffer(0)
+    terms.zipWithIndex.foreach { case (t, id) =>
+      var node = 0
+      t.foreach { ch =>
+        node = children(node).getOrElseUpdate(ch, {
+          children += scala.collection.mutable.Map.empty[Char, Int]
+          out += Nil
+          fail += 0
+          children.length - 1
+        })
+      }
+      out(node) = id :: out(node)
+    }
+    locally { // BFS failure links; out-links union along them
+      val queue = scala.collection.mutable.Queue.empty[Int]
+      children(0).values.foreach { c => fail(c) = 0; queue += c }
+      while (queue.nonEmpty) {
+        val u = queue.dequeue()
+        children(u).foreach { case (ch, v) =>
+          var f = fail(u)
+          while (f != 0 && !children(f).contains(ch)) f = fail(f)
+          val t = children(f).getOrElse(ch, 0)
+          fail(v) = if (t != v) t else 0
+          out(v) = out(v) ++ out(fail(v))
+          queue += v
+        }
+      }
+    }
+    val nTerms: Int = terms.length
+    /** Count of DISTINCT terms present as substrings (early exit once all
+      * are found). */
+    def distinctTerms(s: String): Int = {
+      val seen = new Array[Boolean](nTerms)
+      var found = 0
+      var node = 0
+      var i = 0
+      while (i < s.length && found < nTerms) {
+        val ch = s.charAt(i)
+        while (node != 0 && !children(node).contains(ch)) node = fail(node)
+        node = children(node).getOrElse(ch, 0)
+        var os = out(node)
+        while (os.nonEmpty) {
+          val id = os.head
+          if (!seen(id)) { seen(id) = true; found += 1 }
+          os = os.tail
+        }
+        i += 1
+      }
+      found
+    }
+  }
+
+  private val acCache =
+    new java.util.concurrent.ConcurrentHashMap[String, AcAutomaton]()
+
+  /** Distinct blocklist terms present in `text` — one Aho–Corasick pass
+    * regardless of blocklist size, where the OR-chain alternative rescans
+    * the text once PER TERM (a production NSFW/spam blocklist holds
+    * thousands). `termsKey` is the \u0001-joined term list; it travels as
+    * a codegen reference object and the compiled automaton is cached per
+    * executor. Called from generated code. */
+  def blocklistTerms(text: org.apache.spark.unsafe.types.UTF8String,
+                     termsKey: String): Long = {
+    val ac = acCache.computeIfAbsent(termsKey,
+      k => new AcAutomaton(k.split('\u0001').filter(_.nonEmpty)))
+    ac.distinctTerms(text.toString).toLong
+  }
+
+  def blocklist_terms(text: Column, terms: Seq[String]): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(BlocklistTerms(GraftBridge.expression(text), terms))
+  }
 }
 
 /** array<long> shingle ids → array<long> of LSH band bucket hashes. */
@@ -413,5 +496,46 @@ final case class HashedQuality(child: Expression, buckets: Int)
       s"${ev.value} = graft.functions.GraftFunctions.hashedQuality($c, $buckets);")
 
   override protected def withNewChildInternal(newChild: Expression): HashedQuality =
+    copy(child = newChild)
+}
+
+/** string → count of DISTINCT blocklist terms appearing as substrings —
+  * one Aho–Corasick pass over the text however many terms the blocklist
+  * holds (the OR-chain alternative rescans the text once per term; a
+  * production NSFW/spam blocklist holds thousands). The term list ships
+  * as a codegen reference object (its U+0001-joined form) and the
+  * automaton compiles once per executor
+  * ([[GraftFunctions.blocklistTerms]]' cache). */
+final case class BlocklistTerms(child: Expression, terms: Seq[String])
+    extends UnaryExpression {
+
+  require(terms.nonEmpty &&
+    terms.forall(t => t.nonEmpty && !t.contains('\u0001')),
+    "blocklist terms must be non-empty and free of U+0001")
+
+  private val termsKey = terms.mkString("\u0001")
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+  : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case StringType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"blocklist_terms expects string, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftFunctions.blocklistTerms(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], termsKey)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("blocklistTermsKey", termsKey, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftFunctions.blocklistTerms($c, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BlocklistTerms =
     copy(child = newChild)
 }

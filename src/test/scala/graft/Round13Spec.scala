@@ -120,6 +120,33 @@ class Round13Spec extends SparkTestBase {
     assert(sel.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("blocklist automaton matches the naive contains semantics exactly") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions
+    // adversarial term set: shared prefixes, one term inside another, a
+    // term that only appears via a failure-link transition
+    val terms = Seq("ab", "abc", "bc", "zz", "cab")
+    val texts = Seq("", "a", "abc", "xxabcx", "bcab", "zzz", "aabbcc",
+      "cabcab", "abab", "the quick abca zz")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .withColumn("n", GraftFunctions.blocklist_terms(col("text"), terms))
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val want = terms.count(t.contains(_)).toLong
+      assert(got(i.toLong) == want, s"text '$t': got ${got(i.toLong)} want $want")
+    }
+    // large generated blocklist: the single pass must still agree with
+    // the per-term scan (and the automaton cache must not cross-talk
+    // between different blocklists)
+    val big = (0 until 500).map(i => f"term$i%03dx")
+    val hay = "say term007x and term499x but never term500x"
+    val n = Seq((0L, hay)).toDF("doc_id", "text")
+      .select(GraftFunctions.blocklist_terms(col("text"), big))
+      .collect()(0).getLong(0)
+    assert(n == 2L)
+  }
+
   test("topKPerQuery emits nothing for absent queries, all rows for sub-k ones") {
     import spark.implicits._
     val scored = Seq((1L, 10L, 0.9), (1L, 11L, 0.8)).toDF("q_id", "vec_id", "s")
