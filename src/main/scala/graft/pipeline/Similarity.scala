@@ -39,51 +39,24 @@ object Similarity {
     * on `q_id`: a window partition is one task, and `q_id` has only
     * `numQueries` distinct values — partitioning a corpus-sized scored set
     * by it would sort ~N rows in each of a handful of tasks, the classic
-    * single-task straggler/OOM at 100 TB. Instead every input partition
-    * keeps one bounded heap per query (≤ queries·k entries live at once)
-    * and emits only its heaps, so the only shuffle is the narrow merge of
-    * ≤ partitions·queries·k candidate rows — the `TakeOrderedAndProject`
-    * shape applied per query (the same bounded-heap discipline as
-    * [[clusterBalancedSample]] and [[topSimilarPairs]]). The merge orders
-    * by struct(-score, vec_id) ascending ≡ (score DESC, vec_id ASC), the
-    * row_number convention of every kNN row; heap ≡ window parity is
-    * spec-pinned (Round13Spec). Output: (q_id, vec_id, rank). */
+    * single-task straggler/OOM at 100 TB. Ranking goes through the native
+    * bounded-heap aggregate [[graft.functions.TopKIds]] instead: the map
+    * side keeps ONE k-entry heap per query per partition (partial
+    * aggregation), the shuffle carries ≤ partitions·queries·k serialized
+    * entries, and the merge folds heaps — `TakeOrderedAndProject`'s
+    * discipline as a grouped aggregate (the same bounded-heap family as
+    * [[clusterBalancedSample]] and [[topSimilarPairs]]). Emit order is
+    * (score DESC, vec_id ASC), the row_number convention of every kNN
+    * row; heap ≡ window parity is spec-pinned (Round13Spec).
+    * Output: (q_id, vec_id, rank). */
   private[graft] def topKPerQuery(scored: DataFrame, scoreCol: String,
-                                  k: Int): DataFrame = {
-    val spark = scored.sparkSession
-    import spark.implicits._
-    // heap head = the entry to evict first: LOWEST score, then HIGHEST
-    // vec_id (the keep-preference is score DESC, vec_id ASC)
-    val worstFirst: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
-      def compare(a: (Double, Long), b: (Double, Long)): Int = {
-        val c = java.lang.Double.compare(b._1, a._1)
-        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
-      }
-    }
-    val reduced = scored.select(col("q_id"), col("vec_id"), col(scoreCol))
-      .as[(Long, Long, Double)]
-      .mapPartitions { it =>
-        val heaps = scala.collection.mutable.HashMap
-          .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
-        it.foreach { case (q, v, s) =>
-          val h = heaps.getOrElseUpdate(q,
-            scala.collection.mutable.PriorityQueue.empty(worstFirst))
-          if (h.size < k) h.enqueue((s, v))
-          else if (worstFirst.compare((s, v), h.head) < 0) {
-            h.dequeue(); h.enqueue((s, v))
-          }
-        }
-        heaps.iterator.flatMap { case (q, h) =>
-          h.iterator.map { case (s, v) => (q, v, s) }
-        }
-      }.toDF("q_id", "vec_id", "score")
-    reduced.groupBy("q_id")
-      .agg(slice(sort_array(collect_list(struct(
-        (-col("score")).as("ns"), col("vec_id")))), 1, k).as("top"))
+                                  k: Int): DataFrame =
+    scored.groupBy("q_id")
+      .agg(graft.functions.TopKIds.topk_ids(
+        col(scoreCol).cast("double"), col("vec_id").cast("long"), k).as("top"))
       .select(col("q_id"), posexplode(col("top")))
-      .select(col("q_id"), col("col.vec_id").as("vec_id"),
+      .select(col("q_id"), col("col").as("vec_id"),
         (col("pos") + 1).as("rank"))
-  }
 
   private def asRows(emb: DataFrame): Dataset[EmbRow] = {
     val spark = emb.sparkSession

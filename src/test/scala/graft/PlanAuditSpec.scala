@@ -340,6 +340,11 @@ class PlanAuditSpec extends SparkTestBase {
       val plan = executed(df)
       assert(!plan.contains("Window"),
         s"$name still ranks via a q_id window (single-task corpus sort):\n$plan")
+      // ranking must ride the native bounded-heap aggregate WITH map-side
+      // partials: partial_topk_ids is what caps the shuffle at
+      // partitions·queries·k entries
+      assert(plan.contains("partial_topk_ids"),
+        s"$name lost the partial bounded-heap aggregation:\n$plan")
     }
   }
 
