@@ -65,5 +65,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (children: Seq[Expression]) => NfcNormalize(children.head)))
+    // blocklist_terms(text, 'a', 'b', ...): varargs of string literals
+    // compile into one cached Aho–Corasick automaton
+    ext.injectFunction((
+      new FunctionIdentifier("blocklist_terms"),
+      new ExpressionInfo(classOf[BlocklistTerms].getName, "blocklist_terms"),
+      (children: Seq[Expression]) => {
+        val terms = children.tail.map {
+          case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+            v.toString
+          case other => throw new IllegalArgumentException(
+            s"blocklist_terms terms must be string literals, got $other")
+        }
+        BlocklistTerms(children.head, terms)
+      }))
+    // topk_ids(score, id, k) aggregate: ids of the k highest scores
+    // (score DESC, id ASC), bounded map-side heaps
+    ext.injectFunction((
+      new FunctionIdentifier("topk_ids"),
+      new ExpressionInfo(classOf[TopKIds].getName, "topk_ids"),
+      (children: Seq[Expression]) => {
+        val k = children.lift(2) match {
+          case Some(Literal(v: Int, _)) => v
+          case Some(other) => throw new IllegalArgumentException(
+            s"topk_ids argument 3 must be an integer literal, got $other")
+          case None => throw new IllegalArgumentException(
+            "topk_ids needs (score, id, k)")
+        }
+        TopKIds(children.head, children(1), k)
+      }))
   }
 }

@@ -467,13 +467,33 @@ class PlanAuditSpec extends SparkTestBase {
       "nfc_normalize",
       (cs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.NfcNormalize(cs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "blocklist_terms",
+      (cs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.BlocklistTerms(cs.head, cs.tail.map {
+          case org.apache.spark.sql.catalyst.expressions.Literal(
+            v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+          case other => sys.error(s"non-literal term $other")
+        }), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "topk_ids",
+      (cs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.TopKIds(cs.head, cs(1), 2), "scala_udf")
     val r = spark.sql(
       "SELECT size(shingle_ids('a b c d')) AS ns, simhash64(array(1L, 2L)) AS sh, " +
-        "hashed_quality('a b c d') AS hq, nfc_normalize('café') AS nn")
+        "hashed_quality('a b c d') AS hq, nfc_normalize('café') AS nn, " +
+        "blocklist_terms('a bad doc', 'bad', 'worse') AS bl")
       .collect()(0)
     assert(r.getInt(0) == 2) // 'a b c' and 'b c d'
     assert(r.getSeq[Long](2).head == 4L) // 4 non-empty tokens
     assert(r.getString(3) == "café") // composed to NFC
+    assert(r.getLong(4) == 1L) // 'bad' present, 'worse' absent
+    // the aggregate form: top-2 ids by score through SQL
+    val agg = spark.sql(
+      "SELECT topk_ids(s, i) AS top FROM VALUES (1.0D, 10L), (3.0D, 30L), " +
+        "(2.0D, 20L) AS t(s, i)")
+      .collect()(0).getSeq[Long](0)
+    assert(agg == Seq(30L, 20L))
     assert(ext != null)
   }
 }
