@@ -111,4 +111,34 @@ class PropertySpec extends AnyFunSuite {
         s"n=$n parts=$parts: $got != $want")
     }
   }
+
+  test("TopKBuffer: offer/merge/serialize equals sort-take-k for any stream") {
+    import graft.functions.{TopKBuffer, TopKIds}
+    val rnd = new scala.util.Random(131)
+    for (_ <- 1 to 120) {
+      val k = 1 + rnd.nextInt(8)
+      val n = rnd.nextInt(60)
+      // small score domain forces duplicate scores (the tie-break path)
+      val rows = (0 until n).map(_ =>
+        (rnd.nextInt(6) / 2.0 - 1.0, rnd.nextLong(1000)))
+      val want = rows.sortBy { case (s, id) => (-s, id) }.map(_._2).take(k)
+      // single-buffer path
+      val b = new TopKBuffer(k)
+      rows.foreach { case (s, id) => b.offer(s, id) }
+      assert(b.sortedIds.toSeq == want, s"k=$k rows=$rows")
+      // partitioned + merged path, with a serialization round-trip per
+      // partial (exactly what the shuffle does to partial_topk_ids)
+      val parts = rows.grouped(math.max(1, n / 3 + 1)).map { chunk =>
+        val p = new TopKBuffer(k)
+        chunk.foreach { case (s, id) => p.offer(s, id) }
+        p
+      }.toSeq
+      val agg = TopKIds(null, null, k)
+      val merged = parts
+        .map(p => agg.deserialize(agg.serialize(p)))
+        .foldLeft(new TopKBuffer(k))(agg.merge)
+      assert(merged.sortedIds.toSeq == want,
+        s"merge path diverged: k=$k rows=$rows")
+    }
+  }
 }
