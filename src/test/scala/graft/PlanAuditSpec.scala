@@ -348,6 +348,19 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("filteredTopK pushes the metadata predicate into the parquet scan") {
+    // pre-filter semantics must reach storage: the label predicate prunes
+    // the corpus AT THE SCAN (PushedFilters), not in a post-scan Filter —
+    // at 100 TB this is the difference between reading the filtered slice
+    // and reading everything
+    val df = graft.pipeline.Similarity.filteredTopK(
+      t("embeddings"), col("label") === 1, k = 5)
+    val scan = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(scan.contains("EqualTo(label,1)"),
+      s"label predicate did not reach the scan: $scan")
+  }
+
   test("profileApprox plans without the multi-DISTINCT Expand") {
     // profile()'s N countDistincts expand every input row (cols+1)× before
     // the shuffle; the approx (HLL++) form must stay a single plain
