@@ -179,6 +179,19 @@ class CatalogGenSpec extends SparkTestBase {
         .orderBy("r_name")
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       assert(got == want && got.nonEmpty)
+      // OPTIONAL over the probed catalog: every nation row survives; the
+      // empty-bag path (a predicate no endpoint concept serves) pads
+      // unbound rather than failing — both semantics on the wire catalog
+      val opt = g.sparql(
+        """PREFIX g: <urn:g:>
+          |SELECT ?n ?rn ?ghost WHERE {
+          |  ?n a g:Nation .
+          |  OPTIONAL { ?n g:region ?r . ?r a g:Region ; g:name ?rn }
+          |  OPTIONAL { ?n g:nosuch ?ghost }
+          |} ORDER BY ?n""".stripMargin).collect()
+      assert(opt.length == 25)
+      assert(opt.forall(r => !r.isNullAt(1)), "every nation has a region name")
+      assert(opt.forall(_.isNullAt(2)), "unserved predicate pads unbound")
     } finally server.stop()
   }
 
