@@ -152,6 +152,12 @@ object Graft {
     val loaders = probes.zipWithIndex.flatMap { case (p, i) =>
       p.loaders.map { case (t, l) => s"e${i}_$t" -> l }
     }.toMap
-    new Graft(graft.mapping.Catalog(molecules.toList), t => loaders(t)())
+    // a single endpoint's link probe can't see that its IRI objects are
+    // typed instances on ANOTHER endpoint — merge the per-endpoint ranges
+    // and containment-probe the cross-endpoint pairs before the catalog's
+    // link claims become authoritative for join-link pruning
+    val links = graft.mapping.EndpointCatalogGen.crossLinks(
+      endpoints.zip(probes))
+    new Graft(graft.mapping.Catalog(molecules.toList, links), t => loaders(t)())
   }
 }

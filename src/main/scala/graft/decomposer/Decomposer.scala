@@ -63,7 +63,8 @@ object Decomposer {
     triples.foreach { t =>
       order(t.s) = order.getOrElse(t.s, Nil) :+ t
     }
-    prune(order.map { case (subj, ts) => makeStar(subj, ts, catalog) }.toList)
+    prune(order.map { case (subj, ts) => makeStar(subj, ts, catalog) }.toList,
+      catalog.links)
   }
 
   private def makeStar(subj: Term, ts: List[TriplePattern], catalog: Catalog): Star = {
@@ -133,8 +134,15 @@ object Decomposer {
     * produced by two stars), the template signatures must agree — sources
     * whose signatures cannot match any counterpart are dropped. Runs to
     * fixpoint. A variable with any non-template (RefMap) usage is left
-    * unpruned. */
-  private def prune(stars: List[Star]): List[Star] = {
+    * unpruned by the signature pass; a second, link-metadata pass covers
+    * exactly that case for wire-probed catalogs: when the catalog declares
+    * complete range knowledge for (rdfType, predicate) ([[Catalog.links]],
+    * `create_inter_ds_links` parity), a shared variable's possible concept
+    * set is the intersection across its usages, and candidate sources whose
+    * declared concepts miss it are dropped. Both passes share one fixpoint
+    * loop. */
+  private def prune(stars: List[Star],
+                    links: Map[(String, String), List[String]] = Map.empty): List[Star] = {
     val current = stars.toArray
 
     val usages = scala.collection.mutable.Map[String, List[Either[Int, (Int, String)]]]()
@@ -157,6 +165,18 @@ object Decomposer {
           case Some(TemplateMap(t)) => Some(t.signature)
           case _                    => None // RefMap/constant: unconstrained
         }
+      }
+
+    // link-metadata view of a usage: the set of concepts the variable can
+    // be an instance of under this source — Some only when the catalog has
+    // authoritative knowledge (a subject star instance IS its molecule's
+    // class; an object is constrained only when [[Catalog.links]] declares
+    // the predicate's probed ranges). None = no claim, never prunes.
+    def conceptsOf(src: StarSource, usage: Either[Int, (Int, String)]): Option[Set[String]] =
+      usage match {
+        case Left(_) => Some(Set(src.primary.rdfType))
+        case Right((_, p)) =>
+          src.providerOf(p).flatMap(m => links.get((m.rdfType, p)).map(_.toSet))
       }
 
     var changed = true
@@ -183,6 +203,42 @@ object Decomposer {
                     s"join-link pruning left no source for star on ${current(idx).subject}")
                 current(idx) = current(idx).copy(sources = kept)
                 changed = true
+              }
+            }
+          }
+          // link-metadata pass: a usage whose sources ALL carry concept
+          // claims contributes the union of its claims; the variable's
+          // possible concepts are the intersection of contributing usages,
+          // and every usage's sources are filtered against the constraint
+          // the OTHER usages impose (an unconstrained source survives).
+          // Gated on a subject usage being present: a star subject is an
+          // IRI by construction, so only IRI objects can ever join and the
+          // probed ranges are authoritative; for object-object-only joins
+          // a mixed literal/IRI predicate could still join on literal
+          // values the ranges say nothing about, so we never prune there.
+          if (links.nonEmpty && us.exists(_.isLeft)) {
+            val perLink = us.map { u =>
+              val idx = u.fold(identity, _._1)
+              val per = current(idx).sources.map(s => conceptsOf(s, u))
+              val agg: Option[Set[String]] =
+                if (per.exists(_.isEmpty)) None
+                else Some(per.flatMap(_.get).toSet)
+              (u, idx, agg)
+            }
+            perLink.zipWithIndex.foreach { case ((u, idx, _), k) =>
+              val others = perLink.zipWithIndex
+                .collect { case ((_, _, Some(s)), j) if j != k => s }
+              if (others.nonEmpty) {
+                val constraint = others.reduce(_ intersect _)
+                val kept = current(idx).sources.filter(s =>
+                  conceptsOf(s, u).forall(cs => (cs intersect constraint).nonEmpty))
+                if (kept.size != current(idx).sources.size) {
+                  if (kept.isEmpty)
+                    throw new ProvablyEmptyException(
+                      s"inter-concept link pruning left no source for star on ${current(idx).subject}")
+                  current(idx) = current(idx).copy(sources = kept)
+                  changed = true
+                }
               }
             }
           }

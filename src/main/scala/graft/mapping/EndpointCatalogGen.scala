@@ -74,38 +74,53 @@ object EndpointCatalogGen {
   }
 
   /** Instance-observed Spark type + IRI-ness of (concept, predicate):
-    * sniff the SRJ term of one binding — the tabular engine's stand-in
+    * sniff the SRJ terms of a SAMPLE of bindings (not just the first —
+    * a predicate with mixed datatypes or mixed IRI/literal objects must
+    * not be typed from one lucky row) — the tabular engine's stand-in
     * for `get_rdfs_ranges` + `find_instance_range` (a literal's xsd
     * datatype IS its range; an IRI object types as the lexical string it
     * joins by, and flags the predicate as a link CANDIDATE for the
-    * cross-concept containment probes). */
-  private def sniffTypeKind(endpoint: String, t: String,
-                            p: String): (DataType, Boolean) =
-    SparqlHttp.sniffTerm(endpoint,
-      s"SELECT ?v WHERE { ?s a <$t> . ?s <$p> ?v } LIMIT 1", "v") match {
-      case Some(("uri", _)) => (StringType, true)
-      case Some(("literal", Some(dt))) =>
-        val m =
-          if (dt.endsWith("#integer") || dt.endsWith("#int") ||
-            dt.endsWith("#long") || dt.endsWith("#short")) LongType
-          else if (dt.endsWith("#double") || dt.endsWith("#decimal") ||
-            dt.endsWith("#float")) DoubleType
-          else if (dt.endsWith("#boolean")) BooleanType
-          else if (dt.endsWith("#date")) DateType
-          else if (dt.endsWith("#dateTime")) TimestampType
-          else StringType
-        (m, false)
-      case _ => (StringType, false) // plain literal or empty concept
-    }
+    * cross-concept containment probes). The type narrows past StringType
+    * only when every sampled datatype agrees; ANY observed IRI marks the
+    * predicate a link candidate (literal co-objects can't join subjects
+    * anyway). */
+  private[graft] val SniffSample = 16
+  private[graft] def sniffTypeKind(endpoint: String, t: String,
+                            p: String): (DataType, Boolean) = {
+    val terms = SparqlHttp.sniffTerms(endpoint,
+      s"SELECT ?v WHERE { ?s a <$t> . ?s <$p> ?v } LIMIT $SniffSample", "v")
+    val isUri = terms.exists(_._1 == "uri")
+    def mapped(dt: String): DataType =
+      if (dt.endsWith("#integer") || dt.endsWith("#int") ||
+        dt.endsWith("#long") || dt.endsWith("#short")) LongType
+      else if (dt.endsWith("#double") || dt.endsWith("#decimal") ||
+        dt.endsWith("#float")) DoubleType
+      else if (dt.endsWith("#boolean")) BooleanType
+      else if (dt.endsWith("#date")) DateType
+      else if (dt.endsWith("#dateTime")) TimestampType
+      else StringType
+    val dt: DataType =
+      if (terms.isEmpty || isUri) StringType // IRI/mixed/empty: lexical
+      else terms.map {
+        case ("literal", Some(d)) => mapped(d)
+        case _                    => StringType // plain literal / bnode
+      }.distinct match {
+        case Seq(one) => one    // every sampled datatype agrees
+        case _        => StringType
+      }
+    (dt, isUri)
+  }
 
-  /** The per-concept fetch: subject + one OPTIONAL per predicate, totally
-    * ordered by subject so LIMIT/OFFSET pages are stable (the same
-    * endpoint-snapshot assumption the reference's sequential paging
-    * makes). */
-  private def fetchQuery(t: String, cols: List[(String, String)]): String =
+  /** The per-concept fetch: subject + one OPTIONAL per predicate, TOTALLY
+    * ordered — by subject and then every fetched variable, because a
+    * multi-valued predicate fans one subject into several solution rows
+    * and LIMIT/OFFSET pages on a non-unique sort key may drop or
+    * duplicate rows at page boundaries (the reference never pages on a
+    * partial order either: it walks offsets until a short page). */
+  private[graft] def fetchQuery(t: String, cols: List[(String, String)]): String =
     s"SELECT ?s ${cols.map("?" + _._2).mkString(" ")} WHERE { ?s a <$t> . " +
       cols.map { case (p, c) => s"OPTIONAL { ?s <$p> ?$c } " }.mkString +
-      "} ORDER BY ?s"
+      s"} ORDER BY ?s ${cols.map("?" + _._2).mkString(" ")}".stripTrailing()
 
   /** Probe `endpoint` with the reference discovery protocol and build the
     * catalog + table loaders. Probe cost: 1 concept sweep + per concept one
@@ -156,17 +171,72 @@ object EndpointCatalogGen {
     // inter-concept link discovery (`create_inter_ds_links`): for every
     // IRI-valued predicate, count instances whose object is typed as each
     // candidate concept (self-links included — a successor edge is real);
-    // positive count = link. Probe cost: |uri-preds| × |concepts| counts.
+    // positive count = link. EVERY probed (concept, uri-predicate) pair
+    // gets an entry — an empty range list is the authoritative claim
+    // "links to nothing on this endpoint", which is what join-link pruning
+    // and provably-empty detection key on ([[Catalog.links]]). Probe cost:
+    // |uri-preds| × |concepts| counts.
     val links: Map[(String, String), List[String]] = (for {
       (m, _, uriPreds) <- probed
       p <- uriPreds
-      u <- concepts
-      cnt = SparqlHttp.select(endpoint,
-          D.sparqlCardinality(Some(m.rdfType), Some(p), Some(u)), cSchema)
-        .headOption.map(_.getLong(0)).getOrElse(0L)
-      if cnt > 0
-    } yield ((m.rdfType, p), u))
-      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toList).toMap
-    Probed(Catalog(probed.map(_._1).toList), probed.map(t => t._2).toMap, links)
+    } yield {
+      val ranges = concepts.filter { u =>
+        SparqlHttp.select(endpoint,
+            D.sparqlCardinality(Some(m.rdfType), Some(p), Some(u)), cSchema)
+          .headOption.exists(_.getLong(0) > 0L)
+      }
+      (m.rdfType, p) -> ranges.sorted.toList
+    }).toMap
+    Probed(Catalog(probed.map(_._1).toList, links),
+      probed.map(t => t._2).toMap, links)
+  }
+
+  /** Cross-endpoint link discovery for federations — the inter-dataset
+    * half of `create_inter_ds_links` (`rdfmt/__init__.py:791-1030`): a
+    * single endpoint cannot see that its IRI objects are typed instances
+    * on ANOTHER endpoint, so [[probe]]'s within-endpoint ranges are merged
+    * and then each (concept, uri-predicate) on endpoint i is containment-
+    * probed against every concept on every OTHER endpoint: page DISTINCT
+    * IRI objects from i (total ORDER BY ?o) and ask j whether any batch
+    * member is an instance of the candidate (`FILTER (?s IN (...))`,
+    * batched exactly like the reference's instance loops, early exit on
+    * the first positive batch). Deploy-time work, like every
+    * `create_rdfmts` run; cost is bounded by the object list of each
+    * linked predicate, paid only for candidate pairs not already decided
+    * within an endpoint. */
+  def crossLinks(probes: Seq[(String, Probed)], batch: Int = 100,
+                 pageSize: Int = 10000): Map[(String, String), List[String]] = {
+    val cSchema = StructType(Seq(StructField("count", LongType)))
+    val oSchema = StructType(Seq(StructField("o", StringType)))
+    val merged = scala.collection.mutable.Map[(String, String), Set[String]]()
+    probes.foreach { case (_, p) =>
+      p.links.foreach { case (k, v) =>
+        merged(k) = merged.getOrElse(k, Set.empty) ++ v
+      }
+    }
+    def objectPages(ep: String, t: String, p: String): Iterator[Seq[String]] =
+      Iterator.from(0).map { page =>
+        SparqlHttp.select(ep,
+          s"SELECT DISTINCT ?o WHERE { ?s a <$t> . ?s <$p> ?o . " +
+            s"FILTER (isIRI(?o)) } ORDER BY ?o LIMIT $pageSize " +
+            s"OFFSET ${page.toLong * pageSize}", oSchema)
+          .map(_.getString(0))
+      }.takeWhile(_.nonEmpty)
+    for {
+      (epI, pi) <- probes
+      (t, p) <- pi.links.keys.toList.sorted
+      (epJ, pj) <- probes if epJ != epI
+      cand <- pj.catalog.molecules.map(_.rdfType).distinct.sorted
+      if !merged.getOrElse((t, p), Set.empty).contains(cand)
+    } {
+      val hit = objectPages(epI, t, p).exists(_.grouped(batch).exists { os =>
+        SparqlHttp.select(epJ,
+          s"SELECT (COUNT(?s) AS ?count) WHERE { ?s a <$cand> . " +
+            s"FILTER (?s IN (${os.map(o => s"<$o>").mkString(", ")})) }",
+          cSchema).headOption.exists(_.getLong(0) > 0L)
+      })
+      if (hit) merged((t, p)) = merged((t, p)) + cand
+    }
+    merged.view.mapValues(_.toList.sorted).toMap
   }
 }

@@ -104,8 +104,20 @@ final case class Molecule(
     cardinality: Long = -1L)
 
 /** RDF-MT catalog with the predicate inverted index of
-  * `/root/reference/ontario/config/__init__.py:63-114`. */
-final case class Catalog(molecules: List[Molecule]) {
+  * `/root/reference/ontario/config/__init__.py:63-114`.
+  *
+  * `links` carries discovered inter-concept links — the RDF-MT range
+  * metadata of `create_inter_ds_links` (`rdfmt/__init__.py:791-1030`):
+  * `(rdfType, predicate) -> concepts its IRI objects are instances of`.
+  * PRESENCE of a key is an authority claim: the catalog builder probed
+  * that predicate's objects against every concept in the federation, so
+  * the listed ranges are COMPLETE (an empty list means "links to nothing
+  * here" and a join through it is provably empty). Absence means unknown
+  * — join-link pruning must not fire on it. Tabular catalogs encode the
+  * same knowledge structurally as [[TemplateMap]] signatures and leave
+  * this empty. */
+final case class Catalog(molecules: List[Molecule],
+                         links: Map[(String, String), List[String]] = Map.empty) {
   val byType: Map[String, List[Molecule]] = molecules.groupBy(_.rdfType)
 
   val predIndex: Map[String, List[Molecule]] =

@@ -68,10 +68,15 @@ final case class PagedEndpointSource(
     schema: org.apache.spark.sql.types.StructType,
     fetchPage: (Long, Int) => Seq[org.apache.spark.sql.Row],
     pageSize: Int = 10000,
-    /** Result size already known to the caller — an RDF-MT cardinality
-      * probed at catalog time ([[graft.mapping.EndpointCatalogGen]]) —
-      * skips the sizing probes: the page plan comes straight from the
-      * catalog stats, the same snapshot assumption either way. */
+    /** Result size HINT from the caller — an RDF-MT cardinality probed at
+      * catalog time ([[graft.mapping.EndpointCatalogGen]]) — skips the
+      * sizing probes. It sizes the page PLAN only, never truncates: a
+      * probed concept cardinality counts subjects, while the fetch query
+      * can return more solution rows than subjects (one per subject-value
+      * combination under a multi-valued predicate), so the tail partition
+      * keeps paging past the planned end until a short page proves
+      * exhaustion — the same stop condition the reference's sequential
+      * paging uses (`triplestore/__init__.py:52-119`). */
     knownTotal: Option[Long] = None) extends SourceSpec {
   def load(spark: SparkSession): DataFrame = {
     def exists(off: Long): Boolean = fetchPage(off, 1).nonEmpty
@@ -88,13 +93,29 @@ final case class PagedEndpointSource(
         hi // offsets 0..hi-1 exist
       }
     }
-    if (totalRows == 0L)
+    if (totalRows == 0L && knownTotal.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    val nPages = ((totalRows + pageSize - 1) / pageSize).toInt
+    val nPages = math.max(1L, (totalRows + pageSize - 1) / pageSize).toInt
     val (fp, ps) = (fetchPage, pageSize)
+    val tailed = knownTotal.isDefined // hint may undercount: tail-probe
     val rdd = spark.sparkContext.parallelize(0 until nPages, nPages)
-      .flatMap(p => fp(p.toLong * ps, ps))
+      .flatMap { p =>
+        if (p < nPages - 1 || !tailed) fp(p.toLong * ps, ps)
+        else {
+          // tail partition: page until a short page, not until the hint
+          val buf = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+          var off = p.toLong * ps
+          var n = ps
+          while (n == ps) {
+            val page = fp(off, ps)
+            buf ++= page
+            n = page.size
+            off += ps
+          }
+          buf
+        }
+      }
     spark.createDataFrame(rdd, schema)
   }
 }

@@ -74,15 +74,14 @@ object SparqlHttp {
       (offset, limit) => select(endpoint, s"$query LIMIT $limit OFFSET $offset", schema),
       pageSize, knownTotal)
 
-  /** One-binding term sniff: POST the query and return the FIRST binding of
+  /** Term-metadata sniff: POST the query and return every binding of
     * `varName` as (term kind, datatype IRI) straight from the SRJ document
     * — the schema-free read [[select]] cannot do (it casts by a declared
-    * schema and drops the term metadata). None when the query has no
-    * solutions or the variable is unbound in the first one. Used by
-    * datatype discovery ([[graft.mapping.EndpointCatalogGen]]) as the
-    * instance-range probe. */
-  def sniffTerm(endpoint: String, query: String,
-                varName: String): Option[(String, Option[String])] = {
+    * schema and drops the term metadata). The caller bounds the result with
+    * its own LIMIT. Used by datatype discovery
+    * ([[graft.mapping.EndpointCatalogGen]]) as the instance-range probe. */
+  def sniffTerms(endpoint: String, query: String,
+                 varName: String): Seq[(String, Option[String])] = {
     val client = HttpClient.newHttpClient()
     val form = "query=" + URLEncoder.encode(query, UTF_8)
     val req = HttpRequest.newBuilder(URI.create(endpoint))
@@ -95,15 +94,19 @@ object SparqlHttp {
       s"endpoint $endpoint answered HTTP ${resp.statusCode()}")
     val root = new ObjectMapper().readTree(resp.body())
     val bindings = root.path("results").path("bindings")
-    if (bindings.size() == 0) None
-    else {
-      val b = bindings.get(0).path(varName)
+    (0 until bindings.size()).flatMap { i =>
+      val b = bindings.get(i).path(varName)
       if (b.isMissingNode) None
       else Some((b.path("type").asText(),
         Option(b.path("datatype")).filterNot(_.isMissingNode)
           .map(_.asText()).filter(_.nonEmpty)))
     }
   }
+
+  /** First-binding convenience over [[sniffTerms]]. */
+  def sniffTerm(endpoint: String, query: String,
+                varName: String): Option[(String, Option[String])] =
+    sniffTerms(endpoint, query, varName).headOption
 
   private def cast(lex: String, dt: DataType): Any = dt match {
     case StringType    => lex

@@ -1,0 +1,256 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+import graft.algebra._
+import graft.api.{Graft, GraftServer, TpchCatalog}
+import graft.decomposer.{Decomposer, ProvablyEmptyException}
+import graft.mapping._
+import graft.sources.SparqlHttp
+
+/** Round-14: inter-concept link metadata wired into join-link pruning
+  * (the r13 verdict's top ask), endpoint paging made robust to
+  * multi-valued predicates, and the datatype sniff made sample-based. */
+class Round14Spec extends SparkTestBase {
+
+  private val epMolTypes = Set("urn:g:Customer", "urn:g:Nation", "urn:g:Region")
+
+  private def scopedGraft(types: Set[String]): Graft =
+    Graft.overParquetDir(Catalog(
+      TpchCatalog.catalog.molecules.filter(m => types.contains(m.rdfType))),
+      sfDir)(spark)
+
+  /** The deliberately ambiguous BGP: the ?n star carries only g:name, which
+    * Customer, Nation AND Region all serve — only link knowledge about
+    * (Customer, g:nation) can resolve it. */
+  private val ambiguousTriples = List(
+    TriplePattern(Var("c"), Iri(Terms.RdfType), Iri("urn:g:Customer")),
+    TriplePattern(Var("c"), Iri("urn:g:nation"), Var("n")),
+    TriplePattern(Var("n"), Iri("urn:g:name"), Var("nname")))
+
+  // ---- pure decomposer-level pruning ----------------------------------------
+
+  private def refMol(t: String, table: String, preds: String*): Molecule =
+    Molecule(rdfType = t, table = table, subject = Template("{s}"),
+      predicates = preds.map(p => p -> (RefMap(p.stripPrefix("urn:g:")): TermMap)).toMap,
+      source = "ep")
+
+  test("link metadata prunes an ambiguous star to the probed range concept") {
+    val cat = Catalog(
+      List(
+        refMol("urn:g:Customer", "customer", "urn:g:name", "urn:g:nation"),
+        refMol("urn:g:Nation", "nation", "urn:g:name", "urn:g:region"),
+        refMol("urn:g:Region", "region", "urn:g:name")),
+      links = Map(
+        ("urn:g:Customer", "urn:g:nation") -> List("urn:g:Nation"),
+        ("urn:g:Nation", "urn:g:region") -> List("urn:g:Region")))
+    val stars = Decomposer.decompose(ambiguousTriples, cat)
+    val nStar = stars.find(_.subject == Var("n")).get
+    assert(nStar.sources.map(_.primary.rdfType) == List("urn:g:Nation"),
+      s"link pruning should leave exactly the Nation candidate, got ${nStar.sources.map(_.primary.rdfType)}")
+    // without links the same star stays 3-way ambiguous (RefMap signatures
+    // are unconstrained, so the template pass can't help either)
+    val unpruned = Decomposer.decompose(ambiguousTriples, cat.copy(links = Map.empty))
+    assert(unpruned.find(_.subject == Var("n")).get.sources.size == 3)
+  }
+
+  test("links declaring an empty range prove the join empty, not ambiguous") {
+    val cat = Catalog(
+      List(
+        refMol("urn:g:Customer", "customer", "urn:g:name", "urn:g:nation"),
+        refMol("urn:g:Nation", "nation", "urn:g:name")),
+      // authoritative claim: nation objects are instances of NOTHING here
+      links = Map(("urn:g:Customer", "urn:g:nation") -> Nil))
+    intercept[ProvablyEmptyException] {
+      Decomposer.decompose(ambiguousTriples, cat)
+    }
+  }
+
+  test("absent link entries never prune (unknown is not authority)") {
+    val cat = Catalog(
+      List(
+        refMol("urn:g:Customer", "customer", "urn:g:name", "urn:g:nation"),
+        refMol("urn:g:Nation", "nation", "urn:g:name", "urn:g:region"),
+        refMol("urn:g:Region", "region", "urn:g:name")),
+      // some OTHER predicate is probed; g:nation itself is not
+      links = Map(("urn:g:Nation", "urn:g:region") -> List("urn:g:Region")))
+    val stars = Decomposer.decompose(ambiguousTriples, cat)
+    assert(stars.find(_.subject == Var("n")).get.sources.size == 3)
+  }
+
+  // ---- wire-probed catalog: pruning + provably-empty over HTTP --------------
+
+  test("wire-probed links prune the ambiguous star and answer correctly") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val server = new GraftServer(scopedGraft(epMolTypes))
+    val port = server.start()
+    try {
+      val probed = EndpointCatalogGen.probe(s"http://127.0.0.1:$port/sparql")
+      // the decomposition over the wire catalog resolves ?n to Nation alone
+      val stars = Decomposer.decompose(ambiguousTriples, probed.catalog)
+      val nStar = stars.find(_.subject == Var("n")).get
+      assert(nStar.sources.map(_.primary.rdfType) == List("urn:g:Nation"))
+      // and the full query matches the relational truth
+      val g = new Graft(probed.catalog, probed.loader)
+      val got = g.sparql(
+        """PREFIX g: <urn:g:>
+          |SELECT ?c ?nname WHERE {
+          |  ?c a g:Customer ; g:nation ?n .
+          |  ?n g:name ?nname .
+          |} ORDER BY ?c""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      import org.apache.spark.sql.functions.col
+      val want = spark.read.parquet(s"$sfDir/customer.parquet")
+        .join(spark.read.parquet(s"$sfDir/nation.parquet"),
+          col("c_nationkey") === col("n_nationkey"))
+        .selectExpr("'urn:g:cust:' || c_custkey AS c", "n_name AS nname")
+        .orderBy("c")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(got.nonEmpty && got == want)
+      // a type-contradicting chain is PROVABLY empty through the link map
+      // (count 0, not an error): customer.nation never reaches a Region
+      val zero = g.sparql(
+        """PREFIX g: <urn:g:>
+          |SELECT (COUNT(?c) AS ?count) WHERE {
+          |  ?c a g:Customer ; g:nation ?n .
+          |  ?n a g:Region ; g:name ?x .
+          |}""".stripMargin).collect()
+      assert(zero.length == 1 && zero(0).getLong(0) == 0L)
+    } finally server.stop()
+  }
+
+  test("federation cross-endpoint containment probe restores split links") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    // customer lives on endpoint A; nation+region on endpoint B — within-
+    // endpoint probing alone would claim (Customer, g:nation) links NOTHING
+    // (an authoritative empty claim that would mis-prune the federation);
+    // the cross-endpoint containment probe must restore the Nation range
+    val srvA = new GraftServer(scopedGraft(Set("urn:g:Customer")))
+    val srvB = new GraftServer(scopedGraft(Set("urn:g:Nation", "urn:g:Region")))
+    val pa = srvA.start(); val pb = srvB.start()
+    try {
+      val epA = s"http://127.0.0.1:$pa/sparql"
+      val epB = s"http://127.0.0.1:$pb/sparql"
+      val probeA = EndpointCatalogGen.probe(epA)
+      val probeB = EndpointCatalogGen.probe(epB)
+      assert(probeA.links == Map(("urn:g:Customer", "urn:g:nation") -> Nil),
+        "within-endpoint probe can't see the cross-endpoint range")
+      val links = EndpointCatalogGen.crossLinks(
+        Seq(epA -> probeA, epB -> probeB))
+      assert(links(("urn:g:Customer", "urn:g:nation")) == List("urn:g:Nation"))
+      assert(links(("urn:g:Nation", "urn:g:region")) == List("urn:g:Region"))
+      // the federated Graft prunes the ambiguous star across endpoints...
+      val g = Graft.overSparqlEndpoints(Seq(epA, epB))
+      val stars = Decomposer.decompose(ambiguousTriples, g.catalog)
+      assert(stars.find(_.subject == Var("n")).get.sources
+        .map(_.primary.rdfType) == List("urn:g:Nation"))
+      // ...and still answers the ambiguous query correctly
+      val got = g.sparql(
+        """PREFIX g: <urn:g:>
+          |SELECT ?nname (COUNT(?c) AS ?ncust) WHERE {
+          |  ?c a g:Customer ; g:nation ?n .
+          |  ?n g:name ?nname .
+          |} GROUP BY ?nname ORDER BY ?nname""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      import org.apache.spark.sql.functions.col
+      val want = spark.read.parquet(s"$sfDir/customer.parquet")
+        .join(spark.read.parquet(s"$sfDir/nation.parquet"),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name").count().orderBy("n_name")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got.nonEmpty && got == want)
+    } finally { srvA.stop(); srvB.stop() }
+  }
+
+  // ---- paging robustness under multi-valued predicates ----------------------
+
+  /** Minimal SPARQL endpoint whose one concept fans out: 3 subjects with
+    * 2, 3 and 2 values — 7 solution rows against a subject-count of 3. A
+    * GraftServer over tabular molecules can't produce this shape, so the
+    * fixture serves SRJ documents directly, honouring LIMIT/OFFSET. */
+  private def fanOutServer(): (com.sun.net.httpserver.HttpServer, Int) = {
+    val rows = Seq(
+      ("urn:t:s1", "a"), ("urn:t:s1", "b"),
+      ("urn:t:s2", "c"), ("urn:t:s2", "d"), ("urn:t:s2", "e"),
+      ("urn:t:s3", "f"), ("urn:t:s3", "g"))
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/sparql", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val q = java.net.URLDecoder.decode(
+        body.split("&").find(_.startsWith("query=")).get.drop(6), "UTF-8")
+      val lim = "LIMIT (\\d+)".r.findFirstMatchIn(q).map(_.group(1).toInt)
+        .getOrElse(rows.size)
+      val off = "OFFSET (\\d+)".r.findFirstMatchIn(q).map(_.group(1).toInt)
+        .getOrElse(0)
+      val page = rows.slice(off, off + lim)
+      val bindings = page.map { case (s, v) =>
+        s"""{"s":{"type":"uri","value":"$s"},"v":{"type":"literal","value":"$v"}}"""
+      }.mkString(",")
+      val doc = s"""{"head":{"vars":["s","v"]},"results":{"bindings":[$bindings]}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/sparql-results+json")
+      ex.sendResponseHeaders(200, doc.length)
+      ex.getResponseBody.write(doc); ex.close()
+    })
+    srv.start()
+    (srv, srv.getAddress.getPort)
+  }
+
+  test("knownTotal is a plan hint: the tail partition pages past it") {
+    val (srv, port) = fanOutServer()
+    try {
+      val schema = StructType(Seq(StructField("s", StringType),
+        StructField("v", StringType)))
+      // probed subject-cardinality 3, page size 2: a truncating reader
+      // would stop at 4 rows; the tail partition must keep paging to 7
+      val df = SparqlHttp.pagedSource(s"http://127.0.0.1:$port/sparql",
+        "SELECT ?s ?v WHERE { ?s <urn:t:p> ?v } ORDER BY ?s ?v", schema,
+        pageSize = 2, knownTotal = Some(3L)).load(spark)
+      val got = df.collect().map(r => (r.getString(0), r.getString(1))).sorted
+      assert(got.length == 7, s"expected all 7 fan-out rows, got ${got.length}")
+      assert(got.distinct.length == 7, "no page-boundary duplicates")
+    } finally srv.stop(0)
+  }
+
+  test("per-concept fetch orders by subject AND every fetched variable") {
+    val q = EndpointCatalogGen.fetchQuery("urn:g:Nation",
+      List("urn:g:name" -> "name", "urn:g:region" -> "region"))
+    assert(q.endsWith("ORDER BY ?s ?name ?region"),
+      s"pagination sort key must be total:\n$q")
+    // no predicates: still subject-ordered, no trailing garbage
+    assert(EndpointCatalogGen.fetchQuery("urn:g:T", Nil).endsWith("ORDER BY ?s"))
+  }
+
+  // ---- sample-based datatype sniffing ---------------------------------------
+
+  /** Endpoint whose predicate serves mixed datatypes: first binding integer,
+    * later ones plain strings — a first-row sniffer would mistype LongType
+    * and the fetch cast would throw on "oops". */
+  private def mixedTypeServer(): (com.sun.net.httpserver.HttpServer, Int) = {
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/sparql", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val doc =
+        """{"head":{"vars":["v"]},"results":{"bindings":[
+          |{"v":{"type":"literal","datatype":"http://www.w3.org/2001/XMLSchema#integer","value":"7"}},
+          |{"v":{"type":"literal","value":"oops"}}
+          |]}}""".stripMargin.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/sparql-results+json")
+      ex.sendResponseHeaders(200, doc.length)
+      ex.getResponseBody.write(doc); ex.close()
+    })
+    srv.start()
+    (srv, srv.getAddress.getPort)
+  }
+
+  test("mixed-datatype predicates sniff as StringType, not the first row's type") {
+    val (srv, port) = mixedTypeServer()
+    try {
+      val (dt, isUri) = EndpointCatalogGen.sniffTypeKind(
+        s"http://127.0.0.1:$port/sparql", "urn:t:T", "urn:t:p")
+      assert(dt == StringType && !isUri)
+    } finally srv.stop(0)
+  }
+}
