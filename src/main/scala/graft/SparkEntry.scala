@@ -60,6 +60,30 @@ object SparkEntry {
   private def graftAuto(s: SparkSession, dir: String): Graft =
     Graft.overProbedParquetDir(dir, autogenTables, autogenAliases)(s)
 
+  /** Boot a loopback [[graft.api.GraftServer]] over the catalog molecules
+    * scoped to `types`, wire-probe it (fingerprint-cached — rows sharing a
+    * scope pay the sniff/link probes once per session), answer `query`
+    * through the paged-HTTP endpoint catalog, and materialize before the
+    * endpoint stops (fetches run at action time). */
+  private def endpointRow(s: SparkSession, d: String, types: Set[String],
+                          query: String,
+                          sortCols: Seq[String] = Nil): DataFrame = {
+    implicit val sp: SparkSession = s
+    val inner = Graft.overParquetDir(
+      _root_.graft.mapping.Catalog(TpchCatalog.catalog.molecules.filter(m =>
+        types.contains(m.rdfType))), d)
+    val server = new _root_.graft.api.GraftServer(inner)
+    val port = server.start()
+    try {
+      val g = Graft.overSparqlEndpoint(s"http://127.0.0.1:$port/sparql")
+      val df0 = g.sparql(query)
+      val df = if (sortCols.isEmpty) df0
+               else df0.orderBy(sortCols.map(col): _*)
+      val rows = df.collect()
+      s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), df.schema)
+    } finally server.stop()
+  }
+
   /** BPE merge tables are train-once/apply-many artifacts (the trainer is
     * deterministic, [[graft.pipeline.Bpe.train]]), so the three doc_bpe*
     * fixtures share one training run per (dir, nMerges) — the first
@@ -85,7 +109,9 @@ object SparkEntry {
       // parity) inside the row — they verify the endpoint catalog path,
       // they don't measure engine throughput (the reference's
       // create_rdfmts runs for minutes as an offline job)
-      "autogen_endpoint_join", "autogen_endpoint_federation")
+      "autogen_endpoint_join", "autogen_endpoint_federation",
+      "autogen_endpoint_pruned", "autogen_endpoint_optional",
+      "autogen_endpoint_path", "autogen_endpoint_construct")
 
   /** Hourly event counts per type — the shared input of both anomaly
     * rows (one definition ⇒ Catalyst's ReusedExchange can share the
@@ -476,28 +502,37 @@ object SparkEntry {
     // the DiscoveryTranslators protocol + SparqlHttp transport against a
     // loopback GraftServer, then a 3-star join answered through paged HTTP
     // fetches whose page plans come from the probed cardinalities
-    "autogen_endpoint_join" -> ((s, d) => {
-      implicit val sp: SparkSession = s
-      val inner = Graft.overParquetDir(
-        _root_.graft.mapping.Catalog(TpchCatalog.catalog.molecules.filter(m =>
-          Set("urn:g:Customer", "urn:g:Nation", "urn:g:Region")
-            .contains(m.rdfType))), d)
-      val server = new _root_.graft.api.GraftServer(inner)
-      val port = server.start()
-      try {
-        val g = Graft.overSparqlEndpoint(s"http://127.0.0.1:$port/sparql")
-        val df = g.sparql(
-          """PREFIX g: <urn:g:>
-            |SELECT ?rname (COUNT(?c) AS ?ncust) WHERE {
-            |  ?c a g:Customer ; g:nation ?n .
-            |  ?n a g:Nation ; g:region ?r .
-            |  ?r a g:Region ; g:name ?rname .
-            |} GROUP BY ?rname ORDER BY ?rname""".stripMargin)
-        // materialize before the endpoint stops — the fetch runs at action
-        val rows = df.collect()
-        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), df.schema)
-      } finally server.stop()
-    }),
+    "autogen_endpoint_join" -> ((s, d) => endpointRow(s, d,
+      Set("urn:g:Customer", "urn:g:Nation", "urn:g:Region"),
+      """PREFIX g: <urn:g:>
+        |SELECT ?rname (COUNT(?c) AS ?ncust) WHERE {
+        |  ?c a g:Customer ; g:nation ?n .
+        |  ?n a g:Nation ; g:region ?r .
+        |  ?r a g:Region ; g:name ?rname .
+        |} GROUP BY ?rname ORDER BY ?rname""".stripMargin)),
+    // the r13 verdict's top ask, gated: a deliberately AMBIGUOUS
+    // multi-concept star — ?n carries only g:name, which Customer, Nation
+    // AND Region all serve, so only the wire-probed link ranges
+    // ((Customer, g:nation) → {Nation}) let the decomposer prune ?n to the
+    // Nation molecule (Round14Spec pins the pruned molecule list; this row
+    // pins the pruned plan's ANSWER against the relational oracle)
+    "autogen_endpoint_pruned" -> ((s, d) => endpointRow(s, d,
+      Set("urn:g:Customer", "urn:g:Nation", "urn:g:Region"),
+      """PREFIX g: <urn:g:>
+        |SELECT ?nname (COUNT(?c) AS ?ncust) WHERE {
+        |  ?c a g:Customer ; g:nation ?n .
+        |  ?n g:name ?nname .
+        |} GROUP BY ?nname ORDER BY ?nname""".stripMargin)),
+    // the wire-probed surface beyond BGP+aggregation (r13 verdict ask #4):
+    // OPTIONAL with empty-bag padding, a property path, and CONSTRUCT all
+    // answered through the paged-HTTP endpoint catalog, sharing the manual
+    // twins' oracles — catalog provenance must not change results
+    "autogen_endpoint_optional" -> ((s, d) => endpointRow(s, d,
+      Set("urn:g:Customer", "urn:g:Order"), SPARQL_OPTIONAL)),
+    "autogen_endpoint_path" -> ((s, d) => endpointRow(s, d,
+      Set("urn:g:Supplier", "urn:g:Nation", "urn:g:Region"), SPARQL_PATH)),
+    "autogen_endpoint_construct" -> ((s, d) => endpointRow(s, d,
+      Set("urn:g:Customer"), SPARQL_CONSTRUCT, sortCols = Seq("s"))),
     // TWO-endpoint federation — the reference's actual deployment shape
     // (one mediator, N endpoints): customer lives on endpoint A,
     // nation/region on endpoint B; both are wire-probed independently and
@@ -1865,6 +1900,13 @@ object SparkEntry {
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the ambiguous-star row: ?n is typed by nothing but the probed link
+    // ranges — the relational truth is the plain customer⋈nation rollup
+    "autogen_endpoint_pruned" ->
+      """SELECT n_name AS nname, CAST(COUNT(*) AS BIGINT) AS ncust
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // approx profile contract: exact metrics recomputed; nd_ok TRUE means
     // the HLL++ sketch landed within max(5% of exact, 8) — DuckDB asserts
@@ -3322,7 +3364,13 @@ object SparkEntry {
       "autogen_construct" -> "sparql_construct",
       // the two-endpoint federation answers the same rollup as the
       // single-endpoint row — one relational truth for both
-      "autogen_endpoint_federation" -> "autogen_endpoint_join")
+      "autogen_endpoint_federation" -> "autogen_endpoint_join",
+      // the broadened wire surface shares the manual twins' oracles:
+      // OPTIONAL/path/CONSTRUCT results must not depend on whether the
+      // catalog was declared, lake-probed, or wire-probed
+      "autogen_endpoint_optional" -> "sparql_optional",
+      "autogen_endpoint_path" -> "sparql_path",
+      "autogen_endpoint_construct" -> "sparql_construct")
       .map { case (auto, manual) => auto -> baseOracles(manual) }
 
   /** Exact top-5 cosine kNN for the three probe queries as a DuckDB CTE;

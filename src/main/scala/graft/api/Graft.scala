@@ -127,7 +127,9 @@ object Graft {
                          opts: graft.mapping.EndpointCatalogGen.EndpointOptions =
                            graft.mapping.EndpointCatalogGen.EndpointOptions())
                         (implicit spark: SparkSession): Graft = {
-    val probed = graft.mapping.EndpointCatalogGen.probe(endpoint, opts)
+    // fingerprint-keyed probe cache: a re-deployed endpoint with unchanged
+    // content (new port, fresh session) pays only the skeleton queries
+    val (_, probed) = graft.mapping.EndpointCatalogGen.probeCached(endpoint, opts)
     new Graft(probed.catalog, probed.loader)
   }
 
@@ -145,7 +147,9 @@ object Graft {
                             graft.mapping.EndpointCatalogGen.EndpointOptions())
                          (implicit spark: SparkSession): Graft = {
     require(endpoints.nonEmpty, "no endpoints given")
-    val probes = endpoints.map(e => graft.mapping.EndpointCatalogGen.probe(e, opts))
+    val fpProbes = endpoints.map(e =>
+      graft.mapping.EndpointCatalogGen.probeCached(e, opts))
+    val probes = fpProbes.map(_._2)
     val molecules = probes.zipWithIndex.flatMap { case (p, i) =>
       p.catalog.molecules.map(m => m.copy(table = s"e${i}_${m.table}"))
     }
@@ -155,9 +159,10 @@ object Graft {
     // a single endpoint's link probe can't see that its IRI objects are
     // typed instances on ANOTHER endpoint — merge the per-endpoint ranges
     // and containment-probe the cross-endpoint pairs before the catalog's
-    // link claims become authoritative for join-link pruning
-    val links = graft.mapping.EndpointCatalogGen.crossLinks(
-      endpoints.zip(probes))
+    // link claims become authoritative for join-link pruning; cached by
+    // the members' content fingerprints like the per-endpoint shapes
+    val links = graft.mapping.EndpointCatalogGen.crossLinksCached(
+      endpoints.zip(probes), fpProbes.map(_._1))
     new Graft(graft.mapping.Catalog(molecules.toList, links), t => loaders(t)())
   }
 }

@@ -122,28 +122,67 @@ object EndpointCatalogGen {
       cols.map { case (p, c) => s"OPTIONAL { ?s <$p> ?$c } " }.mkString +
       s"} ORDER BY ?s ${cols.map("?" + _._2).mkString(" ")}".stripTrailing()
 
-  /** Probe `endpoint` with the reference discovery protocol and build the
-    * catalog + table loaders. Probe cost: 1 concept sweep + per concept one
-    * predicate sweep, one cardinality count, and one LIMIT-1 type sniff per
-    * predicate — a deploy-time operation, like every `create_rdfmts.py`
-    * run. */
-  def probe(endpoint: String, opts: EndpointOptions = EndpointOptions())
-           (implicit spark: SparkSession): Probed = {
-    val tSchema = StructType(Seq(StructField("t", StringType),
-      StructField("label", StringType)))
-    val pSchema = StructType(Seq(StructField("p", StringType),
-      StructField("label", StringType)))
-    val cSchema = StructType(Seq(StructField("count", LongType)))
+  /** The cheap first pass of discovery — concepts, their predicate lists
+    * and cardinalities (1 + 2·|concepts| queries). It is both the input
+    * to the expensive pass ([[shapeOf]]: datatype sniffs + link probes,
+    * |preds| + |uri-preds|·|concepts| more queries) and the CONTENT
+    * FINGERPRINT of the endpoint: two endpoints with identical skeletons
+    * serve the same catalog structure, so a probed [[Shape]] can be reused
+    * across sessions/ports without re-paying the expensive pass — the
+    * in-process twin of [[CatalogCache]]'s sidecar split (the reference
+    * equally splits `create_rdfmts.py` deploy-time probing from query-time
+    * catalog loads). */
+  private final case class Skeleton(concepts: List[String],
+                                    preds: Map[String, List[String]],
+                                    cards: Map[String, Long]) {
+    def fingerprint: String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      concepts.foreach { t =>
+        md.update(s"$t=${cards(t)}:${preds(t).mkString(",")};"
+          .getBytes("UTF-8"))
+      }
+      md.digest().map("%02x".format(_)).mkString
+    }
+  }
+
+  private val tSchema = StructType(Seq(StructField("t", StringType),
+    StructField("label", StringType)))
+  private val pSchema = StructType(Seq(StructField("p", StringType),
+    StructField("label", StringType)))
+  private val cSchema = StructType(Seq(StructField("count", LongType)))
+
+  private def skeletonOf(endpoint: String): Skeleton = {
     val concepts = SparqlHttp.select(endpoint, D.sparqlTypedConcepts, tSchema)
-      .map(_.getString(0)).distinct.sorted
+      .map(_.getString(0)).distinct.sorted.toList
     require(concepts.nonEmpty, s"endpoint $endpoint exposes no typed concepts")
-    val usedTables = scala.collection.mutable.Set.empty[String]
-    val probed = concepts.map { t =>
-      val preds = SparqlHttp.select(endpoint, D.sparqlPredicates(t), pSchema)
-        .map(_.getString(0)).filter(_ != RdfType).distinct.sorted
-      val card = SparqlHttp.select(endpoint,
-          D.sparqlCardinality(Some(t)), cSchema)
+    val preds = concepts.map { t =>
+      t -> SparqlHttp.select(endpoint, D.sparqlPredicates(t), pSchema)
+        .map(_.getString(0)).filter(_ != RdfType).distinct.sorted.toList
+    }.toMap
+    val cards = concepts.map { t =>
+      t -> SparqlHttp.select(endpoint, D.sparqlCardinality(Some(t)), cSchema)
         .headOption.map(_.getLong(0)).getOrElse(0L)
+    }.toMap
+    Skeleton(concepts, preds, cards)
+  }
+
+  /** Endpoint-free probe result: everything [[probe]] discovers except the
+    * endpoint binding itself, so a cache hit can rebind the same structure
+    * to a different URL ([[bind]]). */
+  private[graft] final case class Shape(
+      molecules: List[Molecule],
+      links: Map[(String, String), List[String]],
+      /** table → (fetch query, schema, probed cardinality) */
+      fetches: Map[String, (String, StructType, Long)])
+
+  /** The expensive second pass: per-predicate datatype sniffs and
+    * inter-concept link probes over an already-fetched [[Skeleton]]. */
+  private def shapeOf(endpoint: String, sk: Skeleton,
+                      opts: EndpointOptions): Shape = {
+    val usedTables = scala.collection.mutable.Set.empty[String]
+    val probed = sk.concepts.map { t =>
+      val preds = sk.preds(t)
+      val card = sk.cards(t)
       val cols = assignCols(preds)
       val base = localName(t).toLowerCase
       var table = base
@@ -155,10 +194,6 @@ object EndpointCatalogGen {
       }
       val schema = StructType(StructField("s", StringType) +:
         kinds.map { case (_, c, (dt, _)) => StructField(c, dt, nullable = true) })
-      val q = fetchQuery(t, cols)
-      val ps = opts.pageSize
-      val loader = () => SparqlHttp.pagedSource(endpoint, q, schema, ps,
-        knownTotal = Some(card)).load(spark)
       val m = Molecule(
         rdfType = t, table = table,
         subject = Template("{s}"),
@@ -166,7 +201,8 @@ object EndpointCatalogGen {
         source = endpoint,
         broadcastHint = card <= opts.broadcastRowThreshold,
         cardinality = card)
-      (m, table -> loader, kinds.collect { case (p, _, (_, true)) => p })
+      (m, table -> (fetchQuery(t, cols), schema, card),
+        kinds.collect { case (p, _, (_, true)) => p })
     }
     // inter-concept link discovery (`create_inter_ds_links`): for every
     // IRI-valued predicate, count instances whose object is typed as each
@@ -180,15 +216,58 @@ object EndpointCatalogGen {
       (m, _, uriPreds) <- probed
       p <- uriPreds
     } yield {
-      val ranges = concepts.filter { u =>
+      val ranges = sk.concepts.filter { u =>
         SparqlHttp.select(endpoint,
             D.sparqlCardinality(Some(m.rdfType), Some(p), Some(u)), cSchema)
           .headOption.exists(_.getLong(0) > 0L)
       }
       (m.rdfType, p) -> ranges.sorted.toList
     }).toMap
-    Probed(Catalog(probed.map(_._1).toList, links),
-      probed.map(t => t._2).toMap, links)
+    Shape(probed.map(_._1), links, probed.map(_._2).toMap)
+  }
+
+  /** Bind a probed [[Shape]] to a live endpoint URL: molecules re-source,
+    * each table becomes a distributed paged fetch against `endpoint`. */
+  private def bind(shape: Shape, endpoint: String, opts: EndpointOptions)
+                  (implicit spark: SparkSession): Probed = {
+    val molecules = shape.molecules.map(_.copy(source = endpoint))
+    val loaders = shape.fetches.map { case (table, (q, schema, card)) =>
+      table -> (() => SparqlHttp.pagedSource(endpoint, q, schema,
+        opts.pageSize, knownTotal = Some(card)).load(spark))
+    }
+    Probed(Catalog(molecules, shape.links), loaders, shape.links)
+  }
+
+  /** Probe `endpoint` with the reference discovery protocol and build the
+    * catalog + table loaders. Probe cost: 1 concept sweep + per concept one
+    * predicate sweep, one cardinality count, and one sampled type sniff per
+    * predicate, plus the link probes — a deploy-time operation, like every
+    * `create_rdfmts.py` run. */
+  def probe(endpoint: String, opts: EndpointOptions = EndpointOptions())
+           (implicit spark: SparkSession): Probed = {
+    val sk = skeletonOf(endpoint)
+    bind(shapeOf(endpoint, sk, opts), endpoint, opts)
+  }
+
+  private val shapeCache =
+    scala.collection.concurrent.TrieMap[(String, EndpointOptions), Shape]()
+
+  /** [[probe]] behind a process-level cache keyed by the endpoint's CONTENT
+    * fingerprint (concepts + predicate lists + cardinalities — the
+    * [[Skeleton]], 1 + 2·|concepts| queries): a second probe of an
+    * identical-content endpoint (same data behind a new URL/port, or a
+    * fresh session against an unchanged store) pays only the skeleton
+    * queries and reuses the sniff/link work, rebound to the new URL. Any
+    * content change — a concept, predicate, or cardinality — changes the
+    * fingerprint and forces a full re-probe. Returns the fingerprint with
+    * the catalog so federations can cache their cross-endpoint link probes
+    * by member fingerprints ([[crossLinksCached]]). */
+  def probeCached(endpoint: String, opts: EndpointOptions = EndpointOptions())
+                 (implicit spark: SparkSession): (String, Probed) = {
+    val sk = skeletonOf(endpoint)
+    val fp = sk.fingerprint
+    val shape = shapeCache.getOrElseUpdate((fp, opts), shapeOf(endpoint, sk, opts))
+    (fp, bind(shape, endpoint, opts))
   }
 
   /** Cross-endpoint link discovery for federations — the inter-dataset
@@ -239,4 +318,17 @@ object EndpointCatalogGen {
     }
     merged.view.mapValues(_.toList.sorted).toMap
   }
+
+  private val crossLinksCache = scala.collection.concurrent.TrieMap[
+    Seq[String], Map[(String, String), List[String]]]()
+
+  /** [[crossLinks]] behind a cache keyed by the SORTED member fingerprints
+    * (from [[probeCached]]): link keys are (concept, predicate) pairs, so
+    * the merged map is independent of member order and URLs — a federation
+    * of identical-content endpoints re-probes nothing. */
+  def crossLinksCached(probes: Seq[(String, Probed)], fps: Seq[String],
+                       batch: Int = 100, pageSize: Int = 10000)
+      : Map[(String, String), List[String]] =
+    crossLinksCache.getOrElseUpdate(fps.sorted,
+      crossLinks(probes, batch, pageSize))
 }

@@ -162,6 +162,61 @@ class Round14Spec extends SparkTestBase {
     } finally { srvA.stop(); srvB.stop() }
   }
 
+  // ---- fingerprint-keyed probe cache ----------------------------------------
+
+  test("probe cache: a content-identical endpoint pays only the skeleton queries") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val srv1 = new GraftServer(scopedGraft(epMolTypes))
+    val p1 = srv1.start()
+    val (fp1, probed1) =
+      try EndpointCatalogGen.probeCached(s"http://127.0.0.1:$p1/sparql")
+      finally srv1.stop()
+    // SAME data behind a NEW server/port: the cache must rebind, not re-probe
+    val srv2 = new GraftServer(scopedGraft(epMolTypes))
+    val p2 = srv2.start()
+    try {
+      val ep2 = s"http://127.0.0.1:$p2/sparql"
+      val (fp2, probed2) = EndpointCatalogGen.probeCached(ep2)
+      assert(fp2 == fp1)
+      // warm path = concept sweep + per-concept (predicates + cardinality):
+      // 1 + 2·3 = 7 requests, ZERO sniff/link/fetch probes
+      assert(srv2.queriesServed.get() == 7L,
+        s"warm probe should cost exactly the skeleton, served ${srv2.queriesServed.get()}")
+      assert(probed2.catalog.molecules.map(_.copy(source = "")) ==
+        probed1.catalog.molecules.map(_.copy(source = "")))
+      assert(probed2.links == probed1.links)
+      // and the rebound loaders fetch from the NEW endpoint correctly
+      val n = probed2.loader("nation").count()
+      assert(n == spark.read.parquet(s"$sfDir/nation.parquet").count())
+    } finally srv2.stop()
+  }
+
+  test("federation cross-link probes are cached by member fingerprints") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    def boot() = {
+      val a = new GraftServer(scopedGraft(Set("urn:g:Customer")))
+      val b = new GraftServer(scopedGraft(Set("urn:g:Nation", "urn:g:Region")))
+      (a, a.start(), b, b.start())
+    }
+    val (a1, pa1, b1, pb1) = boot()
+    try Graft.overSparqlEndpoints(Seq(
+      s"http://127.0.0.1:$pa1/sparql", s"http://127.0.0.1:$pb1/sparql"))
+    finally { a1.stop(); b1.stop() }
+    val (a2, pa2, b2, pb2) = boot()
+    try {
+      val g = Graft.overSparqlEndpoints(Seq(
+        s"http://127.0.0.1:$pa2/sparql", s"http://127.0.0.1:$pb2/sparql"))
+      // warm: per endpoint only its skeleton (1 concept → 3; 2 concepts → 5),
+      // zero cross-endpoint containment probes
+      assert(a2.queriesServed.get() == 3L,
+        s"endpoint A warm probe, served ${a2.queriesServed.get()}")
+      assert(b2.queriesServed.get() == 5L,
+        s"endpoint B warm probe, served ${b2.queriesServed.get()}")
+      assert(g.catalog.links(("urn:g:Customer", "urn:g:nation")) ==
+        List("urn:g:Nation"))
+    } finally { a2.stop(); b2.stop() }
+  }
+
   // ---- paging robustness under multi-valued predicates ----------------------
 
   /** Minimal SPARQL endpoint whose one concept fans out: 3 subjects with
@@ -221,6 +276,46 @@ class Round14Spec extends SparkTestBase {
       s"pagination sort key must be total:\n$q")
     // no predicates: still subject-ordered, no trailing garbage
     assert(EndpointCatalogGen.fetchQuery("urn:g:T", Nil).endsWith("ORDER BY ?s"))
+  }
+
+  // ---- GraftExtensions wiring, end-to-end -----------------------------------
+
+  test("a withExtensions session serves the injected SQL surface (3-arg topk_ids)") {
+    val base = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    // getOrCreate with no active/default session builds a NEW SparkSession
+    // on the shared SparkContext and applies the builder's extensions —
+    // the real spark.sql.extensions deployment path, not a temp-function
+    // stand-in
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    try {
+      assert(s2 ne base)
+      val top = s2.sql(
+        "SELECT topk_ids(s, i, 2) AS top FROM VALUES (1.0D, 10L), " +
+          "(3.0D, 30L), (2.0D, 20L) AS t(s, i)")
+        .collect()(0).getSeq[Long](0)
+      assert(top == Seq(30L, 20L))
+      // the extension's builder REQUIRES the k literal — 2-arg is its
+      // declared error, surfaced through analysis
+      val e = intercept[Exception] {
+        s2.sql("SELECT topk_ids(s, i) FROM VALUES (1.0D, 10L) AS t(s, i)")
+          .collect()
+      }
+      def messages(t: Throwable): List[String] =
+        if (t == null) Nil else Option(t.getMessage).toList ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("topk_ids needs (score, id, k)")),
+        s"expected the builder's own error, got ${messages(e)}")
+      // a scalar injected function through the same wiring
+      assert(s2.sql("SELECT blocklist_terms('a bad doc', 'bad', 'worse') AS n")
+        .collect()(0).getLong(0) == 1L)
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+    }
   }
 
   // ---- sample-based datatype sniffing ---------------------------------------
