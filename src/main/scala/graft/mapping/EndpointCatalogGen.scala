@@ -172,8 +172,9 @@ object EndpointCatalogGen {
   private[graft] final case class Shape(
       molecules: List[Molecule],
       links: Map[(String, String), List[String]],
-      /** table → (fetch query, schema, probed cardinality) */
-      fetches: Map[String, (String, StructType, Long)])
+      /** table → (concept IRI, (predicate, column) pairs, schema,
+        * probed cardinality) */
+      fetches: Map[String, (String, List[(String, String)], StructType, Long)])
 
   /** The expensive second pass: per-predicate datatype sniffs and
     * inter-concept link probes over an already-fetched [[Skeleton]]. */
@@ -201,7 +202,7 @@ object EndpointCatalogGen {
         source = endpoint,
         broadcastHint = card <= opts.broadcastRowThreshold,
         cardinality = card)
-      (m, table -> (fetchQuery(t, cols), schema, card),
+      (m, table -> (t, cols, schema, card),
         kinds.collect { case (p, _, (_, true)) => p })
     }
     // inter-concept link discovery (`create_inter_ds_links`): for every
@@ -227,13 +228,24 @@ object EndpointCatalogGen {
   }
 
   /** Bind a probed [[Shape]] to a live endpoint URL: molecules re-source,
-    * each table becomes a distributed paged fetch against `endpoint`. */
+    * each table becomes a [[graft.sources.SparqlEndpointSource]] scan
+    * against `endpoint` — a DataSource V2 relation, so Catalyst pushes
+    * column pruning and translatable filters INTO the remote query (the
+    * reference's wrappers equally receive per-star queries, never whole
+    * concepts) while the probed cardinality still sizes the page plan. */
   private def bind(shape: Shape, endpoint: String, opts: EndpointOptions)
                   (implicit spark: SparkSession): Probed = {
     val molecules = shape.molecules.map(_.copy(source = endpoint))
-    val loaders = shape.fetches.map { case (table, (q, schema, card)) =>
-      table -> (() => SparqlHttp.pagedSource(endpoint, q, schema,
-        opts.pageSize, knownTotal = Some(card)).load(spark))
+    val loaders = shape.fetches.map { case (table, (t, cols, schema, card)) =>
+      table -> (() => spark.read
+        .format("graft.sources.SparqlEndpointSource")
+        .schema(schema)
+        .option("endpoint", endpoint)
+        .option("type", t)
+        .option("cols", graft.sources.SparqlEndpointSource.encodeCols(cols))
+        .option("pageSize", opts.pageSize.toString)
+        .option("cardinality", card.toString)
+        .load())
     }
     Probed(Catalog(molecules, shape.links), loaders, shape.links)
   }

@@ -278,6 +278,73 @@ class Round14Spec extends SparkTestBase {
     assert(EndpointCatalogGen.fetchQuery("urn:g:T", Nil).endsWith("ORDER BY ?s"))
   }
 
+  // ---- DSv2 endpoint scan: pruning + filter pushdown ------------------------
+
+  test("filter translation: Catalyst filters become SPARQL FILTER bodies") {
+    import org.apache.spark.sql.sources._
+    val types: Map[String, org.apache.spark.sql.types.DataType] = Map(
+      "s" -> StringType, "name" -> StringType, "bal" -> DoubleType,
+      "n" -> LongType, "ok" -> BooleanType, "d" -> DateType)
+    def t(f: Filter) = graft.sources.SparqlEndpointSource.toSparql(f, types)
+    assert(t(EqualTo("name", "x\"y")) == Some("STR(?name) = \"x\\\"y\""))
+    assert(t(GreaterThan("bal", 1.5)) == Some("?bal > 1.5"))
+    assert(t(In("n", Array(1L, 2L))) == Some("?n IN (1, 2)"))
+    assert(t(IsNotNull("name")) == Some("BOUND(?name)"))
+    assert(t(StringContains("name", "ab")) ==
+      Some("CONTAINS(STR(?name), \"ab\")"))
+    assert(t(Or(EqualTo("n", 1L), And(LessThan("bal", 2.0), IsNull("ok")))) ==
+      Some("(?n = 1 || (?bal < 2.0 && !BOUND(?ok)))"))
+    // untranslatable shapes stay Spark-side: dates, unknown columns,
+    // non-finite literals, mixed Or
+    assert(t(EqualTo("d", java.sql.Date.valueOf("2020-01-01"))).isEmpty)
+    assert(t(EqualTo("ghost", "x")).isEmpty)
+    assert(t(GreaterThan("bal", Double.NaN)).isEmpty)
+    assert(t(Or(EqualTo("n", 1L), EqualTo("ghost", "x"))).isEmpty)
+  }
+
+  test("buildQuery keeps filter-only columns in the pattern, out of the projection") {
+    val q = graft.sources.SparqlEndpointSource.buildQuery(
+      "urn:g:Customer",
+      List("urn:g:name" -> "name", "urn:g:mktsegment" -> "mktsegment",
+        "urn:g:acctbal" -> "acctbal"),
+      required = Seq("s", "name"),
+      filters = Seq("STR(?mktsegment) = \"BUILDING\""),
+      filterCols = Set("mktsegment"))
+    assert(q.startsWith("SELECT ?s ?name WHERE"))
+    assert(q.contains("OPTIONAL { ?s <urn:g:mktsegment> ?mktsegment }"))
+    assert(!q.contains("acctbal"), s"unused predicate must be pruned:\n$q")
+    assert(q.contains("FILTER (STR(?mktsegment) = \"BUILDING\")"))
+    assert(q.endsWith("ORDER BY ?s ?name"))
+  }
+
+  test("endpoint scans push filters and prune columns into the remote query") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val server = new GraftServer(scopedGraft(epMolTypes))
+    val port = server.start()
+    try {
+      val g = Graft.overSparqlEndpoint(s"http://127.0.0.1:$port/sparql")
+      val df = g.sparql(
+        """PREFIX g: <urn:g:>
+          |SELECT ?c ?name WHERE {
+          |  ?c a g:Customer ; g:name ?name ; g:mktsegment "BUILDING" .
+          |} ORDER BY ?c""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      // the scan description carries the translated FILTER and the pruned
+      // column list — mktsegment is filter-only, acctbal is gone entirely
+      assert(plan.contains("pushed:"), s"no pushdown in plan:\n$plan")
+      assert(plan.contains("mktsegment") && !plan.contains("acctbal"),
+        s"column pruning missing:\n$plan")
+      val got = df.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      import org.apache.spark.sql.functions.col
+      val want = spark.read.parquet(s"$sfDir/customer.parquet")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .selectExpr("'urn:g:cust:' || c_custkey AS c", "c_name AS name")
+        .orderBy("c")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(got.nonEmpty && got == want)
+    } finally server.stop()
+  }
+
   // ---- GraftExtensions wiring, end-to-end -----------------------------------
 
   test("a withExtensions session serves the injected SQL surface (3-arg topk_ids)") {
