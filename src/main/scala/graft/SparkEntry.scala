@@ -111,7 +111,8 @@ object SparkEntry {
       // create_rdfmts runs for minutes as an offline job)
       "autogen_endpoint_join", "autogen_endpoint_federation",
       "autogen_endpoint_pruned", "autogen_endpoint_optional",
-      "autogen_endpoint_path", "autogen_endpoint_construct")
+      "autogen_endpoint_path", "autogen_endpoint_construct",
+      "autogen_endpoint_filter")
 
   /** Hourly event counts per type — the shared input of both anomaly
     * rows (one definition ⇒ Catalyst's ReusedExchange can share the
@@ -533,6 +534,13 @@ object SparkEntry {
       Set("urn:g:Supplier", "urn:g:Nation", "urn:g:Region"), SPARQL_PATH)),
     "autogen_endpoint_construct" -> ((s, d) => endpointRow(s, d,
       Set("urn:g:Customer"), SPARQL_CONSTRUCT, sortCols = Seq("s"))),
+    // the DSv2 pushdown path gated end-to-end: the acctbal range FILTER
+    // becomes a SPARQL FILTER evaluated inside the remote scan and the
+    // unused mktsegment predicate is pruned from the remote query
+    // (Round14Spec pins the plan shape; this row pins the ANSWER against
+    // the manual twin's relational oracle)
+    "autogen_endpoint_filter" -> ((s, d) => endpointRow(s, d,
+      Set("urn:g:Customer"), SPARQL_SCAN_FILTER)),
     // TWO-endpoint federation — the reference's actual deployment shape
     // (one mediator, N endpoints): customer lives on endpoint A,
     // nation/region on endpoint B; both are wire-probed independently and
@@ -3370,7 +3378,9 @@ object SparkEntry {
       // catalog was declared, lake-probed, or wire-probed
       "autogen_endpoint_optional" -> "sparql_optional",
       "autogen_endpoint_path" -> "sparql_path",
-      "autogen_endpoint_construct" -> "sparql_construct")
+      "autogen_endpoint_construct" -> "sparql_construct",
+      // the pushed-FILTER scan answers the manual twin's selective scan
+      "autogen_endpoint_filter" -> "sparql_scan_filter")
       .map { case (auto, manual) => auto -> baseOracles(manual) }
 
   /** Exact top-5 cosine kNN for the three probe queries as a DuckDB CTE;
