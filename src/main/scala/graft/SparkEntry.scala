@@ -67,7 +67,8 @@ object SparkEntry {
     * endpoint stops (fetches run at action time). */
   private def endpointRow(s: SparkSession, d: String, types: Set[String],
                           query: String,
-                          sortCols: Seq[String] = Nil): DataFrame = {
+                          sortCols: Seq[String] = Nil,
+                          ship: Boolean = false): DataFrame = {
     implicit val sp: SparkSession = s
     val inner = Graft.overParquetDir(
       _root_.graft.mapping.Catalog(TpchCatalog.catalog.molecules.filter(m =>
@@ -75,7 +76,9 @@ object SparkEntry {
     val server = new _root_.graft.api.GraftServer(inner)
     val port = server.start()
     try {
-      val g = Graft.overSparqlEndpoint(s"http://127.0.0.1:$port/sparql")
+      val g = Graft.overSparqlEndpoint(s"http://127.0.0.1:$port/sparql",
+        _root_.graft.mapping.EndpointCatalogGen.EndpointOptions(
+          shipWholeQuery = ship))
       val df0 = g.sparql(query)
       val df = if (sortCols.isEmpty) df0
                else df0.orderBy(sortCols.map(col): _*)
@@ -112,7 +115,9 @@ object SparkEntry {
       "autogen_endpoint_join", "autogen_endpoint_federation",
       "autogen_endpoint_pruned", "autogen_endpoint_optional",
       "autogen_endpoint_path", "autogen_endpoint_construct",
-      "autogen_endpoint_filter")
+      "autogen_endpoint_filter",
+      "autogen_endpoint_shipped_agg", "autogen_endpoint_shipped_join",
+      "autogen_endpoint_shipped_topk", "autogen_endpoint_shipped_ask")
 
   /** Hourly event counts per type — the shared input of both anomaly
     * rows (one definition ⇒ Catalyst's ReusedExchange can share the
@@ -541,6 +546,22 @@ object SparkEntry {
     // the manual twin's relational oracle)
     "autogen_endpoint_filter" -> ((s, d) => endpointRow(s, d,
       Set("urn:g:Customer"), SPARQL_SCAN_FILTER)),
+    // whole-query dispatch (QueryShip): when every star lives on the one
+    // probed endpoint, the mediator ships the query VERBATIM and pages
+    // only final rows — group rows for the aggregate, joined rows for the
+    // 3-star chain, one verbatim fetch for the bounded top-k, a boolean
+    // document for ASK. Each row shares its manual twin's relational
+    // oracle, so the gate pins shipped answers, not just plan shapes
+    // (Round14Spec pins transfer counts: one sizing COUNT + pages)
+    "autogen_endpoint_shipped_agg" -> ((s, d) => endpointRow(s, d,
+      Set("urn:g:Lineitem"), SPARQL_AGG_GROUP, ship = true)),
+    "autogen_endpoint_shipped_join" -> ((s, d) => endpointRow(s, d,
+      Set("urn:g:Customer", "urn:g:Order", "urn:g:Lineitem"),
+      SPARQL_JOIN_CHAIN, ship = true)),
+    "autogen_endpoint_shipped_topk" -> ((s, d) => endpointRow(s, d,
+      Set("urn:g:Customer", "urn:g:Supplier"), SPARQL_TOPK, ship = true)),
+    "autogen_endpoint_shipped_ask" -> ((s, d) => endpointRow(s, d,
+      Set("urn:g:Customer"), SPARQL_ASK, ship = true)),
     // TWO-endpoint federation — the reference's actual deployment shape
     // (one mediator, N endpoints): customer lives on endpoint A,
     // nation/region on endpoint B; both are wire-probed independently and
@@ -3380,7 +3401,12 @@ object SparkEntry {
       "autogen_endpoint_path" -> "sparql_path",
       "autogen_endpoint_construct" -> "sparql_construct",
       // the pushed-FILTER scan answers the manual twin's selective scan
-      "autogen_endpoint_filter" -> "sparql_scan_filter")
+      "autogen_endpoint_filter" -> "sparql_scan_filter",
+      // whole-query dispatch: shipped answers equal the manual twins'
+      "autogen_endpoint_shipped_agg" -> "sparql_agg_group",
+      "autogen_endpoint_shipped_join" -> "sparql_join_chain",
+      "autogen_endpoint_shipped_topk" -> "sparql_topk",
+      "autogen_endpoint_shipped_ask" -> "sparql_ask")
       .map { case (auto, manual) => auto -> baseOracles(manual) }
 
   /** Exact top-5 cosine kNN for the three probe queries as a DuckDB CTE;

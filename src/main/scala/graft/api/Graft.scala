@@ -13,15 +13,27 @@ import graft.parser.SparqlParser
   * boots a fresh SparkSession per query, `sparql2spark.py:103-112` — an
   * anti-pattern this rebuild eliminates).
   */
-final class Graft(val catalog: Catalog, tableLoader: String => DataFrame)
+final class Graft(val catalog: Catalog, tableLoader: String => DataFrame,
+                  ship: Option[graft.compiler.QueryShip.Config] = None)
                  (implicit spark: SparkSession) {
 
   private val cache = TrieMap[String, DataFrame]()
   private val compiler = new Compiler(catalog, t => cache.getOrElseUpdate(t, tableLoader(t)))
 
-  /** Execute a SPARQL query, returning the lazy result DataFrame. */
-  def sparql(query: String): DataFrame =
-    compiler.compile(SparqlParser.parseUnsafe(query))
+  /** Execute a SPARQL query, returning the lazy result DataFrame. When
+    * this Graft fronts a single SPARQL endpoint with whole-query dispatch
+    * enabled, a shippable query goes to the endpoint verbatim
+    * ([[graft.compiler.QueryShip]]) — the local compile still supplies the
+    * result schema, so both paths agree column-for-column. */
+  def sparql(query: String): DataFrame = {
+    val q = SparqlParser.parseUnsafe(query)
+    ship match {
+      case Some(cfg) if graft.compiler.QueryShip.shippable(q, cfg) =>
+        graft.compiler.QueryShip.ship(q, cfg,
+          compiler.compile(graft.compiler.QueryShip.schemaProxy(q)).schema)
+      case _ => compiler.compile(q)
+    }
+  }
 
   /** Compile an already-parsed query (the [[Experiment]] metrics path
     * times parse and compile separately). */
@@ -130,7 +142,9 @@ object Graft {
     // fingerprint-keyed probe cache: a re-deployed endpoint with unchanged
     // content (new port, fresh session) pays only the skeleton queries
     val (_, probed) = graft.mapping.EndpointCatalogGen.probeCached(endpoint, opts)
-    new Graft(probed.catalog, probed.loader)
+    new Graft(probed.catalog, probed.loader,
+      ship = Option.when(opts.shipWholeQuery)(
+        graft.compiler.QueryShip.Config(endpoint, opts.pageSize)))
   }
 
   /** Graft over a FEDERATION of SPARQL endpoints — the reference's actual

@@ -20,6 +20,57 @@ object SparqlText {
     s"SELECT ${vars.map("?" + _).mkString(" ")} WHERE { ${pattern(p)} }" +
       s" ORDER BY ${vars.map("?" + _).mkString(" ")}"
 
+  /** A complete SELECT/ASK query — the whole-query dispatch of
+    * [[QueryShip]] (a single-endpoint mediator ships the full query, the
+    * FedX-style "exclusive group" at query granularity). Modifier order
+    * follows the grammar: GROUP BY, HAVING, ORDER BY, LIMIT, OFFSET. */
+  def query(q: Query): String = q.form match {
+    case AskForm => s"ASK { ${pattern(q.pattern)} }"
+    case SelectForm =>
+      val proj =
+        if (q.projection.isEmpty) "*"
+        else q.projection.map(projItem).mkString(" ")
+      val dist = if (q.distinct) "DISTINCT " else ""
+      val grp =
+        if (q.groupBy.isEmpty) ""
+        else " GROUP BY " + q.groupBy.map("?" + _.name).mkString(" ")
+      val hav = q.having.fold("")(h => s" HAVING (${expr(h)})")
+      val ord =
+        if (q.orderBy.isEmpty) ""
+        else " ORDER BY " + q.orderBy.map(orderKey).mkString(" ")
+      val lim = q.limit.fold("")(" LIMIT " + _)
+      val off = q.offset.fold("")(" OFFSET " + _)
+      s"SELECT $dist$proj WHERE { ${pattern(q.pattern)} }$grp$hav$ord$lim$off"
+    case other => throw new UnsupportedOperationException(
+      s"cannot serialize $other query for endpoint dispatch")
+  }
+
+  def projItem(pi: ProjItem): String = pi match {
+    case ProjVar(v)      => s"?${v.name}"
+    case ProjExpr(e, as) => s"(${expr(e)} AS ?${as.name})"
+    case ProjAgg(fn, arg, d, as, sep) =>
+      s"(${aggCall(fn, if (d) "DISTINCT " else "", arg.map(expr), sep)} AS ?${as.name})"
+  }
+
+  /** One aggregate call body; `arg` None ⇒ `*`. The separator is emitted
+    * only for GROUP_CONCAT and only when it differs from the parser's
+    * default (a single space) — `SEPARATOR = " "` round-trips to the same
+    * AST either way. */
+  private def aggCall(fn: String, dist: String, arg: Option[String],
+                      sep: String): String = {
+    val sepTxt =
+      if (fn == "group_concat" && sep != " ")
+        s" ; SEPARATOR = ${"\"" + Terms.escapeNt(sep) + "\""}"
+      else ""
+    s"${fn.toUpperCase}($dist${arg.getOrElse("*")}$sepTxt)"
+  }
+
+  def orderKey(k: OrderKey): String = k.expr match {
+    case Expr.TermRef(Var(n)) if k.asc => s"?$n"
+    case e if k.asc                    => s"ASC(${expr(e)})"
+    case e                             => s"DESC(${expr(e)})"
+  }
+
   def pattern(p: Pattern): String = p match {
     case Pattern.Bgp(ts)       => ts.map(triple).mkString(" ")
     case Pattern.Join(l, r)    => s"${pattern(l)} ${pattern(r)}"
@@ -30,14 +81,17 @@ object SparqlText {
     case Pattern.Union(l, r)   => s"{ ${pattern(l)} } UNION { ${pattern(r)} }"
     case Pattern.Extend(p0, v, e) => s"${pattern(p0)} BIND (${expr(e)} AS ?${v.name})"
     case Pattern.Minus(l, r)   => s"${pattern(l)} MINUS { ${pattern(r)} }"
+    // EXISTS is a filter FORM, not an expression operand — no wrapping
+    // parens (the grammar, ours included, rejects `FILTER (EXISTS {…})`)
     case Pattern.Exists(l, r, pos) =>
-      s"${pattern(l)} FILTER (${if (pos) "" else "NOT "}EXISTS { ${pattern(r)} })"
+      s"${pattern(l)} FILTER ${if (pos) "" else "NOT "}EXISTS { ${pattern(r)} }"
     case Pattern.Values(vs, rows) =>
       val hdr = vs.map("?" + _.name).mkString("(", " ", ")")
       val body = rows.map(_.map(_.fold("UNDEF")(term)).mkString("(", " ", ")"))
         .mkString(" ")
       s"VALUES $hdr { $body }"
     case Pattern.Path(s, ast, o) => s"${term(s)} ${path(ast)} ${term(o)} ."
+    case Pattern.SubSelect(sq)   => s"{ ${query(sq)} }"
     case other => throw new UnsupportedOperationException(
       s"cannot serialize pattern for SERVICE dispatch: ${other.getClass.getSimpleName}")
   }
@@ -98,6 +152,13 @@ object SparqlText {
     case Expr.Not(x)           => s"(!${expr(x)})"
     case Expr.Call("in", subj :: items) =>
       s"(${expr(subj)} IN (${items.map(expr).mkString(", ")}))"
+    // aggregate calls in HAVING / projection-expression position — the
+    // parser encodes them "agg:<fn>" ("aggd:" under DISTINCT), empty
+    // args ⇒ COUNT(*)
+    case Expr.Call(name, args) if name.startsWith("agg:") || name.startsWith("aggd:") =>
+      aggCall(name.substring(name.indexOf(':') + 1),
+        if (name.startsWith("aggd:")) "DISTINCT " else "",
+        args.headOption.map(expr), " ")
     case Expr.Call(name, args) =>
       // IRI-named calls (ExprCompiler's xsd cast names are full IRIs) must
       // serialize as <iri>(args) — uppercasing a bare IRI is invalid SPARQL

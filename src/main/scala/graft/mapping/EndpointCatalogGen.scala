@@ -31,7 +31,19 @@ object EndpointCatalogGen {
       pageSize: Int = 10000,
       /** concepts at or below this probed cardinality are broadcast-safe
         * dimension molecules (the [[CatalogGen.GenOptions]] knob). */
-      broadcastRowThreshold: Long = 1000L)
+      broadcastRowThreshold: Long = 1000L,
+      /** Opt-in whole-query dispatch ([[graft.compiler.QueryShip]]): a
+        * query whose every star lives on this endpoint ships verbatim, so
+        * only FINAL results transit the wire (group rows, not instance
+        * rows; joined rows, not per-star bindings). Off by default — it
+        * trusts the remote engine's full SPARQL 1.1 semantics, where the
+        * default path keeps the local compiler authoritative and pushes
+        * only column pruning + translatable FILTERs into the scans. */
+      shipWholeQuery: Boolean = false) {
+    /** Probe-relevant view: the ship flag shapes dispatch, not discovery —
+      * shape caches must hit across it. */
+    private[mapping] def probeKey: EndpointOptions = copy(shipWholeQuery = false)
+  }
 
   /** A probed endpoint: the catalog plus one lazy loader per concept table
     * (each a distributed paged fetch — pages pull executor-side), plus the
@@ -278,7 +290,7 @@ object EndpointCatalogGen {
                  (implicit spark: SparkSession): (String, Probed) = {
     val sk = skeletonOf(endpoint)
     val fp = sk.fingerprint
-    val shape = shapeCache.getOrElseUpdate((fp, opts), shapeOf(endpoint, sk, opts))
+    val shape = shapeCache.getOrElseUpdate((fp, opts.probeKey), shapeOf(endpoint, sk, opts))
     (fp, bind(shape, endpoint, opts))
   }
 

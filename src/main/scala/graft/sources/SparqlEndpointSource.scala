@@ -233,7 +233,9 @@ private[sources] class SparqlScan(
   private def baseQuery: String = SparqlEndpointSource.buildQuery(
     tpe, cols, required.fieldNames.toSeq, filters, filterCols)
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  // one sizing COUNT per Scan INSTANCE, not per physical-plan copy (AQE
+  // re-instantiates BatchScanExec around the same Scan and asks again)
+  private lazy val partitions: Array[InputPartition] = {
     // unfiltered scans ride the probed cardinality (zero planning
     // queries; the hint may undercount solution rows under multi-valued
     // predicates, which the tail partition's keep-paging covers). A
@@ -255,6 +257,8 @@ private[sources] class SparqlScan(
     (0 until nPages).map(p => SparqlInputPartition(
       p.toLong * pageSize, tail = p == nPages - 1): InputPartition).toArray
   }
+
+  override def planInputPartitions(): Array[InputPartition] = partitions
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SparqlReaderFactory(endpoint, baseQuery, required, pageSize)

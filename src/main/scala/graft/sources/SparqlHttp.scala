@@ -62,6 +62,26 @@ object SparqlHttp {
     }
   }
 
+  /** Run one ASK against the endpoint and return the W3C boolean-document
+    * answer (`{"head":{},"boolean":…}` — the SRJ ASK form, §ASK of
+    * sparql-results-json). */
+  def ask(endpoint: String, query: String): Boolean = {
+    val client = HttpClient.newHttpClient()
+    val form = "query=" + URLEncoder.encode(query, UTF_8)
+    val req = HttpRequest.newBuilder(URI.create(endpoint))
+      .header("Content-Type", "application/x-www-form-urlencoded")
+      .header("Accept", "application/sparql-results+json")
+      .POST(HttpRequest.BodyPublishers.ofString(form))
+      .build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() == 200,
+      s"endpoint $endpoint answered HTTP ${resp.statusCode()}")
+    val root = new ObjectMapper().readTree(resp.body())
+    val b = root.path("boolean")
+    require(b.isBoolean, s"not an ASK result document: ${resp.body().take(200)}")
+    b.asBoolean()
+  }
+
   /** A [[PagedEndpointSource]] over this transport: LIMIT/OFFSET pages of
     * `query` (which should end in a total ORDER BY for stable pagination).
     * `knownTotal` (e.g. a probed RDF-MT cardinality) skips the gallop

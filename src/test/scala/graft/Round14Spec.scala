@@ -415,4 +415,191 @@ class Round14Spec extends SparkTestBase {
       assert(dt == StringType && !isUri)
     } finally srv.stop(0)
   }
+
+  // ---- whole-query dispatch (QueryShip) --------------------------------------
+
+  /** Query-fixture battery covering every renderable feature class. */
+  private val shipFixtures: Seq[(String, String)] = Seq(
+    "agg_group" ->
+      """PREFIX g: <urn:g:>
+        |SELECT ?seg (COUNT(*) AS ?cnt) (SUM(?bal) AS ?total) WHERE {
+        |  ?c a g:Customer ; g:mktsegment ?seg ; g:acctbal ?bal .
+        |} GROUP BY ?seg ORDER BY ?seg""".stripMargin,
+    "agg_having_concat" ->
+      """PREFIX g: <urn:g:>
+        |SELECT ?seg (GROUP_CONCAT(DISTINCT ?nname ; SEPARATOR = "|") AS ?ns) WHERE {
+        |  ?c a g:Customer ; g:mktsegment ?seg ; g:nation ?n .
+        |  ?n g:name ?nname .
+        |} GROUP BY ?seg HAVING (COUNT(*) > 2) ORDER BY ?seg""".stripMargin,
+    "agg_expr" ->
+      """PREFIX g: <urn:g:>
+        |SELECT ?seg (SUM(?bal) / COUNT(*) AS ?avg_bal) WHERE {
+        |  ?c a g:Customer ; g:mktsegment ?seg ; g:acctbal ?bal .
+        |} GROUP BY ?seg ORDER BY ?seg""".stripMargin,
+    "distinct_mod" ->
+      """PREFIX g: <urn:g:>
+        |SELECT DISTINCT ?seg WHERE { ?c g:mktsegment ?seg }
+        |ORDER BY ?seg LIMIT 3 OFFSET 1""".stripMargin,
+    "topk" ->
+      """PREFIX g: <urn:g:>
+        |SELECT ?c ?bal WHERE { ?c a g:Customer ; g:acctbal ?bal }
+        |ORDER BY DESC(?bal) ?c LIMIT 5""".stripMargin,
+    "union_optional" ->
+      """PREFIX g: <urn:g:>
+        |SELECT ?ent ?n ?rname WHERE {
+        |  { ?ent a g:Customer ; g:name ?n } UNION { ?ent a g:Nation ; g:name ?n }
+        |  OPTIONAL { ?ent g:region ?r . ?r g:name ?rname }
+        |} ORDER BY ?ent""".stripMargin,
+    "minus_values_bind" ->
+      """PREFIX g: <urn:g:>
+        |SELECT ?c ?tag WHERE {
+        |  ?c a g:Customer ; g:mktsegment ?seg .
+        |  VALUES ?seg { "BUILDING" "MACHINERY" }
+        |  BIND (UCASE(?seg) AS ?tag)
+        |  MINUS { ?c g:acctbal ?b . FILTER (?b < 0) }
+        |} ORDER BY ?c""".stripMargin,
+    "exists_filter" ->
+      """PREFIX g: <urn:g:>
+        |SELECT ?n ?nname WHERE {
+        |  ?n a g:Nation ; g:name ?nname .
+        |  FILTER EXISTS { ?c g:nation ?n }
+        |  FILTER (STRLEN(?nname) > 4 && ?nname != "FRANCE")
+        |} ORDER BY ?n""".stripMargin,
+    "subquery" ->
+      """PREFIX g: <urn:g:>
+        |SELECT ?c ?bal WHERE {
+        |  ?c g:acctbal ?bal .
+        |  { SELECT ?c WHERE { ?c a g:Customer ; g:mktsegment "BUILDING" } }
+        |} ORDER BY ?c""".stripMargin,
+    "path_closure" ->
+      """PREFIX g: <urn:g:>
+        |SELECT ?n ?r WHERE { ?n a g:Nation . ?n (g:region)+ ?r }
+        |ORDER BY ?n ?r""".stripMargin)
+
+  /** Row canon with doubles rounded to 4 decimals: a SUM over doubles is
+    * order-dependent (FP non-associativity), and the remote engine sums in
+    * its own partition order — last-ulp divergence is inherent, not a
+    * shipping defect. */
+  private def canonRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.map {
+      case d: Double =>
+        BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+      case v => String.valueOf(v)
+    }.mkString("[", ",", "]")).sorted.toSeq
+
+  test("SparqlText.query: rendered fixtures re-parse to result-identical queries") {
+    val g = scopedGraft(epMolTypes)
+    for ((name, text) <- shipFixtures) {
+      val q = graft.parser.SparqlParser.parseUnsafe(text)
+      val rendered = graft.compiler.SparqlText.query(q)
+      val a = g.sparql(text).collect().map(_.toString).sorted.toSeq
+      val b = g.sparql(rendered).collect().map(_.toString).sorted.toSeq
+      assert(a == b, s"$name: rendered text diverges\n$rendered")
+      assert(a.nonEmpty, s"$name: fixture returns no rows — pin is vacuous")
+    }
+  }
+
+  test("shipped queries match the local answer on every fixture") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    // truth side is the PARQUET-backed graft the server itself fronts —
+    // same answers as the endpoint-catalog local compile, but it holds no
+    // executor slots on HTTP, so the loopback server always has slots for
+    // the shipped queries' own jobs (a same-JVM harness constraint only:
+    // deployed endpoints bring their own compute)
+    val truth = scopedGraft(epMolTypes)
+    val server = new GraftServer(truth)
+    val port = server.start()
+    try {
+      val url = s"http://127.0.0.1:$port/sparql"
+      val shipped = Graft.overSparqlEndpoint(url,
+        EndpointCatalogGen.EndpointOptions(shipWholeQuery = true))
+      for ((name, text) <- shipFixtures) {
+        val a = canonRows(truth.sparql(text))
+        val b = canonRows(shipped.sparql(text))
+        assert(a == b, s"$name: shipped result diverges from local")
+        assert(a.nonEmpty, s"$name: empty fixture")
+      }
+      // requested order survives the single-shot path (bounded LIMIT)
+      val topk = shipFixtures.toMap.apply("topk")
+      assert(shipped.sparql(topk).collect().toSeq ==
+        truth.sparql(topk).collect().toSeq, "top-k order lost in shipping")
+      // one endpoint-catalog LOCAL compile cross-check (single-concept —
+      // one endpoint-scan task, so the server keeps free slots even here)
+      val viaLocalCatalog = canonRows(Graft.overSparqlEndpoint(url)
+        .sparql(shipFixtures.toMap.apply("agg_group")))
+      assert(viaLocalCatalog ==
+        canonRows(shipped.sparql(shipFixtures.toMap.apply("agg_group"))))
+      // ASK ships as a W3C boolean document
+      assert(shipped.sparql(
+        """PREFIX g: <urn:g:> ASK { ?c g:mktsegment "BUILDING" }""")
+        .collect()(0).getBoolean(0))
+      assert(!shipped.sparql(
+        """PREFIX g: <urn:g:> ASK { ?c g:mktsegment "NO-SUCH-SEGMENT" }""")
+        .collect()(0).getBoolean(0))
+    } finally server.stop()
+  }
+
+  test("shipping transfers final rows only: one COUNT + pages, never instances") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val server = new GraftServer(scopedGraft(epMolTypes))
+    val port = server.start()
+    try {
+      val url = s"http://127.0.0.1:$port/sparql"
+      val shipped = Graft.overSparqlEndpoint(url,
+        EndpointCatalogGen.EndpointOptions(shipWholeQuery = true))
+      // aggregation: 5 group rows transit, in 1 sizing COUNT + 1 page —
+      // the local path pages every customer instance instead
+      val agg = shipped.sparql(shipFixtures.toMap.apply("agg_group"))
+      val before = server.queriesServed.get()
+      assert(agg.count() == 5)
+      assert(server.queriesServed.get() - before == 2,
+        "a shipped aggregate should cost exactly COUNT + one page")
+      // bounded top-k: one verbatim fetch, zero sizing queries
+      val topk = shipped.sparql(shipFixtures.toMap.apply("topk"))
+      val b2 = server.queriesServed.get()
+      assert(topk.count() == 5)
+      assert(server.queriesServed.get() - b2 == 1,
+        "a LIMIT-bounded shipped query should cost exactly one fetch")
+      // ASK: one boolean-document fetch
+      val ask = shipped.sparql("""PREFIX g: <urn:g:> ASK { ?c g:region ?r }""")
+      val b3 = server.queriesServed.get()
+      assert(ask.collect()(0).getBoolean(0))
+      assert(server.queriesServed.get() - b3 == 1)
+    } finally server.stop()
+  }
+
+  test("shipped paging: page-sized wrappers reassemble the full result") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val server = new GraftServer(scopedGraft(epMolTypes))
+    val port = server.start()
+    try {
+      val url = s"http://127.0.0.1:$port/sparql"
+      val truth = scopedGraft(epMolTypes)
+      // page size 7 over 150 customers → ~22 pages; maxPartitions=2 keeps
+      // the multi-page path honest while the loopback server keeps free
+      // executor slots (each partition walks its page RANGE sequentially)
+      val (_, probed) = EndpointCatalogGen.probeCached(url,
+        EndpointCatalogGen.EndpointOptions(pageSize = 7))
+      val shipped = new Graft(probed.catalog, probed.loader,
+        Some(graft.compiler.QueryShip.Config(url, pageSize = 7, maxPartitions = 2)))
+      // also exercises the limit-greater-than-page branch (inner keeps
+      // ORDER+LIMIT, outer pages)
+      val unbounded =
+        """PREFIX g: <urn:g:>
+          |SELECT ?c ?name WHERE { ?c a g:Customer ; g:name ?name }
+          |ORDER BY ?c""".stripMargin
+      val wideTopk =
+        """PREFIX g: <urn:g:>
+          |SELECT ?c ?bal WHERE { ?c a g:Customer ; g:acctbal ?bal }
+          |ORDER BY DESC(?bal) ?c LIMIT 20""".stripMargin
+      for (q <- Seq(unbounded, wideTopk)) {
+        val df = shipped.sparql(q)
+        assert(df.rdd.getNumPartitions <= 2,
+          "shipped scan must honor its concurrency cap")
+        val a = truth.sparql(q).collect().map(_.toString).toSeq.sorted
+        val b = df.collect().map(_.toString).toSeq.sorted
+        assert(a == b && a.nonEmpty, s"paged shipping diverges for:\n$q")
+      }
+    } finally server.stop()
+  }
 }
