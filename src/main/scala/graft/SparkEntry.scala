@@ -117,7 +117,8 @@ object SparkEntry {
       "autogen_endpoint_path", "autogen_endpoint_construct",
       "autogen_endpoint_filter",
       "autogen_endpoint_shipped_agg", "autogen_endpoint_shipped_join",
-      "autogen_endpoint_shipped_topk", "autogen_endpoint_shipped_ask")
+      "autogen_endpoint_shipped_topk", "autogen_endpoint_shipped_ask",
+      "autogen_endpoint_federation_shipped")
 
   /** Hourly event counts per type — the shared input of both anomaly
     * rows (one definition ⇒ Catalyst's ReusedExchange can share the
@@ -580,6 +581,37 @@ object SparkEntry {
       try {
         val g = Graft.overSparqlEndpoints(Seq(
           s"http://127.0.0.1:$pa/sparql", s"http://127.0.0.1:$pb/sparql"))
+        val df = g.sparql(
+          """PREFIX g: <urn:g:>
+            |SELECT ?rname (COUNT(?c) AS ?ncust) WHERE {
+            |  ?c a g:Customer ; g:nation ?n .
+            |  ?n a g:Nation ; g:region ?r .
+            |  ?r a g:Region ; g:name ?rname .
+            |} GROUP BY ?rname ORDER BY ?rname""".stripMargin)
+        val rows = df.collect()
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), df.schema)
+      } finally { srvA.stop(); srvB.stop() }
+    }),
+    // the same two-endpoint federation with exclusive-group dispatch ON:
+    // the nation⋈region stars (both exclusive to endpoint B) ship as ONE
+    // remote subquery — the cross-star join runs AT endpoint B and only
+    // joined rows transit (Round14Spec pins the transfer: one sizing
+    // COUNT + one page); the answer still matches the single-lake oracle
+    "autogen_endpoint_federation_shipped" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      def scoped(types: Set[String]) = Graft.overParquetDir(
+        _root_.graft.mapping.Catalog(TpchCatalog.catalog.molecules.filter(m =>
+          types.contains(m.rdfType))), d)
+      val srvA = new _root_.graft.api.GraftServer(scoped(Set("urn:g:Customer")))
+      val srvB = new _root_.graft.api.GraftServer(
+        scoped(Set("urn:g:Nation", "urn:g:Region")))
+      val pa = srvA.start()
+      val pb = srvB.start()
+      try {
+        val g = Graft.overSparqlEndpoints(Seq(
+          s"http://127.0.0.1:$pa/sparql", s"http://127.0.0.1:$pb/sparql"),
+          _root_.graft.mapping.EndpointCatalogGen.EndpointOptions(
+            shipWholeQuery = true))
         val df = g.sparql(
           """PREFIX g: <urn:g:>
             |SELECT ?rname (COUNT(?c) AS ?ncust) WHERE {
@@ -3392,8 +3424,10 @@ object SparkEntry {
       "autogen_topk" -> "sparql_topk",
       "autogen_construct" -> "sparql_construct",
       // the two-endpoint federation answers the same rollup as the
-      // single-endpoint row — one relational truth for both
+      // single-endpoint row — one relational truth for both (and for the
+      // exclusive-group-dispatch variant of the same federation)
       "autogen_endpoint_federation" -> "autogen_endpoint_join",
+      "autogen_endpoint_federation_shipped" -> "autogen_endpoint_join",
       // the broadened wire surface shares the manual twins' oracles:
       // OPTIONAL/path/CONSTRUCT results must not depend on whether the
       // catalog was declared, lake-probed, or wire-probed

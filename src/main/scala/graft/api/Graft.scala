@@ -14,11 +14,13 @@ import graft.parser.SparqlParser
   * anti-pattern this rebuild eliminates).
   */
 final class Graft(val catalog: Catalog, tableLoader: String => DataFrame,
-                  ship: Option[graft.compiler.QueryShip.Config] = None)
+                  ship: Option[graft.compiler.QueryShip.Config] = None,
+                  groupShip: Option[graft.compiler.QueryShip.GroupShip] = None)
                  (implicit spark: SparkSession) {
 
   private val cache = TrieMap[String, DataFrame]()
-  private val compiler = new Compiler(catalog, t => cache.getOrElseUpdate(t, tableLoader(t)))
+  private val compiler = new Compiler(
+    catalog, t => cache.getOrElseUpdate(t, tableLoader(t)), groupShip)
 
   /** Execute a SPARQL query, returning the lazy result DataFrame. When
     * this Graft fronts a single SPARQL endpoint with whole-query dispatch
@@ -144,7 +146,11 @@ object Graft {
     val (_, probed) = graft.mapping.EndpointCatalogGen.probeCached(endpoint, opts)
     new Graft(probed.catalog, probed.loader,
       ship = Option.when(opts.shipWholeQuery)(
-        graft.compiler.QueryShip.Config(endpoint, opts.pageSize)))
+        graft.compiler.QueryShip.Config(endpoint, opts.pageSize)),
+      // queries the whole-query path can't take (SERVICE bodies, graph
+      // forms, unprojected order keys) still ship their exclusive groups
+      groupShip = Option.when(opts.shipWholeQuery)(
+        graft.compiler.QueryShip.GroupShip(opts.pageSize)))
   }
 
   /** Graft over a FEDERATION of SPARQL endpoints — the reference's actual
@@ -177,6 +183,11 @@ object Graft {
     // the members' content fingerprints like the per-endpoint shapes
     val links = graft.mapping.EndpointCatalogGen.crossLinksCached(
       endpoints.zip(probes), fpProbes.map(_._1))
-    new Graft(graft.mapping.Catalog(molecules.toList, links), t => loaders(t)())
+    new Graft(graft.mapping.Catalog(molecules.toList, links), t => loaders(t)(),
+      // a federation never ships the WHOLE query (stars span endpoints by
+      // construction), but connected stars exclusive to ONE member ship as
+      // a group — the joins between them run at that endpoint
+      groupShip = Option.when(opts.shipWholeQuery)(
+        graft.compiler.QueryShip.GroupShip(opts.pageSize)))
   }
 }

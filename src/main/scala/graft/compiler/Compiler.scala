@@ -69,7 +69,8 @@ object Compiled {
   * Xask/Xconstruct) becomes a declarative DataFrame transformation; Catalyst
   * + AQE own join strategy, pushdown, spill and adaptivity.
   */
-final class Compiler(catalog: Catalog, load: String => DataFrame)
+final class Compiler(catalog: Catalog, load: String => DataFrame,
+                     groupShip: Option[QueryShip.GroupShip] = None)
                     (implicit spark: SparkSession) {
 
   def compile(q: Query): DataFrame = {
@@ -403,8 +404,20 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
           "no source matches either UNION branch")
       }
     case Pattern.Filter(e, p0) =>
-      val c = compilePattern(p0)
-      c.copy(df = c.df.filter(ExprCompiler.predicate(e, c.df)))
+      // unwrap the conjunct chain so an exclusive-group ship sees every
+      // FILTER scoped to its stars; each conjunct is ALSO applied locally
+      // (order within a conjunction is immaterial)
+      def unwrap(p: Pattern, fs: List[Expr]): (Pattern, List[Expr]) = p match {
+        case Pattern.Filter(f, inner) => unwrap(inner, f :: fs)
+        case other                    => (other, fs)
+      }
+      val (inner, fs) = unwrap(p0, List(e))
+      val c = inner match {
+        case Pattern.Bgp(ts) => compileBgp(ts, fs)
+        case other           => compilePattern(other)
+      }
+      fs.foldLeft(c)((acc, f) =>
+        acc.copy(df = acc.df.filter(ExprCompiler.predicate(f, acc.df))))
     case Pattern.Extend(p0, v, e) =>
       val c = compilePattern(p0)
       c.copy(df = c.df.withColumn(v.name, ExprCompiler.compile(e, c.df)))
@@ -991,7 +1004,8 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
     * (est = unknown for every star) the order degrades to the original
     * first-shared-var order. Catalyst/AQE still reorder further at
     * runtime. */
-  private def compileBgp(ts: List[TriplePattern]): Compiled = {
+  private def compileBgp(ts: List[TriplePattern],
+                         shipFilters: List[Expr] = Nil): Compiled = {
     require(ts.nonEmpty, "empty BGP")
     val stars =
       try Decomposer.decompose(ts, catalog)
@@ -1008,7 +1022,11 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
               StructType(vars.map(v => StructField(v, StringType, nullable = true)))),
             Map.empty, bcast = false, card = 0L)
       }
-    val compiled = mutable.ListBuffer(stars.map(compileStar): _*)
+    val units = groupShip match {
+      case Some(cfg) => shipExclusiveGroups(stars, shipFilters, cfg)
+      case None      => stars.map(compileStar)
+    }
+    val compiled = mutable.ListBuffer(units: _*)
     def est(c: Compiled): Long = if (c.card < 0) Long.MaxValue else c.card
     val first = compiled.minBy(est)
     var acc = compiled.remove(compiled.indexWhere(_ eq first))
@@ -1021,6 +1039,83 @@ final class Compiler(catalog: Catalog, load: String => DataFrame)
       accVars ++= next.visibleVars
     }
     acc
+  }
+
+  /** Exclusive-group dispatch (FedX §5.2, the optimization the reference's
+    * per-star wrapper queries stop short of): stars whose EVERY candidate
+    * molecule lives on the same SPARQL endpoint, connected by shared
+    * variables, ship to that endpoint as ONE remote subquery — the joins
+    * between them run at the store and per-star bindings never transit the
+    * wire. Singleton groups keep the per-concept DSv2 scan (which already
+    * pushes column pruning + FILTERs); unconnected same-endpoint stars
+    * never group (a remote cartesian is strictly worse than a local one).
+    * Conservative guards: no variable-predicate stars (the local
+    * enumeration binds extra term-kind metadata), no lang-tagged
+    * predicates (LANG() reads a hidden column a shipped scan cannot
+    * return). Each group's schema and cardinality estimate come from the
+    * LOCAL compile of the same stars, so the shipped frame drops into join
+    * ordering exactly where the local one would. */
+  private def shipExclusiveGroups(stars: List[Star], filters: List[Expr],
+                                  cfg: QueryShip.GroupShip): List[Compiled] = {
+    def sole(st: Star): Option[String] =
+      st.sources.flatMap(_.fragments.map(_.molecule.source)).distinct match {
+        case List(u) if u.startsWith("http://") || u.startsWith("https://") =>
+          Some(u)
+        case _ => None
+      }
+    def eligible(st: Star): Boolean =
+      st.triples.forall(!_.p.isInstanceOf[Var]) &&
+        !st.sources.exists(_.fragments.exists(_.molecule.predicates.values.exists {
+          case RefMap(_, Some(_)) => true
+          case _                  => false
+        }))
+    def components(sts: List[Star]): List[List[Star]] = {
+      val remaining = mutable.ListBuffer(sts: _*)
+      val comps = mutable.ListBuffer[List[Star]]()
+      while (remaining.nonEmpty) {
+        var comp = List(remaining.remove(0))
+        var vars = comp.head.vars
+        var grew = true
+        while (grew) {
+          val i = remaining.indexWhere(_.vars.exists(vars.contains))
+          grew = i >= 0
+          if (grew) {
+            val s = remaining.remove(i)
+            comp ::= s
+            vars ++= s.vars
+          }
+        }
+        comps += comp
+      }
+      comps.toList
+    }
+    val consumed = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[Star, java.lang.Boolean]())
+    val shipped = for {
+      (ep, sts) <- stars.filter(st => eligible(st) && sole(st).isDefined)
+        .groupBy(st => sole(st).get).toList
+      comp <- components(sts) if comp.size >= 2
+    } yield {
+      comp.foreach(consumed.add)
+      shipComponent(ep, comp, filters, cfg)
+    }
+    shipped ++ stars.filterNot(consumed.contains).map(compileStar)
+  }
+
+  private def shipComponent(endpoint: String, comp: List[Star],
+                            filters: List[Expr],
+                            cfg: QueryShip.GroupShip): Compiled = {
+    // the local compile of the same stars: schema authority (shipped and
+    // local frames agree column-for-column) + the join-ordering estimate
+    val local = comp.map(compileStar).reduce(join2(_, _, "inner"))
+    val compVars = comp.flatMap(_.vars).toSet
+    val fs = filters.filter(f =>
+      Expr.vars(f).nonEmpty && Expr.vars(f).subsetOf(compVars))
+    val df = QueryShip.shipGroup(endpoint, comp.flatMap(_.triples), fs,
+      local.dropHidden.schema, cfg)
+    // no sigs: downstream joins key on the var values themselves (URI
+    // strings) — mediator-granularity frames, not raw-key fragments
+    Compiled(df, Map.empty, bcast = false, card = local.card)
   }
 
   /** One star over its candidate sources; alternative sources union

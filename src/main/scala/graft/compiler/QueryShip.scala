@@ -37,6 +37,33 @@ object QueryShip {
   final case class Config(endpoint: String, pageSize: Int = 10000,
                           maxPartitions: Int = 32)
 
+  /** Exclusive-group dispatch knobs — endpoint-less because the target
+    * comes from each group's own molecules (a federation ships different
+    * groups to different endpoints). */
+  final case class GroupShip(pageSize: Int = 10000, maxPartitions: Int = 32)
+
+  /** Ship one exclusive star group — a CONNECTED set of BGP stars whose
+    * every candidate molecule lives on `endpoint` — as a single remote
+    * subquery (FedX §5.2 exclusive groups at star-group granularity; the
+    * reference ships per-star wrapper queries, `ontario/wrappers/
+    * triplestore/__init__.py:125-186` — grouping moves the joins BETWEEN
+    * those stars to the endpoint too, so per-star bindings never transit).
+    * `filters` are the enclosing FILTER conjuncts scoped to the group's
+    * vars; the caller re-applies them locally after the scan. Paging rides
+    * the total ORDER BY over every projected var. */
+  def shipGroup(endpoint: String, triples: List[TriplePattern],
+                filters: List[Expr], schema: StructType, cfg: GroupShip)
+               (implicit spark: SparkSession): DataFrame = {
+    val vars = schema.fieldNames.toSeq
+    val body = triples.map(SparqlText.triple).mkString(" ") +
+      filters.map(f => s" FILTER (${SparqlText.expr(f)})").mkString
+    val sel = vars.map("?" + _).mkString(" ")
+    val paged = s"SELECT $sel WHERE { $body } ORDER BY $sel"
+    val count = s"SELECT (COUNT(*) AS ?count) WHERE { $body }"
+    load(schema, "paged", paged, Some(count),
+      Config(endpoint, cfg.pageSize, cfg.maxPartitions))
+  }
+
   /** Can `q` be shipped verbatim? SELECT/ASK only (CONSTRUCT/DESCRIBE
     * return graphs — a different response media type), every pattern node
     * serializable by [[SparqlText]], no SERVICE (its IRI routes elsewhere

@@ -81,7 +81,7 @@ private[sources] class SparqlQueryScan(
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
-    s"sparql-query@$endpoint mode=$mode [${query.take(200)}]"
+    s"sparql-query@$endpoint mode=$mode [${query.take(500)}]"
 
   // one sizing COUNT per Scan INSTANCE, not per physical-plan copy — AQE
   // re-instantiates BatchScanExec around the same Scan, and each copy asks

@@ -602,4 +602,81 @@ class Round14Spec extends SparkTestBase {
       }
     } finally server.stop()
   }
+
+  // ---- exclusive-group dispatch (federation star groups) ---------------------
+
+  test("federation: connected same-endpoint stars ship as one remote group") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val srvA = new GraftServer(scopedGraft(Set("urn:g:Customer")))
+    val srvB = new GraftServer(scopedGraft(Set("urn:g:Nation", "urn:g:Region")))
+    val pa = srvA.start()
+    val pb = srvB.start()
+    try {
+      val g = Graft.overSparqlEndpoints(
+        Seq(s"http://127.0.0.1:$pa/sparql", s"http://127.0.0.1:$pb/sparql"),
+        EndpointCatalogGen.EndpointOptions(shipWholeQuery = true))
+      val rollup =
+        """PREFIX g: <urn:g:>
+          |SELECT ?rname (COUNT(?c) AS ?ncust) WHERE {
+          |  ?c a g:Customer ; g:nation ?n .
+          |  ?n a g:Nation ; g:region ?r .
+          |  ?r a g:Region ; g:name ?rname .
+          |} GROUP BY ?rname ORDER BY ?rname""".stripMargin
+      val df = g.sparql(rollup)
+      // snapshot FIRST: rendering the physical plan sizes the scan (the
+      // partition plan is cached per Scan, so the COUNT fires only once —
+      // here, under the snapshot, not during the later collect)
+      val before = srvB.queriesServed.get()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("sparql-query@"),
+        s"no exclusive-group scan in plan:\n${plan.take(2000)}")
+      val got = df.collect().map(_.toString).sorted.toSeq
+      // the nation⋈region join ran AT endpoint B: one sizing COUNT + one
+      // page of joined rows — never two per-concept fetch sequences
+      assert(srvB.queriesServed.get() - before == 2,
+        "the exclusive group should cost endpoint B exactly COUNT + one page")
+      val want = canonRows(scopedGraft(epMolTypes).sparql(rollup))
+      assert(got == want && got.nonEmpty)
+    } finally { srvA.stop(); srvB.stop() }
+  }
+
+  test("group filters ship with the group; unconnected stars never group") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val server = new GraftServer(scopedGraft(epMolTypes))
+    val port = server.start()
+    try {
+      val url = s"http://127.0.0.1:$port/sparql"
+      val (_, probed) = EndpointCatalogGen.probeCached(url,
+        EndpointCatalogGen.EndpointOptions())
+      // group-ship ONLY (no whole-query config) to pin the compiler pass
+      val g = new Graft(probed.catalog, probed.loader, None,
+        Some(graft.compiler.QueryShip.GroupShip()))
+      val truth = scopedGraft(epMolTypes)
+      val filtered =
+        """PREFIX g: <urn:g:>
+          |SELECT ?n ?nname ?rname WHERE {
+          |  ?n a g:Nation ; g:name ?nname ; g:region ?r .
+          |  ?r a g:Region ; g:name ?rname .
+          |  FILTER (CONTAINS(?rname, "A") && ?nname != "JAPAN")
+          |} ORDER BY ?n""".stripMargin
+      val df = g.sparql(filtered)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("sparql-query@") && plan.contains("FILTER"),
+        s"group scan must carry the shipped FILTER:\n${plan.take(2000)}")
+      assert(canonRows(df) == canonRows(truth.sparql(filtered)))
+      assert(df.count() > 0)
+      // two stars with NO shared variable stay per-concept scans — a
+      // remote cartesian is strictly worse than a local one
+      val cartesian =
+        """PREFIX g: <urn:g:>
+          |SELECT ?nname ?rname WHERE {
+          |  ?n a g:Nation ; g:name ?nname .
+          |  ?r a g:Region ; g:name ?rname .
+          |} ORDER BY ?nname ?rname""".stripMargin
+      val cdf = g.sparql(cartesian)
+      assert(!cdf.queryExecution.executedPlan.toString.contains("sparql-query@"),
+        "unconnected stars must not ship as a group")
+      assert(canonRows(cdf) == canonRows(truth.sparql(cartesian)))
+    } finally server.stop()
+  }
 }
