@@ -146,11 +146,12 @@ object Graft {
     val (_, probed) = graft.mapping.EndpointCatalogGen.probeCached(endpoint, opts)
     new Graft(probed.catalog, probed.loader,
       ship = Option.when(opts.shipWholeQuery)(
-        graft.compiler.QueryShip.Config(endpoint, opts.pageSize)),
+        graft.compiler.QueryShip.Config(endpoint, opts.pageSize,
+          opts.maxPartitions)),
       // queries the whole-query path can't take (SERVICE bodies, graph
       // forms, unprojected order keys) still ship their exclusive groups
       groupShip = Option.when(opts.shipWholeQuery)(
-        graft.compiler.QueryShip.GroupShip(opts.pageSize)))
+        graft.compiler.QueryShip.GroupShip(opts.pageSize, opts.maxPartitions)))
   }
 
   /** Graft over a FEDERATION of SPARQL endpoints — the reference's actual
@@ -188,6 +189,6 @@ object Graft {
       // construction), but connected stars exclusive to ONE member ship as
       // a group — the joins between them run at that endpoint
       groupShip = Option.when(opts.shipWholeQuery)(
-        graft.compiler.QueryShip.GroupShip(opts.pageSize)))
+        graft.compiler.QueryShip.GroupShip(opts.pageSize, opts.maxPartitions)))
   }
 }

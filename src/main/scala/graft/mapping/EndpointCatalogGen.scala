@@ -32,6 +32,12 @@ object EndpointCatalogGen {
       /** concepts at or below this probed cardinality are broadcast-safe
         * dimension molecules (the [[CatalogGen.GenOptions]] knob). */
       broadcastRowThreshold: Long = 1000L,
+      /** Cap on concurrent page-tasks per endpoint scan (concept scans and
+        * shipped queries alike): pages group into at most this many
+        * sequential ranges — politeness toward the endpoint at cluster
+        * scale, and free executor slots for the server's own jobs in a
+        * same-process loopback federation. */
+      maxPartitions: Int = 32,
       /** Opt-in whole-query dispatch ([[graft.compiler.QueryShip]]): a
         * query whose every star lives on this endpoint ships verbatim, so
         * only FINAL results transit the wire (group rows, not instance
@@ -40,9 +46,10 @@ object EndpointCatalogGen {
         * default path keeps the local compiler authoritative and pushes
         * only column pruning + translatable FILTERs into the scans. */
       shipWholeQuery: Boolean = false) {
-    /** Probe-relevant view: the ship flag shapes dispatch, not discovery —
-      * shape caches must hit across it. */
-    private[mapping] def probeKey: EndpointOptions = copy(shipWholeQuery = false)
+    /** Probe-relevant view: the ship flag and the scan-concurrency cap
+      * shape dispatch, not discovery — shape caches must hit across them. */
+    private[mapping] def probeKey: EndpointOptions =
+      copy(shipWholeQuery = false, maxPartitions = 32)
   }
 
   /** A probed endpoint: the catalog plus one lazy loader per concept table
@@ -56,7 +63,26 @@ object EndpointCatalogGen {
     * source-selection layer prunes with. */
   final case class Probed(catalog: Catalog,
                           loaders: Map[String, () => DataFrame],
-                          links: Map[(String, String), List[String]]) {
+                          links: Map[(String, String), List[String]],
+                          /** Concepts whose `?s a <T>` solution count
+                            * exceeds their DISTINCT-subject count —
+                            * (solutions, distinct subjects) per rdfType.
+                            * Such a concept is NOT row-keyed: its triple
+                            * view fans multi-valued predicates into a
+                            * per-subject cross product, so star answers
+                            * through this catalog follow RDF bag
+                            * semantics, not the one-row-per-instance
+                            * semantics a relational mapping of the same
+                            * data gives (the reference's SQL wrapper vs
+                            * triple-store wrapper split the same way —
+                            * `sparqltosql.py` answers per row,
+                            * `triplestore/__init__.py` reports whatever
+                            * the store says). Surfaced so deployments
+                            * learn about colliding subject templates at
+                            * probe time instead of from divergent query
+                            * answers. */
+                          subjectCollisions: Map[String, (Long, Long)] =
+                            Map.empty) {
     def loader: String => DataFrame = t => loaders(t)()
   }
 
@@ -186,7 +212,10 @@ object EndpointCatalogGen {
       links: Map[(String, String), List[String]],
       /** table → (concept IRI, (predicate, column) pairs, schema,
         * probed cardinality) */
-      fetches: Map[String, (String, List[(String, String)], StructType, Long)])
+      fetches: Map[String, (String, List[(String, String)], StructType, Long)],
+      /** rdfType → (solutions, distinct subjects) for non-row-keyed
+        * concepts ([[Probed.subjectCollisions]]). */
+      collisions: Map[String, (Long, Long)] = Map.empty)
 
   /** The expensive second pass: per-predicate datatype sniffs and
     * inter-concept link probes over an already-fetched [[Skeleton]]. */
@@ -236,7 +265,17 @@ object EndpointCatalogGen {
       }
       (m.rdfType, p) -> ranges.sorted.toList
     }).toMap
-    Shape(probed.map(_._1), links, probed.map(_._2).toMap)
+    // subject-collision probe (one COUNT DISTINCT per concept): part of
+    // the EXPENSIVE pass so a warm fingerprint-cache hit pays only the
+    // skeleton (see [[Probed.subjectCollisions]] for what a gap means)
+    val collisions = sk.concepts.flatMap { t =>
+      val n = sk.cards(t)
+      val d = SparqlHttp.select(endpoint,
+        s"SELECT (COUNT(DISTINCT ?s) AS ?count) WHERE { ?s a <$t> }", cSchema)
+        .headOption.map(_.getLong(0)).getOrElse(n)
+      Option.when(n > d)(t -> (n, d))
+    }.toMap
+    Shape(probed.map(_._1), links, probed.map(_._2).toMap, collisions)
   }
 
   /** Bind a probed [[Shape]] to a live endpoint URL: molecules re-source,
@@ -257,9 +296,11 @@ object EndpointCatalogGen {
         .option("cols", graft.sources.SparqlEndpointSource.encodeCols(cols))
         .option("pageSize", opts.pageSize.toString)
         .option("cardinality", card.toString)
+        .option("maxPartitions", opts.maxPartitions.toString)
         .load())
     }
-    Probed(Catalog(molecules, shape.links), loaders, shape.links)
+    Probed(Catalog(molecules, shape.links), loaders, shape.links,
+      shape.collisions)
   }
 
   /** Probe `endpoint` with the reference discovery protocol and build the

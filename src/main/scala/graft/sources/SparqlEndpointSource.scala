@@ -180,12 +180,14 @@ private[sources] class SparqlEndpointTable(
     new SparqlScanBuilder(tableSchema, endpoint, tpe,
       SparqlEndpointSource.decodeCols(options.get("cols")),
       Option(options.get("pageSize")).map(_.toInt).getOrElse(10000),
-      Option(options.get("cardinality")).map(_.toLong))
+      Option(options.get("cardinality")).map(_.toLong),
+      Option(options.get("maxPartitions")).map(_.toInt).getOrElse(32))
 }
 
 private[sources] class SparqlScanBuilder(
     fullSchema: StructType, endpoint: String, tpe: String,
-    cols: List[(String, String)], pageSize: Int, cardinality: Option[Long])
+    cols: List[(String, String)], pageSize: Int, cardinality: Option[Long],
+    maxPartitions: Int)
   extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
@@ -215,13 +217,14 @@ private[sources] class SparqlScanBuilder(
 
   override def build(): Scan =
     new SparqlScan(endpoint, tpe, cols, required, sparqlFilters, filterCols,
-      pageSize, cardinality)
+      pageSize, cardinality, maxPartitions)
 }
 
 private[sources] class SparqlScan(
     endpoint: String, tpe: String, cols: List[(String, String)],
     required: StructType, filters: Seq[String], filterCols: Set[String],
-    pageSize: Int, cardinality: Option[Long]) extends Scan with Batch {
+    pageSize: Int, cardinality: Option[Long],
+    maxPartitions: Int = 32) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -253,53 +256,23 @@ private[sources] class SparqlScan(
         SparqlHttp.select(endpoint, countQ, cSchema)
           .headOption.map(_.getLong(0)).getOrElse(0L)
       }
-    val nPages = math.max(1L, (total + pageSize - 1) / pageSize).toInt
-    (0 until nPages).map(p => SparqlInputPartition(
-      p.toLong * pageSize, tail = p == nPages - 1): InputPartition).toArray
+    // pages group into at most maxPartitions contiguous ranges, each
+    // walked sequentially ([[SparqlPageRange]]): the cap bounds how many
+    // concurrent requests one scan holds against the endpoint — the tail
+    // range stays open-ended, so a hint undercount (multi-valued
+    // predicates) still pages until a short page proves exhaustion
+    val nPages = math.max(1L, (total + pageSize - 1) / pageSize)
+    val nParts = math.min(nPages, math.max(1, maxPartitions)).toInt
+    val pagesPer = (nPages + nParts - 1) / nParts
+    (0 until nParts).map { i =>
+      val start = i * pagesPer * pageSize
+      val end = if (i == nParts - 1) -1L else (i + 1) * pagesPer * pageSize
+      SparqlPageRange(start, end): InputPartition
+    }.toArray
   }
 
   override def planInputPartitions(): Array[InputPartition] = partitions
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SparqlReaderFactory(endpoint, baseQuery, required, pageSize)
-}
-
-private[sources] final case class SparqlInputPartition(
-    offset: Long, tail: Boolean) extends InputPartition
-
-private[sources] class SparqlReaderFactory(
-    endpoint: String, baseQuery: String, schema: StructType, pageSize: Int)
-  extends PartitionReaderFactory {
-
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[SparqlInputPartition]
-    new PartitionReader[InternalRow] {
-      private val toInternal =
-        ExpressionEncoder(RowEncoder.encoderFor(schema)).createSerializer()
-      private var off = p.offset
-      private var page: Iterator[org.apache.spark.sql.Row] = Iterator.empty
-      private var lastSize = pageSize // full ⇒ maybe more
-      private var started = false
-
-      private def fetch(): Unit = {
-        val rows = SparqlHttp.select(endpoint,
-          s"$baseQuery LIMIT $pageSize OFFSET $off", schema)
-        lastSize = rows.size
-        off += pageSize
-        page = rows.iterator
-      }
-
-      override def next(): Boolean = {
-        if (!started) { fetch(); started = true }
-        // the tail partition keeps paging until a short page proves
-        // exhaustion (the hint-undercount guard); middle partitions are
-        // exactly one page
-        while (!page.hasNext && p.tail && lastSize == pageSize) fetch()
-        page.hasNext
-      }
-
-      override def get(): InternalRow = toInternal(page.next()).copy()
-      override def close(): Unit = ()
-    }
-  }
+    new PageRangeReaderFactory(endpoint, baseQuery, required, pageSize)
 }

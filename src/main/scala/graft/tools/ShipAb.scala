@@ -1,0 +1,85 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.api.{Graft, GraftServer, TpchCatalog}
+import graft.mapping.{Catalog, EndpointCatalogGen}
+
+/** A/B measurement for endpoint query dispatch (SCALE.md evidence):
+  * the same query answered over a loopback SPARQL endpoint with
+  * (a) per-concept DSv2 scans + local compute vs (b) whole-query dispatch
+  * ([[graft.compiler.QueryShip]]). Reports wall time AND the two honest
+  * transfer metrics a shared-host loopback can give: queries served by the
+  * endpoint and rows serialized over the wire (the server counts both).
+  *
+  * Usage: runMain graft.tools.ShipAb [sfDir] — defaults to sf0.1.
+  */
+object ShipAb {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    implicit val spark: SparkSession = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // customer/orders only: both are row-keyed (unique subject templates)
+    // in the synthetic lake, so the row-view truth and the triple view
+    // agree and local-vs-shipped answers are comparable (lineitem's
+    // subject template collides — see Probed.subjectCollisions — which
+    // makes its star answers semantics-dependent, not a fair A/B)
+    val types = Set("urn:g:Customer", "urn:g:Order")
+    val inner = Graft.overParquetDir(Catalog(
+      TpchCatalog.catalog.molecules.filter(m => types.contains(m.rdfType))),
+      sfDir)
+    val server = new GraftServer(inner)
+    val port = server.start()
+    val url = s"http://127.0.0.1:$port/sparql"
+
+    val agg =
+      """PREFIX g: <urn:g:>
+        |SELECT ?pri (COUNT(*) AS ?cnt) (SUM(?tp) AS ?sum_tp) WHERE {
+        |  ?o a g:Order ; g:orderpriority ?pri ; g:totalprice ?tp .
+        |} GROUP BY ?pri ORDER BY ?pri""".stripMargin
+    val join =
+      """PREFIX g: <urn:g:>
+        |SELECT ?o ?cname ?tp WHERE {
+        |  ?c a g:Customer ; g:name ?cname ; g:mktsegment "BUILDING" .
+        |  ?o g:customer ?c ; g:totalprice ?tp .
+        |} ORDER BY ?o""".stripMargin
+    val topk =
+      """PREFIX g: <urn:g:>
+        |SELECT ?o ?tp WHERE {
+        |  ?o a g:Order ; g:totalprice ?tp .
+        |} ORDER BY DESC(?tp) ?o LIMIT 20""".stripMargin
+
+    // maxPartitions=4 leaves loopback slots free under local[8] — a
+    // deployed endpoint brings its own compute, the cap is harness honesty
+    def grafts() = (
+      Graft.overSparqlEndpoint(url,
+        EndpointCatalogGen.EndpointOptions(maxPartitions = 4)),
+      Graft.overSparqlEndpoint(url,
+        EndpointCatalogGen.EndpointOptions(maxPartitions = 4,
+          shipWholeQuery = true)))
+    val (local, shipped) = grafts()
+
+    def run(name: String, g: Graft, q: String): Unit = {
+      // one warm compile pass so probe costs never pollute the timing
+      val df = g.sparql(q)
+      val t0 = System.nanoTime()
+      val q0 = server.queriesServed.get()
+      val n = df.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"$name%-14s rows=$n%-8d wall=$dt%6.2fs endpointQueries=${server.queriesServed.get() - q0}")
+    }
+
+    for ((qn, q) <- Seq("agg" -> agg, "join" -> join, "topk" -> topk)) {
+      run(s"$qn/local", local, q)
+      run(s"$qn/shipped", shipped, q)
+    }
+    server.stop()
+    spark.stop()
+  }
+}

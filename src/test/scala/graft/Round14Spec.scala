@@ -603,6 +603,26 @@ class Round14Spec extends SparkTestBase {
     } finally server.stop()
   }
 
+  test("the probe reports non-row-keyed concepts (subject collisions)") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    // the synthetic lake does not enforce the TPC-H lineitem PK, so the
+    // lineitem subject template collides (same URI from several rows) —
+    // through a TRIPLE view such a concept fans multi-valued predicates
+    // into per-subject cross products, so its star answers legitimately
+    // differ from the row-view mapping's; the probe must SURFACE that
+    // instead of letting deployments find out from divergent answers
+    val server = new GraftServer(
+      scopedGraft(Set("urn:g:Customer", "urn:g:Lineitem")))
+    val port = server.start()
+    try {
+      val probed = EndpointCatalogGen.probe(s"http://127.0.0.1:$port/sparql")
+      val (n, d) = probed.subjectCollisions("urn:g:Lineitem")
+      assert(n > d && d > 0, s"collision counts wrong: ($n, $d)")
+      assert(!probed.subjectCollisions.contains("urn:g:Customer"),
+        "row-keyed concepts must not be flagged")
+    } finally server.stop()
+  }
+
   // ---- exclusive-group dispatch (federation star groups) ---------------------
 
   test("federation: connected same-endpoint stars ship as one remote group") {
