@@ -118,6 +118,7 @@ object SparkEntry {
       "autogen_endpoint_filter",
       "autogen_endpoint_shipped_agg", "autogen_endpoint_shipped_join",
       "autogen_endpoint_shipped_topk", "autogen_endpoint_shipped_ask",
+      "autogen_endpoint_shipped_construct",
       "autogen_endpoint_federation_shipped")
 
   /** Hourly event counts per type — the shared input of both anomaly
@@ -563,6 +564,12 @@ object SparkEntry {
       Set("urn:g:Customer", "urn:g:Supplier"), SPARQL_TOPK, ship = true)),
     "autogen_endpoint_shipped_ask" -> ((s, d) => endpointRow(s, d,
       Set("urn:g:Customer"), SPARQL_ASK, ship = true)),
+    // graph-form dispatch: the CONSTRUCT's WHERE ships as a SELECT, the
+    // template instantiates locally (N-Triples formatting + IRI-kind
+    // authority stay with the mediator)
+    "autogen_endpoint_shipped_construct" -> ((s, d) => endpointRow(s, d,
+      Set("urn:g:Customer"), SPARQL_CONSTRUCT, sortCols = Seq("s"),
+      ship = true)),
     // TWO-endpoint federation — the reference's actual deployment shape
     // (one mediator, N endpoints): customer lives on endpoint A,
     // nation/region on endpoint B; both are wire-probed independently and
@@ -3440,7 +3447,8 @@ object SparkEntry {
       "autogen_endpoint_shipped_agg" -> "sparql_agg_group",
       "autogen_endpoint_shipped_join" -> "sparql_join_chain",
       "autogen_endpoint_shipped_topk" -> "sparql_topk",
-      "autogen_endpoint_shipped_ask" -> "sparql_ask")
+      "autogen_endpoint_shipped_ask" -> "sparql_ask",
+      "autogen_endpoint_shipped_construct" -> "sparql_construct")
       .map { case (auto, manual) => auto -> baseOracles(manual) }
 
   /** Exact top-5 cosine kNN for the three probe queries as a DuckDB CTE;

@@ -33,6 +33,12 @@ final class Graft(val catalog: Catalog, tableLoader: String => DataFrame,
       case Some(cfg) if graft.compiler.QueryShip.shippable(q, cfg) =>
         graft.compiler.QueryShip.ship(q, cfg,
           compiler.compile(graft.compiler.QueryShip.schemaProxy(q)).schema)
+      case Some(cfg) if q.form == graft.algebra.ConstructForm =>
+        // graph form: ship the WHERE as a SELECT, instantiate the
+        // template locally (falls back to the local compile when the
+        // pattern is unshippable)
+        compiler.compileConstructShipped(q, cfg)
+          .getOrElse(compiler.compile(q))
       case _ => compiler.compile(q)
     }
   }

@@ -326,8 +326,37 @@ final class Compiler(catalog: Catalog, load: String => DataFrame,
   /** CONSTRUCT (Xconstruct, `Xconstruct.py:19-104`): instantiate the
     * template per solution, emit N-Triples-style term strings as columns
     * (s, p, o); set semantics via distinct. */
-  private def compileConstruct(q: Query): DataFrame = {
-    val c = compilePattern(q.pattern)
+  private def compileConstruct(q: Query): DataFrame =
+    constructOver(compilePattern(q.pattern), q)
+
+  /** CONSTRUCT with the WHERE clause shipped to `cfg.endpoint` as a
+    * SELECT of the template's variables ([[QueryShip]] whole-query
+    * dispatch for graph forms): solution rows transit the wire, while
+    * N-Triples formatting, IRI-kind decisions (the local compile's
+    * signature knowledge), dedup and LIMIT stay local — the serialization
+    * semantics never ride the remote engine. None when the pattern is
+    * unshippable or a template object var carries lang-tag metadata (the
+    * hidden lang column cannot transit a SELECT wire). */
+  private[graft] def compileConstructShipped(
+      q: Query, cfg: QueryShip.Config): Option[DataFrame] = {
+    if (q.form != ConstructForm || !QueryShip.patternShippable(q.pattern))
+      return None
+    val localC = compilePattern(q.pattern)
+    val tmplVars = q.template.flatMap(tp => Seq(tp.s, tp.p, tp.o))
+      .collect { case Var(n) => n }.distinct
+    val needed = tmplVars.filter(localC.df.columns.contains)
+    val langRisk = q.template.exists(tp => tp.o match {
+      case Var(n) => localC.df.columns.contains(s"__lang_$n")
+      case _      => false
+    })
+    if (needed.isEmpty || langRisk) return None
+    val schema = StructType(needed.map(n => localC.df.schema(n)))
+    val df = QueryShip.shipPattern(cfg.endpoint, q.pattern, Nil, schema,
+      QueryShip.GroupShip(cfg.pageSize, cfg.maxPartitions))
+    Some(constructOver(localC.copy(df = df), q))
+  }
+
+  private def constructOver(c: Compiled, q: Query): DataFrame = {
     /** N-Triples term formatting incl. `^^datatype` for typed and `@lang`
       * for tagged literals (Xconstruct.py:46-104). */
     def fmt(t: Term, pos: String): Column = t match {
@@ -356,14 +385,29 @@ final class Compiler(catalog: Catalog, load: String => DataFrame,
               // lang-tagged string literal: "lex"@lang (tag may be null ⇒ plain)
               when(col(s"__lang_$n").isNotNull,
                 concat(quoted, lit("@"), col(s"__lang_$n"))).otherwise(quoted)
-            case None => quoted
+            case None =>
+              // a string var with no signature/type knowledge (e.g. a
+              // wire-probed RefMap holding URIs): term kind by lexical
+              // shape, the same rule GraftServer's SRJ serializer and the
+              // ORDER BY kind rank apply — the residual ambiguity of a
+              // lexical-string engine, resolved consistently everywhere
+              when(c.df.col(n).cast(StringType).rlike(Compiled.IriShape),
+                concat(lit("<"), c.df.col(n).cast(StringType), lit(">")))
+                .otherwise(quoted)
           }
         }
     }
-    val parts = q.template.map { tp =>
-      c.df.select(fmt(tp.s, "s").as("s"), fmt(tp.p, "p").as("p"), fmt(tp.o, "o").as("o"))
+    // ONE pass over the solution frame: every template triple becomes a
+    // struct in an exploded array, instead of a union of per-triple
+    // selects — a union re-reads the source once per template triple
+    // (and re-fetches a shipped endpoint scan once per branch)
+    val triples = q.template.map { tp =>
+      struct(fmt(tp.s, "s").as("s"), fmt(tp.p, "p").as("p"),
+        fmt(tp.o, "o").as("o"))
     }
-    val out = parts.reduce(_.unionByName(_)).distinct()
+    val out = c.df.select(explode(array(triples: _*)).as("__t"))
+      .select(col("__t.s").as("s"), col("__t.p").as("p"), col("__t.o").as("o"))
+      .distinct()
     q.limit.fold(out)(n => out.limit(n.toInt))
   }
 

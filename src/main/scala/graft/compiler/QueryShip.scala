@@ -53,9 +53,17 @@ object QueryShip {
     * the total ORDER BY over every projected var. */
   def shipGroup(endpoint: String, triples: List[TriplePattern],
                 filters: List[Expr], schema: StructType, cfg: GroupShip)
-               (implicit spark: SparkSession): DataFrame = {
+               (implicit spark: SparkSession): DataFrame =
+    shipPattern(endpoint, Pattern.Bgp(triples), filters, schema, cfg)
+
+  /** Ship any renderable pattern as a paged SELECT of `schema`'s vars —
+    * the generic wire half of [[shipGroup]] and of shipped-CONSTRUCT
+    * WHERE clauses ([[Compiler.compileConstructShipped]]). */
+  def shipPattern(endpoint: String, p: Pattern, filters: List[Expr],
+                  schema: StructType, cfg: GroupShip)
+                 (implicit spark: SparkSession): DataFrame = {
     val vars = schema.fieldNames.toSeq
-    val body = triples.map(SparqlText.triple).mkString(" ") +
+    val body = SparqlText.pattern(p) +
       filters.map(f => s" FILTER (${SparqlText.expr(f)})").mkString
     val sel = vars.map("?" + _).mkString(" ")
     val paged = s"SELECT $sel WHERE { $body } ORDER BY $sel"
@@ -88,6 +96,10 @@ object QueryShip {
 
   private def orderOk(q: Query, cfg: Config): Boolean =
     q.orderBy.isEmpty || bounded(q, cfg) || orderKeysProjected(q)
+
+  /** Pattern-level shippability (no SERVICE, SELECT-form subqueries
+    * only) — also the gate for shipped-CONSTRUCT WHERE clauses. */
+  def patternShippable(p: Pattern): Boolean = patternOk(p)
 
   private def patternOk(p: Pattern): Boolean = p match {
     case _: Pattern.Service        => false

@@ -623,6 +623,48 @@ class Round14Spec extends SparkTestBase {
     } finally server.stop()
   }
 
+  test("shipped CONSTRUCT: WHERE ships as SELECT, template instantiates locally") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val server = new GraftServer(scopedGraft(epMolTypes))
+    val port = server.start()
+    try {
+      val url = s"http://127.0.0.1:$port/sparql"
+      val truth = scopedGraft(epMolTypes)
+      val shipped = Graft.overSparqlEndpoint(url,
+        EndpointCatalogGen.EndpointOptions(shipWholeQuery = true))
+      val construct =
+        """PREFIX g: <urn:g:>
+          |CONSTRUCT { ?c g:label ?name . ?c g:in ?n } WHERE {
+          |  ?c a g:Customer ; g:name ?name ; g:nation ?n .
+          |}""".stripMargin
+      val df = shipped.sparql(construct)
+      val before = server.queriesServed.get()
+      val got = df.collect().map(_.toString).sorted.toSeq
+      assert(server.queriesServed.get() - before == 2,
+        "a shipped CONSTRUCT should cost exactly COUNT + one page")
+      assert(got == truth.sparql(construct).collect().map(_.toString).sorted.toSeq)
+      assert(got.nonEmpty)
+      // IRI-kind authority stays local: the template's object var ?n is a
+      // template-built IRI — the shipped path must still angle-bracket it
+      assert(got.exists(_.contains("<urn:g:nation:")),
+        "template-built object IRIs lost their kind through the wire")
+      // a lang-tagged object var cannot transit a SELECT wire: a DECLARED
+      // catalog with lang metadata and a ship config must fall back to
+      // the full local compile — tags intact, not silently dropped
+      val docCat = Catalog(
+        TpchCatalog.catalog.molecules.filter(_.rdfType == "urn:g:Document"))
+      val langGraft = new Graft(docCat,
+        t => spark.read.parquet(s"$sfDir/$t.parquet"),
+        Some(graft.compiler.QueryShip.Config(url)))
+      val cq =
+        """PREFIX g: <urn:g:>
+          |CONSTRUCT { ?d g:txt ?t } WHERE { ?d a g:Document ; g:text ?t }""".stripMargin
+      val objs = langGraft.sparql(cq).collect().map(_.getString(2))
+      assert(objs.nonEmpty && objs.exists(_.matches(""".*"@[a-z]+$""")),
+        "lang-guard fallback lost language tags")
+    } finally server.stop()
+  }
+
   // ---- exclusive-group dispatch (federation star groups) ---------------------
 
   test("federation: connected same-endpoint stars ship as one remote group") {
