@@ -44,6 +44,20 @@ final class GraftServer(g: Graft, port: Int = 0,
     * window; a full paged fetch sends gallop probes plus one per page). */
   val queriesServed = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** The most recent `/sparql` query texts (bounded ring) — lets tests pin
+    * WHAT reached the endpoint (a runtime bound join must arrive as an
+    * IN-list, a shipped group as one joined pattern), not just how often. */
+  private val recentCap = 100
+  private val recent = new java.util.concurrent.ConcurrentLinkedDeque[String]()
+  def recentQueries: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    recent.iterator().asScala.toSeq
+  }
+  private def remember(q: String): Unit = {
+    recent.addLast(q)
+    while (recent.size > recentCap) recent.pollFirst()
+  }
+
   /** Drop sessions idle past the TTL; returns how many were reaped.
     * Exposed for tests; also runs on a daemon timer. */
   def sweepIdleSessions(now: Long = System.currentTimeMillis()): Int = {
@@ -72,6 +86,7 @@ final class GraftServer(g: Graft, port: Int = 0,
     if (query.isEmpty) Map("result" -> Seq.empty, "error" -> "cannot read query")
     else {
       queriesServed.incrementAndGet()
+      remember(query)
       val blocking = params.getOrElse("blocking", "1") == "1"
       // W3C sparql-results+json on request — what a generic SPARQL client
       // (incl. our own [[graft.sources.SparqlHttp]] transport and the

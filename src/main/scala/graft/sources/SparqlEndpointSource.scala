@@ -217,14 +217,47 @@ private[sources] class SparqlScanBuilder(
 
   override def build(): Scan =
     new SparqlScan(endpoint, tpe, cols, required, sparqlFilters, filterCols,
-      pageSize, cardinality, maxPartitions)
+      pageSize, cardinality, maxPartitions, types)
 }
 
 private[sources] class SparqlScan(
     endpoint: String, tpe: String, cols: List[(String, String)],
     required: StructType, filters: Seq[String], filterCols: Set[String],
     pageSize: Int, cardinality: Option[Long],
-    maxPartitions: Int = 32) extends Scan with Batch {
+    maxPartitions: Int = 32,
+    types: Map[String, DataType] = Map.empty)
+  extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with Serializable {
+
+  /** Bound-join cap: a runtime IN wider than this stops reducing transfer
+    * and starts bloating the remote query — beyond it, keep the full scan
+    * (the shuffled join is the right plan, as the reference's
+    * NestedHashJoinFilter maxKeys guard also concludes). */
+  private val MaxBoundKeys = 10000
+
+  // Runtime bound join (FedX §5.3; the reference's NestedHashJoinFilter
+  // ships disjunctive key filters to its wrappers): Spark's dynamic
+  // pruning hands the BUILD side's join-key values to the scan at runtime
+  // as In()/EqualTo() — translated, they become a remote FILTER, so only
+  // matching rows ever transit the wire. Advisory by contract: the join
+  // above re-checks, an untranslatable filter just keeps the full scan.
+  @volatile private var runtimeFilters: Seq[String] = Nil
+  @volatile private var runtimeFilterCols: Set[String] = Set.empty
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    required.fieldNames.map(org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(fs: Array[Filter]): Unit = {
+    val ok = fs.toSeq.filter {
+      case In(_, vs) => vs.length <= MaxBoundKeys
+      case _         => true
+    }
+    val translated = ok.map(f => f -> SparqlEndpointSource.toSparql(f, types))
+    runtimeFilters = translated.flatMap(_._2)
+    runtimeFilterCols = translated.collect { case (f, Some(_)) => f }
+      .flatMap(_.references).toSet
+  }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -233,26 +266,44 @@ private[sources] class SparqlScan(
     s"sparql:$tpe@$endpoint cols=[${required.fieldNames.mkString(",")}]$f"
   }
 
+  private def allFilters: Seq[String] = filters ++ runtimeFilters
+
   private def baseQuery: String = SparqlEndpointSource.buildQuery(
-    tpe, cols, required.fieldNames.toSeq, filters, filterCols)
+    tpe, cols, required.fieldNames.toSeq, allFilters,
+    filterCols ++ runtimeFilterCols)
 
   // one sizing COUNT per Scan INSTANCE, not per physical-plan copy (AQE
-  // re-instantiates BatchScanExec around the same Scan and asks again)
-  private lazy val partitions: Array[InputPartition] = {
+  // re-instantiates BatchScanExec around the same Scan and asks again);
+  // keyed by the runtime-filter state — SupportsRuntimeFiltering.filter
+  // arrives AFTER planning copies may already have sized the unfiltered
+  // scan
+  @volatile private var cachedPartitions: Array[InputPartition] = null
+  @volatile private var cachedFor: Seq[String] = null
+
+  override def planInputPartitions(): Array[InputPartition] = synchronized {
+    if (cachedPartitions == null || cachedFor != allFilters) {
+      cachedPartitions = computePartitions()
+      cachedFor = allFilters
+    }
+    cachedPartitions
+  }
+
+  private def computePartitions(): Array[InputPartition] = {
     // unfiltered scans ride the probed cardinality (zero planning
     // queries; the hint may undercount solution rows under multi-valued
     // predicates, which the tail partition's keep-paging covers). A
     // pushed filter invalidates the hint, so the plan is sized by one
     // exact COUNT over the same solution set instead.
     val total: Long =
-      if (filters.isEmpty && cardinality.isDefined) cardinality.get
+      if (allFilters.isEmpty && cardinality.isDefined) cardinality.get
       else {
         val cSchema = StructType(Seq(StructField("count", LongType)))
         val kept = cols.filter { case (_, c) =>
-          required.fieldNames.contains(c) || filterCols.contains(c) }
+          required.fieldNames.contains(c) || filterCols.contains(c) ||
+            runtimeFilterCols.contains(c) }
         val countQ = s"SELECT (COUNT(*) AS ?count) WHERE { ?s a <$tpe> . " +
           kept.map { case (p, c) => s"OPTIONAL { ?s <$p> ?$c } " }.mkString +
-          filters.map(f => s"FILTER ($f) ").mkString + "}"
+          allFilters.map(f => s"FILTER ($f) ").mkString + "}"
         SparqlHttp.select(endpoint, countQ, cSchema)
           .headOption.map(_.getLong(0)).getOrElse(0L)
       }
@@ -271,8 +322,9 @@ private[sources] class SparqlScan(
     }.toArray
   }
 
-  override def planInputPartitions(): Array[InputPartition] = partitions
-
   override def createReaderFactory(): PartitionReaderFactory =
-    new PageRangeReaderFactory(endpoint, baseQuery, required, pageSize)
+    // query text resolves at READER creation: the factory may be built
+    // before SupportsRuntimeFiltering.filter() delivers the bound-join
+    // keys, and task serialization captures this scan's state afterwards
+    new PageRangeReaderFactory(endpoint, () => baseQuery, required, pageSize)
 }

@@ -119,11 +119,20 @@ private[sources] class SparqlQueryScan(
 /** Walks one page range sequentially; an open-ended range stops at the
   * first short page. */
 private[sources] class PageRangeReaderFactory(
-    endpoint: String, query: String, schema: StructType, pageSize: Int)
+    endpoint: String, queryThunk: () => String, schema: StructType,
+    pageSize: Int)
   extends PartitionReaderFactory {
 
+  def this(endpoint: String, query: String, schema: StructType,
+           pageSize: Int) = this(endpoint, () => query, schema, pageSize)
+
+  // resolved ONCE at factory construction ON THE DRIVER would be too
+  // early: SupportsRuntimeFiltering.filter() may arrive after the factory
+  // exists, so the query text resolves at reader creation (executor side,
+  // after the runtime-filtered partition plan shipped)
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SparqlPageRange]
+    val query = queryThunk()
     new PartitionReader[InternalRow] {
       private val toInternal =
         ExpressionEncoder(RowEncoder.encoderFor(schema)).createSerializer()

@@ -665,6 +665,42 @@ class Round14Spec extends SparkTestBase {
     } finally server.stop()
   }
 
+  test("runtime bound join: broadcast build keys reach the remote scan as IN") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val types = Set("urn:g:Customer", "urn:g:Order")
+    val truth = scopedGraft(types)
+    val server = new GraftServer(truth)
+    val port = server.start()
+    try {
+      val g = Graft.overSparqlEndpoint(s"http://127.0.0.1:$port/sparql")
+      // selective build (one segment of customers, broadcast-hinted by the
+      // probed cardinality) joining a remote concept: Spark's dynamic
+      // pruning hands the build side's keys to the scan at runtime
+      // (SupportsRuntimeFiltering) — the FedX bound join, via the
+      // idiomatic DSv2 hook instead of a hand-rolled operator
+      val q =
+        """PREFIX g: <urn:g:>
+          |SELECT ?o ?tp WHERE {
+          |  ?c a g:Customer ; g:mktsegment "AUTOMOBILE" .
+          |  ?o g:customer ?c ; g:totalprice ?tp .
+          |} ORDER BY ?o""".stripMargin
+      val df = g.sparql(q)
+      val got = df.collect().map(_.toString).toSeq
+      assert(got == truth.sparql(q).collect().map(_.toString).toSeq)
+      assert(got.nonEmpty)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruningexpression"),
+        s"no runtime filter planned:\n${plan.take(1500)}")
+      // and the keys ARRIVED at the endpoint as a SPARQL IN-list: both the
+      // sizing COUNT and the page fetch carry it, so only matching orders
+      // were ever serialized
+      val inQueries = server.recentQueries.filter(_.contains(" IN ("))
+      assert(inQueries.exists(_.contains("COUNT")), "sizing COUNT lost the IN")
+      assert(inQueries.exists(q0 => !q0.contains("COUNT") && q0.contains("LIMIT")),
+        "page fetch lost the IN")
+    } finally server.stop()
+  }
+
   // ---- exclusive-group dispatch (federation star groups) ---------------------
 
   test("federation: connected same-endpoint stars ship as one remote group") {
