@@ -66,9 +66,7 @@ object QueryShip {
     val body = SparqlText.pattern(p) +
       filters.map(f => s" FILTER (${SparqlText.expr(f)})").mkString
     val sel = vars.map("?" + _).mkString(" ")
-    val paged = s"SELECT $sel WHERE { $body } ORDER BY $sel"
-    val count = s"SELECT (COUNT(*) AS ?count) WHERE { $body }"
-    load(schema, "paged", paged, Some(count),
+    loadPaged(schema, sel, body, sel,
       Config(endpoint, cfg.pageSize, cfg.maxPartitions))
   }
 
@@ -175,15 +173,13 @@ object QueryShip {
     val keys = (if (orderKeysProjected(q)) q.orderBy.map(SparqlText.orderKey)
                 else Nil) ++ vars.map("?" + _)
     val sel = vars.map("?" + _).mkString(" ")
-    val paged = s"SELECT $sel WHERE { { $inner } } ORDER BY ${keys.mkString(" ")}"
-    val count = s"SELECT (COUNT(*) AS ?count) WHERE { { $inner } }"
-    load(schema, "paged", paged, Some(count), cfg)
+    loadPaged(schema, sel, s"{ $inner }", keys.mkString(" "), cfg)
   }
 
   private def load(schema: StructType, mode: String, query: String,
                    countQuery: Option[String], cfg: Config)
-                  (implicit spark: SparkSession): DataFrame = {
-    val r = spark.read
+                  (implicit spark: SparkSession): DataFrame =
+    spark.read
       .format("graft.sources.SparqlQuerySource")
       .schema(schema)
       .option("endpoint", cfg.endpoint)
@@ -191,6 +187,23 @@ object QueryShip {
       .option("mode", mode)
       .option("pageSize", cfg.pageSize.toString)
       .option("maxPartitions", cfg.maxPartitions.toString)
-    countQuery.fold(r)(c => r.option("countQuery", c)).load()
-  }
+      .load()
+
+  /** Paged dispatch ships as (sel, body, order) PARTS so the scan can
+    * inject runtime bound-join filters into the pattern
+    * ([[graft.sources.SparqlQuerySource]]). */
+  private def loadPaged(schema: StructType, sel: String, body: String,
+                        order: String, cfg: Config)
+                       (implicit spark: SparkSession): DataFrame =
+    spark.read
+      .format("graft.sources.SparqlQuerySource")
+      .schema(schema)
+      .option("endpoint", cfg.endpoint)
+      .option("sel", sel)
+      .option("body", body)
+      .option("order", order)
+      .option("mode", "paged")
+      .option("pageSize", cfg.pageSize.toString)
+      .option("maxPartitions", cfg.maxPartitions.toString)
+      .load()
 }

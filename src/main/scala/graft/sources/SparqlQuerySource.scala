@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -13,22 +14,23 @@ import java.util
 
 /** DataSource V2 scan for a COMPLETE query shipped to a SPARQL endpoint —
   * the execution side of [[graft.compiler.QueryShip]] (single-endpoint
-  * whole-query dispatch, the query-granularity form of the reference's
-  * per-star wrapper queries, `ontario/wrappers/triplestore/__init__.py:
-  * 125-186`). Three modes, all lazy (no HTTP until an action) and all
-  * executor-side (result rows never transit the driver):
+  * whole-query dispatch and exclusive-group dispatch, the coarse-grained
+  * forms of the reference's per-star wrapper queries,
+  * `ontario/wrappers/triplestore/__init__.py:125-186`). Three modes, all
+  * lazy (no HTTP until an action) and all executor-side (result rows never
+  * transit the driver):
   *
-  *  - `paged`: `query` must end in a total ORDER BY; the page plan is sized
-  *    by ONE remote execution of `countQuery` (exact — unlike a concept
-  *    scan there is no probed-cardinality hint for an arbitrary query).
-  *    Pages are grouped into at most `maxPartitions` contiguous RANGES,
-  *    each partition walking its range sequentially and the last keeping
-  *    on until a short page proves exhaustion (snapshot-drift guard,
-  *    `triplestore/__init__.py:52-119` parity). The cap bounds how many
-  *    concurrent requests one scan can hold against the endpoint — at
-  *    cluster scale a thousand page-tasks hammering one SPARQL server is
-  *    a denial of service, not parallelism (and in a same-process
-  *    loopback federation it would starve the server of executor slots).
+  *  - `paged`: the query ships as (sel, body, order) PARTS — assembled as
+  *    `SELECT sel WHERE { body } ORDER BY order` — so runtime bound-join
+  *    filters ([[SupportsRuntimeFiltering]], the FedX bound join) can
+  *    inject into the pattern: when a selective broadcast build joins this
+  *    scan, the build's join-key values arrive as a SPARQL IN and only
+  *    matching rows transit. The page plan is sized by one remote COUNT
+  *    over the same (filtered) body. Pages group into at most
+  *    `maxPartitions` contiguous RANGES, each walked sequentially, the
+  *    last open-ended until a short page proves exhaustion
+  *    (`triplestore/__init__.py:52-119` parity) — the cap bounds the
+  *    concurrent requests one scan holds against the endpoint.
   *  - `single`: the query carries its own LIMIT — one verbatim fetch in one
   *    partition, preserving the query's requested order.
   *  - `ask`: one W3C boolean-document fetch → a 1-row boolean frame.
@@ -59,8 +61,10 @@ private[sources] class SparqlQueryTable(
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     () => new SparqlQueryScan(
       options.get("endpoint"),
-      options.get("query"),
-      Option(options.get("countQuery")),
+      Option(options.get("query")),
+      Option(options.get("sel")),
+      Option(options.get("body")),
+      Option(options.get("order")),
       options.get("mode"),
       tableSchema,
       Option(options.get("pageSize")).map(_.toInt).getOrElse(10000),
@@ -74,26 +78,73 @@ private[sources] final case class SparqlPageRange(
     startOffset: Long, endOffset: Long) extends InputPartition
 
 private[sources] class SparqlQueryScan(
-    endpoint: String, query: String, countQuery: Option[String],
+    endpoint: String, verbatim: Option[String],
+    sel: Option[String], body: Option[String], order: Option[String],
     mode: String, schema: StructType, pageSize: Int, maxPartitions: Int)
-  extends Scan with Batch {
+  extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with Serializable {
+
+  /** Bound-join cap, as on the concept scans: wider INs stop reducing
+    * transfer — keep the full scan, the join above re-checks. */
+  private val MaxBoundKeys = 10000
+
+  private val types: Map[String, DataType] =
+    schema.fields.map(f => f.name -> f.dataType).toMap
+
+  @volatile private var runtimeFilters: Seq[String] = Nil
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (mode == "paged" && body.isDefined)
+      schema.fieldNames.map(org.apache.spark.sql.connector.expressions.Expressions.column)
+    else Array.empty
+
+  override def filter(fs: Array[Filter]): Unit =
+    if (mode == "paged" && body.isDefined)
+      runtimeFilters = fs.toSeq.filter {
+        case In(_, vs) => vs.length <= MaxBoundKeys
+        case _         => true
+      }.flatMap(f => SparqlEndpointSource.toSparql(f, types))
+
+  private def filteredBody: String =
+    body.getOrElse(throw new IllegalArgumentException(
+      "paged mode needs sel/body/order parts")) +
+      runtimeFilters.map(f => s" FILTER ($f)").mkString
+
+  private def pagedQuery: String =
+    s"SELECT ${sel.get} WHERE { $filteredBody } ORDER BY ${order.get}"
+
+  private def countQuery: String =
+    s"SELECT (COUNT(*) AS ?count) WHERE { $filteredBody }"
 
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
-  override def description(): String =
-    s"sparql-query@$endpoint mode=$mode [${query.take(500)}]"
+  override def description(): String = {
+    val q = verbatim.getOrElse(s"SELECT ${sel.getOrElse("")} WHERE { ${body.getOrElse("")} }")
+    s"sparql-query@$endpoint mode=$mode [${q.take(500)}]"
+  }
 
-  // one sizing COUNT per Scan INSTANCE, not per physical-plan copy — AQE
-  // re-instantiates BatchScanExec around the same Scan, and each copy asks
-  // for the partition plan again
-  private lazy val partitions: Array[InputPartition] = mode match {
+  // one sizing COUNT per Scan INSTANCE and runtime-filter STATE — AQE
+  // re-instantiates BatchScanExec around the same Scan (each copy asks
+  // again), and the bound-join filter callback can arrive after a copy
+  // already sized the unfiltered scan
+  @volatile private var cachedPartitions: Array[InputPartition] = null
+  @volatile private var cachedFor: Seq[String] = null
+
+  override def planInputPartitions(): Array[InputPartition] = synchronized {
+    if (cachedPartitions == null || cachedFor != runtimeFilters) {
+      cachedPartitions = computePartitions()
+      cachedFor = runtimeFilters
+    }
+    cachedPartitions
+  }
+
+  private def computePartitions(): Array[InputPartition] = mode match {
     case "single" | "ask" =>
       Array(SparqlPageRange(0L, -1L))
     case "paged" =>
       val cSchema = StructType(Seq(StructField("count", LongType)))
-      val total = SparqlHttp.select(endpoint, countQuery.getOrElse(
-          throw new IllegalArgumentException("paged mode needs countQuery")),
-          cSchema)
+      val total = SparqlHttp.select(endpoint, countQuery, cSchema)
         .headOption.map(_.getLong(0)).getOrElse(0L)
       val nPages = math.max(1L, (total + pageSize - 1) / pageSize)
       val nParts = math.min(nPages, math.max(1, maxPartitions)).toInt
@@ -108,11 +159,14 @@ private[sources] class SparqlQueryScan(
       throw new IllegalArgumentException(s"unknown ship mode: $other")
   }
 
-  override def planInputPartitions(): Array[InputPartition] = partitions
-
   override def createReaderFactory(): PartitionReaderFactory = mode match {
-    case "paged" => new PageRangeReaderFactory(endpoint, query, schema, pageSize)
-    case _       => new OneShotReaderFactory(endpoint, query, schema, mode == "ask")
+    // query text resolves at READER creation: bound-join keys may arrive
+    // after the factory exists; task serialization captures post-filter
+    // state
+    case "paged" => new PageRangeReaderFactory(endpoint, () => pagedQuery,
+      schema, pageSize)
+    case _ => new OneShotReaderFactory(endpoint, verbatim.get, schema,
+      mode == "ask")
   }
 }
 
@@ -126,10 +180,6 @@ private[sources] class PageRangeReaderFactory(
   def this(endpoint: String, query: String, schema: StructType,
            pageSize: Int) = this(endpoint, () => query, schema, pageSize)
 
-  // resolved ONCE at factory construction ON THE DRIVER would be too
-  // early: SupportsRuntimeFiltering.filter() may arrive after the factory
-  // exists, so the query text resolves at reader creation (executor side,
-  // after the runtime-filtered partition plan shipped)
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SparqlPageRange]
     val query = queryThunk()

@@ -701,6 +701,48 @@ class Round14Spec extends SparkTestBase {
     } finally server.stop()
   }
 
+  test("runtime bound join reaches exclusive-group scans") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    // customer on A (selective, broadcast-size build); orders+lineitem on
+    // B ship as one exclusive group — the bound join must inject the
+    // customer keys INTO the group's remote pattern, so B joins AND
+    // filters before anything transits
+    val srvA = new GraftServer(scopedGraft(Set("urn:g:Customer")))
+    val srvB = new GraftServer(
+      scopedGraft(Set("urn:g:Order", "urn:g:Lineitem")))
+    val pa = srvA.start()
+    val pb = srvB.start()
+    try {
+      val g = Graft.overSparqlEndpoints(
+        Seq(s"http://127.0.0.1:$pa/sparql", s"http://127.0.0.1:$pb/sparql"),
+        EndpointCatalogGen.EndpointOptions(shipWholeQuery = true))
+      val q =
+        """PREFIX g: <urn:g:>
+          |SELECT ?l ?o ?qty WHERE {
+          |  ?c a g:Customer ; g:mktsegment "AUTOMOBILE" .
+          |  ?o g:customer ?c ; g:totalprice ?tp .
+          |  ?l g:order ?o ; g:quantity ?qty .
+          |} ORDER BY ?l ?o""".stripMargin
+      val df = g.sparql(q)
+      // sorted compare: ORDER BY ?l ?o leaves ?qty ties unordered
+      val got = df.collect().map(_.toString).sorted.toSeq
+      // truth is the single-lake row view — which the group ship preserves
+      // even over the collision-subject lineitem concept, because the
+      // star join runs AT the server instead of over the triple view
+      val truth = scopedGraft(
+        Set("urn:g:Customer", "urn:g:Order", "urn:g:Lineitem"))
+      assert(got == truth.sparql(q).collect().map(_.toString).sorted.toSeq)
+      assert(got.nonEmpty)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("sparql-query@"), "group did not ship")
+      assert(plan.contains("dynamicpruningexpression"),
+        s"no runtime filter on the group scan:\n${plan.take(1500)}")
+      assert(srvB.recentQueries.exists(t =>
+        t.contains(" IN (") && t.contains("urn:g:order") && t.contains("LIMIT")),
+        "the group page fetch did not carry the bound-join keys")
+    } finally { srvA.stop(); srvB.stop() }
+  }
+
   // ---- exclusive-group dispatch (federation star groups) ---------------------
 
   test("federation: connected same-endpoint stars ship as one remote group") {
