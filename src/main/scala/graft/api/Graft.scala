@@ -27,21 +27,35 @@ final class Graft(val catalog: Catalog, tableLoader: String => DataFrame,
     * enabled, a shippable query goes to the endpoint verbatim
     * ([[graft.compiler.QueryShip]]) — the local compile still supplies the
     * result schema, so both paths agree column-for-column. */
-  def sparql(query: String): DataFrame = {
-    val q = SparqlParser.parseUnsafe(query)
+  def sparql(query: String): DataFrame =
+    route(SparqlParser.parseUnsafe(query))._2
+
+  /** (dispatch description, result frame) — one routing for [[sparql]]
+    * and [[explain]], so the report always describes the plan actually
+    * taken. */
+  private def route(q: graft.algebra.Query): (String, DataFrame) =
     ship match {
       case Some(cfg) if graft.compiler.QueryShip.shippable(q, cfg) =>
-        graft.compiler.QueryShip.ship(q, cfg,
-          compiler.compile(graft.compiler.QueryShip.schemaProxy(q)).schema)
+        (s"whole-query dispatch -> ${cfg.endpoint}",
+          graft.compiler.QueryShip.ship(q, cfg,
+            compiler.compile(graft.compiler.QueryShip.schemaProxy(q)).schema))
       case Some(cfg) if q.form == graft.algebra.ConstructForm =>
         // graph form: ship the WHERE as a SELECT, instantiate the
         // template locally (falls back to the local compile when the
         // pattern is unshippable)
-        compiler.compileConstructShipped(q, cfg)
-          .getOrElse(compiler.compile(q))
-      case _ => compiler.compile(q)
+        compiler.compileConstructShipped(q, cfg) match {
+          case Some(df) =>
+            (s"CONSTRUCT WHERE dispatch -> ${cfg.endpoint} (template local)", df)
+          case None => ("local compile (pattern not shippable)",
+            compiler.compile(q))
+        }
+      case _ =>
+        val kind =
+          if (groupShip.isDefined)
+            "local compile + exclusive-group dispatch for endpoint-exclusive stars"
+          else "local compile"
+        (kind, compiler.compile(q))
     }
-  }
 
   /** Compile an already-parsed query (the [[Experiment]] metrics path
     * times parse and compile separately). */
@@ -76,7 +90,7 @@ final class Graft(val catalog: Catalog, tableLoader: String => DataFrame,
       .flatMap(ts => graft.decomposer.Decomposer.decompose(ts, catalog))
     val decTime = (System.nanoTime() - t0) / 1e9
     val t1 = System.nanoTime()
-    val df = compiler.compile(q)
+    val (dispatch, df) = route(q)
     val planTime = (System.nanoTime() - t1) / 1e9
     val dec = stars.zipWithIndex.map { case (s, i) =>
       val subj = s.subject match {
@@ -91,6 +105,7 @@ final class Graft(val catalog: Catalog, tableLoader: String => DataFrame,
     }.mkString("\n")
     s"""Decomposition (${stars.length} stars, ${f"$decTime%.3f"}s):
        |$dec
+       |Dispatch: $dispatch
        |Plan (compile ${f"$planTime%.3f"}s):
        |${df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode)}""".stripMargin
