@@ -808,6 +808,187 @@ object SparkEntry {
             T(s, d, "customer"), "c_custkey"))))
         .orderBy("check_name")
     }),
+    // MERGE upsert (WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT): the
+    // day's corrections (repriced every 10th order) + late arrivals (new
+    // keys) land in one anti-join + union — no window, no global sort
+    "lake_merge_upsert" -> ((s, d) => {
+      val target = T(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      val source = target.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          lit("X").as("o_orderstatus"),
+          (col("o_totalprice") + 100.0).as("o_totalprice"))
+        .unionByName(target.filter(col("o_orderkey") % 97 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_custkey"), lit("N").as("o_orderstatus"),
+            col("o_totalprice")))
+      _root_.graft.pipeline.Lakehouse
+        .mergeUpsert(target, source, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+    // CDC batch apply: one compacted change set with op in {I,U,D} —
+    // deletes drop the key, updates overwrite, inserts add; the licensing
+    // takedown / label-fix path of a mutable corpus
+    "lake_cdc_apply" -> ((s, d) => {
+      val target = T(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      val touched = target.filter(col("o_orderkey") % 7 === 0)
+      val changes = touched.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), lit("D").as("op"))
+        .unionByName(touched.filter(col("o_orderkey") % 3 === 1)
+          .select(col("o_orderkey"), col("o_custkey"),
+            lit("U").as("o_orderstatus"),
+            (col("o_totalprice") + 50.0).as("o_totalprice"),
+            lit("U").as("op")))
+        .unionByName(touched.filter(col("o_orderkey") % 3 === 2)
+          .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
+            col("o_custkey"), lit("I").as("o_orderstatus"),
+            col("o_totalprice"), lit("I").as("op")))
+      _root_.graft.pipeline.Lakehouse
+        .applyCdc(target, changes, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+    // SCD2 dimension history: changed balances close the current version
+    // and open a new one at ts=100, no-op re-deliveries leave history
+    // untouched, unseen keys insert — Kimball type-2, one full-outer join
+    "lake_scd2" -> ((s, d) => {
+      val cust = T(s, d, "customer")
+      val dim = cust.select(col("c_custkey"), col("c_name"),
+          col("c_acctbal"), lit(0L).as("valid_from"),
+          lit(null).cast("bigint").as("valid_to"))
+      val updates = cust
+        .filter(col("c_custkey") % 7 === 0 || col("c_custkey") % 11 === 0)
+        .select(col("c_custkey"), col("c_name"),
+          when(col("c_custkey") % 7 === 0, col("c_acctbal") + 50.0)
+            .otherwise(col("c_acctbal")).as("c_acctbal"))
+        .unionByName(cust.filter(col("c_custkey") % 13 === 0)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            col("c_name"), col("c_acctbal")))
+      _root_.graft.pipeline.Lakehouse
+        .scd2Apply(dim, updates, "c_custkey",
+          Seq("c_name", "c_acctbal"), ts = 100L)
+        .orderBy("c_custkey", "valid_from")
+    }),
+    // snapshot diff (CDC extraction): full-outer join of two snapshots →
+    // one row per changed key with I/U/D + old/new values side by side
+    "lake_snapshot_diff" -> ((s, d) => {
+      val oldSnap = T(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val newSnap = oldSnap.filter(col("o_orderkey") % 17 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+        .unionByName(oldSnap.filter(col("o_orderkey") % 23 === 0)
+          .select((col("o_orderkey") + 30000000L).as("o_orderkey"),
+            lit("I").as("o_orderstatus"), col("o_totalprice")))
+      _root_.graft.pipeline.Lakehouse
+        .snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"),
+          Seq("o_orderstatus", "o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+    // fixed-point integer PageRank over the supplier→customer ship graph
+    // (3 damped iterations, micro-rank units, integral division — the
+    // contract that makes distributed ranks bit-reproducible); top-100
+    "q_pagerank" -> ((s, d) => {
+      val e = T(s, d, "lineitem")
+        .join(T(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").cast("bigint").as("src"),
+          (col("o_custkey") + 1000000L).cast("bigint").as("dst"))
+      _root_.graft.pipeline.GraphOps.pagerankInt(e, iters = 3)
+        .orderBy(col("rank").desc, col("id"))
+        .limit(100)
+        .select(col("id"), col("rank").as("rank_micro"))
+    }),
+    // per-supplier triangle counts on the co-purchase projection (two
+    // suppliers linked iff they serve a shared customer; customers with
+    // >40 suppliers df-capped out before the self-join, the LSH-bucket
+    // bound): ordered 2-path join finds each triangle exactly once
+    "q_triangles" -> ((s, d) => {
+      val bip = T(s, d, "lineitem")
+        .join(T(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("group"), col("l_suppkey").as("member"))
+      val edges = _root_.graft.pipeline.GraphOps
+        .projectCoGrouped(bip, maxGroup = 40)
+      _root_.graft.pipeline.GraphOps.triangleCounts(edges)
+        .orderBy("id")
+    }),
+    // connected components over the same capped co-purchase projection:
+    // min-label propagation WITH pointer doubling (log-diameter rounds,
+    // converge-or-throw) — every supplier labels with the smallest
+    // supplier id reachable through shared customers
+    "q_components" -> ((s, d) => {
+      val bip = T(s, d, "lineitem")
+        .join(T(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("group"), col("l_suppkey").as("member"))
+      val edges = _root_.graft.pipeline.GraphOps
+        .projectCoGrouped(bip, maxGroup = 40)
+      _root_.graft.pipeline.GraphOps.connectedComponents(edges)
+        .orderBy("id")
+    }),
+    // op-log compaction (the declared upstream of lake_cdc_apply): three
+    // generations of changes per key collapse to the max-seq row via one
+    // max_by aggregate — no window, no sort; ready to feed applyCdc
+    "lake_compact_log" -> ((s, d) => {
+      val base = T(s, d, "orders").filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      val log = base
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), lit("I").as("op"), lit(1L).as("seq"))
+        .unionByName(base.filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            lit("U").as("o_orderstatus"),
+            (col("o_totalprice") + 5.0).as("o_totalprice"),
+            lit("U").as("op"), lit(2L).as("seq")))
+        .unionByName(base.filter(col("o_orderkey") % 20 === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"), col("o_totalprice"),
+            lit("D").as("op"), lit(3L).as("seq")))
+      _root_.graft.pipeline.Lakehouse
+        .compactLog(log, Seq("o_orderkey"), "seq")
+        .orderBy("o_orderkey")
+    }),
+    // SCD2 time travel: the same history lake_scd2 builds (batch applied
+    // at ts=100) must reconstruct BOTH the pre-batch snapshot (as-of 50)
+    // and the post-batch one (as-of 150) — the two directions gate that
+    // closing/opening versions preserves every payload
+    "lake_scd2_asof" -> ((s, d) => {
+      val cust = T(s, d, "customer")
+      val dim = cust.select(col("c_custkey"), col("c_name"),
+          col("c_acctbal"), lit(0L).as("valid_from"),
+          lit(null).cast("bigint").as("valid_to"))
+      val updates = cust
+        .filter(col("c_custkey") % 7 === 0 || col("c_custkey") % 11 === 0)
+        .select(col("c_custkey"), col("c_name"),
+          when(col("c_custkey") % 7 === 0, col("c_acctbal") + 50.0)
+            .otherwise(col("c_acctbal")).as("c_acctbal"))
+        .unionByName(cust.filter(col("c_custkey") % 13 === 0)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            col("c_name"), col("c_acctbal")))
+      val hist = _root_.graft.pipeline.Lakehouse
+        .scd2Apply(dim, updates, "c_custkey",
+          Seq("c_name", "c_acctbal"), ts = 100L)
+      _root_.graft.pipeline.Lakehouse.asOf(hist, 50L)
+        .withColumn("snap", lit("before"))
+        .unionByName(_root_.graft.pipeline.Lakehouse.asOf(hist, 150L)
+          .withColumn("snap", lit("after")))
+        .orderBy("snap", "c_custkey")
+    }),
+    // deterministic seeded training-order shuffle: md5(seed:id) keys +
+    // hex-nibble shards; first 200 of the permutation (the full op never
+    // sorts globally — writers partition by shard, sort within)
+    "doc_seeded_shuffle" -> ((s, d) =>
+      _root_.graft.pipeline.Mixture
+        .seededShuffle(T(s, d, "documents").select("doc_id"),
+          "doc_id", "seed42", shards = 16)
+        .orderBy("shuffle_key")
+        .limit(200)),
     // hive-partitioned round trip: documents written partitionBy(lang) and
     // read back must aggregate identically to the source table — gates
     // partition-column extraction/restoration (value↔directory encoding);
@@ -2017,6 +2198,191 @@ object SparkEntry {
         |      WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
         |  FROM orders o)
         |ORDER BY check_name""".stripMargin,
+    // MERGE = survivors (anti join) ∪ source
+    "lake_merge_upsert" ->
+      """WITH target AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice FROM orders),
+        |src AS (
+        |  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+        |    o_totalprice + 100.0 AS o_totalprice
+        |  FROM target WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice
+        |  FROM target WHERE o_orderkey % 97 = 0)
+        |SELECT * FROM (
+        |  SELECT t.* FROM target t WHERE NOT EXISTS (
+        |    SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
+        |  UNION ALL SELECT * FROM src)
+        |ORDER BY o_orderkey""".stripMargin,
+    // CDC apply: drop every touched key, re-add the non-delete payloads
+    "lake_cdc_apply" ->
+      """WITH target AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice FROM orders),
+        |touched AS (SELECT * FROM target WHERE o_orderkey % 7 = 0),
+        |changes AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    'D' AS op FROM touched WHERE o_orderkey % 3 = 0
+        |  UNION ALL SELECT o_orderkey, o_custkey, 'U',
+        |    o_totalprice + 50.0, 'U' FROM touched WHERE o_orderkey % 3 = 1
+        |  UNION ALL SELECT o_orderkey + 20000000, o_custkey, 'I',
+        |    o_totalprice, 'I' FROM touched WHERE o_orderkey % 3 = 2)
+        |SELECT * FROM (
+        |  SELECT t.* FROM target t WHERE NOT EXISTS (
+        |    SELECT 1 FROM changes c WHERE c.o_orderkey = t.o_orderkey)
+        |  UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice FROM changes WHERE op <> 'D')
+        |ORDER BY o_orderkey""".stripMargin,
+    // SCD2: unchanged stay open, real changes close at ts=100 and open a
+    // new version, no-ops (the %11-only keys) leave history untouched
+    "lake_scd2" ->
+      """WITH dim AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |upd AS (
+        |  SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 50.0
+        |         ELSE c_acctbal END AS c_acctbal
+        |  FROM customer WHERE c_custkey % 7 = 0 OR c_custkey % 11 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name, c_acctbal FROM customer
+        |  WHERE c_custkey % 13 = 0),
+        |changed AS (
+        |  SELECT d.c_custkey FROM dim d JOIN upd u USING (c_custkey)
+        |  WHERE u.c_name IS DISTINCT FROM d.c_name
+        |     OR u.c_acctbal IS DISTINCT FROM d.c_acctbal)
+        |SELECT * FROM (
+        |  SELECT d.c_custkey, d.c_name, d.c_acctbal,
+        |    CAST(0 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+        |  FROM dim d WHERE d.c_custkey NOT IN (SELECT c_custkey FROM changed)
+        |  UNION ALL
+        |  SELECT d.c_custkey, d.c_name, d.c_acctbal,
+        |    CAST(0 AS BIGINT), CAST(100 AS BIGINT)
+        |  FROM dim d WHERE d.c_custkey IN (SELECT c_custkey FROM changed)
+        |  UNION ALL
+        |  SELECT u.c_custkey, u.c_name, u.c_acctbal,
+        |    CAST(100 AS BIGINT), CAST(NULL AS BIGINT)
+        |  FROM upd u WHERE u.c_custkey IN (SELECT c_custkey FROM changed)
+        |     OR u.c_custkey NOT IN (SELECT c_custkey FROM dim))
+        |ORDER BY c_custkey, valid_from""".stripMargin,
+    // snapshot diff: full outer join, keep only I/U/D keys
+    "lake_snapshot_diff" ->
+      """WITH olds AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |    FROM orders),
+        |news AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM olds WHERE o_orderkey % 17 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 30000000, 'I', o_totalprice FROM olds
+        |  WHERE o_orderkey % 23 = 0)
+        |SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+        |  CASE WHEN o.o_orderkey IS NULL THEN 'I'
+        |       WHEN n.o_orderkey IS NULL THEN 'D'
+        |       ELSE 'U' END AS change_type,
+        |  o.o_orderstatus AS old_o_orderstatus,
+        |  n.o_orderstatus AS new_o_orderstatus,
+        |  o.o_totalprice AS old_o_totalprice,
+        |  n.o_totalprice AS new_o_totalprice
+        |FROM olds o FULL OUTER JOIN news n ON o.o_orderkey = n.o_orderkey
+        |WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+        |   OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |   OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+        |ORDER BY o_orderkey""".stripMargin,
+    // integer PageRank, 3 unrolled damped iterations — integral division
+    // makes every engine derive bit-identical micro-ranks
+    "q_pagerank" ->
+      """WITH e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+        |    CAST(o_custkey + 1000000 AS BIGINT) AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY src),
+        |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+        |r1 AS (SELECT n.id, CAST(150000 + COALESCE(
+        |    SUM((r.pr * 85) // (100 * od.d)), 0) AS BIGINT) AS pr
+        |  FROM nodes n LEFT JOIN e ON e.dst = n.id
+        |  LEFT JOIN r0 r ON r.id = e.src LEFT JOIN od ON od.src = e.src
+        |  GROUP BY n.id),
+        |r2 AS (SELECT n.id, CAST(150000 + COALESCE(
+        |    SUM((r.pr * 85) // (100 * od.d)), 0) AS BIGINT) AS pr
+        |  FROM nodes n LEFT JOIN e ON e.dst = n.id
+        |  LEFT JOIN r1 r ON r.id = e.src LEFT JOIN od ON od.src = e.src
+        |  GROUP BY n.id),
+        |r3 AS (SELECT n.id, CAST(150000 + COALESCE(
+        |    SUM((r.pr * 85) // (100 * od.d)), 0) AS BIGINT) AS pr
+        |  FROM nodes n LEFT JOIN e ON e.dst = n.id
+        |  LEFT JOIN r2 r ON r.id = e.src LEFT JOIN od ON od.src = e.src
+        |  GROUP BY n.id)
+        |SELECT id, pr AS rank_micro FROM r3
+        |ORDER BY pr DESC, id LIMIT 100""".stripMargin,
+    // ordered 2-path triangle enumeration over the capped co-purchase
+    // projection; each triangle counted once, exploded to its 3 corners
+    "q_triangles" ->
+      """WITH bip AS (SELECT DISTINCT o_custkey AS grp, l_suppkey AS member
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |ok AS (SELECT b.grp, b.member FROM bip b
+        |  JOIN (SELECT grp FROM bip GROUP BY grp HAVING COUNT(*) <= 40) g
+        |  USING (grp)),
+        |edges AS (SELECT DISTINCT l.member AS a, r.member AS b
+        |  FROM ok l JOIN ok r ON l.grp = r.grp AND l.member < r.member),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM edges e1 JOIN edges e2 ON e1.b = e2.a
+        |  JOIN edges e3 ON e1.a = e3.a AND e2.b = e3.b),
+        |corners AS (SELECT x AS id FROM tri
+        |  UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+        |SELECT id, CAST(COUNT(*) AS BIGINT) AS triangles FROM corners
+        |GROUP BY id ORDER BY id""".stripMargin,
+    // min reachable id per node via recursive closure over the same edges
+    "q_components" ->
+      """WITH RECURSIVE bip AS (SELECT DISTINCT o_custkey AS grp,
+        |    l_suppkey AS member
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |ok AS (SELECT b.grp, b.member FROM bip b
+        |  JOIN (SELECT grp FROM bip GROUP BY grp HAVING COUNT(*) <= 40) g
+        |  USING (grp)),
+        |pairs AS (SELECT DISTINCT l.member AS a, r.member AS b
+        |  FROM ok l JOIN ok r ON l.grp = r.grp AND l.member < r.member),
+        |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach AS (SELECT a AS x, b AS y FROM edges
+        |  UNION SELECT r.x, e.b AS y FROM reach r JOIN edges e ON e.a = r.y)
+        |SELECT CAST(x AS BIGINT) AS id,
+        |  CAST(least(x, MIN(y)) AS BIGINT) AS component
+        |FROM reach GROUP BY x ORDER BY id""".stripMargin,
+    // last-op-per-key: the max-seq row wins (row_number twin of max_by)
+    "lake_compact_log" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice FROM orders WHERE o_orderkey % 5 = 0),
+        |log AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    'I' AS op, CAST(1 AS BIGINT) AS seq FROM base
+        |  UNION ALL SELECT o_orderkey, o_custkey, 'U',
+        |    o_totalprice + 5.0, 'U', 2 FROM base WHERE o_orderkey % 10 = 0
+        |  UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice, 'D', 3 FROM base WHERE o_orderkey % 20 = 0)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, op
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+        |    ORDER BY seq DESC) AS rn FROM log)
+        |WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
+    // as-of 50 = the pre-batch dim; as-of 150 = the post-batch snapshot
+    "lake_scd2_asof" ->
+      """WITH dim AS (SELECT c_custkey, c_name, c_acctbal FROM customer)
+        |SELECT c_custkey, c_name, c_acctbal, 'before' AS snap FROM dim
+        |UNION ALL
+        |SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 50.0
+        |       ELSE c_acctbal END AS c_acctbal, 'after' FROM dim
+        |UNION ALL
+        |SELECT c_custkey + 1000000, c_name, c_acctbal, 'after' FROM dim
+        |WHERE c_custkey % 13 = 0
+        |ORDER BY snap, c_custkey""".stripMargin,
+    // md5(seed:id) keys + hex-nibble shard arithmetic, first 200 in order
+    "doc_seeded_shuffle" ->
+      """WITH k AS (SELECT doc_id,
+        |    md5('seed42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |  FROM documents)
+        |SELECT doc_id, shuffle_key,
+        |  CAST(((strpos('0123456789abcdef', substr(shuffle_key, 1, 1)) - 1)
+        |    * 16 + strpos('0123456789abcdef', substr(shuffle_key, 2, 1))
+        |    - 1) % 16 AS INTEGER) AS shard
+        |FROM k ORDER BY shuffle_key LIMIT 200""".stripMargin,
     // the partitioned lake must be indistinguishable from the table
     "doc_partitioned_roundtrip" ->
       """SELECT lang, COUNT(*) AS n_docs,

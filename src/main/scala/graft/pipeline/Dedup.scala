@@ -187,38 +187,21 @@ object Dedup {
     result
   }
 
-  /** Distributed connected components by iterative min-label propagation —
-    * the fallback when the pair graph itself is beyond driver memory. */
+  /** Distributed connected components — the fallback when the pair graph
+    * itself is beyond driver memory. Delegates to
+    * [[GraphOps.connectedComponents]] (min-label propagation WITH pointer
+    * doubling: logarithmic in component diameter, converge-or-throw) and
+    * pads edge-less documents with their own id. `maxIters` is rounds of
+    * the doubled schedule, so 10 covers diameters past 2^10 — the old
+    * one-hop propagation this replaces silently stopped at hop 10. */
   def canonicalIdsDistributed(docs: DataFrame, pairs: DataFrame,
                               maxIters: Int = 10): DataFrame = {
-    // materialize the edge list once — its lineage (typically the whole
-    // MinHash pipeline) must not re-run every propagation round
-    val edges = pairs.select(col("a"), col("b"))
-      .union(pairs.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
-      .persist()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("canonical_id"))
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIters) {
-      // neighbour labels: for each edge (a,b), b's current label proposes for a
-      val proposals = edges
-        .join(labels.select(col("doc_id").as("b"), col("canonical_id").as("nl")), "b")
-        .groupBy(col("a").as("doc_id")).agg(min(col("nl")).as("nl"))
-      val next = labels.join(proposals, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"),
-          least(col("canonical_id"), coalesce(col("nl"), col("canonical_id")))
-            .as("canonical_id"))
-      next.persist()
-      val changed = next.join(labels.withColumnRenamed("canonical_id", "old"), "doc_id")
-        .filter(col("canonical_id") =!= col("old")).limit(1).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
-      i += 1
-    }
-    edges.unpersist()
-    labels
+    val cc = GraphOps.connectedComponents(
+      pairs.select(col("a"), col("b")), maxIters)
+    docs.select(col("doc_id"))
+      .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("canonical_id"))
   }
 
   /** 64-bit SimHash per document: per-token hash, each bit position votes

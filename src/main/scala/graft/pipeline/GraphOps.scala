@@ -1,0 +1,174 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Whole-graph analytics over edge lists — the link-structure signals a
+  * web-scale corpus pipeline ranks and filters by (page authority for
+  * crawl prioritization, co-occurrence cliques for source clustering).
+  *
+  * Everything here is declarative DataFrame algebra: an iteration is a
+  * hash join on the edge key plus a groupBy on the destination, i.e.
+  * exactly the Pregel "scatter + gather" pair expressed so Catalyst owns
+  * partitioning. No vertex state lives on the driver.
+  *
+  * Ranks use FIXED-POINT INTEGER arithmetic (micro-rank units, integral
+  * division) rather than doubles: floating-point PageRank is only
+  * reproducible up to summation order, which a distributed shuffle does
+  * not fix — the integer contract makes every engine (and every run)
+  * produce bit-identical ranks, which is what lets the relational oracle
+  * check this operator exactly. The cost is bounded floor error per
+  * in-edge, immaterial for ranking use.
+  */
+object GraphOps {
+
+  /** Fixed-point PageRank over directed `edges` (`src`, `dst` BIGINT).
+    *
+    * Contract (mirrors the textbook damped walk, integerized): every
+    * node starts at `initMicro` micro-ranks; each iteration a node with
+    * out-degree d sends each successor `rank * dampNum div (dampDen*d)`
+    * (integral division) and every node restarts with
+    * `initMicro * (dampDen - dampNum) div dampDen`. Dangling mass (sinks
+    * have no successors) is dropped, not redistributed — the usual
+    * pruned-power-iteration simplification, stated so the oracle can
+    * reproduce it.
+    *
+    * Plan shape per iteration: one shuffle join of ranks onto the
+    * out-degree-annotated edge list (both hash-partitioned by `src` —
+    * the edge side is computed once and reused, so at cluster scale the
+    * big relation keeps its partitioning across iterations) and one
+    * map-side-combined groupBy on `dst`. Lineage grows linearly with
+    * `iters`; past ~10 iterations a production caller should checkpoint
+    * the rank frame the way the property-path closure in
+    * `Compiler.scala` does. */
+  def pagerankInt(edges: DataFrame, iters: Int,
+                  initMicro: Long = 1000000L,
+                  dampNum: Int = 85, dampDen: Int = 100): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col("src").cast("bigint").as("src"),
+      col("dst").cast("bigint").as("dst")).distinct()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    val eD = e.join(outdeg, "src")
+    val base = initMicro * (dampDen - dampNum) / dampDen
+
+    var rank = nodes.withColumn("rank", lit(initMicro))
+    for (_ <- 1 to iters) {
+      val contribs = eD.join(rank, eD("src") === rank("id"))
+        .select(col("dst").as("id"),
+          expr(s"rank * $dampNum div (${dampDen}L * d)").as("c"))
+        .groupBy("id").agg(sum("c").as("c"))
+      rank = nodes.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + coalesce(col("c"), lit(0L))).as("rank"))
+    }
+    rank
+  }
+
+  /** Connected components over an undirected edge list (`a`, `b`):
+    * every node labels with the MINIMUM node id reachable from it — the
+    * deterministic canonical representative (same convention as
+    * [[graft.pipeline.Dedup.canonicalIds]]'s union–find).
+    *
+    * Min-label propagation with POINTER DOUBLING: each round a node
+    * takes the smallest of (its label, its neighbors' labels, its
+    * label's label). The neighbor step alone needs diameter rounds; the
+    * label-of-label shortcut makes convergence logarithmic in component
+    * diameter — the hash-to-min trick of the MapReduce-CC literature —
+    * so `maxIters = 20` covers diameters past 2^20 and non-convergence
+    * is a loud throw (the `graft.path.maxIters` convention), never a
+    * silently-wrong label.
+    *
+    * Per round: one hash join of labels onto the (persisted, symmetric)
+    * edge list + a map-side-combined min, one self-join for the
+    * shortcut, and ONE materializing action — the eager
+    * `localCheckpoint` that also truncates lineage (the fixpoint plan
+    * otherwise grows exponentially, the property-path-closure lesson).
+    * No vertex state ever lands on the driver. Returns (`id`,
+    * `component`) for every node with at least one edge. */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    val sym = edges.select(col("a").cast("bigint").as("x"),
+        col("b").cast("bigint").as("y"))
+      .union(edges.select(col("b").cast("bigint").as("x"),
+        col("a").cast("bigint").as("y")))
+      .distinct()
+      .persist()
+    var labels = sym.select(col("x").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+      .localCheckpoint()
+    var i = 0
+    while (i < maxIters) {
+      // neighbor minimum: for each edge (x,y), y's label proposes for x
+      val proposed = sym
+        .join(labels.select(col("id").as("y"), col("component").as("nl")), "y")
+        .groupBy(col("x").as("id")).agg(min("nl").as("nl"))
+      val stepped = labels.join(proposed, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nl"), col("component")))
+            .as("component"))
+      // pointer doubling: a label is itself a node id — adopt ITS label
+      val doubled = stepped.alias("s")
+        .join(stepped.select(col("id").as("component"),
+          col("component").as("ll")).alias("l"), Seq("component"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("ll"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      val changed = doubled
+        .join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old")).limit(1).count()
+      labels = doubled
+      i += 1
+      if (changed == 0) { sym.unpersist(); return labels }
+    }
+    sym.unpersist()
+    throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIters rounds " +
+        "(component diameter past 2^" + maxIters + " — raise maxIters)")
+  }
+
+  /** Project a bipartite membership table (`group`, `member`) onto a
+    * canonical member–member co-occurrence edge list (`a` < `b`): two
+    * members are linked iff they share a group.
+    *
+    * Groups larger than `maxGroup` are EXCLUDED before the self-join —
+    * the same frequency-cap bound the dedup family puts on LSH buckets
+    * and gram df: a hub group of size g emits g·(g−1)/2 pairs, so one
+    * viral group would otherwise dominate the shuffle at corpus scale.
+    * The cap makes per-group emission ≤ maxGroup², and is part of the
+    * operator's declared semantics (hub groups carry little signal). */
+  def projectCoGrouped(bipartite: DataFrame, maxGroup: Int): DataFrame = {
+    val bip = bipartite.select(col("group"), col("member")).distinct()
+    val ok = bip.join(
+      bip.groupBy("group").agg(count(lit(1)).as("sz"))
+        .filter(col("sz") <= maxGroup).select("group"),
+      Seq("group"))
+    ok.alias("l").join(ok.alias("r"),
+        col("l.group") === col("r.group") &&
+          col("l.member") < col("r.member"))
+      .select(col("l.member").as("a"), col("r.member").as("b"))
+      .distinct()
+  }
+
+  /** Per-node triangle counts over a canonical undirected edge list
+    * (`a` < `b`, deduplicated — [[projectCoGrouped]]'s output shape).
+    *
+    * The classic ordered two-path join: (x,y)⋈(y,z)⋈(x,z) with
+    * x < y < z finds each triangle exactly once; exploding its three
+    * corners and counting per node gives local triangle counts (the
+    * clustering-coefficient numerator). Three hash joins on edge keys +
+    * one aggregate — entirely shuffle-bound, no driver state; the
+    * degree cap upstream is what bounds the two-path fan-out. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b"))
+    val tri = e.alias("e1")
+      .join(e.alias("e2"), col("e1.b") === col("e2.a"))
+      .join(e.alias("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"),
+        col("e2.b").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+  }
+}

@@ -1,0 +1,194 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Table-maintenance operators for a mutable lake: MERGE upsert, CDC
+  * apply, SCD2 dimension history, and snapshot diff.
+  *
+  * A 100 TB training corpus is not write-once: crawls re-fetch pages,
+  * label fixes land, licensing takedowns delete rows. Each op here is a
+  * single declarative plan whose only wide stage is the key-hash shuffle
+  * of the join — at cluster scale every one of them co-partitions on the
+  * merge key, so target and delta land on the same executors and AQE can
+  * size the reduce side. None of them sort globally, collect to the
+  * driver, or carry per-row state.
+  *
+  * Semantics follow the ANSI/Delta MERGE and classic Kimball SCD2
+  * contracts (public; the reference engine is read-only federation and
+  * has no write path — this is extension surface in the sense of
+  * SURVEY §2.14). Column comparisons are null-safe (`<=>`) throughout,
+  * so a NULL→value change is a real change and NULL==NULL is not.
+  */
+object Lakehouse {
+
+  /** MERGE upsert: rows of `source` replace key-matched rows of
+    * `target`; unmatched source rows are inserts; unmatched target rows
+    * survive. Exactly `WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED
+    * THEN INSERT *`.
+    *
+    * Plan shape: one left-anti hash join on `keys` (the survivors) plus
+    * a union with `source` — a single shuffle of each side, no window,
+    * no global sort. With a small delta Catalyst broadcasts the anti
+    * join's build side, making the merge a map-only pass over the
+    * target: the 100 TB case is "broadcast the day's changes, rewrite
+    * only matching files".
+    *
+    * `source` must be key-unique (a last-writer-wins pre-dedup is the
+    * caller's policy decision — see [[applyCdc]] which does resolve
+    * multiplicity via `op`). */
+  def mergeUpsert(target: DataFrame, source: DataFrame,
+                  keys: Seq[String]): DataFrame = {
+    val srcKeys = source.select(keys.map(col): _*).distinct()
+    target.join(srcKeys, keys, "left_anti").unionByName(source)
+  }
+
+  /** Apply a CDC change batch: `changes` carries the full payload plus
+    * an `opCol` in {"I","U","D"}. D drops the key from the target; I and
+    * U both upsert the payload (so a replayed I on an existing key is an
+    * idempotent overwrite, the usual at-least-once CDC contract).
+    *
+    * At most one change row per key (a compacted batch — compaction of
+    * a raw op log to last-op-per-key is `groupBy(keys).agg(max_by)`
+    * upstream and deliberately not bundled here). Plan: one anti join
+    * to drop every touched key, one union of the non-delete payloads. */
+  def applyCdc(target: DataFrame, changes: DataFrame,
+               keys: Seq[String], opCol: String = "op"): DataFrame = {
+    val touched = changes.select(keys.map(col): _*).distinct()
+    val upserts = changes.filter(col(opCol) =!= lit("D")).drop(opCol)
+    target.join(touched, keys, "left_anti").unionByName(upserts)
+  }
+
+  /** Compact a raw CDC op log to the last op per key — the declared
+    * upstream of [[applyCdc]] (which requires at most one change row per
+    * key). `seqCol` is the log's monotone change sequence (LSN/offset);
+    * the caller's contract is one op per (key, seq) with seqs strictly
+    * ordered per key, and ties — a violated contract — still resolve
+    * deterministically because the ordering key is (seq, payload), never
+    * partition order.
+    *
+    * One map-side-combined `max_by` aggregate: the log shuffles its
+    * payload once, hash-partitioned by key — no window, no sort. Output
+    * carries exactly the non-seq columns, ready to feed [[applyCdc]]. */
+  def compactLog(log: DataFrame, keys: Seq[String],
+                 seqCol: String = "seq"): DataFrame = {
+    val payload = log.columns.filterNot(c =>
+      keys.contains(c) || c == seqCol).toSeq
+    val row = struct(payload.map(col): _*)
+    val ord = struct(col(seqCol) +: payload.map(col): _*)
+    log.groupBy(keys.map(col): _*)
+      .agg(max_by(row, ord).as("__last"))
+      .select(keys.map(col) ++
+        payload.map(c => col(s"__last.$c").as(c)): _*)
+  }
+
+  /** Time-travel read over an SCD2 history table ([[scd2Apply]]'s
+    * output shape): the snapshot as of `ts` — versions opened at or
+    * before `ts` and not yet closed then. A pure filter (map-only; at
+    * cluster scale it rides min/max row-group pruning on `valid_from`/
+    * `valid_to`), dropping the validity bookkeeping columns. */
+  def asOf(dim: DataFrame, ts: Long): DataFrame =
+    dim.filter(col("valid_from") <= ts &&
+        (col("valid_to").isNull || col("valid_to") > ts))
+      .drop("valid_from", "valid_to")
+
+  private def anyDiffers(updAlias: String, dimAlias: String,
+                         trackCols: Seq[String]): Column =
+    trackCols
+      .map(c => !(col(s"$updAlias.$c") <=> col(s"$dimAlias.$c")))
+      .reduce(_ || _)
+
+  /** SCD Type-2 dimension maintenance. `dim` is the history table with
+    * payload columns plus `valid_from`/`valid_to` (valid_to NULL ⇒
+    * current). `updates` is the new snapshot of changed-or-new entities
+    * keyed by `key`; `ts` is the effective time of this batch.
+    *
+    * For each update key: if no current row exists, insert a new current
+    * row (valid_from = ts); if the current row differs on any of
+    * `trackCols` (null-safely), close it (valid_to = ts) and append the
+    * new version; if it is identical on `trackCols`, leave history
+    * untouched (idempotent re-delivery). Closed history rows are never
+    * rewritten.
+    *
+    * Plan shape: one full-outer hash join of CURRENT rows against the
+    * batch on `key` (both sides shuffle-partitioned by the key — full
+    * outer cannot broadcast) fans out into the row classes by projection
+    * only; closed history rows pass through with no join at all, so the
+    * joined cardinality is O(current + batch), not O(history). */
+  def scd2Apply(dim: DataFrame, updates: DataFrame, key: String,
+                trackCols: Seq[String], ts: Long): DataFrame = {
+    val payload = dim.columns.filterNot(c =>
+      c == "valid_from" || c == "valid_to").toSeq
+    require(updates.columns.sorted.sameElements(payload.sorted),
+      s"updates must carry exactly the payload columns ${payload.sorted
+        .mkString(",")}, got ${updates.columns.sorted.mkString(",")}")
+
+    val closed = dim.filter(col("valid_to").isNotNull)
+    val current = dim.filter(col("valid_to").isNull).alias("d")
+    val upd = updates.alias("u")
+
+    val joined = current.join(upd, col(s"d.$key") === col(s"u.$key"),
+      "full_outer")
+    val changed = anyDiffers("u", "d", trackCols)
+    val dimCols = payload.map(c => col(s"d.$c").as(c))
+    val updCols = payload.map(c => col(s"u.$c").as(c))
+
+    // current rows that stay open: no update arrived, or it was a no-op
+    val stayOpen = joined
+      .filter(col(s"d.$key").isNotNull &&
+        (col(s"u.$key").isNull || !changed))
+      .select(dimCols :+ col("d.valid_from").as("valid_from")
+        :+ col("d.valid_to").as("valid_to"): _*)
+    // current rows closed by a real change
+    val nowClosed = joined
+      .filter(col(s"d.$key").isNotNull && col(s"u.$key").isNotNull &&
+        changed)
+      .select(dimCols :+ col("d.valid_from").as("valid_from")
+        :+ lit(ts).as("valid_to"): _*)
+    // new versions: a real change, or a brand-new key
+    val newVersions = joined
+      .filter(col(s"u.$key").isNotNull &&
+        (col(s"d.$key").isNull || changed))
+      .select(updCols :+ lit(ts).as("valid_from")
+        :+ lit(null).cast("bigint").as("valid_to"): _*)
+
+    closed.select(payload.map(col) :+ col("valid_from")
+        :+ col("valid_to"): _*)
+      .unionByName(stayOpen).unionByName(nowClosed)
+      .unionByName(newVersions)
+  }
+
+  /** Snapshot diff (CDC extraction): compare two snapshots of a table
+    * keyed by `keys` and emit one row per changed key with
+    * `change_type` ∈ {"I","U","D"}. Unchanged keys (null-safe equal on
+    * every `compareCols`) are dropped. Old/new values of the compared
+    * columns come back side by side as `old_<c>` / `new_<c>`.
+    *
+    * One full-outer hash join on the key — the inverse of [[applyCdc]]:
+    * `applyCdc(old, snapshotDiff(old, new) ∪ payload, keys) == new`. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   keys: Seq[String],
+                   compareCols: Seq[String]): DataFrame = {
+    val o = oldSnap.alias("o")
+    val n = newSnap.alias("n")
+    val keyMatch = keys.map(k => col(s"o.$k") === col(s"n.$k"))
+      .reduce(_ && _)
+    val joined = o.join(n, keyMatch, "full_outer")
+    val oldKey = col(s"o.${keys.head}")
+    val newKey = col(s"n.${keys.head}")
+    val same = compareCols.map(c => col(s"o.$c") <=> col(s"n.$c"))
+      .reduce(_ && _)
+    joined
+      .withColumn("change_type",
+        when(oldKey.isNull, lit("I"))
+          .when(newKey.isNull, lit("D"))
+          .when(same, lit(null).cast("string"))
+          .otherwise(lit("U")))
+      .filter(col("change_type").isNotNull)
+      .select(
+        keys.map(k => coalesce(col(s"n.$k"), col(s"o.$k")).as(k)) ++
+          Seq(col("change_type")) ++
+          compareCols.flatMap(c => Seq(col(s"o.$c").as(s"old_$c"),
+            col(s"n.$c").as(s"new_$c"))): _*)
+  }
+}

@@ -521,4 +521,33 @@ object Mixture {
       .orderBy(col("key_milli").desc, col("doc_id"))
       .limit(n)
   }
+
+  /** Deterministic global training-order shuffle: key every row by
+    * `md5(seed ++ ":" ++ id)` and assign a shard from the key's first
+    * two hex nibbles. Training epochs need the corpus in a fixed
+    * pseudo-random order that any engine/run can reproduce — `rand()`
+    * and `repartition()` are partition-order dependent; a cryptographic
+    * digest of (seed, id) is not, and changing the seed reshuffles.
+    *
+    * No global sort happens here: the contract is (shard, shuffle_key)
+    * — writers partition by `shard` and sort WITHIN each shard
+    * (`sortWithinPartitions`), so a 100 TB shuffle is one hash exchange
+    * plus per-partition sorts, never a total order. Readers that
+    * concatenate shards 0..255 in key order see the full deterministic
+    * permutation. */
+  def seededShuffle(docs: DataFrame, idCol: String, seed: String,
+                    shards: Int = 256): DataFrame = {
+    require(shards >= 1 && shards <= 256,
+      s"shards must be in [1,256], got $shards")
+    docs
+      .withColumn("shuffle_key",
+        md5(concat(lit(seed + ":"), col(idCol).cast("string"))))
+      // first two hex nibbles -> 0..255, folded into `shards` buckets;
+      // strpos arithmetic (not engine hash builtins) so any SQL engine
+      // derives the identical shard
+      .withColumn("shard", expr(
+        "pmod((instr('0123456789abcdef', substr(shuffle_key, 1, 1)) - 1) " +
+          s"* 16 + instr('0123456789abcdef', substr(shuffle_key, 2, 1)) " +
+          s"- 1, $shards)"))
+  }
 }
