@@ -903,17 +903,18 @@ object SparkEntry {
         .limit(100)
         .select(col("id"), col("rank").as("rank_micro"))
     }),
-    // per-supplier triangle counts on the co-purchase projection (two
-    // suppliers linked iff they serve a shared customer; customers with
-    // >40 suppliers df-capped out before the self-join, the LSH-bucket
-    // bound): ordered 2-path join finds each triangle exactly once
+    // per-part triangle counts on the basket-co-occurrence projection
+    // (two parts linked iff some order contains both; the part domain
+    // GROWS with the data, so the graph stays sparse at every scale —
+    // unlike a fixed entity domain, which densifies into O(n³) triangle
+    // work as orders accumulate): ordered 2-path join finds each
+    // triangle exactly once; even-keyed parts thin the basket overlap
     "q_triangles" -> ((s, d) => {
       val bip = T(s, d, "lineitem")
-        .join(T(s, d, "orders"),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("group"), col("l_suppkey").as("member"))
+        .filter(col("l_partkey") % 2 === 0)
+        .select(col("l_orderkey").as("group"), col("l_partkey").as("member"))
       val edges = _root_.graft.pipeline.GraphOps
-        .projectCoGrouped(bip, maxGroup = 40)
+        .projectCoGrouped(bip, maxGroup = 8)
       _root_.graft.pipeline.GraphOps.triangleCounts(edges)
         .orderBy("id")
     }),
@@ -2313,13 +2314,13 @@ object SparkEntry {
         |  GROUP BY n.id)
         |SELECT id, pr AS rank_micro FROM r3
         |ORDER BY pr DESC, id LIMIT 100""".stripMargin,
-    // ordered 2-path triangle enumeration over the capped co-purchase
+    // ordered 2-path triangle enumeration over the capped basket
     // projection; each triangle counted once, exploded to its 3 corners
     "q_triangles" ->
-      """WITH bip AS (SELECT DISTINCT o_custkey AS grp, l_suppkey AS member
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      """WITH bip AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS member
+        |  FROM lineitem WHERE l_partkey % 2 = 0),
         |ok AS (SELECT b.grp, b.member FROM bip b
-        |  JOIN (SELECT grp FROM bip GROUP BY grp HAVING COUNT(*) <= 40) g
+        |  JOIN (SELECT grp FROM bip GROUP BY grp HAVING COUNT(*) <= 8) g
         |  USING (grp)),
         |edges AS (SELECT DISTINCT l.member AS a, r.member AS b
         |  FROM ok l JOIN ok r ON l.grp = r.grp AND l.member < r.member),

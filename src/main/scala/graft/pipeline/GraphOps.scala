@@ -47,10 +47,14 @@ object GraphOps {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = edges.select(col("src").cast("bigint").as("src"),
       col("dst").cast("bigint").as("dst")).distinct()
+    // materialize the degree-annotated edge list and node set ONCE —
+    // their lineage (often a multi-join upstream) must not re-execute
+    // inside every iteration's plan
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("d"))
-    val eD = e.join(outdeg, "src")
+    val eD = e.join(outdeg, "src").localCheckpoint()
     val base = initMicro * (dampDen - dampNum) / dampDen
 
     var rank = nodes.withColumn("rank", lit(initMicro))
