@@ -119,7 +119,9 @@ object SparkEntry {
       "autogen_endpoint_shipped_agg", "autogen_endpoint_shipped_join",
       "autogen_endpoint_shipped_topk", "autogen_endpoint_shipped_ask",
       "autogen_endpoint_shipped_construct",
-      "autogen_endpoint_federation_shipped")
+      "autogen_endpoint_federation_shipped",
+      "autogen_endpoint_federation_optional",
+      "autogen_endpoint_federation_union")
 
   /** Hourly event counts per type — the shared input of both anomaly
     * rows (one definition ⇒ Catalyst's ReusedExchange can share the
@@ -626,6 +628,63 @@ object SparkEntry {
             |  ?n a g:Nation ; g:region ?r .
             |  ?r a g:Region ; g:name ?rname .
             |} GROUP BY ?rname ORDER BY ?rname""".stripMargin)
+        val rows = df.collect()
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), df.schema)
+      } finally { srvA.stop(); srvB.stop() }
+    }),
+    // exclusive-PATTERN dispatch: an OPTIONAL whose every star lives on
+    // endpoint B (nation OPTIONAL region, selective inner FILTER so some
+    // nations pad unbound) ships WHOLE — the left join runs at B; the
+    // customer star on A joins the shipped frame locally
+    "autogen_endpoint_federation_optional" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      def scoped(types: Set[String]) = Graft.overParquetDir(
+        _root_.graft.mapping.Catalog(TpchCatalog.catalog.molecules.filter(m =>
+          types.contains(m.rdfType))), d)
+      val srvA = new _root_.graft.api.GraftServer(scoped(Set("urn:g:Customer")))
+      val srvB = new _root_.graft.api.GraftServer(
+        scoped(Set("urn:g:Nation", "urn:g:Region")))
+      val pa = srvA.start()
+      val pb = srvB.start()
+      try {
+        val g = Graft.overSparqlEndpoints(Seq(
+          s"http://127.0.0.1:$pa/sparql", s"http://127.0.0.1:$pb/sparql"),
+          _root_.graft.mapping.EndpointCatalogGen.EndpointOptions(
+            shipWholeQuery = true))
+        val df = g.sparql(
+          """PREFIX g: <urn:g:>
+            |SELECT ?nname ?rname (COUNT(?c) AS ?ncust) WHERE {
+            |  ?c a g:Customer ; g:nation ?n .
+            |  { ?n a g:Nation ; g:name ?nname .
+            |    OPTIONAL { ?n g:region ?r . ?r a g:Region ; g:name ?rname
+            |               FILTER (CONTAINS(?rname, "A")) } }
+            |} GROUP BY ?nname ?rname ORDER BY ?nname""".stripMargin)
+        val rows = df.collect()
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), df.schema)
+      } finally { srvA.stop(); srvB.stop() }
+    }),
+    // exclusive-PATTERN dispatch, UNION form: both branches exclusive to
+    // endpoint B ⇒ the union evaluates at the store, one shipped scan
+    "autogen_endpoint_federation_union" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      def scoped(types: Set[String]) = Graft.overParquetDir(
+        _root_.graft.mapping.Catalog(TpchCatalog.catalog.molecules.filter(m =>
+          types.contains(m.rdfType))), d)
+      val srvA = new _root_.graft.api.GraftServer(scoped(Set("urn:g:Customer")))
+      val srvB = new _root_.graft.api.GraftServer(
+        scoped(Set("urn:g:Nation", "urn:g:Region")))
+      val pa = srvA.start()
+      val pb = srvB.start()
+      try {
+        val g = Graft.overSparqlEndpoints(Seq(
+          s"http://127.0.0.1:$pa/sparql", s"http://127.0.0.1:$pb/sparql"),
+          _root_.graft.mapping.EndpointCatalogGen.EndpointOptions(
+            shipWholeQuery = true))
+        val df = g.sparql(
+          """PREFIX g: <urn:g:>
+            |SELECT ?x WHERE {
+            |  { ?n a g:Nation ; g:name ?x } UNION { ?r a g:Region ; g:name ?x }
+            |} ORDER BY ?x""".stripMargin)
         val rows = df.collect()
         s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), df.schema)
       } finally { srvA.stop(); srvB.stop() }
@@ -3816,7 +3875,23 @@ object SparkEntry {
       "autogen_endpoint_shipped_topk" -> "sparql_topk",
       "autogen_endpoint_shipped_ask" -> "sparql_ask",
       "autogen_endpoint_shipped_construct" -> "sparql_construct")
-      .map { case (auto, manual) => auto -> baseOracles(manual) }
+      .map { case (auto, manual) => auto -> baseOracles(manual) } ++
+    Map(
+      // exclusive-PATTERN dispatch rows have no manual twin with the same
+      // shape — fresh relational truths. The shipped OPTIONAL's inner
+      // FILTER makes ?rname unbound for non-matching regions (every
+      // nation HAS a region, so the pad comes from the filter alone).
+      "autogen_endpoint_federation_optional" ->
+        """WITH nr AS (
+          |  SELECT n_nationkey, n_name AS nname,
+          |    CASE WHEN r_name LIKE '%A%' THEN r_name END AS rname
+          |  FROM nation JOIN region ON n_regionkey = r_regionkey)
+          |SELECT nname, rname, CAST(COUNT(c_custkey) AS BIGINT) AS ncust
+          |FROM nr JOIN customer ON c_nationkey = n_nationkey
+          |GROUP BY nname, rname ORDER BY nname""".stripMargin,
+      "autogen_endpoint_federation_union" ->
+        """SELECT x FROM (SELECT n_name AS x FROM nation
+          |  UNION ALL SELECT r_name FROM region) ORDER BY x""".stripMargin)
 
   /** Exact top-5 cosine kNN for the three probe queries as a DuckDB CTE;
     * shared by the brute oracle and both ANN recall gates. */

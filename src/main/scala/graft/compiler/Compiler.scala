@@ -416,13 +416,16 @@ final class Compiler(catalog: Catalog, load: String => DataFrame,
   def compilePattern(p: Pattern): Compiled = p match {
     case Pattern.Bgp(ts)      => compileBgp(ts)
     case Pattern.Join(l, r)   => compileJoin(l, r)
-    case Pattern.LeftJoin(l, r, None) =>
+    case pat @ Pattern.LeftJoin(l, r, None) =>
+      shipExclusivePattern(pat).getOrElse {
       val lc = compilePattern(l)
       compileGroupScoped(r) match {
         case Some(rc) => join2(lc, rc, "left_outer")
         case None     => padUnbound(lc, r.vars) // empty OPTIONAL: unbound
       }
-    case Pattern.LeftJoin(l, r, Some(f)) =>
+      }
+    case pat @ Pattern.LeftJoin(l, r, Some(f)) =>
+      shipExclusivePattern(pat).getOrElse {
       val lc = compilePattern(l)
       compileGroupScoped(r) match {
         case None => padUnbound(lc, r.vars) // F never sees a match
@@ -436,7 +439,9 @@ final class Compiler(catalog: Catalog, load: String => DataFrame,
               rc.df.filter(ExprCompiler.predicate(f, rc.df))), "left_outer")
           else leftJoinCond(lc, rc, f)
       }
-    case Pattern.Union(l, r)  =>
+      }
+    case pat @ Pattern.Union(l, r)  =>
+      shipExclusivePattern(pat).getOrElse {
       // a branch no molecule can answer contributes the empty bag, per
       // SPARQL semantics; both branches dead propagates (outer scopes may
       // still absorb it — e.g. an OPTIONAL around this union)
@@ -446,6 +451,7 @@ final class Compiler(catalog: Catalog, load: String => DataFrame,
         case (None, Some(b))    => b
         case (None, None) => throw new graft.decomposer.NoSourceException(
           "no source matches either UNION branch")
+      }
       }
     case Pattern.Filter(e, p0) =>
       // unwrap the conjunct chain so an exclusive-group ship sees every
@@ -1099,20 +1105,29 @@ final class Compiler(catalog: Catalog, load: String => DataFrame,
     * return). Each group's schema and cardinality estimate come from the
     * LOCAL compile of the same stars, so the shipped frame drops into join
     * ordering exactly where the local one would. */
+  /** The one endpoint every candidate molecule of `st` lives on, if any. */
+  private def soleEndpointOf(st: Star): Option[String] =
+    st.sources.flatMap(_.fragments.map(_.molecule.source)).distinct match {
+      case List(u) if u.startsWith("http://") || u.startsWith("https://") =>
+        Some(u)
+      case _ => None
+    }
+
+  /** Conservative per-star ship guards: no variable-predicate stars (the
+    * local enumeration binds extra term-kind metadata), no lang-tagged
+    * predicates (LANG() reads a hidden column a shipped scan cannot
+    * return). */
+  private def starShipEligible(st: Star): Boolean =
+    st.triples.forall(!_.p.isInstanceOf[Var]) &&
+      !st.sources.exists(_.fragments.exists(_.molecule.predicates.values.exists {
+        case RefMap(_, Some(_)) => true
+        case _                  => false
+      }))
+
   private def shipExclusiveGroups(stars: List[Star], filters: List[Expr],
                                   cfg: QueryShip.GroupShip): List[Compiled] = {
-    def sole(st: Star): Option[String] =
-      st.sources.flatMap(_.fragments.map(_.molecule.source)).distinct match {
-        case List(u) if u.startsWith("http://") || u.startsWith("https://") =>
-          Some(u)
-        case _ => None
-      }
-    def eligible(st: Star): Boolean =
-      st.triples.forall(!_.p.isInstanceOf[Var]) &&
-        !st.sources.exists(_.fragments.exists(_.molecule.predicates.values.exists {
-          case RefMap(_, Some(_)) => true
-          case _                  => false
-        }))
+    def sole(st: Star): Option[String] = soleEndpointOf(st)
+    def eligible(st: Star): Boolean = starShipEligible(st)
     def components(sts: List[Star]): List[List[Star]] = {
       val remaining = mutable.ListBuffer(sts: _*)
       val comps = mutable.ListBuffer[List[Star]]()
@@ -1144,6 +1159,68 @@ final class Compiler(catalog: Catalog, load: String => DataFrame,
       shipComponent(ep, comp, filters, cfg)
     }
     shipped ++ stars.filterNot(consumed.contains).map(compileStar)
+  }
+
+  /** Exclusive-PATTERN dispatch — the ladder rung between exclusive star
+    * GROUPS and whole-query dispatch: an OPTIONAL / UNION (or a MINUS /
+    * EXISTS reached through one) whose EVERY star is exclusive to one
+    * endpoint ships whole, so the left-join/union itself runs at the
+    * store. Without this, a federation compiles such blocks per-concept
+    * even when no other store could contribute a row, and each side's
+    * bindings transit the wire just to be joined back locally (FedX §5.2
+    * exclusive groups, extended past BGP granularity). The local compile
+    * of the same pattern is the schema + cardinality authority, exactly
+    * like [[shipComponent]], and the fallback when the pattern or one of
+    * its FILTER expressions can't render as SPARQL surface text.
+    *
+    * The local twin compiles through a ship-less child Compiler (the
+    * subquery-compiler pattern): this instance is shared by concurrent
+    * server requests, so the recursion guard must not be instance
+    * state. */
+  private def shipExclusivePattern(p: Pattern): Option[Compiled] =
+    groupShip.flatMap { cfg =>
+      exclusivePatternEndpoint(p).flatMap { ep =>
+        val local = new Compiler(catalog, load).compilePattern(p)
+        if (local.card == 0L) Some(local) // provably empty: nothing to fetch
+        else
+          try {
+            val df = QueryShip.shipPattern(ep, p, Nil,
+              local.dropHidden.schema, cfg)
+            Some(Compiled(df, Map.empty, bcast = false, card = local.card))
+          } catch { case _: UnsupportedOperationException => None }
+      }
+    }
+
+  /** The single endpoint every star inside `p` is exclusive to, if such
+    * exists. BGP leaves decompose against the catalog and each star must
+    * pass the per-star ship guards with the same sole endpoint;
+    * VALUES / BIND are endpoint-neutral; any other node (SERVICE, paths,
+    * subqueries — each with its own dispatch rules) opts the pattern out
+    * and it compiles per-concept as before. */
+  private def exclusivePatternEndpoint(p: Pattern): Option[String] = {
+    def both(l: Pattern, r: Pattern): Option[Set[String]] =
+      for (a <- walk(l); b <- walk(r)) yield a ++ b
+    def walk(p: Pattern): Option[Set[String]] = p match {
+      case Pattern.Bgp(ts) =>
+        val stars =
+          try Decomposer.decompose(ts, catalog)
+          catch { case scala.util.control.NonFatal(_) => return None }
+        val eps = stars.map(st =>
+          if (starShipEligible(st)) soleEndpointOf(st) else None)
+        if (eps.exists(_.isEmpty)) None else Some(eps.flatten.toSet)
+      case Pattern.Filter(_, p0)     => walk(p0)
+      case Pattern.Extend(p0, _, _)  => walk(p0)
+      case Pattern.LeftJoin(l, r, _) => both(l, r)
+      case Pattern.Union(l, r)       => both(l, r)
+      case Pattern.Minus(l, r)       => both(l, r)
+      case Pattern.Exists(l, r, _)   => both(l, r)
+      case _: Pattern.Values         => Some(Set.empty)
+      case _                         => None
+    }
+    walk(p) match {
+      case Some(s) if s.size == 1 => Some(s.head)
+      case _                      => None
+    }
   }
 
   private def shipComponent(endpoint: String, comp: List[Star],

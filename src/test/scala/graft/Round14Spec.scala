@@ -780,6 +780,92 @@ class Round14Spec extends SparkTestBase {
     } finally { srvA.stop(); srvB.stop() }
   }
 
+  test("federation: an endpoint-exclusive OPTIONAL ships whole") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val srvA = new GraftServer(scopedGraft(Set("urn:g:Customer")))
+    val srvB = new GraftServer(scopedGraft(Set("urn:g:Nation", "urn:g:Region")))
+    val pa = srvA.start()
+    val pb = srvB.start()
+    try {
+      val g = Graft.overSparqlEndpoints(
+        Seq(s"http://127.0.0.1:$pa/sparql", s"http://127.0.0.1:$pb/sparql"),
+        EndpointCatalogGen.EndpointOptions(shipWholeQuery = true))
+      // nation OPTIONAL region (both exclusive to B, selective inner
+      // FILTER so some nations pad unbound) joined with customers on A
+      val q =
+        """PREFIX g: <urn:g:>
+          |SELECT ?c ?nname ?rname WHERE {
+          |  ?c a g:Customer ; g:nation ?n .
+          |  { ?n a g:Nation ; g:name ?nname .
+          |    OPTIONAL { ?n g:region ?r . ?r a g:Region ; g:name ?rname
+          |               FILTER (CONTAINS(?rname, "A")) } }
+          |} ORDER BY ?c""".stripMargin
+      val df = g.sparql(q)
+      assert(df.queryExecution.executedPlan.toString.contains("sparql-query@"),
+        "the OPTIONAL block did not ship")
+      val got = canonRows(df)
+      assert(got == canonRows(scopedGraft(epMolTypes).sparql(q)) && got.nonEmpty)
+      // the pad must actually be exercised: bound AND unbound ?rname rows
+      val rnames = df.select("rname").collect().map(r => Option(r.get(0)))
+      assert(rnames.exists(_.isEmpty) && rnames.exists(_.nonEmpty),
+        "fixture should produce both padded and bound OPTIONAL rows")
+      // and the left join itself ran AT endpoint B — one shipped pattern
+      // carrying the OPTIONAL, never two per-concept fetch sequences
+      assert(srvB.recentQueries.exists(t =>
+        t.contains("OPTIONAL") && t.contains("urn:g:Nation")),
+        s"endpoint B never saw the OPTIONAL:\n${srvB.recentQueries.mkString("\n")}")
+    } finally { srvA.stop(); srvB.stop() }
+  }
+
+  test("federation: an endpoint-exclusive UNION ships whole; " +
+    "a cross-endpoint OPTIONAL stays local") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val srvA = new GraftServer(scopedGraft(Set("urn:g:Customer")))
+    val srvB = new GraftServer(scopedGraft(Set("urn:g:Nation", "urn:g:Region")))
+    val pa = srvA.start()
+    val pb = srvB.start()
+    try {
+      val g = Graft.overSparqlEndpoints(
+        Seq(s"http://127.0.0.1:$pa/sparql", s"http://127.0.0.1:$pb/sparql"),
+        EndpointCatalogGen.EndpointOptions(shipWholeQuery = true))
+      val truth = scopedGraft(epMolTypes)
+      val union =
+        """PREFIX g: <urn:g:>
+          |SELECT ?x WHERE {
+          |  { ?n a g:Nation ; g:name ?x } UNION { ?r a g:Region ; g:name ?x }
+          |} ORDER BY ?x""".stripMargin
+      val udf = g.sparql(union)
+      assert(udf.queryExecution.executedPlan.toString.contains("sparql-query@"),
+        "the UNION did not ship")
+      assert(canonRows(udf) == canonRows(truth.sparql(union)))
+      assert(srvB.recentQueries.exists(_.contains("UNION")),
+        "endpoint B never saw the UNION")
+      // negative: an OPTIONAL spanning endpoints (customer on A, nation on
+      // B) must NOT ship whole — and must still answer correctly
+      val cross =
+        """PREFIX g: <urn:g:>
+          |SELECT ?c ?nname WHERE {
+          |  ?c a g:Customer ; g:mktsegment "BUILDING" .
+          |  OPTIONAL { ?c g:nation ?n . ?n a g:Nation ; g:name ?nname }
+          |} ORDER BY ?c""".stripMargin
+      val before = (srvA.queriesServed.get(), srvB.queriesServed.get())
+      val cdf = g.sparql(cross)
+      assert(canonRows(cdf) == canonRows(truth.sparql(cross)))
+      // both endpoints served the local compile's per-concept scans —
+      // neither side received the whole pattern (a per-concept paged
+      // fetch legitimately contains OPTIONAL-per-predicate, so the
+      // cross-pattern tell is ONE request naming BOTH concepts)
+      assert(srvA.queriesServed.get() > before._1 &&
+        srvB.queriesServed.get() > before._2,
+        "a cross-endpoint OPTIONAL must compile per-concept")
+      def sawBoth(s: GraftServer, prior: Long) = s.recentQueries
+        .takeRight((s.queriesServed.get() - prior).toInt)
+        .exists(t => t.contains("urn:g:Customer") && t.contains("urn:g:Nation"))
+      assert(!sawBoth(srvA, before._1) && !sawBoth(srvB, before._2),
+        "no endpoint may receive the cross-endpoint OPTIONAL pattern")
+    } finally { srvA.stop(); srvB.stop() }
+  }
+
   test("group filters ship with the group; unconnected stars never group") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     val server = new GraftServer(scopedGraft(epMolTypes))
