@@ -106,7 +106,7 @@ object SparkEntry {
     Set("q_stream_funnel", "q_stream_source_cap", "q_stream_token_budget",
       "q_stream_sessions", "q_stream_retention", "q_stream_interval",
       "q_stream_dedup", "q_stream_file_dedup", "q_stream_anomaly",
-      "q_stream_manifest", "q_stream_file_manifest",
+      "q_stream_manifest", "q_stream_file_manifest", "q_stream_cdc_compact",
       // loopback-federation verification harnesses: each boots GraftServer
       // instances and pays the deploy-time wire probe (create_rdfmts
       // parity) inside the row — they verify the endpoint catalog path,
@@ -122,6 +122,28 @@ object SparkEntry {
       "autogen_endpoint_federation_shipped",
       "autogen_endpoint_federation_optional",
       "autogen_endpoint_federation_union")
+
+  /** The shared CDC op-log fixture of `lake_compact_log` and
+    * `q_stream_cdc_compact`: three generations of changes per key over
+    * the %5 orders slice (gen-1 insert for all, gen-2 reprice for %10,
+    * gen-3 delete for %20). */
+  private def cdcLogFixture(s: SparkSession, d: String): DataFrame = {
+    val base = T(s, d, "orders").filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    base
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), lit("I").as("op"), lit(1L).as("seq"))
+      .unionByName(base.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          lit("U").as("o_orderstatus"),
+          (col("o_totalprice") + 5.0).as("o_totalprice"),
+          lit("U").as("op"), lit(2L).as("seq")))
+      .unionByName(base.filter(col("o_orderkey") % 20 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"),
+          lit("D").as("op"), lit(3L).as("seq")))
+  }
 
   /** Hourly event counts per type — the shared input of both anomaly
     * rows (one definition ⇒ Catalyst's ReusedExchange can share the
@@ -994,24 +1016,19 @@ object SparkEntry {
     // op-log compaction (the declared upstream of lake_cdc_apply): three
     // generations of changes per key collapse to the max-seq row via one
     // max_by aggregate — no window, no sort; ready to feed applyCdc
-    "lake_compact_log" -> ((s, d) => {
-      val base = T(s, d, "orders").filter(col("o_orderkey") % 5 === 0)
-        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-          col("o_totalprice"))
-      val log = base
-        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-          col("o_totalprice"), lit("I").as("op"), lit(1L).as("seq"))
-        .unionByName(base.filter(col("o_orderkey") % 10 === 0)
-          .select(col("o_orderkey"), col("o_custkey"),
-            lit("U").as("o_orderstatus"),
-            (col("o_totalprice") + 5.0).as("o_totalprice"),
-            lit("U").as("op"), lit(2L).as("seq")))
-        .unionByName(base.filter(col("o_orderkey") % 20 === 0)
-          .select(col("o_orderkey"), col("o_custkey"),
-            col("o_orderstatus"), col("o_totalprice"),
-            lit("D").as("op"), lit(3L).as("seq")))
+    "lake_compact_log" -> ((s, d) =>
       _root_.graft.pipeline.Lakehouse
-        .compactLog(log, Seq("o_orderkey"), "seq")
+        .compactLog(cdcLogFixture(s, d), Seq("o_orderkey"), "seq")
+        .orderBy("o_orderkey")),
+    // the SAME compactLog plan running UNCHANGED on a stream: max_by is a
+    // perfect streaming aggregate (one state entry per key, no watermark),
+    // so the op log replayed in seq-ordered micro-batches compacts
+    // continuously — the Complete table after the last batch must equal
+    // the batch compaction (and so the same relational oracle)
+    "q_stream_cdc_compact" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      _root_.graft.streaming.EventStreams
+        .cdcCompactReplayed(cdcLogFixture(s, d))
         .orderBy("o_orderkey")
     }),
     // SCD2 time travel: the same history lake_scd2 builds (batch applied
@@ -3877,6 +3894,9 @@ object SparkEntry {
       "autogen_endpoint_shipped_construct" -> "sparql_construct")
       .map { case (auto, manual) => auto -> baseOracles(manual) } ++
     Map(
+      // streaming replay gates that share a batch row's oracle verbatim:
+      // the stream's final state must equal the batch computation
+      "q_stream_cdc_compact" -> baseOracles("lake_compact_log"),
       // exclusive-PATTERN dispatch rows have no manual twin with the same
       // shape — fresh relational truths. The shipped OPTIONAL's inner
       // FILTER makes ?rname unbound for non-matching regions (every

@@ -393,6 +393,51 @@ object EventStreams {
     spark.createDataset(out.toSeq).toDF("n_rows", "xor_digest")
   }
 
+  final case class CdcOp(o_orderkey: Long, o_custkey: Long,
+                         o_orderstatus: String, o_totalprice: Double,
+                         op: String, seq: Long)
+
+  /** Streaming CDC compaction replay gate (`q_stream_cdc_compact`): the
+    * SAME declarative [[graft.pipeline.Lakehouse.compactLog]] plan runs
+    * UNCHANGED on a stream — `max_by` is a perfect streaming aggregate
+    * with one (seq, payload) state entry per key and no watermark (a key
+    * can always change again) — so an op log consumed as micro-batches
+    * compacts CONTINUOUSLY, and the Complete-mode table after the last
+    * batch must equal the batch compaction row-for-row (incl. `D`
+    * tombstones, which downstream [[graft.pipeline.Lakehouse.applyCdc]]
+    * consumes). Chunks replay in (seq, key) order — later generations
+    * arrive in later micro-batches, the realistic log-tail order — but
+    * the aggregate is order-free, so equality holds for ANY arrival
+    * order. MemoryStream — verification machinery (bench-excluded), not
+    * a production op. */
+  def cdcCompactReplayed(log: DataFrame, chunks: Int = 4)
+                        (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = log.select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("op"), col("seq"))
+      .collect().map(r => CdcOp(r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3), r.getString(4), r.getLong(5)))
+      .sortBy(c => (c.seq, c.o_orderkey))
+    val name = "graft_cdc_compact_replay_" +
+      java.util.UUID.randomUUID().toString.filter(_ != '-')
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[CdcOp]
+    val q = graft.pipeline.Lakehouse
+      .compactLog(input.toDS().toDF(), Seq("o_orderkey"), "seq")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete).start()
+    try {
+      val per = math.max(1, (rows.length + chunks - 1) / chunks)
+      rows.grouped(per).foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val out = spark.table(name)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3), r.getString(4)))
+    spark.catalog.dropTempView(name)
+    spark.createDataset(out.toSeq).toDF("o_orderkey", "o_custkey",
+      "o_orderstatus", "o_totalprice", "op")
+  }
+
   /** Streaming face of the batch anomaly gate (`q_events_anomaly`): the
     * watermarked hourly-count stream joins a PRECOMPUTED per-type median
     * table (stream-static and broadcast — medians come from the batch

@@ -391,4 +391,29 @@ class StreamingSpec extends SparkTestBase {
     assert(dupFiles == batch,
       "duplicate copies in later drop files must all be rejected")
   }
+
+  test("streaming CDC compaction: later batches overwrite, tombstones " +
+    "survive, replay equals batch compactLog") {
+    import spark.implicits._
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    // key 1: I then U then D (tombstone wins); key 2: I then U (update
+    // wins); key 3: I only — seqs interleave so every chunk boundary
+    // crosses a key's generations
+    val log = Seq(
+      (1L, 10L, "I", 1.0, "I", 1L), (2L, 20L, "I", 2.0, "I", 2L),
+      (3L, 30L, "I", 3.0, "I", 3L), (1L, 10L, "U", 1.5, "U", 4L),
+      (2L, 20L, "U", 2.5, "U", 5L), (1L, 10L, "D", 1.5, "D", 6L))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "op", "seq")
+    val replayed = EventStreams.cdcCompactReplayed(log, chunks = 3)
+      .collect().map(r => (r.getLong(0), r.getString(4), r.getDouble(3)))
+      .toSet
+    assert(replayed === Set((1L, "D", 1.5), (2L, "U", 2.5), (3L, "I", 3.0)))
+    val batch = graft.pipeline.Lakehouse
+      .compactLog(log, Seq("o_orderkey"), "seq")
+      .collect().map(r => (r.getLong(0), r.getString(4), r.getDouble(3)))
+      .toSet
+    assert(replayed === batch,
+      "the streamed Complete table must equal the batch compaction")
+  }
 }
