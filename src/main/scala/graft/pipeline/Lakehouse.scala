@@ -110,11 +110,14 @@ object Lakehouse {
     * untouched (idempotent re-delivery). Closed history rows are never
     * rewritten.
     *
-    * Plan shape: one full-outer hash join of CURRENT rows against the
+    * Plan shape: ONE full-outer hash join of CURRENT rows against the
     * batch on `key` (both sides shuffle-partitioned by the key — full
-    * outer cannot broadcast) fans out into the row classes by projection
-    * only; closed history rows pass through with no join at all, so the
-    * joined cardinality is O(current + batch), not O(history). */
+    * outer cannot broadcast), then a single projection that emits each
+    * joined row's 0–2 output versions as an exploded compact array —
+    * never a re-read of the join per row class (a naive three-way
+    * filter-union would execute the join three times). Closed history
+    * rows pass through with no join at all, so the joined cardinality is
+    * O(current + batch), not O(history). */
   def scd2Apply(dim: DataFrame, updates: DataFrame, key: String,
                 trackCols: Seq[String], ts: Long): DataFrame = {
     val payload = dim.columns.filterNot(c =>
@@ -130,32 +133,27 @@ object Lakehouse {
     val joined = current.join(upd, col(s"d.$key") === col(s"u.$key"),
       "full_outer")
     val changed = anyDiffers("u", "d", trackCols)
-    val dimCols = payload.map(c => col(s"d.$c").as(c))
-    val updCols = payload.map(c => col(s"u.$c").as(c))
+    val dKey = col(s"d.$key")
+    val uKey = col(s"u.$key")
+    def version(side: String, from: Column, to: Column): Column =
+      struct(payload.map(c => col(s"$side.$c").as(c)) :+
+        from.as("valid_from") :+ to.cast("bigint").as("valid_to"): _*)
 
-    // current rows that stay open: no update arrived, or it was a no-op
-    val stayOpen = joined
-      .filter(col(s"d.$key").isNotNull &&
-        (col(s"u.$key").isNull || !changed))
-      .select(dimCols :+ col("d.valid_from").as("valid_from")
-        :+ col("d.valid_to").as("valid_to"): _*)
-    // current rows closed by a real change
-    val nowClosed = joined
-      .filter(col(s"d.$key").isNotNull && col(s"u.$key").isNotNull &&
-        changed)
-      .select(dimCols :+ col("d.valid_from").as("valid_from")
-        :+ lit(ts).as("valid_to"): _*)
-    // new versions: a real change, or a brand-new key
-    val newVersions = joined
-      .filter(col(s"u.$key").isNotNull &&
-        (col(s"d.$key").isNull || changed))
-      .select(updCols :+ lit(ts).as("valid_from")
-        :+ lit(null).cast("bigint").as("valid_to"): _*)
+    // per joined row: stay-open (no update / no-op), closed-by-change,
+    // and the new version (change or brand-new key) — nulls compact away
+    val versions = array(
+      when(dKey.isNotNull && (uKey.isNull || !changed),
+        version("d", col("d.valid_from"), col("d.valid_to"))),
+      when(dKey.isNotNull && uKey.isNotNull && changed,
+        version("d", col("d.valid_from"), lit(ts))),
+      when(uKey.isNotNull && (dKey.isNull || changed),
+        version("u", lit(ts), lit(null))))
 
     closed.select(payload.map(col) :+ col("valid_from")
         :+ col("valid_to"): _*)
-      .unionByName(stayOpen).unionByName(nowClosed)
-      .unionByName(newVersions)
+      .unionByName(joined
+        .select(explode(array_compact(versions)).as("__v"))
+        .select(col("__v.*")))
   }
 
   /** Snapshot diff (CDC extraction): compare two snapshots of a table

@@ -91,6 +91,17 @@ class LakehouseGraphSpec extends SparkTestBase {
       (9L, "z", 9.0, 100L, None)))        // insert opens at ts
   }
 
+  test("scd2Apply plans exactly ONE join: the row classes come from one " +
+    "exploded projection, never re-reads of the joined frame") {
+    import spark.implicits._
+    val updates = Seq((1L, "a-v3", 3.0), (9L, "z", 9.0)).toDF("k", "name", "bal")
+    val plan = Lakehouse.scd2Apply(dimHist, updates, "k",
+      Seq("name", "bal"), ts = 100L).queryExecution.executedPlan.toString
+    val joins = "Join".r.findAllIn(plan).size
+    assert(joins == 1, s"expected exactly one join, saw $joins:\n$plan")
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("scd2Apply: re-delivering the same batch is a no-op on the history") {
     import spark.implicits._
     val updates = Seq((1L, "a-v3", 3.0), (9L, "z", 9.0)).toDF("k", "name", "bal")
