@@ -80,6 +80,49 @@ object ShipAb {
       run(s"$qn/shipped", shipped, q)
     }
     server.stop()
+
+    // ---- federation: exclusive-PATTERN dispatch (OPTIONAL / UNION) --------
+    // customer on A; nation+region on B. The B-exclusive OPTIONAL/UNION
+    // ships whole under the pattern rung; per-concept otherwise. B's
+    // request counter is the transfer metric.
+    def scoped(ts: Set[String]) = Graft.overParquetDir(Catalog(
+      TpchCatalog.catalog.molecules.filter(m => ts.contains(m.rdfType))),
+      sfDir)
+    val srvA = new GraftServer(scoped(Set("urn:g:Customer")))
+    val srvB = new GraftServer(scoped(Set("urn:g:Nation", "urn:g:Region")))
+    val pa = srvA.start(); val pb = srvB.start()
+    val eps = Seq(s"http://127.0.0.1:$pa/sparql", s"http://127.0.0.1:$pb/sparql")
+    val fedLocal = Graft.overSparqlEndpoints(eps,
+      EndpointCatalogGen.EndpointOptions(maxPartitions = 4))
+    val fedShip = Graft.overSparqlEndpoints(eps,
+      EndpointCatalogGen.EndpointOptions(maxPartitions = 4,
+        shipWholeQuery = true))
+    val optional =
+      """PREFIX g: <urn:g:>
+        |SELECT ?c ?nname ?rname WHERE {
+        |  ?c a g:Customer ; g:nation ?n .
+        |  { ?n a g:Nation ; g:name ?nname .
+        |    OPTIONAL { ?n g:region ?r . ?r a g:Region ; g:name ?rname
+        |               FILTER (CONTAINS(?rname, "A")) } }
+        |} ORDER BY ?c""".stripMargin
+    val union =
+      """PREFIX g: <urn:g:>
+        |SELECT ?x WHERE {
+        |  { ?n a g:Nation ; g:name ?x } UNION { ?r a g:Region ; g:name ?x }
+        |} ORDER BY ?x""".stripMargin
+    def runFed(name: String, g: Graft, q: String): Unit = {
+      val df = g.sparql(q)
+      val t0 = System.nanoTime()
+      val b0 = srvB.queriesServed.get()
+      val n = df.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"$name%-18s rows=$n%-8d wall=$dt%6.2fs endpointB_queries=${srvB.queriesServed.get() - b0}")
+    }
+    for ((qn, q) <- Seq("optional" -> optional, "union" -> union)) {
+      runFed(s"$qn/per-concept", fedLocal, q)
+      runFed(s"$qn/pattern-ship", fedShip, q)
+    }
+    srvA.stop(); srvB.stop()
     spark.stop()
   }
 }
