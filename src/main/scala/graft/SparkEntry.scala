@@ -1057,6 +1057,30 @@ object SparkEntry {
           .withColumn("snap", lit("after")))
         .orderBy("snap", "c_custkey")
     }),
+    // fuzzy string join (edit distance <= 1): 10-char md5-hex keys vs
+    // their deterministic one-char deletions — q-gram blocked candidates
+    // + the exact codegen'd levenshtein verify, never a cross join. q=4
+    // because the fixture's alphabet is hex: candidate volume is
+    // sum_g df_l*df_r, so the gram space (16^q) must outgrow the corpus
+    // (16^3 saturates at ~50k rows and went quadratic — measured, see
+    // SCALE.md); with 16^4 every gram's df stays far below the production
+    // cap, blocked recall is EXACT, and the brute-force oracle is the
+    // truth at any sf. The cap-drop contract itself is spec-pinned on an
+    // adversarial boilerplate fixture
+    "q_fuzzy_join" -> ((s, d) => {
+      val hex = expr("substring(md5(cast(doc_id as string)), 1, 10)")
+      val leftN = T(s, d, "documents")
+        .select(col("doc_id").as("id"), hex.as("name"))
+      val rightN = T(s, d, "documents")
+        .select((col("doc_id") + 10000000L).as("id"),
+          expr("concat(substring(substring(md5(cast(doc_id as string)), 1, 10), " +
+            "1, cast(doc_id % 9 as int)), " +
+            "substring(substring(md5(cast(doc_id as string)), 1, 10), " +
+            "cast(doc_id % 9 as int) + 2, 10))").as("name"))
+      _root_.graft.pipeline.FuzzyJoin
+        .join(leftN, rightN, "id", "name", maxDist = 1, q = 4)
+        .orderBy("id_l", "id_r")
+    }),
     // deterministic seeded training-order shuffle: md5(seed:id) keys +
     // hex-nibble shards; first 200 of the permutation (the full op never
     // sorts globally — writers partition by shard, sort within)
@@ -2450,6 +2474,21 @@ object SparkEntry {
         |SELECT c_custkey + 1000000, c_name, c_acctbal, 'after' FROM dim
         |WHERE c_custkey % 13 = 0
         |ORDER BY snap, c_custkey""".stripMargin,
+    // brute-force edit-distance truth: the blocked join must find exactly
+    // the pairs the full quadratic scan finds
+    "q_fuzzy_join" ->
+      """WITH h AS (SELECT doc_id,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 10) AS hx FROM documents),
+        |l AS (SELECT doc_id AS id_l, hx AS s_l FROM h),
+        |r AS (SELECT doc_id + 10000000 AS id_r,
+        |    substr(hx, 1, CAST(doc_id % 9 AS INTEGER)) ||
+        |    substr(hx, CAST(doc_id % 9 AS INTEGER) + 2) AS s_r
+        |  FROM h)
+        |SELECT id_l, id_r, CAST(levenshtein(s_l, s_r) AS INTEGER) AS dist
+        |FROM l, r
+        |WHERE abs(length(s_l) - length(s_r)) <= 1
+        |  AND levenshtein(s_l, s_r) <= 1
+        |ORDER BY id_l, id_r""".stripMargin,
     // md5(seed:id) keys + hex-nibble shard arithmetic, first 200 in order
     "doc_seeded_shuffle" ->
       """WITH k AS (SELECT doc_id,
