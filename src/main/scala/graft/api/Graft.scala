@@ -50,11 +50,20 @@ final class Graft(val catalog: Catalog, tableLoader: String => DataFrame,
             compiler.compile(q))
         }
       case _ =>
+        val df = compiler.compile(q)
         val kind =
-          if (groupShip.isDefined)
-            "local compile + exclusive-group dispatch for endpoint-exclusive stars"
-          else "local compile"
-        (kind, compiler.compile(q))
+          if (groupShip.isEmpty) "local compile"
+          else {
+            // report what the compile actually did, not what it may do:
+            // each shipped group/pattern plans as one remote query scan
+            val shipped = "sparql-query@".r
+              .findAllIn(df.queryExecution.analyzed.toString).size
+            if (shipped > 0)
+              s"local compile + $shipped shipped exclusive group/pattern scan" +
+                (if (shipped > 1) "s" else "")
+            else "local compile (no endpoint-exclusive groups or patterns)"
+          }
+        (kind, df)
     }
 
   /** Compile an already-parsed query (the [[Experiment]] metrics path

@@ -838,6 +838,10 @@ class Round14Spec extends SparkTestBase {
       assert(udf.queryExecution.executedPlan.toString.contains("sparql-query@"),
         "the UNION did not ship")
       assert(canonRows(udf) == canonRows(truth.sparql(union)))
+      // the route report must describe the plan actually taken: it reads
+      // the compiled plan and counts the shipped scans
+      assert(g.explain(union).contains("1 shipped exclusive group/pattern scan"),
+        g.explain(union).linesIterator.take(3).mkString("\n"))
       assert(srvB.recentQueries.exists(_.contains("UNION")),
         "endpoint B never saw the UNION")
       // negative: an OPTIONAL spanning endpoints (customer on A, nation on
