@@ -98,38 +98,44 @@ object GraphOps {
         col("a").cast("bigint").as("y")))
       .distinct()
       .persist()
-    var labels = sym.select(col("x").as("id")).distinct()
-      .select(col("id"), col("id").as("component"))
-      .localCheckpoint()
-    var i = 0
-    while (i < maxIters) {
-      // neighbor minimum: for each edge (x,y), y's label proposes for x
-      val proposed = sym
-        .join(labels.select(col("id").as("y"), col("component").as("nl")), "y")
-        .groupBy(col("x").as("id")).agg(min("nl").as("nl"))
-      val stepped = labels.join(proposed, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("nl"), col("component")))
-            .as("component"))
-      // pointer doubling: a label is itself a node id — adopt ITS label
-      val doubled = stepped.alias("s")
-        .join(stepped.select(col("id").as("component"),
-          col("component").as("ll")).alias("l"), Seq("component"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("ll"), col("component")))
-            .as("component"))
+    try {
+      var labels = sym.select(col("x").as("id")).distinct()
+        .select(col("id"), col("id").as("component"))
         .localCheckpoint()
-      val changed = doubled
-        .join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") =!= col("old")).limit(1).count()
-      labels = doubled
-      i += 1
-      if (changed == 0) { sym.unpersist(); return labels }
-    }
-    sym.unpersist()
-    throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIters rounds " +
-        "(component diameter past 2^" + maxIters + " — raise maxIters)")
+      var i = 0
+      while (i < maxIters) {
+        // neighbor minimum: for each edge (x,y), y's label proposes for x
+        val proposed = sym
+          .join(labels.select(col("id").as("y"), col("component").as("nl")), "y")
+          .groupBy(col("x").as("id")).agg(min("nl").as("nl"))
+        val stepped = labels.join(proposed, Seq("id"), "left")
+          .select(col("id"),
+            least(col("component"), coalesce(col("nl"), col("component")))
+              .as("component"))
+        // pointer doubling: a label is itself a node id — adopt ITS label
+        val doubled = stepped.alias("s")
+          .join(stepped.select(col("id").as("component"),
+            col("component").as("ll")).alias("l"), Seq("component"), "left")
+          .select(col("id"),
+            least(col("component"), coalesce(col("ll"), col("component")))
+              .as("component"))
+          .localCheckpoint()
+        val changed = doubled
+          .join(labels.withColumnRenamed("component", "old"), "id")
+          .filter(col("component") =!= col("old")).limit(1).count()
+        // the superseded round's checkpoint blocks are dead the moment the
+        // new one is materialized (localCheckpoint is eager) — free them
+        // now instead of waiting out the ContextCleaner's GC cycle (the
+        // Bench lesson: leaked round blocks evict the live frontier)
+        labels.unpersist(blocking = false)
+        labels = doubled
+        i += 1
+        if (changed == 0) return labels
+      }
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds " +
+          "(component diameter past 2^" + maxIters + " — raise maxIters)")
+    } finally sym.unpersist(blocking = false)
   }
 
   /** Project a bipartite membership table (`group`, `member`) onto a
