@@ -123,6 +123,27 @@ object SparkEntry {
       "autogen_endpoint_federation_optional",
       "autogen_endpoint_federation_union")
 
+  /** The shared SCD2 fixture of `lake_scd2` and `lake_scd2_asof` —
+    * (dim, updates). The as-of gate time-travels the SAME history the
+    * scd2 gate builds, so the two rows must not drift: %7 keys reprice
+    * (+50), %11 keys re-deliver unchanged (no-op), %13 keys insert under
+    * shifted ids. */
+  private def scd2Fixture(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val cust = T(s, d, "customer")
+    val dim = cust.select(col("c_custkey"), col("c_name"),
+      col("c_acctbal"), lit(0L).as("valid_from"),
+      lit(null).cast("bigint").as("valid_to"))
+    val updates = cust
+      .filter(col("c_custkey") % 7 === 0 || col("c_custkey") % 11 === 0)
+      .select(col("c_custkey"), col("c_name"),
+        when(col("c_custkey") % 7 === 0, col("c_acctbal") + 50.0)
+          .otherwise(col("c_acctbal")).as("c_acctbal"))
+      .unionByName(cust.filter(col("c_custkey") % 13 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          col("c_name"), col("c_acctbal")))
+    (dim, updates)
+  }
+
   /** The shared CDC op-log fixture of `lake_compact_log` and
     * `q_stream_cdc_compact`: three generations of changes per key over
     * the %5 orders slice (gen-1 insert for all, gen-2 reprice for %10,
@@ -936,18 +957,7 @@ object SparkEntry {
     // and open a new one at ts=100, no-op re-deliveries leave history
     // untouched, unseen keys insert — Kimball type-2, one full-outer join
     "lake_scd2" -> ((s, d) => {
-      val cust = T(s, d, "customer")
-      val dim = cust.select(col("c_custkey"), col("c_name"),
-          col("c_acctbal"), lit(0L).as("valid_from"),
-          lit(null).cast("bigint").as("valid_to"))
-      val updates = cust
-        .filter(col("c_custkey") % 7 === 0 || col("c_custkey") % 11 === 0)
-        .select(col("c_custkey"), col("c_name"),
-          when(col("c_custkey") % 7 === 0, col("c_acctbal") + 50.0)
-            .otherwise(col("c_acctbal")).as("c_acctbal"))
-        .unionByName(cust.filter(col("c_custkey") % 13 === 0)
-          .select((col("c_custkey") + 1000000L).as("c_custkey"),
-            col("c_name"), col("c_acctbal")))
+      val (dim, updates) = scd2Fixture(s, d)
       _root_.graft.pipeline.Lakehouse
         .scd2Apply(dim, updates, "c_custkey",
           Seq("c_name", "c_acctbal"), ts = 100L)
@@ -1036,18 +1046,7 @@ object SparkEntry {
     // and the post-batch one (as-of 150) — the two directions gate that
     // closing/opening versions preserves every payload
     "lake_scd2_asof" -> ((s, d) => {
-      val cust = T(s, d, "customer")
-      val dim = cust.select(col("c_custkey"), col("c_name"),
-          col("c_acctbal"), lit(0L).as("valid_from"),
-          lit(null).cast("bigint").as("valid_to"))
-      val updates = cust
-        .filter(col("c_custkey") % 7 === 0 || col("c_custkey") % 11 === 0)
-        .select(col("c_custkey"), col("c_name"),
-          when(col("c_custkey") % 7 === 0, col("c_acctbal") + 50.0)
-            .otherwise(col("c_acctbal")).as("c_acctbal"))
-        .unionByName(cust.filter(col("c_custkey") % 13 === 0)
-          .select((col("c_custkey") + 1000000L).as("c_custkey"),
-            col("c_name"), col("c_acctbal")))
+      val (dim, updates) = scd2Fixture(s, d)
       val hist = _root_.graft.pipeline.Lakehouse
         .scd2Apply(dim, updates, "c_custkey",
           Seq("c_name", "c_acctbal"), ts = 100L)
@@ -1063,10 +1062,12 @@ object SparkEntry {
     // because the fixture's alphabet is hex: candidate volume is
     // sum_g df_l*df_r, so the gram space (16^q) must outgrow the corpus
     // (16^3 saturates at ~50k rows and went quadratic — measured, see
-    // SCALE.md); with 16^4 every gram's df stays far below the production
-    // cap, blocked recall is EXACT, and the brute-force oracle is the
-    // truth at any sf. The cap-drop contract itself is spec-pinned on an
-    // adversarial boilerplate fixture
+    // SCALE.md). The gate LIFTS the df cap explicitly: blocked recall is
+    // then exact by the count-filter theorem at ANY sf, so the
+    // brute-force oracle is always the truth (a default cap would start
+    // dropping true pairs once corpus growth pushes gram df past it, and
+    // the gate would break without a regression). The cap-drop contract
+    // itself is spec-pinned on an adversarial boilerplate fixture
     "q_fuzzy_join" -> ((s, d) => {
       val hex = expr("substring(md5(cast(doc_id as string)), 1, 10)")
       val leftN = T(s, d, "documents")
@@ -1078,7 +1079,8 @@ object SparkEntry {
             "substring(substring(md5(cast(doc_id as string)), 1, 10), " +
             "cast(doc_id % 9 as int) + 2, 10))").as("name"))
       _root_.graft.pipeline.FuzzyJoin
-        .join(leftN, rightN, "id", "name", maxDist = 1, q = 4)
+        .join(leftN, rightN, "id", "name", maxDist = 1, q = 4,
+          maxGramDf = 1 << 20)
         .orderBy("id_l", "id_r")
     }),
     // deterministic seeded training-order shuffle: md5(seed:id) keys +

@@ -49,21 +49,23 @@ final class Graft(val catalog: Catalog, tableLoader: String => DataFrame,
           case None => ("local compile (pattern not shippable)",
             compiler.compile(q))
         }
-      case _ =>
-        val df = compiler.compile(q)
-        val kind =
-          if (groupShip.isEmpty) "local compile"
-          else {
-            // report what the compile actually did, not what it may do:
-            // each shipped group/pattern plans as one remote query scan
-            val shipped = "sparql-query@".r
-              .findAllIn(df.queryExecution.analyzed.toString).size
-            if (shipped > 0)
-              s"local compile + $shipped shipped exclusive group/pattern scan" +
-                (if (shipped > 1) "s" else "")
-            else "local compile (no endpoint-exclusive groups or patterns)"
-          }
-        (kind, df)
+      case _ => ("local compile", compiler.compile(q))
+    }
+
+  /** The local-compile route line enriched with what the compile
+    * actually did — each shipped exclusive group/pattern plans as one
+    * remote query scan. Computed HERE, not in [[route]]: [[sparql]]
+    * discards the description, and stringifying the analyzed plan per
+    * query would tax the server hot path for a label nobody reads. */
+  private def describeLocal(df: DataFrame): String =
+    if (groupShip.isEmpty) "local compile"
+    else {
+      val shipped = "sparql-query@".r
+        .findAllIn(df.queryExecution.analyzed.toString).size
+      if (shipped > 0)
+        s"local compile + $shipped shipped exclusive group/pattern scan" +
+          (if (shipped > 1) "s" else "")
+      else "local compile (no endpoint-exclusive groups or patterns)"
     }
 
   /** Compile an already-parsed query (the [[Experiment]] metrics path
@@ -99,7 +101,8 @@ final class Graft(val catalog: Catalog, tableLoader: String => DataFrame,
       .flatMap(ts => graft.decomposer.Decomposer.decompose(ts, catalog))
     val decTime = (System.nanoTime() - t0) / 1e9
     val t1 = System.nanoTime()
-    val (dispatch, df) = route(q)
+    val (routed, df) = route(q)
+    val dispatch = if (routed == "local compile") describeLocal(df) else routed
     val planTime = (System.nanoTime() - t1) / 1e9
     val dec = stars.zipWithIndex.map { case (s, i) =>
       val subj = s.subject match {

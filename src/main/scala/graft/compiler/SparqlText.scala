@@ -71,20 +71,36 @@ object SparqlText {
     case e                             => s"DESC(${expr(e)})"
   }
 
+  /** An operand rendered with its algebra scope made EXPLICIT: SPARQL
+    * surface syntax hoists a bare FILTER to the end of its enclosing
+    * group and attaches OPTIONAL to everything before it, so a non-leaf
+    * operand flattened into the parent's text re-associates — e.g.
+    * LeftJoin(Filter(e, P), R) rendered unbraced as `P FILTER(e)
+    * OPTIONAL { R }` parses back as Filter(e, LeftJoin(P, R)), letting
+    * `e` see OPTIONAL-bound vars it must not. Braces make the operand a
+    * group, which is exactly what the algebra node means; leaves and
+    * self-delimiting forms (UNION braces its branches, subselects brace
+    * themselves) stay bare. */
+  private def grouped(p: Pattern): String = p match {
+    case _: Pattern.Bgp | _: Pattern.Values | _: Pattern.Path |
+         _: Pattern.Union | _: Pattern.SubSelect => pattern(p)
+    case _ => s"{ ${pattern(p)} }"
+  }
+
   def pattern(p: Pattern): String = p match {
     case Pattern.Bgp(ts)       => ts.map(triple).mkString(" ")
-    case Pattern.Join(l, r)    => s"${pattern(l)} ${pattern(r)}"
+    case Pattern.Join(l, r)    => s"${grouped(l)} ${grouped(r)}"
     case Pattern.Filter(e, p0) => s"${pattern(p0)} FILTER (${expr(e)})"
     case Pattern.LeftJoin(l, r, cond) =>
       val f = cond.fold("")(e => s" FILTER (${expr(e)})")
-      s"${pattern(l)} OPTIONAL { ${pattern(r)}$f }"
+      s"${grouped(l)} OPTIONAL { ${pattern(r)}$f }"
     case Pattern.Union(l, r)   => s"{ ${pattern(l)} } UNION { ${pattern(r)} }"
     case Pattern.Extend(p0, v, e) => s"${pattern(p0)} BIND (${expr(e)} AS ?${v.name})"
-    case Pattern.Minus(l, r)   => s"${pattern(l)} MINUS { ${pattern(r)} }"
+    case Pattern.Minus(l, r)   => s"${grouped(l)} MINUS { ${pattern(r)} }"
     // EXISTS is a filter FORM, not an expression operand — no wrapping
     // parens (the grammar, ours included, rejects `FILTER (EXISTS {…})`)
     case Pattern.Exists(l, r, pos) =>
-      s"${pattern(l)} FILTER ${if (pos) "" else "NOT "}EXISTS { ${pattern(r)} }"
+      s"${grouped(l)} FILTER ${if (pos) "" else "NOT "}EXISTS { ${pattern(r)} }"
     case Pattern.Values(vs, rows) =>
       val hdr = vs.map("?" + _.name).mkString("(", " ", ")")
       val body = rows.map(_.map(_.fold("UNDEF")(term)).mkString("(", " ", ")"))

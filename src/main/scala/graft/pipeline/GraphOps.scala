@@ -22,6 +22,19 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Release a `localCheckpoint`ed frame's blocks NOW. `Dataset
+    * .unpersist` only clears CacheManager entries from `persist()`/
+    * `cache()`; a local checkpoint's blocks live on the materialized RDD
+    * behind the plan's `LogicalRDD` leaf and otherwise wait for the
+    * ContextCleaner's GC cycle (verified on Spark 4.1.2 — unpersisting
+    * the Dataset leaves the blocks cached). */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Fixed-point PageRank over directed `edges` (`src`, `dst` BIGINT).
     *
     * Contract (mirrors the textbook damped walk, integerized): every
@@ -127,7 +140,7 @@ object GraphOps {
         // new one is materialized (localCheckpoint is eager) — free them
         // now instead of waiting out the ContextCleaner's GC cycle (the
         // Bench lesson: leaked round blocks evict the live frontier)
-        labels.unpersist(blocking = false)
+        freeCheckpoint(labels)
         labels = doubled
         i += 1
         if (changed == 0) return labels

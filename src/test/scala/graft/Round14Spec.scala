@@ -487,6 +487,34 @@ class Round14Spec extends SparkTestBase {
       case v => String.valueOf(v)
     }.mkString("[", ",", "]")).sorted.toSeq
 
+  test("SparqlText braces non-leaf operands: a left-arm FILTER must not " +
+    "re-associate to group end at the remote store") {
+    import graft.algebra._
+    import graft.compiler.SparqlText
+    import graft.parser.SparqlParser
+    val A = Pattern.Bgp(List(TriplePattern(Var("n"),
+      Iri(Terms.RdfType), Iri("urn:g:Nation"))))
+    val B = Pattern.Bgp(List(TriplePattern(Var("n"),
+      Iri("urn:g:region"), Var("r"))))
+    val C = Pattern.Bgp(List(TriplePattern(Var("r"),
+      Iri("urn:g:name"), Var("rn"))))
+    val f = Expr.Cmp(">", Expr.TermRef(Var("r")),
+      Expr.TermRef(Lit("5", Some(Terms.XsdInt))))
+    // unbraced these re-parse as DIFFERENT algebra: the filter hoists to
+    // the enclosing group's end (seeing OPTIONAL-bound vars), and a bare
+    // OPTIONAL attaches to everything before it
+    val shapes: Seq[Pattern] = Seq(
+      Pattern.LeftJoin(Pattern.Filter(f, A), B, None),
+      Pattern.Join(A, Pattern.LeftJoin(B, C, None)),
+      Pattern.Minus(Pattern.Filter(f, A), B),
+      Pattern.Exists(Pattern.Filter(f, A), B, true))
+    shapes.foreach { p =>
+      val text = s"SELECT * WHERE { ${SparqlText.pattern(p)} }"
+      val reparsed = SparqlParser.parseUnsafe(text).pattern
+      assert(reparsed == p, s"scope drifted for:\n$p\nvia\n$text\nto\n$reparsed")
+    }
+  }
+
   test("SparqlText.query: rendered fixtures re-parse to result-identical queries") {
     val g = scopedGraft(epMolTypes)
     for ((name, text) <- shipFixtures) {
