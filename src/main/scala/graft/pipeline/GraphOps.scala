@@ -22,18 +22,12 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
-  /** Release a `localCheckpoint`ed frame's blocks NOW. `Dataset
-    * .unpersist` only clears CacheManager entries from `persist()`/
-    * `cache()`; a local checkpoint's blocks live on the materialized RDD
-    * behind the plan's `LogicalRDD` leaf and otherwise wait for the
-    * ContextCleaner's GC cycle (verified on Spark 4.1.2 — unpersisting
-    * the Dataset leaves the blocks cached). */
+  /** Release a `localCheckpoint`ed frame's blocks NOW — `Dataset
+    * .unpersist` only clears `persist()` cache entries, not checkpoint
+    * blocks (the property-path closure learned this in round 4; same
+    * bridge). */
   private def freeCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+    org.apache.spark.sql.GraftBridge.freeCheckpoint(df)
 
   /** Fixed-point PageRank over directed `edges` (`src`, `dst` BIGINT).
     *
