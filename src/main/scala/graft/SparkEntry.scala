@@ -1056,6 +1056,21 @@ object SparkEntry {
           .withColumn("snap", lit("after")))
         .orderBy("snap", "c_custkey")
     }),
+    // small-files compaction round trip: documents staged as 64 tiny
+    // files, compacted to the byte target via the crash-safe tmp+rename
+    // swap — the rewritten lake must aggregate identically to the source
+    // table (file counts themselves are spec-pinned; content is the gate)
+    "lake_compact_files" -> ((s, d) => {
+      val stage = s"/tmp/graft_lake_compact/${new java.io.File(d).getName}"
+      T(s, d, "documents").repartition(64)
+        .write.mode("overwrite").parquet(stage)
+      _root_.graft.pipeline.Lakehouse
+        .compactFiles(s, stage, targetBytes = 1L << 20)
+      s.read.parquet(stage)
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"))
+        .orderBy("lang")
+    }),
     // fuzzy string join (edit distance <= 1): 10-char md5-hex keys vs
     // their deterministic one-char deletions — q-gram blocked candidates
     // + the exact codegen'd levenshtein verify, never a cross join. q=4
@@ -2476,6 +2491,11 @@ object SparkEntry {
         |SELECT c_custkey + 1000000, c_name, c_acctbal, 'after' FROM dim
         |WHERE c_custkey % 13 = 0
         |ORDER BY snap, c_custkey""".stripMargin,
+    // the compacted lake must be indistinguishable from the table
+    "lake_compact_files" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // brute-force edit-distance truth: the blocked join must find exactly
     // the pairs the full quadratic scan finds
     "q_fuzzy_join" ->

@@ -92,6 +92,44 @@ object Lakehouse {
         (col("valid_to").isNull || col("valid_to") > ts))
       .drop("valid_from", "valid_to")
 
+  /** Small-files compaction for a parquet directory. Micro-batch and
+    * streaming ingest accrete thousands of tiny files whose per-file
+    * open/footer/task costs dominate scans long before data volume does
+    * (the canonical lake-maintenance chore); this rewrites the SAME rows
+    * into ceil(bytes / targetBytes) files.
+    *
+    * Crash-safe swap: the rewrite lands in a sibling `<path>.compact.tmp`
+    * first, then two renames replace the live directory — a crash leaves
+    * either the old or the new COMPLETE layout, never a mix (the
+    * Bucketing marker/lock lesson applied to plain directories).
+    * Idempotent: a directory already at or under the target file count
+    * returns untouched. Returns (filesBefore, filesAfter, bytes). */
+  def compactFiles(spark: org.apache.spark.sql.SparkSession, path: String,
+                   targetBytes: Long = 128L << 20): (Int, Int, Long) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(conf)
+    def dataFiles(p: org.apache.hadoop.fs.Path) =
+      fs.listStatus(p).filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    val before = dataFiles(dir)
+    val bytes = before.map(_.getLen).sum
+    val target = math.max(1, ((bytes + targetBytes - 1) / targetBytes).toInt)
+    if (before.length <= target) return (before.length, before.length, bytes)
+
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact.tmp")
+    val old = new org.apache.hadoop.fs.Path(path + ".compact.old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    spark.read.parquet(path).repartition(target)
+      .write.mode("overwrite").parquet(tmp.toString)
+    require(fs.rename(dir, old), s"compactFiles: cannot stage $path aside")
+    require(fs.rename(tmp, dir), s"compactFiles: cannot swap in $tmp")
+    fs.delete(old, true)
+    (before.length, dataFiles(dir).length, bytes)
+  }
+
   private def anyDiffers(updAlias: String, dimAlias: String,
                          trackCols: Seq[String]): Column =
     trackCols

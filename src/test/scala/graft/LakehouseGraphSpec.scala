@@ -156,6 +156,29 @@ class LakehouseGraphSpec extends SparkTestBase {
     assert(applied === List((1L, "A2"), (3L, "C"), (9L, "N")))
   }
 
+  // ---- compactFiles ---------------------------------------------------------
+
+  test("compactFiles: 64 tiny files compact to the byte target, content " +
+    "identical, idempotent no-op when already compact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact")
+      .toString + "/t"
+    val rows = (1L to 1000L).map(i => (i, s"row$i"))
+    rows.toDF("id", "v").repartition(64).write.parquet(dir)
+    val (nb, na, bytes) = Lakehouse.compactFiles(spark, dir,
+      targetBytes = Long.MaxValue)
+    assert(nb == 64 && na == 1 && bytes > 0,
+      s"expected 64 -> 1 files, got $nb -> $na")
+    val back = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(back == rows.sorted)
+    // already compact: untouched, same stats back
+    assert(Lakehouse.compactFiles(spark, dir, Long.MaxValue)._1 == 1)
+    // no staging leftovers from the swap
+    assert(!new java.io.File(dir + ".compact.tmp").exists &&
+      !new java.io.File(dir + ".compact.old").exists)
+  }
+
   // ---- asOf -----------------------------------------------------------------
 
   test("asOf reconstructs any historical snapshot from SCD2 history") {
