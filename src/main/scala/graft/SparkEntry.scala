@@ -1098,6 +1098,25 @@ object SparkEntry {
           maxGramDf = 1 << 20)
         .orderBy("id_l", "id_r")
     }),
+    // end-to-end entity resolution: fuzzy blocking + levenshtein verify
+    // + connected components — originals and their one-edit variants
+    // collapse into min-id entity clusters, unmatched records keep their
+    // own id (transitive match-graph semantics, recursive-closure oracle)
+    "q_entity_resolution" -> ((s, d) => {
+      val hex = expr("substring(md5(cast(doc_id as string)), 1, 10)")
+      val recs = T(s, d, "documents")
+        .select(col("doc_id").as("id"), hex.as("name"))
+        .unionByName(T(s, d, "documents")
+          .select((col("doc_id") + 10000000L).as("id"),
+            expr("concat(substring(substring(md5(cast(doc_id as string)), 1, 10), " +
+              "1, cast(doc_id % 9 as int)), " +
+              "substring(substring(md5(cast(doc_id as string)), 1, 10), " +
+              "cast(doc_id % 9 as int) + 2, 10))").as("name")))
+      _root_.graft.pipeline.FuzzyJoin
+        .entityClusters(recs, "id", "name", maxDist = 1, q = 4,
+          maxGramDf = 1 << 20)
+        .orderBy("id")
+    }),
     // deterministic seeded training-order shuffle: md5(seed:id) keys +
     // hex-nibble shards; first 200 of the permutation (the full op never
     // sorts globally — writers partition by shard, sort within)
@@ -2511,6 +2530,25 @@ object SparkEntry {
         |WHERE abs(length(s_l) - length(s_r)) <= 1
         |  AND levenshtein(s_l, s_r) <= 1
         |ORDER BY id_l, id_r""".stripMargin,
+    // match graph from the brute pairs, min reachable id per record,
+    // singletons pad with their own id
+    "q_entity_resolution" ->
+      """WITH RECURSIVE h AS (SELECT doc_id,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 10) AS hx FROM documents),
+        |recs AS (SELECT doc_id AS id, hx AS s FROM h
+        |  UNION ALL SELECT doc_id + 10000000,
+        |    substr(hx, 1, CAST(doc_id % 9 AS INTEGER)) ||
+        |    substr(hx, CAST(doc_id % 9 AS INTEGER) + 2) FROM h),
+        |pairs AS (SELECT x.id AS a, y.id AS b FROM recs x, recs y
+        |  WHERE x.id < y.id AND abs(length(x.s) - length(y.s)) <= 1
+        |    AND levenshtein(x.s, y.s) <= 1),
+        |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach AS (SELECT a AS x, b AS y FROM edges
+        |  UNION SELECT r.x, e.b FROM reach r JOIN edges e ON e.a = r.y),
+        |canon AS (SELECT x AS id, least(x, MIN(y)) AS entity_id
+        |  FROM reach GROUP BY x)
+        |SELECT r.id, CAST(COALESCE(c.entity_id, r.id) AS BIGINT) AS entity_id
+        |FROM recs r LEFT JOIN canon c USING (id) ORDER BY r.id""".stripMargin,
     // md5(seed:id) keys + hex-nibble shard arithmetic, first 200 in order
     "doc_seeded_shuffle" ->
       """WITH k AS (SELECT doc_id,

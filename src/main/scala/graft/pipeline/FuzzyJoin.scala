@@ -87,4 +87,23 @@ object FuzzyJoin {
       .filter(col("dist") <= maxDist)
       .select(col("id_l"), col("id_r"), col("dist"))
   }
+
+  /** End-to-end entity resolution: the blocked edit-distance SELF-join
+    * feeds [[GraphOps.connectedComponents]], and every record labels
+    * with the minimum id of its edit-distance-≤k cluster (transitive:
+    * a~b and b~c cluster a,c together even at dist 2k — the standard
+    * merge semantics of match-graph ER). Records with no match keep
+    * their own id. Output: (`idCol`, entity_id). */
+  def entityClusters(records: DataFrame, idCol: String, strCol: String,
+                     maxDist: Int = 1, q: Int = 3,
+                     maxGramDf: Int = 256): DataFrame = {
+    val pairs = join(records, records, idCol, strCol, maxDist, q, maxGramDf)
+      .filter(col("id_l") < col("id_r"))
+    val cc = GraphOps.connectedComponents(
+      pairs.select(col("id_l").as("a"), col("id_r").as("b")))
+    records.select(col(idCol))
+      .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("entity_id"))
+  }
 }

@@ -84,6 +84,21 @@ class FuzzyJoinSpec extends SparkTestBase {
     assert(full === Set((0L, 9001L), (100L, 9001L), (200L, 9001L)))
   }
 
+  test("entityClusters: transitive match-graph merge, equal strings " +
+    "cluster, singletons keep their id") {
+    import spark.implicits._
+    val recs = Seq(
+      (1L, "kitten"), (2L, "sitten"), (3L, "sittin"), // dist-1 chain:
+      (4L, "xyz"),                                    // 1~2~3 one entity
+      (5L, "same"), (6L, "same"))                     // dist-0 duplicates
+      .toDF("id", "str")
+    val got = FuzzyJoin.entityClusters(recs, "id", "str", maxDist = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // kitten~sittin is dist 2, but the chain through sitten merges them
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L))
+  }
+
   test("plan: candidate generation is equi-joins, never a cross join") {
     val plan = FuzzyJoin.join(df("l"), df("r"), "id", "str", maxDist = 1)
       .queryExecution.executedPlan.toString
