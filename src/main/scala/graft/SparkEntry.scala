@@ -1057,16 +1057,18 @@ object SparkEntry {
         .orderBy("snap", "c_custkey")
     }),
     // small-files compaction round trip: documents staged as 64 tiny
-    // files, compacted to the byte target via the crash-safe tmp+rename
-    // swap — the rewritten lake must aggregate identically to the source
-    // table (file counts themselves are spec-pinned; content is the gate)
+    // files, compacted to the byte target via the reader-safe generation
+    // swap (new gen dir + completion marker; readers resolve the highest
+    // stamped generation) — the rewritten lake must aggregate identically
+    // to the source table (file counts/GC/reader-safety are spec-pinned;
+    // content is the gate)
     "lake_compact_files" -> ((s, d) => {
       val stage = s"/tmp/graft_lake_compact/${new java.io.File(d).getName}"
       T(s, d, "documents").repartition(64)
         .write.mode("overwrite").parquet(stage)
       _root_.graft.pipeline.Lakehouse
         .compactFiles(s, stage, targetBytes = 1L << 20)
-      s.read.parquet(stage)
+      _root_.graft.pipeline.Lakehouse.readCompacted(s, stage)
         .groupBy("lang").agg(count(lit(1)).as("n_docs"),
           sum("n_chars").as("sum_chars"))
         .orderBy("lang")

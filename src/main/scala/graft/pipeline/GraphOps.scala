@@ -44,14 +44,19 @@ object GraphOps {
     * out-degree-annotated edge list (both hash-partitioned by `src` —
     * the edge side is computed once and reused, so at cluster scale the
     * big relation keeps its partitioning across iterations) and one
-    * map-side-combined groupBy on `dst`. Lineage grows linearly with
-    * `iters`; past ~10 iterations a production caller should checkpoint
-    * the rank frame the way the property-path closure in
-    * `Compiler.scala` does. */
+    * map-side-combined groupBy on `dst`. Lineage is BOUNDED: every
+    * `checkpointEvery` iterations the rank frame eagerly
+    * `localCheckpoint`s and the superseded checkpoint's blocks are freed
+    * immediately — the same policy [[connectedComponents]] applies per
+    * round — so plan depth never exceeds `checkpointEvery` joins no
+    * matter how many iterations run. */
   def pagerankInt(edges: DataFrame, iters: Int,
                   initMicro: Long = 1000000L,
-                  dampNum: Int = 85, dampDen: Int = 100): DataFrame = {
+                  dampNum: Int = 85, dampDen: Int = 100,
+                  checkpointEvery: Int = 5): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be >= 1, got $checkpointEvery")
     val e = edges.select(col("src").cast("bigint").as("src"),
       col("dst").cast("bigint").as("dst")).distinct()
     // materialize the degree-annotated edge list and node set ONCE —
@@ -65,7 +70,10 @@ object GraphOps {
     val base = initMicro * (dampDen - dampNum) / dampDen
 
     var rank = nodes.withColumn("rank", lit(initMicro))
-    for (_ <- 1 to iters) {
+    // the frame whose checkpoint blocks the NEXT checkpoint supersedes
+    // (never `nodes`/`eD` — those live for the whole fixpoint)
+    var prevCkpt: Option[DataFrame] = None
+    for (i <- 1 to iters) {
       val contribs = eD.join(rank, eD("src") === rank("id"))
         .select(col("dst").as("id"),
           expr(s"rank * $dampNum div (${dampDen}L * d)").as("c"))
@@ -73,6 +81,11 @@ object GraphOps {
       rank = nodes.join(contribs, Seq("id"), "left")
         .select(col("id"),
           (lit(base) + coalesce(col("c"), lit(0L))).as("rank"))
+      if (i % checkpointEvery == 0 && i < iters) {
+        rank = rank.localCheckpoint() // eager: materializes this round
+        prevCkpt.foreach(freeCheckpoint)
+        prevCkpt = Some(rank)
+      }
     }
     rank
   }
@@ -97,12 +110,30 @@ object GraphOps {
     * `localCheckpoint` that also truncates lineage (the fixpoint plan
     * otherwise grows exponentially, the property-path-closure lesson).
     * No vertex state ever lands on the driver. Returns (`id`,
-    * `component`) for every node with at least one edge. */
+    * `component`) for every node with at least one edge.
+    *
+    * Node ids may be INTEGRAL (labels are bigint, "minimum" is numeric)
+    * or STRING (labels keep the strings, "minimum" is lexicographic —
+    * the natural ER input, where ids are document keys). Anything else
+    * throws loudly: a silent cast of string keys to bigint would null
+    * every endpoint and hand each node its own component (wrong
+    * clusters, no error). */
   def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
-    val sym = edges.select(col("a").cast("bigint").as("x"),
-        col("b").cast("bigint").as("y"))
-      .union(edges.select(col("b").cast("bigint").as("x"),
-        col("a").cast("bigint").as("y")))
+    import org.apache.spark.sql.types._
+    val integral = Set[DataType](ByteType, ShortType, IntegerType, LongType)
+    val ta = edges.schema("a").dataType
+    val tb = edges.schema("b").dataType
+    val idType =
+      if (integral(ta) && integral(tb)) "bigint"
+      else if (ta == StringType && tb == StringType) "string"
+      else throw new IllegalArgumentException(
+        s"connectedComponents: edge endpoints must both be integral or " +
+          s"both string, got (a: $ta, b: $tb) — cast ids explicitly " +
+          "(a lossy implicit cast would mislabel components silently)")
+    val sym = edges.select(col("a").cast(idType).as("x"),
+        col("b").cast(idType).as("y"))
+      .union(edges.select(col("b").cast(idType).as("x"),
+        col("a").cast(idType).as("y")))
       .distinct()
       .persist()
     try {
@@ -175,10 +206,33 @@ object GraphOps {
     * x < y < z finds each triangle exactly once; exploding its three
     * corners and counting per node gives local triangle counts (the
     * clustering-coefficient numerator). Three hash joins on edge keys +
-    * one aggregate — entirely shuffle-bound, no driver state; the
-    * degree cap upstream is what bounds the two-path fan-out. */
-  def triangleCounts(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("a"), col("b"))
+    * one aggregate — entirely shuffle-bound, no driver state.
+    *
+    * Fan-out guard: the two-path join is quadratic in the maximum
+    * vertex degree (a hub of degree d emits O(d²) two-paths), so the
+    * plan embeds a degree assertion — if any vertex's degree exceeds
+    * `maxDegree` the QUERY FAILS with the offending bound instead of
+    * silently going quadratic. The check is one extra aggregate +
+    * 1-row broadcast inside the same lazy plan (no second execution of
+    * the edge lineage). Inputs shaped by [[projectCoGrouped]]'s group
+    * cap are bounded by construction; a raw edge list must either fit
+    * the cap or be thinned upstream — raising `maxDegree` is an
+    * explicit acceptance of O(maxDegree²) per-hub work. */
+  def triangleCounts(edges: DataFrame, maxDegree: Int = 65536): DataFrame = {
+    val e0 = edges.select(col("a"), col("b"))
+    val maxDeg = e0.select(col("a").as("id"))
+      .union(e0.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+      .agg(max("d").as("__maxd"))
+    val e = e0.crossJoin(broadcast(maxDeg))
+      .where(when(col("__maxd") > maxDegree,
+        raise_error(concat(lit("triangleCounts: max vertex degree "),
+          col("__maxd").cast("string"),
+          lit(s" exceeds maxDegree=$maxDegree — the two-path join would " +
+            "be quadratic in it; cap the graph upstream " +
+            "(projectCoGrouped) or raise maxDegree explicitly"))))
+        .otherwise(lit(true)))
+      .select(col("a"), col("b"))
     val tri = e.alias("e1")
       .join(e.alias("e2"), col("e1.b") === col("e2.a"))
       .join(e.alias("e3"),

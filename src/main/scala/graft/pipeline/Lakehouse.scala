@@ -92,43 +92,119 @@ object Lakehouse {
         (col("valid_to").isNull || col("valid_to") > ts))
       .drop("valid_from", "valid_to")
 
-  /** Small-files compaction for a parquet directory. Micro-batch and
+  /** Small-files compaction for a parquet table. Micro-batch and
     * streaming ingest accrete thousands of tiny files whose per-file
     * open/footer/task costs dominate scans long before data volume does
     * (the canonical lake-maintenance chore); this rewrites the SAME rows
     * into ceil(bytes / targetBytes) files.
     *
-    * Crash-safe swap: the rewrite lands in a sibling `<path>.compact.tmp`
-    * first, then two renames replace the live directory — a crash leaves
-    * either the old or the new COMPLETE layout, never a mix (the
-    * Bucketing marker/lock lesson applied to plain directories).
-    * Idempotent: a directory already at or under the target file count
+    * READER-SAFE generation layout (no live-directory renames — the
+    * r14-adjudicated flaw of the tmp+two-rename swap, whose window left
+    * NO directory at the live path and whose atomicity assumption does
+    * not hold on object stores): each compaction writes a fresh
+    * `<path>/gen-<n>` directory and stamps it with a `_GRAFT_COMPLETE`
+    * marker AFTER the write finishes. Currency is resolved by
+    * [[resolveCompacted]] — the highest stamped generation — so the
+    * table becomes current exactly when one small marker object appears
+    * (a single create/put, atomic on HDFS, POSIX and S3-class stores
+    * alike; nothing here renames a directory). A crash mid-write leaves
+    * an unstamped partial generation that resolution ignores and the
+    * next compaction deletes.
+    *
+    * Reader contract: resolve through [[resolveCompacted]] /
+    * [[readCompacted]]. A resolution stays readable for ONE full
+    * compaction cycle — the GC keeps the current and previous
+    * generations and deletes older ones — so a reader is safe unless it
+    * holds a resolution across two subsequent compactions (document the
+    * cadence, e.g. daily compaction ⇒ resolutions older than a day must
+    * re-resolve). A plain un-compacted directory (loose data files, no
+    * generations) resolves to itself, so adopting this scheme needs no
+    * migration; the loose files are GC'd one cycle after the first
+    * compaction like any superseded generation.
+    *
+    * Idempotent: a table already at or under the target file count
     * returns untouched. Returns (filesBefore, filesAfter, bytes). */
   def compactFiles(spark: org.apache.spark.sql.SparkSession, path: String,
                    targetBytes: Long = 128L << 20): (Int, Int, Long) = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val dir = new org.apache.hadoop.fs.Path(path)
-    val fs = dir.getFileSystem(conf)
-    def dataFiles(p: org.apache.hadoop.fs.Path) =
-      fs.listStatus(p).filter { st =>
-        val n = st.getPath.getName
-        st.isFile && !n.startsWith("_") && !n.startsWith(".")
-      }
-    val before = dataFiles(dir)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val before = dataFiles(fs, new org.apache.hadoop.fs.Path(
+      resolveCompacted(spark, path)))
     val bytes = before.map(_.getLen).sum
     val target = math.max(1, ((bytes + targetBytes - 1) / targetBytes).toInt)
     if (before.length <= target) return (before.length, before.length, bytes)
 
-    val tmp = new org.apache.hadoop.fs.Path(path + ".compact.tmp")
-    val old = new org.apache.hadoop.fs.Path(path + ".compact.old")
-    fs.delete(tmp, true); fs.delete(old, true)
-    spark.read.parquet(path).repartition(target)
-      .write.mode("overwrite").parquet(tmp.toString)
-    require(fs.rename(dir, old), s"compactFiles: cannot stage $path aside")
-    require(fs.rename(tmp, dir), s"compactFiles: cannot swap in $tmp")
-    fs.delete(old, true)
-    (before.length, dataFiles(dir).length, bytes)
+    val n = currentGen(fs, root).getOrElse(0) + 1
+    val next = new org.apache.hadoop.fs.Path(root, f"gen-$n%08d")
+    fs.delete(next, true) // an unstamped partial from a crashed run
+    spark.read.parquet(resolveCompacted(spark, path)).repartition(target)
+      .write.mode("overwrite").parquet(next.toString)
+    fs.create(new org.apache.hadoop.fs.Path(next, CompleteMarker), true).close()
+    // GC everything older than the PREVIOUS generation: stamped gens
+    // <= n-2, every unstamped partial below n, and (once the previous
+    // generation is itself a gen dir, n >= 2) the pre-adoption loose
+    // files at the root
+    fs.listStatus(root).foreach { st =>
+      st.getPath.getName match {
+        case GenName(g) if st.isDirectory &&
+          (g.toInt <= n - 2 || (g.toInt < n && !stamped(fs, st.getPath))) =>
+          fs.delete(st.getPath, true)
+        case _ => ()
+      }
+    }
+    if (n >= 2) dataFiles(fs, root).foreach(st => fs.delete(st.getPath, false))
+    (before.length, dataFiles(fs, next).length, bytes)
   }
+
+  private val CompleteMarker = "_GRAFT_COMPLETE"
+  private val GenName = "^gen-(\\d{8})$".r
+
+  private def dataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                        p: org.apache.hadoop.fs.Path) =
+    fs.listStatus(p).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+
+  private def stamped(fs: org.apache.hadoop.fs.FileSystem,
+                      p: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(p, CompleteMarker))
+
+  /** Highest COMPLETE generation number under `root`, if any. */
+  private def currentGen(fs: org.apache.hadoop.fs.FileSystem,
+                         root: org.apache.hadoop.fs.Path): Option[Int] = {
+    val gens = fs.listStatus(root).collect {
+      case st if st.isDirectory =>
+        st.getPath.getName match {
+          case GenName(g) if stamped(fs, st.getPath) => Some(g.toInt)
+          case _                                     => None
+        }
+    }.flatten
+    if (gens.isEmpty) None else Some(gens.max)
+  }
+
+  /** The directory currently holding `path`'s data: the highest complete
+    * generation ([[compactFiles]]' layout), or `path` itself when no
+    * generation exists (a plain parquet directory). Resolution is a
+    * directory listing plus one marker existence check per generation —
+    * cheap, and the returned path stays valid for one full compaction
+    * cycle (see [[compactFiles]]' reader contract). */
+  def resolveCompacted(spark: org.apache.spark.sql.SparkSession,
+                       path: String): String = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    currentGen(fs, root) match {
+      case Some(n) => new org.apache.hadoop.fs.Path(root, f"gen-$n%08d").toString
+      case None    => path
+    }
+  }
+
+  /** `spark.read.parquet` over [[resolveCompacted]] — how readers open a
+    * compaction-managed table. */
+  def readCompacted(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame =
+    spark.read.parquet(resolveCompacted(spark, path))
 
   private def anyDiffers(updAlias: String, dimAlias: String,
                          trackCols: Seq[String]): Column =
@@ -201,17 +277,24 @@ object Lakehouse {
     * columns come back side by side as `old_<c>` / `new_<c>`.
     *
     * One full-outer hash join on the key — the inverse of [[applyCdc]]:
-    * `applyCdc(old, snapshotDiff(old, new) ∪ payload, keys) == new`. */
+    * `applyCdc(old, snapshotDiff(old, new) ∪ payload, keys) == new`.
+    *
+    * Row presence is decided by `lit(true)` MARKER columns planted on
+    * each side before the join, never by null-testing a key column — a
+    * nullable first key would otherwise misclassify its row as an
+    * insert/delete (and note SQL join equality never matches null keys,
+    * so a null-keyed row pairs with nothing: it reports as D from the
+    * old side and I from the new, the honest reading). */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
                    keys: Seq[String],
                    compareCols: Seq[String]): DataFrame = {
-    val o = oldSnap.alias("o")
-    val n = newSnap.alias("n")
+    val o = oldSnap.withColumn("__in_old", lit(true)).alias("o")
+    val n = newSnap.withColumn("__in_new", lit(true)).alias("n")
     val keyMatch = keys.map(k => col(s"o.$k") === col(s"n.$k"))
       .reduce(_ && _)
     val joined = o.join(n, keyMatch, "full_outer")
-    val oldKey = col(s"o.${keys.head}")
-    val newKey = col(s"n.${keys.head}")
+    val oldKey = col("o.__in_old")
+    val newKey = col("n.__in_new")
     val same = compareCols.map(c => col(s"o.$c") <=> col(s"n.$c"))
       .reduce(_ && _)
     joined

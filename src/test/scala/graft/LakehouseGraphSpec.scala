@@ -169,14 +169,67 @@ class LakehouseGraphSpec extends SparkTestBase {
       targetBytes = Long.MaxValue)
     assert(nb == 64 && na == 1 && bytes > 0,
       s"expected 64 -> 1 files, got $nb -> $na")
-    val back = spark.read.parquet(dir).collect()
+    val back = Lakehouse.readCompacted(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
     assert(back == rows.sorted)
     // already compact: untouched, same stats back
     assert(Lakehouse.compactFiles(spark, dir, Long.MaxValue)._1 == 1)
-    // no staging leftovers from the swap
-    assert(!new java.io.File(dir + ".compact.tmp").exists &&
-      !new java.io.File(dir + ".compact.old").exists)
+    // the compacted data lives in a stamped generation dir
+    assert(Lakehouse.resolveCompacted(spark, dir).endsWith("gen-00000001"))
+  }
+
+  test("compactFiles is reader-safe: a resolution held across the swap " +
+    "still reads a complete layout, and GC keeps current + previous") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_rs")
+      .toString + "/t"
+    val rows = (1L to 500L).map(i => (i, s"row$i"))
+    rows.toDF("id", "v").repartition(16).write.parquet(dir)
+
+    // a reader resolves the PRE-compaction layout (the loose files)...
+    val preSwap = Lakehouse.resolveCompacted(spark, dir)
+    assert(preSwap == dir)
+    Lakehouse.compactFiles(spark, dir, targetBytes = 4096L) // -> several files
+    // ...and that resolution still reads the full table after the swap:
+    // the previous layout is GC'd one CYCLE later, never at swap time
+    assert(spark.read.parquet(preSwap).count() == 500L)
+
+    // second compaction (tighter target forces gen-2): gen-1 becomes the
+    // kept previous generation, the loose pre-adoption files are GC'd
+    val gen1 = Lakehouse.resolveCompacted(spark, dir)
+    assert(gen1.endsWith("gen-00000001"))
+    Lakehouse.compactFiles(spark, dir, targetBytes = Long.MaxValue)
+    assert(Lakehouse.resolveCompacted(spark, dir).endsWith("gen-00000002"))
+    assert(spark.read.parquet(gen1).count() == 500L) // previous kept
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val looseData = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+    assert(looseData.isEmpty, "pre-adoption loose files must be GC'd " +
+      "once two generations exist")
+    assert(Lakehouse.readCompacted(spark, dir).count() == 500L)
+  }
+
+  test("compactFiles ignores an unstamped partial generation (crash relic) " +
+    "and deletes it on the next run") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_crash")
+      .toString + "/t"
+    (1L to 100L).map(i => (i, i.toString)).toDF("id", "v")
+      .repartition(8).write.parquet(dir)
+    // simulate a crashed compaction: a gen dir with data but NO marker
+    val partial = new org.apache.hadoop.fs.Path(dir, "gen-00000001")
+    val fs = partial.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (1L to 3L).map(i => (i, "junk")).toDF("id", "v")
+      .write.parquet(partial.toString)
+    fs.delete(new org.apache.hadoop.fs.Path(partial, "_SUCCESS"), false)
+    assert(Lakehouse.resolveCompacted(spark, dir) == dir) // unstamped: ignored
+    Lakehouse.compactFiles(spark, dir, targetBytes = Long.MaxValue)
+    // the retry OVERWROTE the partial with the real compaction of the
+    // loose files — current resolves to it and holds the true rows
+    assert(Lakehouse.resolveCompacted(spark, dir).endsWith("gen-00000001"))
+    assert(Lakehouse.readCompacted(spark, dir).count() == 100L)
   }
 
   // ---- asOf -----------------------------------------------------------------
@@ -221,6 +274,21 @@ class LakehouseGraphSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("pagerankInt: checkpoint policy bounds plan depth at deep iters " +
+    "without changing the ranks") {
+    // 12 iterations with checkpointEvery=3: the analyzed plan of the
+    // final frame may reach back at most ~3 iterations, never all 12 —
+    // join count in the plan string is the depth witness
+    val deep = GraphOps.pagerankInt(ring, iters = 12, checkpointEvery = 3)
+    val joins = "Join".r.findAllIn(
+      deep.queryExecution.analyzed.toString).size
+    assert(joins <= 8, s"plan reaches back past the checkpoint: $joins joins")
+    val noCkpt = GraphOps.pagerankInt(ring, iters = 12,
+      checkpointEvery = 100)
+    assert(deep.orderBy("id").collect().toList ===
+      noCkpt.orderBy("id").collect().toList)
+  }
+
   test("pagerankInt: a sink keeps the restart mass only, duplicate edges collapse") {
     import spark.implicits._
     // 1→2 twice (must count once), 2 is a sink
@@ -254,6 +322,21 @@ class LakehouseGraphSpec extends SparkTestBase {
     assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("triangleCounts: a hub past maxDegree fails loudly instead of " +
+    "going quadratic; a capped graph passes untouched") {
+    import spark.implicits._
+    // star around node 0: degree 6 hub, no triangles — with maxDegree=4
+    // the embedded degree assertion must abort the query
+    val hub = (1L to 6L).map(i => (0L, i)).toDF("a", "b")
+    val ex = intercept[Exception] {
+      GraphOps.triangleCounts(hub, maxDegree = 4).collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("maxDegree"),
+      s"expected the degree-guard message, got: ${ex.getMessage}")
+    // same graph under the cap: runs (and has no triangles)
+    assert(GraphOps.triangleCounts(hub, maxDegree = 6).count() == 0L)
+  }
+
   // ---- connectedComponents --------------------------------------------------
 
   test("connectedComponents labels every node with its component's min id") {
@@ -276,6 +359,47 @@ class LakehouseGraphSpec extends SparkTestBase {
     intercept[IllegalStateException] {
       GraphOps.connectedComponents(chain, maxIters = 1).collect()
     }
+  }
+
+  test("connectedComponents: string ids label with the lexicographic min " +
+    "(the natural ER input), mixed/lossy id types throw loudly") {
+    import spark.implicits._
+    val edges = Seq(("docB", "docE"), ("docE", "docF"), ("docZ", "docY"))
+      .toDF("a", "b")
+    val got = GraphOps.connectedComponents(edges).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map("docB" -> "docB", "docE" -> "docB", "docF" -> "docB",
+      "docZ" -> "docY", "docY" -> "docY"))
+    // a string/bigint mix would cast one side to null and mislabel every
+    // node — the kernel must refuse it up front
+    val mixed = Seq(("docB", 5L)).toDF("a", "b")
+    val ex = intercept[IllegalArgumentException] {
+      GraphOps.connectedComponents(mixed)
+    }
+    assert(ex.getMessage.contains("integral or both string"))
+    val doubles = Seq((1.5, 2.5)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      GraphOps.connectedComponents(doubles)
+    }
+  }
+
+  test("snapshotDiff: presence comes from marker columns — a legitimate " +
+    "NULL in the first key column never misclassifies the row") {
+    import spark.implicits._
+    // two-part key whose FIRST part is nullable; the (null, 7) rows are
+    // real rows on both sides (they can't key-match across the join —
+    // SQL null equality — so they honestly report as D + I, never as a
+    // phantom I for the old side)
+    val oldS = Seq((Option.empty[Long], 7L, "x"), (Some(1L), 1L, "a"))
+      .toDF("k1", "k2", "v")
+    val newS = Seq((Option.empty[Long], 7L, "x"), (Some(1L), 1L, "b"))
+      .toDF("k1", "k2", "v")
+    val got = Lakehouse.snapshotDiff(oldS, newS, Seq("k1", "k2"), Seq("v"))
+      .collect().map(r => (Option(r.get(0)), r.getLong(1), r.getString(2)))
+      .toList.sortBy(x => (x._1.isEmpty, x._3))
+    // key (1,1): a real U; key (null,7): one D (old side) + one I (new)
+    assert(got === List((Some(1L), 1L, "U"), (None, 7L, "D"),
+      (None, 7L, "I")))
   }
 
   test("canonicalIdsDistributed pads isolated docs and rides the CC kernel") {
