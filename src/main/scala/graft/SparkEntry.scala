@@ -68,7 +68,8 @@ object SparkEntry {
   private def endpointRow(s: SparkSession, d: String, types: Set[String],
                           query: String,
                           sortCols: Seq[String] = Nil,
-                          ship: Boolean = false): DataFrame = {
+                          ship: Boolean = false,
+                          auto: Boolean = false): DataFrame = {
     implicit val sp: SparkSession = s
     val inner = Graft.overParquetDir(
       _root_.graft.mapping.Catalog(TpchCatalog.catalog.molecules.filter(m =>
@@ -78,7 +79,10 @@ object SparkEntry {
     try {
       val g = Graft.overSparqlEndpoint(s"http://127.0.0.1:$port/sparql",
         _root_.graft.mapping.EndpointCatalogGen.EndpointOptions(
-          shipWholeQuery = ship))
+          shipWholeQuery = ship,
+          shipPolicy =
+            if (auto) _root_.graft.mapping.EndpointCatalogGen.ShipPolicy.Auto
+            else _root_.graft.mapping.EndpointCatalogGen.ShipPolicy.Never))
       val df0 = g.sparql(query)
       val df = if (sortCols.isEmpty) df0
                else df0.orderBy(sortCols.map(col): _*)
@@ -121,7 +125,8 @@ object SparkEntry {
       "autogen_endpoint_shipped_construct",
       "autogen_endpoint_federation_shipped",
       "autogen_endpoint_federation_optional",
-      "autogen_endpoint_federation_union")
+      "autogen_endpoint_federation_union",
+      "autogen_endpoint_route_agg", "autogen_endpoint_route_scan")
 
   /** The shared SCD2 fixture of `lake_scd2` and `lake_scd2_asof` —
     * (dim, updates). The as-of gate time-travels the SAME history the
@@ -615,6 +620,18 @@ object SparkEntry {
     "autogen_endpoint_shipped_construct" -> ((s, d) => endpointRow(s, d,
       Set("urn:g:Customer"), SPARQL_CONSTRUCT, sortCols = Seq("s"),
       ship = true)),
+    // COST-BASED route selection (r14 verdict ask #1): under
+    // shipPolicy=Auto the ship-vs-local choice is a per-query decision
+    // from the probed cardinalities (RoutePlanner). The aggregate ships
+    // (group rows ≪ instance rows, a clear transfer win); the selective
+    // scan stays local (result ≈ scan, tie routes to the authoritative
+    // compiler). Round15Spec pins the route flip via explain(); these
+    // rows pin that BOTH auto-chosen routes answer correctly, against
+    // the manual twins' oracles
+    "autogen_endpoint_route_agg" -> ((s, d) => endpointRow(s, d,
+      Set("urn:g:Lineitem"), SPARQL_AGG_GROUP, auto = true)),
+    "autogen_endpoint_route_scan" -> ((s, d) => endpointRow(s, d,
+      Set("urn:g:Customer"), SPARQL_SCAN_FILTER, auto = true)),
     // TWO-endpoint federation — the reference's actual deployment shape
     // (one mediator, N endpoints): customer lives on endpoint A,
     // nation/region on endpoint B; both are wire-probed independently and
@@ -3992,7 +4009,11 @@ object SparkEntry {
       "autogen_endpoint_shipped_join" -> "sparql_join_chain",
       "autogen_endpoint_shipped_topk" -> "sparql_topk",
       "autogen_endpoint_shipped_ask" -> "sparql_ask",
-      "autogen_endpoint_shipped_construct" -> "sparql_construct")
+      "autogen_endpoint_shipped_construct" -> "sparql_construct",
+      // cost-based routing: whichever route Auto picks, answers must
+      // equal the manual twins'
+      "autogen_endpoint_route_agg" -> "sparql_agg_group",
+      "autogen_endpoint_route_scan" -> "sparql_scan_filter")
       .map { case (auto, manual) => auto -> baseOracles(manual) } ++
     Map(
       // streaming replay gates that share a batch row's oracle verbatim:

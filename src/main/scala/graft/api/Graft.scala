@@ -32,20 +32,35 @@ final class Graft(val catalog: Catalog, tableLoader: String => DataFrame,
 
   /** (dispatch description, result frame) — one routing for [[sparql]]
     * and [[explain]], so the report always describes the plan actually
-    * taken. */
+    * taken. Under an `auto` config the ship-vs-local choice is a
+    * PER-QUERY cost decision ([[graft.compiler.RoutePlanner]]): the
+    * probed cardinalities estimate the rows each route moves, and the
+    * description carries both numbers so `explain` proves which way —
+    * and why — the route went. */
   private def route(q: graft.algebra.Query): (String, DataFrame) =
     ship match {
       case Some(cfg) if graft.compiler.QueryShip.shippable(q, cfg) =>
-        (s"whole-query dispatch -> ${cfg.endpoint}",
-          graft.compiler.QueryShip.ship(q, cfg,
-            compiler.compile(graft.compiler.QueryShip.schemaProxy(q)).schema))
+        val est = Option.when(cfg.auto)(
+          graft.compiler.RoutePlanner.estimate(q, catalog))
+        if (est.forall(_.ship))
+          (s"whole-query dispatch -> ${cfg.endpoint}" +
+            est.fold("")(e => s" (route: ${e.describe})"),
+            graft.compiler.QueryShip.ship(q, cfg,
+              compiler.compile(graft.compiler.QueryShip.schemaProxy(q)).schema))
+        else
+          (s"local compile (route: ${est.get.describe})", compiler.compile(q))
       case Some(cfg) if q.form == graft.algebra.ConstructForm =>
         // graph form: ship the WHERE as a SELECT, instantiate the
         // template locally (falls back to the local compile when the
-        // pattern is unshippable)
-        compiler.compileConstructShipped(q, cfg) match {
+        // pattern is unshippable or the cost decision says local)
+        val est = Option.when(cfg.auto)(
+          graft.compiler.RoutePlanner.estimate(q, catalog))
+        if (est.exists(e => !e.ship))
+          (s"local compile (route: ${est.get.describe})", compiler.compile(q))
+        else compiler.compileConstructShipped(q, cfg) match {
           case Some(df) =>
-            (s"CONSTRUCT WHERE dispatch -> ${cfg.endpoint} (template local)", df)
+            (s"CONSTRUCT WHERE dispatch -> ${cfg.endpoint} (template local)" +
+              est.fold("")(e => s" (route: ${e.describe})"), df)
           case None => ("local compile (pattern not shippable)",
             compiler.compile(q))
         }
@@ -102,7 +117,12 @@ final class Graft(val catalog: Catalog, tableLoader: String => DataFrame,
     val decTime = (System.nanoTime() - t0) / 1e9
     val t1 = System.nanoTime()
     val (routed, df) = route(q)
-    val dispatch = if (routed == "local compile") describeLocal(df) else routed
+    // auto-routed local compiles carry their cost reasoning in the route
+    // string — keep it and enrich with what the compile actually shipped
+    val dispatch =
+      if (routed.startsWith("local compile"))
+        describeLocal(df) + routed.stripPrefix("local compile")
+      else routed
     val planTime = (System.nanoTime() - t1) / 1e9
     val dec = stars.zipWithIndex.map { case (s, i) =>
       val subj = s.subject match {
@@ -177,13 +197,18 @@ object Graft {
     // fingerprint-keyed probe cache: a re-deployed endpoint with unchanged
     // content (new port, fresh session) pays only the skeleton queries
     val (_, probed) = graft.mapping.EndpointCatalogGen.probeCached(endpoint, opts)
+    import graft.mapping.EndpointCatalogGen.ShipPolicy
+    val policy = opts.effectivePolicy
     new Graft(probed.catalog, probed.loader,
-      ship = Option.when(opts.shipWholeQuery)(
+      ship = Option.when(policy != ShipPolicy.Never)(
         graft.compiler.QueryShip.Config(endpoint, opts.pageSize,
-          opts.maxPartitions)),
+          opts.maxPartitions, auto = policy == ShipPolicy.Auto)),
       // queries the whole-query path can't take (SERVICE bodies, graph
-      // forms, unprojected order keys) still ship their exclusive groups
-      groupShip = Option.when(opts.shipWholeQuery)(
+      // forms, unprojected order keys) or that the cost decision keeps
+      // local still ship their exclusive groups — a shipped group moves
+      // the group's JOINED rows, never more than its per-star scans
+      // under the same FK estimate that ordered the joins
+      groupShip = Option.when(policy != ShipPolicy.Never)(
         graft.compiler.QueryShip.GroupShip(opts.pageSize, opts.maxPartitions)))
   }
 
@@ -221,7 +246,8 @@ object Graft {
       // a federation never ships the WHOLE query (stars span endpoints by
       // construction), but connected stars exclusive to ONE member ship as
       // a group — the joins between them run at that endpoint
-      groupShip = Option.when(opts.shipWholeQuery)(
+      groupShip = Option.when(opts.effectivePolicy !=
+        graft.mapping.EndpointCatalogGen.ShipPolicy.Never)(
         graft.compiler.QueryShip.GroupShip(opts.pageSize, opts.maxPartitions)))
   }
 }

@@ -33,9 +33,10 @@ object QueryShip {
   /** `maxPartitions` caps how many concurrent page-tasks one shipped scan
     * holds against the endpoint (politeness at scale; in a same-process
     * loopback federation it also keeps executor slots free for the
-    * server's own jobs). */
+    * server's own jobs). `auto = true` makes dispatch a PER-QUERY
+    * cost decision ([[RoutePlanner]]) instead of ship-everything. */
   final case class Config(endpoint: String, pageSize: Int = 10000,
-                          maxPartitions: Int = 32)
+                          maxPartitions: Int = 32, auto: Boolean = false)
 
   /** Exclusive-group dispatch knobs — endpoint-less because the target
     * comes from each group's own molecules (a federation ships different

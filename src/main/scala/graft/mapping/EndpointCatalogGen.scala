@@ -27,6 +27,23 @@ import graft.sources.{DiscoveryTranslators => D, PagedEndpointSource, SparqlHttp
   */
 object EndpointCatalogGen {
 
+  /** Whole-query / exclusive-group dispatch policy (see
+    * [[graft.compiler.QueryShip]] and [[graft.compiler.RoutePlanner]]):
+    *  - [[ShipPolicy.Never]]  — local compile only; remote scans still
+    *    push column pruning + FILTERs (the authoritative default).
+    *  - [[ShipPolicy.Always]] — every shippable query ships verbatim
+    *    (the r13/r14 opt-in, kept as the explicit override).
+    *  - [[ShipPolicy.Auto]]   — per-query COST decision: ship only when
+    *    the probed cardinalities say the shipped route moves clearly
+    *    fewer rows ([[graft.compiler.RoutePlanner.ShipMargin]]); ties
+    *    and unknowns stay local. */
+  sealed trait ShipPolicy
+  object ShipPolicy {
+    case object Never extends ShipPolicy
+    case object Always extends ShipPolicy
+    case object Auto extends ShipPolicy
+  }
+
   final case class EndpointOptions(
       pageSize: Int = 10000,
       /** concepts at or below this probed cardinality are broadcast-safe
@@ -38,18 +55,28 @@ object EndpointCatalogGen {
         * scale, and free executor slots for the server's own jobs in a
         * same-process loopback federation. */
       maxPartitions: Int = 32,
-      /** Opt-in whole-query dispatch ([[graft.compiler.QueryShip]]): a
-        * query whose every star lives on this endpoint ships verbatim, so
-        * only FINAL results transit the wire (group rows, not instance
+      /** Opt-in ship-EVERYTHING dispatch ([[graft.compiler.QueryShip]]):
+        * a query whose every star lives on this endpoint ships verbatim,
+        * so only FINAL results transit the wire (group rows, not instance
         * rows; joined rows, not per-star bindings). Off by default — it
         * trusts the remote engine's full SPARQL 1.1 semantics, where the
         * default path keeps the local compiler authoritative and pushes
-        * only column pruning + translatable FILTERs into the scans. */
-      shipWholeQuery: Boolean = false) {
-    /** Probe-relevant view: the ship flag and the scan-concurrency cap
+        * only column pruning + translatable FILTERs into the scans.
+        * Equivalent to `shipPolicy = Always` and kept as the explicit
+        * override; prefer [[shipPolicy]] = [[ShipPolicy.Auto]] for the
+        * per-query cost decision. */
+      shipWholeQuery: Boolean = false,
+      /** Dispatch policy ([[ShipPolicy]]); `shipWholeQuery = true`
+        * overrides this to Always. */
+      shipPolicy: ShipPolicy = ShipPolicy.Never) {
+    /** The policy dispatch actually runs under. */
+    def effectivePolicy: ShipPolicy =
+      if (shipWholeQuery) ShipPolicy.Always else shipPolicy
+    /** Probe-relevant view: the ship policy and the scan-concurrency cap
       * shape dispatch, not discovery — shape caches must hit across them. */
     private[mapping] def probeKey: EndpointOptions =
-      copy(shipWholeQuery = false, maxPartitions = 32)
+      copy(shipWholeQuery = false, shipPolicy = ShipPolicy.Never,
+        maxPartitions = 32)
   }
 
   /** A probed endpoint: the catalog plus one lazy loader per concept table

@@ -79,6 +79,20 @@ object ShipAb {
       run(s"$qn/local", local, q)
       run(s"$qn/shipped", shipped, q)
     }
+
+    // ---- the COST-BASED router's own picks (RoutePlanner, r15) ------------
+    // each query runs under shipPolicy=Auto and reports which route the
+    // transfer estimates chose — the flip (agg/topk ship, the selective
+    // join stays local) is the measured counterpart of the A/B above
+    val auto = Graft.overSparqlEndpoint(url,
+      EndpointCatalogGen.EndpointOptions(maxPartitions = 4,
+        shipPolicy = EndpointCatalogGen.ShipPolicy.Auto))
+    for ((qn, q) <- Seq("agg" -> agg, "join" -> join, "topk" -> topk)) {
+      run(s"$qn/auto", auto, q)
+      val route = auto.explain(q).linesIterator
+        .find(_.startsWith("Dispatch:")).getOrElse("Dispatch: ?")
+      println(s"  $qn/auto picked: ${route.stripPrefix("Dispatch: ")}")
+    }
     server.stop()
 
     // ---- federation: exclusive-PATTERN dispatch (OPTIONAL / UNION) --------

@@ -1,0 +1,161 @@
+package graft
+
+import graft.api.{Graft, GraftServer, TpchCatalog}
+import graft.compiler.RoutePlanner
+import graft.mapping._
+import graft.parser.SparqlParser
+
+/** Round-15: cost-based dispatch-route selection — the per-query
+  * ship-vs-local decision from probed cardinalities (r14 verdict ask #1),
+  * replacing the all-or-nothing shipWholeQuery boolean. */
+class Round15Spec extends SparkTestBase {
+
+  // ---- RoutePlanner unit model ----------------------------------------------
+
+  private def mol(t: String, table: String, card: Long,
+                  preds: String*): Molecule =
+    Molecule(rdfType = t, table = table, subject = Template("{s}"),
+      predicates = preds.map(p =>
+        s"urn:g:$p" -> (RefMap(p): TermMap)).toMap,
+      source = "http://ep", cardinality = card)
+
+  private val cat = Catalog(List(
+    mol("urn:g:Customer", "customer", 1500L, "name", "acctbal", "nation"),
+    mol("urn:g:Order", "order", 15000L, "customer", "totalprice"),
+    mol("urn:g:Lineitem", "lineitem", 60000L, "returnflag", "quantity")))
+
+  private def est(q: String): RoutePlanner.RouteEstimate =
+    RoutePlanner.estimate(SparqlParser.parseUnsafe(q), cat)
+
+  test("route: a GROUP BY over a big concept ships (group rows << scan)") {
+    val e = est("""PREFIX g: <urn:g:>
+      |SELECT ?f (COUNT(*) AS ?n) WHERE {
+      |  ?l a g:Lineitem ; g:returnflag ?f .
+      |} GROUP BY ?f""".stripMargin)
+    assert(e.known && e.localRows == 60000L && e.shippedRows == 6000L)
+    assert(e.ship, e.describe)
+  }
+
+  test("route: a plain scan is a tie — local is authoritative") {
+    val e = est("""PREFIX g: <urn:g:>
+      |SELECT ?c ?n WHERE { ?c a g:Customer ; g:name ?n . }""".stripMargin)
+    assert(e.known && e.localRows == 1500L && e.shippedRows == 1500L)
+    assert(!e.ship, e.describe)
+  }
+
+  test("route: LIMIT caps the shipped estimate — top-k ships") {
+    val e = est("""PREFIX g: <urn:g:>
+      |SELECT ?c ?b WHERE { ?c a g:Customer ; g:acctbal ?b . }
+      |ORDER BY DESC(?b) LIMIT 20""".stripMargin)
+    assert(e.shippedRows == 20L && e.ship, e.describe)
+  }
+
+  test("route: ASK is one boolean document — always a clear win") {
+    val e = est("""PREFIX g: <urn:g:>
+      |ASK { ?c a g:Customer ; g:name ?n . }""".stripMargin)
+    assert(e.shippedRows == 1L && e.ship, e.describe)
+  }
+
+  test("route: a selective-build FK join stays local (shipped moves the " +
+    "big side either way; the local bind join filters it)") {
+    // customer pinned by a bound object (card/10); orders dominate both
+    // routes -> shipping wins nothing, the tie routes local
+    val e = est("""PREFIX g: <urn:g:>
+      |SELECT ?o ?tp WHERE {
+      |  ?c a g:Customer ; g:name "x" ; g:nation ?nat .
+      |  ?o a g:Order ; g:customer ?c ; g:totalprice ?tp .
+      |}""".stripMargin)
+    assert(e.known, e.describe)
+    assert(e.localRows == 150L + 15000L && e.shippedRows == 15000L,
+      e.describe)
+    assert(!e.ship, e.describe)
+  }
+
+  test("route: variable-disjoint stars multiply (a remote cartesian is " +
+    "never a transfer win)") {
+    val e = est("""PREFIX g: <urn:g:>
+      |SELECT ?a ?b WHERE {
+      |  ?c a g:Customer ; g:name ?a .
+      |  ?o a g:Order ; g:totalprice ?b .
+      |}""".stripMargin)
+    assert(e.shippedRows == 1500L * 15000L && !e.ship, e.describe)
+  }
+
+  test("route: unknown cardinalities and paths taint the estimate -> local") {
+    val noCard = Catalog(List(
+      Molecule(rdfType = "urn:g:Customer", table = "customer",
+        subject = Template("{s}"),
+        predicates = Map("urn:g:name" -> (RefMap("name"): TermMap)),
+        source = "http://ep"))) // cardinality left at the -1 default
+    val q = SparqlParser.parseUnsafe("""PREFIX g: <urn:g:>
+      |SELECT ?n WHERE { ?c a g:Customer ; g:name ?n . }""".stripMargin)
+    val e = RoutePlanner.estimate(q, noCard)
+    assert(!e.known && !e.ship)
+    val path = est("""PREFIX g: <urn:g:>
+      |SELECT ?x WHERE { ?c (g:nation)+ ?x . }""".stripMargin)
+    assert(!path.known && !path.ship)
+  }
+
+  // ---- end-to-end: the route FLIPS with the query shape over a live wire ----
+
+  test("auto dispatch over a probed endpoint: the aggregate ships, the " +
+    "selective scan compiles locally, and explain() proves both") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    // customer + order only: both row-keyed (unique subject templates),
+    // so the local wire route and the shipped route answer identically
+    // and the parity assertion below is fair (the ShipAb convention)
+    val types = Set("urn:g:Customer", "urn:g:Order")
+    val inner = Graft.overParquetDir(Catalog(
+      TpchCatalog.catalog.molecules.filter(m => types.contains(m.rdfType))),
+      sfDir)
+    val server = new GraftServer(inner)
+    val port = server.start()
+    try {
+      val g = Graft.overSparqlEndpoint(s"http://127.0.0.1:$port/sparql",
+        EndpointCatalogGen.EndpointOptions(
+          shipPolicy = EndpointCatalogGen.ShipPolicy.Auto))
+      val agg = """PREFIX g: <urn:g:>
+        |SELECT ?pri (COUNT(*) AS ?cnt) (SUM(?tp) AS ?sum_tp) WHERE {
+        |  ?o a g:Order ; g:orderpriority ?pri ; g:totalprice ?tp .
+        |} GROUP BY ?pri ORDER BY ?pri""".stripMargin
+      val scan = """PREFIX g: <urn:g:>
+        |SELECT ?c ?name ?bal WHERE {
+        |  ?c a g:Customer ; g:name ?name ; g:acctbal ?bal .
+        |  FILTER (?bal > 5000)
+        |} ORDER BY ?c""".stripMargin
+
+      def dispatchLine(q: String): String =
+        g.explain(q).linesIterator.find(_.startsWith("Dispatch:")).get
+
+      val aggRoute = dispatchLine(agg)
+      assert(aggRoute.contains("whole-query dispatch ->") &&
+        aggRoute.contains("route: shipped≈"), aggRoute)
+      val scanRoute = dispatchLine(scan)
+      assert(scanRoute.contains("local compile") &&
+        scanRoute.contains("route: shipped≈") &&
+        !scanRoute.contains("whole-query"), scanRoute)
+
+      // both auto-chosen routes answer identically to the local-only
+      // graft (double SUMs compare rounded — summation order differs
+      // between the store's aggregation and the local one, the inherent
+      // FP non-associativity either route is allowed)
+      val localOnly = Graft.overSparqlEndpoint(
+        s"http://127.0.0.1:$port/sparql",
+        EndpointCatalogGen.EndpointOptions())
+      def canon(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+        df.collect().toSeq.map(_.toSeq.map {
+          case d: Double => math.round(d * 100) / 100.0
+          case x         => x
+        })
+      for (q <- Seq(agg, scan))
+        assert(canon(g.sparql(q)) === canon(localOnly.sparql(q)), q)
+
+      // the explicit override still ships everything, tie or not
+      val always = Graft.overSparqlEndpoint(
+        s"http://127.0.0.1:$port/sparql",
+        EndpointCatalogGen.EndpointOptions(shipWholeQuery = true))
+      assert(always.explain(scan).linesIterator
+        .find(_.startsWith("Dispatch:")).get.contains("whole-query dispatch"))
+    } finally server.stop()
+  }
+}
