@@ -126,7 +126,8 @@ object SparkEntry {
       "autogen_endpoint_federation_shipped",
       "autogen_endpoint_federation_optional",
       "autogen_endpoint_federation_union",
-      "autogen_endpoint_route_agg", "autogen_endpoint_route_scan")
+      "autogen_endpoint_route_agg", "autogen_endpoint_route_scan",
+      "autogen_endpoint_shipped_describe")
 
   /** The shared SCD2 fixture of `lake_scd2` and `lake_scd2_asof` —
     * (dim, updates). The as-of gate time-travels the SAME history the
@@ -620,6 +621,13 @@ object SparkEntry {
     "autogen_endpoint_shipped_construct" -> ((s, d) => endpointRow(s, d,
       Set("urn:g:Customer"), SPARQL_CONSTRUCT, sortCols = Seq("s"),
       ship = true)),
+    // DESCRIBE dispatch (the ladder's last rung, r14 ask #7): the probe
+    // ships as ONE SELECT with the term kind asked of the store
+    // (ISIRI), N-Triples formatting stays local — answers must equal
+    // the local twin's (same relational oracle)
+    "autogen_endpoint_shipped_describe" -> ((s, d) => endpointRow(s, d,
+      Set("urn:g:Customer"), SPARQL_DESCRIBE,
+      sortCols = Seq("p", "o"), ship = true)),
     // COST-BASED route selection (r14 verdict ask #1): under
     // shipPolicy=Auto the ship-vs-local choice is a per-query decision
     // from the probed cardinalities (RoutePlanner). The aggregate ships
@@ -4013,7 +4021,9 @@ object SparkEntry {
       // cost-based routing: whichever route Auto picks, answers must
       // equal the manual twins'
       "autogen_endpoint_route_agg" -> "sparql_agg_group",
-      "autogen_endpoint_route_scan" -> "sparql_scan_filter")
+      "autogen_endpoint_route_scan" -> "sparql_scan_filter",
+      // shipped DESCRIBE equals the local twin's N-Triples
+      "autogen_endpoint_shipped_describe" -> "sparql_describe")
       .map { case (auto, manual) => auto -> baseOracles(manual) } ++
     Map(
       // streaming replay gates that share a batch row's oracle verbatim:

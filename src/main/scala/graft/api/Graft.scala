@@ -64,6 +64,18 @@ final class Graft(val catalog: Catalog, tableLoader: String => DataFrame,
           case None => ("local compile (pattern not shippable)",
             compiler.compile(q))
         }
+      case Some(cfg) if q.form == graft.algebra.DescribeForm =>
+        // DESCRIBE <iri>: one shipped probe SELECT (term kind asked of
+        // the store) replaces the per-predicate local enumeration — a
+        // wire-query-count win at ANY cardinality, so it ships under
+        // Always and Auto alike; DESCRIBE ?v forms fall back to the
+        // local machinery
+        compiler.compileDescribeShipped(q, cfg) match {
+          case Some(df) =>
+            (s"DESCRIBE dispatch -> ${cfg.endpoint} (format local)", df)
+          case None => ("local compile (describe probe not shippable)",
+            compiler.compile(q))
+        }
       case _ => ("local compile", compiler.compile(q))
     }
 

@@ -356,6 +356,51 @@ final class Compiler(catalog: Catalog, load: String => DataFrame,
     Some(constructOver(localC.copy(df = df), q))
   }
 
+  /** DESCRIBE with the probe shipped to `cfg.endpoint` — the last rung
+    * the dispatch ladder was missing (r14 builder note #1): for the
+    * common `DESCRIBE <iri>` form, the per-predicate enumeration the
+    * local compile performs (one remote scan per molecule predicate)
+    * collapses to ONE shipped SELECT of the probe triple, with the
+    * object's term kind asked of the STORE (`ISIRI(?__do)`) — term kind
+    * is data knowledge and the endpoint is its authority, exactly as the
+    * local path trusts the molecule term map. N-Triples formatting,
+    * escaping, dedup and LIMIT stay local, like every graph-form
+    * dispatch. None (→ local compile) for `DESCRIBE ?v WHERE {…}` — the
+    * var-probe machinery is local by design — or when the probe can't
+    * render as SPARQL surface text. */
+  private[graft] def compileDescribeShipped(
+      q: Query, cfg: QueryShip.Config): Option[DataFrame] = {
+    if (q.form != DescribeForm) return None
+    val subjIri = q.template.head.s match {
+      case Iri(u) => u
+      case _      => return None
+    }
+    q.pattern match {
+      case Pattern.Bgp(List(TriplePattern(Iri(u), Var("__dp"), Var("__do"))))
+        if u == subjIri => ()
+      case _ => return None
+    }
+    val probe = Pattern.Extend(
+      Pattern.Bgp(List(
+        TriplePattern(Iri(subjIri), Var("__dp"), Var("__do")))),
+      Var("__dk"), Expr.Call("isiri", List(Expr.TermRef(Var("__do")))))
+    val schema = StructType(Seq(
+      StructField("__dp", StringType), StructField("__do", StringType),
+      StructField("__dk", BooleanType)))
+    val df =
+      try QueryShip.shipPattern(cfg.endpoint, probe, Nil, schema,
+        QueryShip.GroupShip(cfg.pageSize, cfg.maxPartitions))
+      catch { case _: UnsupportedOperationException => return None }
+    val o = df.col("__do").cast(StringType)
+    val out = df.select(
+      lit(s"<$subjIri>").as("s"),
+      concat(lit("<"), df.col("__dp"), lit(">")).as("p"),
+      when(df.col("__dk"), concat(lit("<"), o, lit(">")))
+        .otherwise(concat(lit("\""), escapeNt(o), lit("\""))).as("o"))
+      .distinct()
+    Some(q.limit.fold(out)(n => out.limit(n.toInt)))
+  }
+
   private def constructOver(c: Compiled, q: Query): DataFrame = {
     /** N-Triples term formatting incl. `^^datatype` for typed and `@lang`
       * for tagged literals (Xconstruct.py:46-104). */

@@ -158,4 +158,41 @@ class Round15Spec extends SparkTestBase {
         .find(_.startsWith("Dispatch:")).get.contains("whole-query dispatch"))
     } finally server.stop()
   }
+
+  test("DESCRIBE dispatch: the <iri> probe ships as one SELECT with the " +
+    "store's term kinds; DESCRIBE ?v falls back to the local machinery") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val inner = Graft.overParquetDir(Catalog(
+      TpchCatalog.catalog.molecules.filter(_.rdfType == "urn:g:Customer")),
+      sfDir)
+    val server = new GraftServer(inner)
+    val port = server.start()
+    try {
+      val g = Graft.overSparqlEndpoint(s"http://127.0.0.1:$port/sparql",
+        EndpointCatalogGen.EndpointOptions(shipWholeQuery = true))
+      val q = "DESCRIBE <urn:g:cust:1>"
+      val line = g.explain(q).linesIterator
+        .find(_.startsWith("Dispatch:")).get
+      assert(line.contains("DESCRIBE dispatch ->"), line)
+      // shipped N-Triples equal the STORE's own engine over the same
+      // data (not a wire local twin: a local DESCRIBE over the endpoint
+      // catalog unions one paged scan per probed predicate, and under
+      // local[4] those tasks would hold every slot the loopback server
+      // itself needs — the ShipAb loopback-starvation caveat; the
+      // driver-gate row compares against the relational oracle instead)
+      val got = g.sparql(q).orderBy("p", "o").collect().toSeq
+      val want = inner.sparql(q).orderBy("p", "o").collect().toSeq
+      assert(got.nonEmpty && got === want)
+      // IRI objects stay angle-bracketed, literals stay quoted
+      assert(got.exists(_.getString(2).startsWith("<urn:g:nation:")))
+      assert(got.exists(_.getString(2).startsWith("\"")))
+      // the variable form keeps the local enumeration
+      val varLine = g.explain(
+        """PREFIX g: <urn:g:>
+          |DESCRIBE ?c WHERE { ?c a g:Customer ; g:name "x" . }"""
+          .stripMargin)
+        .linesIterator.find(_.startsWith("Dispatch:")).get
+      assert(varLine.contains("local compile"), varLine)
+    } finally server.stop()
+  }
 }
