@@ -172,6 +172,26 @@ object SparkEntry {
           lit("D").as("op"), lit(3L).as("seq")))
   }
 
+  /** Shared ER fixture: the q_entity_resolution corpus (originals +
+    * their deterministic one-char-deletion variants) plus a SPARSE
+    * exact-match key for the multi-pass rows — 10% of originals carry
+    * 'k' + (doc_id % 7), variants carry NULL. */
+  private def erRecords(s: SparkSession, d: String): DataFrame = {
+    val hex = expr("substring(md5(cast(doc_id as string)), 1, 10)")
+    val variant = expr(
+      "concat(substring(substring(md5(cast(doc_id as string)), 1, 10), " +
+        "1, cast(doc_id % 9 as int)), " +
+        "substring(substring(md5(cast(doc_id as string)), 1, 10), " +
+        "cast(doc_id % 9 as int) + 2, 10))")
+    T(s, d, "documents")
+      .select(col("doc_id").as("id"), hex.as("name"),
+        when(col("doc_id") % 10 === 0,
+          concat(lit("k"), (col("doc_id") % 7).cast("string"))).as("xkey"))
+      .unionByName(T(s, d, "documents")
+        .select((col("doc_id") + 10000000L).as("id"), variant.as("name"),
+          lit(null).cast("string").as("xkey")))
+  }
+
   /** Hourly event counts per type — the shared input of both anomaly
     * rows (one definition ⇒ Catalyst's ReusedExchange can share the
     * aggregation when a plan consumes it twice). */
@@ -1143,6 +1163,36 @@ object SparkEntry {
         .entityClusters(recs, "id", "name", maxDist = 1, q = 4,
           maxGramDf = 1 << 20)
         .orderBy("id")
+    }),
+    // multi-pass blocked ER (r14 ask #6a): fuzzy name edges UNION an
+    // exact-equality pass on a sparse second attribute (10% of records
+    // carry a key over 7 values); transitive closure merges ACROSS
+    // passes — oracle re-derives both edge sets brute-force and closes
+    // recursively
+    "q_entity_resolution_multi" -> ((s, d) => {
+      _root_.graft.pipeline.FuzzyJoin
+        .entityClustersMulti(erRecords(s, d), "id", "name",
+          exactCols = Seq("xkey"), maxDist = 1, q = 4,
+          maxGramDf = 1 << 20)
+        .orderBy("id")
+    }),
+    // incremental ER (r14 ask #6b): the SAME records admitted in two
+    // batches against a persistent edge store — per batch one blocked
+    // join of batch × (store ∪ batch) — must label identically to the
+    // one-shot corpus run, so this row shares q_entity_resolution's
+    // recursive-closure oracle verbatim
+    "q_entity_resolution_incremental" -> ((s, d) => {
+      val store = s"/tmp/graft_er_store/${new java.io.File(d).getName}"
+      val p = new org.apache.hadoop.fs.Path(store)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val recs = erRecords(s, d)
+      val batch1 = recs.filter(col("id") < 10000000L).select("id", "name")
+      val batch2 = recs.filter(col("id") >= 10000000L).select("id", "name")
+      _root_.graft.pipeline.FuzzyJoin.erAdmit(batch1, store, "id", "name",
+        maxDist = 1, q = 4, maxGramDf = 1 << 20)
+      _root_.graft.pipeline.FuzzyJoin.erAdmit(batch2, store, "id", "name",
+        maxDist = 1, q = 4, maxGramDf = 1 << 20)
+      _root_.graft.pipeline.FuzzyJoin.erLabels(s, store, "id").orderBy("id")
     }),
     // deterministic seeded training-order shuffle: md5(seed:id) keys +
     // hex-nibble shards; first 200 of the permutation (the full op never
@@ -2560,6 +2610,48 @@ object SparkEntry {
     // match graph from the brute pairs, min reachable id per record,
     // singletons pad with their own id
     "q_entity_resolution" ->
+      """WITH RECURSIVE h AS (SELECT doc_id,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 10) AS hx FROM documents),
+        |recs AS (SELECT doc_id AS id, hx AS s FROM h
+        |  UNION ALL SELECT doc_id + 10000000,
+        |    substr(hx, 1, CAST(doc_id % 9 AS INTEGER)) ||
+        |    substr(hx, CAST(doc_id % 9 AS INTEGER) + 2) FROM h),
+        |pairs AS (SELECT x.id AS a, y.id AS b FROM recs x, recs y
+        |  WHERE x.id < y.id AND abs(length(x.s) - length(y.s)) <= 1
+        |    AND levenshtein(x.s, y.s) <= 1),
+        |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach AS (SELECT a AS x, b AS y FROM edges
+        |  UNION SELECT r.x, e.b FROM reach r JOIN edges e ON e.a = r.y),
+        |canon AS (SELECT x AS id, least(x, MIN(y)) AS entity_id
+        |  FROM reach GROUP BY x)
+        |SELECT r.id, CAST(COALESCE(c.entity_id, r.id) AS BIGINT) AS entity_id
+        |FROM recs r LEFT JOIN canon c USING (id) ORDER BY r.id""".stripMargin,
+    // multi-pass truth: fuzzy pairs UNION exact-key pairs, one closure
+    "q_entity_resolution_multi" ->
+      """WITH RECURSIVE h AS (SELECT doc_id,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 10) AS hx FROM documents),
+        |recs AS (SELECT doc_id AS id, hx AS s,
+        |    CASE WHEN doc_id % 10 = 0
+        |      THEN 'k' || CAST(doc_id % 7 AS VARCHAR) END AS xkey FROM h
+        |  UNION ALL SELECT doc_id + 10000000,
+        |    substr(hx, 1, CAST(doc_id % 9 AS INTEGER)) ||
+        |    substr(hx, CAST(doc_id % 9 AS INTEGER) + 2), NULL FROM h),
+        |fpairs AS (SELECT x.id AS a, y.id AS b FROM recs x, recs y
+        |  WHERE x.id < y.id AND abs(length(x.s) - length(y.s)) <= 1
+        |    AND levenshtein(x.s, y.s) <= 1),
+        |xpairs AS (SELECT x.id AS a, y.id AS b FROM recs x, recs y
+        |  WHERE x.id < y.id AND x.xkey IS NOT NULL AND x.xkey = y.xkey),
+        |edges AS (SELECT a, b FROM fpairs UNION SELECT b, a FROM fpairs
+        |  UNION SELECT a, b FROM xpairs UNION SELECT b, a FROM xpairs),
+        |reach AS (SELECT a AS x, b AS y FROM edges
+        |  UNION SELECT r.x, e.b FROM reach r JOIN edges e ON e.a = r.y),
+        |canon AS (SELECT x AS id, least(x, MIN(y)) AS entity_id
+        |  FROM reach GROUP BY x)
+        |SELECT r.id, CAST(COALESCE(c.entity_id, r.id) AS BIGINT) AS entity_id
+        |FROM recs r LEFT JOIN canon c USING (id) ORDER BY r.id""".stripMargin,
+    // the incremental replay must label exactly like the one-shot run —
+    // the oracle is q_entity_resolution's verbatim
+    "q_entity_resolution_incremental" ->
       """WITH RECURSIVE h AS (SELECT doc_id,
         |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 10) AS hx FROM documents),
         |recs AS (SELECT doc_id AS id, hx AS s FROM h

@@ -96,14 +96,124 @@ object FuzzyJoin {
     * their own id. Output: (`idCol`, entity_id). */
   def entityClusters(records: DataFrame, idCol: String, strCol: String,
                      maxDist: Int = 1, q: Int = 3,
-                     maxGramDf: Int = 256): DataFrame = {
-    val pairs = join(records, records, idCol, strCol, maxDist, q, maxGramDf)
+                     maxGramDf: Int = 256): DataFrame =
+    labelFromEdges(records, idCol,
+      fuzzySelfEdges(records, idCol, strCol, maxDist, q, maxGramDf))
+
+  /** MULTI-PASS blocked ER (the standard multi-blocker construction of
+    * the ER literature): the match graph unions one edge set per pass —
+    * the fuzzy edit-distance self-join on `strCol` PLUS an
+    * exact-equality pass per column in `exactCols` (two records match
+    * when their names are within `maxDist` OR they agree on any exact
+    * attribute; NULL exact values match nothing). Transitive closure
+    * then merges across passes: a typo'd name joined by a shared email
+    * joined by a clean name all collapse to one entity. */
+  def entityClustersMulti(records: DataFrame, idCol: String, strCol: String,
+                          exactCols: Seq[String],
+                          maxDist: Int = 1, q: Int = 3,
+                          maxGramDf: Int = 256): DataFrame = {
+    val edges = (fuzzySelfEdges(records, idCol, strCol, maxDist, q,
+      maxGramDf) +: exactCols.map(c => exactStarEdges(records, idCol, c)))
+      .reduce(_ unionByName _)
+    labelFromEdges(records, idCol, edges)
+  }
+
+  private def fuzzySelfEdges(records: DataFrame, idCol: String,
+                             strCol: String, maxDist: Int, q: Int,
+                             maxGramDf: Int): DataFrame =
+    join(records, records, idCol, strCol, maxDist, q, maxGramDf)
       .filter(col("id_l") < col("id_r"))
-    val cc = GraphOps.connectedComponents(
-      pairs.select(col("id_l").as("a"), col("id_r").as("b")))
+      .select(col("id_l").as("a"), col("id_r").as("b"))
+
+  /** Exact-equality match edges on column `c`: records sharing a
+    * non-null value connect through a STAR to the value's min-id member
+    * — connectivity-equivalent to the clique the equality relation
+    * implies, but LINEAR in group size (a million-record shared value
+    * would emit O(g²) clique edges; connected components only needs a
+    * spanning star). One map-side-combined min per value + one hash
+    * join back. */
+  private def exactStarEdges(records: DataFrame, idCol: String,
+                             c: String): DataFrame = {
+    val m = records.filter(col(c).isNotNull)
+      .groupBy(col(c)).agg(min(col(idCol)).as("a"))
+    records.filter(col(c).isNotNull).join(m, Seq(c))
+      .filter(col(idCol) =!= col("a"))
+      .select(col("a"), col(idCol).as("b"))
+  }
+
+  private def labelFromEdges(records: DataFrame, idCol: String,
+                             edges: DataFrame): DataFrame = {
+    val cc = GraphOps.connectedComponents(edges)
     records.select(col(idCol))
       .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("component"), col(idCol)).as("entity_id"))
+  }
+
+  // ---- incremental ER store ---------------------------------------------------
+
+  private def exists(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Admit a batch into a persistent ER store — the incremental-corpus
+    * treatment the dedup family's digest/band stores give exact and
+    * near dedup ([[Dedup.freshAgainstStore]]), applied to entity
+    * resolution: NEW records join existing clusters without recomputing
+    * the corpus. The store keeps the admitted records' blocking columns
+    * (`<dir>/records`: idCol, strCol) and the verified match edges
+    * (`<dir>/edges`: a, b).
+    *
+    * Per batch the expensive work is ONE blocked fuzzy join of the
+    * batch against (store ∪ batch) — every pair not involving a batch
+    * member was found when its younger end was admitted, so the edge
+    * set after n batches equals the full self-join's exactly (the
+    * full-vs-incremental gate row pins this). Ids must be unique across
+    * all batches; re-admitted ids are dropped (idempotent replays).
+    *
+    * Write order is edges THEN records: a crash between them re-derives
+    * the batch's edges on retry (the batch ids are still unknown), and
+    * duplicate edge rows from such a retry are harmless — the CC kernel
+    * reads edges through a distinct. */
+  def erAdmit(batch: DataFrame, storeDir: String, idCol: String,
+              strCol: String, maxDist: Int = 1, q: Int = 3,
+              maxGramDf: Int = 256): Unit = {
+    val spark = batch.sparkSession
+    val recPath = s"$storeDir/records"
+    val edgePath = s"$storeDir/edges"
+    val b = batch.select(col(idCol), col(strCol))
+    val known =
+      if (exists(spark, recPath)) spark.read.parquet(recPath)
+      else b.limit(0)
+    val fresh = b.join(known.select(idCol), Seq(idCol), "left_anti")
+      .localCheckpoint() // one blocked join + two writes read it; and the
+                         // edge write must not re-plan through a store
+                         // listing that the record write then changes
+    val all = known.unionByName(fresh)
+    join(fresh, all, idCol, strCol, maxDist, q, maxGramDf)
+      .filter(col("id_l") =!= col("id_r"))
+      .select(least(col("id_l"), col("id_r")).as("a"),
+        greatest(col("id_l"), col("id_r")).as("b"))
+      .distinct()
+      .write.mode("append").parquet(edgePath)
+    fresh.write.mode("append").parquet(recPath)
+    // both consumers are done — release the checkpoint blocks now
+    org.apache.spark.sql.GraftBridge.freeCheckpoint(fresh)
+  }
+
+  /** Entity labels for every record admitted to `storeDir`: connected
+    * components over the STORED edge set (orders of magnitude smaller
+    * than the corpus — the O(blocked-join) work was paid incrementally
+    * at admit time), min-id labels, unmatched records keep their own
+    * id. Output: (`idCol`, entity_id), one row per admitted record. */
+  def erLabels(spark: org.apache.spark.sql.SparkSession, storeDir: String,
+               idCol: String): DataFrame = {
+    val recs = spark.read.parquet(s"$storeDir/records")
+    val edgePath = s"$storeDir/edges"
+    if (!exists(spark, edgePath))
+      return recs.select(col(idCol), col(idCol).as("entity_id"))
+    labelFromEdges(recs, idCol, spark.read.parquet(edgePath))
   }
 }

@@ -99,6 +99,53 @@ class FuzzyJoinSpec extends SparkTestBase {
       5L -> 5L, 6L -> 5L))
   }
 
+  test("entityClustersMulti: an exact key merges ACROSS fuzzy clusters, " +
+    "null keys match nothing, string ids ride the CC kernel") {
+    import spark.implicits._
+    val recs = Seq(
+      // two fuzzy clusters far apart in name space...
+      ("r1", "kitten", Some("k1")), ("r2", "sitten", None),
+      ("r5", "zzzzzz", Some("k1")), ("r6", "zzzzzy", None),
+      // ...nulls never merge
+      ("r8", "aaaa", None), ("r9", "bbbb", None))
+      .toDF("id", "str", "xk")
+    val multi = FuzzyJoin.entityClustersMulti(recs, "id", "str",
+        exactCols = Seq("xk"), maxDist = 1, q = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // the shared k1 fuses {r1,r2} with {r5,r6}; min id r1 labels all four
+    assert(multi === Map("r1" -> "r1", "r2" -> "r1", "r5" -> "r1",
+      "r6" -> "r1", "r8" -> "r8", "r9" -> "r9"))
+    // without the exact pass the same records stay two clusters
+    val fuzzyOnly = FuzzyJoin.entityClusters(recs, "id", "str", maxDist = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fuzzyOnly("r5") == "r5" && fuzzyOnly("r6") == "r5")
+  }
+
+  test("incremental ER store: batch-wise admits label exactly like the " +
+    "one-shot run; re-admitting a batch is a no-op") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft_er")
+      .toString + "/s"
+    val all = Seq((1L, "kitten"), (2L, "sitten"), (3L, "sittin"),
+      (4L, "xyz"), (5L, "mitten"))
+      .toDF("id", "str")
+    val b1 = all.filter(col("id") <= 2)
+    val b2 = all.filter(col("id") > 2)
+    FuzzyJoin.erAdmit(b1, store, "id", "str", maxDist = 1, q = 3)
+    FuzzyJoin.erAdmit(b2, store, "id", "str", maxDist = 1, q = 3)
+    def labels = FuzzyJoin.erLabels(spark, store, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oneShot = FuzzyJoin.entityClusters(all, "id", "str", maxDist = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === oneShot)
+    // cross-batch edge proof: sittin (b2) reaches kitten (b1) via sitten
+    assert(labels(3L) == 1L && labels(5L) == 1L)
+    // idempotent replay: known ids drop, store content unchanged
+    FuzzyJoin.erAdmit(b2, store, "id", "str", maxDist = 1, q = 3)
+    assert(labels === oneShot)
+    assert(spark.read.parquet(s"$store/records").count() == 5L)
+  }
+
   test("plan: candidate generation is equi-joins, never a cross join") {
     val plan = FuzzyJoin.join(df("l"), df("r"), "id", "str", maxDist = 1)
       .queryExecution.executedPlan.toString
