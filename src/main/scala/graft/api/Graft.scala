@@ -253,7 +253,8 @@ object Graft {
     // link claims become authoritative for join-link pruning; cached by
     // the members' content fingerprints like the per-endpoint shapes
     val links = graft.mapping.EndpointCatalogGen.crossLinksCached(
-      endpoints.zip(probes), fpProbes.map(_._1))
+      endpoints.zip(probes), fpProbes.map(_._1),
+      ttlMs = opts.probeCacheTtlMs)
     new Graft(graft.mapping.Catalog(molecules.toList, links), t => loaders(t)(),
       // a federation never ships the WHOLE query (stars span endpoints by
       // construction), but connected stars exclusive to ONE member ship as

@@ -68,15 +68,22 @@ object EndpointCatalogGen {
       shipWholeQuery: Boolean = false,
       /** Dispatch policy ([[ShipPolicy]]); `shipWholeQuery = true`
         * overrides this to Always. */
-      shipPolicy: ShipPolicy = ShipPolicy.Never) {
+      shipPolicy: ShipPolicy = ShipPolicy.Never,
+      /** Upper bound on how long [[probeCached]] / [[crossLinksCached]]
+        * may reuse a cached expensive pass, regardless of fingerprint
+        * hits — the staleness backstop for long-running processes
+        * against content changes the bounded value sample cannot see.
+        * Default: unbounded (deploy-time probing semantics). */
+      probeCacheTtlMs: Long = Long.MaxValue) {
     /** The policy dispatch actually runs under. */
     def effectivePolicy: ShipPolicy =
       if (shipWholeQuery) ShipPolicy.Always else shipPolicy
-    /** Probe-relevant view: the ship policy and the scan-concurrency cap
-      * shape dispatch, not discovery — shape caches must hit across them. */
+    /** Probe-relevant view: the ship policy, the scan-concurrency cap and
+      * the cache-staleness bound shape dispatch/lookup policy, not
+      * discovery — shape caches must hit across them. */
     private[mapping] def probeKey: EndpointOptions =
       copy(shipWholeQuery = false, shipPolicy = ShipPolicy.Never,
-        maxPartitions = 32)
+        maxPartitions = 32, probeCacheTtlMs = Long.MaxValue)
   }
 
   /** A probed endpoint: the catalog plus one lazy loader per concept table
@@ -153,7 +160,8 @@ object EndpointCatalogGen {
   private[graft] def sniffTypeKind(endpoint: String, t: String,
                             p: String): (DataType, Boolean) = {
     val terms = SparqlHttp.sniffTerms(endpoint,
-      s"SELECT ?v WHERE { ?s a <$t> . ?s <$p> ?v } LIMIT $SniffSample", "v")
+      s"SELECT ?v WHERE { ?s a ${SparqlHttp.angled(t)} . " +
+        s"?s ${SparqlHttp.angled(p)} ?v } LIMIT $SniffSample", "v")
     val isUri = terms.exists(_._1 == "uri")
     def mapped(dt: String): DataType =
       if (dt.endsWith("#integer") || dt.endsWith("#int") ||
@@ -183,28 +191,41 @@ object EndpointCatalogGen {
     * duplicate rows at page boundaries (the reference never pages on a
     * partial order either: it walks offsets until a short page). */
   private[graft] def fetchQuery(t: String, cols: List[(String, String)]): String =
-    s"SELECT ?s ${cols.map("?" + _._2).mkString(" ")} WHERE { ?s a <$t> . " +
-      cols.map { case (p, c) => s"OPTIONAL { ?s <$p> ?$c } " }.mkString +
+    s"SELECT ?s ${cols.map("?" + _._2).mkString(" ")} WHERE { ?s a " +
+      s"${SparqlHttp.angled(t)} . " +
+      cols.map { case (p, c) =>
+        s"OPTIONAL { ?s ${SparqlHttp.angled(p)} ?$c } " }.mkString +
       s"} ORDER BY ?s ${cols.map("?" + _._2).mkString(" ")}".stripTrailing()
 
-  /** The cheap first pass of discovery — concepts, their predicate lists
-    * and cardinalities (1 + 2·|concepts| queries). It is both the input
-    * to the expensive pass ([[shapeOf]]: datatype sniffs + link probes,
-    * |preds| + |uri-preds|·|concepts| more queries) and the CONTENT
-    * FINGERPRINT of the endpoint: two endpoints with identical skeletons
-    * serve the same catalog structure, so a probed [[Shape]] can be reused
-    * across sessions/ports without re-paying the expensive pass — the
-    * in-process twin of [[CatalogCache]]'s sidecar split (the reference
-    * equally splits `create_rdfmts.py` deploy-time probing from query-time
-    * catalog loads). */
+  /** The cheap first pass of discovery — concepts, their predicate lists,
+    * cardinalities AND a per-concept VALUE sample (1 + 3·|concepts|
+    * queries). It is both the input to the expensive pass ([[shapeOf]]:
+    * datatype sniffs + link probes, |preds| + |uri-preds|·|concepts| more
+    * queries) and the CONTENT FINGERPRINT of the endpoint: two endpoints
+    * with identical skeletons serve the same catalog, so a probed
+    * [[Shape]] can be reused across sessions/ports without re-paying the
+    * expensive pass — the in-process twin of [[CatalogCache]]'s sidecar
+    * split (the reference equally splits `create_rdfmts.py` deploy-time
+    * probing from query-time catalog loads).
+    *
+    * The sample (the first 32 (s,p,o) triples per concept in total
+    * order) makes the fingerprint VALUE-sensitive, not just structural:
+    * an endpoint whose content changed in place — same concepts,
+    * predicates and cardinalities, different values — must not reuse
+    * stale sniffed datatypes or authoritative link ranges (which drive
+    * Decomposer pruning and provably-empty throws). A deeper change that
+    * preserves cardinality AND the sample is still invisible; the
+    * `probeCacheTtlMs` bound and [[invalidateProbeCaches]] cover
+    * long-running processes against that residue. */
   private final case class Skeleton(concepts: List[String],
                                     preds: Map[String, List[String]],
-                                    cards: Map[String, Long]) {
+                                    cards: Map[String, Long],
+                                    samples: Map[String, String]) {
     def fingerprint: String = {
       val md = java.security.MessageDigest.getInstance("MD5")
       concepts.foreach { t =>
-        md.update(s"$t=${cards(t)}:${preds(t).mkString(",")};"
-          .getBytes("UTF-8"))
+        md.update((s"$t=${cards(t)}:${preds(t).mkString(",")}" +
+          s":${samples.getOrElse(t, "")};").getBytes("UTF-8"))
       }
       md.digest().map("%02x".format(_)).mkString
     }
@@ -215,6 +236,9 @@ object EndpointCatalogGen {
   private val pSchema = StructType(Seq(StructField("p", StringType),
     StructField("label", StringType)))
   private val cSchema = StructType(Seq(StructField("count", LongType)))
+
+  private val sampleSchema = StructType(Seq(StructField("s", StringType),
+    StructField("p", StringType), StructField("o", StringType)))
 
   private def skeletonOf(endpoint: String): Skeleton = {
     val concepts = SparqlHttp.select(endpoint, D.sparqlTypedConcepts, tSchema)
@@ -228,7 +252,19 @@ object EndpointCatalogGen {
       t -> SparqlHttp.select(endpoint, D.sparqlCardinality(Some(t)), cSchema)
         .headOption.map(_.getLong(0)).getOrElse(0L)
     }.toMap
-    Skeleton(concepts, preds, cards)
+    // value evidence (see Skeleton's fingerprint contract): one bounded
+    // totally-ordered triple sample per concept, digested
+    val samples = concepts.map { t =>
+      val rows = SparqlHttp.select(endpoint,
+        s"SELECT ?s ?p ?o WHERE { ?s a ${SparqlHttp.angled(t)} . " +
+          "?s ?p ?o } ORDER BY ?s ?p ?o LIMIT 32", sampleSchema)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.foreach(r => md.update(
+        s"${r.getString(0)}|${r.getString(1)}|${r.getString(2)};"
+          .getBytes("UTF-8")))
+      t -> md.digest().map("%02x".format(_)).mkString
+    }.toMap
+    Skeleton(concepts, preds, cards, samples)
   }
 
   /** Endpoint-free probe result: everything [[probe]] discovers except the
@@ -298,7 +334,8 @@ object EndpointCatalogGen {
     val collisions = sk.concepts.flatMap { t =>
       val n = sk.cards(t)
       val d = SparqlHttp.select(endpoint,
-        s"SELECT (COUNT(DISTINCT ?s) AS ?count) WHERE { ?s a <$t> }", cSchema)
+        "SELECT (COUNT(DISTINCT ?s) AS ?count) WHERE { ?s a " +
+          s"${SparqlHttp.angled(t)} }", cSchema)
         .headOption.map(_.getLong(0)).getOrElse(n)
       Option.when(n > d)(t -> (n, d))
     }.toMap
@@ -341,24 +378,43 @@ object EndpointCatalogGen {
     bind(shapeOf(endpoint, sk, opts), endpoint, opts)
   }
 
-  private val shapeCache =
-    scala.collection.concurrent.TrieMap[(String, EndpointOptions), Shape]()
+  private val shapeCache = scala.collection.concurrent
+    .TrieMap[(String, EndpointOptions), (Shape, Long)]()
+
+  /** Drop every cached probe shape and federation cross-link map — the
+    * explicit invalidation hook for long-running processes (servers)
+    * that must re-probe on demand regardless of fingerprints or TTLs. */
+  def invalidateProbeCaches(): Unit = {
+    shapeCache.clear()
+    crossLinksCache.clear()
+  }
 
   /** [[probe]] behind a process-level cache keyed by the endpoint's CONTENT
-    * fingerprint (concepts + predicate lists + cardinalities — the
-    * [[Skeleton]], 1 + 2·|concepts| queries): a second probe of an
-    * identical-content endpoint (same data behind a new URL/port, or a
-    * fresh session against an unchanged store) pays only the skeleton
-    * queries and reuses the sniff/link work, rebound to the new URL. Any
-    * content change — a concept, predicate, or cardinality — changes the
-    * fingerprint and forces a full re-probe. Returns the fingerprint with
-    * the catalog so federations can cache their cross-endpoint link probes
-    * by member fingerprints ([[crossLinksCached]]). */
+    * fingerprint (concepts + predicate lists + cardinalities + per-concept
+    * value samples — the [[Skeleton]], 1 + 3·|concepts| queries): a second
+    * probe of an identical-content endpoint (same data behind a new
+    * URL/port, or a fresh session against an unchanged store) pays only
+    * the skeleton queries and reuses the sniff/link work, rebound to the
+    * new URL. Any content change — a concept, predicate, cardinality, or
+    * the sampled values — changes the fingerprint and forces a full
+    * re-probe; `opts.probeCacheTtlMs` bounds how long a hit may ride a
+    * stale expensive pass regardless ([[invalidateProbeCaches]] is the
+    * manual override). Returns the fingerprint with the catalog so
+    * federations can cache their cross-endpoint link probes by member
+    * fingerprints ([[crossLinksCached]]). */
   def probeCached(endpoint: String, opts: EndpointOptions = EndpointOptions())
                  (implicit spark: SparkSession): (String, Probed) = {
     val sk = skeletonOf(endpoint)
     val fp = sk.fingerprint
-    val shape = shapeCache.getOrElseUpdate((fp, opts.probeKey), shapeOf(endpoint, sk, opts))
+    val key = (fp, opts.probeKey)
+    val now = System.currentTimeMillis()
+    val shape = shapeCache.get(key) match {
+      case Some((s, at)) if now - at <= opts.probeCacheTtlMs => s
+      case _ =>
+        val s = shapeOf(endpoint, sk, opts)
+        shapeCache(key) = (s, now)
+        s
+    }
     (fp, bind(shape, endpoint, opts))
   }
 
@@ -388,7 +444,8 @@ object EndpointCatalogGen {
     def objectPages(ep: String, t: String, p: String): Iterator[Seq[String]] =
       Iterator.from(0).map { page =>
         SparqlHttp.select(ep,
-          s"SELECT DISTINCT ?o WHERE { ?s a <$t> . ?s <$p> ?o . " +
+          s"SELECT DISTINCT ?o WHERE { ?s a ${SparqlHttp.angled(t)} . " +
+            s"?s ${SparqlHttp.angled(p)} ?o . " +
             s"FILTER (isIRI(?o)) } ORDER BY ?o LIMIT $pageSize " +
             s"OFFSET ${page.toLong * pageSize}", oSchema)
           .map(_.getString(0))
@@ -400,27 +457,44 @@ object EndpointCatalogGen {
       cand <- pj.catalog.molecules.map(_.rdfType).distinct.sorted
       if !merged.getOrElse((t, p), Set.empty).contains(cand)
     } {
-      val hit = objectPages(epI, t, p).exists(_.grouped(batch).exists { os =>
-        SparqlHttp.select(epJ,
-          s"SELECT (COUNT(?s) AS ?count) WHERE { ?s a <$cand> . " +
-            s"FILTER (?s IN (${os.map(o => s"<$o>").mkString(", ")})) }",
-          cSchema).headOption.exists(_.getLong(0) > 0L)
-      })
+      // injection guard: the object IRIs are DATA from endpoint i spliced
+      // into a query sent to endpoint j — a crafted 'IRI' carrying '>'
+      // or whitespace could inject SPARQL at the peer. Unsafe values are
+      // SKIPPED (they cannot be instances at j anyway: no legal IRI
+      // carries those characters), never spliced
+      val hit = objectPages(epI, t, p).exists(
+        _.filter(SparqlHttp.safeIri).grouped(batch).exists { os =>
+          os.nonEmpty && SparqlHttp.select(epJ,
+            s"SELECT (COUNT(?s) AS ?count) WHERE { ?s a " +
+              s"${SparqlHttp.angled(cand)} . " +
+              s"FILTER (?s IN (${os.map(o => s"<$o>").mkString(", ")})) }",
+            cSchema).headOption.exists(_.getLong(0) > 0L)
+        })
       if (hit) merged((t, p)) = merged((t, p)) + cand
     }
     merged.view.mapValues(_.toList.sorted).toMap
   }
 
   private val crossLinksCache = scala.collection.concurrent.TrieMap[
-    Seq[String], Map[(String, String), List[String]]]()
+    Seq[String], (Map[(String, String), List[String]], Long)]()
 
   /** [[crossLinks]] behind a cache keyed by the SORTED member fingerprints
     * (from [[probeCached]]): link keys are (concept, predicate) pairs, so
     * the merged map is independent of member order and URLs — a federation
-    * of identical-content endpoints re-probes nothing. */
+    * of identical-content endpoints re-probes nothing. `ttlMs` bounds the
+    * reuse window like the shape cache's. */
   def crossLinksCached(probes: Seq[(String, Probed)], fps: Seq[String],
-                       batch: Int = 100, pageSize: Int = 10000)
-      : Map[(String, String), List[String]] =
-    crossLinksCache.getOrElseUpdate(fps.sorted,
-      crossLinks(probes, batch, pageSize))
+                       batch: Int = 100, pageSize: Int = 10000,
+                       ttlMs: Long = Long.MaxValue)
+      : Map[(String, String), List[String]] = {
+    val key = fps.sorted
+    val now = System.currentTimeMillis()
+    crossLinksCache.get(key) match {
+      case Some((m, at)) if now - at <= ttlMs => m
+      case _ =>
+        val m = crossLinks(probes, batch, pageSize)
+        crossLinksCache(key) = (m, now)
+        m
+    }
+  }
 }

@@ -157,8 +157,13 @@ object SparqlEndpointSource {
     val kept = cols.filter { case (_, c) =>
       required.contains(c) || filterCols.contains(c)
     }
-    s"SELECT ${vars.map("?" + _).mkString(" ")} WHERE { ?s a <$tpe> . " +
-      kept.map { case (p, c) => s"OPTIONAL { ?s <$p> ?$c } " }.mkString +
+    // injection guard: tpe/preds are catalog-probed IRIs — data from the
+    // endpoint spliced back into query text; a crafted 'IRI' carrying
+    // '>' or whitespace must fail loudly, never reach the wire
+    s"SELECT ${vars.map("?" + _).mkString(" ")} WHERE { ?s a " +
+      s"${SparqlHttp.angled(tpe)} . " +
+      kept.map { case (p, c) =>
+        s"OPTIONAL { ?s ${SparqlHttp.angled(p)} ?$c } " }.mkString +
       filters.map(f => s"FILTER ($f) ").mkString +
       s"} ORDER BY ${vars.map("?" + _).mkString(" ")}"
   }
@@ -301,8 +306,10 @@ private[sources] class SparqlScan(
         val kept = cols.filter { case (_, c) =>
           required.fieldNames.contains(c) || filterCols.contains(c) ||
             runtimeFilterCols.contains(c) }
-        val countQ = s"SELECT (COUNT(*) AS ?count) WHERE { ?s a <$tpe> . " +
-          kept.map { case (p, c) => s"OPTIONAL { ?s <$p> ?$c } " }.mkString +
+        val countQ = "SELECT (COUNT(*) AS ?count) WHERE { ?s a " +
+          s"${SparqlHttp.angled(tpe)} . " +
+          kept.map { case (p, c) =>
+            s"OPTIONAL { ?s ${SparqlHttp.angled(p)} ?$c } " }.mkString +
           allFilters.map(f => s"FILTER ($f) ").mkString + "}"
         SparqlHttp.select(endpoint, countQ, cSchema)
           .headOption.map(_.getLong(0)).getOrElse(0L)

@@ -128,18 +128,65 @@ object SparqlHttp {
                 varName: String): Option[(String, Option[String])] =
     sniffTerms(endpoint, query, varName).headOption
 
-  private def cast(lex: String, dt: DataType): Any = dt match {
-    case StringType    => lex
-    case IntegerType   => lex.toInt
-    case LongType      => lex.toLong
-    case DoubleType    => lex.toDouble
-    case FloatType     => lex.toFloat
-    case BooleanType   => lex.toBoolean
-    case DateType      => java.sql.Date.valueOf(lex)
-    case TimestampType =>
-      java.sql.Timestamp.valueOf(lex.replace("T", " ").stripSuffix("Z"))
-    case _: DecimalType => new java.math.BigDecimal(lex)
-    case other => throw new IllegalArgumentException(
-      s"no lexical cast to $other for SPARQL result bindings")
+  private val castWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Lexical → Spark value under the declared schema type. DEFENSIVE: the
+    * schema types come from a LIMIT-bounded instance sample
+    * ([[graft.mapping.EndpointCatalogGen.sniffTypeKind]]), and a sample
+    * can never prove type homogeneity — a predicate whose sampled values
+    * were all numeric may still carry other lexical forms deeper in the
+    * data. An unparseable lexical therefore surfaces as NULL (with one
+    * process-level warning), never as an executor-task exception that
+    * fails the whole query at fetch time. */
+  private def cast(lex: String, dt: DataType): Any = {
+    def parse(): Any = dt match {
+      case StringType    => lex
+      case IntegerType   => lex.toInt
+      case LongType      => lex.toLong
+      case DoubleType    => lex.toDouble
+      case FloatType     => lex.toFloat
+      case BooleanType   => lex.toBoolean
+      case DateType      => java.sql.Date.valueOf(lex)
+      case TimestampType =>
+        java.sql.Timestamp.valueOf(lex.replace("T", " ").stripSuffix("Z"))
+      case _: DecimalType => new java.math.BigDecimal(lex)
+      case other => throw new UnsupportedOperationException(
+        s"no lexical cast to $other for SPARQL result bindings")
+    }
+    try parse()
+    catch {
+      // an UNSUPPORTED schema type stays loud (UnsupportedOperation
+      // above); only a lexical that fails to PARSE as a supported type
+      // nulls — the sample-typed schema is a heuristic, not a proof
+      case _: NumberFormatException | _: IllegalArgumentException =>
+        if (castWarned.compareAndSet(false, true))
+          System.err.println(s"[graft] SPARQL binding ${lex.take(80)}" +
+            s" does not parse as the sampled type $dt — returning NULL " +
+            "(sampled datatypes are a heuristic; further mismatches " +
+            "are nulled silently)")
+        null
+    }
+  }
+
+  /** Guard for IRIs SPLICED into query text inside angle brackets (probe
+    * queries, bound-join IN lists, cross-endpoint containment probes):
+    * an IRI is data from one endpoint embedded in a query sent to
+    * another, so a crafted value containing '>' or whitespace could
+    * inject arbitrary SPARQL at a federation peer. The IRI grammar
+    * (RFC 3987) excludes '<', '>', '"', backslash, whitespace and
+    * control chars — reject anything carrying them. */
+  def safeIri(iri: String): Boolean =
+    iri.nonEmpty && !iri.exists(c =>
+      c == '<' || c == '>' || c == '"' || c == '\\' || c <= ' ' ||
+        Character.isISOControl(c))
+
+  /** `<iri>` splice, throwing on injection-capable values — for
+    * CATALOG-derived IRIs (types, predicates) where a bad value means a
+    * corrupt or hostile catalog and must be loud. Data-derived object
+    * lists should instead FILTER on [[safeIri]] (skip, don't fail). */
+  def angled(iri: String): String = {
+    require(safeIri(iri),
+      s"IRI unsafe to splice into SPARQL (injection guard): ${iri.take(120)}")
+    s"<$iri>"
   }
 }

@@ -178,9 +178,10 @@ class Round14Spec extends SparkTestBase {
       val ep2 = s"http://127.0.0.1:$p2/sparql"
       val (fp2, probed2) = EndpointCatalogGen.probeCached(ep2)
       assert(fp2 == fp1)
-      // warm path = concept sweep + per-concept (predicates + cardinality):
-      // 1 + 2·3 = 7 requests, ZERO sniff/link/fetch probes
-      assert(srv2.queriesServed.get() == 7L,
+      // warm path = concept sweep + per-concept (predicates + cardinality
+      // + the r15 value sample that makes the fingerprint content-
+      // sensitive): 1 + 3·3 = 10 requests, ZERO sniff/link/fetch probes
+      assert(srv2.queriesServed.get() == 10L,
         s"warm probe should cost exactly the skeleton, served ${srv2.queriesServed.get()}")
       assert(probed2.catalog.molecules.map(_.copy(source = "")) ==
         probed1.catalog.molecules.map(_.copy(source = "")))
@@ -206,11 +207,12 @@ class Round14Spec extends SparkTestBase {
     try {
       val g = Graft.overSparqlEndpoints(Seq(
         s"http://127.0.0.1:$pa2/sparql", s"http://127.0.0.1:$pb2/sparql"))
-      // warm: per endpoint only its skeleton (1 concept → 3; 2 concepts → 5),
-      // zero cross-endpoint containment probes
-      assert(a2.queriesServed.get() == 3L,
+      // warm: per endpoint only its skeleton incl. the r15 value sample
+      // (1 concept → 4; 2 concepts → 7), zero cross-endpoint containment
+      // probes
+      assert(a2.queriesServed.get() == 4L,
         s"endpoint A warm probe, served ${a2.queriesServed.get()}")
-      assert(b2.queriesServed.get() == 5L,
+      assert(b2.queriesServed.get() == 7L,
         s"endpoint B warm probe, served ${b2.queriesServed.get()}")
       assert(g.catalog.links(("urn:g:Customer", "urn:g:nation")) ==
         List("urn:g:Nation"))

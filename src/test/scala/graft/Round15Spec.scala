@@ -96,6 +96,84 @@ class Round15Spec extends SparkTestBase {
     assert(!path.known && !path.ship)
   }
 
+  // ---- ADVICE fixes: injection guard, defensive cast, value fingerprint -----
+
+  test("IRI splice guard: injection-capable 'IRIs' are rejected (angled) " +
+    "or filtered (safeIri); legal IRIs pass") {
+    import graft.sources.SparqlHttp
+    assert(SparqlHttp.safeIri("urn:g:cust:1"))
+    assert(SparqlHttp.safeIri("http://ex.org/a#b"))
+    assert(!SparqlHttp.safeIri("urn:x> . ?s ?p ?o . FILTER(<urn:y"))
+    assert(!SparqlHttp.safeIri("urn:with space"))
+    assert(!SparqlHttp.safeIri("urn:quote\"d"))
+    assert(!SparqlHttp.safeIri("urn:ctrl"))
+    assert(!SparqlHttp.safeIri(""))
+    assert(SparqlHttp.angled("urn:g:Customer") == "<urn:g:Customer>")
+    intercept[IllegalArgumentException] {
+      SparqlHttp.angled("urn:x> } UNION { ?s ?p ?o")
+    }
+  }
+
+  test("defensive lexical cast: a binding that fails the sampled type " +
+    "nulls instead of failing the executor task") {
+    import graft.sources.SparqlHttp
+    import org.apache.spark.sql.types._
+    val srj =
+      """{"head":{"vars":["v"]},"results":{"bindings":[
+        |{"v":{"type":"literal","value":"42"}},
+        |{"v":{"type":"literal","value":"not-a-number"}}]}}""".stripMargin
+    val rows = SparqlHttp.parseResults(srj,
+      StructType(Seq(StructField("v", LongType))))
+    assert(rows.map(r => Option(r.get(0))) === Seq(Some(42L), None))
+  }
+
+  test("probe fingerprint is VALUE-sensitive: same structure and " +
+    "cardinalities with different values re-probes; identical content " +
+    "shares the cached shape") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import org.apache.spark.sql.functions.{col, upper}
+    val custCat = Catalog(
+      TpchCatalog.catalog.molecules.filter(_.rdfType == "urn:g:Customer"))
+    def loaderOf(mutate: Boolean): String => org.apache.spark.sql.DataFrame =
+      t => {
+        val df = spark.read.parquet(s"$sfDir/$t.parquet")
+        if (mutate) df.withColumn("c_name", upper(col("c_name"))) else df
+      }
+    val srvA = new GraftServer(new Graft(custCat, loaderOf(false)))
+    val srvB = new GraftServer(new Graft(custCat, loaderOf(false)))
+    val srvC = new GraftServer(new Graft(custCat, loaderOf(true)))
+    val (pa, pb, pc) = (srvA.start(), srvB.start(), srvC.start())
+    try {
+      val (fpA, _) = EndpointCatalogGen.probeCached(
+        s"http://127.0.0.1:$pa/sparql")
+      val (fpB, _) = EndpointCatalogGen.probeCached(
+        s"http://127.0.0.1:$pb/sparql")
+      val (fpC, _) = EndpointCatalogGen.probeCached(
+        s"http://127.0.0.1:$pc/sparql")
+      // same content behind a different port: same fingerprint (cache hit)
+      assert(fpA == fpB)
+      // same concepts, predicates AND cardinalities, different VALUES:
+      // the sample digest must force a distinct fingerprint — stale
+      // sniffed datatypes / link ranges are never silently reused
+      assert(fpA != fpC)
+      // the TTL bound forces a fresh expensive pass even on a hit
+      val q0 = srvA.queriesServed.get()
+      EndpointCatalogGen.probeCached(s"http://127.0.0.1:$pa/sparql")
+      val cachedCost = srvA.queriesServed.get() - q0
+      val q1 = srvA.queriesServed.get()
+      EndpointCatalogGen.probeCached(s"http://127.0.0.1:$pa/sparql",
+        EndpointCatalogGen.EndpointOptions(probeCacheTtlMs = 0L))
+      val expiredCost = srvA.queriesServed.get() - q1
+      assert(expiredCost > cachedCost,
+        s"ttl=0 should re-pay the expensive pass ($expiredCost vs $cachedCost)")
+      // the manual hook clears everything
+      EndpointCatalogGen.invalidateProbeCaches()
+      val q2 = srvA.queriesServed.get()
+      EndpointCatalogGen.probeCached(s"http://127.0.0.1:$pa/sparql")
+      assert(srvA.queriesServed.get() - q2 > cachedCost)
+    } finally { srvA.stop(); srvB.stop(); srvC.stop() }
+  }
+
   // ---- end-to-end: the route FLIPS with the query shape over a live wire ----
 
   test("auto dispatch over a probed endpoint: the aggregate ships, the " +
