@@ -1194,6 +1194,37 @@ object SparkEntry {
         maxDist = 1, q = 4, maxGramDf = 1 << 20)
       _root_.graft.pipeline.FuzzyJoin.erLabels(s, store, "id").orderBy("id")
     }),
+    // token-weighted cosine join (integer-exact: idf-like integer
+    // weights over the union corpus, dot²·10⁶ ≥ τ²·‖l‖²·‖r‖² — no sqrt,
+    // no FP): names share source/lang/e-token, right side perturbs lang
+    // on odd ids and swaps the g-token modulus — oracle recomputes the
+    // whole weighting + threshold brute-force over the token join
+    "q_cosine_join" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val l = docs.select(col("doc_id").as("id"),
+        concat_ws(" ", col("source"), col("lang"),
+          concat(lit("e"), (col("doc_id") % 211).cast("string")),
+          concat(lit("g"), (col("doc_id") % 101).cast("string"))).as("name"))
+      val r = docs.select((col("doc_id") + 10000000L).as("id"),
+        concat_ws(" ", col("source"),
+          when(col("doc_id") % 2 === 0, col("lang")).otherwise(lit("xx")),
+          concat(lit("e"), (col("doc_id") % 211).cast("string")),
+          concat(lit("g"), (col("doc_id") % 103).cast("string"))).as("name"))
+      _root_.graft.pipeline.FuzzyJoin
+        .cosineJoin(l, r, "id", "name", tauMilli = 700)
+        .orderBy("id_l", "id_r")
+    }),
+    // golden-record survivorship (the post-clustering MDM step): per
+    // synthetic entity the most frequent non-null value per attribute,
+    // ties to the largest value — window-rank oracle
+    "q_golden_records" -> ((s, d) => {
+      val recs = T(s, d, "documents")
+        .select((col("doc_id") % 97).as("entity"), col("lang"),
+          col("source"))
+      _root_.graft.pipeline.FuzzyJoin
+        .goldenRecords(recs, "entity", Seq("lang", "source"))
+        .orderBy("entity")
+    }),
     // deterministic seeded training-order shuffle: md5(seed:id) keys +
     // hex-nibble shards; first 200 of the permutation (the full op never
     // sorts globally — writers partition by shard, sort within)
@@ -2668,6 +2699,61 @@ object SparkEntry {
         |  FROM reach GROUP BY x)
         |SELECT r.id, CAST(COALESCE(c.entity_id, r.id) AS BIGINT) AS entity_id
         |FROM recs r LEFT JOIN canon c USING (id) ORDER BY r.id""".stripMargin,
+    // the full integer cosine pipeline re-derived: tokenize, union df,
+    // capped integer idf weights, norms, token-join dot, HUGEINT test
+    "q_cosine_join" ->
+      """WITH l0 AS (SELECT doc_id AS id_l,
+        |    source || ' ' || lang || ' e' || CAST(doc_id % 211 AS VARCHAR)
+        |      || ' g' || CAST(doc_id % 101 AS VARCHAR) AS nm
+        |  FROM documents),
+        |r0 AS (SELECT doc_id + 10000000 AS id_r,
+        |    source || ' ' ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN lang ELSE 'xx' END) ||
+        |    ' e' || CAST(doc_id % 211 AS VARCHAR) ||
+        |    ' g' || CAST(doc_id % 103 AS VARCHAR) AS nm
+        |  FROM documents),
+        |lt AS (SELECT DISTINCT id_l, t FROM (SELECT id_l,
+        |    unnest(string_split_regex(lower(nm), '[^a-z0-9]+')) AS t
+        |  FROM l0) WHERE t <> ''),
+        |rt AS (SELECT DISTINCT id_r, t FROM (SELECT id_r,
+        |    unnest(string_split_regex(lower(nm), '[^a-z0-9]+')) AS t
+        |  FROM r0) WHERE t <> ''),
+        |u AS (SELECT id_l AS rid, 'l' AS sd, t FROM lt
+        |  UNION ALL SELECT id_r, 'r', t FROM rt),
+        |dfs AS (SELECT t, COUNT(*) AS df FROM u GROUP BY t),
+        |nn AS (SELECT COUNT(*) AS n FROM (SELECT DISTINCT sd, rid FROM u)),
+        |w AS (SELECT t, LEAST(1000000, (n * 1000) // df) AS w FROM dfs, nn),
+        |nl AS (SELECT id_l, SUM(w*w) AS norm_l FROM lt JOIN w USING (t)
+        |  GROUP BY 1),
+        |nr AS (SELECT id_r, SUM(w*w) AS norm_r FROM rt JOIN w USING (t)
+        |  GROUP BY 1),
+        |dots AS (SELECT id_l, id_r, SUM(w*w) AS dot
+        |  FROM lt JOIN rt USING (t) JOIN w USING (t) GROUP BY 1, 2)
+        |SELECT d.id_l, d.id_r, CAST(dot AS BIGINT) AS dot_w2,
+        |  CAST(norm_l AS BIGINT) AS norm_l, CAST(norm_r AS BIGINT) AS norm_r
+        |FROM dots d JOIN nl USING (id_l) JOIN nr USING (id_r)
+        |WHERE CAST(dot AS HUGEINT) * dot * 1000000 >=
+        |      CAST(700 AS HUGEINT) * 700 * norm_l * norm_r
+        |ORDER BY id_l, id_r""".stripMargin,
+    // survivorship: per attribute the modal non-null value, ties to the
+    // largest (deterministic on any engine)
+    "q_golden_records" ->
+      """WITH recs AS (SELECT doc_id % 97 AS entity, lang, source
+        |  FROM documents),
+        |lc AS (SELECT entity, lang, COUNT(*) AS n FROM recs
+        |  WHERE lang IS NOT NULL GROUP BY 1, 2),
+        |lw AS (SELECT entity, lang FROM (SELECT entity, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY entity
+        |      ORDER BY n DESC, lang DESC) AS rn FROM lc) WHERE rn = 1),
+        |sc AS (SELECT entity, source, COUNT(*) AS n FROM recs
+        |  WHERE source IS NOT NULL GROUP BY 1, 2),
+        |sw AS (SELECT entity, source FROM (SELECT entity, source,
+        |    ROW_NUMBER() OVER (PARTITION BY entity
+        |      ORDER BY n DESC, source DESC) AS rn FROM sc) WHERE rn = 1)
+        |SELECT e.entity, lw.lang, sw.source
+        |FROM (SELECT DISTINCT entity FROM recs) e
+        |LEFT JOIN lw USING (entity) LEFT JOIN sw USING (entity)
+        |ORDER BY e.entity""".stripMargin,
     // md5(seed:id) keys + hex-nibble shard arithmetic, first 200 in order
     "doc_seeded_shuffle" ->
       """WITH k AS (SELECT doc_id,

@@ -150,6 +150,104 @@ object FuzzyJoin {
         coalesce(col("component"), col(idCol)).as("entity_id"))
   }
 
+  /** Token-weighted COSINE similarity join — the token-based ER blocker
+    * that complements edit distance (word-order-insensitive, robust to
+    * token insertion/reorder: "acme corp ltd" ~ "ltd acme corp", which
+    * no edit-distance bound finds cheaply).
+    *
+    * EXACT INTEGER arithmetic end to end (the bit-reproducibility
+    * discipline of the perplexity/quantile/temperature family — FP
+    * cosine is only reproducible up to summation order):
+    *  - tokens: lowercase, split on non-alphanumeric runs, DISTINCT per
+    *    record (token-less records never pair);
+    *  - idf-like weight per token over the UNION corpus:
+    *    `w_t = min(10⁶, (N·1000) div df_t)` — integer division, weight
+    *    saturates at 10⁶ (tokens rarer than ~N/1000 are equally maximal
+    *    discriminators, and the cap is what keeps every product below
+    *    inside DECIMAL(38));
+    *  - `cosine(l,r) ≥ τ/1000` tests as
+    *    `dot² · 10⁶ ≥ τ² · ‖l‖² · ‖r‖²` with `dot = Σ_{t∈l∩r} w_t²` —
+    *    no square root, no division, every term integer.
+    *
+    * Blocking: candidate pairs share ≥1 token with `df ≤ maxTokenDf`
+    * (the gram/LSH df-cap contract); the VERIFY dot then sums over ALL
+    * shared tokens of each candidate, capped ones included, so the
+    * inequality is the true cosine test. With the cap lifted, recall is
+    * exact for any τ > 0 (a pair sharing no token has cosine 0).
+    * Output: (id_l, id_r, dot_w2, norm_l, norm_r) — all exact integers;
+    * derive `cos ≈ dot/√(nl·nr)` downstream if a float is wanted. */
+  def cosineJoin(left: DataFrame, right: DataFrame, idCol: String,
+                 strCol: String, tauMilli: Int = 800,
+                 maxTokenDf: Long = 1L << 20): DataFrame = {
+    require(tauMilli > 0 && tauMilli <= 1000,
+      s"tauMilli must be in (0, 1000], got $tauMilli")
+    def toks(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).as(id),
+        explode(array_distinct(
+          split(lower(col(strCol)), "[^a-z0-9]+"))).as("t"))
+        .filter(col("t") =!= "")
+    val lt = toks(left, "id_l")
+    val rt = toks(right, "id_r")
+    // df over the union corpus: lt/rt rows are distinct per (record,
+    // token) by construction, so df is a plain count per token
+    val u = lt.select(lit("l").as("sd"), col("id_l").as("rid"), col("t"))
+      .unionByName(
+        rt.select(lit("r").as("sd"), col("id_r").as("rid"), col("t")))
+    val dfs = u.groupBy("t").agg(count(lit(1)).as("df"))
+    val n = u.select("sd", "rid").distinct().agg(count(lit(1)).as("N"))
+    val w = dfs.crossJoin(broadcast(n)) // 1-row broadcast: scalar N
+      .select(col("t"), col("df"),
+        expr("least(1000000L, N * 1000L div df)").as("w"))
+    def norm(tk: DataFrame, id: String, out: String): DataFrame =
+      tk.join(w.select("t", "w"), Seq("t"))
+        .groupBy(col(id)).agg(sum(col("w") * col("w")).as(out))
+    val nl = norm(lt, "id_l", "norm_l")
+    val nr = norm(rt, "id_r", "norm_r")
+    val cand = lt.join(w.filter(col("df") <= maxTokenDf).select("t"),
+        Seq("t"))
+      .join(rt, Seq("t"))
+      .select("id_l", "id_r").distinct()
+    val dots = cand
+      .join(lt, Seq("id_l"))
+      .join(rt, Seq("id_r", "t"))
+      .join(w.select("t", "w"), Seq("t"))
+      .groupBy("id_l", "id_r").agg(sum(col("w") * col("w")).as("dot_w2"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    dots.join(nl, Seq("id_l")).join(nr, Seq("id_r"))
+      .filter(col("dot_w2").cast(dec) * col("dot_w2") * lit(1000000L) >=
+        lit(tauMilli.toLong * tauMilli).cast(dec) *
+          col("norm_l") * col("norm_r"))
+      .select(col("id_l"), col("id_r"), col("dot_w2"),
+        col("norm_l"), col("norm_r"))
+  }
+
+  /** Golden-record SURVIVORSHIP — the step after clustering in every
+    * MDM/ER pipeline: collapse each entity's records into one canonical
+    * record, per attribute the MOST FREQUENT non-null value (majority
+    * evidence), ties broken to the LARGEST value (any total order works;
+    * largest is one deterministic choice every engine agrees on — the
+    * integer-exactness discipline of the mixture/quantile family).
+    * Entities whose every value of an attribute is null keep null.
+    *
+    * Plan: per attribute one map-side-combined (entity, value) count +
+    * one max_by per entity — k attributes are k independent aggregates
+    * joined back on the entity key (each shuffles counts, never records;
+    * at cluster scale all k share the entity hash partitioning). Output:
+    * one row per entity (`entityCol` + `valueCols`). */
+  def goldenRecords(records: DataFrame, entityCol: String,
+                    valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "goldenRecords needs at least one attribute")
+    val perCol = valueCols.map { c =>
+      records.filter(col(c).isNotNull)
+        .groupBy(col(entityCol), col(c))
+        .agg(count(lit(1)).as("__n"))
+        .groupBy(col(entityCol))
+        .agg(max_by(col(c), struct(col("__n"), col(c))).as(c))
+    }
+    val base = records.select(col(entityCol)).distinct()
+    perCol.foldLeft(base)((acc, d) => acc.join(d, Seq(entityCol), "left"))
+  }
+
   // ---- incremental ER store ---------------------------------------------------
 
   private def exists(spark: org.apache.spark.sql.SparkSession,

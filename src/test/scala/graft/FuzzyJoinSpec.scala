@@ -146,6 +146,62 @@ class FuzzyJoinSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$store/records").count() == 5L)
   }
 
+  test("cosineJoin: hand-computed integer weights match exactly, the " +
+    "threshold is inclusive, disjoint token sets never pair") {
+    import spark.implicits._
+    val l = Seq((1L, "aa bb")).toDF("id", "name")
+    val r = Seq((2L, "aa cc"), (3L, "dd ee")).toDF("id", "name")
+    // N=3 records; df: aa=2,bb=1,cc=1,dd=1,ee=1; w: aa=3000/2=1500,
+    // rest=3000. norms: 1500²+3000² = 11_250_000 each for ids 1,2;
+    // dot(1,2) = 1500² = 2_250_000 → cos² = dot²/(nl·nr) = 0.04 ⇒
+    // cosine 0.2 exactly: τ=200 passes on the inclusive boundary
+    val at200 = FuzzyJoin.cosineJoin(l, r, "id", "name", tauMilli = 200)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4))).toList
+    assert(at200 === List((1L, 2L, 2250000L, 11250000L, 11250000L)))
+    // …and τ=201 excludes it; the disjoint (1,3) pair never appears
+    assert(FuzzyJoin.cosineJoin(l, r, "id", "name", tauMilli = 201)
+      .count() == 0L)
+  }
+
+  test("cosineJoin: word order and duplicate tokens are irrelevant " +
+    "(the property edit distance lacks); df-capped blocking is the " +
+    "declared contract and the verify dot stays exact") {
+    import spark.implicits._
+    val l = Seq((1L, "Acme Corp Ltd"), (4L, "zz qq")).toDF("id", "name")
+    val r = Seq((2L, "ltd acme ACME corp"), (5L, "zz pp")).toDF("id", "name")
+    val got = FuzzyJoin.cosineJoin(l, r, "id", "name", tauMilli = 999)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toList
+    assert(got === List((1L, 2L))) // identical token SETS: cosine = 1
+    // cap at df 1: every shared token (acme/corp/ltd df=2, zz df=2) is
+    // above the cap — declared drop; lifting the cap restores both pairs
+    assert(FuzzyJoin.cosineJoin(l, r, "id", "name", tauMilli = 100,
+      maxTokenDf = 1L).count() == 0L)
+    val lifted = FuzzyJoin.cosineJoin(l, r, "id", "name", tauMilli = 100)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(lifted.contains((1L, 2L)) && lifted.contains((4L, 5L)))
+  }
+
+  test("goldenRecords: majority value wins per attribute, ties break to " +
+    "the largest, nulls carry no vote, all-null attributes stay null") {
+    import spark.implicits._
+    val recs = Seq(
+      (10L, Some("en"), Some("a")), (10L, Some("en"), Some("b")),
+      (10L, Some("fr"), Some("b")),              // en wins 2-1; a/b tie -> b
+      (20L, None, Some("x")), (20L, None, Some("x")),
+      (20L, Some("de"), None),                   // de from its only vote
+      (30L, None, None))                         // all null: stays null
+      .toDF("entity", "lang", "source")
+    val got = FuzzyJoin.goldenRecords(recs, "entity", Seq("lang", "source"))
+      .orderBy("entity").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        Option(r.getString(2)))).toList
+    assert(got === List(
+      (10L, Some("en"), Some("b")),
+      (20L, Some("de"), Some("x")),
+      (30L, None, None)))
+  }
+
   test("plan: candidate generation is equi-joins, never a cross join") {
     val plan = FuzzyJoin.join(df("l"), df("r"), "id", "str", maxDist = 1)
       .queryExecution.executedPlan.toString
