@@ -1196,22 +1196,30 @@ object SparkEntry {
     }),
     // token-weighted cosine join (integer-exact: idf-like integer
     // weights over the union corpus, dot²·10⁶ ≥ τ²·‖l‖²·‖r‖² — no sqrt,
-    // no FP): names share source/lang/e-token, right side perturbs lang
-    // on odd ids and swaps the g-token modulus — oracle recomputes the
-    // whole weighting + threshold brute-force over the token join
+    // no FP). Fixture law (the q_fuzzy_join lesson, re-measured here):
+    // candidate volume is Σ_t df_l·df_r, so every fixture token rides a
+    // LARGE mod space (65521/32749/16381) that keeps df near-constant as
+    // the corpus grows — a fixed-vocabulary token (lang/source) has df ∝
+    // N and went quadratic at sf0.1g (26 s, measured before rebasing).
+    // Same-doc pairs share e+g always, h on 2 of 3 ids — τ=800 keeps the
+    // full sharers and drops the cos≈2/3 perturbed third
     "q_cosine_join" -> ((s, d) => {
       val docs = T(s, d, "documents")
       val l = docs.select(col("doc_id").as("id"),
-        concat_ws(" ", col("source"), col("lang"),
-          concat(lit("e"), (col("doc_id") % 211).cast("string")),
-          concat(lit("g"), (col("doc_id") % 101).cast("string"))).as("name"))
+        concat_ws(" ",
+          concat(lit("e"), (col("doc_id") % 65521).cast("string")),
+          concat(lit("g"), (col("doc_id") % 32749).cast("string")),
+          concat(lit("h"), (col("doc_id") % 16381).cast("string")))
+          .as("name"))
       val r = docs.select((col("doc_id") + 10000000L).as("id"),
-        concat_ws(" ", col("source"),
-          when(col("doc_id") % 2 === 0, col("lang")).otherwise(lit("xx")),
-          concat(lit("e"), (col("doc_id") % 211).cast("string")),
-          concat(lit("g"), (col("doc_id") % 103).cast("string"))).as("name"))
+        concat_ws(" ",
+          concat(lit("e"), (col("doc_id") % 65521).cast("string")),
+          concat(lit("g"), (col("doc_id") % 32749).cast("string")),
+          concat(lit("h"), ((col("doc_id") +
+            when(col("doc_id") % 3 === 0, 1L).otherwise(0L)) % 16381)
+            .cast("string"))).as("name"))
       _root_.graft.pipeline.FuzzyJoin
-        .cosineJoin(l, r, "id", "name", tauMilli = 700)
+        .cosineJoin(l, r, "id", "name", tauMilli = 800)
         .orderBy("id_l", "id_r")
     }),
     // golden-record survivorship (the post-clustering MDM step): per
@@ -2703,14 +2711,15 @@ object SparkEntry {
     // capped integer idf weights, norms, token-join dot, HUGEINT test
     "q_cosine_join" ->
       """WITH l0 AS (SELECT doc_id AS id_l,
-        |    source || ' ' || lang || ' e' || CAST(doc_id % 211 AS VARCHAR)
-        |      || ' g' || CAST(doc_id % 101 AS VARCHAR) AS nm
+        |    'e' || CAST(doc_id % 65521 AS VARCHAR) ||
+        |    ' g' || CAST(doc_id % 32749 AS VARCHAR) ||
+        |    ' h' || CAST(doc_id % 16381 AS VARCHAR) AS nm
         |  FROM documents),
         |r0 AS (SELECT doc_id + 10000000 AS id_r,
-        |    source || ' ' ||
-        |    (CASE WHEN doc_id % 2 = 0 THEN lang ELSE 'xx' END) ||
-        |    ' e' || CAST(doc_id % 211 AS VARCHAR) ||
-        |    ' g' || CAST(doc_id % 103 AS VARCHAR) AS nm
+        |    'e' || CAST(doc_id % 65521 AS VARCHAR) ||
+        |    ' g' || CAST(doc_id % 32749 AS VARCHAR) ||
+        |    ' h' || CAST((doc_id + CASE WHEN doc_id % 3 = 0
+        |      THEN 1 ELSE 0 END) % 16381 AS VARCHAR) AS nm
         |  FROM documents),
         |lt AS (SELECT DISTINCT id_l, t FROM (SELECT id_l,
         |    unnest(string_split_regex(lower(nm), '[^a-z0-9]+')) AS t
@@ -2733,7 +2742,7 @@ object SparkEntry {
         |  CAST(norm_l AS BIGINT) AS norm_l, CAST(norm_r AS BIGINT) AS norm_r
         |FROM dots d JOIN nl USING (id_l) JOIN nr USING (id_r)
         |WHERE CAST(dot AS HUGEINT) * dot * 1000000 >=
-        |      CAST(700 AS HUGEINT) * 700 * norm_l * norm_r
+        |      CAST(800 AS HUGEINT) * 800 * norm_l * norm_r
         |ORDER BY id_l, id_r""".stripMargin,
     // survivorship: per attribute the modal non-null value, ties to the
     // largest (deterministic on any engine)
