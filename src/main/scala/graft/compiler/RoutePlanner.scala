@@ -91,20 +91,39 @@ object RoutePlanner {
     }.foldLeft(0L)(sat)
   }
 
+  /** Bind-join modeling constants, mirroring the runtime machinery: the
+    * DSv2 scans accept runtime IN-filters up to 10k build keys
+    * ([[graft.sources.SparqlQuerySource]]/`SparqlEndpointSource`
+    * MaxBoundKeys), and a filtered scan is priced at `BindFanout` rows
+    * per build key (the FK-fanout allowance — a constant with the same
+    * job as the 10× constant discount: ranking, not prediction). */
+  private val BindKeyCap = 10000L
+  private val BindFanout = 4L
+
   /** (local scan-transfer sum, result-cardinality estimate) for a BGP:
     * stars sharing variables join FK-style (max side), variable-disjoint
-    * components multiply. */
+    * components multiply.
+    *
+    * The LOCAL side models the runtime bound join: within a connected
+    * component whose smallest star is selective (≤ [[BindKeyCap]] est.
+    * rows), every other member's scan is priced at
+    * `min(scan, smallest · BindFanout)` — the dynamic-pruning path
+    * delivers the build side's keys to the remote scans as SPARQL IN,
+    * so a selective build makes the whole component's transfer track
+    * the build, not the raw concept sizes. This is what makes
+    * "selective local build ⇒ stay local" a priced decision instead of
+    * a tie-break. */
   private def bgpEst(ts: List[TriplePattern], catalog: Catalog): (Long, Long) = {
     val stars =
       try Decomposer.decompose(ts, catalog)
       catch { case NonFatal(_) => return (Unknown, Unknown) }
     val ests = stars.map(st => st -> starScan(st))
     if (ests.exists(_._2 < 0)) return (Unknown, Unknown)
-    val local = ests.map(_._2).foldLeft(0L)(sat)
     // connected components over shared vars — same grouping the
     // exclusive-group dispatch uses
     val remaining = scala.collection.mutable.ListBuffer(ests: _*)
     var result = 1L
+    var local = 0L
     while (remaining.nonEmpty) {
       var comp = List(remaining.remove(0))
       var vars = comp.head._1.vars
@@ -118,7 +137,15 @@ object RoutePlanner {
           vars ++= e._1.vars
         }
       }
-      result = satMul(result, comp.map(_._2).max)
+      val cards = comp.map(_._2)
+      val smallest = cards.min
+      val compLocal =
+        if (comp.size >= 2 && smallest <= BindKeyCap)
+          cards.map(c => math.min(c, smallest * BindFanout))
+            .foldLeft(0L)(sat)
+        else cards.foldLeft(0L)(sat)
+      local = sat(local, compLocal)
+      result = satMul(result, cards.max)
     }
     (local, result)
   }

@@ -56,19 +56,38 @@ class Round15Spec extends SparkTestBase {
     assert(e.shippedRows == 1L && e.ship, e.describe)
   }
 
-  test("route: a selective-build FK join stays local (shipped moves the " +
-    "big side either way; the local bind join filters it)") {
-    // customer pinned by a bound object (card/10); orders dominate both
-    // routes -> shipping wins nothing, the tie routes local
+  test("route: a selective-build FK join stays local — the estimate " +
+    "models the runtime bound join, so local is a priced WIN, not a tie") {
+    // customer pinned by a bound object (card/10 = 150 keys): the bind
+    // join delivers those keys to the orders scan as SPARQL IN, so the
+    // local route prices at 150 + min(15000, 150·4) = 750 — far under
+    // the 15000 joined rows shipping would move
     val e = est("""PREFIX g: <urn:g:>
       |SELECT ?o ?tp WHERE {
       |  ?c a g:Customer ; g:name "x" ; g:nation ?nat .
       |  ?o a g:Order ; g:customer ?c ; g:totalprice ?tp .
       |}""".stripMargin)
     assert(e.known, e.describe)
-    assert(e.localRows == 150L + 15000L && e.shippedRows == 15000L,
-      e.describe)
+    assert(e.localRows == 750L && e.shippedRows == 15000L, e.describe)
     assert(!e.ship, e.describe)
+  }
+
+  test("route: the bind-join model even keeps a selective-build AGGREGATE " +
+    "local (group rows at the store still lose to 750 bound-join rows)") {
+    val e = est("""PREFIX g: <urn:g:>
+      |SELECT ?tp (COUNT(*) AS ?n) WHERE {
+      |  ?c a g:Customer ; g:name "x" ; g:nation ?nat .
+      |  ?o a g:Order ; g:customer ?c ; g:totalprice ?tp .
+      |} GROUP BY ?tp""".stripMargin)
+    assert(e.localRows == 750L && e.shippedRows == 1500L, e.describe)
+    assert(!e.ship, e.describe)
+    // …whereas WITHOUT a selective build the same aggregate ships
+    val noBuild = est("""PREFIX g: <urn:g:>
+      |SELECT ?tp (COUNT(*) AS ?n) WHERE {
+      |  ?o a g:Order ; g:totalprice ?tp .
+      |} GROUP BY ?tp""".stripMargin)
+    assert(noBuild.localRows == 15000L && noBuild.shippedRows == 1500L)
+    assert(noBuild.ship, noBuild.describe)
   }
 
   test("route: variable-disjoint stars multiply (a remote cartesian is " +
