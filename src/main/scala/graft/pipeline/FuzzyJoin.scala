@@ -193,11 +193,15 @@ object FuzzyJoin {
     val u = lt.select(lit("l").as("sd"), col("id_l").as("rid"), col("t"))
       .unionByName(
         rt.select(lit("r").as("sd"), col("id_r").as("rid"), col("t")))
+    // N is ONE scalar consumed by every weight — computed eagerly (one
+    // bounded count job at construction, the dedup family's precedent)
+    // rather than cross-joined as a 1-row broadcast: four consumers of
+    // the weight frame would each re-plan that join, and a literal keeps
+    // the whole plan pure hash equi-joins (spec-pinned)
     val dfs = u.groupBy("t").agg(count(lit(1)).as("df"))
-    val n = u.select("sd", "rid").distinct().agg(count(lit(1)).as("N"))
-    val w = dfs.crossJoin(broadcast(n)) // 1-row broadcast: scalar N
-      .select(col("t"), col("df"),
-        expr("least(1000000L, N * 1000L div df)").as("w"))
+    val nRecords = u.select("sd", "rid").distinct().count()
+    val w = dfs.select(col("t"), col("df"),
+      expr(s"least(1000000L, ${nRecords}L * 1000 div df)").as("w"))
     def norm(tk: DataFrame, id: String, out: String): DataFrame =
       tk.join(w.select("t", "w"), Seq("t"))
         .groupBy(col(id)).agg(sum(col("w") * col("w")).as(out))

@@ -206,6 +206,33 @@ object Lakehouse {
                     path: String): DataFrame =
     spark.read.parquet(resolveCompacted(spark, path))
 
+  /** Compact every DRIFTED partition of a hive-partitioned lake — the
+    * 100 TB composition: the unit of compaction is one `key=value`
+    * partition directory, never the whole lake in one job (SCALE.md;
+    * `DataQuality.partitionManifest` is the drift detector when
+    * comparing snapshots). Each drifted partition gets its own
+    * [[compactFiles]] generation swap, so reader safety and
+    * crash-safety hold per partition and an interrupted sweep leaves
+    * every partition in a complete state. Partitions at or under their
+    * byte-implied file target are untouched. Returns one
+    * (partitionDir, filesBefore, filesAfter) row per REWRITTEN
+    * partition. Readers of a managed partition resolve through
+    * [[resolveCompacted]]`(root + "/key=value")`. */
+  def compactDrifted(spark: org.apache.spark.sql.SparkSession,
+                     root: String,
+                     targetBytes: Long = 128L << 20): Seq[(String, Int, Int)] = {
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(rootP).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .sortBy(_.getPath.getName)
+      .flatMap { st =>
+        val (before, after, _) =
+          compactFiles(spark, st.getPath.toString, targetBytes)
+        Option.when(after < before)((st.getPath.getName, before, after))
+      }
+  }
+
   private def anyDiffers(updAlias: String, dimAlias: String,
                          trackCols: Seq[String]): Column =
     trackCols

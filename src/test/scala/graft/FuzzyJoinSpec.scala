@@ -209,4 +209,12 @@ class FuzzyJoinSpec extends SparkTestBase {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(plan.contains("levenshtein"), "verify must be the native expr")
   }
+
+  test("plan: cosineJoin is pure hash equi-joins — the scalar N is a " +
+    "literal, never a per-consumer 1-row cross join") {
+    val plan = FuzzyJoin.cosineJoin(df("l"), df("r"), "id", "str")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }

@@ -211,6 +211,26 @@ class LakehouseGraphSpec extends SparkTestBase {
     assert(Lakehouse.readCompacted(spark, dir).count() == 500L)
   }
 
+  test("compactDrifted: only the drifted partition is rewritten, each " +
+    "under its own per-partition generation swap") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_compact_part")
+      .toString + "/lake"
+    (1L to 400L).map(i => (i, s"r$i")).toDF("id", "v").repartition(32)
+      .write.parquet(s"$root/lang=en")         // drifted: 32 tiny files
+    (1L to 10L).map(i => (i, s"r$i")).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$root/lang=fr")         // already compact
+    val rewritten = Lakehouse.compactDrifted(spark, root,
+      targetBytes = Long.MaxValue)
+    assert(rewritten.map(x => (x._1, x._3)) == Seq(("lang=en", 1)))
+    assert(Lakehouse.readCompacted(spark, s"$root/lang=en").count() == 400L)
+    // the untouched partition resolves to itself (no generation made)
+    assert(Lakehouse.resolveCompacted(spark, s"$root/lang=fr")
+      == s"$root/lang=fr")
+    // idempotent: a second sweep rewrites nothing
+    assert(Lakehouse.compactDrifted(spark, root, Long.MaxValue).isEmpty)
+  }
+
   test("compactFiles ignores an unstamped partial generation (crash relic) " +
     "and deletes it on the next run") {
     import spark.implicits._
