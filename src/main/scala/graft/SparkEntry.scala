@@ -1222,6 +1222,25 @@ object SparkEntry {
         .cosineJoin(l, r, "id", "name", tauMilli = 800)
         .orderBy("id_l", "id_r")
     }),
+    // the ER pipeline composed end to end: multi-pass blocking →
+    // transitive clusters → survivorship (modal name per entity) +
+    // member counts — the full raw-records→golden-records path one gate
+    // row, oracle re-derives closure AND survivorship
+    "q_entity_golden" -> ((s, d) => {
+      val recs = erRecords(s, d)
+      val ent = _root_.graft.pipeline.FuzzyJoin
+        .entityClustersMulti(recs, "id", "name",
+          exactCols = Seq("xkey"), maxDist = 1, q = 4,
+          maxGramDf = 1 << 20)
+      val withEnt = recs.join(ent, Seq("id"))
+      val golden = _root_.graft.pipeline.FuzzyJoin
+        .goldenRecords(withEnt, "entity_id", Seq("name"))
+      golden.join(
+          withEnt.groupBy("entity_id").agg(count(lit(1)).as("n_records")),
+          Seq("entity_id"))
+        .select(col("entity_id"), col("n_records"), col("name"))
+        .orderBy("entity_id")
+    }),
     // golden-record survivorship (the post-clustering MDM step): per
     // synthetic entity the most frequent non-null value per attribute,
     // ties to the largest value — window-rank oracle
@@ -2744,6 +2763,41 @@ object SparkEntry {
         |WHERE CAST(dot AS HUGEINT) * dot * 1000000 >=
         |      CAST(800 AS HUGEINT) * 800 * norm_l * norm_r
         |ORDER BY id_l, id_r""".stripMargin,
+    // closure (multi-pass edges) + survivorship re-derived: modal name
+    // per entity, ties to the larger, plus member counts
+    "q_entity_golden" ->
+      """WITH RECURSIVE h AS (SELECT doc_id,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 10) AS hx FROM documents),
+        |recs AS (SELECT doc_id AS id, hx AS s,
+        |    CASE WHEN doc_id % 10 = 0
+        |      THEN 'k' || CAST(doc_id % 7 AS VARCHAR) END AS xkey FROM h
+        |  UNION ALL SELECT doc_id + 10000000,
+        |    substr(hx, 1, CAST(doc_id % 9 AS INTEGER)) ||
+        |    substr(hx, CAST(doc_id % 9 AS INTEGER) + 2), NULL FROM h),
+        |fpairs AS (SELECT x.id AS a, y.id AS b FROM recs x, recs y
+        |  WHERE x.id < y.id AND abs(length(x.s) - length(y.s)) <= 1
+        |    AND levenshtein(x.s, y.s) <= 1),
+        |xpairs AS (SELECT x.id AS a, y.id AS b FROM recs x, recs y
+        |  WHERE x.id < y.id AND x.xkey IS NOT NULL AND x.xkey = y.xkey),
+        |edges AS (SELECT a, b FROM fpairs UNION SELECT b, a FROM fpairs
+        |  UNION SELECT a, b FROM xpairs UNION SELECT b, a FROM xpairs),
+        |reach AS (SELECT a AS x, b AS y FROM edges
+        |  UNION SELECT r.x, e.b FROM reach r JOIN edges e ON e.a = r.y),
+        |canon AS (SELECT x AS id, least(x, MIN(y)) AS entity_id
+        |  FROM reach GROUP BY x),
+        |labeled AS (SELECT r.id, r.s,
+        |    CAST(COALESCE(c.entity_id, r.id) AS BIGINT) AS entity_id
+        |  FROM recs r LEFT JOIN canon c USING (id)),
+        |cnts AS (SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n_records
+        |  FROM labeled GROUP BY 1),
+        |nm AS (SELECT entity_id, s AS name FROM (
+        |  SELECT entity_id, s,
+        |    ROW_NUMBER() OVER (PARTITION BY entity_id
+        |      ORDER BY COUNT(*) DESC, s DESC) AS rn
+        |  FROM labeled GROUP BY entity_id, s) WHERE rn = 1)
+        |SELECT c.entity_id, c.n_records, nm.name
+        |FROM cnts c JOIN nm USING (entity_id)
+        |ORDER BY c.entity_id""".stripMargin,
     // survivorship: per attribute the modal non-null value, ties to the
     // largest (deterministic on any engine)
     "q_golden_records" ->
