@@ -217,11 +217,12 @@ object Graft {
           opts.maxPartitions, auto = policy == ShipPolicy.Auto)),
       // queries the whole-query path can't take (SERVICE bodies, graph
       // forms, unprojected order keys) or that the cost decision keeps
-      // local still ship their exclusive groups — a shipped group moves
-      // the group's JOINED rows, never more than its per-star scans
-      // under the same FK estimate that ordered the joins
+      // local still ship their exclusive groups — under Auto each group
+      // is cost-gated with the same transfer model, so a selective
+      // local build keeps its bind join at the group rung too
       groupShip = Option.when(policy != ShipPolicy.Never)(
-        graft.compiler.QueryShip.GroupShip(opts.pageSize, opts.maxPartitions)))
+        graft.compiler.QueryShip.GroupShip(opts.pageSize, opts.maxPartitions,
+          auto = policy == ShipPolicy.Auto)))
   }
 
   /** Graft over a FEDERATION of SPARQL endpoints — the reference's actual
@@ -261,6 +262,8 @@ object Graft {
       // a group — the joins between them run at that endpoint
       groupShip = Option.when(opts.effectivePolicy !=
         graft.mapping.EndpointCatalogGen.ShipPolicy.Never)(
-        graft.compiler.QueryShip.GroupShip(opts.pageSize, opts.maxPartitions)))
+        graft.compiler.QueryShip.GroupShip(opts.pageSize, opts.maxPartitions,
+          auto = opts.effectivePolicy ==
+            graft.mapping.EndpointCatalogGen.ShipPolicy.Auto)))
   }
 }

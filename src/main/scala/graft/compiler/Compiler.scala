@@ -1273,7 +1273,19 @@ final class Compiler(catalog: Catalog, load: String => DataFrame,
                             cfg: QueryShip.GroupShip): Compiled = {
     // the local compile of the same stars: schema authority (shipped and
     // local frames agree column-for-column) + the join-ordering estimate
-    val local = comp.map(compileStar).reduce(join2(_, _, "inner"))
+    val compiled = comp.map(compileStar)
+    val local = compiled.reduce(join2(_, _, "inner"))
+    // under auto, the group rung prices its decision with the SAME
+    // transfer model as the whole-query route (RoutePlanner): shipping
+    // moves the group's joined rows; staying local moves the
+    // bind-join-aware per-concept scans. Unknown estimates and ties keep
+    // the authoritative local compile — `local` IS that execution.
+    if (cfg.auto) {
+      val bindLocal = RoutePlanner.groupTransfer(compiled.map(_.card))
+      if (bindLocal < 0 || local.card < 0 ||
+          local.card > bindLocal / RoutePlanner.ShipMargin)
+        return local
+    }
     val compVars = comp.flatMap(_.vars).toSet
     val fs = filters.filter(f =>
       Expr.vars(f).nonEmpty && Expr.vars(f).subsetOf(compVars))

@@ -40,8 +40,12 @@ object QueryShip {
 
   /** Exclusive-group dispatch knobs — endpoint-less because the target
     * comes from each group's own molecules (a federation ships different
-    * groups to different endpoints). */
-  final case class GroupShip(pageSize: Int = 10000, maxPartitions: Int = 32)
+    * groups to different endpoints). `auto = true` cost-gates each group
+    * with [[RoutePlanner]]'s transfer model (the whole-query decision's
+    * per-group twin): a group ships only when its joined-rows estimate
+    * clearly beats the bind-join-aware per-concept transfer. */
+  final case class GroupShip(pageSize: Int = 10000, maxPartitions: Int = 32,
+                             auto: Boolean = false)
 
   /** Ship one exclusive star group — a CONNECTED set of BGP stars whose
     * every candidate molecule lives on `endpoint` — as a single remote

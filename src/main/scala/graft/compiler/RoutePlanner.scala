@@ -96,9 +96,26 @@ object RoutePlanner {
     * ([[graft.sources.SparqlQuerySource]]/`SparqlEndpointSource`
     * MaxBoundKeys), and a filtered scan is priced at `BindFanout` rows
     * per build key (the FK-fanout allowance — a constant with the same
-    * job as the 10× constant discount: ranking, not prediction). */
-  private val BindKeyCap = 10000L
-  private val BindFanout = 4L
+    * job as the 10× constant discount: ranking, not prediction). Public:
+    * the exclusive-GROUP rung prices its ship decision with the same
+    * model ([[groupTransfer]]), so the ladder never disagrees with the
+    * whole-query route about what a bind join is worth. */
+  val BindKeyCap = 10000L
+  val BindFanout = 4L
+
+  /** LOCAL-route transfer for one connected star group, from the
+    * members' cardinality estimates: bind-join-aware sum (see
+    * [[bgpEst]]); Unknown taints. Used by the whole-query estimator and
+    * by `Compiler.shipComponent`'s per-group auto decision. */
+  def groupTransfer(cards: Seq[Long]): Long = {
+    if (cards.isEmpty || cards.exists(_ < 0)) return Unknown
+    val smallest = cards.min
+    val priced =
+      if (cards.size >= 2 && smallest <= BindKeyCap)
+        cards.map(c => math.min(c, smallest * BindFanout))
+      else cards
+    priced.foldLeft(0L)(sat)
+  }
 
   /** (local scan-transfer sum, result-cardinality estimate) for a BGP:
     * stars sharing variables join FK-style (max side), variable-disjoint
@@ -138,13 +155,7 @@ object RoutePlanner {
         }
       }
       val cards = comp.map(_._2)
-      val smallest = cards.min
-      val compLocal =
-        if (comp.size >= 2 && smallest <= BindKeyCap)
-          cards.map(c => math.min(c, smallest * BindFanout))
-            .foldLeft(0L)(sat)
-        else cards.foldLeft(0L)(sat)
-      local = sat(local, compLocal)
+      local = sat(local, groupTransfer(cards))
       result = satMul(result, cards.max)
     }
     (local, result)

@@ -256,6 +256,51 @@ class Round15Spec extends SparkTestBase {
     } finally server.stop()
   }
 
+  test("auto cost-gates the exclusive-GROUP rung too: an equal-cards " +
+    "group ships, a selective-build group keeps its local bind join") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val types = Set("urn:g:Customer", "urn:g:Order", "urn:g:Nation")
+    val inner = Graft.overParquetDir(Catalog(
+      TpchCatalog.catalog.molecules.filter(m => types.contains(m.rdfType))),
+      sfDir)
+    val server = new GraftServer(inner)
+    val port = server.start()
+    try {
+      def graftOf(p: EndpointCatalogGen.ShipPolicy) =
+        Graft.overSparqlEndpoint(s"http://127.0.0.1:$port/sparql",
+          EndpointCatalogGen.EndpointOptions(shipPolicy = p))
+      val auto = graftOf(EndpointCatalogGen.ShipPolicy.Auto)
+      def dispatch(g: Graft, q: String): String =
+        g.explain(q).linesIterator.find(_.startsWith("Dispatch:")).get
+      // equal-cards 2-star group (150 vs 150): shipping moves <= half of
+      // the per-concept transfer -> ships. The unprojected ORDER BY key
+      // keeps the WHOLE-query rung out, so this exercises the group rung
+      val equalGroup = """PREFIX g: <urn:g:>
+        |SELECT ?a ?b WHERE {
+        |  ?a a g:Customer ; g:nation ?n .
+        |  ?b a g:Customer ; g:nation ?n .
+        |} ORDER BY ?n""".stripMargin
+      val shipped = dispatch(auto, equalGroup)
+      assert(shipped.contains("1 shipped exclusive group"), shipped)
+      // selective-build group (15-key customer build vs 1500 orders):
+      // the bind join prices at 75 rows, the shipped join at 1500 ->
+      // the group stays per-concept under Auto, ships under Always
+      val selective = """PREFIX g: <urn:g:>
+        |SELECT ?c ?o WHERE {
+        |  ?c a g:Customer ; g:mktsegment "BUILDING" ; g:nation ?n .
+        |  ?o a g:Order ; g:customer ?c .
+        |} ORDER BY ?n""".stripMargin
+      val localLine = dispatch(auto, selective)
+      assert(localLine.contains("no endpoint-exclusive groups"), localLine)
+      val always = graftOf(EndpointCatalogGen.ShipPolicy.Always)
+      assert(dispatch(always, selective)
+        .contains("1 shipped exclusive group"))
+      // and the auto-local answer still matches the always-shipped one
+      assert(auto.sparql(selective).orderBy("c", "o").collect().toSeq ===
+        always.sparql(selective).orderBy("c", "o").collect().toSeq)
+    } finally server.stop()
+  }
+
   test("DESCRIBE dispatch: the <iri> probe ships as one SELECT with the " +
     "store's term kinds; DESCRIBE ?v falls back to the local machinery") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
