@@ -111,6 +111,7 @@ object SparkEntry {
       "q_stream_sessions", "q_stream_retention", "q_stream_interval",
       "q_stream_dedup", "q_stream_file_dedup", "q_stream_anomaly",
       "q_stream_manifest", "q_stream_file_manifest", "q_stream_cdc_compact",
+      "q_stream_er",
       // loopback-federation verification harnesses: each boots GraftServer
       // instances and pays the deploy-time wire probe (create_rdfmts
       // parity) inside the row — they verify the endpoint catalog path,
@@ -1221,6 +1222,20 @@ object SparkEntry {
       _root_.graft.pipeline.FuzzyJoin
         .cosineJoin(l, r, "id", "name", tauMilli = 800)
         .orderBy("id_l", "id_r")
+    }),
+    // the incremental ER store consumed as a STREAM (13th replay gate):
+    // micro-batches admit via foreachBatch → erAdmit, final labels must
+    // equal the one-shot corpus run (shares q_entity_resolution's
+    // recursive-closure oracle verbatim)
+    "q_stream_er" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      val store = s"/tmp/graft_er_stream/${new java.io.File(d).getName}"
+      val p = new org.apache.hadoop.fs.Path(store)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      _root_.graft.streaming.EventStreams
+        .erAdmitReplayed(erRecords(s, d), store, "id", "name",
+          maxDist = 1, qgram = 4, maxGramDf = 1 << 20)
+        .orderBy("id")
     }),
     // the ER pipeline composed end to end: multi-pass blocking →
     // transitive clusters → survivorship (modal name per entity) +
@@ -4270,6 +4285,8 @@ object SparkEntry {
       // streaming replay gates that share a batch row's oracle verbatim:
       // the stream's final state must equal the batch computation
       "q_stream_cdc_compact" -> baseOracles("lake_compact_log"),
+      // streamed ER admission must label exactly like the one-shot run
+      "q_stream_er" -> baseOracles("q_entity_resolution"),
       // exclusive-PATTERN dispatch rows have no manual twin with the same
       // shape — fresh relational truths. The shipped OPTIONAL's inner
       // FILTER makes ?rname unbound for non-matching regions (every

@@ -393,6 +393,44 @@ object EventStreams {
     spark.createDataset(out.toSeq).toDF("n_rows", "xor_digest")
   }
 
+  /** Streaming ER admission replay gate (`q_stream_er`): micro-batches
+    * of records admit into the PERSISTENT ER store
+    * ([[graft.pipeline.FuzzyJoin.erAdmit]]) through `foreachBatch` — the
+    * incremental-store path as a streaming CONSUMER, which is its
+    * production shape (a record stream continuously joining existing
+    * clusters, each batch paying one blocked batch×store join). After
+    * the last batch, [[graft.pipeline.FuzzyJoin.erLabels]] must equal
+    * the one-shot corpus run label-for-label (the same closure oracle as
+    * `q_entity_resolution`, by the admit path's edge-completeness
+    * argument). MemoryStream + driver feeding — verification machinery
+    * (bench-excluded), not a production op. */
+  def erAdmitReplayed(records: DataFrame, storeDir: String,
+                      idCol: String, strCol: String,
+                      maxDist: Int, qgram: Int, maxGramDf: Int,
+                      chunks: Int = 3)
+                     (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = records.select(col(idCol), col(strCol))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val stream = input.toDS().toDF(idCol, strCol).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        graft.pipeline.FuzzyJoin.erAdmit(batch.toDF(), storeDir,
+          idCol, strCol, maxDist, qgram, maxGramDf)
+      }
+      .start()
+    try {
+      val per = math.max(1, (rows.length + chunks - 1) / chunks)
+      rows.grouped(per).foreach { c =>
+        input.addData(c.toSeq); stream.processAllAvailable()
+      }
+    } finally stream.stop()
+    graft.pipeline.FuzzyJoin.erLabels(spark, storeDir, idCol)
+  }
+
   final case class CdcOp(o_orderkey: Long, o_custkey: Long,
                          o_orderstatus: String, o_totalprice: Double,
                          op: String, seq: Long)
