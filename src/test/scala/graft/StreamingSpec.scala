@@ -416,4 +416,24 @@ class StreamingSpec extends SparkTestBase {
     assert(replayed === batch,
       "the streamed Complete table must equal the batch compaction")
   }
+
+  test("streaming ER admission: micro-batched admits label exactly like " +
+    "the one-shot clustering, with cross-batch edges found") {
+    import spark.implicits._
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val store = java.nio.file.Files.createTempDirectory("graft_er_stream")
+      .toString + "/s"
+    // chain 1~2~3 split across chunk boundaries (ids feed sorted, 2 per
+    // chunk): the 2~3 and 3-side edges need batch x STORE joins
+    val recs = Seq((1L, "kitten"), (2L, "sitten"), (3L, "sittin"),
+      (4L, "xyz"), (5L, "mitten")).toDF("id", "name")
+    val streamed = EventStreams.erAdmitReplayed(recs, store, "id", "name",
+        maxDist = 1, qgram = 3, maxGramDf = 1 << 20, chunks = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oneShot = graft.pipeline.FuzzyJoin
+      .entityClusters(recs, "id", "name", maxDist = 1, q = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed === oneShot)
+    assert(streamed(3L) == 1L && streamed(5L) == 1L && streamed(4L) == 4L)
+  }
 }
