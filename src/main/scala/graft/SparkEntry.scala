@@ -1223,6 +1223,26 @@ object SparkEntry {
         .cosineJoin(l, r, "id", "name", tauMilli = 800)
         .orderBy("id_l", "id_r")
     }),
+    // cosine-matcher entity resolution: originals + h-perturbed variants
+    // under the token-cosine self-join at τ=800 — 2/3 of id pairs (full
+    // token-set sharers) cluster, perturbed thirds stay singletons
+    // except accidental mod collisions, which the closure and the
+    // brute-force oracle both absorb
+    "q_entity_resolution_cosine" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      def nm(hPerturb: Boolean) = concat_ws(" ",
+        concat(lit("e"), (col("doc_id") % 65521).cast("string")),
+        concat(lit("g"), (col("doc_id") % 32749).cast("string")),
+        concat(lit("h"), ((col("doc_id") + (if (hPerturb)
+          when(col("doc_id") % 3 === 0, 1L).otherwise(0L)
+          else lit(0L))) % 16381).cast("string")))
+      val recs = docs.select(col("doc_id").as("id"), nm(false).as("name"))
+        .unionByName(docs.select((col("doc_id") + 10000000L).as("id"),
+          nm(true).as("name")))
+      _root_.graft.pipeline.FuzzyJoin
+        .entityClustersCosine(recs, "id", "name", tauMilli = 800)
+        .orderBy("id")
+    }),
     // the incremental ER store consumed as a STREAM (13th replay gate):
     // micro-batches admit via foreachBatch → erAdmit, final labels must
     // equal the one-shot corpus run (shares q_entity_resolution's
@@ -2734,6 +2754,42 @@ object SparkEntry {
         |pairs AS (SELECT x.id AS a, y.id AS b FROM recs x, recs y
         |  WHERE x.id < y.id AND abs(length(x.s) - length(y.s)) <= 1
         |    AND levenshtein(x.s, y.s) <= 1),
+        |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach AS (SELECT a AS x, b AS y FROM edges
+        |  UNION SELECT r.x, e.b FROM reach r JOIN edges e ON e.a = r.y),
+        |canon AS (SELECT x AS id, least(x, MIN(y)) AS entity_id
+        |  FROM reach GROUP BY x)
+        |SELECT r.id, CAST(COALESCE(c.entity_id, r.id) AS BIGINT) AS entity_id
+        |FROM recs r LEFT JOIN canon c USING (id) ORDER BY r.id""".stripMargin,
+    // cosine ER truth: the same integer cosine pipeline as a SELF-join
+    // (df and N double — ratios unchanged), τ-pairs → recursive closure
+    "q_entity_resolution_cosine" ->
+      """WITH RECURSIVE docsrc AS (SELECT doc_id,
+        |    'e' || CAST(doc_id % 65521 AS VARCHAR) ||
+        |    ' g' || CAST(doc_id % 32749 AS VARCHAR) AS eg,
+        |    doc_id % 16381 AS h0,
+        |    (doc_id + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+        |      % 16381 AS h1
+        |  FROM documents),
+        |recs AS (SELECT doc_id AS id,
+        |    eg || ' h' || CAST(h0 AS VARCHAR) AS nm FROM docsrc
+        |  UNION ALL SELECT doc_id + 10000000,
+        |    eg || ' h' || CAST(h1 AS VARCHAR) FROM docsrc),
+        |tt AS (SELECT DISTINCT id, t FROM (SELECT id,
+        |    unnest(string_split_regex(lower(nm), '[^a-z0-9]+')) AS t
+        |  FROM recs) WHERE t <> ''),
+        |dfs AS (SELECT t, 2*COUNT(*) AS df FROM tt GROUP BY t),
+        |nn AS (SELECT 2*COUNT(*) AS n FROM (SELECT DISTINCT id FROM tt)),
+        |w AS (SELECT t, LEAST(1000000, (n * 1000) // df) AS w FROM dfs, nn),
+        |nrm AS (SELECT id, SUM(w*w) AS nq FROM tt JOIN w USING (t)
+        |  GROUP BY 1),
+        |dots AS (SELECT a.id AS ia, b.id AS ib, SUM(w.w*w.w) AS dot
+        |  FROM tt a JOIN tt b ON a.t = b.t AND a.id < b.id
+        |  JOIN w ON w.t = a.t GROUP BY 1, 2),
+        |pairs AS (SELECT ia AS a, ib AS b FROM dots d
+        |  JOIN nrm x ON x.id = d.ia JOIN nrm y ON y.id = d.ib
+        |  WHERE CAST(dot AS HUGEINT)*dot*1000000 >=
+        |        CAST(800 AS HUGEINT)*800*x.nq*y.nq),
         |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
         |reach AS (SELECT a AS x, b AS y FROM edges
         |  UNION SELECT r.x, e.b FROM reach r JOIN edges e ON e.a = r.y),

@@ -225,6 +225,24 @@ object FuzzyJoin {
         col("norm_l"), col("norm_r"))
   }
 
+  /** Entity resolution under the TOKEN-COSINE matcher: the
+    * [[cosineJoin]] self-join feeds connected components, every record
+    * labels with its cluster's minimum id — [[entityClusters]]' exact
+    * twin for the word-order-insensitive regime (reordered/typo-token
+    * names that edit distance can't bound). Weights are computed over
+    * the doubled self-join corpus, which leaves the idf RATIOS — and
+    * therefore every cosine — identical to the single-corpus weighting
+    * (both N and every df double). */
+  def entityClustersCosine(records: DataFrame, idCol: String,
+                           strCol: String, tauMilli: Int = 800,
+                           maxTokenDf: Long = 1L << 20): DataFrame = {
+    val pairs = cosineJoin(records, records, idCol, strCol, tauMilli,
+        maxTokenDf)
+      .filter(col("id_l") < col("id_r"))
+      .select(col("id_l").as("a"), col("id_r").as("b"))
+    labelFromEdges(records, idCol, pairs)
+  }
+
   /** Golden-record SURVIVORSHIP — the step after clustering in every
     * MDM/ER pipeline: collapse each entity's records into one canonical
     * record, per attribute the MOST FREQUENT non-null value (majority

@@ -182,6 +182,34 @@ class FuzzyJoinSpec extends SparkTestBase {
     assert(lifted.contains((1L, 2L)) && lifted.contains((4L, 5L)))
   }
 
+  test("entityClustersCosine: reordered-token names cluster transitively, " +
+    "below-threshold and disjoint records keep their own id") {
+    import spark.implicits._
+    val recs = Seq(
+      (1L, "acme corp ltd"), (2L, "ltd acme corp"),   // cosine 1: cluster
+      (3L, "acme corp gmbh"),                          // 2 of 3 tokens vs 1
+      (4L, "zz qq"))                                   // disjoint
+      .toDF("id", "name")
+    // τ=999: only the exact token-set pair merges
+    val tight = FuzzyJoin.entityClustersCosine(recs, "id", "name",
+        tauMilli = 999)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tight === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L))
+    // idf is doing its job on the 2-of-3 sharer: the SHARED tokens
+    // (acme/corp, df 3) downweight while the DISTINGUISHING ones
+    // (ltd/gmbh, df 1) dominate the norms — cosine lands at ~0.29, far
+    // below the naive 2/3 token overlap, so τ=500 still keeps record 3
+    // out and only a deliberately loose τ merges it transitively
+    val mid = FuzzyJoin.entityClustersCosine(recs, "id", "name",
+        tauMilli = 500)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mid === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L))
+    val loose = FuzzyJoin.entityClustersCosine(recs, "id", "name",
+        tauMilli = 250)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(loose === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
+  }
+
   test("goldenRecords: majority value wins per attribute, ties break to " +
     "the largest, nulls carry no vote, all-null attributes stay null") {
     import spark.implicits._
