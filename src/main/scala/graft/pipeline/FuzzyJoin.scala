@@ -232,7 +232,14 @@ object FuzzyJoin {
     * names that edit distance can't bound). Weights are computed over
     * the doubled self-join corpus, which leaves the idf RATIOS — and
     * therefore every cosine — identical to the single-corpus weighting
-    * (both N and every df double). */
+    * (both N and every df double).
+    *
+    * Deliberately NO incremental-store twin (unlike [[erAdmit]]): idf
+    * weights are corpus-GLOBAL, so every admitted batch shifts df/N and
+    * can move an OLD pair across the threshold in either direction —
+    * the edge-completeness argument that makes the edit-distance store
+    * exact does not hold. Incremental cosine ER is a recompute-the-
+    * corpus operation by its own semantics; run it on a cadence. */
   def entityClustersCosine(records: DataFrame, idCol: String,
                            strCol: String, tauMilli: Int = 800,
                            maxTokenDf: Long = 1L << 20): DataFrame = {
