@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Approximate string join under an edit-distance bound — the entity-
@@ -174,13 +174,51 @@ object FuzzyJoin {
     * shared tokens of each candidate, capped ones included, so the
     * inequality is the true cosine test. With the cap lifted, recall is
     * exact for any τ > 0 (a pair sharing no token has cosine 0).
-    * Output: (id_l, id_r, dot_w2, norm_l, norm_r) — all exact integers;
-    * derive `cos ≈ dot/√(nl·nr)` downstream if a float is wanted. */
+    *
+    * THE CAP IS THE SCALE GUARD: candidate volume is Σ_t df_l(t)·df_r(t)
+    * over under-cap tokens, so one token at df d emits up to d² pairs —
+    * quadratic in the cap, which is why the default sits in the low
+    * thousands (maxTokenDf² ≈ 1.6·10⁷ worst-case pairs per token, one
+    * shuffle-sized unit of work) like the edit-distance family's
+    * `maxGramDf = 256`, NOT at corpus scale. Tokens the cap excludes are
+    * surfaced in [[CosineJoinWithStats.cappedTokens]] — a caller sees
+    * the recall trade instead of silently suffering it (the
+    * `doc_near_dup_simhash` capped-bucket convention); the side output
+    * recomputes its (cheap, counts-only) lineage on demand.
+    *
+    * Overflow is LOUD, never a dropped pair: the weight cap keeps every
+    * product ≤ 10¹² but the SUMS are unbounded in record token count, so
+    * norms/dots accumulate as DECIMAL(38,0) — records sharing ~10⁴
+    * max-weight tokens push `dot²·10⁶` past 10³⁸ and must fail, not
+    * vanish. Under ANSI mode (Spark 4's default) the engine itself
+    * throws at the overflowing arithmetic; with ANSI off Spark NULLs a
+    * decimal overflow instead, and the threshold test's guard raises on
+    * the null operand — both paths error, neither drops the pair.
+    * Output: (id_l, id_r, dot_w2, norm_l, norm_r) — all exact integers
+    * (bigint; values past 2⁶³ raise); derive `cos ≈ dot/√(nl·nr)`
+    * downstream if a float is wanted. */
   def cosineJoin(left: DataFrame, right: DataFrame, idCol: String,
                  strCol: String, tauMilli: Int = 800,
-                 maxTokenDf: Long = 1L << 20): DataFrame = {
+                 maxTokenDf: Long = 4096): DataFrame =
+    cosineJoinWithStats(left, right, idCol, strCol, tauMilli, maxTokenDf)
+      .pairs
+
+  /** [[cosineJoin]]'s result plus its recall observability side output:
+    * `cappedTokens` is one row per token the df cap excluded from
+    * blocking (`t`, `df`) — an operator that knowingly drops candidates
+    * must surface how much it dropped (the LSH capped-bucket contract,
+    * [[Dedup.PairsWithStats]]). A pair whose EVERY shared token is
+    * listed here is not found; production callers at corpus scale
+    * should read this, the convenience form discards it. */
+  final case class CosineJoinWithStats(pairs: DataFrame,
+                                       cappedTokens: DataFrame)
+
+  def cosineJoinWithStats(left: DataFrame, right: DataFrame, idCol: String,
+                          strCol: String, tauMilli: Int = 800,
+                          maxTokenDf: Long = 4096): CosineJoinWithStats = {
     require(tauMilli > 0 && tauMilli <= 1000,
       s"tauMilli must be in (0, 1000], got $tauMilli")
+    require(maxTokenDf >= 1, s"maxTokenDf must be >= 1, got $maxTokenDf")
     def toks(df: DataFrame, id: String): DataFrame =
       df.select(col(idCol).as(id),
         explode(array_distinct(
@@ -202,9 +240,14 @@ object FuzzyJoin {
     val nRecords = u.select("sd", "rid").distinct().count()
     val w = dfs.select(col("t"), col("df"),
       expr(s"least(1000000L, ${nRecords}L * 1000 div df)").as("w"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    // w ≤ 10⁶ so the per-token product fits a long (≤ 10¹²); the SUM is
+    // what can run away, so it accumulates as DECIMAL(38,0) — overflow
+    // nulls instead of wrapping, and the guard below turns null loud
+    val w2 = (col("w") * col("w")).cast(dec)
     def norm(tk: DataFrame, id: String, out: String): DataFrame =
       tk.join(w.select("t", "w"), Seq("t"))
-        .groupBy(col(id)).agg(sum(col("w") * col("w")).as(out))
+        .groupBy(col(id)).agg(sum(w2).as(out))
     val nl = norm(lt, "id_l", "norm_l")
     val nr = norm(rt, "id_r", "norm_r")
     val cand = lt.join(w.filter(col("df") <= maxTokenDf).select("t"),
@@ -215,14 +258,27 @@ object FuzzyJoin {
       .join(lt, Seq("id_l"))
       .join(rt, Seq("id_r", "t"))
       .join(w.select("t", "w"), Seq("t"))
-      .groupBy("id_l", "id_r").agg(sum(col("w") * col("w")).as("dot_w2"))
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    dots.join(nl, Seq("id_l")).join(nr, Seq("id_r"))
-      .filter(col("dot_w2").cast(dec) * col("dot_w2") * lit(1000000L) >=
-        lit(tauMilli.toLong * tauMilli).cast(dec) *
-          col("norm_l") * col("norm_r"))
-      .select(col("id_l"), col("id_r"), col("dot_w2"),
-        col("norm_l"), col("norm_r"))
+      .groupBy("id_l", "id_r").agg(sum(w2).as("dot_w2"))
+    val lhs = col("dot_w2") * col("dot_w2") * lit(1000000L).cast(dec)
+    val rhs = lit(tauMilli.toLong * tauMilli).cast(dec) *
+      col("norm_l") * col("norm_r")
+    def overflow(what: String) = raise_error(lit(
+      s"cosineJoin: DECIMAL(38) overflow in $what — records share too " +
+        "many max-weight tokens (a term of dot²·10⁶ / τ²·‖l‖²·‖r‖² " +
+        "passed 10³⁸); the exact test cannot decide the pair, failing " +
+        "loudly instead of dropping it. Bound per-record token counts " +
+        "upstream (chunk the strings) or lower the weight cap."))
+    def asLong(c: Column) =
+      when(c > lit(Long.MaxValue).cast(dec), overflow(s"a bigint output"))
+        .otherwise(c.cast("bigint"))
+    val pairs = dots.join(nl, Seq("id_l")).join(nr, Seq("id_r"))
+      .filter(when(lhs.isNull || rhs.isNull,
+          overflow("the exact cosine threshold test"))
+        .otherwise(lhs >= rhs))
+      .select(col("id_l"), col("id_r"), asLong(col("dot_w2")).as("dot_w2"),
+        asLong(col("norm_l")).as("norm_l"), asLong(col("norm_r")).as("norm_r"))
+    CosineJoinWithStats(pairs,
+      w.filter(col("df") > maxTokenDf).select(col("t"), col("df")))
   }
 
   /** Entity resolution under the TOKEN-COSINE matcher: the
@@ -242,7 +298,7 @@ object FuzzyJoin {
     * corpus operation by its own semantics; run it on a cadence. */
   def entityClustersCosine(records: DataFrame, idCol: String,
                            strCol: String, tauMilli: Int = 800,
-                           maxTokenDf: Long = 1L << 20): DataFrame = {
+                           maxTokenDf: Long = 4096): DataFrame = {
     val pairs = cosineJoin(records, records, idCol, strCol, tauMilli,
         maxTokenDf)
       .filter(col("id_l") < col("id_r"))
@@ -296,9 +352,17 @@ object FuzzyJoin {
     * Per batch the expensive work is ONE blocked fuzzy join of the
     * batch against (store ∪ batch) — every pair not involving a batch
     * member was found when its younger end was admitted, so the edge
-    * set after n batches equals the full self-join's exactly (the
-    * full-vs-incremental gate row pins this). Ids must be unique across
-    * all batches; re-admitted ids are dropped (idempotent replays).
+    * set after n batches equals the full self-join's exactly WHEN
+    * `maxGramDf` never binds (the full-vs-incremental gate row pins
+    * this regime). Under a BINDING cap the two runs block on different
+    * df snapshots: gram document frequency only GROWS as the corpus
+    * grows, so an admit-time df is ≤ the one-shot corpus df — grams the
+    * one-shot run excludes were still under-cap at early admits. Every
+    * candidate is exact-verified either way, so the incremental edge
+    * set is a SUPERSET of the one-shot's (strictly better recall, never
+    * a wrong edge); what a binding cap costs is one-shot REPRODUCIBILITY,
+    * not correctness. Ids must be unique across all batches;
+    * re-admitted ids are dropped (idempotent replays).
     *
     * Write order is edges THEN records: a crash between them re-derives
     * the batch's edges on retry (the batch ids are still unknown), and

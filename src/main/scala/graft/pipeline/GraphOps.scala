@@ -57,6 +57,23 @@ object GraphOps {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(checkpointEvery >= 1,
       s"checkpointEvery must be >= 1, got $checkpointEvery")
+    // loud id typing, the [[connectedComponents]] contract: a silent
+    // bigint cast of string ids would null every endpoint and VANISH the
+    // node from the graph — wrong ranks, no error. (Unlike CC, there is
+    // no string arm here: ranks are integer arithmetic over micro-units
+    // and ids are only join keys, but accepting strings silently-cast is
+    // exactly the mislabel class the r14/r15 adjudications closed.)
+    locally {
+      import org.apache.spark.sql.types._
+      val integral = Set[DataType](ByteType, ShortType, IntegerType, LongType)
+      val ts = edges.schema("src").dataType
+      val td = edges.schema("dst").dataType
+      if (!(integral(ts) && integral(td)))
+        throw new IllegalArgumentException(
+          s"pagerankInt: edge endpoints must both be integral, got " +
+            s"(src: $ts, dst: $td) — map ids to bigint explicitly (a " +
+            "lossy implicit cast would drop nodes silently)")
+    }
     val e = edges.select(col("src").cast("bigint").as("src"),
       col("dst").cast("bigint").as("dst")).distinct()
     // materialize the degree-annotated edge list and node set ONCE —

@@ -315,6 +315,14 @@ object Lakehouse {
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
                    keys: Seq[String],
                    compareCols: Seq[String]): DataFrame = {
+    // the markers are planted with withColumn, which silently REPLACES a
+    // same-named input column — a snapshot that happened to carry
+    // __in_old with null/false values would misclassify its rows as
+    // inserts. Reserved names fail loudly instead.
+    for (c <- Seq("__in_old", "__in_new"))
+      require(!oldSnap.columns.contains(c) && !newSnap.columns.contains(c),
+        s"snapshotDiff: input carries reserved marker column '$c' — " +
+          "rename it before diffing (the marker decides row presence)")
     val o = oldSnap.withColumn("__in_old", lit(true)).alias("o")
     val n = newSnap.withColumn("__in_new", lit(true)).alias("n")
     val keyMatch = keys.map(k => col(s"o.$k") === col(s"n.$k"))

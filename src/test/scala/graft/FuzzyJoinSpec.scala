@@ -230,6 +230,53 @@ class FuzzyJoinSpec extends SparkTestBase {
       (30L, None, None)))
   }
 
+  test("cosineJoinWithStats: the df cap's recall trade is SURFACED — " +
+    "every excluded token lands in cappedTokens with its df, and a " +
+    "non-binding cap reports nothing") {
+    import spark.implicits._
+    val l = Seq((1L, "Acme Corp Ltd"), (4L, "zz qq")).toDF("id", "name")
+    val r = Seq((2L, "ltd acme ACME corp"), (5L, "zz pp")).toDF("id", "name")
+    val capped = FuzzyJoin.cosineJoinWithStats(l, r, "id", "name",
+      tauMilli = 100, maxTokenDf = 1L)
+    assert(capped.pairs.count() == 0L) // every shared token is over-cap
+    val listed = capped.cappedTokens.collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    // the tokens whose exclusion DROPPED candidates are all reported
+    assert(listed === Map("acme" -> 2L, "corp" -> 2L, "ltd" -> 2L,
+      "zz" -> 2L))
+    // default (low-thousands) cap: nothing excluded, nothing reported
+    val open = FuzzyJoin.cosineJoinWithStats(l, r, "id", "name",
+      tauMilli = 100)
+    assert(open.cappedTokens.count() == 0L && open.pairs.count() == 2L)
+  }
+
+  test("cosineJoin: a DECIMAL(38) overflow of the exact threshold test " +
+    "FAILS LOUDLY instead of silently dropping the pair") {
+    import spark.implicits._
+    // w saturates at 10⁶ once N ≥ 1000·df: 1998 one-token fillers push
+    // N to 2000, two records share 10⁴ df-2 tokens → dot = 10⁴·10¹² =
+    // 10¹⁶ and dot²·10⁶ = 10³⁸ — one digit past DECIMAL(38,0). Spark
+    // nulls the product; the guard must turn that null into an error.
+    val big = (0 until 10000).map("t" + _).mkString(" ")
+    val recs = (Seq((1L, big), (2L, big)) ++
+      (3L to 2000L).map(i => (i, s"f$i"))).toDF("id", "name")
+    val e = intercept[Exception] {
+      FuzzyJoin.cosineJoin(recs, recs, "id", "name", tauMilli = 800)
+        .count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    // two loud paths, both acceptable: under ANSI mode (Spark 4's
+    // default) the engine throws NUMERIC_VALUE_OUT_OF_RANGE at the
+    // overflowing multiply; with ANSI off the product nulls and the
+    // operator's own guard raises. Either way the pair cannot vanish.
+    assert(messages(e).exists(m => m.contains("DECIMAL(38) overflow") ||
+      m.contains("NUMERIC_VALUE_OUT_OF_RANGE") ||
+      m.contains("cannot be represented as Decimal")),
+      messages(e).mkString(" | "))
+  }
+
   test("plan: candidate generation is equi-joins, never a cross join") {
     val plan = FuzzyJoin.join(df("l"), df("r"), "id", "str", maxDist = 1)
       .queryExecution.executedPlan.toString
