@@ -1119,6 +1119,49 @@ object SparkEntry {
           sum("n_chars").as("sum_chars"))
         .orderBy("lang")
     }),
+    // lake-wide ATOMIC snapshot commit (r15 verdict ask #2): a
+    // content-CHANGING write touching BOTH partitions (takedowns +
+    // source revisions) flips with one manifest put — the oracle states
+    // the committed table, and the row only matches if the read resolves
+    // post-commit state for every partition at once
+    "lake_snapshot" -> ((s, d) => {
+      val root = s"/tmp/graft_lake_snap/${new java.io.File(d).getName}"
+      val p0 = new org.apache.hadoop.fs.Path(root)
+      p0.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p0, true)
+      val docs = T(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"))
+      def half(p: Int) = docs.filter(col("doc_id") % 2 === p)
+        .withColumn("p", lit(p)) // partition value rides IN the data
+      _root_.graft.pipeline.Lakehouse.commitSnapshot(s, root,
+        Seq("p=0" -> half(0), "p=1" -> half(1)))
+      def revised(p: Int) = half(p).filter(col("doc_id") % 7 =!= 0)
+        .withColumn("source", when(col("doc_id") % 5 === 0, lit("revised"))
+          .otherwise(col("source")))
+      _root_.graft.pipeline.Lakehouse.commitSnapshot(s, root,
+        Seq("p=0" -> revised(0), "p=1" -> revised(1)))
+      _root_.graft.pipeline.Lakehouse.readSnapshot(s, root)
+        .select(col("doc_id"), col("lang"), col("source"), col("p"))
+        .orderBy("doc_id")
+    }),
+    // file-level time travel falls out of kept manifests: after the
+    // content-changing commit, asOf=1 must read the ORIGINAL table
+    "lake_snapshot_timetravel" -> ((s, d) => {
+      val root = s"/tmp/graft_lake_snap_tt/${new java.io.File(d).getName}"
+      val p0 = new org.apache.hadoop.fs.Path(root)
+      p0.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p0, true)
+      val docs = T(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"))
+      def half(p: Int) = docs.filter(col("doc_id") % 2 === p)
+        .withColumn("p", lit(p))
+      _root_.graft.pipeline.Lakehouse.commitSnapshot(s, root,
+        Seq("p=0" -> half(0), "p=1" -> half(1)))
+      _root_.graft.pipeline.Lakehouse.commitSnapshot(s, root,
+        Seq("p=0" -> half(0).filter(col("doc_id") % 7 =!= 0),
+          "p=1" -> half(1).filter(col("doc_id") % 7 =!= 0)))
+      _root_.graft.pipeline.Lakehouse.readSnapshot(s, root, asOf = Some(1))
+        .select(col("doc_id"), col("lang"), col("source"), col("p"))
+        .orderBy("doc_id")
+    }),
     // fuzzy string join (edit distance <= 1): 10-char md5-hex keys vs
     // their deterministic one-char deletions — q-gram blocked candidates
     // + the exact codegen'd levenshtein verify, never a cross join. q=4
@@ -2685,6 +2728,17 @@ object SparkEntry {
       """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // the COMMITTED table: takedowns (doc_id%7=0) gone and revisions
+    // (doc_id%5=0) applied across BOTH partitions at once
+    "lake_snapshot" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'revised' ELSE source END AS source,
+        |  CAST(doc_id % 2 AS INTEGER) AS p
+        |FROM documents WHERE doc_id % 7 <> 0 ORDER BY doc_id""".stripMargin,
+    // asOf the pre-change snapshot: the ORIGINAL table, untouched
+    "lake_snapshot_timetravel" ->
+      """SELECT doc_id, lang, source, CAST(doc_id % 2 AS INTEGER) AS p
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // brute-force edit-distance truth: the blocked join must find exactly
     // the pairs the full quadratic scan finds
     "q_fuzzy_join" ->

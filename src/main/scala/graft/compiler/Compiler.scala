@@ -28,7 +28,15 @@ final case class Compiled(df: DataFrame, sigs: Map[String, (String, List[String]
                             * small-side-first BGP join order, as the
                             * reference orders its bushy tree by selectivity
                             * (`Tree.py:343-420`). */
-                          card: Long = -1L) {
+                          card: Long = -1L,
+                          /** per-backend transfer weight of the most
+                            * expensive backend this subplan scans
+                            * ([[graft.compiler.RoutePlanner.backendWeight]],
+                            * the reference's `getdsscore` source-type rank):
+                            * BGP join ordering ranks units by card×weight,
+                            * so a mixed federation pulls the cheap-transport
+                            * side first. 1 = local. */
+                          weight: Long = 1L) {
   def visibleVars: Seq[String] = df.columns.toSeq.filterNot(Compiled.isHidden)
   def dropHidden: DataFrame = {
     val hidden = df.columns.filter(Compiled.isHidden)
@@ -934,7 +942,12 @@ final class Compiler(catalog: Catalog, load: String => DataFrame,
     val vars = inner.vars.toList.sorted
     val shared = lc.visibleVars.toSet.intersect(inner.vars).toList.sorted
     val schema = StructType(vars.map(StructField(_, StringType, nullable = true)))
-    val window = spark.conf.get("graft.service.bindJoin.window", "20").toInt
+    // "auto" (the default) sizes the VALUES window from the MEASURED key
+    // count and page economics (BindJoin.adaptiveWindow) — few distinct
+    // keys ⇒ ONE remote request, huge builds batch at the page-filling
+    // width; a pinned integer still wins, and a malformed value still
+    // throws (the Round6 contract: config errors surface, never degrade)
+    val windowConf = spark.conf.get("graft.service.bindJoin.window", "auto")
     val maxKeys = spark.conf.get("graft.service.bindJoin.maxKeys", "10000").toInt
     val maxFetchRows =
       spark.conf.get("graft.service.bindJoin.maxFetchRows", "1000000").toInt
@@ -961,6 +974,10 @@ final class Compiler(catalog: Catalog, load: String => DataFrame,
           spark.createDataFrame(
             new java.util.ArrayList[org.apache.spark.sql.Row](), schema),
           shared, "inner"), lc.sigs -- shared)
+      val window =
+        if (windowConf == "auto")
+          graft.operators.BindJoin.adaptiveWindow(keys.length)
+        else windowConf.toInt
       // one VALUES-window query per batch, fetched ON THE EXECUTORS —
       // window requests run in parallel across the cluster; the driver
       // only builds the query strings and receives the matched rows
@@ -968,8 +985,16 @@ final class Compiler(catalog: Catalog, load: String => DataFrame,
         s"SELECT ${vars.map("?" + _).mkString(" ")} WHERE { " +
           s"${SparqlText.pattern(inner)} ${SparqlText.valuesBlock(shared, rows.toSeq)} }"
       }.toSeq
+      // concurrency against the endpoint is CAPPED (default 32, the
+      // maxPartitions convention of the paged scans): past the cap each
+      // task walks several window queries sequentially — a thousand-
+      // batch build must not open a thousand sockets against one store
+      // (and on a loopback harness, unbounded fetch tasks would hold
+      // every executor slot while the server needs one — deadlock)
+      val fetchPar = math.max(1, spark.conf
+        .get("graft.service.bindJoin.maxConcurrentFetch", "32").toInt)
       val fetched = spark.sparkContext
-        .parallelize(batchQueries, batchQueries.size)
+        .parallelize(batchQueries, math.min(batchQueries.size, fetchPar))
         .flatMap(q => graft.sources.SparqlHttp.select(src, q, schema))
         .collect()
       // the matched rows land in a LocalRelation, not a persisted RDD:
@@ -1122,7 +1147,13 @@ final class Compiler(catalog: Catalog, load: String => DataFrame,
       case None      => stars.map(compileStar)
     }
     val compiled = mutable.ListBuffer(units: _*)
-    def est(c: Compiled): Long = if (c.card < 0) Long.MaxValue else c.card
+    // rank by TRANSFER, not raw rows: card × backend weight (saturating),
+    // so a mixed federation pulls the cheap-transport side first — the
+    // reference's getdsscore source-type rank with real statistics
+    def est(c: Compiled): Long =
+      if (c.card < 0) Long.MaxValue
+      else if (c.weight > 0 && c.card > Long.MaxValue / c.weight) Long.MaxValue
+      else c.card * c.weight
     val first = compiled.minBy(est)
     var acc = compiled.remove(compiled.indexWhere(_ eq first))
     var accVars = acc.visibleVars.toSet
@@ -1528,7 +1559,8 @@ final class Compiler(catalog: Catalog, load: String => DataFrame,
     // the broadcast hint is *carried*, not applied: wrapping every fragment
     // leaves dangling hints on fragments that end up union branches
     // (HintErrorLogger noise); join2 attaches it at join construction
-    Compiled(out, sigs, bcast = m.broadcastHint, card = estCard)
+    Compiled(out, sigs, bcast = m.broadcastHint, card = estCard,
+      weight = RoutePlanner.backendWeight(m.source))
   }
 
   /** Join on shared variables. Template-built vars with matching signatures
@@ -1558,7 +1590,8 @@ final class Compiler(catalog: Catalog, load: String => DataFrame,
       // a cross join of two broadcast-size sides is |l|·|r| rows — never
       // propagate the broadcast hint through it (a later join would inhale
       // an oversized broadcast)
-      Compiled(joined, l.sigs ++ r.sigs, bcast = false, card = joinCard(cross = true))
+      Compiled(joined, l.sigs ++ r.sigs, bcast = false,
+        card = joinCard(cross = true), weight = math.max(l.weight, r.weight))
     } else {
       val joinCols = mutable.ListBuffer[String]()
       val dropRight = mutable.ListBuffer[String]()
@@ -1583,7 +1616,8 @@ final class Compiler(catalog: Catalog, load: String => DataFrame,
       val rSigs = (r.sigs -- shared).filter { case (_, (_, h)) =>
         h.forall(joined.columns.contains)
       }
-      Compiled(joined, sigs ++ rSigs, outBcast, card = joinCard(cross = false))
+      Compiled(joined, sigs ++ rSigs, outBcast,
+        card = joinCard(cross = false), weight = math.max(l.weight, r.weight))
     }
   }
 
@@ -1659,7 +1693,8 @@ final class Compiler(catalog: Catalog, load: String => DataFrame,
     val rdf = if (dropR.isEmpty) r.df else r.df.drop(dropR.toSeq: _*)
     Compiled(ldf.unionByName(rdf, allowMissingColumns = true), sigs,
       l.bcast && r.bcast,
-      card = if (l.card < 0 || r.card < 0) -1L else l.card + r.card)
+      card = if (l.card < 0 || r.card < 0) -1L else l.card + r.card,
+      weight = math.max(l.weight, r.weight))
   }
 
   private def typedLit(lex: String, dt: Option[String], target: DataType): Column =

@@ -103,6 +103,36 @@ object RoutePlanner {
   val BindKeyCap = 10000L
   val BindFanout = 4L
 
+  /** Per-backend transfer weight — the reference's source-TYPE ranking
+    * (`Tree.py:381-420` `getdsscore` scores a star by its source's
+    * capabilities before cardinality tie-breaks) done as a multiplier on
+    * the probed cardinality: in a MIXED federation the join order should
+    * prefer pulling N rows from the local lake over N rows from a wire
+    * backend, and among wire backends prefer the cheaper transport.
+    * Weights, smallest first:
+    *
+    *  - local lake / unrecognized (1): columnar splits inside the
+    *    cluster, no wire;
+    *  - JDBC (2): one row cursor over a single connection — compact
+    *    rows, no paging overhead, but serial;
+    *  - document/graph stores (3): per-document/record re-serialization
+    *    (BSON / Bolt records) plus cursor paging;
+    *  - SPARQL endpoints (4): HTTP paging with per-page request overhead
+    *    AND row-per-binding verbosity (the ShipAb-measured pattern).
+    *
+    * Like every constant in this model the weight only has to RANK the
+    * alternatives, not predict throughput; equal-weight stars keep the
+    * pure cardinality order, so single-backend federations are
+    * unchanged. */
+  def backendWeight(source: String): Long = {
+    val s = source.toLowerCase
+    if (s.startsWith("http://") || s.startsWith("https://")) 4L
+    else if (s.startsWith("mongodb") || s.startsWith("bolt:") ||
+      s.startsWith("neo4j")) 3L
+    else if (s.startsWith("jdbc:")) 2L
+    else 1L
+  }
+
   /** LOCAL-route transfer for one connected star group, from the
     * members' cardinality estimates: bind-join-aware sum (see
     * [[bgpEst]]); Unknown taints. Used by the whole-query estimator and

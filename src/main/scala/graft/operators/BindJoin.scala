@@ -21,14 +21,45 @@ import org.apache.spark.sql.functions._
   */
 object BindJoin {
 
+  /** Batch size when the caller does not pin one, derived from the
+    * MEASURED build-side key count and the endpoint's page economics
+    * (the `tools/ShipAb` request-dominance observation) instead of the
+    * reference's fixed `WINDOW_SIZE = 20` (`NestedHashJoinFilter.py:20`):
+    *
+    *  - each batch costs one remote round trip and returns about
+    *    [[graft.compiler.RoutePlanner.BindFanout]] rows per key, and a
+    *    remote response pages at `pageSize` rows — so batches past
+    *    `pageSize / fanout` keys stop saving round trips (their result
+    *    already fills a page; total pages ≈ total rows / pageSize
+    *    regardless) and only bloat the remote query text;
+    *  - a build with FEWER distinct keys than that bound takes ONE
+    *    batch — the selective case the bind join exists for should cost
+    *    exactly one extra round trip, not ⌈n/20⌉ of them.
+    *
+    * The fanout constant is shared with the route model so the runtime
+    * and [[graft.compiler.RoutePlanner]]'s transfer estimates never
+    * disagree about what a bound key is worth; the floor of 20 (the
+    * reference's constant) keeps a pathological `pageSize` from
+    * degrading to per-key queries. */
+  def adaptiveWindow(nKeys: Int, pageSize: Int = 10000,
+                     fanout: Long = graft.compiler.RoutePlanner.BindFanout): Int = {
+    require(nKeys >= 0 && pageSize >= 1 && fanout >= 1,
+      s"bad adaptiveWindow inputs: nKeys=$nKeys pageSize=$pageSize fanout=$fanout")
+    val byPage = math.max(20L, pageSize / fanout)
+    math.max(1L, math.min(nKeys.toLong, byPage)).toInt
+  }
+
   /** @param fetchRight one batch of distinct key rows → right-side rows
     *                   (e.g. a JDBC/SPARQL query with an IN-list). Batches
     *                   run as independent jobs; results are unioned lazily.
+    * @param windowSize keys per batch; 0 (the default) sizes it from the
+    *                   measured key count via [[adaptiveWindow]].
     */
   def apply(left: DataFrame, keys: Seq[String],
             fetchRight: Seq[Row] => DataFrame,
-            windowSize: Int = 20, maxKeys: Int = 100000,
+            windowSize: Int = 0, maxKeys: Int = 100000,
             joinType: String = "inner"): DataFrame = {
+    require(windowSize >= 0, s"windowSize must be >= 0 (0 = adaptive), got $windowSize")
     val distinctKeys = left.select(keys.map(col): _*).distinct()
       .limit(maxKeys + 1).collect()
     require(distinctKeys.length <= maxKeys,
@@ -37,7 +68,9 @@ object BindJoin {
       require(joinType == "inner", "empty left side: only inner bind join is defined")
       left.limit(0)
     } else {
-      val right = distinctKeys.grouped(windowSize).map(b => fetchRight(b.toSeq))
+      val window =
+        if (windowSize > 0) windowSize else adaptiveWindow(distinctKeys.length)
+      val right = distinctKeys.grouped(window).map(b => fetchRight(b.toSeq))
         .reduce(_.unionByName(_))
       left.join(right, keys, joinType)
     }

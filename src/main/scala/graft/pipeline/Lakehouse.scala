@@ -122,6 +122,14 @@ object Lakehouse {
     * migration; the loose files are GC'd one cycle after the first
     * compaction like any superseded generation.
     *
+    * NAIVE reads fail LOUDLY, not silently: once the first generation
+    * exists, a raw recursive `spark.read.parquet(root)` would list loose
+    * files and every generation together (double counting), so the first
+    * compaction plants a small visible non-parquet [[Sentinel]] file at
+    * the root — the naive read trips over it with a footer-parse error
+    * naming this contract, while managed readers (which resolve to a
+    * generation dir) never list the root as data.
+    *
     * Idempotent: a table already at or under the target file count
     * returns untouched. Returns (filesBefore, filesAfter, bytes). */
   def compactFiles(spark: org.apache.spark.sql.SparkSession, path: String,
@@ -129,6 +137,10 @@ object Lakehouse {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(root, LakeDir)),
+      s"$path is snapshot-managed ($LakeDir exists): compact it through " +
+        "compactDrifted/commitSnapshot so the manifest stays the single " +
+        "commit point — marker-based compaction would orphan its references")
     val before = dataFiles(fs, new org.apache.hadoop.fs.Path(
       resolveCompacted(spark, path)))
     val bytes = before.map(_.getLen).sum
@@ -141,6 +153,12 @@ object Lakehouse {
     spark.read.parquet(resolveCompacted(spark, path)).repartition(target)
       .write.mode("overwrite").parquet(next.toString)
     fs.create(new org.apache.hadoop.fs.Path(next, CompleteMarker), true).close()
+    // from the first generation on, a NAIVE spark.read.parquet(root)
+    // would list the loose files AND every generation — silent double
+    // counting. The sentinel is a small non-parquet file the naive read
+    // trips over (footer parse fails LOUDLY); managed readers resolve to
+    // a generation dir and never list the root as data.
+    plantSentinel(fs, root)
     // GC everything older than the PREVIOUS generation: stamped gens
     // <= n-2, every unstamped partial below n, and (once the previous
     // generation is itself a gen dir, n >= 2) the pre-adoption loose
@@ -160,11 +178,31 @@ object Lakehouse {
   private val CompleteMarker = "_GRAFT_COMPLETE"
   private val GenName = "^gen-(\\d{8})$".r
 
+  /** Visible (non-underscore) on purpose: Spark's listing filters skip
+    * `_`/`.` names, so a hidden marker would leave the naive read
+    * silently wrong — this one gets LISTED as data and fails the parquet
+    * footer parse with the file name in the error. */
+  private[graft] val Sentinel = "GRAFT_MANAGED_TABLE_SEE_resolveCompacted"
+
+  private def plantSentinel(fs: org.apache.hadoop.fs.FileSystem,
+                            dir: org.apache.hadoop.fs.Path): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, Sentinel)
+    if (!fs.exists(p)) {
+      val out = fs.create(p, true)
+      out.write(("this table is generation-managed by graft: read it " +
+        "through Lakehouse.resolveCompacted/readCompacted (or " +
+        "readSnapshot for a snapshot-managed lake) — a raw recursive " +
+        "parquet read would double-count superseded generations\n")
+        .getBytes("UTF-8"))
+      out.close()
+    }
+  }
+
   private def dataFiles(fs: org.apache.hadoop.fs.FileSystem,
                         p: org.apache.hadoop.fs.Path) =
     fs.listStatus(p).filter { st =>
       val n = st.getPath.getName
-      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      st.isFile && !n.startsWith("_") && !n.startsWith(".") && n != Sentinel
     }
 
   private def stamped(fs: org.apache.hadoop.fs.FileSystem,
@@ -184,7 +222,9 @@ object Lakehouse {
     if (gens.isEmpty) None else Some(gens.max)
   }
 
-  /** The directory currently holding `path`'s data: the highest complete
+  /** The directory currently holding `path`'s data: for a
+    * SNAPSHOT-managed table ([[commitSnapshot]]' layout) the data dir
+    * the current manifest commits; otherwise the highest complete
     * generation ([[compactFiles]]' layout), or `path` itself when no
     * generation exists (a plain parquet directory). Resolution is a
     * directory listing plus one marker existence check per generation —
@@ -194,6 +234,17 @@ object Lakehouse {
                        path: String): String = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(root, LakeDir))) {
+      val m = currentManifest(spark, path)
+      return m.get("") match {
+        case Some(gen) =>
+          new org.apache.hadoop.fs.Path(root, gen).toString
+        case None => throw new IllegalStateException(
+          s"$path is a snapshot-managed PARTITIONED lake " +
+            s"(${m.size} partitions): one directory cannot represent " +
+            "it — read through readSnapshot(root)")
+      }
+    }
     currentGen(fs, root) match {
       case Some(n) => new org.apache.hadoop.fs.Path(root, f"gen-$n%08d").toString
       case None    => path
@@ -206,6 +257,276 @@ object Lakehouse {
                     path: String): DataFrame =
     spark.read.parquet(resolveCompacted(spark, path))
 
+  // ---- lake-wide atomic snapshot commit -------------------------------------
+
+  private val LakeDir = "_graft_lake"
+  private val SnapName = "^snap-(\\d{8})$".r
+
+  private def fsOf(spark: org.apache.spark.sql.SparkSession,
+                   p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def snapIds(fs: org.apache.hadoop.fs.FileSystem,
+                      root: org.apache.hadoop.fs.Path): Seq[Int] = {
+    val dir = new org.apache.hadoop.fs.Path(root, LakeDir)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.collect {
+      case st if st.isFile => st.getPath.getName match {
+        case SnapName(n) => Some(n.toInt)
+        case _           => None
+      }
+    }.flatten.sorted
+  }
+
+  /** Highest committed snapshot id of a snapshot-managed lake, if any. */
+  def currentSnapshotId(spark: org.apache.spark.sql.SparkSession,
+                        root: String): Option[Int] = {
+    val r = new org.apache.hadoop.fs.Path(root)
+    snapIds(fsOf(spark, r), r).lastOption
+  }
+
+  private def snapFile(root: org.apache.hadoop.fs.Path, id: Int) =
+    new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(root, LakeDir),
+      f"snap-$id%08d")
+
+  /** partition-relative dir ("" = the table root) + committed data
+    * subdir → the absolute data directory. */
+  private def dataDir(root: org.apache.hadoop.fs.Path, rel: String,
+                      gen: String): org.apache.hadoop.fs.Path = {
+    val part = if (rel.isEmpty) root else new org.apache.hadoop.fs.Path(root, rel)
+    new org.apache.hadoop.fs.Path(part, gen)
+  }
+
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+                           p: org.apache.hadoop.fs.Path): Map[String, String] = {
+    val in = fs.open(p)
+    val text = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+      new String(bos.toByteArray, "UTF-8")
+    } finally in.close()
+    text.linesIterator.filter(_.nonEmpty).map { line =>
+      val i = line.indexOf('\t')
+      require(i >= 0, s"malformed manifest line in $p: '$line'")
+      (line.substring(0, i), line.substring(i + 1))
+    }.toMap
+  }
+
+  /** The partition→data-dir mapping of snapshot `asOf` (default: the
+    * current snapshot). Throws on a lake with no snapshot. */
+  def currentManifest(spark: org.apache.spark.sql.SparkSession, root: String,
+                      asOf: Option[Int] = None): Map[String, String] = {
+    val r = new org.apache.hadoop.fs.Path(root)
+    val fs = fsOf(spark, r)
+    val id = asOf.orElse(snapIds(fs, r).lastOption).getOrElse(
+      throw new IllegalStateException(s"$root has no committed snapshot"))
+    val p = snapFile(r, id)
+    require(fs.exists(p), s"snapshot $id of $root does not exist " +
+      "(GC'd or never committed) — time travel reaches kept snapshots only")
+    readManifest(fs, p)
+  }
+
+  private def nextGenName(fs: org.apache.hadoop.fs.FileSystem,
+                          dir: org.apache.hadoop.fs.Path): String = {
+    val n =
+      if (!fs.exists(dir)) 1
+      else fs.listStatus(dir).collect {
+        case st if st.isDirectory => st.getPath.getName match {
+          case GenName(g) => Some(g.toInt)
+          case _          => None
+        }
+      }.flatten.foldLeft(0)(math.max) + 1
+    f"gen-$n%08d"
+  }
+
+  /** Commit the manifest `mapping` as the next snapshot — the SINGLE
+    * atomic step that makes every data directory it references current
+    * at once. Written to a dotted temp name, then renamed into place:
+    * rename is atomic on HDFS/POSIX stores, and on S3-class stores the
+    * copy inside rename is one PUT of one small object, which is itself
+    * atomic — either the complete manifest appears or nothing does. A
+    * concurrent committer loses the rename race and throws (optimistic
+    * concurrency; last-committer-wins would silently drop writes). */
+  private def commitManifest(spark: org.apache.spark.sql.SparkSession,
+                             root: String,
+                             mapping: Map[String, String]): Int = {
+    val r = new org.apache.hadoop.fs.Path(root)
+    val fs = fsOf(spark, r)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(r, LakeDir))
+    val id = snapIds(fs, r).lastOption.getOrElse(0) + 1
+    val target = snapFile(r, id)
+    val tmp = new org.apache.hadoop.fs.Path(target.getParent,
+      s".${target.getName}.tmp")
+    val out = fs.create(tmp, true)
+    out.write(mapping.toSeq.sortBy(_._1)
+      .map { case (rel, gen) => s"$rel\t$gen\n" }.mkString.getBytes("UTF-8"))
+    out.close()
+    if (fs.exists(target) || !fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"snapshot $id of $root was committed concurrently — re-read the " +
+          "current snapshot and retry the write")
+    }
+    id
+  }
+
+  private def validRel(rel: String): Boolean =
+    !rel.contains('\t') && !rel.contains("..") && rel != "." &&
+      !rel.startsWith("/") && !rel.endsWith("/") &&
+      !rel.startsWith("_") && !rel.startsWith(".")
+
+  /** Lake-wide ATOMIC multi-partition commit — the transaction the
+    * generation machinery alone lacks: a content-CHANGING write touching
+    * several partitions ([[applyCdc]]/[[mergeUpsert]]/[[scd2Apply]]
+    * outputs) must never expose partition A's new state with partition
+    * B's old one. Each write lands in a fresh UNSTAMPED generation dir
+    * under its partition; currency flips for ALL of them at once when
+    * [[commitManifest]] puts the one manifest file — until that instant
+    * every reader resolves the previous snapshot in full, and a crash
+    * mid-write leaves unreferenced generations the next [[snapshotGc]]
+    * removes (the old snapshot stays intact: crash-relic contract).
+    *
+    * `writes` maps a partition-relative dir (`"lang=en"`; `""` for an
+    * unpartitioned table) to its FULL new content. Unnamed partitions
+    * carry over from the current snapshot unchanged — file-level MVCC,
+    * so old snapshots remain readable until GC'd and time travel
+    * ([[readSnapshot]]`(asOf)`) falls out of the kept manifests.
+    *
+    * Contract: partition VALUES ride in the data columns (the manifest
+    * key is bookkeeping, not hive inference — that is what lets
+    * [[readSnapshot]] plan ONE multi-root scan instead of a union per
+    * partition). Adopting a plain parquet dir rewrites it once into
+    * `gen-00000001` as snapshot 1's base; a hive-partitioned lake whose
+    * files lack the partition columns must be committed explicitly,
+    * partition by partition, with the values materialized. Returns the
+    * committed snapshot id. */
+  def commitSnapshot(spark: org.apache.spark.sql.SparkSession, root: String,
+                     writes: Seq[(String, DataFrame)]): Int = {
+    require(writes.nonEmpty, "commitSnapshot needs at least one write")
+    writes.foreach { case (rel, _) =>
+      require(rel.isEmpty || validRel(rel),
+        s"bad partition-relative dir '$rel'") }
+    require(writes.map(_._1).distinct.size == writes.size,
+      "one write per partition: duplicate partition dirs in the commit")
+    val r = new org.apache.hadoop.fs.Path(root)
+    val fs = fsOf(spark, r)
+    val base: Map[String, String] = snapIds(fs, r).lastOption match {
+      case Some(id) => readManifest(fs, snapFile(r, id))
+      case None     => adoptLoose(spark, fs, r, writes.exists(_._1.isEmpty))
+    }
+    val updated = writes.map { case (rel, df) =>
+      val part = if (rel.isEmpty) r else new org.apache.hadoop.fs.Path(r, rel)
+      val gen = nextGenName(fs, part)
+      df.write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(part, gen).toString)
+      plantSentinel(fs, part)
+      rel -> gen
+    }
+    plantSentinel(fs, r)
+    commitManifest(spark, root, base ++ updated)
+  }
+
+  /** First-commit adoption: a plain unpartitioned parquet dir (loose
+    * files, or a marker-managed current generation) becomes the `""`
+    * entry of the base mapping by ONE content-preserving rewrite into a
+    * generation dir — snapshot data always lives in generations, so no
+    * manifest ever references a directory the sentinel also lives in.
+    * Skipped when this very commit overwrites `""` anyway. Partitioned
+    * pre-snapshot lakes must be committed explicitly (their hive files
+    * lack the partition columns — see [[commitSnapshot]]). */
+  private def adoptLoose(spark: org.apache.spark.sql.SparkSession,
+                         fs: org.apache.hadoop.fs.FileSystem,
+                         r: org.apache.hadoop.fs.Path,
+                         rootRewritten: Boolean): Map[String, String] = {
+    if (!fs.exists(r)) return Map.empty
+    val kvDirs = fs.listStatus(r).filter(st =>
+      st.isDirectory && st.getPath.getName.contains("="))
+    require(kvDirs.isEmpty,
+      s"$r is hive-partitioned and not yet snapshot-managed: adopt it by " +
+        "committing each partition explicitly with its partition values " +
+        "as data columns (hive files do not carry them)")
+    if (rootRewritten) return Map.empty // this commit replaces "" anyway
+    val hasData = dataFiles(fs, r).nonEmpty ||
+      currentGen(fs, r).isDefined
+    if (!hasData) Map.empty
+    else {
+      val gen = nextGenName(fs, r)
+      spark.read.parquet(resolveCompacted(spark, r.toString))
+        .write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(r, gen).toString)
+      Map("" -> gen)
+    }
+  }
+
+  /** Read a snapshot-managed lake: the manifest's data dirs (optionally
+    * `asOf` an older kept snapshot — file-level time travel) planned as
+    * ONE multi-root parquet scan, never a union per partition.
+    * `partitionFilter` prunes manifest ENTRIES before planning — the
+    * manifest-level partition pruning of every table format that owns
+    * its file listing; a filtered scan then still row-group-prunes on
+    * the materialized partition columns. */
+  def readSnapshot(spark: org.apache.spark.sql.SparkSession, root: String,
+                   asOf: Option[Int] = None,
+                   partitionFilter: String => Boolean = _ => true): DataFrame = {
+    val m = currentManifest(spark, root, asOf)
+    val r = new org.apache.hadoop.fs.Path(root)
+    val kept = m.toSeq.filter { case (rel, _) => partitionFilter(rel) }
+      .map { case (rel, gen) => dataDir(r, rel, gen).toString }
+    require(kept.nonEmpty,
+      s"snapshot of $root has no partitions left after the filter")
+    spark.read.parquet(kept: _*)
+  }
+
+  /** Snapshot GC: keep the newest `keepSnapshots` manifests, delete
+    * older ones, then delete every generation directory (under the root
+    * and its partition dirs) no kept manifest references — superseded
+    * data AND crash relics of never-committed writes. A reader of a
+    * kept snapshot is never affected; time travel past the kept window
+    * is gone by design (the retention policy is the cadence contract,
+    * as with [[compactFiles]]). Returns (snapshots deleted, data dirs
+    * deleted). */
+  def snapshotGc(spark: org.apache.spark.sql.SparkSession, root: String,
+                 keepSnapshots: Int = 2): (Int, Int) = {
+    require(keepSnapshots >= 1, s"must keep >= 1 snapshot, got $keepSnapshots")
+    val r = new org.apache.hadoop.fs.Path(root)
+    val fs = fsOf(spark, r)
+    val ids = snapIds(fs, r)
+    require(ids.nonEmpty, s"$root is not snapshot-managed")
+    val (drop, keep) = ids.splitAt(math.max(0, ids.size - keepSnapshots))
+    // qualified on BOTH sides: listStatus returns scheme-qualified URIs
+    // while caller paths may be bare — a string mismatch here would GC
+    // live data
+    val referenced: Set[String] = keep.flatMap(id =>
+      readManifest(fs, snapFile(r, id)).toSeq
+        .map { case (rel, gen) =>
+          fs.makeQualified(dataDir(r, rel, gen)).toString }).toSet
+    drop.foreach(id => fs.delete(snapFile(r, id), false))
+    // candidate data dirs: every gen-* found by walking the partition
+    // tree (BFS that never descends into generations or _-hidden dirs) —
+    // covers crash relics in brand-new and nested partition dirs too
+    var removed = 0
+    val queue = scala.collection.mutable.Queue(r)
+    while (queue.nonEmpty) {
+      val d = queue.dequeue()
+      fs.listStatus(d).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && !name.startsWith("_") && !name.startsWith(".")) {
+          if (GenName.matches(name)) {
+            if (!referenced.contains(fs.makeQualified(st.getPath).toString)) {
+              fs.delete(st.getPath, true)
+              removed += 1
+            }
+          } else queue.enqueue(st.getPath)
+        }
+      }
+    }
+    // pre-adoption loose files at the root are superseded copies no
+    // manifest can reference (snapshot data lives in generations) —
+    // first GC after adoption reclaims them
+    dataFiles(fs, r).foreach(st => fs.delete(st.getPath, false))
+    (drop.size, removed)
+  }
+
   /** Compact every DRIFTED partition of a hive-partitioned lake — the
     * 100 TB composition: the unit of compaction is one `key=value`
     * partition directory, never the whole lake in one job (SCALE.md;
@@ -217,12 +538,48 @@ object Lakehouse {
     * byte-implied file target are untouched. Returns one
     * (partitionDir, filesBefore, filesAfter) row per REWRITTEN
     * partition. Readers of a managed partition resolve through
-    * [[resolveCompacted]]`(root + "/key=value")`. */
+    * [[resolveCompacted]]`(root + "/key=value")`; whole-root naive reads
+    * trip the sentinel LOUDLY from the first rewrite on (a raw recursive
+    * read would double-count generations — the sentinel converts that
+    * silent wrong answer into a parse error naming this contract).
+    *
+    * On a SNAPSHOT-managed lake ([[commitSnapshot]]) the sweep resolves
+    * every partition through the current manifest, writes unstamped
+    * generations, and commits ONE new snapshot at the end — the whole
+    * sweep flips atomically, readers mid-sweep see the previous snapshot
+    * in full, and an interrupted sweep leaves only unreferenced relics
+    * for [[snapshotGc]] (compaction is content-preserving, so one
+    * manifest flip for the batch is strictly safer than per-partition
+    * currency). */
   def compactDrifted(spark: org.apache.spark.sql.SparkSession,
                      root: String,
                      targetBytes: Long = 128L << 20): Seq[(String, Int, Int)] = {
     val rootP = new org.apache.hadoop.fs.Path(root)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(rootP, LakeDir))) {
+      val base = currentManifest(spark, root)
+      val rewritten = base.toSeq.sortBy(_._1).flatMap { case (rel, gen) =>
+        val dir = dataDir(rootP, rel, gen)
+        val files = dataFiles(fs, dir)
+        val bytes = files.map(_.getLen).sum
+        val target = math.max(1,
+          ((bytes + targetBytes - 1) / targetBytes).toInt)
+        if (files.length <= target) None
+        else {
+          val part = if (rel.isEmpty) rootP
+            else new org.apache.hadoop.fs.Path(rootP, rel)
+          val next = nextGenName(fs, part)
+          val nextP = new org.apache.hadoop.fs.Path(part, next)
+          spark.read.parquet(dir.toString).repartition(target)
+            .write.mode("overwrite").parquet(nextP.toString)
+          Some((rel, next, files.length, dataFiles(fs, nextP).length))
+        }
+      }
+      if (rewritten.nonEmpty)
+        commitManifest(spark, root,
+          base ++ rewritten.map { case (rel, gen, _, _) => rel -> gen })
+      return rewritten.map { case (rel, _, b, a) => (rel, b, a) }
+    }
     fs.listStatus(rootP).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.contains("="))
       .sortBy(_.getPath.getName)

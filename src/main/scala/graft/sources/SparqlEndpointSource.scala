@@ -238,8 +238,10 @@ private[sources] class SparqlScan(
   /** Bound-join cap: a runtime IN wider than this stops reducing transfer
     * and starts bloating the remote query — beyond it, keep the full scan
     * (the shuffled join is the right plan, as the reference's
-    * NestedHashJoinFilter maxKeys guard also concludes). */
-  private val MaxBoundKeys = 10000
+    * NestedHashJoinFilter maxKeys guard also concludes). Shared with the
+    * route model so the cost estimate and the runtime never disagree
+    * about when a bound join applies. */
+  private val MaxBoundKeys = graft.compiler.RoutePlanner.BindKeyCap
 
   // Runtime bound join (FedX §5.3; the reference's NestedHashJoinFilter
   // ships disjunctive key filters to its wrappers): Spark's dynamic

@@ -86,8 +86,9 @@ private[sources] class SparqlQueryScan(
     with Serializable {
 
   /** Bound-join cap, as on the concept scans: wider INs stop reducing
-    * transfer — keep the full scan, the join above re-checks. */
-  private val MaxBoundKeys = 10000
+    * transfer — keep the full scan, the join above re-checks. Shared
+    * with the route model (one source of truth). */
+  private val MaxBoundKeys = graft.compiler.RoutePlanner.BindKeyCap
 
   private val types: Map[String, DataType] =
     schema.fields.map(f => f.name -> f.dataType).toMap

@@ -93,6 +93,39 @@ object ShipAb {
         .find(_.startsWith("Dispatch:")).getOrElse("Dispatch: ?")
       println(s"  $qn/auto picked: ${route.stripPrefix("Dispatch: ")}")
     }
+    // ---- bind-join window A/B: the reference's fixed 20 vs adaptive -------
+    // a LOCAL selective build (BUILDING customers) bind-joins a SERVICE
+    // star (their orders): every distinct key travels as a VALUES
+    // constant either way, so the ONLY difference is how many remote
+    // round trips carry them — the fixed window pays ceil(n/20), the
+    // adaptive one batches at the page-filling width (one request per
+    // ~2500 keys). endpointQueries is the honest loopback metric.
+    val custLocal = Graft.overParquetDir(Catalog(
+      TpchCatalog.catalog.molecules.filter(_.rdfType == "urn:g:Customer")),
+      sfDir)
+    val bindQ =
+      s"""PREFIX g: <urn:g:>
+         |SELECT ?c ?o ?tp WHERE {
+         |  ?c a g:Customer ; g:mktsegment "BUILDING" .
+         |  SERVICE <$url> { ?o g:customer ?c ; g:totalprice ?tp }
+         |} ORDER BY ?o""".stripMargin
+    // 4 concurrent fetches leave loopback slots free under local[8] —
+    // the same harness-honesty cap as maxPartitions above. The SERVICE
+    // fetch runs at COMPILE time (the bind join materializes its
+    // LocalRelation), so this runner times sparql()+count together,
+    // unlike `run` above whose warm pass would absorb the fetch.
+    spark.conf.set("graft.service.bindJoin.maxConcurrentFetch", "4")
+    for (w <- Seq("20", "auto")) {
+      spark.conf.set("graft.service.bindJoin.window", w)
+      val t0 = System.nanoTime()
+      val q0 = server.queriesServed.get()
+      val n = custLocal.sparql(bindQ).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"bind/win=$w%-6s rows=$n%-8d wall=$dt%6.2fs " +
+        s"endpointQueries=${server.queriesServed.get() - q0}")
+    }
+    spark.conf.unset("graft.service.bindJoin.window")
+    spark.conf.unset("graft.service.bindJoin.maxConcurrentFetch")
     server.stop()
 
     // ---- federation: exclusive-PATTERN dispatch (OPTIONAL / UNION) --------
@@ -138,5 +171,11 @@ object ShipAb {
     }
     srvA.stop(); srvB.stop()
     spark.stop()
+    // the JDK HttpServer's dispatcher thread is non-daemon and can
+    // outlive stop() — flush and exit explicitly so a harness reading
+    // this tool's stdout never loses the buffered tail waiting on a
+    // JVM that will not die on its own
+    System.out.flush()
+    sys.exit(0)
   }
 }

@@ -28,6 +28,31 @@ class OperatorsSpec extends SparkTestBase {
     assert(batches == math.ceil(distinctKeys / 20.0).toInt)
   }
 
+  test("adaptive bind-join window: batch count FLIPS with build size — " +
+    "a selective build pays ONE round trip, a huge build batches at the " +
+    "page-filling width, a pinned window still wins") {
+    import graft.operators.BindJoin.adaptiveWindow
+    // the page-economics model: min(nKeys, max(20, pageSize/fanout))
+    assert(adaptiveWindow(5) == 5)              // few keys → one batch
+    assert(adaptiveWindow(2500) == 2500)        // exactly the page bound
+    assert(adaptiveWindow(100000) == 2500)      // 10000/4 page bound caps
+    assert(adaptiveWindow(100, pageSize = 40) == 20) // floor: ref's 20
+    assert(adaptiveWindow(3, pageSize = 40) == 3)
+    def run(nKeys: Int, window: Int = 0): Int = {
+      var batches = 0
+      val left = spark.range(nKeys).select(col("id").as("k"))
+      BindJoin(left, Seq("k"), { ks =>
+        batches += 1
+        spark.range(nKeys).select(col("id").as("k"), (col("id") * 2).as("v"))
+      }, windowSize = window).count()
+      batches
+    }
+    assert(run(5) == 1, "5 distinct keys must be ONE remote request")
+    assert(run(2500) == 1)
+    assert(run(6000) == 3, "6000 keys batch at the 2500-key page width")
+    assert(run(6000, window = 20) == 300, "a pinned window is honored")
+  }
+
   test("bind join drives IN-list batches through a live HTTP endpoint") {
     // the reference's flagship composition: NestedHashJoinFilter over a
     // SPARQL endpoint (NestedHashJoinFilter.py:166-234) — selective left

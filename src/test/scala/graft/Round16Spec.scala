@@ -45,4 +45,140 @@ class Round16Spec extends SparkTestBase {
       Seq((1L, "y")).toDF("k", "v"), Seq("k"), Seq("v")).collect()
     assert(diff.length == 1 && diff.head.getString(1) == "U")
   }
+
+  // ---- lake-wide atomic snapshot commit ------------------------------------
+
+  private def freshDir(tag: String): String = {
+    val d = s"/tmp/graft_r16_$tag"
+    val p = new org.apache.hadoop.fs.Path(d)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    d
+  }
+
+  private def part(lang: String, ids: Seq[Long]) = {
+    import spark.implicits._
+    ids.map(i => (i, lang, s"v$i")).toDF("id", "lang", "v")
+  }
+
+  test("lake snapshot: a multi-partition commit is ALL-OR-NOTHING — a " +
+    "reader mid-sweep sees entirely pre- or entirely post-commit state, " +
+    "and time travel reads the kept snapshot") {
+    val root = freshDir("snap")
+    val s1 = Lakehouse.commitSnapshot(spark, root, Seq(
+      "lang=en" -> part("en", 1L to 10L),
+      "lang=fr" -> part("fr", 11L to 20L)))
+    assert(s1 == 1)
+    assert(Lakehouse.readSnapshot(spark, root).count() == 20L)
+    // a reader planned BEFORE the next commit is pinned to snapshot 1
+    val preReader = Lakehouse.readSnapshot(spark, root)
+    // MID-SWEEP: the next commit's generations land before its manifest —
+    // simulate the window by writing a generation with NO commit: every
+    // reader still resolves snapshot 1 in full
+    part("en", 100L to 120L).write.parquet(s"$root/lang=en/gen-00000099")
+    assert(Lakehouse.readSnapshot(spark, root).count() == 20L)
+    // the real commit: en shrinks, fr rewrites, de appears — one flip
+    val s2 = Lakehouse.commitSnapshot(spark, root, Seq(
+      "lang=en" -> part("en", 1L to 5L),
+      "lang=fr" -> part("fr", 11L to 25L),
+      "lang=de" -> part("de", 31L to 33L)))
+    assert(s2 == 2)
+    val after = Lakehouse.readSnapshot(spark, root)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after === Map("en" -> 5L, "fr" -> 15L, "de" -> 3L))
+    // entirely-pre: the pinned reader still collects snapshot 1
+    assert(preReader.count() == 20L)
+    // time travel: asOf the kept snapshot 1
+    assert(Lakehouse.readSnapshot(spark, root, asOf = Some(1)).count() == 20L)
+    // manifest-level partition pruning plans only the named partition
+    assert(Lakehouse.readSnapshot(spark, root,
+      partitionFilter = _ == "lang=de").count() == 3L)
+  }
+
+  test("lake snapshot: crash relics (generations with no manifest) are " +
+    "invisible to readers and snapshotGc removes them; GC'd snapshots " +
+    "refuse time travel loudly; kept ones stay readable") {
+    val root = freshDir("snapgc")
+    Lakehouse.commitSnapshot(spark, root, Seq("p=a" -> part("a", 1L to 4L)))
+    Lakehouse.commitSnapshot(spark, root, Seq("p=a" -> part("a", 1L to 6L)))
+    Lakehouse.commitSnapshot(spark, root, Seq("p=b" -> part("b", 7L to 9L)))
+    // crash relics: one in a known partition, one in a brand-new dir
+    part("x", 50L to 99L).write.parquet(s"$root/p=a/gen-00000077")
+    part("x", 50L to 99L).write.parquet(s"$root/p=new/gen-00000001")
+    assert(Lakehouse.readSnapshot(spark, root).count() == 9L)
+    val (snapsDropped, gensDropped) = Lakehouse.snapshotGc(spark, root,
+      keepSnapshots = 2)
+    // snapshot 1 dropped; relics + snapshot-1-only generation removed
+    assert(snapsDropped == 1 && gensDropped == 3, (snapsDropped, gensDropped))
+    assert(Lakehouse.readSnapshot(spark, root).count() == 9L)
+    assert(Lakehouse.readSnapshot(spark, root, asOf = Some(2)).count() == 6L)
+    val e = intercept[IllegalArgumentException] {
+      Lakehouse.readSnapshot(spark, root, asOf = Some(1))
+    }
+    assert(e.getMessage.contains("kept snapshots"), e.getMessage)
+  }
+
+  test("lake snapshot: naive whole-root reads trip the sentinel LOUDLY " +
+    "(for marker-compacted tables too), managed reads are untouched, and " +
+    "compactFiles refuses a snapshot-managed root") {
+    import spark.implicits._
+    // snapshot-managed lake
+    val root = freshDir("snapnaive")
+    Lakehouse.commitSnapshot(spark, root, Seq("p=a" -> part("a", 1L to 4L)))
+    val e = intercept[Exception] { spark.read.parquet(root).collect() }
+    assert(e.getMessage != null, "naive read must fail, not return rows")
+    assert(Lakehouse.readSnapshot(spark, root).count() == 4L)
+    intercept[IllegalArgumentException] {
+      Lakehouse.compactFiles(spark, root, 1L << 20)
+    }
+    // marker-compacted table: same loud-naive contract from gen 1 on
+    val dir = freshDir("comnaive")
+    (1L to 400L).map(i => (i, s"s$i")).toDF("id", "s")
+      .repartition(32).write.parquet(dir)
+    Lakehouse.compactFiles(spark, dir, targetBytes = Long.MaxValue)
+    intercept[Exception] { spark.read.parquet(dir).collect() }
+    assert(Lakehouse.readCompacted(spark, dir).count() == 400L)
+  }
+
+  test("lake snapshot: adopting a plain parquet dir rewrites it once " +
+    "into a generation; resolveCompacted resolves snapshot-managed " +
+    "tables through the manifest") {
+    import spark.implicits._
+    val root = freshDir("snapadopt")
+    (1L to 50L).map(i => (i, s"s$i")).toDF("id", "s").write.parquet(root)
+    Lakehouse.commitSnapshot(spark, root, Seq(
+      "extra" -> (51L to 60L).map(i => (i, s"s$i")).toDF("id", "s")))
+    assert(Lakehouse.readSnapshot(spark, root).count() == 60L)
+    // unpartitioned entry resolves through the manifest
+    val m = Lakehouse.currentManifest(spark, root)
+    assert(m.keySet === Set("", "extra"))
+    assert(Lakehouse.resolveCompacted(spark, root)
+      .endsWith(m("")), m.toString)
+    // a PARTITIONED snapshot lake cannot resolve to one dir — loud
+    val proot = freshDir("snapparts")
+    Lakehouse.commitSnapshot(spark, proot, Seq(
+      "p=a" -> part("a", 1L to 3L), "p=b" -> part("b", 4L to 6L)))
+    val e = intercept[IllegalStateException] {
+      Lakehouse.resolveCompacted(spark, proot)
+    }
+    assert(e.getMessage.contains("readSnapshot"), e.getMessage)
+  }
+
+  test("compactDrifted on a snapshot lake: the sweep rewrites drifted " +
+    "partitions and commits ONE snapshot — mid-sweep readers see the " +
+    "previous snapshot in full; the re-sweep is a no-op") {
+    val root = freshDir("snapsweep")
+    Lakehouse.commitSnapshot(spark, root, Seq(
+      "p=a" -> part("a", 1L to 200L).repartition(24),
+      "p=b" -> part("b", 201L to 210L).coalesce(1)))
+    val before = Lakehouse.currentSnapshotId(spark, root).get
+    val pinned = Lakehouse.readSnapshot(spark, root) // pre-sweep reader
+    val swept = Lakehouse.compactDrifted(spark, root, targetBytes = 1L << 26)
+    assert(swept.map(_._1) == Seq("p=a"), swept.toString) // only drifted
+    assert(swept.head._2 > swept.head._3)
+    assert(Lakehouse.currentSnapshotId(spark, root).contains(before + 1))
+    assert(Lakehouse.readSnapshot(spark, root).count() == 210L)
+    assert(pinned.count() == 210L) // the pre-sweep resolution stays whole
+    assert(Lakehouse.compactDrifted(spark, root, 1L << 26).isEmpty)
+  }
 }
