@@ -1330,6 +1330,18 @@ object SparkEntry {
         .goldenRecords(recs, "entity", Seq("lang", "source"))
         .orderBy("entity")
     }),
+    // streaming survivorship (14th replay gate): the SAME records
+    // consumed as micro-batches through the goldenCounts streaming
+    // aggregate, finished batch-side — must equal the batch golden
+    // records row-for-row (shares q_golden_records' oracle verbatim)
+    "q_stream_golden" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      val recs = T(s, d, "documents")
+        .select((col("doc_id") % 97).as("entity"), col("lang"),
+          col("source"))
+      _root_.graft.streaming.EventStreams.goldenReplayed(recs)
+        .orderBy("entity")
+    }),
     // deterministic seeded training-order shuffle: md5(seed:id) keys +
     // hex-nibble shards; first 200 of the permutation (the full op never
     // sorts globally — writers partition by shard, sort within)
@@ -4397,6 +4409,9 @@ object SparkEntry {
       "q_stream_cdc_compact" -> baseOracles("lake_compact_log"),
       // streamed ER admission must label exactly like the one-shot run
       "q_stream_er" -> baseOracles("q_entity_resolution"),
+      // streaming survivorship must equal the batch golden records —
+      // the oracle is q_golden_records' verbatim
+      "q_stream_golden" -> baseOracles("q_golden_records"),
       // exclusive-PATTERN dispatch rows have no manual twin with the same
       // shape — fresh relational truths. The shipped OPTIONAL's inner
       // FILTER makes ?rname unbound for non-matching regions (every

@@ -333,6 +333,32 @@ object FuzzyJoin {
     perCol.foldLeft(base)((acc, d) => acc.join(d, Seq(entityCol), "left"))
   }
 
+  /** Survivorship from a MAINTAINED counts table — [[goldenRecords]]
+    * split at its natural seam so the expensive half can run as a
+    * STREAMING aggregate ([[graft.streaming.EventStreams.goldenCounts]]
+    * keeps per-(entity, attr, value) counts continuously; Spark allows
+    * one stateful aggregation per streaming query, so the k max_by
+    * finishers stay batch-side over the materialized counts — the
+    * reference-data pattern of `spikeFlags`). `counts` carries
+    * (`entityCol`, `__attr`, `__value`, `__n`) with NULL-value rows
+    * retained (they carry the entity's existence, the reason
+    * [[graft.streaming.EventStreams.goldenCounts]] does not filter
+    * them); the modal-with-largest-tiebreak rule is bit-identical to
+    * [[goldenRecords]] whenever the attributes share one (string) type —
+    * the unpivot's price; the typed general op remains goldenRecords. */
+  def goldenFromCounts(counts: DataFrame, entityCol: String,
+                       valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "goldenFromCounts needs at least one attribute")
+    val perCol = valueCols.map { c =>
+      counts.filter(col("__attr") === c && col("__value").isNotNull)
+        .groupBy(col(entityCol))
+        .agg(max_by(col("__value"), struct(col("__n"), col("__value")))
+          .as(c))
+    }
+    val base = counts.select(col(entityCol)).distinct()
+    perCol.foldLeft(base)((acc, d) => acc.join(d, Seq(entityCol), "left"))
+  }
+
   // ---- incremental ER store ---------------------------------------------------
 
   private def exists(spark: org.apache.spark.sql.SparkSession,

@@ -431,6 +431,75 @@ object EventStreams {
     graft.pipeline.FuzzyJoin.erLabels(spark, storeDir, idCol)
   }
 
+  /** Streaming face of golden-record survivorship
+    * ([[graft.pipeline.FuzzyJoin.goldenRecords]], the MDM pipeline's
+    * last batch-only stage until r16): maintain per-(entity, attribute,
+    * value) counts as ONE streaming aggregate — counts are a perfect
+    * streaming shape (no watermark needed: an entity can always receive
+    * more records; state is one row per distinct (entity, attr, value),
+    * ≪ the record stream) — so survivorship UPDATES with admissions.
+    * The k per-attribute max_by finishers run batch-side over the
+    * maintained table
+    * ([[graft.pipeline.FuzzyJoin.goldenFromCounts]]): Spark permits one
+    * stateful aggregation per streaming query, and the finisher is a
+    * cheap reference-data pass, the `spikeFlags` pattern. NULL values
+    * keep their count rows — they carry the entity's existence for the
+    * finisher's base set. Attributes must share one (string) type (the
+    * unpivot's price; the typed general op stays batch). */
+  def goldenCounts(records: DataFrame, entityCol: String,
+                   valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "goldenCounts needs at least one attribute")
+    require(valueCols.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
+      s"attribute names must be plain identifiers, got $valueCols")
+    val stacked = s"stack(${valueCols.size}, " +
+      valueCols.map(c => s"'$c', $c").mkString(", ") + ") as (__attr, __value)"
+    records.select(col(entityCol), expr(stacked))
+      .groupBy(col(entityCol), col("__attr"), col("__value"))
+      .agg(count(lit(1)).as("__n"))
+  }
+
+  /** Replay gate for streaming survivorship (`q_stream_golden`, the
+    * 14th replay gate): the records table streams through
+    * [[goldenCounts]] in id-ordered micro-batches under Complete output
+    * mode; the finisher over the final counts table must equal batch
+    * [[graft.pipeline.FuzzyJoin.goldenRecords]] row-for-row (it shares
+    * `q_golden_records`' window-rank oracle verbatim — the aggregate is
+    * order-free, so equality holds for ANY arrival order). MemoryStream
+    * — verification machinery (bench-excluded), not a production op. */
+  def goldenReplayed(records: DataFrame, chunks: Int = 4)
+                    (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = records.select(col("entity"), col("lang"), col("source"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    val name = "graft_golden_replay_" +
+      java.util.UUID.randomUUID().toString.filter(_ != '-')
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)]
+    val q = goldenCounts(input.toDS().toDF("entity", "lang", "source"),
+        "entity", Seq("lang", "source"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete).start()
+    try {
+      val per = math.max(1, (rows.length + chunks - 1) / chunks)
+      rows.grouped(per).foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    // materialize the sink's rows before the finisher: the memory-sink
+    // view hands out the SAME attribute ids on every reference, so the
+    // finisher's self-joins would hit conflicting-reference analysis
+    // errors reading it directly (and the harness collects anyway)
+    val countRows = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    spark.catalog.dropTempView(name)
+    val counts = spark.createDataset(countRows.toSeq)
+      .toDF("entity", "__attr", "__value", "__n")
+    val out = graft.pipeline.FuzzyJoin
+      .goldenFromCounts(counts, "entity", Seq("lang", "source"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    spark.createDataset(out.toSeq).toDF("entity", "lang", "source")
+  }
+
   final case class CdcOp(o_orderkey: Long, o_custkey: Long,
                          o_orderstatus: String, o_totalprice: Double,
                          op: String, seq: Long)

@@ -46,6 +46,32 @@ class Round16Spec extends SparkTestBase {
     assert(diff.length == 1 && diff.head.getString(1) == "U")
   }
 
+  // ---- streaming golden records --------------------------------------------
+
+  test("streaming golden records: the Complete-mode counts aggregate + " +
+    "batch finisher equal batch survivorship — ties, null votes, " +
+    "all-null attributes, and records split across micro-batches") {
+    import spark.implicits._
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val recs = Seq(
+      (10L, Some("en"), Some("a")), (10L, Some("en"), Some("b")),
+      (10L, Some("fr"), Some("b")),              // en 2-1; a/b tie -> b
+      (20L, None, Some("x")), (20L, None, Some("x")),
+      (20L, Some("de"), None),                   // de from its only vote
+      (30L, None, None))                         // all null: stays null
+      .toDF("entity", "lang", "source")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        Option(r.getString(2)))).toSet
+    val batch = rows(graft.pipeline.FuzzyJoin
+      .goldenRecords(recs, "entity", Seq("lang", "source")))
+    // 3 chunks split entity 10's votes across micro-batches — the
+    // maintained counts must still merge them
+    val streamed = rows(graft.streaming.EventStreams
+      .goldenReplayed(recs, chunks = 3))
+    assert(streamed === batch && batch.size == 3)
+  }
+
   // ---- lake-wide atomic snapshot commit ------------------------------------
 
   private def freshDir(tag: String): String = {
