@@ -1092,9 +1092,57 @@ final class Compiler(catalog: Catalog, load: String => DataFrame,
     }
   }
 
-  /** VALUES inline data → a tiny local DataFrame (broadcast-joined into the
-    * pattern by Catalyst). */
+  /** VALUES inline data → a local DataFrame (broadcast-joined into the
+    * pattern by Catalyst).
+    *
+    * Type-homogeneous columns (every VALUES block a bind join or a real
+    * query writes) build ONE LocalRelation of typed Rows — a thousand-row
+    * VALUES must be one plan node, not a thousand unioned single-row
+    * selects (the union form is O(rows) plan nodes; analysis goes
+    * quadratic and whole-stage codegen bursts janino's 64 KB method cap —
+    * measured via ShipAb's 2500-key window before this fast path).
+    * Columns mixing term KINDS across rows (legal, rare, and always
+    * small) keep the per-row literal-select union, whose coercion
+    * semantics the sparql_values gate pins. */
   private def compileValues(vs: List[Var], rows: List[List[Option[Term]]]): Compiled = {
+    // 0 = null/unbound (joins any kind), 1 = string/iri lexical,
+    // 2 = long, 3 = double, 4 = boolean
+    def kind(ot: Option[Term]): Int = ot match {
+      case None | Some(Var(_)) => 0
+      case Some(Iri(_))        => 1
+      case Some(Lit(_, dt, _)) => dt match {
+        case Some(Terms.XsdInt)     => 2
+        case Some(Terms.XsdDecimal) | Some(Terms.XsdDouble) => 3
+        case Some(Terms.XsdBoolean) => 4
+        case _                      => 1
+      }
+    }
+    val colKinds = vs.indices.map(i =>
+      rows.map(r => kind(r(i))).filter(_ != 0).distinct)
+    if (colKinds.forall(_.size <= 1)) {
+      val types = colKinds.map(_.headOption.getOrElse(1)).map {
+        case 2 => LongType
+        case 3 => DoubleType
+        case 4 => BooleanType
+        case _ => StringType
+      }
+      val schema = StructType(vs.lazyZip(types).map((v, t) =>
+        StructField(v.name, t, nullable = true)))
+      def value(ot: Option[Term]): Any = ot match {
+        case None | Some(Var(_)) => null
+        case Some(Iri(u))        => u
+        case Some(Lit(lex, dt, _)) => dt match {
+          case Some(Terms.XsdInt)     => lex.toLong
+          case Some(Terms.XsdDecimal) | Some(Terms.XsdDouble) => lex.toDouble
+          case Some(Terms.XsdBoolean) => lex == "true"
+          case _                      => lex
+        }
+      }
+      val data = rows.map(r =>
+        org.apache.spark.sql.Row.fromSeq(r.map(value)))
+      return Compiled(spark.createDataFrame(
+        java.util.Arrays.asList(data: _*), schema), Map.empty)
+    }
     val rowDfs = rows.map { row =>
       val cols = vs.lazyZip(row).map { (v, ot) =>
         (ot match {

@@ -40,12 +40,18 @@ object BindJoin {
     * and [[graft.compiler.RoutePlanner]]'s transfer estimates never
     * disagree about what a bound key is worth; the floor of 20 (the
     * reference's constant) keeps a pathological `pageSize` from
-    * degrading to per-key queries. */
+    * degrading to per-key queries, and [[MaxWindow]] caps the batch at a
+    * width every remote parser/URL limit tolerates (a 2500-key VALUES is
+    * a ~60 KB query — ShipAb measured engines bursting whole-stage
+    * codegen on it — while 512 keys stay ~15 KB and still cut the
+    * reference's fixed-20 round trips by 25×). */
+  val MaxWindow = 512
+
   def adaptiveWindow(nKeys: Int, pageSize: Int = 10000,
                      fanout: Long = graft.compiler.RoutePlanner.BindFanout): Int = {
     require(nKeys >= 0 && pageSize >= 1 && fanout >= 1,
       s"bad adaptiveWindow inputs: nKeys=$nKeys pageSize=$pageSize fanout=$fanout")
-    val byPage = math.max(20L, pageSize / fanout)
+    val byPage = math.min(MaxWindow.toLong, math.max(20L, pageSize / fanout))
     math.max(1L, math.min(nKeys.toLong, byPage)).toInt
   }
 

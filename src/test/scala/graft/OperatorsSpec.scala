@@ -32,10 +32,11 @@ class OperatorsSpec extends SparkTestBase {
     "a selective build pays ONE round trip, a huge build batches at the " +
     "page-filling width, a pinned window still wins") {
     import graft.operators.BindJoin.adaptiveWindow
-    // the page-economics model: min(nKeys, max(20, pageSize/fanout))
+    // the model: min(nKeys, clamp(20, pageSize/fanout, MaxWindow))
     assert(adaptiveWindow(5) == 5)              // few keys → one batch
-    assert(adaptiveWindow(2500) == 2500)        // exactly the page bound
-    assert(adaptiveWindow(100000) == 2500)      // 10000/4 page bound caps
+    assert(adaptiveWindow(400) == 400)          // still one batch
+    assert(adaptiveWindow(100000) == 512)       // MaxWindow caps the width
+    assert(adaptiveWindow(100000, pageSize = 800) == 200) // page bound binds
     assert(adaptiveWindow(100, pageSize = 40) == 20) // floor: ref's 20
     assert(adaptiveWindow(3, pageSize = 40) == 3)
     def run(nKeys: Int, window: Int = 0): Int = {
@@ -48,8 +49,8 @@ class OperatorsSpec extends SparkTestBase {
       batches
     }
     assert(run(5) == 1, "5 distinct keys must be ONE remote request")
-    assert(run(2500) == 1)
-    assert(run(6000) == 3, "6000 keys batch at the 2500-key page width")
+    assert(run(500) == 1)
+    assert(run(6000) == 12, "6000 keys batch at the 512-key width")
     assert(run(6000, window = 20) == 300, "a pinned window is honored")
   }
 
