@@ -1162,6 +1162,31 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"), col("p"))
         .orderBy("doc_id")
     }),
+    // partition-pruned atomic MERGE: the delta (updates + inserts,
+    // partition value key-determined) rewrites ONLY touched partitions,
+    // untouched manifest entries carry over with zero I/O, one flip
+    "lake_snapshot_merge" -> ((s, d) => {
+      val root = s"/tmp/graft_lake_snap_mg/${new java.io.File(d).getName}"
+      val p0 = new org.apache.hadoop.fs.Path(root)
+      p0.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p0, true)
+      val base = T(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          (col("doc_id") % 3).cast("int").as("p"))
+      _root_.graft.pipeline.Lakehouse.commitSnapshot(s, root,
+        (0 to 2).map(i => s"p=$i" -> base.filter(col("p") === i)))
+      val delta = base.filter(col("doc_id") % 10 === 0)
+        .withColumn("source", lit("revised"))
+        .unionByName(T(s, d, "documents")
+          .filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            lit("xx").as("lang"), lit("new").as("source"),
+            ((col("doc_id") + 10000000L) % 3).cast("int").as("p")))
+      _root_.graft.pipeline.Lakehouse.mergeSnapshot(s, root, delta,
+        Seq("doc_id"), "p")
+      _root_.graft.pipeline.Lakehouse.readSnapshot(s, root)
+        .select(col("doc_id"), col("lang"), col("source"), col("p"))
+        .orderBy("doc_id")
+    }),
     // fuzzy string join (edit distance <= 1): 10-char md5-hex keys vs
     // their deterministic one-char deletions — q-gram blocked candidates
     // + the exact codegen'd levenshtein verify, never a cross join. q=4
@@ -2751,6 +2776,21 @@ object SparkEntry {
     "lake_snapshot_timetravel" ->
       """SELECT doc_id, lang, source, CAST(doc_id % 2 AS INTEGER) AS p
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // ANSI MERGE semantics over the partitioned lake: key-matched rows
+    // replaced by the delta, unmatched inserted, the rest survive
+    "lake_snapshot_merge" ->
+      """WITH delta AS (
+        |  SELECT doc_id, lang, 'revised' AS source,
+        |    CAST(doc_id % 3 AS INTEGER) AS p
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, 'xx', 'new',
+        |    CAST((doc_id + 10000000) % 3 AS INTEGER)
+        |  FROM documents WHERE doc_id % 13 = 0)
+        |SELECT doc_id, lang, source, CAST(doc_id % 3 AS INTEGER) AS p
+        |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM delta)
+        |UNION ALL SELECT doc_id, lang, source, p FROM delta
+        |ORDER BY doc_id""".stripMargin,
     // brute-force edit-distance truth: the blocked join must find exactly
     // the pairs the full quadratic scan finds
     "q_fuzzy_join" ->

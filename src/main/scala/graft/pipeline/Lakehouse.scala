@@ -102,7 +102,7 @@ object Lakehouse {
     * r14-adjudicated flaw of the tmp+two-rename swap, whose window left
     * NO directory at the live path and whose atomicity assumption does
     * not hold on object stores): each compaction writes a fresh
-    * `<path>/gen-<n>` directory and stamps it with a `_GRAFT_COMPLETE`
+    * `<path>/_gen-<n>` directory and stamps it with a `_GRAFT_COMPLETE`
     * marker AFTER the write finishes. Currency is resolved by
     * [[resolveCompacted]] — the highest stamped generation — so the
     * table becomes current exactly when one small marker object appears
@@ -122,13 +122,16 @@ object Lakehouse {
     * migration; the loose files are GC'd one cycle after the first
     * compaction like any superseded generation.
     *
-    * NAIVE reads fail LOUDLY, not silently: once the first generation
-    * exists, a raw recursive `spark.read.parquet(root)` would list loose
-    * files and every generation together (double counting), so the first
-    * compaction plants a small visible non-parquet [[Sentinel]] file at
-    * the root — the naive read trips over it with a footer-parse error
-    * naming this contract, while managed readers (which resolve to a
-    * generation dir) never list the root as data.
+    * NAIVE reads degrade stale-correct → LOUD, never silently wrong:
+    * generation dirs are underscore-hidden ([[GenName]]), so a raw
+    * recursive `spark.read.parquet(root)` sees only the pre-adoption
+    * loose files — the SAME rows, compaction being content-preserving —
+    * for exactly the one cycle they are kept; the moment the loose files
+    * are GC'd the compactor plants a small visible non-parquet
+    * [[Sentinel]] file, which the naive read trips over with a
+    * footer-parse error naming this contract (instead of returning an
+    * empty/partial table). Managed readers resolve to a generation dir
+    * and never list the root as data.
     *
     * Idempotent: a table already at or under the target file count
     * returns untouched. Returns (filesBefore, filesAfter, bytes). */
@@ -148,17 +151,11 @@ object Lakehouse {
     if (before.length <= target) return (before.length, before.length, bytes)
 
     val n = currentGen(fs, root).getOrElse(0) + 1
-    val next = new org.apache.hadoop.fs.Path(root, f"gen-$n%08d")
+    val next = new org.apache.hadoop.fs.Path(root, f"_gen-$n%08d")
     fs.delete(next, true) // an unstamped partial from a crashed run
     spark.read.parquet(resolveCompacted(spark, path)).repartition(target)
       .write.mode("overwrite").parquet(next.toString)
     fs.create(new org.apache.hadoop.fs.Path(next, CompleteMarker), true).close()
-    // from the first generation on, a NAIVE spark.read.parquet(root)
-    // would list the loose files AND every generation — silent double
-    // counting. The sentinel is a small non-parquet file the naive read
-    // trips over (footer parse fails LOUDLY); managed readers resolve to
-    // a generation dir and never list the root as data.
-    plantSentinel(fs, root)
     // GC everything older than the PREVIOUS generation: stamped gens
     // <= n-2, every unstamped partial below n, and (once the previous
     // generation is itself a gen dir, n >= 2) the pre-adoption loose
@@ -171,12 +168,24 @@ object Lakehouse {
         case _ => ()
       }
     }
-    if (n >= 2) dataFiles(fs, root).foreach(st => fs.delete(st.getPath, false))
+    if (n >= 2) {
+      dataFiles(fs, root).foreach(st => fs.delete(st.getPath, false))
+      // the loose files were the last thing a naive read could see
+      // (generations are listing-hidden): from here a raw read of the
+      // root must fail LOUDLY on the sentinel, never return empty
+      plantSentinel(fs, root)
+    }
     (before.length, dataFiles(fs, next).length, bytes)
   }
 
   private val CompleteMarker = "_GRAFT_COMPLETE"
-  private val GenName = "^gen-(\\d{8})$".r
+  /** Generation dirs are UNDERSCORE-hidden: Spark/Hadoop listing filters
+    * skip `_`-names, so a naive recursive read of a managed root sees
+    * only the pre-adoption loose files (stale but CORRECT — compaction
+    * is content-preserving) instead of double-counting generations;
+    * explicitly-resolved generation paths read normally (input roots are
+    * not filtered, only discovered children). */
+  private val GenName = "^_gen-(\\d{8})$".r
 
   /** Visible (non-underscore) on purpose: Spark's listing filters skip
     * `_`/`.` names, so a hidden marker would leave the naive read
@@ -191,12 +200,20 @@ object Lakehouse {
       val out = fs.create(p, true)
       out.write(("this table is generation-managed by graft: read it " +
         "through Lakehouse.resolveCompacted/readCompacted (or " +
-        "readSnapshot for a snapshot-managed lake) — a raw recursive " +
-        "parquet read would double-count superseded generations\n")
-        .getBytes("UTF-8"))
+        "readSnapshot for a snapshot-managed lake) — its data lives in " +
+        "listing-hidden generation directories a raw recursive parquet " +
+        "read cannot see\n").getBytes("UTF-8"))
       out.close()
     }
   }
+
+  /** Plant the sentinel unless the dir still holds loose data files a
+    * naive reader legitimately reads (the stale-but-correct adoption
+    * window — compaction/adoption is content-preserving, so until the
+    * loose copies are GC'd a raw read returns the right rows). */
+  private def plantSentinelIfBare(fs: org.apache.hadoop.fs.FileSystem,
+                                  dir: org.apache.hadoop.fs.Path): Unit =
+    if (dataFiles(fs, dir).isEmpty) plantSentinel(fs, dir)
 
   private def dataFiles(fs: org.apache.hadoop.fs.FileSystem,
                         p: org.apache.hadoop.fs.Path) =
@@ -246,7 +263,7 @@ object Lakehouse {
       }
     }
     currentGen(fs, root) match {
-      case Some(n) => new org.apache.hadoop.fs.Path(root, f"gen-$n%08d").toString
+      case Some(n) => new org.apache.hadoop.fs.Path(root, f"_gen-$n%08d").toString
       case None    => path
     }
   }
@@ -336,7 +353,7 @@ object Lakehouse {
           case _          => None
         }
       }.flatten.foldLeft(0)(math.max) + 1
-    f"gen-$n%08d"
+    f"_gen-$n%08d"
   }
 
   /** Commit the manifest `mapping` as the next snapshot — the SINGLE
@@ -396,7 +413,7 @@ object Lakehouse {
     * key is bookkeeping, not hive inference — that is what lets
     * [[readSnapshot]] plan ONE multi-root scan instead of a union per
     * partition). Adopting a plain parquet dir rewrites it once into
-    * `gen-00000001` as snapshot 1's base; a hive-partitioned lake whose
+    * `_gen-00000001` as snapshot 1's base; a hive-partitioned lake whose
     * files lack the partition columns must be committed explicitly,
     * partition by partition, with the values materialized. Returns the
     * committed snapshot id. */
@@ -419,18 +436,19 @@ object Lakehouse {
       val gen = nextGenName(fs, part)
       df.write.mode("overwrite")
         .parquet(new org.apache.hadoop.fs.Path(part, gen).toString)
-      plantSentinel(fs, part)
+      plantSentinelIfBare(fs, part)
       rel -> gen
     }
-    plantSentinel(fs, r)
+    plantSentinelIfBare(fs, r)
     commitManifest(spark, root, base ++ updated)
   }
 
   /** First-commit adoption: a plain unpartitioned parquet dir (loose
     * files, or a marker-managed current generation) becomes the `""`
     * entry of the base mapping by ONE content-preserving rewrite into a
-    * generation dir — snapshot data always lives in generations, so no
-    * manifest ever references a directory the sentinel also lives in.
+    * generation dir — snapshot data always lives in (listing-hidden)
+    * generations, so no manifest ever references a directory the
+    * sentinel could also land in.
     * Skipped when this very commit overwrites `""` anyway. Partitioned
     * pre-snapshot lakes must be committed explicitly (their hive files
     * lack the partition columns — see [[commitSnapshot]]). */
@@ -477,6 +495,48 @@ object Lakehouse {
     spark.read.parquet(kept: _*)
   }
 
+  /** Partition-pruned ATOMIC MERGE into a snapshot lake — the 100 TB
+    * write path composed end to end: upsert `source` (key-unique rows
+    * carrying `partitionCol` as a data column) by rewriting ONLY the
+    * partitions the source touches, all committed in one snapshot flip.
+    * Untouched partitions' manifest entries carry over without a byte
+    * of I/O, so the cost is O(changed partitions), not O(lake) — and a
+    * crash before the flip leaves the previous snapshot intact.
+    *
+    * Contract: `partitionCol` must be FUNCTIONALLY DETERMINED by `keys`
+    * and stable across updates (the universal caveat of partition-pruned
+    * MERGE: an update that moved a key's partition would leave the stale
+    * copy in the old partition, which this rewrite never opens). The
+    * per-partition work is [[mergeUpsert]]'s anti-join ∪ union; a
+    * brand-new partition value inserts wholesale. Returns the committed
+    * snapshot id. */
+  def mergeSnapshot(spark: org.apache.spark.sql.SparkSession, root: String,
+                    source: DataFrame, keys: Seq[String],
+                    partitionCol: String): Int = {
+    require(source.columns.contains(partitionCol),
+      s"source must carry '$partitionCol' as a data column")
+    val m = currentManifest(spark, root)
+    val r = new org.apache.hadoop.fs.Path(root)
+    // the collect is bounded by the number of TOUCHED PARTITIONS (never
+    // rows) — the same driver-bounded shape as every partition manifest
+    val touched = source.select(col(partitionCol)).distinct()
+      .collect().map(x => Option(x.get(0)).map(_.toString).getOrElse(
+        throw new IllegalArgumentException(
+          s"NULL $partitionCol in the merge source — a null partition " +
+            "value has no directory; filter or bucket it explicitly")))
+    val writes = touched.sorted.toSeq.map { v =>
+      val rel = s"$partitionCol=$v"
+      val delta = source.filter(col(partitionCol) === v)
+      val current = m.get(rel) match {
+        case Some(gen) =>
+          spark.read.parquet(dataDir(r, rel, gen).toString)
+        case None => delta.limit(0)
+      }
+      rel -> mergeUpsert(current, delta, keys)
+    }
+    commitSnapshot(spark, root, writes)
+  }
+
   /** Snapshot GC: keep the newest `keepSnapshots` manifests, delete
     * older ones, then delete every generation directory (under the root
     * and its partition dirs) no kept manifest references — superseded
@@ -510,20 +570,25 @@ object Lakehouse {
       val d = queue.dequeue()
       fs.listStatus(d).foreach { st =>
         val name = st.getPath.getName
-        if (st.isDirectory && !name.startsWith("_") && !name.startsWith(".")) {
+        if (st.isDirectory) {
+          // generation dirs are underscore-hidden, so match them BEFORE
+          // the hidden-dir skip; never descend into them or _-metadata
           if (GenName.matches(name)) {
             if (!referenced.contains(fs.makeQualified(st.getPath).toString)) {
               fs.delete(st.getPath, true)
               removed += 1
             }
-          } else queue.enqueue(st.getPath)
+          } else if (!name.startsWith("_") && !name.startsWith("."))
+            queue.enqueue(st.getPath)
         }
       }
     }
     // pre-adoption loose files at the root are superseded copies no
     // manifest can reference (snapshot data lives in generations) —
-    // first GC after adoption reclaims them
+    // first GC after adoption reclaims them, and from then on a naive
+    // root read must fail loudly instead of returning nothing
     dataFiles(fs, r).foreach(st => fs.delete(st.getPath, false))
+    plantSentinelIfBare(fs, r)
     (drop.size, removed)
   }
 
@@ -539,9 +604,8 @@ object Lakehouse {
     * (partitionDir, filesBefore, filesAfter) row per REWRITTEN
     * partition. Readers of a managed partition resolve through
     * [[resolveCompacted]]`(root + "/key=value")`; whole-root naive reads
-    * trip the sentinel LOUDLY from the first rewrite on (a raw recursive
-    * read would double-count generations — the sentinel converts that
-    * silent wrong answer into a parse error naming this contract).
+    * follow [[compactFiles]]' ladder — stale-correct on the kept loose
+    * files for one cycle, then LOUD on the sentinel.
     *
     * On a SNAPSHOT-managed lake ([[commitSnapshot]]) the sweep resolves
     * every partition through the current manifest, writes unstamped

@@ -205,7 +205,8 @@ class LakehouseGraphSpec extends SparkTestBase {
       spark.sparkContext.hadoopConfiguration)
     val looseData = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
       .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
-        !st.getPath.getName.startsWith("."))
+        !st.getPath.getName.startsWith(".") &&
+        st.getPath.getName != Lakehouse.Sentinel) // metadata, not data
     assert(looseData.isEmpty, "pre-adoption loose files must be GC'd " +
       "once two generations exist")
     assert(Lakehouse.readCompacted(spark, dir).count() == 500L)
@@ -239,7 +240,7 @@ class LakehouseGraphSpec extends SparkTestBase {
     (1L to 100L).map(i => (i, i.toString)).toDF("id", "v")
       .repartition(8).write.parquet(dir)
     // simulate a crashed compaction: a gen dir with data but NO marker
-    val partial = new org.apache.hadoop.fs.Path(dir, "gen-00000001")
+    val partial = new org.apache.hadoop.fs.Path(dir, "_gen-00000001")
     val fs = partial.getFileSystem(spark.sparkContext.hadoopConfiguration)
     (1L to 3L).map(i => (i, "junk")).toDF("id", "v")
       .write.parquet(partial.toString)

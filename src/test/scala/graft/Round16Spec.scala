@@ -100,7 +100,7 @@ class Round16Spec extends SparkTestBase {
     // MID-SWEEP: the next commit's generations land before its manifest —
     // simulate the window by writing a generation with NO commit: every
     // reader still resolves snapshot 1 in full
-    part("en", 100L to 120L).write.parquet(s"$root/lang=en/gen-00000099")
+    part("en", 100L to 120L).write.parquet(s"$root/lang=en/_gen-00000099")
     assert(Lakehouse.readSnapshot(spark, root).count() == 20L)
     // the real commit: en shrinks, fr rewrites, de appears — one flip
     val s2 = Lakehouse.commitSnapshot(spark, root, Seq(
@@ -129,8 +129,8 @@ class Round16Spec extends SparkTestBase {
     Lakehouse.commitSnapshot(spark, root, Seq("p=a" -> part("a", 1L to 6L)))
     Lakehouse.commitSnapshot(spark, root, Seq("p=b" -> part("b", 7L to 9L)))
     // crash relics: one in a known partition, one in a brand-new dir
-    part("x", 50L to 99L).write.parquet(s"$root/p=a/gen-00000077")
-    part("x", 50L to 99L).write.parquet(s"$root/p=new/gen-00000001")
+    part("x", 50L to 99L).write.parquet(s"$root/p=a/_gen-00000077")
+    part("x", 50L to 99L).write.parquet(s"$root/p=new/_gen-00000001")
     assert(Lakehouse.readSnapshot(spark, root).count() == 9L)
     val (snapsDropped, gensDropped) = Lakehouse.snapshotGc(spark, root,
       keepSnapshots = 2)
@@ -144,11 +144,12 @@ class Round16Spec extends SparkTestBase {
     assert(e.getMessage.contains("kept snapshots"), e.getMessage)
   }
 
-  test("lake snapshot: naive whole-root reads trip the sentinel LOUDLY " +
-    "(for marker-compacted tables too), managed reads are untouched, and " +
-    "compactFiles refuses a snapshot-managed root") {
+  test("naive whole-root reads degrade STALE-CORRECT then LOUD, never " +
+    "silently wrong: hidden generations + the sentinel; managed reads " +
+    "untouched; compactFiles refuses a snapshot-managed root") {
     import spark.implicits._
-    // snapshot-managed lake
+    // fresh snapshot lake: data only in hidden generations → naive read
+    // fails immediately (sentinel at the bare root)
     val root = freshDir("snapnaive")
     Lakehouse.commitSnapshot(spark, root, Seq("p=a" -> part("a", 1L to 4L)))
     val e = intercept[Exception] { spark.read.parquet(root).collect() }
@@ -157,13 +158,22 @@ class Round16Spec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Lakehouse.compactFiles(spark, root, 1L << 20)
     }
-    // marker-compacted table: same loud-naive contract from gen 1 on
+    // marker-compacted table: after gen 1 the loose files are KEPT for
+    // one cycle, so a naive read is stale-but-CORRECT (content-preserving
+    // rewrite, hidden gen invisible to the listing)...
     val dir = freshDir("comnaive")
     (1L to 400L).map(i => (i, s"s$i")).toDF("id", "s")
       .repartition(32).write.parquet(dir)
     Lakehouse.compactFiles(spark, dir, targetBytes = Long.MaxValue)
+    assert(spark.read.parquet(dir).count() == 400L,
+      "adoption window: naive reads still see the loose copies")
+    // ...and the moment the loose files are GC'd (second compaction) the
+    // sentinel makes naive reads fail loudly instead of returning nothing
+    (401L to 500L).map(i => (i, s"s$i")).toDF("id", "s").coalesce(1)
+      .write.mode("append").parquet(Lakehouse.resolveCompacted(spark, dir))
+    Lakehouse.compactFiles(spark, dir, targetBytes = Long.MaxValue)
     intercept[Exception] { spark.read.parquet(dir).collect() }
-    assert(Lakehouse.readCompacted(spark, dir).count() == 400L)
+    assert(Lakehouse.readCompacted(spark, dir).count() == 500L)
   }
 
   test("lake snapshot: adopting a plain parquet dir rewrites it once " +
@@ -188,6 +198,37 @@ class Round16Spec extends SparkTestBase {
       Lakehouse.resolveCompacted(spark, proot)
     }
     assert(e.getMessage.contains("readSnapshot"), e.getMessage)
+  }
+
+  test("mergeSnapshot: only TOUCHED partitions rewrite (untouched " +
+    "manifest entries carry over byte-identical), the merge is one " +
+    "atomic flip, and a null partition value fails loudly") {
+    import spark.implicits._
+    val root = freshDir("snapmerge")
+    // `part` builds (id, lang, v) — lang doubles as the partition col,
+    // so the committed dirs must follow mergeSnapshot's lang=<v> scheme
+    Lakehouse.commitSnapshot(spark, root, Seq(
+      "lang=a" -> part("a", 1L to 10L), "lang=b" -> part("b", 11L to 20L)))
+    val before = Lakehouse.currentManifest(spark, root)
+    // delta: update id 1 (lang=a), insert id 100 (lang=a); lang=b untouched
+    val delta = Seq((1L, "a", "UPDATED"), (100L, "a", "v100"))
+      .toDF("id", "lang", "v")
+    Lakehouse.mergeSnapshot(spark, root, delta, Seq("id"), "lang")
+    val after = Lakehouse.currentManifest(spark, root)
+    assert(after("lang=b") == before("lang=b"), "untouched partition rewrote")
+    assert(after("lang=a") != before("lang=a"))
+    val rows = Lakehouse.readSnapshot(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(rows.size == 21 && rows(1L) == "UPDATED" &&
+      rows(100L) == "v100" && rows(11L) == "v11")
+    // pre-merge snapshot still time-travels
+    assert(Lakehouse.readSnapshot(spark, root, asOf = Some(1)).count() == 20L)
+    val e = intercept[IllegalArgumentException] {
+      Lakehouse.mergeSnapshot(spark, root,
+        Seq((5L, null.asInstanceOf[String], "x")).toDF("id", "lang", "v"),
+        Seq("id"), "lang")
+    }
+    assert(e.getMessage.contains("NULL"), e.getMessage)
   }
 
   test("compactDrifted on a snapshot lake: the sweep rewrites drifted " +
