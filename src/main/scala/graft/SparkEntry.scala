@@ -111,7 +111,7 @@ object SparkEntry {
       "q_stream_sessions", "q_stream_retention", "q_stream_interval",
       "q_stream_dedup", "q_stream_file_dedup", "q_stream_anomaly",
       "q_stream_manifest", "q_stream_file_manifest", "q_stream_cdc_compact",
-      "q_stream_er",
+      "q_stream_er", "q_stream_golden", "q_stream_cdc_snapshot",
       // loopback-federation verification harnesses: each boots GraftServer
       // instances and pays the deploy-time wire probe (create_rdfmts
       // parity) inside the row — they verify the endpoint catalog path,
@@ -1085,6 +1085,23 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       _root_.graft.streaming.EventStreams
         .cdcCompactReplayed(cdcLogFixture(s, d))
+        .orderBy("o_orderkey")
+    }),
+    // streaming lake maintenance end to end (15th replay gate): the op
+    // log consumed as seq-ordered micro-batches, each compacted and
+    // applied to the snapshot lake partition-pruned + atomic — every
+    // intermediate state a committed snapshot; the final table must
+    // equal the batch applyCdc(target, compactLog(log))
+    "q_stream_cdc_snapshot" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      val root = s"/tmp/graft_lake_snap_cdc/${new java.io.File(d).getName}"
+      val p0 = new org.apache.hadoop.fs.Path(root)
+      p0.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p0, true)
+      val target = T(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      _root_.graft.streaming.EventStreams
+        .cdcSnapshotReplayed(target, cdcLogFixture(s, d), root)
         .orderBy("o_orderkey")
     }),
     // SCD2 time travel: the same history lake_scd2 builds (batch applied
@@ -4452,6 +4469,17 @@ object SparkEntry {
       // streaming survivorship must equal the batch golden records —
       // the oracle is q_golden_records' verbatim
       "q_stream_golden" -> baseOracles("q_golden_records"),
+      // the streamed CDC→snapshot fold must land on the batch
+      // applyCdc(compactLog(log)) table: %20 keys deleted (their D is
+      // the last op), %10 repriced by the surviving U, the rest intact
+      "q_stream_cdc_snapshot" ->
+        """SELECT o_orderkey, o_custkey,
+          |  CASE WHEN o_orderkey % 10 = 0 THEN 'U'
+          |       ELSE o_orderstatus END AS o_orderstatus,
+          |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 5.0
+          |       ELSE o_totalprice END AS o_totalprice
+          |FROM orders WHERE o_orderkey % 20 <> 0
+          |ORDER BY o_orderkey""".stripMargin,
       // exclusive-PATTERN dispatch rows have no manual twin with the same
       // shape — fresh relational truths. The shipped OPTIONAL's inner
       // FILTER makes ?rname unbound for non-matching regions (every

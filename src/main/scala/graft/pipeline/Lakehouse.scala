@@ -537,6 +537,44 @@ object Lakehouse {
     commitSnapshot(spark, root, writes)
   }
 
+  /** CDC batch applied to a snapshot lake, partition-pruned and atomic
+    * — [[applyCdc]]'s I/U/D semantics per TOUCHED partition under one
+    * manifest flip ([[mergeSnapshot]]'s shape with delete support): the
+    * continuous-ingest write path, where each change batch lands as one
+    * snapshot and every intermediate state is a committed, time-
+    * travelable table. Same contract: ≤1 change row per key per batch
+    * (compact upstream via [[compactLog]]), `partitionCol` key-determined
+    * and carried as a data column, nulls loud. */
+  def applyCdcSnapshot(spark: org.apache.spark.sql.SparkSession,
+                       root: String, changes: DataFrame, keys: Seq[String],
+                       partitionCol: String, opCol: String = "op"): Int = {
+    require(changes.columns.contains(partitionCol),
+      s"changes must carry '$partitionCol' as a data column")
+    val m = currentManifest(spark, root)
+    val r = new org.apache.hadoop.fs.Path(root)
+    val touched = changes.select(col(partitionCol)).distinct()
+      .collect().map(x => Option(x.get(0)).map(_.toString).getOrElse(
+        throw new IllegalArgumentException(
+          s"NULL $partitionCol in the change batch — a null partition " +
+            "value has no directory; filter or bucket it explicitly")))
+    // an empty batch (streaming triggers fire on empty sources) is a
+    // committed no-op: the current snapshot already IS the result
+    if (touched.isEmpty)
+      return currentSnapshotId(spark, root).getOrElse(
+        throw new IllegalStateException(s"$root has no committed snapshot"))
+    val writes = touched.sorted.toSeq.map { v =>
+      val rel = s"$partitionCol=$v"
+      val delta = changes.filter(col(partitionCol) === v)
+      val current = m.get(rel) match {
+        case Some(gen) =>
+          spark.read.parquet(dataDir(r, rel, gen).toString)
+        case None => delta.drop(opCol).limit(0)
+      }
+      rel -> applyCdc(current, delta, keys, opCol)
+    }
+    commitSnapshot(spark, root, writes)
+  }
+
   /** Snapshot GC: keep the newest `keepSnapshots` manifests, delete
     * older ones, then delete every generation directory (under the root
     * and its partition dirs) no kept manifest references — superseded

@@ -504,6 +504,57 @@ object EventStreams {
                          o_orderstatus: String, o_totalprice: Double,
                          op: String, seq: Long)
 
+  /** Streaming lake maintenance END TO END (15th replay gate,
+    * `q_stream_cdc_snapshot`): a CDC op log consumed as seq-ordered
+    * micro-batches through `foreachBatch` — each batch compacts to
+    * last-op-per-key ([[graft.pipeline.Lakehouse.compactLog]]) and
+    * applies to the snapshot lake partition-pruned and atomic
+    * ([[graft.pipeline.Lakehouse.applyCdcSnapshot]]), so EVERY
+    * intermediate state is a committed, time-travelable snapshot and a
+    * crash between batches loses nothing committed. The final
+    * `readSnapshot` must equal the batch
+    * `applyCdc(target, compactLog(log))` row-for-row: seq-ordered
+    * batches make the per-batch last-writer-wins fold equal the global
+    * one. MemoryStream + driver feeding — verification machinery
+    * (bench-excluded), not a production op. */
+  def cdcSnapshotReplayed(target: DataFrame, log: DataFrame, root: String,
+                          chunks: Int = 3)
+                         (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val pOf = (col("o_orderkey") % 4).cast("int")
+    val base = target.select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), pOf.as("p"))
+    graft.pipeline.Lakehouse.commitSnapshot(spark, root,
+      (0 to 3).map(i => s"p=$i" -> base.filter(col("p") === i)))
+    val rows = log.select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("op"), col("seq"))
+      .collect().map(r => CdcOp(r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3), r.getString(4), r.getLong(5)))
+      .sortBy(c => (c.seq, c.o_orderkey))
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[CdcOp]
+    val stream = input.toDS().toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        val compacted = graft.pipeline.Lakehouse.compactLog(
+          batch.toDF().withColumn("p", pOf), Seq("o_orderkey"), "seq")
+        graft.pipeline.Lakehouse.applyCdcSnapshot(spark, root, compacted,
+          Seq("o_orderkey"), "p")
+        ()
+      }
+      .start()
+    try {
+      val per = math.max(1, (rows.length + chunks - 1) / chunks)
+      rows.grouped(per).foreach { c =>
+        input.addData(c.toSeq); stream.processAllAvailable()
+      }
+    } finally stream.stop()
+    graft.pipeline.Lakehouse.readSnapshot(spark, root)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+  }
+
   /** Streaming CDC compaction replay gate (`q_stream_cdc_compact`): the
     * SAME declarative [[graft.pipeline.Lakehouse.compactLog]] plan runs
     * UNCHANGED on a stream — `max_by` is a perfect streaming aggregate
