@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Approximate string join under an edit-distance bound — the entity-
@@ -186,14 +186,19 @@ object FuzzyJoin {
     * `doc_near_dup_simhash` capped-bucket convention); the side output
     * recomputes its (cheap, counts-only) lineage on demand.
     *
-    * Overflow is LOUD, never a dropped pair: the weight cap keeps every
-    * product ≤ 10¹² but the SUMS are unbounded in record token count, so
-    * norms/dots accumulate as DECIMAL(38,0) — records sharing ~10⁴
-    * max-weight tokens push `dot²·10⁶` past 10³⁸ and must fail, not
-    * vanish. Under ANSI mode (Spark 4's default) the engine itself
-    * throws at the overflowing arithmetic; with ANSI off Spark NULLs a
-    * decimal overflow instead, and the threshold test's guard raises on
-    * the null operand — both paths error, neither drops the pair.
+    * Overflow is LOUD, never a dropped pair — in two layers. The sums
+    * stay LONG (codegen'd integer aggregation, no decimal tax) because
+    * a loud per-record bound makes wrap PROVABLY impossible: the weight
+    * cap keeps every term ≤ 10¹² and a record with more than
+    * [[MaxRecordTokens]] = 9·10⁶ distinct tokens raises an error in the
+    * norm pass (9·10⁶ · 10¹² = 9·10¹⁸ < 2⁶³; a pair's dot sums over a
+    * SUBSET of either record's tokens, so the same bound covers it).
+    * The THRESHOLD test's products do exceed long range for legitimate
+    * inputs (~10⁴ shared max-weight tokens push `dot²·10⁶` past 10³⁸),
+    * so they compute as DECIMAL(38,0) with a null-operand guard: under
+    * ANSI mode (Spark 4's default) the engine throws at the overflowing
+    * arithmetic, with ANSI off Spark NULLs it and the guard raises —
+    * every path errors, none drops the pair.
     * Output: (id_l, id_r, dot_w2, norm_l, norm_r) — all exact integers
     * (bigint; values past 2⁶³ raise); derive `cos ≈ dot/√(nl·nr)`
     * downstream if a float is wanted. */
@@ -241,13 +246,18 @@ object FuzzyJoin {
     val w = dfs.select(col("t"), col("df"),
       expr(s"least(1000000L, ${nRecords}L * 1000 div df)").as("w"))
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    // w ≤ 10⁶ so the per-token product fits a long (≤ 10¹²); the SUM is
-    // what can run away, so it accumulates as DECIMAL(38,0) — overflow
-    // nulls instead of wrapping, and the guard below turns null loud
-    val w2 = (col("w") * col("w")).cast(dec)
+    // long sums are safe under the loud token bound: every term ≤ 10¹²
+    // (the weight cap) and ≤ MaxRecordTokens terms per record/pair
+    val w2 = col("w") * col("w")
     def norm(tk: DataFrame, id: String, out: String): DataFrame =
       tk.join(w.select("t", "w"), Seq("t"))
-        .groupBy(col(id)).agg(sum(w2).as(out))
+        .groupBy(col(id)).agg(sum(w2).as(out), count(lit(1)).as("__nt"))
+        .select(col(id),
+          when(col("__nt") > MaxRecordTokens, raise_error(lit(
+            s"cosineJoin: a record carries more than $MaxRecordTokens " +
+              "distinct tokens — past this the exact integer norms " +
+              "could wrap silently; chunk the strings upstream")))
+            .otherwise(col(out)).as(out))
     val nl = norm(lt, "id_l", "norm_l")
     val nr = norm(rt, "id_r", "norm_r")
     val cand = lt.join(w.filter(col("df") <= maxTokenDf).select("t"),
@@ -259,27 +269,27 @@ object FuzzyJoin {
       .join(rt, Seq("id_r", "t"))
       .join(w.select("t", "w"), Seq("t"))
       .groupBy("id_l", "id_r").agg(sum(w2).as("dot_w2"))
-    val lhs = col("dot_w2") * col("dot_w2") * lit(1000000L).cast(dec)
+    val lhs = col("dot_w2").cast(dec) * col("dot_w2") * lit(1000000L)
     val rhs = lit(tauMilli.toLong * tauMilli).cast(dec) *
       col("norm_l") * col("norm_r")
-    def overflow(what: String) = raise_error(lit(
-      s"cosineJoin: DECIMAL(38) overflow in $what — records share too " +
-        "many max-weight tokens (a term of dot²·10⁶ / τ²·‖l‖²·‖r‖² " +
-        "passed 10³⁸); the exact test cannot decide the pair, failing " +
-        "loudly instead of dropping it. Bound per-record token counts " +
-        "upstream (chunk the strings) or lower the weight cap."))
-    def asLong(c: Column) =
-      when(c > lit(Long.MaxValue).cast(dec), overflow(s"a bigint output"))
-        .otherwise(c.cast("bigint"))
     val pairs = dots.join(nl, Seq("id_l")).join(nr, Seq("id_r"))
-      .filter(when(lhs.isNull || rhs.isNull,
-          overflow("the exact cosine threshold test"))
+      .filter(when(lhs.isNull || rhs.isNull, raise_error(lit(
+          "cosineJoin: DECIMAL(38) overflow in the exact cosine " +
+            "threshold test — records share too many max-weight tokens " +
+            "(a term of dot²·10⁶ / τ²·‖l‖²·‖r‖² passed 10³⁸); the exact " +
+            "test cannot decide the pair, failing loudly instead of " +
+            "dropping it. Bound per-record token counts upstream (chunk " +
+            "the strings) or lower the weight cap.")))
         .otherwise(lhs >= rhs))
-      .select(col("id_l"), col("id_r"), asLong(col("dot_w2")).as("dot_w2"),
-        asLong(col("norm_l")).as("norm_l"), asLong(col("norm_r")).as("norm_r"))
+      .select(col("id_l"), col("id_r"), col("dot_w2"),
+        col("norm_l"), col("norm_r"))
     CosineJoinWithStats(pairs,
       w.filter(col("df") > maxTokenDf).select(col("t"), col("df")))
   }
+
+  /** The loud per-record distinct-token bound that keeps [[cosineJoin]]'s
+    * long sums exact: 9·10⁶ terms of ≤ 10¹² each stay under 2⁶³. */
+  val MaxRecordTokens: Long = 9000000L
 
   /** Entity resolution under the TOKEN-COSINE matcher: the
     * [[cosineJoin]] self-join feeds connected components, every record
