@@ -1179,6 +1179,26 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"), col("p"))
         .orderBy("doc_id")
     }),
+    // schema-on-manifest evolution: one partition gains a column; the
+    // committed schema widens and the carried partition's old files
+    // null-fill it at read — no footer merging, the epoch owns its shape
+    "lake_snapshot_evolve" -> ((s, d) => {
+      val root = s"/tmp/graft_lake_snap_ev/${new java.io.File(d).getName}"
+      val p0 = new org.apache.hadoop.fs.Path(root)
+      p0.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p0, true)
+      val docs = T(s, d, "documents")
+      def half(p: Int) = docs.filter(col("doc_id") % 2 === p)
+        .select(col("doc_id"), col("lang"), lit(p).as("p"))
+      _root_.graft.pipeline.Lakehouse.commitSnapshot(s, root,
+        Seq("p=0" -> half(0), "p=1" -> half(1)))
+      _root_.graft.pipeline.Lakehouse.commitSnapshot(s, root,
+        Seq("p=0" -> docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("lang"), lit(0).as("p"),
+            col("n_chars"))))
+      _root_.graft.pipeline.Lakehouse.readSnapshot(s, root)
+        .select(col("doc_id"), col("lang"), col("p"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
     // partition-pruned atomic MERGE: the delta (updates + inserts,
     // partition value key-determined) rewrites ONLY touched partitions,
     // untouched manifest entries carry over with zero I/O, one flip
@@ -2792,6 +2812,12 @@ object SparkEntry {
     // asOf the pre-change snapshot: the ORIGINAL table, untouched
     "lake_snapshot_timetravel" ->
       """SELECT doc_id, lang, source, CAST(doc_id % 2 AS INTEGER) AS p
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the widened table: even doc_ids carry n_chars (the evolved
+    // partition), odd ones null-fill it (their files predate the column)
+    "lake_snapshot_evolve" ->
+      """SELECT doc_id, lang, CAST(doc_id % 2 AS INTEGER) AS p,
+        |  CASE WHEN doc_id % 2 = 0 THEN n_chars END AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
     // ANSI MERGE semantics over the partitioned lake: key-matched rows
     // replaced by the delta, unmatched inserted, the rest survive

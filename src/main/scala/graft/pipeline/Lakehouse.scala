@@ -314,25 +314,41 @@ object Lakehouse {
     new org.apache.hadoop.fs.Path(part, gen)
   }
 
+  /** Parsed manifest: the partition→data-dir mapping plus the committed
+    * SCHEMA (a `#schema` metadata line, StructType JSON). The schema
+    * rides the manifest so readers never pay per-file footer merging and
+    * every snapshot owns ONE authoritative shape — the table-format
+    * treatment of schema, not the file-inference one. */
+  private final case class Manifest(
+      mapping: Map[String, String],
+      schema: Option[org.apache.spark.sql.types.StructType])
+
   private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
-                           p: org.apache.hadoop.fs.Path): Map[String, String] = {
+                           p: org.apache.hadoop.fs.Path): Manifest = {
     val in = fs.open(p)
     val text = try {
       val bos = new java.io.ByteArrayOutputStream()
       org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
       new String(bos.toByteArray, "UTF-8")
     } finally in.close()
-    text.linesIterator.filter(_.nonEmpty).map { line =>
+    val (meta, data) = text.linesIterator.filter(_.nonEmpty).toSeq
+      .partition(_.startsWith("#"))
+    val mapping = data.map { line =>
       val i = line.indexOf('\t')
       require(i >= 0, s"malformed manifest line in $p: '$line'")
       (line.substring(0, i), line.substring(i + 1))
     }.toMap
+    val schema = meta.collectFirst {
+      case l if l.startsWith("#schema\t") =>
+        org.apache.spark.sql.types.DataType
+          .fromJson(l.substring("#schema\t".length))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
+    Manifest(mapping, schema)
   }
 
-  /** The partition→data-dir mapping of snapshot `asOf` (default: the
-    * current snapshot). Throws on a lake with no snapshot. */
-  def currentManifest(spark: org.apache.spark.sql.SparkSession, root: String,
-                      asOf: Option[Int] = None): Map[String, String] = {
+  private def manifestAt(spark: org.apache.spark.sql.SparkSession,
+                         root: String, asOf: Option[Int]): Manifest = {
     val r = new org.apache.hadoop.fs.Path(root)
     val fs = fsOf(spark, r)
     val id = asOf.orElse(snapIds(fs, r).lastOption).getOrElse(
@@ -342,6 +358,21 @@ object Lakehouse {
       "(GC'd or never committed) — time travel reaches kept snapshots only")
     readManifest(fs, p)
   }
+
+  /** The partition→data-dir mapping of snapshot `asOf` (default: the
+    * current snapshot). Throws on a lake with no snapshot. */
+  def currentManifest(spark: org.apache.spark.sql.SparkSession, root: String,
+                      asOf: Option[Int] = None): Map[String, String] =
+    manifestAt(spark, root, asOf).mapping
+
+  /** The schema snapshot `asOf` was committed with (every snapshot owns
+    * ONE authoritative shape — time travel reads the table as it WAS,
+    * evolved columns included/excluded per epoch). None only for
+    * pre-schema manifests. */
+  def snapshotSchema(spark: org.apache.spark.sql.SparkSession, root: String,
+                     asOf: Option[Int] = None
+                    ): Option[org.apache.spark.sql.types.StructType] =
+    manifestAt(spark, root, asOf).schema
 
   private def nextGenName(fs: org.apache.hadoop.fs.FileSystem,
                           dir: org.apache.hadoop.fs.Path): String = {
@@ -366,7 +397,8 @@ object Lakehouse {
     * concurrency; last-committer-wins would silently drop writes). */
   private def commitManifest(spark: org.apache.spark.sql.SparkSession,
                              root: String,
-                             mapping: Map[String, String]): Int = {
+                             mapping: Map[String, String],
+                             schema: Option[org.apache.spark.sql.types.StructType]): Int = {
     val r = new org.apache.hadoop.fs.Path(root)
     val fs = fsOf(spark, r)
     fs.mkdirs(new org.apache.hadoop.fs.Path(r, LakeDir))
@@ -375,8 +407,10 @@ object Lakehouse {
     val tmp = new org.apache.hadoop.fs.Path(target.getParent,
       s".${target.getName}.tmp")
     val out = fs.create(tmp, true)
-    out.write(mapping.toSeq.sortBy(_._1)
-      .map { case (rel, gen) => s"$rel\t$gen\n" }.mkString.getBytes("UTF-8"))
+    out.write((schema.map(s => s"#schema\t${s.json}\n").getOrElse("") +
+      mapping.toSeq.sortBy(_._1)
+        .map { case (rel, gen) => s"$rel\t$gen\n" }.mkString)
+      .getBytes("UTF-8"))
     out.close()
     if (fs.exists(target) || !fs.rename(tmp, target)) {
       fs.delete(tmp, false)
@@ -415,8 +449,16 @@ object Lakehouse {
     * partition). Adopting a plain parquet dir rewrites it once into
     * `_gen-00000001` as snapshot 1's base; a hive-partitioned lake whose
     * files lack the partition columns must be committed explicitly,
-    * partition by partition, with the values materialized. Returns the
-    * committed snapshot id. */
+    * partition by partition, with the values materialized.
+    *
+    * SCHEMA rides the manifest: the commit records the previous schema
+    * merged with every write's — EVOLUTION means adding nullable columns
+    * (carried partitions' old files null-fill them at read, the parquet
+    * explicit-schema contract); a same-name TYPE conflict throws loudly
+    * (a type change is a rewrite, not an evolution). Readers never pay
+    * per-file footer merging, and time travel reads each snapshot under
+    * the schema it was committed with. Returns the committed snapshot
+    * id. */
   def commitSnapshot(spark: org.apache.spark.sql.SparkSession, root: String,
                      writes: Seq[(String, DataFrame)]): Int = {
     require(writes.nonEmpty, "commitSnapshot needs at least one write")
@@ -427,10 +469,17 @@ object Lakehouse {
       "one write per partition: duplicate partition dirs in the commit")
     val r = new org.apache.hadoop.fs.Path(root)
     val fs = fsOf(spark, r)
-    val base: Map[String, String] = snapIds(fs, r).lastOption match {
-      case Some(id) => readManifest(fs, snapFile(r, id))
-      case None     => adoptLoose(spark, fs, r, writes.exists(_._1.isEmpty))
-    }
+    val prior: Option[Manifest] = snapIds(fs, r).lastOption
+      .map(id => readManifest(fs, snapFile(r, id)))
+    val base: Map[String, String] = prior.map(_.mapping).getOrElse(
+      adoptLoose(spark, fs, r, writes.exists(_._1.isEmpty)))
+    // base schema: the prior snapshot's recorded one; a pre-schema or
+    // adopted base derives it from one base dir (one-time footer read)
+    val baseSchema = prior.flatMap(_.schema).orElse(
+      base.headOption.map { case (rel, gen) =>
+        spark.read.parquet(dataDir(r, rel, gen).toString).schema })
+    val schema = mergeEvolvedSchema(root, baseSchema,
+      writes.map(_._2.schema))
     val updated = writes.map { case (rel, df) =>
       val part = if (rel.isEmpty) r else new org.apache.hadoop.fs.Path(r, rel)
       val gen = nextGenName(fs, part)
@@ -440,7 +489,38 @@ object Lakehouse {
       rel -> gen
     }
     plantSentinelIfBare(fs, r)
-    commitManifest(spark, root, base ++ updated)
+    commitManifest(spark, root, base ++ updated, Some(schema))
+  }
+
+  /** The committed schema of a snapshot: the base schema plus every new
+    * column the writes introduce; a same-name type conflict is loud.
+    * Field order: base order, then first-seen. A column absent from ANY
+    * contributing source (the carried base or one of the writes) is
+    * NULLABLE — some committed files lack it and null-fill at read. */
+  private def mergeEvolvedSchema(
+      root: String,
+      base: Option[org.apache.spark.sql.types.StructType],
+      writes: Seq[org.apache.spark.sql.types.StructType]
+  ): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val sources = base.toSeq ++ writes
+    val out = scala.collection.mutable.LinkedHashMap[String, StructField]()
+    val seen = scala.collection.mutable.Map[String, Int]()
+    for (s <- sources; f <- s) {
+      seen(f.name) = seen.getOrElse(f.name, 0) + 1
+      out.get(f.name) match {
+        case None => out(f.name) = f
+        case Some(g) if g.dataType == f.dataType =>
+          out(f.name) = g.copy(nullable = g.nullable || f.nullable)
+        case Some(g) => throw new IllegalArgumentException(
+          s"commitSnapshot($root): schema evolution conflict on column " +
+            s"'${f.name}' — committed ${g.dataType} vs written " +
+            s"${f.dataType}; evolve by ADDING nullable columns, a type " +
+            "change needs an explicit full rewrite")
+      }
+    }
+    StructType(out.values.toSeq.map(f =>
+      if (seen(f.name) < sources.size) f.copy(nullable = true) else f))
   }
 
   /** First-commit adoption: a plain unpartitioned parquet dir (loose
@@ -486,13 +566,19 @@ object Lakehouse {
   def readSnapshot(spark: org.apache.spark.sql.SparkSession, root: String,
                    asOf: Option[Int] = None,
                    partitionFilter: String => Boolean = _ => true): DataFrame = {
-    val m = currentManifest(spark, root, asOf)
+    val m = manifestAt(spark, root, asOf)
     val r = new org.apache.hadoop.fs.Path(root)
-    val kept = m.toSeq.filter { case (rel, _) => partitionFilter(rel) }
+    val kept = m.mapping.toSeq.filter { case (rel, _) => partitionFilter(rel) }
       .map { case (rel, gen) => dataDir(r, rel, gen).toString }
     require(kept.nonEmpty,
       s"snapshot of $root has no partitions left after the filter")
-    spark.read.parquet(kept: _*)
+    // the manifest's schema is the read schema: evolved columns null-fill
+    // in partitions committed before them, no per-file footer merging,
+    // and a time-traveled read keeps its OWN epoch's shape
+    m.schema match {
+      case Some(s) => spark.read.schema(s).parquet(kept: _*)
+      case None    => spark.read.parquet(kept: _*)
+    }
   }
 
   /** Partition-pruned ATOMIC MERGE into a snapshot lake — the 100 TB
@@ -515,7 +601,14 @@ object Lakehouse {
                     partitionCol: String): Int = {
     require(source.columns.contains(partitionCol),
       s"source must carry '$partitionCol' as a data column")
-    val m = currentManifest(spark, root)
+    val man = manifestAt(spark, root, None)
+    val m = man.mapping
+    // partitions read under the SNAPSHOT schema so an evolved column
+    // null-fills in old files and the union with the delta stays aligned
+    def readPart(dir: String): DataFrame = man.schema match {
+      case Some(sc) => spark.read.schema(sc).parquet(dir)
+      case None     => spark.read.parquet(dir)
+    }
     val r = new org.apache.hadoop.fs.Path(root)
     // the collect is bounded by the number of TOUCHED PARTITIONS (never
     // rows) — the same driver-bounded shape as every partition manifest
@@ -528,9 +621,8 @@ object Lakehouse {
       val rel = s"$partitionCol=$v"
       val delta = source.filter(col(partitionCol) === v)
       val current = m.get(rel) match {
-        case Some(gen) =>
-          spark.read.parquet(dataDir(r, rel, gen).toString)
-        case None => delta.limit(0)
+        case Some(gen) => readPart(dataDir(r, rel, gen).toString)
+        case None      => delta.limit(0)
       }
       rel -> mergeUpsert(current, delta, keys)
     }
@@ -550,7 +642,12 @@ object Lakehouse {
                        partitionCol: String, opCol: String = "op"): Int = {
     require(changes.columns.contains(partitionCol),
       s"changes must carry '$partitionCol' as a data column")
-    val m = currentManifest(spark, root)
+    val man = manifestAt(spark, root, None)
+    val m = man.mapping
+    def readPart(dir: String): DataFrame = man.schema match {
+      case Some(sc) => spark.read.schema(sc).parquet(dir)
+      case None     => spark.read.parquet(dir)
+    }
     val r = new org.apache.hadoop.fs.Path(root)
     val touched = changes.select(col(partitionCol)).distinct()
       .collect().map(x => Option(x.get(0)).map(_.toString).getOrElse(
@@ -566,9 +663,8 @@ object Lakehouse {
       val rel = s"$partitionCol=$v"
       val delta = changes.filter(col(partitionCol) === v)
       val current = m.get(rel) match {
-        case Some(gen) =>
-          spark.read.parquet(dataDir(r, rel, gen).toString)
-        case None => delta.drop(opCol).limit(0)
+        case Some(gen) => readPart(dataDir(r, rel, gen).toString)
+        case None      => delta.drop(opCol).limit(0)
       }
       rel -> applyCdc(current, delta, keys, opCol)
     }
@@ -595,7 +691,7 @@ object Lakehouse {
     // while caller paths may be bare — a string mismatch here would GC
     // live data
     val referenced: Set[String] = keep.flatMap(id =>
-      readManifest(fs, snapFile(r, id)).toSeq
+      readManifest(fs, snapFile(r, id)).mapping.toSeq
         .map { case (rel, gen) =>
           fs.makeQualified(dataDir(r, rel, gen)).toString }).toSet
     drop.foreach(id => fs.delete(snapFile(r, id), false))
@@ -659,7 +755,8 @@ object Lakehouse {
     val rootP = new org.apache.hadoop.fs.Path(root)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(rootP, LakeDir))) {
-      val base = currentManifest(spark, root)
+      val m = manifestAt(spark, root, None)
+      val base = m.mapping
       val rewritten = base.toSeq.sortBy(_._1).flatMap { case (rel, gen) =>
         val dir = dataDir(rootP, rel, gen)
         val files = dataFiles(fs, dir)
@@ -679,7 +776,8 @@ object Lakehouse {
       }
       if (rewritten.nonEmpty)
         commitManifest(spark, root,
-          base ++ rewritten.map { case (rel, gen, _, _) => rel -> gen })
+          base ++ rewritten.map { case (rel, gen, _, _) => rel -> gen },
+          m.schema) // content-preserving: the epoch's schema carries over
       return rewritten.map { case (rel, _, b, a) => (rel, b, a) }
     }
     fs.listStatus(rootP).toSeq

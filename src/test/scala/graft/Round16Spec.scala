@@ -200,6 +200,49 @@ class Round16Spec extends SparkTestBase {
     assert(e.getMessage.contains("readSnapshot"), e.getMessage)
   }
 
+  test("snapshot schema evolution: a new column null-fills carried " +
+    "partitions, time travel keeps each epoch's OWN shape, and a " +
+    "same-name type conflict is loud") {
+    import spark.implicits._
+    val root = freshDir("snapevolve")
+    // lang doubles as the partition col (the pruned writers' lang=<v>
+    // scheme), so the committed dirs follow it
+    Lakehouse.commitSnapshot(spark, root, Seq(
+      "lang=a" -> part("a", 1L to 3L), "lang=b" -> part("b", 4L to 6L)))
+    // evolve: lang=a gains `extra`; lang=b carries over untouched
+    Lakehouse.commitSnapshot(spark, root, Seq(
+      "lang=a" -> Seq((1L, "a", "v1", 10L), (2L, "a", "v2", 20L))
+        .toDF("id", "lang", "v", "extra")))
+    val now = Lakehouse.readSnapshot(spark, root)
+    assert(now.columns.toSeq == Seq("id", "lang", "v", "extra"))
+    val rows = now.collect()
+      .map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(rows(1L).contains(10L) && rows(4L).isEmpty, rows.toString)
+    assert(now.count() == 5) // lang=a shrank to 2, lang=b carried 3
+    // each snapshot reads under ITS committed schema
+    val epoch1 = Lakehouse.readSnapshot(spark, root, asOf = Some(1))
+    assert(epoch1.columns.toSeq == Seq("id", "lang", "v"))
+    assert(Lakehouse.snapshotSchema(spark, root, Some(2))
+      .get.fieldNames.contains("extra"))
+    // type conflict: `extra` as string now — a rewrite, not an evolution
+    val e = intercept[IllegalArgumentException] {
+      Lakehouse.commitSnapshot(spark, root, Seq(
+        "lang=b" -> Seq((4L, "b", "v4", "oops"))
+          .toDF("id", "lang", "v", "extra")))
+    }
+    assert(e.getMessage.contains("conflict"), e.getMessage)
+    // the failed commit left no new snapshot (relics only, GC-able)
+    assert(Lakehouse.currentSnapshotId(spark, root).contains(2))
+    // evolution composes with the pruned writers: a CDC batch under the
+    // NEW schema updates an OLD-schema partition (null-filled read)
+    Lakehouse.applyCdcSnapshot(spark, root,
+      Seq((4L, "b", "v4x", 40L, "U")).toDF("id", "lang", "v", "extra", "op"),
+      Seq("id"), "lang")
+    val after = Lakehouse.readSnapshot(spark, root).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), Option(r.get(3)))).toMap
+    assert(after(4L) == ("v4x", Some(40L)) && after(5L) == ("v5", None))
+  }
+
   test("mergeSnapshot: only TOUCHED partitions rewrite (untouched " +
     "manifest entries carry over byte-identical), the merge is one " +
     "atomic flip, and a null partition value fails loudly") {
