@@ -398,11 +398,17 @@ object Lakehouse {
   private def commitManifest(spark: org.apache.spark.sql.SparkSession,
                              root: String,
                              mapping: Map[String, String],
-                             schema: Option[org.apache.spark.sql.types.StructType]): Int = {
+                             schema: Option[org.apache.spark.sql.types.StructType],
+                             baseId: Int): Int = {
     val r = new org.apache.hadoop.fs.Path(root)
     val fs = fsOf(spark, r)
     fs.mkdirs(new org.apache.hadoop.fs.Path(r, LakeDir))
-    val id = snapIds(fs, r).lastOption.getOrElse(0) + 1
+    // CAS on the snapshot id the writer BASED its mapping on — never a
+    // fresh re-list here: a commit that landed between the base read and
+    // this put would otherwise be silently reverted by our stale
+    // carried-over entries (lost update), the one failure mode worse
+    // than throwing
+    val id = baseId + 1
     val target = snapFile(r, id)
     val tmp = new org.apache.hadoop.fs.Path(target.getParent,
       s".${target.getName}.tmp")
@@ -460,7 +466,8 @@ object Lakehouse {
     * the schema it was committed with. Returns the committed snapshot
     * id. */
   def commitSnapshot(spark: org.apache.spark.sql.SparkSession, root: String,
-                     writes: Seq[(String, DataFrame)]): Int = {
+                     writes: Seq[(String, DataFrame)],
+                     expectedSnapshot: Option[Int] = None): Int = {
     require(writes.nonEmpty, "commitSnapshot needs at least one write")
     writes.foreach { case (rel, _) =>
       require(rel.isEmpty || validRel(rel),
@@ -469,8 +476,19 @@ object Lakehouse {
       "one write per partition: duplicate partition dirs in the commit")
     val r = new org.apache.hadoop.fs.Path(root)
     val fs = fsOf(spark, r)
-    val prior: Option[Manifest] = snapIds(fs, r).lastOption
-      .map(id => readManifest(fs, snapFile(r, id)))
+    // `expectedSnapshot` pins the base this commit derives from (the
+    // caller read its inputs under it) — optimistic concurrency: if a
+    // competitor committed base+1 meanwhile, fail fast BEFORE writing
+    // data, and the rename guard in commitManifest covers the remaining
+    // write-vs-write window
+    val baseId = expectedSnapshot.getOrElse(
+      snapIds(fs, r).lastOption.getOrElse(0))
+    if (fs.exists(snapFile(r, baseId + 1)))
+      throw new IllegalStateException(
+        s"snapshot ${baseId + 1} of $root was committed concurrently — " +
+          "re-read the current snapshot and retry the write")
+    val prior: Option[Manifest] =
+      if (baseId == 0) None else Some(readManifest(fs, snapFile(r, baseId)))
     val base: Map[String, String] = prior.map(_.mapping).getOrElse(
       adoptLoose(spark, fs, r, writes.exists(_._1.isEmpty)))
     // base schema: the prior snapshot's recorded one; a pre-schema or
@@ -489,7 +507,7 @@ object Lakehouse {
       rel -> gen
     }
     plantSentinelIfBare(fs, r)
-    commitManifest(spark, root, base ++ updated, Some(schema))
+    commitManifest(spark, root, base ++ updated, Some(schema), baseId)
   }
 
   /** The committed schema of a snapshot: the base schema plus every new
@@ -601,7 +619,9 @@ object Lakehouse {
                     partitionCol: String): Int = {
     require(source.columns.contains(partitionCol),
       s"source must carry '$partitionCol' as a data column")
-    val man = manifestAt(spark, root, None)
+    val baseId = currentSnapshotId(spark, root).getOrElse(
+      throw new IllegalStateException(s"$root has no committed snapshot"))
+    val man = manifestAt(spark, root, Some(baseId))
     val m = man.mapping
     // partitions read under the SNAPSHOT schema so an evolved column
     // null-fills in old files and the union with the delta stays aligned
@@ -626,7 +646,7 @@ object Lakehouse {
       }
       rel -> mergeUpsert(current, delta, keys)
     }
-    commitSnapshot(spark, root, writes)
+    commitSnapshot(spark, root, writes, expectedSnapshot = Some(baseId))
   }
 
   /** CDC batch applied to a snapshot lake, partition-pruned and atomic
@@ -642,7 +662,9 @@ object Lakehouse {
                        partitionCol: String, opCol: String = "op"): Int = {
     require(changes.columns.contains(partitionCol),
       s"changes must carry '$partitionCol' as a data column")
-    val man = manifestAt(spark, root, None)
+    val baseId = currentSnapshotId(spark, root).getOrElse(
+      throw new IllegalStateException(s"$root has no committed snapshot"))
+    val man = manifestAt(spark, root, Some(baseId))
     val m = man.mapping
     def readPart(dir: String): DataFrame = man.schema match {
       case Some(sc) => spark.read.schema(sc).parquet(dir)
@@ -668,7 +690,7 @@ object Lakehouse {
       }
       rel -> applyCdc(current, delta, keys, opCol)
     }
-    commitSnapshot(spark, root, writes)
+    commitSnapshot(spark, root, writes, expectedSnapshot = Some(baseId))
   }
 
   /** Snapshot GC: keep the newest `keepSnapshots` manifests, delete
@@ -755,7 +777,9 @@ object Lakehouse {
     val rootP = new org.apache.hadoop.fs.Path(root)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(rootP, LakeDir))) {
-      val m = manifestAt(spark, root, None)
+      val baseId = currentSnapshotId(spark, root).getOrElse(
+        throw new IllegalStateException(s"$root has no committed snapshot"))
+      val m = manifestAt(spark, root, Some(baseId))
       val base = m.mapping
       val rewritten = base.toSeq.sortBy(_._1).flatMap { case (rel, gen) =>
         val dir = dataDir(rootP, rel, gen)
@@ -777,7 +801,7 @@ object Lakehouse {
       if (rewritten.nonEmpty)
         commitManifest(spark, root,
           base ++ rewritten.map { case (rel, gen, _, _) => rel -> gen },
-          m.schema) // content-preserving: the epoch's schema carries over
+          m.schema, baseId) // content-preserving: schema carries over
       return rewritten.map { case (rel, _, b, a) => (rel, b, a) }
     }
     fs.listStatus(rootP).toSeq

@@ -200,6 +200,31 @@ class Round16Spec extends SparkTestBase {
     assert(e.getMessage.contains("readSnapshot"), e.getMessage)
   }
 
+  test("snapshot commits are optimistic: losing the manifest race throws " +
+    "instead of silently dropping the other committer's write") {
+    val root = freshDir("snaprace")
+    Lakehouse.commitSnapshot(spark, root, Seq("p=a" -> part("a", 1L to 3L)))
+    // this writer read its inputs under snapshot 1...
+    val baseRead = Lakehouse.currentSnapshotId(spark, root).get
+    // ...then a concurrent committer lands snapshot 2 first
+    Lakehouse.commitSnapshot(spark, root, Seq("p=c" -> part("c", 7L to 9L)))
+    val e = intercept[IllegalStateException] {
+      // the loser pins its base (CAS): committing would silently REVERT
+      // the winner's p=c (the stale base carries no entry for it) — it
+      // must throw, never last-committer-win
+      Lakehouse.commitSnapshot(spark, root,
+        Seq("p=b" -> part("b", 4L to 6L)),
+        expectedSnapshot = Some(baseRead))
+    }
+    assert(e.getMessage.contains("concurrently"), e.getMessage)
+    // the winner's commit is untouched and still reads
+    assert(Lakehouse.readSnapshot(spark, root).count() == 6L)
+    assert(Lakehouse.currentSnapshotId(spark, root).contains(2))
+    // an UNPINNED retry re-reads the current snapshot and lands cleanly
+    Lakehouse.commitSnapshot(spark, root, Seq("p=b" -> part("b", 4L to 6L)))
+    assert(Lakehouse.readSnapshot(spark, root).count() == 9L)
+  }
+
   test("snapshot schema evolution: a new column null-fills carried " +
     "partitions, time travel keeps each epoch's OWN shape, and a " +
     "same-name type conflict is loud") {
