@@ -200,6 +200,88 @@ class Round16Spec extends SparkTestBase {
     assert(e.getMessage.contains("readSnapshot"), e.getMessage)
   }
 
+  test("model-based snapshot-lake torture: 24 random merge/CDC/sweep/GC " +
+    "operations, the lake equals the in-memory model after every one, " +
+    "and every KEPT historical snapshot still reads its own epoch") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    val root = freshDir("snapmodel")
+    def langOf(id: Long) = s"l${(id % 3).toInt}"
+    // the model: key -> (lang, v); the lake must equal it at all times
+    val model = scala.collection.mutable.Map[Long, (String, String)]()
+    def df(rows: Seq[(Long, String, String)]) = rows.toDF("id", "lang", "v")
+    def modelRows = model.toSeq.map { case (id, (l, v)) => (id, l, v) }
+    def lakeRows = Lakehouse.readSnapshot(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    // epoch bookkeeping for time travel
+    val epochs = scala.collection.mutable.Map[Int, Set[(Long, String, String)]]()
+    def record(id: Int): Unit = epochs(id) = modelRows.toSet
+
+    (1L to 30L).foreach(i => model(i) = (langOf(i), s"v$i"))
+    val s1 = Lakehouse.commitSnapshot(spark, root,
+      modelRows.groupBy(_._2).toSeq.map { case (l, rs) =>
+        s"lang=$l" -> df(rs) })
+    record(s1)
+    var maxId = 30L
+
+    for (step <- 1 to 24) {
+      rnd.nextInt(5) match {
+        case 0 => // partition-pruned MERGE: updates + inserts
+          val upd = rnd.shuffle(model.keys.toSeq).take(1 + rnd.nextInt(4))
+            .map(id => (id, langOf(id), s"u$step-$id"))
+          val ins = (1 to 1 + rnd.nextInt(3)).map { _ =>
+            maxId += 1; (maxId, langOf(maxId), s"i$step-$maxId") }
+          val delta = upd ++ ins
+          val sid = Lakehouse.mergeSnapshot(spark, root, df(delta),
+            Seq("id"), "lang")
+          delta.foreach { case (id, l, v) => model(id) = (l, v) }
+          record(sid) // record AFTER the model reflects the op
+        case 1 => // CDC batch: mixed I/U/D, one op per key
+          val dels = rnd.shuffle(model.keys.toSeq).take(rnd.nextInt(3))
+          val upds = rnd.shuffle((model.keys.toSet -- dels).toSeq)
+            .take(rnd.nextInt(3)).map(id => (id, s"c$step-$id"))
+          val inss = (1 to rnd.nextInt(2) + (if (dels.isEmpty &&
+            upds.isEmpty) 1 else 0)).map { _ =>
+            maxId += 1; (maxId, s"n$step-$maxId") }
+          val changes =
+            dels.map(id => (id, langOf(id), "x", "D")) ++
+              upds.map { case (id, v) => (id, langOf(id), v, "U") } ++
+              inss.map { case (id, v) => (id, langOf(id), v, "I") }
+          val sid = Lakehouse.applyCdcSnapshot(spark, root,
+            changes.toDF("id", "lang", "v", "op"), Seq("id"), "lang")
+          dels.foreach(model.remove)
+          (upds ++ inss).foreach { case (id, v) => model(id) = (langOf(id), v) }
+          record(sid)
+        case 2 => // content-preserving sweep (model unchanged); a commit
+          // happens only if something drifted
+          Lakehouse.compactDrifted(spark, root, targetBytes = 1L << 26)
+          Lakehouse.currentSnapshotId(spark, root)
+            .foreach(id => if (!epochs.contains(id)) record(id))
+        case 3 => // GC: keep 3 — older epochs become unreadable
+          val keep = 3
+          val ids = epochs.keys.toSeq.sorted
+          Lakehouse.snapshotGc(spark, root, keepSnapshots = keep)
+          ids.dropRight(keep).foreach(epochs.remove)
+        case 4 => // whole-partition rewrite of one random partition
+          val l = s"l${rnd.nextInt(3)}"
+          val rows = modelRows.filter(_._2 == l)
+          if (rows.nonEmpty) {
+            record(Lakehouse.commitSnapshot(spark, root,
+              Seq(s"lang=$l" -> df(rows))))
+          }
+      }
+      assert(lakeRows.toSet == modelRows.toSet,
+        s"step $step: lake diverged from model")
+      // a random KEPT epoch still reads exactly its recorded state
+      val kept = epochs.keys.toSeq.sorted.takeRight(3)
+      val probe = kept(rnd.nextInt(kept.size))
+      val got = Lakehouse.readSnapshot(spark, root, asOf = Some(probe))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .toSet
+      assert(got == epochs(probe), s"step $step: epoch $probe diverged")
+    }
+  }
+
   test("snapshot commits are optimistic: losing the manifest race throws " +
     "instead of silently dropping the other committer's write") {
     val root = freshDir("snaprace")
