@@ -498,14 +498,34 @@ object Lakehouse {
         spark.read.parquet(dataDir(r, rel, gen).toString).schema })
     val schema = mergeEvolvedSchema(root, baseSchema,
       writes.map(_._2.schema))
-    val updated = writes.map { case (rel, df) =>
-      val part = if (rel.isEmpty) r else new org.apache.hadoop.fs.Path(r, rel)
-      val gen = nextGenName(fs, part)
-      df.write.mode("overwrite")
-        .parquet(new org.apache.hadoop.fs.Path(part, gen).toString)
-      plantSentinelIfBare(fs, part)
-      rel -> gen
-    }
+    // partition writes are INDEPENDENT jobs against distinct dirs — run
+    // them through a bounded driver-side pool (Spark schedules concurrent
+    // jobs; serial writes would make a 100-partition commit a latency
+    // wall). Bounded so a 10⁴-partition commit doesn't open 10⁴ jobs at
+    // once; failure of any write fails the commit BEFORE the manifest
+    // put, leaving only GC-able relics.
+    val par = math.max(1, math.min(writes.size, spark.conf
+      .get("graft.lake.commitParallelism", "8").toInt))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+    val updated =
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val fts = writes.map { case (rel, df) =>
+          scala.concurrent.Future {
+            val part =
+              if (rel.isEmpty) r else new org.apache.hadoop.fs.Path(r, rel)
+            val gen = nextGenName(fs, part)
+            df.write.mode("overwrite")
+              .parquet(new org.apache.hadoop.fs.Path(part, gen).toString)
+            plantSentinelIfBare(fs, part)
+            rel -> gen
+          }
+        }
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(fts),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
     plantSentinelIfBare(fs, r)
     commitManifest(spark, root, base ++ updated, Some(schema), baseId)
   }

@@ -200,6 +200,25 @@ class Round16Spec extends SparkTestBase {
     assert(e.getMessage.contains("readSnapshot"), e.getMessage)
   }
 
+  test("commitSnapshot runs partition writes through the bounded pool: " +
+    "a 12-partition commit lands every entry and reads back exactly") {
+    import spark.implicits._
+    val root = freshDir("snappar")
+    val writes = (0 until 12).map { i =>
+      s"b=$i" -> (1L to 20L).map(j => (i * 100L + j, i, s"v$i-$j"))
+        .toDF("id", "b", "v")
+    }
+    spark.conf.set("graft.lake.commitParallelism", "6")
+    try Lakehouse.commitSnapshot(spark, root, writes)
+    finally spark.conf.unset("graft.lake.commitParallelism")
+    val m = Lakehouse.currentManifest(spark, root)
+    assert(m.keySet == (0 until 12).map(i => s"b=$i").toSet)
+    val back = Lakehouse.readSnapshot(spark, root)
+    assert(back.count() == 240L)
+    assert(back.groupBy("b").count().collect()
+      .forall(_.getLong(1) == 20L))
+  }
+
   test("model-based snapshot-lake torture: 24 random merge/CDC/sweep/GC " +
     "operations, the lake equals the in-memory model after every one, " +
     "and every KEPT historical snapshot still reads its own epoch") {
