@@ -29,6 +29,14 @@ final case class JsonSource(path: String) extends SourceSpec {
   def load(spark: SparkSession): DataFrame = spark.read.json(path)
 }
 
+/** ORC — Spark's other built-in columnar source: evidence for the
+  * Drill-subsumption claim (SURVEY §2.1) that every native file format
+  * federates identically (pushdown/pruning included), not just the
+  * formats the reference's wrapper zoo happened to enumerate. */
+final case class OrcSource(path: String) extends SourceSpec {
+  def load(spark: SparkSession): DataFrame = spark.read.orc(path)
+}
+
 /** XML via Spark 4's built-in XML source; `rowTag` plays the RML iterator
   * role (`sparql2sparksql.py:33-150`). */
 final case class XmlSource(path: String, rowTag: String) extends SourceSpec {

@@ -43,6 +43,37 @@ class SourcesSpec extends SparkTestBase {
     assert(got.count() == want.count() && got.count() > 0)
   }
 
+  test("ORC federates like any native columnar source (the Drill-" +
+    "subsumption claim with evidence): the same chain, filters pushed") {
+    implicit val s = spark
+    val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    spark.read.parquet(s"$sfDir/nation.parquet").coalesce(1)
+      .write.mode("overwrite").orc(s"$tmp/nation_orc")
+    spark.read.parquet(s"$sfDir/region.parquet").coalesce(1)
+      .write.mode("overwrite").orc(s"$tmp/region_orc")
+    val g = new Graft(TpchCatalog.catalog, Sources.registry(Map(
+      "supplier" -> ParquetSource(s"$sfDir/supplier.parquet"),
+      "customer" -> ParquetSource(s"$sfDir/customer.parquet"),
+      "nation" -> OrcSource(s"$tmp/nation_orc"),
+      "region" -> OrcSource(s"$tmp/region_orc"))))
+    val q =
+      """PREFIX g: <urn:g:>
+        |SELECT ?sname ?nname WHERE {
+        |  ?s a g:Supplier ; g:name ?sname ; g:nation ?n .
+        |  ?n a g:Nation ; g:name ?nname ; g:region ?r .
+        |  ?r a g:Region ; g:name "ASIA" .
+        |} ORDER BY ?sname""".stripMargin
+    val got = g.sparql(q)
+    val want = Graft.overParquetDir(TpchCatalog.catalog, sfDir).sparql(q)
+    assert(got.collect().map(_.toSeq).toSeq ==
+      want.collect().map(_.toSeq).toSeq && got.count() > 0)
+    // the constant region filter reaches the ORC scan like parquet's
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(r_name), " +
+      "EqualTo(r_name,ASIA)]") || plan.contains("EqualTo(r_name,ASIA)"),
+      plan)
+  }
+
   test("a star resolves over real loopback HTTP, identical to the local plan") {
     implicit val s = spark
     // the engine is its own endpoint: GraftServer serves the catalog over
