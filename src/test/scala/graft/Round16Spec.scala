@@ -72,6 +72,46 @@ class Round16Spec extends SparkTestBase {
     assert(streamed === batch && batch.size == 3)
   }
 
+  // ---- adaptive bind-join window, end to end --------------------------------
+
+  test("SERVICE bind join sizes its VALUES window adaptively end to end: " +
+    "auto sends ONE request for a 150-key build, the pinned reference " +
+    "window pays ceil(n/20), answers identical") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import graft.api.{Graft, GraftServer, TpchCatalog}
+    val g = Graft.overParquetDir(TpchCatalog.catalog, sfDir)
+    val server = new GraftServer(g)
+    val port = server.start()
+    try {
+      val q =
+        s"""PREFIX g: <urn:g:>
+           |SELECT ?c ?n ?tp WHERE {
+           |  ?c a g:Customer ; g:name ?n .
+           |  SERVICE <http://127.0.0.1:$port/sparql> {
+           |    ?o g:customer ?c ; g:totalprice ?tp }
+           |} ORDER BY ?c ?tp""".stripMargin
+      // loopback safety: ≤2 concurrent fetch tasks under local[4]
+      spark.conf.set("graft.service.bindJoin.maxConcurrentFetch", "2")
+      def run(window: String): (Long, Long, Seq[Seq[Any]]) = {
+        spark.conf.set("graft.service.bindJoin.window", window)
+        val q0 = server.queriesServed.get()
+        val rows = g.sparql(q).collect().map(_.toSeq).toSeq
+        (rows.size.toLong, server.queriesServed.get() - q0, rows)
+      }
+      val (nAuto, reqAuto, rowsAuto) = run("auto")
+      val (nPin, reqPin, rowsPin) = run("20")
+      assert(nAuto == nPin && rowsAuto == rowsPin && nAuto > 0)
+      // sf0.001 has 150 customers: auto = min(150, 512) → ONE request;
+      // the reference's fixed 20 pays ceil(150/20) = 8
+      assert(reqAuto == 1, s"auto sent $reqAuto requests")
+      assert(reqPin == 8, s"window=20 sent $reqPin requests")
+    } finally {
+      spark.conf.unset("graft.service.bindJoin.window")
+      spark.conf.unset("graft.service.bindJoin.maxConcurrentFetch")
+      server.stop()
+    }
+  }
+
   // ---- lake-wide atomic snapshot commit ------------------------------------
 
   private def freshDir(tag: String): String = {
