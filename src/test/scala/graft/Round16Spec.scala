@@ -161,6 +161,17 @@ class Round16Spec extends SparkTestBase {
       partitionFilter = _ == "lang=de").count() == 3L)
   }
 
+  test("plan: readSnapshot is ONE multi-root scan — never a union per " +
+    "partition (the plan stays O(1) in partition count)") {
+    val root = freshDir("snapplan")
+    Lakehouse.commitSnapshot(spark, root,
+      (0 until 8).map(i => s"lang=l$i" -> part(s"l$i", 1L to 5L)))
+    val plan = Lakehouse.readSnapshot(spark, root)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Union"), plan)
+    assert(plan.linesIterator.count(_.contains("Relation")) == 1, plan)
+  }
+
   test("lake snapshot: crash relics (generations with no manifest) are " +
     "invisible to readers and snapshotGc removes them; GC'd snapshots " +
     "refuse time travel loudly; kept ones stay readable") {
