@@ -3,6 +3,14 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+/** An optimistic snapshot commit lost its race: another writer committed
+  * the id this one was about to take. The base the writer read is stale —
+  * re-read the current snapshot, re-derive the writes, retry (or let
+  * [[Lakehouse.withSnapshotRetry]] do both). Extends IllegalStateException
+  * so pre-r17 callers that matched on that type keep working. */
+final class ConcurrentCommitException(msg: String)
+  extends IllegalStateException(msg)
+
 /** Table-maintenance operators for a mutable lake: MERGE upsert, CDC
   * apply, SCD2 dimension history, and snapshot diff.
   *
@@ -150,20 +158,20 @@ object Lakehouse {
     val target = math.max(1, ((bytes + targetBytes - 1) / targetBytes).toInt)
     if (before.length <= target) return (before.length, before.length, bytes)
 
-    val n = currentGen(fs, root).getOrElse(0) + 1
+    val n = currentGenDir(fs, root).map(_._1).getOrElse(0) + 1
     val next = new org.apache.hadoop.fs.Path(root, f"_gen-$n%08d")
     fs.delete(next, true) // an unstamped partial from a crashed run
     spark.read.parquet(resolveCompacted(spark, path)).repartition(target)
       .write.mode("overwrite").parquet(next.toString)
     fs.create(new org.apache.hadoop.fs.Path(next, CompleteMarker), true).close()
     // GC everything older than the PREVIOUS generation: stamped gens
-    // <= n-2, every unstamped partial below n, and (once the previous
-    // generation is itself a gen dir, n >= 2) the pre-adoption loose
-    // files at the root
+    // <= n-2 (legacy visible `gen-` names included), every unstamped
+    // partial below n, and (once the previous generation is itself a gen
+    // dir, n >= 2) the pre-adoption loose files at the root
     fs.listStatus(root).foreach { st =>
-      st.getPath.getName match {
-        case GenName(g) if st.isDirectory &&
-          (g.toInt <= n - 2 || (g.toInt < n && !stamped(fs, st.getPath))) =>
+      genNum(st.getPath.getName) match {
+        case Some(g) if st.isDirectory &&
+          (g <= n - 2 || (g < n && !stamped(fs, st.getPath))) =>
           fs.delete(st.getPath, true)
         case _ => ()
       }
@@ -186,6 +194,38 @@ object Lakehouse {
     * explicitly-resolved generation paths read normally (input roots are
     * not filtered, only discovered children). */
   private val GenName = "^_gen-(\\d{8})$".r
+  /** Pre-r16 layout used VISIBLE `gen-<n>` names; recognizing them keeps a
+    * table compacted under the old format resolvable (silently resolving
+    * to the bare root — empty or doubled rows — was the failure mode). */
+  private val LegacyGenName = "^gen-(\\d{8})$".r
+
+  /** Marker-managed generation number of `name`, current or legacy. */
+  private def genNum(name: String): Option[Int] = name match {
+    case GenName(g)       => Some(g.toInt)
+    case LegacyGenName(g) => Some(g.toInt)
+    case _                => None
+  }
+
+  /** Any generation directory name, either scheme: marker-managed
+    * sequential (`_gen-00000003`, legacy `gen-00000003`) or snapshot
+    * writer-unique (`_gen-<nonce>`). Used by GC walks, which must reclaim
+    * relics of every naming era. */
+  private def isGenDirName(name: String): Boolean =
+    name.startsWith("_gen-") || LegacyGenName.matches(name)
+
+  /** Generation name for SNAPSHOT-managed data dirs: WRITER-UNIQUE (a
+    * random nonce), never listing-max+1. Currency comes from the manifest
+    * alone, so names carry no order — and sequential naming let two
+    * concurrent same-partition committers pick the SAME dir, where the
+    * loser's overwrite corrupts the data the winner's manifest references
+    * BEFORE the manifest CAS can object (the r16 lost-update hole). With a
+    * nonce every writer's dirs are disjoint by construction; the manifest
+    * CAS arbitrates the commit and the loser's orphan dirs are
+    * [[snapshotGc]] relics. */
+  private def snapGenName(): String = {
+    val u = java.util.UUID.randomUUID()
+    f"_gen-${u.getMostSignificantBits}%016x${u.getLeastSignificantBits}%016x"
+  }
 
   /** Visible (non-underscore) on purpose: Spark's listing filters skip
     * `_`/`.` names, so a hidden marker would leave the naive read
@@ -226,17 +266,20 @@ object Lakehouse {
                       p: org.apache.hadoop.fs.Path): Boolean =
     fs.exists(new org.apache.hadoop.fs.Path(p, CompleteMarker))
 
-  /** Highest COMPLETE generation number under `root`, if any. */
-  private def currentGen(fs: org.apache.hadoop.fs.FileSystem,
-                         root: org.apache.hadoop.fs.Path): Option[Int] = {
+  /** Highest COMPLETE generation under `root` — (number, dir), if any.
+    * Matches current `_gen-` AND legacy visible `gen-` names, so a table
+    * last compacted by the pre-r16 layout still resolves to its newest
+    * stamped generation instead of silently falling back to the bare
+    * root. */
+  private def currentGenDir(fs: org.apache.hadoop.fs.FileSystem,
+                            root: org.apache.hadoop.fs.Path
+                           ): Option[(Int, org.apache.hadoop.fs.Path)] = {
     val gens = fs.listStatus(root).collect {
-      case st if st.isDirectory =>
-        st.getPath.getName match {
-          case GenName(g) if stamped(fs, st.getPath) => Some(g.toInt)
-          case _                                     => None
-        }
-    }.flatten
-    if (gens.isEmpty) None else Some(gens.max)
+      case st if st.isDirectory && genNum(st.getPath.getName).isDefined &&
+        stamped(fs, st.getPath) =>
+        (genNum(st.getPath.getName).get, st.getPath)
+    }
+    if (gens.isEmpty) None else Some(gens.maxBy(_._1))
   }
 
   /** The directory currently holding `path`'s data: for a
@@ -252,19 +295,24 @@ object Lakehouse {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(root, LakeDir))) {
+      // ONLY an exactly-one-entry, root-keyed manifest resolves to a
+      // single directory. A manifest with ANY other partition — even
+      // alongside a "" entry (the adopt-then-partitioned-commit layout) —
+      // throws: returning just the root entry's dir would be a silently
+      // PARTIAL table, the worst of the three outcomes
       val m = currentManifest(spark, path)
-      return m.get("") match {
-        case Some(gen) =>
+      return m.toSeq match {
+        case Seq(("", gen)) =>
           new org.apache.hadoop.fs.Path(root, gen).toString
-        case None => throw new IllegalStateException(
+        case _ => throw new IllegalStateException(
           s"$path is a snapshot-managed PARTITIONED lake " +
             s"(${m.size} partitions): one directory cannot represent " +
             "it — read through readSnapshot(root)")
       }
     }
-    currentGen(fs, root) match {
-      case Some(n) => new org.apache.hadoop.fs.Path(root, f"_gen-$n%08d").toString
-      case None    => path
+    currentGenDir(fs, root) match {
+      case Some((_, dir)) => dir.toString
+      case None           => path
     }
   }
 
@@ -314,14 +362,31 @@ object Lakehouse {
     new org.apache.hadoop.fs.Path(part, gen)
   }
 
+  /** Per-file column statistics: min/max of a stats column as codec
+    * strings ([[StatsCodec]]); None = the file has no non-null value of
+    * the column (prunable under any non-null range predicate). */
+  private[graft] final case class ColStat(min: Option[String],
+                                          max: Option[String])
+
   /** Parsed manifest: the partition→data-dir mapping plus the committed
-    * SCHEMA (a `#schema` metadata line, StructType JSON). The schema
-    * rides the manifest so readers never pay per-file footer merging and
-    * every snapshot owns ONE authoritative shape — the table-format
-    * treatment of schema, not the file-inference one. */
+    * SCHEMA (a `#schema` metadata line, StructType JSON) plus optional
+    * per-file column STATS (`#stats` lines: rel → file → col →
+    * min/max). The schema rides the manifest so readers never pay
+    * per-file footer merging and every snapshot owns ONE authoritative
+    * shape; the stats are the data-skipping layer — [[readSnapshot]]
+    * prunes FILES whose [min,max] cannot intersect a caller-declared
+    * range before Spark ever plans the scan. */
   private final case class Manifest(
       mapping: Map[String, String],
-      schema: Option[org.apache.spark.sql.types.StructType])
+      schema: Option[org.apache.spark.sql.types.StructType],
+      stats: Map[String, Map[String, Map[String, ColStat]]] = Map.empty)
+
+  private val StatNull = "-"
+  private def encStat(v: Option[String]): String =
+    v.fold(StatNull)(s => java.net.URLEncoder.encode(s, "UTF-8"))
+  private def decStat(s: String): Option[String] =
+    if (s == StatNull) None
+    else Some(java.net.URLDecoder.decode(s, "UTF-8"))
 
   private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
                            p: org.apache.hadoop.fs.Path): Manifest = {
@@ -344,7 +409,22 @@ object Lakehouse {
           .fromJson(l.substring("#schema\t".length))
           .asInstanceOf[org.apache.spark.sql.types.StructType]
     }
-    Manifest(mapping, schema)
+    val stats = scala.collection.mutable.Map[
+      String, scala.collection.mutable.Map[
+        String, scala.collection.mutable.Map[String, ColStat]]]()
+    meta.filter(_.startsWith("#stats\t")).foreach { l =>
+      l.split("\t", -1) match {
+        case Array(_, rel, file, colName, mn, mx) =>
+          stats.getOrElseUpdate(rel, scala.collection.mutable.Map())
+            .getOrElseUpdate(file, scala.collection.mutable.Map())
+            .update(colName, ColStat(decStat(mn), decStat(mx)))
+        case _ => throw new IllegalStateException(
+          s"malformed #stats line in $p: '$l'")
+      }
+    }
+    Manifest(mapping, schema,
+      stats.map { case (r, fm) =>
+        r -> fm.map { case (f, cm) => f -> cm.toMap }.toMap }.toMap)
   }
 
   private def manifestAt(spark: org.apache.spark.sql.SparkSession,
@@ -374,34 +454,57 @@ object Lakehouse {
                     ): Option[org.apache.spark.sql.types.StructType] =
     manifestAt(spark, root, asOf).schema
 
-  private def nextGenName(fs: org.apache.hadoop.fs.FileSystem,
-                          dir: org.apache.hadoop.fs.Path): String = {
-    val n =
-      if (!fs.exists(dir)) 1
-      else fs.listStatus(dir).collect {
-        case st if st.isDirectory => st.getPath.getName match {
-          case GenName(g) => Some(g.toInt)
-          case _          => None
-        }
-      }.flatten.foldLeft(0)(math.max) + 1
-    f"_gen-$n%08d"
+  /** Filesystem schemes whose commit step is a REAL compare-and-set.
+    * `file` commits via `Files.createLink` (link(2) fails atomically when
+    * the target exists — no check-then-act window at all); the others
+    * have the HDFS rename contract (atomic metadata op that FAILS when
+    * the destination exists). S3-class stores are deliberately absent:
+    * S3A's rename is copy+delete and does NOT fail on a concurrent
+    * target, so two committers of the same id could both "win" and one
+    * manifest would be silently replaced — the exact lost update the CAS
+    * exists to kill. Committing there throws loudly; a store whose
+    * rename IS atomic can be declared via
+    * `graft.lake.renameAtomicSchemes` (comma-separated extra schemes). */
+  private val RenameAtomicSchemes =
+    Set("file", "hdfs", "viewfs", "webhdfs", "o3fs", "ofs")
+
+  private def requireCasCapable(spark: org.apache.spark.sql.SparkSession,
+                                fs: org.apache.hadoop.fs.FileSystem,
+                                root: String): Unit = {
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    val extra = spark.conf.get("graft.lake.renameAtomicSchemes", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    if (!(RenameAtomicSchemes ++ extra).contains(scheme))
+      throw new IllegalStateException(
+        s"snapshot commit on '$scheme://' ($root): the manifest CAS " +
+          "needs an atomic rename-without-replace, which object-store " +
+          "filesystems (s3a and friends) do not provide — their rename " +
+          "is copy+delete, so two committers of the same snapshot id " +
+          "could both succeed and one commit would be silently lost. " +
+          "Commit from a rename-atomic filesystem (HDFS/POSIX), or, if " +
+          "this store's rename really is atomic-and-exclusive, declare " +
+          "it in spark.conf 'graft.lake.renameAtomicSchemes'")
   }
 
-  /** Commit the manifest `mapping` as the next snapshot — the SINGLE
-    * atomic step that makes every data directory it references current
-    * at once. Written to a dotted temp name, then renamed into place:
-    * rename is atomic on HDFS/POSIX stores, and on S3-class stores the
-    * copy inside rename is one PUT of one small object, which is itself
-    * atomic — either the complete manifest appears or nothing does. A
-    * concurrent committer loses the rename race and throws (optimistic
-    * concurrency; last-committer-wins would silently drop writes). */
+  /** Commit the manifest as the next snapshot — the SINGLE atomic step
+    * that makes every data directory it references current at once.
+    * Written to a dotted temp name, then swung into place with a real
+    * CAS: on `file` a hard link (link(2) fails atomically if the target
+    * exists — zero check-then-act window); on HDFS-contract stores a
+    * rename, whose metadata op atomically fails on an existing
+    * destination. Object-store schemes are REFUSED up front
+    * ([[requireCasCapable]]) — their rename is not exclusive and a
+    * silent lost-commit is the one failure mode worse than throwing. A
+    * concurrent committer of the same id throws
+    * [[ConcurrentCommitException]] (optimistic concurrency;
+    * last-committer-wins would silently drop writes). */
   private def commitManifest(spark: org.apache.spark.sql.SparkSession,
                              root: String,
-                             mapping: Map[String, String],
-                             schema: Option[org.apache.spark.sql.types.StructType],
+                             man: Manifest,
                              baseId: Int): Int = {
     val r = new org.apache.hadoop.fs.Path(root)
     val fs = fsOf(spark, r)
+    requireCasCapable(spark, fs, root)
     fs.mkdirs(new org.apache.hadoop.fs.Path(r, LakeDir))
     // CAS on the snapshot id the writer BASED its mapping on — never a
     // fresh re-list here: a commit that landed between the base read and
@@ -411,26 +514,66 @@ object Lakehouse {
     val id = baseId + 1
     val target = snapFile(r, id)
     val tmp = new org.apache.hadoop.fs.Path(target.getParent,
-      s".${target.getName}.tmp")
+      s".${target.getName}.${snapGenName().drop("_gen-".length)}.tmp")
+    // stats ride as #stats meta lines, one per (partition, file, column),
+    // values URL-encoded so data-driven strings can never split a line
+    val statLines = man.stats.toSeq.sortBy(_._1).flatMap { case (rel, fm) =>
+      fm.toSeq.sortBy(_._1).flatMap { case (file, cm) =>
+        cm.toSeq.sortBy(_._1).map { case (c, st) =>
+          s"#stats\t$rel\t$file\t$c\t${encStat(st.min)}\t${encStat(st.max)}\n"
+        }
+      }
+    }.mkString
     val out = fs.create(tmp, true)
-    out.write((schema.map(s => s"#schema\t${s.json}\n").getOrElse("") +
-      mapping.toSeq.sortBy(_._1)
+    out.write((man.schema.map(s => s"#schema\t${s.json}\n").getOrElse("") +
+      statLines +
+      man.mapping.toSeq.sortBy(_._1)
         .map { case (rel, gen) => s"$rel\t$gen\n" }.mkString)
       .getBytes("UTF-8"))
     out.close()
-    if (fs.exists(target) || !fs.rename(tmp, target)) {
+    def lose(): Nothing = {
       fs.delete(tmp, false)
-      throw new IllegalStateException(
+      throw new ConcurrentCommitException(
         s"snapshot $id of $root was committed concurrently — re-read the " +
-          "current snapshot and retry the write")
+          "current snapshot and retry the write (withSnapshotRetry wraps " +
+          "this loop)")
     }
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    if (scheme == "file") {
+      // hard link: the kernel's link(2) is the CAS — it FAILS with
+      // EEXIST atomically when the target appears first; no exists probe
+      val t = java.nio.file.Paths.get(target.toUri.getPath)
+      val s = java.nio.file.Paths.get(tmp.toUri.getPath)
+      try java.nio.file.Files.createLink(t, s)
+      catch { case _: java.nio.file.FileAlreadyExistsException => lose() }
+      fs.delete(tmp, false)
+    } else if (fs.exists(target) || !fs.rename(tmp, target)) lose()
     id
   }
 
+  /** Partition-relative dirs must be path- AND manifest-safe: no control
+    * characters at all (a '\n' or '\r' inside a manifest line would split
+    * it in two — the commit would succeed and every later readManifest
+    * would throw, bricking the lake's current state on data-driven
+    * input), no traversal, no hidden-prefix collision with the
+    * metadata/generation namespaces. */
   private def validRel(rel: String): Boolean =
-    !rel.contains('\t') && !rel.contains("..") && rel != "." &&
+    !rel.exists(c => c < 0x20 || c == 0x7f) &&
+      !rel.contains("..") && rel != "." &&
       !rel.startsWith("/") && !rel.endsWith("/") &&
       !rel.startsWith("_") && !rel.startsWith(".")
+
+  /** Loud data-driven guard for [[mergeSnapshot]]/[[applyCdcSnapshot]],
+    * which build manifest rels from partition VALUES: validate before any
+    * byte is written, naming the offending value. */
+  private def requireValidPartValue(partitionCol: String, v: String): Unit =
+    if (!validRel(s"$partitionCol=$v"))
+      throw new IllegalArgumentException(
+        s"partition value ${v.map(c => if (c < 0x20 || c == 0x7f)
+          f"\\u$c%04x" else c.toString).mkString} of column " +
+          s"'$partitionCol' cannot name a partition directory (control " +
+          "characters, traversal, or a hidden-prefix collision) — clean " +
+          "or bucket the column before committing")
 
   /** Lake-wide ATOMIC multi-partition commit — the transaction the
     * generation machinery alone lacks: a content-CHANGING write touching
@@ -467,7 +610,8 @@ object Lakehouse {
     * id. */
   def commitSnapshot(spark: org.apache.spark.sql.SparkSession, root: String,
                      writes: Seq[(String, DataFrame)],
-                     expectedSnapshot: Option[Int] = None): Int = {
+                     expectedSnapshot: Option[Int] = None,
+                     statsCols: Seq[String] = Nil): Int = {
     require(writes.nonEmpty, "commitSnapshot needs at least one write")
     writes.foreach { case (rel, _) =>
       require(rel.isEmpty || validRel(rel),
@@ -476,15 +620,21 @@ object Lakehouse {
       "one write per partition: duplicate partition dirs in the commit")
     val r = new org.apache.hadoop.fs.Path(root)
     val fs = fsOf(spark, r)
+    requireCasCapable(spark, fs, root) // fail BEFORE writing any data
+    val effStats = effectiveStatsCols(spark, statsCols)
+    writes.foreach { case (rel, df) => requireStatsSupported(effStats, df, rel) }
     // `expectedSnapshot` pins the base this commit derives from (the
     // caller read its inputs under it) — optimistic concurrency: if a
     // competitor committed base+1 meanwhile, fail fast BEFORE writing
-    // data, and the rename guard in commitManifest covers the remaining
-    // write-vs-write window
+    // data, and the CAS in commitManifest covers the remaining
+    // write-vs-write window. Data dirs can NEVER collide across
+    // concurrent committers — generation names are writer-unique
+    // ([[snapGenName]]), so the loser's orphans are GC relics, not
+    // corruption of the winner's committed dirs.
     val baseId = expectedSnapshot.getOrElse(
       snapIds(fs, r).lastOption.getOrElse(0))
     if (fs.exists(snapFile(r, baseId + 1)))
-      throw new IllegalStateException(
+      throw new ConcurrentCommitException(
         s"snapshot ${baseId + 1} of $root was committed concurrently — " +
           "re-read the current snapshot and retry the write")
     val prior: Option[Manifest] =
@@ -515,11 +665,12 @@ object Lakehouse {
           scala.concurrent.Future {
             val part =
               if (rel.isEmpty) r else new org.apache.hadoop.fs.Path(r, rel)
-            val gen = nextGenName(fs, part)
-            df.write.mode("overwrite")
-              .parquet(new org.apache.hadoop.fs.Path(part, gen).toString)
+            val gen = snapGenName()
+            val genPath = new org.apache.hadoop.fs.Path(part, gen).toString
+            df.write.mode("overwrite").parquet(genPath)
             plantSentinelIfBare(fs, part)
-            rel -> gen
+            (rel, gen, fileStats(spark, genPath,
+              effStats.filter(df.columns.contains)))
           }
         }
         scala.concurrent.Await.result(
@@ -527,7 +678,146 @@ object Lakehouse {
           scala.concurrent.duration.Duration.Inf)
       } finally pool.shutdown()
     plantSentinelIfBare(fs, r)
-    commitManifest(spark, root, base ++ updated, Some(schema), baseId)
+    // stats: carried partitions keep their committed stats verbatim (same
+    // gen, same files); rewritten partitions replace theirs wholesale
+    val carried = prior.map(_.stats).getOrElse(Map.empty) --
+      updated.map(_._1)
+    val fresh = updated.collect {
+      case (rel, _, st) if st.nonEmpty => rel -> st }.toMap
+    commitManifest(spark, root,
+      Manifest(base ++ updated.map(u => u._1 -> u._2), Some(schema),
+        carried ++ fresh), baseId)
+  }
+
+  /** A caller-declared value range for manifest-level data skipping:
+    * asserts the query's filter restricts `column` to `[lower, upper]`
+    * (inclusive, null-EXCLUDING — the standard skip contract of
+    * `WHERE col BETWEEN lo AND hi`). [[readSnapshot]] drops every file
+    * whose committed per-file [min,max] cannot intersect the range
+    * BEFORE Spark plans the scan; the caller still applies the real
+    * filter — pruning is a strict superset guarantee, never the filter
+    * itself. Bounds are plain Scala values matching the column type
+    * (numbers, String, java.sql.Date/LocalDate, java.sql.Timestamp/
+    * java.time.Instant or Long epoch-micros). */
+  final case class ColRange(column: String, lower: Option[Any] = None,
+                            upper: Option[Any] = None)
+
+  /** Order-faithful round-trip codec for per-file stat values: encode at
+    * commit (typed agg result → string), compare at prune time in the
+    * COLUMN'S type domain (never lexicographically for numerics). */
+  private[graft] object StatsCodec {
+    import org.apache.spark.sql.types._
+
+    def supported(dt: DataType): Boolean = dt match {
+      case _: NumericType | StringType | DateType | TimestampType |
+           TimestampNTZType => true
+      case _ => false
+    }
+
+    private def micros(i: java.time.Instant): Long =
+      math.addExact(math.multiplyExact(i.getEpochSecond, 1000000L),
+        (i.getNano / 1000).toLong)
+
+    def encode(v: Any): String = v match {
+      case d: java.sql.Date             => d.toString // ISO, order-faithful
+      case d: java.time.LocalDate       => d.toString
+      case t: java.sql.Timestamp        => micros(t.toInstant).toString
+      case t: java.time.Instant         => micros(t).toString
+      case t: java.time.LocalDateTime   =>
+        micros(t.toInstant(java.time.ZoneOffset.UTC)).toString
+      case b: java.math.BigDecimal      => b.toPlainString
+      case b: scala.math.BigDecimal     => b.bigDecimal.toPlainString
+      case s: String                    => s
+      case n: java.lang.Number          => n.toString
+      case other => throw new IllegalArgumentException(
+        s"unsupported stats value ${other.getClass.getName}")
+    }
+
+    private def toBig(v: Any): BigDecimal = v match {
+      case b: java.math.BigDecimal  => BigDecimal(b)
+      case b: scala.math.BigDecimal => b
+      case n: java.lang.Number      => BigDecimal(n.toString)
+      case s: String                => BigDecimal(s)
+      case other => throw new IllegalArgumentException(
+        s"numeric bound expected, got ${other.getClass.getName}")
+    }
+
+    /** sign of (committed stat) - (caller bound), in `dt`'s domain. */
+    def compare(dt: DataType, stat: String, bound: Any): Int = dt match {
+      case _: NumericType => toBig(stat).compare(toBig(bound))
+      case StringType     => math.signum(stat.compareTo(bound match {
+        case s: String => s
+        case other => throw new IllegalArgumentException(
+          s"string bound expected, got ${other.getClass.getName}")
+      }))
+      case DateType => math.signum(stat.compareTo(bound match {
+        case d: java.sql.Date       => d.toString
+        case d: java.time.LocalDate => d.toString
+        case s: String              => s
+        case other => throw new IllegalArgumentException(
+          s"date bound expected, got ${other.getClass.getName}")
+      }))
+      case TimestampType | TimestampNTZType =>
+        val b = bound match {
+          case t: java.sql.Timestamp      => micros(t.toInstant)
+          case t: java.time.Instant       => micros(t)
+          case t: java.time.LocalDateTime =>
+            micros(t.toInstant(java.time.ZoneOffset.UTC))
+          case l: Long                    => l
+          case other => throw new IllegalArgumentException(
+            s"timestamp bound expected, got ${other.getClass.getName}")
+        }
+        java.lang.Long.compare(stat.toLong, b)
+      case other => throw new IllegalArgumentException(
+        s"no stats ordering for $other")
+    }
+  }
+
+  /** Stats columns for this commit: the explicit param, else the session
+    * default `graft.lake.statsCols` (comma-separated), else none. */
+  private def effectiveStatsCols(spark: org.apache.spark.sql.SparkSession,
+                                 statsCols: Seq[String]): Seq[String] =
+    if (statsCols.nonEmpty) statsCols
+    else spark.conf.get("graft.lake.statsCols", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  private def requireStatsSupported(cols: Seq[String], df: DataFrame,
+                                    rel: String): Unit =
+    cols.foreach { c =>
+      df.schema.fields.find(_.name == c).foreach { f =>
+        if (!StatsCodec.supported(f.dataType))
+          throw new IllegalArgumentException(
+            s"stats column '$c' (partition '$rel') has type " +
+              s"${f.dataType} — per-file min/max skipping needs an " +
+              "orderable atomic (numeric, string, date, timestamp)")
+      }
+    }
+
+  /** Per-file min/max of `cols` over a freshly written generation dir:
+    * ONE column-pruned scan of the new files grouped by file name. The
+    * collect is bounded by FILE COUNT × column count (the same driver
+    * bound as every manifest structure). Cost: one re-read of what was
+    * just written, pruned to the stats columns — the price of computing
+    * stats post-write without hooking the parquet writer (Delta pays it
+    * inside the writer; one pruned scan of hot-in-page-cache files is
+    * the honest Spark-level equivalent). */
+  private def fileStats(spark: org.apache.spark.sql.SparkSession,
+                        genDir: String, cols: Seq[String]
+                       ): Map[String, Map[String, ColStat]] = {
+    if (cols.isEmpty) return Map.empty
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
+    val rows = spark.read.parquet(genDir)
+      .groupBy(col("_metadata.file_name").as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    rows.map { row =>
+      val file = row.getString(0)
+      file -> cols.zipWithIndex.map { case (c, i) =>
+        c -> ColStat(Option(row.get(1 + 2 * i)).map(StatsCodec.encode),
+          Option(row.get(2 + 2 * i)).map(StatsCodec.encode))
+      }.toMap
+    }.toMap
   }
 
   /** The committed schema of a snapshot: the base schema plus every new
@@ -583,10 +873,10 @@ object Lakehouse {
         "as data columns (hive files do not carry them)")
     if (rootRewritten) return Map.empty // this commit replaces "" anyway
     val hasData = dataFiles(fs, r).nonEmpty ||
-      currentGen(fs, r).isDefined
+      currentGenDir(fs, r).isDefined
     if (!hasData) Map.empty
     else {
-      val gen = nextGenName(fs, r)
+      val gen = snapGenName()
       spark.read.parquet(resolveCompacted(spark, r.toString))
         .write.mode("overwrite")
         .parquet(new org.apache.hadoop.fs.Path(r, gen).toString)
@@ -600,23 +890,104 @@ object Lakehouse {
     * `partitionFilter` prunes manifest ENTRIES before planning — the
     * manifest-level partition pruning of every table format that owns
     * its file listing; a filtered scan then still row-group-prunes on
-    * the materialized partition columns. */
+    * the materialized partition columns.
+    *
+    * `fileRanges` is the DATA-SKIPPING layer on top: for partitions whose
+    * manifest carries per-file stats (committed with `statsCols`), every
+    * file whose committed [min,max] cannot intersect a declared
+    * [[ColRange]] is dropped before planning — an unpartitioned-column
+    * predicate then opens only the files that can match, instead of every
+    * file in every kept partition (the Iceberg/Delta skip contract).
+    * Files or partitions WITHOUT stats for a ranged column are kept
+    * (pruning is always a superset); the caller still applies the real
+    * filter. */
   def readSnapshot(spark: org.apache.spark.sql.SparkSession, root: String,
                    asOf: Option[Int] = None,
-                   partitionFilter: String => Boolean = _ => true): DataFrame = {
+                   partitionFilter: String => Boolean = _ => true,
+                   fileRanges: Seq[ColRange] = Nil): DataFrame = {
     val m = manifestAt(spark, root, asOf)
     val r = new org.apache.hadoop.fs.Path(root)
     val kept = m.mapping.toSeq.filter { case (rel, _) => partitionFilter(rel) }
-      .map { case (rel, gen) => dataDir(r, rel, gen).toString }
     require(kept.nonEmpty,
       s"snapshot of $root has no partitions left after the filter")
+    val colTypes: Map[String, org.apache.spark.sql.types.DataType] =
+      m.schema.map(_.fields.map(f => f.name -> f.dataType).toMap)
+        .getOrElse(Map.empty)
+    fileRanges.foreach(rg => require(
+      m.schema.isEmpty || colTypes.contains(rg.column),
+      s"fileRanges column '${rg.column}' is not in the committed schema"))
+    def fileSurvives(cm: Map[String, ColStat]): Boolean =
+      fileRanges.forall { rg =>
+        cm.get(rg.column) match {
+          case None => true // file predates this stats column: keep
+          case Some(st) if st.min.isEmpty =>
+            false // ALL-null file; ranges are null-excluding by contract
+          case Some(st) =>
+            val dt = colTypes(rg.column)
+            rg.lower.forall(lo =>
+              StatsCodec.compare(dt, st.max.get, lo) >= 0) &&
+              rg.upper.forall(hi =>
+                StatsCodec.compare(dt, st.min.get, hi) <= 0)
+        }
+      }
+    val roots = kept.flatMap { case (rel, gen) =>
+      val dir = dataDir(r, rel, gen)
+      m.stats.get(rel) match {
+        case Some(files) if fileRanges.nonEmpty =>
+          // the stats enumerate EVERY file of the committed generation
+          // (computed over the whole dir at commit), so the survivor
+          // list is authoritative — pass individual files to the scan
+          files.toSeq.sortBy(_._1).collect {
+            case (f, cm) if fileSurvives(cm) =>
+              new org.apache.hadoop.fs.Path(dir, f).toString
+          }
+        case _ => Seq(dir.toString) // no stats: the whole dir, unskipped
+      }
+    }
+    // every file pruned away ⇒ a provably-empty result, not an error
+    if (roots.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        m.schema.getOrElse(throw new IllegalStateException(
+          s"snapshot of $root pruned to zero files but carries no schema")))
     // the manifest's schema is the read schema: evolved columns null-fill
     // in partitions committed before them, no per-file footer merging,
     // and a time-traveled read keeps its OWN epoch's shape
     m.schema match {
-      case Some(s) => spark.read.schema(s).parquet(kept: _*)
-      case None    => spark.read.parquet(kept: _*)
+      case Some(s) => spark.read.schema(s).parquet(roots: _*)
+      case None    => spark.read.parquet(roots: _*)
     }
+  }
+
+  /** Bounded optimistic-retry loop around a snapshot write — the pattern
+    * every CAS caller otherwise hand-rolls. `write` receives the CURRENT
+    * snapshot id (None = not yet snapshot-managed) freshly re-read per
+    * attempt and must (a) derive its inputs from THAT base (re-read
+    * through [[readSnapshot]] — retrying a stale DataFrame would commit
+    * stale data, the lost update the CAS exists to kill) and (b) commit
+    * pinned to it (`expectedSnapshot = base`; [[mergeSnapshot]]/
+    * [[applyCdcSnapshot]] pin internally, so just re-invoking them is
+    * correct). A [[ConcurrentCommitException]] triggers a re-read and
+    * retry, up to `maxAttempts`; any other failure propagates
+    * immediately. Returns the committed snapshot id. */
+  def withSnapshotRetry(spark: org.apache.spark.sql.SparkSession,
+                        root: String, maxAttempts: Int = 5)
+                       (write: Option[Int] => Int): Int = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val base = currentSnapshotId(spark, root)
+      try return write(base)
+      catch {
+        case e: ConcurrentCommitException =>
+          if (attempt >= maxAttempts) throw new ConcurrentCommitException(
+            s"snapshot write to $root lost the commit race $maxAttempts " +
+              s"times — a hotter writer is starving this one " +
+              s"(last: ${e.getMessage})")
+      }
+    }
+    -1 // unreachable: the loop returns or throws
   }
 
   /** Partition-pruned ATOMIC MERGE into a snapshot lake — the 100 TB
@@ -650,23 +1021,38 @@ object Lakehouse {
       case None     => spark.read.parquet(dir)
     }
     val r = new org.apache.hadoop.fs.Path(root)
-    // the collect is bounded by the number of TOUCHED PARTITIONS (never
-    // rows) — the same driver-bounded shape as every partition manifest
-    val touched = source.select(col(partitionCol)).distinct()
-      .collect().map(x => Option(x.get(0)).map(_.toString).getOrElse(
-        throw new IllegalArgumentException(
-          s"NULL $partitionCol in the merge source — a null partition " +
-            "value has no directory; filter or bucket it explicitly")))
-    val writes = touched.sorted.toSeq.map { v =>
-      val rel = s"$partitionCol=$v"
-      val delta = source.filter(col(partitionCol) === v)
-      val current = m.get(rel) match {
-        case Some(gen) => readPart(dataDir(r, rel, gen).toString)
-        case None      => delta.limit(0)
+    // pin the delta ONCE before the per-partition fan-out: the k touched
+    // partitions each filter the SAME materialized blocks instead of
+    // re-running the (possibly computed — a join/aggregate output, the
+    // normal CDC shape) source plan k times. Without this the docstring's
+    // O(changed partitions) cost claim multiplies the upstream plan by k.
+    // A source the caller already persisted is respected as-is.
+    val pinSource = source.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE
+    if (pinSource)
+      source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // the collect is bounded by the number of TOUCHED PARTITIONS (never
+      // rows) — the same driver-bounded shape as every partition manifest;
+      // it is also the action that materializes the pinned delta
+      val touched = source.select(col(partitionCol)).distinct()
+        .collect().map(x => Option(x.get(0)).map(_.toString).getOrElse(
+          throw new IllegalArgumentException(
+            s"NULL $partitionCol in the merge source — a null partition " +
+              "value has no directory; filter or bucket it explicitly")))
+      // data-driven rels must be path- and manifest-safe BEFORE any write
+      touched.foreach(requireValidPartValue(partitionCol, _))
+      val writes = touched.sorted.toSeq.map { v =>
+        val rel = s"$partitionCol=$v"
+        val delta = source.filter(col(partitionCol) === v)
+        val current = m.get(rel) match {
+          case Some(gen) => readPart(dataDir(r, rel, gen).toString)
+          case None      => delta.limit(0)
+        }
+        rel -> mergeUpsert(current, delta, keys)
       }
-      rel -> mergeUpsert(current, delta, keys)
-    }
-    commitSnapshot(spark, root, writes, expectedSnapshot = Some(baseId))
+      commitSnapshot(spark, root, writes, expectedSnapshot = Some(baseId))
+    } finally if (pinSource) source.unpersist(blocking = false)
   }
 
   /** CDC batch applied to a snapshot lake, partition-pruned and atomic
@@ -691,26 +1077,35 @@ object Lakehouse {
       case None     => spark.read.parquet(dir)
     }
     val r = new org.apache.hadoop.fs.Path(root)
-    val touched = changes.select(col(partitionCol)).distinct()
-      .collect().map(x => Option(x.get(0)).map(_.toString).getOrElse(
-        throw new IllegalArgumentException(
-          s"NULL $partitionCol in the change batch — a null partition " +
-            "value has no directory; filter or bucket it explicitly")))
-    // an empty batch (streaming triggers fire on empty sources) is a
-    // committed no-op: the current snapshot already IS the result
-    if (touched.isEmpty)
-      return currentSnapshotId(spark, root).getOrElse(
-        throw new IllegalStateException(s"$root has no committed snapshot"))
-    val writes = touched.sorted.toSeq.map { v =>
-      val rel = s"$partitionCol=$v"
-      val delta = changes.filter(col(partitionCol) === v)
-      val current = m.get(rel) match {
-        case Some(gen) => readPart(dataDir(r, rel, gen).toString)
-        case None      => delta.drop(opCol).limit(0)
+    // same delta-pinning as mergeSnapshot: one evaluation of the change
+    // batch, k cache reads — not k re-runs of the upstream plan
+    val pinChanges = changes.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE
+    if (pinChanges)
+      changes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched = changes.select(col(partitionCol)).distinct()
+        .collect().map(x => Option(x.get(0)).map(_.toString).getOrElse(
+          throw new IllegalArgumentException(
+            s"NULL $partitionCol in the change batch — a null partition " +
+              "value has no directory; filter or bucket it explicitly")))
+      // an empty batch (streaming triggers fire on empty sources) is a
+      // committed no-op: the current snapshot already IS the result
+      if (touched.isEmpty)
+        return currentSnapshotId(spark, root).getOrElse(
+          throw new IllegalStateException(s"$root has no committed snapshot"))
+      touched.foreach(requireValidPartValue(partitionCol, _))
+      val writes = touched.sorted.toSeq.map { v =>
+        val rel = s"$partitionCol=$v"
+        val delta = changes.filter(col(partitionCol) === v)
+        val current = m.get(rel) match {
+          case Some(gen) => readPart(dataDir(r, rel, gen).toString)
+          case None      => delta.drop(opCol).limit(0)
+        }
+        rel -> applyCdc(current, delta, keys, opCol)
       }
-      rel -> applyCdc(current, delta, keys, opCol)
-    }
-    commitSnapshot(spark, root, writes, expectedSnapshot = Some(baseId))
+      commitSnapshot(spark, root, writes, expectedSnapshot = Some(baseId))
+    } finally if (pinChanges) changes.unpersist(blocking = false)
   }
 
   /** Snapshot GC: keep the newest `keepSnapshots` manifests, delete
@@ -748,8 +1143,10 @@ object Lakehouse {
         val name = st.getPath.getName
         if (st.isDirectory) {
           // generation dirs are underscore-hidden, so match them BEFORE
-          // the hidden-dir skip; never descend into them or _-metadata
-          if (GenName.matches(name)) {
+          // the hidden-dir skip; never descend into them or _-metadata.
+          // isGenDirName covers every naming era: marker-sequential,
+          // legacy visible, and writer-unique snapshot nonces
+          if (isGenDirName(name)) {
             if (!referenced.contains(fs.makeQualified(st.getPath).toString)) {
               fs.delete(st.getPath, true)
               removed += 1
@@ -811,18 +1208,32 @@ object Lakehouse {
         else {
           val part = if (rel.isEmpty) rootP
             else new org.apache.hadoop.fs.Path(rootP, rel)
-          val next = nextGenName(fs, part)
+          val next = snapGenName()
           val nextP = new org.apache.hadoop.fs.Path(part, next)
           spark.read.parquet(dir.toString).repartition(target)
             .write.mode("overwrite").parquet(nextP.toString)
-          Some((rel, next, files.length, dataFiles(fs, nextP).length))
+          // a rewritten partition's file set changed: recompute its
+          // per-file stats over the SAME columns its old stats covered
+          // (compaction is content-preserving, so the column set is too)
+          val statCols = m.stats.get(rel)
+            .map(_.values.flatMap(_.keys).toSeq.distinct.sorted)
+            .getOrElse(Nil)
+          Some((rel, next, files.length, dataFiles(fs, nextP).length,
+            fileStats(spark, nextP.toString, statCols)))
         }
       }
-      if (rewritten.nonEmpty)
+      if (rewritten.nonEmpty) {
+        val newStats = m.stats --
+          rewritten.map(_._1) ++
+          rewritten.collect { case (rel, _, _, _, st) if st.nonEmpty =>
+            rel -> st }
         commitManifest(spark, root,
-          base ++ rewritten.map { case (rel, gen, _, _) => rel -> gen },
-          m.schema, baseId) // content-preserving: schema carries over
-      return rewritten.map { case (rel, _, b, a) => (rel, b, a) }
+          Manifest(
+            base ++ rewritten.map { case (rel, gen, _, _, _) => rel -> gen },
+            m.schema, newStats), // content-preserving: schema carries over
+          baseId)
+      }
+      return rewritten.map { case (rel, _, b, a, _) => (rel, b, a) }
     }
     fs.listStatus(rootP).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.contains("="))

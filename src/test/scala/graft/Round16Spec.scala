@@ -236,11 +236,26 @@ class Round16Spec extends SparkTestBase {
     Lakehouse.commitSnapshot(spark, root, Seq(
       "extra" -> (51L to 60L).map(i => (i, s"s$i")).toDF("id", "s")))
     assert(Lakehouse.readSnapshot(spark, root).count() == 60L)
-    // unpartitioned entry resolves through the manifest
     val m = Lakehouse.currentManifest(spark, root)
     assert(m.keySet === Set("", "extra"))
-    assert(Lakehouse.resolveCompacted(spark, root)
-      .endsWith(m("")), m.toString)
+    // r17 contract: a mapping with ANY entry besides "" cannot resolve to
+    // one directory — returning just the root entry would be a silently
+    // PARTIAL table (50 of 60 rows here), so it throws like the
+    // fully-partitioned case
+    val eMixed = intercept[IllegalStateException] {
+      Lakehouse.resolveCompacted(spark, root)
+    }
+    assert(eMixed.getMessage.contains("readSnapshot"), eMixed.getMessage)
+    // a PURE single-"" manifest still resolves through the manifest
+    val uroot = freshDir("snapadoptu")
+    (1L to 40L).map(i => (i, s"s$i")).toDF("id", "s").write.parquet(uroot)
+    Lakehouse.commitSnapshot(spark, uroot, Seq(
+      "" -> (1L to 45L).map(i => (i, s"s$i")).toDF("id", "s")))
+    val um = Lakehouse.currentManifest(spark, uroot)
+    assert(um.keySet === Set(""))
+    assert(Lakehouse.resolveCompacted(spark, uroot).endsWith(um("")))
+    assert(spark.read.parquet(
+      Lakehouse.resolveCompacted(spark, uroot)).count() == 45L)
     // a PARTITIONED snapshot lake cannot resolve to one dir — loud
     val proot = freshDir("snapparts")
     Lakehouse.commitSnapshot(spark, proot, Seq(

@@ -1,0 +1,387 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{ConcurrentCommitException, Lakehouse}
+
+/** A local filesystem masquerading as an object store: same bytes, but a
+  * scheme the snapshot CAS must refuse (its rename is not
+  * atomic-and-exclusive — the S3A failure mode). */
+class MemS3Fs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("mems3:///")
+}
+
+/** Round-17: closes the r16 verdict's snapshot-commit concurrency hole
+  * (writer-unique generation names + a real CAS), pins computed deltas,
+  * makes the object-store commit contract honest and loud, and adds the
+  * manifest's file-level min/max skip layer. */
+class Round17Spec extends SparkTestBase {
+
+  private def freshDir(tag: String): String = {
+    val d = s"/tmp/graft_r17_$tag"
+    val p = new org.apache.hadoop.fs.Path(d)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    d
+  }
+
+  private def part(lang: String, ids: Seq[Long]) = {
+    import spark.implicits._
+    ids.map(i => (i, lang, s"v$i")).toDF("id", "lang", "v")
+  }
+
+  private def genDirs(root: String, rel: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(
+      if (rel.isEmpty) root else s"$root/$rel")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("_gen-"))
+      .map(_.getPath.getName)
+  }
+
+  // ---- concurrent same-partition committers (r16 What's-wrong #1) ----------
+
+  test("two committers on the SAME partition with OVERLAPPING write " +
+    "phases: generation names are writer-unique so neither can touch the " +
+    "other's data dir, the CAS picks exactly one winner, and the " +
+    "committed snapshot holds exactly the winner's rows") {
+    import spark.implicits._
+    val root = freshDir("race")
+    Lakehouse.commitSnapshot(spark, root, Seq("p=x" -> part("x", 1L to 4L)))
+    val base = Lakehouse.currentSnapshotId(spark, root).get
+
+    // each payload's write takes ~500ms (a per-row sleep), so with both
+    // threads released together the two write phases overlap — the
+    // genuinely concurrent window r16's sequential race spec missed
+    val slow = udf { (i: Long) => Thread.sleep(5); i }
+    def payload(tag: String) =
+      (100L to 150L).map(i => (i, "x", tag)).toDF("id", "lang", "v")
+        .repartition(2)
+        .withColumn("id", slow(col("id")))
+
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentHashMap[
+      String, Either[Throwable, Int]]()
+    val spans = new java.util.concurrent.ConcurrentHashMap[
+      String, (Long, Long)]()
+    def committer(tag: String) = new Thread(() => {
+      start.await()
+      val t0 = System.nanoTime()
+      val r = try Right(Lakehouse.commitSnapshot(spark, root,
+        Seq("p=x" -> payload(tag)), expectedSnapshot = Some(base)))
+      catch { case t: Throwable => Left(t) }
+      spans.put(tag, (t0, System.nanoTime()))
+      results.put(tag, r)
+    })
+    val ts = Seq(committer("A"), committer("B"))
+    ts.foreach(_.start()); start.countDown(); ts.foreach(_.join())
+
+    val (winners, losers) =
+      Seq("A", "B").partition(results.get(_).isRight)
+    assert(winners.size == 1 && losers.size == 1,
+      s"exactly one CAS winner expected, got $results")
+    val loserErr = results.get(losers.head).swap.toOption.get
+    assert(loserErr.isInstanceOf[ConcurrentCommitException],
+      s"loser must see ConcurrentCommitException, got $loserErr")
+    // the threads genuinely ran concurrently (write phases inside)
+    val (a0, a1) = spans.get("A"); val (b0, b1) = spans.get("B")
+    assert(a0 < b1 && b0 < a1, "committer spans did not overlap")
+
+    // the committed snapshot is EXACTLY the winner's rows — not a mix,
+    // not the loser's (the r16 hole: the loser's overwrite corrupting
+    // the winner's referenced dir before the CAS fired)
+    val got = Lakehouse.readSnapshot(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(got == (100L to 150L).map(i => (i, winners.head)).toSet,
+      s"winner=${winners.head} but snapshot rows diverge")
+
+    // both writers' dirs exist (disjoint by construction); GC reclaims
+    // the loser's orphan and keeps the winner's
+    assert(genDirs(root, "p=x").size >= 3, // base + both racers
+      genDirs(root, "p=x").toString)
+    Lakehouse.snapshotGc(spark, root, keepSnapshots = 1)
+    assert(genDirs(root, "p=x").size == 1)
+    assert(Lakehouse.readSnapshot(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet == got)
+  }
+
+  // ---- delta pinned once (r16 What's-wrong #3) ------------------------------
+
+  test("mergeSnapshot evaluates a COMPUTED delta exactly once — the " +
+    "per-partition fan-out reads the pinned blocks, never re-runs the " +
+    "upstream plan k times") {
+    val root = freshDir("pin")
+    import spark.implicits._
+    val base = (0L until 100L).map(i => (i, (i % 5).toInt, "old"))
+      .toDF("id", "p", "v")
+    Lakehouse.commitSnapshot(spark, root,
+      (0 to 4).map(i => s"p=$i" -> base.filter(col("p") === i)))
+
+    val acc = spark.sparkContext.longAccumulator("delta-evals")
+    val tick = udf { (i: Long) => acc.add(1L); i }
+    // a computed delta (projection over range — stands in for the
+    // join/aggregate output of a real CDC pipe), touching ALL 5 partitions
+    val delta = spark.range(0L, 40L)
+      .select(tick(col("id")).as("id"),
+        (col("id") % 5).cast("int").as("p"), lit("new").as("v"))
+    Lakehouse.mergeSnapshot(spark, root, delta, Seq("id"), "p")
+    assert(acc.value == 40L,
+      s"delta evaluated ${acc.value / 40.0} times; the pin must make it 1")
+    // and it was unpersisted after the flip (no leak)
+    assert(delta.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE)
+    val got = Lakehouse.readSnapshot(spark, root)
+    assert(got.count() == 100L &&
+      got.filter(col("v") === "new").count() == 40L)
+
+    // a caller-persisted delta is respected: not re-persisted, not
+    // unpersisted behind the caller's back
+    val acc2 = spark.sparkContext.longAccumulator("cdc-evals")
+    val tick2 = udf { (i: Long) => acc2.add(1L); i }
+    val changes = spark.range(0L, 20L)
+      .select(tick2(col("id")).as("id"),
+        (col("id") % 5).cast("int").as("p"), lit("cdc").as("v"),
+        lit("U").as("op"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    Lakehouse.applyCdcSnapshot(spark, root, changes, Seq("id"), "p")
+    assert(acc2.value == 20L, s"cdc delta evaluated ${acc2.value / 20.0}x")
+    assert(changes.storageLevel ==
+      org.apache.spark.storage.StorageLevel.MEMORY_ONLY,
+      "caller-persisted delta must stay persisted")
+    changes.unpersist()
+  }
+
+  // ---- honest object-store commit contract (r16 What's-wrong #2) -----------
+
+  test("snapshot commit on an object-store-like scheme is REFUSED loudly " +
+    "before any data is written; a scheme declared rename-atomic commits") {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.mems3.impl", classOf[MemS3Fs].getName)
+    val local = freshDir("s3lake")
+    val root = s"mems3:$local"
+    val e = intercept[IllegalStateException] {
+      Lakehouse.commitSnapshot(spark, root,
+        Seq("p=a" -> part("a", 1L to 3L)))
+    }
+    assert(e.getMessage.contains("atomic") &&
+      e.getMessage.contains("renameAtomicSchemes"), e.getMessage)
+    // refused BEFORE writing: no data dirs, no lake metadata on disk
+    assert(genDirs(local, "p=a").isEmpty &&
+      !new java.io.File(s"$local/_graft_lake").exists())
+    // a deployment that KNOWS its store's rename is atomic declares it
+    spark.conf.set("graft.lake.renameAtomicSchemes", "mems3")
+    try {
+      Lakehouse.commitSnapshot(spark, root,
+        Seq("p=a" -> part("a", 1L to 3L)))
+      assert(Lakehouse.readSnapshot(spark, root).count() == 3L)
+    } finally spark.conf.unset("graft.lake.renameAtomicSchemes")
+  }
+
+  // ---- per-file min/max stats: the manifest's data-skipping layer ----------
+
+  test("per-file stats skip: a range predicate on a NON-partition column " +
+    "opens only the files whose committed [min,max] can match — " +
+    "correctness identical, untouched files never planned") {
+    import spark.implicits._
+    val root = freshDir("stats")
+    val rows = (0L until 400L)
+      .map(i => (i, (i % 2).toInt, f"s$i%04d")).toDF("id", "p", "s")
+    // 4 files per partition with DISJOINT id ranges (range-partitioned
+    // write): the layout stats skipping exists for
+    def half(p: Int) = rows.filter(col("p") === p)
+      .repartitionByRange(4, col("id"))
+    Lakehouse.commitSnapshot(spark, root,
+      Seq("p=0" -> half(0), "p=1" -> half(1)),
+      statsCols = Seq("id", "s"))
+
+    val full = Lakehouse.readSnapshot(spark, root)
+    assert(full.inputFiles.length == 8, full.inputFiles.toSeq.toString)
+    val pruned = Lakehouse.readSnapshot(spark, root,
+      fileRanges = Seq(Lakehouse.ColRange("id", Some(100L), Some(120L))))
+    assert(pruned.inputFiles.length < 8 && pruned.inputFiles.nonEmpty,
+      s"expected a strict file subset, got ${pruned.inputFiles.length}")
+    // pruning is a SUPERSET guarantee: the real filter on the pruned
+    // read equals the real filter on the full read
+    val want = full.filter(col("id").between(100, 120)).collect()
+      .map(_.toSeq).toSet
+    val gotP = pruned.filter(col("id").between(100, 120)).collect()
+      .map(_.toSeq).toSet
+    assert(gotP == want && want.size == 21)
+
+    // string-typed ranges prune too (order-faithful zero-padded fixture)
+    val sPruned = Lakehouse.readSnapshot(spark, root,
+      fileRanges = Seq(Lakehouse.ColRange("s", Some("s0100"), Some("s0100"))))
+    assert(sPruned.inputFiles.length < 8)
+    assert(sPruned.filter(col("s") === "s0100").count() == 1L)
+
+    // a range past the table's max prunes EVERYTHING: a provably-empty
+    // frame with the committed schema, not an error
+    val none = Lakehouse.readSnapshot(spark, root,
+      fileRanges = Seq(Lakehouse.ColRange("id", Some(100000L), None)))
+    assert(none.count() == 0L &&
+      none.columns.toSeq == Seq("id", "p", "s"))
+
+    // an ALL-NULL file is prunable under any (null-excluding) range
+    Lakehouse.commitSnapshot(spark, root, Seq(
+      "p=2" -> spark.range(5)
+        .select(lit(null).cast("long").as("id"), lit(2).as("p"),
+          lit(null).cast("string").as("s"))),
+      statsCols = Seq("id", "s"))
+    val afterNull = Lakehouse.readSnapshot(spark, root,
+      fileRanges = Seq(Lakehouse.ColRange("id", Some(0L), Some(10L))))
+    assert(!afterNull.inputFiles.exists(_.contains("p=2")),
+      "all-null file must be pruned under a null-excluding range")
+
+    // a partition committed WITHOUT stats is never pruned (superset)
+    Lakehouse.commitSnapshot(spark, root, Seq(
+      "p=3" -> Seq((9999L, 3, "zzz")).toDF("id", "p", "s")))
+    val mixed = Lakehouse.readSnapshot(spark, root,
+      fileRanges = Seq(Lakehouse.ColRange("id", Some(0L), Some(10L))))
+    assert(mixed.inputFiles.exists(_.contains("p=3")),
+      "stats-less partition must be kept")
+    // carried partitions kept their stats across that commit: p=0/p=1
+    // still skip
+    assert(mixed.inputFiles.count(f =>
+      f.contains("p=0") || f.contains("p=1")) < 8)
+
+    // merge rewrites ONE partition and recomputes its stats (config
+    // path); the untouched partition's stats carry over and still skip
+    spark.conf.set("graft.lake.statsCols", "id,s")
+    try Lakehouse.mergeSnapshot(spark, root,
+      Seq((2L, 0, "upd")).toDF("id", "p", "s"), Seq("id"), "p")
+    finally spark.conf.unset("graft.lake.statsCols")
+    val afterMerge = Lakehouse.readSnapshot(spark, root,
+      fileRanges = Seq(Lakehouse.ColRange("id", Some(300L), Some(320L))))
+    // ids 300-320: even ids now live in the REWRITTEN single-file p=0
+    // (no skip within one file), odd ids still skip in carried p=1
+    assert(afterMerge.inputFiles.count(_.contains("p=1")) < 4,
+      afterMerge.inputFiles.toSeq.toString)
+    assert(afterMerge.filter(col("id").between(300, 320)).count() == 21L)
+
+    // unsupported stats type is loud at commit
+    val e = intercept[IllegalArgumentException] {
+      Lakehouse.commitSnapshot(spark, freshDir("statsbad"), Seq(
+        "" -> spark.range(3).select(array(col("id")).as("a"))),
+        statsCols = Seq("a"))
+    }
+    assert(e.getMessage.contains("orderable"), e.getMessage)
+  }
+
+  test("stats skipping on timestamps compares in epoch-micros, not " +
+    "lexically; time travel reads each snapshot's OWN stats") {
+    import spark.implicits._
+    val root = freshDir("statsts")
+    val ts = (0L until 96L).map(i =>
+      (i, java.sql.Timestamp.from(java.time.Instant.parse("2026-01-01T00:00:00Z")
+        .plusSeconds(i * 3600))))
+      .toDF("id", "ts")
+    Lakehouse.commitSnapshot(spark, root,
+      Seq("" -> ts.repartitionByRange(4, col("ts"))),
+      statsCols = Seq("ts"))
+    val lo = java.sql.Timestamp.from(
+      java.time.Instant.parse("2026-01-02T00:00:00Z"))
+    val hi = java.sql.Timestamp.from(
+      java.time.Instant.parse("2026-01-02T23:00:00Z"))
+    val pruned = Lakehouse.readSnapshot(spark, root,
+      fileRanges = Seq(Lakehouse.ColRange("ts", Some(lo), Some(hi))))
+    assert(pruned.inputFiles.length < 4 && pruned.inputFiles.nonEmpty)
+    assert(pruned.filter(col("ts").between(lo, hi)).count() == 24L)
+
+    // snapshot 2 rewrites with different file layout; asOf=1 still
+    // prunes with snapshot 1's stats and returns snapshot 1's rows
+    Lakehouse.commitSnapshot(spark, root,
+      Seq("" -> ts.filter(col("id") < 48L).repartitionByRange(2, col("ts"))),
+      statsCols = Seq("ts"))
+    val old = Lakehouse.readSnapshot(spark, root, asOf = Some(1),
+      fileRanges = Seq(Lakehouse.ColRange("ts", Some(lo), Some(hi))))
+    assert(old.inputFiles.length < 4)
+    assert(old.filter(col("ts").between(lo, hi)).count() == 24L)
+  }
+
+  // ---- withSnapshotRetry ----------------------------------------------------
+
+  test("withSnapshotRetry re-reads the base and retries after a " +
+    "mid-flight competitor; a persistent loser exhausts loudly") {
+    val root = freshDir("retry")
+    Lakehouse.commitSnapshot(spark, root, Seq("p=a" -> part("a", 1L to 3L)))
+    var attempts = 0
+    val id = Lakehouse.withSnapshotRetry(spark, root) { base =>
+      attempts += 1
+      if (attempts == 1) // a competitor lands AFTER our base read
+        Lakehouse.commitSnapshot(spark, root,
+          Seq("p=c" -> part("c", 7L to 9L)))
+      Lakehouse.commitSnapshot(spark, root,
+        Seq("p=b" -> part("b", 4L to 6L)),
+        expectedSnapshot = Some(base.getOrElse(0)))
+    }
+    assert(attempts == 2 && id == 3)
+    assert(Lakehouse.readSnapshot(spark, root).count() == 9L)
+
+    // a writer that ALWAYS loses (competitor injected every attempt)
+    // exhausts maxAttempts with the race exception, not an infinite loop
+    var n = 0
+    val e = intercept[ConcurrentCommitException] {
+      Lakehouse.withSnapshotRetry(spark, root, maxAttempts = 2) { base =>
+        n += 1
+        Lakehouse.commitSnapshot(spark, root,
+          Seq("p=z" -> part("z", 50L to 51L)))
+        Lakehouse.commitSnapshot(spark, root,
+          Seq("p=b" -> part("b", 4L to 6L)),
+          expectedSnapshot = Some(base.getOrElse(0)))
+      }
+    }
+    assert(n == 2 && e.getMessage.contains("lost the commit race"))
+  }
+
+  // ---- legacy generation names (r16 ADVICE low) -----------------------------
+
+  test("a table compacted under the legacy VISIBLE gen-<n> layout still " +
+    "resolves to its stamped generation; the next compaction continues " +
+    "the numbering under the current hidden scheme") {
+    import spark.implicits._
+    val root = freshDir("legacy")
+    val gen2 = s"$root/gen-00000002"
+    (1L to 300L).map(i => (i, s"s$i")).toDF("id", "s")
+      .repartition(40).write.parquet(gen2)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(gen2, "_GRAFT_COMPLETE"), true)
+      .close()
+    assert(Lakehouse.resolveCompacted(spark, root).endsWith("gen-00000002"))
+    assert(Lakehouse.readCompacted(spark, root).count() == 300L)
+    // compaction picks up at n=3 in the CURRENT hidden naming
+    val (before, after, _) = Lakehouse.compactFiles(spark, root, 1L << 26)
+    assert(before == 40 && after == 1)
+    assert(Lakehouse.resolveCompacted(spark, root).endsWith("_gen-00000003"))
+    assert(Lakehouse.readCompacted(spark, root).count() == 300L)
+  }
+
+  // ---- control characters in partition values (r16 ADVICE medium) ----------
+
+  test("a partition VALUE carrying control characters fails loudly " +
+    "BEFORE any write — a newline would split its manifest line and " +
+    "brick every later read of the lake's current state") {
+    import spark.implicits._
+    val root = freshDir("ctl")
+    Lakehouse.commitSnapshot(spark, root,
+      Seq("lang=a" -> part("a", 1L to 3L)))
+    for (bad <- Seq("a\nb", "a\rb", "a\tb", "a/../b")) {
+      val delta = Seq((9L, bad, "v9")).toDF("id", "lang", "v")
+      val e = intercept[IllegalArgumentException] {
+        Lakehouse.mergeSnapshot(spark, root, delta, Seq("id"), "lang")
+      }
+      assert(e.getMessage.contains("partition value"), e.getMessage)
+    }
+    // nothing committed, nothing corrupted: the lake still reads
+    assert(Lakehouse.currentSnapshotId(spark, root).contains(1))
+    assert(Lakehouse.readSnapshot(spark, root).count() == 3L)
+    // the same guard covers explicit commit rels
+    val e2 = intercept[IllegalArgumentException] {
+      Lakehouse.commitSnapshot(spark, root,
+        Seq("lang=a\nb" -> part("x", 1L to 2L)))
+    }
+    assert(e2.getMessage.contains("bad partition-relative dir"),
+      e2.getMessage)
+  }
+}
