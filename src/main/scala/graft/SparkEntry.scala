@@ -227,6 +227,49 @@ object SparkEntry {
 
   // ---- SPARQL fixture texts (LSLOD query shapes, FIXTURES.md §3) ---------
 
+  /** Documents star served FROM a snapshot-managed lake (the
+    * [[graft.sources.SnapshotSource]] rows): the engine reads the
+    * manifest's committed state, never the raw directory tree. */
+  private val SPARQL_LAKE_DOCS =
+    """PREFIX g: <urn:g:>
+      |SELECT ?d ?src ?lang WHERE {
+      |  ?d a g:Document ; g:source ?src ; g:lang ?lang .
+      |} ORDER BY ?d""".stripMargin
+
+  /** One snapshot-managed documents lake per sf dir, shared by the
+    * `sparql_lake_snapshot*` rows (a lake is deploy-time state like the
+    * probed catalogs): snapshot 1 = the full table, snapshot 2 = the
+    * takedown pass (doc_id%7 removed) — so "current" and "asOf 1" give
+    * the two rows distinct, independently oracled answers. */
+  private val docLakes = scala.collection.concurrent.TrieMap[String, String]()
+  private def snapshotDocLake(s: SparkSession, d: String): String =
+    docLakes.getOrElseUpdate(d, {
+      val root = s"/tmp/graft_lake_snap_eng/${new java.io.File(d).getName}"
+      val p0 = new org.apache.hadoop.fs.Path(root)
+      p0.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p0, true)
+      val docs = T(s, d, "documents")
+      def half(p: Int) = docs.filter(col("doc_id") % 2 === p)
+      _root_.graft.pipeline.Lakehouse.commitSnapshot(s, root,
+        Seq("p=0" -> half(0), "p=1" -> half(1)))
+      _root_.graft.pipeline.Lakehouse.commitSnapshot(s, root, Seq(
+        "p=0" -> half(0).filter(col("doc_id") % 7 =!= 0),
+        "p=1" -> half(1).filter(col("doc_id") % 7 =!= 0)))
+      root
+    })
+
+  /** Graft whose `documents` table is a snapshot lake epoch; every other
+    * table stays plain parquet — mixed-source federation, the engine's
+    * home ground. */
+  private def graftOverDocLake(s: SparkSession, d: String,
+                               asOf: Option[Int]): Graft = {
+    implicit val sp: SparkSession = s
+    val root = snapshotDocLake(s, d)
+    new Graft(TpchCatalog.catalog, t =>
+      if (t == "documents")
+        _root_.graft.sources.SnapshotSource(root, asOf).load(s)
+      else s.read.parquet(s"$d/$t.parquet"))
+  }
+
   private val SPARQL_SCAN_FILTER =
     """PREFIX g: <urn:g:>
       |SELECT ?c ?name ?bal WHERE {
@@ -1224,6 +1267,42 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"), col("p"))
         .orderBy("doc_id")
     }),
+    // per-file min/max stats in the manifest (the Iceberg/Delta skip
+    // layer): the read declares the range its filter implies and plans
+    // ONLY the files whose committed stats can match — the answer must
+    // be identical to filtering the whole table (skipping is a strict
+    // superset guarantee); files get disjoint doc_id ranges via a
+    // range-partitioned write, the layout skipping exists for
+    "lake_snapshot_stats" -> ((s, d) => {
+      val root = s"/tmp/graft_lake_snap_fs/${new java.io.File(d).getName}"
+      val p0 = new org.apache.hadoop.fs.Path(root)
+      p0.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p0, true)
+      val docs = T(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          (col("doc_id") % 2).cast("int").as("p"))
+      def half(p: Int) = docs.filter(col("p") === p)
+        .repartitionByRange(4, col("doc_id"))
+      _root_.graft.pipeline.Lakehouse.commitSnapshot(s, root,
+        Seq("p=0" -> half(0), "p=1" -> half(1)),
+        statsCols = Seq("doc_id"))
+      val hi = docs.agg(max(col("doc_id"))).head.getLong(0) / 4
+      _root_.graft.pipeline.Lakehouse.readSnapshot(s, root,
+        fileRanges = Seq(_root_.graft.pipeline.Lakehouse.ColRange(
+          "doc_id", Some(0L), Some(hi))))
+        .filter(col("doc_id").between(0L, hi))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("p"))
+        .orderBy("doc_id")
+    }),
+    // the snapshot lake as an ENGINE source: SPARQL over a documents
+    // concept whose table is the lake's CURRENT manifest (takedowns
+    // applied) — the reference's query-where-it-lives point extended to
+    // a mutable lake
+    "sparql_lake_snapshot" -> ((s, d) =>
+      graftOverDocLake(s, d, asOf = None).sparql(SPARQL_LAKE_DOCS)),
+    // same concept pinned to epoch 1: file-level time travel surfaced
+    // through the SPARQL surface — the query reads the ORIGINAL table
+    "sparql_lake_snapshot_timetravel" -> ((s, d) =>
+      graftOverDocLake(s, d, asOf = Some(1)).sparql(SPARQL_LAKE_DOCS)),
     // fuzzy string join (edit distance <= 1): 10-char md5-hex keys vs
     // their deterministic one-char deletions — q-gram blocked candidates
     // + the exact codegen'd levenshtein verify, never a cross join. q=4
@@ -2834,6 +2913,26 @@ object SparkEntry {
         |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM delta)
         |UNION ALL SELECT doc_id, lang, source, p FROM delta
         |ORDER BY doc_id""".stripMargin,
+    // file-skipped read ≡ plain filter over the whole table (the skip
+    // layer is semantically invisible; the spec pins that files WERE
+    // skipped)
+    "lake_snapshot_stats" ->
+      """SELECT doc_id, lang, n_chars, CAST(doc_id % 2 AS INTEGER) AS p
+        |FROM documents
+        |WHERE doc_id >= 0
+        |  AND doc_id <= (SELECT CAST(FLOOR(MAX(doc_id) / 4) AS BIGINT)
+        |                 FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    // engine over the lake's CURRENT snapshot: the takedown pass applied
+    "sparql_lake_snapshot" ->
+      """SELECT 'urn:g:doc:' || CAST(doc_id AS VARCHAR) AS d,
+        |  source AS src, lang
+        |FROM documents WHERE doc_id % 7 <> 0 ORDER BY d""".stripMargin,
+    // engine pinned to epoch 1: the ORIGINAL table, untouched
+    "sparql_lake_snapshot_timetravel" ->
+      """SELECT 'urn:g:doc:' || CAST(doc_id AS VARCHAR) AS d,
+        |  source AS src, lang
+        |FROM documents ORDER BY d""".stripMargin,
     // brute-force edit-distance truth: the blocked join must find exactly
     // the pairs the full quadratic scan finds
     "q_fuzzy_join" ->

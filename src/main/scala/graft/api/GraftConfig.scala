@@ -95,6 +95,10 @@ object GraftConfig {
           if (d.path("params").has(k)) d.path("params").path(k).asText() else dflt
         val spec: SourceSpec = d.path("type").asText() match {
           case "parquet" => ParquetSource(url)
+          // a snapshot-managed lake read through its manifest (current
+          // snapshot, or params.asOf for a pinned epoch)
+          case "snapshot" => SnapshotSource(url,
+            Option(param("asOf", "")).filter(_.nonEmpty).map(_.toInt))
           case "csv"     => CsvSource(url, param("delimiter", ","))
           case "tsv"     => CsvSource(url, "\t")
           case "json"    => JsonSource(url)

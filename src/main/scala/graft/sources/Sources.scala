@@ -37,6 +37,22 @@ final case class OrcSource(path: String) extends SourceSpec {
   def load(spark: SparkSession): DataFrame = spark.read.orc(path)
 }
 
+/** A snapshot-managed lake ([[graft.pipeline.Lakehouse.commitSnapshot]])
+  * as an engine table: the reference's whole point is querying data where
+  * it lives, and a mutable lake's "where it lives" is the current
+  * manifest — never the raw directory tree (hidden generations, crash
+  * relics, half-committed sweeps). Reads through
+  * [[graft.pipeline.Lakehouse.readSnapshot]]: one multi-root scan of
+  * exactly the committed data dirs under the committed schema, with
+  * `asOf` exposing file-level time travel to SPARQL queries — the probed
+  * catalog and every query see one consistent epoch even while writers
+  * commit. */
+final case class SnapshotSource(root: String,
+                                asOf: Option[Int] = None) extends SourceSpec {
+  def load(spark: SparkSession): DataFrame =
+    graft.pipeline.Lakehouse.readSnapshot(spark, root, asOf)
+}
+
 /** XML via Spark 4's built-in XML source; `rowTag` plays the RML iterator
   * role (`sparql2sparksql.py:33-150`). */
 final case class XmlSource(path: String, rowTag: String) extends SourceSpec {

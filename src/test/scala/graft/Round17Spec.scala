@@ -357,6 +357,50 @@ class Round17Spec extends SparkTestBase {
     assert(Lakehouse.readCompacted(spark, root).count() == 300L)
   }
 
+  // ---- the snapshot lake as an engine source --------------------------------
+
+  test("a snapshot-managed lake is an ENGINE source: SPARQL reads the " +
+    "manifest's committed epoch — current or asOf — answer-identical to " +
+    "the plain engine over the same content; the JSON config wires " +
+    "type 'snapshot'") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val root = freshDir("engsrc")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def half(p: Int) = docs.filter(col("doc_id") % 2 === p)
+    Lakehouse.commitSnapshot(spark, root,
+      Seq("p=0" -> half(0), "p=1" -> half(1)))
+    Lakehouse.commitSnapshot(spark, root, Seq(
+      "p=0" -> half(0).filter(col("doc_id") % 3 =!= 0),
+      "p=1" -> half(1).filter(col("doc_id") % 3 =!= 0)))
+    val q =
+      """PREFIX g: <urn:g:>
+        |SELECT ?d ?src WHERE { ?d a g:Document ; g:source ?src }
+        |ORDER BY ?d""".stripMargin
+    def cfg(asOf: String) =
+      s"""{
+         |  "datasources": [{"table": "documents", "type": "snapshot",
+         |    "url": "$root"$asOf}],
+         |  "molecules": [
+         |    {"type": "urn:g:Document", "table": "documents",
+         |     "subject": "urn:g:doc:{doc_id}", "source": "srcD",
+         |     "predicates": [
+         |       {"predicate": "urn:g:source", "column": "source"}]}]
+         |}""".stripMargin
+    val plain = graft.api.Graft.overParquetDir(
+      graft.api.TpchCatalog.catalog, sfDir).sparql(q)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // current epoch = the takedown pass
+    val cur = graft.api.GraftConfig.parse(cfg("")).graft.sparql(q)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val want = plain.filterNot(_._1.stripPrefix("urn:g:doc:").toLong % 3 == 0)
+    assert(cur == want && cur.nonEmpty)
+    // asOf epoch 1 = the original table, bit-for-bit the plain engine
+    val old = graft.api.GraftConfig.parse(
+      cfg(""", "params": {"asOf": "1"}""")).graft.sparql(q)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(old == plain)
+  }
+
   // ---- control characters in partition values (r16 ADVICE medium) ----------
 
   test("a partition VALUE carrying control characters fails loudly " +
