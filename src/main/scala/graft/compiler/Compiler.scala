@@ -472,14 +472,17 @@ final class Compiler(catalog: Catalog, load: String => DataFrame,
     case pat @ Pattern.LeftJoin(l, r, None) =>
       shipExclusivePattern(pat).getOrElse {
       val lc = compilePattern(l)
+      serviceOptionalBind(lc, l, r, None).getOrElse {
       compileGroupScoped(r) match {
         case Some(rc) => join2(lc, rc, "left_outer")
         case None     => padUnbound(lc, r.vars) // empty OPTIONAL: unbound
       }
       }
+      }
     case pat @ Pattern.LeftJoin(l, r, Some(f)) =>
       shipExclusivePattern(pat).getOrElse {
       val lc = compilePattern(l)
+      serviceOptionalBind(lc, l, r, Some(f)).getOrElse {
       compileGroupScoped(r) match {
         case None => padUnbound(lc, r.vars) // F never sees a match
         case Some(rc) =>
@@ -491,6 +494,7 @@ final class Compiler(catalog: Catalog, load: String => DataFrame,
             join2(lc, rc.copy(df =
               rc.df.filter(ExprCompiler.predicate(f, rc.df))), "left_outer")
           else leftJoinCond(lc, rc, f)
+      }
       }
       }
     case pat @ Pattern.Union(l, r)  =>
@@ -937,8 +941,34 @@ final class Compiler(catalog: Catalog, load: String => DataFrame,
       .getOrElse(join2(compilePattern(l), compilePattern(r), "inner"))
   }
 
+  /** OPTIONAL { SERVICE <remote> { … } } sharing variables with the
+    * required side → dependent LEFT-OUTER bind join, the reference's
+    * NestedHashOptionalFilter (`operators/nonblocking/
+    * NestedHashOptionalFilter.py`) with the same MEASURED-key window
+    * sizing as the inner path (its fixed WINDOW_SIZE twin): only the
+    * left side's bound keys travel to the endpoint as VALUES windows;
+    * unmatched left rows null-pad the service vars locally — identical
+    * answers to the full paged fetch, a fraction of the transfer. A
+    * condition over inner vars only ships INSIDE the batch query as a
+    * FILTER (pointwise equivalent to filtering the right side before
+    * the left-outer join); a condition spanning both sides falls back
+    * to the generic path. */
+  private def serviceOptionalBind(lc: Compiled, l: Pattern, r: Pattern,
+                                  cond: Option[Expr]): Option[Compiled] =
+    r match {
+      case Pattern.Service(src, inner, silent)
+        if isRemoteService(src) &&
+          l.vars.intersect(inner.vars).nonEmpty &&
+          cond.forall(f => Expr.vars(f).subsetOf(inner.vars)) &&
+          spark.conf.get("graft.service.bindJoin", "true").toBoolean =>
+        val eff = cond.fold(inner)(f => Pattern.Filter(f, inner))
+        Some(serviceBindJoin(lc, src, eff, silent, "left_outer"))
+      case _ => None
+    }
+
   private def serviceBindJoin(lc: Compiled, src: String, inner: Pattern,
-                              silent: Boolean): Compiled = {
+                              silent: Boolean,
+                              joinType: String = "inner"): Compiled = {
     val vars = inner.vars.toList.sorted
     val shared = lc.visibleVars.toSet.intersect(inner.vars).toList.sorted
     val schema = StructType(vars.map(StructField(_, StringType, nullable = true)))
@@ -957,7 +987,7 @@ final class Compiler(catalog: Catalog, load: String => DataFrame,
     // NumberFormatException (it extends IAE) from a malformed window/
     // maxKeys config, silently degrading to a full fetch
     def fullFetch: Compiled =
-      join2(lc, remoteServiceFetch(src, inner, silent), "inner")
+      join2(lc, remoteServiceFetch(src, inner, silent), joinType)
     def run: Compiled = {
       // the remote side casts every binding to its lexical string form;
       // the local keys must compare the same way
@@ -970,10 +1000,13 @@ final class Compiler(catalog: Catalog, load: String => DataFrame,
         .collect { case r if r.forall(_.isDefined) => r.map(_.get.toString) }
       if (keys.length > maxKeys) return fullFetch
       if (keys.isEmpty)
+        // no bindable keys: inner ⇒ provably empty; left-outer ⇒ every
+        // left row survives with the service vars null-padded — both
+        // fall out of joining the empty typed frame under joinType
         return Compiled(left.join(
           spark.createDataFrame(
             new java.util.ArrayList[org.apache.spark.sql.Row](), schema),
-          shared, "inner"), lc.sigs -- shared)
+          shared, joinType), lc.sigs -- shared)
       val window =
         if (windowConf == "auto")
           graft.operators.BindJoin.adaptiveWindow(keys.length)
@@ -1011,13 +1044,18 @@ final class Compiler(catalog: Catalog, load: String => DataFrame,
       if (fetched.length > maxFetchRows) return fullFetch
       val right = spark.createDataFrame(
         java.util.Arrays.asList(fetched: _*), schema)
-      Compiled(left.join(right, shared, "inner"), lc.sigs -- shared)
+      Compiled(left.join(right, shared, joinType), lc.sigs -- shared)
     }
     if (silent)
       try run catch {
         case scala.util.control.NonFatal(_) =>
           try fullFetch
-          catch { case scala.util.control.NonFatal(_) => lc }
+          catch {
+            case scala.util.control.NonFatal(_) =>
+              // SILENT unit fallback: inner keeps the left side as-is;
+              // an OPTIONAL must still pad its body-only vars unbound
+              if (joinType == "inner") lc else padUnbound(lc, inner.vars)
+          }
       }
     else run
   }

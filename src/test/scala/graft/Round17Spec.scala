@@ -357,6 +357,73 @@ class Round17Spec extends SparkTestBase {
     assert(Lakehouse.readCompacted(spark, root).count() == 300L)
   }
 
+  // ---- OPTIONAL over a remote SERVICE: the left-outer bind join ------------
+
+  test("OPTIONAL { SERVICE <remote> } compiles to a LEFT-OUTER bind join " +
+    "with the measured-key window: ONE VALUES request instead of paging " +
+    "the whole remote result, unmatched left rows null-pad, answers " +
+    "identical to the full-fetch path — and an inner-var FILTER ships " +
+    "inside the batch query") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import graft.api.{Graft, GraftServer, TpchCatalog}
+    val g = Graft.overParquetDir(TpchCatalog.catalog, sfDir)
+    val server = new GraftServer(g)
+    val port = server.start()
+    try {
+      // customers OPTIONALly joined to their remote orders: the ~1/3 of
+      // customers without orders must survive with ?tp unbound
+      val q =
+        s"""PREFIX g: <urn:g:>
+           |SELECT ?c ?n ?tp WHERE {
+           |  ?c a g:Customer ; g:name ?n .
+           |  OPTIONAL { SERVICE <http://127.0.0.1:$port/sparql> {
+           |    ?o g:customer ?c ; g:totalprice ?tp } }
+           |} ORDER BY ?c ?tp""".stripMargin
+      // loopback safety: ≤2 concurrent fetch tasks under local[4]
+      spark.conf.set("graft.service.bindJoin.maxConcurrentFetch", "2")
+      def run(query: String, bind: Boolean): (Seq[Seq[Any]], Long) = {
+        spark.conf.set("graft.service.bindJoin", bind.toString)
+        val q0 = server.queriesServed.get()
+        val rows = g.sparql(query).collect().map(_.toSeq).toSeq
+        (rows, server.queriesServed.get() - q0)
+      }
+      val (bound, reqBound) = run(q, bind = true)
+      val (full, reqFull)   = run(q, bind = false)
+      assert(bound == full && bound.nonEmpty, "bind-join OPTIONAL diverged")
+      // 150 distinct customers → one 512-cap VALUES window = ONE request;
+      // the full fetch pays its paged-scan sizing probes + pages
+      assert(reqBound == 1, s"bound OPTIONAL sent $reqBound requests")
+      assert(reqFull > 1, s"full fetch sent $reqFull requests")
+      assert(bound.forall(_.last != null),
+        "sf0.001 fixture: every customer has orders — all ?tp bound")
+
+      // a FILTER at the OPTIONAL group level over INNER vars ships inside
+      // the batch query (the LeftJoin-condition path): answers match the
+      // unbatched run, still one request
+      val qf =
+        s"""PREFIX g: <urn:g:>
+           |SELECT ?c ?n ?tp WHERE {
+           |  ?c a g:Customer ; g:name ?n .
+           |  OPTIONAL { SERVICE <http://127.0.0.1:$port/sparql> {
+           |    ?o g:customer ?c ; g:totalprice ?tp }
+           |    FILTER (?tp > 400000) }
+           |} ORDER BY ?c ?tp""".stripMargin
+      val (boundF, reqBoundF) = run(qf, bind = true)
+      val (fullF, _)          = run(qf, bind = false)
+      assert(boundF == fullF && boundF.nonEmpty,
+        "filtered bind-join OPTIONAL diverged")
+      assert(reqBoundF == 1, s"filtered OPTIONAL sent $reqBoundF requests")
+      // the filter reclassifies some matched customers as UNMATCHED:
+      // they must survive null-padded (left-outer), not vanish (inner)
+      assert(boundF.count(_.last == null) > 0 &&
+        boundF.exists(_.last != null), boundF.take(3).toString)
+    } finally {
+      spark.conf.unset("graft.service.bindJoin")
+      spark.conf.unset("graft.service.bindJoin.maxConcurrentFetch")
+      server.stop()
+    }
+  }
+
   // ---- the snapshot lake as an engine source --------------------------------
 
   test("a snapshot-managed lake is an ENGINE source: SPARQL reads the " +
