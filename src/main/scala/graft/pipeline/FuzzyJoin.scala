@@ -201,7 +201,16 @@ object FuzzyJoin {
     * every path errors, none drops the pair.
     * Output: (id_l, id_r, dot_w2, norm_l, norm_r) — all exact integers
     * (bigint; values past 2⁶³ raise); derive `cos ≈ dot/√(nl·nr)`
-    * downstream if a float is wanted. */
+    * downstream if a float is wanted.
+    *
+    * '''Default change (r16):''' `maxTokenDf` dropped from 2²⁰ to 4096 —
+    * the old default let one stop-word token imply ~10¹² candidate pairs.
+    * A pair whose EVERY shared token has df above the cap is no longer
+    * found through this convenience form, and this form DISCARDS the
+    * side output that would tell you so. Recall-sensitive callers must
+    * use [[cosineJoinWithStats]] and inspect `cappedTokens` (empty ⇒
+    * blocked recall is exact); raising `maxTokenDf` back is the explicit
+    * opt-in to the quadratic cost. */
   def cosineJoin(left: DataFrame, right: DataFrame, idCol: String,
                  strCol: String, tauMilli: Int = 800,
                  maxTokenDf: Long = 4096): DataFrame =

@@ -669,8 +669,7 @@ object Lakehouse {
             val genPath = new org.apache.hadoop.fs.Path(part, gen).toString
             df.write.mode("overwrite").parquet(genPath)
             plantSentinelIfBare(fs, part)
-            (rel, gen, fileStats(spark, genPath,
-              effStats.filter(df.columns.contains)))
+            rel -> gen
           }
         }
         scala.concurrent.Await.result(
@@ -678,15 +677,24 @@ object Lakehouse {
           scala.concurrent.duration.Duration.Inf)
       } finally pool.shutdown()
     plantSentinelIfBare(fs, r)
-    // stats: carried partitions keep their committed stats verbatim (same
-    // gen, same files); rewritten partitions replace theirs wholesale
+    // stats: ONE column-pruned job over every freshly written dir (not
+    // one per partition — at 10³ partitions that would double the
+    // commit's job count); carried partitions keep their committed
+    // stats verbatim (same gen, same files), rewritten ones replace
+    // theirs wholesale. A written file LACKING a stats column (schema
+    // evolution) records all-null — correct and maximally pruning,
+    // because the snapshot read null-fills it and null-excluding ranges
+    // exclude those rows anyway.
+    val fresh =
+      if (effStats.isEmpty) Map.empty[String, Map[String, Map[String, ColStat]]]
+      else fileStats(spark, fs,
+        updated.map { case (rel, gen) =>
+          fs.makeQualified(dataDir(r, rel, gen)).toString -> rel }.toMap,
+        effStats.filter(schema.fieldNames.contains), Some(schema))
     val carried = prior.map(_.stats).getOrElse(Map.empty) --
       updated.map(_._1)
-    val fresh = updated.collect {
-      case (rel, _, st) if st.nonEmpty => rel -> st }.toMap
     commitManifest(spark, root,
-      Manifest(base ++ updated.map(u => u._1 -> u._2), Some(schema),
-        carried ++ fresh), baseId)
+      Manifest(base ++ updated, Some(schema), carried ++ fresh), baseId)
   }
 
   /** A caller-declared value range for manifest-level data skipping:
@@ -793,31 +801,45 @@ object Lakehouse {
       }
     }
 
-  /** Per-file min/max of `cols` over a freshly written generation dir:
-    * ONE column-pruned scan of the new files grouped by file name. The
-    * collect is bounded by FILE COUNT × column count (the same driver
-    * bound as every manifest structure). Cost: one re-read of what was
-    * just written, pruned to the stats columns — the price of computing
-    * stats post-write without hooking the parquet writer (Delta pays it
-    * inside the writer; one pruned scan of hot-in-page-cache files is
-    * the honest Spark-level equivalent). */
+  /** Per-file min/max of `cols` over freshly written generation dirs —
+    * ONE column-pruned multi-root scan grouped by file, regardless of
+    * how many partitions the commit wrote (k per-partition jobs would
+    * double a wide commit's job count for metadata). `dirToRel` maps
+    * each qualified gen dir to its manifest rel; files group back to
+    * their rel by parent path. The collect is bounded by FILE COUNT ×
+    * column count (the same driver bound as every manifest structure).
+    * Cost: one re-read of what was just written, pruned to the stats
+    * columns — the price of computing stats post-write without hooking
+    * the parquet writer (Delta pays it inside the writer; one pruned
+    * scan of hot-in-page-cache files is the honest Spark-level
+    * equivalent). */
   private def fileStats(spark: org.apache.spark.sql.SparkSession,
-                        genDir: String, cols: Seq[String]
-                       ): Map[String, Map[String, ColStat]] = {
-    if (cols.isEmpty) return Map.empty
+                        fs: org.apache.hadoop.fs.FileSystem,
+                        dirToRel: Map[String, String], cols: Seq[String],
+                        readSchema: Option[org.apache.spark.sql.types.StructType]
+                       ): Map[String, Map[String, Map[String, ColStat]]] = {
+    if (cols.isEmpty || dirToRel.isEmpty) return Map.empty
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
-    val rows = spark.read.parquet(genDir)
-      .groupBy(col("_metadata.file_name").as("__f"))
+    val reader = readSchema.fold(spark.read)(spark.read.schema)
+    val rows = reader.parquet(dirToRel.keys.toSeq.sorted: _*)
+      .groupBy(col("_metadata.file_path").as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
-    rows.map { row =>
-      val file = row.getString(0)
-      file -> cols.zipWithIndex.map { case (c, i) =>
-        c -> ColStat(Option(row.get(1 + 2 * i)).map(StatsCodec.encode),
-          Option(row.get(2 + 2 * i)).map(StatsCodec.encode))
+    rows.groupBy { row =>
+      val p = new org.apache.hadoop.fs.Path(row.getString(0))
+      dirToRel.getOrElse(fs.makeQualified(p.getParent).toString,
+        throw new IllegalStateException(
+          s"stats scan surfaced a file outside the written dirs: $p"))
+    }.map { case (rel, rws) =>
+      rel -> rws.map { row =>
+        val file = new org.apache.hadoop.fs.Path(row.getString(0)).getName
+        file -> cols.zipWithIndex.map { case (c, i) =>
+          c -> ColStat(Option(row.get(1 + 2 * i)).map(StatsCodec.encode),
+            Option(row.get(2 + 2 * i)).map(StatsCodec.encode))
+        }.toMap
       }.toMap
-    }.toMap
+    }
   }
 
   /** The committed schema of a snapshot: the base schema plus every new
@@ -1219,7 +1241,9 @@ object Lakehouse {
             .map(_.values.flatMap(_.keys).toSeq.distinct.sorted)
             .getOrElse(Nil)
           Some((rel, next, files.length, dataFiles(fs, nextP).length,
-            fileStats(spark, nextP.toString, statCols)))
+            fileStats(spark, fs,
+              Map(fs.makeQualified(nextP).toString -> rel), statCols,
+              m.schema).getOrElse(rel, Map.empty)))
         }
       }
       if (rewritten.nonEmpty) {
