@@ -938,20 +938,26 @@ object Lakehouse {
     fileRanges.foreach(rg => require(
       m.schema.isEmpty || colTypes.contains(rg.column),
       s"fileRanges column '${rg.column}' is not in the committed schema"))
-    def fileSurvives(cm: Map[String, ColStat]): Boolean =
-      fileRanges.forall { rg =>
-        cm.get(rg.column) match {
-          case None => true // file predates this stats column: keep
-          case Some(st) if st.min.isEmpty =>
-            false // ALL-null file; ranges are null-excluding by contract
-          case Some(st) =>
-            val dt = colTypes(rg.column)
-            rg.lower.forall(lo =>
-              StatsCodec.compare(dt, st.max.get, lo) >= 0) &&
-              rg.upper.forall(hi =>
-                StatsCodec.compare(dt, st.min.get, hi) <= 0)
-        }
-      }
+    if (fileRanges.isEmpty && m.stats.nonEmpty && m.schema.isDefined &&
+        spark.conf.get("graft.lake.autoSkip", "true").toBoolean) {
+      // AUTOMATIC skipping: no declared ranges needed — a manifest-backed
+      // FileIndex receives the scan's pushed data filters at plan time
+      // and drops every file whose committed [min,max] cannot satisfy
+      // them; partitions without stats are never pruned. One
+      // FileSourceScan, same null-fill schema semantics as the plain path
+      val dirs = kept.map { case (rel, gen) =>
+        (dataDir(r, rel, gen), m.stats.get(rel)) }
+      val index = new ManifestFileIndex(spark, dirs, colTypes)
+      val relation = org.apache.spark.sql.execution.datasources
+        .HadoopFsRelation(index,
+          org.apache.spark.sql.types.StructType(Nil), m.schema.get, None,
+          new org.apache.spark.sql.execution.datasources.parquet
+            .ParquetFileFormat(),
+          Map.empty[String, String])(
+          spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+      return spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .baseRelationToDataFrame(relation)
+    }
     val roots = kept.flatMap { case (rel, gen) =>
       val dir = dataDir(r, rel, gen)
       m.stats.get(rel) match {
@@ -960,7 +966,7 @@ object Lakehouse {
           // (computed over the whole dir at commit), so the survivor
           // list is authoritative — pass individual files to the scan
           files.toSeq.sortBy(_._1).collect {
-            case (f, cm) if fileSurvives(cm) =>
+            case (f, cm) if rangeSurvives(cm, fileRanges, colTypes) =>
               new org.apache.hadoop.fs.Path(dir, f).toString
           }
         case _ => Seq(dir.toString) // no stats: the whole dir, unskipped
@@ -980,6 +986,26 @@ object Lakehouse {
       case None    => spark.read.parquet(roots: _*)
     }
   }
+
+  /** Can a file with committed stats `cm` contain a row satisfying every
+    * range? Missing column stats keep the file (superset guarantee);
+    * all-null stats prune it (ranges are null-excluding by contract). */
+  private[graft] def rangeSurvives(
+      cm: Map[String, ColStat], ranges: Seq[ColRange],
+      colTypes: Map[String, org.apache.spark.sql.types.DataType]): Boolean =
+    ranges.forall { rg =>
+      cm.get(rg.column) match {
+        case None => true // file predates this stats column: keep
+        case Some(st) if st.min.isEmpty =>
+          false // ALL-null file; ranges are null-excluding by contract
+        case Some(st) =>
+          val dt = colTypes(rg.column)
+          rg.lower.forall(lo =>
+            StatsCodec.compare(dt, st.max.get, lo) >= 0) &&
+            rg.upper.forall(hi =>
+              StatsCodec.compare(dt, st.min.get, hi) <= 0)
+      }
+    }
 
   /** Bounded optimistic-retry loop around a snapshot write — the pattern
     * every CAS caller otherwise hand-rolls. `write` receives the CURRENT
@@ -1380,5 +1406,133 @@ object Lakehouse {
           Seq(col("change_type")) ++
           compareCols.flatMap(c => Seq(col(s"o.$c").as(s"old_$c"),
             col(s"n.$c").as(s"new_$c"))): _*)
+  }
+}
+
+/** FileIndex over a snapshot manifest — the AUTOMATIC data-skipping
+  * path of [[Lakehouse.readSnapshot]]: Spark's planner hands the scan's
+  * pushed data filters to `listFiles`, and every file whose committed
+  * per-file [min,max] cannot satisfy them is dropped before a single
+  * split is planned. No declared ranges, no API change — a plain
+  * `df.filter(col("id") > x)` (or the SPARQL compiler's pushed FILTER)
+  * skips files exactly like Iceberg/Delta readers do. Catalyst still
+  * applies the real predicate; pruning is a strict superset, and
+  * filter shapes the extractor doesn't recognize (casts, UDFs,
+  * disjunctions) simply skip nothing.
+  *
+  * Null semantics are automatically correct here: a pushed comparison
+  * filter is null-excluding by SQL semantics, so pruning an all-null
+  * file under it can never drop a surviving row.
+  *
+  * Generations are immutable, so the index lists each committed dir
+  * ONCE at construction and never refreshes; driver state is the file
+  * list Spark's own InMemoryFileIndex would hold for the same scan.
+  * Uses the stable-across-minor-versions `execution.datasources`
+  * surface (`FileIndex`/`PartitionDirectory`/`HadoopFsRelation`) — the
+  * documented extension point table formats plug into. */
+private final class ManifestFileIndex(
+    spark: org.apache.spark.sql.SparkSession,
+    dirs: Seq[(org.apache.hadoop.fs.Path,
+      Option[Map[String, Map[String, Lakehouse.ColStat]]])],
+    colTypes: Map[String, org.apache.spark.sql.types.DataType])
+  extends org.apache.spark.sql.execution.datasources.FileIndex {
+
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.execution.datasources.PartitionDirectory
+
+  private val byDir: Seq[(Option[Map[String, Map[String, Lakehouse.ColStat]]],
+    Array[org.apache.hadoop.fs.FileStatus])] = dirs.map { case (d, st) =>
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(d).filter { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    (st, files)
+  }
+
+  override def rootPaths: Seq[org.apache.hadoop.fs.Path] = dirs.map(_._1)
+  override def partitionSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Nil)
+  override def sizeInBytes: Long = byDir.map(_._2.map(_.getLen).sum).sum
+  override def inputFiles: Array[String] =
+    byDir.flatMap(_._2.map(_.getPath.toString)).toArray
+  override def refresh(): Unit = () // committed generations are immutable
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val ranges = dataFilters.flatMap(boundsOf)
+    val kept = byDir.flatMap {
+      case (Some(stats), files) if ranges.nonEmpty =>
+        files.filter(f => stats.get(f.getPath.getName)
+          .forall(cm => Lakehouse.rangeSurvives(cm, ranges, colTypes)))
+      case (_, files) => files // stats-less partition: never pruned
+    }
+    Seq(PartitionDirectory(
+      org.apache.spark.sql.catalyst.InternalRow.empty, kept.toArray))
+  }
+
+  /** Conjunctive bounds a pushed filter implies, in [[Lakehouse.ColRange]]
+    * form. Only attribute-vs-literal comparisons on a stats-typed column
+    * extract; everything else contributes nothing (no pruning — safe). */
+  private def boundsOf(e: Expression): Seq[Lakehouse.ColRange] = e match {
+    case And(l, r) => boundsOf(l) ++ boundsOf(r)
+    case EqualTo(a: AttributeReference, Literal(v, dt)) =>
+      bound(a.name, dt, v).toSeq.flatMap(b =>
+        Seq(Lakehouse.ColRange(a.name, Some(b), Some(b))))
+    case EqualTo(Literal(v, dt), a: AttributeReference) =>
+      bound(a.name, dt, v).toSeq.flatMap(b =>
+        Seq(Lakehouse.ColRange(a.name, Some(b), Some(b))))
+    case EqualNullSafe(a: AttributeReference, Literal(v, dt)) if v != null =>
+      bound(a.name, dt, v).toSeq.flatMap(b =>
+        Seq(Lakehouse.ColRange(a.name, Some(b), Some(b))))
+    case GreaterThan(a: AttributeReference, Literal(v, dt)) =>
+      bound(a.name, dt, v).map(b =>
+        Lakehouse.ColRange(a.name, lower = Some(b))).toSeq
+    case GreaterThanOrEqual(a: AttributeReference, Literal(v, dt)) =>
+      bound(a.name, dt, v).map(b =>
+        Lakehouse.ColRange(a.name, lower = Some(b))).toSeq
+    case LessThan(a: AttributeReference, Literal(v, dt)) =>
+      bound(a.name, dt, v).map(b =>
+        Lakehouse.ColRange(a.name, upper = Some(b))).toSeq
+    case LessThanOrEqual(a: AttributeReference, Literal(v, dt)) =>
+      bound(a.name, dt, v).map(b =>
+        Lakehouse.ColRange(a.name, upper = Some(b))).toSeq
+    // literal-on-the-left comparisons flip the bound direction
+    case GreaterThan(Literal(v, dt), a: AttributeReference) =>
+      bound(a.name, dt, v).map(b =>
+        Lakehouse.ColRange(a.name, upper = Some(b))).toSeq
+    case GreaterThanOrEqual(Literal(v, dt), a: AttributeReference) =>
+      bound(a.name, dt, v).map(b =>
+        Lakehouse.ColRange(a.name, upper = Some(b))).toSeq
+    case LessThan(Literal(v, dt), a: AttributeReference) =>
+      bound(a.name, dt, v).map(b =>
+        Lakehouse.ColRange(a.name, lower = Some(b))).toSeq
+    case LessThanOrEqual(Literal(v, dt), a: AttributeReference) =>
+      bound(a.name, dt, v).map(b =>
+        Lakehouse.ColRange(a.name, lower = Some(b))).toSeq
+    case _ => Nil
+  }
+
+  /** Catalyst INTERNAL literal → a [[Lakehouse.StatsCodec]] bound, only
+    * when the attribute is a stats-typed column of the same type (a
+    * Cast would have blocked extraction already, but a type mismatch
+    * here means the comparison isn't in the column's domain — skip). */
+  private def bound(name: String,
+                    dt: org.apache.spark.sql.types.DataType,
+                    v: Any): Option[Any] = {
+    import org.apache.spark.sql.types._
+    if (v == null || !colTypes.get(name).contains(dt)) return None
+    dt match {
+      case StringType => Some(v.toString) // UTF8String → String
+      case DateType => Some(
+        java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).toString)
+      case TimestampType | TimestampNTZType =>
+        Some(v.asInstanceOf[Long]) // epoch micros, the codec's domain
+      case _: DecimalType =>
+        Some(v.asInstanceOf[org.apache.spark.sql.types.Decimal]
+          .toJavaBigDecimal)
+      case _: NumericType => Some(v) // boxed primitives are Numbers
+      case _ => None
+    }
   }
 }

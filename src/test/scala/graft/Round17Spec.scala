@@ -268,6 +268,54 @@ class Round17Spec extends SparkTestBase {
     assert(e.getMessage.contains("orderable"), e.getMessage)
   }
 
+  test("AUTOMATIC data skipping: a plain df.filter on a stats column " +
+    "prunes files at PLAN time through the manifest FileIndex — no " +
+    "declared ranges — and the SPARQL engine rides the same scan") {
+    import spark.implicits._
+    val root = freshDir("autoskip")
+    val rows = (0L until 400L)
+      .map(i => (i, (i % 2).toInt, f"s$i%04d")).toDF("doc_id", "p", "source")
+    def half(p: Int) = rows.filter(col("p") === p)
+      .repartitionByRange(4, col("doc_id"))
+    Lakehouse.commitSnapshot(spark, root,
+      Seq("p=0" -> half(0), "p=1" -> half(1)),
+      statsCols = Seq("doc_id", "source"))
+
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectWithSubqueries {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.sum
+    }
+    val snap = Lakehouse.readSnapshot(spark, root)
+    assert(scannedFiles(snap) == 8L) // unfiltered: every file planned
+    val q = snap.filter(col("doc_id").between(100L, 120L))
+    val n = scannedFiles(q)
+    assert(n < 8L && n >= 1L, s"expected pruned plan, scanned $n files")
+    assert(q.count() == 21L)
+    // string predicate prunes too; a disjunction extracts nothing (safe)
+    assert(scannedFiles(snap.filter(col("source") === "s0100")) < 8L)
+    assert(scannedFiles(snap.filter(col("source") === "s0100" ||
+      col("doc_id") === 399L)) == 8L)
+    // equality past the max prunes EVERYTHING — zero-file plan, 0 rows
+    val none = snap.filter(col("doc_id") === 100000L)
+    assert(none.count() == 0L)
+
+    // the SPARQL engine reads through the same FileIndex: a pushed
+    // FILTER plans fewer files than the unfiltered concept scan
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val g = new graft.api.Graft(graft.api.TpchCatalog.catalog, t =>
+      if (t == "documents") Lakehouse.readSnapshot(spark, root)
+      else spark.read.parquet(s"$sfDir/$t.parquet"))
+    val sq = g.sparql(
+      """PREFIX g: <urn:g:>
+        |SELECT ?d ?s WHERE { ?d a g:Document ; g:source ?s .
+        |  FILTER (?s = "s0100") }""".stripMargin)
+    assert(sq.collect().length == 1)
+    assert(scannedFiles(sq) < 8L, "SPARQL filter did not reach the skip layer")
+  }
+
   test("stats skipping on timestamps compares in epoch-micros, not " +
     "lexically; time travel reads each snapshot's OWN stats") {
     import spark.implicits._
