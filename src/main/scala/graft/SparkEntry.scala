@@ -249,11 +249,15 @@ object SparkEntry {
       p0.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p0, true)
       val docs = T(s, d, "documents")
       def half(p: Int) = docs.filter(col("doc_id") % 2 === p)
+      // stats on (doc_id, lang): the engine rows ride the automatic
+      // FileIndex skip path, and the FILTERed row prunes through it
+      val st = Seq("doc_id", "lang")
       _root_.graft.pipeline.Lakehouse.commitSnapshot(s, root,
-        Seq("p=0" -> half(0), "p=1" -> half(1)))
+        Seq("p=0" -> half(0), "p=1" -> half(1)), statsCols = st)
       _root_.graft.pipeline.Lakehouse.commitSnapshot(s, root, Seq(
         "p=0" -> half(0).filter(col("doc_id") % 7 =!= 0),
-        "p=1" -> half(1).filter(col("doc_id") % 7 =!= 0)))
+        "p=1" -> half(1).filter(col("doc_id") % 7 =!= 0)),
+        statsCols = st)
       root
     })
 
@@ -1303,6 +1307,38 @@ object SparkEntry {
     // through the SPARQL surface — the query reads the ORIGINAL table
     "sparql_lake_snapshot_timetravel" -> ((s, d) =>
       graftOverDocLake(s, d, asOf = Some(1)).sparql(SPARQL_LAKE_DOCS)),
+    // FILTERed SPARQL over the lake: the pushed predicate reaches the
+    // manifest FileIndex (automatic file skipping) — the gate checks the
+    // ANSWER is identical to the unskipped truth, the spec pins the
+    // file-count mechanics
+    "sparql_lake_snapshot_filtered" -> ((s, d) =>
+      graftOverDocLake(s, d, asOf = None).sparql(
+        """PREFIX g: <urn:g:>
+          |SELECT ?d ?src ?lang WHERE {
+          |  ?d a g:Document ; g:source ?src ; g:lang ?lang .
+          |  FILTER (?lang = "en")
+          |} ORDER BY ?d""".stripMargin)),
+    // AUTOMATIC skip path end to end at the gate: NO declared ranges —
+    // the plain filter below must prune through the FileIndex and the
+    // answer must equal the whole-table filter truth
+    "lake_snapshot_autoskip" -> ((s, d) => {
+      val root = s"/tmp/graft_lake_snap_as/${new java.io.File(d).getName}"
+      val p0 = new org.apache.hadoop.fs.Path(root)
+      p0.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p0, true)
+      val docs = T(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          (col("doc_id") % 2).cast("int").as("p"))
+      def half(p: Int) = docs.filter(col("p") === p)
+        .repartitionByRange(4, col("doc_id"))
+      _root_.graft.pipeline.Lakehouse.commitSnapshot(s, root,
+        Seq("p=0" -> half(0), "p=1" -> half(1)),
+        statsCols = Seq("doc_id"))
+      val hi = docs.agg(max(col("doc_id"))).head.getLong(0) / 4
+      _root_.graft.pipeline.Lakehouse.readSnapshot(s, root)
+        .filter(col("doc_id").between(0L, hi))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("p"))
+        .orderBy("doc_id")
+    }),
     // fuzzy string join (edit distance <= 1): 10-char md5-hex keys vs
     // their deterministic one-char deletions — q-gram blocked candidates
     // + the exact codegen'd levenshtein verify, never a cross join. q=4
@@ -2933,6 +2969,20 @@ object SparkEntry {
       """SELECT 'urn:g:doc:' || CAST(doc_id AS VARCHAR) AS d,
         |  source AS src, lang
         |FROM documents ORDER BY d""".stripMargin,
+    // skipped read ≡ plain filter: the FileIndex may drop files, the
+    // ANSWER may not change
+    "sparql_lake_snapshot_filtered" ->
+      """SELECT 'urn:g:doc:' || CAST(doc_id AS VARCHAR) AS d,
+        |  source AS src, lang
+        |FROM documents WHERE doc_id % 7 <> 0 AND lang = 'en'
+        |ORDER BY d""".stripMargin,
+    "lake_snapshot_autoskip" ->
+      """SELECT doc_id, lang, n_chars, CAST(doc_id % 2 AS INTEGER) AS p
+        |FROM documents
+        |WHERE doc_id >= 0
+        |  AND doc_id <= (SELECT CAST(FLOOR(MAX(doc_id) / 4) AS BIGINT)
+        |                 FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     // brute-force edit-distance truth: the blocked join must find exactly
     // the pairs the full quadratic scan finds
     "q_fuzzy_join" ->

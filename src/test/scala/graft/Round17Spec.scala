@@ -382,6 +382,34 @@ class Round17Spec extends SparkTestBase {
     assert(n == 2 && e.getMessage.contains("lost the commit race"))
   }
 
+  test("four concurrent writers under withSnapshotRetry all land: the " +
+    "CAS serializes them, every write survives, ids are dense, and the " +
+    "lake equals the union of all four writes") {
+    import spark.implicits._
+    val root = freshDir("retrymany")
+    Lakehouse.commitSnapshot(spark, root, Seq("p=seed" -> part("s", 1L to 2L)))
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 4).map { i =>
+      new Thread(() => {
+        start.await()
+        try Lakehouse.withSnapshotRetry(spark, root, maxAttempts = 10) {
+          base =>
+            Lakehouse.commitSnapshot(spark, root,
+              Seq(s"p=w$i" -> part(s"w$i", (i * 10L + 1) to (i * 10L + 5))),
+              expectedSnapshot = Some(base.getOrElse(0)))
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+    assert(errs.isEmpty, s"retry writers failed: ${errs.toArray.toSeq}")
+    // 1 seed + 4 writers = dense ids through 5; the lake is the union
+    assert(Lakehouse.currentSnapshotId(spark, root).contains(5))
+    val m = Lakehouse.currentManifest(spark, root)
+    assert(m.keySet == Set("p=seed", "p=w0", "p=w1", "p=w2", "p=w3"))
+    assert(Lakehouse.readSnapshot(spark, root).count() == 22L)
+  }
+
   // ---- legacy generation names (r16 ADVICE low) -----------------------------
 
   test("a table compacted under the legacy VISIBLE gen-<n> layout still " +
