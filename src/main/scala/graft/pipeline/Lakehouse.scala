@@ -427,6 +427,16 @@ object Lakehouse {
         r -> fm.map { case (f, cm) => f -> cm.toMap }.toMap }.toMap)
   }
 
+  /** Committed manifests are immutable (the CAS target is never
+    * overwritten), so parsed manifests cache process-wide. The key
+    * carries (qualified path, mtime, length) — one metadata probe
+    * replaces one full object read per query, and a DROPPED-and-
+    * recreated lake (same path, new bytes) can never serve a stale
+    * parse. Bounded: a full drop past 256 entries (each entry is
+    * O(partitions + stats lines); re-reads are cheap). */
+  private val manifestCache =
+    scala.collection.concurrent.TrieMap[(String, Long, Long), Manifest]()
+
   private def manifestAt(spark: org.apache.spark.sql.SparkSession,
                          root: String, asOf: Option[Int]): Manifest = {
     val r = new org.apache.hadoop.fs.Path(root)
@@ -434,9 +444,21 @@ object Lakehouse {
     val id = asOf.orElse(snapIds(fs, r).lastOption).getOrElse(
       throw new IllegalStateException(s"$root has no committed snapshot"))
     val p = snapFile(r, id)
-    require(fs.exists(p), s"snapshot $id of $root does not exist " +
-      "(GC'd or never committed) — time travel reaches kept snapshots only")
-    readManifest(fs, p)
+    val st = try fs.getFileStatus(p) catch {
+      case _: java.io.FileNotFoundException =>
+        throw new IllegalArgumentException(
+          s"requirement failed: snapshot $id of $root does not exist " +
+            "(GC'd or never committed) — time travel reaches kept " +
+            "snapshots only")
+    }
+    val key = (fs.makeQualified(p).toString,
+      st.getModificationTime, st.getLen)
+    manifestCache.getOrElse(key, {
+      val m = readManifest(fs, p)
+      if (manifestCache.size > 256) manifestCache.clear()
+      manifestCache.update(key, m)
+      m
+    })
   }
 
   /** The partition→data-dir mapping of snapshot `asOf` (default: the
@@ -1471,57 +1493,103 @@ private final class ManifestFileIndex(
       org.apache.spark.sql.catalyst.InternalRow.empty, kept.toArray))
   }
 
+  /** The attribute under a pushed comparison — bare, or wrapped in a
+    * cast the type coercion rules inserted, accepted ONLY when the cast
+    * is an EXACT monotone widening of the column's committed type
+    * (every value representable, order preserved): then a bound in the
+    * cast's domain compares faithfully against column-domain stats in
+    * BigDecimal space. Inexact widenings (long→double rounds,
+    * string→numeric reorders, TRY casts) extract nothing — safe. */
+  private object AttrCast {
+    def unapply(e: Expression): Option[AttributeReference] = e match {
+      case a: AttributeReference => Some(a)
+      case Cast(a: AttributeReference, dt, _, _)
+        if colTypes.get(a.name).exists(ct => exactWidening(ct, dt)) =>
+        Some(a)
+      case _ => None
+    }
+  }
+
+  private def exactWidening(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType |
+                      FloatType | DoubleType) => true
+      case (ShortType, IntegerType | LongType | FloatType | DoubleType) =>
+        true
+      case (IntegerType, LongType | DoubleType) => true
+      case (FloatType, DoubleType)              => true
+      case _                                    => false
+    }
+  }
+
   /** Conjunctive bounds a pushed filter implies, in [[Lakehouse.ColRange]]
-    * form. Only attribute-vs-literal comparisons on a stats-typed column
-    * extract; everything else contributes nothing (no pruning — safe). */
+    * form. Only (possibly exact-widened) attribute-vs-literal comparisons
+    * on a stats-typed column extract; everything else contributes nothing
+    * (no pruning — safe). */
   private def boundsOf(e: Expression): Seq[Lakehouse.ColRange] = e match {
     case And(l, r) => boundsOf(l) ++ boundsOf(r)
-    case EqualTo(a: AttributeReference, Literal(v, dt)) =>
+    case EqualTo(AttrCast(a), Literal(v, dt)) =>
       bound(a.name, dt, v).toSeq.flatMap(b =>
         Seq(Lakehouse.ColRange(a.name, Some(b), Some(b))))
-    case EqualTo(Literal(v, dt), a: AttributeReference) =>
+    case EqualTo(Literal(v, dt), AttrCast(a)) =>
       bound(a.name, dt, v).toSeq.flatMap(b =>
         Seq(Lakehouse.ColRange(a.name, Some(b), Some(b))))
-    case EqualNullSafe(a: AttributeReference, Literal(v, dt)) if v != null =>
+    case EqualNullSafe(AttrCast(a), Literal(v, dt)) if v != null =>
       bound(a.name, dt, v).toSeq.flatMap(b =>
         Seq(Lakehouse.ColRange(a.name, Some(b), Some(b))))
-    case GreaterThan(a: AttributeReference, Literal(v, dt)) =>
+    case GreaterThan(AttrCast(a), Literal(v, dt)) =>
       bound(a.name, dt, v).map(b =>
         Lakehouse.ColRange(a.name, lower = Some(b))).toSeq
-    case GreaterThanOrEqual(a: AttributeReference, Literal(v, dt)) =>
+    case GreaterThanOrEqual(AttrCast(a), Literal(v, dt)) =>
       bound(a.name, dt, v).map(b =>
         Lakehouse.ColRange(a.name, lower = Some(b))).toSeq
-    case LessThan(a: AttributeReference, Literal(v, dt)) =>
+    case LessThan(AttrCast(a), Literal(v, dt)) =>
       bound(a.name, dt, v).map(b =>
         Lakehouse.ColRange(a.name, upper = Some(b))).toSeq
-    case LessThanOrEqual(a: AttributeReference, Literal(v, dt)) =>
+    case LessThanOrEqual(AttrCast(a), Literal(v, dt)) =>
       bound(a.name, dt, v).map(b =>
         Lakehouse.ColRange(a.name, upper = Some(b))).toSeq
     // literal-on-the-left comparisons flip the bound direction
-    case GreaterThan(Literal(v, dt), a: AttributeReference) =>
+    case GreaterThan(Literal(v, dt), AttrCast(a)) =>
       bound(a.name, dt, v).map(b =>
         Lakehouse.ColRange(a.name, upper = Some(b))).toSeq
-    case GreaterThanOrEqual(Literal(v, dt), a: AttributeReference) =>
+    case GreaterThanOrEqual(Literal(v, dt), AttrCast(a)) =>
       bound(a.name, dt, v).map(b =>
         Lakehouse.ColRange(a.name, upper = Some(b))).toSeq
-    case LessThan(Literal(v, dt), a: AttributeReference) =>
+    case LessThan(Literal(v, dt), AttrCast(a)) =>
       bound(a.name, dt, v).map(b =>
         Lakehouse.ColRange(a.name, lower = Some(b))).toSeq
-    case LessThanOrEqual(Literal(v, dt), a: AttributeReference) =>
+    case LessThanOrEqual(Literal(v, dt), AttrCast(a)) =>
       bound(a.name, dt, v).map(b =>
         Lakehouse.ColRange(a.name, lower = Some(b))).toSeq
     case _ => Nil
   }
 
-  /** Catalyst INTERNAL literal → a [[Lakehouse.StatsCodec]] bound, only
-    * when the attribute is a stats-typed column of the same type (a
-    * Cast would have blocked extraction already, but a type mismatch
-    * here means the comparison isn't in the column's domain — skip). */
+  /** Catalyst INTERNAL literal → a [[Lakehouse.StatsCodec]] bound. Exact
+    * match on the column's committed type handles every stats type; a
+    * numeric literal in an [[exactWidening]] of the column's numeric
+    * type is also faithful (the codec compares numerics in BigDecimal
+    * space, and the widening is value- and order-exact). Anything else
+    * is outside the column's domain — skip (no pruning). */
   private def bound(name: String,
                     dt: org.apache.spark.sql.types.DataType,
                     v: Any): Option[Any] = {
     import org.apache.spark.sql.types._
-    if (v == null || !colTypes.get(name).contains(dt)) return None
+    if (v == null) return None
+    val ct = colTypes.get(name).getOrElse(return None)
+    if (ct != dt) {
+      return (ct, dt) match {
+        case (f: NumericType, t) if exactWidening(f, t) =>
+          Some(v match {
+            case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+            case other                                 => other
+          })
+        case _ => None
+      }
+    }
     dt match {
       case StringType => Some(v.toString) // UTF8String → String
       case DateType => Some(

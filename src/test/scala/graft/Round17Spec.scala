@@ -279,7 +279,7 @@ class Round17Spec extends SparkTestBase {
       .repartitionByRange(4, col("doc_id"))
     Lakehouse.commitSnapshot(spark, root,
       Seq("p=0" -> half(0), "p=1" -> half(1)),
-      statsCols = Seq("doc_id", "source"))
+      statsCols = Seq("doc_id", "source", "p"))
 
     def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
       df.collect()
@@ -301,6 +301,15 @@ class Round17Spec extends SparkTestBase {
     // equality past the max prunes EVERYTHING — zero-file plan, 0 rows
     val none = snap.filter(col("doc_id") === 100000L)
     assert(none.count() == 0L)
+    // coercion-inserted EXACT widening casts unwrap: an INT stats column
+    // compared against a LONG literal (Catalyst casts the column) still
+    // prunes; an inexact cast (int compared as double against a
+    // fractional literal is fine too — int→double is exact)
+    val pInt = snap.filter(col("p").cast("long") === 0L)
+    assert(pInt.count() === 200L)
+    val prunedCast = scannedFiles(
+      snap.filter(col("p").cast("long") === 3L)) // no such partition value
+    assert(prunedCast == 0L, s"cast-wrapped equality scanned $prunedCast")
 
     // the SPARQL engine reads through the same FileIndex: a pushed
     // FILTER plans fewer files than the unfiltered concept scan
@@ -408,6 +417,83 @@ class Round17Spec extends SparkTestBase {
     val m = Lakehouse.currentManifest(spark, root)
     assert(m.keySet == Set("p=seed", "p=w0", "p=w1", "p=w2", "p=w3"))
     assert(Lakehouse.readSnapshot(spark, root).count() == 22L)
+  }
+
+  test("model-based torture WITH stats + automatic skipping: every " +
+    "commit records per-file stats, every read plans through the " +
+    "FileIndex, and random RANGE reads equal the model after each of 20 " +
+    "random ops — including after sweeps, which must refresh rewritten " +
+    "partitions' stats or mis-prune") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260816L)
+    val root = freshDir("statsmodel")
+    spark.conf.set("graft.lake.statsCols", "id")
+    try {
+      def langOf(id: Long) = s"l${(id % 3).toInt}"
+      val model = scala.collection.mutable.Map[Long, (String, String)]()
+      def df(rows: Seq[(Long, String, String)]) = rows.toDF("id", "lang", "v")
+      def modelRows = model.toSeq.map { case (id, (l, v)) => (id, l, v) }
+      (1L to 30L).foreach(i => model(i) = (langOf(i), s"v$i"))
+      Lakehouse.commitSnapshot(spark, root,
+        modelRows.groupBy(_._2).toSeq.map { case (l, rs) =>
+          s"lang=$l" -> df(rs) })
+      var maxId = 30L
+
+      for (step <- 1 to 20) {
+        rnd.nextInt(5) match {
+          case 0 =>
+            val upd = rnd.shuffle(model.keys.toSeq).take(1 + rnd.nextInt(4))
+              .map(id => (id, langOf(id), s"u$step-$id"))
+            val ins = (1 to 1 + rnd.nextInt(3)).map { _ =>
+              maxId += 1; (maxId, langOf(maxId), s"i$step-$maxId") }
+            Lakehouse.mergeSnapshot(spark, root, df(upd ++ ins),
+              Seq("id"), "lang")
+            (upd ++ ins).foreach { case (id, l, v) => model(id) = (l, v) }
+          case 1 =>
+            val dels = rnd.shuffle(model.keys.toSeq).take(rnd.nextInt(3))
+            val upds = rnd.shuffle((model.keys.toSet -- dels).toSeq)
+              .take(rnd.nextInt(3)).map(id => (id, s"c$step-$id"))
+            val inss = (1 to rnd.nextInt(2) + (if (dels.isEmpty &&
+              upds.isEmpty) 1 else 0)).map { _ =>
+              maxId += 1; (maxId, s"n$step-$maxId") }
+            val changes =
+              dels.map(id => (id, langOf(id), "x", "D")) ++
+                upds.map { case (id, v) => (id, langOf(id), v, "U") } ++
+                inss.map { case (id, v) => (id, langOf(id), v, "I") }
+            Lakehouse.applyCdcSnapshot(spark, root,
+              changes.toDF("id", "lang", "v", "op"), Seq("id"), "lang")
+            dels.foreach(model.remove)
+            (upds ++ inss).foreach { case (id, v) =>
+              model(id) = (langOf(id), v) }
+          case 2 => // sweep: rewritten partitions MUST refresh stats
+            Lakehouse.compactDrifted(spark, root, targetBytes = 1L << 26)
+          case 3 =>
+            Lakehouse.snapshotGc(spark, root, keepSnapshots = 3)
+          case 4 =>
+            val l = s"l${rnd.nextInt(3)}"
+            val rows = modelRows.filter(_._2 == l)
+            if (rows.nonEmpty)
+              Lakehouse.commitSnapshot(spark, root, Seq(s"lang=$l" -> df(rows)))
+        }
+        // full read through the FileIndex path (stats present, no ranges)
+        val lake = Lakehouse.readSnapshot(spark, root).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+        assert(lake == modelRows.toSet, s"step $step: lake diverged")
+        // a random RANGE read: pushed-filter skip must equal the model
+        val lo = rnd.nextLong(maxId + 1); val hi = lo + rnd.nextLong(15) + 1
+        val want = modelRows.filter(t => t._1 >= lo && t._1 <= hi).toSet
+        val auto = Lakehouse.readSnapshot(spark, root)
+          .filter(col("id").between(lo, hi)).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+        assert(auto == want, s"step $step: auto-skip range [$lo,$hi] diverged")
+        // the declared-range path agrees with it
+        val decl = Lakehouse.readSnapshot(spark, root,
+          fileRanges = Seq(Lakehouse.ColRange("id", Some(lo), Some(hi))))
+          .filter(col("id").between(lo, hi)).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+        assert(decl == want, s"step $step: declared range [$lo,$hi] diverged")
+      }
+    } finally spark.conf.unset("graft.lake.statsCols")
   }
 
   // ---- legacy generation names (r16 ADVICE low) -----------------------------
