@@ -1318,6 +1318,26 @@ object SparkEntry {
           |  ?d a g:Document ; g:source ?src ; g:lang ?lang .
           |  FILTER (?lang = "en")
           |} ORDER BY ?d""".stripMargin)),
+    // OPTIMIZE ZORDER on a snapshot lake: rewrite along the Morton curve
+    // of (doc_id, n_chars) as ONE committed snapshot, then answer a 2-d
+    // box through the auto-skip read — the layout change must be
+    // invisible to the ANSWER (the spec pins the file-skip mechanics)
+    "lake_snapshot_zorder" -> ((s, d) => {
+      val root = s"/tmp/graft_lake_snap_zo/${new java.io.File(d).getName}"
+      val p0 = new org.apache.hadoop.fs.Path(root)
+      p0.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p0, true)
+      val docs = T(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      _root_.graft.pipeline.Lakehouse.commitSnapshot(s, root,
+        Seq("" -> docs.repartition(8)),
+        statsCols = Seq("doc_id", "n_chars"))
+      _root_.graft.pipeline.Lakehouse.zorderSnapshot(s, root,
+        "doc_id", "n_chars", bits = 10, targetBytes = 4096)
+      val hi = docs.agg(max(col("doc_id"))).head.getLong(0) / 4
+      _root_.graft.pipeline.Lakehouse.readSnapshot(s, root)
+        .filter(col("doc_id").between(0L, hi) && col("n_chars") <= 300L)
+        .orderBy("doc_id")
+    }),
     // AUTOMATIC skip path end to end at the gate: NO declared ranges —
     // the plain filter below must prune through the FileIndex and the
     // answer must equal the whole-table filter truth
@@ -2982,6 +3002,15 @@ object SparkEntry {
         |WHERE doc_id >= 0
         |  AND doc_id <= (SELECT CAST(FLOOR(MAX(doc_id) / 4) AS BIGINT)
         |                 FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    // the z-order rewrite is content-preserving: a 2-d box over the
+    // optimized lake ≡ the same box over the plain table
+    "lake_snapshot_zorder" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id >= 0
+        |  AND doc_id <= (SELECT CAST(FLOOR(MAX(doc_id) / 4) AS BIGINT)
+        |                 FROM documents)
+        |  AND n_chars <= 300
         |ORDER BY doc_id""".stripMargin,
     // brute-force edit-distance truth: the blocked join must find exactly
     // the pairs the full quadratic scan finds

@@ -1317,6 +1317,62 @@ object Lakehouse {
       }
   }
 
+  /** OPTIMIZE ZORDER for a snapshot lake — the layout half of the skip
+    * story: per-file min/max prune only when files hold TIGHT value
+    * ranges, and an append-ordered lake's files overlap on every column
+    * except arrival time. This rewrites every partition along the Morton
+    * curve of (a, b) ([[graft.sources.Zorder.zValue]] — a pure codegen'd
+    * bit-shuffle, no UDF) into range-partitioned sorted files, commits
+    * the WHOLE sweep as ONE snapshot (readers mid-optimize see the
+    * previous snapshot in full, crash relics GC; the compactDrifted
+    * contract), and records fresh per-file stats on the z columns plus
+    * any previously committed stats columns — after which a box
+    * predicate on EITHER column prunes to a handful of files, the
+    * `OPTIMIZE ZORDER BY` semantics of lakehouse table formats.
+    *
+    * `quantA`/`quantB` pre-quantize wide domains into the significant
+    * `bits` (e.g. `_ / 3600e9.toLong` for nano-timestamps → hours);
+    * stats stay on the RAW columns, so quantization never affects
+    * pruning correctness — only curve locality. Content-preserving:
+    * same rows, new layout. Returns the committed snapshot id. */
+  def zorderSnapshot(spark: org.apache.spark.sql.SparkSession, root: String,
+                     a: String, b: String,
+                     quantA: Column => Column = identity,
+                     quantB: Column => Column = identity,
+                     bits: Int = 16,
+                     targetBytes: Long = 128L << 20,
+                     statsCols: Seq[String] = Nil): Int = {
+    val baseId = currentSnapshotId(spark, root).getOrElse(
+      throw new IllegalStateException(s"$root has no committed snapshot"))
+    val man = manifestAt(spark, root, Some(baseId))
+    val r = new org.apache.hadoop.fs.Path(root)
+    val fs = fsOf(spark, r)
+    // stats: the z columns (the point of the rewrite) ∪ whatever each
+    // partition already tracked ∪ the caller's explicit set
+    val carriedCols = man.stats.values
+      .flatMap(_.values.flatMap(_.keys)).toSeq
+    val effStats = (Seq(a, b) ++ carriedCols ++
+      effectiveStatsCols(spark, statsCols)).distinct
+    val writes = man.mapping.toSeq.sortBy(_._1).map { case (rel, gen) =>
+      val dir = dataDir(r, rel, gen)
+      val bytes = dataFiles(fs, dir).map(_.getLen).sum
+      val nFiles = math.max(1,
+        ((bytes + targetBytes - 1) / targetBytes).toInt)
+      val df = man.schema match {
+        case Some(sc) => spark.read.schema(sc).parquet(dir.toString)
+        case None     => spark.read.parquet(dir.toString)
+      }
+      val z = graft.sources.Zorder.zValue(
+        quantA(col(a)), quantB(col(b)), bits)
+      rel -> df.withColumn("__z", z)
+        .repartitionByRange(nFiles, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    }
+    commitSnapshot(spark, root, writes, expectedSnapshot = Some(baseId),
+      statsCols = effStats)
+  }
+
   private def anyDiffers(updAlias: String, dimAlias: String,
                          trackCols: Seq[String]): Column =
     trackCols

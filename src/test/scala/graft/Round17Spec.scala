@@ -419,6 +419,51 @@ class Round17Spec extends SparkTestBase {
     assert(Lakehouse.readSnapshot(spark, root).count() == 22L)
   }
 
+  test("zorderSnapshot: an append-ordered lake's files overlap on every " +
+    "column so NOTHING prunes; after OPTIMIZE ZORDER a box on EITHER " +
+    "dimension skips files — same rows, one atomic flip, stats refreshed") {
+    import spark.implicits._
+    val root = freshDir("zorder")
+    // two independent dimensions; write order is round-robin shuffled so
+    // every file spans nearly the full range of both columns
+    val rows = (0L until 800L)
+      .map(i => (i, (i * 7919L) % 800L, s"v$i")).toDF("id", "other", "v")
+      .repartition(8)
+    Lakehouse.commitSnapshot(spark, root, Seq("" -> rows),
+      statsCols = Seq("id", "other"))
+    def scanned(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectWithSubqueries {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.sum
+    }
+    def snap = Lakehouse.readSnapshot(spark, root)
+    val total = snap.inputFiles.length.toLong
+    assert(total >= 8L)
+    // overlapping layout: a narrow box prunes nothing on either column
+    assert(scanned(snap.filter(col("id") < 50L)) == total)
+    assert(scanned(snap.filter(col("other") < 50L)) == total)
+
+    val before = snap.collect().map(_.toSeq).toSet
+    val sid = Lakehouse.zorderSnapshot(spark, root, "id", "other",
+      bits = 10, targetBytes = 4096)
+    assert(sid == 2)
+    val after = Lakehouse.readSnapshot(spark, root)
+    assert(after.collect().map(_.toSeq).toSet == before,
+      "zorder must be content-preserving")
+    val nAfter = after.inputFiles.length.toLong
+    assert(nAfter >= 4L, s"expected a multi-file z layout, got $nAfter")
+    // the same boxes now prune on BOTH dimensions
+    val sId = scanned(after.filter(col("id") < 50L))
+    val sOther = scanned(after.filter(col("other") < 50L))
+    assert(sId < nAfter && sOther < nAfter,
+      s"z-order skipped nothing: id=$sId other=$sOther of $nAfter")
+    // the previous (unoptimized) snapshot time-travels intact
+    assert(Lakehouse.readSnapshot(spark, root, asOf = Some(1))
+      .count() == 800L)
+  }
+
   test("model-based torture WITH stats + automatic skipping: every " +
     "commit records per-file stats, every read plans through the " +
     "FileIndex, and random RANGE reads equal the model after each of 20 " +
