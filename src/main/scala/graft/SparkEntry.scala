@@ -1318,6 +1318,23 @@ object SparkEntry {
           |  ?d a g:Document ; g:source ?src ; g:lang ?lang .
           |  FILTER (?lang = "en")
           |} ORDER BY ?d""".stripMargin)),
+    // the PROBED catalog over a snapshot lake (create_rdfmts.py discovery
+    // against the committed manifest state): keys/cardinalities are
+    // discovered from what queries will actually see — current epoch =
+    // the takedown pass, same answer as the declared-catalog row
+    "autogen_lake_snapshot" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      val root = snapshotDocLake(s, d)
+      val sources: Map[String, _root_.graft.sources.SourceSpec] =
+        autogenTables.map { t =>
+          t -> (if (t == "documents")
+            _root_.graft.sources.SnapshotSource(root)
+              : _root_.graft.sources.SourceSpec
+          else _root_.graft.sources.ParquetSource(s"$d/$t.parquet"))
+        }.toMap
+      Graft.overProbedSources(sources, autogenAliases)
+        .sparql(SPARQL_LAKE_DOCS)
+    }),
     // OPTIMIZE ZORDER on a snapshot lake: rewrite along the Morton curve
     // of (doc_id, n_chars) as ONE committed snapshot, then answer a 2-d
     // box through the auto-skip read — the layout change must be
@@ -3003,6 +3020,11 @@ object SparkEntry {
         |  AND doc_id <= (SELECT CAST(FLOOR(MAX(doc_id) / 4) AS BIGINT)
         |                 FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // probed-catalog twin of sparql_lake_snapshot: same current-epoch truth
+    "autogen_lake_snapshot" ->
+      """SELECT 'urn:g:doc:' || CAST(doc_id AS VARCHAR) AS d,
+        |  source AS src, lang
+        |FROM documents WHERE doc_id % 7 <> 0 ORDER BY d""".stripMargin,
     // the z-order rewrite is content-preserving: a 2-d box over the
     // optimized lake ≡ the same box over the plain table
     "lake_snapshot_zorder" ->

@@ -196,6 +196,59 @@ object Graft {
     new Graft(cat, tables)
   }
 
+  /** Probed catalog over MIXED sources — snapshot lakes, parquet, any
+    * [[graft.sources.SourceSpec]]: the `create_rdfmts.py` discovery run
+    * against tables read through their OWN resolution (a snapshot lake
+    * probes its committed manifest state, never the raw directory tree),
+    * so keys, links and cardinalities describe exactly what queries will
+    * see. Sidecar caching keys on a per-source VERSION: a snapshot source
+    * versions as `root@snapshotId` (manifests are immutable — an
+    * unchanged lake never re-probes, a new commit invalidates exactly
+    * like changed files); parquet versions by file fingerprint; a source
+    * with no stable version (live endpoints, JDBC) disables the sidecar
+    * and probes per process. */
+  def overProbedSources(sources: Map[String, graft.sources.SourceSpec],
+                        aliases: Map[String, String] = Map.empty,
+                        cacheDir: String =
+                          sys.env.getOrElse("GRAFT_CATALOG_CACHE",
+                            "target/catalog-cache"))
+                       (implicit spark: SparkSession): Graft = {
+    def version(spec: graft.sources.SourceSpec): Option[String] = spec match {
+      case graft.sources.ParquetSource(p) =>
+        Some("pq:" + graft.mapping.CatalogCache.fingerprint(Seq(p)))
+      case graft.sources.SnapshotSource(root, asOf) =>
+        Some("snap:" + root + "@" + asOf.orElse(
+          graft.pipeline.Lakehouse.currentSnapshotId(spark, root))
+          .getOrElse(0))
+      case _ => None
+    }
+    val tables = sources.map { case (t, s) => t -> s.load(spark) }
+    val versions = sources.toSeq.sortBy(_._1)
+      .map { case (t, s) => version(s).map(v => s"$t=$v") }
+    def gen() = graft.mapping.CatalogGen.fromTables(tables,
+      graft.mapping.CatalogGen.GenOptions(aliases = aliases))
+    val cat =
+      if (versions.exists(_.isEmpty)) gen() // no stable version: no cache
+      else {
+        val fp = versions.flatten.mkString("|")
+        probedCatalogs.getOrElseUpdate((fp, sources.keys.toSeq.sorted,
+          aliases), {
+          val cfg = "sources|" + sources.keys.toSeq.sorted.mkString(",") +
+            "|" + aliases.toSeq.sorted
+              .map { case (k, v) => s"$k=$v" }.mkString(",")
+          val sidecar = java.nio.file.Paths.get(cacheDir,
+            "autogen-" + java.security.MessageDigest.getInstance("MD5")
+              .digest(cfg.getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString + ".json")
+          graft.mapping.CatalogCache.cached(sidecar,
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(fp.getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString)(gen())
+        })
+      }
+    new Graft(cat, tables)
+  }
+
   /** Graft over a LIVE SPARQL endpoint: the catalog is wire-probed with
     * the reference's discovery protocol
     * ([[graft.mapping.EndpointCatalogGen]] — `create_rdfmts.py` against a
