@@ -325,6 +325,45 @@ class Round17Spec extends SparkTestBase {
     assert(scannedFiles(sq) < 8L, "SPARQL filter did not reach the skip layer")
   }
 
+  test("stats + schema evolution through the auto-skip path: files that " +
+    "PREDATE an evolved column have no stats for it and are never " +
+    "pruned under its predicates (null-fill semantics intact); files " +
+    "written AFTER record real bounds and skip") {
+    import spark.implicits._
+    val root = freshDir("evoskip")
+    Lakehouse.commitSnapshot(spark, root, Seq(
+      "p=a" -> (1L to 50L).map(i => (i, "a")).toDF("id", "lang"),
+      "p=b" -> (51L to 100L).map(i => (i, "b")).toDF("id", "lang")),
+      statsCols = Seq("id", "extra"))
+    // evolve: p=b gains `extra`; p=a carries over (its files lack it)
+    Lakehouse.commitSnapshot(spark, root, Seq(
+      "p=b" -> (51L to 100L).map(i => (i, "b", i * 10L))
+        .toDF("id", "lang", "extra")
+        .repartitionByRange(4, col("extra"))),
+      statsCols = Seq("id", "extra"))
+    val snap = Lakehouse.readSnapshot(spark, root)
+    assert(snap.columns.contains("extra"))
+    // a predicate on the evolved column: p=a's old files null-fill and
+    // the filter excludes them; CORRECTNESS must hold whether or not the
+    // index prunes them
+    val got = snap.filter(col("extra").between(600L, 700L))
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(got == (60L to 70L).toSet, got.toString)
+    // p=b's post-evolution files carry real bounds: a narrow range plans
+    // a strict subset of its 4 files
+    def scanned(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectWithSubqueries {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+          sc.metrics("numFiles").value
+      }.sum
+    }
+    val full = snap.inputFiles.length.toLong
+    assert(scanned(snap.filter(col("extra").between(600L, 700L))) < full)
+    // and an id predicate still skips across BOTH epochs' files
+    assert(scanned(snap.filter(col("id") < 10L)) < full)
+  }
+
   test("stats skipping on timestamps compares in epoch-micros, not " +
     "lexically; time travel reads each snapshot's OWN stats") {
     import spark.implicits._
