@@ -1318,6 +1318,24 @@ object SparkEntry {
           |  ?d a g:Document ; g:source ?src ; g:lang ?lang .
           |  FILTER (?lang = "en")
           |} ORDER BY ?d""".stripMargin)),
+    // per-file BLOOM sidecars at the gate: a point lookup on a
+    // high-cardinality md5 key over a shuffled (min/max-useless) layout —
+    // the ANSWER must equal the plain filter; the spec pins that the
+    // bloom actually pruned
+    "lake_snapshot_bloom" -> ((s, d) => {
+      val root = s"/tmp/graft_lake_snap_bl/${new java.io.File(d).getName}"
+      val p0 = new org.apache.hadoop.fs.Path(root)
+      p0.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p0, true)
+      val docs = T(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          md5(col("doc_id").cast("string")).as("uid"))
+      _root_.graft.pipeline.Lakehouse.commitSnapshot(s, root,
+        Seq("" -> docs.repartition(8)),
+        statsCols = Seq("doc_id"), bloomCols = Seq("uid"))
+      _root_.graft.pipeline.Lakehouse.readSnapshot(s, root)
+        .filter(col("uid") === md5(lit("42")))
+        .orderBy("doc_id")
+    }),
     // the PROBED catalog over a snapshot lake (create_rdfmts.py discovery
     // against the committed manifest state): keys/cardinalities are
     // discovered from what queries will actually see — current epoch =
@@ -3019,6 +3037,13 @@ object SparkEntry {
         |WHERE doc_id >= 0
         |  AND doc_id <= (SELECT CAST(FLOOR(MAX(doc_id) / 4) AS BIGINT)
         |                 FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    // bloom-skipped point lookup ≡ plain filter (the skip layer is
+    // semantically invisible; false positives only cost a read)
+    "lake_snapshot_bloom" ->
+      """SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS uid
+        |FROM documents
+        |WHERE md5(CAST(doc_id AS VARCHAR)) = md5('42')
         |ORDER BY doc_id""".stripMargin,
     // probed-catalog twin of sparql_lake_snapshot: same current-epoch truth
     "autogen_lake_snapshot" ->

@@ -379,7 +379,15 @@ object Lakehouse {
   private final case class Manifest(
       mapping: Map[String, String],
       schema: Option[org.apache.spark.sql.types.StructType],
-      stats: Map[String, Map[String, Map[String, ColStat]]] = Map.empty)
+      stats: Map[String, Map[String, Map[String, ColStat]]] = Map.empty,
+      /** rel → columns with a per-file BLOOM sidecar in that rel's
+        * committed generation — the point-lookup skip layer min/max
+        * cannot provide when every file spans the value space. The
+        * filters themselves live in `_bloom-<col>` sidecar files INSIDE
+        * the generation dir (they are kilobytes per file — too big for
+        * manifest text lines; riding the gen dir gives them its
+        * immutability and its GC for free). */
+      blooms: Map[String, Set[String]] = Map.empty)
 
   private val StatNull = "-"
   private def encStat(v: Option[String]): String =
@@ -422,9 +430,21 @@ object Lakehouse {
           s"malformed #stats line in $p: '$l'")
       }
     }
+    val blooms = scala.collection.mutable.Map[String,
+      scala.collection.mutable.Set[String]]()
+    meta.filter(_.startsWith("#bloom\t")).foreach { l =>
+      l.split("\t", -1) match {
+        case Array(_, rel, colName) =>
+          blooms.getOrElseUpdate(rel, scala.collection.mutable.Set())
+            .add(colName)
+        case _ => throw new IllegalStateException(
+          s"malformed #bloom line in $p: '$l'")
+      }
+    }
     Manifest(mapping, schema,
       stats.map { case (r, fm) =>
-        r -> fm.map { case (f, cm) => f -> cm.toMap }.toMap }.toMap)
+        r -> fm.map { case (f, cm) => f -> cm.toMap }.toMap }.toMap,
+      blooms.map { case (r, cs) => r -> cs.toSet }.toMap)
   }
 
   /** Committed manifests are immutable (the CAS target is never
@@ -546,9 +566,12 @@ object Lakehouse {
         }
       }
     }.mkString
+    val bloomLines = man.blooms.toSeq.sortBy(_._1).flatMap { case (rel, cs) =>
+      cs.toSeq.sorted.map(c => s"#bloom\t$rel\t$c\n")
+    }.mkString
     val out = fs.create(tmp, true)
     out.write((man.schema.map(s => s"#schema\t${s.json}\n").getOrElse("") +
-      statLines +
+      statLines + bloomLines +
       man.mapping.toSeq.sortBy(_._1)
         .map { case (rel, gen) => s"$rel\t$gen\n" }.mkString)
       .getBytes("UTF-8"))
@@ -633,7 +656,8 @@ object Lakehouse {
   def commitSnapshot(spark: org.apache.spark.sql.SparkSession, root: String,
                      writes: Seq[(String, DataFrame)],
                      expectedSnapshot: Option[Int] = None,
-                     statsCols: Seq[String] = Nil): Int = {
+                     statsCols: Seq[String] = Nil,
+                     bloomCols: Seq[String] = Nil): Int = {
     require(writes.nonEmpty, "commitSnapshot needs at least one write")
     writes.foreach { case (rel, _) =>
       require(rel.isEmpty || validRel(rel),
@@ -644,7 +668,11 @@ object Lakehouse {
     val fs = fsOf(spark, r)
     requireCasCapable(spark, fs, root) // fail BEFORE writing any data
     val effStats = effectiveStatsCols(spark, statsCols)
-    writes.foreach { case (rel, df) => requireStatsSupported(effStats, df, rel) }
+    val effBloom = effectiveBloomCols(spark, bloomCols)
+    writes.foreach { case (rel, df) =>
+      requireStatsSupported(effStats, df, rel)
+      requireBloomSupported(effBloom, df, rel)
+    }
     // `expectedSnapshot` pins the base this commit derives from (the
     // caller read its inputs under it) — optimistic concurrency: if a
     // competitor committed base+1 meanwhile, fail fast BEFORE writing
@@ -707,16 +735,22 @@ object Lakehouse {
     // evolution) records all-null — correct and maximally pruning,
     // because the snapshot read null-fills it and null-excluding ranges
     // exclude those rows anyway.
+    val writtenDirs = updated.map { case (rel, gen) =>
+      fs.makeQualified(dataDir(r, rel, gen)).toString -> rel }.toMap
     val fresh =
       if (effStats.isEmpty) Map.empty[String, Map[String, Map[String, ColStat]]]
-      else fileStats(spark, fs,
-        updated.map { case (rel, gen) =>
-          fs.makeQualified(dataDir(r, rel, gen)).toString -> rel }.toMap,
+      else fileStats(spark, fs, writtenDirs,
         effStats.filter(schema.fieldNames.contains), Some(schema))
     val carried = prior.map(_.stats).getOrElse(Map.empty) --
       updated.map(_._1)
+    // blooms ride the same carry/replace rule as stats
+    val freshBlooms = writeBlooms(spark, fs, writtenDirs,
+      effBloom.filter(schema.fieldNames.contains), Some(schema))
+    val carriedBlooms = prior.map(_.blooms).getOrElse(Map.empty) --
+      updated.map(_._1)
     commitManifest(spark, root,
-      Manifest(base ++ updated, Some(schema), carried ++ fresh), baseId)
+      Manifest(base ++ updated, Some(schema), carried ++ fresh,
+        carriedBlooms ++ freshBlooms), baseId)
   }
 
   /** A caller-declared value range for manifest-level data skipping:
@@ -810,6 +844,160 @@ object Lakehouse {
     if (statsCols.nonEmpty) statsCols
     else spark.conf.get("graft.lake.statsCols", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  // ---- per-file BLOOM sidecars: the point-lookup skip layer -----------------
+
+  /** Like stats columns: explicit param, else `graft.lake.bloomCols`. */
+  private def effectiveBloomCols(spark: org.apache.spark.sql.SparkSession,
+                                 bloomCols: Seq[String]): Seq[String] =
+    if (bloomCols.nonEmpty) bloomCols
+    else spark.conf.get("graft.lake.bloomCols", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** Bloom columns are point-lookup domains: integral or string (a
+    * float/decimal equality probe is a modeling bug, not a skip case). */
+  private def requireBloomSupported(cols: Seq[String], df: DataFrame,
+                                    rel: String): Unit = {
+    import org.apache.spark.sql.types._
+    cols.foreach { c =>
+      df.schema.fields.find(_.name == c).foreach { f =>
+        f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType | StringType =>
+          case other => throw new IllegalArgumentException(
+            s"bloom column '$c' (partition '$rel') has type $other — " +
+              "per-file bloom skipping needs an integral or string " +
+              "point-lookup domain")
+        }
+      }
+    }
+  }
+
+  private val BloomFilePrefix = "_bloom-"
+  private def bloomSidecar(dir: org.apache.hadoop.fs.Path,
+                           c: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(dir,
+      BloomFilePrefix + java.net.URLEncoder.encode(c, "UTF-8"))
+
+  /** Build per-file bloom filters for `cols` over freshly written gen
+    * dirs — ONE job for the whole commit (groupByKey on the file,
+    * skip-columns-only scan), sidecars written per (gen dir, column).
+    * Values bloom as their CANONICAL STRING (integrals print exactly),
+    * so the probe side needs no hash-compatibility with any engine
+    * internals — both sides go through the public sketch API. Filter
+    * size comes from `graft.lake.bloomItemsPerFile` (default 200k) and
+    * `graft.lake.bloomFpp` (default 0.03) — size for the file-row
+    * TARGET, not the corpus. The collect is bounded by file count ×
+    * column count × filter bytes (KBs per file; at 10⁶ files shard the
+    * sidecar build per partition — documented, not yet needed). */
+  private def writeBlooms(spark: org.apache.spark.sql.SparkSession,
+                          fs: org.apache.hadoop.fs.FileSystem,
+                          dirToRel: Map[String, String], cols: Seq[String],
+                          readSchema: Option[org.apache.spark.sql.types.StructType]
+                         ): Map[String, Set[String]] = {
+    if (cols.isEmpty || dirToRel.isEmpty) return Map.empty
+    val n = spark.conf.get("graft.lake.bloomItemsPerFile", "200000").toLong
+    val fpp = spark.conf.get("graft.lake.bloomFpp", "0.03").toDouble
+    val reader = readSchema.fold(spark.read)(spark.read.schema)
+    val src = reader.parquet(dirToRel.keys.toSeq.sorted: _*)
+      .select(col("_metadata.file_path").as("__f") +:
+        cols.map(c => col(c).cast("string").as(c)): _*)
+    import org.apache.spark.sql.{Encoders, Row}
+    val nCols = cols.size
+    val perFile: Array[(String, Int, Array[Byte])] = src
+      .groupByKey((r: Row) => r.getString(0))(Encoders.STRING)
+      .flatMapGroups { (f: String, it: Iterator[Row]) =>
+        val blooms = Array.fill(nCols)(
+          org.apache.spark.util.sketch.BloomFilter.create(n, fpp))
+        it.foreach { r =>
+          var i = 0
+          while (i < nCols) {
+            val v = r.getString(i + 1)
+            if (v != null) blooms(i).putString(v)
+            i += 1
+          }
+        }
+        blooms.iterator.zipWithIndex.map { case (b, i) =>
+          val bos = new java.io.ByteArrayOutputStream()
+          b.writeTo(bos)
+          (f, i, bos.toByteArray)
+        }
+      }(Encoders.tuple(Encoders.STRING, Encoders.scalaInt, Encoders.BINARY))
+      .collect()
+    // one sidecar per (gen dir, column)
+    perFile.groupBy { case (f, _, _) =>
+      fs.makeQualified(new org.apache.hadoop.fs.Path(f).getParent).toString
+    }.foreach { case (dirQ, rows) =>
+      val dir = new org.apache.hadoop.fs.Path(dirQ)
+      rows.groupBy(_._2).foreach { case (ci, entries) =>
+        val out = new java.io.DataOutputStream(
+          fs.create(bloomSidecar(dir, cols(ci)), true))
+        try {
+          out.writeInt(entries.length)
+          entries.sortBy(_._1).foreach { case (f, _, bytes) =>
+            out.writeUTF(new org.apache.hadoop.fs.Path(f).getName)
+            out.writeInt(bytes.length)
+            out.write(bytes)
+          }
+        } finally out.close()
+      }
+    }
+    // declare: every written rel gets the cols (a zero-row gen just has
+    // empty filters — still correct: nothing matches, everything prunes)
+    dirToRel.values.toSeq.distinct.map(_ -> cols.toSet).toMap
+  }
+
+  /** Sidecars are immutable with their generation — cache parses. */
+  private val bloomCache = scala.collection.concurrent.TrieMap[
+    (String, String), Map[String, org.apache.spark.util.sketch.BloomFilter]]()
+
+  private def readBloomSidecar(fs: org.apache.hadoop.fs.FileSystem,
+                               dir: org.apache.hadoop.fs.Path, c: String
+                              ): Map[String, org.apache.spark.util.sketch.BloomFilter] = {
+    val key = (fs.makeQualified(dir).toString, c)
+    bloomCache.getOrElse(key, {
+      val p = bloomSidecar(dir, c)
+      val parsed =
+        if (!fs.exists(p)) Map.empty[String,
+          org.apache.spark.util.sketch.BloomFilter]
+        else {
+          val in = new java.io.DataInputStream(fs.open(p))
+          try {
+            val count = in.readInt()
+            (0 until count).map { _ =>
+              val name = in.readUTF()
+              val len = in.readInt()
+              val bytes = new Array[Byte](len)
+              in.readFully(bytes)
+              name -> org.apache.spark.util.sketch.BloomFilter.readFrom(bytes)
+            }.toMap
+          } finally in.close()
+        }
+      if (bloomCache.size > 128) bloomCache.clear()
+      bloomCache.update(key, parsed)
+      parsed
+    })
+  }
+
+  /** fileName => survives, for the POINT-EQUALITY subset of `ranges`
+    * against `dir`'s declared bloom sidecars. A file absent from a
+    * sidecar, or a column never declared, keeps (superset guarantee);
+    * a definite bloom miss prunes — false positives only cost a read. */
+  private[graft] def bloomKeep(fs: org.apache.hadoop.fs.FileSystem,
+                               dir: org.apache.hadoop.fs.Path,
+                               declared: Set[String],
+                               ranges: Seq[ColRange]): String => Boolean = {
+    val points = ranges.collect {
+      case ColRange(c, Some(lo), Some(hi))
+        if declared.contains(c) && lo == hi => c -> lo.toString
+    }
+    if (points.isEmpty) (_: String) => true
+    else {
+      val checks = points.map { case (c, v) =>
+        (readBloomSidecar(fs, dir, c), v) }
+      name => checks.forall { case (m, v) =>
+        m.get(name).forall(_.mightContainString(v)) }
+    }
+  }
 
   private def requireStatsSupported(cols: Seq[String], df: DataFrame,
                                     rel: String): Unit =
@@ -960,15 +1148,18 @@ object Lakehouse {
     fileRanges.foreach(rg => require(
       m.schema.isEmpty || colTypes.contains(rg.column),
       s"fileRanges column '${rg.column}' is not in the committed schema"))
-    if (fileRanges.isEmpty && m.stats.nonEmpty && m.schema.isDefined &&
+    if (fileRanges.isEmpty && (m.stats.nonEmpty || m.blooms.nonEmpty) &&
+        m.schema.isDefined &&
         spark.conf.get("graft.lake.autoSkip", "true").toBoolean) {
       // AUTOMATIC skipping: no declared ranges needed — a manifest-backed
       // FileIndex receives the scan's pushed data filters at plan time
       // and drops every file whose committed [min,max] cannot satisfy
-      // them; partitions without stats are never pruned. One
-      // FileSourceScan, same null-fill schema semantics as the plain path
+      // them (plus bloom misses on point equality); partitions without
+      // stats are never pruned. One FileSourceScan, same null-fill
+      // schema semantics as the plain path
       val dirs = kept.map { case (rel, gen) =>
-        (dataDir(r, rel, gen), m.stats.get(rel)) }
+        (dataDir(r, rel, gen), m.stats.get(rel),
+          m.blooms.getOrElse(rel, Set.empty[String])) }
       val index = new ManifestFileIndex(spark, dirs, colTypes)
       val relation = org.apache.spark.sql.execution.datasources
         .HadoopFsRelation(index,
@@ -980,15 +1171,20 @@ object Lakehouse {
       return spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         .baseRelationToDataFrame(relation)
     }
+    val fs = fsOf(spark, r)
     val roots = kept.flatMap { case (rel, gen) =>
       val dir = dataDir(r, rel, gen)
       m.stats.get(rel) match {
         case Some(files) if fileRanges.nonEmpty =>
           // the stats enumerate EVERY file of the committed generation
           // (computed over the whole dir at commit), so the survivor
-          // list is authoritative — pass individual files to the scan
+          // list is authoritative — pass individual files to the scan;
+          // point-equality ranges also probe the bloom sidecars
+          val keepB = bloomKeep(fs, dir,
+            m.blooms.getOrElse(rel, Set.empty), fileRanges)
           files.toSeq.sortBy(_._1).collect {
-            case (f, cm) if rangeSurvives(cm, fileRanges, colTypes) =>
+            case (f, cm) if rangeSurvives(cm, fileRanges, colTypes) &&
+              keepB(f) =>
               new org.apache.hadoop.fs.Path(dir, f).toString
           }
         case _ => Seq(dir.toString) // no stats: the whole dir, unskipped
@@ -1284,10 +1480,15 @@ object Lakehouse {
             .write.mode("overwrite").parquet(nextP.toString)
           // a rewritten partition's file set changed: recompute its
           // per-file stats over the SAME columns its old stats covered
-          // (compaction is content-preserving, so the column set is too)
+          // (compaction is content-preserving, so the column set is too),
+          // and rebuild its bloom sidecars into the new generation (the
+          // manifest's #bloom declaration carries — sidecars ride gens)
           val statCols = m.stats.get(rel)
             .map(_.values.flatMap(_.keys).toSeq.distinct.sorted)
             .getOrElse(Nil)
+          writeBlooms(spark, fs,
+            Map(fs.makeQualified(nextP).toString -> rel),
+            m.blooms.getOrElse(rel, Set.empty).toSeq.sorted, m.schema)
           Some((rel, next, files.length, dataFiles(fs, nextP).length,
             fileStats(spark, fs,
               Map(fs.makeQualified(nextP).toString -> rel), statCols,
@@ -1302,7 +1503,9 @@ object Lakehouse {
         commitManifest(spark, root,
           Manifest(
             base ++ rewritten.map { case (rel, gen, _, _, _) => rel -> gen },
-            m.schema, newStats), // content-preserving: schema carries over
+            // content-preserving: schema AND bloom declarations carry
+            // (the rebuilt sidecars live inside the new generations)
+            m.schema, newStats, m.blooms),
           baseId)
       }
       return rewritten.map { case (rel, _, b, a, _) => (rel, b, a) }
@@ -1353,6 +1556,7 @@ object Lakehouse {
       .flatMap(_.values.flatMap(_.keys)).toSeq
     val effStats = (Seq(a, b) ++ carriedCols ++
       effectiveStatsCols(spark, statsCols)).distinct
+    val carriedBlooms = man.blooms.values.flatten.toSeq.distinct
     val writes = man.mapping.toSeq.sortBy(_._1).map { case (rel, gen) =>
       val dir = dataDir(r, rel, gen)
       val bytes = dataFiles(fs, dir).map(_.getLen).sum
@@ -1370,7 +1574,7 @@ object Lakehouse {
         .drop("__z")
     }
     commitSnapshot(spark, root, writes, expectedSnapshot = Some(baseId),
-      statsCols = effStats)
+      statsCols = effStats, bloomCols = carriedBlooms)
   }
 
   private def anyDiffers(updAlias: String, dimAlias: String,
@@ -1511,39 +1715,47 @@ object Lakehouse {
 private final class ManifestFileIndex(
     spark: org.apache.spark.sql.SparkSession,
     dirs: Seq[(org.apache.hadoop.fs.Path,
-      Option[Map[String, Map[String, Lakehouse.ColStat]]])],
+      Option[Map[String, Map[String, Lakehouse.ColStat]]],
+      Set[String])],
     colTypes: Map[String, org.apache.spark.sql.types.DataType])
   extends org.apache.spark.sql.execution.datasources.FileIndex {
 
   import org.apache.spark.sql.catalyst.expressions._
   import org.apache.spark.sql.execution.datasources.PartitionDirectory
 
-  private val byDir: Seq[(Option[Map[String, Map[String, Lakehouse.ColStat]]],
-    Array[org.apache.hadoop.fs.FileStatus])] = dirs.map { case (d, st) =>
+  private val byDir: Seq[(org.apache.hadoop.fs.Path,
+    Option[Map[String, Map[String, Lakehouse.ColStat]]], Set[String],
+    Array[org.apache.hadoop.fs.FileStatus],
+    org.apache.hadoop.fs.FileSystem)] = dirs.map { case (d, st, bl) =>
     val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(d).filter { s =>
       val n = s.getPath.getName
       s.isFile && !n.startsWith("_") && !n.startsWith(".")
     }
-    (st, files)
+    (d, st, bl, files, fs)
   }
 
   override def rootPaths: Seq[org.apache.hadoop.fs.Path] = dirs.map(_._1)
   override def partitionSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(Nil)
-  override def sizeInBytes: Long = byDir.map(_._2.map(_.getLen).sum).sum
+  override def sizeInBytes: Long = byDir.map(_._4.map(_.getLen).sum).sum
   override def inputFiles: Array[String] =
-    byDir.flatMap(_._2.map(_.getPath.toString)).toArray
+    byDir.flatMap(_._4.map(_.getPath.toString)).toArray
   override def refresh(): Unit = () // committed generations are immutable
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val ranges = dataFilters.flatMap(boundsOf)
     val kept = byDir.flatMap {
-      case (Some(stats), files) if ranges.nonEmpty =>
-        files.filter(f => stats.get(f.getPath.getName)
-          .forall(cm => Lakehouse.rangeSurvives(cm, ranges, colTypes)))
-      case (_, files) => files // stats-less partition: never pruned
+      case (d, stOpt, blooms, files, fs) if ranges.nonEmpty &&
+        (stOpt.isDefined || blooms.nonEmpty) =>
+        val keepB = Lakehouse.bloomKeep(fs, d, blooms, ranges)
+        files.filter { f =>
+          val name = f.getPath.getName
+          stOpt.forall(_.get(name).forall(cm =>
+            Lakehouse.rangeSurvives(cm, ranges, colTypes))) && keepB(name)
+        }
+      case (_, _, _, files, _) => files // no skip metadata: never pruned
     }
     Seq(PartitionDirectory(
       org.apache.spark.sql.catalyst.InternalRow.empty, kept.toArray))

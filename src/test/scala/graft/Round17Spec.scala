@@ -458,6 +458,71 @@ class Round17Spec extends SparkTestBase {
     assert(Lakehouse.readSnapshot(spark, root).count() == 22L)
   }
 
+  test("per-file BLOOM sidecars: a point lookup on a high-cardinality " +
+    "column prunes files min/max never could (every file spans the " +
+    "value space); absent values plan ZERO files; range predicates and " +
+    "stats-less columns are untouched — and the sidecars survive a " +
+    "compaction sweep") {
+    import spark.implicits._
+    val root = freshDir("bloom")
+    // high-cardinality values round-robin shuffled across 8 files: every
+    // file's [min,max] covers ~the whole domain, so min/max skip is
+    // useless and only the bloom can prune a point probe
+    val rows = (0L until 800L)
+      .map(i => (i, f"k${(i * 7919L) % 800L}%04d", s"v$i"))
+      .toDF("id", "key", "v").repartition(8)
+    Lakehouse.commitSnapshot(spark, root, Seq("" -> rows),
+      statsCols = Seq("id", "key"), bloomCols = Seq("key"))
+    def scanned(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectWithSubqueries {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+          sc.metrics("numFiles").value
+      }.sum
+    }
+    val snap = Lakehouse.readSnapshot(spark, root)
+    val total = snap.inputFiles.length.toLong
+    assert(total >= 8L)
+    // min/max alone cannot prune this probe (overlapping files) — the
+    // bloom narrows it to the one true file (+ rare false positives)
+    val probe = snap.filter(col("key") === "k0400")
+    val nProbe = scanned(probe)
+    assert(nProbe <= 2L && nProbe >= 1L,
+      s"bloom point probe scanned $nProbe of $total files")
+    assert(probe.count() == 1L)
+    // an ABSENT value plans zero files (modulo false positives) and
+    // returns zero rows either way
+    val missing = snap.filter(col("key") === "zzz-not-there")
+    assert(scanned(missing) <= 1L && missing.count() == 0L)
+    // a RANGE on the bloom column extracts no point bound: kept whole
+    assert(scanned(snap.filter(col("key") >= "k0000")) == total)
+    // the declared-fileRanges path probes blooms on point equality too
+    val viaRanges = Lakehouse.readSnapshot(spark, root,
+      fileRanges = Seq(Lakehouse.ColRange("key",
+        Some("k0400"), Some("k0400"))))
+    assert(viaRanges.inputFiles.length <= 2,
+      viaRanges.inputFiles.length.toString)
+    assert(viaRanges.filter(col("key") === "k0400").count() == 1L)
+
+    // a compaction sweep rewrites the generation: sidecars rebuild into
+    // the new gen, the declaration carries, probes still prune
+    val swept = Lakehouse.compactDrifted(spark, root, targetBytes = 1L << 26)
+    assert(swept.nonEmpty, "expected the 8-file gen to compact")
+    val afterSweep = Lakehouse.readSnapshot(spark, root)
+    assert(afterSweep.count() == 800L)
+    val probe2 = afterSweep.filter(col("key") === "k0400")
+    assert(probe2.count() == 1L)
+    // compacted to 1 file: the probe must still plan <= that many
+    assert(scanned(probe2) <= afterSweep.inputFiles.length.toLong)
+    // unsupported bloom type is loud at commit
+    val e = intercept[IllegalArgumentException] {
+      Lakehouse.commitSnapshot(spark, freshDir("bloombad"), Seq(
+        "" -> spark.range(3).select(col("id").cast("double").as("d"))),
+        bloomCols = Seq("d"))
+    }
+    assert(e.getMessage.contains("point-lookup"), e.getMessage)
+  }
+
   test("zorderSnapshot: an append-ordered lake's files overlap on every " +
     "column so NOTHING prunes; after OPTIMIZE ZORDER a box on EITHER " +
     "dimension skips files — same rows, one atomic flip, stats refreshed") {
