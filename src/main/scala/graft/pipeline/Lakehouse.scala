@@ -1225,6 +1225,47 @@ object Lakehouse {
       }
     }
 
+  /** The kept snapshots' lineage, newest last: (id, committedAtMillis,
+    * partitions, schemaCols, statsCols, bloomCols) — the DESCRIBE
+    * HISTORY surface. Committed-at is the manifest file's mtime (the
+    * instant the CAS landed; manifests are immutable, so it never
+    * drifts). One listing + one cached manifest parse per kept id. */
+  def snapshotHistory(spark: org.apache.spark.sql.SparkSession,
+                      root: String): DataFrame = {
+    val r = new org.apache.hadoop.fs.Path(root)
+    val fs = fsOf(spark, r)
+    val rows = snapIds(fs, r).map { id =>
+      val st = fs.getFileStatus(snapFile(r, id))
+      val m = manifestAt(spark, root, Some(id))
+      (id, st.getModificationTime, m.mapping.size,
+        m.schema.map(_.fieldNames.length).getOrElse(0),
+        m.stats.values.flatMap(_.values.flatMap(_.keys))
+          .toSeq.distinct.sorted,
+        m.blooms.values.flatten.toSeq.distinct.sorted)
+    }
+    import spark.implicits._
+    rows.toDF("snapshot_id", "committed_at_ms", "partitions",
+      "schema_cols", "stats_cols", "bloom_cols")
+  }
+
+  /** TIMESTAMP AS OF: the newest snapshot committed at or before
+    * `tsMillis` (manifest mtime = the CAS instant). Throws when the lake
+    * has no snapshot that old — reading "before the table existed" must
+    * be loud, not empty. Feed the result to `readSnapshot(asOf = …)`. */
+  def snapshotIdAt(spark: org.apache.spark.sql.SparkSession, root: String,
+                   tsMillis: Long): Int = {
+    val r = new org.apache.hadoop.fs.Path(root)
+    val fs = fsOf(spark, r)
+    val ids = snapIds(fs, r)
+    require(ids.nonEmpty, s"$root is not snapshot-managed")
+    val at = ids.filter(id =>
+      fs.getFileStatus(snapFile(r, id)).getModificationTime <= tsMillis)
+    if (at.isEmpty) throw new IllegalArgumentException(
+      s"no snapshot of $root existed at $tsMillis — the oldest kept " +
+        s"manifest is newer (ids kept: ${ids.mkString(",")})")
+    at.max
+  }
+
   /** Bounded optimistic-retry loop around a snapshot write — the pattern
     * every CAS caller otherwise hand-rolls. `write` receives the CURRENT
     * snapshot id (None = not yet snapshot-managed) freshly re-read per

@@ -779,6 +779,75 @@ class Round17Spec extends SparkTestBase {
     assert(old == plain)
   }
 
+  test("snapshotHistory + TIMESTAMP AS OF: the lineage reports each kept " +
+    "epoch's shape, and snapshotIdAt resolves a wall-clock instant to " +
+    "the snapshot current THEN — before-the-table is loud") {
+    import spark.implicits._
+    val root = freshDir("history")
+    Lakehouse.commitSnapshot(spark, root, Seq("p=a" -> part("a", 1L to 3L)),
+      statsCols = Seq("id"))
+    val betweenCommits = System.currentTimeMillis()
+    Thread.sleep(20) // mtime granularity
+    Lakehouse.commitSnapshot(spark, root, Seq(
+      "p=a" -> part("a", 1L to 3L), "p=b" -> part("b", 4L to 9L)),
+      statsCols = Seq("id"))
+    val h = Lakehouse.snapshotHistory(spark, root).collect()
+    assert(h.map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(h.map(_.getInt(2)).toSeq == Seq(1, 2)) // partition counts
+    assert(h.forall(_.getSeq[String](4) == Seq("id"))) // stats cols
+    // timestamp time travel: the instant between the commits reads v1
+    val idThen = Lakehouse.snapshotIdAt(spark, root, betweenCommits)
+    assert(idThen == 1)
+    assert(Lakehouse.readSnapshot(spark, root,
+      asOf = Some(idThen)).count() == 3L)
+    assert(Lakehouse.snapshotIdAt(spark, root,
+      System.currentTimeMillis()) == 2)
+    val e = intercept[IllegalArgumentException] {
+      Lakehouse.snapshotIdAt(spark, root, 1000L) // 1970: pre-table
+    }
+    assert(e.getMessage.contains("no snapshot"), e.getMessage)
+  }
+
+  test("OPTIONAL service bind join edges: past maxKeys it falls back to " +
+    "the full paged fetch with IDENTICAL answers; a SILENT dead endpoint " +
+    "pads the service vars unbound instead of failing the query") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import graft.api.{Graft, GraftServer, TpchCatalog}
+    val g = Graft.overParquetDir(TpchCatalog.catalog, sfDir)
+    val server = new GraftServer(g)
+    val port = server.start()
+    try {
+      val q =
+        s"""PREFIX g: <urn:g:>
+           |SELECT ?c ?n ?tp WHERE {
+           |  ?c a g:Customer ; g:name ?n .
+           |  OPTIONAL { SERVICE <http://127.0.0.1:$port/sparql> {
+           |    ?o g:customer ?c ; g:totalprice ?tp } }
+           |} ORDER BY ?c ?tp""".stripMargin
+      spark.conf.set("graft.service.bindJoin.maxConcurrentFetch", "2")
+      val bound = g.sparql(q).collect().map(_.toSeq).toSeq
+      // 150 customers > maxKeys=10 ⇒ the bind join declines and the
+      // full paged fetch must answer identically (left-outer preserved)
+      spark.conf.set("graft.service.bindJoin.maxKeys", "10")
+      try assert(g.sparql(q).collect().map(_.toSeq).toSeq == bound)
+      finally spark.conf.unset("graft.service.bindJoin.maxKeys")
+
+      // SILENT + dead endpoint: every customer survives, ?tp unbound
+      val dead =
+        """PREFIX g: <urn:g:>
+          |SELECT ?c ?n ?tp WHERE {
+          |  ?c a g:Customer ; g:name ?n .
+          |  OPTIONAL { SERVICE SILENT <http://127.0.0.1:19/sparql> {
+          |    ?o g:customer ?c ; g:totalprice ?tp } }
+          |} ORDER BY ?c""".stripMargin
+      val padded = g.sparql(dead).collect()
+      assert(padded.length == 150 && padded.forall(_.get(2) == null))
+    } finally {
+      spark.conf.unset("graft.service.bindJoin.maxConcurrentFetch")
+      server.stop()
+    }
+  }
+
   // ---- control characters in partition values (r16 ADVICE medium) ----------
 
   test("a partition VALUE carrying control characters fails loudly " +
