@@ -1394,6 +1394,68 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"), col("p"))
         .orderBy("doc_id")
     }),
+    // row-level DELETE on the snapshot lake: the predicate-pruned scan
+    // finds touched partitions, only those rewrite, one manifest flip —
+    // readers see ANSI DELETE semantics (TRUE deletes; FALSE/NULL keep)
+    "lake_snapshot_delete" -> ((s, d) => {
+      val root = s"/tmp/graft_lake_snap_dl/${new java.io.File(d).getName}"
+      val p0 = new org.apache.hadoop.fs.Path(root)
+      p0.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p0, true)
+      val docs = T(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          (col("doc_id") % 3).cast("int").as("p"))
+      _root_.graft.pipeline.Lakehouse.commitSnapshot(s, root,
+        (0 to 2).map(i => s"p=$i" -> docs.filter(col("p") === i)),
+        statsCols = Seq("doc_id"))
+      _root_.graft.pipeline.Lakehouse.deleteSnapshot(s, root,
+        col("doc_id") % 7 === 0 || col("lang") === "zh")
+      _root_.graft.pipeline.Lakehouse.readSnapshot(s, root)
+        .select(col("doc_id"), col("lang"), col("source"), col("p"))
+        .orderBy("doc_id")
+    }),
+    // row-level UPDATE: SET expressions evaluate against the OLD row,
+    // only predicate-TRUE rows change, touched partitions rewrite under
+    // one flip with the manifest's stats layer recomputed
+    "lake_snapshot_update" -> ((s, d) => {
+      val root = s"/tmp/graft_lake_snap_up/${new java.io.File(d).getName}"
+      val p0 = new org.apache.hadoop.fs.Path(root)
+      p0.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p0, true)
+      val docs = T(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          (col("doc_id") % 3).cast("int").as("p"))
+      _root_.graft.pipeline.Lakehouse.commitSnapshot(s, root,
+        (0 to 2).map(i => s"p=$i" -> docs.filter(col("p") === i)),
+        statsCols = Seq("doc_id"))
+      _root_.graft.pipeline.Lakehouse.updateSnapshot(s, root,
+        col("doc_id") % 5 === 0,
+        Seq("source" -> lit("redacted"),
+          "n_chars" -> (col("n_chars") + 1000L)))
+      _root_.graft.pipeline.Lakehouse.readSnapshot(s, root)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("p"))
+        .orderBy("doc_id")
+    }),
+    // ROLLBACK (RESTORE): after a bad delete, roll the lake back to
+    // snapshot 1 by committing a new snapshot with 1's manifest —
+    // metadata-only, zero data I/O, history preserved; the CURRENT read
+    // (not time travel) must be the original table again
+    "lake_snapshot_rollback" -> ((s, d) => {
+      val root = s"/tmp/graft_lake_snap_rb/${new java.io.File(d).getName}"
+      val p0 = new org.apache.hadoop.fs.Path(root)
+      p0.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p0, true)
+      val docs = T(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          (col("doc_id") % 2).cast("int").as("p"))
+      _root_.graft.pipeline.Lakehouse.commitSnapshot(s, root,
+        Seq("p=0" -> docs.filter(col("p") === 0),
+          "p=1" -> docs.filter(col("p") === 1)))
+      _root_.graft.pipeline.Lakehouse.deleteSnapshot(s, root,
+        col("doc_id") % 7 === 0)
+      _root_.graft.pipeline.Lakehouse.rollbackSnapshot(s, root, toId = 1)
+      _root_.graft.pipeline.Lakehouse.readSnapshot(s, root)
+        .select(col("doc_id"), col("lang"), col("source"), col("p"))
+        .orderBy("doc_id")
+    }),
     // fuzzy string join (edit distance <= 1): 10-char md5-hex keys vs
     // their deterministic one-char deletions — q-gram blocked candidates
     // + the exact codegen'd levenshtein verify, never a cross join. q=4
@@ -2177,6 +2239,17 @@ object SparkEntry {
     // duplicated positional 8-gram spans, exhaustive digest-level oracle
     "doc_dup_spans" -> ((s, d) =>
       Dedup.dupSpans(T(s, d, "documents"), k = 8, minDf = 2)
+        .orderBy("doc_id")),
+    // exact-substring duplicate spans (Lee et al. ExactSubstr): stride-1
+    // 40-char windows, keep-first-occurrence, per-doc merged [start,end)
+    // char offsets; identity is the contractual 64-bit md5 prefix
+    "doc_exact_substr_spans" -> ((s, d) =>
+      Dedup.exactSubstrSpans(T(s, d, "documents"), window = 40, stride = 1)
+        .orderBy("doc_id", "span_start")),
+    // the removal itself: every later occurrence of a duplicated
+    // >=40-char span cut out, first occurrences and clean docs verbatim
+    "doc_exact_substr_dedup" -> ((s, d) =>
+      Dedup.exactSubstrClean(T(s, d, "documents"), window = 40, stride = 1)
         .orderBy("doc_id")),
     // asymmetric containment dedup, exhaustive digest-level oracle (the
     // maxDf index cap is part of the contract and mirrored in SQL)
@@ -3014,6 +3087,25 @@ object SparkEntry {
         |  AND doc_id <= (SELECT CAST(FLOOR(MAX(doc_id) / 4) AS BIGINT)
         |                 FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // ANSI DELETE semantics: rows where the predicate is TRUE vanish
+    "lake_snapshot_delete" ->
+      """SELECT doc_id, lang, source, CAST(doc_id % 3 AS INTEGER) AS p
+        |FROM documents
+        |WHERE NOT (doc_id % 7 = 0 OR lang = 'zh')
+        |ORDER BY doc_id""".stripMargin,
+    // ANSI UPDATE semantics: SET against the OLD row, others untouched
+    "lake_snapshot_update" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'redacted' ELSE source END
+        |    AS source,
+        |  CASE WHEN doc_id % 5 = 0 THEN n_chars + 1000 ELSE n_chars END
+        |    AS n_chars,
+        |  CAST(doc_id % 3 AS INTEGER) AS p
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // rollback restores snapshot 1's content as CURRENT: original table
+    "lake_snapshot_rollback" ->
+      """SELECT doc_id, lang, source, CAST(doc_id % 2 AS INTEGER) AS p
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // engine over the lake's CURRENT snapshot: the takedown pass applied
     "sparql_lake_snapshot" ->
       """SELECT 'urn:g:doc:' || CAST(doc_id AS VARCHAR) AS d,
@@ -4128,6 +4220,88 @@ object SparkEntry {
         |    AS n_dup_windows,
         |  SUM(CASE WHEN df >= 2 THEN c ELSE 0 END) * 5 >= SUM(c) AS flagged
         |FROM dg JOIN f USING (g) GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // exact-substring duplicate spans: stride-1 40-char windows compared
+    // as 64-bit md5-prefix digests (contractual, both engines), the
+    // globally-first (doc_id, pos) occurrence kept, per-doc
+    // overlapping/touching spans merged via gaps-and-islands
+    "doc_exact_substr_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, CAST(floor((length(text) - 40) / 1) AS BIGINT)
+        |      + 1)) AS i
+        |  FROM documents WHERE length(text) >= 40),
+        |h AS (
+        |  SELECT doc_id, CAST(1 + i * 1 AS BIGINT) AS pos,
+        |    substring(md5(substring(text, CAST(1 + i * 1 AS INTEGER), 40)),
+        |      1, 16) AS g
+        |  FROM w),
+        |f AS (
+        |  SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS c,
+        |    row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+        |  FROM h),
+        |dup AS (SELECT doc_id, pos AS s, pos + 40 AS e FROM f
+        |  WHERE c >= 2 AND rn > 1),
+        |m AS (
+        |  SELECT doc_id, s, e, max(e) OVER (PARTITION BY doc_id ORDER BY
+        |    s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM dup),
+        |isl AS (
+        |  SELECT doc_id, s, e, sum(CASE WHEN pmax IS NULL OR s > pmax
+        |    THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY s, e)
+        |    AS island
+        |  FROM m)
+        |SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+        |  CAST(max(e) AS BIGINT) AS span_end
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
+
+    // the removal: per doc, concatenate the kept segments between merged
+    // spans (string_agg ordered by segment start); span-free docs pass
+    // through verbatim via the left join
+    "doc_exact_substr_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, CAST(floor((length(text) - 40) / 1) AS BIGINT)
+        |      + 1)) AS i
+        |  FROM documents WHERE length(text) >= 40),
+        |h AS (
+        |  SELECT doc_id, CAST(1 + i * 1 AS BIGINT) AS pos,
+        |    substring(md5(substring(text, CAST(1 + i * 1 AS INTEGER), 40)),
+        |      1, 16) AS g
+        |  FROM w),
+        |f AS (
+        |  SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS c,
+        |    row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+        |  FROM h),
+        |dup AS (SELECT doc_id, pos AS s, pos + 40 AS e FROM f
+        |  WHERE c >= 2 AND rn > 1),
+        |m AS (
+        |  SELECT doc_id, s, e, max(e) OVER (PARTITION BY doc_id ORDER BY
+        |    s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM dup),
+        |isl AS (
+        |  SELECT doc_id, s, e, sum(CASE WHEN pmax IS NULL OR s > pmax
+        |    THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY s, e)
+        |    AS island
+        |  FROM m),
+        |merged AS (SELECT doc_id, min(s) AS ss, max(e) AS se
+        |  FROM isl GROUP BY doc_id, island),
+        |segs AS (
+        |  SELECT doc_id, coalesce(lag(se) OVER (PARTITION BY doc_id
+        |    ORDER BY ss), 1) AS gs, ss AS ge FROM merged
+        |  UNION ALL
+        |  SELECT doc_id, max(se), NULL FROM merged GROUP BY doc_id),
+        |asm AS (
+        |  SELECT s.doc_id, string_agg(substr(d.text, CAST(s.gs AS INTEGER),
+        |    CAST(coalesce(s.ge, length(d.text) + 1) - s.gs AS INTEGER)),
+        |    '' ORDER BY s.gs) AS ct
+        |  FROM segs s JOIN documents d USING (doc_id) GROUP BY s.doc_id)
+        |SELECT d.doc_id, coalesce(a.ct, d.text) AS clean_text,
+        |  CAST(length(d.text) - length(coalesce(a.ct, d.text)) AS BIGINT)
+        |    AS n_removed_chars
+        |FROM documents d LEFT JOIN asm a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // asymmetric containment |A∩B|/|B| >= 0.9 over distinct-8-gram digest
     // sets: the index drops grams with df > 256 (contractual, mirrored),

@@ -758,6 +758,100 @@ object Dedup {
       .withColumn("flagged", col("n_dup_windows") * 5 >= col("n_windows"))
   }
 
+  /** Exact-substring duplicate spans — the character-level REMOVAL
+    * counterpart of [[dupSpans]] (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better": drop every verbatim span ≥ L
+    * chars that occurs elsewhere in the corpus, keeping its FIRST
+    * occurrence — whole-document dedup misses these, and repeated spans
+    * drive memorization). The reference engine has no dedup at all; the
+    * paper's suffix-array scan is single-machine, so the distributed
+    * contract here is the standard sliding-window one: every `stride`-th
+    * position contributes its `window`-char substring; a window string
+    * occurring at ≥ 2 positions corpus-wide marks every occurrence
+    * EXCEPT the globally first (min (doc_id, pos)) as a duplicate span;
+    * per-document overlapping/touching spans merge. At stride 1 this
+    * finds exactly the duplicated substrings of length ≥ `window`
+    * (window granularity at the edges); larger strides trade edge
+    * precision for cost. Identity is a 64-bit md5-prefix digest — part
+    * of the CONTRACT (oracle mirrors it), the same convention as
+    * [[dupSpans]]/[[containmentPairs]].
+    *
+    * Shape at 100 TB: windows shuffle as (digest, doc, pos) — fixed
+    * width, never the text; first-occurrence + count is ONE partial-agg
+    * groupBy on the digest (min over a (doc_id, pos) struct — never a
+    * window over the digest key, which a boilerplate span present in
+    * ~every doc would straggle), joined back digest-to-digest
+    * (AQE-skew-splittable). The only per-doc window function runs
+    * partitioned by doc_id (bounded by a document's own span count).
+    * Returns (doc_id, span_start, span_end) — 1-based char offsets,
+    * end exclusive, spans merged and disjoint per document. */
+  def exactSubstrSpans(docs: DataFrame, window: Int = 40,
+                       stride: Int = 1): DataFrame = {
+    require(window >= 2 && stride >= 1, s"bad window=$window/stride=$stride")
+    val occ = docs
+      .repartition(col("doc_id"))
+      .filter(length(col("text")) >= window)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, CAST(floor((length(text) - $window) / " +
+          s"$stride) AS INT)), i -> named_struct(" +
+          s"'pos', CAST(1 + i * $stride AS BIGINT), " +
+          s"'g', substring(md5(substring(text, 1 + i * $stride, $window))" +
+          s", 1, 16)))")).as("o"))
+      .select(col("doc_id"), col("o.pos").as("pos"), col("o.g").as("g"))
+    val firsts = occ.groupBy("g").agg(
+      count(lit(1)).as("c"),
+      min(struct(col("doc_id"), col("pos"))).as("first"))
+      .filter(col("c") >= 2)
+    val spans = occ.join(firsts, Seq("g"))
+      .filter(!(col("doc_id") === col("first.doc_id") &&
+        col("pos") === col("first.pos")))
+      .select(col("doc_id"), col("pos").as("s"),
+        (col("pos") + window).as("e"))
+    // gaps-and-islands merge, per document: a span starting at or before
+    // the running max end joins the open island (touching spans merge —
+    // contiguous duplicated text is one removal)
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val pmax = max(col("e")).over(byDoc.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    spans
+      .withColumn("island",
+        sum(when(pmax.isNull || col("s") > pmax, 1).otherwise(0))
+          .over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"))
+      .drop("island")
+  }
+
+  /** Exact-substring dedup: rewrite each document with its
+    * [[exactSubstrSpans]] removed — later occurrences of every
+    * duplicated ≥-window-char span vanish, first occurrences survive
+    * verbatim, documents with no duplicated span pass through untouched
+    * (including those shorter than the window). Reassembly is one
+    * fold over the per-doc merged-span array (bounded by the doc's own
+    * span count; the interpreted HOF sits on already-reduced rows, not
+    * the window fan-out). Returns (doc_id, clean_text,
+    * n_removed_chars). */
+  def exactSubstrClean(docs: DataFrame, window: Int = 40,
+                       stride: Int = 1): DataFrame = {
+    val spansByDoc = exactSubstrSpans(docs, window, stride)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(
+        struct(col("span_start"), col("span_end")))).as("sp"))
+    docs.join(spansByDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("text"),
+        when(col("sp").isNull, col("text")).otherwise(expr(
+          "aggregate(sp, named_struct('acc', '', 'cur', CAST(1 AS BIGINT))," +
+            " (a, x) -> named_struct(" +
+            "'acc', concat(a.acc, substring(text, CAST(a.cur AS INT), " +
+            "CAST(x.span_start - a.cur AS INT))), 'cur', x.span_end), " +
+            "a -> concat(a.acc, substring(text, CAST(a.cur AS INT), " +
+            "length(text) - CAST(a.cur AS INT) + 1)))")).as("clean_text"))
+      .select(col("doc_id"), col("clean_text"),
+        (length(col("text")) - length(col("clean_text")))
+          .cast("long").as("n_removed_chars"))
+  }
+
   /** Containment pairs — the ASYMMETRIC member of the dedup family:
     * `|A ∩ B| / |B| ≥ tau` over distinct k-gram sets finds B quoted or
     * embedded inside a larger A (mirror-with-banner, quote-heavy posts,

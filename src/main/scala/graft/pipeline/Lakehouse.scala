@@ -1415,6 +1415,195 @@ object Lakehouse {
     } finally if (pinChanges) changes.unpersist(blocking = false)
   }
 
+  /** Columns the manifest currently skips on. DML rewrites pass these
+    * back to [[commitSnapshot]] so a DELETE/UPDATE never silently strips
+    * the stats/bloom layer from the partitions it touches — untouched
+    * entries keep their committed stats verbatim either way. */
+  /** Determinism is only knowable AFTER analysis (an unresolved
+    * `rand() < 0.5` reports deterministic), so the guard inspects the
+    * analyzed plan of the probe frame the caller built over the
+    * snapshot. */
+  private def requireDeterministic(df: DataFrame, what: String): Unit = {
+    val bad = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed
+      .collectFirst { case p if p.expressions.exists(!_.deterministic) => p }
+    require(bad.isEmpty,
+      s"$what must be deterministic — it is evaluated once to find " +
+        "touched partitions and once to rewrite them")
+  }
+
+  private def manifestStatsCols(m: Manifest): Seq[String] =
+    m.stats.values.flatMap(_.values.flatMap(_.keys)).toSeq.distinct.sorted
+  private def manifestBloomCols(m: Manifest): Seq[String] =
+    m.blooms.values.flatten.toSeq.distinct.sorted
+
+  /** Manifest entries whose committed files can contain a row matching
+    * `predicate`, resolved by ONE scan: the snapshot read (with the
+    * manifest skip layer live — partitions whose every file is pruned by
+    * stats/blooms are never opened) filtered by the predicate, reduced
+    * to the DISTINCT generation directories the matches came from. The
+    * collect is bounded by the number of MATCHED data dirs (≤ touched
+    * partitions), never rows. Directory identity goes through
+    * `fs.makeQualified` on both sides so URI spelling (`file:///` vs
+    * `file:/`) can't split an entry. */
+  private def touchedEntries(spark: org.apache.spark.sql.SparkSession,
+                             root: String, baseId: Int, man: Manifest,
+                             predicate: Column): Seq[(String, String)] = {
+    val r = new org.apache.hadoop.fs.Path(root)
+    val fs = fsOf(spark, r)
+    val matchedDirs = readSnapshot(spark, root, asOf = Some(baseId))
+      .filter(predicate)
+      .select(regexp_replace(input_file_name(), "/[^/]*$", "").as("dir"))
+      .distinct().collect()
+      .map(x => fs.makeQualified(
+        new org.apache.hadoop.fs.Path(x.getString(0))).toString).toSet
+    val entries = man.mapping.toSeq.filter { case (rel, gen) =>
+      matchedDirs.contains(fs.makeQualified(dataDir(r, rel, gen)).toString) }
+    val resolved = entries.map { case (rel, gen) =>
+      fs.makeQualified(dataDir(r, rel, gen)).toString }.toSet
+    val orphans = matchedDirs -- resolved
+    require(orphans.isEmpty,
+      s"matched files outside the snapshot $baseId manifest of $root: " +
+        s"${orphans.take(3).mkString(", ")} — the lake was modified " +
+        "outside the commit protocol")
+    entries.sortBy(_._1)
+  }
+
+  /** Row-level DELETE on a snapshot lake — `DELETE FROM t WHERE pred`,
+    * partition-pruned and atomic: ONE predicate-filtered scan (riding
+    * the manifest's stats/bloom skip layer, so partitions that provably
+    * contain no match are never opened) finds the touched generation
+    * dirs; only THOSE partitions are rewritten without the matching
+    * rows, committed in one snapshot flip with the untouched entries
+    * carried byte-free. SQL semantics: a row is deleted iff the
+    * predicate is TRUE — FALSE and NULL both keep it. A predicate that
+    * matches nothing is a committed no-op (returns the current id).
+    * The predicate must be deterministic: it runs twice (touch
+    * detection, then the rewrite) and a non-deterministic one could
+    * delete rows in partitions the first pass never saw. Stats and
+    * bloom columns recorded in the manifest are recomputed for the
+    * rewritten partitions, so the skip layer survives the DML. Returns
+    * the committed snapshot id. */
+  def deleteSnapshot(spark: org.apache.spark.sql.SparkSession, root: String,
+                     predicate: Column): Int = {
+    val baseId = currentSnapshotId(spark, root).getOrElse(
+      throw new IllegalStateException(s"$root has no committed snapshot"))
+    val man = manifestAt(spark, root, Some(baseId))
+    requireDeterministic(
+      readSnapshot(spark, root, asOf = Some(baseId)).filter(predicate),
+      "DELETE predicate")
+    val touched = touchedEntries(spark, root, baseId, man, predicate)
+    if (touched.isEmpty) return baseId // nothing matches: committed no-op
+    val r = new org.apache.hadoop.fs.Path(root)
+    def readPart(dir: String): DataFrame = man.schema match {
+      case Some(sc) => spark.read.schema(sc).parquet(dir)
+      case None     => spark.read.parquet(dir)
+    }
+    val writes = touched.map { case (rel, gen) =>
+      rel -> readPart(dataDir(r, rel, gen).toString)
+        .filter(!(predicate <=> lit(true)))
+    }
+    commitSnapshot(spark, root, writes, expectedSnapshot = Some(baseId),
+      statsCols = manifestStatsCols(man), bloomCols = manifestBloomCols(man))
+  }
+
+  /** Row-level UPDATE on a snapshot lake — `UPDATE t SET c = e, … WHERE
+    * pred`, partition-pruned and atomic, same touch/rewrite shape as
+    * [[deleteSnapshot]]. SQL semantics throughout: only predicate-TRUE
+    * rows change (NULL keeps the old row), and every SET expression is
+    * evaluated against the OLD row (one `select`, not chained
+    * `withColumn`s — `SET a = b, b = a` swaps). Loud contracts: SET
+    * columns must exist in the committed schema (adding a column is
+    * schema evolution via [[commitSnapshot]], not UPDATE), must not
+    * change the column's type (a type change is a rewrite), and must
+    * not name a partition-layout column of any touched partition (the
+    * rewrite never moves rows between partition dirs — the same
+    * placement caveat as [[mergeSnapshot]], here enforced because the
+    * rel encodes the column). Returns the committed snapshot id. */
+  def updateSnapshot(spark: org.apache.spark.sql.SparkSession, root: String,
+                     predicate: Column, set: Seq[(String, Column)]): Int = {
+    require(set.nonEmpty, "UPDATE needs at least one SET column")
+    require(set.map(_._1).distinct.size == set.size,
+      s"duplicate SET column in ${set.map(_._1).mkString(", ")}")
+    val baseId = currentSnapshotId(spark, root).getOrElse(
+      throw new IllegalStateException(s"$root has no committed snapshot"))
+    val man = manifestAt(spark, root, Some(baseId))
+    man.schema.foreach { sc =>
+      val missing = set.map(_._1).filterNot(sc.fieldNames.contains)
+      require(missing.isEmpty,
+        s"SET columns not in the committed schema: " +
+          s"${missing.mkString(", ")} — adding a column is schema " +
+          "evolution (commitSnapshot), not UPDATE")
+    }
+    // resolve the SET expressions against the snapshot ONCE — type
+    // mismatches must be THIS loud error, not an ANSI cast failure from
+    // the per-partition when(): a type change is a rewrite, not UPDATE
+    val snap0 = readSnapshot(spark, root, asOf = Some(baseId))
+    val probe = snap0.select(col("*") +: set.map {
+      case (c, e) => e.as(s"__set_$c") }: _*).filter(predicate)
+    requireDeterministic(probe, "UPDATE predicate and SET expressions")
+    man.schema.foreach { sc =>
+      set.foreach { case (c, _) =>
+        val was = sc(c).dataType
+        val now = probe.schema(s"__set_$c").dataType
+        require(now == was,
+          s"UPDATE cannot change the type of '$c' ($was -> $now) — " +
+            "a type change is a table rewrite, not an UPDATE")
+      }
+    }
+    val touched = touchedEntries(spark, root, baseId, man, predicate)
+    if (touched.isEmpty) return baseId
+    val partCols = touched.map(_._1).filter(_.nonEmpty)
+      .flatMap(_.split("/").toSeq.map(_.takeWhile(_ != '='))).distinct
+    val clash = set.map(_._1).filter(partCols.contains)
+    require(clash.isEmpty,
+      s"UPDATE cannot SET partition-layout column(s) " +
+        s"${clash.mkString(", ")} — moving rows between partitions is a " +
+        "rewrite (mergeSnapshot/commitSnapshot), not an in-place UPDATE")
+    val r = new org.apache.hadoop.fs.Path(root)
+    val setMap = set.toMap
+    def readPart(dir: String): DataFrame = man.schema match {
+      case Some(sc) => spark.read.schema(sc).parquet(dir)
+      case None     => spark.read.parquet(dir)
+    }
+    val writes = touched.map { case (rel, gen) =>
+      val cur = readPart(dataDir(r, rel, gen).toString)
+      rel -> cur.select(cur.columns.toSeq.map { c =>
+        setMap.get(c) match {
+          case Some(e) => when(predicate, e).otherwise(col(c)).as(c)
+          case None    => col(c)
+        }
+      }: _*)
+    }
+    commitSnapshot(spark, root, writes, expectedSnapshot = Some(baseId),
+      statsCols = manifestStatsCols(man), bloomCols = manifestBloomCols(man))
+  }
+
+  /** ROLLBACK: make snapshot `toId`'s content current again by
+    * committing a NEW snapshot whose manifest (mapping + schema + stats
+    * + blooms) is `toId`'s, verbatim. Metadata-only — zero data I/O,
+    * because `toId`'s manifest is kept and GC preserves every generation
+    * a kept manifest references, so its dirs are still on disk. History
+    * is preserved, not erased: the bad snapshots stay readable (and the
+    * rollback itself can be rolled back) until [[snapshotGc]] ages them
+    * out — the Iceberg/Delta RESTORE contract. Rolling back to the
+    * current snapshot is a no-op. Throws when `toId` is not a kept
+    * snapshot (rollback past GC retention is impossible by design).
+    * Returns the committed snapshot id. */
+  def rollbackSnapshot(spark: org.apache.spark.sql.SparkSession,
+                       root: String, toId: Int): Int = {
+    val r = new org.apache.hadoop.fs.Path(root)
+    val fs = fsOf(spark, r)
+    val ids = snapIds(fs, r)
+    require(ids.nonEmpty, s"$root is not snapshot-managed")
+    val baseId = ids.last
+    require(ids.contains(toId),
+      s"snapshot $toId of $root is not kept (kept: ${ids.mkString(",")})" +
+        " — rollback past GC retention is impossible")
+    if (toId == baseId) return baseId
+    commitManifest(spark, root, manifestAt(spark, root, Some(toId)), baseId)
+  }
+
   /** Snapshot GC: keep the newest `keepSnapshots` manifests, delete
     * older ones, then delete every generation directory (under the root
     * and its partition dirs) no kept manifest references — superseded

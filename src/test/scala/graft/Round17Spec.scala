@@ -875,4 +875,172 @@ class Round17Spec extends SparkTestBase {
     assert(e2.getMessage.contains("bad partition-relative dir"),
       e2.getMessage)
   }
+
+  test("deleteSnapshot: ANSI DELETE semantics, partition-pruned rewrite " +
+    "(untouched manifest entries carry their gens verbatim), time travel " +
+    "intact, no-match is a committed no-op, NULL predicate keeps the row") {
+    import spark.implicits._
+    val root = freshDir("del")
+    Lakehouse.commitSnapshot(spark, root,
+      Seq("lang=a" -> part("a", 1L to 10L),
+        "lang=b" -> part("b", 11L to 20L),
+        "lang=c" -> part("c", 21L to 30L)))
+    val before = Lakehouse.currentManifest(spark, root)
+    // predicate hits only lang=b rows
+    val id2 = Lakehouse.deleteSnapshot(spark, root,
+      col("lang") === "b" && col("id") % 2 === 0)
+    assert(id2 == 2)
+    val after = Lakehouse.currentManifest(spark, root)
+    // ONLY lang=b rewrote; a and c carried over byte-free
+    assert(after("lang=a") == before("lang=a"))
+    assert(after("lang=c") == before("lang=c"))
+    assert(after("lang=b") != before("lang=b"))
+    val cur = Lakehouse.readSnapshot(spark, root)
+      .select("id").as[Long].collect().sorted
+    assert(cur.toSeq == ((1L to 10L) ++ Seq(11L, 13L, 15L, 17L, 19L) ++
+      (21L to 30L)))
+    // the pre-delete snapshot still reads in full
+    assert(Lakehouse.readSnapshot(spark, root, asOf = Some(1))
+      .count() == 30L)
+    // no-match: committed no-op, id unchanged, manifest unchanged
+    assert(Lakehouse.deleteSnapshot(spark, root, col("id") > 1000L) == 2)
+    assert(Lakehouse.currentManifest(spark, root) == after)
+    // SQL NULL semantics: a NULL predicate KEEPS the row
+    val root2 = freshDir("deln")
+    val withNulls = Seq((1L, "a", "x"), (2L, "a", null), (3L, "a", "x"))
+      .toDF("id", "lang", "v")
+    Lakehouse.commitSnapshot(spark, root2, Seq("lang=a" -> withNulls))
+    Lakehouse.deleteSnapshot(spark, root2, col("v") === "x")
+    assert(Lakehouse.readSnapshot(spark, root2)
+      .select("id").as[Long].collect().toSeq == Seq(2L))
+    // non-deterministic predicates are refused before any work
+    val e = intercept[IllegalArgumentException] {
+      Lakehouse.deleteSnapshot(spark, root2, rand() < 0.5)
+    }
+    assert(e.getMessage.contains("deterministic"), e.getMessage)
+  }
+
+  test("updateSnapshot: SET evaluates against the OLD row (a swap " +
+    "swaps), NULL predicate rows stay, loud on unknown columns, type " +
+    "changes, and partition-layout columns") {
+    import spark.implicits._
+    val root = freshDir("upd")
+    val t = Seq((1L, "a", 10L, 100L), (2L, "a", 20L, 200L),
+      (3L, "b", 30L, 300L))
+      .toDF("id", "lang", "x", "y")
+    Lakehouse.commitSnapshot(spark, root,
+      Seq("lang=a" -> t.filter(col("lang") === "a"),
+        "lang=b" -> t.filter(col("lang") === "b")))
+    val before = Lakehouse.currentManifest(spark, root)
+    // the swap: both RHS must see the OLD row, not chained withColumns
+    Lakehouse.updateSnapshot(spark, root, col("id") === 1L,
+      Seq("x" -> col("y"), "y" -> col("x")))
+    val got = Lakehouse.readSnapshot(spark, root)
+      .orderBy("id").select("x", "y").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((100L, 10L), (20L, 200L), (30L, 300L)))
+    // only lang=a rewrote
+    val after = Lakehouse.currentManifest(spark, root)
+    assert(after("lang=b") == before("lang=b"))
+    assert(after("lang=a") != before("lang=a"))
+    // unknown SET column: schema evolution is commitSnapshot's job
+    val e1 = intercept[IllegalArgumentException] {
+      Lakehouse.updateSnapshot(spark, root, lit(true),
+        Seq("nope" -> lit(1L)))
+    }
+    assert(e1.getMessage.contains("not in the committed schema"),
+      e1.getMessage)
+    // type change: loud
+    val e2 = intercept[IllegalArgumentException] {
+      Lakehouse.updateSnapshot(spark, root, col("id") === 1L,
+        Seq("x" -> lit("a string")))
+    }
+    assert(e2.getMessage.contains("cannot change the type"), e2.getMessage)
+    // partition-layout column of a touched partition: loud
+    val e3 = intercept[IllegalArgumentException] {
+      Lakehouse.updateSnapshot(spark, root, col("id") === 1L,
+        Seq("lang" -> lit("zz")))
+    }
+    assert(e3.getMessage.contains("partition-layout"), e3.getMessage)
+    // NULL predicate keeps the old values (SQL UPDATE semantics)
+    val root2 = freshDir("updn")
+    Lakehouse.commitSnapshot(spark, root2, Seq("" ->
+      Seq((1L, Some(5L)), (2L, None)).toDF("id", "n")))
+    Lakehouse.updateSnapshot(spark, root2, col("n") > 0L,
+      Seq("n" -> (col("n") + 1L)))
+    assert(Lakehouse.readSnapshot(spark, root2).orderBy("id")
+      .select("n").collect().map(r =>
+        if (r.isNullAt(0)) -1L else r.getLong(0)).toSeq == Seq(6L, -1L))
+  }
+
+  test("rollbackSnapshot: metadata-only restore — content equals the " +
+    "target snapshot, gens are REUSED (zero data I/O), history stays " +
+    "readable, rolling back the rollback works, non-kept ids are loud") {
+    import spark.implicits._
+    val root = freshDir("rb")
+    Lakehouse.commitSnapshot(spark, root,
+      Seq("lang=a" -> part("a", 1L to 8L)))
+    Lakehouse.deleteSnapshot(spark, root, col("id") <= 4L) // snap 2
+    val man1 = Lakehouse.currentManifest(spark, root, asOf = Some(1))
+    val id3 = Lakehouse.rollbackSnapshot(spark, root, toId = 1)
+    assert(id3 == 3)
+    // the restored manifest maps to snapshot 1's EXACT gen dirs
+    assert(Lakehouse.currentManifest(spark, root) == man1)
+    assert(Lakehouse.readSnapshot(spark, root).count() == 8L)
+    // every epoch stays readable (history preserved, not erased)
+    assert(Lakehouse.readSnapshot(spark, root, asOf = Some(2))
+      .count() == 4L)
+    // rollback of the rollback: back to the post-delete state
+    assert(Lakehouse.rollbackSnapshot(spark, root, toId = 2) == 4)
+    assert(Lakehouse.readSnapshot(spark, root).count() == 4L)
+    // no-op on the current id
+    assert(Lakehouse.rollbackSnapshot(spark, root, toId = 4) == 4)
+    assert(Lakehouse.currentSnapshotId(spark, root).contains(4))
+    // a GC'd / never-committed id is refused
+    val e = intercept[IllegalArgumentException] {
+      Lakehouse.rollbackSnapshot(spark, root, toId = 99)
+    }
+    assert(e.getMessage.contains("not kept"), e.getMessage)
+  }
+
+  test("exactSubstrSpans/Clean: keep-first-occurrence, merged spans " +
+    "cover exactly the shared region, short and unique docs pass " +
+    "through verbatim, intra-doc repeats drop their later copy") {
+    import spark.implicits._
+    val W = 40
+    val common = "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVX" // 60 chars
+    val padA1 = "AAAA-the-quick-brown-fox-jumps-over"
+    val padA2 = "Xlazy-dogs-sleeping-in-the-sun-AAAA"
+    val padB1 = "BBBB-every-good-boy-does-fine-today"
+    val padB2 = "Ywhile-cats-watch-from-windows-BBBB"
+    val mid = "-M-"
+    val rep = "zyxwvutsrqponmlkjihgfedcba9876543210ZYXWVUTSR" // 45 chars
+    val docs = Seq(
+      (1L, padA1 + common + padA2), // first occurrence: kept verbatim
+      (2L, padB1 + common + padB2), // later occurrence: common removed
+      (3L, "tiny"), // shorter than the window: untouched
+      (4L, rep + mid + rep) // intra-doc repeat: second copy removed
+    ).toDF("doc_id", "text")
+    val spans = graft.pipeline.Dedup.exactSubstrSpans(docs, window = W)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long)].collect().toSeq
+    // doc 2: windows fully inside `common` duplicate doc 1's — the
+    // merged span is exactly the shared region [|padB1|+1, +60)
+    val b0 = padB1.length + 1L
+    // doc 4: the second `rep` starts after rep+mid
+    val d0 = (rep + mid).length + 1L
+    assert(spans == Seq((2L, b0, b0 + common.length),
+      (4L, d0, d0 + rep.length)))
+    val clean = graft.pipeline.Dedup.exactSubstrClean(docs, window = W)
+      .orderBy("doc_id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(clean == Seq(
+      (1L, padA1 + common + padA2, 0L),
+      (2L, padB1 + padB2, common.length.toLong),
+      (3L, "tiny", 0L),
+      (4L, rep + mid, rep.length.toLong)))
+    // guard rails
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Dedup.exactSubstrSpans(docs, window = 1)
+    }
+  }
 }
