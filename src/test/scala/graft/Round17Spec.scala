@@ -1002,6 +1002,58 @@ class Round17Spec extends SparkTestBase {
     assert(e.getMessage.contains("not kept"), e.getMessage)
   }
 
+  test("snapshotChanges: I/U/D between epochs reading ONLY " +
+    "manifest-changed partitions (untouched gen dirs never planned), " +
+    "direction inverts with the ids, evolved columns null-fill, " +
+    "same-epoch diff is empty") {
+    import spark.implicits._
+    val root = freshDir("chg")
+    val base = (1L to 30L).map(i => (i, (i % 3).toInt, s"v$i"))
+      .toDF("id", "p", "v")
+    Lakehouse.commitSnapshot(spark, root,
+      (0 to 2).map(i => s"p=$i" -> base.filter(col("p") === i)))
+    // epoch 2: delete even ids in p=1 ONLY — p=0/p=2 entries unchanged
+    Lakehouse.deleteSnapshot(spark, root,
+      col("p") === 1 && col("id") % 2 === 0)
+    val chg = Lakehouse.snapshotChanges(spark, root, 1, 2, Seq("id"))
+    val rows = chg.orderBy("id")
+      .select("id", "change_type").as[(Long, String)].collect().toSeq
+    assert(rows == Seq(4L, 10L, 16L, 22L, 28L).map(_ -> "D"))
+    // pruning: the diff's scan plans ONLY p=1's generation dirs
+    val files = chg.inputFiles.toSeq
+    assert(files.nonEmpty && files.forall(_.contains("/p=1/")),
+      s"unchanged partitions were read: ${files.filterNot(_.contains("/p=1/")).take(3)}")
+    // old values ride along on a D row
+    val d4 = chg.filter(col("id") === 4L)
+      .select("old_v", "new_v").collect().head
+    assert(d4.getString(0) == "v4" && d4.isNullAt(1))
+    // direction inverts: 2 -> 1 reports the same keys as inserts
+    assert(Lakehouse.snapshotChanges(spark, root, 2, 1, Seq("id"))
+      .select("change_type").distinct().as[String].collect().toSeq ==
+      Seq("I"))
+    // same epoch: empty, correct shape
+    val same = Lakehouse.snapshotChanges(spark, root, 2, 2, Seq("id"))
+    assert(same.count() == 0L &&
+      same.columns.toSeq == Seq("id", "change_type", "old_p", "new_p",
+        "old_v", "new_v"))
+    // a NEW partition in the target epoch: pure inserts, even though the
+    // source epoch has no changed partition to read
+    Lakehouse.commitSnapshot(spark, root,
+      Seq("p=3" -> Seq((100L, 3, "x")).toDF("id", "p", "v")))
+    assert(Lakehouse.snapshotChanges(spark, root, 2, 3, Seq("id"))
+      .select("id", "change_type").as[(Long, String)].collect().toSeq ==
+      Seq(100L -> "I"))
+    // schema evolution between the epochs: the old side null-fills the
+    // evolved column instead of failing the diff
+    Lakehouse.commitSnapshot(spark, root,
+      Seq("p=3" -> Seq((100L, 3, "x", 7L)).toDF("id", "p", "v", "extra")))
+    val ev = Lakehouse.snapshotChanges(spark, root, 3, 4, Seq("id"))
+      .filter(col("id") === 100L).collect().head
+    assert(ev.getAs[String]("change_type") == "U")
+    assert(ev.isNullAt(ev.fieldIndex("old_extra")) &&
+      ev.getAs[Long]("new_extra") == 7L)
+  }
+
   test("exactSubstrSpans/Clean: keep-first-occurrence, merged spans " +
     "cover exactly the shared region, short and unique docs pass " +
     "through verbatim, intra-doc repeats drop their later copy") {
