@@ -1484,6 +1484,46 @@ object SparkEntry {
         fromId = 1, toId = 3, keys = Seq("doc_id"))
         .orderBy("doc_id")
     }),
+    // partition-layout evolution: doc_id%3 layout rewritten to lang=
+    // dirs in ONE staged pass + renames, one flip; content identical,
+    // the old layout stays time-travelable (spec pins pruning + epochs)
+    "lake_snapshot_repartition" -> ((s, d) => {
+      val root = s"/tmp/graft_lake_snap_rp/${new java.io.File(d).getName}"
+      val p0 = new org.apache.hadoop.fs.Path(root)
+      p0.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p0, true)
+      val docs = T(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          (col("doc_id") % 3).cast("int").as("p"))
+      _root_.graft.pipeline.Lakehouse.commitSnapshot(s, root,
+        (0 to 2).map(i => s"p=$i" -> docs.filter(col("p") === i)),
+        statsCols = Seq("doc_id"))
+      _root_.graft.pipeline.Lakehouse.repartitionSnapshot(s, root, "lang")
+      _root_.graft.pipeline.Lakehouse.readSnapshot(s, root)
+        .select(col("doc_id"), col("lang"), col("source"), col("p"))
+        .orderBy("doc_id")
+    }),
+    // tags pin epochs against GC: tag epoch 1, delete rows, GC down to
+    // ONE kept snapshot — the tagged original must still read in full
+    "lake_snapshot_tag" -> ((s, d) => {
+      val root = s"/tmp/graft_lake_snap_tg/${new java.io.File(d).getName}"
+      val p0 = new org.apache.hadoop.fs.Path(root)
+      p0.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p0, true)
+      val docs = T(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          (col("doc_id") % 2).cast("int").as("p"))
+      _root_.graft.pipeline.Lakehouse.commitSnapshot(s, root,
+        Seq("p=0" -> docs.filter(col("p") === 0),
+          "p=1" -> docs.filter(col("p") === 1)))
+      _root_.graft.pipeline.Lakehouse.tagSnapshot(s, root, "audited", 1)
+      _root_.graft.pipeline.Lakehouse.deleteSnapshot(s, root,
+        col("doc_id") % 7 === 0)
+      _root_.graft.pipeline.Lakehouse.snapshotGc(s, root, keepSnapshots = 1)
+      _root_.graft.pipeline.Lakehouse.readSnapshot(s, root,
+        asOf = Some(_root_.graft.pipeline.Lakehouse.tagSnapshotId(
+          s, root, "audited")))
+        .select(col("doc_id"), col("lang"), col("source"), col("p"))
+        .orderBy("doc_id")
+    }),
     // fuzzy string join (edit distance <= 1): 10-char md5-hex keys vs
     // their deterministic one-char deletions — q-gram blocked candidates
     // + the exact codegen'd levenshtein verify, never a cross join. q=4
@@ -3164,6 +3204,14 @@ object SparkEntry {
         |  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
         |SELECT * FROM j WHERE change_type IS NOT NULL
         |ORDER BY doc_id""".stripMargin,
+    // a layout rewrite is semantically invisible: same table
+    "lake_snapshot_repartition" ->
+      """SELECT doc_id, lang, source, CAST(doc_id % 3 AS INTEGER) AS p
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the tagged epoch survives GC: the ORIGINAL table, untouched
+    "lake_snapshot_tag" ->
+      """SELECT doc_id, lang, source, CAST(doc_id % 2 AS INTEGER) AS p
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // engine over the lake's CURRENT snapshot: the takedown pass applied
     "sparql_lake_snapshot" ->
       """SELECT 'urn:g:doc:' || CAST(doc_id AS VARCHAR) AS d,

@@ -1604,6 +1604,171 @@ object Lakehouse {
     commitManifest(spark, root, manifestAt(spark, root, Some(toId)), baseId)
   }
 
+  /** PARTITION-LAYOUT EVOLUTION: rewrite the whole lake into a new
+    * partition scheme (`partitionCol=value` dirs) as ONE atomic
+    * snapshot — the Iceberg partition-evolution need (yesterday's
+    * `p=…` layout stops matching today's query pattern) without its
+    * split-metadata complexity: here old epochs keep the OLD layout
+    * (time travel reads it unchanged) and the new manifest REPLACES the
+    * mapping wholesale, so readers flip layouts with the snapshot.
+    *
+    * Cost discipline: the data moves in ONE Spark pass — a
+    * hive-partitioned staging write under the lake's metadata dir (the
+    * value is duplicated into a scratch hive column so it also STAYS in
+    * the data files, the house contract) — then each staged value dir
+    * RENAMES into place as a writer-unique generation: no second copy,
+    * no per-partition scan of the lake (k filtered writes would read the
+    * lake k times). The column-pruned `distinct` that enumerates the new
+    * layout is driver-bounded by the new partition COUNT; null values
+    * and values hive would path-escape are refused loudly BEFORE the
+    * write. Stats/bloom columns default to the manifest's current sets
+    * (a layout change must not strip the skip layer) and recompute over
+    * the staged files. A crash leaves a `stage-*` relic [[snapshotGc]]
+    * reclaims; a lost CAS race leaves gen relics, same contract as every
+    * commit. Returns the committed snapshot id. */
+  def repartitionSnapshot(spark: org.apache.spark.sql.SparkSession,
+                          root: String, partitionCol: String,
+                          statsCols: Seq[String] = Nil,
+                          bloomCols: Seq[String] = Nil): Int = {
+    val baseId = currentSnapshotId(spark, root).getOrElse(
+      throw new IllegalStateException(s"$root has no committed snapshot"))
+    val man = manifestAt(spark, root, Some(baseId))
+    val r = new org.apache.hadoop.fs.Path(root)
+    val fs = fsOf(spark, r)
+    requireCasCapable(spark, fs, root) // fail BEFORE the rewrite
+    val snap = readSnapshot(spark, root, asOf = Some(baseId))
+    require(snap.columns.contains(partitionCol),
+      s"'$partitionCol' is not a column of the snapshot " +
+        s"(${snap.columns.mkString(", ")})")
+    val vals = snap.select(col(partitionCol)).distinct().collect()
+      .map(x => Option(x.get(0)).map(_.toString).getOrElse(
+        throw new IllegalArgumentException(
+          s"NULL $partitionCol value — a null partition has no " +
+            "directory; filter or bucket it explicitly")))
+    require(vals.nonEmpty, s"cannot repartition an empty lake $root")
+    vals.foreach(requireValidPartValue(partitionCol, _))
+    val u = java.util.UUID.randomUUID()
+    val staging = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs
+      .Path(r, LakeDir),
+      f"stage-${u.getMostSignificantBits}%016x${u.getLeastSignificantBits}%016x")
+    snap.withColumn("__graft_part", col(partitionCol))
+      .write.partitionBy("__graft_part").mode("overwrite")
+      .parquet(staging.toString)
+    // map staged dirs back to values; hive path-escaping would make the
+    // dir name diverge from the raw value — refuse instead of guessing
+    val stagedDirs = fs.listStatus(staging).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("__graft_part="))
+      .map(_.getPath.getName).toSet
+    val expected = vals.map(v => s"__graft_part=$v").toSet
+    if (stagedDirs != expected) {
+      fs.delete(staging, true)
+      throw new IllegalArgumentException(
+        s"partition values of '$partitionCol' require hive path " +
+          s"escaping — unsupported (staged ${
+            (stagedDirs -- expected).take(3).mkString(", ")})")
+    }
+    val updated = vals.sorted.toSeq.map { v =>
+      val rel = s"$partitionCol=$v"
+      val part = new org.apache.hadoop.fs.Path(r, rel)
+      fs.mkdirs(part)
+      val gen = snapGenName()
+      require(fs.rename(new org.apache.hadoop.fs.Path(staging,
+        s"__graft_part=$v"), new org.apache.hadoop.fs.Path(part, gen)),
+        s"staging rename into $rel/$gen failed")
+      plantSentinelIfBare(fs, part)
+      rel -> gen
+    }
+    fs.delete(staging, true) // only the _SUCCESS marker remains
+    plantSentinelIfBare(fs, r)
+    val schema = snap.schema
+    val effStats = (if (statsCols.nonEmpty) statsCols
+                    else manifestStatsCols(man) match {
+                      case Nil => effectiveStatsCols(spark, Nil)
+                      case mc  => mc
+                    }).filter(schema.fieldNames.contains)
+    val effBloom = (if (bloomCols.nonEmpty) bloomCols
+                    else manifestBloomCols(man) match {
+                      case Nil => effectiveBloomCols(spark, Nil)
+                      case mc  => mc
+                    }).filter(schema.fieldNames.contains)
+    val dirToRel = updated.map { case (rel, gen) =>
+      fs.makeQualified(dataDir(r, rel, gen)).toString -> rel }.toMap
+    val stats = fileStats(spark, fs, dirToRel, effStats, Some(schema))
+    val blooms = writeBlooms(spark, fs, dirToRel, effBloom, Some(schema))
+    commitManifest(spark, root,
+      Manifest(updated.toMap, Some(schema), stats, blooms), baseId)
+  }
+
+  // ---- snapshot TAGS: stable names that pin epochs against GC ---------------
+
+  private val TagName = "^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$".r
+  private def tagFile(root: org.apache.hadoop.fs.Path, name: String) =
+    new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(root, LakeDir), s"tag-$name")
+
+  /** Name a kept snapshot (`v1.2`, `audited-2026-08`) — the Iceberg tag
+    * contract: tags are IMMUTABLE (re-pointing a name that readers
+    * resolve is a silent data swap — create fails on an existing name;
+    * [[deleteTag]] first, explicitly) and a tagged epoch is PINNED
+    * against [[snapshotGc]] (its manifest and every generation it
+    * references survive any retention window until the tag is
+    * deleted). Resolve with [[tagSnapshotId]] and read via
+    * `readSnapshot(asOf = …)`. */
+  def tagSnapshot(spark: org.apache.spark.sql.SparkSession, root: String,
+                  name: String, id: Int): Unit = {
+    require(TagName.matches(name),
+      s"bad tag name '$name' (allowed: alnum start, then [A-Za-z0-9._-], " +
+        "max 64)")
+    val r = new org.apache.hadoop.fs.Path(root)
+    val fs = fsOf(spark, r)
+    require(snapIds(fs, r).contains(id),
+      s"snapshot $id of $root is not kept — tags name live epochs only")
+    val f = tagFile(r, name)
+    // create(overwrite = false) is the existence CAS on rename-atomic
+    // stores; an existing tag must be deleted explicitly, never repointed
+    val out = try fs.create(f, false) catch {
+      case _: java.io.IOException => throw new IllegalArgumentException(
+        s"tag '$name' already exists on $root — tags are immutable; " +
+          "deleteTag first")
+    }
+    try out.write(s"$id\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The snapshot id a tag names; loud when the tag does not exist. */
+  def tagSnapshotId(spark: org.apache.spark.sql.SparkSession, root: String,
+                    name: String): Int = {
+    val r = new org.apache.hadoop.fs.Path(root)
+    val fs = fsOf(spark, r)
+    val f = tagFile(r, name)
+    require(fs.exists(f), s"no tag '$name' on $root")
+    val in = fs.open(f)
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+      "UTF-8").trim.toInt
+    finally in.close()
+  }
+
+  /** All tags of the lake, (name, snapshotId), name-sorted. */
+  def listTags(spark: org.apache.spark.sql.SparkSession,
+               root: String): Seq[(String, Int)] = {
+    val r = new org.apache.hadoop.fs.Path(root)
+    val fs = fsOf(spark, r)
+    val lake = new org.apache.hadoop.fs.Path(r, LakeDir)
+    if (!fs.exists(lake)) return Nil
+    fs.listStatus(lake).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("tag-")).sorted
+      .map(n => n.stripPrefix("tag-") ->
+        tagSnapshotId(spark, root, n.stripPrefix("tag-")))
+  }
+
+  /** Remove a tag; the next [[snapshotGc]] may reclaim the epoch. */
+  def deleteTag(spark: org.apache.spark.sql.SparkSession, root: String,
+                name: String): Unit = {
+    val r = new org.apache.hadoop.fs.Path(root)
+    val fs = fsOf(spark, r)
+    require(fs.delete(tagFile(r, name), false), s"no tag '$name' on $root")
+  }
+
   /** Incremental CDC EXTRACT between two committed snapshots — "what
     * changed from epoch `fromId` to epoch `toId`", as [[snapshotDiff]]
     * I/U/D rows, WITHOUT scanning the lake: generations are immutable,
@@ -1674,7 +1839,19 @@ object Lakehouse {
     val fs = fsOf(spark, r)
     val ids = snapIds(fs, r)
     require(ids.nonEmpty, s"$root is not snapshot-managed")
-    val (drop, keep) = ids.splitAt(math.max(0, ids.size - keepSnapshots))
+    // tagged epochs are PINNED: their manifests (and so every generation
+    // they reference) survive any retention window until untagged
+    val tagged = listTags(spark, root).map(_._2).toSet
+    val (drop0, keep0) = ids.splitAt(math.max(0, ids.size - keepSnapshots))
+    val drop = drop0.filterNot(tagged.contains)
+    val keep = keep0 ++ drop0.filter(tagged.contains)
+    // crash relics of repartitionSnapshot stagings: reclaim them here
+    // (they live under the metadata dir, invisible to readers)
+    val lakeDir = new org.apache.hadoop.fs.Path(r, LakeDir)
+    if (fs.exists(lakeDir))
+      fs.listStatus(lakeDir).filter(st =>
+        st.isDirectory && st.getPath.getName.startsWith("stage-"))
+        .foreach(st => fs.delete(st.getPath, true))
     // qualified on BOTH sides: listStatus returns scheme-qualified URIs
     // while caller paths may be bare — a string mismatch here would GC
     // live data

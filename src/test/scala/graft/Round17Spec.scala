@@ -1054,6 +1054,104 @@ class Round17Spec extends SparkTestBase {
       ev.getAs[Long]("new_extra") == 7L)
   }
 
+  test("repartitionSnapshot: one staged pass + renames rewrite the " +
+    "layout atomically — content identical, new-layout partition " +
+    "pruning works, the OLD layout stays time-travelable, stats carry " +
+    "to the new files, nulls and escape-needing values are loud") {
+    import spark.implicits._
+    val root = freshDir("rp")
+    val t = (1L to 30L).map(i =>
+      (i, if (i % 2 == 0) "en" else "de", (i % 3).toInt))
+      .toDF("id", "lang", "p")
+    Lakehouse.commitSnapshot(spark, root,
+      (0 to 2).map(i => s"p=$i" -> t.filter(col("p") === i)),
+      statsCols = Seq("id"))
+    val id2 = Lakehouse.repartitionSnapshot(spark, root, "lang")
+    assert(id2 == 2)
+    // same table, new manifest keys
+    val cur = Lakehouse.readSnapshot(spark, root)
+    assert(cur.orderBy("id").select("id", "lang", "p")
+      .as[(Long, String, Int)].collect().toSeq ==
+      (1L to 30L).map(i => (i, if (i % 2 == 0) "en" else "de",
+        (i % 3).toInt)))
+    assert(Lakehouse.currentManifest(spark, root).keySet ==
+      Set("lang=en", "lang=de"))
+    // new-layout partition pruning: a lang-filtered read plans only the
+    // lang=en generation's files
+    val en = Lakehouse.readSnapshot(spark, root,
+      partitionFilter = _ == "lang=en")
+    assert(en.count() == 15L &&
+      en.inputFiles.forall(_.contains("/lang=en/")))
+    // stats carried to the new layout: the id skip layer still prunes
+    val manStats = Lakehouse.readSnapshot(spark, root,
+      fileRanges = Seq(Lakehouse.ColRange("id", Some(1L), Some(1L))))
+    assert(manStats.inputFiles.length < cur.inputFiles.length,
+      "per-file id stats did not survive the layout rewrite")
+    // the old layout is one time travel away
+    val old = Lakehouse.readSnapshot(spark, root, asOf = Some(1))
+    assert(old.count() == 30L &&
+      old.inputFiles.forall(_.contains("/p=")))
+    // loud contracts: null partition values, hive-escape-needing values
+    val root2 = freshDir("rpn")
+    Lakehouse.commitSnapshot(spark, root2, Seq("" ->
+      Seq((1L, "a"), (2L, null)).toDF("id", "k")))
+    val e1 = intercept[IllegalArgumentException] {
+      Lakehouse.repartitionSnapshot(spark, root2, "k")
+    }
+    assert(e1.getMessage.contains("NULL k"), e1.getMessage)
+    val root3 = freshDir("rpe")
+    Lakehouse.commitSnapshot(spark, root3, Seq("" ->
+      Seq((1L, "a:b")).toDF("id", "k"))) // ':' is hive-escaped
+    val e2 = intercept[IllegalArgumentException] {
+      Lakehouse.repartitionSnapshot(spark, root3, "k")
+    }
+    assert(e2.getMessage.contains("escap"), e2.getMessage)
+    // the failed attempts left no staging relics behind a later GC
+    Lakehouse.snapshotGc(spark, root3, keepSnapshots = 1)
+    assert(Lakehouse.readSnapshot(spark, root3).count() == 1L)
+  }
+
+  test("snapshot tags: immutable names pin epochs against GC until " +
+    "deleted; resolution, listing, and every misuse is loud") {
+    import spark.implicits._
+    val root = freshDir("tag")
+    Lakehouse.commitSnapshot(spark, root, Seq("p=a" -> part("a", 1L to 8L)))
+    Lakehouse.tagSnapshot(spark, root, "v1", 1)
+    Lakehouse.deleteSnapshot(spark, root, col("id") <= 4L) // snap 2
+    Lakehouse.deleteSnapshot(spark, root, col("id") === 5L) // snap 3
+    assert(Lakehouse.listTags(spark, root) == Seq("v1" -> 1))
+    // GC to one kept snapshot: the tagged epoch 1 SURVIVES, untagged 2 dies
+    Lakehouse.snapshotGc(spark, root, keepSnapshots = 1)
+    assert(Lakehouse.readSnapshot(spark, root,
+      asOf = Some(Lakehouse.tagSnapshotId(spark, root, "v1")))
+      .count() == 8L)
+    intercept[IllegalArgumentException] {
+      Lakehouse.readSnapshot(spark, root, asOf = Some(2))
+    }
+    // immutable: re-tagging the name is loud
+    val e = intercept[IllegalArgumentException] {
+      Lakehouse.tagSnapshot(spark, root, "v1", 3)
+    }
+    assert(e.getMessage.contains("immutable"), e.getMessage)
+    // tagging a dead epoch is loud; bad names are loud
+    intercept[IllegalArgumentException] {
+      Lakehouse.tagSnapshot(spark, root, "v2", 2)
+    }
+    intercept[IllegalArgumentException] {
+      Lakehouse.tagSnapshot(spark, root, "../escape", 3)
+    }
+    // delete the tag: the next GC reclaims epoch 1
+    Lakehouse.deleteTag(spark, root, "v1")
+    intercept[IllegalArgumentException] {
+      Lakehouse.tagSnapshotId(spark, root, "v1")
+    }
+    Lakehouse.snapshotGc(spark, root, keepSnapshots = 1)
+    intercept[IllegalArgumentException] {
+      Lakehouse.readSnapshot(spark, root, asOf = Some(1))
+    }
+    assert(Lakehouse.readSnapshot(spark, root).count() == 3L)
+  }
+
   test("exactSubstrSpans/Clean: keep-first-occurrence, merged spans " +
     "cover exactly the shared region, short and unique docs pass " +
     "through verbatim, intra-doc repeats drop their later copy") {
