@@ -112,6 +112,7 @@ object SparkEntry {
       "q_stream_dedup", "q_stream_file_dedup", "q_stream_anomaly",
       "q_stream_manifest", "q_stream_file_manifest", "q_stream_cdc_compact",
       "q_stream_er", "q_stream_golden", "q_stream_cdc_snapshot",
+      "q_stream_changes_feed",
       // loopback-federation verification harnesses: each boots GraftServer
       // instances and pays the deploy-time wire probe (create_rdfmts
       // parity) inside the row — they verify the endpoint catalog path,
@@ -1149,6 +1150,25 @@ object SparkEntry {
           col("o_totalprice"))
       _root_.graft.streaming.EventStreams
         .cdcSnapshotReplayed(target, cdcLogFixture(s, d), root)
+        .orderBy("o_orderkey")
+    }),
+    // SIXTEENTH replay gate: a downstream replica maintained ONLY from
+    // the snapshotChanges feed between per-batch commits must equal the
+    // table the CDC fold produced — changes-feed-driven replication
+    "q_stream_changes_feed" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      val tag = new java.io.File(d).getName
+      val root = s"/tmp/graft_lake_snap_cf/$tag"
+      val rep = s"/tmp/graft_lake_snap_cf_rep/$tag"
+      for (dir <- Seq(root, rep)) {
+        val p0 = new org.apache.hadoop.fs.Path(dir)
+        p0.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p0, true)
+      }
+      val target = T(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      _root_.graft.streaming.EventStreams
+        .changesFeedReplayed(target, cdcLogFixture(s, d), root, rep)
         .orderBy("o_orderkey")
     }),
     // SCD2 time travel: the same history lake_scd2 builds (batch applied
@@ -5003,6 +5023,16 @@ object SparkEntry {
       // the streamed CDC→snapshot fold must land on the batch
       // applyCdc(compactLog(log)) table: %20 keys deleted (their D is
       // the last op), %10 repriced by the surviving U, the rest intact
+      // the replica fed ONLY by snapshotChanges must land on the same
+      // table as the CDC fold itself
+      "q_stream_changes_feed" ->
+        """SELECT o_orderkey, o_custkey,
+          |  CASE WHEN o_orderkey % 10 = 0 THEN 'U'
+          |       ELSE o_orderstatus END AS o_orderstatus,
+          |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 5.0
+          |       ELSE o_totalprice END AS o_totalprice
+          |FROM orders WHERE o_orderkey % 20 <> 0
+          |ORDER BY o_orderkey""".stripMargin,
       "q_stream_cdc_snapshot" ->
         """SELECT o_orderkey, o_custkey,
           |  CASE WHEN o_orderkey % 10 = 0 THEN 'U'

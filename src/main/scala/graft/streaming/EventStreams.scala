@@ -555,6 +555,79 @@ object EventStreams {
         col("o_totalprice"))
   }
 
+  /** Streaming changes-feed replication replay gate
+    * (`q_stream_changes_feed`): the END-TO-END lake composition — the
+    * CDC stream folds into per-batch snapshot commits (exactly
+    * [[cdcSnapshotReplayed]]'s pipe) while a DOWNSTREAM consumer keeps a
+    * replica in sync by reading ONLY
+    * [[graft.pipeline.Lakehouse.snapshotChanges]] between the epoch it
+    * last applied and the batch's committed id — it bootstraps from
+    * epoch 1 and never reads the table again. The final replica must
+    * equal the batch `applyCdc(target, compactLog(log))` row-for-row:
+    * every change reaches the replica exactly once because the feed is
+    * derived from immutable manifests between dense per-batch epochs
+    * (an empty batch commits nothing and the feed sees nothing).
+    * MemoryStream + driver feeding — verification machinery
+    * (bench-excluded), not a production op. */
+  def changesFeedReplayed(target: DataFrame, log: DataFrame, root: String,
+                          replicaRoot: String, chunks: Int = 3)
+                         (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val pOf = (col("o_orderkey") % 4).cast("int")
+    val base = target.select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), pOf.as("p"))
+    graft.pipeline.Lakehouse.commitSnapshot(spark, root,
+      (0 to 3).map(i => s"p=$i" -> base.filter(col("p") === i)))
+    def repDir(g: Int) = s"$replicaRoot/r$g"
+    var repGen = 1
+    base.write.mode("overwrite").parquet(repDir(repGen))
+    var lastSeen = 1
+    val valCols = Seq("o_custkey", "o_orderstatus", "o_totalprice", "p")
+    val rows = log.select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("op"), col("seq"))
+      .collect().map(r => CdcOp(r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3), r.getString(4), r.getLong(5)))
+      .sortBy(c => (c.seq, c.o_orderkey))
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[CdcOp]
+    val stream = input.toDS().toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        val compacted = graft.pipeline.Lakehouse.compactLog(
+          batch.toDF().withColumn("p", pOf), Seq("o_orderkey"), "seq")
+        val nid = graft.pipeline.Lakehouse.applyCdcSnapshot(spark, root,
+          compacted, Seq("o_orderkey"), "p")
+        if (nid != lastSeen) { // an empty batch committed nothing
+          val diff = graft.pipeline.Lakehouse.snapshotChanges(spark, root,
+            lastSeen, nid, Seq("o_orderkey"))
+          val ups = diff.filter(col("change_type") =!= "D")
+            .select(col("o_orderkey") +:
+              valCols.map(c => col(s"new_$c").as(c)): _*)
+          val dels = diff.filter(col("change_type") === "D")
+            .select("o_orderkey")
+          val cur = spark.read.parquet(repDir(repGen))
+          val next = graft.pipeline.Lakehouse.mergeUpsert(
+            cur.join(dels, Seq("o_orderkey"), "left_anti"), ups,
+            Seq("o_orderkey"))
+          repGen += 1
+          next.write.mode("overwrite").parquet(repDir(repGen))
+          lastSeen = nid
+        }
+        ()
+      }
+      .start()
+    try {
+      val per = math.max(1, (rows.length + chunks - 1) / chunks)
+      rows.grouped(per).foreach { c =>
+        input.addData(c.toSeq); stream.processAllAvailable()
+      }
+    } finally stream.stop()
+    spark.read.parquet(repDir(repGen))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+  }
+
   /** Streaming CDC compaction replay gate (`q_stream_cdc_compact`): the
     * SAME declarative [[graft.pipeline.Lakehouse.compactLog]] plan runs
     * UNCHANGED on a stream — `max_by` is a perfect streaming aggregate

@@ -1152,6 +1152,137 @@ class Round17Spec extends SparkTestBase {
     assert(Lakehouse.readSnapshot(spark, root).count() == 3L)
   }
 
+  test("model-based DML torture: 24 random delete/update/rollback/" +
+    "repartition/merge/GC/tag ops — the lake equals the model after " +
+    "every op, every kept epoch time-travels to ITS model, and " +
+    "snapshotChanges replayed onto the previous epoch's model " +
+    "reproduces the current one") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260817L)
+    val root = freshDir("dmlmodel")
+    def langOf(id: Long) = s"l${(id % 3).toInt}"
+    def grpOf(id: Long) = s"g${(id % 2).toInt}"
+    type Rec = (Long, String, String, String) // id, lang, grp, v
+    def df(rows: Seq[(Long, String, String, String)]) =
+      rows.toDF("id", "lang", "grp", "v")
+    val model = scala.collection.mutable.Map[Long, Rec]()
+    (1L to 30L).foreach(i => model(i) = (i, langOf(i), grpOf(i), s"v$i"))
+    var layout = "lang"
+    Lakehouse.commitSnapshot(spark, root,
+      model.values.toSeq.groupBy(_._2).toSeq.map { case (l, rs) =>
+        s"lang=$l" -> df(rs) })
+    var maxId = 30L
+    val epochModels = scala.collection.mutable.Map[Int, Map[Long, Rec]]()
+    val layoutByEpoch = scala.collection.mutable.Map[Int, String]()
+    def record(id: Int): Unit = {
+      epochModels(id) = model.toMap; layoutByEpoch(id) = layout
+    }
+    record(1)
+    var tagSeq = 0
+    def keptIds: Seq[Int] = Lakehouse.snapshotHistory(spark, root)
+      .select("snapshot_id").collect().map(_.getInt(0)).toSeq.sorted
+
+    for (step <- 1 to 24) {
+      val prev = Lakehouse.currentSnapshotId(spark, root).get
+      rnd.nextInt(8) match {
+        case 0 => // MERGE upd + ins
+          val upd = rnd.shuffle(model.keys.toSeq).take(1 + rnd.nextInt(4))
+            .map(id => (id, langOf(id), grpOf(id), s"m$step-$id"))
+          val ins = (1 to 1 + rnd.nextInt(3)).map { _ =>
+            maxId += 1; (maxId, langOf(maxId), grpOf(maxId), s"i$step-$maxId") }
+          val nid0 = Lakehouse.mergeSnapshot(spark, root, df(upd ++ ins),
+            Seq("id"), layout)
+          (upd ++ ins).foreach(r => model(r._1) = r)
+          record(nid0)
+        case 1 => // DELETE by modulus, never emptying the lake
+          val k = 2 + rnd.nextInt(5); val m = rnd.nextInt(k)
+          val doomed = model.keys.filter(_ % k == m).toSet
+          if (doomed.size < model.size) {
+            val nid1 = Lakehouse.deleteSnapshot(spark, root,
+              col("id") % k === m)
+            doomed.foreach(model.remove)
+            record(nid1)
+          }
+        case 2 => // UPDATE v where id % k == m (never the layout cols)
+          val k = 2 + rnd.nextInt(5); val m = rnd.nextInt(k)
+          val nid2 = Lakehouse.updateSnapshot(spark, root,
+            col("id") % k === m,
+            Seq("v" -> concat(lit(s"u$step:"), col("v"))))
+          model.keys.filter(_ % k == m).toSeq.foreach { id =>
+            val r = model(id); model(id) = r.copy(_4 = s"u$step:${r._4}")
+          }
+          record(nid2)
+        case 3 => // ROLLBACK to a random kept epoch
+          val target = keptIds(rnd.nextInt(keptIds.size))
+          val nid = Lakehouse.rollbackSnapshot(spark, root, target)
+          model.clear(); epochModels(target).values.foreach(r =>
+            model(r._1) = r)
+          layout = layoutByEpoch(target)
+          record(nid)
+        case 4 => // LAYOUT EVOLUTION: flip the partition scheme
+          layout = if (layout == "lang") "grp" else "lang"
+          record(Lakehouse.repartitionSnapshot(spark, root, layout))
+        case 5 =>
+          Lakehouse.snapshotGc(spark, root, keepSnapshots = 3)
+        case 6 => // tag management: pin a random epoch, sometimes unpin
+          val tags = Lakehouse.listTags(spark, root)
+          if (tags.nonEmpty && rnd.nextBoolean())
+            Lakehouse.deleteTag(spark, root, tags.head._1)
+          else {
+            tagSeq += 1
+            Lakehouse.tagSnapshot(spark, root, s"t$tagSeq",
+              keptIds(rnd.nextInt(keptIds.size)))
+          }
+        case 7 => // full-partition rewrite under the CURRENT layout
+          val vs = model.values.map(r =>
+            if (layout == "lang") r._2 else r._3).toSeq.distinct
+          val v = vs(rnd.nextInt(vs.size))
+          val rows = model.values.toSeq.filter(r =>
+            (if (layout == "lang") r._2 else r._3) == v)
+          record(Lakehouse.commitSnapshot(spark, root,
+            Seq(s"$layout=$v" -> df(rows))))
+      }
+      val cur = Lakehouse.currentSnapshotId(spark, root).get
+      // invariant 1: the lake equals the model
+      val lake = Lakehouse.readSnapshot(spark, root).collect()
+        .map(r => (r.getLong(r.fieldIndex("id")),
+          r.getString(r.fieldIndex("lang")),
+          r.getString(r.fieldIndex("grp")),
+          r.getString(r.fieldIndex("v")))).toSet
+      assert(lake == model.values.toSet, s"step $step: lake diverged")
+      // invariant 2: a random kept epoch time-travels to ITS model
+      val probe = keptIds(rnd.nextInt(keptIds.size))
+      epochModels.get(probe).foreach { em =>
+        val got = Lakehouse.readSnapshot(spark, root, asOf = Some(probe))
+          .collect().map(r => (r.getLong(r.fieldIndex("id")),
+            r.getString(r.fieldIndex("lang")),
+            r.getString(r.fieldIndex("grp")),
+            r.getString(r.fieldIndex("v")))).toSet
+        assert(got == em.values.toSet, s"step $step: epoch $probe diverged")
+      }
+      // invariant 3: changes(prev -> cur) replayed onto prev's model
+      // reproduces cur's — when both epochs are still kept
+      if (prev != cur && keptIds.contains(prev) && keptIds.contains(cur)
+        && epochModels.contains(prev)) {
+        val replayed = scala.collection.mutable.Map[Long, Rec]() ++
+          epochModels(prev)
+        Lakehouse.snapshotChanges(spark, root, prev, cur, Seq("id"))
+          .collect().foreach { r =>
+            val id = r.getLong(r.fieldIndex("id"))
+            r.getString(r.fieldIndex("change_type")) match {
+              case "D" => replayed.remove(id)
+              case _ => replayed(id) = (id,
+                r.getString(r.fieldIndex("new_lang")),
+                r.getString(r.fieldIndex("new_grp")),
+                r.getString(r.fieldIndex("new_v")))
+            }
+          }
+        assert(replayed.toMap == epochModels(cur),
+          s"step $step: changes($prev->$cur) replay diverged")
+      }
+    }
+  }
+
   test("exactSubstrSpans/Clean: keep-first-occurrence, merged spans " +
     "cover exactly the shared region, short and unique docs pass " +
     "through verbatim, intra-doc repeats drop their later copy") {
