@@ -216,8 +216,8 @@ object Graft {
     def version(spec: graft.sources.SourceSpec): Option[String] = spec match {
       case graft.sources.ParquetSource(p) =>
         Some("pq:" + graft.mapping.CatalogCache.fingerprint(Seq(p)))
-      case graft.sources.SnapshotSource(root, asOf) =>
-        Some("snap:" + root + "@" + asOf.orElse(
+      case sn @ graft.sources.SnapshotSource(root, _, _) =>
+        Some("snap:" + root + "@" + sn.epoch(spark).orElse(
           graft.pipeline.Lakehouse.currentSnapshotId(spark, root))
           .getOrElse(0))
       case _ => None

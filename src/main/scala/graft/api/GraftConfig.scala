@@ -97,8 +97,11 @@ object GraftConfig {
           case "parquet" => ParquetSource(url)
           // a snapshot-managed lake read through its manifest (current
           // snapshot, or params.asOf for a pinned epoch)
+          // a snapshot epoch pins by params.asOf (an id) or params.tag
+          // (a stable name resolved through the immutable tag registry)
           case "snapshot" => SnapshotSource(url,
-            Option(param("asOf", "")).filter(_.nonEmpty).map(_.toInt))
+            Option(param("asOf", "")).filter(_.nonEmpty).map(_.toInt),
+            Option(param("tag", "")).filter(_.nonEmpty))
           case "csv"     => CsvSource(url, param("delimiter", ","))
           case "tsv"     => CsvSource(url, "\t")
           case "json"    => JsonSource(url)

@@ -48,9 +48,19 @@ final case class OrcSource(path: String) extends SourceSpec {
   * catalog and every query see one consistent epoch even while writers
   * commit. */
 final case class SnapshotSource(root: String,
-                                asOf: Option[Int] = None) extends SourceSpec {
+                                asOf: Option[Int] = None,
+                                tag: Option[String] = None)
+  extends SourceSpec {
+  require(asOf.isEmpty || tag.isEmpty,
+    s"SnapshotSource($root): pin EITHER asOf or tag, not both")
+  /** The epoch this source reads: the pinned id, the tag's id resolved
+    * NOW (tags are immutable, so this is stable until deleteTag), or
+    * None = the current snapshot. */
+  def epoch(spark: SparkSession): Option[Int] =
+    tag.map(graft.pipeline.Lakehouse.tagSnapshotId(spark, root, _))
+      .orElse(asOf)
   def load(spark: SparkSession): DataFrame =
-    graft.pipeline.Lakehouse.readSnapshot(spark, root, asOf)
+    graft.pipeline.Lakehouse.readSnapshot(spark, root, epoch(spark))
 }
 
 /** XML via Spark 4's built-in XML source; `rowTag` plays the RML iterator

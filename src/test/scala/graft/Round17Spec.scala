@@ -777,6 +777,18 @@ class Round17Spec extends SparkTestBase {
       cfg(""", "params": {"asOf": "1"}""")).graft.sparql(q)
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     assert(old == plain)
+    // a TAG pins the same epoch by stable name through the config
+    Lakehouse.tagSnapshot(spark, root, "audited", 1)
+    val tagged = graft.api.GraftConfig.parse(
+      cfg(""", "params": {"tag": "audited"}""")).graft.sparql(q)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(tagged == plain)
+    // pinning BOTH is a config error, loudly
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.SnapshotSource(root, asOf = Some(1),
+        tag = Some("audited"))
+    }
+    assert(e.getMessage.contains("not both"), e.getMessage)
   }
 
   test("snapshotHistory + TIMESTAMP AS OF: the lineage reports each kept " +
