@@ -202,6 +202,58 @@ object GraftFunctions {
     GraftBridge.column(ShingleIds(GraftBridge.expression(text), k))
   }
 
+  private val HexBytes = "0123456789abcdef".getBytes("US-ASCII")
+
+  /** Every `stride`-th `window`-character substring's md5-prefix digest,
+    * identical to SQL `substring(md5(substring(text, 1 + i*stride,
+    * window)), 1, 16)` — the exactSubstr contract hash — computed in ONE
+    * primitive pass: character (codepoint) offsets resolved once, md5
+    * runs directly over each window's UTF-8 byte span, no interpreted
+    * HOF lambda and no per-window string copy. Window i's position is
+    * implied (pos = 1 + i*stride). Empty array when the text is shorter
+    * than the window. Called from generated code. */
+  def substrWindowHashes(text: org.apache.spark.unsafe.types.UTF8String,
+                         window: Int, stride: Int): ArrayData = {
+    val bytes = text.getBytes
+    // SQL substring counts CHARACTERS: resolve codepoint byte offsets once
+    val starts = new Array[Int](text.numChars() + 1)
+    var o = 0
+    var c = 0
+    while (o < bytes.length) {
+      starts(c) = o
+      o += org.apache.spark.unsafe.types.UTF8String
+        .numBytesForFirstByte(bytes(o))
+      c += 1
+    }
+    starts(c) = bytes.length
+    if (c < window) return new GenericArrayData(Array.empty[Any])
+    val count = (c - window) / stride + 1
+    val md = Md5Local.get()
+    val out = new Array[Any](count)
+    var i = 0
+    while (i < count) {
+      val from = starts(i * stride)
+      md.update(bytes, from, starts(i * stride + window) - from)
+      val d = md.digest() // digest() also resets
+      val hex = new Array[Byte](16)
+      var j = 0
+      while (j < 8) {
+        hex(2 * j) = HexBytes((d(j) >> 4) & 0xf)
+        hex(2 * j + 1) = HexBytes(d(j) & 0xf)
+        j += 1
+      }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromBytes(hex)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def substr_window_hashes(text: Column, window: Int, stride: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(
+      SubstrWindowHashes(GraftBridge.expression(text), window, stride))
+  }
+
   /** Slot-weight tables for the hashing-trick quality scorer, keyed by
     * bucket count: weight(b) = first-2-md5-bytes("qw"+b) % 17 - 8 — the
     * `('0x' || substr(md5('qw' || b), 1, 4))::BIGINT % 17 - 8` arithmetic
@@ -391,6 +443,36 @@ final case class ShingleIds(child: Expression, k: Int) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): ShingleIds =
     copy(child = newChild)
+}
+
+/** string → array of md5-prefix-16 window digests (see
+  * [[GraftFunctions.substrWindowHashes]]); one codegen'd call per row. */
+final case class SubstrWindowHashes(child: Expression, window: Int,
+                                    stride: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes()
+  : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case StringType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"substr_window_hashes expects string, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftFunctions.substrWindowHashes(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      window, stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftFunctions" +
+        s".substrWindowHashes($c, $window, $stride);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SubstrWindowHashes = copy(child = newChild)
 }
 
 /** array<long> token hashes → 64-bit SimHash fingerprint. */

@@ -788,16 +788,17 @@ object Dedup {
   def exactSubstrSpans(docs: DataFrame, window: Int = 40,
                        stride: Int = 1): DataFrame = {
     require(window >= 2 && stride >= 1, s"bad window=$window/stride=$stride")
+    // window digests via ONE native codegen'd pass per document (the
+    // interpreted transform-HOF chain it replaces cost ~it all: the md5
+    // itself is <20% of the lambda machinery — same finding as
+    // [[withShingles]]); position is implied by the array index
     val occ = docs
       .repartition(col("doc_id"))
-      .filter(length(col("text")) >= window)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, CAST(floor((length(text) - $window) / " +
-          s"$stride) AS INT)), i -> named_struct(" +
-          s"'pos', CAST(1 + i * $stride AS BIGINT), " +
-          s"'g', substring(md5(substring(text, 1 + i * $stride, $window))" +
-          s", 1, 16)))")).as("o"))
-      .select(col("doc_id"), col("o.pos").as("pos"), col("o.g").as("g"))
+      .select(col("doc_id"), posexplode(
+        graft.functions.GraftFunctions.substr_window_hashes(
+          col("text"), window, stride)).as(Seq("i", "g")))
+      .select(col("doc_id"),
+        (lit(1L) + col("i") * stride).as("pos"), col("g"))
     val firsts = occ.groupBy("g").agg(
       count(lit(1)).as("c"),
       min(struct(col("doc_id"), col("pos"))).as("first"))

@@ -21,6 +21,8 @@ object Drive {
     spark.sparkContext.setLogLevel("WARN")
     args.sliding(2).collect { case Array("--stats-probe", d) => d }
       .foreach { d => statsProbe(spark, d); spark.stop(); return }
+    args.sliding(2).collect { case Array("--substr-probe", d) => d }
+      .foreach { d => substrProbe(spark, d); spark.stop(); return }
     val sfDir = args.takeWhile(_ != "--plan").headOption
       .getOrElse("/root/testdata/sf0.001")
     val n = graft.SparkEntry.entry(spark).count()
@@ -32,6 +34,57 @@ object Drive {
       println(df.queryExecution.executedPlan.toString.take(4000))
     }
     spark.stop()
+  }
+
+  private def substrProbe(spark: SparkSession, d: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    def t[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"$tag: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val occ = docs.repartition(col("doc_id"))
+      .filter(length(col("text")) >= 40)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, CAST(floor((length(text) - 40) / 1) AS INT))," +
+          " i -> named_struct('pos', CAST(1 + i AS BIGINT), " +
+          "'g', substring(md5(substring(text, 1 + i, 40)), 1, 16)))")).as("o"))
+      .select(col("doc_id"), col("o.pos").as("pos"), col("o.g").as("g"))
+    t("occ count")(println(occ.count()))
+    t("occ count again")(println(occ.count()))
+    val firsts = occ.groupBy("g").agg(count(lit(1)).as("c"),
+      min(struct(col("doc_id"), col("pos"))).as("first")).filter(col("c") >= 2)
+    t("firsts")(println(firsts.count()))
+    val spans = occ.join(firsts, Seq("g"))
+      .filter(!(col("doc_id") === col("first.doc_id") &&
+        col("pos") === col("first.pos")))
+    t("spans join")(println(spans.count()))
+    // apportion: same explode but xxhash64 instead of md5
+    val occX = docs.repartition(col("doc_id"))
+      .filter(length(col("text")) >= 40)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, CAST(floor((length(text) - 40) / 1) AS INT))," +
+          " i -> named_struct('pos', CAST(1 + i AS BIGINT), " +
+          "'g', xxhash64(substring(text, 1 + i, 40))))")).as("o"))
+      .select(col("doc_id"), col("o.pos").as("pos"), col("o.g").as("g"))
+    t("occ xxhash64")(println(occX.count()))
+    // and: no per-window hash at all (string key)
+    val occS = docs.repartition(col("doc_id"))
+      .filter(length(col("text")) >= 40)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, CAST(floor((length(text) - 40) / 1) AS INT))," +
+          " i -> named_struct('pos', CAST(1 + i AS BIGINT), " +
+          "'g', substring(text, 1 + i, 40)))")).as("o"))
+      .select(col("doc_id"), col("o.pos").as("pos"), col("o.g").as("g"))
+    t("occ raw substring")(println(occS.count()))
+    t("full spans op")(println(
+      graft.pipeline.Dedup.exactSubstrSpans(docs, 40, 1).count()))
+    t("full clean op")(println(
+      graft.pipeline.Dedup.exactSubstrClean(docs, 40, 1).count()))
+    val plan = graft.pipeline.Dedup.exactSubstrSpans(docs, 40, 1)
+      .queryExecution.optimizedPlan.toString
+    println("substr_window_hashes occurrences in optimized plan: " +
+      "substrwindowhashes".r.findAllIn(plan.toLowerCase).size)
   }
 
   private def statsProbe(spark: SparkSession, d: String): Unit = {

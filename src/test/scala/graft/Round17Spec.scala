@@ -1295,6 +1295,33 @@ class Round17Spec extends SparkTestBase {
     }
   }
 
+  test("substr_window_hashes is bit-identical to the SQL " +
+    "md5-of-substring chain it replaces — including multi-byte " +
+    "codepoints, supplementary-plane characters, short and empty texts, " +
+    "and stride > 1") {
+    import spark.implicits._
+    val fixtures = Seq(
+      "plain ascii text long enough to window over it twice at least",
+      "ümlauts ünd ßcharfes ss mixed ïnto the tëxt ümlauts ünd ßcharfes",
+      "emoji 😀 inside 🚀 the text 😀 " +
+        "inside again padding padding",
+      "short", "", "exactly-ten")
+    for (w <- Seq(3, 10); st <- Seq(1, 3)) {
+      val df = fixtures.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val native = df.select(col("id"), graft.functions.GraftFunctions
+        .substr_window_hashes(col("text"), w, st).as("h"))
+      val sql = df.select(col("id"), expr(
+        s"CASE WHEN length(text) >= $w THEN transform(sequence(0, " +
+          s"CAST(floor((length(text) - $w) / $st) AS INT)), i -> " +
+          s"substring(md5(substring(text, 1 + i * $st, $w)), 1, 16)) " +
+          "ELSE array() END").as("h"))
+      val n = native.orderBy("id").as[(Long, Seq[String])].collect().toSeq
+      val q = sql.orderBy("id").as[(Long, Seq[String])].collect().toSeq
+      assert(n == q, s"window=$w stride=$st diverged")
+    }
+  }
+
   test("exactSubstrSpans/Clean: keep-first-occurrence, merged spans " +
     "cover exactly the shared region, short and unique docs pass " +
     "through verbatim, intra-doc repeats drop their later copy") {
