@@ -1544,6 +1544,32 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"), col("p"))
         .orderBy("doc_id")
     }),
+    // write-audit-publish: the takedown stages invisibly, the audit
+    // read must pass (row count + no banned source), THEN it publishes
+    // — the committed table is the audited bytes
+    "lake_snapshot_wap" -> ((s, d) => {
+      val root = s"/tmp/graft_lake_snap_wp/${new java.io.File(d).getName}"
+      val p0 = new org.apache.hadoop.fs.Path(root)
+      p0.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p0, true)
+      val docs = T(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          (col("doc_id") % 2).cast("int").as("p"))
+      _root_.graft.pipeline.Lakehouse.commitSnapshot(s, root,
+        Seq("p=0" -> docs.filter(col("p") === 0),
+          "p=1" -> docs.filter(col("p") === 1)))
+      def took(p: Int) = docs.filter(col("p") === p)
+        .filter(col("doc_id") % 7 =!= 0)
+      val token = _root_.graft.pipeline.Lakehouse.stageSnapshot(s, root,
+        Seq("p=0" -> took(0), "p=1" -> took(1)))
+      // the AUDIT gate: staged rows must be fewer and takedown-clean
+      val audit = _root_.graft.pipeline.Lakehouse.readStaged(s, root, token)
+      require(audit.filter(col("doc_id") % 7 === 0).count() == 0L,
+        "audit failed: staged snapshot still carries takedown rows")
+      _root_.graft.pipeline.Lakehouse.publishStaged(s, root, token)
+      _root_.graft.pipeline.Lakehouse.readSnapshot(s, root)
+        .select(col("doc_id"), col("lang"), col("source"), col("p"))
+        .orderBy("doc_id")
+    }),
     // fuzzy string join (edit distance <= 1): 10-char md5-hex keys vs
     // their deterministic one-char deletions — q-gram blocked candidates
     // + the exact codegen'd levenshtein verify, never a cross join. q=4
@@ -3232,6 +3258,11 @@ object SparkEntry {
     "lake_snapshot_tag" ->
       """SELECT doc_id, lang, source, CAST(doc_id % 2 AS INTEGER) AS p
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the published stage IS the audited takedown
+    "lake_snapshot_wap" ->
+      """SELECT doc_id, lang, source, CAST(doc_id % 2 AS INTEGER) AS p
+        |FROM documents WHERE doc_id % 7 <> 0
+        |ORDER BY doc_id""".stripMargin,
     // engine over the lake's CURRENT snapshot: the takedown pass applied
     "sparql_lake_snapshot" ->
       """SELECT 'urn:g:doc:' || CAST(doc_id AS VARCHAR) AS d,

@@ -540,6 +540,28 @@ object Lakehouse {
     * concurrent committer of the same id throws
     * [[ConcurrentCommitException]] (optimistic concurrency;
     * last-committer-wins would silently drop writes). */
+  /** The manifest wire format: #schema / #stats / #bloom meta lines then
+    * the rel→gen mapping, one line each; stat values URL-encoded so
+    * data-driven strings can never split a line. Written by commits and
+    * staged (write-audit-publish) manifests alike; [[readManifest]]
+    * parses both. */
+  private def manifestText(man: Manifest): String = {
+    val statLines = man.stats.toSeq.sortBy(_._1).flatMap { case (rel, fm) =>
+      fm.toSeq.sortBy(_._1).flatMap { case (file, cm) =>
+        cm.toSeq.sortBy(_._1).map { case (c, st) =>
+          s"#stats\t$rel\t$file\t$c\t${encStat(st.min)}\t${encStat(st.max)}\n"
+        }
+      }
+    }.mkString
+    val bloomLines = man.blooms.toSeq.sortBy(_._1).flatMap { case (rel, cs) =>
+      cs.toSeq.sorted.map(c => s"#bloom\t$rel\t$c\n")
+    }.mkString
+    man.schema.map(s => s"#schema\t${s.json}\n").getOrElse("") +
+      statLines + bloomLines +
+      man.mapping.toSeq.sortBy(_._1)
+        .map { case (rel, gen) => s"$rel\t$gen\n" }.mkString
+  }
+
   private def commitManifest(spark: org.apache.spark.sql.SparkSession,
                              root: String,
                              man: Manifest,
@@ -557,24 +579,8 @@ object Lakehouse {
     val target = snapFile(r, id)
     val tmp = new org.apache.hadoop.fs.Path(target.getParent,
       s".${target.getName}.${snapGenName().drop("_gen-".length)}.tmp")
-    // stats ride as #stats meta lines, one per (partition, file, column),
-    // values URL-encoded so data-driven strings can never split a line
-    val statLines = man.stats.toSeq.sortBy(_._1).flatMap { case (rel, fm) =>
-      fm.toSeq.sortBy(_._1).flatMap { case (file, cm) =>
-        cm.toSeq.sortBy(_._1).map { case (c, st) =>
-          s"#stats\t$rel\t$file\t$c\t${encStat(st.min)}\t${encStat(st.max)}\n"
-        }
-      }
-    }.mkString
-    val bloomLines = man.blooms.toSeq.sortBy(_._1).flatMap { case (rel, cs) =>
-      cs.toSeq.sorted.map(c => s"#bloom\t$rel\t$c\n")
-    }.mkString
     val out = fs.create(tmp, true)
-    out.write((man.schema.map(s => s"#schema\t${s.json}\n").getOrElse("") +
-      statLines + bloomLines +
-      man.mapping.toSeq.sortBy(_._1)
-        .map { case (rel, gen) => s"$rel\t$gen\n" }.mkString)
-      .getBytes("UTF-8"))
+    out.write(manifestText(man).getBytes("UTF-8"))
     out.close()
     def lose(): Nothing = {
       fs.delete(tmp, false)
@@ -658,6 +664,22 @@ object Lakehouse {
                      expectedSnapshot: Option[Int] = None,
                      statsCols: Seq[String] = Nil,
                      bloomCols: Seq[String] = Nil): Int = {
+    val (man, baseId) = prepareSnapshot(spark, root, writes,
+      expectedSnapshot, statsCols, bloomCols)
+    commitManifest(spark, root, man, baseId)
+  }
+
+  /** The write phase every snapshot commit shares — data generations,
+    * sentinels, schema merge, stats, blooms — WITHOUT the manifest put:
+    * returns the manifest that WOULD become current and the base id it
+    * derives from. [[commitSnapshot]] flips it immediately;
+    * [[stageSnapshot]] parks it for write-audit-publish. */
+  private def prepareSnapshot(spark: org.apache.spark.sql.SparkSession,
+                              root: String,
+                              writes: Seq[(String, DataFrame)],
+                              expectedSnapshot: Option[Int],
+                              statsCols: Seq[String],
+                              bloomCols: Seq[String]): (Manifest, Int) = {
     require(writes.nonEmpty, "commitSnapshot needs at least one write")
     writes.foreach { case (rel, _) =>
       require(rel.isEmpty || validRel(rel),
@@ -748,9 +770,105 @@ object Lakehouse {
       effBloom.filter(schema.fieldNames.contains), Some(schema))
     val carriedBlooms = prior.map(_.blooms).getOrElse(Map.empty) --
       updated.map(_._1)
-    commitManifest(spark, root,
-      Manifest(base ++ updated, Some(schema), carried ++ fresh,
-        carriedBlooms ++ freshBlooms), baseId)
+    (Manifest(base ++ updated, Some(schema), carried ++ fresh,
+      carriedBlooms ++ freshBlooms), baseId)
+  }
+
+  // ---- WRITE-AUDIT-PUBLISH: stage a snapshot, audit it, then flip ------------
+
+  private val StagedToken = "^staged-(\\d{8})-[0-9a-f]{32}$".r
+  private def stagedFile(root: org.apache.hadoop.fs.Path, token: String) =
+    new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(root, LakeDir), token)
+
+  /** WRITE of write-audit-publish: everything [[commitSnapshot]] does —
+    * data generations, schema merge, stats, blooms — except the flip;
+    * the would-be manifest parks as a staged file and READERS STILL
+    * RESOLVE THE CURRENT SNAPSHOT. Audit the exact bytes via
+    * [[readStaged]] (quality gates, row counts, PK checks), then
+    * [[publishStaged]] flips it with the same CAS a direct commit gets
+    * (the base is pinned at stage time — a competitor landing in between
+    * fails the publish loudly; re-stage from the new base), or
+    * [[abandonStaged]] drops it. Staged generations are pinned against
+    * [[snapshotGc]] until published or abandoned. Returns the stage
+    * token. */
+  def stageSnapshot(spark: org.apache.spark.sql.SparkSession, root: String,
+                    writes: Seq[(String, DataFrame)],
+                    expectedSnapshot: Option[Int] = None,
+                    statsCols: Seq[String] = Nil,
+                    bloomCols: Seq[String] = Nil): String = {
+    val (man, baseId) = prepareSnapshot(spark, root, writes,
+      expectedSnapshot, statsCols, bloomCols)
+    val r = new org.apache.hadoop.fs.Path(root)
+    val fs = fsOf(spark, r)
+    val token = f"staged-$baseId%08d-${snapGenName().drop("_gen-".length)}"
+    val out = fs.create(stagedFile(r, token), false)
+    try out.write(manifestText(man).getBytes("UTF-8")) finally out.close()
+    token
+  }
+
+  private def requireStagedToken(token: String): Int = token match {
+    case StagedToken(base) => base.toInt
+    case _ => throw new IllegalArgumentException(
+      s"'$token' is not a stage token (expected staged-<base>-<nonce>)")
+  }
+
+  /** AUDIT of write-audit-publish: the staged snapshot's exact content —
+    * the same multi-root manifest read a published snapshot gets
+    * (schema null-fill, partition filter, declared ranges), without any
+    * reader being able to see it through the normal path. */
+  def readStaged(spark: org.apache.spark.sql.SparkSession, root: String,
+                 token: String,
+                 partitionFilter: String => Boolean = _ => true,
+                 fileRanges: Seq[ColRange] = Nil): DataFrame = {
+    requireStagedToken(token)
+    val r = new org.apache.hadoop.fs.Path(root)
+    val fs = fsOf(spark, r)
+    val f = stagedFile(r, token)
+    require(fs.exists(f), s"no staged snapshot '$token' on $root")
+    readFromManifest(spark, root, readManifest(fs, f), partitionFilter,
+      fileRanges)
+  }
+
+  /** PUBLISH of write-audit-publish: flip the staged manifest current
+    * with the standard CAS, pinned to the base the stage derived from —
+    * a snapshot committed since then fails this loudly (re-stage from
+    * the fresh base; the audited bytes no longer describe a valid
+    * successor). The staged file is consumed on success and KEPT on a
+    * lost race so the stage can be inspected or abandoned explicitly.
+    * Returns the committed snapshot id. */
+  def publishStaged(spark: org.apache.spark.sql.SparkSession, root: String,
+                    token: String): Int = {
+    val baseId = requireStagedToken(token)
+    val r = new org.apache.hadoop.fs.Path(root)
+    val fs = fsOf(spark, r)
+    val f = stagedFile(r, token)
+    require(fs.exists(f), s"no staged snapshot '$token' on $root")
+    val id = commitManifest(spark, root, readManifest(fs, f), baseId)
+    fs.delete(f, false)
+    id
+  }
+
+  /** Abandon a staged snapshot: the token dies and the next
+    * [[snapshotGc]] reclaims its unpublished generations. */
+  def abandonStaged(spark: org.apache.spark.sql.SparkSession, root: String,
+                    token: String): Unit = {
+    requireStagedToken(token)
+    val r = new org.apache.hadoop.fs.Path(root)
+    require(fsOf(spark, r).delete(stagedFile(r, token), false),
+      s"no staged snapshot '$token' on $root")
+  }
+
+  /** All parked stages of the lake, (token, baseId), oldest base first. */
+  def listStaged(spark: org.apache.spark.sql.SparkSession,
+                 root: String): Seq[(String, Int)] = {
+    val r = new org.apache.hadoop.fs.Path(root)
+    val fs = fsOf(spark, r)
+    val lake = new org.apache.hadoop.fs.Path(r, LakeDir)
+    if (!fs.exists(lake)) return Nil
+    fs.listStatus(lake).toSeq.map(_.getPath.getName)
+      .collect { case t @ StagedToken(b) => t -> b.toInt }
+      .sortBy(x => (x._2, x._1))
   }
 
   /** A caller-declared value range for manifest-level data skipping:
@@ -1136,8 +1254,14 @@ object Lakehouse {
   def readSnapshot(spark: org.apache.spark.sql.SparkSession, root: String,
                    asOf: Option[Int] = None,
                    partitionFilter: String => Boolean = _ => true,
-                   fileRanges: Seq[ColRange] = Nil): DataFrame = {
-    val m = manifestAt(spark, root, asOf)
+                   fileRanges: Seq[ColRange] = Nil): DataFrame =
+    readFromManifest(spark, root, manifestAt(spark, root, asOf),
+      partitionFilter, fileRanges)
+
+  private def readFromManifest(spark: org.apache.spark.sql.SparkSession,
+                               root: String, m: Manifest,
+                               partitionFilter: String => Boolean,
+                               fileRanges: Seq[ColRange]): DataFrame = {
     val r = new org.apache.hadoop.fs.Path(root)
     val kept = m.mapping.toSeq.filter { case (rel, _) => partitionFilter(rel) }
     require(kept.nonEmpty,
@@ -1855,10 +1979,19 @@ object Lakehouse {
     // qualified on BOTH sides: listStatus returns scheme-qualified URIs
     // while caller paths may be bare — a string mismatch here would GC
     // live data
+    // staged (write-audit-publish) manifests pin their generations too:
+    // an un-published stage must survive GC until published or abandoned
+    val stagedRefs: Set[String] = listStaged(spark, root).flatMap {
+      case (token, _) =>
+        readManifest(fs, stagedFile(r, token)).mapping.toSeq
+          .map { case (rel, gen) =>
+            fs.makeQualified(dataDir(r, rel, gen)).toString }
+    }.toSet
     val referenced: Set[String] = keep.flatMap(id =>
       readManifest(fs, snapFile(r, id)).mapping.toSeq
         .map { case (rel, gen) =>
-          fs.makeQualified(dataDir(r, rel, gen)).toString }).toSet
+          fs.makeQualified(dataDir(r, rel, gen)).toString }).toSet ++
+      stagedRefs
     drop.foreach(id => fs.delete(snapFile(r, id), false))
     // candidate data dirs: every gen-* found by walking the partition
     // tree (BFS that never descends into generations or _-hidden dirs) —

@@ -1295,6 +1295,60 @@ class Round17Spec extends SparkTestBase {
     }
   }
 
+  test("write-audit-publish: a staged snapshot is INVISIBLE to readers " +
+    "and GC-pinned until published; publish is the same CAS as a commit " +
+    "(a competitor in between loses loudly, the stage survives for " +
+    "inspection); abandon frees it for GC") {
+    import spark.implicits._
+    val root = freshDir("wap")
+    Lakehouse.commitSnapshot(spark, root,
+      Seq("lang=a" -> part("a", 1L to 6L), "lang=b" -> part("b", 7L to 12L)))
+    // WRITE: stage a takedown of the even ids in lang=a
+    val token = Lakehouse.stageSnapshot(spark, root,
+      Seq("lang=a" -> part("a", Seq(1L, 3L, 5L))))
+    // readers still see the BASE snapshot, id unchanged
+    assert(Lakehouse.currentSnapshotId(spark, root).contains(1))
+    assert(Lakehouse.readSnapshot(spark, root).count() == 12L)
+    assert(Lakehouse.listStaged(spark, root).map(_._2) == Seq(1))
+    // AUDIT: the staged content, through the manifest read path
+    val staged = Lakehouse.readStaged(spark, root, token)
+    assert(staged.count() == 9L)
+    assert(staged.filter(col("lang") === "a").select("id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 3L, 5L))
+    // GC while staged: the unpublished generations survive
+    Lakehouse.snapshotGc(spark, root, keepSnapshots = 1)
+    assert(Lakehouse.readStaged(spark, root, token).count() == 9L)
+    // PUBLISH: the audited bytes become current atomically
+    assert(Lakehouse.publishStaged(spark, root, token) == 2)
+    assert(Lakehouse.readSnapshot(spark, root).count() == 9L)
+    assert(Lakehouse.listStaged(spark, root).isEmpty)
+    // a competitor landing between stage and publish wins the CAS; the
+    // stale stage loses LOUDLY and survives for inspection or abandon
+    val t2 = Lakehouse.stageSnapshot(spark, root,
+      Seq("lang=b" -> part("b", Seq(7L))))
+    Lakehouse.commitSnapshot(spark, root,
+      Seq("lang=b" -> part("b", 7L to 9L)), expectedSnapshot = Some(2))
+    intercept[ConcurrentCommitException] {
+      Lakehouse.publishStaged(spark, root, t2)
+    }
+    assert(Lakehouse.listStaged(spark, root).map(_._1) == Seq(t2))
+    assert(Lakehouse.readStaged(spark, root, t2)
+      .filter(col("lang") === "b").count() == 1L)
+    Lakehouse.abandonStaged(spark, root, t2)
+    assert(Lakehouse.listStaged(spark, root).isEmpty)
+    // after abandon, GC reclaims the orphaned stage generations and the
+    // lake still reads its committed state
+    Lakehouse.snapshotGc(spark, root, keepSnapshots = 1)
+    assert(Lakehouse.readSnapshot(spark, root).count() == 6L)
+    // misuse is loud
+    intercept[IllegalArgumentException] {
+      Lakehouse.readStaged(spark, root, "staged-00000001-zzz")
+    }
+    intercept[IllegalArgumentException] {
+      Lakehouse.publishStaged(spark, root, token) // already consumed
+    }
+  }
+
   test("substr_window_hashes is bit-identical to the SQL " +
     "md5-of-substring chain it replaces — including multi-byte " +
     "codepoints, supplementary-plane characters, short and empty texts, " +
