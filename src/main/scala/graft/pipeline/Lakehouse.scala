@@ -1764,6 +1764,9 @@ object Lakehouse {
     require(snap.columns.contains(partitionCol),
       s"'$partitionCol' is not a column of the snapshot " +
         s"(${snap.columns.mkString(", ")})")
+    require(!snap.columns.contains("__graft_part"),
+      "the table carries the reserved staging column '__graft_part' — " +
+        "rename it before repartitioning")
     val vals = snap.select(col(partitionCol)).distinct().collect()
       .map(x => Option(x.get(0)).map(_.toString).getOrElse(
         throw new IllegalArgumentException(

@@ -1165,7 +1165,7 @@ class Round17Spec extends SparkTestBase {
   }
 
   test("model-based DML torture: 24 random delete/update/rollback/" +
-    "repartition/merge/GC/tag ops — the lake equals the model after " +
+    "repartition/merge/GC/tag/WAP ops — the lake equals the model after " +
     "every op, every kept epoch time-travels to ITS model, and " +
     "snapshotChanges replayed onto the previous epoch's model " +
     "reproduces the current one") {
@@ -1196,7 +1196,7 @@ class Round17Spec extends SparkTestBase {
 
     for (step <- 1 to 24) {
       val prev = Lakehouse.currentSnapshotId(spark, root).get
-      rnd.nextInt(8) match {
+      rnd.nextInt(9) match {
         case 0 => // MERGE upd + ins
           val upd = rnd.shuffle(model.keys.toSeq).take(1 + rnd.nextInt(4))
             .map(id => (id, langOf(id), grpOf(id), s"m$step-$id"))
@@ -1253,6 +1253,27 @@ class Round17Spec extends SparkTestBase {
             (if (layout == "lang") r._2 else r._3) == v)
           record(Lakehouse.commitSnapshot(spark, root,
             Seq(s"$layout=$v" -> df(rows))))
+        case 8 => // WRITE-AUDIT-PUBLISH a partition rewrite
+          val vs = model.values.map(r =>
+            if (layout == "lang") r._2 else r._3).toSeq.distinct
+          val v = vs(rnd.nextInt(vs.size))
+          val rows = model.values.toSeq
+            .filter(r => (if (layout == "lang") r._2 else r._3) == v)
+            .map(r => r.copy(_4 = s"w$step:${r._4}"))
+          val token = Lakehouse.stageSnapshot(spark, root,
+            Seq(s"$layout=$v" -> df(rows)))
+          // stage is invisible: the lake still equals the model
+          assert(Lakehouse.readSnapshot(spark, root).count() ==
+            model.size.toLong, s"step $step: stage leaked into readers")
+          // audit the staged bytes, then publish or abandon
+          val audited = Lakehouse.readStaged(spark, root, token).count()
+          assert(audited == model.size.toLong,
+            s"step $step: staged content wrong")
+          if (rnd.nextBoolean()) {
+            val nid = Lakehouse.publishStaged(spark, root, token)
+            rows.foreach(r => model(r._1) = r)
+            record(nid)
+          } else Lakehouse.abandonStaged(spark, root, token)
       }
       val cur = Lakehouse.currentSnapshotId(spark, root).get
       // invariant 1: the lake equals the model
