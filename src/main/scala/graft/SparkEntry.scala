@@ -1327,6 +1327,21 @@ object SparkEntry {
     // through the SPARQL surface — the query reads the ORIGINAL table
     "sparql_lake_snapshot_timetravel" -> ((s, d) =>
       graftOverDocLake(s, d, asOf = Some(1)).sparql(SPARQL_LAKE_DOCS)),
+    // tag-pinned engine read: the SPARQL concept resolves 'pre-takedown'
+    // through the immutable tag registry — the ORIGINAL table by name
+    "sparql_lake_snapshot_tag" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      val root = snapshotDocLake(s, d)
+      if (!_root_.graft.pipeline.Lakehouse.listTags(s, root)
+        .exists(_._1 == "pre-takedown"))
+        _root_.graft.pipeline.Lakehouse.tagSnapshot(s, root,
+          "pre-takedown", 1)
+      new Graft(TpchCatalog.catalog, t =>
+        if (t == "documents")
+          _root_.graft.sources.SnapshotSource(root,
+            tag = Some("pre-takedown")).load(s)
+        else s.read.parquet(s"$d/$t.parquet")).sparql(SPARQL_LAKE_DOCS)
+    }),
     // FILTERed SPARQL over the lake: the pushed predicate reaches the
     // manifest FileIndex (automatic file skipping) — the gate checks the
     // ANSWER is identical to the unskipped truth, the spec pins the
@@ -3268,6 +3283,11 @@ object SparkEntry {
       """SELECT 'urn:g:doc:' || CAST(doc_id AS VARCHAR) AS d,
         |  source AS src, lang
         |FROM documents WHERE doc_id % 7 <> 0 ORDER BY d""".stripMargin,
+    // the tag resolves to epoch 1: the ORIGINAL table, by stable name
+    "sparql_lake_snapshot_tag" ->
+      """SELECT 'urn:g:doc:' || CAST(doc_id AS VARCHAR) AS d,
+        |  source AS src, lang
+        |FROM documents ORDER BY d""".stripMargin,
     // engine pinned to epoch 1: the ORIGINAL table, untouched
     "sparql_lake_snapshot_timetravel" ->
       """SELECT 'urn:g:doc:' || CAST(doc_id AS VARCHAR) AS d,
