@@ -1585,6 +1585,31 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"), col("p"))
         .orderBy("doc_id")
     }),
+    // branch lineage end to end: two takedown commits land on a branch
+    // (main readers never see them), then fast-forward publishes both
+    // epochs contiguously onto main — the read is main's new head
+    "lake_snapshot_branch" -> ((s, d) => {
+      val root = s"/tmp/graft_lake_snap_br/${new java.io.File(d).getName}"
+      val p0 = new org.apache.hadoop.fs.Path(root)
+      p0.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p0, true)
+      val docs = T(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          (col("doc_id") % 2).cast("int").as("p"))
+      _root_.graft.pipeline.Lakehouse.commitSnapshot(s, root,
+        Seq("p=0" -> docs.filter(col("p") === 0),
+          "p=1" -> docs.filter(col("p") === 1)))
+      _root_.graft.pipeline.Lakehouse.createBranch(s, root, "takedown")
+      def took(p: Int) = docs.filter(col("p") === p)
+        .filter(col("doc_id") % 7 =!= 0)
+      _root_.graft.pipeline.Lakehouse.commitSnapshot(s, root,
+        Seq("p=0" -> took(0)), branch = "takedown")
+      _root_.graft.pipeline.Lakehouse.commitSnapshot(s, root,
+        Seq("p=1" -> took(1)), branch = "takedown")
+      _root_.graft.pipeline.Lakehouse.fastForward(s, root, "takedown")
+      _root_.graft.pipeline.Lakehouse.readSnapshot(s, root)
+        .select(col("doc_id"), col("lang"), col("source"), col("p"))
+        .orderBy("doc_id")
+    }),
     // fuzzy string join (edit distance <= 1): 10-char md5-hex keys vs
     // their deterministic one-char deletions — q-gram blocked candidates
     // + the exact codegen'd levenshtein verify, never a cross join. q=4
@@ -3273,6 +3298,11 @@ object SparkEntry {
     "lake_snapshot_tag" ->
       """SELECT doc_id, lang, source, CAST(doc_id % 2 AS INTEGER) AS p
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the fast-forwarded branch IS the takedown table
+    "lake_snapshot_branch" ->
+      """SELECT doc_id, lang, source, CAST(doc_id % 2 AS INTEGER) AS p
+        |FROM documents WHERE doc_id % 7 <> 0
+        |ORDER BY doc_id""".stripMargin,
     // the published stage IS the audited takedown
     "lake_snapshot_wap" ->
       """SELECT doc_id, lang, source, CAST(doc_id % 2 AS INTEGER) AS p

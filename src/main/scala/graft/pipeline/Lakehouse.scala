@@ -331,9 +331,21 @@ object Lakehouse {
                    p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** "" = the main lineage; a branch name = its private lineage dir.
+    * Every manifest primitive below is lineage-keyed through these two
+    * helpers, so branches reuse the whole commit/read/GC machinery. */
+  private val MainBranch = ""
+  private def lineageDir(root: org.apache.hadoop.fs.Path,
+                         branch: String): org.apache.hadoop.fs.Path = {
+    val lake = new org.apache.hadoop.fs.Path(root, LakeDir)
+    if (branch.isEmpty) lake
+    else new org.apache.hadoop.fs.Path(lake, s"branch-$branch")
+  }
+
   private def snapIds(fs: org.apache.hadoop.fs.FileSystem,
-                      root: org.apache.hadoop.fs.Path): Seq[Int] = {
-    val dir = new org.apache.hadoop.fs.Path(root, LakeDir)
+                      root: org.apache.hadoop.fs.Path,
+                      branch: String = MainBranch): Seq[Int] = {
+    val dir = lineageDir(root, branch)
     if (!fs.exists(dir)) Nil
     else fs.listStatus(dir).toSeq.collect {
       case st if st.isFile => st.getPath.getName match {
@@ -343,15 +355,18 @@ object Lakehouse {
     }.flatten.sorted
   }
 
-  /** Highest committed snapshot id of a snapshot-managed lake, if any. */
+  /** Highest committed snapshot id of a snapshot-managed lake (or of one
+    * of its branches), if any. */
   def currentSnapshotId(spark: org.apache.spark.sql.SparkSession,
-                        root: String): Option[Int] = {
+                        root: String,
+                        branch: String = MainBranch): Option[Int] = {
     val r = new org.apache.hadoop.fs.Path(root)
-    snapIds(fsOf(spark, r), r).lastOption
+    snapIds(fsOf(spark, r), r, branch).lastOption
   }
 
-  private def snapFile(root: org.apache.hadoop.fs.Path, id: Int) =
-    new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(root, LakeDir),
+  private def snapFile(root: org.apache.hadoop.fs.Path, id: Int,
+                       branch: String = MainBranch) =
+    new org.apache.hadoop.fs.Path(lineageDir(root, branch),
       f"snap-$id%08d")
 
   /** partition-relative dir ("" = the table root) + committed data
@@ -458,12 +473,15 @@ object Lakehouse {
     scala.collection.concurrent.TrieMap[(String, Long, Long), Manifest]()
 
   private def manifestAt(spark: org.apache.spark.sql.SparkSession,
-                         root: String, asOf: Option[Int]): Manifest = {
+                         root: String, asOf: Option[Int],
+                         branch: String = MainBranch): Manifest = {
     val r = new org.apache.hadoop.fs.Path(root)
     val fs = fsOf(spark, r)
-    val id = asOf.orElse(snapIds(fs, r).lastOption).getOrElse(
-      throw new IllegalStateException(s"$root has no committed snapshot"))
-    val p = snapFile(r, id)
+    val id = asOf.orElse(snapIds(fs, r, branch).lastOption).getOrElse(
+      throw new IllegalStateException(
+        s"$root${if (branch.isEmpty) "" else s" branch '$branch'"} has " +
+          "no committed snapshot"))
+    val p = snapFile(r, id, branch)
     val st = try fs.getFileStatus(p) catch {
       case _: java.io.FileNotFoundException =>
         throw new IllegalArgumentException(
@@ -565,18 +583,19 @@ object Lakehouse {
   private def commitManifest(spark: org.apache.spark.sql.SparkSession,
                              root: String,
                              man: Manifest,
-                             baseId: Int): Int = {
+                             baseId: Int,
+                             branch: String = MainBranch): Int = {
     val r = new org.apache.hadoop.fs.Path(root)
     val fs = fsOf(spark, r)
     requireCasCapable(spark, fs, root)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(r, LakeDir))
+    fs.mkdirs(lineageDir(r, branch))
     // CAS on the snapshot id the writer BASED its mapping on — never a
     // fresh re-list here: a commit that landed between the base read and
     // this put would otherwise be silently reverted by our stale
     // carried-over entries (lost update), the one failure mode worse
     // than throwing
     val id = baseId + 1
-    val target = snapFile(r, id)
+    val target = snapFile(r, id, branch)
     val tmp = new org.apache.hadoop.fs.Path(target.getParent,
       s".${target.getName}.${snapGenName().drop("_gen-".length)}.tmp")
     val out = fs.create(tmp, true)
@@ -663,10 +682,11 @@ object Lakehouse {
                      writes: Seq[(String, DataFrame)],
                      expectedSnapshot: Option[Int] = None,
                      statsCols: Seq[String] = Nil,
-                     bloomCols: Seq[String] = Nil): Int = {
+                     bloomCols: Seq[String] = Nil,
+                     branch: String = MainBranch): Int = {
     val (man, baseId) = prepareSnapshot(spark, root, writes,
-      expectedSnapshot, statsCols, bloomCols)
-    commitManifest(spark, root, man, baseId)
+      expectedSnapshot, statsCols, bloomCols, branch)
+    commitManifest(spark, root, man, baseId, branch)
   }
 
   /** The write phase every snapshot commit shares — data generations,
@@ -679,7 +699,8 @@ object Lakehouse {
                               writes: Seq[(String, DataFrame)],
                               expectedSnapshot: Option[Int],
                               statsCols: Seq[String],
-                              bloomCols: Seq[String]): (Manifest, Int) = {
+                              bloomCols: Seq[String],
+                              branch: String = MainBranch): (Manifest, Int) = {
     require(writes.nonEmpty, "commitSnapshot needs at least one write")
     writes.foreach { case (rel, _) =>
       require(rel.isEmpty || validRel(rel),
@@ -703,14 +724,20 @@ object Lakehouse {
     // concurrent committers — generation names are writer-unique
     // ([[snapGenName]]), so the loser's orphans are GC relics, not
     // corruption of the winner's committed dirs.
+    if (branch.nonEmpty)
+      require(snapIds(fs, r, branch).nonEmpty,
+        s"branch '$branch' of $root does not exist — createBranch first")
     val baseId = expectedSnapshot.getOrElse(
-      snapIds(fs, r).lastOption.getOrElse(0))
-    if (fs.exists(snapFile(r, baseId + 1)))
+      snapIds(fs, r, branch).lastOption.getOrElse(0))
+    if (fs.exists(snapFile(r, baseId + 1, branch)))
       throw new ConcurrentCommitException(
-        s"snapshot ${baseId + 1} of $root was committed concurrently — " +
-          "re-read the current snapshot and retry the write")
+        s"snapshot ${baseId + 1} of $root" +
+          s"${if (branch.isEmpty) "" else s" branch '$branch'"} was " +
+          "committed concurrently — re-read the current snapshot and " +
+          "retry the write")
     val prior: Option[Manifest] =
-      if (baseId == 0) None else Some(readManifest(fs, snapFile(r, baseId)))
+      if (baseId == 0) None
+      else Some(readManifest(fs, snapFile(r, baseId, branch)))
     val base: Map[String, String] = prior.map(_.mapping).getOrElse(
       adoptLoose(spark, fs, r, writes.exists(_._1.isEmpty)))
     // base schema: the prior snapshot's recorded one; a pre-schema or
@@ -1254,8 +1281,9 @@ object Lakehouse {
   def readSnapshot(spark: org.apache.spark.sql.SparkSession, root: String,
                    asOf: Option[Int] = None,
                    partitionFilter: String => Boolean = _ => true,
-                   fileRanges: Seq[ColRange] = Nil): DataFrame =
-    readFromManifest(spark, root, manifestAt(spark, root, asOf),
+                   fileRanges: Seq[ColRange] = Nil,
+                   branch: String = MainBranch): DataFrame =
+    readFromManifest(spark, root, manifestAt(spark, root, asOf, branch),
       partitionFilter, fileRanges)
 
   private def readFromManifest(spark: org.apache.spark.sql.SparkSession,
@@ -1896,6 +1924,117 @@ object Lakehouse {
     require(fs.delete(tagFile(r, name), false), s"no tag '$name' on $root")
   }
 
+  // ---- BRANCHES: isolated lineages + fast-forward publish --------------------
+
+  /** Fork a BRANCH at a main-lineage epoch (default: the current one) —
+    * the Iceberg branch contract on the manifest machinery: the branch
+    * starts as a copy of that epoch's manifest in its own lineage dir,
+    * so `commitSnapshot(branch = …)` evolves it with the full commit
+    * semantics (CAS, stats, evolution) while MAIN readers never see any
+    * of it; generations are shared (manifests reference, never copy
+    * data), and GC keeps whatever any kept manifest of any lineage
+    * references. Publish back via [[fastForward]]; discard via
+    * [[deleteBranch]]. Branch names share the tag charset; an existing
+    * name is refused (re-pointing is a silent swap). */
+  def createBranch(spark: org.apache.spark.sql.SparkSession, root: String,
+                   name: String, fromId: Option[Int] = None): Int = {
+    require(TagName.matches(name),
+      s"bad branch name '$name' (allowed: alnum start, then " +
+        "[A-Za-z0-9._-], max 64)")
+    val r = new org.apache.hadoop.fs.Path(root)
+    val fs = fsOf(spark, r)
+    val ids = snapIds(fs, r)
+    require(ids.nonEmpty, s"$root is not snapshot-managed")
+    val at = fromId.getOrElse(ids.last)
+    require(ids.contains(at),
+      s"snapshot $at of $root is not kept (kept: ${ids.mkString(",")})")
+    require(snapIds(fs, r, name).isEmpty,
+      s"branch '$name' already exists on $root — deleteBranch first")
+    fs.mkdirs(lineageDir(r, name))
+    val out = fs.create(snapFile(r, at, name), false)
+    try out.write(manifestText(manifestAt(spark, root, Some(at)))
+      .getBytes("UTF-8"))
+    finally out.close()
+    // the fork id rides a marker file: GC retention may age the fork
+    // MANIFEST out of the branch lineage, but fast-forward must always
+    // know where the branch diverged
+    val fm = fs.create(new org.apache.hadoop.fs.Path(
+      lineageDir(r, name), "fork"), false)
+    try fm.write(s"$at\n".getBytes("UTF-8")) finally fm.close()
+    at
+  }
+
+  private def branchFork(fs: org.apache.hadoop.fs.FileSystem,
+                         r: org.apache.hadoop.fs.Path,
+                         name: String): Int = {
+    val f = new org.apache.hadoop.fs.Path(lineageDir(r, name), "fork")
+    require(fs.exists(f), s"branch '$name' has no fork marker")
+    val in = fs.open(f)
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+      "UTF-8").trim.toInt
+    finally in.close()
+  }
+
+  /** All branches, (name, headId), name-sorted. */
+  def listBranches(spark: org.apache.spark.sql.SparkSession,
+                   root: String): Seq[(String, Int)] = {
+    val r = new org.apache.hadoop.fs.Path(root)
+    val fs = fsOf(spark, r)
+    val lake = new org.apache.hadoop.fs.Path(r, LakeDir)
+    if (!fs.exists(lake)) return Nil
+    fs.listStatus(lake).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("branch-"))
+      .map(_.getPath.getName.stripPrefix("branch-")).sorted
+      .flatMap(n => snapIds(fs, r, n).lastOption.map(n -> _))
+  }
+
+  /** Drop a branch lineage; the next [[snapshotGc]] reclaims whatever
+    * generations only it referenced. Main is untouched. */
+  def deleteBranch(spark: org.apache.spark.sql.SparkSession, root: String,
+                   name: String): Unit = {
+    val r = new org.apache.hadoop.fs.Path(root)
+    val fs = fsOf(spark, r)
+    val dir = lineageDir(r, name)
+    require(fs.exists(dir), s"no branch '$name' on $root")
+    fs.delete(dir, true)
+  }
+
+  /** FAST-FORWARD publish: adopt a branch's commits into main — only
+    * when main still points where the branch forked (the branch head's
+    * history then IS main's history plus the branch commits; no merge
+    * semantics to invent). Every branch manifest past the fork links
+    * into the main lineage under the standard CAS, so the audited
+    * intermediate epochs stay time-travelable from main; a main commit
+    * that landed since the fork fails this loudly (rebase = re-branch
+    * from the new head). The branch lineage is consumed on success.
+    * Returns main's new head id. */
+  def fastForward(spark: org.apache.spark.sql.SparkSession, root: String,
+                  name: String): Int = {
+    val r = new org.apache.hadoop.fs.Path(root)
+    val fs = fsOf(spark, r)
+    val bids = snapIds(fs, r, name)
+    require(bids.nonEmpty, s"no branch '$name' on $root")
+    val fork = branchFork(fs, r, name)
+    val mainHead = snapIds(fs, r).lastOption.getOrElse(
+      throw new IllegalStateException(s"$root is not snapshot-managed"))
+    if (mainHead != fork)
+      throw new ConcurrentCommitException(
+        s"cannot fast-forward '$name' (forked at $fork) onto main at " +
+          s"$mainHead — main moved since the fork; re-branch from the " +
+          "current head and re-apply")
+    // adopt CONTIGUOUSLY onto the fork: the first link contends for the
+    // exact CAS slot (fork+1) a concurrent main committer would take, so
+    // one of them loses loudly — linking at the branch's own (possibly
+    // gapped) ids would leave that slot open and silently lose the
+    // competitor's update
+    bids.filter(_ > fork).zipWithIndex.foreach { case (id, k) =>
+      commitManifest(spark, root,
+        manifestAt(spark, root, Some(id), name), fork + k)
+    }
+    fs.delete(lineageDir(r, name), true)
+    snapIds(fs, r).last
+  }
+
   /** Incremental CDC EXTRACT between two committed snapshots — "what
     * changed from epoch `fromId` to epoch `toId`", as [[snapshotDiff]]
     * I/U/D rows, WITHOUT scanning the lake: generations are immutable,
@@ -1972,6 +2111,15 @@ object Lakehouse {
     val (drop0, keep0) = ids.splitAt(math.max(0, ids.size - keepSnapshots))
     val drop = drop0.filterNot(tagged.contains)
     val keep = keep0 ++ drop0.filter(tagged.contains)
+    // BRANCH lineages get the same retention window each (tags pin MAIN
+    // ids only); kept branch manifests pin their generations like main's
+    val branchKept: Seq[(String, Int)] =
+      listBranches(spark, root).map(_._1).flatMap { br =>
+        val bids = snapIds(fs, r, br)
+        val (bd, bk) = bids.splitAt(math.max(0, bids.size - keepSnapshots))
+        bd.foreach(id => fs.delete(snapFile(r, id, br), false))
+        bk.map(br -> _)
+      }
     // crash relics of repartitionSnapshot stagings: reclaim them here
     // (they live under the metadata dir, invisible to readers)
     val lakeDir = new org.apache.hadoop.fs.Path(r, LakeDir)
@@ -1990,11 +2138,12 @@ object Lakehouse {
           .map { case (rel, gen) =>
             fs.makeQualified(dataDir(r, rel, gen)).toString }
     }.toSet
-    val referenced: Set[String] = keep.flatMap(id =>
-      readManifest(fs, snapFile(r, id)).mapping.toSeq
-        .map { case (rel, gen) =>
-          fs.makeQualified(dataDir(r, rel, gen)).toString }).toSet ++
-      stagedRefs
+    val referenced: Set[String] =
+      (keep.map(MainBranch -> _) ++ branchKept).flatMap { case (br, id) =>
+        readManifest(fs, snapFile(r, id, br)).mapping.toSeq
+          .map { case (rel, gen) =>
+            fs.makeQualified(dataDir(r, rel, gen)).toString }
+      }.toSet ++ stagedRefs
     drop.foreach(id => fs.delete(snapFile(r, id), false))
     // candidate data dirs: every gen-* found by walking the partition
     // tree (BFS that never descends into generations or _-hidden dirs) —

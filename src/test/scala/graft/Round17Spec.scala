@@ -1196,7 +1196,7 @@ class Round17Spec extends SparkTestBase {
 
     for (step <- 1 to 24) {
       val prev = Lakehouse.currentSnapshotId(spark, root).get
-      rnd.nextInt(9) match {
+      rnd.nextInt(10) match {
         case 0 => // MERGE upd + ins
           val upd = rnd.shuffle(model.keys.toSeq).take(1 + rnd.nextInt(4))
             .map(id => (id, langOf(id), grpOf(id), s"m$step-$id"))
@@ -1274,6 +1274,25 @@ class Round17Spec extends SparkTestBase {
             rows.foreach(r => model(r._1) = r)
             record(nid)
           } else Lakehouse.abandonStaged(spark, root, token)
+        case 9 => // BRANCH detour: evolve on a branch, fast-forward back
+          Lakehouse.createBranch(spark, root, s"b$step")
+          val vs = model.values.map(r =>
+            if (layout == "lang") r._2 else r._3).toSeq.distinct
+          val touched = rnd.shuffle(vs).take(1 + rnd.nextInt(2))
+          val newRows = touched.map { v =>
+            val rows = model.values.toSeq
+              .filter(r => (if (layout == "lang") r._2 else r._3) == v)
+              .map(r => r.copy(_4 = s"b$step:${r._4}"))
+            Lakehouse.commitSnapshot(spark, root,
+              Seq(s"$layout=$v" -> df(rows)), branch = s"b$step")
+            rows
+          }
+          // the branch is invisible to main until the fast-forward
+          assert(Lakehouse.readSnapshot(spark, root).count() ==
+            model.size.toLong, s"step $step: branch leaked into main")
+          val nid = Lakehouse.fastForward(spark, root, s"b$step")
+          newRows.flatten.foreach(r => model(r._1) = r)
+          record(nid)
       }
       val cur = Lakehouse.currentSnapshotId(spark, root).get
       // invariant 1: the lake equals the model
@@ -1368,6 +1387,69 @@ class Round17Spec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Lakehouse.publishStaged(spark, root, token) // already consumed
     }
+  }
+
+  test("branches: an isolated lineage forks at a main epoch, evolves " +
+    "under full commit semantics invisibly to main, fast-forwards " +
+    "contiguously onto main (or refuses loudly when main moved), and " +
+    "GC applies retention per lineage") {
+    import spark.implicits._
+    val root = freshDir("br")
+    Lakehouse.commitSnapshot(spark, root,
+      Seq("p=a" -> part("a", 1L to 6L), "p=b" -> part("b", 7L to 12L)))
+    assert(Lakehouse.createBranch(spark, root, "exp") == 1)
+    // two commits on the branch; main never sees them
+    Lakehouse.commitSnapshot(spark, root,
+      Seq("p=a" -> part("a", Seq(1L, 2L, 3L))), branch = "exp")
+    Lakehouse.commitSnapshot(spark, root,
+      Seq("p=b" -> part("b", Seq(7L, 8L))), branch = "exp")
+    assert(Lakehouse.currentSnapshotId(spark, root).contains(1))
+    assert(Lakehouse.readSnapshot(spark, root).count() == 12L)
+    assert(Lakehouse.currentSnapshotId(spark, root, "exp").contains(3))
+    assert(Lakehouse.readSnapshot(spark, root, branch = "exp")
+      .count() == 5L)
+    // branch time travel, before GC ages the epoch out
+    assert(Lakehouse.readSnapshot(spark, root, asOf = Some(2),
+      branch = "exp").count() == 9L)
+    assert(Lakehouse.listBranches(spark, root) == Seq("exp" -> 3))
+    // committing to a branch that does not exist is loud
+    intercept[IllegalArgumentException] {
+      Lakehouse.commitSnapshot(spark, root,
+        Seq("p=a" -> part("a", Seq(1L))), branch = "nope")
+    }
+    // per-lineage retention: keep=1 ages the branch's early epochs but
+    // both lineages' heads still read in full
+    Lakehouse.snapshotGc(spark, root, keepSnapshots = 1)
+    assert(Lakehouse.readSnapshot(spark, root, branch = "exp")
+      .count() == 5L)
+    assert(Lakehouse.readSnapshot(spark, root).count() == 12L)
+    // fast-forward: main adopts the branch head contiguously (the fork
+    // marker survives GC), the branch is consumed
+    assert(Lakehouse.fastForward(spark, root, "exp") == 2)
+    assert(Lakehouse.readSnapshot(spark, root).count() == 5L)
+    assert(Lakehouse.listBranches(spark, root).isEmpty)
+    // a main commit since the fork refuses the fast-forward BEFORE any
+    // linking; the branch survives for inspection or deletion
+    Lakehouse.createBranch(spark, root, "exp2")
+    Lakehouse.commitSnapshot(spark, root,
+      Seq("p=a" -> part("a", Seq(1L))), branch = "exp2")
+    Lakehouse.commitSnapshot(spark, root,
+      Seq("p=b" -> part("b", 7L to 9L))) // main moves to 3
+    intercept[ConcurrentCommitException] {
+      Lakehouse.fastForward(spark, root, "exp2")
+    }
+    assert(Lakehouse.readSnapshot(spark, root).count() == 6L)
+    assert(Lakehouse.listBranches(spark, root).map(_._1) == Seq("exp2"))
+    Lakehouse.deleteBranch(spark, root, "exp2")
+    // the branch-only generations are GC relics now; main is untouched
+    Lakehouse.snapshotGc(spark, root, keepSnapshots = 1)
+    assert(Lakehouse.readSnapshot(spark, root).count() == 6L)
+    // duplicate branch names are refused while the branch lives
+    Lakehouse.createBranch(spark, root, "exp3")
+    intercept[IllegalArgumentException] {
+      Lakehouse.createBranch(spark, root, "exp3")
+    }
+    Lakehouse.deleteBranch(spark, root, "exp3")
   }
 
   test("substr_window_hashes is bit-identical to the SQL " +
