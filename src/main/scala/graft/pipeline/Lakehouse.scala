@@ -1466,12 +1466,13 @@ object Lakehouse {
     * snapshot id. */
   def mergeSnapshot(spark: org.apache.spark.sql.SparkSession, root: String,
                     source: DataFrame, keys: Seq[String],
-                    partitionCol: String): Int = {
+                    partitionCol: String,
+                    branch: String = MainBranch): Int = {
     require(source.columns.contains(partitionCol),
       s"source must carry '$partitionCol' as a data column")
-    val baseId = currentSnapshotId(spark, root).getOrElse(
+    val baseId = currentSnapshotId(spark, root, branch).getOrElse(
       throw new IllegalStateException(s"$root has no committed snapshot"))
-    val man = manifestAt(spark, root, Some(baseId))
+    val man = manifestAt(spark, root, Some(baseId), branch)
     val m = man.mapping
     // partitions read under the SNAPSHOT schema so an evolved column
     // null-fills in old files and the union with the delta stays aligned
@@ -1510,7 +1511,8 @@ object Lakehouse {
         }
         rel -> mergeUpsert(current, delta, keys)
       }
-      commitSnapshot(spark, root, writes, expectedSnapshot = Some(baseId))
+      commitSnapshot(spark, root, writes, expectedSnapshot = Some(baseId),
+        branch = branch)
     } finally if (pinSource) source.unpersist(blocking = false)
   }
 
@@ -1524,12 +1526,13 @@ object Lakehouse {
     * and carried as a data column, nulls loud. */
   def applyCdcSnapshot(spark: org.apache.spark.sql.SparkSession,
                        root: String, changes: DataFrame, keys: Seq[String],
-                       partitionCol: String, opCol: String = "op"): Int = {
+                       partitionCol: String, opCol: String = "op",
+                       branch: String = MainBranch): Int = {
     require(changes.columns.contains(partitionCol),
       s"changes must carry '$partitionCol' as a data column")
-    val baseId = currentSnapshotId(spark, root).getOrElse(
+    val baseId = currentSnapshotId(spark, root, branch).getOrElse(
       throw new IllegalStateException(s"$root has no committed snapshot"))
-    val man = manifestAt(spark, root, Some(baseId))
+    val man = manifestAt(spark, root, Some(baseId), branch)
     val m = man.mapping
     def readPart(dir: String): DataFrame = man.schema match {
       case Some(sc) => spark.read.schema(sc).parquet(dir)
@@ -1551,7 +1554,7 @@ object Lakehouse {
       // an empty batch (streaming triggers fire on empty sources) is a
       // committed no-op: the current snapshot already IS the result
       if (touched.isEmpty)
-        return currentSnapshotId(spark, root).getOrElse(
+        return currentSnapshotId(spark, root, branch).getOrElse(
           throw new IllegalStateException(s"$root has no committed snapshot"))
       touched.foreach(requireValidPartValue(partitionCol, _))
       val writes = touched.sorted.toSeq.map { v =>
@@ -1563,7 +1566,8 @@ object Lakehouse {
         }
         rel -> applyCdc(current, delta, keys, opCol)
       }
-      commitSnapshot(spark, root, writes, expectedSnapshot = Some(baseId))
+      commitSnapshot(spark, root, writes, expectedSnapshot = Some(baseId),
+        branch = branch)
     } finally if (pinChanges) changes.unpersist(blocking = false)
   }
 
@@ -1600,10 +1604,12 @@ object Lakehouse {
     * `file:/`) can't split an entry. */
   private def touchedEntries(spark: org.apache.spark.sql.SparkSession,
                              root: String, baseId: Int, man: Manifest,
-                             predicate: Column): Seq[(String, String)] = {
+                             predicate: Column,
+                             branch: String = MainBranch): Seq[(String, String)] = {
     val r = new org.apache.hadoop.fs.Path(root)
     val fs = fsOf(spark, r)
-    val matchedDirs = readSnapshot(spark, root, asOf = Some(baseId))
+    val matchedDirs = readSnapshot(spark, root, asOf = Some(baseId),
+      branch = branch)
       .filter(predicate)
       .select(regexp_replace(input_file_name(), "/[^/]*$", "").as("dir"))
       .distinct().collect()
@@ -1637,14 +1643,17 @@ object Lakehouse {
     * rewritten partitions, so the skip layer survives the DML. Returns
     * the committed snapshot id. */
   def deleteSnapshot(spark: org.apache.spark.sql.SparkSession, root: String,
-                     predicate: Column): Int = {
-    val baseId = currentSnapshotId(spark, root).getOrElse(
+                     predicate: Column,
+                     branch: String = MainBranch): Int = {
+    val baseId = currentSnapshotId(spark, root, branch).getOrElse(
       throw new IllegalStateException(s"$root has no committed snapshot"))
-    val man = manifestAt(spark, root, Some(baseId))
+    val man = manifestAt(spark, root, Some(baseId), branch)
     requireDeterministic(
-      readSnapshot(spark, root, asOf = Some(baseId)).filter(predicate),
+      readSnapshot(spark, root, asOf = Some(baseId), branch = branch)
+        .filter(predicate),
       "DELETE predicate")
-    val touched = touchedEntries(spark, root, baseId, man, predicate)
+    val touched = touchedEntries(spark, root, baseId, man, predicate,
+      branch)
     if (touched.isEmpty) return baseId // nothing matches: committed no-op
     val r = new org.apache.hadoop.fs.Path(root)
     def readPart(dir: String): DataFrame = man.schema match {
@@ -1656,7 +1665,8 @@ object Lakehouse {
         .filter(!(predicate <=> lit(true)))
     }
     commitSnapshot(spark, root, writes, expectedSnapshot = Some(baseId),
-      statsCols = manifestStatsCols(man), bloomCols = manifestBloomCols(man))
+      statsCols = manifestStatsCols(man), bloomCols = manifestBloomCols(man),
+      branch = branch)
   }
 
   /** Row-level UPDATE on a snapshot lake — `UPDATE t SET c = e, … WHERE
@@ -1673,13 +1683,14 @@ object Lakehouse {
     * placement caveat as [[mergeSnapshot]], here enforced because the
     * rel encodes the column). Returns the committed snapshot id. */
   def updateSnapshot(spark: org.apache.spark.sql.SparkSession, root: String,
-                     predicate: Column, set: Seq[(String, Column)]): Int = {
+                     predicate: Column, set: Seq[(String, Column)],
+                     branch: String = MainBranch): Int = {
     require(set.nonEmpty, "UPDATE needs at least one SET column")
     require(set.map(_._1).distinct.size == set.size,
       s"duplicate SET column in ${set.map(_._1).mkString(", ")}")
-    val baseId = currentSnapshotId(spark, root).getOrElse(
+    val baseId = currentSnapshotId(spark, root, branch).getOrElse(
       throw new IllegalStateException(s"$root has no committed snapshot"))
-    val man = manifestAt(spark, root, Some(baseId))
+    val man = manifestAt(spark, root, Some(baseId), branch)
     man.schema.foreach { sc =>
       val missing = set.map(_._1).filterNot(sc.fieldNames.contains)
       require(missing.isEmpty,
@@ -1690,7 +1701,8 @@ object Lakehouse {
     // resolve the SET expressions against the snapshot ONCE — type
     // mismatches must be THIS loud error, not an ANSI cast failure from
     // the per-partition when(): a type change is a rewrite, not UPDATE
-    val snap0 = readSnapshot(spark, root, asOf = Some(baseId))
+    val snap0 = readSnapshot(spark, root, asOf = Some(baseId),
+      branch = branch)
     val probe = snap0.select(col("*") +: set.map {
       case (c, e) => e.as(s"__set_$c") }: _*).filter(predicate)
     requireDeterministic(probe, "UPDATE predicate and SET expressions")
@@ -1703,7 +1715,8 @@ object Lakehouse {
             "a type change is a table rewrite, not an UPDATE")
       }
     }
-    val touched = touchedEntries(spark, root, baseId, man, predicate)
+    val touched = touchedEntries(spark, root, baseId, man, predicate,
+      branch)
     if (touched.isEmpty) return baseId
     val partCols = touched.map(_._1).filter(_.nonEmpty)
       .flatMap(_.split("/").toSeq.map(_.takeWhile(_ != '='))).distinct
@@ -1728,7 +1741,8 @@ object Lakehouse {
       }: _*)
     }
     commitSnapshot(spark, root, writes, expectedSnapshot = Some(baseId),
-      statsCols = manifestStatsCols(man), bloomCols = manifestBloomCols(man))
+      statsCols = manifestStatsCols(man), bloomCols = manifestBloomCols(man),
+      branch = branch)
   }
 
   /** ROLLBACK: make snapshot `toId`'s content current again by

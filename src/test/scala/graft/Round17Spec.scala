@@ -1452,6 +1452,49 @@ class Round17Spec extends SparkTestBase {
     Lakehouse.deleteBranch(spark, root, "exp3")
   }
 
+  test("the full DML family runs ON A BRANCH: merge, CDC, DELETE and " +
+    "UPDATE evolve the branch invisibly; the fast-forward publishes the " +
+    "whole audited pipeline onto main in one adoption") {
+    import spark.implicits._
+    val root = freshDir("brdml")
+    val base = (1L to 20L).map(i => (i, s"l${(i % 2).toInt}", s"v$i"))
+      .toDF("id", "lang", "v")
+    Lakehouse.commitSnapshot(spark, root,
+      Seq("lang=l0" -> base.filter(col("lang") === "l0"),
+        "lang=l1" -> base.filter(col("lang") === "l1")))
+    Lakehouse.createBranch(spark, root, "pipe")
+    // MERGE upserts on the branch
+    val delta = Seq((2L, "l0", "m2"), (21L, "l1", "m21"))
+      .toDF("id", "lang", "v")
+    Lakehouse.mergeSnapshot(spark, root, delta, Seq("id"), "lang",
+      branch = "pipe")
+    // CDC batch on the branch (deletes id 4)
+    val cdc = Seq((4L, "l0", "x", "D"), (5L, "l1", "c5", "U"))
+      .toDF("id", "lang", "v", "op")
+    Lakehouse.applyCdcSnapshot(spark, root, cdc, Seq("id"), "lang",
+      branch = "pipe")
+    // row-level DELETE and UPDATE on the branch
+    Lakehouse.deleteSnapshot(spark, root, col("id") === 6L,
+      branch = "pipe")
+    Lakehouse.updateSnapshot(spark, root, col("id") === 7L,
+      Seq("v" -> lit("u7")), branch = "pipe")
+    // main untouched through all four ops
+    assert(Lakehouse.currentSnapshotId(spark, root).contains(1))
+    assert(Lakehouse.readSnapshot(spark, root).count() == 20L)
+    // the branch state is the composed pipeline
+    val branchState = Lakehouse.readSnapshot(spark, root, branch = "pipe")
+      .orderBy("id").select("id", "v").as[(Long, String)].collect().toMap
+    assert(branchState.size == 19) // +21, -4, -6
+    assert(branchState(2L) == "m2" && branchState(21L) == "m21")
+    assert(branchState(5L) == "c5" && branchState(7L) == "u7")
+    assert(!branchState.contains(4L) && !branchState.contains(6L))
+    // publish: main becomes the audited pipeline output
+    Lakehouse.fastForward(spark, root, "pipe")
+    val mainState = Lakehouse.readSnapshot(spark, root)
+      .orderBy("id").select("id", "v").as[(Long, String)].collect().toMap
+    assert(mainState == branchState)
+  }
+
   test("substr_window_hashes is bit-identical to the SQL " +
     "md5-of-substring chain it replaces — including multi-byte " +
     "codepoints, supplementary-plane characters, short and empty texts, " +
