@@ -2394,6 +2394,24 @@ object SparkEntry {
     "doc_dup_spans" -> ((s, d) =>
       Dedup.dupSpans(T(s, d, "documents"), k = 8, minDf = 2)
         .orderBy("doc_id")),
+    // span-level decontamination: merged char spans of corpus text that
+    // occurs verbatim (>=40 chars) in the benchmark split — no
+    // keep-first, every occurrence marked
+    "doc_decontam_spans" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      Decontaminate.contaminatedSpans(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0), window = 40, stride = 1)
+        .orderBy("doc_id", "span_start")
+    }),
+    // the removal itself: benchmark-verbatim spans cut out of the corpus
+    "doc_decontam_clean" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      Decontaminate.decontaminateText(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0), window = 40, stride = 1)
+        .orderBy("doc_id")
+    }),
     // exact-substring duplicate spans (Lee et al. ExactSubstr): stride-1
     // 40-char windows, keep-first-occurrence, per-doc merged [start,end)
     // char offsets; identity is the contractual 64-bit md5 prefix
@@ -4427,6 +4445,81 @@ object SparkEntry {
         |    AS n_dup_windows,
         |  SUM(CASE WHEN df >= 2 THEN c ELSE 0 END) * 5 >= SUM(c) AS flagged
         |FROM dg JOIN f USING (g) GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // contamination spans: corpus (doc_id%5<>0) windows whose digest
+    // appears anywhere in the benchmark (doc_id%5=0); merged islands
+    "doc_decontam_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, CAST(floor((length(text) - 40) / 1) AS BIGINT)
+        |      + 1)) AS i
+        |  FROM documents WHERE length(text) >= 40),
+        |h AS (
+        |  SELECT doc_id, CAST(1 + i * 1 AS BIGINT) AS pos,
+        |    substring(md5(substring(text, CAST(1 + i * 1 AS INTEGER), 40)),
+        |      1, 16) AS g
+        |  FROM w),
+        |bench AS (SELECT DISTINCT g FROM h WHERE doc_id % 5 = 0),
+        |dup AS (
+        |  SELECT h.doc_id, pos AS s, pos + 40 AS e FROM h
+        |  JOIN bench USING (g) WHERE h.doc_id % 5 <> 0),
+        |m AS (
+        |  SELECT doc_id, s, e, max(e) OVER (PARTITION BY doc_id ORDER BY
+        |    s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM dup),
+        |isl AS (
+        |  SELECT doc_id, s, e, sum(CASE WHEN pmax IS NULL OR s > pmax
+        |    THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY s, e)
+        |    AS island
+        |  FROM m)
+        |SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+        |  CAST(max(e) AS BIGINT) AS span_end
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
+
+    // the decontaminated corpus: kept segments reassembled per doc
+    "doc_decontam_clean" ->
+      """WITH w AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, CAST(floor((length(text) - 40) / 1) AS BIGINT)
+        |      + 1)) AS i
+        |  FROM documents WHERE length(text) >= 40),
+        |h AS (
+        |  SELECT doc_id, CAST(1 + i * 1 AS BIGINT) AS pos,
+        |    substring(md5(substring(text, CAST(1 + i * 1 AS INTEGER), 40)),
+        |      1, 16) AS g
+        |  FROM w),
+        |bench AS (SELECT DISTINCT g FROM h WHERE doc_id % 5 = 0),
+        |dup AS (
+        |  SELECT h.doc_id, pos AS s, pos + 40 AS e FROM h
+        |  JOIN bench USING (g) WHERE h.doc_id % 5 <> 0),
+        |m AS (
+        |  SELECT doc_id, s, e, max(e) OVER (PARTITION BY doc_id ORDER BY
+        |    s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM dup),
+        |isl AS (
+        |  SELECT doc_id, s, e, sum(CASE WHEN pmax IS NULL OR s > pmax
+        |    THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY s, e)
+        |    AS island
+        |  FROM m),
+        |merged AS (SELECT doc_id, min(s) AS ss, max(e) AS se
+        |  FROM isl GROUP BY doc_id, island),
+        |segs AS (
+        |  SELECT doc_id, coalesce(lag(se) OVER (PARTITION BY doc_id
+        |    ORDER BY ss), 1) AS gs, ss AS ge FROM merged
+        |  UNION ALL
+        |  SELECT doc_id, max(se), NULL FROM merged GROUP BY doc_id),
+        |asm AS (
+        |  SELECT s.doc_id, string_agg(substr(d.text, CAST(s.gs AS INTEGER),
+        |    CAST(coalesce(s.ge, length(d.text) + 1) - s.gs AS INTEGER)),
+        |    '' ORDER BY s.gs) AS ct
+        |  FROM segs s JOIN documents d USING (doc_id) GROUP BY s.doc_id)
+        |SELECT d.doc_id, coalesce(a.ct, d.text) AS clean_text,
+        |  CAST(length(d.text) - length(coalesce(a.ct, d.text)) AS BIGINT)
+        |    AS n_removed_chars
+        |FROM documents d LEFT JOIN asm a USING (doc_id)
+        |WHERE d.doc_id % 5 <> 0
+        |ORDER BY d.doc_id""".stripMargin,
 
     // exact-substring duplicate spans: stride-1 40-char windows compared
     // as 64-bit md5-prefix digests (contractual, both engines), the

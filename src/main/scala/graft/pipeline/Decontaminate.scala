@@ -30,6 +30,39 @@ object Decontaminate {
       .agg(count_distinct(col("g")).as("n_matched_grams"))
   }
 
+  /** Exact-substring CONTAMINATION spans — the decontamination use of
+    * the ExactSubstr method (Lee et al.: verbatim benchmark text inside
+    * training documents inflates eval scores; gram-level flags like
+    * [[flagged]] say WHICH docs, this says WHERE): per corpus document,
+    * the merged [start, end) character spans whose `window`-char
+    * substring occurs ANYWHERE in the benchmark. Unlike
+    * [[Dedup.exactSubstrSpans]] there is no keep-first — every
+    * occurrence of benchmark text is marked. The benchmark side reduces
+    * to DISTINCT window digests (fixed-width, broadcast like
+    * [[flagged]]'s gram set — benchmarks are small by definition); the
+    * corpus side is the same ONE native digest pass per doc. Digest
+    * identity is the family's md5-prefix contract, oracle-mirrored. */
+  def contaminatedSpans(corpus: DataFrame, benchmark: DataFrame,
+                        window: Int = 40, stride: Int = 1): DataFrame = {
+    require(window >= 2 && stride >= 1, s"bad window=$window/stride=$stride")
+    val occ = Dedup.substrOccurrences(corpus, window, stride)
+    val benchG = Dedup.substrOccurrences(benchmark, window, stride)
+      .select("g").distinct()
+    Dedup.mergeSpans(occ.join(broadcast(benchG), Seq("g"))
+      .select(col("doc_id"), col("pos").as("s"),
+        (col("pos") + window).as("e")))
+  }
+
+  /** Rewrite the corpus with its [[contaminatedSpans]] cut out —
+    * span-level decontamination (dropping whole flagged documents
+    * wastes everything around a quoted benchmark item). Returns
+    * (doc_id, clean_text, n_removed_chars); uncontaminated docs pass
+    * through verbatim. */
+  def decontaminateText(corpus: DataFrame, benchmark: DataFrame,
+                        window: Int = 40, stride: Int = 1): DataFrame =
+    Dedup.removeSpans(corpus,
+      contaminatedSpans(corpus, benchmark, window, stride))
+
   /** The benchmark's distinct k-gram ids as a driver-side array — bounded
     * by construction (eval suites are small), for shipping into the
     * streaming filter as a literal. */

@@ -788,17 +788,7 @@ object Dedup {
   def exactSubstrSpans(docs: DataFrame, window: Int = 40,
                        stride: Int = 1): DataFrame = {
     require(window >= 2 && stride >= 1, s"bad window=$window/stride=$stride")
-    // window digests via ONE native codegen'd pass per document (the
-    // interpreted transform-HOF chain it replaces cost ~it all: the md5
-    // itself is <20% of the lambda machinery — same finding as
-    // [[withShingles]]); position is implied by the array index
-    val occ = docs
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), posexplode(
-        graft.functions.GraftFunctions.substr_window_hashes(
-          col("text"), window, stride)).as(Seq("i", "g")))
-      .select(col("doc_id"),
-        (lit(1L) + col("i") * stride).as("pos"), col("g"))
+    val occ = substrOccurrences(docs, window, stride)
     val firsts = occ.groupBy("g").agg(
       count(lit(1)).as("c"),
       min(struct(col("doc_id"), col("pos"))).as("first"))
@@ -808,9 +798,31 @@ object Dedup {
         col("pos") === col("first.pos")))
       .select(col("doc_id"), col("pos").as("s"),
         (col("pos") + window).as("e"))
-    // gaps-and-islands merge, per document: a span starting at or before
-    // the running max end joins the open island (touching spans merge —
-    // contiguous duplicated text is one removal)
+    mergeSpans(spans)
+  }
+
+  /** (doc_id, pos, g) window occurrences — digests via ONE native
+    * codegen'd pass per document (the interpreted transform-HOF chain it
+    * replaced cost ~it all: the md5 itself is <20% of the lambda
+    * machinery — same finding as [[withShingles]]); position is implied
+    * by the array index. Shared by [[exactSubstrSpans]] and
+    * [[Decontaminate.contaminatedSpans]]. */
+  private[pipeline] def substrOccurrences(docs: DataFrame, window: Int,
+                                          stride: Int): DataFrame =
+    docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), posexplode(
+        graft.functions.GraftFunctions.substr_window_hashes(
+          col("text"), window, stride)).as(Seq("i", "g")))
+      .select(col("doc_id"),
+        (lit(1L) + col("i") * stride).as("pos"), col("g"))
+
+  /** Gaps-and-islands merge of (doc_id, s, e) spans, per document: a
+    * span starting at or before the running max end joins the open
+    * island (touching spans merge — contiguous duplicated text is one
+    * removal). The only window function runs partitioned by doc_id
+    * (bounded by a document's own span count). */
+  private[pipeline] def mergeSpans(spans: DataFrame): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
     val pmax = max(col("e")).over(byDoc.rowsBetween(
@@ -824,19 +836,12 @@ object Dedup {
       .drop("island")
   }
 
-  /** Exact-substring dedup: rewrite each document with its
-    * [[exactSubstrSpans]] removed — later occurrences of every
-    * duplicated ≥-window-char span vanish, first occurrences survive
-    * verbatim, documents with no duplicated span pass through untouched
-    * (including those shorter than the window). Reassembly is one
-    * fold over the per-doc merged-span array (bounded by the doc's own
-    * span count; the interpreted HOF sits on already-reduced rows, not
-    * the window fan-out). Returns (doc_id, clean_text,
-    * n_removed_chars). */
-  def exactSubstrClean(docs: DataFrame, window: Int = 40,
-                       stride: Int = 1): DataFrame = {
-    val spansByDoc = exactSubstrSpans(docs, window, stride)
-      .groupBy("doc_id")
+  /** Rewrite each doc with `merged` (doc_id, span_start, span_end)
+    * removed — one bounded per-doc fold; span-free docs pass through
+    * verbatim. Returns (doc_id, clean_text, n_removed_chars). */
+  private[pipeline] def removeSpans(docs: DataFrame,
+                                    merged: DataFrame): DataFrame = {
+    val spansByDoc = merged.groupBy("doc_id")
       .agg(sort_array(collect_list(
         struct(col("span_start"), col("span_end")))).as("sp"))
     docs.join(spansByDoc, Seq("doc_id"), "left_outer")
@@ -852,6 +857,19 @@ object Dedup {
         (length(col("text")) - length(col("clean_text")))
           .cast("long").as("n_removed_chars"))
   }
+
+  /** Exact-substring dedup: rewrite each document with its
+    * [[exactSubstrSpans]] removed — later occurrences of every
+    * duplicated ≥-window-char span vanish, first occurrences survive
+    * verbatim, documents with no duplicated span pass through untouched
+    * (including those shorter than the window). Reassembly is one
+    * fold over the per-doc merged-span array (bounded by the doc's own
+    * span count; the interpreted HOF sits on already-reduced rows, not
+    * the window fan-out). Returns (doc_id, clean_text,
+    * n_removed_chars). */
+  def exactSubstrClean(docs: DataFrame, window: Int = 40,
+                       stride: Int = 1): DataFrame =
+    removeSpans(docs, exactSubstrSpans(docs, window, stride))
 
   /** Containment pairs — the ASYMMETRIC member of the dedup family:
     * `|A ∩ B| / |B| ≥ tau` over distinct k-gram sets finds B quoted or

@@ -1495,6 +1495,37 @@ class Round17Spec extends SparkTestBase {
     assert(mainState == branchState)
   }
 
+  test("contaminatedSpans/decontaminateText: EVERY occurrence of " +
+    "benchmark text is removed (no keep-first), clean docs pass " +
+    "through, and the corpus' own internal duplicates are untouched") {
+    import spark.implicits._
+    val W = 40
+    val evalItem = "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRS"
+    val ownDup = "zyxwvutsrqponmlkjihgfedcba9876543210ZYXWVUTSR"
+    val bench = Seq((100L, s"question: $evalItem answer: forty-two"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"Xprefix-one-padding-text-$evalItem-Ysuffix-one-padding"),
+      (2L, s"Zother-prefix-padding-xx-$evalItem-Wother-suffix-pad"),
+      (3L, "clean document with nothing quoted from the benchmark"),
+      (4L, ownDup + "-M-" + ownDup) // internal dup, NOT contamination
+    ).toDF("doc_id", "text")
+    val spans = graft.pipeline.Decontaminate
+      .contaminatedSpans(corpus, bench, window = W)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    // docs 1 AND 2 both lose the quoted item (no keep-first), the
+    // internal duplicate in doc 4 is not benchmark text
+    val s1 = 26L // both prefixes are 25 chars
+    assert(spans == Seq((1L, s1, s1 + evalItem.length),
+      (2L, s1, s1 + evalItem.length)))
+    val clean = graft.pipeline.Decontaminate
+      .decontaminateText(corpus, bench, window = W)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(clean(0)._2 == s"Xprefix-one-padding-text--Ysuffix-one-padding")
+    assert(clean(1)._2 == s"Zother-prefix-padding-xx--Wother-suffix-pad")
+    assert(clean(2)._3 == 0L && clean(3)._3 == 0L)
+  }
+
   test("substr_window_hashes is bit-identical to the SQL " +
     "md5-of-substring chain it replaces — including multi-byte " +
     "codepoints, supplementary-plane characters, short and empty texts, " +
