@@ -216,9 +216,10 @@ object Graft {
     def version(spec: graft.sources.SourceSpec): Option[String] = spec match {
       case graft.sources.ParquetSource(p) =>
         Some("pq:" + graft.mapping.CatalogCache.fingerprint(Seq(p)))
-      case sn @ graft.sources.SnapshotSource(root, _, _) =>
-        Some("snap:" + root + "@" + sn.epoch(spark).orElse(
-          graft.pipeline.Lakehouse.currentSnapshotId(spark, root))
+      case sn @ graft.sources.SnapshotSource(root, _, _, br) =>
+        Some("snap:" + root + (if (br.isEmpty) "" else s"#$br") + "@" +
+          sn.epoch(spark).orElse(
+            graft.pipeline.Lakehouse.currentSnapshotId(spark, root, br))
           .getOrElse(0))
       case _ => None
     }

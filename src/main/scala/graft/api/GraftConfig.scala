@@ -98,10 +98,12 @@ object GraftConfig {
           // a snapshot-managed lake read through its manifest (current
           // snapshot, or params.asOf for a pinned epoch)
           // a snapshot epoch pins by params.asOf (an id) or params.tag
-          // (a stable name resolved through the immutable tag registry)
+          // (a stable name resolved through the immutable tag registry);
+          // params.branch reads an un-published lineage (audit configs)
           case "snapshot" => SnapshotSource(url,
             Option(param("asOf", "")).filter(_.nonEmpty).map(_.toInt),
-            Option(param("tag", "")).filter(_.nonEmpty))
+            Option(param("tag", "")).filter(_.nonEmpty),
+            param("branch", ""))
           case "csv"     => CsvSource(url, param("delimiter", ","))
           case "tsv"     => CsvSource(url, "\t")
           case "json"    => JsonSource(url)

@@ -49,18 +49,23 @@ final case class OrcSource(path: String) extends SourceSpec {
   * commit. */
 final case class SnapshotSource(root: String,
                                 asOf: Option[Int] = None,
-                                tag: Option[String] = None)
+                                tag: Option[String] = None,
+                                branch: String = "")
   extends SourceSpec {
   require(asOf.isEmpty || tag.isEmpty,
     s"SnapshotSource($root): pin EITHER asOf or tag, not both")
+  require(branch.isEmpty || tag.isEmpty,
+    s"SnapshotSource($root): a tag names a MAIN epoch — pin EITHER " +
+      "branch or tag, not both")
   /** The epoch this source reads: the pinned id, the tag's id resolved
     * NOW (tags are immutable, so this is stable until deleteTag), or
-    * None = the current snapshot. */
+    * None = the lineage's current snapshot. */
   def epoch(spark: SparkSession): Option[Int] =
     tag.map(graft.pipeline.Lakehouse.tagSnapshotId(spark, root, _))
       .orElse(asOf)
   def load(spark: SparkSession): DataFrame =
-    graft.pipeline.Lakehouse.readSnapshot(spark, root, epoch(spark))
+    graft.pipeline.Lakehouse.readSnapshot(spark, root, epoch(spark),
+      branch = branch)
 }
 
 /** XML via Spark 4's built-in XML source; `rowTag` plays the RML iterator

@@ -789,6 +789,24 @@ class Round17Spec extends SparkTestBase {
         tag = Some("audited"))
     }
     assert(e.getMessage.contains("not both"), e.getMessage)
+    // a BRANCH config reads the un-published lineage — the audit query
+    Lakehouse.createBranch(spark, root, "wip")
+    Lakehouse.commitSnapshot(spark, root, Seq(
+      "p=0" -> half(0).filter(col("doc_id") % 3 =!= 0)
+        .filter(col("doc_id") % 5 =!= 0)), branch = "wip")
+    val branched = graft.api.GraftConfig.parse(
+      cfg(""", "params": {"branch": "wip"}""")).graft.sparql(q)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val wantWip = cur.filterNot { case (dUri, _) =>
+      val id = dUri.stripPrefix("urn:g:doc:").toLong
+      id % 2 == 0 && id % 5 == 0
+    }
+    assert(branched == wantWip && branched.size < cur.size)
+    // main (the plain snapshot config) still reads the takedown epoch
+    val mainAgain = graft.api.GraftConfig.parse(cfg("")).graft.sparql(q)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(mainAgain == cur)
+    Lakehouse.deleteBranch(spark, root, "wip")
   }
 
   test("snapshotHistory + TIMESTAMP AS OF: the lineage reports each kept " +
