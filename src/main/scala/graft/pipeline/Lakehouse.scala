@@ -2045,6 +2045,15 @@ object Lakehouse {
       commitManifest(spark, root,
         manifestAt(spark, root, Some(id), name), fork + k)
     }
+    // a branch commit that landed while we were linking would vanish
+    // with the lineage delete — leave the branch intact and loud instead
+    // (the adopted prefix is already valid main history; re-run the
+    // fast-forward after re-branching or draining the writer)
+    if (snapIds(fs, r, name) != bids)
+      throw new ConcurrentCommitException(
+        s"branch '$name' advanced while fast-forwarding — the listed " +
+          "epochs were adopted onto main but the branch kept moving; " +
+          "drain branch writers and re-run (the branch lineage is intact)")
     fs.delete(lineageDir(r, name), true)
     snapIds(fs, r).last
   }
