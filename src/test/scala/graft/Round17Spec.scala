@@ -1190,6 +1190,10 @@ class Round17Spec extends SparkTestBase {
     import spark.implicits._
     val rnd = new scala.util.Random(20260817L)
     val root = freshDir("dmlmodel")
+    // the skip layer rides along: every commit in the torture records
+    // per-file id stats via the session default, and the range-read
+    // invariant below proves DML/rollback/repartition/FF never corrupt it
+    spark.conf.set("graft.lake.statsCols", "id")
     def langOf(id: Long) = s"l${(id % 3).toInt}"
     def grpOf(id: Long) = s"g${(id % 2).toInt}"
     type Rec = (Long, String, String, String) // id, lang, grp, v
@@ -1330,6 +1334,18 @@ class Round17Spec extends SparkTestBase {
             r.getString(r.fieldIndex("v")))).toSet
         assert(got == em.values.toSet, s"step $step: epoch $probe diverged")
       }
+      // invariant 2b: a random RANGE read through the stats FileIndex
+      // equals the model — the skip layer survived whatever op just ran
+      val lo = 1L + rnd.nextLong(maxId)
+      val hi = lo + rnd.nextLong(10) + 1
+      val want = model.values.filter(r => r._1 >= lo && r._1 <= hi).toSet
+      val got2 = Lakehouse.readSnapshot(spark, root)
+        .filter(col("id").between(lo, hi)).collect()
+        .map(r => (r.getLong(r.fieldIndex("id")),
+          r.getString(r.fieldIndex("lang")),
+          r.getString(r.fieldIndex("grp")),
+          r.getString(r.fieldIndex("v")))).toSet
+      assert(got2 == want, s"step $step: skip-layer range [$lo,$hi] diverged")
       // invariant 3: changes(prev -> cur) replayed onto prev's model
       // reproduces cur's — when both epochs are still kept
       if (prev != cur && keptIds.contains(prev) && keptIds.contains(cur)
@@ -1351,6 +1367,7 @@ class Round17Spec extends SparkTestBase {
           s"step $step: changes($prev->$cur) replay diverged")
       }
     }
+    spark.conf.unset("graft.lake.statsCols")
   }
 
   test("write-audit-publish: a staged snapshot is INVISIBLE to readers " +
