@@ -369,6 +369,17 @@ object Lakehouse {
     new org.apache.hadoop.fs.Path(lineageDir(root, branch),
       f"snap-$id%08d")
 
+  /** A generation dir read under its snapshot's recorded schema (old
+    * files null-fill evolved columns — the parquet explicit-schema
+    * contract); pre-schema manifests read plain. The one read shape
+    * every partition-granular writer shares. */
+  private def readPart(spark: org.apache.spark.sql.SparkSession,
+                       man: Manifest, dir: String): DataFrame =
+    man.schema match {
+      case Some(sc) => spark.read.schema(sc).parquet(dir)
+      case None     => spark.read.parquet(dir)
+    }
+
   /** partition-relative dir ("" = the table root) + committed data
     * subdir → the absolute data directory. */
   private def dataDir(root: org.apache.hadoop.fs.Path, rel: String,
@@ -598,28 +609,55 @@ object Lakehouse {
     val target = snapFile(r, id, branch)
     val tmp = new org.apache.hadoop.fs.Path(target.getParent,
       s".${target.getName}.${snapGenName().drop("_gen-".length)}.tmp")
-    val out = fs.create(tmp, true)
-    out.write(manifestText(man).getBytes("UTF-8"))
-    out.close()
-    def lose(): Nothing = {
-      fs.delete(tmp, false)
+    if (!casPutFile(fs, target, tmp, manifestText(man).getBytes("UTF-8")))
       throw new ConcurrentCommitException(
         s"snapshot $id of $root was committed concurrently — re-read the " +
           "current snapshot and retry the write (withSnapshotRetry wraps " +
           "this loop)")
-    }
+    id
+  }
+
+  /** Atomic create-if-absent of a small metadata file: write the bytes
+    * to `tmp`, then CAS them into `target` — link(2) on local
+    * filesystems (fails EEXIST atomically), rename on HDFS-contract
+    * stores. Returns false when the target already exists (the caller's
+    * conflict), true on success; the tmp never survives either way. A
+    * bare create-then-write would leave a ZERO-BYTE target on a crash
+    * mid-write — permanently poisonous for files whose readers parse
+    * (a truncated tag bricks listTags and so GC; a truncated staged
+    * manifest would PUBLISH with missing partitions). All lake metadata
+    * (manifests, tags, fork markers, branch seeds, staged manifests)
+    * goes through here. */
+  private def casPutFile(fs: org.apache.hadoop.fs.FileSystem,
+                         target: org.apache.hadoop.fs.Path,
+                         tmp: org.apache.hadoop.fs.Path,
+                         bytes: Array[Byte]): Boolean = {
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
     val scheme = Option(fs.getUri.getScheme).getOrElse("file")
     if (scheme == "file") {
       // hard link: the kernel's link(2) is the CAS — it FAILS with
       // EEXIST atomically when the target appears first; no exists probe
       val t = java.nio.file.Paths.get(target.toUri.getPath)
-      val s = java.nio.file.Paths.get(tmp.toUri.getPath)
-      try java.nio.file.Files.createLink(t, s)
-      catch { case _: java.nio.file.FileAlreadyExistsException => lose() }
+      val sp = java.nio.file.Paths.get(tmp.toUri.getPath)
+      try java.nio.file.Files.createLink(t, sp)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          fs.delete(tmp, false); return false
+      }
       fs.delete(tmp, false)
-    } else if (fs.exists(target) || !fs.rename(tmp, target)) lose()
-    id
+      true
+    } else if (fs.exists(target) || !fs.rename(tmp, target)) {
+      fs.delete(tmp, false); false
+    } else true
   }
+
+  private def casPutMeta(fs: org.apache.hadoop.fs.FileSystem,
+                         target: org.apache.hadoop.fs.Path,
+                         bytes: Array[Byte]): Boolean =
+    casPutFile(fs, target, new org.apache.hadoop.fs.Path(target.getParent,
+      s".${target.getName}.${snapGenName().drop("_gen-".length)}.tmp"),
+      bytes)
 
   /** Partition-relative dirs must be path- AND manifest-safe: no control
     * characters at all (a '\n' or '\r' inside a manifest line would split
@@ -829,8 +867,10 @@ object Lakehouse {
     val r = new org.apache.hadoop.fs.Path(root)
     val fs = fsOf(spark, r)
     val token = f"staged-$baseId%08d-${snapGenName().drop("_gen-".length)}"
-    val out = fs.create(stagedFile(r, token), false)
-    try out.write(manifestText(man).getBytes("UTF-8")) finally out.close()
+    fs.mkdirs(new org.apache.hadoop.fs.Path(r, LakeDir))
+    require(casPutMeta(fs, stagedFile(r, token),
+      manifestText(man).getBytes("UTF-8")),
+      s"stage token collision on $root (impossible nonce reuse)")
     token
   }
 
@@ -1476,10 +1516,6 @@ object Lakehouse {
     val m = man.mapping
     // partitions read under the SNAPSHOT schema so an evolved column
     // null-fills in old files and the union with the delta stays aligned
-    def readPart(dir: String): DataFrame = man.schema match {
-      case Some(sc) => spark.read.schema(sc).parquet(dir)
-      case None     => spark.read.parquet(dir)
-    }
     val r = new org.apache.hadoop.fs.Path(root)
     // pin the delta ONCE before the per-partition fan-out: the k touched
     // partitions each filter the SAME materialized blocks instead of
@@ -1506,7 +1542,7 @@ object Lakehouse {
         val rel = s"$partitionCol=$v"
         val delta = source.filter(col(partitionCol) === v)
         val current = m.get(rel) match {
-          case Some(gen) => readPart(dataDir(r, rel, gen).toString)
+          case Some(gen) => readPart(spark, man, dataDir(r, rel, gen).toString)
           case None      => delta.limit(0)
         }
         rel -> mergeUpsert(current, delta, keys)
@@ -1534,10 +1570,6 @@ object Lakehouse {
       throw new IllegalStateException(s"$root has no committed snapshot"))
     val man = manifestAt(spark, root, Some(baseId), branch)
     val m = man.mapping
-    def readPart(dir: String): DataFrame = man.schema match {
-      case Some(sc) => spark.read.schema(sc).parquet(dir)
-      case None     => spark.read.parquet(dir)
-    }
     val r = new org.apache.hadoop.fs.Path(root)
     // same delta-pinning as mergeSnapshot: one evaluation of the change
     // batch, k cache reads — not k re-runs of the upstream plan
@@ -1561,7 +1593,7 @@ object Lakehouse {
         val rel = s"$partitionCol=$v"
         val delta = changes.filter(col(partitionCol) === v)
         val current = m.get(rel) match {
-          case Some(gen) => readPart(dataDir(r, rel, gen).toString)
+          case Some(gen) => readPart(spark, man, dataDir(r, rel, gen).toString)
           case None      => delta.drop(opCol).limit(0)
         }
         rel -> applyCdc(current, delta, keys, opCol)
@@ -1608,13 +1640,17 @@ object Lakehouse {
                              branch: String = MainBranch): Seq[(String, String)] = {
     val r = new org.apache.hadoop.fs.Path(root)
     val fs = fsOf(spark, r)
+    // input_file_name() returns the URL-ENCODED path (a partition value
+    // like 'a b' reads back as 'lang=a%20b') — decode through URI before
+    // comparing against makeQualified(dataDir(...)), which is unencoded;
+    // a raw string compare would orphan every encodable partition
     val matchedDirs = readSnapshot(spark, root, asOf = Some(baseId),
       branch = branch)
       .filter(predicate)
       .select(regexp_replace(input_file_name(), "/[^/]*$", "").as("dir"))
       .distinct().collect()
-      .map(x => fs.makeQualified(
-        new org.apache.hadoop.fs.Path(x.getString(0))).toString).toSet
+      .map(x => fs.makeQualified(new org.apache.hadoop.fs.Path(
+        new java.net.URI(x.getString(0)))).toString).toSet
     val entries = man.mapping.toSeq.filter { case (rel, gen) =>
       matchedDirs.contains(fs.makeQualified(dataDir(r, rel, gen)).toString) }
     val resolved = entries.map { case (rel, gen) =>
@@ -1656,12 +1692,8 @@ object Lakehouse {
       branch)
     if (touched.isEmpty) return baseId // nothing matches: committed no-op
     val r = new org.apache.hadoop.fs.Path(root)
-    def readPart(dir: String): DataFrame = man.schema match {
-      case Some(sc) => spark.read.schema(sc).parquet(dir)
-      case None     => spark.read.parquet(dir)
-    }
     val writes = touched.map { case (rel, gen) =>
-      rel -> readPart(dataDir(r, rel, gen).toString)
+      rel -> readPart(spark, man, dataDir(r, rel, gen).toString)
         .filter(!(predicate <=> lit(true)))
     }
     commitSnapshot(spark, root, writes, expectedSnapshot = Some(baseId),
@@ -1727,12 +1759,8 @@ object Lakehouse {
         "rewrite (mergeSnapshot/commitSnapshot), not an in-place UPDATE")
     val r = new org.apache.hadoop.fs.Path(root)
     val setMap = set.toMap
-    def readPart(dir: String): DataFrame = man.schema match {
-      case Some(sc) => spark.read.schema(sc).parquet(dir)
-      case None     => spark.read.parquet(dir)
-    }
     val writes = touched.map { case (rel, gen) =>
-      val cur = readPart(dataDir(r, rel, gen).toString)
+      val cur = readPart(spark, man, dataDir(r, rel, gen).toString)
       rel -> cur.select(cur.columns.toSeq.map { c =>
         setMap.get(c) match {
           case Some(e) => when(predicate, e).otherwise(col(c)).as(c)
@@ -1893,15 +1921,14 @@ object Lakehouse {
     val fs = fsOf(spark, r)
     require(snapIds(fs, r).contains(id),
       s"snapshot $id of $root is not kept — tags name live epochs only")
-    val f = tagFile(r, name)
-    // create(overwrite = false) is the existence CAS on rename-atomic
-    // stores; an existing tag must be deleted explicitly, never repointed
-    val out = try fs.create(f, false) catch {
-      case _: java.io.IOException => throw new IllegalArgumentException(
+    fs.mkdirs(new org.apache.hadoop.fs.Path(r, LakeDir))
+    // tmp + CAS link/rename: an existing tag loses cleanly (tags are
+    // immutable — deleteTag first), a crash can never leave a truncated
+    // tag file, and real IO errors propagate as themselves
+    if (!casPutMeta(fs, tagFile(r, name), s"$id\n".getBytes("UTF-8")))
+      throw new IllegalArgumentException(
         s"tag '$name' already exists on $root — tags are immutable; " +
           "deleteTag first")
-    }
-    try out.write(s"$id\n".getBytes("UTF-8")) finally out.close()
   }
 
   /** The snapshot id a tag names; loud when the tag does not exist. */
@@ -1965,16 +1992,14 @@ object Lakehouse {
     require(snapIds(fs, r, name).isEmpty,
       s"branch '$name' already exists on $root — deleteBranch first")
     fs.mkdirs(lineageDir(r, name))
-    val out = fs.create(snapFile(r, at, name), false)
-    try out.write(manifestText(manifestAt(spark, root, Some(at)))
-      .getBytes("UTF-8"))
-    finally out.close()
+    require(casPutMeta(fs, snapFile(r, at, name),
+      manifestText(manifestAt(spark, root, Some(at))).getBytes("UTF-8")),
+      s"branch '$name' already exists on $root — deleteBranch first")
     // the fork id rides a marker file: GC retention may age the fork
     // MANIFEST out of the branch lineage, but fast-forward must always
     // know where the branch diverged
-    val fm = fs.create(new org.apache.hadoop.fs.Path(
-      lineageDir(r, name), "fork"), false)
-    try fm.write(s"$at\n".getBytes("UTF-8")) finally fm.close()
+    casPutMeta(fs, new org.apache.hadoop.fs.Path(lineageDir(r, name),
+      "fork"), s"$at\n".getBytes("UTF-8"))
     at
   }
 
@@ -2143,12 +2168,18 @@ object Lakehouse {
         bd.foreach(id => fs.delete(snapFile(r, id, br), false))
         bk.map(br -> _)
       }
-    // crash relics of repartitionSnapshot stagings: reclaim them here
-    // (they live under the metadata dir, invisible to readers)
+    // crash relics of repartitionSnapshot stagings: reclaim them here —
+    // but only past a TTL, so a GC scheduled while a LIVE repartition is
+    // mid-write (its staging is hours of whole-lake rewrite) cannot
+    // destroy it; a real crash relic just waits one retention period
+    val stageTtlMs = spark.conf
+      .get("graft.lake.stageRelicTtlMs", (24L * 3600 * 1000).toString).toLong
+    val now = System.currentTimeMillis()
     val lakeDir = new org.apache.hadoop.fs.Path(r, LakeDir)
     if (fs.exists(lakeDir))
       fs.listStatus(lakeDir).filter(st =>
-        st.isDirectory && st.getPath.getName.startsWith("stage-"))
+        st.isDirectory && st.getPath.getName.startsWith("stage-") &&
+          now - st.getModificationTime > stageTtlMs)
         .foreach(st => fs.delete(st.getPath, true))
     // qualified on BOTH sides: listStatus returns scheme-qualified URIs
     // while caller paths may be bare — a string mismatch here would GC
@@ -2157,9 +2188,13 @@ object Lakehouse {
     // an un-published stage must survive GC until published or abandoned
     val stagedRefs: Set[String] = listStaged(spark, root).flatMap {
       case (token, _) =>
-        readManifest(fs, stagedFile(r, token)).mapping.toSeq
+        // a concurrent publish/abandon may consume the stage between the
+        // listing and this read — a vanished stage pins nothing; do not
+        // abort the whole GC over it
+        try readManifest(fs, stagedFile(r, token)).mapping.toSeq
           .map { case (rel, gen) =>
             fs.makeQualified(dataDir(r, rel, gen)).toString }
+        catch { case _: java.io.FileNotFoundException => Nil }
     }.toSet
     val referenced: Set[String] =
       (keep.map(MainBranch -> _) ++ branchKept).flatMap { case (br, id) =>

@@ -577,12 +577,12 @@ object EventStreams {
     val pOf = (col("o_orderkey") % 4).cast("int")
     val base = target.select(col("o_orderkey"), col("o_custkey"),
       col("o_orderstatus"), col("o_totalprice"), pOf.as("p"))
-    graft.pipeline.Lakehouse.commitSnapshot(spark, root,
+    val bootId = graft.pipeline.Lakehouse.commitSnapshot(spark, root,
       (0 to 3).map(i => s"p=$i" -> base.filter(col("p") === i)))
     def repDir(g: Int) = s"$replicaRoot/r$g"
     var repGen = 1
     base.write.mode("overwrite").parquet(repDir(repGen))
-    var lastSeen = 1
+    var lastSeen = bootId
     val valCols = Seq("o_custkey", "o_orderstatus", "o_totalprice", "p")
     val rows = log.select(col("o_orderkey"), col("o_custkey"),
         col("o_orderstatus"), col("o_totalprice"), col("op"), col("seq"))

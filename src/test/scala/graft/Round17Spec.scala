@@ -950,6 +950,26 @@ class Round17Spec extends SparkTestBase {
     assert(e.getMessage.contains("deterministic"), e.getMessage)
   }
 
+  test("DML on URL-encodable partition values: input_file_name returns " +
+    "encoded paths, so DELETE/UPDATE on a 'lang=a b' partition must " +
+    "decode before matching manifest dirs — not throw 'modified outside " +
+    "the commit protocol'") {
+    import spark.implicits._
+    val root = freshDir("urlenc")
+    val t = Seq((1L, "a b", "x"), (2L, "a b", "y"), (3L, "plain", "z"))
+      .toDF("id", "lang", "v")
+    Lakehouse.commitSnapshot(spark, root,
+      Seq("lang=a b" -> t.filter(col("lang") === "a b"),
+        "lang=plain" -> t.filter(col("lang") === "plain")))
+    Lakehouse.deleteSnapshot(spark, root, col("id") === 1L)
+    assert(Lakehouse.readSnapshot(spark, root)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    Lakehouse.updateSnapshot(spark, root, col("id") === 2L,
+      Seq("v" -> lit("updated")))
+    assert(Lakehouse.readSnapshot(spark, root)
+      .filter(col("id") === 2L).select("v").as[String].head() == "updated")
+  }
+
   test("updateSnapshot: SET evaluates against the OLD row (a swap " +
     "swaps), NULL predicate rows stay, loud on unknown columns, type " +
     "changes, and partition-layout columns") {
