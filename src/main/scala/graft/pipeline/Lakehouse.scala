@@ -2083,6 +2083,24 @@ object Lakehouse {
     snapIds(fs, r).last
   }
 
+  /** The PENDING change set of a branch — "what would [[fastForward]]
+    * publish": [[snapshotChanges]] from main's head (which must still be
+    * the branch's fork for the FF to be legal; this does not require it
+    * — reviewing a stale branch's drift is also useful) to the branch's
+    * head, manifest-pruned across lineages exactly like the in-lineage
+    * feed. The review step of branch-audit-publish. */
+  def branchDiff(spark: org.apache.spark.sql.SparkSession, root: String,
+                 name: String, keys: Seq[String]): DataFrame = {
+    val r = new org.apache.hadoop.fs.Path(root)
+    val fs = fsOf(spark, r)
+    val mainHead = snapIds(fs, r).lastOption.getOrElse(
+      throw new IllegalStateException(s"$root is not snapshot-managed"))
+    val branchHead = snapIds(fs, r, name).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no branch '$name' on $root"))
+    snapshotChanges(spark, root, mainHead, branchHead, keys,
+      toBranch = name)
+  }
+
   /** Incremental CDC EXTRACT between two committed snapshots — "what
     * changed from epoch `fromId` to epoch `toId`", as [[snapshotDiff]]
     * I/U/D rows, WITHOUT scanning the lake: generations are immutable,
@@ -2101,21 +2119,23 @@ object Lakehouse {
     * ids inverts the direction (I↔D). */
   def snapshotChanges(spark: org.apache.spark.sql.SparkSession,
                       root: String, fromId: Int, toId: Int,
-                      keys: Seq[String]): DataFrame = {
+                      keys: Seq[String],
+                      fromBranch: String = MainBranch,
+                      toBranch: String = MainBranch): DataFrame = {
     require(keys.nonEmpty, "snapshotChanges needs at least one key column")
-    val mFrom = manifestAt(spark, root, Some(fromId))
-    val mTo = manifestAt(spark, root, Some(toId))
+    val mFrom = manifestAt(spark, root, Some(fromId), fromBranch)
+    val mTo = manifestAt(spark, root, Some(toId), toBranch)
     val changed = (mFrom.mapping.keySet ++ mTo.mapping.keySet)
       .filter(rel => mFrom.mapping.get(rel) != mTo.mapping.get(rel))
-    def side(m: Manifest, id: Int): DataFrame = {
+    def side(m: Manifest, id: Int, br: String): DataFrame = {
       val rels = changed.intersect(m.mapping.keySet)
       if (rels.isEmpty) // no changed partition exists in this epoch
-        readSnapshot(spark, root, asOf = Some(id)).limit(0)
+        readSnapshot(spark, root, asOf = Some(id), branch = br).limit(0)
       else readSnapshot(spark, root, asOf = Some(id),
-        partitionFilter = rels.contains)
+        partitionFilter = rels.contains, branch = br)
     }
-    val o0 = side(mFrom, fromId)
-    val n0 = side(mTo, toId)
+    val o0 = side(mFrom, fromId, fromBranch)
+    val n0 = side(mTo, toId, toBranch)
     // align evolved schemas: a column one epoch lacks null-fills there;
     // same-name TYPE conflicts are a rewrite, not an evolution — loud
     val oTypes = o0.schema.fields.map(f => f.name -> f.dataType).toMap

@@ -1507,6 +1507,37 @@ class Round17Spec extends SparkTestBase {
     Lakehouse.deleteBranch(spark, root, "exp3")
   }
 
+  test("branchDiff: the pending change set a fast-forward would " +
+    "publish — cross-lineage manifest pruning, I/U/D against main's " +
+    "head, empty for a fresh branch") {
+    import spark.implicits._
+    val root = freshDir("brdiff")
+    val base = (1L to 12L).map(i => (i, s"p${(i % 2).toInt}", s"v$i"))
+      .toDF("id", "p", "v")
+    Lakehouse.commitSnapshot(spark, root,
+      Seq("p=p0" -> base.filter(col("p") === "p0"),
+        "p=p1" -> base.filter(col("p") === "p1")))
+    Lakehouse.createBranch(spark, root, "rev")
+    // fresh branch: nothing pending
+    assert(Lakehouse.branchDiff(spark, root, "rev", Seq("id"))
+      .count() == 0L)
+    // evolve ONLY p=p0 on the branch: delete id 2, update id 4, add 13
+    Lakehouse.commitSnapshot(spark, root, Seq("p=p0" ->
+      base.filter(col("p") === "p0" && col("id") =!= 2L)
+        .withColumn("v", when(col("id") === 4L, lit("u4"))
+          .otherwise(col("v")))
+        .unionByName(Seq((13L, "p0", "new")).toDF("id", "p", "v"))),
+      branch = "rev")
+    val diff = Lakehouse.branchDiff(spark, root, "rev", Seq("id"))
+    val rows = diff.orderBy("id")
+      .select("id", "change_type").as[(Long, String)].collect().toSeq
+    assert(rows == Seq(2L -> "D", 4L -> "U", 13L -> "I"))
+    // cross-lineage pruning: only p=p0's generations plan
+    assert(diff.inputFiles.nonEmpty &&
+      diff.inputFiles.forall(_.contains("/p=p0/")))
+    Lakehouse.deleteBranch(spark, root, "rev")
+  }
+
   test("the full DML family runs ON A BRANCH: merge, CDC, DELETE and " +
     "UPDATE evolve the branch invisibly; the fast-forward publishes the " +
     "whole audited pipeline onto main in one adoption") {
