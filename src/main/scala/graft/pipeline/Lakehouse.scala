@@ -2045,7 +2045,11 @@ object Lakehouse {
     * into the main lineage under the standard CAS, so the audited
     * intermediate epochs stay time-travelable from main; a main commit
     * that landed since the fork fails this loudly (rebase = re-branch
-    * from the new head). The branch lineage is consumed on success.
+    * from the new head). If a main commit slips in MID-adoption, the
+    * already-linked prefix stays — each linked manifest was a committed
+    * branch epoch, so main is consistent at every instant — and the
+    * remainder fails with the branch lineage intact for a retry after
+    * re-basing. The branch lineage is consumed on success.
     * Returns main's new head id. */
   def fastForward(spark: org.apache.spark.sql.SparkSession, root: String,
                   name: String): Int = {
