@@ -1610,6 +1610,33 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"), col("p"))
         .orderBy("doc_id")
     }),
+    // the pending change set of a branch BEFORE publish: branch-side
+    // merge (U+I) and delete (D) reviewed as I/U/D against main's head
+    // via the cross-lineage manifest-pruned diff
+    "lake_snapshot_branch_diff" -> ((s, d) => {
+      val root = s"/tmp/graft_lake_snap_bd/${new java.io.File(d).getName}"
+      val p0 = new org.apache.hadoop.fs.Path(root)
+      p0.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p0, true)
+      val base = T(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          (col("doc_id") % 3).cast("int").as("p"))
+      _root_.graft.pipeline.Lakehouse.commitSnapshot(s, root,
+        (0 to 2).map(i => s"p=$i" -> base.filter(col("p") === i)))
+      _root_.graft.pipeline.Lakehouse.createBranch(s, root, "rev")
+      val delta = base.filter(col("doc_id") % 10 === 0)
+        .withColumn("source", lit("revised"))
+        .unionByName(T(s, d, "documents")
+          .filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            lit("xx").as("lang"), lit("new").as("source"),
+            ((col("doc_id") + 10000000L) % 3).cast("int").as("p")))
+      _root_.graft.pipeline.Lakehouse.mergeSnapshot(s, root, delta,
+        Seq("doc_id"), "p", branch = "rev")
+      _root_.graft.pipeline.Lakehouse.deleteSnapshot(s, root,
+        col("doc_id") % 11 === 3, branch = "rev")
+      _root_.graft.pipeline.Lakehouse.branchDiff(s, root, "rev",
+        Seq("doc_id")).orderBy("doc_id")
+    }),
     // fuzzy string join (edit distance <= 1): 10-char md5-hex keys vs
     // their deterministic one-char deletions — q-gram blocked candidates
     // + the exact codegen'd levenshtein verify, never a cross join. q=4
@@ -3278,6 +3305,37 @@ object SparkEntry {
     "lake_snapshot_rollback" ->
       """SELECT doc_id, lang, source, CAST(doc_id % 2 AS INTEGER) AS p
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the branch's pending set = the same merged+deleted truth as the
+    // in-lineage changes row (the pipeline ran on a branch instead)
+    "lake_snapshot_branch_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id, lang, source, CAST(doc_id % 3 AS INTEGER) AS p
+        |  FROM documents),
+        |merged AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 10 = 0 THEN 'revised' ELSE source END
+        |      AS source,
+        |    CAST(doc_id % 3 AS INTEGER) AS p
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, 'xx', 'new',
+        |    CAST((doc_id + 10000000) % 3 AS INTEGER)
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |new AS (SELECT * FROM merged WHERE doc_id % 11 <> 3),
+        |j AS (
+        |  SELECT coalesce(n.doc_id, o.doc_id) AS doc_id,
+        |    CASE WHEN o.doc_id IS NULL THEN 'I'
+        |         WHEN n.doc_id IS NULL THEN 'D'
+        |         WHEN o.lang IS NOT DISTINCT FROM n.lang
+        |          AND o.source IS NOT DISTINCT FROM n.source
+        |          AND o.p IS NOT DISTINCT FROM n.p THEN NULL
+        |         ELSE 'U' END AS change_type,
+        |    o.lang AS old_lang, n.lang AS new_lang,
+        |    o.source AS old_source, n.source AS new_source,
+        |    o.p AS old_p, n.p AS new_p
+        |  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+        |SELECT * FROM j WHERE change_type IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
     // I/U/D between epochs 1 and 3 (merge then delete), old_/new_ values
     "lake_snapshot_changes" ->
       """WITH old AS (
