@@ -607,9 +607,7 @@ object Lakehouse {
     // than throwing
     val id = baseId + 1
     val target = snapFile(r, id, branch)
-    val tmp = new org.apache.hadoop.fs.Path(target.getParent,
-      s".${target.getName}.${snapGenName().drop("_gen-".length)}.tmp")
-    if (!casPutFile(fs, target, tmp, manifestText(man).getBytes("UTF-8")))
+    if (!casPutMeta(fs, target, manifestText(man).getBytes("UTF-8")))
       throw new ConcurrentCommitException(
         s"snapshot $id of $root was committed concurrently — re-read the " +
           "current snapshot and retry the write (withSnapshotRetry wraps " +
@@ -633,7 +631,12 @@ object Lakehouse {
                          tmp: org.apache.hadoop.fs.Path,
                          bytes: Array[Byte]): Boolean = {
     val out = fs.create(tmp, true)
-    try out.write(bytes) finally out.close()
+    try {
+      try out.write(bytes) finally out.close()
+    } catch { case t: Throwable => // never leave a partial tmp behind
+      try fs.delete(tmp, false) catch { case _: Throwable => () }
+      throw t
+    }
     val scheme = Option(fs.getUri.getScheme).getOrElse("file")
     if (scheme == "file") {
       // hard link: the kernel's link(2) is the CAS — it FAILS with
@@ -1998,8 +2001,10 @@ object Lakehouse {
     // the fork id rides a marker file: GC retention may age the fork
     // MANIFEST out of the branch lineage, but fast-forward must always
     // know where the branch diverged
-    casPutMeta(fs, new org.apache.hadoop.fs.Path(lineageDir(r, name),
-      "fork"), s"$at\n".getBytes("UTF-8"))
+    require(casPutMeta(fs, new org.apache.hadoop.fs.Path(
+      lineageDir(r, name), "fork"), s"$at\n".getBytes("UTF-8")),
+      s"branch '$name' is being created concurrently on $root — a fork " +
+        "marker already exists")
     at
   }
 
@@ -2095,6 +2100,9 @@ object Lakehouse {
     * feed. The review step of branch-audit-publish. */
   def branchDiff(spark: org.apache.spark.sql.SparkSession, root: String,
                  name: String, keys: Seq[String]): DataFrame = {
+    require(TagName.matches(name),
+      s"bad branch name '$name' — an empty/invalid name would silently " +
+        "diff main against itself")
     val r = new org.apache.hadoop.fs.Path(root)
     val fs = fsOf(spark, r)
     val mainHead = snapIds(fs, r).lastOption.getOrElse(
@@ -2199,11 +2207,21 @@ object Lakehouse {
     val stageTtlMs = spark.conf
       .get("graft.lake.stageRelicTtlMs", (24L * 3600 * 1000).toString).toLong
     val now = System.currentTimeMillis()
+    // relic = no activity ANYWHERE in the staging subtree for a TTL: the
+    // top dir's own mtime freezes at job start (the committer writes
+    // under _temporary until job commit), so a live long write is only
+    // visible in its nested files' mtimes
+    def newestMtime(p: org.apache.hadoop.fs.Path): Long = {
+      val st = fs.getFileStatus(p)
+      if (!st.isDirectory) st.getModificationTime
+      else (st.getModificationTime +: fs.listStatus(p).toSeq
+        .map(c => newestMtime(c.getPath))).max
+    }
     val lakeDir = new org.apache.hadoop.fs.Path(r, LakeDir)
     if (fs.exists(lakeDir))
       fs.listStatus(lakeDir).filter(st =>
         st.isDirectory && st.getPath.getName.startsWith("stage-") &&
-          now - st.getModificationTime > stageTtlMs)
+          now - newestMtime(st.getPath) > stageTtlMs)
         .foreach(st => fs.delete(st.getPath, true))
     // qualified on BOTH sides: listStatus returns scheme-qualified URIs
     // while caller paths may be bare — a string mismatch here would GC
