@@ -79,6 +79,8 @@ object Drive {
     t("occ raw substring")(println(occS.count()))
     t("full spans op")(println(
       graft.pipeline.Dedup.exactSubstrSpans(docs, 40, 1).count()))
+    t("spans stride 20")(println(
+      graft.pipeline.Dedup.exactSubstrSpans(docs, 40, 20).count()))
     t("full clean op")(println(
       graft.pipeline.Dedup.exactSubstrClean(docs, 40, 1).count()))
     val plan = graft.pipeline.Dedup.exactSubstrSpans(docs, 40, 1)
