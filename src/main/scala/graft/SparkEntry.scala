@@ -112,7 +112,7 @@ object SparkEntry {
       "q_stream_dedup", "q_stream_file_dedup", "q_stream_anomaly",
       "q_stream_manifest", "q_stream_file_manifest", "q_stream_cdc_compact",
       "q_stream_er", "q_stream_golden", "q_stream_cdc_snapshot",
-      "q_stream_changes_feed",
+      "q_stream_changes_feed", "q_stream_lake_feed",
       // loopback-federation verification harnesses: each boots GraftServer
       // instances and pays the deploy-time wire probe (create_rdfmts
       // parity) inside the row — they verify the endpoint catalog path,
@@ -1171,6 +1171,27 @@ object SparkEntry {
         .changesFeedReplayed(target, cdcLogFixture(s, d), root, rep)
         .orderBy("o_orderkey")
     }),
+    // SEVENTEENTH replay gate: the lake ITSELF is the streaming SOURCE —
+    // a checkpointed file stream watches the manifest lineage, each
+    // committed snap file pushes its epoch, and the replica is folded
+    // from snapshotChanges(n-1, n) per discovered epoch (epoch 1 = the
+    // bootstrap snapshot as inserts); must equal the CDC fold's table
+    "q_stream_lake_feed" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      val tag = new java.io.File(d).getName
+      val root = s"/tmp/graft_lake_snap_lf/$tag"
+      val rep = s"/tmp/graft_lake_snap_lf_rep/$tag"
+      for (dir <- Seq(root, rep)) {
+        val p0 = new org.apache.hadoop.fs.Path(dir)
+        p0.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p0, true)
+      }
+      val target = T(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      _root_.graft.streaming.EventStreams
+        .lakeFeedReplayed(target, cdcLogFixture(s, d), root, rep)
+        .orderBy("o_orderkey")
+    }),
     // SCD2 time travel: the same history lake_scd2 builds (batch applied
     // at ts=100) must reconstruct BOTH the pre-batch snapshot (as-of 50)
     // and the post-batch one (as-of 150) — the two directions gate that
@@ -1636,6 +1657,42 @@ object SparkEntry {
         col("doc_id") % 11 === 3, branch = "rev")
       _root_.graft.pipeline.Lakehouse.branchDiff(s, root, "rev",
         Seq("doc_id")).orderBy("doc_id")
+    }),
+    // REBASE: main advances (disjoint-key update) after the branch
+    // forks; fastForward would refuse, rebaseBranch replays the branch's
+    // pending I/U/D onto the new head, then the fast-forward publishes —
+    // final main = main's own fix ∪ the branch's merged+deleted intent
+    "lake_snapshot_rebase" -> ((s, d) => {
+      val root = s"/tmp/graft_lake_snap_rbs/${new java.io.File(d).getName}"
+      val p0 = new org.apache.hadoop.fs.Path(root)
+      p0.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p0, true)
+      val base = T(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          (col("doc_id") % 3).cast("int").as("p"))
+      _root_.graft.pipeline.Lakehouse.commitSnapshot(s, root,
+        (0 to 2).map(i => s"p=$i" -> base.filter(col("p") === i)))
+      _root_.graft.pipeline.Lakehouse.createBranch(s, root, "rev")
+      val delta = base.filter(col("doc_id") % 10 === 0)
+        .withColumn("source", lit("revised"))
+        .unionByName(T(s, d, "documents")
+          .filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            lit("xx").as("lang"), lit("new").as("source"),
+            ((col("doc_id") + 10000000L) % 3).cast("int").as("p")))
+      _root_.graft.pipeline.Lakehouse.mergeSnapshot(s, root, delta,
+        Seq("doc_id"), "p", branch = "rev")
+      _root_.graft.pipeline.Lakehouse.deleteSnapshot(s, root,
+        col("doc_id") % 11 === 3, branch = "rev")
+      // main moves since the fork — keys DISJOINT from the branch's
+      _root_.graft.pipeline.Lakehouse.updateSnapshot(s, root,
+        col("doc_id") % 10 === 7 && col("doc_id") % 11 =!= 3,
+        Seq("source" -> lit("mainfix")))
+      _root_.graft.pipeline.Lakehouse.rebaseBranch(s, root, "rev",
+        Seq("doc_id"), "p")
+      _root_.graft.pipeline.Lakehouse.fastForward(s, root, "rev")
+      _root_.graft.pipeline.Lakehouse.readSnapshot(s, root)
+        .select(col("doc_id"), col("lang"), col("source"), col("p"))
+        .orderBy("doc_id")
     }),
     // fuzzy string join (edit distance <= 1): 10-char md5-hex keys vs
     // their deterministic one-char deletions — q-gram blocked candidates
@@ -2182,9 +2239,16 @@ object SparkEntry {
     "doc_sketch_stats" -> ((s, d) =>
       TextAnalysis.sketchStats(T(s, d, "documents")).orderBy("source")),
     // deflate-ratio quality signal: no oracle (a codec is not SQL) →
-    // rows-only driver check; semantics spec-gated on known plaintexts
+    // rows-only driver check; semantics spec-gated on known plaintexts.
+    // PERMANENTLY rows-only (BASELINE.md note): its engine-portable
+    // integer twin is doc_ngram_redundancy below, which the oracle
+    // recomputes exactly
     "doc_compress_ratio" -> ((s, d) =>
       TextAnalysis.compressionRatio(T(s, d, "documents")).orderBy("doc_id")),
+    // the ORACLED compressibility face: distinct vs total 4-char windows
+    // per doc (md5-prefix digest contract), integer redundancy_milli
+    "doc_ngram_redundancy" -> ((s, d) =>
+      TextAnalysis.ngramRedundancy(T(s, d, "documents")).orderBy("doc_id")),
     // sentence spans with byte offsets (". "-portable splitter)
     "doc_sentences" -> ((s, d) =>
       TextAnalysis.sentences(T(s, d, "documents"))
@@ -2450,6 +2514,15 @@ object SparkEntry {
     "doc_exact_substr_dedup" -> ((s, d) =>
       Dedup.exactSubstrClean(T(s, d, "documents"), window = 40, stride = 1)
         .orderBy("doc_id")),
+    // TWO-PASS exact-substring (winnowed sound prefilter -> stride-1 on
+    // survivor docs only): output must be BIT-IDENTICAL to the
+    // single-pass stride-1 row above — same oracle, by the winnowing
+    // locality theorem (r17's stride-both-sides prefilter was UNSOUND:
+    // occurrences aligned mod stride only; winnowing anchors by local
+    // content, so both occurrences anchor at the same offsets)
+    "doc_exact_substr_twopass" -> ((s, d) =>
+      Dedup.exactSubstrSpansTwoPass(T(s, d, "documents"), window = 40)
+        .orderBy("doc_id", "span_start")),
     // asymmetric containment dedup, exhaustive digest-level oracle (the
     // maxDf index cap is part of the contract and mirrored in SQL)
     "doc_containment" -> ((s, d) =>
@@ -3335,6 +3408,22 @@ object SparkEntry {
         |    o.p AS old_p, n.p AS new_p
         |  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
         |SELECT * FROM j WHERE change_type IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+    // rebase + fast-forward: main's disjoint fix survives, the branch's
+    // merged (%10==0 → 'revised'), inserted (%13==0 keys +10M) and
+    // deleted (%11==3) intent replays on top
+    "lake_snapshot_rebase" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 10 = 0 THEN 'revised'
+        |       WHEN doc_id % 10 = 7 AND doc_id % 11 <> 3 THEN 'mainfix'
+        |       ELSE source END AS source,
+        |  CAST(doc_id % 3 AS INTEGER) AS p
+        |FROM documents WHERE doc_id % 11 <> 3
+        |UNION ALL
+        |SELECT doc_id + 10000000, 'xx', 'new',
+        |  CAST((doc_id + 10000000) % 3 AS INTEGER)
+        |FROM documents
+        |WHERE doc_id % 13 = 0 AND (doc_id + 10000000) % 11 <> 3
         |ORDER BY doc_id""".stripMargin,
     // I/U/D between epochs 1 and 3 (merge then delete), old_/new_ values
     "lake_snapshot_changes" ->
@@ -4661,6 +4750,58 @@ object SparkEntry {
         |FROM documents d LEFT JOIN asm a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
+    // two-pass == single-pass stride-1, BIT-IDENTICAL (the winnowing
+    // soundness theorem): the oracle is doc_exact_substr_spans verbatim
+    "doc_exact_substr_twopass" ->
+      """WITH w AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, CAST(floor((length(text) - 40) / 1) AS BIGINT)
+        |      + 1)) AS i
+        |  FROM documents WHERE length(text) >= 40),
+        |h AS (
+        |  SELECT doc_id, CAST(1 + i * 1 AS BIGINT) AS pos,
+        |    substring(md5(substring(text, CAST(1 + i * 1 AS INTEGER), 40)),
+        |      1, 16) AS g
+        |  FROM w),
+        |f AS (
+        |  SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS c,
+        |    row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+        |  FROM h),
+        |dup AS (SELECT doc_id, pos AS s, pos + 40 AS e FROM f
+        |  WHERE c >= 2 AND rn > 1),
+        |m AS (
+        |  SELECT doc_id, s, e, max(e) OVER (PARTITION BY doc_id ORDER BY
+        |    s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM dup),
+        |isl AS (
+        |  SELECT doc_id, s, e, sum(CASE WHEN pmax IS NULL OR s > pmax
+        |    THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY s, e)
+        |    AS island
+        |  FROM m)
+        |SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+        |  CAST(max(e) AS BIGINT) AS span_end
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
+
+    // distinct vs total 4-char windows (md5-prefix digest contract) and
+    // integer-floored redundancy per mille — the oracled compressibility
+    // face of the permanently rows-only deflate row
+    "doc_ngram_redundancy" ->
+      """WITH w AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, CAST(length(text) - 4 AS BIGINT) + 1)) AS i
+        |  FROM documents WHERE length(text) >= 4),
+        |g AS (
+        |  SELECT doc_id,
+        |    substring(md5(substring(text, CAST(1 + i AS INTEGER), 4)),
+        |      1, 16) AS g
+        |  FROM w)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS total_grams,
+        |  CAST(count(DISTINCT g) AS BIGINT) AS distinct_grams,
+        |  CAST((count(*) - count(DISTINCT g)) * 1000 // count(*)
+        |    AS BIGINT) AS redundancy_milli
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // asymmetric containment |A∩B|/|B| >= 0.9 over distinct-8-gram digest
     // sets: the index drops grams with df > 256 (contractual, mirrored),
     // b_size stays uncapped, threshold via ceil on the identical double
@@ -5258,6 +5399,16 @@ object SparkEntry {
       // the replica fed ONLY by snapshotChanges must land on the same
       // table as the CDC fold itself
       "q_stream_changes_feed" ->
+        """SELECT o_orderkey, o_custkey,
+          |  CASE WHEN o_orderkey % 10 = 0 THEN 'U'
+          |       ELSE o_orderstatus END AS o_orderstatus,
+          |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 5.0
+          |       ELSE o_totalprice END AS o_totalprice
+          |FROM orders WHERE o_orderkey % 20 <> 0
+          |ORDER BY o_orderkey""".stripMargin,
+      // the replica fed by the lake-as-source stream lands on the same
+      // CDC-fold table
+      "q_stream_lake_feed" ->
         """SELECT o_orderkey, o_custkey,
           |  CASE WHEN o_orderkey % 10 = 0 THEN 'U'
           |       ELSE o_orderstatus END AS o_orderstatus,

@@ -254,6 +254,105 @@ object GraftFunctions {
       SubstrWindowHashes(GraftBridge.expression(text), window, stride))
   }
 
+  /** WINNOWED anchored window digests — the sound sampling layer under
+    * [[graft.pipeline.Dedup.exactSubstrSpansTwoPass]] (Schleimer,
+    * Wilkerson & Aiken, "Winnowing: Local Algorithms for Document
+    * Fingerprinting", SIGMOD'03 — public): character position q is an
+    * ANCHOR iff its k-gram hash is the minimum (rightmost on ties) of at
+    * least one window of `g` consecutive k-gram hashes. Selection is
+    * LOCAL — it depends only on the g hashes around q — so two
+    * occurrences of the same substring anchor at the SAME relative
+    * offsets whatever precedes them. That locality is exactly what
+    * fixed-stride sampling on both sides lacks (two occurrences align
+    * only when their offsets agree mod stride — the refuted r17
+    * prefilter theorem); winnowing also guarantees an anchor in EVERY g
+    * consecutive positions, so coverage is deterministic, not
+    * probabilistic. Each anchor q with q + w1 <= numChars emits the
+    * md5-prefix-16 digest of the w1 = window-g+1 chars at q (the family
+    * digest contract). Guarantee: any duplicated substring of length >=
+    * window (with window >= g+k-1) produces at least one IDENTICAL
+    * digest in both occurrences. Expected density ~2/(g+1); worst case
+    * (a constant run — every k-gram hash equal) degrades toward
+    * stride-1 density but stays correct. Called from generated code. */
+  def winnowedWindowHashes(text: org.apache.spark.unsafe.types.UTF8String,
+                           window: Int, k: Int, g: Int): ArrayData = {
+    val bytes = text.getBytes
+    val starts = new Array[Int](text.numChars() + 1)
+    var o = 0
+    var c = 0
+    while (o < bytes.length) {
+      starts(c) = o
+      o += org.apache.spark.unsafe.types.UTF8String
+        .numBytesForFirstByte(bytes(o))
+      c += 1
+    }
+    starts(c) = bytes.length
+    val w1 = window - g + 1
+    val nHashes = c - k + 1
+    if (c < window || nHashes < g)
+      return new GenericArrayData(Array.empty[Any])
+    // k-gram hashes: FNV-1a over the gram's UTF-8 bytes (anchor
+    // selection only — never emitted, so no oracle contract)
+    val h = new Array[Long](nHashes)
+    var q = 0
+    while (q < nHashes) {
+      var acc = 0xcbf29ce484222325L
+      var b = starts(q)
+      val end = starts(q + k)
+      while (b < end) {
+        acc ^= bytes(b) & 0xffL
+        acc *= 0x100000001b3L
+        b += 1
+      }
+      h(q) = acc
+      q += 1
+    }
+    // sliding-window rightmost-minimum via a monotonic deque: after
+    // processing index j, the front is the selected anchor of window
+    // [j-g+1, j]. Popping back on >= makes ties resolve RIGHTMOST —
+    // deterministic on content, so both occurrences of a duplicate
+    // select the same relative position.
+    val deque = new Array[Int](nHashes)
+    var head = 0
+    var tail = 0 // exclusive
+    val anchors = new java.util.LinkedHashSet[Integer]()
+    var j = 0
+    while (j < nHashes) {
+      while (tail > head && h(deque(tail - 1)) >= h(j)) tail -= 1
+      deque(tail) = j
+      tail += 1
+      if (deque(head) < j - g + 1) head += 1
+      if (j >= g - 1) anchors.add(deque(head))
+      j += 1
+    }
+    val md = Md5Local.get()
+    val out = new scala.collection.mutable.ArrayBuffer[Any](anchors.size)
+    val it = anchors.iterator()
+    while (it.hasNext) {
+      val a = it.next().intValue()
+      if (a + w1 <= c) {
+        md.update(bytes, starts(a), starts(a + w1) - starts(a))
+        val d = md.digest()
+        val hex = new Array[Byte](16)
+        var i = 0
+        while (i < 8) {
+          hex(2 * i) = HexBytes((d(i) >> 4) & 0xf)
+          hex(2 * i + 1) = HexBytes(d(i) & 0xf)
+          i += 1
+        }
+        out += org.apache.spark.unsafe.types.UTF8String.fromBytes(hex)
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  def winnowed_window_hashes(text: Column, window: Int, k: Int,
+                             g: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(
+      WinnowedWindowHashes(GraftBridge.expression(text), window, k, g))
+  }
+
   /** Slot-weight tables for the hashing-trick quality scorer, keyed by
     * bucket count: weight(b) = first-2-md5-bytes("qw"+b) % 17 - 8 — the
     * `('0x' || substr(md5('qw' || b), 1, 4))::BIGINT % 17 - 8` arithmetic
@@ -473,6 +572,38 @@ final case class SubstrWindowHashes(child: Expression, window: Int,
 
   override protected def withNewChildInternal(
       newChild: Expression): SubstrWindowHashes = copy(child = newChild)
+}
+
+/** string → array of winnowed anchor digests (see
+  * [[GraftFunctions.winnowedWindowHashes]]); one codegen'd call per
+  * row. */
+final case class WinnowedWindowHashes(child: Expression, window: Int,
+                                      k: Int, g: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes()
+  : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case StringType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"winnowed_window_hashes expects string, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftFunctions.winnowedWindowHashes(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      window, k, g)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftFunctions" +
+        s".winnowedWindowHashes($c, $window, $k, $g);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WinnowedWindowHashes = copy(child = newChild)
 }
 
 /** array<long> token hashes → 64-bit SimHash fingerprint. */

@@ -41,12 +41,22 @@ object Decontaminate {
     * to DISTINCT window digests (fixed-width, broadcast like
     * [[flagged]]'s gram set — benchmarks are small by definition); the
     * corpus side is the same ONE native digest pass per doc. Digest
-    * identity is the family's md5-prefix contract, oracle-mirrored. */
+    * identity is the family's md5-prefix contract, oracle-mirrored.
+    *
+    * The BENCHMARK side always digests at stride 1, whatever `stride`
+    * the caller picks for the corpus: the benchmark set is
+    * broadcast-small by this function's own contract, and sampling it
+    * would make a corpus window match only when the two occurrences
+    * happen to agree mod stride — a silent recall hole in a
+    * safety-oriented op. With every benchmark offset present, corpus
+    * `stride > 1` only coarsens span EDGES (a contaminated region's
+    * sampled windows all still match); it never drops a ≥window
+    * contamination entirely. */
   def contaminatedSpans(corpus: DataFrame, benchmark: DataFrame,
                         window: Int = 40, stride: Int = 1): DataFrame = {
     require(window >= 2 && stride >= 1, s"bad window=$window/stride=$stride")
     val occ = Dedup.substrOccurrences(corpus, window, stride)
-    val benchG = Dedup.substrOccurrences(benchmark, window, stride)
+    val benchG = Dedup.substrOccurrences(benchmark, window, 1)
       .select("g").distinct()
     Dedup.mergeSpans(occ.join(broadcast(benchG), Seq("g"))
       .select(col("doc_id"), col("pos").as("s"),

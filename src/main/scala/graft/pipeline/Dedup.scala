@@ -801,6 +801,61 @@ object Dedup {
     mergeSpans(spans)
   }
 
+  /** TWO-PASS [[exactSubstrSpans]] — the 100 TB cost shape, output
+    * BIT-IDENTICAL to single-pass stride 1 (gate-pinned): pass 1 runs a
+    * cheap SOUND prefilter that finds every document containing any
+    * duplicated ≥-window span; pass 2 runs the exact stride-1 span
+    * derivation on those survivors only. In a mostly-deduplicated
+    * corpus the survivors are a small fraction, so the expensive
+    * (digest, doc, pos) stride-1 shuffle touches a fraction of the
+    * corpus while the prefilter shuffles only ~2/(g+1) of the
+    * positions.
+    *
+    * Soundness (why this replaces the r17 stride-prefilter recipe,
+    * which was UNSOUND — with stride s on both sides two occurrences
+    * sample the same window only when their offsets agree mod s, so a
+    * stride-20 prefilter misses ~19/20 of cross-document duplicates):
+    * pass 1 anchors positions by WINNOWING ([[graft.functions
+    * .GraftFunctions.winnowedWindowHashes]]) — anchor selection is a
+    * function of the surrounding content alone, so both occurrences of
+    * a duplicate anchor at the same relative offsets, and every g
+    * consecutive positions contain an anchor. Hence any duplicate of
+    * length ≥ window (≥ g+k-1) yields at least one identical
+    * (window-g+1)-char anchored digest in both occurrences: take the
+    * duplicate's first g anchor-eligible positions — all their k-grams
+    * and the winner's digest window lie inside the duplicate in BOTH
+    * occurrences, so the same relative position wins in both. Every
+    * doc holding any occurrence therefore shares a digest with count
+    * ≥ 2 and survives pass 1 — which also means all occurrences of
+    * every duplicated window live in the survivor set, so pass 2's
+    * counts, first-occurrence choices, and spans equal the single-pass
+    * run exactly. */
+  def exactSubstrSpansTwoPass(docs: DataFrame, window: Int = 40,
+                              g: Int = 16, k: Int = 8): DataFrame = {
+    require(g >= 2 && k >= 2 && window >= g + k - 1,
+      s"two-pass needs window >= g+k-1 (got window=$window g=$g k=$k)")
+    val anchored = docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(
+        graft.functions.GraftFunctions.winnowed_window_hashes(
+          col("text"), window, k, g)).as("g"))
+    // global count per anchored digest: one partial-agg groupBy of
+    // fixed-width rows (the same never-a-window-over-the-digest
+    // discipline as exactSubstrSpans)
+    val hot = anchored.groupBy("g")
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2).select("g")
+    val survivors = anchored.join(hot, Seq("g")).select("doc_id").distinct()
+    exactSubstrSpans(docs.join(survivors, Seq("doc_id"), "left_semi"),
+      window, stride = 1)
+  }
+
+  /** Two-pass face of [[exactSubstrClean]]: rewrite with the two-pass
+    * spans removed. Non-survivor docs pass through verbatim (they
+    * provably hold no duplicated span). */
+  def exactSubstrCleanTwoPass(docs: DataFrame, window: Int = 40,
+                              g: Int = 16, k: Int = 8): DataFrame =
+    removeSpans(docs, exactSubstrSpansTwoPass(docs, window, g, k))
+
   /** (doc_id, pos, g) window occurrences — digests via ONE native
     * codegen'd pass per document (the interpreted transform-HOF chain it
     * replaced cost ~it all: the md5 itself is <20% of the lambda

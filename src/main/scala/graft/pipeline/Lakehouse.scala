@@ -394,6 +394,18 @@ object Lakehouse {
   private[graft] final case class ColStat(min: Option[String],
                                           max: Option[String])
 
+  /** One committed data file of a generation, as recorded in the
+    * manifest (`#file` lines): name, byte length, and mtime. Recording
+    * these at COMMIT time (the writer just produced the files — they are
+    * one local listing away) is what lets [[ManifestFileIndex]] plan a
+    * read with ZERO filesystem calls: the `FileStatus` objects Spark
+    * needs are synthesized from the manifest instead of one blocking
+    * `listStatus` RPC per partition dir on every query (the r17
+    * plan-time scale hole). Generations are immutable, so the recorded
+    * facts can never go stale. */
+  private[graft] final case class FileEntry(name: String, len: Long,
+                                            mtime: Long)
+
   /** Parsed manifest: the partition→data-dir mapping plus the committed
     * SCHEMA (a `#schema` metadata line, StructType JSON) plus optional
     * per-file column STATS (`#stats` lines: rel → file → col →
@@ -413,7 +425,12 @@ object Lakehouse {
         * the generation dir (they are kilobytes per file — too big for
         * manifest text lines; riding the gen dir gives them its
         * immutability and its GC for free). */
-      blooms: Map[String, Set[String]] = Map.empty)
+      blooms: Map[String, Set[String]] = Map.empty,
+      /** rel → the committed generation's data files (`#file` lines) —
+        * the zero-RPC planning layer: with these recorded, readSnapshot
+        * never lists a data dir at plan time. Missing for pre-r18
+        * manifests; the reader falls back to (parallel) listing. */
+      files: Map[String, Seq[FileEntry]] = Map.empty)
 
   private val StatNull = "-"
   private def encStat(v: Option[String]): String =
@@ -467,10 +484,24 @@ object Lakehouse {
           s"malformed #bloom line in $p: '$l'")
       }
     }
+    val files = scala.collection.mutable.Map[String,
+      scala.collection.mutable.ArrayBuffer[FileEntry]]()
+    meta.filter(_.startsWith("#file\t")).foreach { l =>
+      l.split("\t", -1) match {
+        case Array(_, rel, name, len, mtime) =>
+          files.getOrElseUpdate(rel,
+            scala.collection.mutable.ArrayBuffer()) +=
+            FileEntry(java.net.URLDecoder.decode(name, "UTF-8"),
+              len.toLong, mtime.toLong)
+        case _ => throw new IllegalStateException(
+          s"malformed #file line in $p: '$l'")
+      }
+    }
     Manifest(mapping, schema,
       stats.map { case (r, fm) =>
         r -> fm.map { case (f, cm) => f -> cm.toMap }.toMap }.toMap,
-      blooms.map { case (r, cs) => r -> cs.toSet }.toMap)
+      blooms.map { case (r, cs) => r -> cs.toSet }.toMap,
+      files.map { case (r, fe) => r -> fe.toSeq }.toMap)
   }
 
   /** Committed manifests are immutable (the CAS target is never
@@ -585,8 +616,12 @@ object Lakehouse {
     val bloomLines = man.blooms.toSeq.sortBy(_._1).flatMap { case (rel, cs) =>
       cs.toSeq.sorted.map(c => s"#bloom\t$rel\t$c\n")
     }.mkString
+    val fileLines = man.files.toSeq.sortBy(_._1).flatMap { case (rel, fe) =>
+      fe.sortBy(_.name).map(f => s"#file\t$rel\t${
+        java.net.URLEncoder.encode(f.name, "UTF-8")}\t${f.len}\t${f.mtime}\n")
+    }.mkString
     man.schema.map(s => s"#schema\t${s.json}\n").getOrElse("") +
-      statLines + bloomLines +
+      statLines + bloomLines + fileLines +
       man.mapping.toSeq.sortBy(_._1)
         .map { case (rel, gen) => s"$rel\t$gen\n" }.mkString
   }
@@ -650,8 +685,22 @@ object Lakehouse {
       }
       fs.delete(tmp, false)
       true
-    } else if (fs.exists(target) || !fs.rename(tmp, target)) {
+    } else if (fs.exists(target)) {
       fs.delete(tmp, false); false
+    } else if (!fs.rename(tmp, target)) {
+      // HDFS-contract rename returns false when the destination exists
+      // (the CAS losing is expected) but ALSO on transient IO trouble.
+      // Probe which it was: reporting an IO failure as "committed
+      // concurrently" would misdirect the operator into retry/deleteTag
+      // when the store needs an IO diagnosis.
+      val conflicted = try fs.exists(target) catch { case _: Throwable =>
+        false }
+      fs.delete(tmp, false)
+      if (conflicted) false
+      else throw new java.io.IOException(
+        s"rename($tmp -> $target) failed but the target does not exist " +
+          "— an IO error on the store, not a commit conflict; do not " +
+          "retry as a CAS race")
     } else true
   }
 
@@ -806,10 +855,13 @@ object Lakehouse {
             val part =
               if (rel.isEmpty) r else new org.apache.hadoop.fs.Path(r, rel)
             val gen = snapGenName()
-            val genPath = new org.apache.hadoop.fs.Path(part, gen).toString
-            df.write.mode("overwrite").parquet(genPath)
+            val genP = new org.apache.hadoop.fs.Path(part, gen)
+            df.write.mode("overwrite").parquet(genP.toString)
             plantSentinelIfBare(fs, part)
-            rel -> gen
+            // record the freshly written files (name, len, mtime) while
+            // we are already here — the one listing that buys every
+            // future read a ZERO-listing plan (see [[FileEntry]])
+            (rel, gen, fileEntries(fs, genP))
           }
         }
         scala.concurrent.Await.result(
@@ -825,22 +877,41 @@ object Lakehouse {
     // evolution) records all-null — correct and maximally pruning,
     // because the snapshot read null-fills it and null-excluding ranges
     // exclude those rows anyway.
-    val writtenDirs = updated.map { case (rel, gen) =>
+    val updatedRels = updated.map { case (rel, _, _) => rel }
+    val writtenDirs = updated.map { case (rel, gen, _) =>
       fs.makeQualified(dataDir(r, rel, gen)).toString -> rel }.toMap
     val fresh =
       if (effStats.isEmpty) Map.empty[String, Map[String, Map[String, ColStat]]]
       else fileStats(spark, fs, writtenDirs,
         effStats.filter(schema.fieldNames.contains), Some(schema))
-    val carried = prior.map(_.stats).getOrElse(Map.empty) --
-      updated.map(_._1)
+    val carried = prior.map(_.stats).getOrElse(Map.empty) -- updatedRels
     // blooms ride the same carry/replace rule as stats
     val freshBlooms = writeBlooms(spark, fs, writtenDirs,
       effBloom.filter(schema.fieldNames.contains), Some(schema))
     val carriedBlooms = prior.map(_.blooms).getOrElse(Map.empty) --
-      updated.map(_._1)
-    (Manifest(base ++ updated, Some(schema), carried ++ fresh,
-      carriedBlooms ++ freshBlooms), baseId)
+      updatedRels
+    // file lists ride the same rule; base entries a PRE-r18 manifest (or
+    // an adoption) carries without lists are backfilled with one listing
+    // each, HERE at commit time — never at plan time
+    val mapping = base ++ updated.map { case (rel, gen, _) => rel -> gen }
+    val carriedFiles = prior.map(_.files).getOrElse(Map.empty) --
+      updatedRels
+    val freshFiles = updated.map { case (rel, _, fe) => rel -> fe }.toMap
+    val backfill = (mapping.keySet -- carriedFiles.keySet --
+      freshFiles.keySet).map { rel =>
+        rel -> fileEntries(fs, dataDir(r, rel, mapping(rel))) }.toMap
+    (Manifest(mapping, Some(schema), carried ++ fresh,
+      carriedBlooms ++ freshBlooms,
+      carriedFiles ++ backfill ++ freshFiles), baseId)
   }
+
+  /** The data files of a freshly written generation dir as manifest
+    * [[FileEntry]]s — ONE listing, done by the committer that just
+    * produced the files. */
+  private def fileEntries(fs: org.apache.hadoop.fs.FileSystem,
+                          dir: org.apache.hadoop.fs.Path): Seq[FileEntry] =
+    dataFiles(fs, dir).toSeq.sortBy(_.getPath.getName).map(st =>
+      FileEntry(st.getPath.getName, st.getLen, st.getModificationTime))
 
   // ---- WRITE-AUDIT-PUBLISH: stage a snapshot, audit it, then flip ------------
 
@@ -1343,7 +1414,8 @@ object Lakehouse {
     fileRanges.foreach(rg => require(
       m.schema.isEmpty || colTypes.contains(rg.column),
       s"fileRanges column '${rg.column}' is not in the committed schema"))
-    if (fileRanges.isEmpty && (m.stats.nonEmpty || m.blooms.nonEmpty) &&
+    if (fileRanges.isEmpty &&
+        (m.stats.nonEmpty || m.blooms.nonEmpty || m.files.nonEmpty) &&
         m.schema.isDefined &&
         spark.conf.get("graft.lake.autoSkip", "true").toBoolean) {
       // AUTOMATIC skipping: no declared ranges needed — a manifest-backed
@@ -1351,10 +1423,13 @@ object Lakehouse {
       // and drops every file whose committed [min,max] cannot satisfy
       // them (plus bloom misses on point equality); partitions without
       // stats are never pruned. One FileSourceScan, same null-fill
-      // schema semantics as the plain path
+      // schema semantics as the plain path. Partitions with recorded
+      // `#file` lists plan with ZERO filesystem calls (FileStatus is
+      // synthesized from the manifest); only pre-r18 entries fall back
+      // to a (parallel) listing.
       val dirs = kept.map { case (rel, gen) =>
         (dataDir(r, rel, gen), m.stats.get(rel),
-          m.blooms.getOrElse(rel, Set.empty[String])) }
+          m.blooms.getOrElse(rel, Set.empty[String]), m.files.get(rel)) }
       val index = new ManifestFileIndex(spark, dirs, colTypes)
       val relation = org.apache.spark.sql.execution.datasources
         .HadoopFsRelation(index,
@@ -1613,14 +1688,35 @@ object Lakehouse {
   /** Determinism is only knowable AFTER analysis (an unresolved
     * `rand() < 0.5` reports deterministic), so the guard inspects the
     * analyzed plan of the probe frame the caller built over the
-    * snapshot. */
+    * snapshot. Catalyst's `deterministic` flag is not enough on its
+    * own: `current_timestamp()`/`now()`/`current_date()` report
+    * deterministic (they are — within one query), but DML evaluates
+    * the predicate in TWO queries (touch pass, then rewrite), so a row
+    * crossing the boundary between the passes would survive a DELETE
+    * in an un-touched partition. Time-valued expressions are rejected
+    * alongside rand() for the same two-evaluations rationale. */
   private def requireDeterministic(df: DataFrame, what: String): Unit = {
-    val bad = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    import org.apache.spark.sql.catalyst.expressions.{
+      CurrentDate, CurrentTimestamp, Expression, Now}
+    def timeDependent(e: Expression): Boolean = e match {
+      case _: CurrentTimestamp | _: CurrentDate | _: Now => true
+      case _ => e.children.exists(timeDependent)
+    }
+    val plan = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
       .queryExecution.analyzed
-      .collectFirst { case p if p.expressions.exists(!_.deterministic) => p }
+    val bad = plan.collectFirst {
+      case p if p.expressions.exists(!_.deterministic) => p }
     require(bad.isEmpty,
       s"$what must be deterministic — it is evaluated once to find " +
         "touched partitions and once to rewrite them")
+    val timey = plan.collectFirst {
+      case p if p.expressions.exists(timeDependent) => p }
+    require(timey.isEmpty,
+      s"$what must not depend on evaluation time " +
+        "(current_timestamp/current_date/now): the touch pass and the " +
+        "rewrite pass run at different instants, so a row whose match " +
+        "flips between them would be missed in an un-touched partition" +
+        " — bind the instant to a literal first")
   }
 
   private def manifestStatsCols(m: Manifest): Seq[String] =
@@ -1786,19 +1882,27 @@ object Lakehouse {
     * out — the Iceberg/Delta RESTORE contract. Rolling back to the
     * current snapshot is a no-op. Throws when `toId` is not a kept
     * snapshot (rollback past GC retention is impossible by design).
+    * Branch-aware like the rest of the DML family: `branch` rolls THAT
+    * lineage back to one of its own kept epochs, main untouched.
     * Returns the committed snapshot id. */
   def rollbackSnapshot(spark: org.apache.spark.sql.SparkSession,
-                       root: String, toId: Int): Int = {
+                       root: String, toId: Int,
+                       branch: String = MainBranch): Int = {
     val r = new org.apache.hadoop.fs.Path(root)
     val fs = fsOf(spark, r)
-    val ids = snapIds(fs, r)
-    require(ids.nonEmpty, s"$root is not snapshot-managed")
+    val ids = snapIds(fs, r, branch)
+    require(ids.nonEmpty,
+      if (branch.isEmpty) s"$root is not snapshot-managed"
+      else s"no branch '$branch' on $root")
     val baseId = ids.last
     require(ids.contains(toId),
-      s"snapshot $toId of $root is not kept (kept: ${ids.mkString(",")})" +
-        " — rollback past GC retention is impossible")
+      s"snapshot $toId of $root${
+        if (branch.isEmpty) "" else s" branch '$branch'"} is not kept " +
+        s"(kept: ${ids.mkString(",")}) — rollback past GC retention is " +
+        "impossible")
     if (toId == baseId) return baseId
-    commitManifest(spark, root, manifestAt(spark, root, Some(toId)), baseId)
+    commitManifest(spark, root,
+      manifestAt(spark, root, Some(toId), branch), baseId, branch)
   }
 
   /** PARTITION-LAYOUT EVOLUTION: rewrite the whole lake into a new
@@ -1879,6 +1983,8 @@ object Lakehouse {
       plantSentinelIfBare(fs, part)
       rel -> gen
     }
+    val newFiles = updated.map { case (rel, gen) =>
+      rel -> fileEntries(fs, dataDir(r, rel, gen)) }.toMap
     fs.delete(staging, true) // only the _SUCCESS marker remains
     plantSentinelIfBare(fs, r)
     val schema = snap.schema
@@ -1897,7 +2003,8 @@ object Lakehouse {
     val stats = fileStats(spark, fs, dirToRel, effStats, Some(schema))
     val blooms = writeBlooms(spark, fs, dirToRel, effBloom, Some(schema))
     commitManifest(spark, root,
-      Manifest(updated.toMap, Some(schema), stats, blooms), baseId)
+      Manifest(updated.toMap, Some(schema), stats, blooms, newFiles),
+      baseId)
   }
 
   // ---- snapshot TAGS: stable names that pin epochs against GC ---------------
@@ -1995,16 +2102,30 @@ object Lakehouse {
     require(snapIds(fs, r, name).isEmpty,
       s"branch '$name' already exists on $root — deleteBranch first")
     fs.mkdirs(lineageDir(r, name))
+    // MARKER FIRST, then the seed manifest: the fork id rides a marker
+    // file (GC retention may age the fork MANIFEST out of the lineage,
+    // but fast-forward must always know where the branch diverged), and
+    // writing it first closes the old crash window — a marker without a
+    // lineage is a harmless relic the next create recovers from, whereas
+    // a seed without a marker bricked the branch (branchFork threw AND
+    // re-create was refused). The marker CAS is also the creation lock:
+    // of two concurrent creators exactly one wins it.
+    val marker = new org.apache.hadoop.fs.Path(lineageDir(r, name), "fork")
+    if (!casPutMeta(fs, marker, s"$at\n".getBytes("UTF-8"))) {
+      // an existing marker over an EMPTY lineage is a crash relic of a
+      // create that died before its seed put (its fork id may differ) —
+      // reclaim it and take the slot; a non-empty lineage is a live branch
+      if (snapIds(fs, r, name).nonEmpty)
+        throw new IllegalArgumentException(
+          s"branch '$name' already exists on $root — deleteBranch first")
+      fs.delete(marker, false)
+      require(casPutMeta(fs, marker, s"$at\n".getBytes("UTF-8")),
+        s"branch '$name' is being created concurrently on $root — a " +
+          "fork marker reappeared")
+    }
     require(casPutMeta(fs, snapFile(r, at, name),
       manifestText(manifestAt(spark, root, Some(at))).getBytes("UTF-8")),
       s"branch '$name' already exists on $root — deleteBranch first")
-    // the fork id rides a marker file: GC retention may age the fork
-    // MANIFEST out of the branch lineage, but fast-forward must always
-    // know where the branch diverged
-    require(casPutMeta(fs, new org.apache.hadoop.fs.Path(
-      lineageDir(r, name), "fork"), s"$at\n".getBytes("UTF-8")),
-      s"branch '$name' is being created concurrently on $root — a fork " +
-        "marker already exists")
     at
   }
 
@@ -2079,17 +2200,111 @@ object Lakehouse {
       commitManifest(spark, root,
         manifestAt(spark, root, Some(id), name), fork + k)
     }
-    // a branch commit that landed while we were linking would vanish
-    // with the lineage delete — leave the branch intact and loud instead
-    // (the adopted prefix is already valid main history; re-run the
-    // fast-forward after re-branching or draining the writer)
-    if (snapIds(fs, r, name) != bids)
+    // consume ONLY what was adopted — the listed snap files and the fork
+    // marker, never a recursive lineage delete: a branch commit landing
+    // after the adoption loop would be silently destroyed by `delete(dir,
+    // true)` (check-then-act — re-listing first merely narrows the
+    // window). With per-file deletes a concurrent commit SURVIVES in the
+    // lineage dir and the next branch operation fails loudly on the
+    // missing fork marker instead of losing data.
+    bids.foreach(id => fs.delete(snapFile(r, id, name), false))
+    fs.delete(new org.apache.hadoop.fs.Path(lineageDir(r, name), "fork"),
+      false)
+    val leftover = snapIds(fs, r, name)
+    if (leftover.nonEmpty)
       throw new ConcurrentCommitException(
-        s"branch '$name' advanced while fast-forwarding — the listed " +
-          "epochs were adopted onto main but the branch kept moving; " +
-          "drain branch writers and re-run (the branch lineage is intact)")
-    fs.delete(lineageDir(r, name), true)
+        s"branch '$name' advanced while fast-forwarding — epochs " +
+          s"${bids.mkString(",")} were adopted onto main, but commits " +
+          s"${leftover.mkString(",")} landed concurrently and survive in " +
+          "the branch lineage (fork marker consumed); re-branch and " +
+          "re-apply them")
+    // non-recursive dir removal only: if yet another commit sneaked in
+    // after the leftover check, the delete fails (non-empty) and the
+    // commit survives; an empty leftover dir is harmless to recreate over
+    try fs.delete(lineageDir(r, name), false)
+    catch { case _: java.io.IOException => () }
     snapIds(fs, r).last
+  }
+
+  /** REBASE a diverged branch onto the current main head — the missing
+    * half of branch-audit-publish when [[fastForward]] refuses because
+    * main moved since the fork: replay the branch's PENDING INTENT (its
+    * [[snapshotChanges]] from the fork to its head — I/U/D per key) onto
+    * a fresh fork of main's head, so the next fast-forward is legal
+    * again. Cherry-pick semantics, loud on conflicts: a key BOTH main
+    * and the branch changed since the fork (to different outcomes —
+    * identical changes are convergent, not conflicting) throws with both
+    * sides' values surfaced; resolving is the operator's call (re-apply
+    * by hand on a fresh branch).
+    *
+    * Crash-safe by staging: the replay lands on a TEMP branch first
+    * (`<name>.rebase`), the old lineage — the branch's intent — is
+    * deleted only after the temp branch holds the rebased state, then
+    * the temp lineage renames into place (an interrupted rebase leaves
+    * either the original branch intact or a recoverable
+    * `<name>.rebase`). Needs the fork manifest still kept on main
+    * (rebase past GC retention is impossible, like rollback).
+    * `partitionCol` is the lake's partition column ([[applyCdcSnapshot]]
+    * contract: key-determined, carried as a data column). Returns the
+    * rebased branch's head id. */
+  def rebaseBranch(spark: org.apache.spark.sql.SparkSession, root: String,
+                   name: String, keys: Seq[String],
+                   partitionCol: String): Int = {
+    require(TagName.matches(name), s"bad branch name '$name'")
+    val r = new org.apache.hadoop.fs.Path(root)
+    val fs = fsOf(spark, r)
+    val bids = snapIds(fs, r, name)
+    require(bids.nonEmpty, s"no branch '$name' on $root")
+    val fork = branchFork(fs, r, name)
+    val mainHead = snapIds(fs, r).lastOption.getOrElse(
+      throw new IllegalStateException(s"$root is not snapshot-managed"))
+    if (mainHead == fork) return bids.last // fast-forwardable already
+    val branchHead = bids.last
+    val pending = snapshotChanges(spark, root, fork, branchHead, keys,
+      toBranch = name)
+    val mainDrift = snapshotChanges(spark, root, fork, mainHead, keys)
+    // conflict = a key both sides touched, unless both reached the SAME
+    // outcome (same op, null-safe-equal new values — convergent edits)
+    val newCols = pending.columns.filter(_.startsWith("new_")).toSeq
+    val b = pending.alias("b")
+    val mm = mainDrift.alias("m")
+    val sameOutcome = (col("b.change_type") === col("m.change_type")) &&
+      newCols.map(c => col(s"b.$c") <=> col(s"m.$c"))
+        .foldLeft(lit(true))(_ && _)
+    val conflicts = b.join(mm, keys, "inner").filter(!sameOutcome)
+      .select(keys.map(col) ++ Seq(col("b.change_type").as("branch_op"),
+        col("m.change_type").as("main_op")) ++
+        newCols.flatMap(c => Seq(col(s"b.$c").as(s"branch_$c"),
+          col(s"m.$c").as(s"main_$c"))): _*)
+    val sample = conflicts.limit(21).collect()
+    if (sample.nonEmpty) throw new IllegalStateException(
+      s"rebase of branch '$name' onto $root@$mainHead conflicts: " +
+        s"${sample.length}${if (sample.length > 20) "+" else ""} key(s) " +
+        "changed by BOTH main and the branch since the fork — first: " +
+        sample.take(3).map(_.toString).mkString("; ") +
+        " — resolve by re-branching and re-applying by hand")
+    // CDC shape: I/U carry the new payload, D only needs key + partition
+    // placement (taken from the old side; applyCdc drops D payloads)
+    val payload = keys ++ newCols.map(_.stripPrefix("new_"))
+      .filterNot(keys.contains)
+    require(payload.contains(partitionCol),
+      s"'$partitionCol' is not a column of the change feed " +
+        s"(${payload.mkString(", ")})")
+    val cdc = pending.select(
+      payload.map { c =>
+        if (keys.contains(c)) col(c).as(c)
+        else when(col("change_type") === "D", col(s"old_$c"))
+          .otherwise(col(s"new_$c")).as(c)
+      } :+ col("change_type").as("op"): _*)
+    val tmp = s"$name.rebase"
+    if (snapIds(fs, r, tmp).nonEmpty) deleteBranch(spark, root, tmp)
+    createBranch(spark, root, tmp, fromId = Some(mainHead))
+    applyCdcSnapshot(spark, root, cdc, keys, partitionCol, branch = tmp)
+    deleteBranch(spark, root, name)
+    require(fs.rename(lineageDir(r, tmp), lineageDir(r, name)),
+      s"rebase of '$name': staged lineage '$tmp' failed to rename into " +
+        s"place — recover it manually (it holds the rebased state)")
+    snapIds(fs, r, name).last
   }
 
   /** The PENDING change set of a branch — "what would [[fastForward]]
@@ -2347,12 +2562,15 @@ object Lakehouse {
           rewritten.map(_._1) ++
           rewritten.collect { case (rel, _, _, _, st) if st.nonEmpty =>
             rel -> st }
+        val newFiles = m.files -- rewritten.map(_._1) ++
+          rewritten.map { case (rel, gen, _, _, _) =>
+            rel -> fileEntries(fs, dataDir(rootP, rel, gen)) }
         commitManifest(spark, root,
           Manifest(
             base ++ rewritten.map { case (rel, gen, _, _, _) => rel -> gen },
             // content-preserving: schema AND bloom declarations carry
             // (the rebuilt sidecars live inside the new generations)
-            m.schema, newStats, m.blooms),
+            m.schema, newStats, m.blooms, newFiles),
           baseId)
       }
       return rewritten.map { case (rel, _, b, a, _) => (rel, b, a) }
@@ -2553,9 +2771,15 @@ object Lakehouse {
   * filter is null-excluding by SQL semantics, so pruning an all-null
   * file under it can never drop a surviving row.
   *
-  * Generations are immutable, so the index lists each committed dir
-  * ONCE at construction and never refreshes; driver state is the file
-  * list Spark's own InMemoryFileIndex would hold for the same scan.
+  * Generations are immutable, so the recorded `#file` manifest lines
+  * are authoritative forever: for partitions that carry them the
+  * `FileStatus` objects Spark plans over are SYNTHESIZED from the
+  * manifest — ZERO filesystem calls at plan time, where the r17 shape
+  * (one blocking `listStatus` per kept dir, sequentially, on every
+  * `readSnapshot`) was O(partitions) driver RPCs before a task could
+  * launch. Pre-`#file` manifests fall back to listing, PARALLELIZED
+  * across a bounded pool (the same remedy Spark's own
+  * `parallelPartitionDiscovery` applies). Never refreshes.
   * Uses the stable-across-minor-versions `execution.datasources`
   * surface (`FileIndex`/`PartitionDirectory`/`HadoopFsRelation`) — the
   * documented extension point table formats plug into. */
@@ -2563,7 +2787,7 @@ private final class ManifestFileIndex(
     spark: org.apache.spark.sql.SparkSession,
     dirs: Seq[(org.apache.hadoop.fs.Path,
       Option[Map[String, Map[String, Lakehouse.ColStat]]],
-      Set[String])],
+      Set[String], Option[Seq[Lakehouse.FileEntry]])],
     colTypes: Map[String, org.apache.spark.sql.types.DataType])
   extends org.apache.spark.sql.execution.datasources.FileIndex {
 
@@ -2573,13 +2797,44 @@ private final class ManifestFileIndex(
   private val byDir: Seq[(org.apache.hadoop.fs.Path,
     Option[Map[String, Map[String, Lakehouse.ColStat]]], Set[String],
     Array[org.apache.hadoop.fs.FileStatus],
-    org.apache.hadoop.fs.FileSystem)] = dirs.map { case (d, st, bl) =>
-    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(d).filter { s =>
-      val n = s.getPath.getName
-      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    org.apache.hadoop.fs.FileSystem)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val blockSize = 128L << 20 // advisory only: parquet splits by length
+    val (recorded, unlisted) = dirs.partition(_._4.isDefined)
+    val fromManifest = recorded.map { case (d, st, bl, Some(entries)) =>
+      val fs = d.getFileSystem(conf)
+      val qd = fs.makeQualified(d)
+      val files = entries.map(e => new org.apache.hadoop.fs.FileStatus(
+        e.len, false, 1, blockSize, e.mtime,
+        new org.apache.hadoop.fs.Path(qd, e.name))).toArray
+      (d, st, bl, files, fs)
+    case _ => throw new MatchError("unreachable: partitioned on isDefined")
     }
-    (d, st, bl, files, fs)
+    // fallback for pre-#file manifests: list, but in PARALLEL — never
+    // the r17 sequential one-RPC-per-dir driver walk
+    val listed = if (unlisted.isEmpty) Nil else {
+      val par = math.max(1, math.min(unlisted.size, spark.conf
+        .get("graft.lake.listParallelism", "16").toInt))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val fts = unlisted.map { case (d, st, bl, _) =>
+          scala.concurrent.Future {
+            val fs = d.getFileSystem(conf)
+            val files = fs.listStatus(d).filter { s =>
+              val n = s.getPath.getName
+              s.isFile && !n.startsWith("_") && !n.startsWith(".")
+            }
+            (d, st, bl, files, fs)
+          }
+        }
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(fts),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
+    }
+    fromManifest ++ listed
   }
 
   override def rootPaths: Seq[org.apache.hadoop.fs.Path] = dirs.map(_._1)

@@ -462,6 +462,34 @@ object TextAnalysis {
       .toDF("doc_id", "raw_bytes", "deflate_bytes", "ratio_milli")
   }
 
+  /** N-gram redundancy — the ENGINE-PORTABLE integer face of the
+    * compressibility signal ([[compressionRatio]]'s deflate output is a
+    * codec, not SQL, so that row is permanently rows-only; this one the
+    * oracle recomputes exactly): per document, the count of DISTINCT
+    * 4-char windows vs total 4-char windows (stride 1), and
+    * `redundancy_milli = 1000·(total-distinct)/total` (integer-floored).
+    * Template spam repeats its windows (high redundancy), keyboard-mash
+    * almost never does (near 0) — the same two tails the deflate ratio
+    * separates, in pure counting arithmetic. Windows ride as the
+    * family's md5-prefix-16 digests from the ONE native codegen pass
+    * ([[graft.functions.GraftFunctions.substrWindowHashes]]) — per-doc
+    * distinct counts are collision-safe at any real document length
+    * (64-bit digest space vs ~10⁶ windows/doc). Docs shorter than 4
+    * chars have no window and are excluded (the oracle's
+    * generate_series produces no row for them either).
+    * Output: (doc_id, total_grams, distinct_grams, redundancy_milli). */
+  def ngramRedundancy(docs: DataFrame, k: Int = 4): DataFrame =
+    docs.filter(length(col("text")) >= k)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(
+        graft.functions.GraftFunctions.substr_window_hashes(
+          col("text"), k, 1)).as("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("total_grams"),
+        count_distinct(col("g")).as("distinct_grams"))
+      .withColumn("redundancy_milli",
+        expr("(total_grams - distinct_grams) * 1000 div total_grams"))
+
   /** Sentence segmentation with byte offsets — the span primitive under
     * citation alignment, span-level PII, and sentence-window chunking.
     * The splitter is the deliberately portable `". "` delimiter (an
