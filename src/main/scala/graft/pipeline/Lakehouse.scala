@@ -1442,6 +1442,40 @@ object Lakehouse {
         .baseRelationToDataFrame(relation)
     }
     val fs = fsOf(spark, r)
+    // declared-range pruning with recorded #file lists: survivors plan
+    // through the manifest index too — zero listings AND zero per-file
+    // status probes (`spark.read.parquet(file, file, …)` stats each
+    // path), the same scale discipline as the automatic path
+    if (fileRanges.nonEmpty && m.schema.isDefined &&
+        kept.forall { case (rel, _) => m.files.contains(rel) }) {
+      val dirs = kept.map { case (rel, gen) =>
+        val dir = dataDir(r, rel, gen)
+        val surviving: Seq[FileEntry] = m.stats.get(rel) match {
+          case Some(files) =>
+            val keepB = bloomKeep(fs, dir,
+              m.blooms.getOrElse(rel, Set.empty), fileRanges)
+            m.files(rel).filter(e => files.get(e.name).forall(cm =>
+              rangeSurvives(cm, fileRanges, colTypes)) && keepB(e.name))
+          case None => m.files(rel) // no stats: kept whole (superset)
+        }
+        (dir, m.stats.get(rel), m.blooms.getOrElse(rel, Set.empty[String]),
+          Some(surviving))
+      }
+      if (dirs.forall(_._4.exists(_.isEmpty)))
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          m.schema.get)
+      val index = new ManifestFileIndex(spark, dirs, colTypes)
+      val relation = org.apache.spark.sql.execution.datasources
+        .HadoopFsRelation(index,
+          org.apache.spark.sql.types.StructType(Nil), m.schema.get, None,
+          new org.apache.spark.sql.execution.datasources.parquet
+            .ParquetFileFormat(),
+          Map.empty[String, String])(
+          spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+      return spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .baseRelationToDataFrame(relation)
+    }
     val roots = kept.flatMap { case (rel, gen) =>
       val dir = dataDir(r, rel, gen)
       m.stats.get(rel) match {

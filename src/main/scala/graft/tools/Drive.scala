@@ -23,6 +23,10 @@ object Drive {
       .foreach { d => statsProbe(spark, d); spark.stop(); return }
     args.sliding(2).collect { case Array("--substr-probe", d) => d }
       .foreach { d => substrProbe(spark, d); spark.stop(); return }
+    args.sliding(2).collect { case Array("--plantime-probe", n) => n }
+      .foreach { n => planTimeProbe(spark, n.toInt); spark.stop(); return }
+    args.sliding(2).collect { case Array("--twopass-probe", d) => d }
+      .foreach { d => twoPassProbe(spark, d); spark.stop(); return }
     val sfDir = args.takeWhile(_ != "--plan").headOption
       .getOrElse("/root/testdata/sf0.001")
     val n = graft.SparkEntry.entry(spark).count()
@@ -87,6 +91,99 @@ object Drive {
       .queryExecution.optimizedPlan.toString
     println("substr_window_hashes occurrences in optimized plan: " +
       "substrwindowhashes".r.findAllIn(plan.toLowerCase).size)
+  }
+
+  /** Plan-time A/B for the zero-listing manifest index at `n` partition
+    * dirs: first-read wall time (plan + count) with `#file` lists vs the
+    * same manifest with the lists STRIPPED (parallel-listing fallback).
+    * Local FS listing is ~free, so wall-clock UNDERSTATES the remote
+    * win; the listing-call counts are the scale-honest metric (each is
+    * a blocking RPC on HDFS/object stores). */
+  private def planTimeProbe(spark: SparkSession, n: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.Lakehouse
+    val root = s"/tmp/graft_plantime_$n"
+    val p0 = new org.apache.hadoop.fs.Path(root)
+    val fs = p0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p0, true)
+    val df = spark.range(0, n.toLong * 4).select(col("id"),
+      (col("id") % n).cast("int").as("p"))
+    println(s"committing $n partitions…")
+    val t0 = System.nanoTime()
+    spark.conf.set("graft.lake.commitParallelism", "16")
+    Lakehouse.commitSnapshot(spark, root,
+      (0 until n).map(i => s"p=$i" -> df.filter(col("p") === i).coalesce(1)),
+      statsCols = Seq("id"))
+    println(f"commit: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    def timeRead(tag: String): Unit = {
+      // fresh caches: manifest cache keys on (path,mtime,len) — same
+      // file, so warm; what we time is INDEX CONSTRUCTION + planning
+      val t1 = System.nanoTime()
+      val c = Lakehouse.readSnapshot(spark, root)
+        .filter(col("id") >= 0L).count()
+      println(f"$tag: first read ${(System.nanoTime() - t1) / 1e9}%.2f s " +
+        f"($c rows)")
+    }
+    timeRead(s"with #file lists   ($n dirs)")
+    // strip the #file lines → the pre-r18 manifest shape
+    val snap = new org.apache.hadoop.fs.Path(root, "_graft_lake/snap-00000001")
+    val in = fs.open(snap)
+    val text = new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+    in.close()
+    val stripped = text.linesIterator.filterNot(_.startsWith("#file\t"))
+      .mkString("", "\n", "\n")
+    fs.delete(snap, false)
+    val out = fs.create(snap, true)
+    out.write(stripped.getBytes("UTF-8")); out.close()
+    timeRead(s"fallback listing   ($n dirs)")
+    spark.conf.set("graft.lake.listParallelism", "1")
+    timeRead(s"sequential listing ($n dirs)")
+    spark.conf.unset("graft.lake.listParallelism")
+  }
+
+  /** Shuffle-bytes + wall A/B: single-pass stride-1 exact-substring vs
+    * the winnowed two-pass, measured with a stage-metrics listener. */
+  private def twoPassProbe(spark: SparkSession, d: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val shuffleW = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffleW.addAndGet(
+          e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def run(tag: String)(f: => Long): Unit = {
+      shuffleW.set(0)
+      val t0 = System.nanoTime()
+      val rows = f
+      Thread.sleep(500) // let the listener bus drain stage events
+      println(f"$tag: ${(System.nanoTime() - t0) / 1e9}%.2f s, " +
+        f"shuffle ${shuffleW.get() / 1e6}%.1f MB, $rows rows")
+    }
+    run("warmup            ")(
+      graft.pipeline.Dedup.exactSubstrSpans(docs, 40, 1).count())
+    for (w <- Seq(40, 80)) {
+      run(f"single-pass stride1 w=$w%-3d")(
+        graft.pipeline.Dedup.exactSubstrSpans(docs, w, 1).count())
+      run(f"two-pass winnowed   w=$w%-3d")(
+        graft.pipeline.Dedup.exactSubstrSpansTwoPass(docs, w).count())
+      // pass-1 survivor fraction — the knob that decides the 2-pass win
+      val anchored = docs.repartition(col("doc_id")).select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.winnowed_window_hashes(
+          col("text"), w, 8, 16)).as("g"))
+      val hot = anchored.groupBy("g").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select("g")
+      val surv = anchored.join(hot, Seq("g")).select("doc_id")
+        .distinct().count()
+      val withSpans = graft.pipeline.Dedup.exactSubstrSpans(docs, w, 1)
+        .select("doc_id").distinct().count()
+      println(s"w=$w: pass-1 survivors $surv of ${docs.count()} " +
+        s"(true dup-span docs: $withSpans)")
+    }
   }
 
   private def statsProbe(spark: SparkSession, d: String): Unit = {
