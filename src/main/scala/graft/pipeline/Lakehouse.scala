@@ -439,14 +439,47 @@ object Lakehouse {
     if (s == StatNull) None
     else Some(java.net.URLDecoder.decode(s, "UTF-8"))
 
-  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
-                           p: org.apache.hadoop.fs.Path): Manifest = {
+  /** Read one metadata file's full text. */
+  private def readText(fs: org.apache.hadoop.fs.FileSystem,
+                       p: org.apache.hadoop.fs.Path): String = {
     val in = fs.open(p)
-    val text = try {
+    try {
       val bos = new java.io.ByteArrayOutputStream()
       org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
       new String(bos.toByteArray, "UTF-8")
     } finally in.close()
+  }
+
+  /** Shard files are IMMUTABLE and content-addressed (`part-<md5>`), so
+    * their parses cache by NAME alone — shared across epochs, lineages,
+    * and staged manifests that reference the same unchanged group. */
+  private val shardCache =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+                           p: org.apache.hadoop.fs.Path): Manifest = {
+    val rootText = readText(fs, p)
+    // sharded manifest: the root carries #shard refs to content-addressed
+    // group files in the ROOT LakeDir (shared across lineages); inline
+    // lines and shard blocks concatenate to the same wire format
+    val shardNames = rootText.linesIterator
+      .filter(_.startsWith("#shard\t")).map(_.split("\t", -1)(1)).toSeq
+    val text =
+      if (shardNames.isEmpty) rootText
+      else {
+        // LakeDir is the snap file's parent for main, the grandparent
+        // for a branch lineage (branch-<name>/snap-…)
+        val parent = p.getParent
+        val lake = if (parent.getName == LakeDir) parent else parent.getParent
+        require(lake.getName == LakeDir,
+          s"sharded manifest $p is not under a $LakeDir dir")
+        rootText + shardNames.map { n =>
+          shardCache.getOrElseUpdate(n, {
+            if (shardCache.size > 1024) shardCache.clear()
+            readText(fs, new org.apache.hadoop.fs.Path(lake, n))
+          })
+        }.mkString
+      }
     val (meta, data) = text.linesIterator.filter(_.nonEmpty).toSeq
       .partition(_.startsWith("#"))
     val mapping = data.map { line =>
@@ -642,12 +675,93 @@ object Lakehouse {
     // than throwing
     val id = baseId + 1
     val target = snapFile(r, id, branch)
-    if (!casPutMeta(fs, target, manifestText(man).getBytes("UTF-8")))
+    if (!putManifest(spark, fs, r, target, man))
       throw new ConcurrentCommitException(
         s"snapshot $id of $root was committed concurrently — re-read the " +
           "current snapshot and retry the write (withSnapshotRetry wraps " +
           "this loop)")
     id
+  }
+
+  /** Per-rel manifest lines (stats + bloom + file + mapping — everything
+    * except the schema line), in [[manifestText]]'s exact formats and
+    * sort order. The unit of manifest SHARDING. */
+  private def relLines(man: Manifest, rel: String): String = {
+    val sb = new StringBuilder()
+    man.stats.get(rel).foreach(_.toSeq.sortBy(_._1).foreach {
+      case (file, cm) => cm.toSeq.sortBy(_._1).foreach { case (c, st) =>
+        sb.append(s"#stats\t$rel\t$file\t$c\t${encStat(st.min)}\t${
+          encStat(st.max)}\n")
+      }
+    })
+    man.blooms.get(rel).foreach(_.toSeq.sorted.foreach(c =>
+      sb.append(s"#bloom\t$rel\t$c\n")))
+    man.files.get(rel).foreach(_.sortBy(_.name).foreach(f =>
+      sb.append(s"#file\t$rel\t${
+        java.net.URLEncoder.encode(f.name, "UTF-8")}\t${f.len}\t${
+        f.mtime}\n")))
+    sb.append(s"$rel\t${man.mapping(rel)}\n")
+    sb.toString
+  }
+
+  /** Write a manifest to `target` with the commit CAS — SHARDED when it
+    * outgrows `graft.lake.manifestShardLines` (default 50000): rels
+    * group by hash into power-of-two many CONTENT-ADDRESSED shard files
+    * (`part-<md5>` in the root LakeDir, shared across lineages and
+    * epochs), and the root snap file carries only the schema plus
+    * `#shard` refs. Content addressing is the carry-efficiency story at
+    * 10⁶ files: a commit touching k partitions reproduces the untouched
+    * groups' blocks byte-identically, so their shard files already
+    * exist and are REUSED without a write — write amplification is
+    * O(touched groups × group size), not O(lake). The group count only
+    * changes on 2× growth (full re-shard, amortized). Shards are
+    * immutable → [[shardCache]] parses each once per process, across
+    * every epoch/branch/stage that references it. [[snapshotGc]]
+    * reclaims unreferenced shards past the stage-relic TTL (the TTL
+    * covers the shard-write→root-CAS window of in-flight commits).
+    * Returns false on a lost CAS race (shards may remain — harmless
+    * content-addressed relics GC ages out). */
+  private def putManifest(spark: org.apache.spark.sql.SparkSession,
+                          fs: org.apache.hadoop.fs.FileSystem,
+                          r: org.apache.hadoop.fs.Path,
+                          target: org.apache.hadoop.fs.Path,
+                          man: Manifest): Boolean = {
+    val threshold = spark.conf
+      .get("graft.lake.manifestShardLines", "50000").toInt
+    val statLines = man.stats.valuesIterator
+      .map(_.valuesIterator.map(_.size).sum).sum
+    val fileLines = man.files.valuesIterator.map(_.size).sum
+    val bloomLines = man.blooms.valuesIterator.map(_.size).sum
+    val total = man.mapping.size + statLines + fileLines + bloomLines
+    if (total <= threshold)
+      return casPutMeta(fs, target, manifestText(man).getBytes("UTF-8"))
+    val perShard = math.max(1, threshold / 4)
+    var n = 1
+    while (n.toLong * perShard < total) n <<= 1
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def groupOf(rel: String): Int = {
+      val d = md.digest(rel.getBytes("UTF-8"))
+      (((d(0) & 0xff) << 24 | (d(1) & 0xff) << 16 |
+        (d(2) & 0xff) << 8 | (d(3) & 0xff)) & 0x7fffffff) % n
+    }
+    val blocks = Array.fill(n)(new StringBuilder())
+    man.mapping.keys.toSeq.sorted.foreach(rel =>
+      blocks(groupOf(rel)).append(relLines(man, rel)))
+    val lake = new org.apache.hadoop.fs.Path(r, LakeDir)
+    fs.mkdirs(lake)
+    val names = blocks.iterator.filter(_.nonEmpty).map { b =>
+      val bytes = b.toString.getBytes("UTF-8")
+      val h = md.digest(bytes).map(x => f"$x%02x").mkString
+      val name = s"part-$h"
+      val p = new org.apache.hadoop.fs.Path(lake, name)
+      // content-addressed: an existing file IS this content — reuse;
+      // a concurrent identical write loses the CAS benignly
+      if (!fs.exists(p)) casPutMeta(fs, p, bytes)
+      name
+    }.toSeq.sorted
+    val root = man.schema.map(s => s"#schema\t${s.json}\n").getOrElse("") +
+      names.map(nm => s"#shard\t$nm\n").mkString
+    casPutMeta(fs, target, root.getBytes("UTF-8"))
   }
 
   /** Atomic create-if-absent of a small metadata file: write the bytes
@@ -942,8 +1056,7 @@ object Lakehouse {
     val fs = fsOf(spark, r)
     val token = f"staged-$baseId%08d-${snapGenName().drop("_gen-".length)}"
     fs.mkdirs(new org.apache.hadoop.fs.Path(r, LakeDir))
-    require(casPutMeta(fs, stagedFile(r, token),
-      manifestText(man).getBytes("UTF-8")),
+    require(putManifest(spark, fs, r, stagedFile(r, token), man),
       s"stage token collision on $root (impossible nonce reuse)")
     token
   }
@@ -1731,9 +1844,10 @@ object Lakehouse {
     * alongside rand() for the same two-evaluations rationale. */
   private def requireDeterministic(df: DataFrame, what: String): Unit = {
     import org.apache.spark.sql.catalyst.expressions.{
-      CurrentDate, CurrentTimestamp, Expression, Now}
+      CurrentDate, CurrentTimestamp, Expression, LocalTimestamp, Now}
     def timeDependent(e: Expression): Boolean = e match {
-      case _: CurrentTimestamp | _: CurrentDate | _: Now => true
+      case _: CurrentTimestamp | _: CurrentDate | _: Now |
+           _: LocalTimestamp => true
       case _ => e.children.exists(timeDependent)
     }
     val plan = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
@@ -2157,8 +2271,8 @@ object Lakehouse {
         s"branch '$name' is being created concurrently on $root — a " +
           "fork marker reappeared")
     }
-    require(casPutMeta(fs, snapFile(r, at, name),
-      manifestText(manifestAt(spark, root, Some(at))).getBytes("UTF-8")),
+    require(putManifest(spark, fs, r, snapFile(r, at, name),
+      manifestAt(spark, root, Some(at))),
       s"branch '$name' already exists on $root — deleteBranch first")
     at
   }
@@ -2285,6 +2399,9 @@ object Lakehouse {
                    name: String, keys: Seq[String],
                    partitionCol: String): Int = {
     require(TagName.matches(name), s"bad branch name '$name'")
+    require(name.length <= 57,
+      s"branch name '$name' too long to rebase — the staging lineage " +
+        "appends '.rebase' and branch names cap at 64 chars")
     val r = new org.apache.hadoop.fs.Path(root)
     val fs = fsOf(spark, r)
     val bids = snapIds(fs, r, name)
@@ -2493,6 +2610,26 @@ object Lakehouse {
           .map { case (rel, gen) =>
             fs.makeQualified(dataDir(r, rel, gen)).toString }
       }.toSet ++ stagedRefs
+    // SHARD reclamation: part-* files referenced by any kept root (every
+    // lineage) or staged root are pinned; unreferenced ones are relics of
+    // dropped epochs or lost CAS races — but only reclaim past the
+    // stage-relic TTL, which also covers an in-flight commit's window
+    // between its shard writes and its root CAS
+    def rootShardRefs(p: org.apache.hadoop.fs.Path): Seq[String] =
+      try readText(fs, p).linesIterator
+        .filter(_.startsWith("#shard\t")).map(_.split("\t", -1)(1)).toSeq
+      catch { case _: java.io.FileNotFoundException => Nil }
+    val keptShardRefs: Set[String] =
+      ((keep.map(MainBranch -> _) ++ branchKept).map { case (br, id) =>
+        snapFile(r, id, br) } ++
+        listStaged(spark, root).map { case (t, _) => stagedFile(r, t) })
+        .flatMap(rootShardRefs).toSet
+    if (fs.exists(lakeDir))
+      fs.listStatus(lakeDir).filter { st =>
+        st.isFile && st.getPath.getName.startsWith("part-") &&
+          !keptShardRefs.contains(st.getPath.getName) &&
+          now - st.getModificationTime > stageTtlMs
+      }.foreach(st => fs.delete(st.getPath, false))
     drop.foreach(id => fs.delete(snapFile(r, id), false))
     // candidate data dirs: every gen-* found by walking the partition
     // tree (BFS that never descends into generations or _-hidden dirs) —

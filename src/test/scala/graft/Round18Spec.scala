@@ -181,6 +181,76 @@ class Round18Spec extends SparkTestBase {
     assert((System.nanoTime() - t1) / 1e6 < parseMs + 50)
   }
 
+  test("manifest sharding: past the line threshold the root carries " +
+    "#shard refs to content-addressed part files; unchanged groups are " +
+    "REUSED across commits; reads, time travel, WAP and GC all work " +
+    "sharded") {
+    spark.conf.set("graft.lake.manifestShardLines", "8")
+    spark.conf.set("graft.lake.stageRelicTtlMs", "0")
+    try {
+      val root = freshDir("shard")
+      val fs = fsOf(root)
+      Lakehouse.commitSnapshot(spark, root,
+        (0 to 5).map(i => s"p=$i" ->
+          part(s"l$i", (i * 10 + 1).toLong to (i * 10 + 5).toLong)),
+        statsCols = Seq("id"))
+      def rootText(id: Int) = {
+        val in = fs.open(new org.apache.hadoop.fs.Path(root,
+          f"_graft_lake/snap-$id%08d"))
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          "UTF-8") finally in.close()
+      }
+      def shardsOf(id: Int) = rootText(id).linesIterator
+        .filter(_.startsWith("#shard\t")).map(_.split("\t")(1)).toSet
+      val s1 = shardsOf(1)
+      assert(s1.nonEmpty, "over-threshold manifest must shard")
+      assert(!rootText(1).linesIterator.exists(l =>
+        l.startsWith("#file\t") || l.startsWith("#stats\t")),
+        "sharded root must carry only schema + refs")
+      s1.foreach(n => assert(fs.exists(new org.apache.hadoop.fs.Path(
+        root, s"_graft_lake/$n"))))
+      // full read equality through the sharded manifest
+      assert(Lakehouse.readSnapshot(spark, root).count() == 30)
+      assert(Lakehouse.currentManifest(spark, root).size == 6)
+      // a commit touching ONE partition rewrites only its group's shard
+      Lakehouse.commitSnapshot(spark, root,
+        Seq("p=0" -> part("l0", 1L to 3L)), statsCols = Seq("id"))
+      val s2 = shardsOf(2)
+      assert((s2 -- s1).size <= 2,
+        s"untouched groups must reuse their shard files: new=${s2 -- s1}")
+      assert((s1 intersect s2).nonEmpty)
+      assert(Lakehouse.readSnapshot(spark, root).count() == 28)
+      // time travel resolves epoch 1's shards
+      assert(Lakehouse.readSnapshot(spark, root, asOf = Some(1))
+        .count() == 30)
+      // WAP stages sharded, audits, publishes with shard reuse
+      val tok = Lakehouse.stageSnapshot(spark, root,
+        Seq("p=1" -> part("l1", 11L to 12L)), statsCols = Seq("id"))
+      assert(Lakehouse.readStaged(spark, root, tok).count() == 25)
+      assert(Lakehouse.readSnapshot(spark, root).count() == 28)
+      Lakehouse.publishStaged(spark, root, tok)
+      assert(Lakehouse.readSnapshot(spark, root).count() == 25)
+      // branch seed shards too and shares part files
+      Lakehouse.createBranch(spark, root, "b")
+      assert(Lakehouse.readSnapshot(spark, root, branch = "b")
+        .count() == 25)
+      Lakehouse.deleteBranch(spark, root, "b")
+      // GC: dropped epochs' exclusive shards reclaim (TTL=0), pinned
+      // ones survive and the current read stays whole
+      Lakehouse.snapshotGc(spark, root, keepSnapshots = 1)
+      val kept = shardsOf(3)
+      val left = fs.listStatus(new org.apache.hadoop.fs.Path(root,
+        "_graft_lake")).map(_.getPath.getName)
+        .filter(_.startsWith("part-")).toSet
+      assert(left == kept,
+        s"GC must keep exactly the referenced shards: left=$left kept=$kept")
+      assert(Lakehouse.readSnapshot(spark, root).count() == 25)
+    } finally {
+      spark.conf.unset("graft.lake.manifestShardLines")
+      spark.conf.unset("graft.lake.stageRelicTtlMs")
+    }
+  }
+
   // ---- branch lifecycle hardening ------------------------------------------
 
   test("createBranch crash window: a fork marker without a lineage (a " +
@@ -382,6 +452,24 @@ class Round18Spec extends SparkTestBase {
       .count()
     assert(common >= 1,
       "winnowed anchors of a shared >=40+16+8 char region must collide")
+  }
+
+  test("winnowing degenerate input: a constant run (every k-gram hash " +
+    "equal) stays CORRECT — density degrades toward stride-1, " +
+    "equality with single-pass holds") {
+    val docs = Seq(
+      (1L, "x" * 120),
+      (2L, "prefix--" + ("x" * 120)),
+      (3L, "nothing shared here " + (1 to 20).map(i =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"z$i".getBytes).map(b => f"$b%02x").mkString.take(5))
+        .mkString)
+    ).toDF("doc_id", "text")
+    val one = Dedup.exactSubstrSpans(docs, 40, 1)
+      .orderBy("doc_id", "span_start").collect().toSeq
+    val two = Dedup.exactSubstrSpansTwoPass(docs, 40)
+      .orderBy("doc_id", "span_start").collect().toSeq
+    assert(two == one && one.nonEmpty)
   }
 
   // ---- decontamination recall fix ------------------------------------------
