@@ -1658,6 +1658,33 @@ object SparkEntry {
       _root_.graft.pipeline.Lakehouse.branchDiff(s, root, "rev",
         Seq("doc_id")).orderBy("doc_id")
     }),
+    // SHARDED manifests under the driver oracle: the same merge+delete
+    // pipeline with the shard threshold forced low — every commit's
+    // manifest is content-addressed part files behind a #shard root —
+    // must read back identical to the plain-manifest truth
+    "lake_snapshot_sharded" -> ((s, d) => {
+      val root = s"/tmp/graft_lake_snap_shd/${new java.io.File(d).getName}"
+      val p0 = new org.apache.hadoop.fs.Path(root)
+      p0.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p0, true)
+      s.conf.set("graft.lake.manifestShardLines", "4")
+      try {
+        val base = T(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("source"),
+            (col("doc_id") % 3).cast("int").as("p"))
+        _root_.graft.pipeline.Lakehouse.commitSnapshot(s, root,
+          (0 to 2).map(i => s"p=$i" -> base.filter(col("p") === i)),
+          statsCols = Seq("doc_id"))
+        _root_.graft.pipeline.Lakehouse.mergeSnapshot(s, root,
+          base.filter(col("doc_id") % 10 === 0)
+            .withColumn("source", lit("revised")),
+          Seq("doc_id"), "p")
+        _root_.graft.pipeline.Lakehouse.deleteSnapshot(s, root,
+          col("doc_id") % 11 === 3)
+        _root_.graft.pipeline.Lakehouse.readSnapshot(s, root)
+          .select(col("doc_id"), col("lang"), col("source"), col("p"))
+          .orderBy("doc_id")
+      } finally s.conf.unset("graft.lake.manifestShardLines")
+    }),
     // REBASE: main advances (disjoint-key update) after the branch
     // forks; fastForward would refuse, rebaseBranch replays the branch's
     // pending I/U/D onto the new head, then the fast-forward publishes —
@@ -3408,6 +3435,14 @@ object SparkEntry {
         |    o.p AS old_p, n.p AS new_p
         |  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
         |SELECT * FROM j WHERE change_type IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+    // sharded manifests answer identically to plain ones
+    "lake_snapshot_sharded" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 10 = 0 THEN 'revised' ELSE source END
+        |    AS source,
+        |  CAST(doc_id % 3 AS INTEGER) AS p
+        |FROM documents WHERE doc_id % 11 <> 3
         |ORDER BY doc_id""".stripMargin,
     // rebase + fast-forward: main's disjoint fix survives, the branch's
     // merged (%10==0 → 'revised'), inserted (%13==0 keys +10M) and

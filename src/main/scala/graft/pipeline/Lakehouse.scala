@@ -473,12 +473,27 @@ object Lakehouse {
         val lake = if (parent.getName == LakeDir) parent else parent.getParent
         require(lake.getName == LakeDir,
           s"sharded manifest $p is not under a $LakeDir dir")
-        rootText + shardNames.map { n =>
-          shardCache.getOrElseUpdate(n, {
-            if (shardCache.size > 1024) shardCache.clear()
-            readText(fs, new org.apache.hadoop.fs.Path(lake, n))
-          })
-        }.mkString
+        // uncached shards fetch in PARALLEL — sequential per-shard GETs
+        // would rebuild the plan-time RPC walk sharding exists to kill
+        // (on a remote store each read is a blocking round-trip); the
+        // content-addressed cache makes this a once-per-process cost
+        val missing = shardNames.filterNot(shardCache.contains)
+        if (missing.nonEmpty) {
+          if (shardCache.size > 1024) shardCache.clear()
+          val par = math.max(1, math.min(missing.size, 16))
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+          try {
+            implicit val ec: scala.concurrent.ExecutionContext =
+              scala.concurrent.ExecutionContext.fromExecutor(pool)
+            val fts = missing.map(n => scala.concurrent.Future(
+              n -> readText(fs, new org.apache.hadoop.fs.Path(lake, n))))
+            scala.concurrent.Await.result(
+              scala.concurrent.Future.sequence(fts),
+              scala.concurrent.duration.Duration.Inf)
+              .foreach { case (n, t) => shardCache.update(n, t) }
+          } finally pool.shutdown()
+        }
+        rootText + shardNames.map(shardCache(_)).mkString
       }
     val (meta, data) = text.linesIterator.filter(_.nonEmpty).toSeq
       .partition(_.startsWith("#"))
@@ -2393,8 +2408,11 @@ object Lakehouse {
     * `<name>.rebase`). Needs the fork manifest still kept on main
     * (rebase past GC retention is impossible, like rollback).
     * `partitionCol` is the lake's partition column ([[applyCdcSnapshot]]
-    * contract: key-determined, carried as a data column). Returns the
-    * rebased branch's head id. */
+    * contract: key-determined, carried as a data column). A branch that
+    * EVOLVED the schema (added columns main lacks) refuses loudly at
+    * the replay union — rebase replays row intent, not schema changes;
+    * evolve main first, then rebase. Returns the rebased branch's head
+    * id. */
   def rebaseBranch(spark: org.apache.spark.sql.SparkSession, root: String,
                    name: String, keys: Seq[String],
                    partitionCol: String): Int = {
