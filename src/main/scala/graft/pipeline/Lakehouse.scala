@@ -11,6 +11,32 @@ import org.apache.spark.sql.functions._
 final class ConcurrentCommitException(msg: String)
   extends IllegalStateException(msg)
 
+/** SPI for committing snapshot METADATA on stores whose rename is not
+  * exclusive (S3-class): real object stores offer a conditional create
+  * the filesystem API hides — S3 `If-None-Match: *`, GCS
+  * `ifGenerationMatch=0`, Azure `If-None-Match` — and an implementation
+  * of this trait is how a deployment plugs that in. Configure
+  * `graft.lake.casProvider` with the implementing class's fully
+  * qualified name (public no-arg constructor); the snapshot commit then
+  * routes every metadata put-if-absent (manifests, shards, tags, fork
+  * markers, staged manifests) through it on schemes that are not
+  * natively rename-atomic, instead of refusing the scheme outright.
+  *
+  * The provider's contract IS the commit safety — get it wrong and two
+  * committers can both "win": return true iff THIS call created the
+  * target (atomically, against all concurrent writers), false iff the
+  * target already existed (the caller's CAS conflict), and THROW on IO
+  * trouble (reporting an IO error as a conflict misdirects the operator
+  * into retry/delete loops — the casPutFile probe rationale). The
+  * target must hold exactly `bytes` when true is returned; partial
+  * writes must never become visible (object PUTs are atomic by
+  * nature). */
+trait SnapshotCas {
+  def putIfAbsent(fs: org.apache.hadoop.fs.FileSystem,
+                  target: org.apache.hadoop.fs.Path,
+                  bytes: Array[Byte]): Boolean
+}
+
 /** Table-maintenance operators for a mutable lake: MERGE upsert, CDC
   * apply, SCD2 dimension history, and snapshot diff.
   *
@@ -618,23 +644,42 @@ object Lakehouse {
   private val RenameAtomicSchemes =
     Set("file", "hdfs", "viewfs", "webhdfs", "o3fs", "ofs")
 
+  private def nativeCasCapable(spark: org.apache.spark.sql.SparkSession,
+                               fs: org.apache.hadoop.fs.FileSystem): Boolean = {
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    val extra = spark.conf.get("graft.lake.renameAtomicSchemes", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    (RenameAtomicSchemes ++ extra).contains(scheme)
+  }
+
   private def requireCasCapable(spark: org.apache.spark.sql.SparkSession,
                                 fs: org.apache.hadoop.fs.FileSystem,
                                 root: String): Unit = {
     val scheme = Option(fs.getUri.getScheme).getOrElse("file")
-    val extra = spark.conf.get("graft.lake.renameAtomicSchemes", "")
-      .split(",").map(_.trim).filter(_.nonEmpty).toSet
-    if (!(RenameAtomicSchemes ++ extra).contains(scheme))
+    if (!nativeCasCapable(spark, fs) &&
+        spark.conf.get("graft.lake.casProvider", "").isEmpty)
       throw new IllegalStateException(
         s"snapshot commit on '$scheme://' ($root): the manifest CAS " +
           "needs an atomic rename-without-replace, which object-store " +
           "filesystems (s3a and friends) do not provide — their rename " +
           "is copy+delete, so two committers of the same snapshot id " +
           "could both succeed and one commit would be silently lost. " +
-          "Commit from a rename-atomic filesystem (HDFS/POSIX), or, if " +
+          "Commit from a rename-atomic filesystem (HDFS/POSIX); or, if " +
           "this store's rename really is atomic-and-exclusive, declare " +
-          "it in spark.conf 'graft.lake.renameAtomicSchemes'")
+          "it in spark.conf 'graft.lake.renameAtomicSchemes'; or plug " +
+          "the store's conditional create (If-None-Match / " +
+          "ifGenerationMatch=0) in via 'graft.lake.casProvider' (a " +
+          "graft.pipeline.SnapshotCas implementation)")
   }
+
+  /** Instantiated [[SnapshotCas]] providers, cached by class name. */
+  private val casProviders =
+    scala.collection.concurrent.TrieMap[String, SnapshotCas]()
+
+  private def casProvider(cls: String): SnapshotCas =
+    casProviders.getOrElseUpdate(cls,
+      Class.forName(cls).getDeclaredConstructor()
+        .newInstance().asInstanceOf[SnapshotCas])
 
   /** Commit the manifest as the next snapshot — the SINGLE atomic step
     * that makes every data directory it references current at once.
@@ -749,7 +794,7 @@ object Lakehouse {
     val bloomLines = man.blooms.valuesIterator.map(_.size).sum
     val total = man.mapping.size + statLines + fileLines + bloomLines
     if (total <= threshold)
-      return casPutMeta(fs, target, manifestText(man).getBytes("UTF-8"))
+      return casPutMeta(spark, fs, target, manifestText(man).getBytes("UTF-8"))
     val perShard = math.max(1, threshold / 4)
     var n = 1
     while (n.toLong * perShard < total) n <<= 1
@@ -771,12 +816,12 @@ object Lakehouse {
       val p = new org.apache.hadoop.fs.Path(lake, name)
       // content-addressed: an existing file IS this content — reuse;
       // a concurrent identical write loses the CAS benignly
-      if (!fs.exists(p)) casPutMeta(fs, p, bytes)
+      if (!fs.exists(p)) casPutMeta(spark, fs, p, bytes)
       name
     }.toSeq.sorted
     val root = man.schema.map(s => s"#schema\t${s.json}\n").getOrElse("") +
       names.map(nm => s"#shard\t$nm\n").mkString
-    casPutMeta(fs, target, root.getBytes("UTF-8"))
+    casPutMeta(spark, fs, target, root.getBytes("UTF-8"))
   }
 
   /** Atomic create-if-absent of a small metadata file: write the bytes
@@ -833,12 +878,25 @@ object Lakehouse {
     } else true
   }
 
-  private def casPutMeta(fs: org.apache.hadoop.fs.FileSystem,
+  private def casPutMeta(spark: org.apache.spark.sql.SparkSession,
+                         fs: org.apache.hadoop.fs.FileSystem,
                          target: org.apache.hadoop.fs.Path,
-                         bytes: Array[Byte]): Boolean =
+                         bytes: Array[Byte]): Boolean = {
+    // non-rename-atomic schemes route through the configured
+    // [[SnapshotCas]] provider (the store's own conditional create);
+    // requireCasCapable already refused the scheme if neither applies
+    if (!nativeCasCapable(spark, fs)) {
+      val cls = spark.conf.get("graft.lake.casProvider", "")
+      require(cls.nonEmpty,
+        s"scheme '${fs.getUri.getScheme}' reached the metadata CAS " +
+          "without a native rename contract or a casProvider — " +
+          "requireCasCapable should have refused this commit")
+      return casProvider(cls).putIfAbsent(fs, target, bytes)
+    }
     casPutFile(fs, target, new org.apache.hadoop.fs.Path(target.getParent,
       s".${target.getName}.${snapGenName().drop("_gen-".length)}.tmp"),
       bytes)
+  }
 
   /** Partition-relative dirs must be path- AND manifest-safe: no control
     * characters at all (a '\n' or '\r' inside a manifest line would split
@@ -2198,7 +2256,7 @@ object Lakehouse {
     // tmp + CAS link/rename: an existing tag loses cleanly (tags are
     // immutable — deleteTag first), a crash can never leave a truncated
     // tag file, and real IO errors propagate as themselves
-    if (!casPutMeta(fs, tagFile(r, name), s"$id\n".getBytes("UTF-8")))
+    if (!casPutMeta(spark, fs, tagFile(r, name), s"$id\n".getBytes("UTF-8")))
       throw new IllegalArgumentException(
         s"tag '$name' already exists on $root — tags are immutable; " +
           "deleteTag first")
@@ -2274,7 +2332,7 @@ object Lakehouse {
     // re-create was refused). The marker CAS is also the creation lock:
     // of two concurrent creators exactly one wins it.
     val marker = new org.apache.hadoop.fs.Path(lineageDir(r, name), "fork")
-    if (!casPutMeta(fs, marker, s"$at\n".getBytes("UTF-8"))) {
+    if (!casPutMeta(spark, fs, marker, s"$at\n".getBytes("UTF-8"))) {
       // an existing marker over an EMPTY lineage is a crash relic of a
       // create that died before its seed put (its fork id may differ) —
       // reclaim it and take the slot; a non-empty lineage is a live branch
@@ -2282,7 +2340,7 @@ object Lakehouse {
         throw new IllegalArgumentException(
           s"branch '$name' already exists on $root — deleteBranch first")
       fs.delete(marker, false)
-      require(casPutMeta(fs, marker, s"$at\n".getBytes("UTF-8")),
+      require(casPutMeta(spark, fs, marker, s"$at\n".getBytes("UTF-8")),
         s"branch '$name' is being created concurrently on $root — a " +
           "fork marker reappeared")
     }

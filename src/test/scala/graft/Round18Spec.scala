@@ -21,6 +21,29 @@ object CountingLocalFs {
   val listed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 }
 
+/** Mock of an object store's conditional create (S3 `If-None-Match: *`,
+  * GCS `ifGenerationMatch=0`): one process-wide lock serializes
+  * check+create, which is exactly the atomicity the store's own
+  * conditional PUT provides across writers. Instantiated reflectively
+  * via `graft.lake.casProvider`. */
+class MockCondPutCas extends graft.pipeline.SnapshotCas {
+  override def putIfAbsent(fs: org.apache.hadoop.fs.FileSystem,
+                           target: org.apache.hadoop.fs.Path,
+                           bytes: Array[Byte]): Boolean =
+    MockCondPutCas.lock.synchronized {
+      if (fs.exists(target)) false
+      else {
+        val out = fs.create(target, false)
+        try out.write(bytes) finally out.close()
+        true
+      }
+    }
+}
+
+object MockCondPutCas {
+  val lock = new Object
+}
+
 class Round18Spec extends SparkTestBase {
   import spark.implicits._
 
@@ -249,6 +272,62 @@ class Round18Spec extends SparkTestBase {
       spark.conf.unset("graft.lake.manifestShardLines")
       spark.conf.unset("graft.lake.stageRelicTtlMs")
     }
+  }
+
+  test("object-store commits via a conditional-PUT casProvider: the " +
+    "scheme that is refused bare commits once a SnapshotCas is " +
+    "configured, the whole metadata surface rides it, and of four " +
+    "same-base racers exactly one wins") {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.mems3.impl", classOf[MemS3Fs].getName)
+    val local = freshDir("condput")
+    val root = s"mems3:$local"
+    // bare: still refused (the r17 contract), now naming the provider
+    val e = intercept[IllegalStateException] {
+      Lakehouse.commitSnapshot(spark, root,
+        Seq("p=a" -> part("a", 1L to 3L))) }
+    assert(e.getMessage.contains("casProvider"))
+    spark.conf.set("graft.lake.casProvider", classOf[MockCondPutCas].getName)
+    try {
+      Lakehouse.commitSnapshot(spark, root,
+        Seq("p=a" -> part("a", 1L to 6L), "p=b" -> part("b", 7L to 9L)),
+        statsCols = Seq("id"))
+      assert(Lakehouse.readSnapshot(spark, root).count() == 9)
+      // tags, branches and DML all route their metadata through the
+      // provider too
+      Lakehouse.tagSnapshot(spark, root, "v1", 1)
+      Lakehouse.createBranch(spark, root, "b")
+      Lakehouse.deleteSnapshot(spark, root, col("id") === 1L, branch = "b")
+      assert(Lakehouse.readSnapshot(spark, root, branch = "b").count() == 8)
+      assert(Lakehouse.readSnapshot(spark, root).count() == 9)
+      Lakehouse.deleteBranch(spark, root, "b")
+      // four same-base racers: exactly one commit wins the conditional
+      // PUT, losers get the honest ConcurrentCommitException
+      val base = Lakehouse.currentSnapshotId(spark, root).get
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[
+        Either[Throwable, Int]]()
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val threads = (1 to 4).map { i =>
+        new Thread(() => {
+          start.await()
+          val r = try Right(Lakehouse.commitSnapshot(spark, root,
+            Seq("p=a" -> part("a", (i * 100L) to (i * 100L + 4))),
+            expectedSnapshot = Some(base)))
+          catch { case t: Throwable => Left(t) }
+          results.add(r)
+        })
+      }
+      threads.foreach(_.start()); start.countDown()
+      threads.foreach(_.join(120000))
+      val (losers, winners) = results.toArray(Array.empty[
+        Either[Throwable, Int]]).partition(_.isLeft)
+      assert(winners.length == 1,
+        s"exactly one racer must win: $winners / ${losers.toSeq}")
+      assert(losers.forall(_.left.exists(
+        _.isInstanceOf[graft.pipeline.ConcurrentCommitException])))
+      // the lake is the winner's content: 5 new a-rows + carried b
+      assert(Lakehouse.readSnapshot(spark, root).count() == 8)
+    } finally spark.conf.unset("graft.lake.casProvider")
   }
 
   // ---- branch lifecycle hardening ------------------------------------------
