@@ -327,6 +327,19 @@ class Round18Spec extends SparkTestBase {
         _.isInstanceOf[graft.pipeline.ConcurrentCommitException])))
       // the lake is the winner's content: 5 new a-rows + carried b
       assert(Lakehouse.readSnapshot(spark, root).count() == 8)
+      // SHARDED manifests ride the provider too: shard part files and
+      // the #shard root both go through putIfAbsent
+      spark.conf.set("graft.lake.manifestShardLines", "2")
+      try {
+        Lakehouse.commitSnapshot(spark, root,
+          Seq("p=a" -> part("a", 1L to 4L)))
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val lake = new org.apache.hadoop.fs.Path(root, "_graft_lake")
+        assert(fs.listStatus(lake).exists(
+          _.getPath.getName.startsWith("part-")))
+        assert(Lakehouse.readSnapshot(spark, root).count() == 7)
+      } finally spark.conf.unset("graft.lake.manifestShardLines")
     } finally spark.conf.unset("graft.lake.casProvider")
   }
 
