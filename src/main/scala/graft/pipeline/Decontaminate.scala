@@ -49,9 +49,12 @@ object Decontaminate {
     * would make a corpus window match only when the two occurrences
     * happen to agree mod stride — a silent recall hole in a
     * safety-oriented op. With every benchmark offset present, corpus
-    * `stride > 1` only coarsens span EDGES (a contaminated region's
-    * sampled windows all still match); it never drops a ≥window
-    * contamination entirely. */
+    * `stride = s > 1` guarantees detection of every contamination of
+    * length ≥ window + s - 1 (that many eligible window starts always
+    * straddle a sampled position), with span edges coarsened by < s;
+    * contaminations in [window, window + s - 2] can still be missed at
+    * unlucky offsets — set stride 1 (the default) when the window IS
+    * the exact detection floor. */
   def contaminatedSpans(corpus: DataFrame, benchmark: DataFrame,
                         window: Int = 40, stride: Int = 1): DataFrame = {
     require(window >= 2 && stride >= 1, s"bad window=$window/stride=$stride")

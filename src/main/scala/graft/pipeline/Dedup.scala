@@ -834,19 +834,28 @@ object Dedup {
                               g: Int = 16, k: Int = 8): DataFrame = {
     require(g >= 2 && k >= 2 && window >= g + k - 1,
       s"two-pass needs window >= g+k-1 (got window=$window g=$g k=$k)")
+    // the anchored scan feeds BOTH the digest count and the survivor
+    // join — pin it so pass 1's dominant cost (per-doc digesting +
+    // explode over the corpus) is paid ONCE, not twice; the survivor
+    // set then materializes eagerly (localCheckpoint) so the pin can be
+    // released before the returned pass-2 plan ever executes
     val anchored = docs
       .repartition(col("doc_id"))
       .select(col("doc_id"), explode(
         graft.functions.GraftFunctions.winnowed_window_hashes(
           col("text"), window, k, g)).as("g"))
-    // global count per anchored digest: one partial-agg groupBy of
-    // fixed-width rows (the same never-a-window-over-the-digest
-    // discipline as exactSubstrSpans)
-    val hot = anchored.groupBy("g")
-      .agg(count(lit(1)).as("c")).filter(col("c") >= 2).select("g")
-    val survivors = anchored.join(hot, Seq("g")).select("doc_id").distinct()
-    exactSubstrSpans(docs.join(survivors, Seq("doc_id"), "left_semi"),
-      window, stride = 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // global count per anchored digest: one partial-agg groupBy of
+      // fixed-width rows (the same never-a-window-over-the-digest
+      // discipline as exactSubstrSpans)
+      val hot = anchored.groupBy("g")
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2).select("g")
+      val survivors = anchored.join(hot, Seq("g"))
+        .select("doc_id").distinct().localCheckpoint(true)
+      exactSubstrSpans(docs.join(survivors, Seq("doc_id"), "left_semi"),
+        window, stride = 1)
+    } finally anchored.unpersist(blocking = false)
   }
 
   /** Two-pass face of [[exactSubstrClean]]: rewrite with the two-pass

@@ -502,24 +502,38 @@ object Lakehouse {
         // uncached shards fetch in PARALLEL — sequential per-shard GETs
         // would rebuild the plan-time RPC walk sharding exists to kill
         // (on a remote store each read is a blocking round-trip); the
-        // content-addressed cache makes this a once-per-process cost
-        val missing = shardNames.filterNot(shardCache.contains)
-        if (missing.nonEmpty) {
-          if (shardCache.size > 1024) shardCache.clear()
-          val par = math.max(1, math.min(missing.size, 16))
-          val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
-          try {
-            implicit val ec: scala.concurrent.ExecutionContext =
-              scala.concurrent.ExecutionContext.fromExecutor(pool)
-            val fts = missing.map(n => scala.concurrent.Future(
-              n -> readText(fs, new org.apache.hadoop.fs.Path(lake, n))))
-            scala.concurrent.Await.result(
-              scala.concurrent.Future.sequence(fts),
-              scala.concurrent.duration.Duration.Inf)
-              .foreach { case (n, t) => shardCache.update(n, t) }
-          } finally pool.shutdown()
-        }
-        rootText + shardNames.map(shardCache(_)).mkString
+        // content-addressed cache makes this a once-per-process cost.
+        // Resolution goes through a LOCAL map, never back through the
+        // cache: the bound-enforcing clear() below (or a concurrent
+        // reader's) must not be able to evict a shard between this
+        // manifest's fetch and its assembly.
+        val have: Map[String, Option[String]] =
+          shardNames.map(n => n -> shardCache.get(n)).toMap
+        val missing = shardNames.filter(have(_).isEmpty)
+        val fetched: Map[String, String] =
+          if (missing.isEmpty) Map.empty
+          else {
+            val par = math.max(1, math.min(missing.size, 16))
+            val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+            try {
+              implicit val ec: scala.concurrent.ExecutionContext =
+                scala.concurrent.ExecutionContext.fromExecutor(pool)
+              val fts = missing.map(n => scala.concurrent.Future(
+                n -> readText(fs, new org.apache.hadoop.fs.Path(lake, n))))
+              // bounded: a hung remote GET must fail loudly, not freeze
+              // the driver's planning forever (hadoop conf
+              // graft.lake.metaIoTimeoutSec, default 600)
+              scala.concurrent.Await.result(
+                scala.concurrent.Future.sequence(fts),
+                scala.concurrent.duration.Duration(
+                  fs.getConf.getLong("graft.lake.metaIoTimeoutSec", 600),
+                  "s")).toMap
+            } finally pool.shutdown()
+          }
+        if (shardCache.size > 1024) shardCache.clear()
+        fetched.foreach { case (n, t) => shardCache.update(n, t) }
+        rootText + shardNames.map(n =>
+          have(n).getOrElse(fetched(n))).mkString
       }
     val (meta, data) = text.linesIterator.filter(_.nonEmpty).toSeq
       .partition(_.startsWith("#"))
@@ -698,26 +712,14 @@ object Lakehouse {
     * data-driven strings can never split a line. Written by commits and
     * staged (write-audit-publish) manifests alike; [[readManifest]]
     * parses both. */
-  private def manifestText(man: Manifest): String = {
-    val statLines = man.stats.toSeq.sortBy(_._1).flatMap { case (rel, fm) =>
-      fm.toSeq.sortBy(_._1).flatMap { case (file, cm) =>
-        cm.toSeq.sortBy(_._1).map { case (c, st) =>
-          s"#stats\t$rel\t$file\t$c\t${encStat(st.min)}\t${encStat(st.max)}\n"
-        }
-      }
-    }.mkString
-    val bloomLines = man.blooms.toSeq.sortBy(_._1).flatMap { case (rel, cs) =>
-      cs.toSeq.sorted.map(c => s"#bloom\t$rel\t$c\n")
-    }.mkString
-    val fileLines = man.files.toSeq.sortBy(_._1).flatMap { case (rel, fe) =>
-      fe.sortBy(_.name).map(f => s"#file\t$rel\t${
-        java.net.URLEncoder.encode(f.name, "UTF-8")}\t${f.len}\t${f.mtime}\n")
-    }.mkString
+  private def manifestText(man: Manifest): String =
+    // one source of truth for the line formats: the same per-rel blocks
+    // sharding hashes ([[relLines]]) concatenate into the inline form —
+    // the parser is prefix-keyed and order-insensitive, and any format
+    // drift between inline and sharded manifests would silently break
+    // shard content-address reuse
     man.schema.map(s => s"#schema\t${s.json}\n").getOrElse("") +
-      statLines + bloomLines + fileLines +
-      man.mapping.toSeq.sortBy(_._1)
-        .map { case (rel, gen) => s"$rel\t$gen\n" }.mkString
-  }
+      man.mapping.keys.toSeq.sorted.map(relLines(man, _)).mkString
 
   private def commitManifest(spark: org.apache.spark.sql.SparkSession,
                              root: String,
@@ -809,19 +811,40 @@ object Lakehouse {
       blocks(groupOf(rel)).append(relLines(man, rel)))
     val lake = new org.apache.hadoop.fs.Path(r, LakeDir)
     fs.mkdirs(lake)
-    val names = blocks.iterator.filter(_.nonEmpty).map { b =>
-      val bytes = b.toString.getBytes("UTF-8")
-      val h = md.digest(bytes).map(x => f"$x%02x").mkString
-      val name = s"part-$h"
+    val byName: Map[String, Array[Byte]] =
+      blocks.iterator.filter(_.nonEmpty).map { b =>
+        val bytes = b.toString.getBytes("UTF-8")
+        s"part-${md.digest(bytes).map(x => f"$x%02x").mkString}" -> bytes
+      }.toMap
+    byName.foreach { case (name, bytes) =>
       val p = new org.apache.hadoop.fs.Path(lake, name)
-      // content-addressed: an existing file IS this content — reuse;
-      // a concurrent identical write loses the CAS benignly
       if (!fs.exists(p)) casPutMeta(spark, fs, p, bytes)
-      name
-    }.toSeq.sorted
+      else {
+        // REUSED old shard: re-arm its GC TTL — snapshotGc reclaims
+        // unreferenced shards past the TTL, and an aged shard this
+        // commit is about to re-reference would otherwise sit in a GC
+        // race until the root CAS lands
+        try fs.setTimes(p, System.currentTimeMillis(), -1)
+        catch { case _: UnsupportedOperationException => () }
+      }
+    }
+    val names = byName.keys.toSeq.sorted
     val root = man.schema.map(s => s"#schema\t${s.json}\n").getOrElse("") +
       names.map(nm => s"#shard\t$nm\n").mkString
-    casPutMeta(spark, fs, target, root.getBytes("UTF-8"))
+    val won = casPutMeta(spark, fs, target, root.getBytes("UTF-8"))
+    if (won) {
+      // SELF-HEAL the remaining race: a GC whose listing predates the
+      // re-arm above may still have deleted a reused shard before this
+      // root became a kept (pinning) manifest. The blocks are in hand
+      // and content-addressed, so a vanished shard is simply rewritten;
+      // a second vanish is impossible — the committed root now pins it
+      // against any GC that lists after this point.
+      byName.foreach { case (name, bytes) =>
+        val p = new org.apache.hadoop.fs.Path(lake, name)
+        if (!fs.exists(p)) casPutMeta(spark, fs, p, bytes)
+      }
+    }
+    won
   }
 
   /** Atomic create-if-absent of a small metadata file: write the bytes
@@ -1079,14 +1102,31 @@ object Lakehouse {
       updatedRels
     // file lists ride the same rule; base entries a PRE-r18 manifest (or
     // an adoption) carries without lists are backfilled with one listing
-    // each, HERE at commit time — never at plan time
+    // each, HERE at commit time — never at plan time, and in PARALLEL
+    // (the first post-upgrade commit on a 10⁴-partition legacy lake
+    // would otherwise walk them one blocking RPC at a time)
     val mapping = base ++ updated.map { case (rel, gen, _) => rel -> gen }
     val carriedFiles = prior.map(_.files).getOrElse(Map.empty) --
       updatedRels
     val freshFiles = updated.map { case (rel, _, fe) => rel -> fe }.toMap
-    val backfill = (mapping.keySet -- carriedFiles.keySet --
-      freshFiles.keySet).map { rel =>
-        rel -> fileEntries(fs, dataDir(r, rel, mapping(rel))) }.toMap
+    val toBackfill = (mapping.keySet -- carriedFiles.keySet --
+      freshFiles.keySet).toSeq.sorted
+    val backfill: Map[String, Seq[FileEntry]] =
+      if (toBackfill.isEmpty) Map.empty
+      else {
+        val bpar = math.max(1, math.min(toBackfill.size, spark.conf
+          .get("graft.lake.listParallelism", "16").toInt))
+        val bpool = java.util.concurrent.Executors.newFixedThreadPool(bpar)
+        try {
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutor(bpool)
+          scala.concurrent.Await.result(
+            scala.concurrent.Future.sequence(toBackfill.map(rel =>
+              scala.concurrent.Future(
+                rel -> fileEntries(fs, dataDir(r, rel, mapping(rel)))))),
+            scala.concurrent.duration.Duration.Inf).toMap
+        } finally bpool.shutdown()
+      }
     (Manifest(mapping, Some(schema), carried ++ fresh,
       carriedBlooms ++ freshBlooms,
       carriedFiles ++ backfill ++ freshFiles), baseId)
@@ -2335,10 +2375,25 @@ object Lakehouse {
     if (!casPutMeta(spark, fs, marker, s"$at\n".getBytes("UTF-8"))) {
       // an existing marker over an EMPTY lineage is a crash relic of a
       // create that died before its seed put (its fork id may differ) —
-      // reclaim it and take the slot; a non-empty lineage is a live branch
+      // but only once it has AGED past the relic TTL: a FRESH marker
+      // over an empty lineage is most likely a LIVE creator between its
+      // marker CAS and its seed put, and reclaiming it would re-open
+      // the seed-without-marker brick this ordering exists to close
+      // (the live creator would complete against OUR marker's fork id,
+      // or no marker at all). A non-empty lineage is a live branch.
       if (snapIds(fs, r, name).nonEmpty)
         throw new IllegalArgumentException(
           s"branch '$name' already exists on $root — deleteBranch first")
+      val ttl = spark.conf.get("graft.lake.stageRelicTtlMs",
+        (24L * 3600 * 1000).toString).toLong
+      val age = System.currentTimeMillis() -
+        fs.getFileStatus(marker).getModificationTime
+      if (age <= ttl)
+        throw new ConcurrentCommitException(
+          s"branch '$name' is being created concurrently on $root (a " +
+            s"fork marker ${age}ms old exists with no lineage yet) — " +
+            "retry shortly; if the creator is known dead, deleteBranch " +
+            "reclaims it immediately")
       fs.delete(marker, false)
       require(casPutMeta(spark, fs, marker, s"$at\n".getBytes("UTF-8")),
         s"branch '$name' is being created concurrently on $root — a " +
@@ -2705,7 +2760,21 @@ object Lakehouse {
         st.isFile && st.getPath.getName.startsWith("part-") &&
           !keptShardRefs.contains(st.getPath.getName) &&
           now - st.getModificationTime > stageTtlMs
-      }.foreach(st => fs.delete(st.getPath, false))
+      }.foreach { st =>
+        // FRESH mtime re-probe right before the delete: a committer
+        // re-referencing an aged shard re-arms its mtime BEFORE its
+        // root CAS (putManifest), so a still-aged mtime here proves no
+        // commit adopted the shard since our listing — without this, a
+        // re-arm landing between the listing above and this delete
+        // would be invisible and a just-committed root could lose a
+        // shard (putManifest's post-CAS self-heal remains the backstop
+        // for stores without setTimes)
+        val fresh = try Some(fs.getFileStatus(st.getPath)) catch {
+          case _: java.io.FileNotFoundException => None }
+        if (fresh.exists(f =>
+          now - f.getModificationTime > stageTtlMs))
+          fs.delete(st.getPath, false)
+      }
     drop.foreach(id => fs.delete(snapFile(r, id), false))
     // candidate data dirs: every gen-* found by walking the partition
     // tree (BFS that never descends into generations or _-hidden dirs) —

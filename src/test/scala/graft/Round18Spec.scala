@@ -345,9 +345,10 @@ class Round18Spec extends SparkTestBase {
 
   // ---- branch lifecycle hardening ------------------------------------------
 
-  test("createBranch crash window: a fork marker without a lineage (a " +
-    "creator died between marker and seed) is recovered by the next " +
-    "create — no deleteBranch needed, and the new fork id wins") {
+  test("createBranch crash window: a fork marker without a lineage is " +
+    "reclaimed only past the relic TTL (a FRESH one is a LIVE creator " +
+    "mid-create — reclaiming it would re-open the brick); an aged relic " +
+    "recovers with no deleteBranch and the new fork id wins") {
     val root = freshDir("crash")
     Lakehouse.commitSnapshot(spark, root, Seq("p=x" -> part("x", 1L to 5L)))
     Lakehouse.commitSnapshot(spark, root, Seq("p=x" -> part("x", 1L to 6L)))
@@ -357,9 +358,18 @@ class Round18Spec extends SparkTestBase {
     fs.mkdirs(dir)
     val out = fs.create(new org.apache.hadoop.fs.Path(dir, "fork"), true)
     out.write("1\n".getBytes("UTF-8")); out.close()
-    // recreate at the CURRENT head (2) succeeds and repoints the fork
-    val at = Lakehouse.createBranch(spark, root, "b")
-    assert(at == 2)
+    // under the default TTL the fresh marker reads as a LIVE creator
+    val live = intercept[graft.pipeline.ConcurrentCommitException] {
+      Lakehouse.createBranch(spark, root, "b") }
+    assert(live.getMessage.contains("created concurrently"))
+    // aged past the TTL it is a crash relic: recreate at the CURRENT
+    // head (2) succeeds and repoints the fork
+    spark.conf.set("graft.lake.stageRelicTtlMs", "1")
+    try {
+      Thread.sleep(10)
+      val at = Lakehouse.createBranch(spark, root, "b")
+      assert(at == 2)
+    } finally spark.conf.unset("graft.lake.stageRelicTtlMs")
     Lakehouse.commitSnapshot(spark, root,
       Seq("p=x" -> part("x", 1L to 3L)), branch = "b")
     assert(Lakehouse.fastForward(spark, root, "b") == 3)
