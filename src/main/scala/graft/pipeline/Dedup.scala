@@ -851,8 +851,16 @@ object Dedup {
       // discipline as exactSubstrSpans)
       val hot = anchored.groupBy("g")
         .agg(count(lit(1)).as("c")).filter(col("c") >= 2).select("g")
-      val survivors = anchored.join(hot, Seq("g"))
-        .select("doc_id").distinct().localCheckpoint(true)
+      // RELIABLE checkpoint when the deployment configured a checkpoint
+      // dir (at cluster scale a localCheckpoint pins pass-1 output to
+      // executor-local blocks — one decommissioned executor between the
+      // passes would kill the run with truncated lineage); the local
+      // variant is the single-machine default
+      val surv0 = anchored.join(hot, Seq("g")).select("doc_id").distinct()
+      val survivors =
+        if (docs.sparkSession.sparkContext.getCheckpointDir.isDefined)
+          surv0.checkpoint(eager = true)
+        else surv0.localCheckpoint(eager = true)
       exactSubstrSpans(docs.join(survivors, Seq("doc_id"), "left_semi"),
         window, stride = 1)
     } finally anchored.unpersist(blocking = false)

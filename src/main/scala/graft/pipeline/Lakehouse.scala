@@ -482,6 +482,17 @@ object Lakehouse {
   private val shardCache =
     scala.collection.concurrent.TrieMap[String, String]()
 
+  /** Timeout for driver-side metadata IO (shard GETs, legacy-listing
+    * backfills): honors the session conf `graft.lake.metaIoTimeoutSec`
+    * like every other graft.lake knob, falling back to the hadoop conf
+    * (settable via `spark.hadoop.…`) and then 600 s. */
+  private def metaIoTimeoutSec(fs: org.apache.hadoop.fs.FileSystem): Long =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(s => scala.util.Try(
+        s.conf.get("graft.lake.metaIoTimeoutSec")).toOption)
+      .map(_.toLong)
+      .getOrElse(fs.getConf.getLong("graft.lake.metaIoTimeoutSec", 600))
+
   private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
                            p: org.apache.hadoop.fs.Path): Manifest = {
     val rootText = readText(fs, p)
@@ -514,24 +525,37 @@ object Lakehouse {
           if (missing.isEmpty) Map.empty
           else {
             val par = math.max(1, math.min(missing.size, 16))
-            val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+            // daemon threads + shutdownNow: a GET that outlives the
+            // timeout must neither keep the JVM alive nor accumulate
+            // stuck workers across retries
+            val pool = java.util.concurrent.Executors.newFixedThreadPool(
+              par, (r: Runnable) => {
+                val t = new Thread(r, "graft-shard-fetch")
+                t.setDaemon(true); t
+              })
             try {
               implicit val ec: scala.concurrent.ExecutionContext =
                 scala.concurrent.ExecutionContext.fromExecutor(pool)
               val fts = missing.map(n => scala.concurrent.Future(
                 n -> readText(fs, new org.apache.hadoop.fs.Path(lake, n))))
               // bounded: a hung remote GET must fail loudly, not freeze
-              // the driver's planning forever (hadoop conf
-              // graft.lake.metaIoTimeoutSec, default 600)
+              // the driver's planning forever
               scala.concurrent.Await.result(
                 scala.concurrent.Future.sequence(fts),
                 scala.concurrent.duration.Duration(
-                  fs.getConf.getLong("graft.lake.metaIoTimeoutSec", 600),
-                  "s")).toMap
-            } finally pool.shutdown()
+                  metaIoTimeoutSec(fs), "s")).toMap
+            } finally pool.shutdownNow()
           }
-        if (shardCache.size > 1024) shardCache.clear()
-        fetched.foreach { case (n, t) => shardCache.update(n, t) }
+        // bound enforcement only when something NEW arrives, and the
+        // shards this very manifest resolved go back in afterwards — a
+        // fully-cached steady state must never thrash the cache empty
+        if (fetched.nonEmpty) {
+          if (shardCache.size > 1024) {
+            shardCache.clear()
+            have.foreach { case (n, t) => t.foreach(shardCache.update(n, _)) }
+          }
+          fetched.foreach { case (n, t) => shardCache.update(n, t) }
+        }
         rootText + shardNames.map(n =>
           have(n).getOrElse(fetched(n))).mkString
       }
@@ -816,6 +840,7 @@ object Lakehouse {
         val bytes = b.toString.getBytes("UTF-8")
         s"part-${md.digest(bytes).map(x => f"$x%02x").mkString}" -> bytes
       }.toMap
+    val reused = scala.collection.mutable.ArrayBuffer[String]()
     byName.foreach { case (name, bytes) =>
       val p = new org.apache.hadoop.fs.Path(lake, name)
       if (!fs.exists(p)) casPutMeta(spark, fs, p, bytes)
@@ -823,25 +848,37 @@ object Lakehouse {
         // REUSED old shard: re-arm its GC TTL — snapshotGc reclaims
         // unreferenced shards past the TTL, and an aged shard this
         // commit is about to re-reference would otherwise sit in a GC
-        // race until the root CAS lands
+        // race until the root CAS lands. A shard that vanishes between
+        // the exists probe and the re-arm (a GC won that race) is
+        // simply rewritten — the bytes are in hand.
+        reused += name
         try fs.setTimes(p, System.currentTimeMillis(), -1)
-        catch { case _: UnsupportedOperationException => () }
+        catch {
+          case _: UnsupportedOperationException => ()
+          case _: java.io.FileNotFoundException =>
+            casPutMeta(spark, fs, p, bytes)
+        }
       }
     }
     val names = byName.keys.toSeq.sorted
     val root = man.schema.map(s => s"#schema\t${s.json}\n").getOrElse("") +
       names.map(nm => s"#shard\t$nm\n").mkString
     val won = casPutMeta(spark, fs, target, root.getBytes("UTF-8"))
-    if (won) {
-      // SELF-HEAL the remaining race: a GC whose listing predates the
-      // re-arm above may still have deleted a reused shard before this
-      // root became a kept (pinning) manifest. The blocks are in hand
-      // and content-addressed, so a vanished shard is simply rewritten;
-      // a second vanish is impossible — the committed root now pins it
-      // against any GC that lists after this point.
-      byName.foreach { case (name, bytes) =>
+    if (won && reused.nonEmpty) {
+      // SELF-HEAL the remaining race, scoped to the REUSED shards (the
+      // freshly written ones have fresh mtimes no GC can age out): a GC
+      // whose listing predates the re-arm may have deleted a reused
+      // shard before this root became a kept (pinning) manifest; the
+      // blocks are content-addressed and in hand, so a vanished shard
+      // is rewritten. On setTimes-capable stores this closes the race
+      // completely (GC re-probes mtime right before each delete, and
+      // the re-arm precedes the root CAS); on stores WITHOUT setTimes
+      // the guard is the TTL discipline itself — default 24 h, which a
+      // GC pass and a commit would have to straddle for the heal's
+      // exists probe to be overtaken.
+      reused.foreach { name =>
         val p = new org.apache.hadoop.fs.Path(lake, name)
-        if (!fs.exists(p)) casPutMeta(spark, fs, p, bytes)
+        if (!fs.exists(p)) casPutMeta(spark, fs, p, byName(name))
       }
     }
     won
@@ -1116,7 +1153,11 @@ object Lakehouse {
       else {
         val bpar = math.max(1, math.min(toBackfill.size, spark.conf
           .get("graft.lake.listParallelism", "16").toInt))
-        val bpool = java.util.concurrent.Executors.newFixedThreadPool(bpar)
+        val bpool = java.util.concurrent.Executors.newFixedThreadPool(
+          bpar, (rn: Runnable) => {
+            val t = new Thread(rn, "graft-backfill-list")
+            t.setDaemon(true); t
+          })
         try {
           implicit val ec: scala.concurrent.ExecutionContext =
             scala.concurrent.ExecutionContext.fromExecutor(bpool)
@@ -1124,8 +1165,9 @@ object Lakehouse {
             scala.concurrent.Future.sequence(toBackfill.map(rel =>
               scala.concurrent.Future(
                 rel -> fileEntries(fs, dataDir(r, rel, mapping(rel)))))),
-            scala.concurrent.duration.Duration.Inf).toMap
-        } finally bpool.shutdown()
+            scala.concurrent.duration.Duration(
+              metaIoTimeoutSec(fs), "s")).toMap
+        } finally bpool.shutdownNow()
       }
     (Manifest(mapping, Some(schema), carried ++ fresh,
       carriedBlooms ++ freshBlooms,
@@ -2386,8 +2428,16 @@ object Lakehouse {
           s"branch '$name' already exists on $root — deleteBranch first")
       val ttl = spark.conf.get("graft.lake.stageRelicTtlMs",
         (24L * 3600 * 1000).toString).toLong
-      val age = System.currentTimeMillis() -
-        fs.getFileStatus(marker).getModificationTime
+      // the marker can vanish between our lost CAS and this probe (a
+      // concurrent reclaimer or deleteBranch won) — that IS a
+      // concurrent create, not an IO fault
+      val markerMtime = try fs.getFileStatus(marker).getModificationTime
+        catch { case _: java.io.FileNotFoundException =>
+          throw new ConcurrentCommitException(
+            s"branch '$name' is being created concurrently on $root " +
+              "(the fork marker vanished mid-create) — retry shortly")
+        }
+      val age = System.currentTimeMillis() - markerMtime
       if (age <= ttl)
         throw new ConcurrentCommitException(
           s"branch '$name' is being created concurrently on $root (a " +
