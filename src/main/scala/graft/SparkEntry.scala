@@ -1685,6 +1685,54 @@ object SparkEntry {
           .orderBy("doc_id")
       } finally s.conf.unset("graft.lake.manifestShardLines")
     }),
+    // OBJECT-STORE commit protocol end-to-end: the same DML pipeline as
+    // lake_snapshot_sharded, but on a scheme with NO exclusive rename
+    // and NO setTimes — every metadata put-if-absent (manifests, shards)
+    // rides the shipped HttpSnapshotCas provider's conditional PUT
+    // against a loopback mock object store (the house pattern for
+    // endpoint wires), proving the SPI has a concrete, contract-tested
+    // implementation a raw-S3/GCS/Azure deployment can copy
+    "lake_snapshot_cas_http" -> ((s, d) => {
+      val root0 = s"/tmp/graft_lake_snap_cas/${new java.io.File(d).getName}"
+      val p0 = new org.apache.hadoop.fs.Path(root0)
+      p0.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p0, true)
+      val store = new _root_.graft.tools.MockObjectStore()
+      val base = store.start()
+      s.sparkContext.hadoopConfiguration.set("fs.gos.impl",
+        classOf[_root_.graft.tools.ObjectStoreFs].getName)
+      s.conf.set("graft.lake.casProvider",
+        classOf[_root_.graft.pipeline.HttpSnapshotCas].getName)
+      s.conf.set("graft.lake.cas.http.base", base)
+      s.conf.set("graft.lake.manifestShardLines", "4")
+      try {
+        val root = s"gos:$root0"
+        val docs = T(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("source"),
+            (col("doc_id") % 3).cast("int").as("p"))
+        _root_.graft.pipeline.Lakehouse.commitSnapshot(s, root,
+          (0 to 2).map(i => s"p=$i" -> docs.filter(col("p") === i)),
+          statsCols = Seq("doc_id"))
+        _root_.graft.pipeline.Lakehouse.mergeSnapshot(s, root,
+          docs.filter(col("doc_id") % 10 === 0)
+            .withColumn("source", lit("revised")),
+          Seq("doc_id"), "p")
+        _root_.graft.pipeline.Lakehouse.deleteSnapshot(s, root,
+          col("doc_id") % 11 === 3)
+        val rows = _root_.graft.pipeline.Lakehouse.readSnapshot(s, root)
+          .select(col("doc_id"), col("lang"), col("source"), col("p"))
+          .orderBy("doc_id")
+        // materialize before the store stops: reads resolve manifests
+        // through the shard cache whose fetches need the mock alive
+        val out = rows.collect()
+        s.createDataFrame(s.sparkContext.parallelize(out.toSeq, 1),
+          rows.schema)
+      } finally {
+        s.conf.unset("graft.lake.manifestShardLines")
+        s.conf.unset("graft.lake.cas.http.base")
+        s.conf.unset("graft.lake.casProvider")
+        store.stop()
+      }
+    }),
     // REBASE: main advances (disjoint-key update) after the branch
     // forks; fastForward would refuse, rebaseBranch replays the branch's
     // pending I/U/D onto the new head, then the fast-forward publishes —
@@ -3438,6 +3486,15 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     // sharded manifests answer identically to plain ones
     "lake_snapshot_sharded" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 10 = 0 THEN 'revised' ELSE source END
+        |    AS source,
+        |  CAST(doc_id % 3 AS INTEGER) AS p
+        |FROM documents WHERE doc_id % 11 <> 3
+        |ORDER BY doc_id""".stripMargin,
+    // the same pipeline routed through the HTTP conditional-PUT
+    // provider on an object-store scheme must land on the same truth
+    "lake_snapshot_cas_http" ->
       """SELECT doc_id, lang,
         |  CASE WHEN doc_id % 10 = 0 THEN 'revised' ELSE source END
         |    AS source,

@@ -35,6 +35,30 @@ trait SnapshotCas {
   def putIfAbsent(fs: org.apache.hadoop.fs.FileSystem,
                   target: org.apache.hadoop.fs.Path,
                   bytes: Array[Byte]): Boolean
+
+  /** OPTIONAL freshness re-arm of an existing metadata object (a
+    * reused content-addressed manifest shard): make the object look
+    * recently written to age-based GC — a metadata-only mtime/copy-
+    * in-place touch on stores that support one. Returns true when the
+    * re-arm happened, false when the store cannot express it (the
+    * default). Throw `java.io.FileNotFoundException` if the target
+    * vanished (the caller rewrites it — the bytes are content-addressed
+    * and in hand).
+    *
+    * WHY THIS EXISTS — the GC-vs-commit shard race contract a provider
+    * author inherits: a committer REUSING an aged shard re-arms its
+    * freshness before its root CAS, and [[Lakehouse.snapshotGc]]
+    * re-probes freshness right before each shard delete. On stores
+    * where neither `FileSystem.setTimes` nor this touch works, that
+    * race is closed only by the TTL discipline
+    * (`graft.lake.stageRelicTtlMs`, default 24 h): a GC pass and a
+    * commit must straddle the full TTL for a reused shard to be lost,
+    * and the committer's post-CAS self-heal re-probe narrows even
+    * that. Implement touch (S3 self-copy with metadata replace, GCS
+    * rewrite, Azure set-blob-properties all qualify) to close the race
+    * completely. */
+  def touch(fs: org.apache.hadoop.fs.FileSystem,
+            target: org.apache.hadoop.fs.Path): Boolean = false
 }
 
 /** Table-maintenance operators for a mutable lake: MERGE upsert, CDC
@@ -440,7 +464,7 @@ object Lakehouse {
     * shape; the stats are the data-skipping layer — [[readSnapshot]]
     * prunes FILES whose [min,max] cannot intersect a caller-declared
     * range before Spark ever plans the scan. */
-  private final case class Manifest(
+  private[graft] final case class Manifest(
       mapping: Map[String, String],
       schema: Option[org.apache.spark.sql.types.StructType],
       stats: Map[String, Map[String, Map[String, ColStat]]] = Map.empty,
@@ -476,26 +500,119 @@ object Lakehouse {
     } finally in.close()
   }
 
+  /** Byte-bounded LRU cache for driver-side metadata parses. Bounding by
+    * BYTES, not entry count, is the point: the units here (manifest
+    * shards ~1–2 MB of text, bloom sidecars kilobytes-to-megabytes) vary
+    * by orders of magnitude, so a count bound either thrashes small
+    * entries or hoards gigabytes of large ones. Eviction is
+    * least-recently-USED first (access-order LinkedHashMap), one entry
+    * at a time — never a full clear, so a working set under budget is
+    * never collateral damage of one oversized insert. The entry being
+    * inserted is itself never evicted (evicting it would make every
+    * repeat of the current query a miss — the r18 shard-cache thrash
+    * lesson, generalized). `budget` re-reads its conf per insert so a
+    * session-level retune applies without a restart. */
+  private[graft] final class ByteLruCache[K, V](budget: () => Long,
+                                                sizeOf: V => Long) {
+    private val map = new java.util.LinkedHashMap[K, V](64, 0.75f, true)
+    private var held = 0L
+    def get(k: K): Option[V] = synchronized(Option(map.get(k)))
+    def put(k: K, v: V): Unit = synchronized {
+      val old = map.put(k, v)
+      if (old != null) held -= sizeOf(old)
+      held += sizeOf(v)
+      val b = budget()
+      val it = map.entrySet().iterator()
+      while (held > b && it.hasNext) {
+        val e = it.next()
+        if (e.getKey != k) { held -= sizeOf(e.getValue); it.remove() }
+      }
+    }
+    private[graft] def clear(): Unit = synchronized { map.clear(); held = 0 }
+    private[graft] def heldBytes: Long = synchronized(held)
+    private[graft] def entryCount: Int = synchronized(map.size())
+  }
+
+  private def confLong(key: String, dflt: Long): Long =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(s => scala.util.Try(s.conf.get(key)).toOption)
+      .map(_.toLong).getOrElse(dflt)
+
   /** Shard files are IMMUTABLE and content-addressed (`part-<md5>`), so
     * their parses cache by NAME alone — shared across epochs, lineages,
-    * and staged manifests that reference the same unchanged group. */
-  private val shardCache =
-    scala.collection.concurrent.TrieMap[String, String]()
+    * and staged manifests that reference the same unchanged group.
+    * Byte-bounded (`graft.lake.shardCacheBytes`, default 256 MB): at the
+    * default 50k-line threshold each shard holds ~1–2 MB of text, so the
+    * old 1024-ENTRY bound could pin over a gigabyte of driver heap. */
+  private[graft] val shardCache = new ByteLruCache[String, String](
+    () => confLong("graft.lake.shardCacheBytes", 256L << 20),
+    t => 2L * t.length + 64)
 
   /** Timeout for driver-side metadata IO (shard GETs, legacy-listing
-    * backfills): honors the session conf `graft.lake.metaIoTimeoutSec`
-    * like every other graft.lake knob, falling back to the hadoop conf
-    * (settable via `spark.hadoop.…`) and then 600 s. */
-  private def metaIoTimeoutSec(fs: org.apache.hadoop.fs.FileSystem): Long =
+    * backfills, fallback plan-time listings, bloom-sidecar fetches):
+    * honors the session conf `graft.lake.metaIoTimeoutSec` like every
+    * other graft.lake knob, falling back to the hadoop conf (settable
+    * via `spark.hadoop.…`) and then 600 s. */
+  private[graft] def metaIoTimeoutSec(
+      conf: org.apache.hadoop.conf.Configuration): Long =
     org.apache.spark.sql.SparkSession.getActiveSession
       .flatMap(s => scala.util.Try(
         s.conf.get("graft.lake.metaIoTimeoutSec")).toOption)
       .map(_.toLong)
-      .getOrElse(fs.getConf.getLong("graft.lake.metaIoTimeoutSec", 600))
+      .getOrElse(conf.getLong("graft.lake.metaIoTimeoutSec", 600))
+
+  private[graft] def metaIoTimeoutSec(
+      fs: org.apache.hadoop.fs.FileSystem): Long =
+    metaIoTimeoutSec(fs.getConf)
+
+  /** THE driver-side parallel-IO helper — every bounded pool in the lake
+    * (shard fetch, legacy-listing backfill, commit partition writes,
+    * fallback plan-time listing, bloom-sidecar fetch) goes through here,
+    * so the hardening is uniform by construction: daemon threads (a hung
+    * store call must never pin the JVM), `shutdownNow` (stragglers are
+    * interrupted, not accumulated across retries), and a timeout that
+    * fails LOUDLY as an IO diagnosis instead of freezing planning. Pass
+    * `Duration.Inf` only where the work owns its failure semantics (the
+    * commit's Spark write jobs — a long legitimate write must not be
+    * killed by a metadata-IO timeout). */
+  private[graft] def parMap[A, B](
+      items: Seq[A], par: Int, threadName: String,
+      timeout: scala.concurrent.duration.Duration)(f: A => B): Seq[B] = {
+    if (items.isEmpty) return Nil
+    val n = math.max(1, math.min(items.size, par))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n,
+      (r: Runnable) => {
+        val t = new Thread(r, threadName); t.setDaemon(true); t
+      })
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(items.map(a =>
+          scala.concurrent.Future(f(a)))), timeout)
+      catch {
+        case e: java.util.concurrent.TimeoutException =>
+          throw new java.io.IOException(
+            s"$threadName: ${items.size}-item parallel metadata IO did " +
+              s"not finish within $timeout " +
+              "(graft.lake.metaIoTimeoutSec) — a hung store call, not a " +
+              "commit conflict; diagnose the store before retrying", e)
+      }
+    } finally pool.shutdownNow()
+  }
 
   private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
                            p: org.apache.hadoop.fs.Path): Manifest = {
     val rootText = readText(fs, p)
+    // reader-feature gate BEFORE any parsing: a root demanding a newer
+    // reader must fail loudly, never be read as a partial (or empty)
+    // snapshot because its lines look like unknown comments
+    rootText.linesIterator.collectFirst {
+      case l if l.startsWith("#minreader\t") =>
+        l.split("\t", -1)(1).toInt
+    }.foreach(v => require(v <= ReaderVersion,
+      s"manifest $p requires reader format version $v; this build " +
+        s"reads up to $ReaderVersion — upgrade before reading this lake"))
     // sharded manifest: the root carries #shard refs to content-addressed
     // group files in the ROOT LakeDir (shared across lineages); inline
     // lines and shard blocks concatenate to the same wire format
@@ -515,47 +632,21 @@ object Lakehouse {
         // (on a remote store each read is a blocking round-trip); the
         // content-addressed cache makes this a once-per-process cost.
         // Resolution goes through a LOCAL map, never back through the
-        // cache: the bound-enforcing clear() below (or a concurrent
-        // reader's) must not be able to evict a shard between this
-        // manifest's fetch and its assembly.
+        // cache: a concurrent reader's eviction must not be able to
+        // drop a shard between this manifest's fetch and its assembly.
         val have: Map[String, Option[String]] =
           shardNames.map(n => n -> shardCache.get(n)).toMap
         val missing = shardNames.filter(have(_).isEmpty)
         val fetched: Map[String, String] =
-          if (missing.isEmpty) Map.empty
-          else {
-            val par = math.max(1, math.min(missing.size, 16))
-            // daemon threads + shutdownNow: a GET that outlives the
-            // timeout must neither keep the JVM alive nor accumulate
-            // stuck workers across retries
-            val pool = java.util.concurrent.Executors.newFixedThreadPool(
-              par, (r: Runnable) => {
-                val t = new Thread(r, "graft-shard-fetch")
-                t.setDaemon(true); t
-              })
-            try {
-              implicit val ec: scala.concurrent.ExecutionContext =
-                scala.concurrent.ExecutionContext.fromExecutor(pool)
-              val fts = missing.map(n => scala.concurrent.Future(
-                n -> readText(fs, new org.apache.hadoop.fs.Path(lake, n))))
-              // bounded: a hung remote GET must fail loudly, not freeze
-              // the driver's planning forever
-              scala.concurrent.Await.result(
-                scala.concurrent.Future.sequence(fts),
-                scala.concurrent.duration.Duration(
-                  metaIoTimeoutSec(fs), "s")).toMap
-            } finally pool.shutdownNow()
-          }
-        // bound enforcement only when something NEW arrives, and the
-        // shards this very manifest resolved go back in afterwards — a
-        // fully-cached steady state must never thrash the cache empty
-        if (fetched.nonEmpty) {
-          if (shardCache.size > 1024) {
-            shardCache.clear()
-            have.foreach { case (n, t) => t.foreach(shardCache.update(n, _)) }
-          }
-          fetched.foreach { case (n, t) => shardCache.update(n, t) }
-        }
+          parMap(missing, 16, "graft-shard-fetch",
+            scala.concurrent.duration.Duration(metaIoTimeoutSec(fs), "s"))(
+            n => n -> readText(fs, new org.apache.hadoop.fs.Path(lake, n))
+          ).toMap
+        // byte-bounded LRU: inserts evict coldest-first, never the
+        // entries this manifest just resolved (`get` above marked the
+        // cached ones recent; `put` never evicts its own key) — a
+        // fully-cached steady state never thrashes
+        fetched.foreach { case (n, t) => shardCache.put(n, t) }
         rootText + shardNames.map(n =>
           have(n).getOrElse(fetched(n))).mkString
       }
@@ -623,7 +714,7 @@ object Lakehouse {
     * recreated lake (same path, new bytes) can never serve a stale
     * parse. Bounded: a full drop past 256 entries (each entry is
     * O(partitions + stats lines); re-reads are cheap). */
-  private val manifestCache =
+  private[graft] val manifestCache =
     scala.collection.concurrent.TrieMap[(String, Long, Long), Manifest]()
 
   private def manifestAt(spark: org.apache.spark.sql.SparkSession,
@@ -736,13 +827,27 @@ object Lakehouse {
     * data-driven strings can never split a line. Written by commits and
     * staged (write-audit-publish) manifests alike; [[readManifest]]
     * parses both. */
+  /** The manifest format version THIS build reads. Every root written
+    * from r19 on declares its floor via a `#minreader` line and
+    * [[readManifest]] REJECTS a root demanding more — so the NEXT
+    * format evolution fails loudly on old readers instead of the
+    * pre-r19 hazard: parsers skip unknown `#` lines, so a pre-r18
+    * reader handed a SHARDED root (all mapping lines live in shards)
+    * silently read an EMPTY snapshot. That hazard itself is historical
+    * and unfixable from here (those readers are already deployed) —
+    * enable sharding only after all readers are upgraded; this line
+    * makes every future divergence loud by construction. */
+  private val ReaderVersion = 1
+  private val MinReaderLine = s"#minreader\t$ReaderVersion\n"
+
   private def manifestText(man: Manifest): String =
     // one source of truth for the line formats: the same per-rel blocks
     // sharding hashes ([[relLines]]) concatenate into the inline form —
     // the parser is prefix-keyed and order-insensitive, and any format
     // drift between inline and sharded manifests would silently break
     // shard content-address reuse
-    man.schema.map(s => s"#schema\t${s.json}\n").getOrElse("") +
+    MinReaderLine +
+      man.schema.map(s => s"#schema\t${s.json}\n").getOrElse("") +
       man.mapping.keys.toSeq.sorted.map(relLines(man, _)).mkString
 
   private def commitManifest(spark: org.apache.spark.sql.SparkSession,
@@ -854,14 +959,26 @@ object Lakehouse {
         reused += name
         try fs.setTimes(p, System.currentTimeMillis(), -1)
         catch {
-          case _: UnsupportedOperationException => ()
+          case _: UnsupportedOperationException =>
+            // stores without setTimes: route the re-arm through the
+            // configured provider's touch (self-copy / metadata
+            // rewrite) — without one, the TTL discipline is the guard
+            // (see the SnapshotCas.touch scaladoc for the contract)
+            val cls = spark.conf.get("graft.lake.casProvider", "")
+            if (cls.nonEmpty)
+              try { casProvider(cls).touch(fs, p); () }
+              catch {
+                case _: java.io.FileNotFoundException =>
+                  casPutMeta(spark, fs, p, bytes)
+              }
           case _: java.io.FileNotFoundException =>
             casPutMeta(spark, fs, p, bytes)
         }
       }
     }
     val names = byName.keys.toSeq.sorted
-    val root = man.schema.map(s => s"#schema\t${s.json}\n").getOrElse("") +
+    val root = MinReaderLine +
+      man.schema.map(s => s"#schema\t${s.json}\n").getOrElse("") +
       names.map(nm => s"#shard\t$nm\n").mkString
     val won = casPutMeta(spark, fs, target, root.getBytes("UTF-8"))
     if (won && reused.nonEmpty) {
@@ -1092,29 +1209,25 @@ object Lakehouse {
     // put, leaving only GC-able relics.
     val par = math.max(1, math.min(writes.size, spark.conf
       .get("graft.lake.commitParallelism", "8").toInt))
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
-    val updated =
-      try {
-        implicit val ec: scala.concurrent.ExecutionContext =
-          scala.concurrent.ExecutionContext.fromExecutor(pool)
-        val fts = writes.map { case (rel, df) =>
-          scala.concurrent.Future {
-            val part =
-              if (rel.isEmpty) r else new org.apache.hadoop.fs.Path(r, rel)
-            val gen = snapGenName()
-            val genP = new org.apache.hadoop.fs.Path(part, gen)
-            df.write.mode("overwrite").parquet(genP.toString)
-            plantSentinelIfBare(fs, part)
-            // record the freshly written files (name, len, mtime) while
-            // we are already here — the one listing that buys every
-            // future read a ZERO-listing plan (see [[FileEntry]])
-            (rel, gen, fileEntries(fs, genP))
-          }
-        }
-        scala.concurrent.Await.result(
-          scala.concurrent.Future.sequence(fts),
-          scala.concurrent.duration.Duration.Inf)
-      } finally pool.shutdown()
+    // Duration.Inf is DELIBERATE here and only here: these are Spark
+    // write JOBS, not metadata IO — they own their failure semantics
+    // (task retries, job abort), and a legitimate hours-long partition
+    // write must not be killed by the metadata-IO timeout. parMap still
+    // provides daemon threads + shutdownNow, so a failed sibling
+    // interrupts the rest instead of leaking them.
+    val updated = parMap(writes, par, "graft-commit-write",
+      scala.concurrent.duration.Duration.Inf) { case (rel, df) =>
+      val part =
+        if (rel.isEmpty) r else new org.apache.hadoop.fs.Path(r, rel)
+      val gen = snapGenName()
+      val genP = new org.apache.hadoop.fs.Path(part, gen)
+      df.write.mode("overwrite").parquet(genP.toString)
+      plantSentinelIfBare(fs, part)
+      // record the freshly written files (name, len, mtime) while
+      // we are already here — the one listing that buys every
+      // future read a ZERO-listing plan (see [[FileEntry]])
+      (rel, gen, fileEntries(fs, genP))
+    }
     plantSentinelIfBare(fs, r)
     // stats: ONE column-pruned job over every freshly written dir (not
     // one per partition — at 10³ partitions that would double the
@@ -1149,26 +1262,12 @@ object Lakehouse {
     val toBackfill = (mapping.keySet -- carriedFiles.keySet --
       freshFiles.keySet).toSeq.sorted
     val backfill: Map[String, Seq[FileEntry]] =
-      if (toBackfill.isEmpty) Map.empty
-      else {
-        val bpar = math.max(1, math.min(toBackfill.size, spark.conf
-          .get("graft.lake.listParallelism", "16").toInt))
-        val bpool = java.util.concurrent.Executors.newFixedThreadPool(
-          bpar, (rn: Runnable) => {
-            val t = new Thread(rn, "graft-backfill-list")
-            t.setDaemon(true); t
-          })
-        try {
-          implicit val ec: scala.concurrent.ExecutionContext =
-            scala.concurrent.ExecutionContext.fromExecutor(bpool)
-          scala.concurrent.Await.result(
-            scala.concurrent.Future.sequence(toBackfill.map(rel =>
-              scala.concurrent.Future(
-                rel -> fileEntries(fs, dataDir(r, rel, mapping(rel)))))),
-            scala.concurrent.duration.Duration(
-              metaIoTimeoutSec(fs), "s")).toMap
-        } finally bpool.shutdownNow()
-      }
+      parMap(toBackfill,
+        spark.conf.get("graft.lake.listParallelism", "16").toInt,
+        "graft-backfill-list",
+        scala.concurrent.duration.Duration(metaIoTimeoutSec(fs), "s"))(
+        rel => rel -> fileEntries(fs, dataDir(r, rel, mapping(rel)))
+      ).toMap
     (Manifest(mapping, Some(schema), carried ++ fresh,
       carriedBlooms ++ freshBlooms,
       carriedFiles ++ backfill ++ freshFiles), baseId)
@@ -1473,54 +1572,91 @@ object Lakehouse {
     dirToRel.values.toSeq.distinct.map(_ -> cols.toSet).toMap
   }
 
-  /** Sidecars are immutable with their generation — cache parses. */
-  private val bloomCache = scala.collection.concurrent.TrieMap[
-    (String, String), Map[String, org.apache.spark.util.sketch.BloomFilter]]()
+  /** Sidecars are immutable with their generation — cache parses.
+    * Byte-bounded LRU (`graft.lake.bloomCacheBytes`, default 64 MB —
+    * sidecars are kilobytes each, so the default holds the whole skip
+    * layer of a 10⁴-partition lake), accounted by the filters'
+    * serialized size. The r18 shape (128-entry cap, full `clear()` when
+    * exceeded) thrashed at exactly the scale the skip layer targets:
+    * every point query on a >128-dir lake re-read nearly every sidecar,
+    * sequentially, on the driver, at plan time. */
+  private[graft] val bloomCache = new ByteLruCache[
+    (String, String), Map[String, org.apache.spark.util.sketch.BloomFilter]](
+    () => confLong("graft.lake.bloomCacheBytes", 64L << 20),
+    m => m.valuesIterator.map(_.bitSize() / 8 + 64L).sum + 64L)
 
-  private def readBloomSidecar(fs: org.apache.hadoop.fs.FileSystem,
-                               dir: org.apache.hadoop.fs.Path, c: String
-                              ): Map[String, org.apache.spark.util.sketch.BloomFilter] = {
-    val key = (fs.makeQualified(dir).toString, c)
-    bloomCache.getOrElse(key, {
-      val p = bloomSidecar(dir, c)
-      val parsed =
-        if (!fs.exists(p)) Map.empty[String,
-          org.apache.spark.util.sketch.BloomFilter]
-        else {
-          val in = new java.io.DataInputStream(fs.open(p))
-          try {
-            val count = in.readInt()
-            (0 until count).map { _ =>
-              val name = in.readUTF()
-              val len = in.readInt()
-              val bytes = new Array[Byte](len)
-              in.readFully(bytes)
-              name -> org.apache.spark.util.sketch.BloomFilter.readFrom(bytes)
-            }.toMap
-          } finally in.close()
-        }
-      if (bloomCache.size > 128) bloomCache.clear()
-      bloomCache.update(key, parsed)
-      parsed
-    })
+  private def parseBloomSidecar(fs: org.apache.hadoop.fs.FileSystem,
+                                dir: org.apache.hadoop.fs.Path, c: String
+                               ): Map[String, org.apache.spark.util.sketch.BloomFilter] = {
+    val p = bloomSidecar(dir, c)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = new java.io.DataInputStream(fs.open(p))
+      try {
+        val count = in.readInt()
+        (0 until count).map { _ =>
+          val name = in.readUTF()
+          val len = in.readInt()
+          val bytes = new Array[Byte](len)
+          in.readFully(bytes)
+          name -> org.apache.spark.util.sketch.BloomFilter.readFrom(bytes)
+        }.toMap
+      } finally in.close()
+    }
+  }
+
+  /** The POINT-EQUALITY subset of `ranges` — the only shape a bloom
+    * filter can answer. */
+  private def bloomPoints(ranges: Seq[ColRange]): Seq[(String, String)] =
+    ranges.collect {
+      case ColRange(c, Some(lo), Some(hi)) if lo == hi => c -> lo.toString
+    }
+
+  /** Resolve the `_bloom-<col>` sidecars a query's point lookups need,
+    * for EVERY kept dir at once: cache hits are free, misses fetch in
+    * PARALLEL through [[parMap]] (the r18 shape read them one blocking
+    * FS open per (dir, col) at a time, inside the per-dir loop — an
+    * O(partitions) sequential driver walk at plan time, the same
+    * disease the `#file` listing fix cured for statuses). The resolved
+    * map is returned LOCALLY and the fetches re-inserted into the
+    * byte-bounded cache — a concurrent eviction can never drop a
+    * sidecar between this plan's fetch and its use. Keyed by qualified
+    * dir + column; a dir with no sidecar caches an empty map (so the
+    * repeat query pays zero FS calls for it too). */
+  private[graft] def prefetchBloomSidecars(
+      fs: org.apache.hadoop.fs.FileSystem,
+      pairs: Seq[(org.apache.hadoop.fs.Path, String)])
+    : Map[(String, String), Map[String, org.apache.spark.util.sketch.BloomFilter]] = {
+    if (pairs.isEmpty) return Map.empty
+    val keyed = pairs.map { case (d, c) =>
+      (fs.makeQualified(d).toString, c) -> ((d, c)) }.toMap
+    val have = keyed.keys.map(k => k -> bloomCache.get(k)).toMap
+    val missing = keyed.toSeq.filter { case (k, _) => have(k).isEmpty }
+    val par = confLong("graft.lake.listParallelism", 16).toInt
+    val fetched = parMap(missing, par, "graft-bloom-fetch",
+      scala.concurrent.duration.Duration(metaIoTimeoutSec(fs), "s")) {
+      case (k, (d, c)) => k -> parseBloomSidecar(fs, d, c)
+    }.toMap
+    fetched.foreach { case (k, v) => bloomCache.put(k, v) }
+    have.collect { case (k, Some(v)) => k -> v } ++ fetched
   }
 
   /** fileName => survives, for the POINT-EQUALITY subset of `ranges`
-    * against `dir`'s declared bloom sidecars. A file absent from a
+    * against `dir`'s declared bloom sidecars, read from a
+    * [[prefetchBloomSidecars]]-resolved map. A file absent from a
     * sidecar, or a column never declared, keeps (superset guarantee);
     * a definite bloom miss prunes — false positives only cost a read. */
-  private[graft] def bloomKeep(fs: org.apache.hadoop.fs.FileSystem,
-                               dir: org.apache.hadoop.fs.Path,
-                               declared: Set[String],
-                               ranges: Seq[ColRange]): String => Boolean = {
-    val points = ranges.collect {
-      case ColRange(c, Some(lo), Some(hi))
-        if declared.contains(c) && lo == hi => c -> lo.toString
-    }
+  private[graft] def bloomKeep(
+      resolved: Map[(String, String),
+        Map[String, org.apache.spark.util.sketch.BloomFilter]],
+      dirQ: String, declared: Set[String],
+      ranges: Seq[ColRange]): String => Boolean = {
+    val points = bloomPoints(ranges).filter(p => declared.contains(p._1))
     if (points.isEmpty) (_: String) => true
     else {
       val checks = points.map { case (c, v) =>
-        (readBloomSidecar(fs, dir, c), v) }
+        (resolved.getOrElse((dirQ, c), Map.empty[String,
+          org.apache.spark.util.sketch.BloomFilter]), v) }
       name => checks.forall { case (m, v) =>
         m.get(name).forall(_.mightContainString(v)) }
     }
@@ -1716,11 +1852,20 @@ object Lakehouse {
     // path), the same scale discipline as the automatic path
     if (fileRanges.nonEmpty && m.schema.isDefined &&
         kept.forall { case (rel, _) => m.files.contains(rel) }) {
+      // resolve every needed bloom sidecar ONCE, across all kept dirs,
+      // in parallel — never one blocking read per dir inside the loop
+      val pointCols = bloomPoints(fileRanges).map(_._1).toSet
+      val resolved = prefetchBloomSidecars(fs, kept.collect {
+        case (rel, gen) if m.stats.contains(rel) =>
+          m.blooms.getOrElse(rel, Set.empty).intersect(pointCols).toSeq
+            .map(c => (dataDir(r, rel, gen), c))
+      }.flatten)
       val dirs = kept.map { case (rel, gen) =>
         val dir = dataDir(r, rel, gen)
         val surviving: Seq[FileEntry] = m.stats.get(rel) match {
           case Some(files) =>
-            val keepB = bloomKeep(fs, dir,
+            val keepB = bloomKeep(resolved,
+              fs.makeQualified(dir).toString,
               m.blooms.getOrElse(rel, Set.empty), fileRanges)
             m.files(rel).filter(e => files.get(e.name).forall(cm =>
               rangeSurvives(cm, fileRanges, colTypes)) && keepB(e.name))
@@ -1744,6 +1889,12 @@ object Lakehouse {
       return spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         .baseRelationToDataFrame(relation)
     }
+    val rootPointCols = bloomPoints(fileRanges).map(_._1).toSet
+    val rootResolved = prefetchBloomSidecars(fs, kept.collect {
+      case (rel, gen) if m.stats.contains(rel) && fileRanges.nonEmpty =>
+        m.blooms.getOrElse(rel, Set.empty).intersect(rootPointCols).toSeq
+          .map(c => (dataDir(r, rel, gen), c))
+    }.flatten)
     val roots = kept.flatMap { case (rel, gen) =>
       val dir = dataDir(r, rel, gen)
       m.stats.get(rel) match {
@@ -1752,7 +1903,8 @@ object Lakehouse {
           // (computed over the whole dir at commit), so the survivor
           // list is authoritative — pass individual files to the scan;
           // point-equality ranges also probe the bloom sidecars
-          val keepB = bloomKeep(fs, dir,
+          val keepB = bloomKeep(rootResolved,
+            fs.makeQualified(dir).toString,
             m.blooms.getOrElse(rel, Set.empty), fileRanges)
           files.toSeq.sortBy(_._1).collect {
             case (f, cm) if rangeSurvives(cm, fileRanges, colTypes) &&
@@ -2632,11 +2784,46 @@ object Lakehouse {
     if (snapIds(fs, r, tmp).nonEmpty) deleteBranch(spark, root, tmp)
     createBranch(spark, root, tmp, fromId = Some(mainHead))
     applyCdcSnapshot(spark, root, cdc, keys, partitionCol, branch = tmp)
-    deleteBranch(spark, root, name)
+    swapRebasedLineage(fs, r, name, tmp, bids)
+    snapIds(fs, r, name).last
+  }
+
+  /** The SWAP step of [[rebaseBranch]]: retire the branch state
+    * observed at entry and rename the staged lineage into place — with
+    * per-file deletes plus a loud leftover check, never a recursive
+    * lineage delete, which would silently destroy a branch commit that
+    * landed between the rebase's snapshotChanges capture and the swap
+    * (the same check-then-act data-loss window fastForward closed the
+    * same way). Order matters: the observed snap files go first, the
+    * leftover check runs while the fork marker is STILL in place (so a
+    * refused swap leaves the branch rebase-able — marker plus the late
+    * epochs), and only a clean re-list proceeds to the marker delete
+    * and the rename. */
+  private[graft] def swapRebasedLineage(fs: org.apache.hadoop.fs.FileSystem,
+                                        r: org.apache.hadoop.fs.Path,
+                                        name: String, tmp: String,
+                                        observedBids: Seq[Int]): Unit = {
+    observedBids.foreach(id => fs.delete(snapFile(r, id, name), false))
+    val late = snapIds(fs, r, name)
+    if (late.nonEmpty) throw new ConcurrentCommitException(
+      s"rebase of '$name': branch epoch(s) ${late.mkString(",")} were " +
+        "committed DURING the rebase and are not in the replayed " +
+        s"intent — they survive untouched (with the fork marker, so the " +
+        s"branch stays rebase-able) and the rebased state is staged " +
+        s"intact on '$tmp'; re-run the rebase to pick them up")
+    fs.delete(new org.apache.hadoop.fs.Path(lineageDir(r, name), "fork"),
+      false)
+    // non-recursive delete of the now-empty lineage dir is the final
+    // guard: it fails loudly if anything appeared after the re-list
+    val emptied = try fs.delete(lineageDir(r, name), false) catch {
+      case _: java.io.IOException => false }
+    if (!emptied) throw new ConcurrentCommitException(
+      s"rebase of '$name': the branch lineage refilled between the " +
+        s"leftover check and the swap — rebased state staged on '$tmp'; " +
+        "re-run the rebase")
     require(fs.rename(lineageDir(r, tmp), lineageDir(r, name)),
       s"rebase of '$name': staged lineage '$tmp' failed to rename into " +
         s"place — recover it manually (it holds the rebased state)")
-    snapIds(fs, r, name).last
   }
 
   /** The PENDING change set of a branch — "what would [[fastForward]]
@@ -2805,26 +2992,46 @@ object Lakehouse {
         snapFile(r, id, br) } ++
         listStaged(spark, root).map { case (t, _) => stagedFile(r, t) })
         .flatMap(rootShardRefs).toSet
-    if (fs.exists(lakeDir))
-      fs.listStatus(lakeDir).filter { st =>
+    if (fs.exists(lakeDir)) {
+      val candidates = fs.listStatus(lakeDir).filter { st =>
         st.isFile && st.getPath.getName.startsWith("part-") &&
           !keptShardRefs.contains(st.getPath.getName) &&
           now - st.getModificationTime > stageTtlMs
-      }.foreach { st =>
-        // FRESH mtime re-probe right before the delete: a committer
-        // re-referencing an aged shard re-arms its mtime BEFORE its
-        // root CAS (putManifest), so a still-aged mtime here proves no
-        // commit adopted the shard since our listing — without this, a
-        // re-arm landing between the listing above and this delete
-        // would be invisible and a just-committed root could lose a
-        // shard (putManifest's post-CAS self-heal remains the backstop
-        // for stores without setTimes)
-        val fresh = try Some(fs.getFileStatus(st.getPath)) catch {
-          case _: java.io.FileNotFoundException => None }
-        if (fresh.exists(f =>
-          now - f.getModificationTime > stageTtlMs))
-          fs.delete(st.getPath, false)
       }
+      // FRESH pin re-read right before the deletes: a commit landing
+      // between the keptShardRefs computation above and here may
+      // reference an aged candidate, and on stores WITHOUT a working
+      // setTimes/touch its re-arm is invisible to the mtime re-probe
+      // below — re-listing the live roots (new heads included) and
+      // re-reading their #shard refs closes that side of the race with
+      // one GET per kept root, not per shard
+      val freshPins: Set[String] =
+        if (candidates.isEmpty) Set.empty
+        else ((snapIds(fs, r).filterNot(drop.contains)
+          .map(snapFile(r, _, MainBranch)) ++
+          listBranches(spark, root).map(_._1).flatMap(br =>
+            snapIds(fs, r, br).map(snapFile(r, _, br))) ++
+          listStaged(spark, root).map { case (t, _) => stagedFile(r, t) })
+          .flatMap(rootShardRefs)).toSet
+      candidates.filterNot(st => freshPins.contains(st.getPath.getName))
+        .foreach { st =>
+          // FRESH mtime re-probe right before the delete: a committer
+          // re-referencing an aged shard re-arms its mtime (or provider
+          // touch) BEFORE its root CAS (putManifest), so a still-aged
+          // mtime here proves no commit adopted the shard since our
+          // listing — without this, a re-arm landing between the
+          // listing above and this delete would be invisible and a
+          // just-committed root could lose a shard (putManifest's
+          // post-CAS self-heal remains the backstop for stores where
+          // neither setTimes nor touch works — the TTL contract in the
+          // SnapshotCas scaladoc)
+          val fresh = try Some(fs.getFileStatus(st.getPath)) catch {
+            case _: java.io.FileNotFoundException => None }
+          if (fresh.exists(f =>
+            now - f.getModificationTime > stageTtlMs))
+            fs.delete(st.getPath, false)
+        }
+    }
     drop.foreach(id => fs.delete(snapFile(r, id), false))
     // candidate data dirs: every gen-* found by walking the partition
     // tree (BFS that never descends into generations or _-hidden dirs) —
@@ -3177,28 +3384,20 @@ private final class ManifestFileIndex(
     case _ => throw new MatchError("unreachable: partitioned on isDefined")
     }
     // fallback for pre-#file manifests: list, but in PARALLEL — never
-    // the r17 sequential one-RPC-per-dir driver walk
-    val listed = if (unlisted.isEmpty) Nil else {
-      val par = math.max(1, math.min(unlisted.size, spark.conf
-        .get("graft.lake.listParallelism", "16").toInt))
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
-      try {
-        implicit val ec: scala.concurrent.ExecutionContext =
-          scala.concurrent.ExecutionContext.fromExecutor(pool)
-        val fts = unlisted.map { case (d, st, bl, _) =>
-          scala.concurrent.Future {
-            val fs = d.getFileSystem(conf)
-            val files = fs.listStatus(d).filter { s =>
-              val n = s.getPath.getName
-              s.isFile && !n.startsWith("_") && !n.startsWith(".")
-            }
-            (d, st, bl, files, fs)
-          }
-        }
-        scala.concurrent.Await.result(
-          scala.concurrent.Future.sequence(fts),
-          scala.concurrent.duration.Duration.Inf)
-      } finally pool.shutdown()
+    // the r17 sequential one-RPC-per-dir driver walk — and BOUNDED:
+    // this is plan-time metadata IO, so one hung remote listStatus must
+    // fail loudly instead of freezing planning forever
+    val listed = Lakehouse.parMap(unlisted,
+      spark.conf.get("graft.lake.listParallelism", "16").toInt,
+      "graft-fallback-list",
+      scala.concurrent.duration.Duration(
+        Lakehouse.metaIoTimeoutSec(conf), "s")) { case (d, st, bl, _) =>
+      val fs = d.getFileSystem(conf)
+      val files = fs.listStatus(d).filter { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      (d, st, bl, files, fs)
     }
     fromManifest ++ listed
   }
@@ -3214,10 +3413,34 @@ private final class ManifestFileIndex(
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val ranges = dataFilters.flatMap(boundsOf)
+    // bloom sidecars for the query's point lookups resolve ONCE across
+    // every kept dir — parallel fetch + byte-bounded LRU cache; the r18
+    // shape (one blocking read per dir inside the flatMap, behind a
+    // 128-entry full-clear cache) re-walked most sidecars sequentially
+    // on every point query of a >128-partition lake
+    val pointCols =
+      if (ranges.isEmpty) Set.empty[String]
+      else ranges.collect {
+        case Lakehouse.ColRange(c, Some(lo), Some(hi)) if lo == hi => c
+      }.toSet
+    val resolved =
+      if (pointCols.isEmpty) Map.empty[(String, String),
+        Map[String, org.apache.spark.util.sketch.BloomFilter]]
+      else {
+        val withBlooms = byDir.filter { case (_, stOpt, blooms, _, _) =>
+          (stOpt.isDefined || blooms.nonEmpty) &&
+            blooms.exists(pointCols.contains) }
+        if (withBlooms.isEmpty) Map.empty[(String, String),
+          Map[String, org.apache.spark.util.sketch.BloomFilter]]
+        else Lakehouse.prefetchBloomSidecars(withBlooms.head._5,
+          withBlooms.flatMap { case (d, _, blooms, _, _) =>
+            blooms.intersect(pointCols).toSeq.map(c => (d, c)) })
+      }
     val kept = byDir.flatMap {
       case (d, stOpt, blooms, files, fs) if ranges.nonEmpty &&
         (stOpt.isDefined || blooms.nonEmpty) =>
-        val keepB = Lakehouse.bloomKeep(fs, d, blooms, ranges)
+        val keepB = Lakehouse.bloomKeep(resolved,
+          fs.makeQualified(d).toString, blooms, ranges)
         files.filter { f =>
           val name = f.getPath.getName
           stOpt.forall(_.get(name).forall(cm =>

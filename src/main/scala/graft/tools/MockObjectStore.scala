@@ -1,0 +1,96 @@
+package graft.tools
+
+/** Loopback mock of an object store's METADATA control plane — the test
+  * double for [[graft.pipeline.HttpSnapshotCas]], in the house pattern
+  * of the loopback SPARQL endpoints: a real HTTP server on 127.0.0.1
+  * whose conditional semantics mirror what S3/GCS/Azure actually
+  * provide, backed by the local directory tree a RawLocalFileSystem
+  * face (the "s3a connector" side) serves for data reads.
+  *
+  * Speaks exactly the two requests the provider issues:
+  *
+  *  - `PUT <path>` with `If-None-Match: *` — atomic create-if-absent.
+  *    `201` created (bytes visible atomically: temp + link(2), never a
+  *    partial object), `412` it already existed, under one store-wide
+  *    lock — which is precisely the atomicity a store's conditional
+  *    PUT gives across writers.
+  *  - `PUT <path>` with `x-graft-copy-source` naming the object itself
+  *    — copy-in-place metadata touch. `200` re-armed (mtime advances),
+  *    `404` no such object.
+  *
+  * The URL path IS the absolute local path of the backing file — the
+  * mock is a control plane over the same tree the data-plane
+  * filesystem reads, so a committed manifest becomes instantly visible
+  * to `readSnapshot` exactly as an S3 PUT becomes visible to s3a. */
+final class MockObjectStore {
+  private val lock = new Object
+  private var server: com.sun.net.httpserver.HttpServer = _
+  private var pool: java.util.concurrent.ExecutorService = _
+
+  /** Start on an ephemeral loopback port; returns the base URL. */
+  def start(): String = {
+    server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", handler)
+    // daemon threads AND an explicit shutdown: a mock store must never
+    // pin the host JVM (HttpServer.stop does not stop a user executor)
+    pool = java.util.concurrent.Executors.newFixedThreadPool(4,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-mock-store"); t.setDaemon(true); t
+      })
+    server.setExecutor(pool)
+    server.start()
+    s"http://127.0.0.1:${server.getAddress.getPort}"
+  }
+
+  def stop(): Unit = {
+    if (server != null) server.stop(0)
+    if (pool != null) pool.shutdownNow()
+  }
+
+  private def handler: com.sun.net.httpserver.HttpHandler =
+    (ex: com.sun.net.httpserver.HttpExchange) => {
+      try {
+        val path = ex.getRequestURI.getPath
+        val f = new java.io.File(path)
+        val code =
+          if (ex.getRequestMethod != "PUT") 405
+          else if (ex.getRequestHeaders.containsKey("x-graft-copy-source"))
+            lock.synchronized {
+              if (!f.exists()) 404
+              else { f.setLastModified(System.currentTimeMillis()); 200 }
+            }
+          else if ("*" != ex.getRequestHeaders.getFirst("If-None-Match")) 400
+          else {
+            val bytes = ex.getRequestBody.readAllBytes()
+            lock.synchronized {
+              if (f.exists()) 412
+              else {
+                java.util.Objects.requireNonNull(f.getParentFile).mkdirs()
+                val tmp = java.io.File.createTempFile(
+                  s".${f.getName}.", ".put", f.getParentFile)
+                val out = new java.io.FileOutputStream(tmp)
+                try out.write(bytes) finally out.close()
+                java.nio.file.Files.createLink(f.toPath, tmp.toPath)
+                tmp.delete()
+                201
+              }
+            }
+          }
+        ex.sendResponseHeaders(code, -1)
+      } finally ex.close()
+    }
+}
+
+/** The DATA-PLANE face of [[MockObjectStore]]: local bytes behind an
+  * object-store-shaped scheme — rename is not exclusive (so bare
+  * commits are refused and the metadata CAS must route through a
+  * [[graft.pipeline.SnapshotCas]] provider) and `setTimes` is
+  * unsupported (so the shard-TTL re-arm must route through the
+  * provider's touch). Registered via `fs.gos.impl`. */
+final class ObjectStoreFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("gos:///")
+  override def setTimes(p: org.apache.hadoop.fs.Path, mtime: Long,
+                        atime: Long): Unit =
+    throw new UnsupportedOperationException("object stores have no setTimes")
+}
