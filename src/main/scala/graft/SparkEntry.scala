@@ -2598,6 +2598,14 @@ object SparkEntry {
     "doc_exact_substr_twopass" -> ((s, d) =>
       Dedup.exactSubstrSpansTwoPass(T(s, d, "documents"), window = 40)
         .orderBy("doc_id", "span_start")),
+    // regime-steered face: at window 40 the dispatcher must pick the
+    // measured-better SINGLE-pass plan (SCALE.md: two-pass loses below
+    // the twoPassMinWindow boundary) and land on the same truth — the
+    // oracle is doc_exact_substr_spans verbatim; the window-80 dispatch
+    // to two-pass is spec-pinned (Round19Spec)
+    "doc_exact_substr_auto" -> ((s, d) =>
+      Dedup.exactSubstrSpansAuto(T(s, d, "documents"), window = 40)
+        .orderBy("doc_id", "span_start")),
     // asymmetric containment dedup, exhaustive digest-level oracle (the
     // maxDf index cap is part of the contract and mirrored in SQL)
     "doc_containment" -> ((s, d) =>
@@ -4765,6 +4773,39 @@ object SparkEntry {
     // globally-first (doc_id, pos) occurrence kept, per-doc
     // overlapping/touching spans merged via gaps-and-islands
     "doc_exact_substr_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, CAST(floor((length(text) - 40) / 1) AS BIGINT)
+        |      + 1)) AS i
+        |  FROM documents WHERE length(text) >= 40),
+        |h AS (
+        |  SELECT doc_id, CAST(1 + i * 1 AS BIGINT) AS pos,
+        |    substring(md5(substring(text, CAST(1 + i * 1 AS INTEGER), 40)),
+        |      1, 16) AS g
+        |  FROM w),
+        |f AS (
+        |  SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS c,
+        |    row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+        |  FROM h),
+        |dup AS (SELECT doc_id, pos AS s, pos + 40 AS e FROM f
+        |  WHERE c >= 2 AND rn > 1),
+        |m AS (
+        |  SELECT doc_id, s, e, max(e) OVER (PARTITION BY doc_id ORDER BY
+        |    s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM dup),
+        |isl AS (
+        |  SELECT doc_id, s, e, sum(CASE WHEN pmax IS NULL OR s > pmax
+        |    THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY s, e)
+        |    AS island
+        |  FROM m)
+        |SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+        |  CAST(max(e) AS BIGINT) AS span_end
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
+
+    // the auto dispatcher at window 40 routes to single-pass stride-1:
+    // the oracle is doc_exact_substr_spans verbatim
+    "doc_exact_substr_auto" ->
       """WITH w AS (
         |  SELECT doc_id, text,
         |    unnest(range(0, CAST(floor((length(text) - 40) / 1) AS BIGINT)

@@ -873,6 +873,38 @@ object Dedup {
                               g: Int = 16, k: Int = 8): DataFrame =
     removeSpans(docs, exactSubstrSpansTwoPass(docs, window, g, k))
 
+  /** Is the two-pass prefilter the MEASURED-better plan at `window`?
+    * The regime boundary is empirical (SCALE.md decade sweeps): at
+    * window 40 the anchored digests span only `window − g + 1` = 25
+    * chars, collide enough that the survivor superset SWELLS with
+    * corpus growth, and two-pass measured WORSE than single-pass
+    * (2.16× vs 1.82× raw at 10× data); at window ≥ 80 the prefilter
+    * wins decisively (0.74× wall, 0.21× shuffle bytes). The default
+    * boundary is the measured winning point, overridable per
+    * deployment via `graft.dedup.twoPassMinWindow`. Lee-et-al-style
+    * dedup windows live well above it (~200+ chars). */
+  def twoPassRecommended(spark: org.apache.spark.sql.SparkSession,
+                         window: Int): Boolean =
+    window >= spark.conf.get("graft.dedup.twoPassMinWindow", "80").toInt
+
+  /** Regime-steering face of the exact-substring span finder: picks
+    * the measured-better plan by window — [[exactSubstrSpansTwoPass]]
+    * in its winning long-window regime ([[twoPassRecommended]]),
+    * stride-1 [[exactSubstrSpans]] otherwise. Output is identical
+    * either way (the winnowing soundness theorem); only the plan
+    * differs — callers who pick a face by hand own the regime choice,
+    * callers who should not have to pick use this. */
+  def exactSubstrSpansAuto(docs: DataFrame, window: Int = 40,
+                           g: Int = 16, k: Int = 8): DataFrame =
+    if (twoPassRecommended(docs.sparkSession, window))
+      exactSubstrSpansTwoPass(docs, window, g, k)
+    else exactSubstrSpans(docs, window, stride = 1)
+
+  /** Regime-steering face of the rewrite, same dispatch rule. */
+  def exactSubstrCleanAuto(docs: DataFrame, window: Int = 40,
+                           g: Int = 16, k: Int = 8): DataFrame =
+    removeSpans(docs, exactSubstrSpansAuto(docs, window, g, k))
+
   /** (doc_id, pos, g) window occurrences — digests via ONE native
     * codegen'd pass per document (the interpreted transform-HOF chain it
     * replaced cost ~it all: the md5 itself is <20% of the lambda

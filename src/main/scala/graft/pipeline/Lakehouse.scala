@@ -2904,6 +2904,91 @@ object Lakehouse {
       allCols.map(_.name).filterNot(keys.contains))
   }
 
+  /** The lake as a STREAMING source — the PUBLIC face of the
+    * Delta-CDF-style feed (the replay gate `q_stream_lake_feed` drives
+    * exactly this entry point): a Structured Streaming file source
+    * watches the lineage's own manifest files (`snap-*`), so each
+    * committed snapshot IS the push signal — no poller, no side
+    * channel, checkpointed and replayable like any file stream. Every
+    * discovered epoch n invokes `handle(n, changes)` where `changes`
+    * is [[snapshotChanges]]`(n-1, n)` — I/U/D rows with `change_type`
+    * and `old_*`/`new_*` payloads; the lineage's FIRST epoch
+    * bootstraps as the full snapshot in the same shape (all-`I`,
+    * `old_*` null). Snapshot ids are dense by the commit protocol, so
+    * per-epoch deltas need NO cross-batch state: a restart re-derives
+    * exactly the unseen epochs from the checkpoint (commits made while
+    * the consumer was down are discovered on the next start).
+    *
+    * Contracts: `handle` runs with foreachBatch's at-least-once
+    * semantics — a crash between `handle` and the checkpoint commit
+    * replays the epoch, so fold idempotently (key-upserts/deletes are;
+    * appends are not). GC retention must cover consumer lag (the
+    * standard CDF contract): a discovered epoch whose predecessor
+    * manifest was GC'd fails the stream LOUDLY instead of silently
+    * re-basing. Stop via the returned query; pair with
+    * [[snapshotChanges]] for ad-hoc batch pulls of the same feed. */
+  def changesStream(spark: org.apache.spark.sql.SparkSession, root: String,
+                    keys: Seq[String], checkpointLocation: String,
+                    branch: String = MainBranch)
+                   (handle: (Int, DataFrame) => Unit)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(keys.nonEmpty, "changesStream needs at least one key column")
+    val r = new org.apache.hadoop.fs.Path(root)
+    val fs = fsOf(spark, r)
+    val dir = lineageDir(r, branch)
+    require(fs.exists(dir), s"$root has no ${
+      if (branch.isEmpty) "snapshot lineage" else s"branch '$branch'"}")
+    // the lineage's first epoch: 1 on main; a branch bootstraps at its
+    // fork seed (the marker is authoritative even after GC retention)
+    val firstId = if (branch.isEmpty) 1 else branchFork(fs, r, branch)
+    val dirQ = fs.makeQualified(dir)
+    val SnapName = ".*/snap-(\\d{8})$".r
+    val feed = spark.readStream
+      .option("pathGlobFilter", "snap-*")
+      .text(dir.toString)
+    feed.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        // epoch ids from file NAMES, scoped to THIS lineage dir (a
+        // nested branch lineage's snap files must not leak into main's
+        // feed), processed in id order within the batch
+        val ids = batch.select(input_file_name().as("f")).distinct()
+          .collect().map(_.getString(0)).collect {
+            case f @ SnapName(n)
+              if fs.makeQualified(new org.apache.hadoop.fs.Path(f))
+                .getParent == dirQ => n.toInt
+          }.sorted
+        ids.foreach { id =>
+          val changes =
+            if (id == firstId) {
+              val snap = readSnapshot(spark, root, asOf = Some(id),
+                branch = branch)
+              val valCols = snap.columns.filterNot(keys.contains).toSeq
+              snap.select(keys.map(col) ++
+                Seq(lit("I").as("change_type")) ++
+                valCols.flatMap(c => Seq(
+                  lit(null).cast(snap.schema(c).dataType).as(s"old_$c"),
+                  col(c).as(s"new_$c"))): _*)
+            } else {
+              if (!fs.exists(snapFile(r, id - 1, branch)))
+                throw new IllegalStateException(
+                  s"changesStream of $root${
+                    if (branch.isEmpty) "" else s" branch '$branch'"
+                  }: epoch ${id - 1} is no longer kept, so epoch $id's " +
+                    "delta cannot be derived — GC retention must cover " +
+                    "consumer lag (keepSnapshots >= lag); re-bootstrap " +
+                    "the consumer from a fresh checkpoint")
+              snapshotChanges(spark, root, id - 1, id, keys,
+                fromBranch = branch, toBranch = branch)
+            }
+          handle(id, changes)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Snapshot GC: keep the newest `keepSnapshots` manifests, delete
     * older ones, then delete every generation directory (under the root
     * and its partition dirs) no kept manifest references — superseded

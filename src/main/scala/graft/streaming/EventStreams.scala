@@ -660,45 +660,25 @@ object EventStreams {
     def repDir(g: Int) = s"$replicaRoot/r$g"
     var repGen = 0 // no replica until the feed delivers epoch 1
     val valCols = Seq("o_custkey", "o_orderstatus", "o_totalprice", "p")
-    val SnapFile = ".*/snap-(\\d{8})$".r
-    val feed = spark.readStream
-      .option("pathGlobFilter", "snap-*")
-      .text(s"$root/_graft_lake")
-    val stream = feed.writeStream
-      .option("checkpointLocation", s"$replicaRoot/ckpt")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-          org.apache.spark.sql.Row], _: Long) =>
-        val ids = batch.select(input_file_name().as("f")).distinct()
-          .collect().map(_.getString(0)).collect {
-            case SnapFile(n) => n.toInt }.sorted
-        ids.foreach { id =>
-          val (ups, dels) =
-            if (id == 1)
-              (graft.pipeline.Lakehouse.readSnapshot(spark, root,
-                asOf = Some(1)),
-                spark.emptyDataFrame.select(lit(0L).as("o_orderkey"))
-                  .limit(0))
-            else {
-              val diff = graft.pipeline.Lakehouse.snapshotChanges(spark,
-                root, id - 1, id, Seq("o_orderkey"))
-              (diff.filter(col("change_type") =!= "D")
-                .select(col("o_orderkey") +:
-                  valCols.map(c => col(s"new_$c").as(c)): _*),
-                diff.filter(col("change_type") === "D")
-                  .select("o_orderkey"))
-            }
-          val next =
-            if (repGen == 0) ups
-            else graft.pipeline.Lakehouse.mergeUpsert(
-              spark.read.parquet(repDir(repGen))
-                .join(dels, Seq("o_orderkey"), "left_anti"),
-              ups, Seq("o_orderkey"))
-          repGen += 1
-          next.write.mode("overwrite").parquet(repDir(repGen))
-        }
-        ()
-      }
-      .start()
+    // the gate drives the PRODUCTION entry point — the public
+    // changesStream delivers every epoch (bootstrap included) in the
+    // uniform I/U/D shape; this harness only folds it into a replica
+    val stream = graft.pipeline.Lakehouse.changesStream(spark, root,
+      Seq("o_orderkey"), s"$replicaRoot/ckpt") { (_, diff) =>
+      val ups = diff.filter(col("change_type") =!= "D")
+        .select(col("o_orderkey") +:
+          valCols.map(c => col(s"new_$c").as(c)): _*)
+      val dels = diff.filter(col("change_type") === "D")
+        .select("o_orderkey")
+      val next =
+        if (repGen == 0) ups
+        else graft.pipeline.Lakehouse.mergeUpsert(
+          spark.read.parquet(repDir(repGen))
+            .join(dels, Seq("o_orderkey"), "left_anti"),
+          ups, Seq("o_orderkey"))
+      repGen += 1
+      next.write.mode("overwrite").parquet(repDir(repGen))
+    }
     try {
       stream.processAllAvailable() // deliver the bootstrap epoch
       val rows = log.orderBy(col("seq"), col("o_orderkey"))

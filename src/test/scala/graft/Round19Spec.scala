@@ -336,6 +336,97 @@ class Round19Spec extends SparkTestBase {
     assert(e.getMessage.contains("reader format version 99"))
   }
 
+  // ---- the lake CDF feed, productized ----------------------------------------
+
+  test("changesStream: the public CDF feed bootstraps as all-I, folds " +
+    "I/U/D per epoch, resumes a restart mid-schedule from its " +
+    "checkpoint (commits made while down are delivered), and fails " +
+    "LOUDLY when GC retention lost a predecessor epoch") {
+    val root = freshDir("cdf")
+    val ckpt = freshDir("cdfckpt")
+    val base = part("a", 1L to 10L)
+      .withColumn("p", (col("id") % 2).cast("int"))
+    Lakehouse.commitSnapshot(spark, root,
+      (0 to 1).map(i => s"p=$i" -> base.filter(col("p") === i)))
+    val replica = scala.collection.concurrent.TrieMap[Long, String]()
+    val epochs = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    def fold(id: Int, diff: org.apache.spark.sql.DataFrame): Unit = {
+      epochs.add(id)
+      diff.collect().foreach { r =>
+        if (r.getAs[String]("change_type") == "D")
+          replica.remove(r.getAs[Long]("id"))
+        else replica(r.getAs[Long]("id")) = r.getAs[String]("new_v")
+      }
+    }
+    val q1 = Lakehouse.changesStream(spark, root, Seq("id"), ckpt)(fold)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(epochs.toArray.toSeq == Seq(1))
+    assert(replica.size == 10 && replica(3L) == "v3")
+    // two commits while the consumer is DOWN — the restart must deliver
+    // exactly the unseen epochs, in order, from the checkpoint alone
+    Lakehouse.mergeSnapshot(spark, root,
+      base.filter(col("id") <= 2L).withColumn("v", lit("upd")),
+      Seq("id"), "p")
+    Lakehouse.deleteSnapshot(spark, root, col("id") === 10L)
+    val q2 = Lakehouse.changesStream(spark, root, Seq("id"), ckpt)(fold)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(epochs.toArray.toSeq == Seq(1, 2, 3))
+    assert(replica.size == 9 && replica(1L) == "upd" &&
+      replica(2L) == "upd" && !replica.contains(10L))
+    // retention loss: a new epoch lands, GC drops its predecessor, and
+    // the resumed consumer must be told — never silently re-based
+    Lakehouse.mergeSnapshot(spark, root,
+      base.filter(col("id") === 5L).withColumn("v", lit("late")),
+      Seq("id"), "p")
+    Lakehouse.snapshotGc(spark, root, keepSnapshots = 1)
+    val q3 = Lakehouse.changesStream(spark, root, Seq("id"), ckpt)(fold)
+    val e = intercept[Throwable] {
+      try q3.processAllAvailable() finally q3.stop()
+    }
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.toString +: causes(t.getCause)
+    assert(causes(e).exists(_.contains("no longer kept")),
+      s"wrong failure: ${causes(e).mkString(" <- ")}")
+  }
+
+  // ---- two-pass regime steering ----------------------------------------------
+
+  test("exactSubstrSpansAuto steers by the measured regime: window 40 " +
+    "routes to single-pass (two-pass measured WORSE there), window 90 " +
+    "routes to the winnowed two-pass, both land on identical spans, " +
+    "and the boundary honors graft.dedup.twoPassMinWindow") {
+    import graft.pipeline.Dedup
+    assert(!Dedup.twoPassRecommended(spark, 40))
+    assert(Dedup.twoPassRecommended(spark, 80))
+    spark.conf.set("graft.dedup.twoPassMinWindow", "50")
+    try assert(Dedup.twoPassRecommended(spark, 50) &&
+      !Dedup.twoPassRecommended(spark, 49))
+    finally spark.conf.unset("graft.dedup.twoPassMinWindow")
+    // a corpus with one long duplicated block (>= 120 chars)
+    val block = (1 to 12).map(i => f"SHARED-SEGMENT-$i%02d|").mkString // 120
+    val docs = Seq(
+      (1L, s"prefix-one $block suffix-alpha ${"x" * 40}"),
+      (2L, s"${"y" * 55} $block tail-beta"),
+      (3L, s"unique content only ${"z" * 130} nothing shared")
+    ).toDF("doc_id", "text")
+    def spansOf(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "span_start").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // dispatch is observable in the PLAN: only the two-pass face joins
+    // the corpus left-semi against its survivor set
+    def hasSurvivorSemi(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.toString.contains("LeftSemi")
+    val auto40 = Dedup.exactSubstrSpansAuto(docs, window = 40)
+    val auto90 = Dedup.exactSubstrSpansAuto(docs, window = 90)
+    assert(!hasSurvivorSemi(auto40), "window 40 must route single-pass")
+    assert(hasSurvivorSemi(auto90), "window 90 must route two-pass")
+    assert(spansOf(auto40) ==
+      spansOf(Dedup.exactSubstrSpans(docs, window = 40, stride = 1)))
+    assert(spansOf(auto90) ==
+      spansOf(Dedup.exactSubstrSpansTwoPass(docs, window = 90)))
+    assert(spansOf(auto90).nonEmpty, "the shared block must be found")
+  }
+
   // ---- SnapshotCas providers: contract kit + the shipped HTTP provider ------
 
   test("SnapshotCasContract kit: both the shipped HTTP conditional-PUT " +
