@@ -1733,6 +1733,47 @@ object SparkEntry {
         store.stop()
       }
     }),
+    // INCREMENTAL VIEW MAINTENANCE over the changes feed: a per-lang
+    // (rows, Σlen) aggregate maintained by folding each epoch's
+    // manifest-pruned I/U/D delta — never re-aggregating the lake. The
+    // merge MOVES rows between groups (lang rewritten to 'zz'), the
+    // exact case a naive new-values-only fold corrupts; the maintained
+    // table must equal a full groupBy recompute of the final snapshot
+    "lake_ivm_agg" -> ((s, d) => {
+      val root = s"/tmp/graft_lake_snap_ivm/${new java.io.File(d).getName}"
+      val p0 = new org.apache.hadoop.fs.Path(root)
+      p0.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p0, true)
+      val L = _root_.graft.pipeline.Lakehouse
+      val base = T(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("len"),
+          (col("doc_id") % 3).cast("int").as("p"))
+      L.commitSnapshot(s, root,
+        (0 to 2).map(i => s"p=$i" -> base.filter(col("p") === i)))
+      L.mergeSnapshot(s, root,
+        base.filter(col("doc_id") % 10 === 0)
+          .withColumn("lang", lit("zz")), Seq("doc_id"), "p")
+      L.deleteSnapshot(s, root, col("doc_id") % 11 === 3)
+      val gc = Seq("lang")
+      val sc = Seq("len")
+      // bootstrap epoch in the changes shape (all-I), then fold each
+      // committed epoch's delta
+      val snap1 = L.readSnapshot(s, root, asOf = Some(1))
+      val boot = snap1.select(col("doc_id"),
+        lit("I").as("change_type"),
+        lit(null).cast("string").as("old_lang"),
+        col("lang").as("new_lang"),
+        lit(null).cast("long").as("old_len"),
+        col("len").as("new_len"))
+      var agg = L.applyAggregateDelta(L.emptyAggregate(base, gc, sc),
+        L.aggregateDelta(boot, gc, sc), gc, sc)
+      (2 to 3).foreach { e =>
+        val diff = L.snapshotChanges(s, root, e - 1, e, Seq("doc_id"))
+        agg = L.applyAggregateDelta(agg,
+          L.aggregateDelta(diff, gc, sc), gc, sc)
+      }
+      agg.orderBy("lang")
+    }),
     // REBASE: main advances (disjoint-key update) after the branch
     // forks; fastForward would refuse, rebaseBranch replays the branch's
     // pending I/U/D onto the new head, then the fast-forward publishes —
@@ -3509,6 +3550,17 @@ object SparkEntry {
         |  CAST(doc_id % 3 AS INTEGER) AS p
         |FROM documents WHERE doc_id % 11 <> 3
         |ORDER BY doc_id""".stripMargin,
+    // the maintained aggregate equals a full recompute of the final
+    // state: %10 keys moved to lang 'zz' (group move), %11==3 deleted
+    "lake_ivm_agg" ->
+      """WITH fin AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN 'zz' ELSE lang END AS lang,
+        |    CAST(length(text) AS BIGINT) AS len
+        |  FROM documents WHERE doc_id % 11 <> 3)
+        |SELECT lang, count(*) AS n_rows,
+        |  CAST(sum(len) AS BIGINT) AS sum_len
+        |FROM fin GROUP BY lang ORDER BY lang""".stripMargin,
     // rebase + fast-forward: main's disjoint fix survives, the branch's
     // merged (%10==0 → 'revised'), inserted (%13==0 keys +10M) and
     // deleted (%11==3) intent replays on top

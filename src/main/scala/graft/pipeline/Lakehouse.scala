@@ -2989,6 +2989,79 @@ object Lakehouse {
       .start()
   }
 
+  /** Incremental VIEW MAINTENANCE, delta half: turn one epoch's I/U/D
+    * change frame ([[snapshotChanges]] / [[changesStream]] shape) into
+    * per-group aggregate DELTAS — the classic IVM decomposition for
+    * the additive aggregates (COUNT, SUM; AVG = sum/count downstream).
+    * Each change row contributes its OLD payload negatively (U, D) and
+    * its NEW payload positively (I, U), so a row that MOVES groups
+    * (an update changing a group column) subtracts from the old group
+    * and adds to the new one — the case a naive "group the new values"
+    * fold silently corrupts. Output: `groupCols`, `d_rows`, and
+    * `d_<c>` per sum column; one union + one partial-agg groupBy, no
+    * window, no scan of the lake.
+    *
+    * At 100 TB this is the point: a corpus-stats table (rows/tokens
+    * per language, per source) stays current by folding each commit's
+    * manifest-pruned delta — never by re-aggregating the lake. */
+  def aggregateDelta(changes: DataFrame, groupCols: Seq[String],
+                     sumCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "aggregateDelta needs group columns")
+    val minus = changes
+      .filter(col("change_type").isin("U", "D"))
+      .select(groupCols.map(c => col(s"old_$c").as(c)) ++
+        sumCols.map(c => (-col(s"old_$c")).as(s"d_$c")) :+
+        lit(-1L).as("d_rows"): _*)
+    val plus = changes
+      .filter(col("change_type").isin("I", "U"))
+      .select(groupCols.map(c => col(s"new_$c").as(c)) ++
+        sumCols.map(c => col(s"new_$c").as(s"d_$c")) :+
+        lit(1L).as("d_rows"): _*)
+    minus.unionByName(plus)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("d_rows")).as("d_rows"),
+        sumCols.map(c => sum(col(s"d_$c")).as(s"d_$c")): _*)
+  }
+
+  /** Incremental VIEW MAINTENANCE, merge half: fold one epoch's
+    * [[aggregateDelta]] into the maintained aggregate table
+    * (`groupCols`, `n_rows`, `sum_<c>`). Null-safe full-outer on the
+    * group key (a null group is a group, exactly as `groupBy` treats
+    * it), adds the deltas, and DROPS groups whose row count reaches
+    * zero — the maintained table is always exactly what a full
+    * `groupBy(groupCols).agg(count, sum…)` over the current snapshot
+    * would produce (the gate row proves that equality against a full
+    * recompute oracle). Both sides shuffle only group-cardinality
+    * rows; with a small delta Catalyst broadcasts it. Start from
+    * [[emptyAggregate]] and fold the bootstrap epoch like any other
+    * (all-`I` changes ARE the initial aggregate). */
+  def applyAggregateDelta(agg: DataFrame, delta: DataFrame,
+                          groupCols: Seq[String],
+                          sumCols: Seq[String]): DataFrame = {
+    val a = agg.alias("a")
+    val d = delta.alias("d")
+    val on = groupCols.map(c => col(s"a.$c") <=> col(s"d.$c"))
+      .reduce(_ && _)
+    a.join(d, on, "full_outer")
+      .select(groupCols.map(c =>
+        coalesce(col(s"a.$c"), col(s"d.$c")).as(c)) ++
+        Seq((coalesce(col("a.n_rows"), lit(0L)) +
+          coalesce(col("d.d_rows"), lit(0L))).as("n_rows")) ++
+        sumCols.map(c => (coalesce(col(s"a.sum_$c"), lit(0L)) +
+          coalesce(col(s"d.d_$c"), lit(0L))).as(s"sum_$c")): _*)
+      .filter(col("n_rows") > 0L)
+  }
+
+  /** The empty maintained-aggregate table for
+    * [[applyAggregateDelta]] — built as a zero-row aggregate of a
+    * sample so `sum_<c>` carries exactly the widened type Spark's own
+    * `sum` would give a full recompute. */
+  def emptyAggregate(sample: DataFrame, groupCols: Seq[String],
+                     sumCols: Seq[String]): DataFrame =
+    sample.limit(0).groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sumCols.map(c => sum(col(c)).as(s"sum_$c")): _*)
+
   /** Snapshot GC: keep the newest `keepSnapshots` manifests, delete
     * older ones, then delete every generation directory (under the root
     * and its partition dirs) no kept manifest references — superseded

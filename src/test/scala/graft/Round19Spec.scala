@@ -389,6 +389,86 @@ class Round19Spec extends SparkTestBase {
       s"wrong failure: ${causes(e).mkString(" <- ")}")
   }
 
+  test("changesStream on a BRANCH lineage: bootstraps at the fork seed " +
+    "and feeds only that branch's epochs (main commits do not leak in)") {
+    val root = freshDir("cdfbranch")
+    val base = part("a", 1L to 6L).withColumn("p", lit(0))
+    Lakehouse.commitSnapshot(spark, root, Seq("p=0" -> base))
+    Lakehouse.createBranch(spark, root, "b")
+    Lakehouse.mergeSnapshot(spark, root,
+      base.filter(col("id") === 1L).withColumn("v", lit("branched")),
+      Seq("id"), "p", branch = "b")
+    // main moves too — the branch feed must not see this epoch
+    Lakehouse.mergeSnapshot(spark, root,
+      base.filter(col("id") === 2L).withColumn("v", lit("mainonly")),
+      Seq("id"), "p")
+    val replica = scala.collection.concurrent.TrieMap[Long, String]()
+    val q = Lakehouse.changesStream(spark, root, Seq("id"),
+      freshDir("cdfbranchckpt"), branch = "b") { (_, diff) =>
+      diff.collect().foreach { r =>
+        if (r.getAs[String]("change_type") == "D")
+          replica.remove(r.getAs[Long]("id"))
+        else replica(r.getAs[Long]("id")) = r.getAs[String]("new_v")
+      }
+    }
+    try q.processAllAvailable() finally q.stop()
+    assert(replica.size == 6 && replica(1L) == "branched" &&
+      replica(2L) == "v2", s"branch feed leaked or missed: $replica")
+  }
+
+  test("a content-preserving compaction epoch emits an EMPTY change " +
+    "frame: snapshotDiff drops identical rows, so CDF consumers see " +
+    "nothing — compaction is invisible downstream") {
+    val root = freshDir("cdfcompact")
+    Lakehouse.commitSnapshot(spark, root,
+      Seq("p=a" -> part("a", 1L to 30L).repartition(6)))
+    Lakehouse.compactDrifted(spark, root, targetBytes = 1L << 30)
+    val ids = {
+      val fs = fsOf(root)
+      (1 to 2).map(i => fs.exists(new org.apache.hadoop.fs.Path(root,
+        f"_graft_lake/snap-$i%08d")))
+    }
+    assert(ids == Seq(true, true), "compaction must commit a new epoch")
+    assert(Lakehouse.snapshotChanges(spark, root, 1, 2,
+      Seq("id")).count() == 0)
+  }
+
+  // ---- incremental view maintenance over the feed ----------------------------
+
+  test("aggregateDelta/applyAggregateDelta: a maintained aggregate " +
+    "equals the full recompute through inserts, group-MOVING updates, " +
+    "and deletes — and a group whose count reaches zero is dropped") {
+    val gc = Seq("lang")
+    val sc = Seq("len")
+    def full(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("lang").agg(count(lit(1)).as("n_rows"),
+        sum(col("len")).as("sum_len"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("lang").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val v1 = Seq((1L, "en", 10L), (2L, "en", 20L), (3L, "de", 30L),
+      (4L, "fr", 40L)).toDF("id", "lang", "len")
+    // epoch 2: insert 5, update 2 (len only), MOVE 3 de->en, delete 4
+    // (fr's count reaches zero: the group must vanish)
+    val v2 = Seq((1L, "en", 10L), (2L, "en", 25L), (3L, "en", 30L),
+      (5L, "de", 50L)).toDF("id", "lang", "len")
+    val boot = v1.select(col("id"), lit("I").as("change_type"),
+      lit(null).cast("string").as("old_lang"), col("lang").as("new_lang"),
+      lit(null).cast("long").as("old_len"), col("len").as("new_len"))
+    val agg1 = Lakehouse.applyAggregateDelta(
+      Lakehouse.emptyAggregate(v1, gc, sc),
+      Lakehouse.aggregateDelta(boot, gc, sc), gc, sc)
+    assert(rows(agg1) == rows(full(v1)))
+    val diff = Lakehouse.snapshotDiff(v1, v2, Seq("id"),
+      Seq("lang", "len"))
+    val agg2 = Lakehouse.applyAggregateDelta(agg1,
+      Lakehouse.aggregateDelta(diff, gc, sc), gc, sc)
+    assert(rows(agg2) == rows(full(v2)))
+    assert(!rows(agg2).exists(_._1 == "fr"), "zero-count group must drop")
+    assert(rows(agg2).exists { case (l, n, s) =>
+      l == "en" && n == 3 && s == 65 }, s"group move miscounted: ${rows(agg2)}")
+  }
+
   // ---- two-pass regime steering ----------------------------------------------
 
   test("exactSubstrSpansAuto steers by the measured regime: window 40 " +
