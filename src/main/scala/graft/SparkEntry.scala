@@ -1772,7 +1772,9 @@ object SparkEntry {
         agg = L.applyAggregateDelta(agg,
           L.aggregateDelta(diff, gc, sc), gc, sc)
       }
-      agg.orderBy("lang")
+      // drop the nn_* null-bookkeeping column the fold carries
+      agg.select(col("lang"), col("n_rows"), col("sum_len"))
+        .orderBy("lang")
     }),
     // REBASE: main advances (disjoint-key update) after the branch
     // forks; fastForward would refuse, rebaseBranch replays the branch's

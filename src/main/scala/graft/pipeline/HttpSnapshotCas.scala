@@ -19,14 +19,19 @@ package graft.pipeline
   * anything else throws — an IO error must read as an IO error, never
   * as "committed concurrently" (the [[SnapshotCas]] contract).
   *
-  * [[touch]] maps to the stores' copy-in-place idiom (S3 CopyObject
-  * onto itself with `MetadataDirective: REPLACE`, GCS rewrite, Azure
-  * set-blob-properties): `PUT` with `x-graft-copy-source` naming the
-  * object itself. `200` re-armed, `404` the object vanished (thrown as
-  * `FileNotFoundException` so the committer rewrites the
-  * content-addressed bytes), `501` the store cannot express it (touch
-  * reports false and the TTL discipline governs — see the SPI
-  * scaladoc).
+  * [[touch]] is the freshness re-arm the stores express natively as
+  * copy-in-place (S3 CopyObject onto itself with `MetadataDirective:
+  * REPLACE`, GCS rewrite, Azure set-blob-properties) — a provider over
+  * a store SDK implements exactly that. Over bare HTTP this reference
+  * implementation uses a deliberately NON-DESTRUCTIVE handshake:
+  * `POST` with `x-graft-touch`, counted as a re-arm only when the
+  * store echoes `x-graft-touched` (a store that does not understand
+  * the idiom can reject a POST but can never be tricked into
+  * overwriting the object, which an ignored custom header on a `PUT`
+  * would do). `404` throws `FileNotFoundException` (the committer
+  * rewrites the content-addressed bytes); everything else reports
+  * false and the TTL discipline governs — touch must never fail a
+  * commit.
   *
   * The class is deliberately dependency-free (`HttpURLConnection`):
   * a deployment with a store SDK writes its own provider and proves it
@@ -49,8 +54,12 @@ final class HttpSnapshotCas extends SnapshotCas {
   private def open(fs: org.apache.hadoop.fs.FileSystem,
                    target: org.apache.hadoop.fs.Path)
   : java.net.HttpURLConnection = {
-    val url = new java.net.URI(
-      baseUrl(fs) + target.toUri.getPath).toURL
+    // percent-encode the object path (the URI single-arg constructor
+    // PARSES — a space or bracket in a lake root would throw an opaque
+    // URISyntaxException at commit time otherwise)
+    val rawPath = new java.net.URI(null, null,
+      target.toUri.getPath, null).getRawPath
+    val url = java.net.URI.create(baseUrl(fs) + rawPath).toURL
     val c = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
     c.setConnectTimeout(30000)
     c.setReadTimeout(60000)
@@ -82,17 +91,26 @@ final class HttpSnapshotCas extends SnapshotCas {
                      target: org.apache.hadoop.fs.Path): Boolean = {
     val c = open(fs, target)
     try {
-      c.setRequestMethod("PUT")
-      // the stores' self-copy-with-metadata-replace idiom
-      c.setRequestProperty("x-graft-copy-source", target.toUri.getPath)
-      c.setRequestProperty("x-graft-metadata-directive", "REPLACE")
-      c.getResponseCode match {
-        case 200 => true
-        case 404 => throw new java.io.FileNotFoundException(target.toString)
-        case 501 => false // store cannot express a touch: TTL governs
-        case code => throw new java.io.IOException(
-          s"touch of $target returned HTTP $code")
-      }
+      // POST, never PUT: a store that does not understand the touch
+      // idiom must be INCAPABLE of corrupting the object — an ignored
+      // custom header on a PUT would make it a plain zero-byte
+      // overwrite of a content-addressed shard (silent data loss); an
+      // unrecognized POST is a 4xx/5xx, which is just "unsupported".
+      // The store proves it understood by ECHOING x-graft-touched —
+      // a 200 from an endpoint that merely tolerates POST does not
+      // count as a re-arm. (A provider over a real store SDK
+      // implements this as the native self-copy-with-metadata-replace
+      // instead.)
+      c.setRequestMethod("POST")
+      c.setRequestProperty("x-graft-touch", "true")
+      val code = c.getResponseCode
+      if (code == 404)
+        throw new java.io.FileNotFoundException(target.toString)
+      // touch is an OPTIONAL freshness optimization: anything the
+      // store answers short of "done, understood" degrades to false
+      // and the TTL discipline governs (SnapshotCas scaladoc) — it
+      // must never fail a commit
+      code == 200 && "true" == c.getHeaderField("x-graft-touched")
     } finally c.disconnect()
   }
 }

@@ -970,6 +970,11 @@ object Lakehouse {
               catch {
                 case _: java.io.FileNotFoundException =>
                   casPutMeta(spark, fs, p, bytes)
+                case scala.util.control.NonFatal(_) =>
+                  // touch is an OPTIONAL freshness optimization: a
+                  // store hiccup on it must degrade to the TTL
+                  // discipline, never abort a commit whose CAS works
+                  ()
               }
           case _: java.io.FileNotFoundException =>
             casPutMeta(spark, fs, p, bytes)
@@ -2814,13 +2819,20 @@ object Lakehouse {
     fs.delete(new org.apache.hadoop.fs.Path(lineageDir(r, name), "fork"),
       false)
     // non-recursive delete of the now-empty lineage dir is the final
-    // guard: it fails loudly if anything appeared after the re-list
+    // guard: it fails loudly if anything appeared after the re-list.
+    // A branch COMMIT cannot intrude here (the lineage is empty, so a
+    // commit's own branch-exists require refuses) — the only possible
+    // intruder is a concurrent createBranch's fresh fork marker, and
+    // OUR marker is already gone, so the message must not claim the
+    // old branch is still rebase-able.
     val emptied = try fs.delete(lineageDir(r, name), false) catch {
       case _: java.io.IOException => false }
     if (!emptied) throw new ConcurrentCommitException(
-      s"rebase of '$name': the branch lineage refilled between the " +
-        s"leftover check and the swap — rebased state staged on '$tmp'; " +
-        "re-run the rebase")
+      s"rebase of '$name': a concurrent createBranch took the name " +
+        "between the swap's leftover check and the rename — the rebased " +
+        s"state is staged intact on '$tmp'; resolve the name ownership, " +
+        s"then recover it manually (fastForward from '$tmp' or rename " +
+        "its lineage into place)")
     require(fs.rename(lineageDir(r, tmp), lineageDir(r, name)),
       s"rebase of '$name': staged lineage '$tmp' failed to rename into " +
         s"place — recover it manually (it holds the rebased state)")
@@ -2936,11 +2948,12 @@ object Lakehouse {
     val r = new org.apache.hadoop.fs.Path(root)
     val fs = fsOf(spark, r)
     val dir = lineageDir(r, branch)
-    require(fs.exists(dir), s"$root has no ${
-      if (branch.isEmpty) "snapshot lineage" else s"branch '$branch'"}")
-    // the lineage's first epoch: 1 on main; a branch bootstraps at its
-    // fork seed (the marker is authoritative even after GC retention)
-    val firstId = if (branch.isEmpty) 1 else branchFork(fs, r, branch)
+    // a committed lineage must exist BEFORE the stream starts: the
+    // bootstrap anchor is resolved in the checkpoint's batch 0, so the
+    // first trigger must be able to discover at least one epoch
+    require(snapIds(fs, r, branch).nonEmpty, s"$root has no ${
+      if (branch.isEmpty) "committed snapshot" else s"branch '$branch'"
+    } — commit first, then start the changes stream")
     val dirQ = fs.makeQualified(dir)
     val SnapName = ".*/snap-(\\d{8})$".r
     val feed = spark.readStream
@@ -2949,7 +2962,7 @@ object Lakehouse {
     feed.writeStream
       .option("checkpointLocation", checkpointLocation)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-          org.apache.spark.sql.Row], _: Long) =>
+          org.apache.spark.sql.Row], batchId: Long) =>
         // epoch ids from file NAMES, scoped to THIS lineage dir (a
         // nested branch lineage's snap files must not leak into main's
         // feed), processed in id order within the batch
@@ -2959,9 +2972,24 @@ object Lakehouse {
               if fs.makeQualified(new org.apache.hadoop.fs.Path(f))
                 .getParent == dirQ => n.toInt
           }.sorted
-        ids.foreach { id =>
+        // bootstrap anchor: only the FIRST batch of a FRESH consumer
+        // (batchId 0 — deterministic across at-least-once replays) may
+        // re-base, and it anchors on the NEWEST discovered epoch whose
+        // predecessor is not kept — epoch 1 on a virgin lake, the
+        // oldest kept epoch on a GC'd one, the fork seed on a branch;
+        // older discovered strays (e.g. a tag-pinned ancient epoch
+        // surviving a non-contiguous retention) are subsumed by it.
+        // After batch 0, a missing predecessor is NEVER silently
+        // re-based: the consumer holds folded state, and a re-base
+        // would resurrect deleted keys — fail loudly instead.
+        val bootId: Option[Int] =
+          if (batchId == 0L)
+            ids.filter(id => !fs.exists(snapFile(r, id - 1, branch)))
+              .sorted.lastOption
+          else None
+        ids.filter(id => bootId.forall(_ <= id)).foreach { id =>
           val changes =
-            if (id == firstId) {
+            if (bootId.contains(id)) {
               val snap = readSnapshot(spark, root, asOf = Some(id),
                 branch = branch)
               val valCols = snap.columns.filterNot(keys.contains).toSeq
@@ -2978,7 +3006,8 @@ object Lakehouse {
                   }: epoch ${id - 1} is no longer kept, so epoch $id's " +
                     "delta cannot be derived — GC retention must cover " +
                     "consumer lag (keepSnapshots >= lag); re-bootstrap " +
-                    "the consumer from a fresh checkpoint")
+                    "by restarting with a FRESH checkpoint (a new " +
+                    "consumer anchors on the oldest kept epoch)")
               snapshotChanges(spark, root, id - 1, id, keys,
                 fromBranch = branch, toBranch = branch)
             }
@@ -3010,22 +3039,34 @@ object Lakehouse {
     val minus = changes
       .filter(col("change_type").isin("U", "D"))
       .select(groupCols.map(c => col(s"old_$c").as(c)) ++
-        sumCols.map(c => (-col(s"old_$c")).as(s"d_$c")) :+
+        sumCols.map(c => (-col(s"old_$c")).as(s"d_$c")) ++
+        sumCols.map(c => when(col(s"old_$c").isNotNull, -1L)
+          .otherwise(0L).as(s"dn_$c")) :+
         lit(-1L).as("d_rows"): _*)
     val plus = changes
       .filter(col("change_type").isin("I", "U"))
       .select(groupCols.map(c => col(s"new_$c").as(c)) ++
-        sumCols.map(c => col(s"new_$c").as(s"d_$c")) :+
+        sumCols.map(c => col(s"new_$c").as(s"d_$c")) ++
+        sumCols.map(c => when(col(s"new_$c").isNotNull, 1L)
+          .otherwise(0L).as(s"dn_$c")) :+
         lit(1L).as("d_rows"): _*)
     minus.unionByName(plus)
       .groupBy(groupCols.map(col): _*)
       .agg(sum(col("d_rows")).as("d_rows"),
-        sumCols.map(c => sum(col(s"d_$c")).as(s"d_$c")): _*)
+        sumCols.map(c => sum(col(s"d_$c")).as(s"d_$c")) ++
+          // non-null VALUE counts ride along so the merge half can
+          // reproduce SQL sum semantics exactly: a group whose values
+          // are all NULL must report sum=NULL, never 0 (additions
+          // coalesce nulls away, so without this bookkeeping the
+          // maintained table would drift from a full recompute)
+          sumCols.map(c => sum(col(s"dn_$c")).as(s"dn_$c")): _*)
   }
 
   /** Incremental VIEW MAINTENANCE, merge half: fold one epoch's
     * [[aggregateDelta]] into the maintained aggregate table
-    * (`groupCols`, `n_rows`, `sum_<c>`). Null-safe full-outer on the
+    * (`groupCols`, `n_rows`, `sum_<c>`, plus `nn_<c>` non-null-value
+    * bookkeeping that lets sums go back to SQL-NULL when a group's
+    * values are all null). Null-safe full-outer on the
     * group key (a null group is a group, exactly as `groupBy` treats
     * it), adds the deltas, and DROPS groups whose row count reaches
     * zero — the maintained table is always exactly what a full
@@ -3047,8 +3088,17 @@ object Lakehouse {
         coalesce(col(s"a.$c"), col(s"d.$c")).as(c)) ++
         Seq((coalesce(col("a.n_rows"), lit(0L)) +
           coalesce(col("d.d_rows"), lit(0L))).as("n_rows")) ++
-        sumCols.map(c => (coalesce(col(s"a.sum_$c"), lit(0L)) +
-          coalesce(col(s"d.d_$c"), lit(0L))).as(s"sum_$c")): _*)
+        sumCols.map { c =>
+          // SQL sum semantics: 0 only if at least one non-null value
+          // remains; NULL when the group's values are all null
+          val nn = coalesce(col(s"a.nn_$c"), lit(0L)) +
+            coalesce(col(s"d.dn_$c"), lit(0L))
+          when(nn === 0L, lit(null))
+            .otherwise(coalesce(col(s"a.sum_$c"), lit(0L)) +
+              coalesce(col(s"d.d_$c"), lit(0L))).as(s"sum_$c")
+        } ++
+        sumCols.map(c => (coalesce(col(s"a.nn_$c"), lit(0L)) +
+          coalesce(col(s"d.dn_$c"), lit(0L))).as(s"nn_$c")): _*)
       .filter(col("n_rows") > 0L)
   }
 
@@ -3060,7 +3110,8 @@ object Lakehouse {
                      sumCols: Seq[String]): DataFrame =
     sample.limit(0).groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
-        sumCols.map(c => sum(col(c)).as(s"sum_$c")): _*)
+        sumCols.map(c => sum(col(c)).as(s"sum_$c")) ++
+          sumCols.map(c => count(col(c)).as(s"nn_$c")): _*)
 
   /** Snapshot GC: keep the newest `keepSnapshots` manifests, delete
     * older ones, then delete every generation directory (under the root

@@ -85,6 +85,12 @@ object SnapshotCasContract {
     }
     if (touched && fs.getFileStatus(t1).getModificationTime < before)
       out += "touch: reported true but the freshness signal went backwards"
+    // a touch must be CONTENT-PRESERVING: a provider whose re-arm
+    // overwrites the object (e.g. a misrouted plain PUT) would destroy
+    // every content-addressed shard it "refreshes"
+    if (touched && !java.util.Arrays.equals(read(t1), b1))
+      out += "touch: reported true but MUTATED the object's bytes — a " +
+        "re-arm must be metadata-only"
     val missing = new org.apache.hadoop.fs.Path(scratch, "contract-missing")
     try {
       if (provider.touch(fs, missing))

@@ -14,9 +14,10 @@ package graft.tools
   *    partial object), `412` it already existed, under one store-wide
   *    lock — which is precisely the atomicity a store's conditional
   *    PUT gives across writers.
-  *  - `PUT <path>` with `x-graft-copy-source` naming the object itself
-  *    — copy-in-place metadata touch. `200` re-armed (mtime advances),
-  *    `404` no such object.
+  *  - `POST <path>` with `x-graft-touch` — the non-destructive
+  *    freshness re-arm. `200` + an `x-graft-touched` echo (the echo is
+  *    how the provider knows the store understood, and the object's
+  *    bytes are untouched by construction), `404` no such object.
   *
   * The URL path IS the absolute local path of the backing file — the
   * mock is a control plane over the same tree the data-plane
@@ -54,12 +55,19 @@ final class MockObjectStore {
         val path = ex.getRequestURI.getPath
         val f = new java.io.File(path)
         val code =
-          if (ex.getRequestMethod != "PUT") 405
-          else if (ex.getRequestHeaders.containsKey("x-graft-copy-source"))
+          if (ex.getRequestMethod == "POST" &&
+            ex.getRequestHeaders.containsKey("x-graft-touch"))
             lock.synchronized {
               if (!f.exists()) 404
-              else { f.setLastModified(System.currentTimeMillis()); 200 }
+              else {
+                f.setLastModified(System.currentTimeMillis())
+                // the echo IS the contract: the provider counts a
+                // re-arm only when the store proves it understood
+                ex.getResponseHeaders.set("x-graft-touched", "true")
+                200
+              }
             }
+          else if (ex.getRequestMethod != "PUT") 405
           else if ("*" != ex.getRequestHeaders.getFirst("If-None-Match")) 400
           else {
             val bytes = ex.getRequestBody.readAllBytes()

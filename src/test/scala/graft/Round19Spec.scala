@@ -387,6 +387,22 @@ class Round19Spec extends SparkTestBase {
       if (t == null) Nil else t.toString +: causes(t.getCause)
     assert(causes(e).exists(_.contains("no longer kept")),
       s"wrong failure: ${causes(e).mkString(" <- ")}")
+    // …and the advertised recovery WORKS: a FRESH consumer on the
+    // GC'd lake (only the head epoch kept) anchors its bootstrap on
+    // the oldest KEPT epoch — never on the long-gone epoch 1
+    val fresh = scala.collection.concurrent.TrieMap[Long, String]()
+    val q4 = Lakehouse.changesStream(spark, root, Seq("id"),
+      freshDir("cdfckpt2")) { (_, diff) =>
+      diff.collect().foreach { r =>
+        if (r.getAs[String]("change_type") == "D")
+          fresh.remove(r.getAs[Long]("id"))
+        else fresh(r.getAs[Long]("id")) = r.getAs[String]("new_v")
+      }
+    }
+    try q4.processAllAvailable() finally q4.stop()
+    assert(fresh.size == 9 && fresh(5L) == "late" &&
+      fresh(1L) == "upd" && !fresh.contains(10L),
+      s"fresh consumer must bootstrap at the oldest kept epoch: $fresh")
   }
 
   test("changesStream on a BRANCH lineage: bootstraps at the fork seed " +
@@ -437,21 +453,26 @@ class Round19Spec extends SparkTestBase {
 
   test("aggregateDelta/applyAggregateDelta: a maintained aggregate " +
     "equals the full recompute through inserts, group-MOVING updates, " +
-    "and deletes — and a group whose count reaches zero is dropped") {
+    "deletes, and ALL-NULL sum groups (SQL sum semantics: NULL, not " +
+    "0) — and a group whose count reaches zero is dropped") {
     val gc = Seq("lang")
     val sc = Seq("len")
     def full(df: org.apache.spark.sql.DataFrame) =
       df.groupBy("lang").agg(count(lit(1)).as("n_rows"),
         sum(col("len")).as("sum_len"))
     def rows(df: org.apache.spark.sql.DataFrame) =
-      df.orderBy("lang").collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
-    val v1 = Seq((1L, "en", 10L), (2L, "en", 20L), (3L, "de", 30L),
-      (4L, "fr", 40L)).toDF("id", "lang", "len")
+      df.select("lang", "n_rows", "sum_len").orderBy("lang").collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    val v1 = Seq[(Long, String, java.lang.Long)](
+      (1L, "en", 10L), (2L, "en", 20L), (3L, "de", 30L),
+      (4L, "fr", 40L), (6L, "nl", null)).toDF("id", "lang", "len")
     // epoch 2: insert 5, update 2 (len only), MOVE 3 de->en, delete 4
-    // (fr's count reaches zero: the group must vanish)
-    val v2 = Seq((1L, "en", 10L), (2L, "en", 25L), (3L, "en", 30L),
-      (5L, "de", 50L)).toDF("id", "lang", "len")
+    // (fr's count reaches zero: the group must vanish); 6 stays an
+    // all-null group whose sum must be SQL-NULL on BOTH paths
+    val v2 = Seq[(Long, String, java.lang.Long)](
+      (1L, "en", 10L), (2L, "en", 25L), (3L, "en", 30L),
+      (5L, "de", 50L), (6L, "nl", null)).toDF("id", "lang", "len")
     val boot = v1.select(col("id"), lit("I").as("change_type"),
       lit(null).cast("string").as("old_lang"), col("lang").as("new_lang"),
       lit(null).cast("long").as("old_len"), col("len").as("new_len"))
@@ -466,7 +487,11 @@ class Round19Spec extends SparkTestBase {
     assert(rows(agg2) == rows(full(v2)))
     assert(!rows(agg2).exists(_._1 == "fr"), "zero-count group must drop")
     assert(rows(agg2).exists { case (l, n, s) =>
-      l == "en" && n == 3 && s == 65 }, s"group move miscounted: ${rows(agg2)}")
+      l == "en" && n == 3 && s.contains(65L) },
+      s"group move miscounted: ${rows(agg2)}")
+    assert(rows(agg2).exists { case (l, n, s) =>
+      l == "nl" && n == 1 && s.isEmpty },
+      s"all-null group must keep SQL-NULL sum: ${rows(agg2)}")
   }
 
   // ---- two-pass regime steering ----------------------------------------------
