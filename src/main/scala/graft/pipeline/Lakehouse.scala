@@ -3032,7 +3032,15 @@ object Lakehouse {
     *
     * At 100 TB this is the point: a corpus-stats table (rows/tokens
     * per language, per source) stays current by folding each commit's
-    * manifest-pruned delta — never by re-aggregating the lake. */
+    * manifest-pruned delta — never by re-aggregating the lake.
+    *
+    * Replay discipline: the fold is ADDITIVE, so applying one epoch's
+    * delta twice double-counts — unlike a key-upsert replica, it is
+    * NOT naturally idempotent under [[changesStream]]'s at-least-once
+    * `handle`. Persist the maintained table together with the last
+    * epoch id folded into it and skip `handle(id, _)` when
+    * `id <= lastApplied` — epoch ids are dense and ordered by the
+    * commit protocol, so this one integer is a complete dedup. */
   def aggregateDelta(changes: DataFrame, groupCols: Seq[String],
                      sumCols: Seq[String]): DataFrame = {
     require(groupCols.nonEmpty, "aggregateDelta needs group columns")
