@@ -965,17 +965,21 @@ object Lakehouse {
             // rewrite) — without one, the TTL discipline is the guard
             // (see the SnapshotCas.touch scaladoc for the contract)
             val cls = spark.conf.get("graft.lake.casProvider", "")
-            if (cls.nonEmpty)
-              try { casProvider(cls).touch(fs, p); () }
+            if (cls.nonEmpty) {
+              // resolve OUTSIDE the degrade-catch: a misconfigured
+              // provider class must stay loud (swallowing it would
+              // silently skip every re-arm forever), while a store
+              // hiccup on the OPTIONAL touch itself degrades to the
+              // TTL discipline and never aborts a commit whose CAS
+              // works
+              val provider = casProvider(cls)
+              try { provider.touch(fs, p); () }
               catch {
                 case _: java.io.FileNotFoundException =>
                   casPutMeta(spark, fs, p, bytes)
-                case scala.util.control.NonFatal(_) =>
-                  // touch is an OPTIONAL freshness optimization: a
-                  // store hiccup on it must degrade to the TTL
-                  // discipline, never abort a commit whose CAS works
-                  ()
+                case scala.util.control.NonFatal(_) => ()
               }
+            }
           case _: java.io.FileNotFoundException =>
             casPutMeta(spark, fs, p, bytes)
         }
@@ -2982,10 +2986,15 @@ object Lakehouse {
         // After batch 0, a missing predecessor is NEVER silently
         // re-based: the consumer holds folded state, and a re-base
         // would resurrect deleted keys — fail loudly instead.
+        // derived from the batch's own id set — batch 0's listing is
+        // complete for the lineage, so probing the store one exists()
+        // per epoch would be 10⁴ serial round-trips of pure waste (the
+        // r18 plan-walk disease); the else-branch exists() below still
+        // guards the GC race for every non-anchor epoch
+        val idSet = ids.toSet
         val bootId: Option[Int] =
           if (batchId == 0L)
-            ids.filter(id => !fs.exists(snapFile(r, id - 1, branch)))
-              .sorted.lastOption
+            ids.filter(id => !idSet.contains(id - 1)).lastOption
           else None
         ids.filter(id => bootId.forall(_ <= id)).foreach { id =>
           val changes =
@@ -3087,6 +3096,15 @@ object Lakehouse {
   def applyAggregateDelta(agg: DataFrame, delta: DataFrame,
                           groupCols: Seq[String],
                           sumCols: Seq[String]): DataFrame = {
+    // loud migration guard: a maintained table persisted by a build
+    // without the nn_<c> bookkeeping cannot be folded correctly (its
+    // all-null groups are indistinguishable from zero-sum ones) — name
+    // the backfill instead of failing with an unresolved column
+    sumCols.foreach(c => require(agg.columns.contains(s"nn_$c"),
+      s"maintained aggregate lacks bookkeeping column 'nn_$c' — a " +
+        "table persisted by a pre-nn build must be backfilled once " +
+        s"(nn_$c = count of non-null '$c' per group, recomputed from " +
+        "the snapshot the table currently reflects) before folding"))
     val a = agg.alias("a")
     val d = delta.alias("d")
     val on = groupCols.map(c => col(s"a.$c") <=> col(s"d.$c"))

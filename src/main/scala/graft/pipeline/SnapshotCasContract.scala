@@ -85,12 +85,14 @@ object SnapshotCasContract {
     }
     if (touched && fs.getFileStatus(t1).getModificationTime < before)
       out += "touch: reported true but the freshness signal went backwards"
-    // a touch must be CONTENT-PRESERVING: a provider whose re-arm
-    // overwrites the object (e.g. a misrouted plain PUT) would destroy
-    // every content-addressed shard it "refreshes"
-    if (touched && !java.util.Arrays.equals(read(t1), b1))
-      out += "touch: reported true but MUTATED the object's bytes — a " +
-        "re-arm must be metadata-only"
+    // a touch must be CONTENT-PRESERVING no matter WHAT it reported: a
+    // store that misroutes the idiom into a plain overwrite while the
+    // provider reports false (unsupported) is the worst case — the
+    // object is destroyed and nothing claimed success
+    if (!java.util.Arrays.equals(read(t1), b1))
+      out += "touch: the attempt MUTATED the object's bytes (reported " +
+        s"$touched) — a re-arm must be metadata-only even when the " +
+        "store does not support it"
     val missing = new org.apache.hadoop.fs.Path(scratch, "contract-missing")
     try {
       if (provider.touch(fs, missing))
@@ -102,6 +104,10 @@ object SnapshotCasContract {
         out += s"touch: missing object must raise FileNotFoundException " +
           s"or return false, got $t"
     }
+    // ...and the missing-object attempt must not have CREATED anything
+    if (fs.exists(missing))
+      out += "touch: the missing-object attempt CREATED the target — a " +
+        "re-arm must never materialize objects"
     out.toSeq
   }
 }
