@@ -113,6 +113,7 @@ object SparkEntry {
       "q_stream_manifest", "q_stream_file_manifest", "q_stream_cdc_compact",
       "q_stream_er", "q_stream_golden", "q_stream_cdc_snapshot",
       "q_stream_changes_feed", "q_stream_lake_feed",
+      "q_stream_lake_ivm",
       // loopback-federation verification harnesses: each boots GraftServer
       // instances and pays the deploy-time wire probe (create_rdfmts
       // parity) inside the row — they verify the endpoint catalog path,
@@ -1774,6 +1775,39 @@ object SparkEntry {
       }
       // drop the nn_* null-bookkeeping column the fold carries
       agg.select(col("lang"), col("n_rows"), col("sum_len"))
+        .orderBy("lang")
+    }),
+    // the STREAMING face of the same fold (18th replay gate): the
+    // maintainAggregate production entry point drives changesStream
+    // end-to-end — commits land WHILE the maintainer runs, the
+    // maintained parquet table after the last epoch must equal the
+    // same full-recompute oracle as the batch row above
+    "q_stream_lake_ivm" -> ((s, d) => {
+      val base0 = s"/tmp/graft_lake_ivm_stream/${new java.io.File(d).getName}"
+      val p0 = new org.apache.hadoop.fs.Path(base0)
+      p0.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p0, true)
+      val root = s"$base0/lake"
+      val tableDir = s"$base0/agg"
+      val L = _root_.graft.pipeline.Lakehouse
+      val docs = T(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("len"),
+          (col("doc_id") % 3).cast("int").as("p"))
+      L.commitSnapshot(s, root,
+        (0 to 2).map(i => s"p=$i" -> docs.filter(col("p") === i)))
+      val q = L.maintainAggregate(s, root, Seq("doc_id"), Seq("lang"),
+        Seq("len"), tableDir, s"$base0/ckpt")
+      try {
+        q.processAllAvailable() // the bootstrap epoch
+        L.mergeSnapshot(s, root,
+          docs.filter(col("doc_id") % 10 === 0)
+            .withColumn("lang", lit("zz")), Seq("doc_id"), "p")
+        q.processAllAvailable()
+        L.deleteSnapshot(s, root, col("doc_id") % 11 === 3)
+        q.processAllAvailable()
+      } finally q.stop()
+      L.readAggregate(s, tableDir)
+        .select(col("lang"), col("n_rows"), col("sum_len"))
         .orderBy("lang")
     }),
     // REBASE: main advances (disjoint-key update) after the branch
@@ -3555,6 +3589,16 @@ object SparkEntry {
     // the maintained aggregate equals a full recompute of the final
     // state: %10 keys moved to lang 'zz' (group move), %11==3 deleted
     "lake_ivm_agg" ->
+      """WITH fin AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN 'zz' ELSE lang END AS lang,
+        |    CAST(length(text) AS BIGINT) AS len
+        |  FROM documents WHERE doc_id % 11 <> 3)
+        |SELECT lang, count(*) AS n_rows,
+        |  CAST(sum(len) AS BIGINT) AS sum_len
+        |FROM fin GROUP BY lang ORDER BY lang""".stripMargin,
+    // the streaming maintainer lands on the same truth
+    "q_stream_lake_ivm" ->
       """WITH fin AS (
         |  SELECT doc_id,
         |    CASE WHEN doc_id % 10 = 0 THEN 'zz' ELSE lang END AS lang,

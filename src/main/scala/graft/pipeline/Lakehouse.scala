@@ -2947,6 +2947,23 @@ object Lakehouse {
                     keys: Seq[String], checkpointLocation: String,
                     branch: String = MainBranch)
                    (handle: (Int, DataFrame) => Unit)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    changesStreamEpochs(spark, root, keys, checkpointLocation, branch)(
+      (id, _, changes) => handle(id, changes))
+
+  /** [[changesStream]] with the epoch's KIND exposed: `handle(id,
+    * isBootstrap, changes)`. A bootstrap frame (all-`I`, the full
+    * snapshot) is NOT a delta — an additive consumer (e.g. a
+    * maintained aggregate) must REPLACE its state with a bootstrap's
+    * fold, never add it on top, and the frame itself is
+    * indistinguishable from a pure-insert epoch without this flag
+    * (key-upsert consumers absorb either shape and can use the 2-arg
+    * face). */
+  def changesStreamEpochs(spark: org.apache.spark.sql.SparkSession,
+                          root: String, keys: Seq[String],
+                          checkpointLocation: String,
+                          branch: String = MainBranch)
+                         (handle: (Int, Boolean, DataFrame) => Unit)
   : org.apache.spark.sql.streaming.StreamingQuery = {
     require(keys.nonEmpty, "changesStream needs at least one key column")
     val r = new org.apache.hadoop.fs.Path(root)
@@ -3020,7 +3037,7 @@ object Lakehouse {
               snapshotChanges(spark, root, id - 1, id, keys,
                 fromBranch = branch, toBranch = branch)
             }
-          handle(id, changes)
+          handle(id, bootId.contains(id), changes)
         }
         ()
       }
@@ -3138,6 +3155,88 @@ object Lakehouse {
       .agg(count(lit(1)).as("n_rows"),
         sumCols.map(c => sum(col(c)).as(s"sum_$c")) ++
           sumCols.map(c => count(col(c)).as(s"nn_$c")): _*)
+
+  /** The PRODUCTION face of IVM-over-the-feed: a continuously
+    * maintained aggregate TABLE driven by [[changesStream]] — each
+    * committed lake epoch folds its [[aggregateDelta]] into a parquet
+    * table under `tableDir`, with the replay discipline the primitives
+    * demand built in. Epoch states write as `tableDir/t<epoch>`; the
+    * last APPLIED epoch is derived from the directories Spark's own
+    * job commit completed (`_SUCCESS`), so the at-least-once replay of
+    * a crashed batch simply overwrites the half-written state and a
+    * re-delivered epoch (`id <= lastApplied`) is skipped — the
+    * one-integer dedup from the [[aggregateDelta]] scaladoc, made
+    * crash-safe without any marker file. Superseded states beyond the
+    * previous one are best-effort reclaimed. Read the current table
+    * any time with [[readAggregate]]; stop via the returned query. */
+  def maintainAggregate(spark: org.apache.spark.sql.SparkSession,
+                        root: String, keys: Seq[String],
+                        groupCols: Seq[String], sumCols: Seq[String],
+                        tableDir: String, checkpointLocation: String,
+                        branch: String = MainBranch)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    val td = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = fsOf(spark, td)
+    changesStreamEpochs(spark, root, keys, checkpointLocation, branch) {
+      (id, isBootstrap, diff) =>
+        val applied = appliedAggEpochs(fs, td)
+        val last = applied.lastOption.getOrElse(0)
+        if (id > last) { // replayed epochs fold exactly once
+          def empty = {
+            // type the empty table from the delta's own new_* columns
+            val sample = diff.select(
+              (groupCols ++ sumCols).distinct
+                .map(c => col(s"new_$c").as(c)): _*)
+            emptyAggregate(sample, groupCols, sumCols)
+          }
+          // a BOOTSTRAP epoch is the full snapshot, not a delta: it
+          // REPLACES the table (folds onto empty) — adding it on top
+          // of a stale state (a maintainer resumed with a fresh
+          // checkpoint after GC) would double-count every carried row
+          val prev =
+            if (last == 0 || isBootstrap) empty
+            else spark.read.parquet(
+              new org.apache.hadoop.fs.Path(td, s"t$last").toString)
+          applyAggregateDelta(prev,
+            aggregateDelta(diff, groupCols, sumCols), groupCols, sumCols)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(new org.apache.hadoop.fs.Path(td, s"t$id").toString)
+          // keep the new state and its predecessor (the fold source of
+          // a possible in-flight reader); reclaim older ones
+          applied.dropRight(1).foreach(old => fs.delete(
+            new org.apache.hadoop.fs.Path(td, s"t$old"), true))
+        }
+    }
+  }
+
+  /** The epochs whose aggregate state COMMITTED under `tableDir`
+    * (their parquet job wrote `_SUCCESS`), ascending. */
+  private def appliedAggEpochs(fs: org.apache.hadoop.fs.FileSystem,
+                               td: org.apache.hadoop.fs.Path): Seq[Int] = {
+    val T = "^t(\\d+)$".r
+    if (!fs.exists(td)) Nil
+    else fs.listStatus(td).toSeq.collect {
+      case st if st.isDirectory =>
+        st.getPath.getName match {
+          case T(n) if fs.exists(new org.apache.hadoop.fs.Path(
+            st.getPath, "_SUCCESS")) => Some(n.toInt)
+          case _ => None
+        }
+    }.flatten.sorted
+  }
+
+  /** The current state of a [[maintainAggregate]] table. */
+  def readAggregate(spark: org.apache.spark.sql.SparkSession,
+                    tableDir: String): DataFrame = {
+    val td = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = fsOf(spark, td)
+    val applied = appliedAggEpochs(fs, td)
+    require(applied.nonEmpty,
+      s"$tableDir holds no committed aggregate state yet")
+    spark.read.parquet(
+      new org.apache.hadoop.fs.Path(td, s"t${applied.last}").toString)
+  }
 
   /** Snapshot GC: keep the newest `keepSnapshots` manifests, delete
     * older ones, then delete every generation directory (under the root

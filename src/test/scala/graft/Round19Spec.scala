@@ -494,6 +494,66 @@ class Round19Spec extends SparkTestBase {
       s"all-null group must keep SQL-NULL sum: ${rows(agg2)}")
   }
 
+  test("maintainAggregate: the production IVM face — maintained table " +
+    "equals the full recompute, survives a restart mid-schedule, and a " +
+    "fresh-checkpoint consumer re-delivering old epochs folds NOTHING " +
+    "twice (epoch dedup from committed t<id> states)") {
+    val root = freshDir("mntagg")
+    val tableDir = freshDir("mntaggtbl")
+    val base = (1L to 10L).map(i =>
+      (i, if (i % 2 == 0) "en" else "de", i * 10L)).toDF("id", "lang", "len")
+      .withColumn("p", (col("id") % 2).cast("int"))
+    Lakehouse.commitSnapshot(spark, root,
+      (0 to 1).map(i => s"p=$i" -> base.filter(col("p") === i)))
+    def recompute(): Seq[(String, Long, Long)] =
+      Lakehouse.readSnapshot(spark, root).groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("len")).as("s"))
+        .orderBy("lang").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    def maintained(): Seq[(String, Long, Long)] =
+      Lakehouse.readAggregate(spark, tableDir)
+        .select("lang", "n_rows", "sum_len").orderBy("lang").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val ckpt = freshDir("mntaggckpt")
+    val q1 = Lakehouse.maintainAggregate(spark, root, Seq("id"),
+      Seq("lang"), Seq("len"), tableDir, ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(maintained() == recompute())
+    // two epochs land while the maintainer is DOWN: a group-moving
+    // merge and a delete; the restarted maintainer catches up
+    Lakehouse.mergeSnapshot(spark, root,
+      base.filter(col("id") <= 2L).withColumn("lang", lit("zz")),
+      Seq("id"), "p")
+    Lakehouse.deleteSnapshot(spark, root, col("id") === 10L)
+    val q2 = Lakehouse.maintainAggregate(spark, root, Seq("id"),
+      Seq("lang"), Seq("len"), tableDir, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(maintained() == recompute())
+    // a FRESH checkpoint re-delivers everything from the bootstrap —
+    // the committed-state epoch dedup must fold none of it twice
+    val q3 = Lakehouse.maintainAggregate(spark, root, Seq("id"),
+      Seq("lang"), Seq("len"), tableDir, freshDir("mntaggckpt2"))
+    try q3.processAllAvailable() finally q3.stop()
+    assert(maintained() == recompute(),
+      "re-delivered epochs must be skipped, not double-counted")
+    // the hard recovery: epochs GC'd past the maintainer's STALE state
+    // (it died before committing t3), fresh checkpoint — the bootstrap
+    // at the oldest kept epoch must REPLACE the stale table, because
+    // folding a full snapshot onto it would double-count every
+    // carried row
+    Lakehouse.mergeSnapshot(spark, root,
+      base.filter(col("id") === 4L).withColumn("len", lit(999L)),
+      Seq("id"), "p")
+    Lakehouse.snapshotGc(spark, root, keepSnapshots = 2) // keeps 3,4
+    fsOf(tableDir).delete(
+      new org.apache.hadoop.fs.Path(tableDir, "t3"), true) // stale: t2
+    val q4 = Lakehouse.maintainAggregate(spark, root, Seq("id"),
+      Seq("lang"), Seq("len"), tableDir, freshDir("mntaggckpt3"))
+    try q4.processAllAvailable() finally q4.stop()
+    assert(maintained() == recompute(),
+      "a bootstrap epoch must REPLACE stale maintained state")
+  }
+
   // ---- two-pass regime steering ----------------------------------------------
 
   test("exactSubstrSpansAuto steers by the measured regime: window 40 " +
