@@ -3175,13 +3175,49 @@ object Lakehouse {
                         tableDir: String, checkpointLocation: String,
                         branch: String = MainBranch)
   : org.apache.spark.sql.streaming.StreamingQuery = {
+    // eager argument validation — a bad column must fail HERE, not as
+    // an AnalysisException inside the stream thread three layers down
+    require(groupCols.nonEmpty, "maintainAggregate needs group columns")
+    val keyOverlap = (groupCols ++ sumCols).toSet.intersect(keys.toSet)
+    require(keyOverlap.isEmpty,
+      s"group/sum columns ${keyOverlap.mkString(", ")} are KEY columns " +
+        "— the changes frame carries keys bare (no old_/new_ faces), " +
+        "so they cannot be grouped or summed; aggregate over non-key " +
+        "payload columns")
     val td = new org.apache.hadoop.fs.Path(tableDir)
     val fs = fsOf(spark, td)
+    // provenance: a maintained table is bound to ONE (lake, branch) —
+    // pointing an existing tableDir at a different lake would silently
+    // skip epochs (bare-integer dedup) or cross-fold two lakes' deltas
+    val prov = new org.apache.hadoop.fs.Path(td, "_lake")
+    val provText = s"${fs.makeQualified(new org.apache.hadoop.fs.Path(
+      root))}\t$branch\n"
+    if (fs.exists(prov)) {
+      val existing = readText(fs, prov)
+      require(existing == provText,
+        s"aggregate table $tableDir was maintained from '${
+          existing.trim.replace("\t", "' branch '")}' — refusing to " +
+          s"fold '${provText.trim.replace("\t", "' branch '")}' into " +
+          "it; use a fresh tableDir per (lake, branch)")
+    } else {
+      fs.mkdirs(td)
+      val out = fs.create(prov, true)
+      try out.write(provText.getBytes("UTF-8")) finally out.close()
+    }
     changesStreamEpochs(spark, root, keys, checkpointLocation, branch) {
       (id, isBootstrap, diff) =>
         val applied = appliedAggEpochs(fs, td)
         val last = applied.lastOption.getOrElse(0)
         if (id > last) { // replayed epochs fold exactly once
+          // a DELTA with no committed state to fold onto is a
+          // checkpoint/tableDir desync (table relocated or cleared
+          // while the checkpoint survived) — folding it onto empty
+          // would serve a plausibly-shaped but WRONG table
+          if (last == 0 && !isBootstrap) throw new IllegalStateException(
+            s"maintainAggregate on $tableDir: epoch $id arrived as a " +
+              "delta but the table holds no committed state — the " +
+              "checkpoint and tableDir are out of sync; restart with a " +
+              "FRESH checkpoint so the stream re-bootstraps")
           def empty = {
             // type the empty table from the delta's own new_* columns
             val sample = diff.select(
@@ -3226,7 +3262,13 @@ object Lakehouse {
     }.flatten.sorted
   }
 
-  /** The current state of a [[maintainAggregate]] table. */
+  /** The current state of a [[maintainAggregate]] table. The frame is
+    * LAZY over the newest committed `t<id>` state, and the maintainer
+    * retains only that state plus its predecessor — so act on the
+    * result within one maintenance epoch of reading it (or persist/
+    * collect it) if the maintainer is running concurrently; a reader
+    * that lags two epochs behind a fast commit cadence can lose its
+    * files mid-job. */
   def readAggregate(spark: org.apache.spark.sql.SparkSession,
                     tableDir: String): DataFrame = {
     val td = new org.apache.hadoop.fs.Path(tableDir)

@@ -552,6 +552,36 @@ class Round19Spec extends SparkTestBase {
     try q4.processAllAvailable() finally q4.stop()
     assert(maintained() == recompute(),
       "a bootstrap epoch must REPLACE stale maintained state")
+    // loud guards: grouping/summing a KEY column fails eagerly (the
+    // changes frame carries keys bare), and a tableDir maintained from
+    // one lake refuses a different one (provenance binding)
+    intercept[IllegalArgumentException] {
+      Lakehouse.maintainAggregate(spark, root, Seq("id"),
+        Seq("id"), Seq("len"), tableDir, freshDir("mntaggx1"))
+    }
+    val otherLake = freshDir("mntaggother")
+    Lakehouse.commitSnapshot(spark, otherLake,
+      Seq("p=0" -> base.filter(col("p") === 0)))
+    intercept[IllegalArgumentException] {
+      Lakehouse.maintainAggregate(spark, otherLake, Seq("id"),
+        Seq("lang"), Seq("len"), tableDir, freshDir("mntaggx2"))
+    }
+    // checkpoint/tableDir desync is loud: an old checkpoint resumes at
+    // a DELTA epoch but the table's committed states were cleared —
+    // folding onto empty would serve a plausible but WRONG table
+    val fsT = fsOf(tableDir)
+    fsT.listStatus(new org.apache.hadoop.fs.Path(tableDir))
+      .filter(_.getPath.getName.startsWith("t"))
+      .foreach(st => fsT.delete(st.getPath, true))
+    val q5 = Lakehouse.maintainAggregate(spark, root, Seq("id"),
+      Seq("lang"), Seq("len"), tableDir, ckpt)
+    val de = intercept[Throwable] {
+      try q5.processAllAvailable() finally q5.stop()
+    }
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.toString +: causes(t.getCause)
+    assert(causes(de).exists(_.contains("out of sync")),
+      s"wrong desync failure: ${causes(de).mkString(" <- ")}")
   }
 
   // ---- two-pass regime steering ----------------------------------------------
