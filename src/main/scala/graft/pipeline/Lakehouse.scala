@@ -480,7 +480,21 @@ object Lakehouse {
         * the zero-RPC planning layer: with these recorded, readSnapshot
         * never lists a data dir at plan time. Missing for pre-r18
         * manifests; the reader falls back to (parallel) listing. */
-      files: Map[String, Seq[FileEntry]] = Map.empty)
+      files: Map[String, Seq[FileEntry]] = Map.empty,
+      /** PER-SNAPSHOT properties (`#prop` lines) — small facts a commit
+        * records ATOMICALLY with its manifest CAS (the Iceberg snapshot-
+        * summary idea): e.g. [[maintainAggregate]]'s last-folded source
+        * epoch, whose exactly-once discipline is exactly "the watermark
+        * rides the same atomic put as the state it describes". Facts
+        * about ONE commit, not table properties: a fresh commit carries
+        * none unless the committer passes them, while verbatim manifest
+        * copies ([[rollbackSnapshot]], a branch seed) keep them — the
+        * rolled-back content IS that epoch's content, watermark
+        * included. Readers that predate a property ignore the line
+        * (the parser is prefix-keyed), so no `#minreader` bump: a
+        * property can carry bookkeeping, never anything whose loss
+        * mis-reads the data. */
+      props: Map[String, String] = Map.empty)
 
   private val StatNull = "-"
   private def encStat(v: Option[String]): String =
@@ -700,11 +714,21 @@ object Lakehouse {
           s"malformed #file line in $p: '$l'")
       }
     }
+    val props = meta.filter(_.startsWith("#prop\t")).map { l =>
+      l.split("\t", -1) match {
+        case Array(_, k, v) =>
+          java.net.URLDecoder.decode(k, "UTF-8") ->
+            java.net.URLDecoder.decode(v, "UTF-8")
+        case _ => throw new IllegalStateException(
+          s"malformed #prop line in $p: '$l'")
+      }
+    }.toMap
     Manifest(mapping, schema,
       stats.map { case (r, fm) =>
         r -> fm.map { case (f, cm) => f -> cm.toMap }.toMap }.toMap,
       blooms.map { case (r, cs) => r -> cs.toSet }.toMap,
-      files.map { case (r, fe) => r -> fe.toSeq }.toMap)
+      files.map { case (r, fe) => r -> fe.toSeq }.toMap,
+      props)
   }
 
   /** Committed manifests are immutable (the CAS target is never
@@ -758,6 +782,16 @@ object Lakehouse {
                      asOf: Option[Int] = None
                     ): Option[org.apache.spark.sql.types.StructType] =
     manifestAt(spark, root, asOf).schema
+
+  /** The per-snapshot properties (`#prop` lines) snapshot `asOf` was
+    * committed with — facts the committer recorded atomically with the
+    * manifest CAS (e.g. [[maintainAggregate]]'s last-folded-epoch
+    * watermark). Empty unless the committer passed them; verbatim
+    * manifest copies ([[rollbackSnapshot]], branch seeds) carry them. */
+  def snapshotProps(spark: org.apache.spark.sql.SparkSession, root: String,
+                    asOf: Option[Int] = None,
+                    branch: String = MainBranch): Map[String, String] =
+    manifestAt(spark, root, asOf, branch).props
 
   /** Filesystem schemes whose commit step is a REAL compare-and-set.
     * `file` commits via `Files.createLink` (link(2) fails atomically when
@@ -840,14 +874,26 @@ object Lakehouse {
   private val ReaderVersion = 1
   private val MinReaderLine = s"#minreader\t$ReaderVersion\n"
 
+  /** The snapshot-scoped header lines (reader gate, schema, props) —
+    * everything that lives in the ROOT snap file in both the inline and
+    * the sharded form. Props deliberately never enter shard blocks:
+    * shards are per-rel and content-addressed for byte-identical reuse
+    * across epochs, and a per-snapshot fact in a shard would break
+    * every epoch's reuse of that shard. */
+  private def headerLines(man: Manifest): String =
+    MinReaderLine +
+      man.schema.map(s => s"#schema\t${s.json}\n").getOrElse("") +
+      man.props.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"#prop\t${java.net.URLEncoder.encode(k, "UTF-8")}\t${
+          java.net.URLEncoder.encode(v, "UTF-8")}\n" }.mkString
+
   private def manifestText(man: Manifest): String =
     // one source of truth for the line formats: the same per-rel blocks
     // sharding hashes ([[relLines]]) concatenate into the inline form —
     // the parser is prefix-keyed and order-insensitive, and any format
     // drift between inline and sharded manifests would silently break
     // shard content-address reuse
-    MinReaderLine +
-      man.schema.map(s => s"#schema\t${s.json}\n").getOrElse("") +
+    headerLines(man) +
       man.mapping.keys.toSeq.sorted.map(relLines(man, _)).mkString
 
   private def commitManifest(spark: org.apache.spark.sql.SparkSession,
@@ -986,8 +1032,7 @@ object Lakehouse {
       }
     }
     val names = byName.keys.toSeq.sorted
-    val root = MinReaderLine +
-      man.schema.map(s => s"#schema\t${s.json}\n").getOrElse("") +
+    val root = headerLines(man) +
       names.map(nm => s"#shard\t$nm\n").mkString
     val won = casPutMeta(spark, fs, target, root.getBytes("UTF-8"))
     if (won && reused.nonEmpty) {
@@ -1146,10 +1191,11 @@ object Lakehouse {
                      expectedSnapshot: Option[Int] = None,
                      statsCols: Seq[String] = Nil,
                      bloomCols: Seq[String] = Nil,
-                     branch: String = MainBranch): Int = {
+                     branch: String = MainBranch,
+                     props: Map[String, String] = Map.empty): Int = {
     val (man, baseId) = prepareSnapshot(spark, root, writes,
       expectedSnapshot, statsCols, bloomCols, branch)
-    commitManifest(spark, root, man, baseId, branch)
+    commitManifest(spark, root, man.copy(props = props), baseId, branch)
   }
 
   /** The write phase every snapshot commit shares — data generations,
@@ -3136,9 +3182,14 @@ object Lakehouse {
           // remains; NULL when the group's values are all null
           val nn = coalesce(col(s"a.nn_$c"), lit(0L)) +
             coalesce(col(s"d.dn_$c"), lit(0L))
+          // cast back to the maintained table's own sum type: the
+          // coalesce-with-0L addition WIDENS DecimalType precision, so
+          // without this the persisted schema would drift one notch per
+          // fold until the precision-38 cap NULLs every sum
           when(nn === 0L, lit(null))
             .otherwise(coalesce(col(s"a.sum_$c"), lit(0L)) +
-              coalesce(col(s"d.d_$c"), lit(0L))).as(s"sum_$c")
+              coalesce(col(s"d.d_$c"), lit(0L)))
+            .cast(agg.schema(s"sum_$c").dataType).as(s"sum_$c")
         } ++
         sumCols.map(c => (coalesce(col(s"a.nn_$c"), lit(0L)) +
           coalesce(col(s"d.dn_$c"), lit(0L))).as(s"nn_$c")): _*)
@@ -3156,19 +3207,174 @@ object Lakehouse {
         sumCols.map(c => sum(col(c)).as(s"sum_$c")) ++
           sumCols.map(c => count(col(c)).as(s"nn_$c")): _*)
 
+  /** Manifest property carrying the last SOURCE epoch folded into a
+    * [[maintainAggregate]] state lake — the watermark rides the SAME
+    * manifest CAS as the state it describes, so a fold is exactly-once
+    * by construction: a crash between the commit and the stream
+    * checkpoint replays the epoch, reads the watermark back from the
+    * committed state, and skips. */
+  private[graft] val IvmEpochProp = "graft.ivm.epoch"
+  private[graft] val IvmBucketCol = "bucket"
+
+  /** (state-lake snapshot id, last folded source epoch) of a
+    * [[maintainAggregate]] table — (None, 0) before the first fold.
+    * A committed state WITHOUT the watermark prop means something else
+    * committed to the state lake (a foreign writer, or a manual DML):
+    * the maintainer can no longer prove what its state reflects, so it
+    * fails loudly instead of guessing. */
+  private[graft] def ivmLastEpoch(spark: org.apache.spark.sql.SparkSession,
+                                  tableDir: String): (Option[Int], Int) =
+    currentSnapshotId(spark, tableDir) match {
+      case None => (None, 0)
+      case s @ Some(sid) =>
+        manifestAt(spark, tableDir, Some(sid)).props.get(IvmEpochProp) match {
+          case Some(v) => (s, v.toInt)
+          case None => throw new IllegalStateException(
+            s"maintained aggregate $tableDir: state snapshot $sid " +
+              s"carries no '$IvmEpochProp' watermark — the state lake " +
+              "was committed outside maintainAggregate, so the folded " +
+              "epochs can no longer be proven; rollbackSnapshot to the " +
+              "last maintainer-committed epoch, or re-bootstrap with a " +
+              "fresh tableDir and checkpoint")
+        }
+    }
+
+  /** Fold ONE source epoch into a [[maintainAggregate]] state lake —
+    * the per-epoch unit the streaming face drives, factored out so the
+    * replay/gap/desync discipline is directly testable. Exactly-once
+    * under at-least-once delivery: the watermark ([[IvmEpochProp]])
+    * commits in the same manifest CAS as the folded state, so a
+    * replayed epoch (`id <=` watermark) is skipped and a crashed fold
+    * left no watermark to skip on. Non-bootstrap epochs must be DENSE
+    * (`id == watermark + 1`): a gapped delta — a misordered or lossy
+    * source listing — would silently drop the intervening epochs'
+    * changes, so it fails loudly instead. Writes touch ONLY the hash
+    * buckets containing changed groups (plus, on a bootstrap REPLACE,
+    * empty rewrites of stale buckets); untouched buckets' manifest
+    * entries carry over without a byte of I/O. */
+  private[graft] def ivmFold(spark: org.apache.spark.sql.SparkSession,
+                             tableDir: String, groupCols: Seq[String],
+                             sumCols: Seq[String], id: Int,
+                             isBootstrap: Boolean, diff: DataFrame,
+                             buckets: Int): Unit = {
+    val (stateId, last) = ivmLastEpoch(spark, tableDir)
+    if (id <= last) return // at-least-once replay: folded exactly once
+    if (!isBootstrap) {
+      // a DELTA with no committed state to fold onto is a checkpoint/
+      // tableDir desync (table relocated or cleared while the
+      // checkpoint survived) — folding it onto empty would serve a
+      // plausibly-shaped but WRONG table
+      if (last == 0) throw new IllegalStateException(
+        s"maintainAggregate on $tableDir: epoch $id arrived as a " +
+          "delta but the table holds no committed state — the " +
+          "checkpoint and tableDir are out of sync; restart with a " +
+          "FRESH checkpoint so the stream re-bootstraps")
+      if (id != last + 1) throw new IllegalStateException(
+        s"maintainAggregate on $tableDir: epoch $id arrived after " +
+          s"watermark $last — epochs ${last + 1}..${id - 1} were never " +
+          "delivered (a lossy or misordered source listing); folding " +
+          "over the gap would silently drop their changes. Re-bootstrap " +
+          "with a fresh checkpoint, or re-deliver the missing epochs")
+    }
+    val td = new org.apache.hadoop.fs.Path(tableDir)
+    val delta = aggregateDelta(diff, groupCols, sumCols)
+      .withColumn(IvmBucketCol,
+        pmod(xxhash64(groupCols.map(col): _*), lit(buckets.toLong)))
+    // pin the delta ONCE: the per-bucket fan-out and the touched-bucket
+    // collect below must not re-run the upstream diff plan per bucket
+    // (the mergeSnapshot delta-pinning rationale)
+    delta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // bounded by min(changed groups, buckets) — never rows
+      val touched: Seq[Long] = delta.select(col(IvmBucketCol)).distinct()
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val man = stateId.map(sid => manifestAt(spark, tableDir, Some(sid)))
+      // a BOOTSTRAP epoch is the full snapshot, not a delta: it
+      // REPLACES the table (folds onto empty) — adding it on top of a
+      // stale state (a maintainer resumed with a fresh checkpoint
+      // after GC) would double-count every carried row
+      val replace = isBootstrap || stateId.isEmpty
+      def emptyState = {
+        // type the empty table from the delta's own new_* columns
+        val sample = diff.select((groupCols ++ sumCols).distinct
+          .map(c => col(s"new_$c").as(c)): _*)
+        emptyAggregate(sample, groupCols, sumCols)
+      }
+      val touchedRels = touched.map(v => s"$IvmBucketCol=$v")
+      val folds = touched.zip(touchedRels).map { case (v, rel) =>
+        val cur =
+          if (replace) emptyState
+          else man.get.mapping.get(rel) match {
+            case Some(gen) =>
+              readPart(spark, man.get, dataDir(td, rel, gen).toString)
+            case None => emptyState // first group hashed into this bucket
+          }
+        rel -> applyAggregateDelta(cur,
+          delta.filter(col(IvmBucketCol) === v), groupCols, sumCols)
+          .withColumn(IvmBucketCol, lit(v))
+      }
+      // a bootstrap REPLACE must also empty out stale buckets the new
+      // snapshot no longer populates — a carried-over bucket would
+      // resurrect pre-GC groups
+      val stale =
+        if (!replace) Nil
+        else man.map(_.mapping.keySet -- touchedRels).getOrElse(
+          Set.empty[String]).toSeq.sorted.map(rel =>
+          rel -> emptyState.withColumn(IvmBucketCol, lit(0L)).limit(0))
+      val writes = folds ++ stale
+      val props = Map(IvmEpochProp -> id.toString)
+      if (writes.isEmpty) {
+        // an epoch whose diff folds to zero group deltas (a content-
+        // identical rewrite) still must advance the watermark, or the
+        // NEXT epoch trips the gap guard: commit the current manifest
+        // verbatim with the new watermark — metadata-only, zero data IO
+        stateId match {
+          case Some(sid) => commitManifest(spark, tableDir,
+            manifestAt(spark, tableDir, Some(sid)).copy(props = props),
+            sid)
+          case None => // bootstrap of an EMPTY lake: commit a typed,
+            // zero-row bucket so the state (and its schema) exists
+            commitSnapshot(spark, tableDir,
+              Seq(s"$IvmBucketCol=0" ->
+                emptyState.withColumn(IvmBucketCol, lit(0L)).limit(0)),
+              expectedSnapshot = Some(0), props = props)
+        }
+        ()
+      } else {
+        commitSnapshot(spark, tableDir, writes,
+          expectedSnapshot = Some(stateId.getOrElse(0)), props = props)
+        ()
+      }
+      // retention: snapshot-isolated readers hold the manifest they
+      // resolved, so the race window is the kept-epoch count — default
+      // 10 epochs of lag headroom (vs the fixed 2 of the pre-r20
+      // layout); 0 disables so an operator can own the GC cadence
+      val keep = spark.conf.get("graft.lake.ivm.keepSnapshots", "10").toInt
+      if (keep > 0) { snapshotGc(spark, tableDir, keep); () }
+    } finally delta.unpersist(blocking = false)
+  }
+
   /** The PRODUCTION face of IVM-over-the-feed: a continuously
     * maintained aggregate TABLE driven by [[changesStream]] — each
-    * committed lake epoch folds its [[aggregateDelta]] into a parquet
-    * table under `tableDir`, with the replay discipline the primitives
-    * demand built in. Epoch states write as `tableDir/t<epoch>`; the
-    * last APPLIED epoch is derived from the directories Spark's own
-    * job commit completed (`_SUCCESS`), so the at-least-once replay of
-    * a crashed batch simply overwrites the half-written state and a
-    * re-delivered epoch (`id <= lastApplied`) is skipped — the
-    * one-integer dedup from the [[aggregateDelta]] scaladoc, made
-    * crash-safe without any marker file. Superseded states beyond the
-    * previous one are best-effort reclaimed. Read the current table
-    * any time with [[readAggregate]]; stop via the returned query. */
+    * committed lake epoch folds its [[aggregateDelta]] into a snapshot
+    * LAKE under `tableDir`, with the replay discipline the primitives
+    * demand built in ([[ivmFold]]). The state is bucket-partitioned on
+    * `pmod(xxhash64(groupCols), stateBuckets)`, so one epoch REWRITES
+    * ONLY the buckets containing changed groups — per-epoch work is
+    * O(changed buckets × bucket size), never O(total groups) — and
+    * commits atomically with the last-folded-epoch watermark riding
+    * the same manifest CAS (crash-safe exactly-once, no marker files).
+    * Readers ([[readAggregate]]) are snapshot-isolated: they resolve a
+    * committed manifest whose generations GC keeps for
+    * `graft.lake.ivm.keepSnapshots` epochs (default 10), and time
+    * travel over the state's own history comes free.
+    *
+    * Scale regime: group cardinality is bounded only by the bucket
+    * layout — size `graft.lake.ivm.stateBuckets` (default 16, pinned
+    * at table creation) so ONE bucket's groups fit an executor
+    * comfortably (10⁷ groups → 1024 buckets ≈ 10⁴ rows per rewrite).
+    * The delta side is manifest-pruned and tracks CHANGED rows, not
+    * lake size. Stop via the returned query. */
   def maintainAggregate(spark: org.apache.spark.sql.SparkSession,
                         root: String, keys: Seq[String],
                         groupCols: Seq[String], sumCols: Seq[String],
@@ -3184,21 +3390,46 @@ object Lakehouse {
         "— the changes frame carries keys bare (no old_/new_ faces), " +
         "so they cannot be grouped or summed; aggregate over non-key " +
         "payload columns")
+    // eager SCHEMA validation: the lineage must exist before the
+    // stream starts, so one (cached) manifest read resolves the
+    // committed schema — a typo'd column is named HERE, synchronously
+    manifestAt(spark, root, None, branch).schema.foreach { sc =>
+      val missing = (keys ++ groupCols ++ sumCols).distinct
+        .filterNot(sc.fieldNames.contains)
+      require(missing.isEmpty,
+        s"column(s) ${missing.mkString(", ")} not in the committed " +
+          s"schema of $root (${sc.fieldNames.mkString(", ")})")
+      sumCols.foreach(c => require(
+        sc(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"sum column '$c' is ${sc(c).dataType.simpleString} — SUM " +
+          "maintains numeric columns only"))
+    }
     val td = new org.apache.hadoop.fs.Path(tableDir)
     val fs = fsOf(spark, td)
-    // provenance: a maintained table is bound to ONE (lake, branch) —
-    // pointing an existing tableDir at a different lake would silently
-    // skip epochs (bare-integer dedup) or cross-fold two lakes' deltas
+    val buckets = spark.conf.get("graft.lake.ivm.stateBuckets", "16").toInt
+    require(buckets >= 1, s"graft.lake.ivm.stateBuckets must be >= 1")
+    // provenance: a maintained table is bound to ONE (lake, branch) and
+    // ONE bucket layout — pointing an existing tableDir at a different
+    // lake would silently skip epochs (bare-integer dedup) or
+    // cross-fold two lakes' deltas, and changing the bucket count would
+    // split existing groups across buckets
     val prov = new org.apache.hadoop.fs.Path(td, "_lake")
     val provText = s"${fs.makeQualified(new org.apache.hadoop.fs.Path(
-      root))}\t$branch\n"
+      root))}\t$branch\t$buckets\n"
     if (fs.exists(prov)) {
       val existing = readText(fs, prov)
+      require(existing.count(_ == '\t') >= 2,
+        s"aggregate table $tableDir uses the pre-r20 t<epoch> state " +
+          "layout — re-bootstrap it with a FRESH tableDir and " +
+          "checkpoint (the lake-backed layout is not migratable in " +
+          "place)")
       require(existing == provText,
-        s"aggregate table $tableDir was maintained from '${
-          existing.trim.replace("\t", "' branch '")}' — refusing to " +
-          s"fold '${provText.trim.replace("\t", "' branch '")}' into " +
-          "it; use a fresh tableDir per (lake, branch)")
+        s"aggregate table $tableDir was maintained as '${
+          existing.trim.split("\t").mkString("', '")}' (lake, branch, " +
+          s"stateBuckets) — refusing '${provText.trim.split("\t")
+            .mkString("', '")}'; use a fresh tableDir per (lake, " +
+          "branch), and never change graft.lake.ivm.stateBuckets on an " +
+          "existing table")
     } else {
       fs.mkdirs(td)
       val out = fs.create(prov, true)
@@ -3206,78 +3437,24 @@ object Lakehouse {
     }
     changesStreamEpochs(spark, root, keys, checkpointLocation, branch) {
       (id, isBootstrap, diff) =>
-        val applied = appliedAggEpochs(fs, td)
-        val last = applied.lastOption.getOrElse(0)
-        if (id > last) { // replayed epochs fold exactly once
-          // a DELTA with no committed state to fold onto is a
-          // checkpoint/tableDir desync (table relocated or cleared
-          // while the checkpoint survived) — folding it onto empty
-          // would serve a plausibly-shaped but WRONG table
-          if (last == 0 && !isBootstrap) throw new IllegalStateException(
-            s"maintainAggregate on $tableDir: epoch $id arrived as a " +
-              "delta but the table holds no committed state — the " +
-              "checkpoint and tableDir are out of sync; restart with a " +
-              "FRESH checkpoint so the stream re-bootstraps")
-          def empty = {
-            // type the empty table from the delta's own new_* columns
-            val sample = diff.select(
-              (groupCols ++ sumCols).distinct
-                .map(c => col(s"new_$c").as(c)): _*)
-            emptyAggregate(sample, groupCols, sumCols)
-          }
-          // a BOOTSTRAP epoch is the full snapshot, not a delta: it
-          // REPLACES the table (folds onto empty) — adding it on top
-          // of a stale state (a maintainer resumed with a fresh
-          // checkpoint after GC) would double-count every carried row
-          val prev =
-            if (last == 0 || isBootstrap) empty
-            else spark.read.parquet(
-              new org.apache.hadoop.fs.Path(td, s"t$last").toString)
-          applyAggregateDelta(prev,
-            aggregateDelta(diff, groupCols, sumCols), groupCols, sumCols)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(new org.apache.hadoop.fs.Path(td, s"t$id").toString)
-          // keep the new state and its predecessor (the fold source of
-          // a possible in-flight reader); reclaim older ones
-          applied.dropRight(1).foreach(old => fs.delete(
-            new org.apache.hadoop.fs.Path(td, s"t$old"), true))
-        }
+        ivmFold(spark, tableDir, groupCols, sumCols, id, isBootstrap,
+          diff, buckets)
     }
   }
 
-  /** The epochs whose aggregate state COMMITTED under `tableDir`
-    * (their parquet job wrote `_SUCCESS`), ascending. */
-  private def appliedAggEpochs(fs: org.apache.hadoop.fs.FileSystem,
-                               td: org.apache.hadoop.fs.Path): Seq[Int] = {
-    val T = "^t(\\d+)$".r
-    if (!fs.exists(td)) Nil
-    else fs.listStatus(td).toSeq.collect {
-      case st if st.isDirectory =>
-        st.getPath.getName match {
-          case T(n) if fs.exists(new org.apache.hadoop.fs.Path(
-            st.getPath, "_SUCCESS")) => Some(n.toInt)
-          case _ => None
-        }
-    }.flatten.sorted
-  }
-
-  /** The current state of a [[maintainAggregate]] table. The frame is
-    * LAZY over the newest committed `t<id>` state, and the maintainer
-    * retains only that state plus its predecessor — so act on the
-    * result within one maintenance epoch of reading it (or persist/
-    * collect it) if the maintainer is running concurrently; a reader
-    * that lags two epochs behind a fast commit cadence can lose its
-    * files mid-job. */
+  /** The current state of a [[maintainAggregate]] table: a LAZY
+    * snapshot-lake read of the newest committed state (bucket column
+    * dropped). Snapshot-isolated — the resolved manifest's generations
+    * survive `graft.lake.ivm.keepSnapshots` (default 10) further
+    * maintenance epochs before GC can reclaim them, so act on the
+    * result within that window (or persist/collect it) when the
+    * maintainer runs concurrently. Time travel over the state's own
+    * history: `readSnapshot(spark, tableDir, asOf = …)`. */
   def readAggregate(spark: org.apache.spark.sql.SparkSession,
                     tableDir: String): DataFrame = {
-    val td = new org.apache.hadoop.fs.Path(tableDir)
-    val fs = fsOf(spark, td)
-    val applied = appliedAggEpochs(fs, td)
-    require(applied.nonEmpty,
+    require(currentSnapshotId(spark, tableDir).nonEmpty,
       s"$tableDir holds no committed aggregate state yet")
-    spark.read.parquet(
-      new org.apache.hadoop.fs.Path(td, s"t${applied.last}").toString)
+    readSnapshot(spark, tableDir).drop(IvmBucketCol)
   }
 
   /** Snapshot GC: keep the newest `keepSnapshots` manifests, delete

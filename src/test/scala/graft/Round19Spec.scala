@@ -497,7 +497,7 @@ class Round19Spec extends SparkTestBase {
   test("maintainAggregate: the production IVM face — maintained table " +
     "equals the full recompute, survives a restart mid-schedule, and a " +
     "fresh-checkpoint consumer re-delivering old epochs folds NOTHING " +
-    "twice (epoch dedup from committed t<id> states)") {
+    "twice (epoch dedup from the state lake's committed watermark)") {
     val root = freshDir("mntagg")
     val tableDir = freshDir("mntaggtbl")
     val base = (1L to 10L).map(i =>
@@ -537,16 +537,18 @@ class Round19Spec extends SparkTestBase {
     assert(maintained() == recompute(),
       "re-delivered epochs must be skipped, not double-counted")
     // the hard recovery: epochs GC'd past the maintainer's STALE state
-    // (it died before committing t3), fresh checkpoint — the bootstrap
-    // at the oldest kept epoch must REPLACE the stale table, because
-    // folding a full snapshot onto it would double-count every
-    // carried row
+    // (rolled back to the watermark-2 fold — the maintainer-sanctioned
+    // way state goes stale), fresh checkpoint — the bootstrap at the
+    // oldest kept epoch must REPLACE the stale table, because folding
+    // a full snapshot onto it would double-count every carried row
     Lakehouse.mergeSnapshot(spark, root,
       base.filter(col("id") === 4L).withColumn("len", lit(999L)),
       Seq("id"), "p")
     Lakehouse.snapshotGc(spark, root, keepSnapshots = 2) // keeps 3,4
-    fsOf(tableDir).delete(
-      new org.apache.hadoop.fs.Path(tableDir, "t3"), true) // stale: t2
+    val staleId = (1 to Lakehouse.currentSnapshotId(spark, tableDir).get)
+      .find(sid => Lakehouse.snapshotProps(spark, tableDir, Some(sid))
+        .get(Lakehouse.IvmEpochProp).contains("2")).get
+    Lakehouse.rollbackSnapshot(spark, tableDir, staleId)
     val q4 = Lakehouse.maintainAggregate(spark, root, Seq("id"),
       Seq("lang"), Seq("len"), tableDir, freshDir("mntaggckpt3"))
     try q4.processAllAvailable() finally q4.stop()
@@ -567,12 +569,10 @@ class Round19Spec extends SparkTestBase {
         Seq("lang"), Seq("len"), tableDir, freshDir("mntaggx2"))
     }
     // checkpoint/tableDir desync is loud: an old checkpoint resumes at
-    // a DELTA epoch but the table's committed states were cleared —
+    // a DELTA epoch but the table's committed state was cleared —
     // folding onto empty would serve a plausible but WRONG table
     val fsT = fsOf(tableDir)
-    fsT.listStatus(new org.apache.hadoop.fs.Path(tableDir))
-      .filter(_.getPath.getName.startsWith("t"))
-      .foreach(st => fsT.delete(st.getPath, true))
+    fsT.delete(new org.apache.hadoop.fs.Path(tableDir), true)
     val q5 = Lakehouse.maintainAggregate(spark, root, Seq("id"),
       Seq("lang"), Seq("len"), tableDir, ckpt)
     val de = intercept[Throwable] {
