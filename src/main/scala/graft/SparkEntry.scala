@@ -1810,6 +1810,56 @@ object SparkEntry {
         .select(col("lang"), col("n_rows"), col("sum_len"))
         .orderBy("lang")
     }),
+    // MIN/MAX IVM by affected-group recompute: the maintainer's epochs
+    // DELETE every lang's maximum-length doc (ties included — the case
+    // a monotone fold cannot express) and then MOVE every lang's
+    // remaining minimum to lang 'zz' (the old group loses its min, the
+    // new one gains rows); only the affected groups re-aggregate from
+    // the snapshot, and the maintained table must equal a full
+    // groupBy min/max recompute of the final state
+    "lake_ivm_minmax" -> ((s, d) => {
+      val base0 =
+        s"/tmp/graft_lake_ivm_minmax/${new java.io.File(d).getName}"
+      val p0 = new org.apache.hadoop.fs.Path(base0)
+      p0.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p0, true)
+      val root = s"$base0/lake"
+      val tableDir = s"$base0/agg"
+      val L = _root_.graft.pipeline.Lakehouse
+      val docs = T(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("len"),
+          (col("doc_id") % 3).cast("int").as("p"))
+      L.commitSnapshot(s, root,
+        (0 to 2).map(i => s"p=$i" -> docs.filter(col("p") === i)))
+      val q = L.maintainAggregate(s, root, Seq("doc_id"), Seq("lang"),
+        Seq("len"), tableDir, s"$base0/ckpt",
+        minCols = Seq("len"), maxCols = Seq("len"))
+      try {
+        q.processAllAvailable() // bootstrap
+        // epoch 2: delete every row holding its lang's MAX len
+        val maxes = L.readSnapshot(s, root).groupBy("lang")
+          .agg(max(col("len")).as("m")).collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+        L.deleteSnapshot(s, root, maxes.map { case (l, m) =>
+          col("lang") === l && col("len") === m }.reduce(_ || _))
+        q.processAllAvailable()
+        // epoch 3: move every row holding its lang's (new) MIN to 'zz'
+        val mins = L.readSnapshot(s, root).groupBy("lang")
+          .agg(min(col("len")).as("m")).collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+        val movePred = mins.map { case (l, m) =>
+          col("lang") === l && col("len") === m }.reduce(_ || _)
+        L.mergeSnapshot(s, root,
+          L.readSnapshot(s, root).filter(movePred)
+            .withColumn("lang", lit("zz")),
+          Seq("doc_id"), "p")
+        q.processAllAvailable()
+      } finally q.stop()
+      L.readAggregate(s, tableDir)
+        .select(col("lang"), col("n_rows"), col("sum_len"),
+          col("min_len"), col("max_len"))
+        .orderBy("lang")
+    }),
     // REBASE: main advances (disjoint-key update) after the branch
     // forks; fastForward would refuse, rebaseBranch replays the branch's
     // pending I/U/D onto the new head, then the fast-forward publishes —
@@ -3607,6 +3657,30 @@ object SparkEntry {
         |SELECT lang, count(*) AS n_rows,
         |  CAST(sum(len) AS BIGINT) AS sum_len
         |FROM fin GROUP BY lang ORDER BY lang""".stripMargin,
+    // MIN/MAX maintenance: epoch 2 deletes every lang's max-length rows
+    // (ties included), epoch 3 moves every lang's remaining min rows to
+    // lang 'zz'; the maintained table equals the final recompute
+    "lake_ivm_minmax" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS len
+        |  FROM documents),
+        |v2 AS (
+        |  SELECT a.* FROM v1 a
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM (SELECT lang, max(len) AS m FROM v1
+        |                   GROUP BY lang) b
+        |    WHERE a.lang = b.lang AND a.len = b.m)),
+        |mins AS (SELECT lang, min(len) AS m FROM v2 GROUP BY lang),
+        |v3 AS (
+        |  SELECT v2.doc_id,
+        |    CASE WHEN v2.len = mins.m THEN 'zz' ELSE v2.lang END AS lang,
+        |    v2.len
+        |  FROM v2 LEFT JOIN mins ON v2.lang = mins.lang)
+        |SELECT lang, count(*) AS n_rows,
+        |  CAST(sum(len) AS BIGINT) AS sum_len,
+        |  CAST(min(len) AS BIGINT) AS min_len,
+        |  CAST(max(len) AS BIGINT) AS max_len
+        |FROM v3 GROUP BY lang ORDER BY lang""".stripMargin,
     // rebase + fast-forward: main's disjoint fix survives, the branch's
     // merged (%10==0 → 'revised'), inserted (%13==0 keys +10M) and
     // deleted (%11==3) intent replays on top

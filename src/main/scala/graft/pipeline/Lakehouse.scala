@@ -3114,21 +3114,42 @@ object Lakehouse {
     * `id <= lastApplied` — epoch ids are dense and ordered by the
     * commit protocol, so this one integer is a complete dedup. */
   def aggregateDelta(changes: DataFrame, groupCols: Seq[String],
-                     sumCols: Seq[String]): DataFrame = {
+                     sumCols: Seq[String], minCols: Seq[String] = Nil,
+                     maxCols: Seq[String] = Nil): DataFrame = {
     require(groupCols.nonEmpty, "aggregateDelta needs group columns")
+    // MIN/MAX are not additive: the delta can only report, per group,
+    // the best INCOMING value (foldable monotonically) and the best
+    // OUTGOING one (which tells the merge half whether the stored
+    // extremum may have left — the affected-group recompute trigger).
+    // A row contributes to the outgoing side only when it actually
+    // left the group or changed value (D; U that moved groups; U that
+    // changed the value) — an unrelated update must not flag a
+    // recompute of an extremum that never moved.
+    val mm = (minCols ++ maxCols).distinct
+    def typ(c: String) = changes.schema(s"old_$c").dataType
+    val unmoved = groupCols.map(g => col(s"old_$g") <=> col(s"new_$g"))
+      .reduce(_ && _)
     val minus = changes
       .filter(col("change_type").isin("U", "D"))
       .select(groupCols.map(c => col(s"old_$c").as(c)) ++
         sumCols.map(c => (-col(s"old_$c")).as(s"d_$c")) ++
         sumCols.map(c => when(col(s"old_$c").isNotNull, -1L)
-          .otherwise(0L).as(s"dn_$c")) :+
+          .otherwise(0L).as(s"dn_$c")) ++
+        mm.map(c => when(col("change_type") === "D" || !unmoved ||
+          !(col(s"old_$c") <=> col(s"new_$c")), col(s"old_$c"))
+          .as(s"__out_$c")) ++
+        mm.map(c => lit(null).cast(typ(c)).as(s"__in_$c")) :+
         lit(-1L).as("d_rows"): _*)
     val plus = changes
       .filter(col("change_type").isin("I", "U"))
       .select(groupCols.map(c => col(s"new_$c").as(c)) ++
         sumCols.map(c => col(s"new_$c").as(s"d_$c")) ++
         sumCols.map(c => when(col(s"new_$c").isNotNull, 1L)
-          .otherwise(0L).as(s"dn_$c")) :+
+          .otherwise(0L).as(s"dn_$c")) ++
+        mm.map(c => when(col("change_type") === "I" || !unmoved ||
+          !(col(s"old_$c") <=> col(s"new_$c")), col(s"new_$c"))
+          .as(s"__in_$c")) ++
+        mm.map(c => lit(null).cast(typ(c)).as(s"__out_$c")) :+
         lit(1L).as("d_rows"): _*)
     minus.unionByName(plus)
       .groupBy(groupCols.map(col): _*)
@@ -3139,7 +3160,11 @@ object Lakehouse {
           // are all NULL must report sum=NULL, never 0 (additions
           // coalesce nulls away, so without this bookkeeping the
           // maintained table would drift from a full recompute)
-          sumCols.map(c => sum(col(s"dn_$c")).as(s"dn_$c")): _*)
+          sumCols.map(c => sum(col(s"dn_$c")).as(s"dn_$c")) ++
+          minCols.map(c => min(col(s"__in_$c")).as(s"in_min_$c")) ++
+          minCols.map(c => min(col(s"__out_$c")).as(s"out_min_$c")) ++
+          maxCols.map(c => max(col(s"__in_$c")).as(s"in_max_$c")) ++
+          maxCols.map(c => max(col(s"__out_$c")).as(s"out_max_$c")): _*)
   }
 
   /** Incremental VIEW MAINTENANCE, merge half: fold one epoch's
@@ -3158,7 +3183,34 @@ object Lakehouse {
     * (all-`I` changes ARE the initial aggregate). */
   def applyAggregateDelta(agg: DataFrame, delta: DataFrame,
                           groupCols: Seq[String],
-                          sumCols: Seq[String]): DataFrame = {
+                          sumCols: Seq[String],
+                          minCols: Seq[String] = Nil,
+                          maxCols: Seq[String] = Nil,
+                          snapshot: Option[DataFrame] = None): DataFrame = {
+    val folded = foldAggregate(agg, delta, groupCols, sumCols,
+      minCols, maxCols)
+    if (minCols.isEmpty && maxCols.isEmpty) return folded
+    // MIN/MAX cannot always fold: a delete or group-move that removes
+    // a group's extremum needs the affected groups re-aggregated from
+    // the POST-epoch snapshot (only those groups, pushdown-pruned)
+    require(snapshot.isDefined,
+      "maintaining MIN/MAX needs the post-epoch snapshot for the " +
+        "affected-group recompute — pass snapshot = Some(readSnapshot" +
+        "(spark, root, asOf = Some(<the epoch folded>)))")
+    resolveExtrema(folded, snapshot.get, groupCols, minCols, maxCols)
+      .getOrElse(folded.drop(rcFlagNames(minCols, maxCols): _*))
+  }
+
+  /** The fold half of [[applyAggregateDelta]]: null-safe full-outer on
+    * the group key, additive COUNT/SUM, tentative MIN/MAX (monotone
+    * `least`/`greatest` with the epoch's incoming values) plus one
+    * `__rc_min_<c>`/`__rc_max_<c>` flag per extremum column marking
+    * groups whose STORED extremum may have left (an outgoing value
+    * reached it) — the affected set [[resolveExtrema]] recomputes. */
+  private def foldAggregate(agg: DataFrame, delta: DataFrame,
+                            groupCols: Seq[String], sumCols: Seq[String],
+                            minCols: Seq[String],
+                            maxCols: Seq[String]): DataFrame = {
     // loud migration guard: a maintained table persisted by a build
     // without the nn_<c> bookkeeping cannot be folded correctly (its
     // all-null groups are indistinguishable from zero-sum ones) — name
@@ -3168,6 +3220,16 @@ object Lakehouse {
         "table persisted by a pre-nn build must be backfilled once " +
         s"(nn_$c = count of non-null '$c' per group, recomputed from " +
         "the snapshot the table currently reflects) before folding"))
+    // same discipline for extremum columns added AFTER the table was
+    // first maintained: backfill once, never guess
+    (minCols.map("min_" -> _) ++ maxCols.map("max_" -> _)).foreach {
+      case (pfx, c) => require(agg.columns.contains(s"$pfx$c"),
+        s"maintained aggregate lacks extremum column '$pfx$c' — a " +
+          s"column added to minCols/maxCols after the table was first " +
+          s"maintained must be backfilled once ($pfx$c = " +
+          s"${pfx.stripSuffix("_")}('$c') per group, recomputed from " +
+          "the snapshot the table currently reflects) before folding")
+    }
     val a = agg.alias("a")
     val d = delta.alias("d")
     val on = groupCols.map(c => col(s"a.$c") <=> col(s"d.$c"))
@@ -3192,8 +3254,97 @@ object Lakehouse {
             .cast(agg.schema(s"sum_$c").dataType).as(s"sum_$c")
         } ++
         sumCols.map(c => (coalesce(col(s"a.nn_$c"), lit(0L)) +
-          coalesce(col(s"d.dn_$c"), lit(0L))).as(s"nn_$c")): _*)
+          coalesce(col(s"d.dn_$c"), lit(0L))).as(s"nn_$c")) ++
+        // least/greatest skip nulls, exactly the MIN/MAX null contract
+        minCols.map(c =>
+          least(col(s"a.min_$c"), col(s"d.in_min_$c")).as(s"min_$c")) ++
+        maxCols.map(c =>
+          greatest(col(s"a.max_$c"), col(s"d.in_max_$c")).as(s"max_$c")) ++
+        minCols.map(c => (col(s"a.min_$c").isNotNull &&
+          col(s"d.out_min_$c").isNotNull &&
+          col(s"d.out_min_$c") <= col(s"a.min_$c")).as(s"__rc_min_$c")) ++
+        maxCols.map(c => (col(s"a.max_$c").isNotNull &&
+          col(s"d.out_max_$c").isNotNull &&
+          col(s"d.out_max_$c") >= col(s"a.max_$c")).as(s"__rc_max_$c"))
+        : _*)
       .filter(col("n_rows") > 0L)
+  }
+
+  private def rcFlagNames(minCols: Seq[String],
+                          maxCols: Seq[String]): Seq[String] =
+    minCols.map(c => s"__rc_min_$c") ++ maxCols.map(c => s"__rc_max_$c")
+
+  /** The recompute half of MIN/MAX maintenance: collect the groups a
+    * fold flagged (bounded by the groups whose extremum LEFT this
+    * epoch — the same driver-bounded class as a commit's touched
+    * partitions), re-aggregate ONLY those from the snapshot, and patch
+    * them into the fold. None = nothing flagged, the caller just drops
+    * the flags. The snapshot scan carries an `isin` pre-filter over the
+    * affected group values, so manifest stats and parquet row groups
+    * prune to the files that can hold those groups; exactness comes
+    * from the null-safe semi join behind it. */
+  private def resolveExtrema(folded: DataFrame, snapshot: DataFrame,
+                             groupCols: Seq[String], minCols: Seq[String],
+                             maxCols: Seq[String]): Option[DataFrame] = {
+    val anyRc = rcFlagNames(minCols, maxCols).map(col).reduce(_ || _)
+    val affected = folded.filter(anyRc).select(groupCols.map(col): _*)
+    val tuples = affected.distinct().collect()
+    if (tuples.isEmpty) return None
+    val rec = recomputeExtrema(snapshot, tuples, affected.schema,
+      groupCols, minCols, maxCols)
+    Some(patchExtrema(folded, rec, groupCols, minCols, maxCols))
+  }
+
+  /** min/max of every extremum column for exactly the `tuples` groups,
+    * re-aggregated from `snapshot` — `rec_min_<c>`/`rec_max_<c>`. */
+  private def recomputeExtrema(snapshot: DataFrame,
+                               tuples: Array[org.apache.spark.sql.Row],
+                               affSchema: org.apache.spark.sql.types.StructType,
+                               groupCols: Seq[String],
+                               minCols: Seq[String],
+                               maxCols: Seq[String]): DataFrame = {
+    val spark = snapshot.sparkSession
+    // pushdown pre-filter: per group column, IN over its affected
+    // values (NULL groups via isNull) — a sound superset the scan can
+    // prune on; the semi join below restores tuple-exactness
+    val pre = groupCols.zipWithIndex.map { case (g, i) =>
+      val vs = tuples.map(_.get(i)).toSeq.distinct
+      val nonNull = vs.filter(_ != null)
+      val base =
+        if (nonNull.isEmpty) lit(false) else col(g).isin(nonNull: _*)
+      if (vs.contains(null)) base || col(g).isNull else base
+    }.reduce(_ && _)
+    val aff = spark.createDataFrame(
+      spark.sparkContext.parallelize(tuples.toIndexedSeq, 1), affSchema)
+    val on = groupCols.map(g => col(s"s.$g") <=> col(s"a2.$g"))
+      .reduce(_ && _)
+    val aggs = minCols.map(c => min(col(c)).as(s"rec_min_$c")) ++
+      maxCols.map(c => max(col(c)).as(s"rec_max_$c"))
+    snapshot.filter(pre).alias("s")
+      .join(broadcast(aff.alias("a2")), on, "left_semi")
+      .groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Replace flagged groups' tentative extrema with the recomputed
+    * truth; drop the flags. */
+  private def patchExtrema(folded: DataFrame, rec: DataFrame,
+                           groupCols: Seq[String], minCols: Seq[String],
+                           maxCols: Seq[String]): DataFrame = {
+    val f = folded.alias("f")
+    val r = rec.alias("r")
+    val on = groupCols.map(g => col(s"f.$g") <=> col(s"r.$g"))
+      .reduce(_ && _)
+    val carried = folded.columns.toSeq
+      .filterNot(rcFlagNames(minCols, maxCols).contains)
+      .filterNot(c => minCols.exists(m => c == s"min_$m") ||
+        maxCols.exists(m => c == s"max_$m"))
+    f.join(r, on, "left_outer")
+      .select(carried.map(c => col(s"f.$c").as(c)) ++
+        minCols.map(c => when(col(s"f.__rc_min_$c"), col(s"r.rec_min_$c"))
+          .otherwise(col(s"f.min_$c")).as(s"min_$c")) ++
+        maxCols.map(c => when(col(s"f.__rc_max_$c"), col(s"r.rec_max_$c"))
+          .otherwise(col(s"f.max_$c")).as(s"max_$c")): _*)
   }
 
   /** The empty maintained-aggregate table for
@@ -3201,11 +3352,14 @@ object Lakehouse {
     * sample so `sum_<c>` carries exactly the widened type Spark's own
     * `sum` would give a full recompute. */
   def emptyAggregate(sample: DataFrame, groupCols: Seq[String],
-                     sumCols: Seq[String]): DataFrame =
+                     sumCols: Seq[String], minCols: Seq[String] = Nil,
+                     maxCols: Seq[String] = Nil): DataFrame =
     sample.limit(0).groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
         sumCols.map(c => sum(col(c)).as(s"sum_$c")) ++
-          sumCols.map(c => count(col(c)).as(s"nn_$c")): _*)
+          sumCols.map(c => count(col(c)).as(s"nn_$c")) ++
+          minCols.map(c => min(col(c)).as(s"min_$c")) ++
+          maxCols.map(c => max(col(c)).as(s"max_$c")): _*)
 
   /** Manifest property carrying the last SOURCE epoch folded into a
     * [[maintainAggregate]] state lake — the watermark rides the SAME
@@ -3253,8 +3407,10 @@ object Lakehouse {
     * empty rewrites of stale buckets); untouched buckets' manifest
     * entries carry over without a byte of I/O. */
   private[graft] def ivmFold(spark: org.apache.spark.sql.SparkSession,
+                             root: String, branch: String,
                              tableDir: String, groupCols: Seq[String],
-                             sumCols: Seq[String], id: Int,
+                             sumCols: Seq[String], minCols: Seq[String],
+                             maxCols: Seq[String], id: Int,
                              isBootstrap: Boolean, diff: DataFrame,
                              buckets: Int): Unit = {
     val (stateId, last) = ivmLastEpoch(spark, tableDir)
@@ -3277,13 +3433,14 @@ object Lakehouse {
           "with a fresh checkpoint, or re-deliver the missing epochs")
     }
     val td = new org.apache.hadoop.fs.Path(tableDir)
-    val delta = aggregateDelta(diff, groupCols, sumCols)
+    val delta = aggregateDelta(diff, groupCols, sumCols, minCols, maxCols)
       .withColumn(IvmBucketCol,
         pmod(xxhash64(groupCols.map(col): _*), lit(buckets.toLong)))
     // pin the delta ONCE: the per-bucket fan-out and the touched-bucket
     // collect below must not re-run the upstream diff plan per bucket
     // (the mergeSnapshot delta-pinning rationale)
     delta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var recPinned: Option[DataFrame] = None
     try {
       // bounded by min(changed groups, buckets) — never rows
       val touched: Seq[Long] = delta.select(col(IvmBucketCol)).distinct()
@@ -3296,9 +3453,10 @@ object Lakehouse {
       val replace = isBootstrap || stateId.isEmpty
       def emptyState = {
         // type the empty table from the delta's own new_* columns
-        val sample = diff.select((groupCols ++ sumCols).distinct
-          .map(c => col(s"new_$c").as(c)): _*)
-        emptyAggregate(sample, groupCols, sumCols)
+        val sample = diff.select(
+          (groupCols ++ sumCols ++ minCols ++ maxCols).distinct
+            .map(c => col(s"new_$c").as(c)): _*)
+        emptyAggregate(sample, groupCols, sumCols, minCols, maxCols)
       }
       val touchedRels = touched.map(v => s"$IvmBucketCol=$v")
       val folds = touched.zip(touchedRels).map { case (v, rel) =>
@@ -3309,10 +3467,39 @@ object Lakehouse {
               readPart(spark, man.get, dataDir(td, rel, gen).toString)
             case None => emptyState // first group hashed into this bucket
           }
-        rel -> applyAggregateDelta(cur,
-          delta.filter(col(IvmBucketCol) === v), groupCols, sumCols)
-          .withColumn(IvmBucketCol, lit(v))
+        (v, rel, foldAggregate(cur,
+          delta.filter(col(IvmBucketCol) === v), groupCols, sumCols,
+          minCols, maxCols))
       }
+      // MIN/MAX resolution is SHARED across buckets: ONE affected-set
+      // collect over all folds and ONE pushdown-pruned recompute scan
+      // of the post-epoch snapshot — never a snapshot scan per bucket
+      val flagNames = rcFlagNames(minCols, maxCols)
+      val patched: Seq[(String, DataFrame)] =
+        if (flagNames.isEmpty)
+          folds.map { case (v, rel, f) =>
+            rel -> f.withColumn(IvmBucketCol, lit(v)) }
+        else {
+          val anyRc = flagNames.map(col).reduce(_ || _)
+          val affected = folds.map { case (_, _, f) =>
+            f.filter(anyRc).select(groupCols.map(col): _*) }
+            .reduce(_.unionByName(_))
+          val tuples = affected.distinct().collect()
+          if (tuples.isEmpty)
+            folds.map { case (v, rel, f) =>
+              rel -> f.drop(flagNames: _*)
+                .withColumn(IvmBucketCol, lit(v)) }
+          else {
+            val rec = recomputeExtrema(
+              readSnapshot(spark, root, asOf = Some(id), branch = branch),
+              tuples, affected.schema, groupCols, minCols, maxCols)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            recPinned = Some(rec)
+            folds.map { case (v, rel, f) =>
+              rel -> patchExtrema(f, rec, groupCols, minCols, maxCols)
+                .withColumn(IvmBucketCol, lit(v)) }
+          }
+        }
       // a bootstrap REPLACE must also empty out stale buckets the new
       // snapshot no longer populates — a carried-over bucket would
       // resurrect pre-GC groups
@@ -3321,7 +3508,7 @@ object Lakehouse {
         else man.map(_.mapping.keySet -- touchedRels).getOrElse(
           Set.empty[String]).toSeq.sorted.map(rel =>
           rel -> emptyState.withColumn(IvmBucketCol, lit(0L)).limit(0))
-      val writes = folds ++ stale
+      val writes = patched ++ stale
       val props = Map(IvmEpochProp -> id.toString)
       if (writes.isEmpty) {
         // an epoch whose diff folds to zero group deltas (a content-
@@ -3351,7 +3538,10 @@ object Lakehouse {
       // layout); 0 disables so an operator can own the GC cadence
       val keep = spark.conf.get("graft.lake.ivm.keepSnapshots", "10").toInt
       if (keep > 0) { snapshotGc(spark, tableDir, keep); () }
-    } finally delta.unpersist(blocking = false)
+    } finally {
+      recPinned.foreach(_.unpersist(blocking = false))
+      delta.unpersist(blocking = false)
+    }
   }
 
   /** The PRODUCTION face of IVM-over-the-feed: a continuously
@@ -3369,6 +3559,16 @@ object Lakehouse {
     * `graft.lake.ivm.keepSnapshots` epochs (default 10), and time
     * travel over the state's own history comes free.
     *
+    * Beyond the additive COUNT/SUM family (AVG = sum/count
+    * downstream), `minCols`/`maxCols` maintain per-group MIN/MAX by
+    * AFFECTED-GROUP RECOMPUTE: incoming values fold monotonically, and
+    * only the groups whose stored extremum may have LEFT in an epoch
+    * (a delete or group-move reaching it) re-aggregate from the
+    * post-epoch snapshot — one pushdown-pruned scan per epoch, never a
+    * re-aggregation of untouched groups. Pass the SAME column sets
+    * every epoch (a column added later must be backfilled once — the
+    * fold names the recipe).
+    *
     * Scale regime: group cardinality is bounded only by the bucket
     * layout — size `graft.lake.ivm.stateBuckets` (default 16, pinned
     * at table creation) so ONE bucket's groups fit an executor
@@ -3379,23 +3579,26 @@ object Lakehouse {
                         root: String, keys: Seq[String],
                         groupCols: Seq[String], sumCols: Seq[String],
                         tableDir: String, checkpointLocation: String,
-                        branch: String = MainBranch)
+                        branch: String = MainBranch,
+                        minCols: Seq[String] = Nil,
+                        maxCols: Seq[String] = Nil)
   : org.apache.spark.sql.streaming.StreamingQuery = {
     // eager argument validation — a bad column must fail HERE, not as
     // an AnalysisException inside the stream thread three layers down
     require(groupCols.nonEmpty, "maintainAggregate needs group columns")
-    val keyOverlap = (groupCols ++ sumCols).toSet.intersect(keys.toSet)
+    val keyOverlap = (groupCols ++ sumCols ++ minCols ++ maxCols).toSet
+      .intersect(keys.toSet)
     require(keyOverlap.isEmpty,
-      s"group/sum columns ${keyOverlap.mkString(", ")} are KEY columns " +
-        "— the changes frame carries keys bare (no old_/new_ faces), " +
-        "so they cannot be grouped or summed; aggregate over non-key " +
-        "payload columns")
+      s"group/sum/min/max columns ${keyOverlap.mkString(", ")} are KEY " +
+        "columns — the changes frame carries keys bare (no old_/new_ " +
+        "faces), so they cannot be grouped or aggregated; aggregate " +
+        "over non-key payload columns")
     // eager SCHEMA validation: the lineage must exist before the
     // stream starts, so one (cached) manifest read resolves the
     // committed schema — a typo'd column is named HERE, synchronously
     manifestAt(spark, root, None, branch).schema.foreach { sc =>
-      val missing = (keys ++ groupCols ++ sumCols).distinct
-        .filterNot(sc.fieldNames.contains)
+      val missing = (keys ++ groupCols ++ sumCols ++ minCols ++ maxCols)
+        .distinct.filterNot(sc.fieldNames.contains)
       require(missing.isEmpty,
         s"column(s) ${missing.mkString(", ")} not in the committed " +
           s"schema of $root (${sc.fieldNames.mkString(", ")})")
@@ -3403,6 +3606,11 @@ object Lakehouse {
         sc(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
         s"sum column '$c' is ${sc(c).dataType.simpleString} — SUM " +
           "maintains numeric columns only"))
+      (minCols ++ maxCols).distinct.foreach(c => require(
+        org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(sc(c).dataType),
+        s"min/max column '$c' is ${sc(c).dataType.simpleString} — " +
+          "MIN/MAX maintain orderable columns only"))
     }
     val td = new org.apache.hadoop.fs.Path(tableDir)
     val fs = fsOf(spark, td)
@@ -3437,8 +3645,8 @@ object Lakehouse {
     }
     changesStreamEpochs(spark, root, keys, checkpointLocation, branch) {
       (id, isBootstrap, diff) =>
-        ivmFold(spark, tableDir, groupCols, sumCols, id, isBootstrap,
-          diff, buckets)
+        ivmFold(spark, root, branch, tableDir, groupCols, sumCols,
+          minCols, maxCols, id, isBootstrap, diff, buckets)
     }
   }
 
@@ -4077,7 +4285,40 @@ private final class ManifestFileIndex(
     case LessThanOrEqual(Literal(v, dt), AttrCast(a)) =>
       bound(a.name, dt, v).map(b =>
         Lakehouse.ColRange(a.name, lower = Some(b))).toSeq
+    // IN prunes by the ENVELOPE [min(values), max(values)] — a sound
+    // range relaxation (a file whose [min,max] misses the envelope can
+    // hold no member); null members never match anything, so they drop
+    // from the envelope rather than disabling it. This is what makes an
+    // affected-group recompute (isin over the changed group keys) open
+    // only the files that can hold those groups.
+    case In(c @ AttrCast(a), vs)
+      if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+      val nonNull = vs.collect {
+        case Literal(v, dt) if v != null => (v, dt) }
+      envelope(a.name, nonNull)
+    case InSet(c @ AttrCast(a), hset) if hset.nonEmpty =>
+      envelope(a.name,
+        hset.toSeq.filter(_ != null).map(v => (v, c.dataType)))
     case _ => Nil
+  }
+
+  /** [min,max] envelope of IN-list members, as one [[Lakehouse.ColRange]].
+    * Members must share one type and every one must convert to a stats
+    * bound; otherwise no pruning (safe). */
+  private def envelope(name: String,
+                       values: Seq[(Any, org.apache.spark.sql.types
+                         .DataType)]): Seq[Lakehouse.ColRange] = {
+    if (values.isEmpty) return Nil
+    val dt = values.head._2
+    if (!values.forall(_._2 == dt)) return Nil
+    val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(dt)
+    val vs = values.map(_._1)
+    (bound(name, dt, vs.min(ord)), bound(name, dt, vs.max(ord))) match {
+      case (Some(lo), Some(hi)) =>
+        Seq(Lakehouse.ColRange(name, Some(lo), Some(hi)))
+      case _ => Nil
+    }
   }
 
   /** Catalyst INTERNAL literal → a [[Lakehouse.StatsCodec]] bound. Exact

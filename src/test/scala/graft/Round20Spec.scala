@@ -168,21 +168,25 @@ class Round20Spec extends SparkTestBase {
     // a gapped delivery (epoch 3 after watermark 1) must throw, naming
     // the missing range — NOT fold a plausibly-shaped wrong table
     val gap = intercept[IllegalStateException] {
-      Lakehouse.ivmFold(spark, tableDir, Seq("lang"), Seq("len"),
+      Lakehouse.ivmFold(spark, root, "", tableDir, Seq("lang"),
+        Seq("len"), Nil, Nil,
         3, isBootstrap = false, diffOf(3), 16)
     }
     assert(gap.getMessage.contains("2..2"),
       s"the gap guard must name the missing epochs: ${gap.getMessage}")
     // dense delivery folds; an at-least-once REPLAY of epoch 2 is a
     // no-op (the watermark rode epoch 2's own commit)
-    Lakehouse.ivmFold(spark, tableDir, Seq("lang"), Seq("len"),
+    Lakehouse.ivmFold(spark, root, "", tableDir, Seq("lang"),
+        Seq("len"), Nil, Nil,
       2, isBootstrap = false, diffOf(2), 16)
     val m2 = Lakehouse.currentManifest(spark, tableDir)
-    Lakehouse.ivmFold(spark, tableDir, Seq("lang"), Seq("len"),
+    Lakehouse.ivmFold(spark, root, "", tableDir, Seq("lang"),
+        Seq("len"), Nil, Nil,
       2, isBootstrap = false, diffOf(2), 16)
     assert(Lakehouse.currentManifest(spark, tableDir) == m2,
       "a replayed epoch must not commit anything")
-    Lakehouse.ivmFold(spark, tableDir, Seq("lang"), Seq("len"),
+    Lakehouse.ivmFold(spark, root, "", tableDir, Seq("lang"),
+        Seq("len"), Nil, Nil,
       3, isBootstrap = false, diffOf(3), 16)
     val got = Lakehouse.readAggregate(spark, tableDir)
       .orderBy("lang").collect()
@@ -199,7 +203,8 @@ class Round20Spec extends SparkTestBase {
         .filter(col(Lakehouse.IvmBucketCol) === 0L)))
     Lakehouse.deleteSnapshot(spark, root, col("id") === 3L) // epoch 4
     val foreign = intercept[IllegalStateException] {
-      Lakehouse.ivmFold(spark, tableDir, Seq("lang"), Seq("len"),
+      Lakehouse.ivmFold(spark, root, "", tableDir, Seq("lang"),
+        Seq("len"), Nil, Nil,
         4, isBootstrap = false, diffOf(4), 16)
     }
     assert(foreign.getMessage.contains("outside maintainAggregate"),
@@ -305,5 +310,157 @@ class Round20Spec extends SparkTestBase {
       assert(rebucket.getMessage.contains("stateBuckets"),
         s"wrong bucket-count failure: ${rebucket.getMessage}")
     } finally spark.conf.unset("graft.lake.ivm.stateBuckets")
+  }
+
+  // ---- MIN/MAX maintenance by affected-group recompute --------------------
+
+  test("MIN/MAX IVM equals the full recompute through tie-preserving " +
+    "extremum deletes, group-moves of a minimum, null→value updates, " +
+    "in-place extremum changes, and group drops — the non-additive " +
+    "cases a monotone fold alone cannot express") {
+    val gc = Seq("lang")
+    val sc = Seq("len")
+    def full(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("lang").agg(count(lit(1)).as("n_rows"),
+        sum(col("len")).as("sum_len"), min(col("len")).as("min_len"),
+        max(col("len")).as("max_len"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("lang", "n_rows", "sum_len", "min_len", "max_len")
+        .orderBy("lang").collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSeq
+    val v1 = Seq[(Long, String, java.lang.Long)](
+      (1L, "en", 10L), (2L, "en", 20L), (7L, "en", 20L), // tied max
+      (3L, "de", 30L), (4L, "de", 5L),
+      (5L, "fr", 40L),
+      (6L, "nl", null), (8L, "nl", null)).toDF("id", "lang", "len")
+    // v2: delete 2 (one of en's TIED maxes — the recompute must find
+    // the survivor, a naive "max left, recompute from delta" cannot);
+    // move 4 de→en (de loses its min, en gains a new one); update 3
+    // in place 30→29 (de's max leaves by VALUE change, not delete);
+    // delete 5 (fr reaches zero rows and drops); update 8 null→7 (an
+    // all-null group's extrema become real)
+    val v2 = Seq[(Long, String, java.lang.Long)](
+      (1L, "en", 10L), (7L, "en", 20L), (4L, "en", 5L),
+      (3L, "de", 29L),
+      (6L, "nl", null), (8L, "nl", 7L)).toDF("id", "lang", "len")
+    val boot = v1.select(col("id"), lit("I").as("change_type"),
+      lit(null).cast("string").as("old_lang"), col("lang").as("new_lang"),
+      lit(null).cast("long").as("old_len"), col("len").as("new_len"))
+    val mm = Seq("len")
+    val agg1 = Lakehouse.applyAggregateDelta(
+      Lakehouse.emptyAggregate(v1, gc, sc, mm, mm),
+      Lakehouse.aggregateDelta(boot, gc, sc, mm, mm), gc, sc, mm, mm,
+      snapshot = Some(v1))
+    assert(rows(agg1) == rows(full(v1)))
+    val diff = Lakehouse.snapshotDiff(v1, v2, Seq("id"),
+      Seq("lang", "len"))
+    val agg2 = Lakehouse.applyAggregateDelta(agg1,
+      Lakehouse.aggregateDelta(diff, gc, sc, mm, mm), gc, sc, mm, mm,
+      snapshot = Some(v2))
+    assert(rows(agg2) == rows(full(v2)), s"maintained=${rows(agg2)} " +
+      s"recomputed=${rows(full(v2))}")
+    assert(rows(agg2).exists { case (l, n, s, mn, mx) =>
+      l == "en" && n == 3 && mn.contains(5L) && mx.contains(20L) },
+      "tied-max delete must keep the surviving 20")
+    assert(!rows(agg2).exists(_._1 == "fr"), "zero-count group must drop")
+    // MIN/MAX without the snapshot to recompute from is refused loudly
+    val noSnap = intercept[IllegalArgumentException] {
+      Lakehouse.applyAggregateDelta(agg1,
+        Lakehouse.aggregateDelta(diff, gc, sc, mm, mm), gc, sc, mm, mm)
+    }
+    assert(noSnap.getMessage.contains("snapshot"))
+  }
+
+  test("the MIN/MAX recompute re-reads ONLY the affected groups' files: " +
+    "deleting one group's extremum scans that group's partition alone " +
+    "(isin pushdown + manifest stats), never the untouched groups") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.cofs.impl", classOf[CountingOpenFs].getName)
+    spark.conf.set("graft.lake.renameAtomicSchemes", "cofs")
+    try {
+      val root = s"cofs://${freshDir("ivmrcpt")}"
+      val tableDir = freshDir("ivmrcpttbl") // file://: opens not counted
+      val langs = Seq("de", "en", "fr")
+      val base = (1L to 60L).map(i =>
+        (i, langs((i % 3).toInt), i * 10L)).toDF("id", "lang", "len")
+      Lakehouse.commitSnapshot(spark, root,
+        langs.map(l => s"lang=$l" -> base.filter(col("lang") === l)),
+        statsCols = Seq("lang", "len"))
+      val boot = Lakehouse.readSnapshot(spark, root)
+        .select(col("id"), lit("I").as("change_type"),
+          lit(null).cast("string").as("old_lang"),
+          col("lang").as("new_lang"),
+          lit(null).cast("long").as("old_len"), col("len").as("new_len"))
+      val mm = Seq("len")
+      Lakehouse.ivmFold(spark, root, "", tableDir, Seq("lang"),
+        Seq("len"), mm, mm, 1, isBootstrap = true, boot, 8)
+      // epoch 2: delete de's maximum — only de is affected
+      val deMax = base.filter(col("lang") === "de")
+        .agg(max(col("len"))).head().getLong(0)
+      Lakehouse.deleteSnapshot(spark, root,
+        col("lang") === "de" && col("len") === deMax)
+      val diff2 = Lakehouse.snapshotChanges(spark, root, 1, 2, Seq("id"))
+      CountingOpenFs.opened.clear()
+      Lakehouse.ivmFold(spark, root, "", tableDir, Seq("lang"),
+        Seq("len"), mm, mm, 2, isBootstrap = false, diff2, 8)
+      val opened = CountingOpenFs.drain(".parquet")
+        .filter(_.contains("ivmrcpt/"))
+      assert(opened.nonEmpty, "the fold must read the changed partition")
+      assert(opened.forall(_.contains("lang=de")),
+        s"untouched groups' files were re-read: ${
+          opened.filterNot(_.contains("lang=de")).take(3)}")
+      // and the recompute found the surviving maximum
+      val de = Lakehouse.readAggregate(spark, tableDir)
+        .filter(col("lang") === "de")
+        .select("min_len", "max_len", "n_rows").head()
+      val want = Lakehouse.readSnapshot(spark, root)
+        .filter(col("lang") === "de")
+        .agg(min(col("len")), max(col("len")), count(lit(1))).head()
+      assert((de.getLong(0), de.getLong(1), de.getLong(2)) ==
+        (want.getLong(0), want.getLong(1), want.getLong(2)))
+    } finally {
+      spark.conf.unset("graft.lake.renameAtomicSchemes")
+    }
+  }
+
+  test("IN predicates prune snapshot files by the value ENVELOPE: an " +
+    "isin over a narrow key range opens only the files whose committed " +
+    "[min,max] intersects it — including the InSet form past the " +
+    "optimizer's In threshold") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.cofs.impl", classOf[CountingOpenFs].getName)
+    spark.conf.set("graft.lake.renameAtomicSchemes", "cofs")
+    try {
+      val root = s"cofs://${freshDir("inenv")}"
+      val base = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+        .repartitionByRange(4, col("id")) // 4 files, contiguous ranges
+      Lakehouse.commitSnapshot(spark, root, Seq("" -> base),
+        statsCols = Seq("id"))
+      def opens(f: org.apache.spark.sql.DataFrame => org.apache.spark
+        .sql.DataFrame): (Seq[Long], Int) = {
+        CountingOpenFs.opened.clear()
+        val got = f(Lakehouse.readSnapshot(spark, root))
+          .select("id").collect().map(_.getLong(0)).sorted.toSeq
+        (got, CountingOpenFs.drain(".parquet")
+          .count(_.contains("inenv/")))
+      }
+      val (all, openAll) = opens(identity)
+      assert(all.size == 100 && openAll == 4)
+      // In form (2 values, under the InSet threshold)
+      val (two, openTwo) = opens(_.filter(col("id").isin(5L, 7L)))
+      assert(two == Seq(5L, 7L) && openTwo == 1,
+        s"isin(5,7) must open 1 of 4 range files, opened $openTwo")
+      // InSet form (11 values > spark.sql.optimizer.inSetConversionThreshold)
+      val vs = (30L to 40L).map(java.lang.Long.valueOf)
+      val (eleven, openEleven) = opens(_.filter(col("id").isin(vs: _*)))
+      assert(eleven == (30L to 40L).toSeq && openEleven <= 2,
+        s"isin(30..40) must prune to the covering range files, " +
+          s"opened $openEleven of 4")
+    } finally {
+      spark.conf.unset("graft.lake.renameAtomicSchemes")
+    }
   }
 }
