@@ -114,6 +114,11 @@ object SparkEntry {
       "q_stream_er", "q_stream_golden", "q_stream_cdc_snapshot",
       "q_stream_changes_feed", "q_stream_lake_feed",
       "q_stream_lake_ivm",
+      // same streaming-harness class as q_stream_lake_ivm (drives the
+      // maintainAggregate stream three processAllAvailable rounds):
+      // trigger/poll latency, not engine throughput; the IVM fold's
+      // perf signal is the decade sweep in SCALE.md
+      "lake_ivm_minmax",
       // loopback-federation verification harnesses: each boots GraftServer
       // instances and pays the deploy-time wire probe (create_rdfmts
       // parity) inside the row — they verify the endpoint catalog path,
@@ -1697,13 +1702,18 @@ object SparkEntry {
       val root0 = s"/tmp/graft_lake_snap_cas/${new java.io.File(d).getName}"
       val p0 = new org.apache.hadoop.fs.Path(root0)
       p0.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p0, true)
-      val store = new _root_.graft.tools.MockObjectStore()
+      // the store REJECTS unauthenticated requests: every metadata put
+      // on the wire must carry the conf-driven auth header (the
+      // provider's decorate hook), or the whole pipeline 401s
+      val store = new _root_.graft.tools.MockObjectStore(
+        requireAuth = Some(("x-graft-auth", "gate-secret")))
       val base = store.start()
       s.sparkContext.hadoopConfiguration.set("fs.gos.impl",
         classOf[_root_.graft.tools.ObjectStoreFs].getName)
       s.conf.set("graft.lake.casProvider",
         classOf[_root_.graft.pipeline.HttpSnapshotCas].getName)
       s.conf.set("graft.lake.cas.http.base", base)
+      s.conf.set("graft.lake.cas.http.headers", "x-graft-auth: gate-secret")
       s.conf.set("graft.lake.manifestShardLines", "4")
       try {
         val root = s"gos:$root0"
@@ -1729,6 +1739,7 @@ object SparkEntry {
           rows.schema)
       } finally {
         s.conf.unset("graft.lake.manifestShardLines")
+        s.conf.unset("graft.lake.cas.http.headers")
         s.conf.unset("graft.lake.cas.http.base")
         s.conf.unset("graft.lake.casProvider")
         store.stop()

@@ -51,6 +51,30 @@ final class HttpSnapshotCas extends SnapshotCas {
     b.stripSuffix("/")
   }
 
+  /** Decorate every outgoing request — the AUTH extension point. The
+    * default applies `graft.lake.cas.http.headers` (session conf or
+    * `spark.hadoop.…`): `;;`-separated `Name: value` pairs, e.g.
+    * `Authorization: Bearer …;; x-ms-version: 2021-08-06` — enough for
+    * token/key schemes and signed proxies without a subclass. A
+    * provider over a store SDK overrides this with real per-request
+    * signing (SigV4 needs the body hash, so it belongs in an
+    * SDK-backed provider, not a static header). */
+  protected def decorate(c: java.net.HttpURLConnection,
+                         fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val hs = org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(s => scala.util.Try(
+        s.conf.get("graft.lake.cas.http.headers")).toOption)
+      .getOrElse(fs.getConf.get("graft.lake.cas.http.headers", ""))
+    hs.split(";;").map(_.trim).filter(_.nonEmpty).foreach { h =>
+      val i = h.indexOf(':')
+      require(i > 0,
+        s"malformed graft.lake.cas.http.headers entry '$h' — " +
+          "expected ';;'-separated 'Name: value' pairs")
+      c.setRequestProperty(h.substring(0, i).trim,
+        h.substring(i + 1).trim)
+    }
+  }
+
   private def open(fs: org.apache.hadoop.fs.FileSystem,
                    target: org.apache.hadoop.fs.Path)
   : java.net.HttpURLConnection = {
@@ -63,6 +87,7 @@ final class HttpSnapshotCas extends SnapshotCas {
     val c = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
     c.setConnectTimeout(30000)
     c.setReadTimeout(60000)
+    decorate(c, fs)
     c
   }
 
@@ -75,14 +100,41 @@ final class HttpSnapshotCas extends SnapshotCas {
       c.setRequestProperty("If-None-Match", "*")
       c.setDoOutput(true)
       c.setFixedLengthStreamingMode(bytes.length)
-      val out = c.getOutputStream
-      try out.write(bytes) finally out.close()
-      c.getResponseCode match {
-        case 200 | 201 => true
-        case 412       => false
-        case code => throw new java.io.IOException(
-          s"conditional PUT of $target returned HTTP $code — an IO/" +
-            "store error, not a commit conflict; do not retry as a CAS race")
+      // a store can reject the conditional PUT EARLY (before the body
+      // is consumed) — the aborted upload then surfaces as an
+      // IOException from the write, while the response already carries
+      // the real verdict. Hold the stream failure, read the code
+      // anyway, and classify by it; only when no code is readable is
+      // the stream failure the story.
+      val streamFailure: Option[java.io.IOException] =
+        try {
+          val out = c.getOutputStream
+          try out.write(bytes) finally out.close()
+          None
+        } catch { case e: java.io.IOException => Some(e) }
+      val code =
+        try c.getResponseCode
+        catch {
+          case e: java.io.IOException => throw streamFailure.getOrElse(e)
+        }
+      code match {
+        case 200 | 201 if streamFailure.isEmpty => true
+        case 200 | 201 => throw new java.io.IOException(
+          s"conditional PUT of $target reported HTTP $code but the " +
+            "body upload was interrupted — the object's content is " +
+            "unverified; an IO error, not a commit conflict",
+          streamFailure.get)
+        // 412 is the RFC answer for a failed If-None-Match; Azure Blob
+        // (and some proxies) answer 409 Conflict for the same
+        // create-collision — both mean "it already existed"
+        case 409 | 412 => false
+        case other =>
+          val e = new java.io.IOException(
+            s"conditional PUT of $target returned HTTP $other — an IO/" +
+              "store error, not a commit conflict; do not retry as a " +
+              "CAS race")
+          streamFailure.foreach(e.initCause)
+          throw e
       }
     } finally c.disconnect()
   }

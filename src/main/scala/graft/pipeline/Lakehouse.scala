@@ -2866,15 +2866,42 @@ object Lakehouse {
         s"intent — they survive untouched (with the fork marker, so the " +
         s"branch stays rebase-able) and the rebased state is staged " +
         s"intact on '$tmp'; re-run the rebase to pick them up")
-    fs.delete(new org.apache.hadoop.fs.Path(lineageDir(r, name), "fork"),
-      false)
+    // the fork id, read while the marker is still ours: a straggler
+    // branch commit (one whose branch-exists check passed before the
+    // observed snap files were deleted) can land AFTER the marker
+    // delete, and the branch must then be restored to a consistent
+    // snap-files-plus-marker state, not left half-dismantled
+    val forkId = branchFork(fs, r, name)
+    val marker = new org.apache.hadoop.fs.Path(lineageDir(r, name), "fork")
+    fs.delete(marker, false)
+    val straggler = snapIds(fs, r, name)
+    if (straggler.nonEmpty) {
+      // restore OUR marker via the CAS (a concurrent createBranch's
+      // fresh marker must never be overwritten with the stale fork id)
+      val restored = casPutFile(fs, marker,
+        new org.apache.hadoop.fs.Path(lineageDir(r, name),
+          s".fork-restore-${java.util.UUID.randomUUID().toString}"),
+        s"$forkId\n".getBytes("UTF-8"))
+      throw new ConcurrentCommitException(
+        s"rebase of '$name': branch epoch(s) ${straggler.mkString(",")} " +
+          "were committed during the swap (a commit in flight before " +
+          "the lineage emptied) — the epochs survive untouched and " +
+          (if (restored)
+            s"the fork marker is restored, so the branch stays " +
+              "rebase-able; re-run the rebase to pick them up"
+          else
+            s"a concurrent createBranch re-took the name (its own fork " +
+              s"marker is in place); the old fork id was $forkId — " +
+              "resolve the name ownership by hand") +
+          s"; the rebased state is staged intact on '$tmp'")
+    }
     // non-recursive delete of the now-empty lineage dir is the final
-    // guard: it fails loudly if anything appeared after the re-list.
-    // A branch COMMIT cannot intrude here (the lineage is empty, so a
-    // commit's own branch-exists require refuses) — the only possible
-    // intruder is a concurrent createBranch's fresh fork marker, and
-    // OUR marker is already gone, so the message must not claim the
-    // old branch is still rebase-able.
+    // guard: it fails loudly if anything appeared after the straggler
+    // re-list. A branch COMMIT can no longer intrude (the lineage is
+    // empty AND markerless, so a commit's branch-exists require
+    // refuses) — the only possible intruder is a concurrent
+    // createBranch's fresh fork marker, and OUR marker is already
+    // gone, so the message must not claim the old branch lives.
     val emptied = try fs.delete(lineageDir(r, name), false) catch {
       case _: java.io.IOException => false }
     if (!emptied) throw new ConcurrentCommitException(

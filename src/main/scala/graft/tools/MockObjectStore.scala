@@ -22,8 +22,17 @@ package graft.tools
   * The URL path IS the absolute local path of the backing file — the
   * mock is a control plane over the same tree the data-plane
   * filesystem reads, so a committed manifest becomes instantly visible
-  * to `readSnapshot` exactly as an S3 PUT becomes visible to s3a. */
-final class MockObjectStore {
+  * to `readSnapshot` exactly as an S3 PUT becomes visible to s3a.
+  *
+  * `requireAuth` makes the store reject any request missing the given
+  * header/value with `401` (exercises the provider's auth hook —
+  * `graft.lake.cas.http.headers` — end to end); `earlyConflict` makes
+  * a conditional PUT against an EXISTING object answer `409` before
+  * consuming the request body, the store shape whose aborted upload
+  * surfaces client-side as an IOException mid-write (the provider
+  * must still classify it as a conflict, never an IO failure). */
+final class MockObjectStore(requireAuth: Option[(String, String)] = None,
+                            earlyConflict: Boolean = false) {
   private val lock = new Object
   private var server: com.sun.net.httpserver.HttpServer = _
   private var pool: java.util.concurrent.ExecutorService = _
@@ -55,7 +64,13 @@ final class MockObjectStore {
         val path = ex.getRequestURI.getPath
         val f = new java.io.File(path)
         val code =
-          if (ex.getRequestMethod == "POST" &&
+          if (requireAuth.exists { case (h, v) =>
+            v != ex.getRequestHeaders.getFirst(h) }) 401
+          else if (ex.getRequestMethod == "PUT" && earlyConflict &&
+            "*" == ex.getRequestHeaders.getFirst("If-None-Match") &&
+            lock.synchronized(f.exists()))
+            409 // answered BEFORE the body is consumed — Azure's shape
+          else if (ex.getRequestMethod == "POST" &&
             ex.getRequestHeaders.containsKey("x-graft-touch"))
             lock.synchronized {
               if (!f.exists()) 404

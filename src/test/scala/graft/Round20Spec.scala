@@ -3,13 +3,38 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.pipeline.Lakehouse
 
+/** LocalFileSystem face that simulates a STRAGGLER branch commit
+  * landing inside the rebase swap's narrowest window — between the
+  * leftover re-list and the fork-marker delete (a commit whose
+  * branch-exists check passed before the lineage emptied): when armed,
+  * the marker delete first plants a snap file into the lineage. */
+class StragglerCommitFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("stfs:///")
+  override def delete(p: org.apache.hadoop.fs.Path,
+                      recursive: Boolean): Boolean = {
+    if (p.getName == "fork" && StragglerCommitFs.arm.getAndSet(false)) {
+      val snap = new org.apache.hadoop.fs.Path(p.getParent, "snap-00000099")
+      val out = super.create(snap, false)
+      try out.write("#minreader\t1\n".getBytes("UTF-8"))
+      finally out.close()
+    }
+    super.delete(p, recursive)
+  }
+}
+
+object StragglerCommitFs {
+  val arm = new java.util.concurrent.atomic.AtomicBoolean(false)
+}
+
 /** Round-20: the lake-backed maintained aggregate (the r19 verdict's
   * one weak) — state persisted as a bucket-partitioned snapshot lake
   * whose per-epoch commit touches ONLY changed-group buckets, with the
   * last-folded-epoch watermark riding the same manifest CAS
-  * (crash-safe exactly-once, snapshot-isolated readers) — plus the
-  * per-snapshot `#prop` manifest surface it rides on, the epoch-gap
-  * and eager-schema guards, and the DecimalType sum-stability fix. */
+  * (crash-safe exactly-once, snapshot-isolated readers) — plus MIN/MAX
+  * maintenance by affected-group recompute, the per-snapshot `#prop`
+  * manifest surface, the HttpSnapshotCas auth hook with 409/early-
+  * conflict classification, and the rebase swap's straggler-commit
+  * marker restore. */
 class Round20Spec extends SparkTestBase {
   import spark.implicits._
 
@@ -459,6 +484,108 @@ class Round20Spec extends SparkTestBase {
       assert(eleven == (30L to 40L).toSeq && openEleven <= 2,
         s"isin(30..40) must prune to the covering range files, " +
           s"opened $openEleven of 4")
+    } finally {
+      spark.conf.unset("graft.lake.renameAtomicSchemes")
+    }
+  }
+
+  // ---- HttpSnapshotCas: auth hook + conflict classification ---------------
+
+  test("HttpSnapshotCas auth hook: an auth-enforcing store fails " +
+    "unauthenticated puts LOUDLY as IO (never a silent false conflict), " +
+    "passes the full contract kit once graft.lake.cas.http.headers " +
+    "carries the credential, and classifies an early 409 — answered " +
+    "before the body is consumed — as a CAS conflict with the first " +
+    "writer's bytes intact") {
+    val fs = fsOf("/tmp")
+    val provider = new graft.pipeline.HttpSnapshotCas
+    // auth-enforcing store
+    val store = new _root_.graft.tools.MockObjectStore(
+      requireAuth = Some(("x-graft-auth", "s3cr3t")))
+    val base = store.start()
+    spark.conf.set("graft.lake.cas.http.base", base)
+    try {
+      val scratch = new org.apache.hadoop.fs.Path(freshDir("casauth"))
+      val denied = intercept[java.io.IOException] {
+        provider.putIfAbsent(fs,
+          new org.apache.hadoop.fs.Path(scratch, "unauth"),
+          "x".getBytes("UTF-8"))
+      }
+      assert(denied.getMessage.contains("401"),
+        s"401 must surface as IO naming the code: ${denied.getMessage}")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(scratch, "unauth")))
+      spark.conf.set("graft.lake.cas.http.headers",
+        "x-graft-auth: s3cr3t")
+      val bad = graft.pipeline.SnapshotCasContract.violations(
+        provider, fs, scratch)
+      assert(bad.isEmpty, bad.mkString("; "))
+    } finally {
+      spark.conf.unset("graft.lake.cas.http.headers")
+      spark.conf.unset("graft.lake.cas.http.base")
+      store.stop()
+    }
+    // early-conflict store: 409 before the request body is drained —
+    // the aborted upload may surface client-side as a mid-write
+    // IOException, which must still classify as "already existed"
+    val store2 = new _root_.graft.tools.MockObjectStore(
+      earlyConflict = true)
+    val base2 = store2.start()
+    spark.conf.set("graft.lake.cas.http.base", base2)
+    try {
+      val t = new org.apache.hadoop.fs.Path(freshDir("casearly"), "obj")
+      assert(provider.putIfAbsent(fs, t, "first".getBytes("UTF-8")))
+      val big = Array.fill(8 << 20)('x'.toByte) // outruns socket buffers
+      assert(!provider.putIfAbsent(fs, t, big),
+        "an early 409 must report a conflict, not throw IO")
+      val in = fs.open(t)
+      val held = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+      assert(held == "first", "the losing put must not mutate the object")
+    } finally {
+      spark.conf.unset("graft.lake.cas.http.base")
+      store2.stop()
+    }
+  }
+
+  // ---- rebase swap: straggler commit inside the narrowest window ----------
+
+  test("a branch commit landing between the rebase swap's leftover " +
+    "re-list and the fork-marker delete RESTORES the marker and fails " +
+    "with the late-commit diagnosis — the branch stays consistent " +
+    "(snap files + marker) and rebase-able, never half-dismantled") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.stfs.impl", classOf[StragglerCommitFs].getName)
+    spark.conf.set("graft.lake.renameAtomicSchemes", "stfs")
+    try {
+      val root = s"stfs://${freshDir("swpstrag")}"
+      val base = docs(1L to 6L, i => s"g$i", _ * 10)
+      Lakehouse.commitSnapshot(spark, root,
+        (0 to 1).map(i => s"p=$i" -> base.filter(col("p") === i)))
+      Lakehouse.createBranch(spark, root, "rev")
+      Lakehouse.createBranch(spark, root, "rev.rebase")
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+      StragglerCommitFs.arm.set(true)
+      val e = intercept[_root_.graft.pipeline.ConcurrentCommitException] {
+        Lakehouse.swapRebasedLineage(fs,
+          new org.apache.hadoop.fs.Path(root), "rev", "rev.rebase",
+          Seq(1))
+      }
+      StragglerCommitFs.arm.set(false)
+      assert(e.getMessage.contains("during the swap") &&
+        e.getMessage.contains("99") &&
+        e.getMessage.contains("restored"),
+        s"wrong straggler diagnosis: ${e.getMessage}")
+      // the branch is CONSISTENT again: straggler epoch + fork marker
+      val lineage = new org.apache.hadoop.fs.Path(root,
+        "_graft_lake/branch-rev")
+      assert(fs.exists(new org.apache.hadoop.fs.Path(lineage, "fork")),
+        "the fork marker must be restored")
+      assert(fs.exists(new org.apache.hadoop.fs.Path(lineage,
+        "snap-00000099")), "the straggler epoch must survive")
+      // and the staged rebase lineage is intact for the re-run
+      assert(fs.exists(new org.apache.hadoop.fs.Path(root,
+        "_graft_lake/branch-rev.rebase")))
     } finally {
       spark.conf.unset("graft.lake.renameAtomicSchemes")
     }
