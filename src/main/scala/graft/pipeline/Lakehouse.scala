@@ -3486,6 +3486,27 @@ object Lakehouse {
         emptyAggregate(sample, groupCols, sumCols, minCols, maxCols)
       }
       val touchedRels = touched.map(v => s"$IvmBucketCol=$v")
+      // a WIDE bootstrap (every bucket populated) must not pay one
+      // Spark write job per bucket — at 10³ buckets that is 10³ job
+      // round-trips for one logical write. REPLACE epochs touching at
+      // least `graft.lake.ivm.wideWriteMinBuckets` buckets write the
+      // whole state in ONE hive-staged job instead (the
+      // repartitionSnapshot recipe: partitionBy into a stage dir under
+      // the lake's metadata dir, rename each value dir into place as a
+      // writer-unique generation, commit the manifest wholesale — a
+      // crash leaves a stage-* relic snapshotGc reclaims). Delta
+      // epochs never take this path: they are narrow by design.
+      val wideMin = spark.conf
+        .get("graft.lake.ivm.wideWriteMinBuckets", "64").toInt
+      if (replace && touched.size >= wideMin) {
+        wideReplaceState(spark, td, foldAggregate(emptyState, delta,
+          groupCols, sumCols, minCols, maxCols)
+          .drop(rcFlagNames(minCols, maxCols): _*)
+          .withColumn(IvmBucketCol,
+            pmod(xxhash64(groupCols.map(col): _*), lit(buckets.toLong))),
+          stateId.getOrElse(0), Map(IvmEpochProp -> id.toString))
+        return
+      }
       val folds = touched.zip(touchedRels).map { case (v, rel) =>
         val cur =
           if (replace) emptyState
@@ -3562,13 +3583,86 @@ object Lakehouse {
       // retention: snapshot-isolated readers hold the manifest they
       // resolved, so the race window is the kept-epoch count — default
       // 10 epochs of lag headroom (vs the fixed 2 of the pre-r20
-      // layout); 0 disables so an operator can own the GC cadence
+      // layout); 0 disables so an operator can own the GC cadence.
+      // The GC pass itself walks O(stateBuckets) dirs, so it is
+      // SKIPPED while nothing is over retention, and wide tables can
+      // amortize it further (`graft.lake.ivm.gcEveryEpochs`: run every
+      // Nth over-retention epoch — retention then floats between keep
+      // and keep+N, which only widens the reader window)
       val keep = spark.conf.get("graft.lake.ivm.keepSnapshots", "10").toInt
-      if (keep > 0) { snapshotGc(spark, tableDir, keep); () }
+      if (keep > 0) {
+        val kept = snapIds(fsOf(spark, td), td)
+        val every =
+          spark.conf.get("graft.lake.ivm.gcEveryEpochs", "1").toInt
+        if (kept.size > keep && (kept.size - keep) % math.max(1, every)
+          == 0) { snapshotGc(spark, tableDir, keep); () }
+      }
     } finally {
       recPinned.foreach(_.unpersist(blocking = false))
       delta.unpersist(blocking = false)
     }
+  }
+
+  /** Write a REPLACE epoch's whole state in ONE Spark job: hive-staged
+    * `partitionBy(bucket)` under the state lake's metadata dir, each
+    * staged value dir renamed into place as a writer-unique generation,
+    * then one wholesale manifest commit (stale buckets simply absent —
+    * no empty rewrites). Bucket values are decimal longs, so hive
+    * path-escaping can never diverge. A crash leaves a `stage-*` relic
+    * [[snapshotGc]] reclaims past the TTL; old generations stay until
+    * retention drops their manifests, like every commit. */
+  private def wideReplaceState(spark: org.apache.spark.sql.SparkSession,
+                               td: org.apache.hadoop.fs.Path,
+                               state: DataFrame, baseId: Int,
+                               props: Map[String, String]): Unit = {
+    val fs = fsOf(spark, td)
+    val u = java.util.UUID.randomUUID()
+    val staging = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(td, LakeDir),
+      f"stage-${u.getMostSignificantBits}%016x${
+        u.getLeastSignificantBits}%016x")
+    // repartition ON the bucket before the dynamic-partition write:
+    // without it every task opens a file in every bucket dir it sees
+    // (tasks × buckets small files — the classic dynamic-partition
+    // write trap); with it each bucket lands in exactly one file
+    state.withColumn("__graft_part", col(IvmBucketCol))
+      .repartition(col("__graft_part"))
+      .write.partitionBy("__graft_part").mode("overwrite")
+      .parquet(staging.toString)
+    // ONE writer-unique generation name for the whole staged write
+    // (names only need uniqueness per partition dir) — the shared name
+    // is also the observable mark of the one-job path
+    val gen = snapGenName()
+    val updated = fs.listStatus(staging).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("__graft_part="))
+      .map(_.getPath.getName.stripPrefix("__graft_part=")).sorted
+      .map { v =>
+        val rel = s"$IvmBucketCol=$v"
+        val part = new org.apache.hadoop.fs.Path(td, rel)
+        fs.mkdirs(part)
+        require(fs.rename(
+          new org.apache.hadoop.fs.Path(staging, s"__graft_part=$v"),
+          new org.apache.hadoop.fs.Path(part, gen)),
+          s"staging rename into $rel/$gen failed")
+        plantSentinelIfBare(fs, part)
+        rel -> gen
+      }
+    require(updated.nonEmpty,
+      "wide replace produced an empty state — a bootstrap epoch always " +
+        "carries rows (ivmFold routes empty epochs elsewhere)")
+    val files: Map[String, Seq[FileEntry]] = parMap(updated,
+      spark.conf.get("graft.lake.listParallelism", "16").toInt,
+      "graft-ivm-wide-list",
+      scala.concurrent.duration.Duration(metaIoTimeoutSec(fs), "s")) {
+      case (rel, gen) => rel -> fileEntries(fs, dataDir(td, rel, gen))
+    }.toMap
+    fs.delete(staging, true)
+    plantSentinelIfBare(fs, td)
+    commitManifest(spark, td.toString,
+      Manifest(updated.toMap, Some(state.schema), files = files,
+        props = props), baseId)
+    ()
   }
 
   /** The PRODUCTION face of IVM-over-the-feed: a continuously

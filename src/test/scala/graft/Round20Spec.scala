@@ -489,6 +489,57 @@ class Round20Spec extends SparkTestBase {
     }
   }
 
+  test("a WIDE bootstrap (touched buckets >= wideWriteMinBuckets) " +
+    "writes the whole state in ONE staged job — same table as the " +
+    "per-bucket path, watermark committed, stale buckets absent, and " +
+    "subsequent delta epochs fold on top of it") {
+    val root = freshDir("ivmwide")
+    val tableDir = freshDir("ivmwidetbl")
+    val base = docs(1L to 120L, i => s"g${i % 30}", _ * 10)
+    Lakehouse.commitSnapshot(spark, root,
+      (0 to 1).map(i => s"p=$i" -> base.filter(col("p") === i)))
+    spark.conf.set("graft.lake.ivm.stateBuckets", "8")
+    spark.conf.set("graft.lake.ivm.wideWriteMinBuckets", "4")
+    try {
+      val q = Lakehouse.maintainAggregate(spark, root, Seq("id"),
+        Seq("lang"), Seq("len"), tableDir, freshDir("ivmwideck"),
+        minCols = Seq("len"), maxCols = Seq("len"))
+      try {
+        q.processAllAvailable() // bootstrap: the staged one-job path
+        assert(Lakehouse.snapshotProps(spark, tableDir)(
+          Lakehouse.IvmEpochProp) == "1",
+          "the wide write must commit the watermark atomically too")
+        // ONE generation name shared by every bucket = one staged job
+        // (the per-bucket path mints one writer-unique gen per write)
+        val m1 = Lakehouse.currentManifest(spark, tableDir)
+        assert(m1.values.toSet.size == 1,
+          s"wide bootstrap must be one staged job, got gens ${
+            m1.values.toSet.size}")
+        def maintained() = Lakehouse.readAggregate(spark, tableDir)
+          .select("lang", "n_rows", "sum_len", "min_len", "max_len")
+          .orderBy("lang").collect().map(_.toString).toSeq
+        def recompute() = Lakehouse.readSnapshot(spark, root)
+          .groupBy("lang").agg(count(lit(1)).as("n_rows"),
+            sum(col("len")).as("sum_len"), min(col("len")).as("min_len"),
+            max(col("len")).as("max_len"))
+          .select("lang", "n_rows", "sum_len", "min_len", "max_len")
+          .orderBy("lang").collect().map(_.toString).toSeq
+        assert(maintained() == recompute())
+        // a delta epoch folds on top of the wide-written state (delete
+        // one group's extremum: the recompute path too)
+        Lakehouse.deleteSnapshot(spark, root,
+          col("lang") === "g3" && col("len") === 930L) // g3's max
+        q.processAllAvailable()
+        assert(maintained() == recompute())
+        assert(Lakehouse.snapshotProps(spark, tableDir)(
+          Lakehouse.IvmEpochProp) == "2")
+      } finally q.stop()
+    } finally {
+      spark.conf.unset("graft.lake.ivm.wideWriteMinBuckets")
+      spark.conf.unset("graft.lake.ivm.stateBuckets")
+    }
+  }
+
   // ---- HttpSnapshotCas: auth hook + conflict classification ---------------
 
   test("HttpSnapshotCas auth hook: an auth-enforcing store fails " +
