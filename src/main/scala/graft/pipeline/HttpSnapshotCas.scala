@@ -124,10 +124,30 @@ final class HttpSnapshotCas extends SnapshotCas {
             "body upload was interrupted — the object's content is " +
             "unverified; an IO error, not a commit conflict",
           streamFailure.get)
-        // 412 is the RFC answer for a failed If-None-Match; Azure Blob
-        // (and some proxies) answer 409 Conflict for the same
-        // create-collision — both mean "it already existed"
-        case 409 | 412 => false
+        // 412 is the RFC answer for a failed If-None-Match
+        case 412 => false
+        // 409 is AMBIGUOUS across stores: Azure Blob answers it for a
+        // genuine create-collision ("it already existed"), but S3's
+        // ConditionalRequestConflict is also a 409 — raised when
+        // another conditional write was merely IN FLIGHT, with neither
+        // write necessarily landing ("retry the request"). The
+        // verdicts differ (conflict vs IO), so disambiguate by probing
+        // the object: present = a competitor committed (the caller's
+        // CAS conflict), absent = outcome unknown — which must read as
+        // IO (a retry can win; "committed concurrently" would send the
+        // operator to inspect a phantom commit)
+        case 409 =>
+          if (exists(fs, target)) false
+          else {
+            val e = new java.io.IOException(
+              s"conditional PUT of $target returned HTTP 409 but no " +
+                "committed object is visible — a transient store-side " +
+                "conflict (e.g. a concurrent in-flight conditional " +
+                "write), not a competitor's commit; an IO-class " +
+                "condition, retry the put")
+            streamFailure.foreach(e.initCause)
+            throw e
+          }
         case other =>
           val e = new java.io.IOException(
             s"conditional PUT of $target returned HTTP $other — an IO/" +
@@ -135,6 +155,27 @@ final class HttpSnapshotCas extends SnapshotCas {
               "CAS race")
           streamFailure.foreach(e.initCause)
           throw e
+      }
+    } finally c.disconnect()
+  }
+
+  /** HEAD probe behind the 409 disambiguation — decorated like every
+    * other request, so it works against authenticated stores. Anything
+    * but a clean present/absent answer throws: guessing here would
+    * collapse the very distinction the probe exists to make. */
+  private def exists(fs: org.apache.hadoop.fs.FileSystem,
+                     target: org.apache.hadoop.fs.Path): Boolean = {
+    val c = open(fs, target)
+    try {
+      c.setRequestMethod("HEAD")
+      c.getResponseCode match {
+        case 200 => true
+        case 404 => false
+        case other => throw new java.io.IOException(
+          s"HEAD $target returned HTTP $other while disambiguating a " +
+            "409 conditional-PUT answer — cannot tell a competitor's " +
+            "commit from a transient conflict; an IO error, not a " +
+            "commit conflict")
       }
     } finally c.disconnect()
   }

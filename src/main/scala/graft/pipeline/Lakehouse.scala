@@ -1490,11 +1490,21 @@ object Lakehouse {
     /** sign of (committed stat) - (caller bound), in `dt`'s domain. */
     def compare(dt: DataType, stat: String, bound: Any): Int = dt match {
       case _: NumericType => toBig(stat).compare(toBig(bound))
-      case StringType     => math.signum(stat.compareTo(bound match {
-        case s: String => s
-        case other => throw new IllegalArgumentException(
-          s"string bound expected, got ${other.getClass.getName}")
-      }))
+      case StringType =>
+        // compare in UTF-8 BINARY order, the order Spark computed the
+        // committed min/max under (and the order IN-envelope bounds are
+        // picked in): Java's UTF-16 compareTo disagrees for
+        // supplementary-plane code points vs chars in [U+E000,U+FFFF],
+        // so mixing the two orders could wrongly prune a file that
+        // holds a matching value (e.g. an emoji group key)
+        val b = bound match {
+          case s: String => s
+          case other => throw new IllegalArgumentException(
+            s"string bound expected, got ${other.getClass.getName}")
+        }
+        math.signum(org.apache.spark.unsafe.types.UTF8String
+          .fromString(stat).compareTo(
+            org.apache.spark.unsafe.types.UTF8String.fromString(b)))
       case DateType => math.signum(stat.compareTo(bound match {
         case d: java.sql.Date       => d.toString
         case d: java.time.LocalDate => d.toString
@@ -2839,7 +2849,8 @@ object Lakehouse {
     if (snapIds(fs, r, tmp).nonEmpty) deleteBranch(spark, root, tmp)
     createBranch(spark, root, tmp, fromId = Some(mainHead))
     applyCdcSnapshot(spark, root, cdc, keys, partitionCol, branch = tmp)
-    swapRebasedLineage(fs, r, name, tmp, bids)
+    swapRebasedLineage(fs, r, name, tmp, bids,
+      (p, b) => casPutMeta(spark, fs, p, b))
     snapIds(fs, r, name).last
   }
 
@@ -2857,7 +2868,19 @@ object Lakehouse {
   private[graft] def swapRebasedLineage(fs: org.apache.hadoop.fs.FileSystem,
                                         r: org.apache.hadoop.fs.Path,
                                         name: String, tmp: String,
-                                        observedBids: Seq[Int]): Unit = {
+                                        observedBids: Seq[Int],
+                                        putMeta: (org.apache.hadoop.fs.Path,
+                                          Array[Byte]) => Boolean = null)
+  : Unit = {
+    // the marker restore must ride the SAME CAS every other fork-marker
+    // put uses — on object-store schemes that is the SnapshotCas
+    // provider (casPutFile's non-file branch is exists-then-rename, the
+    // races the SPI exists to kill); rebaseBranch threads it through,
+    // and the file-scheme default stays link(2)-atomic
+    val put: (org.apache.hadoop.fs.Path, Array[Byte]) => Boolean =
+      Option(putMeta).getOrElse((p, b) => casPutFile(fs, p,
+        new org.apache.hadoop.fs.Path(p.getParent,
+          s".${p.getName}-restore-${java.util.UUID.randomUUID()}"), b))
     observedBids.foreach(id => fs.delete(snapFile(r, id, name), false))
     val late = snapIds(fs, r, name)
     if (late.nonEmpty) throw new ConcurrentCommitException(
@@ -2877,22 +2900,31 @@ object Lakehouse {
     val straggler = snapIds(fs, r, name)
     if (straggler.nonEmpty) {
       // restore OUR marker via the CAS (a concurrent createBranch's
-      // fresh marker must never be overwritten with the stale fork id)
-      val restored = casPutFile(fs, marker,
-        new org.apache.hadoop.fs.Path(lineageDir(r, name),
-          s".fork-restore-${java.util.UUID.randomUUID().toString}"),
-        s"$forkId\n".getBytes("UTF-8"))
+      // fresh marker must never be overwritten with the stale fork id);
+      // an IO failure of the restore itself is a THIRD outcome — the
+      // branch is then markerless, and saying "createBranch took the
+      // name" would send the operator down the wrong recovery
+      val restored: Either[java.io.IOException, Boolean] =
+        try Right(put(marker, s"$forkId\n".getBytes("UTF-8")))
+        catch { case e: java.io.IOException => Left(e) }
       throw new ConcurrentCommitException(
         s"rebase of '$name': branch epoch(s) ${straggler.mkString(",")} " +
           "were committed during the swap (a commit in flight before " +
           "the lineage emptied) — the epochs survive untouched and " +
-          (if (restored)
-            s"the fork marker is restored, so the branch stays " +
-              "rebase-able; re-run the rebase to pick them up"
-          else
-            s"a concurrent createBranch re-took the name (its own fork " +
-              s"marker is in place); the old fork id was $forkId — " +
-              "resolve the name ownership by hand") +
+          (restored match {
+            case Right(true) =>
+              s"the fork marker is restored, so the branch stays " +
+                "rebase-able; re-run the rebase to pick them up"
+            case Right(false) =>
+              s"a concurrent createBranch re-took the name (its own fork " +
+                s"marker is in place); the old fork id was $forkId — " +
+                "resolve the name ownership by hand"
+            case Left(io) =>
+              s"the fork-marker restore FAILED with IO trouble (${
+                io.getMessage}) — the branch is currently markerless; " +
+                s"restore it by writing '$forkId' to '$marker', then " +
+                "re-run the rebase"
+          }) +
           s"; the rebased state is staged intact on '$tmp'")
     }
     // non-recursive delete of the now-empty lineage dir is the final
@@ -3396,6 +3428,10 @@ object Lakehouse {
     * committed state, and skips. */
   private[graft] val IvmEpochProp = "graft.ivm.epoch"
   private[graft] val IvmBucketCol = "bucket"
+  /** Names the state layout owns — a user column so named would be
+    * silently replaced by the layout's own hash/staging columns. */
+  private[graft] val IvmReservedCols: Set[String] =
+    Set(IvmBucketCol, "__graft_part")
 
   /** (state-lake snapshot id, last folded source epoch) of a
     * [[maintainAggregate]] table — (None, 0) before the first fold.
@@ -3440,6 +3476,10 @@ object Lakehouse {
                              maxCols: Seq[String], id: Int,
                              isBootstrap: Boolean, diff: DataFrame,
                              buckets: Int): Unit = {
+    require(!(groupCols ++ sumCols ++ minCols ++ maxCols)
+      .exists(IvmReservedCols),
+      s"aggregate column named in ${IvmReservedCols.mkString("/")} — " +
+        "reserved by the state layout's bucket partitioning")
     val (stateId, last) = ivmLastEpoch(spark, tableDir)
     if (id <= last) return // at-least-once replay: folded exactly once
     if (!isBootstrap) {
@@ -3468,6 +3508,23 @@ object Lakehouse {
     // (the mergeSnapshot delta-pinning rationale)
     delta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var recPinned: Option[DataFrame] = None
+    var foldsPinned: Seq[DataFrame] = Nil
+    // retention GC, shared by the narrow and wide write paths: the
+    // walk is O(stateBuckets), so it SKIPS while nothing is over
+    // retention, and wide tables can amortize it further
+    // (`graft.lake.ivm.gcEveryEpochs`: run every Nth over-retention
+    // epoch — retention then floats between keep and keep+N, which
+    // only widens the reader window)
+    def maybeGc(): Unit = {
+      val keep = spark.conf.get("graft.lake.ivm.keepSnapshots", "10").toInt
+      if (keep > 0) {
+        val kept = snapIds(fsOf(spark, td), td)
+        val every =
+          spark.conf.get("graft.lake.ivm.gcEveryEpochs", "1").toInt
+        if (kept.size > keep && (kept.size - keep) % math.max(1, every)
+          == 0) { snapshotGc(spark, tableDir, keep); () }
+      }
+    }
     try {
       // bounded by min(changed groups, buckets) — never rows
       val touched: Seq[Long] = delta.select(col(IvmBucketCol)).distinct()
@@ -3505,6 +3562,7 @@ object Lakehouse {
           .withColumn(IvmBucketCol,
             pmod(xxhash64(groupCols.map(col): _*), lit(buckets.toLong))),
           stateId.getOrElse(0), Map(IvmEpochProp -> id.toString))
+        maybeGc()
         return
       }
       val folds = touched.zip(touchedRels).map { case (v, rel) =>
@@ -3521,8 +3579,16 @@ object Lakehouse {
       }
       // MIN/MAX resolution is SHARED across buckets: ONE affected-set
       // collect over all folds and ONE pushdown-pruned recompute scan
-      // of the post-epoch snapshot — never a snapshot scan per bucket
+      // of the post-epoch snapshot — never a snapshot scan per bucket.
+      // The folds are PINNED for it: the affected-set collect and the
+      // commit's write would otherwise each evaluate every bucket's
+      // full-outer fold join (2× the dominant per-epoch cost)
       val flagNames = rcFlagNames(minCols, maxCols)
+      if (flagNames.nonEmpty) {
+        folds.foreach(_._3.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        foldsPinned = folds.map(_._3)
+      }
       val patched: Seq[(String, DataFrame)] =
         if (flagNames.isEmpty)
           folds.map { case (v, rel, f) =>
@@ -3583,21 +3649,10 @@ object Lakehouse {
       // retention: snapshot-isolated readers hold the manifest they
       // resolved, so the race window is the kept-epoch count — default
       // 10 epochs of lag headroom (vs the fixed 2 of the pre-r20
-      // layout); 0 disables so an operator can own the GC cadence.
-      // The GC pass itself walks O(stateBuckets) dirs, so it is
-      // SKIPPED while nothing is over retention, and wide tables can
-      // amortize it further (`graft.lake.ivm.gcEveryEpochs`: run every
-      // Nth over-retention epoch — retention then floats between keep
-      // and keep+N, which only widens the reader window)
-      val keep = spark.conf.get("graft.lake.ivm.keepSnapshots", "10").toInt
-      if (keep > 0) {
-        val kept = snapIds(fsOf(spark, td), td)
-        val every =
-          spark.conf.get("graft.lake.ivm.gcEveryEpochs", "1").toInt
-        if (kept.size > keep && (kept.size - keep) % math.max(1, every)
-          == 0) { snapshotGc(spark, tableDir, keep); () }
-      }
+      // layout); 0 disables so an operator can own the GC cadence
+      maybeGc()
     } finally {
+      foldsPinned.foreach(_.unpersist(blocking = false))
       recPinned.foreach(_.unpersist(blocking = false))
       delta.unpersist(blocking = false)
     }
@@ -3707,6 +3762,17 @@ object Lakehouse {
     // eager argument validation — a bad column must fail HERE, not as
     // an AnalysisException inside the stream thread three layers down
     require(groupCols.nonEmpty, "maintainAggregate needs group columns")
+    // the state layout owns the bucket-partition namespace: a group/
+    // aggregate column with one of these names would be silently
+    // REPLACED by the layout's own hash column before the fold (groups
+    // collapsing onto hash values — a green stream serving a wrong
+    // table), so refuse it here by name
+    val reservedHit = (keys ++ groupCols ++ sumCols ++ minCols ++
+      maxCols).toSet.intersect(IvmReservedCols)
+    require(reservedHit.isEmpty,
+      s"column(s) ${reservedHit.mkString(", ")} are reserved by the " +
+        "maintained-aggregate state layout (bucket partitioning) — " +
+        "rename or alias them in the lake before maintaining")
     val keyOverlap = (groupCols ++ sumCols ++ minCols ++ maxCols).toSet
       .intersect(keys.toSet)
     require(keyOverlap.isEmpty,
@@ -3745,24 +3811,31 @@ object Lakehouse {
     val prov = new org.apache.hadoop.fs.Path(td, "_lake")
     val provText = s"${fs.makeQualified(new org.apache.hadoop.fs.Path(
       root))}\t$branch\t$buckets\n"
-    if (fs.exists(prov)) {
-      val existing = readText(fs, prov)
-      require(existing.count(_ == '\t') >= 2,
+    // the pin itself goes through the metadata CAS: two concurrent
+    // FIRST maintainers with different confs must not both "win" an
+    // exists-then-create race and cross-fold incompatible bucket
+    // layouts — exactly one creates the pin, the other validates
+    // against it like any later maintainer
+    val existing =
+      if (fs.exists(prov)) Some(readText(fs, prov))
+      else {
+        fs.mkdirs(td)
+        if (casPutMeta(spark, fs, prov, provText.getBytes("UTF-8"))) None
+        else Some(readText(fs, prov)) // lost the first-maintainer race
+      }
+    existing.foreach { ex =>
+      require(ex.count(_ == '\t') >= 2,
         s"aggregate table $tableDir uses the pre-r20 t<epoch> state " +
           "layout — re-bootstrap it with a FRESH tableDir and " +
           "checkpoint (the lake-backed layout is not migratable in " +
           "place)")
-      require(existing == provText,
+      require(ex == provText,
         s"aggregate table $tableDir was maintained as '${
-          existing.trim.split("\t").mkString("', '")}' (lake, branch, " +
+          ex.trim.split("\t").mkString("', '")}' (lake, branch, " +
           s"stateBuckets) — refusing '${provText.trim.split("\t")
             .mkString("', '")}'; use a fresh tableDir per (lake, " +
           "branch), and never change graft.lake.ivm.stateBuckets on an " +
           "existing table")
-    } else {
-      fs.mkdirs(td)
-      val out = fs.create(prov, true)
-      try out.write(provText.getBytes("UTF-8")) finally out.close()
     }
     changesStreamEpochs(spark, root, keys, checkpointLocation, branch) {
       (id, isBootstrap, diff) =>

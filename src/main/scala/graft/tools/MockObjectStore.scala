@@ -30,9 +30,16 @@ package graft.tools
   * a conditional PUT against an EXISTING object answer `409` before
   * consuming the request body, the store shape whose aborted upload
   * surfaces client-side as an IOException mid-write (the provider
-  * must still classify it as a conflict, never an IO failure). */
+  * must still classify it as a conflict, never an IO failure);
+  * `spurious409` mimics S3's ConditionalRequestConflict: every
+  * conditional PUT answers `409` with NO object committed (a
+  * concurrent in-flight write, outcome unknown) — the provider must
+  * classify it as IO ("retry"), never as a competitor's commit.
+  * `HEAD` answers present/absent, the probe the provider uses to tell
+  * the two 409 shapes apart. */
 final class MockObjectStore(requireAuth: Option[(String, String)] = None,
-                            earlyConflict: Boolean = false) {
+                            earlyConflict: Boolean = false,
+                            spurious409: Boolean = false) {
   private val lock = new Object
   private var server: com.sun.net.httpserver.HttpServer = _
   private var pool: java.util.concurrent.ExecutorService = _
@@ -66,6 +73,13 @@ final class MockObjectStore(requireAuth: Option[(String, String)] = None,
         val code =
           if (requireAuth.exists { case (h, v) =>
             v != ex.getRequestHeaders.getFirst(h) }) 401
+          else if (ex.getRequestMethod == "HEAD")
+            // the object-presence probe (S3 HeadObject shape) behind
+            // the provider's 409 disambiguation
+            lock.synchronized(if (f.exists()) 200 else 404)
+          else if (ex.getRequestMethod == "PUT" && spurious409 &&
+            "*" == ex.getRequestHeaders.getFirst("If-None-Match"))
+            409 // S3 ConditionalRequestConflict: NOTHING committed
           else if (ex.getRequestMethod == "PUT" && earlyConflict &&
             "*" == ex.getRequestHeaders.getFirst("If-None-Match") &&
             lock.synchronized(f.exists()))

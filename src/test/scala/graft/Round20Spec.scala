@@ -641,4 +641,102 @@ class Round20Spec extends SparkTestBase {
       spark.conf.unset("graft.lake.renameAtomicSchemes")
     }
   }
+
+  test("a rebase marker restore that fails with IO reports the " +
+    "markerless state and the fork id — never a phantom createBranch") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.stfs.impl", classOf[StragglerCommitFs].getName)
+    spark.conf.set("graft.lake.renameAtomicSchemes", "stfs")
+    try {
+      val root = s"stfs://${freshDir("swpioerr")}"
+      val base = docs(1L to 6L, i => s"g$i", _ * 10)
+      Lakehouse.commitSnapshot(spark, root,
+        (0 to 1).map(i => s"p=$i" -> base.filter(col("p") === i)))
+      Lakehouse.createBranch(spark, root, "rev")
+      Lakehouse.createBranch(spark, root, "rev.rebase")
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+      StragglerCommitFs.arm.set(true)
+      val e = intercept[_root_.graft.pipeline.ConcurrentCommitException] {
+        Lakehouse.swapRebasedLineage(fs,
+          new org.apache.hadoop.fs.Path(root), "rev", "rev.rebase",
+          Seq(1), (_, _) => throw new java.io.IOException("store down"))
+      }
+      StragglerCommitFs.arm.set(false)
+      assert(e.getMessage.contains("markerless") &&
+        e.getMessage.contains("store down") &&
+        e.getMessage.contains("'1'"),
+        s"an IO-failed restore must name the markerless state and the " +
+          s"fork id to write back: ${e.getMessage}")
+    } finally {
+      spark.conf.unset("graft.lake.renameAtomicSchemes")
+    }
+  }
+
+  // ---- review findings: reserved columns, 409 shapes, UTF-8 stats order ---
+
+  test("maintainAggregate refuses group/aggregate columns the state " +
+    "layout reserves ('bucket') — synchronously, by name") {
+    val root = freshDir("ivmresv")
+    val base = docs(1L to 8L, i => s"g$i", _ * 10)
+      .withColumnRenamed("lang", "bucket")
+    Lakehouse.commitSnapshot(spark, root,
+      (0 to 1).map(i => s"p=$i" -> base.filter(col("p") === i)))
+    val e = intercept[IllegalArgumentException] {
+      Lakehouse.maintainAggregate(spark, root, Seq("id"),
+        Seq("bucket"), Seq("len"), freshDir("ivmresvtbl"),
+        freshDir("ivmresvck"))
+    }
+    assert(e.getMessage.contains("bucket") &&
+      e.getMessage.contains("reserved"),
+      s"the collision must be named before the stream starts: ${
+        e.getMessage}")
+  }
+
+  test("a spurious 409 (S3 ConditionalRequestConflict: nothing " +
+    "committed) classifies as IO-retry via the HEAD probe, never as a " +
+    "competitor's commit") {
+    val fs = fsOf("/tmp")
+    val provider = new graft.pipeline.HttpSnapshotCas
+    val store = new _root_.graft.tools.MockObjectStore(spurious409 = true)
+    val base = store.start()
+    spark.conf.set("graft.lake.cas.http.base", base)
+    try {
+      val t = new org.apache.hadoop.fs.Path(freshDir("cas409"), "obj")
+      val e = intercept[java.io.IOException] {
+        provider.putIfAbsent(fs, t, "x".getBytes("UTF-8"))
+      }
+      assert(e.getMessage.contains("409") &&
+        e.getMessage.contains("retry"),
+        s"a 409 with no committed object must read as IO-retry: ${
+          e.getMessage}")
+      assert(!fs.exists(t), "nothing may be committed by the failed put")
+    } finally {
+      spark.conf.unset("graft.lake.cas.http.base")
+      store.stop()
+    }
+  }
+
+  test("string stats compare in UTF-8 BINARY order — the order the " +
+    "committed min/max and the IN-envelope bounds are computed in: a " +
+    "file holding \\uffff survives pruning whose envelope tops at an " +
+    "emoji (supplementary plane), and the impossible range still prunes") {
+    val root = freshDir("utf8stats")
+    val a = Seq(("￿", 1L, 0)).toDF("s", "v", "p")
+    val b = Seq(("a", 2L, 1)).toDF("s", "v", "p")
+    Lakehouse.commitSnapshot(spark, root,
+      Seq("p=0" -> a, "p=1" -> b), statsCols = Seq("s"))
+    // UTF-16 code-unit order says "￿" > "😀" (emoji) —
+    // under that order p=0's [min,max] misses the envelope and the
+    // matching row silently vanishes; UTF-8 binary order (Spark's own)
+    // keeps it
+    val got = Lakehouse.readSnapshot(spark, root)
+      .filter(col("s").isin("￿", "😀"))
+      .select("v").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L),
+      s"the \\uffff row must survive IN-envelope pruning, got $got")
+    // and the pruning itself still works: a range strictly above both
+    // files' stats returns nothing (and reads nothing)
+    assert(Lakehouse.readSnapshot(spark, root)
+      .filter(col("s") > "😀").count() == 0L)
+  }
 }
