@@ -136,9 +136,9 @@ final class HttpSnapshotCas extends SnapshotCas {
         // CAS conflict), absent = outcome unknown — which must read as
         // IO (a retry can win; "committed concurrently" would send the
         // operator to inspect a phantom commit)
-        case 409 =>
-          if (exists(fs, target)) false
-          else {
+        case 409 => exists(fs, target) match {
+          case Some(true) => false // a competitor's commit is visible
+          case Some(false) =>
             val e = new java.io.IOException(
               s"conditional PUT of $target returned HTTP 409 but no " +
                 "committed object is visible — a transient store-side " +
@@ -147,7 +147,16 @@ final class HttpSnapshotCas extends SnapshotCas {
                 "condition, retry the put")
             streamFailure.foreach(e.initCause)
             throw e
-          }
+          // the probe itself failed (write-only credential answering
+          // 403 to HEAD, a HEAD-less proxy, a probe-time network blip):
+          // degrade to the pre-probe classification — 409 as a CAS
+          // conflict — which is exact on Azure-class stores and
+          // SELF-HEALING on S3-class ones (the conflict surfaces
+          // through withSnapshotRetry, whose re-read-and-retry re-puts
+          // and wins if nothing actually landed); never strictly worse
+          // than a provider without the probe
+          case None => false
+        }
         case other =>
           val e = new java.io.IOException(
             s"conditional PUT of $target returned HTTP $other — an IO/" +
@@ -160,25 +169,24 @@ final class HttpSnapshotCas extends SnapshotCas {
   }
 
   /** HEAD probe behind the 409 disambiguation — decorated like every
-    * other request, so it works against authenticated stores. Anything
-    * but a clean present/absent answer throws: guessing here would
-    * collapse the very distinction the probe exists to make. */
+    * other request, so it works against authenticated stores. `None`
+    * means the probe could not answer (a non-200/404 code, or the
+    * request itself failed) — the caller then degrades to the
+    * pre-probe conflict classification rather than failing a commit
+    * path that worked before the probe existed. */
   private def exists(fs: org.apache.hadoop.fs.FileSystem,
-                     target: org.apache.hadoop.fs.Path): Boolean = {
-    val c = open(fs, target)
+                     target: org.apache.hadoop.fs.Path): Option[Boolean] =
     try {
-      c.setRequestMethod("HEAD")
-      c.getResponseCode match {
-        case 200 => true
-        case 404 => false
-        case other => throw new java.io.IOException(
-          s"HEAD $target returned HTTP $other while disambiguating a " +
-            "409 conditional-PUT answer — cannot tell a competitor's " +
-            "commit from a transient conflict; an IO error, not a " +
-            "commit conflict")
-      }
-    } finally c.disconnect()
-  }
+      val c = open(fs, target)
+      try {
+        c.setRequestMethod("HEAD")
+        c.getResponseCode match {
+          case 200   => Some(true)
+          case 404   => Some(false)
+          case _     => None
+        }
+      } finally c.disconnect()
+    } catch { case _: java.io.IOException => None }
 
   override def touch(fs: org.apache.hadoop.fs.FileSystem,
                      target: org.apache.hadoop.fs.Path): Boolean = {

@@ -2904,9 +2904,14 @@ object Lakehouse {
       // an IO failure of the restore itself is a THIRD outcome — the
       // branch is then markerless, and saying "createBranch took the
       // name" would send the operator down the wrong recovery
-      val restored: Either[java.io.IOException, Boolean] =
+      // NonFatal, not just IOException: the SnapshotCas SPI says "throw
+      // on IO trouble" without constraining the type — an SDK-backed
+      // provider's RuntimeException must not clobber the straggler
+      // diagnosis (the operator would never learn the branch is
+      // markerless or the fork id to write back)
+      val restored: Either[Throwable, Boolean] =
         try Right(put(marker, s"$forkId\n".getBytes("UTF-8")))
-        catch { case e: java.io.IOException => Left(e) }
+        catch { case scala.util.control.NonFatal(e) => Left(e) }
       throw new ConcurrentCommitException(
         s"rebase of '$name': branch epoch(s) ${straggler.mkString(",")} " +
           "were committed during the swap (a commit in flight before " +
@@ -3433,6 +3438,28 @@ object Lakehouse {
   private[graft] val IvmReservedCols: Set[String] =
     Set(IvmBucketCol, "__graft_part")
 
+  /** The shared reserved-name guard for [[maintainAggregate]] and
+    * [[ivmFold]]: refuse group/aggregate columns colliding with
+    * [[IvmReservedCols]] CASE-INSENSITIVELY — Spark resolves columns
+    * case-insensitively by default, so a group column 'Bucket' would be
+    * replaced by the layout's `withColumn("bucket", …)` just as surely
+    * as 'bucket'. Key columns are deliberately NOT checked:
+    * [[aggregateDelta]] drops them before the bucket column is added,
+    * so a key named 'bucket' never collides. */
+  private def requireNoIvmReserved(groupCols: Seq[String],
+                                   sumCols: Seq[String],
+                                   minCols: Seq[String],
+                                   maxCols: Seq[String]): Unit = {
+    val hit = (groupCols ++ sumCols ++ minCols ++ maxCols).distinct
+      .filter(c => IvmReservedCols.contains(
+        c.toLowerCase(java.util.Locale.ROOT)))
+    require(hit.isEmpty,
+      s"column(s) ${hit.mkString(", ")} are reserved by the " +
+        "maintained-aggregate state layout (bucket partitioning; " +
+        "matched case-insensitively, the way Spark resolves columns) — " +
+        "rename or alias them in the lake before maintaining")
+  }
+
   /** (state-lake snapshot id, last folded source epoch) of a
     * [[maintainAggregate]] table — (None, 0) before the first fold.
     * A committed state WITHOUT the watermark prop means something else
@@ -3476,10 +3503,7 @@ object Lakehouse {
                              maxCols: Seq[String], id: Int,
                              isBootstrap: Boolean, diff: DataFrame,
                              buckets: Int): Unit = {
-    require(!(groupCols ++ sumCols ++ minCols ++ maxCols)
-      .exists(IvmReservedCols),
-      s"aggregate column named in ${IvmReservedCols.mkString("/")} — " +
-        "reserved by the state layout's bucket partitioning")
+    requireNoIvmReserved(groupCols, sumCols, minCols, maxCols)
     val (stateId, last) = ivmLastEpoch(spark, tableDir)
     if (id <= last) return // at-least-once replay: folded exactly once
     if (!isBootstrap) {
@@ -3767,12 +3791,7 @@ object Lakehouse {
     // REPLACED by the layout's own hash column before the fold (groups
     // collapsing onto hash values — a green stream serving a wrong
     // table), so refuse it here by name
-    val reservedHit = (keys ++ groupCols ++ sumCols ++ minCols ++
-      maxCols).toSet.intersect(IvmReservedCols)
-    require(reservedHit.isEmpty,
-      s"column(s) ${reservedHit.mkString(", ")} are reserved by the " +
-        "maintained-aggregate state layout (bucket partitioning) — " +
-        "rename or alias them in the lake before maintaining")
+    requireNoIvmReserved(groupCols, sumCols, minCols, maxCols)
     val keyOverlap = (groupCols ++ sumCols ++ minCols ++ maxCols).toSet
       .intersect(keys.toSet)
     require(keyOverlap.isEmpty,

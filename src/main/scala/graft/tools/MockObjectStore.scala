@@ -39,7 +39,8 @@ package graft.tools
   * the two 409 shapes apart. */
 final class MockObjectStore(requireAuth: Option[(String, String)] = None,
                             earlyConflict: Boolean = false,
-                            spurious409: Boolean = false) {
+                            spurious409: Boolean = false,
+                            headForbidden: Boolean = false) {
   private val lock = new Object
   private var server: com.sun.net.httpserver.HttpServer = _
   private var pool: java.util.concurrent.ExecutorService = _
@@ -75,8 +76,10 @@ final class MockObjectStore(requireAuth: Option[(String, String)] = None,
             v != ex.getRequestHeaders.getFirst(h) }) 401
           else if (ex.getRequestMethod == "HEAD")
             // the object-presence probe (S3 HeadObject shape) behind
-            // the provider's 409 disambiguation
-            lock.synchronized(if (f.exists()) 200 else 404)
+            // the provider's 409 disambiguation; `headForbidden` is the
+            // write-only-credential shape (403 on reads)
+            (if (headForbidden) 403
+             else lock.synchronized(if (f.exists()) 200 else 404))
           else if (ex.getRequestMethod == "PUT" && spurious409 &&
             "*" == ex.getRequestHeaders.getFirst("If-None-Match"))
             409 // S3 ConditionalRequestConflict: NOTHING committed

@@ -675,21 +675,38 @@ class Round20Spec extends SparkTestBase {
   // ---- review findings: reserved columns, 409 shapes, UTF-8 stats order ---
 
   test("maintainAggregate refuses group/aggregate columns the state " +
-    "layout reserves ('bucket') — synchronously, by name") {
+    "layout reserves ('bucket', CASE-INSENSITIVELY — Spark resolution " +
+    "is) — synchronously, by name; a KEY so named stays legal (keys " +
+    "never enter the state layout)") {
     val root = freshDir("ivmresv")
     val base = docs(1L to 8L, i => s"g$i", _ * 10)
-      .withColumnRenamed("lang", "bucket")
+      .withColumnRenamed("lang", "Bucket")
     Lakehouse.commitSnapshot(spark, root,
       (0 to 1).map(i => s"p=$i" -> base.filter(col("p") === i)))
     val e = intercept[IllegalArgumentException] {
       Lakehouse.maintainAggregate(spark, root, Seq("id"),
-        Seq("bucket"), Seq("len"), freshDir("ivmresvtbl"),
+        Seq("Bucket"), Seq("len"), freshDir("ivmresvtbl"),
         freshDir("ivmresvck"))
     }
-    assert(e.getMessage.contains("bucket") &&
+    assert(e.getMessage.contains("Bucket") &&
       e.getMessage.contains("reserved"),
       s"the collision must be named before the stream starts: ${
         e.getMessage}")
+    // a KEY named 'bucket' is harmless (aggregateDelta drops keys
+    // before the layout adds its hash column) — the guard must not
+    // reject a previously-working pipeline over it
+    val root2 = freshDir("ivmresvkey")
+    val base2 = docs(1L to 8L, i => s"g${i % 2}", _ * 10)
+      .withColumnRenamed("id", "bucket")
+    Lakehouse.commitSnapshot(spark, root2,
+      (0 to 1).map(i => s"p=$i" -> base2.filter(col("p") === i)))
+    val tbl = freshDir("ivmresvkeytbl")
+    val q = Lakehouse.maintainAggregate(spark, root2, Seq("bucket"),
+      Seq("lang"), Seq("len"), tbl, freshDir("ivmresvkeyck"))
+    try {
+      q.processAllAvailable()
+      assert(Lakehouse.readAggregate(spark, tbl).count() == 2L)
+    } finally q.stop()
   }
 
   test("a spurious 409 (S3 ConditionalRequestConflict: nothing " +
@@ -713,6 +730,28 @@ class Round20Spec extends SparkTestBase {
     } finally {
       spark.conf.unset("graft.lake.cas.http.base")
       store.stop()
+    }
+    // write-only-credential shape: the HEAD probe answers 403, so the
+    // provider DEGRADES to the pre-probe classification — a 409 on an
+    // existing object is still a clean CAS conflict, never a thrown IO
+    // that would break every legitimate conflict on that credential
+    val store2 = new _root_.graft.tools.MockObjectStore(
+      earlyConflict = true, headForbidden = true)
+    val base2 = store2.start()
+    spark.conf.set("graft.lake.cas.http.base", base2)
+    try {
+      val t2 = new org.apache.hadoop.fs.Path(freshDir("cas409wo"), "obj")
+      assert(provider.putIfAbsent(fs, t2, "first".getBytes("UTF-8")))
+      assert(!provider.putIfAbsent(fs, t2, "second".getBytes("UTF-8")),
+        "with the probe unanswerable, 409 must stay a CAS conflict")
+      val in = fs.open(t2)
+      val held = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+      assert(held == "first")
+    } finally {
+      spark.conf.unset("graft.lake.cas.http.base")
+      store2.stop()
     }
   }
 
