@@ -118,12 +118,50 @@ object FuzzyJoin {
     labelFromEdges(records, idCol, edges)
   }
 
+  /** Self-join edge generation with the `id_l < id_r` canonicalization
+    * pushed INTO candidate generation (the two-sided [[join]] face
+    * generates every unordered pair in both orientations plus the full
+    * diagonal and filters after the levenshtein verify — for a self-join
+    * that is 2×+N candidates distinct-ed, joined back and verified for
+    * the same edge set). One gram stream, one df cap (left and right df
+    * are the same count on a self-join, so the shared-side cap is
+    * unchanged), and every candidate is emitted once, low id left.
+    * Coverage argument is [[join]]'s verbatim: both orientations of a
+    * qualifying pair were generated there, so keeping exactly the
+    * (min,max) orientation drops no pair. */
   private def fuzzySelfEdges(records: DataFrame, idCol: String,
                              strCol: String, maxDist: Int, q: Int,
-                             maxGramDf: Int): DataFrame =
-    join(records, records, idCol, strCol, maxDist, q, maxGramDf)
+                             maxGramDf: Int): DataFrame = {
+    val minLong = q * (maxDist + 1)
+    val base = records.select(col(idCol).as("id"), col(strCol).as("s"),
+      length(col(strCol)).as("len"))
+    val grams = base.filter(col("len") >= q)
+      .select(col("id"), explode(array_distinct(expr(
+        s"transform(sequence(1, len - ${q - 1}), " +
+          s"i -> substring(s, i, $q))"))).as("g"))
+    val eligible = grams.join(
+      grams.groupBy("g").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxGramDf).select("g"), Seq("g"))
+    val longCand = eligible.select(col("g"), col("id").as("id_l"))
+      .join(eligible.select(col("g"), col("id").as("id_r")), Seq("g"))
       .filter(col("id_l") < col("id_r"))
+      .select(col("id_l"), col("id_r")).distinct()
+    val short = base.filter(col("len") < minLong)
+    val shortCand = short
+      .select(col("id").as("id_l"),
+        explode(expr(s"sequence(greatest(len - $maxDist, 0), " +
+          s"len + $maxDist)")).as("band"))
+      .join(short.select(col("id").as("id_r"), col("len").as("band")),
+        Seq("band"))
+      .filter(col("id_l") < col("id_r"))
+      .select(col("id_l"), col("id_r")).distinct()
+    longCand.unionByName(shortCand).distinct()
+      .join(base.select(col("id").as("id_l"), col("s").as("s_l")), Seq("id_l"))
+      .join(base.select(col("id").as("id_r"), col("s").as("s_r")), Seq("id_r"))
+      .filter(abs(length(col("s_l")) - length(col("s_r"))) <= maxDist)
+      .filter(levenshtein(col("s_l"), col("s_r")) <= maxDist)
       .select(col("id_l").as("a"), col("id_r").as("b"))
+  }
 
   /** Exact-equality match edges on column `c`: records sharing a
     * non-null value connect through a STAR to the value's min-id member

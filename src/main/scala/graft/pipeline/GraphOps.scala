@@ -78,12 +78,16 @@ object GraphOps {
       col("dst").cast("bigint").as("dst")).distinct()
     // materialize the degree-annotated edge list and node set ONCE —
     // their lineage (often a multi-join upstream) must not re-execute
-    // inside every iteration's plan
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
-      .localCheckpoint()
+    // inside every iteration's plan. The node set derives from the
+    // ALREADY-CHECKPOINTED eD in one explode pass (the inner join on
+    // `src` keeps every edge row, so eD's endpoints are exactly e's):
+    // the union-of-two-selects over `e` this replaces re-executed the
+    // upstream edge lineage for each branch of its own checkpoint.
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("d"))
     val eD = e.join(outdeg, "src").localCheckpoint()
+    val nodes = eD
+      .select(explode(array(col("src"), col("dst"))).as("id")).distinct()
+      .localCheckpoint()
     val base = initMicro * (dampDen - dampNum) / dampDen
 
     var rank = nodes.withColumn("rank", lit(initMicro))
@@ -147,10 +151,22 @@ object GraphOps {
         s"connectedComponents: edge endpoints must both be integral or " +
           s"both string, got (a: $ta, b: $tb) — cast ids explicitly " +
           "(a lossy implicit cast would mislabel components silently)")
-    val sym = edges.select(col("a").cast(idType).as("x"),
-        col("b").cast(idType).as("y"))
-      .union(edges.select(col("b").cast(idType).as("x"),
-        col("a").cast(idType).as("y")))
+    // symmetrize in ONE pass over the edge lineage: each row explodes to
+    // both orientations (the union-of-two-selects form this replaces ran
+    // the upstream edge derivation — for the ER rows, the whole blocked
+    // fuzzy join — once per branch). The explicit repartition on `y` sits
+    // BELOW the distinct (hashpartitioning(y) satisfies the (x,y)
+    // clustering the dedup needs — one exchange, not two) and is what the
+    // per-round propagation join keys on, so the persisted edge list is
+    // never re-exchanged inside the fixpoint: each round shuffles only
+    // label-sized frames (guide §2.4 — establish the partitioning once).
+    val ex = col("a").cast(idType)
+    val ey = col("b").cast(idType)
+    val sym = edges
+      .select(explode(array(struct(ex.as("x"), ey.as("y")),
+        struct(ey.as("x"), ex.as("y")))).as("e"))
+      .select(col("e.x").as("x"), col("e.y").as("y"))
+      .repartition(col("y"))
       .distinct()
       .persist()
     try {
@@ -163,27 +179,36 @@ object GraphOps {
         val proposed = sym
           .join(labels.select(col("id").as("y"), col("component").as("nl")), "y")
           .groupBy(col("x").as("id")).agg(min("nl").as("nl"))
-        val stepped = labels.join(proposed, Seq("id"), "left")
-          .select(col("id"),
-            least(col("component"), coalesce(col("nl"), col("component")))
+        // carry the round-start label as `old` through to the checkpoint:
+        // the convergence probe then reads the checkpointed frame directly
+        // instead of paying a doubled⋈labels join per round
+        val stepped = labels.select(col("id"), col("component").as("old"))
+          .join(proposed, Seq("id"), "left")
+          .select(col("id"), col("old"),
+            least(col("old"), coalesce(col("nl"), col("old")))
               .as("component"))
-        // pointer doubling: a label is itself a node id — adopt ITS label
-        val doubled = stepped.alias("s")
-          .join(stepped.select(col("id").as("component"),
-            col("component").as("ll")).alias("l"), Seq("component"), "left")
-          .select(col("id"),
+        // pointer doubling: a label is itself a node id — adopt ITS label.
+        // The lookup side is the ROUND-START table (already materialized —
+        // reading it twice is free), not `stepped` (a stepped⋈stepped
+        // self-join re-executes the whole propagation join for the lookup
+        // branch: a join is not an exchange, so nothing reuses it). Both
+        // yield labels of reachable nodes, so the fixpoint — min reachable
+        // id — and the no-change termination rule are unchanged.
+        val doubled = stepped
+          .join(labels.select(col("id").as("component"),
+            col("component").as("ll")), Seq("component"), "left")
+          .select(col("id"), col("old"),
             least(col("component"), coalesce(col("ll"), col("component")))
               .as("component"))
           .localCheckpoint()
         val changed = doubled
-          .join(labels.withColumnRenamed("component", "old"), "id")
           .filter(col("component") =!= col("old")).limit(1).count()
         // the superseded round's checkpoint blocks are dead the moment the
         // new one is materialized (localCheckpoint is eager) — free them
         // now instead of waiting out the ContextCleaner's GC cycle (the
         // Bench lesson: leaked round blocks evict the live frontier)
         freeCheckpoint(labels)
-        labels = doubled
+        labels = doubled.select(col("id"), col("component"))
         i += 1
         if (changed == 0) return labels
       }
@@ -237,8 +262,10 @@ object GraphOps {
     * explicit acceptance of O(maxDegree²) per-hub work. */
   def triangleCounts(edges: DataFrame, maxDegree: Int = 65536): DataFrame = {
     val e0 = edges.select(col("a"), col("b"))
-    val maxDeg = e0.select(col("a").as("id"))
-      .union(e0.select(col("b").as("id")))
+    // one pass over the edge lineage (explode, not union-of-selects —
+    // the guard must not run the upstream projection twice)
+    val maxDeg = e0
+      .select(explode(array(col("a"), col("b"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("d"))
       .agg(max("d").as("__maxd"))
     val e = e0.crossJoin(broadcast(maxDeg))
