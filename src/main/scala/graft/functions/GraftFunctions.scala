@@ -202,16 +202,20 @@ object GraftFunctions {
     GraftBridge.column(ShingleIds(GraftBridge.expression(text), k))
   }
 
-  private val HexBytes = "0123456789abcdef".getBytes("US-ASCII")
-
-  /** Every `stride`-th `window`-character substring's md5-prefix digest,
-    * identical to SQL `substring(md5(substring(text, 1 + i*stride,
-    * window)), 1, 16)` — the exactSubstr contract hash — computed in ONE
-    * primitive pass: character (codepoint) offsets resolved once, md5
-    * runs directly over each window's UTF-8 byte span, no interpreted
-    * HOF lambda and no per-window string copy. Window i's position is
-    * implied (pos = 1 + i*stride). Empty array when the text is shorter
-    * than the window. Called from generated code. */
+  /** Every `stride`-th `window`-character substring's md5-prefix digest
+    * as a SIGNED 64-BIT LONG — bit-for-bit the first 16 hex chars of the
+    * SQL chain `substring(md5(substring(text, 1 + i*stride, window)), 1,
+    * 16)` read as a two's-complement number (`lower(lpad(hex(h),16,'0'))`
+    * recovers the hex form exactly; spec-pinned). The long carrier halves
+    * the digest shuffle width vs the 16-char hex string and keys the
+    * downstream groupBy/join on primitive comparisons — grouping is
+    * IDENTICAL (the map is a bijection), so every declared result is
+    * unchanged. Computed in ONE primitive pass: character (codepoint)
+    * offsets resolved once, md5 runs directly over each window's UTF-8
+    * byte span, no interpreted HOF lambda and no per-window string copy.
+    * Window i's position is implied (pos = 1 + i*stride). Empty array
+    * when the text is shorter than the window. Called from generated
+    * code. */
   def substrWindowHashes(text: org.apache.spark.unsafe.types.UTF8String,
                          window: Int, stride: Int): ArrayData = {
     val bytes = text.getBytes
@@ -226,27 +230,28 @@ object GraftFunctions {
       c += 1
     }
     starts(c) = bytes.length
-    if (c < window) return new GenericArrayData(Array.empty[Any])
+    if (c < window) return new GenericArrayData(Array.empty[Long])
     val count = (c - window) / stride + 1
     val md = Md5Local.get()
-    val out = new Array[Any](count)
+    val out = new Array[Long](count)
     var i = 0
     while (i < count) {
       val from = starts(i * stride)
       md.update(bytes, from, starts(i * stride + window) - from)
       val d = md.digest() // digest() also resets
-      val hex = new Array[Byte](16)
-      var j = 0
-      while (j < 8) {
-        hex(2 * j) = HexBytes((d(j) >> 4) & 0xf)
-        hex(2 * j + 1) = HexBytes(d(j) & 0xf)
-        j += 1
-      }
-      out(i) = org.apache.spark.unsafe.types.UTF8String.fromBytes(hex)
+      out(i) = digestPrefixLong(d)
       i += 1
     }
     new GenericArrayData(out)
   }
+
+  /** First 8 md5 bytes big-endian as a signed long — the same 64 bits the
+    * hex-prefix-16 contract digest spells in hex. */
+  private def digestPrefixLong(d: Array[Byte]): Long =
+    ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
 
   def substr_window_hashes(text: Column, window: Int, stride: Int): Column = {
     import org.apache.spark.sql.GraftBridge
@@ -268,8 +273,8 @@ object GraftFunctions {
     * prefilter theorem); winnowing also guarantees an anchor in EVERY g
     * consecutive positions, so coverage is deterministic, not
     * probabilistic. Each anchor q with q + w1 <= numChars emits the
-    * md5-prefix-16 digest of the w1 = window-g+1 chars at q (the family
-    * digest contract). Guarantee: any duplicated substring of length >=
+    * md5-prefix 64-bit long digest of the w1 = window-g+1 chars at q
+    * (the family digest contract bits, long carrier). Guarantee: any duplicated substring of length >=
     * window (with window >= g+k-1) produces at least one IDENTICAL
     * digest in both occurrences. Expected density ~2/(g+1); worst case
     * (a constant run — every k-gram hash equal) degrades toward
@@ -326,21 +331,13 @@ object GraftFunctions {
       j += 1
     }
     val md = Md5Local.get()
-    val out = new scala.collection.mutable.ArrayBuffer[Any](anchors.size)
+    val out = new scala.collection.mutable.ArrayBuffer[Long](anchors.size)
     val it = anchors.iterator()
     while (it.hasNext) {
       val a = it.next().intValue()
       if (a + w1 <= c) {
         md.update(bytes, starts(a), starts(a + w1) - starts(a))
-        val d = md.digest()
-        val hex = new Array[Byte](16)
-        var i = 0
-        while (i < 8) {
-          hex(2 * i) = HexBytes((d(i) >> 4) & 0xf)
-          hex(2 * i + 1) = HexBytes(d(i) & 0xf)
-          i += 1
-        }
-        out += org.apache.spark.unsafe.types.UTF8String.fromBytes(hex)
+        out += digestPrefixLong(md.digest())
       }
     }
     new GenericArrayData(out.toArray)
@@ -544,12 +541,12 @@ final case class ShingleIds(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** string → array of md5-prefix-16 window digests (see
+/** string → array of md5-prefix-64-bit window digests as longs (see
   * [[GraftFunctions.substrWindowHashes]]); one codegen'd call per row. */
 final case class SubstrWindowHashes(child: Expression, window: Int,
                                     stride: Int) extends UnaryExpression {
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes()
   : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
@@ -574,14 +571,14 @@ final case class SubstrWindowHashes(child: Expression, window: Int,
       newChild: Expression): SubstrWindowHashes = copy(child = newChild)
 }
 
-/** string → array of winnowed anchor digests (see
+/** string → array of winnowed anchor digests as longs (see
   * [[GraftFunctions.winnowedWindowHashes]]); one codegen'd call per
   * row. */
 final case class WinnowedWindowHashes(child: Expression, window: Int,
                                       k: Int, g: Int)
   extends UnaryExpression {
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes()
   : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {

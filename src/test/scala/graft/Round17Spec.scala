@@ -1626,14 +1626,19 @@ class Round17Spec extends SparkTestBase {
     for (w <- Seq(3, 10); st <- Seq(1, 3)) {
       val df = fixtures.zipWithIndex.map { case (t, i) => (i.toLong, t) }
         .toDF("id", "text")
-      val native = df.select(col("id"), graft.functions.GraftFunctions
-        .substr_window_hashes(col("text"), w, st).as("h"))
+      // the native digest is a signed 64-bit long carrying EXACTLY the
+      // bits of the hex-prefix-16 contract digest: render it back to hex
+      // (two's complement, zero-padded) and it must equal the SQL chain
+      val nativeHex = df.select(col("id"), graft.functions.GraftFunctions
+        .substr_window_hashes(col("text"), w, st).as("hl"))
+        .select(col("id"), expr(
+          "transform(hl, x -> lower(lpad(hex(x), 16, '0')))").as("h"))
       val sql = df.select(col("id"), expr(
         s"CASE WHEN length(text) >= $w THEN transform(sequence(0, " +
           s"CAST(floor((length(text) - $w) / $st) AS INT)), i -> " +
           s"substring(md5(substring(text, 1 + i * $st, $w)), 1, 16)) " +
           "ELSE array() END").as("h"))
-      val n = native.orderBy("id").as[(Long, Seq[String])].collect().toSeq
+      val n = nativeHex.orderBy("id").as[(Long, Seq[String])].collect().toSeq
       val q = sql.orderBy("id").as[(Long, Seq[String])].collect().toSeq
       assert(n == q, s"window=$w stride=$st diverged")
     }
