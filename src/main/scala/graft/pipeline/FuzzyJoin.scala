@@ -355,12 +355,81 @@ object FuzzyJoin {
     * corpus operation by its own semantics; run it on a cadence. */
   def entityClustersCosine(records: DataFrame, idCol: String,
                            strCol: String, tauMilli: Int = 800,
-                           maxTokenDf: Long = 4096): DataFrame = {
-    val pairs = cosineJoin(records, records, idCol, strCol, tauMilli,
-        maxTokenDf)
+                           maxTokenDf: Long = 4096): DataFrame =
+    labelFromEdges(records, idCol,
+      cosineSelfPairsLt(records, idCol, strCol, tauMilli, maxTokenDf))
+
+  /** Self-join arm of [[cosineJoinWithStats]], pairs canonicalized to
+    * `id_l < id_r` — EXACTLY [[entityClustersCosine]]'s edge set, at half
+    * the work: the two-sided form tokenizes the same records twice (once
+    * per side), weighs them over the doubled union corpus, and verifies
+    * every unordered pair in both orientations plus the diagonal before
+    * the caller's `<` filter drops half. Here the token stream is
+    * computed once and PERSISTED across its four consumers (df, norms,
+    * candidate self-join sides), weights come from the single corpus —
+    * identical by integer arithmetic, `(2n·1000) div (2·df) = (n·1000)
+    * div df`, and the df cap compares the union-corpus `2·df` so the
+    * blocking contract is unchanged — and candidates are generated once,
+    * low id left. The verified pair list materializes (localCheckpoint)
+    * while the token cache is hot, then the cache is released — the
+    * [[containmentPairs]] lifecycle. */
+  private def cosineSelfPairsLt(records: DataFrame, idCol: String,
+                                strCol: String, tauMilli: Int,
+                                maxTokenDf: Long): DataFrame = {
+    require(tauMilli > 0 && tauMilli <= 1000,
+      s"tauMilli must be in (0, 1000], got $tauMilli")
+    require(maxTokenDf >= 1, s"maxTokenDf must be >= 1, got $maxTokenDf")
+    val tk = records.select(col(idCol).as("rid"),
+        explode(array_distinct(
+          split(lower(col(strCol)), "[^a-z0-9]+"))).as("t"))
+      .filter(col("t") =!= "")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfs = tk.groupBy("t").agg(count(lit(1)).as("df"))
+    val nRecords = tk.select("rid").distinct().count()
+    val w = dfs.select(col("t"), col("df"),
+      expr(s"least(1000000L, ${nRecords}L * 1000 div df)").as("w"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w2 = col("w") * col("w")
+    val norms = tk.join(w.select("t", "w"), Seq("t"))
+      .groupBy(col("rid")).agg(sum(w2).as("nrm"), count(lit(1)).as("__nt"))
+      .select(col("rid"),
+        when(col("__nt") > MaxRecordTokens, raise_error(lit(
+          s"cosineJoin: a record carries more than $MaxRecordTokens " +
+            "distinct tokens — past this the exact integer norms " +
+            "could wrap silently; chunk the strings upstream")))
+          .otherwise(col("nrm")).as("nrm"))
+    // blocking cap on the UNION-corpus df (both sides are this corpus,
+    // so union df = 2·df) — the declared cappedTokens contract
+    val cand = tk.select(col("t"), col("rid").as("id_l"))
+      .join(w.filter(col("df") * 2 <= maxTokenDf).select("t"), Seq("t"))
+      .join(tk.select(col("t"), col("rid").as("id_r")), Seq("t"))
       .filter(col("id_l") < col("id_r"))
+      .select("id_l", "id_r").distinct()
+    val dots = cand
+      .join(tk.select(col("rid").as("id_l"), col("t")), Seq("id_l"))
+      .join(tk.select(col("rid").as("id_r"), col("t")), Seq("id_r", "t"))
+      .join(w.select("t", "w"), Seq("t"))
+      .groupBy("id_l", "id_r").agg(sum(w2).as("dot_w2"))
+    val lhs = col("dot_w2").cast(dec) * col("dot_w2") * lit(1000000L)
+    val rhs = lit(tauMilli.toLong * tauMilli).cast(dec) *
+      col("norm_l") * col("norm_r")
+    val pairs = dots
+      .join(norms.select(col("rid").as("id_l"), col("nrm").as("norm_l")),
+        Seq("id_l"))
+      .join(norms.select(col("rid").as("id_r"), col("nrm").as("norm_r")),
+        Seq("id_r"))
+      .filter(when(lhs.isNull || rhs.isNull, raise_error(lit(
+          "cosineJoin: DECIMAL(38) overflow in the exact cosine " +
+            "threshold test — records share too many max-weight tokens " +
+            "(a term of dot²·10⁶ / τ²·‖l‖²·‖r‖² passed 10³⁸); the exact " +
+            "test cannot decide the pair, failing loudly instead of " +
+            "dropping it. Bound per-record token counts upstream (chunk " +
+            "the strings) or lower the weight cap.")))
+        .otherwise(lhs >= rhs))
       .select(col("id_l").as("a"), col("id_r").as("b"))
-    labelFromEdges(records, idCol, pairs)
+      .localCheckpoint()
+    tk.unpersist(blocking = false)
+    pairs
   }
 
   /** Golden-record SURVIVORSHIP — the step after clustering in every
