@@ -229,9 +229,55 @@ final class Compiler(catalog: Catalog, load: String => DataFrame,
         case _                                               => List(df.col(v.name))
       }
     }
+    // Template-keyed group vars: rebuild the (constant-within-group) URI
+    // AFTER aggregation as a concat over the grouped raw key columns
+    // wherever the signature round-trips — carrying the URI string
+    // through a first() aggregate gives every aggregate in the plan a
+    // var-width buffer, which forces the WHOLE aggregation into
+    // SortAggregate (three sorts of the fact table for one COUNT
+    // DISTINCT); the post-agg rebuild keeps it hash-based. Vars whose
+    // signature does not parse back, or that HAVING references by name,
+    // keep the first() path.
+    val havingVars: Set[String] = {
+      def vars(e: Expr): Set[String] = e match {
+        case Expr.TermRef(Var(n))  => Set(n)
+        case Expr.TermRef(_)       => Set.empty
+        case Expr.Cmp(_, l, r)     => vars(l) ++ vars(r)
+        case Expr.Arith(_, l, r)   => vars(l) ++ vars(r)
+        case Expr.And(l, r)        => vars(l) ++ vars(r)
+        case Expr.Or(l, r)         => vars(l) ++ vars(r)
+        case Expr.Not(x)           => vars(x)
+        case Expr.Call(_, as)      => as.flatMap(vars).toSet
+        case _                     => Set.empty
+      }
+      // SELECT expressions with hoisted aggregates evaluate post-grouping
+      // too — any group var they mention must stay a first() column
+      q.having.map(vars).getOrElse(Set.empty) ++
+        q.projection.flatMap {
+          case ProjExpr(e, _) => vars(e)
+          case _              => Nil
+        }
+    }
+    val postUri = mutable.LinkedHashMap[String, Column]()
     val rebuilt = q.groupBy.filter(v => c.sigs.get(v.name)
         .exists(_._2.forall(df.columns.contains)))
-      .map(v => first(df.col(v.name)).as(v.name))
+      .flatMap { v =>
+        val (sig, hs) = c.sigs(v.name)
+        parseSignature(sig) match {
+          case Some(parts)
+            if parts.count(_.isEmpty) == hs.length &&
+              !havingVars.contains(v.name) =>
+            var ki = -1
+            val pieces = parts.map {
+              case Some(l) => lit(l)
+              case None    => ki += 1; col(hs(ki)).cast("string")
+            }
+            postUri(v.name) =
+              (if (pieces.size == 1) pieces.head else concat(pieces: _*))
+            None
+          case _ => Some(first(df.col(v.name)).as(v.name))
+        }
+      }
     // HAVING with inline aggregates (COUNT(*) > n): hoist each agg:* call
     // into a hidden aggregate column and reference it in the filter
     val hoisted = mutable.ListBuffer[Column]()
@@ -273,7 +319,33 @@ final class Compiler(catalog: Catalog, load: String => DataFrame,
     val filtered = having.fold(grouped)(h => grouped.filter(ExprCompiler.predicate(h, grouped)))
     filtered.select(q.projection.map(p => postExprs.get(p.alias)
       .map(e => ExprCompiler.compile(e, filtered).as(p.alias))
+      .orElse(postUri.get(p.alias).map(_.as(p.alias)))
       .getOrElse(filtered.col(p.alias))): _*)
+  }
+
+  /** Parse a [[graft.mapping.Template.signature]] back to its parts
+    * (`Some(literal)` / `None` = column placeholder). None when a literal
+    * contains the signature's own delimiter characters — the rebuild then
+    * stays on the first() path rather than risk a wrong concat. */
+  private def parseSignature(sig: String): Option[List[Option[String]]] = {
+    val parts = mutable.ListBuffer[Option[String]]()
+    var i = 0
+    val n = sig.length
+    while (i < n) {
+      if (sig.startsWith("L(", i)) {
+        val close = sig.indexOf(')', i + 2)
+        if (close < 0) return None
+        val l = sig.substring(i + 2, close)
+        if (l.exists(ch => ch == '|' || ch == '(' || ch == ')')) return None
+        parts += Some(l)
+        i = close + 1
+      } else if (sig.charAt(i) == 'C') { parts += None; i += 1 }
+      else return None
+      if (i < n) {
+        if (sig.charAt(i) == '|' && i + 1 < n) i += 1 else return None
+      }
+    }
+    if (parts.isEmpty) None else Some(parts.toList)
   }
 
   private def aggColumn(pa: ProjAgg, df: DataFrame,
