@@ -631,11 +631,32 @@ object Dedup {
                                  k: Int = 3, numPerm: Int = 32, bands: Int = 8,
                                  tau: Double = 0.9, containK: Int = 8,
                                  maxDf: Long = 256, minGrams: Long = 3): DataFrame =
-    dedupStaged(docs, ek =>
-      verifiedNearDups(ek, threshold, k, numPerm, bands).select(col("a"), col("b"))
-        .unionByName(
+    dedupStaged(docs, ek => {
+      // the two edge generators are INDEPENDENT eager jobs over the same
+      // persisted survivor frame (each materializes its pair list via
+      // localCheckpoint) — submit them from two driver threads so the
+      // second job's tasks back-fill executors freed by the first job's
+      // stragglers instead of running strictly after them (the
+      // overlap-independent-jobs discipline; job descriptions are
+      // thread-local so the UI stays readable). The union itself is
+      // edge-list-sized, order-irrelevant (components are order-free).
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2,
+        r => { val t = new Thread(r, "dedup-edges"); t.setDaemon(true); t })
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        val near = scala.concurrent.Future(
+          verifiedNearDups(ek, threshold, k, numPerm, bands)
+            .select(col("a"), col("b")))
+        val cont = scala.concurrent.Future(
           containmentPairs(ek, tau, containK, maxDf, minGrams)
-            .select(col("a"), col("b"))))
+            .select(col("a"), col("b")))
+        scala.concurrent.Await
+          .result(near, scala.concurrent.duration.Duration.Inf)
+          .unionByName(scala.concurrent.Await
+            .result(cont, scala.concurrent.duration.Duration.Inf))
+      } finally pool.shutdown()
+    })
 
   /** Shared staging of the end-to-end dedup compositions: exact → edge
     * generation over exact survivors → components → canonical filter.

@@ -356,15 +356,17 @@ object TextAnalysis {
   def perplexity(docs: DataFrame, lmCorpus: DataFrame = null,
                  k: Double = 0.5): DataFrame = {
     val lm = Option(lmCorpus).getOrElse(docs)
-    def bigrams(d: DataFrame): DataFrame = {
-      val toks = d.select(col("doc_id"),
-        posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "w1")))
-      toks.withColumn("w2",
-          lead(col("w1"), 1).over(org.apache.spark.sql.expressions.Window
-            .partitionBy("doc_id").orderBy("pos")))
-        .filter(col("w2").isNotNull)
-        .select("doc_id", "w1", "w2")
-    }
+    // adjacent-pair zip INSIDE the row (one explode of structs) — the
+    // posexplode + lead()-window form this replaces shuffled and sorted
+    // every (doc_id, pos, token) row just to pair each token with its
+    // successor, which the token array already knows in place
+    def bigrams(d: DataFrame): DataFrame =
+      d.select(col("doc_id"), split(lower(col("text")), "\\s+").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w) - 1), " +
+            "i -> struct(w[i-1] AS w1, w[i] AS w2))")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val c2 = bigrams(lm).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
     // vocabulary size: one-row aggregate to the driver (bounded scalar),
