@@ -202,6 +202,61 @@ object GraftFunctions {
     GraftBridge.column(ShingleIds(GraftBridge.expression(text), k))
   }
 
+  /** Word k-gram md5-prefix digests as longs — bit-for-bit the
+    * `substring(md5(concat_ws(' ', slice(w, i, k))), 1, 16)` contract
+    * digests of the containment/jaccard/dup-span family read as signed
+    * 64-bit numbers (`lower(lpad(hex(h),16,'0'))` recovers the hex), over
+    * `w = split(lower(text), '\s+')`, window i = 1..max(n-k+1, 1) with
+    * the final short window when n < k — but in ONE primitive loop per
+    * row instead of an interpreted transform lambda plus a 32-char hex
+    * round-trip per gram (the HOF machinery, not the md5, dominated the
+    * gram map stages — the [[substrWindowHashes]] finding). `distinct`
+    * mirrors `array_distinct` (first-occurrence order). Called from
+    * generated code. */
+  def wordGramDigests(text: org.apache.spark.unsafe.types.UTF8String,
+                      k: Int, distinct: Boolean): ArrayData = {
+    val tokens = text.toLowerCase.split(WhitespaceRe, -1)
+    val n = tokens.length
+    val windows = math.max(n - k + 1, 1)
+    val md = Md5Local.get()
+    if (distinct) {
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      var i = 0
+      while (i < windows) {
+        val end = math.min(i + k, n)
+        val gram = org.apache.spark.unsafe.types.UTF8String.concatWs(
+          SpaceSep, java.util.Arrays.copyOfRange(tokens, i, end): _*)
+        md.update(gram.getBytes)
+        seen.add(digestPrefixLong(md.digest()))
+        i += 1
+      }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator()
+      var j = 0
+      while (it.hasNext) { out(j) = it.next(); j += 1 }
+      new GenericArrayData(out)
+    } else {
+      val out = new Array[Long](windows)
+      var i = 0
+      while (i < windows) {
+        val end = math.min(i + k, n)
+        val gram = org.apache.spark.unsafe.types.UTF8String.concatWs(
+          SpaceSep, java.util.Arrays.copyOfRange(tokens, i, end): _*)
+        md.update(gram.getBytes)
+        out(i) = digestPrefixLong(md.digest())
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  def word_gram_digests(text: Column, k: Int,
+                        distinct: Boolean): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(
+      WordGramDigests(GraftBridge.expression(text), k, distinct))
+  }
+
   /** Every `stride`-th `window`-character substring's md5-prefix digest
     * as a SIGNED 64-BIT LONG — bit-for-bit the first 16 hex chars of the
     * SQL chain `substring(md5(substring(text, 1 + i*stride, window)), 1,
@@ -539,6 +594,36 @@ final case class ShingleIds(child: Expression, k: Int) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): ShingleIds =
     copy(child = newChild)
+}
+
+/** string → array of word k-gram md5-prefix digests as longs (see
+  * [[GraftFunctions.wordGramDigests]]); one codegen'd call per row. */
+final case class WordGramDigests(child: Expression, k: Int,
+                                 distinct: Boolean) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+  : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case StringType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"word_gram_digests expects string, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftFunctions.wordGramDigests(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      k, distinct)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftFunctions" +
+        s".wordGramDigests($c, $k, $distinct);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WordGramDigests = copy(child = newChild)
 }
 
 /** string → array of md5-prefix-64-bit window digests as longs (see

@@ -460,12 +460,9 @@ object Dedup {
     * incremental-store path can admit without recomputing (the
     * `shingles`-column discipline of [[nearDupFreshAgainstStore]]). */
   private def withCGrams(docs: DataFrame, k: Int): DataFrame =
-    docs
-      .withColumn("__w", split(lower(col("text")), "\\s+"))
-      .withColumn("cgrams", array_distinct(expr(
-        s"transform(sequence(1, greatest(size(__w) - ${k - 1}, 1)), " +
-          s"i -> substring(md5(concat_ws(' ', slice(__w, i, $k))), 1, 16))")))
-      .drop("__w")
+    docs.withColumn("cgrams",
+      graft.functions.GraftFunctions.word_gram_digests(
+        col("text"), k, distinct = true))
 
   /** Incremental CONTAINMENT against a persistent gram store — closes the
     * asymmetric gap [[nearDupFreshAgainstStore]] leaves open: a document
@@ -764,10 +761,9 @@ object Dedup {
   def dupSpans(docs: DataFrame, k: Int = 8, minDf: Long = 2): DataFrame = {
     require(k >= 2 && minDf >= 2, s"bad k=$k / minDf=$minDf")
     val perDocGram = docs
-      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("w"))
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, greatest(size(w) - ${k - 1}, 1)), " +
-          s"i -> substring(md5(concat_ws(' ', slice(w, i, $k))), 1, 16))")).as("g"))
+      .select(col("doc_id"), explode(
+        graft.functions.GraftFunctions.word_gram_digests(
+          col("text"), k, distinct = false)).as("g"))
       .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
     val dfByGram = perDocGram.groupBy("g")
       .agg(sum(least(col("c"), lit(1L))).as("df"))
@@ -1029,10 +1025,9 @@ object Dedup {
     // pair list is orders of magnitude smaller than the gram stream, the
     // same lifecycle discipline as [[verifiedNearDups]] — and release.
     val grams = docs
-      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("w"))
-      .select(col("doc_id"), explode(array_distinct(expr(
-        s"transform(sequence(1, greatest(size(w) - ${k - 1}, 1)), " +
-          s"i -> substring(md5(concat_ws(' ', slice(w, i, $k))), 1, 16))"))).as("g"))
+      .select(col("doc_id"), explode(
+        graft.functions.GraftFunctions.word_gram_digests(
+          col("text"), k, distinct = true)).as("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = grams.groupBy("doc_id")
       .agg(count(lit(1)).as("b_size"))
@@ -1083,10 +1078,9 @@ object Dedup {
     // self-join sides) — persist fixed-width digest rows, collapse the
     // (tiny) verified pair list while the cache is hot, release
     val grams = docs
-      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("w"))
-      .select(col("doc_id"), explode(array_distinct(expr(
-        s"transform(sequence(1, greatest(size(w) - ${k - 1}, 1)), " +
-          s"i -> substring(md5(concat_ws(' ', slice(w, i, $k))), 1, 16))"))).as("g"))
+      .select(col("doc_id"), explode(
+        graft.functions.GraftFunctions.word_gram_digests(
+          col("text"), k, distinct = true)).as("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val eligible = grams.join(
