@@ -391,12 +391,17 @@ object Mixture {
     * join IS AQE-skew-splittable. Documents under two tokens have no
     * bigrams and drop out (identically on the oracle side). */
   def bigramNovelty(docs: DataFrame): DataFrame = {
+    // bigrams as 64-bit digests in one native pass (the interpreted
+    // transform lambda + the bigram STRING shuffle carrier were the map
+    // cost; counts are digest-bijection-invariant — the family digest
+    // convention). The >=2-token guard stays: word_gram_digests emits
+    // the short window for 1-token docs, which this op excludes.
     val perDocBg = docs
-      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
-      .filter(org.apache.spark.sql.functions.size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(toks) - 1), " +
-          "k -> concat_ws(' ', slice(toks, k, 2)))")).as("bg"))
+      .filter(org.apache.spark.sql.functions.size(
+        split(lower(col("text")), "\\s+")) >= 2)
+      .select(col("doc_id"), explode(
+        graft.functions.GraftFunctions.word_gram_digests(
+          col("text"), 2, distinct = false)).as("bg"))
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
     // sum(least(c, 1)), not count(1): identical value (one row per
     // (doc, bg) and c >= 1 always), but a plain count lets
