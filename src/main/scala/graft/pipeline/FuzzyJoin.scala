@@ -65,8 +65,12 @@ object FuzzyJoin {
     def dfCap(g: DataFrame): DataFrame =
       g.join(g.groupBy("g").agg(count(lit(1)).as("__df"))
           .filter(col("__df") <= maxGramDf).select("g"), Seq("g"))
+    // no per-set distinct here: the post-union distinct below is the ONE
+    // dedup pass (an inner distinct would add a full exchange+aggregate
+    // per candidate set only to pre-shrink what the final distinct's
+    // map-side partial aggregation absorbs anyway)
     val longCand = dfCap(gl).join(dfCap(gr), Seq("g"))
-      .select(col("id_l"), col("id_r")).distinct()
+      .select(col("id_l"), col("id_r"))
 
     // ---- short-string candidates: length-band pairing ---------------------
     val shortL = l.filter(col("len_l") < minLong)
@@ -76,7 +80,7 @@ object FuzzyJoin {
     val shortR = r.filter(col("len_r") < minLong)
       .select(col("id_r"), col("len_r").as("band"))
     val shortCand = shortL.join(shortR, Seq("band"))
-      .select(col("id_l"), col("id_r")).distinct()
+      .select(col("id_l"), col("id_r"))
 
     // ---- exact verify on candidates only -----------------------------------
     longCand.unionByName(shortCand).distinct()
@@ -142,10 +146,13 @@ object FuzzyJoin {
     val eligible = grams.join(
       grams.groupBy("g").agg(count(lit(1)).as("__df"))
         .filter(col("__df") <= maxGramDf).select("g"), Seq("g"))
+    // one dedup pass for both candidate sets: the post-union distinct
+    // (inner distincts would each pay an exchange+aggregate the final
+    // distinct's map-side partials make redundant)
     val longCand = eligible.select(col("g"), col("id").as("id_l"))
       .join(eligible.select(col("g"), col("id").as("id_r")), Seq("g"))
       .filter(col("id_l") < col("id_r"))
-      .select(col("id_l"), col("id_r")).distinct()
+      .select(col("id_l"), col("id_r"))
     val short = base.filter(col("len") < minLong)
     val shortCand = short
       .select(col("id").as("id_l"),
@@ -154,7 +161,7 @@ object FuzzyJoin {
       .join(short.select(col("id").as("id_r"), col("len").as("band")),
         Seq("band"))
       .filter(col("id_l") < col("id_r"))
-      .select(col("id_l"), col("id_r")).distinct()
+      .select(col("id_l"), col("id_r"))
     longCand.unionByName(shortCand).distinct()
       .join(base.select(col("id").as("id_l"), col("s").as("s_l")), Seq("id_l"))
       .join(base.select(col("id").as("id_r"), col("s").as("s_r")), Seq("id_r"))
