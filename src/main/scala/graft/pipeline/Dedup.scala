@@ -129,7 +129,21 @@ object Dedup {
     // both sides of the verification join) would otherwise each re-run the
     // split+hash scan — the most expensive stage of the pipeline
     val shingled = withShingles(docs, k).select(col("doc_id"), col("shingles")).persist()
-    val verified = candidatePairs(lshBuckets(shingled, numPerm, bands))
+    val out = verifiedNearDupsFromShingled(shingled, threshold, numPerm, bands)
+    shingled.unpersist()
+    out
+  }
+
+  /** [[verifiedNearDups]] over an already-computed (and caller-persisted)
+    * `(doc_id, shingles)` frame — the seam that lets
+    * [[dedupCorpusWithContainment]] derive shingles and containment grams
+    * in ONE pass over the survivor text instead of one scan per edge
+    * generator. The verified pair list is materialized (localCheckpoint)
+    * while the caller's cache is hot; the caller owns the unpersist. */
+  private def verifiedNearDupsFromShingled(shingled: DataFrame,
+                                           threshold: Double, numPerm: Int,
+                                           bands: Int): DataFrame =
+    candidatePairs(lshBuckets(shingled, numPerm, bands))
       .join(shingled.select(col("doc_id").as("a"), col("shingles").as("sa")), "a")
       .join(shingled.select(col("doc_id").as("b"), col("shingles").as("sb")), "b")
       .withColumn("jaccard",
@@ -137,14 +151,7 @@ object Dedup {
           size(array_union(col("sa"), col("sb"))))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
-    // the verified pair list is orders of magnitude smaller than the shingle
-    // cache: materialize it once while the cache is hot (eager checkpoint —
-    // blocks are GC-reclaimed with the frame, not parked in the session
-    // cache), then release the shingle cache
-    val out = verified.localCheckpoint()
-    shingled.unpersist()
-    out
-  }
+      .localCheckpoint()
 
   /** Collapse near-dup pairs into clusters. Returns (doc_id, canonical_id)
     * for every document; canonical_id = min doc_id of its component — the
@@ -455,14 +462,54 @@ object Dedup {
     }
   }
 
-  /** Per-doc distinct k-gram digest ARRAY — the same 16-hex-char gram
-    * digests [[containmentPairs]] explodes, kept as a column so the
+  /** Per-doc distinct k-gram digest ARRAY — the same 64-bit (signed
+    * long) gram digests [[containmentPairs]] explodes (the md5-prefix
+    * bits, carried as a primitive since r20 — `lower(lpad(hex(g),16,'0'))`
+    * recovers the legacy hex form), kept as a column so the
     * incremental-store path can admit without recomputing (the
     * `shingles`-column discipline of [[nearDupFreshAgainstStore]]). */
   private def withCGrams(docs: DataFrame, k: Int): DataFrame =
     docs.withColumn("cgrams",
       graft.functions.GraftFunctions.word_gram_digests(
         col("text"), k, distinct = true))
+
+  /** Fail loudly when a containment store predates the r20 long-digest
+    * format: pre-change code wrote `g` as 16-hex-char STRINGS, and a
+    * silent bigint=string join coerces to nothing (non-ANSI) or throws
+    * mid-batch (ANSI) — either way the wrong outcome. The 64 bits are
+    * identical, so [[migrateContainmentStore]] converts in one offline
+    * rewrite. */
+  private def requireLongCGramStore(store: DataFrame, path: String): Unit =
+    store.schema("g").dataType match {
+      case org.apache.spark.sql.types.LongType => ()
+      case org.apache.spark.sql.types.StringType =>
+        throw new IllegalStateException(
+          s"containment store at $path holds legacy 16-hex-char string " +
+            "digests; run Dedup.migrateContainmentStore(spark, path) once " +
+            "(same 64 bits, signed-long form) before admitting or checking " +
+            "batches against it")
+      case other =>
+        throw new IllegalStateException(
+          s"containment store at $path has unexpected digest type $other " +
+            "for column 'g' (expected bigint)")
+    }
+
+  /** One-time OFFLINE migration of a pre-r20 containment store: the
+    * string hex-16 digests become the SAME 64 bits as signed longs
+    * (`conv(g, 16, -10)` — signed target base, so the high bit round-
+    * trips). Same swap discipline as [[compactStore]]. Idempotent: a
+    * store already in long form is left untouched. */
+  def migrateContainmentStore(spark: org.apache.spark.sql.SparkSession,
+                              storePath: String): Unit = {
+    if (!storeExists(spark, s"$storePath/cgrams")) return
+    val cur = spark.read.parquet(s"$storePath/cgrams")
+    if (cur.schema("g").dataType !=
+      org.apache.spark.sql.types.StringType) return
+    swapInPlace(spark, s"$storePath/cgrams") { tmp =>
+      cur.withColumn("g", expr("cast(conv(g, 16, -10) as bigint)"))
+        .write.parquet(tmp)
+    }
+  }
 
   /** Incremental CONTAINMENT against a persistent gram store — closes the
     * asymmetric gap [[nearDupFreshAgainstStore]] leaves open: a document
@@ -494,6 +541,7 @@ object Dedup {
       if (!storeExists(spark, s"$storePath/cgrams")) grammed
       else {
         val store = spark.read.parquet(s"$storePath/cgrams")
+        requireLongCGramStore(store, storePath)
         val eligible = store.join(
           store.groupBy("g").agg(countDistinct("doc_id").as("df"))
             .filter(col("df") <= maxDf).select("g"),
@@ -527,11 +575,15 @@ object Dedup {
   def admitContainment(fresh: DataFrame, storePath: String): Unit = {
     val spark = fresh.sparkSession
     val newDocs =
-      if (storeExists(spark, s"$storePath/cgrams"))
-        fresh.join(
-          spark.read.parquet(s"$storePath/cgrams").select("doc_id").distinct(),
+      if (storeExists(spark, s"$storePath/cgrams")) {
+        val store = spark.read.parquet(s"$storePath/cgrams")
+        // appending long-typed 'g' files into a legacy string-schema
+        // directory would corrupt later reads — same loud gate as the
+        // read side
+        requireLongCGramStore(store, storePath)
+        fresh.join(store.select("doc_id").distinct(),
           Seq("doc_id"), "left_anti")
-      else fresh
+      } else fresh
     newDocs.select(col("doc_id"), explode(col("cgrams")).as("g"))
       .write.mode("append").parquet(s"$storePath/cgrams")
   }
@@ -630,30 +682,41 @@ object Dedup {
                                  maxDf: Long = 256, minGrams: Long = 3): DataFrame =
     dedupStaged(docs, ek => {
       // the two edge generators are INDEPENDENT eager jobs over the same
-      // persisted survivor frame (each materializes its pair list via
-      // localCheckpoint) — submit them from two driver threads so the
-      // second job's tasks back-fill executors freed by the first job's
-      // stragglers instead of running strictly after them (the
-      // overlap-independent-jobs discipline; job descriptions are
-      // thread-local so the UI stays readable). The union itself is
+      // persisted survivor frame (each fills its OWN derived cache and
+      // materializes its pair list via localCheckpoint) — submitted from
+      // two driver threads so the second job's tasks back-fill executors
+      // freed by the first job's stragglers (the overlap-independent-jobs
+      // discipline; job descriptions are thread-local so the UI stays
+      // readable). A SHARED derived frame (both native expressions in one
+      // cached projection) was prototyped in r21 and measured WORSE —
+      // isolated 2.12 → 2.49 s, task time 16 → 42 s even with a pre-fill
+      // barrier — so each generator keeps its own cache. The union is
       // edge-list-sized, order-irrelevant (components are order-free).
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(2,
-        r => { val t = new Thread(r, "dedup-edges"); t.setDaemon(true); t })
-      implicit val ec: scala.concurrent.ExecutionContext =
-        scala.concurrent.ExecutionContext.fromExecutorService(pool)
-      try {
-        val near = scala.concurrent.Future(
-          verifiedNearDups(ek, threshold, k, numPerm, bands)
-            .select(col("a"), col("b")))
-        val cont = scala.concurrent.Future(
-          containmentPairs(ek, tau, containK, maxDf, minGrams)
-            .select(col("a"), col("b")))
-        scala.concurrent.Await
-          .result(near, scala.concurrent.duration.Duration.Inf)
-          .unionByName(scala.concurrent.Await
-            .result(cont, scala.concurrent.duration.Duration.Inf))
-      } finally pool.shutdown()
+      implicit val ec: scala.concurrent.ExecutionContext = edgeEc
+      val near = scala.concurrent.Future(
+        verifiedNearDups(ek, threshold, k, numPerm, bands)
+          .select(col("a"), col("b")))
+      val cont = scala.concurrent.Future(
+        containmentPairs(ek, tau, containK, maxDf, minGrams)
+          .select(col("a"), col("b")))
+      // await BOTH before acting on either outcome: rethrowing the first
+      // failure while the sibling still runs would leave orphaned jobs
+      // and checkpointed frames behind (a pool shutdown cancels nothing)
+      val nearR = scala.util.Try(scala.concurrent.Await
+        .result(near, scala.concurrent.duration.Duration.Inf))
+      val contR = scala.util.Try(scala.concurrent.Await
+        .result(cont, scala.concurrent.duration.Duration.Inf))
+      nearR.get.unionByName(contR.get)
     })
+
+  /** Shared lazy daemon pool for the overlapped edge generators — a
+    * per-call `newFixedThreadPool` churned two threads per invocation
+    * when the composition runs per-epoch in a streaming session. Daemon
+    * threads; never shut down (dies with the JVM). */
+  private lazy val edgeEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(2,
+        r => { val t = new Thread(r, "dedup-edges"); t.setDaemon(true); t }))
 
   /** Shared staging of the end-to-end dedup compositions: exact → edge
     * generation over exact survivors → components → canonical filter.
@@ -1018,19 +1081,34 @@ object Dedup {
                        maxDf: Long = 256, minGrams: Long = 3): DataFrame = {
     require(tau > 0 && tau <= 1 && k >= 2 && maxDf >= 2 && minGrams >= 1,
       s"bad tau=$tau / k=$k / maxDf=$maxDf / minGrams=$minGrams")
-    // the gram stream feeds FOUR consumers (sizes, the df filter, both
-    // self-join sides); unpersisted, each branch re-runs the tokenize +
-    // md5 explode over the corpus. Persist it (fixed-width rows, spills
-    // clean), collapse the result while the cache is hot — the verified
-    // pair list is orders of magnitude smaller than the gram stream, the
-    // same lifecycle discipline as [[verifiedNearDups]] — and release.
-    val grams = docs
-      .select(col("doc_id"), explode(
-        graft.functions.GraftFunctions.word_gram_digests(
-          col("text"), k, distinct = true)).as("g"))
+    // the per-doc gram ARRAYS feed four consumers (sizes, the df filter,
+    // both self-join sides); unpersisted, each branch re-runs the
+    // tokenize + digest pass over the corpus. Persist the arrays once
+    // (fixed-width digests, spills clean), collapse the result while the
+    // cache is hot — the verified pair list is orders of magnitude
+    // smaller than the gram stream, the same lifecycle discipline as
+    // [[verifiedNearDups]] — and release.
+    val grammed = withCGrams(docs, k).select(col("doc_id"), col("cgrams"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = grams.groupBy("doc_id")
-      .agg(count(lit(1)).as("b_size"))
+    val out = containmentPairsFromGramArrays(grammed, tau, maxDf, minGrams)
+    grammed.unpersist()
+    out
+  }
+
+  /** [[containmentPairs]] over an already-computed (caller-persisted)
+    * `(doc_id, cgrams)` frame — the shared-derivation seam of
+    * [[dedupCorpusWithContainment]]. Keeping the grams as ARRAYS until
+    * this point also makes `b_size` a map-only `size(cgrams)` instead of
+    * a corpus-wide groupBy over the exploded stream (the digests are
+    * distinct per doc by construction, so the counts are identical) —
+    * one full shuffle less than the r20 shape. The pair list
+    * materializes eagerly (localCheckpoint); the caller owns the cache. */
+  private def containmentPairsFromGramArrays(grammed: DataFrame, tau: Double,
+                                             maxDf: Long,
+                                             minGrams: Long): DataFrame = {
+    val grams = grammed.select(col("doc_id"), explode(col("cgrams")).as("g"))
+    val sizes = grammed.select(col("doc_id"),
+      size(col("cgrams")).cast("long").as("b_size"))
     val eligible = grams.join(
       grams.groupBy("g").agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxDf).select("g"),
@@ -1039,14 +1117,12 @@ object Dedup {
       .join(eligible.select(col("g"), col("doc_id").as("b")), Seq("g"))
       .filter(col("a") =!= col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("shared"))
-    val out = shared.join(sizes.withColumnRenamed("doc_id", "b"), Seq("b"))
+    shared.join(sizes.withColumnRenamed("doc_id", "b"), Seq("b"))
       .filter(col("b_size") >= minGrams &&
         col("shared") >= ceil(lit(tau) * col("b_size")))
       .select(col("a"), col("b"), col("shared").cast("long").as("shared"),
         col("b_size").cast("long").as("b_size"))
       .localCheckpoint()
-    grams.unpersist()
-    out
   }
 
   /** Exact symmetric n-gram Jaccard near-dup pairs — the deterministic
@@ -1074,15 +1150,20 @@ object Dedup {
                         maxDf: Long = 256): DataFrame = {
     require(threshold > 0 && threshold <= 1 && k >= 2 && maxDf >= 2,
       s"bad threshold=$threshold / k=$k / maxDf=$maxDf")
-    // the gram stream feeds four consumers (sizes, the df filter, both
-    // self-join sides) — persist fixed-width digest rows, collapse the
-    // (tiny) verified pair list while the cache is hot, release
-    val grams = docs
-      .select(col("doc_id"), explode(
+    // the per-doc gram ARRAYS feed four consumers (sizes, the df filter,
+    // both self-join sides) — persist the fixed-width digest arrays,
+    // collapse the (tiny) verified pair list while the cache is hot,
+    // release. Array-until-explode also turns the set sizes into a
+    // map-only `size(garr)` (digests are distinct per doc), dropping the
+    // corpus-wide sizes groupBy the r20 shape paid.
+    val grammed = docs
+      .select(col("doc_id"),
         graft.functions.GraftFunctions.word_gram_digests(
-          col("text"), k, distinct = true)).as("g"))
+          col("text"), k, distinct = true).as("garr"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val grams = grammed.select(col("doc_id"), explode(col("garr")).as("g"))
+    val sizes = grammed.select(col("doc_id"),
+      size(col("garr")).cast("long").as("sz"))
     val eligible = grams.join(
       grams.groupBy("g").agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxDf).select("g"),
@@ -1099,7 +1180,7 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
       .localCheckpoint()
-    grams.unpersist()
+    grammed.unpersist()
     out
   }
 

@@ -53,7 +53,18 @@ object FuzzyJoin {
 
     // ---- gram candidates: shared (df-capped) q-gram ------------------------
     // any string of length >= q contributes grams; the count-filter
-    // guarantee kicks in whenever the pair's LONGER member is >= minLong
+    // guarantee kicks in whenever the pair's LONGER member is >= minLong.
+    // NOTE (r21, measured dead end): the gram stream feeds each side's
+    // df-cap groupBy, the cap's join-back probe, and the candidate join,
+    // and exchange reuse misses the df-cap branch — but BOTH remedies
+    // measured no better on the stage-latency-bound admit path
+    // (q_entity_resolution_incremental isolated medians: r20 shape
+    // 4.46 s / 54 jobs; eager candidate localCheckpoint inside the
+    // operator 4.99 s / 67 jobs; caller-owned gram persist in erAdmit
+    // 4.39 s / 65 jobs, task time UP 23.8 → 25.2 s). The cache's fill +
+    // columnar serialization costs about what the second scan costs, and
+    // the extra materialization jobs add barriers — kept the simple lazy
+    // shape.
     def grams(df: DataFrame, tag: String): DataFrame =
       df.filter(col(s"len_$tag") >= q)
         .select(col(s"id_$tag"),
@@ -139,10 +150,17 @@ object FuzzyJoin {
     val minLong = q * (maxDist + 1)
     val base = records.select(col(idCol).as("id"), col(strCol).as("s"),
       length(col(strCol)).as("len"))
+    // the gram stream feeds FOUR consumers (the df-cap groupBy, its
+    // join-back probe, and both candidate self-join sides); exchange
+    // reuse misses the df-cap branch, so unpersisted the tokenize+explode
+    // scan runs per consumer — persist the fixed-width rows, collapse the
+    // (small) candidate list while the cache is hot, release (the
+    // [[join]]/[[cosineSelfPairsLt]] lifecycle)
     val grams = base.filter(col("len") >= q)
       .select(col("id"), explode(array_distinct(expr(
         s"transform(sequence(1, len - ${q - 1}), " +
           s"i -> substring(s, i, $q))"))).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val eligible = grams.join(
       grams.groupBy("g").agg(count(lit(1)).as("__df"))
         .filter(col("__df") <= maxGramDf).select("g"), Seq("g"))
@@ -162,7 +180,9 @@ object FuzzyJoin {
         Seq("band"))
       .filter(col("id_l") < col("id_r"))
       .select(col("id_l"), col("id_r"))
-    longCand.unionByName(shortCand).distinct()
+    val cand = longCand.unionByName(shortCand).distinct().localCheckpoint()
+    grams.unpersist(blocking = false)
+    cand
       .join(base.select(col("id").as("id_l"), col("s").as("s_l")), Seq("id_l"))
       .join(base.select(col("id").as("id_r"), col("s").as("s_r")), Seq("id_r"))
       .filter(abs(length(col("s_l")) - length(col("s_r"))) <= maxDist)
