@@ -500,12 +500,18 @@ object Mixture {
         (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
           % buckets).as("b"))
     val tgtHist = tokBuckets(target).groupBy("b").agg(count(lit(1)).as("ct"))
-    // scalar totals: single-row aggregates, the only driver materialization
-    val nT = tgtHist.agg(coalesce(sum("ct"), lit(0L))).head().getLong(0)
     val rawDoc = tokBuckets(raw).groupBy("doc_id", "b")
       .agg(count(lit(1)).as("k"))
     val rawHist = rawDoc.groupBy("b").agg(sum("k").as("cr"))
-    val nR = rawHist.agg(coalesce(sum("cr"), lit(0L))).head().getLong(0)
+    // scalar totals: two single-row aggregates collected in ONE action
+    // (they were two sequential driver jobs — same values, one barrier)
+    val totals = tgtHist.agg(coalesce(sum("ct"), lit(0L)).as("n"))
+      .select(lit("t").as("side"), col("n"))
+      .unionByName(rawHist.agg(coalesce(sum("cr"), lit(0L)).as("n"))
+        .select(lit("r").as("side"), col("n")))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val nT = totals("t")
+    val nR = totals("r")
     // per-bucket log-ratio over the buckets the RAW corpus uses (a bucket
     // absent from raw contributes to no document); ≤ `buckets` rows
     val lr = rawHist.join(tgtHist, Seq("b"), "left_outer")

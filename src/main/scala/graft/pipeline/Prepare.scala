@@ -31,9 +31,11 @@ object Prepare {
   def prepareCorpus(docs: DataFrame, valFrac: Double = 0.1,
                     testFrac: Double = 0.1, salt: String = "prep",
                     threshold: Double = 0.7): DataFrame = {
-    val kept = docs.join(
-      TextAnalysis.filterFunnel(docs).filter(col("keep")).select("doc_id"),
-      Seq("doc_id"))
+    // the funnel keep step as an inline predicate over the raw row —
+    // row-identical to the semi-join on filterFunnel's keep ids (doc_id
+    // is unique), without joining the corpus against its own projection
+    // (guide §2.4): one map-only filter instead of a corpus-sized join
+    val kept = docs.filter(TextAnalysis.funnelFirstFail.isNull)
     val deduped = Dedup.dedupCorpus(kept, threshold)
     Mixture.splitAssign(deduped, valFrac, testFrac, salt)
   }

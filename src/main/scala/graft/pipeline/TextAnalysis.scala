@@ -56,15 +56,26 @@ object TextAnalysis {
   def filterFunnel(docs: DataFrame): DataFrame = {
     val w = split(lower(col("text")), "\\s+")
     val nTok = size(w).cast("long")
+    docs.select(col("doc_id"), nTok.as("n_tokens"),
+        funnelFirstFail.as("first_fail"))
+      .withColumn("keep", col("first_fail").isNull)
+  }
+
+  /** The funnel's first-failing-rule expression over a raw docs row —
+    * shared with [[graft.pipeline.Prepare.prepareCorpus]], whose keep
+    * step is `filter(funnelFirstFail.isNull)`: a doc_id-unique corpus
+    * makes that filter row-identical to the semi-join on the funnel's
+    * keep ids, without re-joining the corpus against its own projection
+    * (guide §2.4 — remove shuffles outright). */
+  private[pipeline] def funnelFirstFail: Column = {
+    val w = split(lower(col("text")), "\\s+")
+    val nTok = size(w).cast("long")
     val nChars = length(col("text")).cast("long")
     val nDistinct = size(array_distinct(w)).cast("long")
-    docs.select(col("doc_id"), nTok.as("n_tokens"),
-        when(nTok < 20, "too_short")
-          .when(nChars > 500, "too_long")
-          .when(nDistinct * 3 < nTok, "low_diversity")
-          .when(col("lang") =!= "en", "non_english")
-          .as("first_fail"))
-      .withColumn("keep", col("first_fail").isNull)
+    when(nTok < 20, "too_short")
+      .when(nChars > 500, "too_long")
+      .when(nDistinct * 3 < nTok, "low_diversity")
+      .when(col("lang") =!= "en", "non_english")
   }
 
   /** Salient terms per document — keyword extraction with an INTEGER-only
@@ -394,8 +405,14 @@ object TextAnalysis {
     * already-gated milli-nat scores), broadcast back as a tiny per-lang
     * table. Output: (doc_id, lang, nll_milli, bucket). */
   def perplexityBuckets(docs: DataFrame): DataFrame = {
+    // the scored frame feeds TWO consumers (the per-lang tertile
+    // derivation and the final bucket join); it is one NARROW row per
+    // document, so materialize it once (eager checkpoint — also truncates
+    // the LM-join lineage both consumers would otherwise re-plan) instead
+    // of re-running the bigram scoring per branch (guide §5)
     val pp = perplexity(docs)
       .join(docs.select("doc_id", "lang"), "doc_id")
+      .localCheckpoint()
     val cum = pp.groupBy(col("lang"), col("nll_milli").as("v"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("cum", sum("cnt").over(
