@@ -324,21 +324,34 @@ final class Compiler(catalog: Catalog, load: String => DataFrame,
   }
 
   /** Parse a [[graft.mapping.Template.signature]] back to its parts
-    * (`Some(literal)` / `None` = column placeholder). None when a literal
-    * contains the signature's own delimiter characters — the rebuild then
-    * stays on the first() path rather than risk a wrong concat. */
+    * (`Some(literal)` / `None` = column placeholder). Literal delimiter
+    * characters arrive backslash-escaped (the signature encoding is
+    * injective — see Template.signature), so the parse is exact; a
+    * malformed signature (unescaped delimiter, dangling escape) returns
+    * None and the rebuild stays on the first() path rather than risk a
+    * wrong concat. */
   private def parseSignature(sig: String): Option[List[Option[String]]] = {
     val parts = mutable.ListBuffer[Option[String]]()
     var i = 0
     val n = sig.length
     while (i < n) {
       if (sig.startsWith("L(", i)) {
-        val close = sig.indexOf(')', i + 2)
-        if (close < 0) return None
-        val l = sig.substring(i + 2, close)
-        if (l.exists(ch => ch == '|' || ch == '(' || ch == ')')) return None
-        parts += Some(l)
-        i = close + 1
+        val sb = new StringBuilder
+        var j = i + 2
+        var closed = false
+        while (j < n && !closed) {
+          sig.charAt(j) match {
+            case '\\' =>
+              if (j + 1 >= n) return None
+              sb += sig.charAt(j + 1); j += 2
+            case ')' => closed = true; j += 1
+            case '|' | '(' => return None
+            case c => sb += c; j += 1
+          }
+        }
+        if (!closed) return None
+        parts += Some(sb.toString)
+        i = j
       } else if (sig.charAt(i) == 'C') { parts += None; i += 1 }
       else return None
       if (i < n) {

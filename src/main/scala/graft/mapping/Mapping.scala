@@ -49,9 +49,20 @@ final case class Template(parts: List[Either[String, String]]) {
   }
 
   /** Canonical signature: two vars built from the same template shape can be
-    * joined on the underlying key columns instead of the concat string. */
+    * joined on the underlying key columns instead of the concat string.
+    * Literal delimiter characters are backslash-escaped so the encoding is
+    * INJECTIVE — without it a literal like `x)|L(y` produced the same
+    * signature as two clean literals, which both mis-joined same-signature
+    * templates and let the post-aggregation URI rebuild concat the wrong
+    * string (r21 ADVICE). */
   def signature: String = parts.map {
-    case Left(l)  => s"L($l)"
+    case Left(l) => "L(" + l.flatMap {
+        case '\\' => "\\\\"
+        case '|'  => "\\|"
+        case '('  => "\\("
+        case ')'  => "\\)"
+        case c    => c.toString
+      } + ")"
     case Right(_) => "C"
   }.mkString("|")
 }
