@@ -134,8 +134,25 @@ object Bench {
     val summaryPath = java.nio.file.Paths.get("target", "bench_summary.json")
     java.nio.file.Files.write(summaryPath, fullSummary.getBytes("UTF-8"))
     spark.stop()
+    // the FINAL line additionally carries a per-query map the driver's
+    // comparator can parse (r20 PERF had per_query={} because only this
+    // line survives the tail window intact). The window is ~2000 chars
+    // and the FULL 214-row map is ~6 KB — a long final line gets its
+    // HEAD clipped and stops parsing (the round-3 incident) — so the
+    // inline map holds the most expensive rows up to a byte budget
+    // (they are the rows a per-query comparison is about) and the
+    // complete map stays in bench_summary.json. Existing fields are
+    // unchanged (additions only).
+    val byCost = results.sortBy { case (_, v, _) => -v }
+      .map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
+    val budget = 1400 // chars for the inline map; line stays < 1700
+    val topQs = byCost.foldLeft((List.empty[String], 0)) {
+      case ((acc, used), e) =>
+        if (used + e.length + 1 <= budget) (e :: acc, used + e.length + 1)
+        else (acc, budget + 1) // budget exhausted: keep the top prefix only
+    }._1.reverse.mkString("{", ",", "}")
     // full line first (human-readable / greppable), compact line last
     println(fullSummary)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$nRuns,"n_queries":${results.size},"calib_sec":$calib%.3f,"sf":"$sfDir","queries_file":"target/bench_summary.json"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$nRuns,"n_queries":${results.size},"calib_sec":$calib%.3f,"sf":"$sfDir","queries":$topQs,"n_queries_inline":${if (byCost.isEmpty) 0 else topQs.count(_ == ':')},"queries_file":"target/bench_summary.json"}""")
   }
 }
