@@ -779,6 +779,11 @@ final class Compiler(catalog: Catalog, load: String => DataFrame,
         checkpoints += d
         Some(d)
       }
+    // (r21, measured dead end: persisting this frame pre-partitioned on
+    // x — the connectedComponents discipline — regressed both closure
+    // rows in a back-to-back A/B, deep 5.47 → 6.14 s and shallow 1.50 →
+    // 1.91 s: under AQE the tiny per-round right side goes broadcast, so
+    // the cached layout buys nothing and the setup exchange is pure cost)
     val edges = dict match {
       case Some(d) => keep(edgesStr
         .join(d.select(col("t").as("x"), col("nid").as("__xid")), "x")
@@ -797,6 +802,17 @@ final class Compiler(catalog: Catalog, load: String => DataFrame,
     // exponentially with depth (plan stringification alone OOMs past ~25
     // rounds). The follow-up isEmpty probe only touches the cached blocks.
     val switchAfter = spark.conf.get("graft.path.doublingAfter", "4").toInt
+    // NOTE (r21, measured dead end): batching TWO doubling steps per
+    // materialization barrier (step 2 lazily referencing step 1's
+    // frontier; one checkpoint + one emptiness probe per batch) is
+    // semantically exact but measured strictly worse on the deep fixture
+    // — isolated medians 5.88 → 6.77 s, jobs 99 → 139, executor task
+    // time 12.1 → 43.9 s, shuffle 8.6 → 12.6 MB. Exchange reuse does NOT
+    // absorb the three lazy references to the unmaterialized step-1
+    // frontier (the except rewrite yields non-identical exchange
+    // subtrees), so step 1 recomputes ~3× per barrier and the combined
+    // plan spawns MORE AQE stage jobs than the barrier it saves. One
+    // step per barrier stays the floor.
     while (!converged && i < maxIters) {
       // semi-naive right side (fixed edge set) until switchAfter rounds,
       // then the closure-so-far: covered distance doubles per round

@@ -27,6 +27,8 @@ object Drive {
       .foreach { n => planTimeProbe(spark, n.toInt); spark.stop(); return }
     args.sliding(2).collect { case Array("--twopass-probe", d) => d }
       .foreach { d => twoPassProbe(spark, d); spark.stop(); return }
+    args.sliding(2).collect { case Array("--jobs-probe", q) => q }
+      .foreach { q => jobsProbe(spark, q); spark.stop(); return }
     val sfDir = args.takeWhile(_ != "--plan").headOption
       .getOrElse("/root/testdata/sf0.001")
     val n = graft.SparkEntry.entry(spark).count()
@@ -38,6 +40,47 @@ object Drive {
       println(df.queryExecution.executedPlan.toString.take(4000))
     }
     spark.stop()
+  }
+
+  /** Per-JOB breakdown of one registered query: description, wall, stage
+    * count — the view Profile's aggregate counters can't give when the
+    * question is "where do the 50 driver-synchronized jobs go". Data dir
+    * from $SPARK_GRAFT_SF_DIR (default sf0.1); runs the query twice and
+    * reports the second (warm) run. */
+  private def jobsProbe(spark: SparkSession, q: String): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val fn = graft.SparkEntry.queries(q)
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long, Int)]()
+    val order = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        starts.put(e.jobId, System.nanoTime())
+        // the result stage's name carries the action's call site — the
+        // most attributable label available without operator cooperation
+        val desc = e.stageInfos.lastOption.map(_.name).getOrElse("?")
+        jobs.put(e.jobId, (desc, 0L, e.stageIds.size))
+        order.add(e.jobId)
+      }
+      override def onJobEnd(
+          e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val t0 = Option(starts.get(e.jobId)).getOrElse(System.nanoTime())
+        val (d, _, s) = jobs.getOrDefault(e.jobId, ("?", 0L, 0))
+        jobs.put(e.jobId, (d, System.nanoTime() - t0, s))
+      }
+    }
+    fn(spark, sfDir).write.format("noop").mode("overwrite").save() // warm
+    spark.sparkContext.addSparkListener(listener)
+    val t0 = System.nanoTime()
+    fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    val wall = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(500)
+    println(f"== $q: wall $wall%.2f s, ${jobs.size} jobs ==")
+    order.forEach { id =>
+      val (d, ns, st) = jobs.get(id)
+      println(f"  job $id%3d ${ns / 1e9}%6.3f s stages=$st%2d  ${d.take(110)}")
+    }
   }
 
   private def substrProbe(spark: SparkSession, d: String): Unit = {
