@@ -177,24 +177,24 @@ object GraftFunctions {
     * instead of an interpreted lambda per shingle. Called from generated
     * code. */
   def shingleIds(text: org.apache.spark.unsafe.types.UTF8String, k: Int): ArrayData = {
-    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
     val tokens = text.toLowerCase.split(WhitespaceRe, -1)
     val n = tokens.length
     val windows = math.max(n - k + 1, 1)
-    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val out = new Array[Long](windows)
+    val dedup = new InsertOrderLongSet(out)
     var i = 0
     while (i < windows) {
-      val end = math.min(i + k, n)
-      val gram = org.apache.spark.unsafe.types.UTF8String.concatWs(
-        SpaceSep, java.util.Arrays.copyOfRange(tokens, i, end): _*)
-      seen.add(XxHash64Function.hash(gram, StringType, 42L))
+      // xxhash64 over the gram bytes in the reusable buffer — identical
+      // bits to XxHash64Function.hash(concatWs(' ', slice), seed=42)
+      // (that function hashes exactly the string's UTF-8 bytes), without
+      // the per-window slice copy + concat string + boxed set entry
+      val len = gramBytes(tokens, i, math.min(i + k, n))
+      dedup.add(org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(GramBufLocal.get(),
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L))
       i += 1
     }
-    val out = new Array[Long](seen.size)
-    val it = seen.iterator()
-    var j = 0
-    while (it.hasNext) { out(j) = it.next(); j += 1 }
-    new GenericArrayData(out)
+    new GenericArrayData(dedup.result())
   }
 
   def shingle_ids(text: Column, k: Int = 3): Column = {
@@ -219,35 +219,98 @@ object GraftFunctions {
     val n = tokens.length
     val windows = math.max(n - k + 1, 1)
     val md = Md5Local.get()
+    val dig = Digest16Local.get()
     if (distinct) {
-      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      val out = new Array[Long](windows)
+      val dedup = new InsertOrderLongSet(out)
       var i = 0
       while (i < windows) {
-        val end = math.min(i + k, n)
-        val gram = org.apache.spark.unsafe.types.UTF8String.concatWs(
-          SpaceSep, java.util.Arrays.copyOfRange(tokens, i, end): _*)
-        md.update(gram.getBytes)
-        seen.add(digestPrefixLong(md.digest()))
+        val len = gramBytes(tokens, i, math.min(i + k, n))
+        md.update(GramBufLocal.get(), 0, len)
+        md.digest(dig, 0, 16)
+        dedup.add(digestPrefixLong(dig))
         i += 1
       }
-      val out = new Array[Long](seen.size)
-      val it = seen.iterator()
-      var j = 0
-      while (it.hasNext) { out(j) = it.next(); j += 1 }
-      new GenericArrayData(out)
+      new GenericArrayData(dedup.result())
     } else {
       val out = new Array[Long](windows)
       var i = 0
       while (i < windows) {
-        val end = math.min(i + k, n)
-        val gram = org.apache.spark.unsafe.types.UTF8String.concatWs(
-          SpaceSep, java.util.Arrays.copyOfRange(tokens, i, end): _*)
-        md.update(gram.getBytes)
-        out(i) = digestPrefixLong(md.digest())
+        val len = gramBytes(tokens, i, math.min(i + k, n))
+        md.update(GramBufLocal.get(), 0, len)
+        md.digest(dig, 0, 16)
+        out(i) = digestPrefixLong(dig)
         i += 1
       }
       new GenericArrayData(out)
     }
+  }
+
+  /** Write tokens [from, until) joined by a single 0x20 into the
+    * thread-local gram buffer (grown as needed) — byte-for-byte
+    * `concatWs(' ', slice(tokens, from, until))`'s UTF-8 encoding,
+    * without the slice copy and the concat string. Returns the byte
+    * length. */
+  private def gramBytes(
+      tokens: Array[org.apache.spark.unsafe.types.UTF8String],
+      from: Int, until: Int): Int = {
+    var buf = GramBufLocal.get()
+    var len = 0
+    var j = from
+    while (j < until) {
+      val tb = tokens(j).numBytes()
+      if (len + tb + 1 > buf.length) {
+        buf = java.util.Arrays.copyOf(buf,
+          math.max(buf.length * 2, len + tb + 1))
+        GramBufLocal.set(buf)
+      }
+      if (j > from) { buf(len) = ' '.toByte; len += 1 }
+      tokens(j).writeToMemory(buf,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + len)
+      len += tb
+      j += 1
+    }
+    len
+  }
+
+  private val GramBufLocal = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](512)
+  }
+  private val Digest16Local = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](16)
+  }
+
+  /** Insertion-ordered long set over a caller-provided output array —
+    * `LinkedHashSet[java.lang.Long]` semantics (first occurrence wins,
+    * insertion order preserved) without a boxed node per element: an
+    * open-addressing probe table (0 = empty, an explicit flag covers a
+    * genuine 0 key) sized for ≤ 0.5 load over the maximum insert count,
+    * which the output array's length bounds. */
+  private final class InsertOrderLongSet(out: Array[Long]) {
+    private[this] val cap = {
+      var c = 4
+      while (c < out.length * 2 + 1) c <<= 1
+      c
+    }
+    private[this] val table = new Array[Long](cap)
+    private[this] val mask = cap - 1
+    private[this] var hasZero = false
+    private[this] var m = 0
+
+    def add(h: Long): Unit = {
+      if (h == 0L) {
+        if (!hasZero) { hasZero = true; out(m) = 0L; m += 1 }
+      } else {
+        var idx = (mix64(h) & mask).toInt
+        while (table(idx) != 0L && table(idx) != h) idx = (idx + 1) & mask
+        if (table(idx) == 0L) { table(idx) = h; out(m) = h; m += 1 }
+      }
+    }
+
+    /** The distinct values in insertion order (the output array itself
+      * when nothing was deduplicated). */
+    def result(): Array[Long] =
+      if (m == out.length) out else java.util.Arrays.copyOf(out, m)
   }
 
   def word_gram_digests(text: Column, k: Int,
@@ -288,16 +351,60 @@ object GraftFunctions {
     if (c < window) return new GenericArrayData(Array.empty[Long])
     val count = (c - window) / stride + 1
     val md = Md5Local.get()
+    val dig = Digest16Local.get()
     val out = new Array[Long](count)
     var i = 0
     while (i < count) {
       val from = starts(i * stride)
       md.update(bytes, from, starts(i * stride + window) - from)
-      val d = md.digest() // digest() also resets
-      out(i) = digestPrefixLong(d)
+      md.digest(dig, 0, 16) // digest() also resets
+      out(i) = digestPrefixLong(dig)
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Distinct character q-grams, bit-identical to the HOF chain
+    * `array_distinct(transform(sequence(1, length(s) - q + 1), i ->
+    * substring(s, i, q)))` — first-occurrence order, empty array when
+    * the string is shorter than q — but ONE primitive pass per row:
+    * codepoint byte offsets resolved once (SQL substring counts
+    * characters), each gram an O(1) byte-span view, no interpreted
+    * lambda per gram, no materialized int sequence, no second
+    * array_distinct pass. The fuzzy-join blockers explode this on both
+    * sides of every candidate join, so the interpretive overhead was
+    * paid 2×(corpus × grams) per query. Called from generated code. */
+  def charGramsDistinct(text: org.apache.spark.unsafe.types.UTF8String,
+                        q: Int): ArrayData = {
+    val bytes = text.getBytes
+    val starts = new Array[Int](text.numChars() + 1)
+    var o = 0
+    var c = 0
+    while (o < bytes.length) {
+      starts(c) = o
+      o += org.apache.spark.unsafe.types.UTF8String
+        .numBytesForFirstByte(bytes(o))
+      c += 1
+    }
+    starts(c) = bytes.length
+    val windows = c - q + 1
+    if (windows <= 0)
+      return new GenericArrayData(new Array[Any](0))
+    val seen =
+      new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    var i = 0
+    while (i < windows) {
+      seen.add(org.apache.spark.unsafe.types.UTF8String.fromBytes(
+        bytes, starts(i), starts(i + q) - starts(i)))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
+  def char_grams_distinct(text: Column, q: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(
+      CharGramsDistinct(GraftBridge.expression(text), q))
   }
 
   /** First 8 md5 bytes big-endian as a signed long — the same 64 bits the
@@ -386,13 +493,15 @@ object GraftFunctions {
       j += 1
     }
     val md = Md5Local.get()
+    val dig = Digest16Local.get()
     val out = new scala.collection.mutable.ArrayBuffer[Long](anchors.size)
     val it = anchors.iterator()
     while (it.hasNext) {
       val a = it.next().intValue()
       if (a + w1 <= c) {
         md.update(bytes, starts(a), starts(a + w1) - starts(a))
-        out += digestPrefixLong(md.digest())
+        md.digest(dig, 0, 16)
+        out += digestPrefixLong(dig)
       }
     }
     new GenericArrayData(out.toArray)
@@ -624,6 +733,35 @@ final case class WordGramDigests(child: Expression, k: Int,
 
   override protected def withNewChildInternal(
       newChild: Expression): WordGramDigests = copy(child = newChild)
+}
+
+/** string → array of distinct character q-grams (see
+  * [[GraftFunctions.charGramsDistinct]]); one codegen'd call per row. */
+final case class CharGramsDistinct(child: Expression, q: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes()
+  : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case StringType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"char_grams_distinct expects string, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftFunctions.charGramsDistinct(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], q)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftFunctions" +
+        s".charGramsDistinct($c, $q);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CharGramsDistinct = copy(child = newChild)
 }
 
 /** string → array of md5-prefix-64-bit window digests as longs (see

@@ -68,9 +68,8 @@ object FuzzyJoin {
     def grams(df: DataFrame, tag: String): DataFrame =
       df.filter(col(s"len_$tag") >= q)
         .select(col(s"id_$tag"),
-          explode(array_distinct(expr(
-            s"transform(sequence(1, len_$tag - ${q - 1}), " +
-              s"i -> substring(s_$tag, i, $q))"))).as("g"))
+          explode(graft.functions.GraftFunctions.char_grams_distinct(
+            col(s"s_$tag"), q)).as("g"))
     val gl = grams(l, "l")
     val gr = grams(r, "r")
     def dfCap(g: DataFrame): DataFrame =
@@ -157,9 +156,8 @@ object FuzzyJoin {
     // (small) candidate list while the cache is hot, release (the
     // [[join]]/[[cosineSelfPairsLt]] lifecycle)
     val grams = base.filter(col("len") >= q)
-      .select(col("id"), explode(array_distinct(expr(
-        s"transform(sequence(1, len - ${q - 1}), " +
-          s"i -> substring(s, i, $q))"))).as("g"))
+      .select(col("id"), explode(graft.functions.GraftFunctions
+        .char_grams_distinct(col("s"), q)).as("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val eligible = grams.join(
       grams.groupBy("g").agg(count(lit(1)).as("__df"))

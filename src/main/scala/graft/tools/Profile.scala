@@ -63,6 +63,7 @@ object Profile {
     val shufWrite = new java.util.concurrent.atomic.AtomicLong
     val spill = new java.util.concurrent.atomic.AtomicLong
     val taskTimeMs = new java.util.concurrent.atomic.AtomicLong
+    val gcTimeMs = new java.util.concurrent.atomic.AtomicLong
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit =
         nJobs.incrementAndGet()
@@ -74,6 +75,7 @@ object Profile {
           shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
           spill.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
           taskTimeMs.addAndGet(m.executorRunTime)
+          gcTimeMs.addAndGet(m.jvmGCTime)
         }
       }
     }
@@ -98,7 +100,7 @@ object Profile {
         planTxt.getBytes(StandardCharsets.UTF_8))
       val times = (1 to nRuns).map { _ =>
         nJobs.set(0); nStages.set(0); shufRead.set(0); shufWrite.set(0)
-        spill.set(0); taskTimeMs.set(0)
+        spill.set(0); taskTimeMs.set(0); gcTimeMs.set(0)
         spark.sparkContext.setJobDescription(s"profile: $name")
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -118,6 +120,7 @@ object Profile {
       val line = f"$name%-36s med=$med%7.3f s  runs=[${times.map(t => f"$t%.3f").mkString(",")}]  " +
         f"lastRun: jobs=${nJobs.get}%3d stages=${nStages.get}%4d " +
         f"taskTime=${taskTimeMs.get / 1000.0}%8.1f s " +
+        f"gc=${gcTimeMs.get / 1000.0}%6.1f s " +
         f"shufR=${shufRead.get / 1048576.0}%8.2f MB shufW=${shufWrite.get / 1048576.0}%8.2f MB " +
         f"spill=${spill.get / 1048576.0}%6.1f MB"
       println(line)

@@ -48,6 +48,33 @@ class Round21Spec extends SparkTestBase {
     }
   }
 
+  test("char_grams_distinct is value-identical to the SQL " +
+    "array_distinct(transform(sequence, substring)) chain it replaces — " +
+    "q in {2,3,4,10}, including multi-byte codepoints, repeated grams, " +
+    "and strings shorter than q") {
+    import spark.implicits._
+    val fixtures = Seq(
+      "abcdefabcdef", // repeated grams — distinct matters
+      "aaaaaaa", // one gram repeated
+      "ümlautß mixed ïnto it", // multi-byte codepoints
+      "😀ab😀ab", // supplementary-plane
+      "ab", "x", "", // shorter than most q
+      "0123456789abcdef")
+    val df = fixtures.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "s")
+    for (q <- Seq(2, 3, 4, 10)) {
+      val native = df.select(col("id"),
+        graft.functions.GraftFunctions.char_grams_distinct(col("s"), q).as("g"))
+      val sql = df.select(col("id"), expr(
+        s"CASE WHEN length(s) >= $q THEN array_distinct(transform(" +
+          s"sequence(1, length(s) - ${q - 1}), i -> substring(s, i, $q))) " +
+          "ELSE array() END").as("g"))
+      val n = native.orderBy("id").as[(Long, Seq[String])].collect().toSeq
+      val e = sql.orderBy("id").as[(Long, Seq[String])].collect().toSeq
+      assert(n == e, s"q=$q diverged")
+    }
+  }
+
   test("Template.signature escapes literal delimiters — the adversarial " +
     "literal that used to collide with two clean literals now gets its " +
     "own signature, and clean signatures are unchanged") {
