@@ -407,6 +407,62 @@ object GraftFunctions {
       CharGramsDistinct(GraftBridge.expression(text), q))
   }
 
+  /** Per-document repetition statistics in ONE in-row pass — value-
+    * identical to the explode→count→aggregate chain over
+    * `w = split(lower(text), '\s+')`:
+    * n_tokens = |w|; n_distinct_tokens / top_unigram_n = distinct count
+    * and max multiplicity of w; bigram i (1-based, i ≤ max(|w|-1, 1)) =
+    * `concat_ws(' ', w[i], w[i+1])` (a 1-token doc's single "bigram" is
+    * the token itself — concat_ws skips the missing element, mirrored
+    * exactly); n_bigrams / top_bigram_n likewise. Multiplicities are
+    * counted by sorted-run length (binary UTF8String order — only
+    * equal-adjacency matters), so counts are EXACT: no hashing is
+    * involved anywhere. Returns a struct of five longs. Called from
+    * generated code. */
+  def repetitionStats(text: org.apache.spark.unsafe.types.UTF8String)
+  : InternalRow = {
+    val tokens = text.toLowerCase.split(WhitespaceRe, -1)
+    val n = tokens.length
+    def runStats(arr: Array[org.apache.spark.unsafe.types.UTF8String])
+    : (Long, Long) = {
+      java.util.Arrays.sort(arr,
+        java.util.Comparator.naturalOrder[
+          org.apache.spark.unsafe.types.UTF8String]())
+      var distinct = 0L
+      var top = 0L
+      var run = 0L
+      var i = 0
+      while (i < arr.length) {
+        if (i == 0 || arr(i) != arr(i - 1)) { distinct += 1; run = 1L }
+        else run += 1
+        if (run > top) top = run
+        i += 1
+      }
+      (distinct, top)
+    }
+    val (uDistinct, uTop) = runStats(java.util.Arrays.copyOf(tokens, n))
+    val m = math.max(n - 1, 1)
+    val bigrams =
+      new Array[org.apache.spark.unsafe.types.UTF8String](m)
+    if (n == 1) bigrams(0) = tokens(0)
+    else {
+      var i = 0
+      while (i < m) {
+        bigrams(i) = org.apache.spark.unsafe.types.UTF8String.concatWs(
+          SpaceSep, tokens(i), tokens(i + 1))
+        i += 1
+      }
+    }
+    val (_, bTop) = runStats(bigrams)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, uDistinct, uTop, m.toLong, bTop))
+  }
+
+  def repetition_stats(text: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(RepetitionStats(GraftBridge.expression(text)))
+  }
+
   /** First 8 md5 bytes big-endian as a signed long — the same 64 bits the
     * hex-prefix-16 contract digest spells in hex. */
   private def digestPrefixLong(d: Array[Byte]): Long =
@@ -733,6 +789,39 @@ final case class WordGramDigests(child: Expression, k: Int,
 
   override protected def withNewChildInternal(
       newChild: Expression): WordGramDigests = copy(child = newChild)
+}
+
+/** string → struct of five per-document repetition statistics (see
+  * [[GraftFunctions.repetitionStats]]); one codegen'd call per row. */
+final case class RepetitionStats(child: Expression)
+  extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_distinct_tokens", LongType, nullable = false),
+    StructField("top_unigram_n", LongType, nullable = false),
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("top_bigram_n", LongType, nullable = false)))
+
+  override def checkInputDataTypes()
+  : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case StringType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"repetition_stats expects string, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftFunctions.repetitionStats(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftFunctions.repetitionStats($c);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): RepetitionStats = copy(child = newChild)
 }
 
 /** string → array of distinct character q-grams (see

@@ -261,27 +261,27 @@ object TextAnalysis {
     * explode→count aggregations shuffled on (doc_id, gram) — partial
     * aggregation absorbs the heavy duplication map-side, so the shuffle
     * carries one row per distinct gram, not per token. */
-  def repetitionStats(docs: DataFrame): DataFrame = {
-    val base = docs.repartition(col("doc_id"))
-      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("w"))
-    val u = base.select(col("doc_id"), explode(col("w")).as("tok"))
-      .groupBy("doc_id", "tok").count()
-      .groupBy("doc_id").agg(
-        sum("count").cast("long").as("n_tokens"),
-        count(lit(1)).cast("long").as("n_distinct_tokens"),
-        max("count").cast("long").as("top_unigram_n"))
-    val bg = base.select(col("doc_id"), explode(expr(
-        "transform(sequence(1, greatest(size(w) - 1, 1)), i -> " +
-          "concat_ws(' ', try_element_at(w, i), try_element_at(w, i + 1)))")).as("g"))
-      .groupBy("doc_id", "g").count()
-      .groupBy("doc_id").agg(
-        sum("count").cast("long").as("n_bigrams"),
-        max("count").cast("long").as("top_bigram_n"))
-    u.join(bg, "doc_id")
+  def repetitionStats(docs: DataFrame): DataFrame =
+    // every statistic is PER-DOCUMENT, so it is computed IN-ROW by one
+    // native expression (sorted-run counting — exact multiplicities, no
+    // hashing): the r20 shape repartitioned the full corpus text on
+    // doc_id and ran two explode→count→agg chains plus a join just to
+    // count within each row's own token array (guide §2.1 — at scale
+    // that repartition is a whole-corpus shuffle for a map-only answer)
+    // a NULL text exploded into no rows in the aggregate form (the doc
+    // vanished via the inner join) — the filter preserves that edge
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.repetition_stats(col("text")).as("r"))
+      .select(col("doc_id"),
+        col("r.n_tokens").as("n_tokens"),
+        col("r.n_distinct_tokens").as("n_distinct_tokens"),
+        col("r.top_unigram_n").as("top_unigram_n"),
+        col("r.n_bigrams").as("n_bigrams"),
+        col("r.top_bigram_n").as("top_bigram_n"))
       .withColumn("keep",
         col("top_unigram_n") * 5 <= col("n_tokens") &&
           col("top_bigram_n") * 5 <= col("n_bigrams"))
-  }
 
   /** Token-budget sequence packing — group documents into training bins of
     * at most `budget` tokens, by *length-bucketed fixed-capacity packing*:
@@ -498,14 +498,18 @@ object TextAnalysis {
     * generate_series produces no row for them either).
     * Output: (doc_id, total_grams, distinct_grams, redundancy_milli). */
   def ngramRedundancy(docs: DataFrame, k: Int = 4): DataFrame =
+    // per-doc counts over the row's OWN window array — map-only: the r20
+    // shape repartitioned the corpus and exploded every window into a
+    // two-phase count_distinct aggregation to count what `size` /
+    // `size(array_distinct)` read off the native digest array in place
+    // (guide §2.1; the counts are identical — same digests, same doc)
     docs.filter(length(col("text")) >= k)
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), explode(
+      .select(col("doc_id"),
         graft.functions.GraftFunctions.substr_window_hashes(
-          col("text"), k, 1)).as("g"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("total_grams"),
-        count_distinct(col("g")).as("distinct_grams"))
+          col("text"), k, 1).as("garr"))
+      .select(col("doc_id"),
+        size(col("garr")).cast("long").as("total_grams"),
+        size(array_distinct(col("garr"))).cast("long").as("distinct_grams"))
       .withColumn("redundancy_milli",
         expr("(total_grams - distinct_grams) * 1000 div total_grams"))
 

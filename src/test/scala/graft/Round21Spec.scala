@@ -75,6 +75,46 @@ class Round21Spec extends SparkTestBase {
     }
   }
 
+  test("repetitionStats (in-row) equals the explode->count->aggregate " +
+    "chain it replaces, including the 1-token concat_ws-skips-null " +
+    "bigram edge, ties in top counts, and repeated unigrams/bigrams") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a"), // repeated unigrams AND bigrams
+      (2L, "one-token"), // single token: its own "bigram"
+      (3L, ""), // split -> [""]: one empty token
+      (4L, "x x x x x x"), // degenerate repetition, keep=false
+      (5L, "all distinct words here now"),
+      (6L, "Tie tie TIE case mix case mix") // lowering + tied tops
+    ).toDF("doc_id", "text")
+    val now = graft.pipeline.TextAnalysis.repetitionStats(docs)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect().toSeq
+    // the r20 aggregate formulation, verbatim
+    val base = docs.select(col("doc_id"),
+      split(lower(col("text")), "\\s+").as("w"))
+    val u = base.select(col("doc_id"), explode(col("w")).as("tok"))
+      .groupBy("doc_id", "tok").count()
+      .groupBy("doc_id").agg(
+        sum("count").cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_distinct_tokens"),
+        max("count").cast("long").as("top_unigram_n"))
+    val bg = base.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, greatest(size(w) - 1, 1)), i -> " +
+          "concat_ws(' ', try_element_at(w, i), try_element_at(w, i + 1)))")).as("g"))
+      .groupBy("doc_id", "g").count()
+      .groupBy("doc_id").agg(
+        sum("count").cast("long").as("n_bigrams"),
+        max("count").cast("long").as("top_bigram_n"))
+    val old = u.join(bg, "doc_id")
+      .withColumn("keep",
+        col("top_unigram_n") * 5 <= col("n_tokens") &&
+          col("top_bigram_n") * 5 <= col("n_bigrams"))
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(now == old)
+  }
+
   test("Template.signature escapes literal delimiters — the adversarial " +
     "literal that used to collide with two clean literals now gets its " +
     "own signature, and clean signatures are unchanged") {
